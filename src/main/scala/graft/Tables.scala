@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated fixture tables (TESTDATA.md).
+  *
+  * One parquet file per table under `sfDir`. Keeping all reads behind this
+  * object means every query starts from a plain columnar `FileScan parquet`
+  * that Catalyst can prune/push into — the analog of the reference's
+  * column-at-once `.npz`/`.npy` scans (reference:
+  * create_train_valid_test_datasets.py:116-117, train_classification.py:171-177).
+  */
+object Tables {
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame    = read(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame    = read(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame  = read(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame  = read(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame      = read(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame    = read(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame  = read(spark, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects outright. Read nanos as long (legacy flag) and truncate to
+    * microseconds — the same ns→µs truncation DuckDB's `epoch_us` applies, so
+    * event-time arithmetic stays exactly comparable across engines.
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, d, "events")
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+  }
+  def documents(spark: SparkSession, d: String): DataFrame = read(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = read(spark, d, "embeddings")
+}

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, oracle-expressible hash functions.
+  *
+  * The reference's random operators (stratified split, sample-with-replacement
+  * — create_train_valid_test_datasets.py:78-80,119-127) use numpy RNG streams
+  * that no other engine can reproduce. Per SURVEY §7.4.1 the engine *declares*
+  * salted multiplicative-hash semantics instead: deterministic, partition-count
+  * independent, and expressible in plain arithmetic SQL so a DuckDB oracle can
+  * replay them bit-for-bit. All arithmetic stays within int64 (max intermediate
+  * ~2.7e14) so it is portable to any engine with 64-bit integer math — Spark's
+  * `xxhash64` would be faster but is not reproducible outside Spark.
+  */
+object Hashes {
+  /** Knuth multiplicative constant; modulus is the classic 1e9+7 prime. */
+  val Mult: Long  = 2654435761L
+  val Prime: Long = 1000000007L
+  /** Pre-modulus keeps `(key % PreMod + seed) * Mult` inside int64. */
+  val PreMod: Long = 100003L
+
+  /** Salted bucket hash in [0, Prime): `((key % 100003 + seed) * 2654435761) % (1e9+7)`. */
+  def mulHash(key: Column, seed: Long): Column =
+    ((key % PreMod + seed) * Mult) % Prime
+
+  /** Bucket in [0, buckets) — the split/sample primitive (SURVEY §2 rows 17-18). */
+  def bucket(key: Column, seed: Long, buckets: Int): Column =
+    mulHash(key, seed) % buckets
+
+  /** Identical semantics rendered as DuckDB/ANSI SQL for the oracle. */
+  def mulHashSql(key: String, seed: Long): String =
+    s"((($key) % $PreMod + $seed) * $Mult) % $Prime"
+  def bucketSql(key: String, seed: Long, buckets: Int): String =
+    s"(${mulHashSql(key, seed)}) % $buckets"
+
+  /** Polynomial rolling hash over a token array: fold `acc*31 + ascii(first)
+    * + 7*length(token)` mod 1e9+7. Order-sensitive (a true fingerprint), cheap
+    * (no per-character explosion), and replayable in DuckDB via `list_reduce`.
+    * Spark-side it is a single codegen'd `aggregate` higher-order function —
+    * the document-fingerprint primitive (rolling hash over content).
+    */
+  def tokenRollingHash(tokens: Column): Column =
+    aggregate(
+      tokens,
+      lit(0L),
+      (acc, t) => (acc * 31L + ascii(t).cast("long") + length(t).cast("long") * 7L) % Prime
+    )
+
+  def tokenRollingHashSql(tokensExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($tokensExpr, t -> CAST(ascii(t) + 7*length(t) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $Prime)"
+
+  /** Per-token integer hash (shingle hashing for MinHash/SimHash): mixes the
+    * first/last character codes and length through the multiplicative hash.
+    * h(t) = ((ascii(t)*131 + ascii(last)*31 + len*7) * Mult) % Prime
+    */
+  def tokenHash(t: Column): Column =
+    ((ascii(t).cast("long") * 131L
+      + ascii(substring(t, -1, 1)).cast("long") * 31L
+      + length(t).cast("long") * 7L) * Mult) % Prime
+
+  def tokenHashSql(t: String): String =
+    s"((CAST(ascii($t) AS BIGINT) * 131 + CAST(ascii(substr($t, -1, 1)) AS BIGINT) * 31 + CAST(length($t) AS BIGINT) * 7) * $Mult) % $Prime"
+}

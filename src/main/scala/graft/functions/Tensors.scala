@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Higher-order-function builders for the reference's array/tensor operators
+  * (SURVEY §2 rows 32-37). All of these compile to Catalyst `transform` /
+  * `aggregate` expression trees over `ArrayType` columns — no explode, no UDF,
+  * so a 16×16 grid op costs one projection, not a 256× row blow-up.
+  */
+object Tensors {
+
+  /** 90°·k counter-clockwise rotation of an n×n grid stored as
+    * array<array<T>> (reference `np.rot90(m, k, axes=(1,2))`,
+    * create_train_valid_test_datasets.py:72-74).
+    * rot90(m)[j][i] = m[i][n-1-j]; k composes by iteration.
+    */
+  def rot90(matrix: Column, n: Int, k: Int): Column = {
+    require(n > 0)
+    def once(m: Column): Column =
+      transform(sequence(lit(0), lit(n - 1)), j =>
+        transform(sequence(lit(0), lit(n - 1)), i =>
+          element_at(element_at(m, i + 1), lit(n) - j)))
+    (1 to ((k % 4 + 4) % 4)).foldLeft(matrix)((m, _) => once(m))
+  }
+
+  /** Matrix transpose via nested transform (reference dataset.py:11 axis swap). */
+  def transposeGrid(matrix: Column, n: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)), j =>
+      transform(sequence(lit(0), lit(n - 1)), i =>
+        element_at(element_at(matrix, i + 1), j + 1)))
+
+  /** One-hot encode an int label into a float array of width nClass
+    * (reference dataset.py:12).
+    */
+  def oneHot(label: Column, nClass: Int): Column =
+    transform(sequence(lit(0), lit(nClass - 1)), c =>
+      when(label === c, 1.0).otherwise(0.0))
+
+  /** 0-based argmax of an array (reference torch.argmax, tools.py:26).
+    * First-match semantics on ties, like numpy/torch.
+    */
+  def argmax(arr: Column): Column =
+    (array_position(arr, array_max(arr)) - 1).cast("int")
+
+  /** Flatten an n×n grid row-major (reference .flatten(),
+    * train_classification.py:184).
+    */
+  def flattenGrid(matrix: Column): Column = flatten(matrix)
+
+  /** Reshape a flat array into rows of `width` (reference .reshape(N,16,16)). */
+  def reshape(flat: Column, rows: Int, width: Int): Column =
+    transform(sequence(lit(0), lit(rows - 1)), r =>
+      slice(flat, r * width + 1, lit(width)))
+
+  /** Dot product of two float arrays via zip_with + aggregate — the
+    * similarity-search kernel. Accumulates in double, sequential fold
+    * (deterministic, oracle-replayable).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Hashes
+
+/** Training-data text pipeline ops over `documents` (north-star brief):
+  * exact dedup, token stats, quality scoring, language-ID, fingerprinting.
+  * All declared as deterministic relational queries with DuckDB oracles; the
+  * near-dup family (MinHash/SimHash/Jaccard) lives in DedupQueries.
+  */
+object TextQueries {
+
+  /** Stopword lists for the language-ID heuristic — tiny, literal, broadcast
+    * by constant folding. One list per fixture language.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "la", "les"),
+    "zh" -> Seq("de", "shi", "he"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact deduplication: content-hash groupBy, keep the minimum doc_id —
+    // the canonical exact-dedup shape (hash shuffle on the digest only).
+    QueryDef("q30_exact_dedup",
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS keeper,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("keeper")
+    },
+
+    // Token counting (whitespace tokenizer) + char stats per doc.
+    QueryDef("q31_token_count",
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |       length(text) AS n_chars_measured, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_measured"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprint: order-sensitive polynomial rolling hash over the
+    // token stream (SURVEY north-star "document fingerprinting").
+    QueryDef("q32_fingerprint",
+      s"""SELECT doc_id,
+         |       ${Hashes.tokenRollingHashSql("string_split(text, ' ')")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Hashes.tokenRollingHash(split(col("text"), " ", -1)).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: stopword ratio, mean token length, uppercase ratio —
+    // length/punct/stopword heuristics of a pretraining quality filter.
+    QueryDef("q33_quality_score",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents)
+        |SELECT doc_id,
+        |       round(CAST(len(list_filter(toks,
+        |           x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |         / len(toks), 6) AS stopword_ratio,
+        |       round(CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks), 6)
+        |         AS mean_token_len,
+        |       len(toks) AS n_tokens
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ", -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"), col("text"))
+        .select(col("doc_id"),
+          round(size(filter(col("toks"),
+              x => x.isin("the", "a", "of", "and", "to"))).cast("double")
+            / size(col("toks")), 6).as("stopword_ratio"),
+          round((length(col("text")) - size(col("toks")) + 1).cast("double")
+            / size(col("toks")), 6).as("mean_token_len"),
+          size(col("toks")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID: n-gram/stopword-marker heuristic — score each language by
+    // marker-token hits, argmax with a deterministic tie-break (lexicographic
+    // language order). Confusion counts against the labeled `lang` column.
+    QueryDef("q34_langid", LangIdSql.sql) { (s, d) =>
+      val toks = split(col("text"), " ", -1)
+      val langs = langMarkers.keys.toSeq.sorted
+      val scores = langs.map { lang =>
+        size(filter(toks, x => x.isin(langMarkers(lang): _*))).as(s"score_$lang")
+      }
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id") +: col("lang") +: scores: _*)
+        .withColumn("mx", greatest(langs.map(l => col(s"score_$l")): _*))
+      // first-match CASE = earliest language (lexicographic) wins ties
+      val predicted = langs.tail.foldLeft(
+        when(col(s"score_${langs.head}") === col("mx"), langs.head)) { (acc, l) =>
+        acc.when(col(s"score_$l") === col("mx"), l)
+      }
+      scored.select(col("lang"), predicted.as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    },
+
+    // Per-source corpus stats: docs, distinct languages, total tokens.
+    QueryDef("q35_source_stats",
+      """SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT lang) AS n_langs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("lang").as("n_langs"),
+          sum(size(split(col("text"), " ", -1)).cast("long")).as("total_tokens"))
+        .orderBy("source")
+    }
+  )
+}
+
+/** Language-ID oracle: same marker lists, same argmax/tie-break. */
+private object LangIdSql {
+  private val markers = TextQueries.langMarkers.toSeq.sortBy(_._1)
+  private def scoreExpr(ms: Seq[String]): String =
+    s"len(list_filter(toks, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")})))"
+  val sql: String = {
+    val langs = markers.map(_._1)
+    val scoreCols = markers.map { case (l, ms) => s"${scoreExpr(ms)} AS score_$l" }
+    val mx = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+    val predCase = langs.map(l => s"WHEN score_$l = mx THEN '$l'").mkString(" ")
+    s"""WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT lang, ${scoreCols.mkString(", ")} FROM t),
+       |m AS (SELECT lang, ${langs.map(l => s"score_$l").mkString(", ")}, $mx AS mx FROM s),
+       |p AS (SELECT lang, CASE $predCase END AS pred_lang FROM m)
+       |SELECT lang, pred_lang, count(*) AS n
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+}
