@@ -1,24 +1,60 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  *
+  * Methodology: a warm-up pass (JIT + parquet footer cache + codegen cache)
+  * runs the two cheapest queries first; each measured query is then fully
+  * materialized through the `noop` sink — `count()` would let Catalyst prune
+  * away projection work and under-measure scans.
+  */
 object Bench {
+
+  /** Headline set: one per operator family (scan, agg, flagship window,
+    * star join, augmentation union, math, events, sessionization, dedup
+    * exact/minhash/simhash, knn, channel stats, mapPartitions scoring).
+    */
+  val headline: Seq[String] = Seq(
+    "q01_pruned_scan", "q03_group_count", "q07_survival_curve",
+    "q11_star_join", "q13_rotation_union", "q19_spherical",
+    "q26_tumbling_window", "q28_sessionize", "q30_exact_dedup",
+    "q36_minhash_signature", "q38_simhash", "q40_knn_bruteforce",
+    "q45_channel_stats", "q46_mappartitions_score")
+
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val qs = SparkEntry.queries
+    // JIT/IO warm-up: cheap scan + agg, not timed
+    Seq("q01_pruned_scan", "q03_group_count").foreach { n =>
+      try materialize(qs(n)(spark, sfDir)) catch { case _: Throwable => () }
+    }
+    val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(qs(name)(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the shingle/minhash hot path.
+  *
+  * Why custom (SURVEY preference order (b)): the pure-HOF formulation of
+  * 3-token shingling needs indexed access (`element_at(tokens, i+k)`) inside
+  * a `transform` lambda. When the resulting expression tree exceeds codegen
+  * limits Spark falls back to interpreted eval, where every `element_at`
+  * re-evaluates the `split()` subtree — O(shingles) re-tokenizations per row,
+  * quadratic wall-clock observed in practice. These expressions do the whole
+  * tokens→shingles→signature pass in one tight Scala loop per row: one
+  * evaluation of the child, zero re-tokenization, and the arithmetic is the
+  * exact integer semantics of [[Hashes]], so DuckDB oracles still replay it.
+  */
+object TextHashExprs {
+  import Hashes.{Mult, Prime}
+
+  /** tokenHash(t) — must stay bit-identical to Hashes.tokenHash/tokenHashSql:
+    * ((ascii(first)·131 + ascii(last)·31 + len·7) · Mult) mod P.
+    * `ascii` = code of the first UTF-16 char (ASCII fixture data; matches
+    * Spark's `ascii` and DuckDB's for single-byte chars).
+    */
+  private[graft] def tokenHash(t: UTF8String): Long = {
+    val s = t.toString
+    val len = s.length
+    val first = if (len == 0) 0L else s.charAt(0).toLong
+    val last  = if (len == 0) 0L else s.charAt(len - 1).toLong
+    ((first * 131L + last * 31L + len * 7L) * Mult) % Prime
+  }
+
+  /** Shingle-hash array of a token array (3-gram):
+    * sh_i = (th_i·961 + th_{i+1}·31 + th_{i+2}) mod P.
+    */
+  private[graft] def shingleHashes(tokens: ArrayData): Array[Long] = {
+    val n = tokens.numElements()
+    if (n < 3) return Array.empty
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = tokenHash(tokens.getUTF8String(i)); i += 1 }
+    val out = new Array[Long](n - 2)
+    i = 0
+    while (i < n - 2) {
+      out(i) = (th(i) * 961L + th(i + 1) * 31L + th(i + 2)) % Prime
+      i += 1
+    }
+    out
+  }
+
+  /** array<string> tokens → array<long> 3-gram shingle hashes. */
+  case class ShingleHashesExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(shingleHashes(v.asInstanceOf[ArrayData]))
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+    override def prettyName: String = "shingle_hashes"
+  }
+
+  /** array<string> tokens → array<long> of k minhash values:
+    * mh_j = min over shingles of ((2j+1)·h + 12345j+678) mod P; P if empty.
+    */
+  case class MinHashSignatureExpr(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val sh = shingleHashes(v.asInstanceOf[ArrayData])
+      val sig = Array.fill(k)(Prime)
+      var i = 0
+      while (i < sh.length) {
+        val h = sh(i)
+        var j = 0
+        while (j < k) {
+          val cand = (h * (2L * j + 1) + 12345L * j + 678) % Prime
+          if (cand < sig(j)) sig(j) = cand
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "minhash_signature"
+  }
+
+  def shingle_hashes(tokens: Column): Column =
+    GraftColumnBridge.column(ShingleHashesExpr(GraftColumnBridge.expression(tokens)))
+
+  def minhash_signature(tokens: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      MinHashSignatureExpr(GraftColumnBridge.expression(tokens), k))
+}

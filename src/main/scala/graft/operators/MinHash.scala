@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashes
+
+/** MinHash + LSH near-duplicate detection (north-star dedup family).
+  *
+  * Pipeline shape (the scale path): tokenize → 3-token shingles → integer
+  * shingle hashes → k minhash values per doc (one narrow projection, no
+  * explode) → band keys → explode only the k/bandSize band rows per doc →
+  * groupBy band key → within-bucket self-join for candidates → exact Jaccard
+  * verification on the candidates only.
+  *
+  * At 100 TB: the signature pass is a pure map (no shuffle); the only shuffle
+  * is on band keys, whose cardinality ≈ docs × bands but whose *matching*
+  * pairs are rare; the expensive exact-Jaccard join runs on candidates, not on
+  * all O(N²) pairs. Skewed buckets (boilerplate shingles) would be salted or
+  * capped in production; fixture data has no such skew.
+  *
+  * All hashing is plain int64 arithmetic (Hashes.scala) so a DuckDB oracle
+  * replays it exactly.
+  */
+object MinHash {
+  import Hashes.Prime
+
+  /** Number of minhash functions and LSH band width (bands = k / bandSize). */
+  val K         = 8
+  val BandSize  = 2
+  val Bands: Int = K / BandSize
+
+  private def aCoef(j: Int): Long = 2L * j + 1 // odd multipliers
+  private def bCoef(j: Int): Long = 12345L * j + 678
+
+  /** 3-token shingle hashes from a token array:
+    * h = (th(t_i)·961 + th(t_{i+1})·31 + th(t_{i+2})) mod P.
+    *
+    * Backed by a custom Catalyst expression (TextHashExprs) — the pure-HOF
+    * sliding-window formulation re-tokenizes per element under interpreted
+    * eval (see TextHashExprs scaladoc for the failure mode).
+    */
+  def shingleHashes(tokens: Column): Column =
+    graft.functions.TextHashExprs.shingle_hashes(tokens)
+
+  def shingleHashesSql(toks: String): String = {
+    def th(e: String) = Hashes.tokenHashSql(e)
+    s"""list_transform(range(0, len($toks) - 2),
+       | i -> ((${th(s"$toks[i + 1]")}) * 961
+       |     + (${th(s"$toks[i + 2]")}) * 31
+       |     + (${th(s"$toks[i + 3]")})) % $Prime)""".stripMargin
+  }
+
+  def minhashSql(shingles: String, j: Int): String =
+    s"list_min(list_transform($shingles, h -> (h * ${aCoef(j)} + ${bCoef(j)}) % $Prime))"
+
+  /** Band key b (0-based): combines the band's minhashes into one int64. */
+  def bandKey(sig: Seq[Column], b: Int): Column = {
+    val slice = sig.slice(b * BandSize, (b + 1) * BandSize)
+    slice.reduceLeft((acc, m) => (acc * 31L + m) % Prime)
+  }
+
+  /** Signature DataFrame: doc key + mh_0..mh_{K-1}. One narrow projection —
+    * the k-way min runs in a single pass inside MinHashSignatureExpr.
+    */
+  def signatures(docs: DataFrame, key: Column, tokens: Column): DataFrame = {
+    val sig = graft.functions.TextHashExprs.minhash_signature(tokens, K)
+    docs.where(size(tokens) >= 3)
+      .select(key.as("doc_id"), sig.as("sig"))
+      .select(col("doc_id") +: (0 until K).map(j =>
+        element_at(col("sig"), j + 1).as(s"mh_$j")): _*)
+  }
+
+  /** Candidate pairs via LSH banding + exact Jaccard on distinct shingles.
+    * Returns (doc_a, doc_b, jaccard) for candidates with jaccard ≥ minJaccard.
+    */
+  def nearDuplicates(docs: DataFrame, key: Column, tokens: Column,
+                     minJaccard: Double): DataFrame = {
+    val sigs = signatures(docs, key, tokens)
+    val sigCols = (0 until K).map(j => col(s"mh_$j"))
+    val bandRows = sigs.select(
+      col("doc_id"),
+      explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("band"), bandKey(sigCols, b).as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val shingleSets = docs.where(size(tokens) >= 3)
+      .select(key.as("doc_id"), array_distinct(shingleHashes(tokens)).as("sset"))
+    cand
+      .join(shingleSets.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sset", "sset_a"), "doc_a")
+      .join(shingleSets.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sset", "sset_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sset_a"), col("sset_b"))).cast("double") /
+          size(array_union(col("sset_a"), col("sset_b")))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+}

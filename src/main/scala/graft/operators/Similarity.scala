@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Tensors
+
+/** Approximate-nearest-neighbor search over an embedding column (north-star
+  * similarity family).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus; one narrow map + per-query window. The 100 TB
+  *    shape: corpus scan parallelizes, queries broadcast, no corpus shuffle;
+  *    the top-k window partitions by query id.
+  *  - [[lshBucket]] + [[bucketedTopK]]: random-hyperplane LSH — each vector
+  *    gets a small integer bucket from the sign pattern of dot products with
+  *    deterministic integer hyperplanes; candidates are bucket-mates only.
+  *    At scale this turns the O(N·Q) scan into a bucket-equi-join, and the
+  *    bucket histogram is the skew diagnostic.
+  *
+  * Ranking floats across engines: order by `round(cos, 6)` with id tie-break,
+  * so last-ulp libm differences can't flip ranks (SURVEY §7.4.3).
+  */
+object Similarity {
+
+  /** Deterministic integer hyperplane j over `dim` dimensions:
+    * plane_j[d] = ((j·131 + d·31 + 7) mod 17) − 8 ∈ [−8, 8].
+    */
+  def plane(j: Int, dim: Int): Seq[Int] =
+    (0 until dim).map(d => ((j * 131 + d * 31 + 7) % 17) - 8)
+
+  /** Sign-pattern LSH bucket from `nPlanes` hyperplanes. */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column =
+    (0 until nPlanes).map { j =>
+      val dot = aggregate(
+        zip_with(vec, lit(plane(j, dim).toArray), (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduceLeft(_ + _)
+
+  def lshBucketSql(vec: String, dim: Int, nPlanes: Int): String =
+    (0 until nPlanes).map { j =>
+      val planeList = plane(j, dim).mkString("[", ", ", "]")
+      s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, ${dim + 1}),
+         |    d -> CAST($vec[d] AS DOUBLE) * ($planeList)[d])),
+         |  (a, b) -> a + b) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  /** Exact cosine top-k: for each row of `queries`, the k nearest rows of
+    * `corpus` (excluding self), ranked by rounded cosine then id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // norms precomputed per vector (not per pair); cos = dot/(qn*nn) keeps the
+    // same expression shape the oracle uses
+    val joined = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        Tensors.norm(col("embedding")).as("qn"))
+      .crossJoin(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        Tensors.norm(col("embedding")).as("nn")))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Tensors.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** LSH-bucketed top-k: identical ranking but candidates restricted to the
+    * query's bucket (the ANN scale path).
+    */
+  def bucketedTopK(corpus: DataFrame, queryPred: Column, dim: Int,
+                   nPlanes: Int, k: Int): DataFrame = {
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+      Tensors.norm(col("embedding")).as("nrm"),
+      lshBucket(col("embedding"), dim, nPlanes).as("bucket"))
+    val queries = bucketed.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val joined = queries
+      .join(bucketed.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"), col("nrm").as("nn"), col("bucket")), Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Tensors.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+}

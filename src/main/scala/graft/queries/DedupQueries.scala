@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Hashes
+import graft.operators.{MinHash, SimHash}
+
+/** Near-duplicate detection over `documents` (north-star dedup family):
+  * MinHash signatures, LSH candidate pairs with exact-Jaccard verification,
+  * SimHash fingerprints, and brute-force n-gram Jaccard. All integer
+  * arithmetic (Hashes.scala) → bit-exact DuckDB oracles.
+  */
+object DedupQueries {
+  import Hashes.Prime
+
+  private val toks = "string_split(text, ' ')"
+
+  /** Shared oracle CTE prefix: tokens + shingle hashes per doc. */
+  private val shingleCte =
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |s AS (SELECT doc_id, ${MinHash.shingleHashesSql("toks")} AS sh
+       |      FROM t WHERE len(toks) >= 3)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // MinHash signatures: k=8 permutation-min values per doc.
+    QueryDef("q36_minhash_signature",
+      s"""$shingleCte
+         |SELECT doc_id,
+         |       ${(0 until MinHash.K).map(j =>
+               s"${MinHash.minhashSql("sh", j)} AS mh_$j").mkString(",\n       ")}
+         |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      MinHash.signatures(Tables.documents(s, d), col("doc_id"),
+          split(col("text"), " ", -1))
+        .orderBy("doc_id")
+    },
+
+    // LSH banding → candidate pairs → exact Jaccard ≥ 0.5 verification.
+    QueryDef("q37_lsh_near_dup_pairs", LshPairsSql.sql) { (s, d) =>
+      MinHash.nearDuplicates(Tables.documents(s, d), col("doc_id"),
+          split(col("text"), " ", -1), 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash 16-bit fingerprints.
+    QueryDef("q38_simhash",
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |h AS (SELECT doc_id, ${SimHash.tokenHashListSql("toks")} AS ths FROM t)
+         |SELECT doc_id, CAST(${SimHash.simhashOverThsSql("ths")} AS BIGINT) AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          SimHash.simhash(split(col("text"), " ", -1)).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // Brute-force n-gram (3-shingle) Jaccard within a source partition —
+    // the exact counterpart the LSH path approximates. Bounded to the
+    // low-doc_id slice to keep the all-pairs join quadratic-but-small.
+    QueryDef("q39_ngram_jaccard",
+      s"""$shingleCte,
+         |ss AS (SELECT s.doc_id, d.source, list_distinct(s.sh) AS sset
+         |       FROM s JOIN documents d USING (doc_id)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+         |           / len(list_distinct(list_concat(a.sset, b.sset))), 6) AS jaccard
+         |  FROM ss a JOIN ss b
+         |    ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id < 1500 AND b.doc_id < 1500)
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).where(col("doc_id") < 1500)
+      val tokCol = split(col("text"), " ", -1)
+      val ss = docs.where(size(tokCol) >= 3)
+        .select(col("doc_id"), col("source"),
+          array_distinct(MinHash.shingleHashes(tokCol)).as("sset"))
+      ss.as("a").join(ss.as("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(size(array_intersect(col("a.sset"), col("b.sset"))).cast("double")
+            / size(array_union(col("a.sset"), col("b.sset"))), 6).as("jaccard"))
+        .where(col("jaccard") >= 0.2)
+        .orderBy("doc_a", "doc_b")
+    }
+  )
+}
+
+/** Full LSH pipeline oracle: signatures → band keys → distinct candidate
+  * pairs → exact Jaccard on distinct shingle sets, threshold 0.5.
+  */
+private object LshPairsSql {
+  import MinHash.{BandSize, Bands, K}
+  private val P = Hashes.Prime
+
+  private def bandKeySql(b: Int): String =
+    (b * BandSize until (b + 1) * BandSize)
+      .map(j => s"mh_$j")
+      .reduceLeft((acc, m) => s"(($acc) * 31 + $m) % $P")
+
+  val sql: String = {
+    val toks = "string_split(text, ' ')"
+    val mhCols = (0 until K).map(j => s"${MinHash.minhashSql("sh", j)} AS mh_$j")
+    val bandSelects = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS bkey FROM sig")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |s AS (SELECT doc_id, ${MinHash.shingleHashesSql("toks")} AS sh
+       |      FROM t WHERE len(toks) >= 3),
+       |sig AS (SELECT doc_id, ${mhCols.mkString(", ")} FROM s),
+       |bands AS (${bandSelects.mkString(" UNION ALL ")}),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |ss AS (SELECT doc_id, list_distinct(sh) AS sset FROM s),
+       |j AS (SELECT doc_a, doc_b,
+       |             round(CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE)
+       |               / len(list_distinct(list_concat(x.sset, y.sset))), 6) AS jaccard
+       |      FROM cand JOIN ss x ON x.doc_id = doc_a
+       |                JOIN ss y ON y.doc_id = doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM j
+       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+  }
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Similarity
+
+/** Similarity search over `embeddings` (north-star similarity family):
+  * brute-force exact cosine top-k, LSH bucket assignment, LSH-bucketed ANN
+  * top-k, and per-label centroids. Cosines rank by round(cos, 6) with id
+  * tie-break so libm last-ulp differences can't flip ranks.
+  */
+object SimilarityQueries {
+
+  private val Dim = 64
+
+  /** Sequential-fold dot product in DuckDB (matches Spark's `aggregate`). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, ${Dim + 1}),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact cosine top-5 neighbors for the first 20 vectors.
+    QueryDef("q40_knn_bruteforce",
+      s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+         |      FROM v WHERE vec_id < 20),
+         |pairs AS (
+         |  SELECT query_id, v.vec_id AS neighbor_id,
+         |         round(${dotSql("qv", "v.embedding")} / (qn * v.nrm), 6) AS cos
+         |  FROM q JOIN v ON v.vec_id <> query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM pairs)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 20), 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    },
+
+    // Random-hyperplane LSH bucket histogram (the ANN partitioning diagnostic).
+    QueryDef("q41_ann_buckets",
+      s"""SELECT CAST(${Similarity.lshBucketSql("embedding", Dim, 4)} AS BIGINT) AS bucket,
+         |       count(*) AS n
+         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .groupBy(Similarity.lshBucket(col("embedding"), Dim, 4).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
+
+    // LSH-bucketed ANN top-3: same ranking as brute force but candidates are
+    // bucket-mates only — the 100 TB scale path (equi-join, not cross join).
+    QueryDef("q42_ann_topk",
+      s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+         |           ${Similarity.lshBucketSql("embedding", Dim, 4)} AS bucket
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, bucket
+         |      FROM v WHERE vec_id < 20),
+         |pairs AS (
+         |  SELECT query_id, v.vec_id AS neighbor_id,
+         |         round(${dotSql("qv", "v.embedding")} / (qn * v.nrm), 6) AS cos
+         |  FROM q JOIN v ON v.bucket = q.bucket AND v.vec_id <> query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM pairs)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      Similarity.bucketedTopK(Tables.embeddings(s, d), col("vec_id") < 20, Dim, 4, 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    },
+
+    // Embedding-cosine near-duplicate pairs within a label partition.
+    QueryDef("q43_embedding_near_dup",
+      s"""WITH v AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm
+         |           FROM embeddings WHERE vec_id < 1000),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cos FROM pairs
+         |WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      import graft.functions.Tensors
+      val v = Tables.embeddings(s, d).where(col("vec_id") < 1000)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          Tensors.norm(col("embedding")).as("nrm"))
+      v.as("a").join(v.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(Tensors.dot(col("a.embedding"), col("b.embedding"))
+            / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+        .where(col("cos") >= 0.3)
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // Per-label centroid norms (centroid aggregation; scalar output keeps the
+    // cross-engine compare on rounded doubles, not float arrays).
+    QueryDef("q44_label_centroids",
+      s"""SELECT label, count(*) AS n,
+         |       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS mean_d0,
+         |       round(avg(CAST(embedding[32] AS DOUBLE)), 6) AS mean_d31,
+         |       round(avg(CAST(embedding[64] AS DOUBLE)), 6) AS mean_d63
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg(element_at(col("embedding"), 1).cast("double")), 6).as("mean_d0"),
+          round(avg(element_at(col("embedding"), 32).cast("double")), 6).as("mean_d31"),
+          round(avg(element_at(col("embedding"), 64).cast("double")), 6).as("mean_d63"))
+        .orderBy("label")
+    }
+  )
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table (SURVEY §2.12 — additive
+  * capability; the reference is batch-only, so streaming semantics are
+  * defined here and proven by batch-parity tests, SURVEY §7.4.6).
+  *
+  * The same aggregation logic runs in both modes: [[tumblingCounts]] takes
+  * whatever `events` relation it is given — a batch scan or a `readStream`
+  * source — so parity is structural, not re-implemented.
+  */
+object EventStreams {
+
+  /** events schema with ts already truncated to microseconds (see
+    * graft.Tables.events — the parquet column is TIMESTAMP(NANOS)).
+    */
+  val rawSchema: StructType = new StructType()
+    .add("event_id", LongType).add("ts", LongType) // ts read as raw nanos
+    .add("user_id", LongType).add("event_type", StringType)
+    .add("value", DoubleType).add("props", StringType)
+
+  /** Streaming source over the events parquet (nanos → µs like the batch
+    * path). The file-stream source wants a directory or glob, not a bare
+    * file — hence the glob with an explicit basePath.
+    */
+  def readStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .option("basePath", sfDir)
+      .parquet(s"$sfDir/events.parque[t]")
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+  }
+
+  /** Tumbling 1-hour window counts per event type — mode-agnostic. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Per-user session counts via flatMapGroupsWithState-free formulation is
+    * not streamable; the streaming-native variant uses session_window —
+    * gap-based session windows with a watermark.
+    */
+  def sessionAggregates(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start"),
+        unix_timestamp(col("w.end")).as("session_end"),
+        col("n_events"))
+
+  /** Run a streaming aggregation to completion against bounded input via the
+    * in-memory sink (batch-parity harness).
+    */
+  def runToMemory(agg: DataFrame, name: String, mode: String = "complete"): DataFrame = {
+    val q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    agg.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.ChannelStats
+import graft.operators._
+
+/** Per-operator invariants over tiny literal frames + sf0.001 fixtures
+  * (SURVEY §5.2-5.3).
+  */
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hash split is a partition: disjoint, covering, roughly stratified") {
+    val df = (1L to 10000L).toDF("id")
+    val withSplit = df.select(col("id"), Split.assignSplit(col("id"), 21).as("split"))
+    val counts = withSplit.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000)
+    assert(math.abs(counts("train") - 6400.0) / 6400 < 0.1)
+    assert(math.abs(counts("valid") - 1600.0) / 1600 < 0.15)
+    assert(math.abs(counts("test") - 2000.0) / 2000 < 0.15)
+    // deterministic: same seed twice → identical assignment
+    val again = df.select(col("id"), Split.assignSplit(col("id"), 21).as("s2"))
+    assert(withSplit.join(again, "id").where(col("split") =!= col("s2")).count() == 0)
+  }
+
+  test("histogram counts sum to input rows; dense bins complete") {
+    val df = (0 until 1000).map(_ / 1000.0).toDF("p")
+    val h = Histogram.conditionalHistogram(df, col("p"), 50, Seq("n" -> lit(true)))
+    assert(h.count() == 50)
+    assert(h.agg(sum("n")).head().getLong(0) == 1000)
+  }
+
+  test("survival curve is monotone non-decreasing and ends at 1") {
+    val scored = Seq.tabulate(500)(i => (i / 500.0, i % 2 == 0)).toDF("p", "is0")
+    val c = SurvivalCurve.curve(scored, col("p"), col("is0"), 100).collect()
+    assert(c.length == 100)
+    val f0 = c.map(_.getDouble(2))
+    val f1 = c.map(_.getDouble(3))
+    assert(f0.zip(f0.tail).forall { case (a, b) => a <= b })
+    assert(f1.zip(f1.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(f0.last - 1.0) < 1e-9 && math.abs(f1.last - 1.0) < 1e-9)
+  }
+
+  test("channel stats matches explode-based stats") {
+    val df = Seq(
+      Tuple1(Seq(1.0f, 10.0f)), Tuple1(Seq(2.0f, 20.0f)),
+      Tuple1(Seq(3.0f, 30.0f)), Tuple1(Seq(4.0f, 40.0f))).toDF("v")
+    val got = df.agg(ChannelStats.channelStats(col("v"), 2).as("s"))
+      .select(posexplode(col("s")).as(Seq("dim", "st")))
+      .select(col("dim"), col("st.mean"), col("st.stddev"), col("st.min"), col("st.max"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val exp = df.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(avg("x").as("m"), stddev_pop("x").as("s"),
+        min("x").as("mn"), max("x").as("mx"))
+      .orderBy("dim").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getFloat(3).toDouble, r.getFloat(4).toDouble))
+    got.sortBy(_._1).zip(exp).foreach { case (g, e) =>
+      assert(g._1 == e._1)
+      assert(math.abs(g._2 - e._2) < 1e-9, s"mean dim ${g._1}")
+      assert(math.abs(g._3 - e._3) < 1e-9, s"std dim ${g._1}")
+      assert(g._4 == e._4 && g._5 == e._5)
+    }
+  }
+
+  test("channel stats survives partition merge (distributed Welford)") {
+    val df = spark.range(0, 10000).repartition(7)
+      .select(array(col("id").cast("double"), (col("id") * 2).cast("double")).as("v"))
+    val row = df.agg(ChannelStats.channelStats(col("v"), 2).as("s"))
+      .select(element_at(col("s"), 1).as("st")).select("st.mean", "st.stddev").head()
+    assert(math.abs(row.getDouble(0) - 4999.5) < 1e-6)
+    assert(math.abs(row.getDouble(1) - math.sqrt((10000.0 * 10000 - 1) / 12)) < 1e-4)
+  }
+
+  test("minhash: identical docs share signatures; jaccard 1.0 on self-pairs") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w q r s"))
+      .toDF("doc_id", "text")
+    val sigs = MinHash.signatures(docs, col("doc_id"), split(col("text"), " "))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    val pairs = MinHash.nearDuplicates(docs, col("doc_id"), split(col("text"), " "), 0.5)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical docs → hamming 0; disjoint docs → nonzero") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z"))
+      .toDF("doc_id", "text")
+    val h = docs.select(col("doc_id"), SimHash.simhash(split(col("text"), " ")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    assert(h(1L) != h(3L))
+  }
+
+  test("batch scorer matches the expression form") {
+    val ds = Seq((1L, 1, Array(0.5, 0.2)), (2L, 1, Array(0.1, 0.9)))
+      .toDS()
+    val got = Scorer.scoreKeyed(ds, LinearSigmoidScorer(-2.0, Array(4.0, 1.0)))
+      .orderBy("key1").collect().map(_.getDouble(2))
+    val exp = Seq((0.5, 0.2), (0.1, 0.9)).map { case (a, b) =>
+      1.0 / (1.0 + math.exp(-(-2.0 + 4.0 * a + 1.0 * b)))
+    }
+    got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-15) }
+  }
+
+  test("multimodal decode plumbing produces the expected feature rows") {
+    val docs = Seq((7L, "hello world", "en", "src0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val row = Multimodal.decodeFeatures(Multimodal.asMediaTable(docs),
+      Multimodal.FakeByteDecoder).head()
+    assert(row.getLong(0) == 7L)
+    assert(row.getInt(1) == 11)
+    assert(row.getInt(2) == 'h'.toInt)
+    assert(row.getLong(3) == "hello world".map(_.toLong).sum)
+  }
+}
