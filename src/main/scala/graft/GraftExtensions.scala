@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{ChannelStatsAgg, TextHashExprs}
+
+/** Session extensions (SparkSessionExtensions → injectFunction): exposes the
+  * engine's custom Catalyst expressions to SQL, so `spark.sql` users get the
+  * same operators as the Column API:
+  *
+  *   SELECT simhash(split(text, ' '), 16) FROM documents
+  *   SELECT minhash_signature(split(text, ' '), 8) FROM documents
+  *   SELECT shingle_hashes(split(text, ' ')) FROM documents
+  *   SELECT channel_stats(embedding, 64) FROM embeddings
+  *
+  * Register with:
+  *   SparkSession.builder().withExtensions(new GraftExtensions) …
+  * or spark.sql.extensions=graft.GraftExtensions.
+  *
+  * No custom optimizer Rule or SparkStrategy is injected: SURVEY §4 #3 found
+  * no reference operator lacking a Spark physical counterpart, and the stats
+  * literal-fold (§4 #2) is done collect-side in ScalerPipeline.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[TextHashExprs.ShingleHashesExpr].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => TextHashExprs.ShingleHashesExpr(args.head)))
+
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[TextHashExprs.MinHashSignatureExpr].getName, "minhash_signature"),
+      (args: Seq[Expression]) =>
+        TextHashExprs.MinHashSignatureExpr(args.head, intArg(args(1), "k"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[TextHashExprs.SimHashExpr].getName, "simhash"),
+      (args: Seq[Expression]) =>
+        TextHashExprs.SimHashExpr(args.head, intArg(args(1), "bits"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("channel_stats"),
+      new ExpressionInfo(classOf[ChannelStatsAgg].getName, "channel_stats"),
+      (args: Seq[Expression]) =>
+        ChannelStatsAgg(args.head, intArg(args(1), "dim")).toAggregateExpression()))
+  }
+}

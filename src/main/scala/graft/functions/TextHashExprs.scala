@@ -91,6 +91,43 @@ object TextHashExprs {
     override def prettyName: String = "minhash_signature"
   }
 
+  /** array<string> tokens → simhash long: bit b set when
+    * Σ_tokens (±1 by bit b of tokenHash) > 0. One pass over the tokens —
+    * the HOF form re-hashed the token stream once per bit (16×).
+    */
+  case class SimHashExpr(child: Expression, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val tokens = v.asInstanceOf[ArrayData]
+      val votes = new Array[Long](bits)
+      val n = tokens.numElements()
+      var i = 0
+      while (i < n) {
+        val h = tokenHash(tokens.getUTF8String(i))
+        var b = 0
+        while (b < bits) {
+          votes(b) += ((h >> b) & 1L) * 2L - 1L
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < bits) {
+        if (votes(b) > 0) out |= 1L << b
+        b += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "simhash"
+  }
+
+  def simhash_expr(tokens: Column, bits: Int): Column =
+    GraftColumnBridge.column(SimHashExpr(GraftColumnBridge.expression(tokens), bits))
+
   def shingle_hashes(tokens: Column): Column =
     GraftColumnBridge.column(ShingleHashesExpr(GraftColumnBridge.expression(tokens)))
 

@@ -65,6 +65,38 @@ object MlQueries {
         .orderBy("media_id")
     },
 
+    // SURVEY §2 rows 4-5: partitioned parquet sink + re-scan, and the
+    // fitted-statistics relation persisted and reloaded (stats are *data* —
+    // SURVEY §7.4.4). The oracle computes the same result without the
+    // roundtrip, so the check proves write→read fidelity.
+    QueryDef("q49_sink_roundtrip",
+      s"""WITH o AS (SELECT o_totalprice,
+         |             ${graft.operators.Split.assignSplitSql("o_orderkey", 21)} AS split
+         |           FROM orders),
+         |stats AS (SELECT avg(ln(o_totalprice + 1)) AS mu,
+         |                 stddev_pop(ln(o_totalprice + 1)) AS sigma
+         |          FROM o WHERE split = 'train')
+         |SELECT split, count(*) AS n,
+         |       round(avg((ln(o_totalprice + 1) - mu) / sigma), 6) AS avg_s
+         |FROM o, stats GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+      import graft.operators.{ScalerPipeline, Split}
+      val out = "/tmp/graft_roundtrip_" + new java.io.File(d).getName
+      Tables.orders(s, d)
+        .withColumn("split", Split.assignSplit(col("o_orderkey"), 21))
+        .write.mode("overwrite").partitionBy("split").parquet(s"$out/orders")
+      val reread = s.read.parquet(s"$out/orders")
+      val stats = ScalerPipeline.fit(
+        reread.where(col("split") === "train"),
+        Seq("o_totalprice" -> ScalerPipeline.Log1pStandard))
+      ScalerPipeline.save(s, stats, s"$out/stats")
+      val loaded = ScalerPipeline.load(s, s"$out/stats")
+      ScalerPipeline.apply(reread, loaded)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          round(avg("o_totalprice_scaled"), 6).as("avg_s"))
+        .orderBy("split")
+    },
+
     // SURVEY §2 row 45: iterative logistic-regression fit (spark.ml,
     // driver-coordinated treeAggregate loop). Weights become data; training
     // itself is not SQL-expressible → rows-only check.
