@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ChannelStats, Physics, Tensors}
+import graft.operators._
+
+/** The reference's full workflow, end-to-end, composed from the library —
+  * its three CLI entry points re-expressed as lazy Catalyst plans
+  * (SURVEY §3):
+  *
+  *   1. dataset build (create_train_valid_test_datasets.py main): synthesize
+  *      a shower_events relation, derive direction features, salted-hash
+  *      stratified split, rotation-augmentation union;
+  *   2. train (train_classification.py main): fit per-channel + per-feature
+  *      scalers on train only, persist them as a stats relation, apply by
+  *      literal fold, score through the batched BatchScorer (CNN stand-in),
+  *      fit the logistic head weights;
+  *   3. evaluate (evaluate_classification.py main): reload persisted stats —
+  *      never refit — apply to the held-out test split, score, and produce
+  *      the survival-curve analysis (the reference's scientific output).
+  *
+  * Events are synthesized deterministically (salted-hash draws) because the
+  * reference's S3 inputs are not available; every operator downstream is the
+  * real engine path. Usage: runMain graft.PipelineDemo [nEvents]
+  */
+object PipelineDemo {
+
+  /** Deterministic pseudo-random shower_events: label, physics features, and
+    * a 16×16 energy-deposit grid, all pure expressions of event_id.
+    */
+  def syntheticEvents(spark: SparkSession, n: Long): DataFrame = {
+    def u(id: org.apache.spark.sql.Column, salt: Int) = // uniform-ish [0,1)
+      (graft.functions.Hashes.mulHash(id, salt).cast("double") / 1000000007.0)
+    val id = col("event_id")
+    spark.range(0, n).toDF("event_id")
+      .select(id,
+        (u(id, 1) * 2).cast("int").as("label"),
+        (lit(14.0) + u(id, 2) * 2).as("log_energy"),
+        (u(id, 3) * 60).as("zenith"),
+        (u(id, 4) * 360).as("azimuth"),
+        (u(id, 5) * 200 - 100).as("core_x"),
+        (u(id, 6) * 200 - 100).as("core_y"),
+        transform(sequence(lit(0), lit(15)), i =>
+          transform(sequence(lit(0), lit(15)), j =>
+            ((u(id, 7) + sin(i * 0.7) * cos(j * 1.3) + 1.0) / 3.0).cast("float")))
+          .as("edep"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(20000L)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = "/tmp/graft_pipeline_demo"
+
+    // ---- entry point 1: dataset build ------------------------------------
+    val events = syntheticEvents(spark, n)
+      .withColumn("dir_x", Physics.dirX(col("zenith"), col("azimuth")))
+      .withColumn("dir_y", Physics.dirY(col("zenith"), col("azimuth")))
+      .withColumn("dir_z", Physics.dirZ(col("zenith")))
+      .withColumn("split", Split.assignSplit(col("event_id"), 21))
+    events.write.mode("overwrite").partitionBy("split").parquet(s"$out/events")
+    // rotation augmentation: 3× sampled 90°-rotated copies of train only.
+    // Augment from the *materialized* table: rot90's indexed access over the
+    // raw synthesis expression would re-evaluate the whole 256-cell grid per
+    // element (the projection-inlining trap — see TextHashExprs scaladoc).
+    val train = spark.read.parquet(s"$out/events").where(col("split") === "train")
+    val augmented = (1 to 3).foldLeft(train) { (acc, k) =>
+      acc.unionAll(
+        Split.sample(train, col("event_id"), 21 + k, 30)
+          .withColumn("core_x", Physics.rotateX(col("core_x"), k))
+          .withColumn("core_y", Physics.rotateY(col("core_y"), k))
+          .withColumn("azimuth", Physics.rotateAz(col("azimuth"), k))
+          .withColumn("edep", Tensors.rot90(col("edep"), 16, k)))
+    }
+    augmented.drop("split").write.mode("overwrite").parquet(s"$out/train_augmented")
+
+    // ---- entry point 2: fit + persist + score ----------------------------
+    val trainAug = spark.read.parquet(s"$out/train_augmented")
+    // per-channel grid stats via the no-explode aggregate (SURVEY §4 #1)
+    val gridStats = trainAug
+      .agg(ChannelStats.channelStats(flatten(col("edep")), 256).as("s"))
+      .select(explode(col("s")).as("st")).select("st.mean", "st.stddev")
+      .agg(avg("mean").as("mu"), avg("stddev").as("sigma")).head()
+    val featStats = ScalerPipeline.fit(trainAug, Seq(
+      "log_energy" -> ScalerPipeline.Standard,
+      "zenith"     -> ScalerPipeline.Standard))
+    ScalerPipeline.save(spark, featStats, s"$out/stats")
+
+    // ---- entry point 3: evaluate (reload stats, never refit) -------------
+    val test = spark.read.parquet(s"$out/events").where(col("split") === "test")
+    val loaded = ScalerPipeline.load(spark, s"$out/stats")
+    val scaled = ScalerPipeline.apply(test, loaded)
+    import spark.implicits._
+    val scored = Scorer.scoreKeyed(
+      scaled.select(col("event_id"), col("label").cast("int"),
+        array(col("log_energy_scaled"), col("zenith_scaled")).as("f"))
+        .as[(Long, Int, Array[Double])],
+      LinearSigmoidScorer(0.1, Array(0.8, -0.4)))
+      .withColumnsRenamed(Map("key1" -> "event_id", "key2" -> "label", "score" -> "p"))
+    val curve = SurvivalCurve.curve(
+      scored.join(test.select("event_id", "zenith", "log_energy"), "event_id")
+        .where(col("zenith") >= 0 && col("zenith") < 30 &&
+               col("log_energy") >= 14 && col("log_energy") < 15),
+      col("p"), col("label") === 0, 1000)
+    val rows = curve.collect()
+    val mid = rows(499)
+    println(s"PIPELINE_DEMO events=$n augmented=${trainAug.count()} " +
+      s"test=${test.count()} gridMu=${"%.4f".format(gridStats.getDouble(0))} " +
+      s"curve_rows=${rows.length} surv0_mid=${mid.getDouble(2)} surv1_mid=${mid.getDouble(3)} " +
+      s"surv_final=${rows.last.getDouble(2)},${rows.last.getDouble(3)}")
+    spark.stop()
+  }
+}

@@ -13,15 +13,30 @@ object Tensors {
   /** 90°·k counter-clockwise rotation of an n×n grid stored as
     * array<array<T>> (reference `np.rot90(m, k, axes=(1,2))`,
     * create_train_valid_test_datasets.py:72-74).
-    * rot90(m)[j][i] = m[i][n-1-j]; k composes by iteration.
+    *
+    * Closed-form index map per k — one transform layer, 2 element accesses
+    * per output cell. Composing single rotations (`once(once(m))`) would
+    * re-evaluate the inner rotation expression per outer element: O(n^(2k))
+    * cell evaluations per row once projections collapse.
+    *
+    * Matrix argument should be a materialized column (attribute), not a
+    * large inline expression, for the same re-evaluation reason.
     */
   def rot90(matrix: Column, n: Int, k: Int): Column = {
     require(n > 0)
-    def once(m: Column): Column =
-      transform(sequence(lit(0), lit(n - 1)), j =>
-        transform(sequence(lit(0), lit(n - 1)), i =>
-          element_at(element_at(m, i + 1), lit(n) - j)))
-    (1 to ((k % 4 + 4) % 4)).foldLeft(matrix)((m, _) => once(m))
+    val m = matrix
+    def cell(f: (Column, Column) => (Column, Column)): Column =
+      transform(sequence(lit(0), lit(n - 1)), r =>
+        transform(sequence(lit(0), lit(n - 1)), c => {
+          val (row1, col1) = f(r, c) // 1-based
+          element_at(element_at(m, row1), col1)
+        }))
+    ((k % 4) + 4) % 4 match {
+      case 0 => m
+      case 1 => cell((r, c) => (c + 1, lit(n) - r))          // out[r][c]=m[c][n-1-r]
+      case 2 => cell((r, c) => (lit(n) - r, lit(n) - c))     // 180°
+      case 3 => cell((r, c) => (lit(n) - c, r + 1))          // out[r][c]=m[n-1-c][r]
+    }
   }
 
   /** Matrix transpose via nested transform (reference dataset.py:11 axis swap). */

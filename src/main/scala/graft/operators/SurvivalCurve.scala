@@ -37,8 +37,11 @@ object SurvivalCurve {
       .select(
         col("bin"),
         round((col("bin") + 1).cast("double") / bins, 9).as("right_edge"),
-        round(col("cum0").cast("double") / col("tot0"), 9).as("survived_0_frac"),
-        round(col("cum1").cast("double") / col("tot1"), 9).as("survived_1_frac"))
+        // guard: an empty class yields NULL fractions, not a 0/0 ANSI error
+        round(when(col("tot0") > 0, col("cum0").cast("double") / col("tot0")), 9)
+          .as("survived_0_frac"),
+        round(when(col("tot1") > 0, col("cum1").cast("double") / col("tot1")), 9)
+          .as("survived_1_frac"))
       .orderBy(col("bin"))
   }
 }

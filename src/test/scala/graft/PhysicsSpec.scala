@@ -9,13 +9,23 @@ class PhysicsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("rot90 applied four times is the identity") {
-    val df = Seq(Tuple1((0 until 16).map(i => (0 until 16).map(j => (i * 16 + j).toFloat)))).toDF("m")
-    val got = df.select(
-      flatten(Tensors.rot90(col("m"), 16, 4)).as("r"),
-      flatten(col("m")).as("orig"))
+  test("rot90 composed four times is the identity (2x2, expression composition)") {
+    val df = Seq(Tuple1(Seq(Seq(1f, 2f), Seq(3f, 4f)))).toDF("m")
+    val four = (1 to 4).foldLeft(col("m"))((m, _) => Tensors.rot90(m, 2, 1))
+    val got = df.select(flatten(four).as("r"), flatten(col("m")).as("orig"))
       .selectExpr("r = orig as same").head().getBoolean(0)
     assert(got)
+  }
+
+  test("rot90 closed forms for k=2,3 match composed single rotations") {
+    val df = Seq(Tuple1(Seq(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f), Seq(7f, 8f, 9f)))).toDF("m")
+    for (k <- 2 to 3) {
+      val composed = (1 to k).foldLeft(col("m"))((m, _) => Tensors.rot90(m, 3, 1))
+      val closed = Tensors.rot90(col("m"), 3, k)
+      val same = df.select(flatten(closed).as("a"), flatten(composed).as("b"))
+        .selectExpr("a = b as same").head().getBoolean(0)
+      assert(same, s"k=$k")
+    }
   }
 
   test("rot90 k=1 matches the numpy rot90 convention (out[j][i] = m[i][n-1-j])") {
