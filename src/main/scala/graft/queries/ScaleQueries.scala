@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.SkewJoin
+
+/** Scale-technique queries: TF-IDF over exploded tokens, bucketed
+  * (exchange-free) joins, and salted skew joins. Each is oracle-checked
+  * against the semantically-equivalent plain formulation, so the check
+  * proves the *technique* preserves results while the plan changes shape.
+  */
+object ScaleQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TF-IDF: explode tokens → tf per (doc, token), df per token, smoothed
+    // idf — the canonical shuffle-heavy text aggregation. Top-3 terms per doc
+    // with deterministic (rounded score, token) ranking.
+    QueryDef("q50_tfidf",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |       FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         round(tf.tf * ln((n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, token, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY tfidf DESC, token) AS rank
+        |  FROM scored WHERE doc_id < 100)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tfidf
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("token").agg(countDistinct("doc_id").as("df"))
+      val nDocs = Tables.documents(s, d).count()
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+      tf.join(df, "token")
+        .select(col("doc_id"), col("token"),
+          round(col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
+        .where(col("doc_id") < 100)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("tfidf"))
+        .orderBy("doc_id", "rank")
+    },
+
+    // Bucketed co-located join: both sides pre-bucketed+sorted on the join
+    // key into native-source tables, then sort-merge joined — zero Exchange
+    // in the plan (bucketing replaces the shuffle; the 100 TB fact⋈fact
+    // strategy). The oracle is the plain join: identical results, different
+    // physical plan.
+    QueryDef("q51_bucketed_join",
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val suffix = new java.io.File(d).getName.replace(".", "_")
+      val (liTbl, oTbl) = (s"li_bkt_$suffix", s"o_bkt_$suffix")
+      def ensure(name: String, df: org.apache.spark.sql.DataFrame, key: String): Unit =
+        if (!s.catalog.tableExists(name)) {
+          df.write.mode("overwrite")
+            .option("path", s"/tmp/graft_buckets/$name")
+            .bucketBy(8, key).sortBy(key).saveAsTable(name)
+        }
+      ensure(liTbl, Tables.lineitem(s, d), "l_orderkey")
+      ensure(oTbl, Tables.orders(s, d), "o_orderkey")
+      s.table(liTbl).hint("merge")
+        .join(s.table(oTbl), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long")).as("revenue_cents"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Salted skew join: deterministic salt fan-out on the probe side,
+    // replicated build side — result must equal the plain join (oracle).
+    QueryDef("q52_salted_skew_join",
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val joined = SkewJoin.saltedInnerJoin(
+        Tables.lineitem(s, d),
+        Tables.orders(s, d).withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey",
+        saltSource = col("l_linenumber"), salts = 4)
+      joined.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100, 0).cast("long")).as("qty_cents"))
+        .orderBy("o_orderstatus")
+    }
+  )
+}
