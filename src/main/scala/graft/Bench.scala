@@ -43,7 +43,11 @@ object Bench {
     Seq("q01_pruned_scan", "q03_group_count").foreach { n =>
       try materialize(qs(n)(spark, sfDir)) catch { case _: Throwable => () }
     }
-    val results = headline.filter(qs.contains).map { name =>
+    // SPARK_GRAFT_BENCH_ALL=1: sweep every query (diagnostics), else headline
+    val names =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) qs.keys.toSeq.sorted
+      else headline
+    val results = names.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
       try materialize(qs(name)(spark, sfDir))
       catch { case e: Throwable =>
