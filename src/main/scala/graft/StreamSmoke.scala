@@ -26,7 +26,11 @@ object StreamSmoke {
     val sessions = EventStreams.runToMemory(
       EventStreams.sessionAggregates(EventStreams.readStream(spark, sfDir)),
       "smoke_sessions").count()
-    println(s"STREAM_SMOKE parity=${batch == stream} windows=${batch.size} sessions=$sessions")
+    val profiles = EventStreams.runToMemory(
+      EventStreams.statefulUserProfiles(EventStreams.readStream(spark, sfDir)).toDF(),
+      "smoke_profiles", mode = "update").count()
+    println(s"STREAM_SMOKE parity=${batch == stream} windows=${batch.size} " +
+      s"sessions=$sessions stateful_users=$profiles")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types._
@@ -56,10 +56,13 @@ object TextHashExprs {
 
   /** array<string> tokens → array<long> 3-gram shingle hashes. */
   case class ShingleHashesExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
-      new GenericArrayData(shingleHashes(v.asInstanceOf[ArrayData]))
+      shingleHashesData(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashExprs.shingleHashesData($c);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
     override def prettyName: String = "shingle_hashes"
   }
@@ -68,27 +71,64 @@ object TextHashExprs {
     * mh_j = min over shingles of ((2j+1)·h + 12345j+678) mod P; P if empty.
     */
   case class MinHashSignatureExpr(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val sh = shingleHashes(v.asInstanceOf[ArrayData])
-      val sig = Array.fill(k)(Prime)
-      var i = 0
-      while (i < sh.length) {
-        val h = sh(i)
-        var j = 0
-        while (j < k) {
-          val cand = (h * (2L * j + 1) + 12345L * j + 678) % Prime
-          if (cand < sig(j)) sig(j) = cand
-          j += 1
-        }
-        i += 1
-      }
-      new GenericArrayData(sig)
-    }
+    override def nullSafeEval(v: Any): Any =
+      minhashSignatureData(v.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashExprs.minhashSignatureData($c, $k);")
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
     override def prettyName: String = "minhash_signature"
+  }
+
+  // Codegen strategy for all three expressions: the generated Java calls one
+  // static forwarder on this object per row (tight JVM loop inside), so the
+  // expressions participate in whole-stage codegen — no interpreted-eval
+  // fallback barrier splitting the surrounding projection.
+
+  /** Static-forwarder kernels (public so Janino-generated Java can call). */
+  def shingleHashesData(tokens: ArrayData): ArrayData =
+    new GenericArrayData(shingleHashes(tokens))
+
+  def minhashSignatureData(tokens: ArrayData, k: Int): ArrayData = {
+    val sh = shingleHashes(tokens)
+    val sig = Array.fill(k)(Prime)
+    var i = 0
+    while (i < sh.length) {
+      val h = sh(i)
+      var j = 0
+      while (j < k) {
+        val cand = (h * (2L * j + 1) + 12345L * j + 678) % Prime
+        if (cand < sig(j)) sig(j) = cand
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def simhashValue(tokens: ArrayData, bits: Int): Long = {
+    val votes = new Array[Long](bits)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = tokenHash(tokens.getUTF8String(i))
+      var b = 0
+      while (b < bits) {
+        votes(b) += ((h >> b) & 1L) * 2L - 1L
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
   }
 
   /** array<string> tokens → simhash long: bit b set when
@@ -96,30 +136,13 @@ object TextHashExprs {
     * the HOF form re-hashed the token stream once per bit (16×).
     */
   case class SimHashExpr(child: Expression, bits: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(v: Any): Any = {
-      val tokens = v.asInstanceOf[ArrayData]
-      val votes = new Array[Long](bits)
-      val n = tokens.numElements()
-      var i = 0
-      while (i < n) {
-        val h = tokenHash(tokens.getUTF8String(i))
-        var b = 0
-        while (b < bits) {
-          votes(b) += ((h >> b) & 1L) * 2L - 1L
-          b += 1
-        }
-        i += 1
-      }
-      var out = 0L
-      var b = 0
-      while (b < bits) {
-        if (votes(b) > 0) out |= 1L << b
-        b += 1
-      }
-      java.lang.Long.valueOf(out)
-    }
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(simhashValue(v.asInstanceOf[ArrayData], bits))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashExprs.simhashValue($c, $bits);")
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
     override def prettyName: String = "simhash"

@@ -57,6 +57,33 @@ object EventStreams {
         unix_timestamp(col("w.end")).as("session_end"),
         col("n_events"))
 
+  /** Custom streaming state via flatMapGroupsWithState: a per-user running
+    * profile (event count, value sum, max value) maintained across
+    * micro-batches — the KeyValueGroupedDataset stateful surface of the
+    * north-star brief. Emits the updated profile on every batch (Update mode).
+    */
+  final case class UserProfile(user_id: Long, n_events: Long, sum_value: Double,
+                               max_value: Double)
+
+  def statefulUserProfiles(events: DataFrame): org.apache.spark.sql.Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[UserProfile, UserProfile](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserProfile]) =>
+          val prev = state.getOption.getOrElse(UserProfile(user, 0L, 0.0, Double.MinValue))
+          val updated = rows.foldLeft(prev) { (acc, r) =>
+            UserProfile(user, acc.n_events + 1, acc.sum_value + r._2,
+              math.max(acc.max_value, r._2))
+          }
+          state.update(updated)
+          Iterator(updated)
+      }
+  }
+
   /** Run a streaming aggregation to completion against bounded input via the
     * in-memory sink (batch-parity harness).
     */

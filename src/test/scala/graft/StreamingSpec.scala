@@ -20,6 +20,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("stateful flatMapGroupsWithState profiles match the batch aggregation") {
+    import org.apache.spark.sql.functions._
+    val out = EventStreams.runToMemory(
+      EventStreams.statefulUserProfiles(EventStreams.readStream(spark, TestSpark.sfDir)).toDF(),
+      "stateful_profiles", mode = "update")
+    // last update per user is the final state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val finalState = out.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("user_id", "n_events", "max_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Tables.events(spark, TestSpark.sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max("value").as("max_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(finalState == batch)
+  }
+
   test("session windows produce sane sessions under watermark") {
     val sessions = EventStreams.runToMemory(
       EventStreams.sessionAggregates(EventStreams.readStream(spark, TestSpark.sfDir)),
