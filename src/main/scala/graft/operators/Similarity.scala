@@ -66,6 +66,45 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF-style ANN: coarse quantize each vector to its nearest per-label
+    * centroid cell (centroids computed from the data itself — one tiny agg),
+    * then search only within the query's cell. The classic inverted-file
+    * shape: the centroid table is O(cells) and broadcast; the corpus gets a
+    * `cell` column in one narrow pass; candidate generation is a cell
+    * equi-join. Complements [[lshBucket]] (data-independent hashing) with a
+    * data-adaptive index.
+    */
+  def ivfTopK(corpus: DataFrame, queryPred: Column, dim: Int, k: Int): DataFrame = {
+    val centroidAggs = (0 until dim).map(i =>
+      avg(element_at(col("embedding"), i + 1).cast("double")).as(s"c_$i"))
+    val cells = corpus.groupBy(col("label").as("cell_id"))
+      .agg(centroidAggs.head, centroidAggs.tail: _*)
+      .select(col("cell_id"), array((0 until dim).map(i => col(s"c_$i")): _*).as("centroid"))
+    // assign: argmin squared distance over cells (broadcast the tiny table)
+    val withDist = corpus.crossJoin(broadcast(cells))
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        aggregate(zip_with(col("embedding"), col("centroid"),
+            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, v) => acc + v).as("d2"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell_id"))
+    val assigned = withDist.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        Tensors.norm(col("embedding")).as("nrm"))
+    val queries = assigned.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("cell_id"))
+    val joined = queries
+      .join(assigned.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"), col("nrm").as("nn"), col("cell_id")), Seq("cell_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Tensors.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos"))
+    val wr = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(wr)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** LSH-bucketed top-k: identical ranking but candidates restricted to the
     * query's bucket (the ANN scale path).
     */

@@ -107,6 +107,58 @@ object SimilarityQueries {
         .orderBy("vec_a", "vec_b")
     },
 
+    // IVF-style ANN: data-adaptive coarse quantization (per-label centroids),
+    // cell assignment by argmin distance, search within the query's cell —
+    // the inverted-file counterpart to q42's data-independent LSH buckets.
+    QueryDef("q53_ivf_ann",
+      s"""WITH cent AS (
+         |  SELECT label AS cell_id, list(m ORDER BY dim) AS centroid
+         |  FROM (SELECT label, i AS dim, avg(CAST(embedding[i + 1] AS DOUBLE)) AS m
+         |        FROM embeddings, (SELECT unnest(range(0, $Dim)) AS i)
+         |        GROUP BY label, i)
+         |  GROUP BY label),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell_id, ${normSql("embedding")} AS nrm
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell_id,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |               list_transform(range(1, ${Dim + 1}),
+         |                 i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+         |                    * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))),
+         |               (x, y) -> x + y), c.cell_id) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) t
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, cell_id
+         |      FROM assigned WHERE vec_id < 20),
+         |pairs AS (
+         |  SELECT query_id, a.vec_id AS neighbor_id,
+         |         round(${dotSql("qv", "a.embedding")} / (qn * a.nrm), 6) AS cos
+         |  FROM q JOIN assigned a ON a.cell_id = q.cell_id AND a.vec_id <> query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM pairs)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") < 20, Dim, 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    },
+
+    // HLL sketch: approximate distinct counts — not replayable across
+    // engines (different sketch implementations) → rows-only; the unit test
+    // bounds the estimate against the exact count.
+    QueryDef.rowsOnly("q54_approx_distinct") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")
+    },
+
     // Per-label centroid norms (centroid aggregation; scalar output keeps the
     // cross-engine compare on rounded doubles, not float arrays).
     QueryDef("q44_label_centroids",

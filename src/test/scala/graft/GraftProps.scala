@@ -1,0 +1,87 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import graft.functions.{Hashes, TextHashExprs}
+
+/** ScalaCheck properties over the pure kernels (SURVEY §5.3): hash ranges,
+  * shingle shapes, simhash bounds, split-bucket arithmetic, and the rot90
+  * closed-form index maps.
+  */
+object GraftProps extends Properties("graft") {
+
+  private val token: Gen[String] = Gen.choose(1, 12).flatMap(n =>
+    Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+  private val tokens: Gen[List[String]] = Gen.choose(0, 40).flatMap(n =>
+    Gen.listOfN(n, token))
+
+  private def arr(ts: List[String]): GenericArrayData =
+    new GenericArrayData(ts.map(t => UTF8String.fromString(t)).toArray[Any])
+
+  property("tokenHash lands in [0, Prime)") = forAll(token) { t =>
+    val h = TextHashExprs.tokenHash(UTF8String.fromString(t))
+    h >= 0 && h < Hashes.Prime
+  }
+
+  property("shingleHashes emits max(0, n-2) values, all in range") =
+    forAll(tokens) { ts =>
+      val out = TextHashExprs.shingleHashesData(arr(ts))
+      out.numElements() == math.max(0, ts.length - 2) &&
+        (0 until out.numElements()).forall { i =>
+          val v = out.getLong(i); v >= 0 && v < Hashes.Prime
+        }
+    }
+
+  property("minhash signature: deterministic, k values, each ≤ Prime") =
+    forAll(tokens) { ts =>
+      val a = TextHashExprs.minhashSignatureData(arr(ts), 8)
+      val b = TextHashExprs.minhashSignatureData(arr(ts), 8)
+      a.numElements() == 8 &&
+        (0 until 8).forall(i => a.getLong(i) == b.getLong(i) &&
+          a.getLong(i) >= 0 && a.getLong(i) <= Hashes.Prime)
+    }
+
+  property("simhash is a 16-bit value and identical inputs agree") =
+    forAll(tokens) { ts =>
+      val h = TextHashExprs.simhashValue(arr(ts), 16)
+      h >= 0 && h < (1L << 16) && h == TextHashExprs.simhashValue(arr(ts), 16)
+    }
+
+  private def bucketScala(key: Long, seed: Long, buckets: Int): Long =
+    (((key % Hashes.PreMod + seed) * Hashes.Mult) % Hashes.Prime) *
+      (2 * seed + 1) % Hashes.Prime % buckets
+
+  property("split buckets stay in range and partition train/valid/test") =
+    forAll(Gen.choose(0L, Long.MaxValue / 4), Gen.choose(0L, 50L)) { (key, seed) =>
+      val b = bucketScala(key, seed, 100)
+      b >= 0 && b < 100
+    }
+
+  private def rotIdx(n: Int, k: Int)(r: Int, c: Int): (Int, Int) =
+    ((k % 4) + 4) % 4 match {
+      case 0 => (r, c)
+      case 1 => (c, n - 1 - r)
+      case 2 => (n - 1 - r, n - 1 - c)
+      case 3 => (n - 1 - c, r)
+    }
+
+  property("rot90 closed-form maps compose: k then 4-k is the identity") =
+    forAll(Gen.choose(2, 8), Gen.choose(0, 3)) { (n, k) =>
+      Prop.all((for { r <- 0 until n; c <- 0 until n } yield {
+        val (r1, c1) = rotIdx(n, k)(r, c)
+        val (r2, c2) = rotIdx(n, (4 - k) % 4)(r1, c1)
+        Prop((r2, c2) == ((r, c)))
+      }): _*)
+    }
+
+  property("closed-form k equals k compositions of the single rotation") =
+    forAll(Gen.choose(2, 6), Gen.choose(0, 3)) { (n, k) =>
+      Prop.all((for { r <- 0 until n; c <- 0 until n } yield {
+        val direct = rotIdx(n, k)(r, c)
+        val composed = (1 to k).foldLeft((r, c))((p, _) => rotIdx(n, 1)(p._1, p._2))
+        Prop(direct == composed)
+      }): _*)
+    }
+}
