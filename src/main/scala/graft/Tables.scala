@@ -29,8 +29,10 @@ object Tables {
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer `div`, NOT floor(x/1000): epoch-nanos (~1.7e18) exceed double's
+    // exact-integer range, so the double path is off by ±1 µs on some rows
     read(spark, d, "events")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, d: String): DataFrame = read(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = read(spark, d, "embeddings")

@@ -74,6 +74,36 @@ object EventQueries {
         .orderBy("user_id")
     },
 
+    // session_window in batch mode: Spark's native gap-session operator must
+    // agree with the lag+cumsum formulation (q28). Session-boundary semantics:
+    // a gap of exactly the window closes the session (hence >= in the oracle,
+    // vs > in q28's convention).
+    QueryDef("q55_session_window",
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |                (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+        |         ts
+        |  FROM g),
+        |sess AS (SELECT user_id, session_id, count(*) AS n_events,
+        |                min(epoch_us(ts)) AS start_us
+        |         FROM s GROUP BY user_id, session_id)
+        |SELECT user_id, start_us, n_events
+        |FROM sess ORDER BY user_id, start_us""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    },
+
     // JSON extraction (events.props is a JSON string).
     QueryDef("q29_json_extract",
       """SELECT event_type,

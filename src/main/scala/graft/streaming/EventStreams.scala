@@ -31,7 +31,7 @@ object EventStreams {
     spark.readStream.schema(rawSchema)
       .option("basePath", sfDir)
       .parquet(s"$sfDir/events.parque[t]")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling 1-hour window counts per event type — mode-agnostic. */
