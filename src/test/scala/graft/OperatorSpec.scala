@@ -109,6 +109,25 @@ class OperatorSpec extends AnyFunSuite {
     got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-15) }
   }
 
+  test("edge cases: empty band, short docs, empty arrays") {
+    // survival curve over a band where one class is absent → NULL fraction, no error
+    val oneClass = Seq((0.3, true), (0.7, true)).toDF("p", "is0")
+    val c = SurvivalCurve.curve(oneClass, col("p"), col("is0"), 10).collect()
+    assert(c.length == 10)
+    assert(c.forall(_.isNullAt(3))) // class-1 fraction NULL throughout
+    // docs shorter than the shingle width produce no signatures, no crash
+    val short = Seq((1L, "a b"), (2L, "only one two three")).toDF("doc_id", "text")
+    val sigs = MinHash.signatures(short, col("doc_id"), split(col("text"), " "))
+    assert(sigs.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // simhash of an empty token array is 0
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("toks")
+    assert(empty.select(SimHash.simhash(col("toks"))).head().getLong(0) == 0L)
+    // histogram of empty input: dense zero bins
+    val h = Histogram.conditionalHistogram(
+      Seq.empty[Tuple1[Double]].toDF("p"), col("p"), 5, Seq("n" -> lit(true)))
+    assert(h.collect().map(_.getLong(1)).toSeq == Seq(0L, 0L, 0L, 0L, 0L))
+  }
+
   test("multimodal decode plumbing produces the expected feature rows") {
     val docs = Seq((7L, "hello world", "en", "src0", 11L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
