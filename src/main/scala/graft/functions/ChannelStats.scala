@@ -47,10 +47,18 @@ case class ChannelStatsAgg(
     val v = child.eval(input)
     if (v == null) return b
     val arr = v.asInstanceOf[ArrayData]
+    // exposed to arbitrary SQL via GraftExtensions — fail loudly on ragged or
+    // null-holed arrays rather than reading past the element region
+    if (arr.numElements() < n)
+      throw new IllegalArgumentException(
+        s"channel_stats(dim=$n) got an array of ${arr.numElements()} elements")
     val cnt = b(0) + 1
     b(0) = cnt
     var d = 0
     while (d < n) {
+      if (arr.isNullAt(d))
+        throw new IllegalArgumentException(
+          s"channel_stats: null element at index $d (nulls unsupported)")
       val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
       val mean = b(1 + d)
       val delta = x - mean

@@ -22,13 +22,16 @@ object Hashes {
   val PreMod: Long = 100003L
 
   /** Salted bucket hash in [0, Prime):
-    * `(((key % 100003 + seed) * 2654435761) % (1e9+7)) * (2·seed+1) % (1e9+7)`.
+    * `(((key % 100003 + 100003 + seed) * 2654435761) % (1e9+7)) * (2·seed+1) % (1e9+7)`.
     * The second, seed-dependent multiplier decorrelates different seeds —
     * without it h(seed+1) = h(seed) + Mult (mod P), an affine shift that made
     * "independent" salted draws perfectly correlated.
+    * The `+ PreMod` term keeps the pre-multiplier non-negative for negative
+    * keys (Spark's and DuckDB's `%` both keep the dividend's sign), so the
+    * [0, Prime) contract holds for the full int64 key range.
     */
   def mulHash(key: Column, seed: Long): Column =
-    (((key % PreMod + seed) * Mult) % Prime) * (2 * seed + 1) % Prime
+    (((key % PreMod + PreMod + seed) * Mult) % Prime) * (2 * seed + 1) % Prime
 
   /** Bucket in [0, buckets) — the split/sample primitive (SURVEY §2 rows 17-18). */
   def bucket(key: Column, seed: Long, buckets: Int): Column =
@@ -36,7 +39,7 @@ object Hashes {
 
   /** Identical semantics rendered as DuckDB/ANSI SQL for the oracle. */
   def mulHashSql(key: String, seed: Long): String =
-    s"(((($key) % $PreMod + $seed) * $Mult) % $Prime) * ${2 * seed + 1} % $Prime"
+    s"(((($key) % $PreMod + $PreMod + $seed) * $Mult) % $Prime) * ${2 * seed + 1} % $Prime"
   def bucketSql(key: String, seed: Long, buckets: Int): String =
     s"(${mulHashSql(key, seed)}) % $buckets"
 

@@ -96,8 +96,10 @@ object MinHash {
       .join(shingleSets.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("sset", "sset_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sset_a"), col("sset_b"))).cast("double") /
-          size(array_union(col("sset_a"), col("sset_b")))).as("jaccard"))
+        // round(6) BEFORE filtering — the oracle rounds too, so threshold-
+        // boundary values can't disagree across engines
+        round(size(array_intersect(col("sset_a"), col("sset_b"))).cast("double") /
+          size(array_union(col("sset_a"), col("sset_b"))), 6).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
 }

@@ -48,23 +48,31 @@ object Similarity {
          |  (a, b) -> a + b) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
     }.mkString("(", " + ", ")")
 
-  /** Exact cosine top-k: for each row of `queries`, the k nearest rows of
-    * `corpus` (excluding self), ranked by rounded cosine then id.
+  /** Shared ranking tail: candidates (query_id, qv, qn) × (neighbor_id, nv,
+    * nn) → rounded-cosine top-k with (cos DESC, neighbor_id) determinism.
+    * Norms are precomputed per vector (not per pair); cos = dot/(qn·nn) keeps
+    * the exact expression shape the oracle uses.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    // norms precomputed per vector (not per pair); cos = dot/(qn*nn) keeps the
-    // same expression shape the oracle uses
-    val joined = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        Tensors.norm(col("embedding")).as("qn"))
-      .crossJoin(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
-        Tensors.norm(col("embedding")).as("nn")))
+  private def rankTopK(candidates: DataFrame, k: Int): DataFrame = {
+    val scored = candidates
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(Tensors.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    joined.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  /** Exact cosine top-k: for each row of `queries`, the k nearest rows of
+    * `corpus` (excluding self), ranked by rounded cosine then id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    rankTopK(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          Tensors.norm(col("embedding")).as("qn"))
+        .crossJoin(corpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("nv"), Tensors.norm(col("embedding")).as("nn"))),
+      k)
 
   /** IVF-style ANN: coarse quantize each vector to its nearest per-label
     * centroid cell (centroids computed from the data itself — one tiny agg),
@@ -94,15 +102,10 @@ object Similarity {
     val queries = assigned.where(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qn"), col("cell_id"))
-    val joined = queries
-      .join(assigned.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("nv"), col("nrm").as("nn"), col("cell_id")), Seq("cell_id"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(Tensors.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos"))
-    val wr = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    joined.withColumn("rank", row_number().over(wr)).where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    rankTopK(
+      queries.join(assigned.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"), col("nrm").as("nn"), col("cell_id")), Seq("cell_id")),
+      k)
   }
 
   /** LSH-bucketed top-k: identical ranking but candidates restricted to the
@@ -116,14 +119,9 @@ object Similarity {
     val queries = bucketed.where(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qn"), col("bucket"))
-    val joined = queries
-      .join(bucketed.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("nv"), col("nrm").as("nn"), col("bucket")), Seq("bucket"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(Tensors.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    joined.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    rankTopK(
+      queries.join(bucketed.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"), col("nrm").as("nn"), col("bucket")), Seq("bucket")),
+      k)
   }
 }

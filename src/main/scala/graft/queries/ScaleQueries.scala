@@ -40,11 +40,14 @@ object ScaleQueries {
         .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
       val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val df = tok.groupBy("token").agg(countDistinct("doc_id").as("df"))
-      val nDocs = Tables.documents(s, d).count()
+      // doc count stays a lazy 1-row agg cross-joined in (like the oracle's
+      // CTE) — no eager count() job / second scan
+      val nDocs = broadcast(Tables.documents(s, d).agg(count(lit(1)).as("n_docs")))
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
       tf.join(df, "token")
+        .crossJoin(nDocs)
         .select(col("doc_id"), col("token"),
-          round(col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
+          round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
         .where(col("doc_id") < 100)
         .withColumn("rank", row_number().over(w).cast("long"))
         .where(col("rank") <= 3)
