@@ -56,6 +56,37 @@ object Multimodal {
     .add("media_id", LongType).add("n_bytes", IntegerType)
     .add("first_byte", IntegerType).add("byte_sum16", LongType)
 
+  /** "Resize": deterministic stand-in for an image resize — keeps every
+    * `factor`-th byte (a real codec would decode → scale → re-encode; `???`
+    * in prod). Pure projection: binary in, smaller binary + updated meta out,
+    * no shuffle, parallelism = scan parallelism.
+    */
+  def resizeStub(media: DataFrame, factor: Int): DataFrame = {
+    require(factor > 1)
+    val resize = udf { (bytes: Array[Byte]) =>
+      bytes.grouped(factor).map(_.head).toArray
+    }
+    media.withColumn("media", resize(col("media")))
+      .withColumn("meta", struct(
+        col("meta.format"),
+        length(col("media")).as("n_bytes"),
+        col("meta.origin")))
+  }
+
+  /** "Frame sampling": treat the payload as fixed-size frames and keep every
+    * `stride`-th frame — the video-keyframe-extraction shape. Emits one row
+    * per kept frame (Generator-style fan-out), frame index preserved.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    val frames = udf { (bytes: Array[Byte]) =>
+      bytes.grouped(frameBytes).zipWithIndex
+        .collect { case (frame, i) if i % stride == 0 => (i, frame) }.toSeq
+    }
+    media.select(col("media_id"), explode(frames(col("media"))).as("f"))
+      .select(col("media_id"), col("f._1").as("frame_idx"), col("f._2").as("frame"))
+  }
+
   /** Batched decode over partitions: the mapInPandas-shaped plumbing, Scala
     * edition — fixed batch size, zero shuffle, pluggable decoder.
     */

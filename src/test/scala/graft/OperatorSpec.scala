@@ -138,4 +138,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(row.getInt(2) == 'h'.toInt)
     assert(row.getLong(3) == "hello world".map(_.toLong).sum)
   }
+
+  test("multimodal resize halves payloads; frame sampling keeps every Nth frame") {
+    val docs = Seq((1L, "abcdefghijkl", "en", "src0", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.asMediaTable(docs)
+    val resized = Multimodal.resizeStub(media, 2).head()
+    assert(new String(resized.getAs[Array[Byte]]("media")) == "acegik")
+    assert(resized.getStruct(2).getInt(1) == 6)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 4, stride = 2)
+      .collect().map(r => (r.getInt(1), new String(r.getAs[Array[Byte]]("frame"))))
+    assert(frames.toSeq == Seq((0, "abcd"), (2, "ijkl")))
+  }
 }

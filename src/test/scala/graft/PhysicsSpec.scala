@@ -35,6 +35,18 @@ class PhysicsSpec extends AnyFunSuite {
     assert(r == Seq(2f, 4f, 1f, 3f))
   }
 
+  test("transpose is an involution and rot90 = transpose of row-reversed") {
+    val df = Seq(Tuple1(Seq(Seq(1f, 2f), Seq(3f, 4f)))).toDF("m")
+    val twice = Tensors.transposeGrid(Tensors.transposeGrid(col("m"), 2), 2)
+    assert(df.select(flatten(twice).as("t"), flatten(col("m")).as("o"))
+      .selectExpr("t = o as same").head().getBoolean(0))
+    // np.rot90(m) == transpose(m)[rows reversed] — transpose then reverse rows
+    val viaTranspose = reverse(Tensors.transposeGrid(col("m"), 2))
+    assert(df.select(flatten(viaTranspose).as("a"),
+        flatten(Tensors.rot90(col("m"), 2, 1)).as("b"))
+      .selectExpr("a = b as same").head().getBoolean(0))
+  }
+
   test("azimuth rotation stays in [0, 360)") {
     val df = (0 until 360 by 7).map(_.toDouble).toDF("az")
     for (k <- 1 to 3) {
