@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge relation — the clustering
+  * step of a near-duplicate dedup pipeline (LSH/embedding pairs → clusters →
+  * keep one representative per cluster).
+  *
+  * Algorithm: iterative min-label propagation. Every vertex starts labeled
+  * with its own id; each round every vertex takes the minimum label among
+  * itself and its neighbors; fixpoint = components labeled by their minimum
+  * vertex id. This is the standard dataflow CC formulation (HashToMin /
+  * Pregel-style), driver-coordinated like SURVEY §7.4's iterative-LR note —
+  * each round is one shuffle join + one aggregation, O(E) per round,
+  * converging in O(diameter) rounds (near-dup graphs are unions of small
+  * quasi-cliques, so diameter is small in practice).
+  *
+  * Scale notes (100 TB):
+  *   - `localCheckpoint` after each round truncates the exponentially-growing
+  *     lineage — without it round k replays all rounds < k.
+  *   - the symmetric edge list is checkpointed once and reused every round;
+  *     at cluster scale it should additionally be pre-partitioned on `src`
+  *     (`repartition($"src")`) so every round's join reuses one partitioning.
+  *   - for graphs with giant high-degree components the large-star/small-star
+  *     variant (Kiveris et al., "Connected Components in MapReduce") bounds
+  *     the per-round skew; plain propagation is the right default for dedup
+  *     graphs, whose components are tiny and numerous.
+  */
+object Components {
+
+  /** @return one row per vertex that appears in ≥1 edge: (id, component),
+    *         component = minimum vertex id reachable from `id`.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .localCheckpoint()
+
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // gather: best label any neighbor can offer each vertex
+      val offers = sym
+        .join(labels.withColumnRenamed("id", "src_id"), col("src") === col("src_id"))
+        .groupBy(col("dst").as("id"))
+        .agg(min("comp").as("offer"))
+      val next = labels
+        .join(offers, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("offer"), col("comp"))).as("comp"),
+          (coalesce(col("offer"), col("comp")) < col("comp")).as("chg"))
+        .localCheckpoint()
+      changed = next.where(col("chg")).count()
+      labels = next.select("id", "comp")
+      iter += 1
+    }
+    labels
+  }
+}

@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Tensors
+import graft.operators.Components
+
+/** Advanced relational + pipeline operators beyond the first coverage pass:
+  * as-of join, rollup, exact percentiles, ranking-window family, range
+  * (band) join, near-dup connected components, unpivot, semi join, and
+  * keep-one-representative dedup. Determinism rules follow OPERATORS.md:
+  * money/measure sums as exact integer cents, event time in integer
+  * microseconds, transcendental outputs round(6), unique-key tie-breaks in
+  * every window ordering.
+  */
+object AdvancedQueries {
+
+  private def cents(c: Column) = sum(round(c * 100, 0).cast("long"))
+  private def centsSql(e: String) =
+    s"CAST(sum(CAST(round(($e) * 100, 0) AS BIGINT)) AS BIGINT)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // As-of join: each purchase matched to the latest view at-or-before it
+    // by the same user. Spark-first formulation: NO join at all — union the
+    // two event kinds and take a running `max` of view-times over a
+    // (user, time)-ordered window. One shuffle on user_id, O(n) per
+    // partition, no per-row probe — this is the scale path for temporal
+    // joins (a broadcast-range-join alternative only works when one side is
+    // small). Ties at equal timestamps resolve view-before-purchase
+    // (kind 0 < 1), then by event_id — fully deterministic.
+    QueryDef("q56_asof_join",
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |m AS (
+        |  SELECT e.*, max(CASE WHEN kind = 0 THEN ts_us END) OVER (
+        |           PARTITION BY user_id ORDER BY ts_us, kind, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_us
+        |  FROM e)
+        |SELECT event_id, user_id, ts_us, last_view_us,
+        |       ts_us - last_view_us AS gap_us
+        |FROM m WHERE kind = 1 AND last_view_us IS NOT NULL
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .where(col("event_type").isin("view", "purchase"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          when(col("event_type") === "view", 0).otherwise(1).as("kind"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("last_view_us", max(when(col("kind") === 0, col("ts_us"))).over(w))
+        .where(col("kind") === 1 && col("last_view_us").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("last_view_us"),
+          (col("ts_us") - col("last_view_us")).as("gap_us"))
+        .orderBy("event_id")
+    },
+
+    // Rollup over the region ⋈ customer ⋈ orders star: subtotals at
+    // (region, priority), (region), and grand-total levels in ONE pass —
+    // Expand + single hash aggregate, vs three separate scans+aggs.
+    // gid disambiguates aggregation level; names coalesced to 'ALL' so the
+    // result relation is null-free.
+    QueryDef("q57_rollup",
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(grouping(r_name) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, o_orderpriority)
+        |ORDER BY gid, region_name, priority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"),
+          (grouping(col("r_name")) * 2 + grouping(col("o_orderpriority")))
+            .cast("long").as("gid"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gid"), col("n"), col("cents"))
+        .orderBy("gid", "region_name", "priority")
+    },
+
+    // Exact interpolated percentiles (median / p90) per return flag — both
+    // engines compute linear interpolation over the sorted values
+    // (quantile_cont semantics). Spark's `percentile` is a sort-based
+    // aggregate; at 100 TB swap in `percentile_approx` (t-digest sketch,
+    // mergeable, single pass) and accept bounded rank error.
+    QueryDef("q58_percentiles",
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"))
+        .orderBy("l_returnflag")
+    },
+
+    // Ranking-window family: rank / dense_rank / ntile / lag / lead in one
+    // partitioned pass. The ORDER BY key ends in the unique o_orderkey so
+    // every function is tie-free deterministic. Output thinned AFTER the
+    // window (the window must see full partitions).
+    QueryDef("q59_rank_windows",
+      """WITH w AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+        |         CAST(rank() OVER win AS BIGINT) AS rnk,
+        |         CAST(dense_rank() OVER win AS BIGINT) AS drnk,
+        |         CAST(ntile(4) OVER win AS BIGINT) AS quartile,
+        |         coalesce(lag(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |           OVER win, -1) AS prev_cents,
+        |         coalesce(lead(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |           OVER win, -1) AS next_cents
+        |  FROM orders
+        |  WINDOW win AS (PARTITION BY o_orderpriority
+        |                 ORDER BY o_totalprice DESC, o_orderkey))
+        |SELECT * FROM w WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderpriority, rnk""".stripMargin) { (s, d) =>
+      val win = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val pc = round(col("o_totalprice") * 100, 0).cast("long")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), pc.as("price_cents"),
+          rank().over(win).cast("long").as("rnk"),
+          dense_rank().over(win).cast("long").as("drnk"),
+          ntile(4).over(win).cast("long").as("quartile"),
+          coalesce(lag(pc, 1).over(win), lit(-1L)).as("prev_cents"),
+          coalesce(lead(pc, 1).over(win), lit(-1L)).as("next_cents"))
+        .where(col("o_orderkey") % 10 === 0)
+        .orderBy("o_orderpriority", "rnk")
+    },
+
+    // Range (band) join: lineitem priced into irregular literal price bands
+    // via an interval predicate — the general non-equi join the θ/E-band
+    // predicates imply across relations (SURVEY §2.3). The band side is
+    // tiny → broadcast nested-loop, so the 600 k (→ 100 TB) fact side never
+    // shuffles. (A regular-width banding would instead use width_bucket —
+    // pure expression, no join at all; the join form covers irregular
+    // business-defined bands.)
+    QueryDef("q60_range_join",
+      """SELECT CAST(b.band_id AS BIGINT) AS band_id, b.lo, b.hi,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS price_cents
+        |FROM lineitem
+        |  JOIN (VALUES (0, 0.0, 2000.0), (1, 2000.0, 10000.0),
+        |               (2, 10000.0, 40000.0), (3, 40000.0, 1000000.0))
+        |    AS b(band_id, lo, hi)
+        |  ON l_extendedprice >= b.lo AND l_extendedprice < b.hi
+        |GROUP BY 1, 2, 3 ORDER BY band_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val bands = Seq((0L, 0.0, 2000.0), (1L, 2000.0, 10000.0),
+        (2L, 10000.0, 40000.0), (3L, 40000.0, 1000000.0))
+        .toDF("band_id", "lo", "hi")
+      Tables.lineitem(s, d)
+        .join(broadcast(bands),
+          col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+        .groupBy("band_id", "lo", "hi")
+        .agg(count(lit(1)).as("n"), cents(col("l_extendedprice")).as("price_cents"))
+        .orderBy("band_id")
+    },
+
+    // Near-duplicate clustering: embedding-cosine pairs (q43's edge set) →
+    // connected components by iterative min-label propagation
+    // (operators/Components — the distributed dedup-clustering step; each
+    // round is one shuffle join). Oracle: recursive-CTE transitive closure
+    // computing the same min-reachable-id labeling.
+    QueryDef("q61_dedup_components", {
+      val norm = SimilarityQueries.normSql("embedding")
+      val dot  = SimilarityQueries.dotSql("a.embedding", "b.embedding")
+      s"""WITH RECURSIVE
+         |v AS (SELECT vec_id, label, embedding, $norm AS nrm
+         |      FROM embeddings WHERE vec_id < 1000),
+         |p AS (SELECT a.vec_id AS pa, b.vec_id AS pb
+         |      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+         |      WHERE round($dot / (a.nrm * b.nrm), 6) >= 0.3),
+         |e AS (SELECT pa AS ea, pb AS eb FROM p
+         |      UNION ALL SELECT pb, pa FROM p),
+         |reach(rv, rr) AS (
+         |  SELECT DISTINCT ea, ea FROM e
+         |  UNION
+         |  SELECT e.eb, reach.rr FROM e JOIN reach ON reach.rv = e.ea)
+         |SELECT rv AS vec_id, min(rr) AS component
+         |FROM reach GROUP BY rv ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      val v = Tables.embeddings(s, d).where(col("vec_id") < 1000)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          Tensors.norm(col("embedding")).as("nrm"))
+      val pairs = v.as("a").join(v.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("pa"), col("b.vec_id").as("pb"),
+          round(Tensors.dot(col("a.embedding"), col("b.embedding"))
+            / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+        .where(col("cos") >= 0.3)
+        .select("pa", "pb")
+      Components.connectedComponents(pairs, "pa", "pb")
+        .select(col("id").as("vec_id"), col("comp").as("component"))
+        .orderBy("vec_id")
+    },
+
+    // Unpivot (wide→long melt) of three lineitem measures, then aggregated
+    // per metric. Measures scaled to exact integer 1e-4 units before the
+    // melt so the long-format sums stay engine-exact.
+    QueryDef("q62_unpivot",
+      """WITH m AS (
+        |  SELECT 'quantity' AS metric,
+        |         CAST(round(l_quantity * 10000, 0) AS BIGINT) AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'extendedprice', CAST(round(l_extendedprice * 10000, 0) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'discount', CAST(round(l_discount * 10000, 0) AS BIGINT)
+        |  FROM lineitem)
+        |SELECT metric, count(*) AS n, CAST(sum(v) AS BIGINT) AS total_e4
+        |FROM m GROUP BY metric ORDER BY metric""".stripMargin) { (s, d) =>
+      def e4(c: String) = round(col(c) * 10000, 0).cast("long")
+      Tables.lineitem(s, d)
+        .select(e4("l_quantity").as("quantity"),
+          e4("l_extendedprice").as("extendedprice"),
+          e4("l_discount").as("discount"))
+        .unpivot(Array.empty[Column],
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "metric", "v")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), sum("v").as("total_e4"))
+        .orderBy("metric")
+    },
+
+    // Left-semi join: customers holding ≥1 urgent order — existence check
+    // with NO fan-out (each customer emitted at most once, join stops at
+    // first match). The probe side aggregates nothing, so at scale this
+    // beats the join+distinct formulation it is equivalent to.
+    QueryDef("q63_semi_join",
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+
+    // Keep-one-representative dedup: within each (lang, source) group keep
+    // the longest document (ties → smallest doc_id) — the canonical
+    // "best URL per near-dup cluster" selection, as a rank-1 window.
+    QueryDef("q64_keep_best",
+      """WITH r AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         row_number() OVER (PARTITION BY lang, source
+        |           ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_chars FROM r WHERE rn = 1
+        |ORDER BY lang, source""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("lang", "source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("lang", "source")
+    }
+  )
+}

@@ -11,16 +11,16 @@ import graft.operators.Similarity
   */
 object SimilarityQueries {
 
-  private val Dim = 64
+  private[queries] val Dim = 64
 
   /** Sequential-fold dot product in DuckDB (matches Spark's `aggregate`). */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |  list_transform(range(1, ${Dim + 1}),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
        |  (x, y) -> x + y)""".stripMargin
 
-  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+  private[queries] def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
   val defs: Seq[QueryDef] = Seq(
 
