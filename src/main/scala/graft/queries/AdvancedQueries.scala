@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Tensors
-import graft.operators.Components
+import graft.operators.{AsofJoin, Components}
 
 /** Advanced relational + pipeline operators beyond the first coverage pass:
   * as-of join, rollup, exact percentiles, ranking-window family, range
@@ -45,15 +45,12 @@ object AdvancedQueries {
         |       ts_us - last_view_us AS gap_us
         |FROM m WHERE kind = 1 AND last_view_us IS NOT NULL
         |ORDER BY event_id""".stripMargin) { (s, d) =>
-      val e = Tables.events(s, d)
-        .where(col("event_type").isin("view", "purchase"))
-        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
-          when(col("event_type") === "view", 0).otherwise(1).as("kind"))
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts_us"), col("kind"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      e.withColumn("last_view_us", max(when(col("kind") === 0, col("ts_us"))).over(w))
-        .where(col("kind") === 1 && col("last_view_us").isNotNull)
+      val ev = Tables.events(s, d)
+      def side(t: String) = ev.where(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      AsofJoin.asof(side("purchase"), side("view"), Seq("user_id"),
+          col("ts_us"), col("ts_us"), "last_view_us")
+        .where(col("last_view_us").isNotNull)
         .select(col("event_id"), col("user_id"), col("ts_us"), col("last_view_us"),
           (col("ts_us") - col("last_view_us")).as("gap_us"))
         .orderBy("event_id")

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AsofJoin, Components}
+
+/** Invariants for the second-pass operators: connected components and the
+  * as-of join, over tiny literal graphs/frames with hand-computed answers.
+  */
+class AdvancedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("components: two clusters labeled by their minimum vertex") {
+    val got = ccMap(Seq((1L, 2L), (2L, 3L), (5L, 6L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("components: long chain needs multiple propagation rounds") {
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val got = ccMap(chain)
+    assert(got.keySet == (1L to 12L).toSet)
+    assert(got.values.forall(_ == 1L))
+  }
+
+  test("components: star with hub labeled by a leaf minimum; direction-free") {
+    // hub 10 listed as src and as dst; min label 1 comes from a leaf
+    val got = ccMap(Seq((10L, 4L), (1L, 10L), (10L, 7L)))
+    assert(got == Map(1L -> 1L, 4L -> 1L, 7L -> 1L, 10L -> 1L))
+  }
+
+  test("components: labels are a fixpoint (one more round changes nothing)") {
+    val edges = Seq((2L, 9L), (9L, 4L), (7L, 8L), (8L, 2L), (20L, 21L))
+    val labels = ccMap(edges)
+    // every edge's endpoints share a component
+    edges.foreach { case (a, b) => assert(labels(a) == labels(b)) }
+    // each component labeled by its own minimum member
+    labels.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.keys.min == comp)
+    }
+  }
+
+  test("asof: matches at-or-before time within key, null when none precedes") {
+    val purchases = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 200L, 5L))
+      .toDF("id", "k", "t")
+    val views = Seq((100L, 8L), (100L, 20L), (100L, 30L), (200L, 9L))
+      .toDF("k", "vt")
+    val got = AsofJoin.asof(purchases, views, Seq("k"),
+        col("t"), col("vt"), "asof_t")
+      .select("id", "asof_t").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got == Map(1L -> Some(8L), 2L -> Some(20L), 3L -> None))
+  }
+
+  test("asof: equal timestamps match (at-or-before, right sorts first)") {
+    val l = Seq((1L, 7L, 50L)).toDF("id", "k", "t")
+    val r = Seq((7L, 50L)).toDF("k", "vt")
+    val got = AsofJoin.asof(l, r, Seq("k"), col("t"), col("vt"), "asof_t")
+      .select("asof_t").collect()
+    assert(got.head.getLong(0) == 50L)
+  }
+
+  test("asof: left payload columns survive untouched") {
+    val l = Seq((1L, 7L, 50L, "payload")).toDF("id", "k", "t", "note")
+    val r = Seq((7L, 10L)).toDF("k", "vt")
+    val out = AsofJoin.asof(l, r, Seq("k"), col("t"), col("vt"), "asof_t")
+    assert(out.columns.toSeq == Seq("id", "k", "t", "note", "asof_t"))
+    val row = out.collect().head
+    assert(row.getString(3) == "payload" && row.getLong(4) == 10L)
+  }
+}
