@@ -84,6 +84,41 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: purchases matched to views by the same
+    * user within the preceding hour. Both sides carry watermarks so the join
+    * state is bounded — Spark evicts buffered view rows once the purchase
+    * watermark passes `view.ts + 1 hour`, the state-cleanup contract a 100 TB
+    * continuous pipeline depends on. Mode-agnostic: give it batch relations
+    * and the identical plan runs as a batch interval join (the parity check).
+    */
+  def viewPurchaseJoin(events: DataFrame, eventsAgain: DataFrame): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = eventsAgain.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("v_ts")).as("v_us"))
+  }
+
+  /** Streaming deduplication: first occurrence per (user_id, event_type)
+    * wins, with state bounded by the watermark (late duplicates beyond the
+    * delay are dropped by eviction rather than tracked forever) — the
+    * streaming counterpart of the batch exact-dedup family.
+    */
+  def dedupFirstPerUserType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+
   /** Run a streaming aggregation to completion against bounded input via the
     * in-memory sink (batch-parity harness).
     */

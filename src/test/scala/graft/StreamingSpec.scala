@@ -38,6 +38,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalState == batch)
   }
 
+  test("stream-stream interval join: streaming == batch") {
+    val b = Tables.events(spark, TestSpark.sfDir)
+    val batch = EventStreams.viewPurchaseJoin(b, b)
+      .collect().map(_.toSeq).toSet
+    val stream = EventStreams.runToMemory(
+      EventStreams.viewPurchaseJoin(
+        EventStreams.readStream(spark, TestSpark.sfDir),
+        EventStreams.readStream(spark, TestSpark.sfDir)),
+      "ssjoin_parity", mode = "append").collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(stream == batch)
+  }
+
+  test("streaming dedup keeps exactly one row per (user, type) key") {
+    import org.apache.spark.sql.functions._
+    val out = EventStreams.runToMemory(
+      EventStreams.dedupFirstPerUserType(EventStreams.readStream(spark, TestSpark.sfDir)),
+      "dedup_parity", mode = "append")
+    val keys = out.select("user_id", "event_type")
+      .collect().map(_.toSeq)
+    // one surviving row per key (which event_id survives depends on
+    // micro-batch arrival order — only the key set is deterministic)
+    assert(keys.length == keys.toSet.size)
+    val batchKeys = Tables.events(spark, TestSpark.sfDir)
+      .select("user_id", "event_type").distinct()
+      .collect().map(_.toSeq).toSet
+    assert(keys.toSet == batchKeys)
+  }
+
   test("session windows produce sane sessions under watermark") {
     val sessions = EventStreams.runToMemory(
       EventStreams.sessionAggregates(EventStreams.readStream(spark, TestSpark.sfDir)),
