@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.ChannelStats
-import graft.operators.{LinearSigmoidScorer, Multimodal, Scorer}
+import graft.operators.{KMeans, LinearSigmoidScorer, Multimodal, Scorer}
 
 /** The ML-adjacent operator surface: the custom no-explode channel-stats
   * aggregate (SURVEY §4 #1), batched mapPartitions scoring (row 50), the
@@ -118,6 +118,73 @@ object MlQueries {
       // then run as the pure expression of q20/q46
       (model.coefficients.toArray.zipWithIndex.map { case (w, i) => (s"w_$i", w) }
         :+ ("bias", model.intercept)).toSeq.toDF("param", "value")
+    },
+
+    // Deterministic k-means (2 Lloyd rounds, first-k-by-id seeds) — the
+    // iterative fit/apply loop as pure relational algebra (operators/KMeans).
+    // The oracle unrolls both rounds as CTEs: assign = argmin-distance
+    // cross join, update = per-dimension avg — identical arithmetic, so the
+    // final cluster sizes and centroid norms hash-match exactly.
+    QueryDef("q65_kmeans", KMeansSql.sql) { (s, d) =>
+      val (assigned, centroids) = KMeans.fit(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        SimilarityQueries.Dim, k = 4, iters = 2)
+      assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .join(centroids, "cluster")
+        .select(col("cluster").as("cluster_id"), col("n"),
+          round(sqrt(aggregate(transform(col("centroid"), v => v * v),
+            lit(0.0), (a, b) => a + b)), 6).as("centroid_norm"))
+        .orderBy("cluster_id")
     }
   )
+}
+
+/** Unrolled-CTE DuckDB oracle for the 2-round k-means: c0 (seeds) → a1 →
+  * c1 → a2 → c2 → a3, reporting a3's cluster sizes with c2's centroid norms
+  * (the assignment against the final centroids — same contract as
+  * [[graft.operators.KMeans.fit]]).
+  */
+private object KMeansSql {
+  private val dim = SimilarityQueries.Dim
+
+  private def d2(c: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, ${dim + 1}),
+       |    i -> (CAST(e.embedding[i] AS DOUBLE) - $c.centroid[i])
+       |       * (CAST(e.embedding[i] AS DOUBLE) - $c.centroid[i]))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  private def assignCte(a: String, c: String) =
+    s"""$a AS (
+       |  SELECT vec_id, embedding, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cluster,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${d2("c")}, c.cluster) AS rn
+       |    FROM embeddings e CROSS JOIN $c c) t
+       |  WHERE rn = 1)""".stripMargin
+
+  private def updateCte(cN: String, a: String) =
+    s"""$cN AS (
+       |  SELECT cluster, list(m ORDER BY dm) AS centroid
+       |  FROM (SELECT cluster, i AS dm, avg(CAST(embedding[i + 1] AS DOUBLE)) AS m
+       |        FROM $a, (SELECT unnest(range(0, $dim)) AS i)
+       |        GROUP BY cluster, i)
+       |  GROUP BY cluster)""".stripMargin
+
+  val sql: String =
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS cluster,
+       |         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS centroid
+       |  FROM embeddings WHERE vec_id < 4),
+       |${assignCte("a1", "c0")},
+       |${updateCte("c1", "a1")},
+       |${assignCte("a2", "c1")},
+       |${updateCte("c2", "a2")},
+       |${assignCte("a3", "c2")}
+       |SELECT s.cluster AS cluster_id, s.n,
+       |       round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |         list_transform(c.centroid, v -> v * v)), (x, y) -> x + y)), 6)
+       |         AS centroid_norm
+       |FROM (SELECT cluster, count(*) AS n FROM a3 GROUP BY cluster) s
+       |JOIN c2 c USING (cluster) ORDER BY cluster_id""".stripMargin
 }

@@ -64,6 +64,30 @@ class AdvancedSpec extends AnyFunSuite {
     assert(got.head.getLong(0) == 50L)
   }
 
+  test("kmeans separates two obvious blobs and partitions all points") {
+    import graft.operators.KMeans
+    // blob A near (0,0): ids 0,2,3,4 ; blob B near (10,10): ids 1,5,6,7
+    // seeds are ids 0 (A) and 1 (B) → cluster 0 = A, cluster 1 = B
+    val pts = Seq(
+      (0L, Array(0.1f, 0.0f)), (2L, Array(0.0f, 0.2f)),
+      (3L, Array(-0.1f, 0.1f)), (4L, Array(0.2f, -0.1f)),
+      (1L, Array(10.0f, 10.1f)), (5L, Array(9.9f, 10.0f)),
+      (6L, Array(10.1f, 9.8f)), (7L, Array(10.0f, 10.2f)))
+      .toDF("vec_id", "embedding")
+    val (assigned, centroids) = KMeans.fit(pts, "vec_id", "embedding",
+      dim = 2, k = 2, iters = 2)
+    val byCluster = assigned.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCluster.keySet == (0L to 7L).toSet)
+    assert(Set(0L, 2L, 3L, 4L).map(byCluster) == Set(0L))
+    assert(Set(1L, 5L, 6L, 7L).map(byCluster) == Set(1L))
+    // centroids land at the blob means
+    val cents = centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(math.abs(cents(0L).head - 0.05) < 1e-6)
+    assert(math.abs(cents(1L).head - 10.0) < 1e-6)
+  }
+
   test("asof: left payload columns survive untouched") {
     val l = Seq((1L, 7L, 50L, "payload")).toDF("id", "k", "t", "note")
     val r = Seq((7L, 10L)).toDF("k", "vt")
