@@ -18,7 +18,8 @@ object SparkEntry {
   private val all: Seq[QueryDef] =
     RelationalQueries.defs ++ PhysicsQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      MlQueries.defs ++ ScaleQueries.defs ++ AdvancedQueries.defs
+      MlQueries.defs ++ ScaleQueries.defs ++ AdvancedQueries.defs ++
+      SourceQueries.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The survival
     * curve (SURVEY §7.2) — the reference's actual scientific output.

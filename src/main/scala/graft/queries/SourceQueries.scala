@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Text-format source/sink coverage (SURVEY §2.1's scan/sink family beyond
+  * parquet): CSV and JSON-lines round trips through explicit schemas. The
+  * payload is projected to exact integer/string columns BEFORE the text hop —
+  * doubles through a text format are a formatting hazard, integers are
+  * lossless — so the oracle (reading the original parquet) must hash-match.
+  * Scale note: both formats scan as splittable FileScans with column pruning;
+  * schemas are explicit (never inferSchema — which would double-scan the
+  * input at 100 TB).
+  */
+object SourceQueries {
+
+  private def tmp(name: String) = s"/tmp/graft_src_$name"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // CSV sink → schema'd CSV scan → aggregate; oracle aggregates the
+    // original parquet (the text hop must be information-preserving).
+    QueryDef("q66_csv_roundtrip",
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS price_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val dir = tmp("csv")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("price_cents"))
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      val schema = new StructType()
+        .add("l_orderkey", LongType).add("l_returnflag", StringType)
+        .add("price_cents", LongType)
+      s.read.schema(schema).option("header", "true").csv(dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("price_cents"))
+        .orderBy("l_returnflag")
+    },
+
+    // JSON-lines sink → schema'd scan → aggregate, same contract.
+    QueryDef("q67_jsonl_roundtrip",
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val dir = tmp("jsonl")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("total_cents"))
+        .write.mode("overwrite").json(dir)
+      val schema = new StructType()
+        .add("o_orderkey", LongType).add("o_orderpriority", StringType)
+        .add("total_cents", LongType)
+      s.read.schema(schema).json(dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("total_cents").as("total_cents"))
+        .orderBy("o_orderpriority")
+    }
+  )
+}
