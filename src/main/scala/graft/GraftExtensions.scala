@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{ChannelStatsAgg, TextHashExprs}
+import graft.functions.{ChannelStatsAgg, TextHashExprs, VectorExprs}
 
 /** Session extensions (SparkSessionExtensions → injectFunction): exposes the
   * engine's custom Catalyst expressions to SQL, so `spark.sql` users get the
@@ -14,6 +14,7 @@ import graft.functions.{ChannelStatsAgg, TextHashExprs}
   *   SELECT minhash_signature(split(text, ' '), 8) FROM documents
   *   SELECT shingle_hashes(split(text, ' ')) FROM documents
   *   SELECT channel_stats(embedding, 64) FROM embeddings
+  *   SELECT vec_dot(embedding, embedding) FROM embeddings
   *
   * Register with:
   *   SparkSession.builder().withExtensions(new GraftExtensions) …
@@ -48,6 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TextHashExprs.SimHashExpr].getName, "simhash"),
       (args: Seq[Expression]) =>
         TextHashExprs.SimHashExpr(args.head, intArg(args(1), "bits"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorExprs.DotProductExpr].getName, "vec_dot"),
+      (args: Seq[Expression]) => VectorExprs.DotProductExpr(args.head, args(1))))
 
     ext.injectFunction((
       new FunctionIdentifier("channel_stats"),

@@ -72,7 +72,16 @@ object Tensors {
     * similarity-search kernel. Accumulates in double, sequential fold
     * (deterministic, oracle-replayable).
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(VectorExprs.DotProductExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
+  /** The pure-HOF dot formulation `dot` replaces (kept for the equivalence
+    * test: identical sequential accumulation, so bit-equal results).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

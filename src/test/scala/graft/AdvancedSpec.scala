@@ -88,6 +88,24 @@ class AdvancedSpec extends AnyFunSuite {
     assert(math.abs(cents(1L).head - 10.0) < 1e-6)
   }
 
+  test("vec_dot expression is bit-equal to the HOF fold it replaces") {
+    import graft.functions.Tensors
+    val df = Seq(
+      (1L, Array(1.5f, -2.25f, 0.125f), Array(4.0f, 0.5f, -8.0f)),
+      (2L, Array(0.1f, 0.2f, 0.3f), Array(-0.3f, 0.2f, -0.1f)),
+      (3L, Array.empty[Float], Array.empty[Float]))
+      .toDF("id", "a", "b")
+    val out = df.select(col("id"),
+      Tensors.dot(col("a"), col("b")).as("fast"),
+      Tensors.dotHof(col("a"), col("b")).as("hof")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r)
+    }
+    // hand-computed: 1.5*4 + (-2.25)*0.5 + 0.125*(-8) = 6 - 1.125 - 1 = 3.875
+    assert(out.find(_.getLong(0) == 1L).get.getDouble(1) == 3.875)
+  }
+
   test("asof: left payload columns survive untouched") {
     val l = Seq((1L, 7L, 50L, "payload")).toDF("id", "k", "t", "note")
     val r = Seq((7L, 10L)).toDF("k", "vt")
