@@ -85,6 +85,13 @@ object Tensors {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Squared L2 distance Σ(aᵢ−bᵢ)² (codegen'd fused loop). */
+  def distSq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(VectorExprs.L2DistSqExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -35,6 +35,20 @@ object VectorExprs {
     acc
   }
 
+  def distSqData(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _)  => true
     case ArrayType(DoubleType, _) => false
@@ -60,5 +74,28 @@ object VectorExprs {
         newLeft: Expression, newRight: Expression): Expression =
       copy(newLeft, newRight)
     override def prettyName: String = "vec_dot"
+  }
+
+  /** Σ(aᵢ−bᵢ)² — the assignment loop of IVF/k-means, same fused-loop and
+    * bit-equality contract as [[DotProductExpr]] (the HOF form computes
+    * (x−y)*(x−y) per element in the same sequential order).
+    */
+  case class L2DistSqExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private lazy val lFloat = isFloatArray(left)
+    private lazy val rFloat = isFloatArray(right)
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      distSqData(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], lFloat, rFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c1, c2) =>
+        s"${ev.value} = graft.functions.VectorExprs.distSqData($c1, $c2, $lFloat, $rFloat);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(newLeft, newRight)
+    override def prettyName: String = "vec_dist_sq"
   }
 }

@@ -39,9 +39,7 @@ object KMeans {
       .select(col("vec_id").as("cluster"), col("x").as("centroid"))
 
     def assign(cents: DataFrame): DataFrame = {
-      val d2 = aggregate(
-        zip_with(col("x"), col("centroid"), (a, c) => (a - c) * (a - c)),
-        lit(0.0), (acc, v) => acc + v)
+      val d2 = graft.functions.Tensors.distSq(col("x"), col("centroid"))
       val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
       emb.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("x"), col("cluster"), d2.as("d2"))

@@ -91,9 +91,7 @@ object Similarity {
     // assign: argmin squared distance over cells (broadcast the tiny table)
     val withDist = corpus.crossJoin(broadcast(cells))
       .select(col("vec_id"), col("embedding"), col("cell_id"),
-        aggregate(zip_with(col("embedding"), col("centroid"),
-            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-          lit(0.0), (acc, v) => acc + v).as("d2"))
+        Tensors.distSq(col("embedding"), col("centroid")).as("d2"))
     val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell_id"))
     val assigned = withDist.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
