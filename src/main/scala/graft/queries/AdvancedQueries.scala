@@ -88,6 +88,31 @@ object AdvancedQueries {
         .orderBy("gid", "region_name", "priority")
     },
 
+    // Cube: all four aggregation levels of (returnflag, linestatus) in one
+    // Expand pass — completes the grouping-sets family next to q57's rollup.
+    QueryDef("q68_cube",
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+        |         AS gid,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS qty_cents
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, flag, status""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          cents(col("l_quantity")).as("qty_cents"),
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast("long").as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("gid"), col("n"), col("qty_cents"))
+        .orderBy("gid", "flag", "status")
+    },
+
     // Exact interpolated percentiles (median / p90) per return flag — both
     // engines compute linear interpolation over the sorted values
     // (quantile_cont semantics). Spark's `percentile` is a sort-based

@@ -84,6 +84,18 @@ object EventStreams {
       }
   }
 
+  /** Sliding 1-hour window, 30-minute slide — every event lands in two
+    * windows (the streaming twin of batch q27). Mode-agnostic like
+    * [[tumblingCounts]].
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("event_type"), col("n"))
+
   /** Stream-stream interval join: purchases matched to views by the same
     * user within the preceding hour. Both sides carry watermarks so the join
     * state is bounded — Spark evicts buffered view rows once the purchase

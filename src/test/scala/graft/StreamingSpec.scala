@@ -38,6 +38,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalState == batch)
   }
 
+  test("sliding-window counts: streaming == batch") {
+    val batch = EventStreams.slidingCounts(Tables.events(spark, TestSpark.sfDir))
+      .collect().map(_.toSeq).toSet
+    val stream = EventStreams.runToMemory(
+      EventStreams.slidingCounts(EventStreams.readStream(spark, TestSpark.sfDir)),
+      "sliding_parity").collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("stream-stream interval join: streaming == batch") {
     val b = Tables.events(spark, TestSpark.sfDir)
     val batch = EventStreams.viewPurchaseJoin(b, b)
