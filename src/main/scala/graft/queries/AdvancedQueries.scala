@@ -279,6 +279,50 @@ object AdvancedQueries {
         .orderBy("c_custkey")
     },
 
+    // RANGE-frame rolling window: per user, events in the trailing hour at
+    // each event — a value-based frame (RANGE BETWEEN 3600s PRECEDING),
+    // distinct from every ROWS frame elsewhere: the frame boundary follows
+    // the ORDER BY *value*, so ties and gaps are handled by time, not row
+    // position. One exchange on user_id, linear per-partition sweep.
+    QueryDef("q69_rolling_range",
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_s
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id, user_id, ts_s,
+        |         count(*) OVER (PARTITION BY user_id ORDER BY ts_s
+        |           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+        |  FROM e)
+        |SELECT event_id, user_id, ts_s, CAST(n_last_hour AS BIGINT) AS n_last_hour
+        |FROM r WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_s")
+        .rangeBetween(-3600L, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 1000000").as("ts_s"))
+        .withColumn("n_last_hour", count(lit(1)).over(w))
+        .where(col("event_id") % 20 === 0)
+        .orderBy("event_id")
+    },
+
+    // Statistical aggregate family: Pearson correlation, population
+    // covariance and stddev per group — single-pass mergeable moment
+    // aggregates (the co-moment generalization of q04's Welford fits).
+    QueryDef("q70_corr_stats",
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |       round(covar_pop(l_quantity, l_extendedprice), 6) AS covar_qp,
+        |       round(stddev_pop(l_discount), 6) AS sd_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 6).as("covar_qp"),
+          round(stddev_pop(col("l_discount")), 6).as("sd_disc"))
+        .orderBy("l_returnflag")
+    },
+
     // Keep-one-representative dedup: within each (lang, source) group keep
     // the longest document (ties → smallest doc_id) — the canonical
     // "best URL per near-dup cluster" selection, as a rank-1 window.
