@@ -48,6 +48,24 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // BPE-ish token counting: regex word-piece segmentation (letter runs,
+    // single digits, single punctuation — the GPT-2-style pre-tokenizer
+    // shape) plus the chars/4 estimator used for quick budget accounting.
+    // Pure per-row regexp — narrow, codegen, no shuffle.
+    QueryDef("q71_bpe_tokens",
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+        |         AS BIGINT) AS n_pieces,
+        |       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tok_est
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0))).cast("long").as("n_pieces"),
+          ceil(length(col("text")) / 4.0).cast("long").as("n_tok_est"))
+        .orderBy("doc_id")
+    },
+
     // Document fingerprint: order-sensitive polynomial rolling hash over the
     // token stream (SURVEY north-star "document fingerprinting").
     QueryDef("q32_fingerprint",
