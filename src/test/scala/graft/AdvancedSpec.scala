@@ -88,6 +88,51 @@ class AdvancedSpec extends AnyFunSuite {
     assert(math.abs(cents(1L).head - 10.0) < 1e-6)
   }
 
+  test("components matches driver-side union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val nV = 2 + rnd.nextInt(30)
+      val nE = 1 + rnd.nextInt(40)
+      val edges = Seq.fill(nE)((rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // reference: textbook union-find over the same edges
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // union-find roots are not guaranteed minimal per component; group
+        // by root and take the min member as the expected label
+        val byRoot = verts.groupBy(find)
+        val expected = byRoot.values.flatMap { vs =>
+          val m = vs.min; vs.map(_ -> m)
+        }.toMap
+        val got = ccMap(edges)
+        assert(got == expected, s"edges=$edges")
+      }
+    }
+  }
+
+  test("asof matches per-row brute force on a seeded random event set") {
+    val rnd = new scala.util.Random(7)
+    val lefts = (1L to 60L).map(i => (i, rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
+    val rights = (1 to 80).map(_ => (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
+    val got = AsofJoin.asof(lefts.toDF("id", "k", "t"), rights.toDF("k", "vt"),
+        Seq("k"), col("t"), col("vt"), "asof_t")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    lefts.foreach { case (id, k, t) =>
+      val expected = rights.filter(r => r._1 == k && r._2 <= t)
+        .map(_._2).sorted.lastOption
+      assert(got(id) == expected, s"id=$id k=$k t=$t")
+    }
+  }
+
   test("vec_dot expression is bit-equal to the HOF fold it replaces") {
     import graft.functions.Tensors
     val df = Seq(
