@@ -48,16 +48,23 @@ object Bench {
     val names =
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) qs.keys.toSeq.sorted
       else headline
+    // min-of-2 in headline mode: single-JVM runs carry ±1s of GC noise, the
+    // min is the stable estimate of the plan's actual cost. Sweep mode stays
+    // single-pass (diagnostics over 60+ queries).
+    val reps = if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) 1 else 2
     val results = names.filter(qs.contains).map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { materialize(qs(name)(spark, sfDir)); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      // a failed query reports -1, never a fast-looking elapsed time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { materialize(qs(name)(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        // a failed query reports -1, never a fast-looking elapsed time
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
