@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe: times representative plan shapes at 1× and 10× sf0.1 (the
+  * 10× side is the same parquet unioned with shifted keys — same value
+  * distributions, 10× the rows) and prints the observed scaling exponent.
+  * A plan that "would survive 100 TB" should be ~linear (exponent ≈ 1);
+  * anything super-linear here is a red flag long before cluster scale.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def li(mult: Int): DataFrame = {
+      val base = Tables.lineitem(spark, sfDir)
+      (0 until mult).map(k =>
+        base.withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * 10_000_000L)))
+        .reduce(_ unionAll _)
+    }
+    def mat(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+    def time(f: => DataFrame): Double = {
+      val t0 = System.nanoTime(); mat(f); (System.nanoTime() - t0) / 1e9
+    }
+
+    // representative shapes: scan+filter+project, hash agg, flagship
+    // filter→histogram→window, global sort
+    val shapes: Seq[(String, Int => DataFrame)] = Seq(
+      "scan_project" -> (m => li(m).select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net"))),
+      "hash_agg" -> (m => li(m).groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)), sum("l_quantity"), avg("l_extendedprice"))),
+      "histogram_window" -> { m =>
+        import org.apache.spark.sql.expressions.Window
+        val binned = li(m).where(col("l_quantity") < 40)
+          .groupBy(floor(col("l_discount") * 100).as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+        binned.withColumn("cum",
+          sum("cnt").over(Window.orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      },
+      "global_sort" -> (m => li(m).orderBy("l_extendedprice")))
+
+    // warm-up
+    mat(li(1).select(col("l_orderkey")))
+    println(f"${"shape"}%-18s ${"t(1x)"}%8s ${"t(10x)"}%8s exponent")
+    shapes.foreach { case (name, mk) =>
+      val t1 = math.min(time(mk(1)), time(mk(1)))
+      val t10 = math.min(time(mk(10)), time(mk(10)))
+      val exp = math.log(t10 / t1) / math.log(10.0)
+      println(f"$name%-18s $t1%8.2f $t10%8.2f ${exp}%.2f")
+    }
+    spark.stop()
+  }
+}
