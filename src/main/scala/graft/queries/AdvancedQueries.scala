@@ -323,6 +323,50 @@ object AdvancedQueries {
         .orderBy("l_returnflag")
     },
 
+    // Bag-semantics set difference: order lines whose (flag, status) pair
+    // ALSO appears among low-quantity lines are removed copy-for-copy —
+    // exceptAll keeps surviving duplicate counts (vs q14's set EXCEPT).
+    QueryDef("q72_except_all",
+      """WITH a AS (SELECT l_returnflag AS flag, l_linestatus AS status
+        |           FROM lineitem WHERE l_quantity >= 30),
+        |b AS (SELECT l_returnflag AS flag, l_linestatus AS status
+        |      FROM lineitem WHERE l_quantity < 2),
+        |d AS (SELECT flag, status FROM a EXCEPT ALL SELECT flag, status FROM b)
+        |SELECT flag, status, count(*) AS n FROM d
+        |GROUP BY flag, status ORDER BY flag, status""".stripMargin) { (s, d) =>
+      val a = Tables.lineitem(s, d).where(col("l_quantity") >= 30)
+        .select(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+      val b = Tables.lineitem(s, d).where(col("l_quantity") < 2)
+        .select(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+      a.exceptAll(b)
+        .groupBy("flag", "status").agg(count(lit(1)).as("n"))
+        .orderBy("flag", "status")
+    },
+
+    // Edit-distance fuzzy dedup: levenshtein over fixed-length prefixes of
+    // same-source docs — the quadratic-kernel complement to the hash-based
+    // families (bounded: prefix 32 chars, same-source pairs, low-id slice;
+    // the scale path remains LSH candidate generation first, exact edit
+    // distance only on candidates).
+    QueryDef("q73_edit_distance",
+      """WITH p AS (
+        |  SELECT doc_id, source, substr(text, 1, 32) AS pre
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pre, b.pre) <= 20
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val p = Tables.documents(s, d).where(col("doc_id") < 300)
+        .select(col("doc_id"), col("source"), substring(col("text"), 1, 32).as("pre"))
+      p.as("a").join(p.as("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.pre"), col("b.pre")).cast("long").as("dist"))
+        .where(col("dist") <= 20)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Keep-one-representative dedup: within each (lang, source) group keep
     // the longest document (ties → smallest doc_id) — the canonical
     // "best URL per near-dup cluster" selection, as a rank-1 window.
