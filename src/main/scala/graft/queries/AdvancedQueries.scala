@@ -367,6 +367,27 @@ object AdvancedQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Date arithmetic family: day differences against a reference date and
+    // distinct-month cardinality per priority — calendar logic kept in exact
+    // integer days/periods (both engines compute date-boundary counts in UTC).
+    QueryDef("q75_date_arith",
+      """SELECT o_orderpriority,
+        |       CAST(min(date_diff('day', CAST(o_orderdate AS DATE),
+        |         DATE '1998-12-01')) AS BIGINT) AS min_age_days,
+        |       CAST(max(date_diff('day', CAST(o_orderdate AS DATE),
+        |         DATE '1998-12-01')) AS BIGINT) AS max_age_days,
+        |       count(DISTINCT date_trunc('month', o_orderdate)) AS n_months
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val age = datediff(lit("1998-12-01").cast("date"),
+        col("o_orderdate").cast("date"))
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(min(age).cast("long").as("min_age_days"),
+          max(age).cast("long").as("max_age_days"),
+          countDistinct(date_trunc("month", col("o_orderdate"))).as("n_months"))
+        .orderBy("o_orderpriority")
+    },
+
     // Keep-one-representative dedup: within each (lang, source) group keep
     // the longest document (ties → smallest doc_id) — the canonical
     // "best URL per near-dup cluster" selection, as a rank-1 window.

@@ -66,6 +66,36 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Text cleaning / PII scrubbing: the regexp_replace normalization pass a
+    // training-data pipeline runs before dedup — mask email-shaped and
+    // url-shaped spans, collapse repeated spaces; report the size delta.
+    // Narrow per-row expressions; at 100 TB this is scan-parallel and fuses
+    // into the same stage as tokenization.
+    QueryDef("q74_text_clean",
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         regexp_replace(regexp_replace(regexp_replace(text,
+        |           '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '[EMAIL]', 'g'),
+        |           'https?://[^ ]+', '[URL]', 'g'),
+        |           '  +', ' ', 'g') AS cleaned
+        |  FROM documents)
+        |SELECT doc_id, length(cleaned) AS n_chars_clean,
+        |       CAST(length(cleaned) - length(regexp_replace(cleaned,
+        |         '\[EMAIL\]|\[URL\]', '', 'g')) AS BIGINT) AS masked_chars
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val cleaned = regexp_replace(regexp_replace(regexp_replace(col("text"),
+        lit("[A-Za-z0-9.]+@[A-Za-z0-9.]+"), lit("[EMAIL]")),
+        lit("https?://[^ ]+"), lit("[URL]")),
+        lit("  +"), lit(" "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), cleaned.as("cleaned"))
+        .select(col("doc_id"),
+          length(col("cleaned")).cast("long").as("n_chars_clean"),
+          (length(col("cleaned")) - length(regexp_replace(col("cleaned"),
+            lit("\\[EMAIL\\]|\\[URL\\]"), lit("")))).cast("long").as("masked_chars"))
+        .orderBy("doc_id")
+    },
+
     // Document fingerprint: order-sensitive polynomial rolling hash over the
     // token stream (SURVEY north-star "document fingerprinting").
     QueryDef("q32_fingerprint",
