@@ -84,4 +84,29 @@ object GraftProps extends Properties("graft") {
         Prop(direct == composed)
       }): _*)
     }
+
+  // --- fused vector kernels (VectorExprs) ---
+
+  private val floats: Gen[List[Float]] = Gen.choose(0, 32).flatMap(n =>
+    Gen.listOfN(n, Gen.chooseNum(-100f, 100f)))
+  private def fArr(xs: List[Float]) = new GenericArrayData(xs.toArray[Any])
+
+  property("dotData equals the naive sequential fold") =
+    forAll(floats, floats) { (a, b) =>
+      val got = graft.functions.VectorExprs.dotData(fArr(a), fArr(b), true, true)
+      val ref = a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+      java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(ref)
+    }
+
+  property("dotData is symmetric") = forAll(floats, floats) { (a, b) =>
+    graft.functions.VectorExprs.dotData(fArr(a), fArr(b), true, true) ==
+      graft.functions.VectorExprs.dotData(fArr(b), fArr(a), true, true)
+  }
+
+  property("distSqData is non-negative and zero on itself") = forAll(floats) { a =>
+    val self = graft.functions.VectorExprs.distSqData(fArr(a), fArr(a), true, true)
+    val vsZero = graft.functions.VectorExprs.distSqData(
+      fArr(a), fArr(List.fill(a.length)(0f)), true, true)
+    self == 0.0 && vsZero >= 0.0
+  }
 }
