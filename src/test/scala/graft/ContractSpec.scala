@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries._
+
+/** Driver-contract invariants: the queries map is lossless (duplicate names
+  * would silently vanish in the Map), every oracle is paired with a live
+  * query, and names follow the qNN_ convention the round artifacts key on.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  private val all: Seq[QueryDef] =
+    RelationalQueries.defs ++ PhysicsQueries.defs ++ EventQueries.defs ++
+      TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
+      MlQueries.defs ++ ScaleQueries.defs ++ AdvancedQueries.defs ++
+      SourceQueries.defs
+
+  test("query names are unique — nothing silently dropped by the Map") {
+    val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate query names: $dupes")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("every oracle key has a query; oracle SQL is non-blank") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(SparkEntry.queries.contains(name), name)
+      assert(sql.trim.nonEmpty, name)
+    }
+  }
+
+  test("names follow the qNN_ convention") {
+    all.foreach(q => assert(q.name.matches("q\\d{2}_[a-z0-9_]+"), q.name))
+  }
+
+  test("bench headline names all resolve") {
+    Bench.headline.foreach(n => assert(SparkEntry.queries.contains(n), n))
+  }
+}
