@@ -120,6 +120,57 @@ object MlQueries {
         :+ ("bias", model.intercept)).toSeq.toDF("param", "value")
     },
 
+    // Multimodal → similarity chaining: batched media decode (q47's
+    // mapPartitions plumbing) produces a small feature vector per item,
+    // which flows straight into cosine top-3 within source — the
+    // decode→embed→ANN shape of a multimodal training-data pipeline, with
+    // every stage on the same DataFrame plan.
+    QueryDef("q76_media_knn",
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, source,
+        |         [CAST(length(text) AS DOUBLE),
+        |          CAST(ascii(substr(text, 1, 1)) AS DOUBLE),
+        |          CAST(list_aggregate(list_transform(range(1, LEAST(16, length(text)) + 1),
+        |            i -> ascii(substr(text, i, 1))), 'sum') AS DOUBLE)] AS v
+        |  FROM documents),
+        |n AS (SELECT media_id, source, v,
+        |             sqrt(v[1]*v[1] + v[2]*v[2] + v[3]*v[3]) AS nrm FROM f),
+        |p AS (SELECT a.media_id AS query_id, b.media_id AS neighbor_id,
+        |             round((a.v[1]*b.v[1] + a.v[2]*b.v[2] + a.v[3]*b.v[3])
+        |               / (a.nrm * b.nrm), 6) AS cos
+        |      FROM n a JOIN n b ON a.source = b.source AND a.media_id <> b.media_id
+        |      WHERE a.media_id < 50),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |             row_number() OVER (PARTITION BY query_id
+        |               ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM p)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      import graft.functions.Tensors
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val media = Multimodal.asMediaTable(docs)
+      val feats = Multimodal.decodeFeatures(media, Multimodal.FakeByteDecoder)
+        .join(docs.select(col("doc_id").as("media_id"), col("source")), "media_id")
+        .select(col("media_id"), col("source"),
+          array(col("n_bytes").cast("double"), col("first_byte").cast("double"),
+            col("byte_sum16").cast("double")).as("v"))
+      val n = feats.withColumn("nrm", Tensors.norm(col("v")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      n.as("a").join(n.as("b"),
+          col("a.source") === col("b.source") &&
+            col("a.media_id") =!= col("b.media_id"))
+        .where(col("a.media_id") < 50)
+        .select(col("a.media_id").as("query_id"), col("b.media_id").as("neighbor_id"),
+          round(Tensors.dot(col("a.v"), col("b.v"))
+            / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    },
+
     // Deterministic k-means (2 Lloyd rounds, first-k-by-id seeds) — the
     // iterative fit/apply loop as pure relational algebra (operators/KMeans).
     // The oracle unrolls both rounds as CTEs: assign = argmin-distance
