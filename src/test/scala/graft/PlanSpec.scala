@@ -74,6 +74,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"), p)
   }
 
+  test("rank<=k filters compile to map-side WindowGroupLimit") {
+    // partial mode trims each partition to its local top-k BEFORE the
+    // window exchange — the reason rank-k queries don't shuffle full groups
+    val p = plan(q("q50_tfidf"))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.indexOf("WindowGroupLimit") != p.lastIndexOf("WindowGroupLimit"),
+      "expected partial + final WindowGroupLimit pair\n" + p)
+  }
+
   test("expression pipelines run inside whole-stage codegen") {
     // codegen stages carry the `*(n)` prefix — visible only in the FINAL
     // adaptive plan, so execute first (AQE inserts codegen per stage)
