@@ -104,6 +104,58 @@ object EventQueries {
         .orderBy("user_id", "start_us")
     },
 
+    // Funnel analysis: users whose FIRST view strictly precedes their first
+    // click, which strictly precedes their first purchase — one conditional
+    // min-aggregate per step, a single groupBy(user) pass; null step times
+    // drop out of the < comparisons in both engines identically.
+    QueryDef("q77_funnel",
+      """WITH m AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_v,
+        |         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_c,
+        |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_p
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |       CAST(count(CASE WHEN t_v IS NOT NULL THEN 1 END) AS BIGINT) AS step_view,
+        |       CAST(count(CASE WHEN t_v < t_c THEN 1 END) AS BIGINT) AS step_click,
+        |       CAST(count(CASE WHEN t_v < t_c AND t_c < t_p THEN 1 END) AS BIGINT)
+        |         AS step_purchase
+        |FROM m""".stripMargin) { (s, d) =>
+      def firstOf(t: String) =
+        min(when(col("event_type") === t, unix_micros(col("ts"))))
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(firstOf("view").as("t_v"), firstOf("click").as("t_c"),
+          firstOf("purchase").as("t_p"))
+        .agg(count(lit(1)).as("n_users"),
+          count(when(col("t_v").isNotNull, 1)).as("step_view"),
+          count(when(col("t_v") < col("t_c"), 1)).as("step_click"),
+          count(when(col("t_v") < col("t_c") && col("t_c") < col("t_p"), 1))
+            .as("step_purchase"))
+    },
+
+    // Cohort retention: users bucketed by first-activity week; counts of
+    // distinct users active at each week offset from their cohort. The
+    // per-user cohort relation is small (one row per user) → broadcast back
+    // onto the event stream, so the big side shuffles once (the distinct).
+    QueryDef("q78_retention",
+      """WITH w AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id),
+        |a AS (SELECT DISTINCT w.user_id, f.cohort, w.wk - f.cohort AS wk_offset
+        |      FROM w JOIN f ON w.user_id = f.user_id)
+        |SELECT cohort, wk_offset, count(*) AS n_users
+        |FROM a GROUP BY cohort, wk_offset ORDER BY cohort, wk_offset""".stripMargin) { (s, d) =>
+      val w = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+      val f = w.groupBy("user_id").agg(min("wk").as("cohort"))
+      w.join(broadcast(f), "user_id")
+        .select(col("user_id"), col("cohort"), (col("wk") - col("cohort")).as("wk_offset"))
+        .distinct()
+        .groupBy("cohort", "wk_offset").agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "wk_offset")
+    },
+
     // JSON extraction (events.props is a JSON string).
     QueryDef("q29_json_extract",
       """SELECT event_type,
