@@ -66,6 +66,24 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Global top-k heavy hitters: the 20 highest-document-frequency tokens.
+    // orderBy+limit plans as TakeOrderedAndProject — each partition keeps a
+    // k-sized heap and only k·partitions rows reach the driver-side merge,
+    // never a global sort (PlanSpec-asserted).
+    QueryDef("q79_top_tokens",
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |df AS (SELECT token, count(*) AS df FROM tok GROUP BY token)
+        |SELECT token, df FROM df ORDER BY df DESC, token LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+        .distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token"))
+        .limit(20)
+    },
+
     // Text cleaning / PII scrubbing: the regexp_replace normalization pass a
     // training-data pipeline runs before dedup — mask email-shaped and
     // url-shaped spans, collapse repeated spaces; report the size delta.

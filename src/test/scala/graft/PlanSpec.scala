@@ -74,6 +74,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"), p)
   }
 
+  test("orderBy+limit plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(q("q79_top_tokens"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("rank<=k filters compile to map-side WindowGroupLimit") {
     // partial mode trims each partition to its local top-k BEFORE the
     // window exchange — the reason rank-k queries don't shuffle full groups
