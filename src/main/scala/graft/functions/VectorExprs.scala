@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -56,10 +57,24 @@ object VectorExprs {
       s"vec_dot expects array<float|double>, got $other")
   }
 
+  /** Analysis-time type validation (shared by both expressions) — a wrong
+    * input should be an AnalysisException, not a codegen-time crash.
+    */
+  private def checkVecInputs(name: String, l: Expression, r: Expression): TypeCheckResult =
+    (l.dataType, r.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$name expects two array<float|double> inputs, got " +
+          s"${l.dataType.catalogString} and ${r.dataType.catalogString}")
+    }
+
   /** dot(a, b) over array<float|double> columns, double-precision result. */
   case class DotProductExpr(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVecInputs(prettyName, left, right)
     private lazy val lFloat = isFloatArray(left)
     private lazy val rFloat = isFloatArray(right)
 
@@ -83,6 +98,8 @@ object VectorExprs {
   case class L2DistSqExpr(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVecInputs(prettyName, left, right)
     private lazy val lFloat = isFloatArray(left)
     private lazy val rFloat = isFloatArray(right)
 

@@ -64,6 +64,12 @@ object Components {
       labels = next.select("id", "comp")
       iter += 1
     }
+    // fail loudly rather than return intermediate labels: a graph whose
+    // diameter exceeds maxIter would otherwise silently violate the
+    // "component = minimum reachable id" contract
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — raise maxIter")
     labels
   }
 }

@@ -35,11 +35,19 @@ object KMeans {
     val emb = corpus.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("x"))
 
-    var centroids = emb.where(col("vec_id") < k)
-      .select(col("vec_id").as("cluster"), col("x").as("centroid"))
+    // seeds = the k smallest ids (TakeOrdered — no assumption that ids are
+    // dense or 0-based); cluster ids are their 0-based rank, assigned by a
+    // window over the k-row seed set only
+    val seedRank = Window.orderBy("vec_id")
+    var centroids = emb.orderBy("vec_id").limit(k)
+      .withColumn("cluster", (row_number().over(seedRank) - 1).cast("long"))
+      .select(col("cluster"), col("x").as("centroid"))
 
     def assign(cents: DataFrame): DataFrame = {
-      val d2 = graft.functions.Tensors.distSq(col("x"), col("centroid"))
+      // distances compared ROUNDED (1e-6 grid) with the cluster id as
+      // tie-break: near-ties collapse to exact ties resolved identically by
+      // any engine, so sub-ulp accumulation differences can't flip an argmin
+      val d2 = round(graft.functions.Tensors.distSq(col("x"), col("centroid")), 6)
       val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
       emb.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("x"), col("cluster"), d2.as("d2"))
@@ -49,8 +57,11 @@ object KMeans {
 
     var assigned = assign(centroids)
     for (_ <- 0 until iters) {
+      // centroid means rounded to a 1e-9 grid: partial/merge double sums are
+      // order-dependent across engines; snapping to the grid restores exact
+      // cross-engine equality except for values within an ulp of a boundary
       val dimAvgs = (0 until dim).map(i =>
-        avg(element_at(col("x"), i + 1)).as(s"m_$i"))
+        round(avg(element_at(col("x"), i + 1)), 9).as(s"m_$i"))
       centroids = assigned.groupBy("cluster")
         .agg(dimAvgs.head, dimAvgs.tail: _*)
         .select(col("cluster"),

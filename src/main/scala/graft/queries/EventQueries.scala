@@ -136,8 +136,11 @@ object EventQueries {
 
     // Cohort retention: users bucketed by first-activity week; counts of
     // distinct users active at each week offset from their cohort. The
-    // per-user cohort relation is small (one row per user) → broadcast back
-    // onto the event stream, so the big side shuffles once (the distinct).
+    // cohort relation is one row per USER — linear in user cardinality, so
+    // it must NOT be force-broadcast (billions of users at the 100 TB design
+    // point would OOM the driver); a plain equi-join on user_id shuffles
+    // both sides on the same key, and AQE may still choose broadcast when
+    // the user count is actually small.
     QueryDef("q78_retention",
       """WITH w AS (
         |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
@@ -149,7 +152,7 @@ object EventQueries {
       val w = Tables.events(s, d)
         .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
       val f = w.groupBy("user_id").agg(min("wk").as("cohort"))
-      w.join(broadcast(f), "user_id")
+      w.join(f, "user_id")
         .select(col("user_id"), col("cohort"), (col("wk") - col("cohort")).as("wk_offset"))
         .distinct()
         .groupBy("cohort", "wk_offset").agg(count(lit(1)).as("n_users"))

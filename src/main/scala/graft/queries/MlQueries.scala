@@ -132,7 +132,8 @@ object MlQueries {
         |          CAST(ascii(substr(text, 1, 1)) AS DOUBLE),
         |          CAST(list_aggregate(list_transform(range(1, LEAST(16, length(text)) + 1),
         |            i -> ascii(substr(text, i, 1))), 'sum') AS DOUBLE)] AS v
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE strlen(text) = length(text) AND length(text) >= 1),
         |n AS (SELECT media_id, source, v,
         |             sqrt(v[1]*v[1] + v[2]*v[2] + v[3]*v[3]) AS nrm FROM f),
         |p AS (SELECT a.media_id AS query_id, b.media_id AS neighbor_id,
@@ -148,7 +149,13 @@ object MlQueries {
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
       import graft.functions.Tensors
       import org.apache.spark.sql.expressions.Window
+      // ASCII-only, non-empty guard: the Spark side decodes UTF-8 BYTES while
+      // the oracle counts CHARACTERS — they agree exactly iff bytes == chars,
+      // so the predicate makes the parity contract hold for any data, not
+      // just the (all-ASCII) fixture
       val docs = Tables.documents(s, d)
+        .where(octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 1)
       val media = Multimodal.asMediaTable(docs)
       val feats = Multimodal.decodeFeatures(media, Multimodal.FakeByteDecoder)
         .join(docs.select(col("doc_id").as("media_id"), col("source")), "media_id")
@@ -210,23 +217,24 @@ private object KMeansSql {
        |  SELECT vec_id, embedding, cluster FROM (
        |    SELECT e.vec_id, e.embedding, c.cluster,
        |           row_number() OVER (PARTITION BY e.vec_id
-       |             ORDER BY ${d2("c")}, c.cluster) AS rn
+       |             ORDER BY round(${d2("c")}, 6), c.cluster) AS rn
        |    FROM embeddings e CROSS JOIN $c c) t
        |  WHERE rn = 1)""".stripMargin
 
   private def updateCte(cN: String, a: String) =
     s"""$cN AS (
        |  SELECT cluster, list(m ORDER BY dm) AS centroid
-       |  FROM (SELECT cluster, i AS dm, avg(CAST(embedding[i + 1] AS DOUBLE)) AS m
+       |  FROM (SELECT cluster, i AS dm,
+       |               round(avg(CAST(embedding[i + 1] AS DOUBLE)), 9) AS m
        |        FROM $a, (SELECT unnest(range(0, $dim)) AS i)
        |        GROUP BY cluster, i)
        |  GROUP BY cluster)""".stripMargin
 
   val sql: String =
     s"""WITH c0 AS (
-       |  SELECT vec_id AS cluster,
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
        |         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS centroid
-       |  FROM embeddings WHERE vec_id < 4),
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)),
        |${assignCte("a1", "c0")},
        |${updateCte("c1", "a1")},
        |${assignCte("a2", "c1")},

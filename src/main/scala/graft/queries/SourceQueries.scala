@@ -15,7 +15,12 @@ import graft.Tables
   */
 object SourceQueries {
 
-  private def tmp(name: String) = s"/tmp/graft_src_$name"
+  /** Per-(format, sfDir) scratch path: a fixed shared path would let a
+    * concurrent run at another scale factor overwrite the sink while this
+    * run's lazy read-back scan is still pending.
+    */
+  private def tmp(name: String, sfDir: String) =
+    s"/tmp/graft_src_${name}_${math.abs(sfDir.hashCode.toLong)}"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -26,7 +31,7 @@ object SourceQueries {
         |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
         |         AS price_cents
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      val dir = tmp("csv")
+      val dir = tmp("csv", d)
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_returnflag"),
           round(col("l_extendedprice") * 100, 0).cast("long").as("price_cents"))
@@ -46,7 +51,7 @@ object SourceQueries {
         |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
         |         AS total_cents
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
-      val dir = tmp("jsonl")
+      val dir = tmp("jsonl", d)
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"),
           round(col("o_totalprice") * 100, 0).cast("long").as("total_cents"))

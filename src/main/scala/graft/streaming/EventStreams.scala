@@ -121,14 +121,17 @@ object EventStreams {
   }
 
   /** Streaming deduplication: first occurrence per (user_id, event_type)
-    * wins, with state bounded by the watermark (late duplicates beyond the
-    * delay are dropped by eviction rather than tracked forever) — the
-    * streaming counterpart of the batch exact-dedup family.
+    * wins. Uses `dropDuplicatesWithinWatermark` — plain `dropDuplicates`
+    * without the event-time column in the key set would keep one state entry
+    * per key FOREVER (watermark cleanup only applies when event time is part
+    * of the dedup key), an unbounded-state leak on a continuous pipeline.
+    * The within-watermark variant expires each key's entry once the
+    * watermark passes it, bounding state to the 2-hour horizon.
     */
   def dedupFirstPerUserType(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"))
 
   /** Run a streaming aggregation to completion against bounded input via the

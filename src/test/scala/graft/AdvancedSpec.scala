@@ -133,6 +133,23 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans seeds work with sparse, non-zero-based ids") {
+    import graft.operators.KMeans
+    // ids start at 500 with gaps — seeds are the 2 smallest ids, clusters
+    // are their ranks 0/1, regardless of id values
+    val pts = Seq(
+      (500L, Array(0.0f, 0.0f)), (907L, Array(0.1f, -0.1f)),
+      (603L, Array(10.0f, 10.0f)), (811L, Array(9.9f, 10.1f)))
+      .toDF("vec_id", "embedding")
+    val (assigned, centroids) = KMeans.fit(pts, "vec_id", "embedding",
+      dim = 2, k = 2, iters = 1)
+    val m = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.keySet == Set(500L, 603L, 811L, 907L))
+    assert(m(500L) == 0L && m(907L) == 0L) // blob at origin → seed-rank 0 (id 500)
+    assert(m(603L) == 1L && m(811L) == 1L) // far blob → seed-rank 1 (id 603)
+    assert(centroids.count() == 2)
+  }
+
   test("vec_dot expression is bit-equal to the HOF fold it replaces") {
     import graft.functions.Tensors
     val df = Seq(
