@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Tensors
-import graft.operators.{AsofJoin, Components}
+import graft.operators.{AsofJoin, Components, PageRank}
 
 /** Advanced relational + pipeline operators beyond the first coverage pass:
   * as-of join, rollup, exact percentiles, ranking-window family, range
@@ -386,6 +386,52 @@ object AdvancedQueries {
           max(age).cast("long").as("max_age_days"),
           countDistinct(date_trunc("month", col("o_orderdate"))).as("n_months"))
         .orderBy("o_orderpriority")
+    },
+
+    // PageRank over the customer↔supplier interaction graph (bipartite,
+    // suppliers offset into their own id space), 2 damped rounds via
+    // operators/PageRank — per-edge contributions quantized to integer
+    // 1e-12 units so both engines sum exactly. Oracle unrolls the rounds as
+    // CTEs; output = top-20 vertices by rank.
+    QueryDef("q81_pagerank", {
+      def m(k: Int, prev: String) =
+        s"""m$k AS (
+           |  SELECT e.dst AS id,
+           |         sum(CAST(round(p.r / deg.outdeg * 1e12, 0) AS BIGINT)) AS m
+           |  FROM e JOIN $prev p ON e.src = p.id JOIN deg ON deg.src = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      def r(k: Int) =
+        s"""r$k AS (
+           |  SELECT v.id, round((CAST(1.0 AS DOUBLE) - 0.85) / nn.n
+           |    + 0.85 * (coalesce(m$k.m, 0) / 1e12), 9) AS r
+           |  FROM v CROSS JOIN nn LEFT JOIN m$k ON m$k.id = v.id)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT c AS src, s + 1000000 AS dst FROM pairs
+         |      UNION ALL SELECT s + 1000000, c FROM pairs),
+         |v AS (SELECT DISTINCT id FROM
+         |        (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT count(*) AS n FROM v),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS r FROM v CROSS JOIN nn),
+         |${m(1, "r0")},
+         |${r(1)},
+         |${m(2, "r1")},
+         |${r(2)}
+         |SELECT id, round(r, 6) AS pagerank FROM r2
+         |ORDER BY pagerank DESC, id LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val e = pairs.select(col("c").as("src"), (col("s") + 1000000L).as("dst"))
+        .unionAll(pairs.select((col("s") + 1000000L).as("src"), col("c").as("dst")))
+      PageRank.pagerank(e, iters = 2)
+        .select(col("id"), round(col("r"), 6).as("pagerank"))
+        .orderBy(col("pagerank").desc, col("id"))
+        .limit(20)
     },
 
     // Keep-one-representative dedup: within each (lang, source) group keep

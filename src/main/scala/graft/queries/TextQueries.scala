@@ -66,6 +66,43 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Unigram LM scoring: per-doc mean token log-probability under the
+    // corpus unigram distribution — the classic statistical quality signal
+    // (low score = unusual token mix). Log-probs are quantized to integer
+    // 1e-6 units BEFORE summing, so the aggregation is exact integer
+    // arithmetic — engine addition order can't perturb the result (the same
+    // trick as the cents sums). Two hash aggregates + one broadcast-scale
+    // join of the token-frequency relation.
+    QueryDef("q80_unigram_lm",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |total AS (SELECT count(*) AS n FROM tok),
+        |scored AS (
+        |  SELECT tok.doc_id,
+        |         CAST(round(ln(freq.c / (1.0 * total.n)) * 1000000, 0) AS BIGINT)
+        |           AS lp_e6
+        |  FROM tok JOIN freq USING (token) CROSS JOIN total)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(lp_e6) AS BIGINT) AS sum_lp_e6,
+        |       round(CAST(sum(lp_e6) AS DOUBLE) / count(*) / 1000000, 6)
+        |         AS mean_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+      val freq = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      val total = broadcast(tok.agg(count(lit(1)).as("n")))
+      tok.join(freq, "token").crossJoin(total)
+        .select(col("doc_id"),
+          round(log(col("c") / (lit(1.0) * col("n"))) * 1000000, 0)
+            .cast("long").as("lp_e6"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("lp_e6").as("sum_lp_e6"),
+          round(sum("lp_e6").cast("double") / count(lit(1)) / 1000000, 6)
+            .as("mean_logprob"))
+        .orderBy("doc_id")
+    },
+
     // Global top-k heavy hitters: the 20 highest-document-frequency tokens.
     // orderBy+limit plans as TakeOrderedAndProject — each partition keeps a
     // k-sized heap and only k·partitions rows reach the driver-side merge,

@@ -64,6 +64,19 @@ class AdvancedSpec extends AnyFunSuite {
     assert(got.head.getLong(0) == 50L)
   }
 
+  test("pagerank: ranks sum to ~1, symmetry respected, hub ranks highest") {
+    import graft.operators.PageRank
+    // star: hub 1 ↔ leaves 2,3,4 (symmetric edges)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val e = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val ranks = PageRank.pagerank(e, iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6)
+    // leaves are symmetric → identical ranks; hub dominates
+    assert(ranks(2L) == ranks(3L) && ranks(3L) == ranks(4L))
+    assert(ranks(1L) > ranks(2L))
+  }
+
   test("kmeans separates two obvious blobs and partitions all points") {
     import graft.operators.KMeans
     // blob A near (0,0): ids 0,2,3,4 ; blob B near (10,10): ids 1,5,6,7
