@@ -22,7 +22,7 @@ object Bench {
     "q26_tumbling_window", "q28_sessionize", "q30_exact_dedup",
     "q36_minhash_signature", "q38_simhash", "q40_knn_bruteforce",
     "q45_channel_stats", "q46_mappartitions_score",
-    "q56_asof_join", "q57_rollup", "q61_dedup_components")
+    "q56_asof_join", "q57_rollup", "q61_dedup_components", "q81_pagerank")
 
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
