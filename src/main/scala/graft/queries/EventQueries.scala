@@ -159,6 +159,40 @@ object EventQueries {
         .orderBy("cohort", "wk_offset")
     },
 
+    // Interval-overlap join: per-(user, day) activity spans [min ts, max ts]
+    // against a derived set of 12-hour campaign windows (anchored at the
+    // global min event time, so both engines build identical literals from
+    // the data itself). Overlap predicate lo ≤ w_hi ∧ w_lo ≤ hi against the
+    // broadcast O(windows) side — the interval generalization of q60's
+    // point-in-band join.
+    QueryDef("q83_interval_overlap",
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT min(epoch_us(ts)) AS m FROM events),
+        |w AS (SELECT k AS w_id, m + k * 21600000000 AS w_lo,
+        |             m + k * 21600000000 + 43200000000 AS w_hi
+        |      FROM g, (SELECT unnest(range(0, 4)) AS k))
+        |SELECT CAST(w_id AS BIGINT) AS w_id, count(*) AS n_spans,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM iv JOIN w ON iv.lo <= w.w_hi AND w.w_lo <= iv.hi
+        |GROUP BY w_id ORDER BY w_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val iv = ev.groupBy(col("user_id"), expr("us div 86400000000").as("day"))
+        .agg(min("us").as("lo"), max("us").as("hi"))
+      val g = ev.agg(min("us").as("m"))
+      val w = g.select(explode(sequence(lit(0), lit(3))).as("k"), col("m"))
+        .select(col("k").cast("long").as("w_id"),
+          (col("m") + col("k") * 21600000000L).as("w_lo"),
+          (col("m") + col("k") * 21600000000L + 43200000000L).as("w_hi"))
+      iv.join(broadcast(w), col("lo") <= col("w_hi") && col("w_lo") <= col("hi"))
+        .groupBy("w_id")
+        .agg(count(lit(1)).as("n_spans"), countDistinct("user_id").as("n_users"))
+        .orderBy("w_id")
+    },
+
     // JSON extraction (events.props is a JSON string).
     QueryDef("q29_json_extract",
       """SELECT event_type,

@@ -103,6 +103,51 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Bigram conditional LM: mean log P(tᵢ | tᵢ₋₁) per doc, bigram counts
+    // over the corpus — the order-sensitive upgrade of q80's unigram score.
+    // Bigrams come from index-exploded token arrays (docs with ≥2 tokens;
+    // both engines enumerate i = 1..len-1 ascending), probabilities from a
+    // (prev,cur)-count ⋈ prev-count join, and the per-doc sum is exact
+    // integer 1e-6 log units like q80.
+    QueryDef("q82_bigram_lm",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |idx AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+        |b AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur FROM idx),
+        |c2 AS (SELECT prev, cur, count(*) AS n2 FROM b GROUP BY prev, cur),
+        |c1 AS (SELECT prev, count(*) AS n1 FROM b GROUP BY prev),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |         CAST(round(ln(c2.n2 / (1.0 * c1.n1)) * 1000000, 0) AS BIGINT)
+        |           AS lp_e6
+        |  FROM b JOIN c2 USING (prev, cur) JOIN c1 USING (prev))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(lp_e6) AS BIGINT) AS sum_lp_e6,
+        |       round(CAST(sum(lp_e6) AS DOUBLE) / count(*) / 1000000, 6)
+        |         AS mean_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+        .where(size(col("toks")) >= 2)
+      val b = t
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+        .select(col("doc_id"), element_at(col("toks"), col("i")).as("prev"),
+          element_at(col("toks"), col("i") + 1).as("cur"))
+      val c2 = b.groupBy("prev", "cur").agg(count(lit(1)).as("n2"))
+      val c1 = b.groupBy("prev").agg(count(lit(1)).as("n1"))
+      b.join(c2, Seq("prev", "cur")).join(c1, Seq("prev"))
+        .select(col("doc_id"),
+          round(log(col("n2") / (lit(1.0) * col("n1"))) * 1000000, 0)
+            .cast("long").as("lp_e6"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("lp_e6").as("sum_lp_e6"),
+          round(sum("lp_e6").cast("double") / count(lit(1)) / 1000000, 6)
+            .as("mean_logprob"))
+        .orderBy("doc_id")
+    },
+
     // Global top-k heavy hitters: the 20 highest-document-frequency tokens.
     // orderBy+limit plans as TakeOrderedAndProject — each partition keeps a
     // k-sized heap and only k·partitions rows reach the driver-side merge,

@@ -64,6 +64,18 @@ class AdvancedSpec extends AnyFunSuite {
     assert(got.head.getLong(0) == 50L)
   }
 
+  test("empty inputs: components, asof, pagerank degrade to empty/null, not errors") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Components.connectedComponents(noEdges, "a", "b").count() == 0)
+    assert(graft.operators.PageRank.pagerank(
+      noEdges.toDF("src", "dst"), iters = 2).count() == 0)
+    val left = Seq((1L, 5L, 10L)).toDF("id", "k", "t")
+    val noRight = Seq.empty[(Long, Long)].toDF("k", "vt")
+    val out = AsofJoin.asof(left, noRight, Seq("k"), col("t"), col("vt"), "asof_t")
+      .collect()
+    assert(out.length == 1 && out.head.isNullAt(3))
+  }
+
   test("pagerank: ranks sum to ~1, symmetry respected, hub ranks highest") {
     import graft.operators.PageRank
     // star: hub 1 ↔ leaves 2,3,4 (symmetric edges)
