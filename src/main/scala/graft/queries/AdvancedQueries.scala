@@ -434,6 +434,31 @@ object AdvancedQueries {
         .limit(20)
     },
 
+    // Supplier/part sourcing rollout: revenue per (supplier nation, brand)
+    // over lineitem ⋈ part ⋈ supplier ⋈ nation — completes fixture-table
+    // coverage (part and supplier). supplier/nation are forced broadcast;
+    // part is left to AQE (it grows with scale — at the 100 TB point it may
+    // need a shuffle join, and AQE makes that call from actual sizes).
+    QueryDef("q84_supplier_parts",
+      """SELECT n_name, p_brand, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+        |         AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, p_brand ORDER BY n_name, p_brand""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(count(lit(1)).as("n"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue_cents"))
+        .orderBy("n_name", "p_brand")
+    },
+
     // Keep-one-representative dedup: within each (lang, source) group keep
     // the longest document (ties → smallest doc_id) — the canonical
     // "best URL per near-dup cluster" selection, as a rank-1 window.
