@@ -49,7 +49,9 @@ case class ChannelStatsAgg(
     val arr = v.asInstanceOf[ArrayData]
     // exposed to arbitrary SQL via GraftExtensions — fail loudly on ragged or
     // null-holed arrays rather than reading past the element region
-    if (arr.numElements() < n)
+    // strict equality: a longer array silently truncated would mask an
+    // upstream reshape bug just as badly as a short one read out of bounds
+    if (arr.numElements() != n)
       throw new IllegalArgumentException(
         s"channel_stats(dim=$n) got an array of ${arr.numElements()} elements")
     val cnt = b(0) + 1

@@ -30,16 +30,29 @@ object Hashes {
     * keys (Spark's and DuckDB's `%` both keep the dividend's sign), so the
     * [0, Prime) contract holds for the full int64 key range.
     */
-  def mulHash(key: Column, seed: Long): Column =
+  /** Seeds outside [0, 3.4e9] would break the contract silently (negative
+    * final multiplier → negative hash → e.g. every split row labeled "train";
+    * larger seeds overflow int64 in the pre-multiplier) — reject loudly.
+    */
+  val MaxSeed: Long = 3400000000L
+  private def checkSeed(seed: Long): Unit =
+    require(seed >= 0 && seed <= MaxSeed,
+      s"hash seed must be in [0, $MaxSeed], got $seed")
+
+  def mulHash(key: Column, seed: Long): Column = {
+    checkSeed(seed)
     (((key % PreMod + PreMod + seed) * Mult) % Prime) * (2 * seed + 1) % Prime
+  }
 
   /** Bucket in [0, buckets) — the split/sample primitive (SURVEY §2 rows 17-18). */
   def bucket(key: Column, seed: Long, buckets: Int): Column =
     mulHash(key, seed) % buckets
 
   /** Identical semantics rendered as DuckDB/ANSI SQL for the oracle. */
-  def mulHashSql(key: String, seed: Long): String =
+  def mulHashSql(key: String, seed: Long): String = {
+    checkSeed(seed)
     s"(((($key) % $PreMod + $PreMod + $seed) * $Mult) % $Prime) * ${2 * seed + 1} % $Prime"
+  }
   def bucketSql(key: String, seed: Long, buckets: Int): String =
     s"(${mulHashSql(key, seed)}) % $buckets"
 

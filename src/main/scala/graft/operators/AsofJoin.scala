@@ -49,9 +49,15 @@ object AsofJoin {
     val l = left.select(
       keyCols :+ leftTime.as("__t") :+ lit(1).as("__side")
         :+ struct(left.columns.map(col).toIndexedSeq: _*).as("__row"): _*)
-    val r = right.select(
-      keyCols :+ rightTime.as("__t") :+ lit(0).as("__side")
-        :+ lit(null).cast(l.schema("__row").dataType).as("__row"): _*)
+    // SQL join semantics: null keys never match — drop null-keyed right rows
+    // (Window.partitionBy would otherwise group them with null-keyed LEFT
+    // rows and hand those an as-of value); null-keyed left rows are kept and
+    // get a null asofCol, like an unmatched left-join row.
+    val r = right
+      .where(keys.map(k => col(k).isNotNull).reduce(_ && _))
+      .select(
+        keyCols :+ rightTime.as("__t") :+ lit(0).as("__side")
+          :+ lit(null).cast(l.schema("__row").dataType).as("__row"): _*)
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -62,10 +62,15 @@ object KMeans {
       // cross-engine equality except for values within an ulp of a boundary
       val dimAvgs = (0 until dim).map(i =>
         round(avg(element_at(col("x"), i + 1)), 9).as(s"m_$i"))
-      centroids = assigned.groupBy("cluster")
+      val means = assigned.groupBy("cluster")
         .agg(dimAvgs.head, dimAvgs.tail: _*)
         .select(col("cluster"),
-          array((0 until dim).map(i => col(s"m_$i")): _*).as("centroid"))
+          array((0 until dim).map(i => col(s"m_$i")): _*).as("mean_c"))
+      // a cluster that received no points keeps its previous centroid —
+      // groupBy alone would silently DROP it and return < k clusters
+      centroids = centroids.join(means, Seq("cluster"), "left")
+        .select(col("cluster"),
+          coalesce(col("mean_c"), col("centroid")).as("centroid"))
         .localCheckpoint() // keep the loop's plan from nesting per round
       assigned = assign(centroids)
     }

@@ -64,7 +64,8 @@ object Multimodal {
   def resizeStub(media: DataFrame, factor: Int): DataFrame = {
     require(factor > 1)
     val resize = udf { (bytes: Array[Byte]) =>
-      bytes.grouped(factor).map(_.head).toArray
+      if (bytes == null) null
+      else bytes.grouped(factor).map(_.head).toArray
     }
     media.withColumn("media", resize(col("media")))
       .withColumn("meta", struct(
@@ -80,7 +81,8 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     require(frameBytes > 0 && stride > 0)
     val frames = udf { (bytes: Array[Byte]) =>
-      bytes.grouped(frameBytes).zipWithIndex
+      if (bytes == null) Seq.empty[(Int, Array[Byte])]
+      else bytes.grouped(frameBytes).zipWithIndex
         .collect { case (frame, i) if i % stride == 0 => (i, frame) }.toSeq
     }
     media.select(col("media_id"), explode(frames(col("media"))).as("f"))
@@ -96,7 +98,9 @@ object Multimodal {
     val rdd = media.select(col("media_id"), col("media")).rdd
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { group =>
-          val batch = group.map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toArray
+          // null payloads decode as empty media rather than NPE-ing the task
+          val batch = group.map(r => (r.getLong(0),
+            Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte]))).toArray
           decoder.decodeBatch(batch).iterator
             .map(f => Row(f.id, f.nBytes, f.firstByte, f.byteSum16))
         }

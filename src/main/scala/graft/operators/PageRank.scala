@@ -35,16 +35,23 @@ object PageRank {
 
     var ranks = v.crossJoin(nDF).select(col("id"), (lit(1.0) / col("n")).as("r"))
     for (_ <- 0 until iters) {
+      // dangling vertices (no out-edges) would leak their mass each round —
+      // standard damped PageRank redistributes it uniformly; quantized to
+      // the same integer 1e-12 units as the edge messages
+      val dangling = broadcast(ranks
+        .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+        .agg(coalesce(sum(round(col("r") * 1e12, 0).cast("long")), lit(0L)).as("dm")))
       val msgs = e
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .join(deg, "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(round(col("r") / col("outdeg") * 1e12, 0).cast("long")).as("m"))
-      ranks = v.crossJoin(nDF)
+      ranks = v.crossJoin(nDF).crossJoin(dangling)
         .join(msgs, Seq("id"), "left")
         .select(col("id"),
           round(lit(1.0 - damping) / col("n")
-            + lit(damping) * (coalesce(col("m"), lit(0L)) / lit(1e12)), 9).as("r"))
+            + lit(damping) * (coalesce(col("m"), lit(0L)) / lit(1e12)
+              + (col("dm") / lit(1e12)) / col("n")), 9).as("r"))
         .localCheckpoint()
     }
     ranks

@@ -36,6 +36,10 @@ object ScalerPipeline {
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     targets.zipWithIndex.map { case ((c, kind), i) =>
+      // an empty fit relation / all-null column yields null aggregates —
+      // surface that as a clear error, not an NPE from getDouble
+      if (row.isNullAt(4 * i)) throw new IllegalStateException(
+        s"scaler fit for '$c': fit relation is empty or the column is all null")
       Stat(c, kind.name,
         row.getDouble(4 * i), row.getDouble(4 * i + 1),
         row.getDouble(4 * i + 2), row.getDouble(4 * i + 3))
@@ -54,12 +58,29 @@ object ScalerPipeline {
     spark.read.parquet(path).as[Stat].collect().toSeq
   }
 
-  /** Apply: literal-folded projection, one scaled column per stat. */
-  def transformColumn(stat: Stat): Column = stat.kind match {
-    case "standard"       => (col(stat.target) - lit(stat.mean)) / lit(stat.stddev)
-    case "minmax"         => (col(stat.target) - lit(stat.min)) / lit(stat.max - stat.min)
-    case "log1p_standard" => (log1p(col(stat.target)) - lit(stat.mean)) / lit(stat.stddev)
-    case other            => throw new IllegalArgumentException(s"unknown scaler kind: $other")
+  /** Zero-variance / zero-range columns scale by 1 instead of dividing by 0
+    * (sklearn's handle_zeros_in_scale semantics) — a constant column comes
+    * out centered at 0, not Infinity/NaN.
+    */
+  private def safeScale(s: Double): Double = if (s == 0.0) 1.0 else s
+
+  /** Apply: literal-folded projection, one scaled column per stat — built on
+    * the same Physics expressions as every other scaling path (one formula,
+    * one place to fix).
+    */
+  def transformColumn(stat: Stat): Column = {
+    import graft.functions.Physics
+    stat.kind match {
+      case "standard" =>
+        Physics.standardScale(col(stat.target), stat.mean, safeScale(stat.stddev))
+      case "minmax" =>
+        Physics.minMaxScale(col(stat.target), stat.min,
+          stat.min + safeScale(stat.max - stat.min))
+      case "log1p_standard" =>
+        Physics.standardScale(Physics.log1pScale(col(stat.target)),
+          stat.mean, safeScale(stat.stddev))
+      case other => throw new IllegalArgumentException(s"unknown scaler kind: $other")
+    }
   }
 
   def apply(df: DataFrame, stats: Seq[Stat], suffix: String = "_scaled"): DataFrame =

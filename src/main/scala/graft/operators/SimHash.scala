@@ -41,5 +41,6 @@ object SimHash {
     }.reduceLeft(_ + _)
 
   def hammingSql(a: String, b: String, bits: Int = 16): String =
-    (0 until bits).map(i => s"((($a) # ($b)) >> $i) & 1").mkString("(", " + ", ")")
+    // DuckDB has no infix XOR operator — `#` is a parse error; use xor(a, b)
+    (0 until bits).map(i => s"((xor(($a), ($b)) >> $i) & 1)").mkString("(", " + ", ")")
 }

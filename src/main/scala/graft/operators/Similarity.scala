@@ -58,6 +58,10 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(Tensors.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cos"))
+      // zero-norm vectors yield null cos (x/0 → null) and NaN elements yield
+      // NaN cos, which Spark sorts ABOVE every real value under DESC — both
+      // would corrupt the top-k, so undefined similarities are excluded
+      .where(col("cos").isNotNull && !isnan(col("cos")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))

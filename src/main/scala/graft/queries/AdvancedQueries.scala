@@ -395,7 +395,10 @@ object AdvancedQueries {
     // CTEs; output = top-20 vertices by rank.
     QueryDef("q81_pagerank", {
       def m(k: Int, prev: String) =
-        s"""m$k AS (
+        s"""d$k AS (
+           |  SELECT coalesce(sum(CAST(round(p.r * 1e12, 0) AS BIGINT)), 0) AS dm
+           |  FROM $prev p WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = p.id)),
+           |m$k AS (
            |  SELECT e.dst AS id,
            |         sum(CAST(round(p.r / deg.outdeg * 1e12, 0) AS BIGINT)) AS m
            |  FROM e JOIN $prev p ON e.src = p.id JOIN deg ON deg.src = e.src
@@ -403,8 +406,8 @@ object AdvancedQueries {
       def r(k: Int) =
         s"""r$k AS (
            |  SELECT v.id, round((CAST(1.0 AS DOUBLE) - 0.85) / nn.n
-           |    + 0.85 * (coalesce(m$k.m, 0) / 1e12), 9) AS r
-           |  FROM v CROSS JOIN nn LEFT JOIN m$k ON m$k.id = v.id)""".stripMargin
+           |    + 0.85 * (coalesce(m$k.m, 0) / 1e12 + (d$k.dm / 1e12) / nn.n), 9) AS r
+           |  FROM v CROSS JOIN nn CROSS JOIN d$k LEFT JOIN m$k ON m$k.id = v.id)""".stripMargin
       s"""WITH pairs AS (
          |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

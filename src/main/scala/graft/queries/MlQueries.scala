@@ -221,14 +221,16 @@ private object KMeansSql {
        |    FROM embeddings e CROSS JOIN $c c) t
        |  WHERE rn = 1)""".stripMargin
 
-  private def updateCte(cN: String, a: String) =
+  private def updateCte(cN: String, a: String, prev: String) =
     s"""$cN AS (
-       |  SELECT cluster, list(m ORDER BY dm) AS centroid
-       |  FROM (SELECT cluster, i AS dm,
-       |               round(avg(CAST(embedding[i + 1] AS DOUBLE)), 9) AS m
-       |        FROM $a, (SELECT unnest(range(0, $dim)) AS i)
-       |        GROUP BY cluster, i)
-       |  GROUP BY cluster)""".stripMargin
+       |  SELECT p.cluster, coalesce(u.mean_c, p.centroid) AS centroid
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT cluster, list(m ORDER BY dm) AS mean_c
+       |    FROM (SELECT cluster, i AS dm,
+       |                 round(avg(CAST(embedding[i + 1] AS DOUBLE)), 9) AS m
+       |          FROM $a, (SELECT unnest(range(0, $dim)) AS i)
+       |          GROUP BY cluster, i)
+       |    GROUP BY cluster) u ON u.cluster = p.cluster)""".stripMargin
 
   val sql: String =
     s"""WITH c0 AS (
@@ -236,9 +238,9 @@ private object KMeansSql {
        |         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS centroid
        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)),
        |${assignCte("a1", "c0")},
-       |${updateCte("c1", "a1")},
+       |${updateCte("c1", "a1", "c0")},
        |${assignCte("a2", "c1")},
-       |${updateCte("c2", "a2")},
+       |${updateCte("c2", "a2", "c1")},
        |${assignCte("a3", "c2")}
        |SELECT s.cluster AS cluster_id, s.n,
        |       round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),

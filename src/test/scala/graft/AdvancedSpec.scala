@@ -89,6 +89,18 @@ class AdvancedSpec extends AnyFunSuite {
     assert(ranks(1L) > ranks(2L))
   }
 
+  test("pagerank: dangling-vertex mass is redistributed, total stays ~1") {
+    import graft.operators.PageRank
+    // directed chain with a sink: 1→2→3; vertex 3 has no out-edges
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val ranks = PageRank.pagerank(e, iters = 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.keySet == Set(1L, 2L, 3L))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6, ranks)
+    // the sink accumulates the most mass, the source the least
+    assert(ranks(3L) > ranks(2L) && ranks(2L) > ranks(1L))
+  }
+
   test("kmeans separates two obvious blobs and partitions all points") {
     import graft.operators.KMeans
     // blob A near (0,0): ids 0,2,3,4 ; blob B near (10,10): ids 1,5,6,7
