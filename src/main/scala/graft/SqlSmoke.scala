@@ -9,12 +9,8 @@ import org.apache.spark.sql.SparkSession
 object SqlSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the library front door — proves spark.sql.extensions wiring end-to-end
+    val spark = GraftSession.local(cores = 4, appName = "graft-sql-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.functions._
 

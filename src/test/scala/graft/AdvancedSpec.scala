@@ -64,6 +64,23 @@ class AdvancedSpec extends AnyFunSuite {
     assert(got.head.getLong(0) == 50L)
   }
 
+  test("observed metrics materialize in-flight with the action, no extra pass") {
+    import graft.operators.Metrics
+    val src = Seq((1L, "a"), (2L, null), (3L, "c")).toDF("id", "txt")
+    val (df, collector) = Metrics.observed(src, "stage_metrics",
+      count(lit(1)).as("rows"),
+      count(when(col("txt").isNull, 1)).as("null_txt"))
+    df.write.format("noop").mode("overwrite").save()
+    // listener delivery is async w.r.t. the action — bounded wait
+    val deadline = System.currentTimeMillis() + 10000
+    var m = collector.get("stage_metrics")
+    while (m.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100); m = collector.get("stage_metrics")
+    }
+    assert(m.isDefined)
+    assert(m.get.getLong(0) == 3L && m.get.getLong(1) == 1L)
+  }
+
   test("empty inputs: components, asof, pagerank degrade to empty/null, not errors") {
     val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Components.connectedComponents(noEdges, "a", "b").count() == 0)
