@@ -279,6 +279,43 @@ object AdvancedQueries {
         .orderBy("c_custkey")
     },
 
+    // Explicit grouping sets — aggregation at (flag) and (status) levels
+    // only, skipping the combined and grand-total levels rollup/cube would
+    // add; uses the Dataset.groupingSets API (new in Spark 4).
+    QueryDef("q85_grouping_sets",
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY flag, status""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("n"))
+        .orderBy("flag", "status")
+    },
+
+    // Semi-structured VariantType (Spark 4): parse the JSON props column
+    // once into a variant and extract typed fields — the shredded-storage
+    // path for schema-on-read columns (vs q29's per-query string parsing).
+    QueryDef("q86_variant_extract",
+      """SELECT event_type,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |         AS k_sum,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("k_sum"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
     // RANGE-frame rolling window: per user, events in the trailing hour at
     // each event — a value-based frame (RANGE BETWEEN 3600s PRECEDING),
     // distinct from every ROWS frame elsewhere: the frame boundary follows
