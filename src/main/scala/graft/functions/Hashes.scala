@@ -44,6 +44,14 @@ object Hashes {
     (((key % PreMod + PreMod + seed) * Mult) % Prime) * (2 * seed + 1) % Prime
   }
 
+  /** Scalar (driver/executor-side) twin of [[mulHash]] — bit-identical, used
+    * by the synthetic DSv2 source so its rows are oracle-replayable.
+    */
+  def mulHashLong(key: Long, seed: Long): Long = {
+    checkSeed(seed)
+    (((key % PreMod + PreMod + seed) * Mult) % Prime) * (2 * seed + 1) % Prime
+  }
+
   /** Bucket in [0, buckets) — the split/sample primitive (SURVEY §2 rows 17-18). */
   def bucket(key: Column, seed: Long, buckets: Int): Column =
     mulHash(key, seed) % buckets

@@ -45,6 +45,34 @@ object SourceQueries {
         .orderBy("l_returnflag")
     },
 
+    // Custom DataSource V2: the deterministic shower-event generator
+    // (sources/ShowerEventsSource) read through the connector API with
+    // column pruning and event_id range pushdown — even the custom source
+    // is oracle-checked, because its rows derive from replayable integer
+    // hash arithmetic (the same Hashes family as the split/sample ops).
+    QueryDef("q87_custom_source", {
+      import graft.sources.ShowerEventsSource.fieldSql
+      s"""WITH t AS (SELECT unnest(range(20000)) AS id),
+         |f AS (SELECT id,
+         |        ${fieldSql("clazz", "id")} AS clazz,
+         |        ${fieldSql("log_e", "id")} AS log_e,
+         |        ${fieldSql("theta", "id")} AS theta,
+         |        ${fieldSql("p", "id")} AS p
+         |      FROM t)
+         |SELECT clazz, count(*) AS n, round(avg(p), 6) AS avg_p,
+         |       round(avg(log_e), 6) AS avg_loge
+         |FROM f WHERE theta < 30 AND log_e >= 15 AND id < 15000
+         |GROUP BY clazz ORDER BY clazz""".stripMargin
+    }) { (s, d) =>
+      s.read.format("graft.sources.ShowerEventsSource")
+        .option("rows", "20000").option("partitions", "8").load()
+        .where(col("theta") < 30 && col("log_e") >= 15 && col("event_id") < 15000)
+        .groupBy("clazz")
+        .agg(count(lit(1)).as("n"), round(avg("p"), 6).as("avg_p"),
+          round(avg("log_e"), 6).as("avg_loge"))
+        .orderBy("clazz")
+    },
+
     // JSON-lines sink → schema'd scan → aggregate, same contract.
     QueryDef("q67_jsonl_roundtrip",
       """SELECT o_orderpriority, count(*) AS n,
