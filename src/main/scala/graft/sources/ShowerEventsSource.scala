@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -74,7 +75,7 @@ private[sources] class ShowerTable(rows: Long, partitions: Int)
   override def name(): String = s"shower_events($rows)"
   override def schema(): StructType = ShowerEventsSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ShowerScanBuilder(rows, partitions)
 }
@@ -107,18 +108,48 @@ private[sources] class ShowerScanBuilder(rows: Long, partitions: Int)
 
 private[sources] case class ShowerRange(start: Long, end: Long) extends InputPartition
 
+/** Offset = how many ids have been emitted (monotone, JSON = the number). */
+private[sources] case class IdOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
 private[sources] class ShowerScan(required: StructType, lo: Long, hi: Long, partitions: Int)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    ShowerScan.split(lo, hi, partitions)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShowerReaderFactory(required)
+
+  /** Streaming read: the id space is the offset axis — each micro-batch
+    * covers (start, end] ids with the same partitioned readers as the batch
+    * path. All remaining ids are "available", so Trigger.AvailableNow
+    * drains the source in one batch and stops — the batch/stream parity
+    * harness shape.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream {
+      override def initialOffset(): Offset = IdOffset(lo)
+      override def latestOffset(): Offset = IdOffset(hi)
+      override def deserializeOffset(json: String): Offset = IdOffset(json.toLong)
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+        ShowerScan.split(start.asInstanceOf[IdOffset].v, end.asInstanceOf[IdOffset].v,
+          partitions)
+      override def createReaderFactory(): PartitionReaderFactory =
+        new ShowerReaderFactory(required)
+    }
+}
+
+private[sources] object ShowerScan {
+  def split(lo: Long, hi: Long, partitions: Int): Array[InputPartition] = {
     val total = math.max(0L, hi - lo)
     val per = math.max(1L, (total + partitions - 1) / partitions)
     (lo until hi by per).map(s => ShowerRange(s, math.min(s + per, hi)))
       .toArray[InputPartition]
   }
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ShowerReaderFactory(required)
 }
 
 private[sources] class ShowerReaderFactory(required: StructType)

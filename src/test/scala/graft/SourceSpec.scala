@@ -41,6 +41,19 @@ class SourceSpec extends AnyFunSuite {
     assert(plan.contains("BatchScan") || plan.contains("Scan"), plan)
   }
 
+  test("streaming read drains the source and matches the batch rows") {
+    val stream = spark.readStream.format("graft.sources.ShowerEventsSource")
+      .option("rows", "500").option("partitions", "4").load()
+    val q = stream.writeStream.format("memory").queryName("shower_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("shower_stream").collect().map(_.toSeq).toSet
+    val batch = read(500).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 500)
+  }
+
   test("column pruning: projecting one field still yields correct values") {
     val only = read(20).select("clazz").collect().map(_.getInt(0))
     assert(only.toSeq == (0L until 20L).map(ShowerEventsSource.clazzOf))
