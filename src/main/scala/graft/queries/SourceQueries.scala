@@ -45,6 +45,26 @@ object SourceQueries {
         .orderBy("l_returnflag")
     },
 
+    // ORC sink → scan → aggregate: the second columnar format next to
+    // parquet, same lossless-hop contract as q66/q67 (ORC round-trips all
+    // types exactly; the integer projection keeps the aggregate
+    // engine-exact anyway).
+    QueryDef("q88_orc_roundtrip",
+      """SELECT l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS qty_cents
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      val dir = tmp("orc", d)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linestatus"),
+          round(col("l_quantity") * 100, 0).cast("long").as("qty_cents"))
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("qty_cents").as("qty_cents"))
+        .orderBy("l_linestatus")
+    },
+
     // Custom DataSource V2: the deterministic shower-event generator
     // (sources/ShowerEventsSource) read through the connector API with
     // column pruning and event_id range pushdown — even the custom source
