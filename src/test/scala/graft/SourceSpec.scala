@@ -54,6 +54,17 @@ class SourceSpec extends AnyFunSuite {
     assert(streamed.size == 500)
   }
 
+  test("audit sink: two-phase commit aggregates exact task counts") {
+    import graft.sources.AuditSink
+    read(1234, parts = 5)
+      .write.format("graft.sources.AuditSink")
+      .option("name", "spec_run").mode("append").save()
+    val counts = AuditSink.result("spec_run")
+    assert(counts.isDefined)
+    assert(counts.get.rows == 1234L)
+    assert(counts.get.fields == 1234L * 5) // 5 schema fields per row
+  }
+
   test("column pruning: projecting one field still yields correct values") {
     val only = read(20).select("clazz").collect().map(_.getInt(0))
     assert(only.toSeq == (0L until 20L).map(ShowerEventsSource.clazzOf))
