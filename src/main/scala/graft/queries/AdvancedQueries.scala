@@ -165,6 +165,36 @@ object AdvancedQueries {
         .orderBy("o_orderpriority", "rnk")
     },
 
+    // Distribution-window family: percent_rank, cume_dist and nth_value
+    // complete the ANSI window set next to q59's ranking functions. Unique
+    // o_orderkey tie-break keeps every value engine-deterministic.
+    QueryDef("q89_window_ratios",
+      """WITH w AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         round(percent_rank() OVER win, 6) AS prank,
+        |         round(cume_dist() OVER win, 6) AS cdist,
+        |         coalesce(CAST(round(nth_value(o_totalprice, 3) OVER
+        |           (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100, 0)
+        |           AS BIGINT), -1) AS third_price_cents
+        |  FROM orders
+        |  WINDOW win AS (PARTITION BY o_orderpriority
+        |                 ORDER BY o_totalprice DESC, o_orderkey))
+        |SELECT * FROM w WHERE o_orderkey % 25 = 0
+        |ORDER BY o_orderpriority, prank""".stripMargin) { (s, d) =>
+      val win = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val winRows = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(percent_rank().over(win), 6).as("prank"),
+          round(cume_dist().over(win), 6).as("cdist"),
+          coalesce(round(nth_value(col("o_totalprice"), 3).over(winRows) * 100, 0)
+            .cast("long"), lit(-1L)).as("third_price_cents"))
+        .where(col("o_orderkey") % 25 === 0)
+        .orderBy("o_orderpriority", "prank")
+    },
+
     // Range (band) join: lineitem priced into irregular literal price bands
     // via an interval predicate — the general non-equi join the θ/E-band
     // predicates imply across relations (SURVEY §2.3). The band side is

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -48,12 +49,17 @@ private[sources] class AuditTable(schema: StructType, name: String)
   override def name(): String = s"audit_sink($name)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new AuditBatchWrite(name, info.schema())
+        // streaming twin: per-epoch commits accumulate into the same
+        // published totals (epoch id unused — counts are additive)
+        override def toStreaming: StreamingWrite =
+          new AuditStreamingWrite(name, info.schema().size)
       }
     }
 }
@@ -69,6 +75,32 @@ private[sources] class AuditBatchWrite(name: String, schema: StructType)
     AuditSink.publish(name, total)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Streaming twin: per-epoch commits accumulate into the same published
+  * totals (counts are additive across epochs).
+  */
+private[sources] class AuditStreamingWrite(name: String, nFields: Int)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      i: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new AuditStreamingWriterFactory(nFields)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val prev = AuditSink.result(name).getOrElse(AuditSink.TaskCounts(0L, 0L))
+    val batch = messages.collect { case c: AuditSink.TaskCounts => c }
+      .foldLeft(AuditSink.TaskCounts(0L, 0L))((a, b) =>
+        AuditSink.TaskCounts(a.rows + b.rows, a.fields + b.fields))
+    AuditSink.publish(name,
+      AuditSink.TaskCounts(prev.rows + batch.rows, prev.fields + batch.fields))
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class AuditStreamingWriterFactory(nFields: Int)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new AuditWriterFactory(nFields).createWriter(partitionId, taskId)
 }
 
 private[sources] class AuditWriterFactory(nFields: Int) extends DataWriterFactory {

@@ -65,6 +65,20 @@ class SourceSpec extends AnyFunSuite {
     assert(counts.get.fields == 1234L * 5) // 5 schema fields per row
   }
 
+  test("audit sink accepts a streaming write and accumulates epoch counts") {
+    import graft.sources.AuditSink
+    val stream = spark.readStream.format("graft.sources.ShowerEventsSource")
+      .option("rows", "300").option("partitions", "3").load()
+    val q = stream.writeStream.format("graft.sources.AuditSink")
+      .option("name", "stream_audit")
+      .option("checkpointLocation", s"/tmp/graft_audit_ckpt_${System.nanoTime()}")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val counts = AuditSink.result("stream_audit")
+    assert(counts.exists(_.rows == 300L), counts)
+  }
+
   test("column pruning: projecting one field still yields correct values") {
     val only = read(20).select("clazz").collect().map(_.getInt(0))
     assert(only.toSeq == (0L until 20L).map(ShowerEventsSource.clazzOf))
