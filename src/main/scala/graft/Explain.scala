@@ -10,12 +10,7 @@ object Explain {
     val sfDir = args.sliding(2).collectFirst { case Array("--sf", d) => d }
       .getOrElse("/root/testdata/sf0.001")
     val names = args.filterNot(_.startsWith("--")).filterNot(_ == sfDir)
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.local(8, appName = "graft-explain")
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names.exists(n.contains) }

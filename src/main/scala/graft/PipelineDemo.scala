@@ -50,13 +50,7 @@ object PipelineDemo {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(20000L)
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.local(8, appName = "graft-pipeline-demo")
     spark.sparkContext.setLogLevel("ERROR")
     val out = "/tmp/graft_pipeline_demo"
 

@@ -10,12 +10,7 @@ import graft.streaming.EventStreams
 object StreamSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.local(4, appName = "graft-stream-smoke")
     spark.sparkContext.setLogLevel("ERROR")
 
     val batch = EventStreams.tumblingCounts(Tables.events(spark, sfDir))

@@ -22,22 +22,28 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object Metrics {
 
-  /** Collects observation rows per metric name as query executions finish. */
-  final class Collector extends QueryExecutionListener {
+  /** Collects observation rows for ONE metric name; `close()` unregisters it
+    * — a long-lived session calling [[observed]] per stage would otherwise
+    * leak one listener per call, each harvesting every query's metrics.
+    */
+  final class Collector(session: org.apache.spark.sql.SparkSession, watched: String)
+      extends QueryExecutionListener with AutoCloseable {
     private val seen = new java.util.concurrent.ConcurrentHashMap[String, Row]()
 
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-      qe.observedMetrics.foreach { case (name, row) => seen.put(name, row) }
+      qe.observedMetrics.get(watched).foreach(row => seen.put(watched, row))
     override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
 
     def get(name: String): Option[Row] = Option(seen.get(name))
+    override def close(): Unit = session.listenerManager.unregister(this)
   }
 
   /** Attach named observed metrics to a frame and register a collector on
-    * its session. The metrics materialize when the frame's next ACTION runs.
+    * its session. The metrics materialize when the frame's next ACTION runs;
+    * `close()` the collector when done with it.
     */
   def observed(df: DataFrame, name: String, metrics: Column*): (DataFrame, Collector) = {
-    val collector = new Collector
+    val collector = new Collector(df.sparkSession, name)
     df.sparkSession.listenerManager.register(collector)
     (df.observe(name, metrics.head, metrics.tail: _*), collector)
   }

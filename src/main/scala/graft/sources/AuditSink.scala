@@ -37,11 +37,26 @@ class AuditSink extends TableProvider {
 object AuditSink {
   final case class TaskCounts(rows: Long, fields: Long) extends WriterCommitMessage
 
-  /** Committed totals per sink name (driver-side, for tests + metrics). */
-  private val committed = new ConcurrentHashMap[String, TaskCounts]()
-  def result(name: String): Option[TaskCounts] = Option(committed.get(name))
+  /** Committed totals per sink name (driver-side, for tests + metrics),
+    * with the last committed epoch so streaming replays are idempotent.
+    */
+  private final case class State(lastEpoch: Long, counts: TaskCounts)
+  private val committed = new ConcurrentHashMap[String, State]()
+  def result(name: String): Option[TaskCounts] =
+    Option(committed.get(name)).map(_.counts)
   private[sources] def publish(name: String, c: TaskCounts): Unit =
-    committed.put(name, c)
+    committed.put(name, State(-1L, c))
+  /** Accumulate one epoch's counts; a REPLAYED epoch (≤ last committed) is
+    * a no-op — Spark may re-invoke commit for the same epoch after a
+    * failure, and blind accumulation would double-count.
+    */
+  private[sources] def publishEpoch(name: String, epochId: Long, c: TaskCounts): Unit =
+    committed.compute(name, (_, prev) => prev match {
+      case null => State(epochId, c)
+      case s if epochId <= s.lastEpoch => s
+      case s => State(epochId,
+        TaskCounts(s.counts.rows + c.rows, s.counts.fields + c.fields))
+    })
 }
 
 private[sources] class AuditTable(schema: StructType, name: String)
@@ -86,12 +101,10 @@ private[sources] class AuditStreamingWrite(name: String, nFields: Int)
       i: PhysicalWriteInfo): StreamingDataWriterFactory =
     new AuditStreamingWriterFactory(nFields)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val prev = AuditSink.result(name).getOrElse(AuditSink.TaskCounts(0L, 0L))
     val batch = messages.collect { case c: AuditSink.TaskCounts => c }
       .foldLeft(AuditSink.TaskCounts(0L, 0L))((a, b) =>
         AuditSink.TaskCounts(a.rows + b.rows, a.fields + b.fields))
-    AuditSink.publish(name,
-      AuditSink.TaskCounts(prev.rows + batch.rows, prev.fields + batch.fields))
+    AuditSink.publishEpoch(name, epochId, batch)
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }

@@ -80,7 +80,7 @@ private[sources] class ShowerTable(rows: Long, partitions: Int)
     new ShowerScanBuilder(rows, partitions)
 }
 
-private[sources] class ShowerScanBuilder(rows: Long, partitions: Int)
+private[graft] class ShowerScanBuilder(rows: Long, partitions: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = ShowerEventsSource.schema
   private var lo: Long = 0L
@@ -93,9 +93,13 @@ private[sources] class ShowerScanBuilder(rows: Long, partitions: Int)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
       case GreaterThanOrEqual("event_id", v: Long) => lo = math.max(lo, v); true
-      case GreaterThan("event_id", v: Long)        => lo = math.max(lo, v + 1); true
+      // v+1 on Long.MaxValue would wrap negative and silently corrupt the
+      // range — reject the boundary cases and let Spark evaluate them
+      case GreaterThan("event_id", v: Long) if v < Long.MaxValue =>
+        lo = math.max(lo, v + 1); true
       case LessThan("event_id", v: Long)           => hi = math.min(hi, v); true
-      case LessThanOrEqual("event_id", v: Long)    => hi = math.min(hi, v + 1); true
+      case LessThanOrEqual("event_id", v: Long) if v < Long.MaxValue =>
+        hi = math.min(hi, v + 1); true
       case _ => false
     }
     pushed = accepted
@@ -106,14 +110,14 @@ private[sources] class ShowerScanBuilder(rows: Long, partitions: Int)
   override def build(): Scan = new ShowerScan(required, math.min(lo, hi), hi, partitions)
 }
 
-private[sources] case class ShowerRange(start: Long, end: Long) extends InputPartition
+private[graft] case class ShowerRange(start: Long, end: Long) extends InputPartition
 
 /** Offset = how many ids have been emitted (monotone, JSON = the number). */
 private[sources] case class IdOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
-private[sources] class ShowerScan(required: StructType, lo: Long, hi: Long, partitions: Int)
+private[graft] class ShowerScan(required: StructType, lo: Long, hi: Long, partitions: Int)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -143,7 +147,7 @@ private[sources] class ShowerScan(required: StructType, lo: Long, hi: Long, part
     }
 }
 
-private[sources] object ShowerScan {
+private[graft] object ShowerScan {
   def split(lo: Long, hi: Long, partitions: Int): Array[InputPartition] = {
     val total = math.max(0L, hi - lo)
     val per = math.max(1L, (total + partitions - 1) / partitions)

@@ -79,6 +79,7 @@ class AdvancedSpec extends AnyFunSuite {
     }
     assert(m.isDefined)
     assert(m.get.getLong(0) == 3L && m.get.getLong(1) == 1L)
+    collector.close() // unregisters the listener — no per-call leak
   }
 
   test("empty inputs: components, asof, pagerank degrade to empty/null, not errors") {

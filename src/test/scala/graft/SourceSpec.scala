@@ -32,13 +32,23 @@ class SourceSpec extends AnyFunSuite {
   }
 
   test("event_id range filters push into the generated ranges") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val df = read(100000, parts = 8).where(col("event_id") >= 99990L)
     assert(df.count() == 10)
-    // pushdown proof: the scan itself only plans the narrowed range — with
-    // the filter accepted, input rows == output rows (no post-scan filtering
-    // of 100k rows); verify via the executed plan's row counts
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BatchScan") || plan.contains("Scan"), plan)
+    // pushdown proof: the scan's planned input ranges cover exactly the 10
+    // matching ids, not the 100k-row id space
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scan.isDefined)
+    val planned = scan.get.toBatch.planInputPartitions()
+      .collect { case graft.sources.ShowerRange(s, e) => e - s }.sum
+    assert(planned == 10L, s"scan planned $planned ids, pushdown regressed")
+  }
+
+  test("Long.MaxValue boundary filters are rejected, not wrapped") {
+    val all = read(100).where(col("event_id") <= Long.MaxValue)
+    assert(all.count() == 100) // always-true predicate must keep every row
   }
 
   test("streaming read drains the source and matches the batch rows") {
