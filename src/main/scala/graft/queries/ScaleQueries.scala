@@ -36,8 +36,12 @@ object ScaleQueries {
         |  FROM scored WHERE doc_id < 100)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tfidf
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      // the exploded token relation feeds THREE aggregates (tf, df, count) —
+      // persist it so the scan+explode runs once, not per consumer (at
+      // 100 TB the recompute would triple the dominant cost)
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+        .persist()
       val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val df = tok.groupBy("token").agg(countDistinct("doc_id").as("df"))
       // doc count stays a lazy 1-row agg cross-joined in (like the oracle's

@@ -93,6 +93,30 @@ object SourceQueries {
         .orderBy("clazz")
     },
 
+    // 2-D analysis grid: θ×logE binned counts — the reference's band
+    // predicates (θ∈[0,30), logE∈[15,16)) generalized to the full histogram
+    // grid, computed over the custom source. One hash aggregate on the
+    // composite bin key; cardinality = 12×8 cells regardless of row count.
+    QueryDef("q90_histogram2d", {
+      import graft.sources.ShowerEventsSource.fieldSql
+      s"""WITH t AS (SELECT unnest(range(20000)) AS id),
+         |f AS (SELECT ${fieldSql("log_e", "id")} AS log_e,
+         |             ${fieldSql("theta", "id")} AS theta
+         |      FROM t)
+         |SELECT CAST(floor(theta / 5) AS BIGINT) AS theta_bin,
+         |       CAST(floor((log_e - 14.0) / 0.25) AS BIGINT) AS loge_bin,
+         |       count(*) AS n
+         |FROM f GROUP BY 1, 2 ORDER BY theta_bin, loge_bin""".stripMargin
+    }) { (s, d) =>
+      s.read.format("graft.sources.ShowerEventsSource")
+        .option("rows", "20000").option("partitions", "8").load()
+        .groupBy(
+          floor(col("theta") / 5).cast("long").as("theta_bin"),
+          floor((col("log_e") - 14.0) / 0.25).cast("long").as("loge_bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("theta_bin", "loge_bin")
+    },
+
     // JSON-lines sink → schema'd scan → aggregate, same contract.
     QueryDef("q67_jsonl_roundtrip",
       """SELECT o_orderpriority, count(*) AS n,

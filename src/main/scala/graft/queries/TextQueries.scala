@@ -88,8 +88,10 @@ object TextQueries {
         |       round(CAST(sum(lp_e6) AS DOUBLE) / count(*) / 1000000, 6)
         |         AS mean_logprob
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // consumed by freq, total AND the scoring join — persist to scan once
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+        .persist()
       val freq = tok.groupBy("token").agg(count(lit(1)).as("c"))
       val total = broadcast(tok.agg(count(lit(1)).as("n")))
       tok.join(freq, "token").crossJoin(total)
@@ -130,11 +132,13 @@ object TextQueries {
       val t = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
         .where(size(col("toks")) >= 2)
+      // consumed by c2, c1 and the scoring join — persist to derive once
       val b = t
         .select(col("doc_id"), col("toks"),
           explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
         .select(col("doc_id"), element_at(col("toks"), col("i")).as("prev"),
           element_at(col("toks"), col("i") + 1).as("cur"))
+        .persist()
       val c2 = b.groupBy("prev", "cur").agg(count(lit(1)).as("n2"))
       val c1 = b.groupBy("prev").agg(count(lit(1)).as("n1"))
       b.join(c2, Seq("prev", "cur")).join(c1, Seq("prev"))
