@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{ChannelStatsAgg, TextHashExprs, VectorExprs}
+import graft.functions.{ChannelStatsAgg, ShingleExplodeExpr, TextHashExprs, VectorExprs}
 
 /** Session extensions (SparkSessionExtensions → injectFunction): exposes the
   * engine's custom Catalyst expressions to SQL, so `spark.sql` users get the
@@ -54,6 +54,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorExprs.DotProductExpr].getName, "vec_dot"),
       (args: Seq[Expression]) => VectorExprs.DotProductExpr(args.head, args(1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_explode"),
+      new ExpressionInfo(classOf[ShingleExplodeExpr].getName, "shingle_explode"),
+      (args: Seq[Expression]) => ShingleExplodeExpr(args.head)))
 
     ext.injectFunction((
       new FunctionIdentifier("channel_stats"),

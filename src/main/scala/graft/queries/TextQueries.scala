@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Hashes
+import graft.operators.MinHash
 
 /** Training-data text pipeline ops over `documents` (north-star brief):
   * exact dedup, token stats, quality scoring, language-ID, fingerprinting.
@@ -64,6 +65,25 @@ object TextQueries {
             lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0))).cast("long").as("n_pieces"),
           ceil(length(col("text")) / 4.0).cast("long").as("n_tok_est"))
         .orderBy("doc_id")
+    },
+
+    // Custom Generator (UDTF): shingle_explode fans each document out to
+    // one row per 3-gram shingle, hashing inside the same kernel pass —
+    // no intermediate hash array per document (functions/GeneratorExprs).
+    QueryDef("q91_shingle_explode",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents WHERE doc_id < 50),
+         |s AS (SELECT doc_id, ${MinHash.shingleHashesSql("toks")} AS sh FROM t),
+         |i AS (SELECT doc_id, sh, unnest(range(1, len(sh) + 1)) AS i FROM s)
+         |SELECT doc_id, CAST(i - 1 AS INT) AS pos, sh[i] AS shingle
+         |FROM i ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.GraftColumnBridge
+      import graft.functions.ShingleExplodeExpr
+      val gen = GraftColumnBridge.column(ShingleExplodeExpr(
+        GraftColumnBridge.expression(split(col("text"), " ", -1))))
+      Tables.documents(s, d).where(col("doc_id") < 50)
+        .select(col("doc_id"), gen.as(Seq("pos", "shingle")))
+        .orderBy("doc_id", "pos")
     },
 
     // Unigram LM scoring: per-doc mean token log-probability under the
