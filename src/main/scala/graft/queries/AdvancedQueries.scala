@@ -56,6 +56,43 @@ object AdvancedQueries {
         .orderBy("event_id")
     },
 
+    // Attribution on top of the as-of join: conversion counts by view→
+    // purchase latency band — how many purchases follow their latest view
+    // within 10 minutes / 1 hour / 1 day / longer. Reuses q56's join-free
+    // as-of sweep, then one tiny banded aggregate.
+    QueryDef("q93_attribution",
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |m AS (
+        |  SELECT e.*, max(CASE WHEN kind = 0 THEN ts_us END) OVER (
+        |           PARTITION BY user_id ORDER BY ts_us, kind, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+        |  FROM e),
+        |p AS (SELECT ts_us - lv AS gap_us FROM m
+        |      WHERE kind = 1 AND lv IS NOT NULL)
+        |SELECT CASE WHEN gap_us <= 600000000 THEN '0_10min'
+        |            WHEN gap_us <= 3600000000 THEN '1_hour'
+        |            WHEN gap_us <= 86400000000 THEN '2_day'
+        |            ELSE '3_longer' END AS band,
+        |       count(*) AS n
+        |FROM p GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      def side(t: String) = ev.where(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      AsofJoin.asof(side("purchase"), side("view"), Seq("user_id"),
+          col("ts_us"), col("ts_us"), "lv")
+        .where(col("lv").isNotNull)
+        .select((col("ts_us") - col("lv")).as("gap_us"))
+        .select(when(col("gap_us") <= 600000000L, "0_10min")
+          .when(col("gap_us") <= 3600000000L, "1_hour")
+          .when(col("gap_us") <= 86400000000L, "2_day")
+          .otherwise("3_longer").as("band"))
+        .groupBy("band").agg(count(lit(1)).as("n"))
+        .orderBy("band")
+    },
+
     // Rollup over the region ⋈ customer ⋈ orders star: subtotals at
     // (region, priority), (region), and grand-total levels in ONE pass —
     // Expand + single hash aggregate, vs three separate scans+aggs.

@@ -67,6 +67,46 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Per-source KL divergence from the corpus token distribution — the
+    // information-theoretic "how unusual is this source" diagnostic. Each
+    // token's contribution (p·ln(p/q)) is quantized to integer 1e-9 units
+    // before the per-source sum, so the aggregation is exact (same playbook
+    // as the LM scores). Two aggregates + one join on token; all
+    // distributions derive from exact integer counts.
+    QueryDef("q92_source_kl",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |src AS (SELECT source, token, count(*) AS c FROM tok GROUP BY source, token),
+        |srctot AS (SELECT source, count(*) AS st FROM tok GROUP BY source),
+        |corp AS (SELECT token, count(*) AS g FROM tok GROUP BY token),
+        |tot AS (SELECT count(*) AS n FROM tok),
+        |terms AS (
+        |  SELECT src.source,
+        |         CAST(round((src.c / (1.0 * srctot.st))
+        |           * ln((src.c * (1.0 * tot.n)) / ((1.0 * srctot.st) * corp.g))
+        |           * 1000000000, 0) AS BIGINT) AS kl_e9
+        |  FROM src JOIN srctot USING (source) JOIN corp USING (token) CROSS JOIN tot)
+        |SELECT source, count(*) AS n_distinct_tokens,
+        |       round(CAST(sum(kl_e9) AS DOUBLE) / 1000000000, 6) AS kl
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("token"))
+        .persist()
+      val src = tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
+      val srctot = tok.groupBy("source").agg(count(lit(1)).as("st"))
+      val corp = tok.groupBy("token").agg(count(lit(1)).as("g"))
+      val tot = broadcast(tok.agg(count(lit(1)).as("n")))
+      src.join(srctot, "source").join(corp, "token").crossJoin(tot)
+        .select(col("source"),
+          round((col("c") / (lit(1.0) * col("st")))
+            * log((col("c") * (lit(1.0) * col("n"))) / ((lit(1.0) * col("st")) * col("g")))
+            * 1000000000, 0).cast("long").as("kl_e9"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_distinct_tokens"),
+          round(sum("kl_e9").cast("double") / 1000000000, 6).as("kl"))
+        .orderBy("source")
+    },
+
     // Custom Generator (UDTF): shingle_explode fans each document out to
     // one row per 3-gram shingle, hashing inside the same kernel pass —
     // no intermediate hash array per document (functions/GeneratorExprs).
