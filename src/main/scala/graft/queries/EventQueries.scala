@@ -104,6 +104,53 @@ object EventQueries {
         .orderBy("user_id", "start_us")
     },
 
+    // Sessionized funnel: conversion measured WITHIN sessions (30-min gap,
+    // lag+cumsum assignment mirrored exactly in both engines) — a session
+    // converts when its first view precedes its first purchase. Composes
+    // sessionization, conditional mins, and ratio aggregation in one plan.
+    QueryDef("q94_session_funnel",
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |                (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_type, ts_us,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts_us END) AS tv,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts_us END) AS tp
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT count(*) AS sessions,
+        |       CAST(count(CASE WHEN tv IS NOT NULL THEN 1 END) AS BIGINT) AS with_view,
+        |       CAST(count(CASE WHEN tv < tp THEN 1 END) AS BIGINT) AS converted,
+        |       round(count(CASE WHEN tv < tp THEN 1 END)
+        |         / (1.0 * count(*)), 6) AS conversion
+        |FROM sess""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val g = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("new_session",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(ord) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("new_session").over(cum))
+      val sess = g.groupBy("user_id", "session_id")
+        .agg(min(when(col("event_type") === "view", col("ts_us"))).as("tv"),
+          min(when(col("event_type") === "purchase", col("ts_us"))).as("tp"))
+      sess.agg(count(lit(1)).as("sessions"),
+        count(when(col("tv").isNotNull, 1)).as("with_view"),
+        count(when(col("tv") < col("tp"), 1)).as("converted"),
+        round(count(when(col("tv") < col("tp"), 1))
+          / (lit(1.0) * count(lit(1))), 6).as("conversion"))
+    },
+
     // Funnel analysis: users whose FIRST view strictly precedes their first
     // click, which strictly precedes their first purchase — one conditional
     // min-aggregate per step, a single groupBy(user) pass; null step times
