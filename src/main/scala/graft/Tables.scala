@@ -26,6 +26,12 @@ object Tables {
     * rejects outright. Read nanos as long (legacy flag) and truncate to
     * microseconds — the same ns→µs truncation DuckDB's `epoch_us` applies, so
     * event-time arithmetic stays exactly comparable across engines.
+    *
+    * Domain assumption, relied on by every epoch-bucketing query (q27, q69,
+    * q78, q83, q94): timestamps are AT-OR-AFTER the epoch, so Spark's `div`
+    * (truncate toward zero) and DuckDB's `//` (floor) agree. Pre-1970 event
+    * times would bucket differently by one unit and need an explicit
+    * floor-div formulation on the Spark side.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

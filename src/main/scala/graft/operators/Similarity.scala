@@ -92,10 +92,14 @@ object Similarity {
     val cells = corpus.groupBy(col("label").as("cell_id"))
       .agg(centroidAggs.head, centroidAggs.tail: _*)
       .select(col("cell_id"), array((0 until dim).map(i => col(s"c_$i")): _*).as("centroid"))
-    // assign: argmin squared distance over cells (broadcast the tiny table)
+    // assign: argmin squared distance over cells (broadcast the tiny table).
+    // distances compared ROUNDED (1e-6) with cell_id as tie-break — the
+    // centroids are float avgs whose last ulps differ by accumulation order,
+    // and an unrounded argmin could flip a near-equidistant assignment
+    // between engines/runs (same contract as KMeans.assign)
     val withDist = corpus.crossJoin(broadcast(cells))
       .select(col("vec_id"), col("embedding"), col("cell_id"),
-        Tensors.distSq(col("embedding"), col("centroid")).as("d2"))
+        round(Tensors.distSq(col("embedding"), col("centroid")), 6).as("d2"))
     val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell_id"))
     val assigned = withDist.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)

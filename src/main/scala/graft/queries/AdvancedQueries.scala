@@ -18,8 +18,6 @@ import graft.operators.{AsofJoin, Components, PageRank}
 object AdvancedQueries {
 
   private def cents(c: Column) = sum(round(c * 100, 0).cast("long"))
-  private def centsSql(e: String) =
-    s"CAST(sum(CAST(round(($e) * 100, 0) AS BIGINT)) AS BIGINT)"
 
   val defs: Seq[QueryDef] = Seq(
 

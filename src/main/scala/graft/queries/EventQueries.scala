@@ -80,14 +80,14 @@ object EventQueries {
     // vs > in q28's convention).
     QueryDef("q55_session_window",
       """WITH g AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
         |                (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
         |              THEN 1 ELSE 0 END AS new_session
         |  FROM events),
         |s AS (
         |  SELECT user_id,
-        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
         |         ts
         |  FROM g),

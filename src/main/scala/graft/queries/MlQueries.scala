@@ -59,8 +59,16 @@ object MlQueries {
         |       ascii(substr(text, 1, 1)) AS first_byte,
         |       CAST(list_aggregate(list_transform(range(1, LEAST(16, length(text)) + 1),
         |         i -> ascii(substr(text, i, 1))), 'sum') AS BIGINT) AS byte_sum16
-        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
-      val media = Multimodal.asMediaTable(Tables.documents(s, d))
+        |FROM documents
+        |WHERE strlen(text) = length(text) AND length(text) >= 1
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
+      // bytes==chars guard, like q76: the decoder sees UTF-8 BYTES while the
+      // oracle counts CHARACTERS — parity must not depend on the fixture
+      // happening to be all-ASCII
+      val docs = Tables.documents(s, d)
+        .where(octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 1)
+      val media = Multimodal.asMediaTable(docs)
       Multimodal.decodeFeatures(media, Multimodal.FakeByteDecoder)
         .orderBy("media_id")
     },
@@ -80,7 +88,9 @@ object MlQueries {
          |       round(avg((ln(o_totalprice + 1) - mu) / sigma), 6) AS avg_s
          |FROM o, stats GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
       import graft.operators.{ScalerPipeline, Split}
-      val out = "/tmp/graft_roundtrip_" + new java.io.File(d).getName
+      // keyed on the FULL fixture path (not basename) — two dirs sharing a
+      // basename must not clobber each other's pending round trips
+      val out = "/tmp/graft_roundtrip_" + math.abs(d.hashCode.toLong)
       Tables.orders(s, d)
         .withColumn("split", Split.assignSplit(col("o_orderkey"), 21))
         .write.mode("overwrite").partitionBy("split").parquet(s"$out/orders")

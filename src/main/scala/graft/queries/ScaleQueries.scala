@@ -69,7 +69,9 @@ object ScaleQueries {
         |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
-      val suffix = new java.io.File(d).getName.replace(".", "_")
+      // suffix from the FULL fixture path: basename-only keying would let
+      // two dirs sharing a name reuse each other's stale bucketed tables
+      val suffix = math.abs(d.hashCode.toLong)
       val (liTbl, oTbl) = (s"li_bkt_$suffix", s"o_bkt_$suffix")
       def ensure(name: String, df: org.apache.spark.sql.DataFrame, key: String): Unit =
         if (!s.catalog.tableExists(name)) {

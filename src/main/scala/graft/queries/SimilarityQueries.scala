@@ -122,11 +122,11 @@ object SimilarityQueries {
          |  FROM (
          |    SELECT e.vec_id, e.embedding, c.cell_id,
          |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |               list_transform(range(1, ${Dim + 1}),
          |                 i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
          |                    * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))),
-         |               (x, y) -> x + y), c.cell_id) AS rn
+         |               (x, y) -> x + y), 6), c.cell_id) AS rn
          |    FROM embeddings e CROSS JOIN cent c) t
          |  WHERE rn = 1),
          |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, cell_id

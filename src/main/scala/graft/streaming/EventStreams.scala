@@ -34,12 +34,17 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Tumbling 1-hour window counts per event type — mode-agnostic. */
+  /** Tumbling 1-hour window counts per event type — mode-agnostic. The
+    * double sum is rounded(6) in the OUTPUT so batch/streaming parity is an
+    * exact comparison: raw double sums are accumulation-order dependent
+    * (hash-agg partial merge vs state-store updates) and can differ in the
+    * last ulp between the two modes.
+    */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
@@ -120,8 +125,12 @@ object EventStreams {
         unix_micros(col("p_ts")).as("p_us"), unix_micros(col("v_ts")).as("v_us"))
   }
 
-  /** Streaming deduplication: first occurrence per (user_id, event_type)
-    * wins. Uses `dropDuplicatesWithinWatermark` — plain `dropDuplicates`
+  /** Streaming deduplication: ONE row per (user_id, event_type) survives —
+    * whichever arrives first in processing order, which with parallel
+    * sources is NOT necessarily the earliest by event time (callers needing
+    * event-time-first should min_by on ts downstream; the parity test
+    * accordingly checks the key set, not the surviving event_id).
+    * Uses `dropDuplicatesWithinWatermark` — plain `dropDuplicates`
     * without the event-time column in the key set would keep one state entry
     * per key FOREVER (watermark cleanup only applies when event time is part
     * of the dedup key), an unbounded-state leak on a continuous pipeline.
