@@ -539,6 +539,31 @@ object AdvancedQueries {
         .limit(20)
     },
 
+    // Array-function family: element extrema, ordered slice fold, and
+    // first-position lookup over the embedding arrays — the builtin
+    // array-op surface (array_max/min, slice, aggregate, array_position)
+    // exercised as exact scalar outputs.
+    QueryDef("q95_array_ops",
+      """SELECT vec_id,
+        |       round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+        |       round(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin,
+        |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(embedding[1:3], v -> CAST(v AS DOUBLE))),
+        |         (a, b) -> a + b), 6) AS first3_sum,
+        |       CAST(list_position(embedding, list_max(embedding)) AS BIGINT)
+        |         AS max_pos
+        |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d).where(col("vec_id") < 200)
+        .select(col("vec_id"),
+          round(array_max(col("embedding")).cast("double"), 6).as("vmax"),
+          round(array_min(col("embedding")).cast("double"), 6).as("vmin"),
+          round(aggregate(slice(col("embedding"), 1, 3),
+            lit(0.0), (a, b) => a + b.cast("double")), 6).as("first3_sum"),
+          array_position(col("embedding"), array_max(col("embedding")))
+            .cast("long").as("max_pos"))
+        .orderBy("vec_id")
+    },
+
     // Supplier/part sourcing rollout: revenue per (supplier nation, brand)
     // over lineitem ⋈ part ⋈ supplier ⋈ nation — completes fixture-table
     // coverage (part and supplier). supplier/nation are forced broadcast;
