@@ -166,6 +166,20 @@ object AdvancedQueries {
         .orderBy("l_returnflag")
     },
 
+    // The 100 TB percentile path: percentile_approx — a mergeable sketch
+    // with bounded error computed in one pass with map-side partials, vs
+    // q58's exact sort-based aggregate. Sketch internals differ across
+    // engines, so this is a rows-only check; q58 remains the exactness
+    // witness at test scale.
+    QueryDef.rowsOnly("q96_approx_percentiles") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile_approx(l_extendedprice, 0.5, 10000)"), 2).as("p50_approx"),
+          round(expr("percentile_approx(l_extendedprice, 0.9, 10000)"), 2).as("p90_approx"))
+        .orderBy("l_returnflag")
+    },
+
     // Ranking-window family: rank / dense_rank / ntile / lag / lead in one
     // partitioned pass. The ORDER BY key ends in the unique o_orderkey so
     // every function is tie-free deterministic. Output thinned AFTER the
