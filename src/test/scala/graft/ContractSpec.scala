@@ -35,4 +35,8 @@ class ContractSpec extends AnyFunSuite {
   test("bench headline names all resolve") {
     Bench.headline.foreach(n => assert(SparkEntry.queries.contains(n), n))
   }
+
+  test("entry() flagship smoke returns rows (the driver's t1 gate)") {
+    assert(SparkEntry.entry(TestSpark.spark).count() > 0)
+  }
 }
