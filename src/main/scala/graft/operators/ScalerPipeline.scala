@@ -24,6 +24,17 @@ object ScalerPipeline {
   final case class Stat(target: String, kind: String,
                         mean: Double, stddev: Double, min: Double, max: Double)
 
+  /** Fitted statistics are snapped to a 1e-9 grid (decimal HALF_UP — the same
+    * rule as Spark's `round`). Cross-engine float aggregation (Spark's
+    * partial/merge tree vs a sequential scan) can move μ/σ by a last-ulp
+    * amount, which then propagates through EVERY scaled row; snapping makes
+    * the persisted stats relation bit-identical across engines while changing
+    * the fitted values by < 5e-10 (far below any physical meaning).
+    */
+  private def snap9(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Fit: one aggregate pass over the fit relation, all targets at once. */
   def fit(df: DataFrame, targets: Seq[(String, Kind)]): Seq[Stat] = {
     val aggs = targets.flatMap { case (c, kind) =>
@@ -41,8 +52,8 @@ object ScalerPipeline {
       if (row.isNullAt(4 * i)) throw new IllegalStateException(
         s"scaler fit for '$c': fit relation is empty or the column is all null")
       Stat(c, kind.name,
-        row.getDouble(4 * i), row.getDouble(4 * i + 1),
-        row.getDouble(4 * i + 2), row.getDouble(4 * i + 3))
+        snap9(row.getDouble(4 * i)), snap9(row.getDouble(4 * i + 1)),
+        snap9(row.getDouble(4 * i + 2)), snap9(row.getDouble(4 * i + 3)))
     }
   }
 

@@ -81,11 +81,13 @@ object MlQueries {
       s"""WITH o AS (SELECT o_totalprice,
          |             ${graft.operators.Split.assignSplitSql("o_orderkey", 21)} AS split
          |           FROM orders),
-         |stats AS (SELECT avg(ln(o_totalprice + 1)) AS mu,
-         |                 stddev_pop(ln(o_totalprice + 1)) AS sigma
+         |stats AS (SELECT round(avg(ln(o_totalprice + 1)), 9) AS mu,
+         |                 round(stddev_pop(ln(o_totalprice + 1)), 9) AS sigma
          |          FROM o WHERE split = 'train')
          |SELECT split, count(*) AS n,
-         |       round(avg((ln(o_totalprice + 1) - mu) / sigma), 6) AS avg_s
+         |       round(CAST(sum(CAST(round(((ln(o_totalprice + 1) - mu) / sigma)
+         |                 * 1000000, 0) AS BIGINT)) AS DOUBLE)
+         |             / count(*) / 1000000, 6) AS avg_s
          |FROM o, stats GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
       import graft.operators.{ScalerPipeline, Split}
       // keyed on the FULL fixture path (not basename) — two dirs sharing a
@@ -100,10 +102,15 @@ object MlQueries {
         Seq("o_totalprice" -> ScalerPipeline.Log1pStandard))
       ScalerPipeline.save(s, stats, s"$out/stats")
       val loaded = ScalerPipeline.load(s, s"$out/stats")
+      // Stats are 1e-9-snapped at fit time (identical across engines), and the
+      // per-row scaled value is quantized to integer 1e-6 units before the
+      // average so the cross-row reduction is exact integer arithmetic —
+      // float summation order (partial/merge vs sequential) can't move it.
       ScalerPipeline.apply(reread, loaded)
+        .withColumn("q", round(col("o_totalprice_scaled") * 1e6, 0).cast("long"))
         .groupBy("split")
         .agg(count(lit(1)).as("n"),
-          round(avg("o_totalprice_scaled"), 6).as("avg_s"))
+          round(sum(col("q")).cast("double") / count(lit(1)) / 1e6, 6).as("avg_s"))
         .orderBy("split")
     },
 

@@ -28,8 +28,9 @@ object PhysicsQueries {
         |         sin(radians(90 - zen)) AS dz
         |  FROM t)
         |SELECT l_orderkey, l_linenumber,
-        |       round(dx, 6) AS dir_x, round(dy, 6) AS dir_y, round(dz, 6) AS dir_z,
-        |       round(90 - degrees(atan2(sqrt(1 - dx*dx - dy*dy), sqrt(dx*dx + dy*dy))) - zen, 6) AS zen_roundtrip_err
+        |       round(dx, 6) + 0.0 AS dir_x, round(dy, 6) + 0.0 AS dir_y,
+        |       round(dz, 6) + 0.0 AS dir_z,
+        |       round(90 - degrees(atan2(sqrt(1 - dx*dx - dy*dy), sqrt(dx*dx + dy*dy))) - zen, 6) + 0.0 AS zen_roundtrip_err
         |FROM c ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
       val zen = col("l_quantity")
       val az  = col("l_discount") * 3600
@@ -37,11 +38,17 @@ object PhysicsQueries {
         col("l_orderkey"), col("l_linenumber"), zen.as("zen"),
         Physics.dirX(zen, az).as("dx"), Physics.dirY(zen, az).as("dy"),
         Physics.dirZ(zen).as("dz"))
+      // `round(x, 6) + 0.0` on BOTH engines: the fixture azimuths are exact
+      // multiples of 36°, so cos/sin land at ±1e-16-scale values whose round(·,6)
+      // yields −0.0 on one libm and +0.0 on the other. IEEE −0.0 + 0.0 = +0.0
+      // normalizes the sign while leaving every other value untouched.
       base.select(
         col("l_orderkey"), col("l_linenumber"),
-        round(col("dx"), 6).as("dir_x"), round(col("dy"), 6).as("dir_y"),
-        round(col("dz"), 6).as("dir_z"),
-        round(Physics.zenithOf(col("dx"), col("dy")) - col("zen"), 6).as("zen_roundtrip_err"))
+        (round(col("dx"), 6) + lit(0.0)).as("dir_x"),
+        (round(col("dy"), 6) + lit(0.0)).as("dir_y"),
+        (round(col("dz"), 6) + lit(0.0)).as("dir_z"),
+        (round(Physics.zenithOf(col("dx"), col("dy")) - col("zen"), 6) + lit(0.0))
+          .as("zen_roundtrip_err"))
         .orderBy("l_orderkey", "l_linenumber")
     },
 

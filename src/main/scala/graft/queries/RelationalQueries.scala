@@ -297,8 +297,8 @@ object RelationalQueries {
     QueryDef("q18_scaler_fit_apply",
       s"""WITH train AS (SELECT o_totalprice FROM orders
          |               WHERE ${Split.assignSplitSql("o_orderkey", 21)} = 'train'),
-         |stats AS (SELECT avg(ln(o_totalprice + 1)) AS mu,
-         |                 stddev_pop(ln(o_totalprice + 1)) AS sigma FROM train),
+         |stats AS (SELECT round(avg(ln(o_totalprice + 1)), 9) AS mu,
+         |                 round(stddev_pop(ln(o_totalprice + 1)), 9) AS sigma FROM train),
          |test AS (SELECT o_totalprice FROM orders
          |         WHERE ${Split.assignSplitSql("o_orderkey", 21)} = 'test')
          |SELECT round(avg((ln(o_totalprice + 1) - mu) / sigma), 6) AS avg_s,
