@@ -31,7 +31,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus.toInt, appName = "graft-bench")
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: WindowExec emits per-query WARN lines that interleave
+    // with stdout under sbt and have corrupted the driver's JSON parse
+    // (BENCH_r01 "parsed": null). The metric line must be the only output.
+    spark.sparkContext.setLogLevel("ERROR")
 
     val qs = SparkEntry.queries
     // JIT/IO warm-up: cheap scan + agg, not timed
@@ -63,7 +66,22 @@ object Bench {
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}"""
+    // stop Spark BEFORE printing so no shutdown log line can interleave with
+    // the metric line; also drop a file copy as a parse-proof side channel
     spark.stop()
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        json.getBytes("UTF-8"))
+    }
+    // Write straight to fd 1, not System.out: under `sbt -batch` the managed
+    // run's System.out is routed through sbt's logger, which prefixes every
+    // line with "[info] " — that prefix is what broke the driver's JSON parse
+    // in round 1 (BENCH_r01 "parsed": null). FileDescriptor.out bypasses the
+    // redirection so the metric line starts at column 0.
+    val raw = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
+    raw.println(json)
+    raw.flush()
   }
 }
