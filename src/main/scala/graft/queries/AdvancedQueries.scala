@@ -168,15 +168,32 @@ object AdvancedQueries {
 
     // The 100 TB percentile path: percentile_approx — a mergeable sketch
     // with bounded error computed in one pass with map-side partials, vs
-    // q58's exact sort-based aggregate. Sketch internals differ across
-    // engines, so this is a rows-only check; q58 remains the exactness
-    // witness at test scale.
-    QueryDef.rowsOnly("q96_approx_percentiles") { (s, d) =>
-      Tables.lineitem(s, d)
+    // q58's exact sort-based aggregate. Sketch values differ across engines,
+    // but the RANK-ERROR contract (≤ 1/accuracy = 1e-4) is checkable: the
+    // returned value's true rank, counted with one extra aggregate over the
+    // broadcast-joined estimates, must sit within q ± ε. The oracle asserts
+    // TRUE, so a bound violation is a hash mismatch, not a silent pass.
+    QueryDef("q96_approx_percentiles",
+      """SELECT l_returnflag, count(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val eps = 1.0 / 10000
+      val appr = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50a"),
+          expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("p90a"))
+      // ±1 rank slack on top of ε·n: the sketch targets the DISCRETE rank
+      // ceil(q·n), which itself sits up to one rank off q·n (measured: 2
+      // ranks off where ε·n = 1.99 at sf0.01).
+      def rankOk(v: Column, q: Double): Column = {
+        val le = sum(when(col("l_extendedprice") <= v, 1L).otherwise(0L))
+        val lt = sum(when(col("l_extendedprice") < v, 1L).otherwise(0L))
+        le >= count(lit(1)) * (q - eps) - 1 && lt <= count(lit(1)) * (q + eps) + 1
+      }
+      Tables.lineitem(s, d).join(broadcast(appr), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          round(expr("percentile_approx(l_extendedprice, 0.5, 10000)"), 2).as("p50_approx"),
-          round(expr("percentile_approx(l_extendedprice, 0.9, 10000)"), 2).as("p90_approx"))
+          rankOk(col("p50a"), 0.5).as("p50_ok"),
+          rankOk(col("p90a"), 0.9).as("p90_ok"))
         .orderBy("l_returnflag")
     },
 

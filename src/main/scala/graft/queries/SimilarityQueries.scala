@@ -148,14 +148,25 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
-    // HLL sketch: approximate distinct counts — not replayable across
-    // engines (different sketch implementations) → rows-only; the unit test
-    // bounds the estimate against the exact count.
-    QueryDef.rowsOnly("q54_approx_distinct") { (s, d) =>
+    // HLL sketch: approximate distinct counts. Sketch values aren't
+    // replayable across engines (different HLL implementations), but the
+    // error CONTRACT is checkable: the oracle computes the exact distinct
+    // count and asserts TRUE for the bound column, while Spark emits whether
+    // its estimate landed within 4× the configured rsd (0.02 → 8%, beyond
+    // 4σ of HLL++'s error distribution). An out-of-bound sketch becomes a
+    // hash mismatch instead of an invisible rows-only pass.
+    QueryDef("q54_approx_distinct",
+      """SELECT l_returnflag,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |       TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double")
+            / col("exact_parts") <= lit(0.08)).as("within_bound"))
         .orderBy("l_returnflag")
     },
 
