@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB):
   *   - `localCheckpoint` after each round truncates the exponentially-growing
   *     lineage — without it round k replays all rounds < k.
-  *   - the symmetric edge list is checkpointed once and reused every round;
-  *     at cluster scale it should additionally be pre-partitioned on `src`
-  *     (`repartition($"src")`) so every round's join reuses one partitioning.
+  *   - the symmetric edge list is repartitioned on `src` BEFORE its one-time
+  *     checkpoint (localCheckpoint preserves hash partitioning), so every
+  *     round's gather join reuses that layout instead of re-shuffling O(E).
+  *   - the convergence signal rides the checkpoint materialization job via
+  *     `observe()` metrics — no separate count job per round.
   *   - for graphs with giant high-degree components the large-star/small-star
   *     variant (Kiveris et al., "Connected Components in MapReduce") bounds
   *     the per-round skew; plain propagation is the right default for dedup
@@ -40,7 +42,7 @@ object Components {
     val sym = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
-      .localCheckpoint()
+      .repartition(col("src")).localCheckpoint()
 
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
@@ -54,13 +56,19 @@ object Components {
         .join(labels.withColumnRenamed("id", "src_id"), col("src") === col("src_id"))
         .groupBy(col("dst").as("id"))
         .agg(min("comp").as("offer"))
+      // the convergence count piggybacks on the checkpoint's materialization
+      // job via observe() — metrics are collected DURING that job, so no
+      // separate count action scans the round's output again
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
       val next = labels
         .join(offers, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("offer"), col("comp"))).as("comp"),
           (coalesce(col("offer"), col("comp")) < col("comp")).as("chg"))
+        .observe(obs, coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L))
+          .as("changed"))
         .localCheckpoint()
-      changed = next.where(col("chg")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = next.select("id", "comp")
       iter += 1
     }
