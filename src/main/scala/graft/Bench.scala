@@ -27,6 +27,13 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Release persisted intermediates after a measured run — both for cache
+    * hygiene (no leaked blocks across queries) and timing honesty: a second
+    * rep must not serve the first rep's persisted token relations.
+    */
+  private def clearCaches(spark: SparkSession): Unit =
+    spark.catalog.clearCache()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -59,7 +66,9 @@ object Bench {
             false
           }
         // a failed query reports -1, never a fast-looking elapsed time
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        clearCaches(spark)
+        dt
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }

@@ -21,6 +21,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // cache lifecycle: queries persist() shared intermediates (token
+      // relations feeding several aggregates); the query fns return lazy
+      // frames so unpersisting inside them would defeat the cache. The
+      // runner owns the action, so it owns the release — without this a
+      // full run leaks every persisted plan for the session's lifetime.
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -13,7 +13,7 @@ class ContractSpec extends AnyFunSuite {
     RelationalQueries.defs ++ PhysicsQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       MlQueries.defs ++ ScaleQueries.defs ++ AdvancedQueries.defs ++
-      SourceQueries.defs
+      SourceQueries.defs ++ NpzQueries.defs
 
   test("query names are unique — nothing silently dropped by the Map") {
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
@@ -38,5 +38,17 @@ class ContractSpec extends AnyFunSuite {
 
   test("entry() flagship smoke returns rows (the driver's t1 gate)") {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
+  }
+
+  test("runner cache lifecycle: no persisted plans survive a query round") {
+    val spark = TestSpark.spark
+    // q50 persists its shared token relation; the runner pattern is
+    // materialize → clearCache — afterwards the cache manager must be empty
+    val df = SparkEntry.queries("q50_tfidf")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    assert(!spark.sharedState.cacheManager.isEmpty, "expected q50 to persist")
+    spark.catalog.clearCache()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cached plans leaked after clearCache")
   }
 }
