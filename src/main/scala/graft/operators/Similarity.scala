@@ -69,11 +69,17 @@ object Similarity {
 
   /** Exact cosine top-k: for each row of `queries`, the k nearest rows of
     * `corpus` (excluding self), ranked by rounded cosine then id.
+    *
+    * The query side is explicitly `broadcast()`: the exact baseline is only
+    * ever run with a bounded query set, and the hint keeps the plan a
+    * BroadcastNestedLoopJoin streaming the corpus once — without it, AQE-off
+    * configurations could fall back to a cartesian product that shuffles the
+    * corpus (PlanSpec asserts the broadcast survives).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     rankTopK(
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          Tensors.norm(col("embedding")).as("qn"))
+      broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          Tensors.norm(col("embedding")).as("qn")))
         .crossJoin(corpus.select(col("vec_id").as("neighbor_id"),
           col("embedding").as("nv"), Tensors.norm(col("embedding")).as("nn"))),
       k)

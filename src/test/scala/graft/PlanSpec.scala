@@ -98,6 +98,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), p)
   }
 
+  test("q40 brute-force knn: query side broadcasts, corpus never shuffles for the join") {
+    val p = plan(q("q40_knn_bruteforce"))
+    // the explicit broadcast() hint must survive to a nested-loop broadcast
+    // join — a CartesianProduct here would shuffle the corpus at scale
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q07 flagship: aggregation before the window, bins-sized exchange only") {
     val p = plan(q("q07_survival_curve"))
     // partial aggregation happens map-side before any exchange
