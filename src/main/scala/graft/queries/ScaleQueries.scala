@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.SkewJoin
+import graft.operators.{BucketCatalog, SkewJoin}
 
 /** Scale-technique queries: TF-IDF over exploded tokens, bucketed
   * (exchange-free) joins, and salted skew joins. Each is oracle-checked
@@ -73,14 +73,8 @@ object ScaleQueries {
       // two dirs sharing a name reuse each other's stale bucketed tables
       val suffix = math.abs(d.hashCode.toLong)
       val (liTbl, oTbl) = (s"li_bkt_$suffix", s"o_bkt_$suffix")
-      def ensure(name: String, df: org.apache.spark.sql.DataFrame, key: String): Unit =
-        if (!s.catalog.tableExists(name)) {
-          df.write.mode("overwrite")
-            .option("path", s"/tmp/graft_buckets/$name")
-            .bucketBy(8, key).sortBy(key).saveAsTable(name)
-        }
-      ensure(liTbl, Tables.lineitem(s, d), "l_orderkey")
-      ensure(oTbl, Tables.orders(s, d), "o_orderkey")
+      BucketCatalog.ensure(s, liTbl, Tables.lineitem(s, d), "l_orderkey")
+      BucketCatalog.ensure(s, oTbl, Tables.orders(s, d), "o_orderkey")
       s.table(liTbl).hint("merge")
         .join(s.table(oTbl), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
@@ -88,6 +82,26 @@ object ScaleQueries {
           sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
             .cast("long")).as("revenue_cents"))
         .orderBy("o_orderpriority")
+    },
+
+    // Bucket pruning: an equality predicate on the bucket key scans ONLY the
+    // matching bucket's files (SelectedBucketsCount 1/8, PlanSpec-asserted)
+    // — the point-lookup path over the same catalog-managed bucketed table
+    // q51 joins. The groupBy on the bucket key also needs no exchange: the
+    // bucketed distribution already satisfies it. Oracle = plain filter.
+    QueryDef("q99_bucket_prune",
+      """SELECT l_orderkey, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS price_cents
+        |FROM lineitem WHERE l_orderkey = 1
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+      val liTbl = s"li_bkt_${math.abs(d.hashCode.toLong)}"
+      BucketCatalog.ensure(s, liTbl, Tables.lineitem(s, d), "l_orderkey")
+      s.table(liTbl).where(col("l_orderkey") === 1)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("price_cents"))
+        .orderBy("l_orderkey")
     },
 
     // Salted skew join: deterministic salt fan-out on the probe side,

@@ -98,6 +98,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), p)
   }
 
+  test("q99 bucket pruning: equality on the bucket key scans 1 of 8 buckets") {
+    val p = plan(q("q99_bucket_prune"))
+    assert(p.matches("(?s).*SelectedBucketsCount: 1 out of 8.*"), p)
+  }
+
   test("q40 brute-force knn: query side broadcasts, corpus never shuffles for the join") {
     val p = plan(q("q40_knn_bruteforce"))
     // the explicit broadcast() hint must survive to a nested-loop broadcast
