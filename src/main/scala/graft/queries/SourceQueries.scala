@@ -65,6 +65,29 @@ object SourceQueries {
         .orderBy("l_linestatus")
     },
 
+    // Avro container sink → scan → aggregate: third serialization format
+    // next to csv/orc, built on the avro-core jars (no spark-avro DataSource
+    // module on this classpath — sources/AvroIngest supplies the format the
+    // NpzIngest way: per-partition containers, executor-side encode/decode,
+    // schema-on-read from the embedded writer schema). Same lossless-hop
+    // contract as q66/q88: the oracle aggregates the original parquet.
+    QueryDef("q100_avro_roundtrip",
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS price_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      import graft.sources.AvroIngest
+      val dir = tmp("avro", d)
+      AvroIngest.write(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("price_cents")),
+        dir)
+      AvroIngest.read(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("price_cents"))
+        .orderBy("o_orderstatus")
+    },
+
     // Custom DataSource V2: the deterministic shower-event generator
     // (sources/ShowerEventsSource) read through the connector API with
     // column pruning and event_id range pushdown — even the custom source
