@@ -86,6 +86,32 @@ class NpzSpec extends AnyFunSuite {
     assert(dims("matrices") == Seq(16, 16, 3) && dims("features") == Seq(12))
   }
 
+  test("streamToParquet drains incrementally with exactly-once checkpointing") {
+    val base = Files.createTempDirectory("npz_stream")
+    val landing = Files.createDirectory(base.resolve("landing"))
+    val dest = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    Files.copy(java.nio.file.Paths.get("fixtures/npz/demo_features.npz"),
+      landing.resolve("demo_features.npz"))
+
+    NpzIngest.streamToParquet(spark, landing.toString, dest, ckpt)
+    assert(spark.read.parquet(dest).count() == 24)
+
+    // a second drain with nothing new must add nothing (exactly-once) ...
+    NpzIngest.streamToParquet(spark, landing.toString, dest, ckpt)
+    assert(spark.read.parquet(dest).count() == 24)
+
+    // ... and a newly-landed archive is picked up WITHOUT re-decoding the old
+    Files.copy(java.nio.file.Paths.get("fixtures/npz/demo_matrices.npz"),
+      landing.resolve("demo_matrices.npz"))
+    NpzIngest.streamToParquet(spark, landing.toString, dest, ckpt)
+    val df = spark.read.parquet(dest)
+    assert(df.count() == 48)
+    assert(df.groupBy("array").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("features" -> 24L, "matrices" -> 24L))
+  }
+
   test("npzToParquet converts once, then skips (idempotent like download_dataset)") {
     val dest = Files.createTempDirectory("npz_idem").toString + "/out"
     assert(NpzIngest.npzToParquet(spark, "fixtures/npz/demo_features.npz", dest))
