@@ -54,6 +54,37 @@ object PipelineDemo {
     spark.sparkContext.setLogLevel("ERROR")
     val out = "/tmp/graft_pipeline_demo"
 
+    // ---- entry point 0: archive ingest -----------------------------------
+    // The reference's actual first step: download_dataset lands
+    // {name}_matrices.npz / {name}_features.npz, np.load reads them
+    // (create_train_valid_test_datasets.py:41-54,116-117). Here: land the two
+    // reference-shaped archives (idempotent, like download_dataset), drain
+    // them through the incremental converter, and positional-zip-join into
+    // the unified §1.4 relation. The volume path below stays expression-
+    // synthesized; this stage is the real ingest machinery end-to-end.
+    import graft.sources.NpzIngest
+    val landing = s"$out/landing"
+    val nIngest = 2000
+    if (!new java.io.File(s"$landing/demo_matrices.npz").exists()) {
+      val K = 2654435761L
+      val mat = Array.tabulate(nIngest * 256)(f => ((f * K) % 4096) / 16.0)
+      val feat = Array.tabulate(nIngest * 12)(f =>
+        if (f % 12 == 0) (f / 12 % 3).toDouble else ((f * K) % 4096) / 16.0)
+      NpzIngest.writeNpz(spark, s"$landing/demo_matrices.npz",
+        Seq(("matrices", "<f4", Seq(nIngest, 16, 16), mat)))
+      NpzIngest.writeNpz(spark, s"$landing/demo_features.npz",
+        Seq(("features", "<f8", Seq(nIngest, 12), feat)))
+    }
+    NpzIngest.streamToParquet(spark, landing, s"$out/ingested", s"$out/ingest_ckpt")
+    val ingested = spark.read.parquet(s"$out/ingested")
+    val unified = ingested.where(col("array") === "features")
+      .select(col("idx").as("event_id"),
+        element_at(col("values"), 1).cast("int").as("label"),
+        col("values").as("features"))
+      .join(ingested.where(col("array") === "matrices")
+        .select(col("idx").as("event_id"), col("values").as("matrix")), "event_id")
+    val nUnified = unified.count()
+
     // ---- entry point 1: dataset build ------------------------------------
     val events = syntheticEvents(spark, n)
       .withColumn("dir_x", Physics.dirX(col("zenith"), col("azimuth")))
@@ -106,7 +137,7 @@ object PipelineDemo {
       col("p"), col("label") === 0, 1000)
     val rows = curve.collect()
     val mid = rows(499)
-    println(s"PIPELINE_DEMO events=$n augmented=${trainAug.count()} " +
+    println(s"PIPELINE_DEMO ingested=$nUnified events=$n augmented=${trainAug.count()} " +
       s"test=${test.count()} gridMu=${"%.4f".format(gridStats.getDouble(0))} " +
       s"curve_rows=${rows.length} surv0_mid=${mid.getDouble(2)} surv1_mid=${mid.getDouble(3)} " +
       s"surv_final=${rows.last.getDouble(2)},${rows.last.getDouble(3)}")

@@ -70,6 +70,54 @@ object NpzIngest {
     NpyArray(descr, shape, data)
   }
 
+  /** Encode an array as a v1.0 `.npy` buffer (C order, little-endian).
+    * `descr` selects the on-disk dtype: `<f4`, `<f8`, `<i4` or `<i8`.
+    */
+  def toNpyBytes(descr: String, shape: Seq[Int], data: Array[Double]): Array[Byte] = {
+    val n = shape.foldLeft(1L)(_ * _)
+    require(n == data.length, s"shape ${shape.mkString("x")} != ${data.length} values")
+    val dict = s"{'descr': '$descr', 'fortran_order': False, " +
+      s"'shape': (${shape.mkString(", ")}${if (shape.length == 1) "," else ""}), }"
+    // numpy pads the header so the data starts 64-byte aligned
+    val padded = dict + " " * ((64 - (10 + dict.length + 1) % 64) % 64) + "\n"
+    val elem = descr match {
+      case "<f4" | "<i4" => 4
+      case "<f8" | "<i8" => 8
+      case other => throw new IllegalArgumentException(s"unsupported npy dtype: $other")
+    }
+    val buf = ByteBuffer.allocate(10 + padded.length + data.length * elem)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(0x93.toByte).put("NUMPY".getBytes("US-ASCII"))
+      .put(1.toByte).put(0.toByte)
+      .putShort(padded.length.toShort)
+      .put(padded.getBytes("US-ASCII"))
+    descr match {
+      case "<f4" => data.foreach(v => buf.putFloat(v.toFloat))
+      case "<f8" => data.foreach(buf.putDouble)
+      case "<i4" => data.foreach(v => buf.putInt(v.toInt))
+      case "<i8" => data.foreach(v => buf.putLong(v.toLong))
+    }
+    buf.array()
+  }
+
+  /** Write named arrays as an `.npz` archive (DEFLATED members, like
+    * np.savez_compressed) through the Hadoop FS abstraction — the numpy
+    * interop EXPORT direction, so engine outputs can land back in the
+    * reference's own ecosystem.
+    */
+  def writeNpz(spark: SparkSession, path: String,
+               arrays: Seq[(String, String, Seq[Int], Array[Double])]): Unit = {
+    val p = new Path(path)
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
+    val zos = new java.util.zip.ZipOutputStream(out)
+    arrays.foreach { case (name, descr, shape, data) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name + ".npy"))
+      zos.write(toNpyBytes(descr, shape, data))
+      zos.closeEntry()
+    }
+    zos.close()
+  }
+
   /** Iterate the members of an `.npz` archive as (arrayName, npyBytes).
     * Handles both STORED (np.savez) and DEFLATED (np.savez_compressed).
     */
