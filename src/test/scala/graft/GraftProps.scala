@@ -109,4 +109,38 @@ object GraftProps extends Properties("graft") {
       fArr(a), fArr(List.fill(a.length)(0f)), true, true)
     self == 0.0 && vsZero >= 0.0
   }
+
+  // ---- npy codec: encode∘decode is the identity for any shape/payload ----
+
+  private val npyShape: Gen[List[Int]] = Gen.choose(1, 3).flatMap(rank =>
+    Gen.listOfN(rank, Gen.choose(1, 6)))
+  private val npyCase: Gen[(String, List[Int], Array[Double])] = for {
+    descr <- Gen.oneOf("<f8", "<i8", "<i4")
+    shape <- npyShape
+    n = shape.product
+    data <- descr match {
+      case "<f8" => Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6)).map(_.toArray)
+      case "<i4" => Gen.listOfN(n, Gen.chooseNum(Int.MinValue, Int.MaxValue))
+        .map(_.map(_.toDouble).toArray)
+      case _ => Gen.listOfN(n, Gen.chooseNum(-1000000L, 1000000L))
+        .map(_.map(_.toDouble).toArray)
+    }
+  } yield (descr, shape, data)
+
+  property("npy roundtrip: parseNpy(toNpyBytes(x)) == x for f8/i8/i4") =
+    forAll(npyCase) { case (descr, shape, data) =>
+      val back = graft.sources.NpzIngest.parseNpy(
+        graft.sources.NpzIngest.toNpyBytes(descr, shape, data))
+      back.shape == shape && back.descr == descr &&
+        back.data.toSeq == data.toSeq
+    }
+
+  property("npy f4 roundtrip is exact on float-representable payloads") =
+    forAll(npyShape.flatMap(s => Gen.listOfN(s.product,
+      Gen.chooseNum(-4096, 4095)).map(v => (s, v.map(_ / 16.0).toArray)))) {
+      case (shape, data) =>
+        graft.sources.NpzIngest.parseNpy(
+          graft.sources.NpzIngest.toNpyBytes("<f4", shape, data))
+          .data.toSeq == data.toSeq
+    }
 }
