@@ -332,6 +332,72 @@ object TextQueries {
           countDistinct("lang").as("n_langs"),
           sum(size(split(col("text"), " ", -1)).cast("long")).as("total_tokens"))
         .orderBy("source")
+    },
+
+    // Train/test contamination detection: for every held-out document
+    // (doc_id % 5 = 0), how many of its distinct 3-gram shingles also appear
+    // anywhere in the training corpus — the standard pre-training leakage
+    // check. Candidate generation is a shingle-hash equi-join (the LSH-family
+    // shape: distinct-project both sides, join on the 64-bit shingle hash,
+    // groupBy), never a doc×doc comparison — the 100 TB-safe plan.
+    QueryDef("q101_contamination",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, unnest(${graft.operators.MinHash.shingleHashesSql("toks")}) AS sh
+         |      FROM t),
+         |test AS (SELECT DISTINCT doc_id, sh FROM s WHERE doc_id % 5 = 0),
+         |train AS (SELECT DISTINCT sh FROM s WHERE doc_id % 5 <> 0),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM test GROUP BY doc_id),
+         |hit AS (SELECT test.doc_id, count(*) AS n_hit
+         |        FROM test JOIN train USING (sh) GROUP BY test.doc_id)
+         |SELECT doc_id, n_shingles, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit
+         |FROM tot LEFT JOIN hit USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.GraftColumnBridge
+      import graft.functions.ShingleExplodeExpr
+      val gen = GraftColumnBridge.column(ShingleExplodeExpr(
+        GraftColumnBridge.expression(split(col("text"), " ", -1))))
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), gen.as(Seq("pos", "sh")))
+        .select(col("doc_id"), col("sh"))
+      val test = sh.where(col("doc_id") % 5 === 0).distinct()
+      val train = sh.where(col("doc_id") % 5 =!= 0).select("sh").distinct()
+      val tot = test.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val hit = test.join(train, "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      tot.join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .orderBy("doc_id")
+    },
+
+    // Token-budget sequence packing: greedy in-order packing of documents
+    // into 512-token training batches, per source shard — a doc belongs to
+    // the bucket its cumulative start offset falls in. The running sum is
+    // windowed PER SOURCE (never an unpartitioned window over raw docs), so
+    // the plan keeps one exchange on source and scales with shard count.
+    QueryDef("q102_pack_sequences",
+      """WITH t AS (SELECT doc_id, source,
+        |             len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |             CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+        |SELECT source, (cum - n_tok) // 512 AS bucket,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens
+        |FROM c GROUP BY source, bucket
+        |ORDER BY source, bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        // nonneg offsets: Spark `div` (truncate) == DuckDB `//` (floor)
+        .select(col("source"), expr("(cum - n_tok) div 512").as("bucket"),
+          col("n_tok"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+        .orderBy("source", "bucket")
     }
   )
 }
