@@ -44,7 +44,34 @@ object ScaleProbe {
           sum("cnt").over(Window.orderBy("bin")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       },
-      "global_sort" -> (m => li(m).orderBy("l_extendedprice")))
+      "global_sort" -> (m => li(m).orderBy("l_extendedprice")),
+      // iterative graph rounds (q61/q81 family): key-shifted union = m
+      // disjoint copies, so round count stays fixed while V/E scale by m —
+      // isolates the per-round O(E) cost the fused aggregates claim
+      "cc_rounds" -> { m =>
+        val edges = li(m).select(col("l_orderkey").as("src"),
+          (col("l_partkey") + lit(20_000_000L) +
+            (col("l_orderkey") / lit(10_000_000L)).cast("long") * 10_000_000L).as("dst"))
+        graft.operators.Components.connectedComponents(edges, "src", "dst")
+      },
+      // shingle-hash equi-join (q101 contamination / LSH-family shape):
+      // explode → distinct both sides → join on the 64-bit hash → groupBy
+      "shingle_join" -> { m =>
+        val docs = {
+          val base = Tables.documents(spark, sfDir)
+          (0 until m).map(k => base.withColumn("doc_id",
+            col("doc_id") + lit(k.toLong * 1_000_000L))).reduce(_ unionAll _)
+        }
+        import org.apache.spark.sql.GraftColumnBridge
+        import graft.functions.ShingleExplodeExpr
+        val gen = GraftColumnBridge.column(ShingleExplodeExpr(
+          GraftColumnBridge.expression(split(col("text"), " ", -1))))
+        val sh = docs.select(col("doc_id"), gen.as(Seq("pos", "sh")))
+          .select(col("doc_id"), col("sh"))
+        val test = sh.where(col("doc_id") % 5 === 0).distinct()
+        val train = sh.where(col("doc_id") % 5 =!= 0).select("sh").distinct()
+        test.join(train, "sh").groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      })
 
     // warm-up
     mat(li(1).select(col("l_orderkey")))
