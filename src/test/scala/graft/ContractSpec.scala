@@ -29,7 +29,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("names follow the qNN_ convention") {
-    all.foreach(q => assert(q.name.matches("q\\d{2}_[a-z0-9_]+"), q.name))
+    all.foreach(q => assert(q.name.matches("q\\d{2,3}_[a-z][a-z0-9_]+"), q.name))
   }
 
   test("bench headline names all resolve") {
