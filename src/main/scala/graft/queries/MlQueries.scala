@@ -195,6 +195,25 @@ object MlQueries {
         .orderBy("query_id", "rank")
     },
 
+    // SURVEY §2 row 45 made oracle-checkable: deterministic full-batch
+    // gradient descent for the logistic fit (operators/LogisticGD), the same
+    // move KMeans made for Lloyd rounds. Per-row gradient terms quantize to
+    // integer 1e-6 units before the sum; weights snap to a 1e-9 grid per
+    // round; the oracle unrolls all 3 rounds as CTEs with the identical
+    // update expression — the fitted weights hash-match exactly. q48 keeps
+    // spark.ml LBFGS as the production path.
+    QueryDef("q103_lr_gd", LrGdSql.sql) { (s, d) =>
+      import graft.operators.LogisticGD
+      val wts = LogisticGD.fit(
+        Tables.lineitem(s, d),
+        Seq(col("l_discount") * 10, col("l_quantity") / 50.0),
+        when(col("l_linestatus") === "O", 1.0).otherwise(0.0),
+        lr = 0.5, iters = 3)
+      import s.implicits._
+      Seq(("bias", wts.bias), ("w0", wts.w(0)), ("w1", wts.w(1)))
+        .toDF("param", "value").orderBy("param")
+    },
+
     // Deterministic k-means (2 Lloyd rounds, first-k-by-id seeds) — the
     // iterative fit/apply loop as pure relational algebra (operators/KMeans).
     // The oracle unrolls both rounds as CTEs: assign = argmin-distance
@@ -212,6 +231,51 @@ object MlQueries {
         .orderBy("cluster_id")
     }
   )
+}
+
+/** Unrolled-CTE DuckDB oracle for the 3-round logistic GD: weight relation
+  * w_k (columns b/c0/c1), gradient relation g_k with per-row terms quantized
+  * to integer 1e-6 units, update `round(w − 0.5·(S/1e6/n), 9)` — the same
+  * arithmetic, in the same double-op order, as
+  * [[graft.operators.LogisticGD.fit]].
+  */
+private object LrGdSql {
+  private def sig(w: String) = s"1/(1+exp(-($w.b + $w.c0*f0 + $w.c1*f1)))"
+
+  private def gradCte(g: String, w: String) = {
+    def term(mult: String) =
+      s"CAST(sum(CAST(round((${sig(w)} - y)$mult * 1000000, 0) AS BIGINT)) AS BIGINT)"
+    s"""$g AS (SELECT ${term("")} AS gb,
+       |             ${term(" * f0")} AS g0,
+       |             ${term(" * f1")} AS g1
+       |      FROM d, $w)""".stripMargin
+  }
+
+  private def updCte(wN: String, w: String, g: String) = {
+    def upd(old: String, s: String) =
+      s"round($w.$old - 0.5 * (CAST($g.$s AS DOUBLE) / 1000000 / nn.n), 9)"
+    s"""$wN AS (SELECT ${upd("b", "gb")} AS b, ${upd("c0", "g0")} AS c0,
+       |              ${upd("c1", "g1")} AS c1
+       |       FROM $w, $g, nn)""".stripMargin
+  }
+
+  val sql: String =
+    s"""WITH d AS (SELECT l_discount * 10 AS f0, l_quantity / 50.0 AS f1,
+       |                  CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END AS y
+       |           FROM lineitem),
+       |nn AS (SELECT count(*) AS n FROM d),
+       |w_0 AS (SELECT 0.0 AS b, 0.0 AS c0, 0.0 AS c1),
+       |${gradCte("g_1", "w_0")},
+       |${updCte("w_1", "w_0", "g_1")},
+       |${gradCte("g_2", "w_1")},
+       |${updCte("w_2", "w_1", "g_2")},
+       |${gradCte("g_3", "w_2")},
+       |${updCte("w_3", "w_2", "g_3")}
+       |SELECT param, value FROM (
+       |  SELECT 'bias' AS param, b AS value FROM w_3
+       |  UNION ALL SELECT 'w0', c0 FROM w_3
+       |  UNION ALL SELECT 'w1', c1 FROM w_3)
+       |ORDER BY param""".stripMargin
 }
 
 /** Unrolled-CTE DuckDB oracle for the 2-round k-means: c0 (seeds) → a1 →

@@ -109,6 +109,26 @@ class OperatorSpec extends AnyFunSuite {
     got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-15) }
   }
 
+  test("logistic GD: loss decreases, separable data fits, weights on 1e-9 grid") {
+    // linearly separable in f0: y = 1 iff f0 > 0
+    val data = Seq((-2.0, 0.0), (-1.0, 0.0), (-0.5, 0.0), (0.5, 1.0),
+      (1.0, 1.0), (2.0, 1.0)).toDF("f0", "y")
+    def loss(b: Double, w0: Double): Double =
+      data.collect().map { r =>
+        val p = 1.0 / (1.0 + math.exp(-(b + w0 * r.getDouble(0))))
+        val y = r.getDouble(1)
+        -(y * math.log(p) + (1 - y) * math.log(1 - p))
+      }.sum
+    val w1 = LogisticGD.fit(data, Seq(col("f0")), col("y"), lr = 0.5, iters = 1)
+    val w10 = LogisticGD.fit(data, Seq(col("f0")), col("y"), lr = 0.5, iters = 10)
+    assert(loss(w10.bias, w10.w.head) < loss(w1.bias, w1.w.head))
+    assert(w10.w.head > 0.0) // separating direction recovered
+    // every weight sits exactly on the 1e-9 snap grid (the oracle contract)
+    (w10.bias +: w10.w).foreach { v =>
+      assert(BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble == v)
+    }
+  }
+
   test("edge cases: empty band, short docs, empty arrays") {
     // survival curve over a band where one class is absent → NULL fraction, no error
     val oneClass = Seq((0.3, true), (0.7, true)).toDF("p", "is0")
