@@ -52,6 +52,20 @@ class NpzSpec extends AnyFunSuite {
     assert(i8.data.toSeq == Seq(math.pow(2, 40), -5.0))
   }
 
+  test("parses v2.0 headers (4-byte little-endian header length)") {
+    val dict = "{'descr': '<f8', 'fortran_order': False, 'shape': (3,), }"
+    val padded = dict + " " * ((64 - (12 + dict.length + 1) % 64) % 64) + "\n"
+    val out = ByteBuffer.allocate(12 + padded.length + 3 * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put(0x93.toByte).put("NUMPY".getBytes("US-ASCII"))
+      .put(2.toByte).put(0.toByte)
+      .putInt(padded.length)
+      .put(padded.getBytes("US-ASCII"))
+    Seq(1.25, -2.5, 3.0).foreach(out.putDouble)
+    val arr = NpzIngest.parseNpy(out.array())
+    assert(arr.shape == Seq(3) && arr.data.toSeq == Seq(1.25, -2.5, 3.0))
+  }
+
   test("rejects fortran_order, bad magic, and unknown dtypes") {
     val fortran = npyBytes("<f8", Seq(2), b => (0 until 2).foreach(i => b.putDouble(i)), 8)
     val asStr = new String(fortran, "ISO-8859-1").replace("False", "True ")
