@@ -80,4 +80,78 @@ object Components {
         s"($changed labels still changing) — raise maxIter")
     labels
   }
+
+  /** Large-star/small-star connected components (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — the high-diameter /
+    * giant-component escape hatch next to [[connectedComponents]]'s plain
+    * propagation. Same contract: (id, comp) with comp = minimum reachable
+    * vertex id, one row per vertex appearing in ≥1 edge.
+    *
+    * Why it exists: min-label propagation needs O(diameter) rounds — fine
+    * for dedup graphs (unions of small quasi-cliques), pathological for
+    * long chains or web-scale giants. LS/SS alternates two neighborhood
+    * rewrites that provably converge in O(log n) rounds and bound per-round
+    * skew: each round is a groupBy-min plus a re-join, the same O(E) shuffle
+    * shape. Each round's edge set is deduplicated, so intermediate growth is
+    * capped at the star-forest size.
+    */
+  def largeStarSmallStar(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 40): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val init = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .localCheckpoint()
+    // the vertex universe is fixed at the start: self-loop-only vertices
+    // would otherwise vanish when self-edges drop out of the star rewrites
+    val verts = init.select(col("a").as("id"))
+      .union(init.select(col("b").as("id"))).distinct().localCheckpoint()
+
+    // large-star: every strictly-larger neighbor of u links to
+    // m(u) = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val m = sym.groupBy("a").agg(least(min(col("b")), col("a")).as("m"))
+      sym.join(m, "a").where(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+    }
+
+    // small-star: orient (hi ← lo); every ≤-neighbor of h (and h itself)
+    // links to m(h) = min of the lo-neighborhood
+    def smallStar(e: DataFrame): DataFrame = {
+      val hl = e.select(greatest(col("a"), col("b")).as("h"),
+        least(col("a"), col("b")).as("l"))
+      val m = hl.groupBy("h").agg(min(col("l")).as("m"))
+      hl.join(m, "h")
+        .select(col("l").as("a"), col("m").as("b"))
+        .union(m.select(col("h").as("a"), col("m").as("b")))
+        .where(col("a") =!= col("b"))
+    }
+
+    var e = init.where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint()
+    var iter = 0
+    var converged = e.isEmpty
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e).distinct()).distinct().localCheckpoint()
+      // fixpoint = the star forest reproduces itself exactly
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      iter += 1
+    }
+    if (!converged && iter >= maxIter) throw new IllegalStateException(
+      s"largeStarSmallStar did not converge in $maxIter rounds")
+    // fixpoint edges are (v, root); roots label themselves, and vertices
+    // whose edges were all self-loops fall back to their own id
+    val starLabels = e.select(col("a").as("id"), col("b").as("comp"))
+      .union(e.select(col("b").as("id"), col("b").as("comp")))
+      .groupBy("id").agg(min("comp").as("comp"))
+    verts.join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
 }

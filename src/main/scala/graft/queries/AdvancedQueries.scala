@@ -296,35 +296,19 @@ object AdvancedQueries {
     // (operators/Components — the distributed dedup-clustering step; each
     // round is one shuffle join). Oracle: recursive-CTE transitive closure
     // computing the same min-reachable-id labeling.
-    QueryDef("q61_dedup_components", {
-      val norm = SimilarityQueries.normSql("embedding")
-      val dot  = SimilarityQueries.dotSql("a.embedding", "b.embedding")
-      s"""WITH RECURSIVE
-         |v AS (SELECT vec_id, label, embedding, $norm AS nrm
-         |      FROM embeddings WHERE vec_id < 1000),
-         |p AS (SELECT a.vec_id AS pa, b.vec_id AS pb
-         |      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-         |      WHERE round($dot / (a.nrm * b.nrm), 6) >= 0.3),
-         |e AS (SELECT pa AS ea, pb AS eb FROM p
-         |      UNION ALL SELECT pb, pa FROM p),
-         |reach(rv, rr) AS (
-         |  SELECT DISTINCT ea, ea FROM e
-         |  UNION
-         |  SELECT e.eb, reach.rr FROM e JOIN reach ON reach.rv = e.ea)
-         |SELECT rv AS vec_id, min(rr) AS component
-         |FROM reach GROUP BY rv ORDER BY vec_id""".stripMargin
-    }) { (s, d) =>
-      val v = Tables.embeddings(s, d).where(col("vec_id") < 1000)
-        .select(col("vec_id"), col("label"), col("embedding"),
-          Tensors.norm(col("embedding")).as("nrm"))
-      val pairs = v.as("a").join(v.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("pa"), col("b.vec_id").as("pb"),
-          round(Tensors.dot(col("a.embedding"), col("b.embedding"))
-            / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
-        .where(col("cos") >= 0.3)
-        .select("pa", "pb")
-      Components.connectedComponents(pairs, "pa", "pb")
+    QueryDef("q61_dedup_components", CcDedup.oracleSql) { (s, d) =>
+      Components.connectedComponents(CcDedup.pairs(s, d), "pa", "pb")
+        .select(col("id").as("vec_id"), col("comp").as("component"))
+        .orderBy("vec_id")
+    },
+
+    // The SAME dedup clustering by the large-star/small-star algorithm
+    // (Kiveris et al.) — O(log n) rounds instead of O(diameter), the escape
+    // hatch for long-chain / giant-component graphs. Identical edge set,
+    // identical oracle, identical labels: a hash match proves the algorithm
+    // swap preserves semantics exactly.
+    QueryDef("q104_cc_large_small_star", CcDedup.oracleSql) { (s, d) =>
+      Components.largeStarSmallStar(CcDedup.pairs(s, d), "pa", "pb")
         .select(col("id").as("vec_id"), col("comp").as("component"))
         .orderBy("vec_id")
     },
@@ -640,4 +624,45 @@ object AdvancedQueries {
         .orderBy("lang", "source")
     }
   )
+}
+
+/** Shared edge set + oracle for the dedup-clustering pair q61/q104: the
+  * embedding-cosine near-dup graph (q43's edges) and the recursive-CTE
+  * transitive closure computing min-reachable-id labels. Two algorithms,
+  * one contract — both must hash-match this SQL.
+  */
+private object CcDedup {
+  import graft.functions.Tensors
+
+  def pairs(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val v = Tables.embeddings(s, d).where(col("vec_id") < 1000)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Tensors.norm(col("embedding")).as("nrm"))
+    v.as("a").join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("pa"), col("b.vec_id").as("pb"),
+        round(Tensors.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .where(col("cos") >= 0.3)
+      .select("pa", "pb")
+  }
+
+  val oracleSql: String = {
+    val norm = SimilarityQueries.normSql("embedding")
+    val dot  = SimilarityQueries.dotSql("a.embedding", "b.embedding")
+    s"""WITH RECURSIVE
+       |v AS (SELECT vec_id, label, embedding, $norm AS nrm
+       |      FROM embeddings WHERE vec_id < 1000),
+       |p AS (SELECT a.vec_id AS pa, b.vec_id AS pb
+       |      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+       |      WHERE round($dot / (a.nrm * b.nrm), 6) >= 0.3),
+       |e AS (SELECT pa AS ea, pb AS eb FROM p
+       |      UNION ALL SELECT pb, pa FROM p),
+       |reach(rv, rr) AS (
+       |  SELECT DISTINCT ea, ea FROM e
+       |  UNION
+       |  SELECT e.eb, reach.rr FROM e JOIN reach ON reach.rv = e.ea)
+       |SELECT rv AS vec_id, min(rr) AS component
+       |FROM reach GROUP BY rv ORDER BY vec_id""".stripMargin
+  }
 }

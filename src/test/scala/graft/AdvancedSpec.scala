@@ -174,6 +174,31 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("large-star/small-star CC equals plain propagation on seeded graphs") {
+    val rnd = new scala.util.Random(7)
+    // include a long chain — the exact shape plain propagation is slow on
+    // and LS/SS exists for — plus random graphs and a self-loop
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val cases = chain +: Seq.fill(4) {
+      val nV = 2 + rnd.nextInt(30)
+      Seq.fill(1 + rnd.nextInt(40))(
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+    } :+ Seq((5L, 5L), (1L, 2L))
+    cases.foreach { edges =>
+      val df = edges.toDF("a", "b")
+      val plain = Components.connectedComponents(df, "a", "b", maxIter = 60)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lsss = Components.largeStarSmallStar(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lsss == plain, s"edges=$edges")
+    }
+  }
+
+  test("large-star/small-star: empty input degrades to empty, not error") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Components.largeStarSmallStar(noEdges, "a", "b").count() == 0)
+  }
+
   test("asof matches per-row brute force on a seeded random event set") {
     val rnd = new scala.util.Random(7)
     val lefts = (1L to 60L).map(i => (i, rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
