@@ -370,6 +370,47 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Data-mixture sampling: per-source quotas proportional to sqrt(size)
+    // (temperature-style source rebalancing — upweights small sources
+    // relative to proportional sampling), filled by deterministic
+    // hash-ranked selection within each source. sqrt is IEEE-exact in both
+    // engines and the rank key is pure integer hash arithmetic, so the
+    // selected set — not just its size — is cross-engine identical. Shape:
+    // one tiny quota aggregate broadcast back, one per-source window.
+    QueryDef("q105_data_mixture",
+      """WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |q AS (SELECT source,
+        |             CAST(round(200 * sqrt(n) / (SELECT sum(sqrt(n)) FROM s), 0)
+        |                  AS BIGINT) AS quota
+        |      FROM s),
+        |r AS (SELECT doc_id, source,
+        |             len(string_split(text, ' ')) AS n_tok,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+        |      FROM documents)
+        |SELECT source, quota, count(*) AS n_selected,
+        |       CAST(sum(n_tok) AS BIGINT) AS tokens
+        |FROM r JOIN q USING (source) WHERE rk <= quota
+        |GROUP BY source, quota ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val src = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      val tot = src.agg(sum(sqrt(col("n"))).as("t"))
+      val quotas = src.crossJoin(broadcast(tot))
+        .select(col("source"),
+          round(lit(200) * sqrt(col("n")) / col("t"), 0).cast("long").as("quota"))
+      val w = Window.partitionBy("source")
+        .orderBy((col("doc_id") * lit(2654435761L)) % lit(1000000007L), col("doc_id"))
+      docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+        .withColumn("rk", row_number().over(w))
+        .join(quotas, "source")
+        .where(col("rk") <= col("quota"))
+        .groupBy("source", "quota")
+        .agg(count(lit(1)).as("n_selected"), sum("n_tok").as("tokens"))
+        .orderBy("source")
+    },
+
     // Token-budget sequence packing: greedy in-order packing of documents
     // into 512-token training batches, per source shard — a doc belongs to
     // the bucket its cumulative start offset falls in. The running sum is
