@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-stability goldens: the physical operator skeleton (preorder class
+  * names of `sparkPlan`, pre-AQE) of every scale-sensitive query, pinned to
+  * checked-in files. PlanSpec asserts the properties we KNOW matter
+  * (pushdown, broadcasts, bucket pruning); this net catches the regressions
+  * nobody predicted — a Spark upgrade or refactor that silently swaps a
+  * BroadcastHashJoin for a SortMergeJoin anywhere fails here, not on a
+  * 100 TB run.
+  *
+  * Regenerate intentionally with GRAFT_REGEN_PLANS=1 `sbt "testOnly
+  * graft.PlanGoldenSpec"` and review the diff like any code change.
+  */
+class PlanGoldenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val goldenDir = Paths.get("src/test/resources/plan_goldens")
+  private val regen = sys.env.get("GRAFT_REGEN_PLANS").contains("1")
+
+  /** Skeleton = preorder physical-operator class names — no paths, sizes or
+    * expression ids, so it is stable across machines and fixture dirs.
+    */
+  private def skeleton(df: DataFrame): String =
+    df.queryExecution.sparkPlan
+      .collect { case n => n.getClass.getSimpleName }
+      .mkString("\n") + "\n"
+
+  /** Non-iterative, side-effect-light queries whose plan shape IS the scale
+    * contract. Iterative operators (q61/q81/q104) are excluded: their final
+    * plan is just a checkpoint scan, the shape lives inside the rounds.
+    */
+  private val pinned = Seq(
+    "q01_pruned_scan", "q03_group_count", "q07_survival_curve",
+    "q11_star_join", "q13_rotation_union", "q19_spherical",
+    "q26_tumbling_window", "q28_sessionize", "q30_exact_dedup",
+    "q36_minhash_signature", "q38_simhash", "q40_knn_bruteforce",
+    "q45_channel_stats", "q46_mappartitions_score", "q50_tfidf",
+    "q56_asof_join", "q57_rollup", "q64_keep_best", "q79_top_tokens",
+    "q99_bucket_prune", "q101_contamination", "q102_pack_sequences",
+    "q105_data_mixture")
+
+  pinned.foreach { name =>
+    test(s"$name physical skeleton matches its golden") {
+      val got = skeleton(SparkEntry.queries(name)(spark, TestSpark.sfDir))
+      val file = goldenDir.resolve(s"$name.txt")
+      if (regen || !Files.exists(file)) {
+        Files.createDirectories(goldenDir)
+        Files.writeString(file, got)
+        info(s"golden ${if (regen) "regenerated" else "created"}: $file")
+      } else {
+        val want = Files.readString(file)
+        assert(got == want,
+          s"\nphysical plan skeleton drifted from $file —\n" +
+            "if intentional, regenerate with GRAFT_REGEN_PLANS=1 and review " +
+            s"the diff\n--- golden ---\n$want--- current ---\n$got")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+}
