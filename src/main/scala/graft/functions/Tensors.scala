@@ -39,6 +39,21 @@ object Tensors {
     }
   }
 
+  /** Flat-array form of [[rot90]]: the same permutation on a row-major flat
+    * grid as ONE codegen'd copy loop (functions/VectorExprs.GridRot90Expr) —
+    * no reshape/flatten HOF tree. Bit-equal to
+    * `flatten(rot90(reshape(flat, n, n), n, k))`.
+    */
+  def rot90Flat(flat: Column, n: Int, k: Int): Column = {
+    val kk = ((k % 4) + 4) % 4
+    if (kk == 0) flat
+    else {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(VectorExprs.GridRot90Expr(
+        GraftColumnBridge.expression(flat), n, kk))
+    }
+  }
+
   /** Matrix transpose via nested transform (reference dataset.py:11 axis swap). */
   def transposeGrid(matrix: Column, n: Int): Column =
     transform(sequence(lit(0), lit(n - 1)), j =>

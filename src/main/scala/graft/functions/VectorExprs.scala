@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -89,6 +89,64 @@ object VectorExprs {
         newLeft: Expression, newRight: Expression): Expression =
       copy(newLeft, newRight)
     override def prettyName: String = "vec_dot"
+  }
+
+  /** Flat 90°·k rotation of an n×n grid stored row-major — the same index
+    * maps as [[Tensors.rot90]]'s nested-HOF form (numpy rot90 convention),
+    * as one primitive copy loop over the flat array. k must be 1..3 (the
+    * builder short-circuits k≡0 to the child).
+    */
+  def rot90Data(a: ArrayData, n: Int, k: Int, isFloat: Boolean): ArrayData = {
+    val sz = n * n
+    require(a.numElements() >= sz,
+      s"grid_rot90: need $sz elements for an ${n}x$n grid, got ${a.numElements()}")
+    @inline def src(p: Int): Int = {
+      val r = p / n; val c = p % n
+      k match {
+        case 1 => c * n + (n - 1 - r)       // out[r][c] = in[c][n-1-r]
+        case 2 => (n - 1 - r) * n + (n - 1 - c)
+        case _ => (n - 1 - c) * n + r       // k = 3
+      }
+    }
+    if (isFloat) {
+      val out = new Array[Float](sz)
+      var p = 0
+      while (p < sz) { out(p) = a.getFloat(src(p)); p += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Double](sz)
+      var p = 0
+      while (p < sz) { out(p) = a.getDouble(src(p)); p += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+
+  /** grid_rot90(flat, n, k): the rot90 permutation without the
+    * reshape→nested-transform→flatten HOF tree (which costs ~9× the scan at
+    * sf0.1 — measured; this is the vec_dot story again). Pure permutation:
+    * results are bit-equal to the HOF form.
+    */
+  case class GridRot90Expr(child: Expression, n: Int, k: Int)
+      extends UnaryExpression {
+    require(n > 0 && k >= 1 && k <= 3, s"grid_rot90: bad n=$n k=$k")
+    override def dataType: DataType = child.dataType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float|double>, got ${other.catalogString}")
+    }
+    private lazy val isFloat = isFloatArray(child)
+
+    override def nullSafeEval(a: Any): Any =
+      rot90Data(a.asInstanceOf[ArrayData], n, k, isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.rot90Data($c, $n, $k, $isFloat);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "grid_rot90"
   }
 
   /** Σ(aᵢ−bᵢ)² — the assignment loop of IVF/k-means, same fused-loop and

@@ -116,11 +116,12 @@ object PhysicsQueries {
         |FROM embeddings, (SELECT unnest(range(0, 64)) AS p)
         |WHERE vec_id < 64
         |ORDER BY vec_id, pos""".stripMargin) { (s, d) =>
-      val grid = Tensors.reshape(col("embedding"), 8, 8)
+      // fused codegen permutation (rot90Flat); bit-equal to the nested
+      // reshape→rot90→flatten HOF form it replaced (equivalence unit-tested)
       Tables.embeddings(s, d)
         .where(col("vec_id") < 64)
         .select(col("vec_id"),
-          posexplode(flatten(Tensors.rot90(grid, 8, 1))).as(Seq("pos", "val")))
+          posexplode(Tensors.rot90Flat(col("embedding"), 8, 1)).as(Seq("pos", "val")))
         .orderBy("vec_id", "pos")
     },
 

@@ -248,6 +248,29 @@ class AdvancedSpec extends AnyFunSuite {
     assert(out.find(_.getLong(0) == 1L).get.getDouble(1) == 3.875)
   }
 
+  test("rot90Flat is bit-equal to the nested HOF rotation for every k") {
+    import graft.functions.Tensors
+    val n = 8
+    val df = Seq.tabulate(5)(i =>
+      (i.toLong, Array.tabulate(n * n)(j => (i * 64 + j) / 16.0f)))
+      .toDF("id", "flat")
+    (0 to 4).foreach { k =>
+      val grid = Tensors.reshape(col("flat"), n, n)
+      val out = df.select(col("id"),
+        Tensors.rot90Flat(col("flat"), n, k).as("fast"),
+        flatten(Tensors.rot90(grid, n, k)).as("hof")).collect()
+      out.foreach { r =>
+        assert(r.getSeq[Float](1) == r.getSeq[Float](2), s"k=$k id=${r.getLong(0)}")
+      }
+    }
+    // rot90Flat composed 4× is the identity
+    val id4 = df.select(col("flat"),
+      Tensors.rot90Flat(Tensors.rot90Flat(Tensors.rot90Flat(
+        Tensors.rot90Flat(col("flat"), n, 1), n, 1), n, 1), n, 1).as("r4"))
+      .collect()
+    id4.foreach(r => assert(r.getSeq[Float](0) == r.getSeq[Float](1)))
+  }
+
   test("asof: left payload columns survive untouched") {
     val l = Seq((1L, 7L, 50L, "payload")).toDF("id", "k", "t", "note")
     val r = Seq((7L, 10L)).toDF("k", "vt")
