@@ -143,4 +143,32 @@ object GraftProps extends Properties("graft") {
           graft.sources.NpzIngest.toNpyBytes("<f4", shape, data))
           .data.toSeq == data.toSeq
     }
+
+  // ---- rot90 flat index maps: group laws on the pure kernel ----
+
+  private val gridCase: Gen[(Int, Int)] = for {
+    n <- Gen.choose(1, 9); k <- Gen.choose(1, 3)
+  } yield (n, k)
+
+  private def rotPerm(n: Int, k: Int): Array[Int] = {
+    val a = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate[Any](n * n)(_.toDouble))
+    val out = graft.functions.VectorExprs.rot90Data(a, n, k, false)
+    Array.tabulate(n * n)(i => out.getDouble(i).toInt)
+  }
+
+  property("rot90Data: k-fold single rotation equals rotation by k") =
+    forAll(gridCase) { case (n, k) =>
+      val single = rotPerm(n, 1)
+      val byK = rotPerm(n, k)
+      val composed = (1 until k).foldLeft(single)((acc, _) => acc.map(single))
+      byK.sameElements(composed)
+    }
+
+  property("rot90Data: rotation by k then 4-k is the identity") =
+    forAll(gridCase) { case (n, k) =>
+      val fwd = rotPerm(n, k)
+      val back = rotPerm(n, 4 - k)
+      fwd.map(back).sameElements(Array.tabulate(n * n)(identity))
+    }
 }
