@@ -78,6 +78,22 @@ class NpzSpec extends AnyFunSuite {
     }
   }
 
+  test("corrupted archives fail loudly — no silent partial decode") {
+    val intact = Files.readAllBytes(
+      java.nio.file.Paths.get("fixtures/npz/demo_matrices.npz"))
+    // truncation: the deflate stream ends mid-entry
+    val truncated = intact.take(intact.length / 2)
+    intercept[Exception] {
+      NpzIngest.npzEntries(truncated).foreach { case (_, b) => NpzIngest.parseNpy(b) }
+    }
+    // bit-flip in the compressed payload: zip CRC must reject it
+    val flipped = intact.clone()
+    flipped(intact.length / 2) = (flipped(intact.length / 2) ^ 0x55).toByte
+    intercept[Exception] {
+      NpzIngest.npzEntries(flipped).foreach { case (_, b) => NpzIngest.parseNpy(b) }
+    }
+  }
+
   test("npzEntries iterates STORED and DEFLATED members with stripped names") {
     val member = npyBytes("<f8", Seq(2), b => Seq(1.0, 2.0).foreach(b.putDouble), 8)
     val bos = new ByteArrayOutputStream()
