@@ -56,6 +56,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => VectorExprs.DotProductExpr(args.head, args(1))))
 
     ext.injectFunction((
+      new FunctionIdentifier("vec_dist_sq"),
+      new ExpressionInfo(classOf[VectorExprs.L2DistSqExpr].getName, "vec_dist_sq"),
+      (args: Seq[Expression]) => VectorExprs.L2DistSqExpr(args.head, args(1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("grid_rot90"),
+      new ExpressionInfo(classOf[VectorExprs.GridRot90Expr].getName, "grid_rot90"),
+      (args: Seq[Expression]) => VectorExprs.GridRot90Expr(
+        args.head, intArg(args(1), "n"), intArg(args(2), "k"))))
+
+    ext.injectFunction((
       new FunctionIdentifier("shingle_explode"),
       new ExpressionInfo(classOf[ShingleExplodeExpr].getName, "shingle_explode"),
       (args: Seq[Expression]) => ShingleExplodeExpr(args.head)))

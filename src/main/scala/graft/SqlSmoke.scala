@@ -33,7 +33,23 @@ object SqlSmoke {
     val statsSql = spark.sql(
       "SELECT channel_stats(embedding, 64) AS s FROM embeddings").head()
       .getSeq[org.apache.spark.sql.Row](0)
-    println(s"SQL_SMOKE hash_parity=$hashOk rows=${viaSql.length} " +
+
+    // vec family + grid_rot90 through SQL, checked against the Column API
+    val vecSql = spark.sql(
+      """SELECT vec_dot(embedding, embedding) AS d,
+        |       vec_dist_sq(embedding, embedding) AS z,
+        |       grid_rot90(embedding, 8, 1) AS r
+        |FROM embeddings ORDER BY vec_id LIMIT 5""".stripMargin).collect()
+    val vecCol = Tables.embeddings(spark, sfDir)
+      .select(graft.functions.Tensors.dot(col("embedding"), col("embedding")).as("d"),
+        graft.functions.Tensors.rot90Flat(col("embedding"), 8, 1).as("r"))
+      .orderBy("vec_id").limit(5).collect()
+    val vecOk = vecSql.zip(vecCol).forall { case (a, b) =>
+      a.getDouble(0) == b.getDouble(0) && a.getDouble(1) == 0.0 &&
+        a.getSeq[Float](2) == b.getSeq[Float](1)
+    }
+
+    println(s"SQL_SMOKE hash_parity=$hashOk vec_parity=$vecOk rows=${viaSql.length} " +
       s"stats_dims=${statsSql.length} mean0=${statsSql.head.getDouble(0)}")
     spark.stop()
   }
