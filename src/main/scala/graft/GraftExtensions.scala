@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.BinaryType
 
-import graft.functions.{ChannelStatsAgg, ShingleExplodeExpr, TextHashExprs, VectorExprs}
+import graft.functions.{BloomExprs, ChannelStatsAgg, ShingleExplodeExpr, TextHashExprs, VectorExprs}
 
 /** Session extensions (SparkSessionExtensions → injectFunction): exposes the
   * engine's custom Catalyst expressions to SQL, so `spark.sql` users get the
@@ -70,6 +71,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("shingle_explode"),
       new ExpressionInfo(classOf[ShingleExplodeExpr].getName, "shingle_explode"),
       (args: Seq[Expression]) => ShingleExplodeExpr(args.head)))
+
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomExprs.BloomMightContainExpr].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        val bytes = args.head match {
+          case Literal(b: Array[Byte], BinaryType) => b
+          case other => throw new IllegalArgumentException(
+            s"bloom_might_contain: first arg must be a BINARY literal (a serialized filter), got $other")
+        }
+        BloomExprs.BloomMightContainExpr(bytes, args(1))
+      }))
 
     ext.injectFunction((
       new FunctionIdentifier("channel_stats"),

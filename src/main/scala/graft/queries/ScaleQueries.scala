@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{BucketCatalog, SkewJoin}
+import graft.operators.{BloomPrefilter, BucketCatalog, SkewJoin}
 
 /** Scale-technique queries: TF-IDF over exploded tokens, bucketed
   * (exchange-free) joins, and salted skew joins. Each is oracle-checked
@@ -120,6 +120,34 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n"),
           sum(round(col("l_quantity") * 100, 0).cast("long")).as("qty_cents"))
         .orderBy("o_orderstatus")
+    },
+
+    // Bloom-prefilter semi join: the build side's keys are folded into an
+    // O(bits) Bloom filter (treeAggregate partials), and the probe side is
+    // prefiltered BEFORE its shuffle — rows that cannot join never enter the
+    // exchange (operators/BloomPrefilter; the explicit form of Spark's
+    // runtime bloom filter / Trino's dynamic filter). The oracle is the plain
+    // IN-subquery semi join: false positives are cleaned up by the exact join
+    // that follows, false negatives are impossible, so results are identical.
+    QueryDef("q106_bloom_prefilter_join",
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val urgent = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
+        .select("o_orderkey")
+      BloomPrefilter.semiJoin(
+          Tables.lineitem(s, d), col("l_orderkey"),
+          urgent, col("o_orderkey"),
+          expectedItems = 1L << 17)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long")).cast("long").as("revenue_cents"))
+        .orderBy("l_returnflag")
     }
   )
 }

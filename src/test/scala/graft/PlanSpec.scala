@@ -119,4 +119,40 @@ class PlanSpec extends AnyFunSuite {
     assert(aggIdx >= 0 && exIdx >= 0, p)
     assert(p.contains("Window"), p)
   }
+
+  test("q106: bloom prefilter guards the probe side below the semi join") {
+    val p = plan(q("q106_bloom_prefilter_join"))
+    assert(p.contains("bloom_might_contain"), p)
+    // the prefilter must be a Filter on the probe branch, i.e. appear AFTER
+    // (deeper than) the semi join node in the formatted tree
+    val joinIdx = p.indexOf("LeftSemi")
+    val bloomIdx = p.indexOf("bloom_might_contain")
+    assert(joinIdx >= 0 && bloomIdx > joinIdx, p)
+  }
+
+  test("native runtime bloom filter injects once thresholds admit the fixture scan") {
+    // Spark's own InjectRuntimeFilter — the automatic counterpart of
+    // BloomPrefilter — stays silent at fixture scale only because of the
+    // 10 GiB application-side default; with that production threshold lowered
+    // the very same join shape gets the filter with NO code change
+    import org.apache.spark.sql.functions.col
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = Tables.lineitem(spark, TestSpark.sfDir)
+      val o = Tables.orders(spark, TestSpark.sfDir)
+        .where(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").count()
+      val p = plan(joined)
+      assert(p.contains("might_contain"), p)
+    } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
+  }
 }
