@@ -24,38 +24,70 @@ object ScalerPipeline {
   final case class Stat(target: String, kind: String,
                         mean: Double, stddev: Double, min: Double, max: Double)
 
-  /** Fitted statistics are snapped to a 1e-9 grid (decimal HALF_UP — the same
-    * rule as Spark's `round`). Cross-engine float aggregation (Spark's
-    * partial/merge tree vs a sequential scan) can move μ/σ by a last-ulp
-    * amount, which then propagates through EVERY scaled row; snapping makes
-    * the persisted stats relation bit-identical across engines while changing
-    * the fitted values by < 5e-10 (far below any physical meaning).
+  /** μ/σ are derived from ORDER-INDEPENDENT exact-integer aggregates, not
+    * from float `avg`/`stddev_pop`. Float partial/merge accumulation order is
+    * nondeterministic across runs (task completion order) and differs from a
+    * sequential scan, so a rounding snap applied afterwards still flips when
+    * the true value sits near a grid boundary — that is exactly how q49
+    * failed in one harness run while passing in another. Instead each row is
+    * quantized to integer 1e-6 units once, summed exactly (decimal — no
+    * overflow at any scale), and μ/σ come from those integers through a fixed
+    * IEEE op sequence that the DuckDB oracle mirrors token by token:
+    * identical integers + identical ops = identical bits, every run, either
+    * engine, any partitioning. The 1e-6 input grid perturbs the fitted value
+    * by < 5e-7 relative to an unquantized fit — far below physical meaning.
+    * min/max stay raw: they are selections, order-independent by nature.
     */
-  private def snap9(x: Double): Double =
-    if (x.isNaN || x.isInfinite) x
-    else BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  val QuantScale = 1e6
 
   /** Fit: one aggregate pass over the fit relation, all targets at once. */
   def fit(df: DataFrame, targets: Seq[(String, Kind)]): Seq[Stat] = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
     val aggs = targets.flatMap { case (c, kind) =>
       val x = kind match {
         case Log1pStandard => log1p(col(c))
         case _             => col(c)
       }
-      Seq(avg(x).as(s"${c}_mean"), stddev_pop(x).as(s"${c}_std"),
+      val y = round(x * lit(QuantScale), 0).cast("long").cast(dec)
+      Seq(count(y).as(s"${c}_n"), sum(y).as(s"${c}_s1"), sum(y * y).as(s"${c}_s2"),
           min(x).as(s"${c}_min"), max(x).as(s"${c}_max"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     targets.zipWithIndex.map { case ((c, kind), i) =>
-      // an empty fit relation / all-null column yields null aggregates —
+      val n = row.getLong(5 * i)
+      // an empty fit relation / all-null column yields zero-count aggregates —
       // surface that as a clear error, not an NPE from getDouble
-      if (row.isNullAt(4 * i)) throw new IllegalStateException(
+      if (n == 0L) throw new IllegalStateException(
         s"scaler fit for '$c': fit relation is empty or the column is all null")
+      // Mirrored in every fit oracle SQL: mu = (s1/n)/1e6,
+      // sigma = sqrt(max(s2/n - (s1/n)^2, 0))/1e6 — keep the op sequence
+      // in lockstep with the SQL or parity breaks.
+      val nd  = n.toDouble
+      val s1d = row.getDecimal(5 * i + 1).doubleValue()
+      val s2d = row.getDecimal(5 * i + 2).doubleValue()
+      val muq  = s1d / nd
+      val varq = { val v = s2d / nd - muq * muq; if (v < 0.0) 0.0 else v }
       Stat(c, kind.name,
-        snap9(row.getDouble(4 * i)), snap9(row.getDouble(4 * i + 1)),
-        snap9(row.getDouble(4 * i + 2)), snap9(row.getDouble(4 * i + 3)))
+        muq / QuantScale, math.sqrt(varq) / QuantScale,
+        row.getDouble(5 * i + 3), row.getDouble(5 * i + 4))
     }
   }
+
+  /** The oracle-side mirror of `fit` for one column: SQL deriving (mu, sigma)
+    * from the same exact-integer sums with the same IEEE op sequence.
+    * `expr` is the (already log-transformed, if applicable) SQL expression.
+    */
+  def fitStatsSql(expr: String, from: String): String =
+    s"""SELECT (CAST(sum(y) AS DOUBLE) / count(y)) / CAST(1000000 AS DOUBLE) AS mu,
+       |       sqrt(CASE WHEN CAST(sum(y * y) AS DOUBLE) / count(y)
+       |                      - (CAST(sum(y) AS DOUBLE) / count(y))
+       |                        * (CAST(sum(y) AS DOUBLE) / count(y)) < 0 THEN 0
+       |                 ELSE CAST(sum(y * y) AS DOUBLE) / count(y)
+       |                      - (CAST(sum(y) AS DOUBLE) / count(y))
+       |                        * (CAST(sum(y) AS DOUBLE) / count(y)) END)
+       |       / CAST(1000000 AS DOUBLE) AS sigma
+       |FROM (SELECT CAST(round(($expr) * 1000000, 0) AS BIGINT) AS y FROM $from)""".stripMargin
 
   /** Persist / reload the stats relation (the fit/apply state of SURVEY §7.4.4
     * — persisted data, never a hidden object).

@@ -81,9 +81,8 @@ object MlQueries {
       s"""WITH o AS (SELECT o_totalprice,
          |             ${graft.operators.Split.assignSplitSql("o_orderkey", 21)} AS split
          |           FROM orders),
-         |stats AS (SELECT round(avg(ln(o_totalprice + 1)), 9) AS mu,
-         |                 round(stddev_pop(ln(o_totalprice + 1)), 9) AS sigma
-         |          FROM o WHERE split = 'train')
+         |stats AS (${graft.operators.ScalerPipeline.fitStatsSql(
+                       "ln(o_totalprice + 1)", "(SELECT * FROM o WHERE split = 'train')")})
          |SELECT split, count(*) AS n,
          |       round(CAST(sum(CAST(round(((ln(o_totalprice + 1) - mu) / sigma)
          |                 * 1000000, 0) AS BIGINT)) AS DOUBLE)
@@ -102,7 +101,8 @@ object MlQueries {
         Seq("o_totalprice" -> ScalerPipeline.Log1pStandard))
       ScalerPipeline.save(s, stats, s"$out/stats")
       val loaded = ScalerPipeline.load(s, s"$out/stats")
-      // Stats are 1e-9-snapped at fit time (identical across engines), and the
+      // Stats derive from exact-integer sums at fit time (bit-identical across
+      // engines AND across runs — no accumulation-order dependence), and the
       // per-row scaled value is quantized to integer 1e-6 units before the
       // average so the cross-row reduction is exact integer arithmetic —
       // float summation order (partial/merge vs sequential) can't move it.

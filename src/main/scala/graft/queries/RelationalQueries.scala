@@ -297,16 +297,26 @@ object RelationalQueries {
     QueryDef("q18_scaler_fit_apply",
       s"""WITH train AS (SELECT o_totalprice FROM orders
          |               WHERE ${Split.assignSplitSql("o_orderkey", 21)} = 'train'),
-         |stats AS (SELECT round(avg(ln(o_totalprice + 1)), 9) AS mu,
-         |                 round(stddev_pop(ln(o_totalprice + 1)), 9) AS sigma FROM train),
+         |stats AS (${graft.operators.ScalerPipeline.fitStatsSql("ln(o_totalprice + 1)", "train")}),
          |test AS (SELECT o_totalprice FROM orders
-         |         WHERE ${Split.assignSplitSql("o_orderkey", 21)} = 'test')
-         |SELECT round(avg((ln(o_totalprice + 1) - mu) / sigma), 6) AS avg_s,
-         |       round(stddev_pop((ln(o_totalprice + 1) - mu) / sigma), 6) AS std_s,
-         |       round(min((ln(o_totalprice + 1) - mu) / sigma), 6) AS min_s,
-         |       round(max((ln(o_totalprice + 1) - mu) / sigma), 6) AS max_s,
+         |         WHERE ${Split.assignSplitSql("o_orderkey", 21)} = 'test'),
+         |q AS (SELECT CAST(round(((ln(o_totalprice + 1) - mu) / sigma) * 1000000, 0)
+         |             AS BIGINT) AS qv,
+         |             (ln(o_totalprice + 1) - mu) / sigma AS v
+         |      FROM test, stats)
+         |SELECT round(CAST(sum(qv) AS DOUBLE) / count(*) / CAST(1000000 AS DOUBLE), 6) AS avg_s,
+         |       round(sqrt(CASE WHEN CAST(sum(qv * qv) AS DOUBLE) / count(*)
+         |                    - (CAST(sum(qv) AS DOUBLE) / count(*))
+         |                      * (CAST(sum(qv) AS DOUBLE) / count(*)) < 0 THEN 0
+         |                  ELSE CAST(sum(qv * qv) AS DOUBLE) / count(*)
+         |                    - (CAST(sum(qv) AS DOUBLE) / count(*))
+         |                      * (CAST(sum(qv) AS DOUBLE) / count(*)) END)
+         |             / CAST(1000000 AS DOUBLE), 6) AS std_s,
+         |       round(min(v), 6) AS min_s,
+         |       round(max(v), 6) AS max_s,
          |       count(*) AS n
-         |FROM test, stats""".stripMargin) { (s, d) =>
+         |FROM q""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
       val orders = Tables.orders(s, d)
         .withColumn("split", Split.assignSplit(col("o_orderkey"), 21))
       val stats = ScalerPipeline.fit(
@@ -314,9 +324,19 @@ object RelationalQueries {
         Seq("o_totalprice" -> ScalerPipeline.Log1pStandard))
       val scaled = ScalerPipeline.apply(orders.where(col("split") === "test"), stats)
         .select(col("o_totalprice_scaled").as("v"))
+      // The apply-side avg/stddev are cross-row float reductions → quantize to
+      // integer 1e-6 units and derive both moments from exact sums (playbook
+      // rule 4); min/max are order-independent selections and stay raw.
+      val qv = round(col("v") * lit(1e6), 0).cast("long").cast(DecimalType(38, 0))
+      val byN = (x: org.apache.spark.sql.Column) => x.cast("double") / count(lit(1))
+      val mu6 = byN(sum(qv))
+      val var6 = {
+        val v = byN(sum(qv * qv)) - mu6 * mu6
+        when(v < 0.0, 0.0).otherwise(v)
+      }
       scaled.agg(
-        round(avg("v"), 6).as("avg_s"),
-        round(stddev_pop("v"), 6).as("std_s"),
+        round(mu6 / lit(1e6).cast("double"), 6).as("avg_s"),
+        round(sqrt(var6) / lit(1e6).cast("double"), 6).as("std_s"),
         round(min("v"), 6).as("min_s"),
         round(max("v"), 6).as("max_s"),
         count(lit(1)).as("n"))
