@@ -19,7 +19,7 @@ object SparkEntry {
     RelationalQueries.defs ++ PhysicsQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       MlQueries.defs ++ ScaleQueries.defs ++ AdvancedQueries.defs ++
-      SourceQueries.defs ++ NpzQueries.defs
+      SourceQueries.defs ++ NpzQueries.defs ++ CurationQueries.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The survival
     * curve (SURVEY §7.2) — the reference's actual scientific output.

@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Hashes, MisraGries}
+import graft.operators.{MinHash, SimHash, ZOrder}
+
+/** Round-3 corpus-curation operators: heavy-hitter sketching, RAG chunking,
+  * boilerplate passage removal, perplexity-band quality gating, exact
+  * stratified splitting, weighted sampling, Z-order layout clustering, and
+  * incremental (batch-vs-corpus) dedup. All follow the determinism playbook
+  * (integer quantization for cross-row float reductions, salted
+  * multiplicative hashes for anything "random", every ordering ending in a
+  * unique key).
+  */
+object CurationQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Misra-Gries heavy hitters (custom TypedImperativeAggregate). The
+    // sketch's candidate set is merge-order-dependent at the margin, so the
+    // checkable contract is the MG GUARANTEE: every item with exact count
+    // > N/(k+1) must appear among the ≤ k candidates. With k=2 over the
+    // 3-valued o_orderstatus the sketch is in constant eviction and exactly
+    // one status clears the N/3 bar in the fixture — a tight instance.
+    // Scale shape: O(k) state per partition, one ≤ k-entry summary per
+    // partition crosses the wire; the exact recount exists only to state the
+    // contract (at 100 TB you would recount the ≤ k candidates alone).
+    QueryDef("q107_heavy_hitters",
+      """WITH i AS (SELECT o_orderstatus AS item FROM orders),
+        |ex AS (SELECT item, count(*) AS cnt FROM i GROUP BY item),
+        |t AS (SELECT count(*) AS n FROM i)
+        |SELECT item, cnt, TRUE AS in_sketch
+        |FROM ex, t WHERE cnt * 3 > n ORDER BY cnt DESC, item""".stripMargin) { (s, d) =>
+      val k = 2
+      val items = Tables.orders(s, d).select(col("o_orderstatus").as("item"))
+      val exact = items.groupBy("item").agg(count(lit(1)).as("cnt"))
+      val total = items.agg(count(lit(1)).as("n"))
+      val cands = items.agg(MisraGries.candidates(col("item"), k).as("cands"))
+      exact.crossJoin(broadcast(total))
+        .where(col("cnt") * (k + 1) > col("n"))
+        .crossJoin(broadcast(cands))
+        .select(col("item"), col("cnt"),
+          array_contains(col("cands"), col("item")).as("in_sketch"))
+        .orderBy(col("cnt").desc, col("item"))
+    },
+
+    // RAG-style chunking: overlapping 32-token windows, stride 24. One narrow
+    // projection + a per-row sequence explode — no shuffle at all until the
+    // contract ORDER BY; fan-out is ~n_tokens/stride per doc, the minimum any
+    // chunker pays. Chunk count via exact integer arithmetic on both engines.
+    QueryDef("q108_chunk_windows",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |c AS (SELECT doc_id, toks,
+        |             CASE WHEN n <= 32 THEN 1 ELSE ((n - 9) // 24) + 1 END AS nchunks
+        |      FROM n),
+        |x AS (SELECT doc_id, toks, unnest(range(0, nchunks)) AS ci FROM c)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |       CAST(len(list_slice(toks, ci * 24 + 1, ci * 24 + 32)) AS INT)
+        |         AS n_chunk_toks,
+        |       array_to_string(list_slice(toks, ci * 24 + 1, ci * 24 + 32), ' ')
+        |         AS chunk_text
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("nchunks",
+          when(col("n") <= 32, 1)
+            .otherwise(floor((col("n") - 9) / 24.0).cast("int") + 1))
+      t.select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), col("nchunks") - 1)).as("ci"))
+        .select(col("doc_id"), col("ci").cast("int").as("chunk_idx"),
+          size(slice(col("toks"), col("ci") * 24 + 1, lit(32))).as("n_chunk_toks"),
+          array_join(slice(col("toks"), col("ci") * 24 + 1, lit(32)), " ")
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Boilerplate passage removal (CCNet-style, shingle-level): a 3-token
+    // shingle occurring in ≥ 3 DISTINCT documents is boilerplate; report each
+    // doc's boilerplate fraction. Scale shape: explode → groupBy shingle
+    // (uniform key, one shuffle) → the small boilerplate set broadcasts back
+    // against the exploded stream → per-doc count (shuffle on doc_id). The
+    // fraction divides two exact integers — identical doubles both engines.
+    QueryDef("q109_boilerplate_shingles",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |s0 AS (SELECT doc_id, unnest(${MinHash.shingleHashesSql("toks")}) AS shingle
+         |       FROM t),
+         |bl AS (SELECT shingle FROM (SELECT shingle, count(DISTINCT doc_id) AS nd
+         |                            FROM s0 GROUP BY shingle) WHERE nd >= 3),
+         |per AS (SELECT s0.doc_id, count(*) AS n_shingles,
+         |               count(bl.shingle) AS n_boiler
+         |        FROM s0 LEFT JOIN bl ON s0.shingle = bl.shingle
+         |        GROUP BY s0.doc_id)
+         |SELECT doc_id, n_shingles, n_boiler,
+         |       round(CAST(n_boiler AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+         |         AS boiler_frac
+         |FROM per ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // exploded shingle stream feeds both the boilerplate census and the
+      // per-doc recount — persist to derive once
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(MinHash.shingleHashes(split(col("text"), " ", -1))).as("shingle"))
+        .persist()
+      val boiler = sh.groupBy("shingle")
+        .agg(countDistinct("doc_id").as("nd"))
+        .where(col("nd") >= 3)
+        .select(col("shingle").as("bl_shingle"))
+      sh.join(broadcast(boiler), sh("shingle") === col("bl_shingle"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"), count(col("bl_shingle")).as("n_boiler"))
+        .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+          round(col("n_boiler").cast("double") / col("n_shingles").cast("double"), 6)
+            .as("boiler_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Perplexity-band quality gate: keep documents whose mean unigram
+    // log-probability sits inside [-3.41, -3.395] (the fixture's central
+    // band); report kept/dropped per source. The classification compares
+    // integer quantities only — sum_lp_e6 vs threshold·n_tokens — so no
+    // float reduction ever crosses rows (q80's scoring pipeline reused).
+    QueryDef("q110_lm_quality_gate",
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |total AS (SELECT count(*) AS n FROM tok),
+        |per AS (
+        |  SELECT tok.doc_id, tok.source, count(*) AS nt,
+        |         CAST(sum(CAST(round(ln(freq.c / (1.0 * total.n)) * 1000000, 0)
+        |                  AS BIGINT)) AS BIGINT) AS slp
+        |  FROM tok JOIN freq USING (token) CROSS JOIN total
+        |  GROUP BY tok.doc_id, tok.source)
+        |SELECT source, count(*) AS n_docs,
+        |       count(*) FILTER (WHERE slp >= -3410000 * nt
+        |                          AND slp <= -3395000 * nt) AS n_kept,
+        |       count(*) FILTER (WHERE slp < -3410000 * nt) AS n_low,
+        |       count(*) FILTER (WHERE slp > -3395000 * nt) AS n_high
+        |FROM per GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      // scanned by freq, total and the scoring join — persist to tokenize once
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ", -1)).as("token"))
+        .persist()
+      val freq = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      val total = broadcast(tok.agg(count(lit(1)).as("n")))
+      val per = tok.join(freq, "token").crossJoin(total)
+        .select(col("doc_id"), col("source"),
+          round(log(col("c") / (lit(1.0) * col("n"))) * 1000000, 0)
+            .cast("long").as("lp_e6"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("nt"), sum("lp_e6").as("slp"))
+      val low  = col("slp") < lit(-3410000L) * col("nt")
+      val high = col("slp") > lit(-3395000L) * col("nt")
+      per.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(!low && !high, 1)).as("n_kept"),
+          count(when(low, 1)).as("n_low"),
+          count(when(high, 1)).as("n_high"))
+        .orderBy("source")
+    },
+
+    // Exact stratified split: per-language EXACT 20/20/60 allocation (the
+    // sklearn train_test_split(stratify=...) contract the reference uses,
+    // reference create_train_valid_test_datasets.py:119-127) — rank within
+    // stratum by salted hash, integer-compare rank·5 against the stratum
+    // size. Unlike q16's per-row hash split (proportions only in
+    // expectation), quotas here are exact. Scale note: one window per
+    // stratum; strata are few and the window carries only (hash, id) — for
+    // huge strata fall back to q16's stateless split.
+    QueryDef("q111_stratified_exact",
+      s"""WITH r AS (SELECT doc_id, lang, ${Hashes.mulHashSql("doc_id", 1021)} AS h
+         |           FROM documents),
+         |w AS (SELECT lang,
+         |             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+         |             count(*) OVER (PARTITION BY lang) AS cnt
+         |      FROM r)
+         |SELECT lang,
+         |       CASE WHEN rn * 5 <= cnt THEN 'test'
+         |            WHEN rn * 5 <= cnt * 2 THEN 'valid' ELSE 'train' END AS split,
+         |       count(*) AS n_docs
+         |FROM w GROUP BY 1, 2 ORDER BY lang, split""".stripMargin) { (s, d) =>
+      val byLang = Window.partitionBy("lang")
+      val r = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          Hashes.mulHash(col("doc_id"), 1021).as("h"))
+        .select(col("lang"),
+          row_number().over(byLang.orderBy("h", "doc_id")).as("rn"),
+          count(lit(1)).over(byLang).as("cnt"))
+      r.select(col("lang"),
+          when(col("rn") * 5 <= col("cnt"), "test")
+            .when(col("rn") * 5 <= col("cnt") * 2, "valid")
+            .otherwise("train").as("split"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split")
+    },
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis one-pass):
+    // priority = -ln(u)/w with u a salted-hash uniform and w = n_chars; the
+    // k smallest priorities are the sample. Deterministic u (no RNG),
+    // priority quantized to integer 1e-9 units before ranking, ties broken
+    // by doc_id — replayable by the oracle and independent of partitioning.
+    // Scale shape: narrow map + TakeOrderedAndProject; no shuffle of the
+    // corpus, only k rows reach the driver side of the sort.
+    QueryDef("q112_weighted_sample",
+      s"""WITH p AS (
+         |  SELECT doc_id, n_chars,
+         |         CAST(round(-ln((${Hashes.mulHashSql("doc_id", 77)} + 1)
+         |                        / CAST(1000000008 AS DOUBLE))
+         |                    / n_chars * 1000000000, 0) AS BIGINT) AS prio_e9
+         |  FROM documents)
+         |SELECT doc_id, n_chars, prio_e9 FROM p
+         |ORDER BY prio_e9, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          round(-log((Hashes.mulHash(col("doc_id"), 77) + 1)
+                     / lit(1000000008L).cast("double"))
+                / col("n_chars") * 1000000000L, 0)
+            .cast("long").as("prio_e9"))
+        .orderBy("prio_e9", "doc_id")
+        .limit(20)
+    },
+
+    // Z-order (Morton) layout key: bit-interleave of two filter dimensions.
+    // The oracle checks the key arithmetic; ZOrderSpec proves the layout
+    // property (disjoint per-file z-ranges ⇒ 2-d box predicates skip files).
+    QueryDef("q113_zorder_key",
+      s"""SELECT l_orderkey, l_linenumber,
+         |       CAST(${ZOrder.zvalueSql("l_partkey", "l_suppkey")} AS BIGINT) AS zval
+         |FROM lineitem WHERE l_orderkey <= 300
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_orderkey") <= 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ZOrder.zvalue(col("l_partkey"), col("l_suppkey")).as("zval"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Incremental corpus dedup: a "new batch" (25 docs perturbed with an
+    // appended tail, 25 rewritten wholesale, 10 re-ingested verbatim)
+    // checked against the full corpus. Exact dups via content-hash
+    // semi-join; near-dups via 32-bit simhash cut into 6 bands (6,6,5,5,5,5
+    // bits) — by pigeonhole ANY pair within Hamming distance 5 shares at
+    // least one intact band, so the band equi-join is a LOSSLESS prefilter
+    // for the d ≤ 5 predicate and the oracle may state the plain Hamming
+    // join. Scale shape: the corpus never self-joins; candidates = band-key
+    // equi-join (new side is the small batch → broadcast), Hamming verify
+    // only on candidates.
+    QueryDef("q114_incremental_dedup",
+      s"""WITH newb AS (
+         |  SELECT doc_id, text || ' tail tail' AS text FROM documents WHERE doc_id < 25
+         |  UNION ALL
+         |  SELECT doc_id, upper(text) AS text FROM documents
+         |  WHERE doc_id >= 25 AND doc_id < 50
+         |  UNION ALL
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 50 AND doc_id < 60),
+         |nb AS (SELECT doc_id, sha256(text) AS h, sim FROM (
+         |  SELECT doc_id, text,
+         |         CAST(${SimHash.simhashOverThsSql(
+                     SimHash.tokenHashListSql("string_split(text, ' ')"), 32)} AS BIGINT)
+         |           AS sim
+         |  FROM newb)),
+         |cp AS (SELECT doc_id, sha256(text) AS h, sim FROM (
+         |  SELECT doc_id, text,
+         |         CAST(${SimHash.simhashOverThsSql(
+                     SimHash.tokenHashListSql("string_split(text, ' ')"), 32)} AS BIGINT)
+         |           AS sim
+         |  FROM documents)),
+         |ex AS (SELECT DISTINCT n.doc_id FROM nb n JOIN cp c ON n.h = c.h),
+         |nr AS (SELECT DISTINCT n.doc_id FROM nb n JOIN cp c
+         |       ON ${SimHash.hammingSql("n.sim", "c.sim", 32)} <= 5)
+         |SELECT nb.doc_id, (ex.doc_id IS NOT NULL) AS is_exact_dup,
+         |       (nr.doc_id IS NOT NULL) AS is_near_dup
+         |FROM nb LEFT JOIN ex ON nb.doc_id = ex.doc_id
+         |        LEFT JOIN nr ON nb.doc_id = nr.doc_id
+         |ORDER BY nb.doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+      val newb = base.where(col("doc_id") < 25)
+        .select(col("doc_id"), concat(col("text"), lit(" tail tail")).as("text"))
+        .unionAll(base.where(col("doc_id") >= 25 && col("doc_id") < 50)
+          .select(col("doc_id"), upper(col("text")).as("text")))
+        .unionAll(base.where(col("doc_id") >= 50 && col("doc_id") < 60)
+          .select(col("doc_id"), col("text")))
+      def sig(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        sha2(col("text"), 256).as("h"),
+        SimHash.simhash(split(col("text"), " ", -1), 32).as("sim"))
+      val nb = sig(newb).persist()   // feeds exact join, 6 band views, output
+      val cp = sig(base).persist()
+      // 32 bits → bands of (6,6,5,5,5,5) at offsets (0,6,12,17,22,27): any
+      // d ≤ 5 pair leaves ≥ 1 band intact (6 bands, 5 flips — pigeonhole)
+      val bandSpec = Seq((0, 63L), (6, 63L), (12, 31L), (17, 31L), (22, 31L), (27, 31L))
+      def bands(df: org.apache.spark.sql.DataFrame) = bandSpec.zipWithIndex.map {
+        case ((off, mask), b) =>
+          df.select(col("doc_id"), col("sim"), lit(b).as("band"),
+            shiftright(col("sim"), off).bitwiseAND(mask).as("bkey"))
+      }.reduce(_ unionAll _)
+      val exact = nb.join(cp.select(col("h").as("ch")), col("h") === col("ch"),
+          "left_semi").select(col("doc_id")).distinct()
+        .withColumn("is_exact_dup", lit(true))
+      val near = broadcast(bands(nb))
+        .join(bands(cp).select(col("band"), col("bkey"), col("sim").as("csim")),
+          Seq("band", "bkey"))
+        .where(SimHash.hamming(col("sim"), col("csim"), 32) <= 5)
+        .select(col("doc_id")).distinct()
+        .withColumn("is_near_dup", lit(true))
+      nb.select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"),
+          coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.MisraGries
+import graft.operators.ZOrder
+
+/** Invariants for the round-3 curation operators: the Misra-Gries guarantee
+  * under adversarial merge orders, and the Z-order layout property (disjoint
+  * per-file key ranges ⇒ 2-d box predicates can skip files).
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Zipf-ish skewed stream: item i appears ~ n/(i+1) times — realistic
+    * heavy-hitter shape (the fixture tables are deliberately uniform).
+    */
+  private def zipfStream(n: Int): Seq[String] =
+    (0 until n).map(j => s"item${java.lang.Long.numberOfTrailingZeros(j + 1)}")
+
+  test("Misra-Gries guarantee: every item with count > N/(k+1) survives") {
+    val data = zipfStream(4096)
+    val exact = data.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    for (k <- Seq(1, 2, 4, 8); parts <- Seq(1, 7, 32)) {
+      val cands = data.toDF("item").repartition(parts)
+        .agg(MisraGries.candidates(col("item"), k).as("c"))
+        .head().getSeq[String](0).toSet
+      assert(cands.size <= k, s"k=$k parts=$parts: ${cands.size} candidates")
+      val heavy = exact.filter(_._2 * (k + 1) > data.size).keySet
+      assert(heavy.subsetOf(cands),
+        s"k=$k parts=$parts: missing ${heavy -- cands}")
+    }
+  }
+
+  test("Misra-Gries candidate count bound holds on an all-distinct stream") {
+    val data = (0 until 1000).map(i => s"unique$i")
+    val cands = data.toDF("item").repartition(13)
+      .agg(MisraGries.candidates(col("item"), 5).as("c"))
+      .head().getSeq[String](0)
+    assert(cands.size <= 5)
+  }
+
+  test("zvalue interleaves bits: z(a,0) spreads a over even positions") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 0L), (0L, 3L), (255L, 255L))
+    val got = rows.toDF("a", "b")
+      .select(ZOrder.zvalue(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // interleave reference: a→bits 0,2,4…, b→bits 1,3,5…
+    def ref(a: Long, b: Long): Long = (0 until 8).map { i =>
+      (((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))
+    }.sum
+    assert(got == rows.map { case (a, b) => ref(a, b) })
+    assert(got.last == 65535L) // (255,255) → all 16 low bits set
+  }
+
+  test("z-order layout: per-file z-ranges are disjoint and a 2-d box skips files") {
+    val out = "/tmp/graft_zorder_spec"
+    val df = spark.range(20000).select(
+      (col("id") * 7919 % 256).as("a"), (col("id") * 104729 % 256).as("b"))
+    ZOrder.writeClustered(df, col("a"), col("b"), out, files = 8)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(files.size == 8)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("zval"), max("zval")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // range-partition + sort ⇒ file envelopes must not overlap
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"overlapping file z-ranges: $ranges")
+    }
+    // the box a<16, b<16 lives entirely in z < 16²·... = 256: only files whose
+    // envelope intersects [0,256) can hold matches — most files are skippable
+    // from their parquet min/max stats alone
+    val needed = ranges.count { case (lo, hi) => lo < 256 && hi >= 0 }
+    assert(needed <= 2, s"box should touch ≤2 of 8 files, needed=$needed")
+    // and the skip is sound: every matching row really lives in those files
+    val matches = spark.read.parquet(out).where(col("a") < 16 && col("b") < 16)
+    assert(matches.agg(max("zval")).head().getLong(0) < 256)
+  }
+}
