@@ -155,4 +155,41 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("might_contain"), p)
     } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
   }
+
+  test("q112 weighted sample: zero-shuffle TakeOrderedAndProject, no global sort") {
+    val p = plan(q("q112_weighted_sample"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q107 heavy hitters: map-side partial Misra-Gries before the merge") {
+    val p = plan(q("q107_heavy_hitters"))
+    assert(p.contains("partial_misra_gries"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q109 boilerplate: census set broadcasts back, never sort-merges") {
+    val p = plan(q("q109_boilerplate_shingles"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q114 incremental dedup: band candidates join with the batch broadcast") {
+    val p = q("q114_incremental_dedup").queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // the Hamming verify must ride the band equi-join as its condition, not
+    // run as a post-join filter over a wider candidate set
+    val idx = p.indexOf("BroadcastHashJoin [band")
+    assert(idx >= 0, p)
+    assert(p.substring(idx, p.indexOf("\n", idx)).contains("shiftright"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q108 chunking: narrow explode, the only exchange is the contract ordering") {
+    val p = q("q108_chunk_windows").queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
