@@ -89,5 +89,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ChannelStatsAgg].getName, "channel_stats"),
       (args: Seq[Expression]) =>
         ChannelStatsAgg(args.head, intArg(args(1), "dim")).toAggregateExpression()))
+
+    ext.injectFunction((
+      new FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[graft.functions.MisraGriesAgg].getName, "misra_gries"),
+      (args: Seq[Expression]) =>
+        graft.functions.MisraGriesAgg(args.head, intArg(args(1), "k"))
+          .toAggregateExpression()))
   }
 }

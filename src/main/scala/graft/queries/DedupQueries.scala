@@ -83,6 +83,42 @@ object DedupQueries {
             / size(array_union(col("a.sset"), col("b.sset"))), 6).as("jaccard"))
         .where(col("jaccard") >= 0.2)
         .orderBy("doc_a", "doc_b")
+    },
+
+    // END-TO-END near-dup removal — the full chain a corpus owner runs:
+    // LSH candidates → exact-Jaccard verify (≥ 0.5) → connected components
+    // over surviving pairs → keep the min-id representative per cluster.
+    // Every doc comes back with its cluster label and a keep flag
+    // (singletons keep themselves). Scale shape: q37's bucketed candidate
+    // join (never all-pairs) + q61's iterative min-label propagation
+    // (one shuffle per round) + a final left join on doc_id; no stage ever
+    // materializes O(N²) state. Oracle: the same LSH CTE chain extended
+    // with a recursive-CTE transitive closure.
+    QueryDef("q115_dedup_pipeline",
+      s"""WITH RECURSIVE ${LshPairsSql.cte},
+         |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |e AS (SELECT doc_a AS ea, doc_b AS eb FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(rv, rr) AS (
+         |  SELECT DISTINCT ea, ea FROM e
+         |  UNION
+         |  SELECT e.eb, reach.rr FROM e JOIN reach ON reach.rv = e.ea),
+         |comp AS (SELECT rv AS doc_id, min(rr) AS cluster FROM reach GROUP BY rv)
+         |SELECT d.doc_id, COALESCE(comp.cluster, d.doc_id) AS cluster,
+         |       (COALESCE(comp.cluster, d.doc_id) = d.doc_id) AS keep
+         |FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.Components
+      val pairs = MinHash.nearDuplicates(Tables.documents(s, d), col("doc_id"),
+          split(col("text"), " ", -1), 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val comp = Components.connectedComponents(pairs, "doc_a", "doc_b")
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(comp, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster"))
+        .withColumn("keep", col("cluster") === col("doc_id"))
+        .orderBy("doc_id")
     }
   )
 }
@@ -99,12 +135,15 @@ private object LshPairsSql {
       .map(j => s"mh_$j")
       .reduceLeft((acc, m) => s"(($acc) * 31 + $m) % $P")
 
-  val sql: String = {
+  /** The CTE chain (no WITH, no final SELECT) — shared by q37 and the
+    * end-to-end q115 pipeline, which appends a transitive closure to it.
+    */
+  val cte: String = {
     val toks = "string_split(text, ' ')"
     val mhCols = (0 until K).map(j => s"${MinHash.minhashSql("sh", j)} AS mh_$j")
     val bandSelects = (0 until Bands).map(b =>
       s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS bkey FROM sig")
-    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
        |s AS (SELECT doc_id, ${MinHash.shingleHashesSql("toks")} AS sh
        |      FROM t WHERE len(toks) >= 3),
        |sig AS (SELECT doc_id, ${mhCols.mkString(", ")} FROM s),
@@ -117,8 +156,11 @@ private object LshPairsSql {
        |             round(CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE)
        |               / len(list_distinct(list_concat(x.sset, y.sset))), 6) AS jaccard
        |      FROM cand JOIN ss x ON x.doc_id = doc_a
-       |                JOIN ss y ON y.doc_id = doc_b)
+       |                JOIN ss y ON y.doc_id = doc_b)""".stripMargin
+  }
+
+  val sql: String =
+    s"""WITH $cte
        |SELECT doc_a, doc_b, jaccard FROM j
        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
-  }
 }

@@ -13,7 +13,7 @@ class ContractSpec extends AnyFunSuite {
     RelationalQueries.defs ++ PhysicsQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       MlQueries.defs ++ ScaleQueries.defs ++ AdvancedQueries.defs ++
-      SourceQueries.defs ++ NpzQueries.defs
+      SourceQueries.defs ++ NpzQueries.defs ++ CurationQueries.defs
 
   test("query names are unique — nothing silently dropped by the Map") {
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys

@@ -41,6 +41,14 @@ class CurationSpec extends AnyFunSuite {
     assert(cands.size <= 5)
   }
 
+  test("misra_gries is callable from SQL via the session extensions") {
+    zipfStream(512).toDF("item").createOrReplaceTempView("mg_stream")
+    val cands = spark.sql("SELECT misra_gries(item, 3) AS c FROM mg_stream")
+      .head().getSeq[String](0)
+    assert(cands.size <= 3 && cands.contains("item0"))
+    spark.catalog.dropTempView("mg_stream")
+  }
+
   test("zvalue interleaves bits: z(a,0) spreads a over even positions") {
     val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 0L), (0L, 3L), (255L, 255L))
     val got = rows.toDF("a", "b")
