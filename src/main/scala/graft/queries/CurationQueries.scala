@@ -312,6 +312,64 @@ object CurationQueries {
           coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"),
           coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"))
         .orderBy("doc_id")
+    },
+
+    // Vocabulary build + integer encoding — the tokenizer-table step of an
+    // LLM data pipeline: ids assigned by (count DESC, token) rank over the
+    // corpus vocabulary, every document re-emitted as its id sequence.
+    // The ranking window runs over the VOCABULARY (bounded by construction —
+    // token types, not tokens), never the corpus; the encode side is an
+    // explode → broadcast-scale join on token → per-doc ordered re-assembly.
+    QueryDef("q116_vocab_encode",
+      """WITH tok AS (SELECT doc_id, i, toks[i] AS token FROM (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+        |  FROM documents)),
+        |vocab AS (SELECT token,
+        |                 CAST(row_number() OVER (ORDER BY count(*) DESC, token) - 1
+        |                      AS BIGINT) AS id
+        |          FROM tok GROUP BY token)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       array_to_string(list(id ORDER BY i), ' ') AS ids
+        |FROM tok JOIN vocab USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ", -1)).as(Seq("i", "token")))
+        .persist()
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+        .select(col("token"),
+          (row_number().over(Window.orderBy(col("c").desc, col("token"))) - 1)
+            .cast("long").as("id"))
+      tok.join(broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          array_join(transform(array_sort(collect_list(struct(col("i"), col("id")))),
+            x => x.getField("id")), " ").as("ids"))
+        .orderBy("doc_id")
+    },
+
+    // Within-document repetition score (Gopher/RefinedWeb-style quality
+    // rule): the fraction of repeated 3-token shingles. Pure narrow
+    // projection — array ops per row, no shuffle before the contract sort.
+    QueryDef("q117_repetition",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, ${MinHash.shingleHashesSql("toks")} AS sh
+         |      FROM t WHERE len(toks) >= 3)
+         |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+         |       CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+         |       round(CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE)
+         |             / CAST(len(sh) AS DOUBLE), 6) AS rep_frac
+         |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tokCol = split(col("text"), " ", -1)
+      Tables.documents(s, d).where(size(tokCol) >= 3)
+        .select(col("doc_id"), MinHash.shingleHashes(tokCol).as("sh"))
+        .select(col("doc_id"),
+          size(col("sh")).cast("long").as("n_shingles"),
+          size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
+        .withColumn("rep_frac",
+          round((col("n_shingles") - col("n_distinct")).cast("double")
+                / col("n_shingles").cast("double"), 6))
+        .orderBy("doc_id")
     }
   )
 }

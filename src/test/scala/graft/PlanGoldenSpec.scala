@@ -42,7 +42,10 @@ class PlanGoldenSpec extends AnyFunSuite {
     "q45_channel_stats", "q46_mappartitions_score", "q50_tfidf",
     "q56_asof_join", "q57_rollup", "q64_keep_best", "q79_top_tokens",
     "q99_bucket_prune", "q101_contamination", "q102_pack_sequences",
-    "q105_data_mixture")
+    "q105_data_mixture",
+    "q107_heavy_hitters", "q108_chunk_windows", "q109_boilerplate_shingles",
+    "q110_lm_quality_gate", "q112_weighted_sample", "q113_zorder_key",
+    "q114_incremental_dedup", "q116_vocab_encode", "q117_repetition")
 
   pinned.foreach { name =>
     test(s"$name physical skeleton matches its golden") {
