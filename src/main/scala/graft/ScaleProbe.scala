@@ -71,6 +71,29 @@ object ScaleProbe {
         val test = sh.where(col("doc_id") % 5 === 0).distinct()
         val train = sh.where(col("doc_id") % 5 =!= 0).select("sh").distinct()
         test.join(train, "sh").groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      },
+      // Misra-Gries heavy-hitters (q107 family): per-partition O(k) sketch
+      // state, one ≤ k-entry summary per partition to the merge — wall
+      // clock should track the SCAN, not the key cardinality
+      "mg_sketch" -> (m => li(m).select(col("l_returnflag").as("item"))
+        .agg(graft.functions.MisraGries.candidates(col("item"), 4).as("c"))),
+      // boilerplate census (q109 family): explode → count-distinct census →
+      // small census set broadcast back over the exploded stream
+      "boiler_census" -> { m =>
+        val docs = {
+          val base = Tables.documents(spark, sfDir)
+          (0 until m).map(k => base.withColumn("doc_id",
+            col("doc_id") + lit(k.toLong * 1_000_000L))).reduce(_ unionAll _)
+        }
+        val sh = docs.select(col("doc_id"),
+          explode(graft.operators.MinHash.shingleHashes(
+            split(col("text"), " ", -1))).as("sh"))
+        val boiler = sh.groupBy("sh")
+          .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 3)
+          .select(col("sh").as("bl"))
+        sh.join(broadcast(boiler), sh("sh") === col("bl"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n"), count(col("bl")).as("nb"))
       })
 
     // warm-up
