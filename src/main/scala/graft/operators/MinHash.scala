@@ -70,24 +70,30 @@ object MinHash {
         element_at(col("sig"), j + 1).as(s"mh_$j")): _*)
   }
 
-  /** Candidate pairs via LSH banding + exact Jaccard on distinct shingles.
-    * Returns (doc_a, doc_b, jaccard) for candidates with jaccard ≥ minJaccard.
-    */
-  def nearDuplicates(docs: DataFrame, key: Column, tokens: Column,
-                     minJaccard: Double): DataFrame = {
-    val sigs = signatures(docs, key, tokens)
+  /** One (doc_id, band, bkey) row per band per doc. */
+  private def bandRows(sigs: DataFrame): DataFrame = {
     val sigCols = (0 until K).map(j => col(s"mh_$j"))
-    val bandRows = sigs.select(
+    sigs.select(
       col("doc_id"),
       explode(array((0 until Bands).map(b =>
         struct(lit(b).as("band"), bandKey(sigCols, b).as("bkey"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cand = bandRows.as("a")
-      .join(bandRows.as("b"),
+  }
+
+  /** Within-bucket self-join → distinct ordered candidate pairs. */
+  private def candidatePairs(bands: DataFrame): DataFrame =
+    bands.as("a")
+      .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+
+  /** Exact-Jaccard verification of candidate pairs against distinct shingle
+    * sets; keeps pairs with jaccard ≥ minJaccard.
+    */
+  private def verifyJaccard(cand: DataFrame, docs: DataFrame, key: Column,
+                            tokens: Column, minJaccard: Double): DataFrame = {
     val shingleSets = docs.where(size(tokens) >= 3)
       .select(key.as("doc_id"), array_distinct(shingleHashes(tokens)).as("sset"))
     cand
@@ -101,5 +107,36 @@ object MinHash {
         round(size(array_intersect(col("sset_a"), col("sset_b"))).cast("double") /
           size(array_union(col("sset_a"), col("sset_b"))), 6).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Candidate pairs via LSH banding + exact Jaccard on distinct shingles.
+    * Returns (doc_a, doc_b, jaccard) for candidates with jaccard ≥ minJaccard.
+    */
+  def nearDuplicates(docs: DataFrame, key: Column, tokens: Column,
+                     minJaccard: Double): DataFrame =
+    verifyJaccard(candidatePairs(bandRows(signatures(docs, key, tokens))),
+      docs, key, tokens, minJaccard)
+
+  /** [[nearDuplicates]] with a bucket-size cap: band buckets holding more
+    * than `cap` docs are dropped BEFORE the self-join. This is the standard
+    * skew guard for web-scale dedup — a boilerplate bucket of B docs would
+    * otherwise materialize B²/2 candidate pairs on one reducer; capping
+    * bounds every bucket's join work at cap²/2 while near-dup PAIRS stay
+    * discoverable through their other, less common bands. A dropped bucket
+    * only loses pairs whose every matching band is over-capped — for true
+    * near-dups (most bands agree) that requires the doc itself to be
+    * boilerplate-popular, exactly the rows a dedup pass should not be
+    * quadratic in. The bucket census is a window count over the same
+    * (band, bkey) shuffle the join needs anyway — no extra exchange.
+    */
+  def nearDuplicatesCapped(docs: DataFrame, key: Column, tokens: Column,
+                           minJaccard: Double, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = bandRows(signatures(docs, key, tokens))
+      .withColumn("bsize",
+        count(lit(1)).over(Window.partitionBy("band", "bkey")))
+      .where(col("bsize") <= cap)
+      .drop("bsize")
+    verifyJaccard(candidatePairs(bands), docs, key, tokens, minJaccard)
   }
 }

@@ -119,6 +119,19 @@ object DedupQueries {
           coalesce(col("comp"), col("doc_id")).as("cluster"))
         .withColumn("keep", col("cluster") === col("doc_id"))
         .orderBy("doc_id")
+    },
+
+    // q37 with the web-scale skew guard: band buckets holding more than
+    // `cap` docs are dropped before the self-join (a boilerplate bucket of
+    // B docs would otherwise put B²/2 candidate pairs on one reducer). The
+    // bucket census is a window count over the same (band, bkey) shuffle
+    // the join needs anyway. Declared semantics, so the oracle applies the
+    // identical cap — SCALE.md "Dedup" has the full skew story.
+    QueryDef("q118_lsh_capped", LshPairsSql.cappedSql(4)) { (s, d) =>
+      MinHash.nearDuplicatesCapped(Tables.documents(s, d), col("doc_id"),
+          split(col("text"), " ", -1), 0.5, cap = 4)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 }
@@ -162,5 +175,25 @@ private object LshPairsSql {
   val sql: String =
     s"""WITH $cte
        |SELECT doc_a, doc_b, jaccard FROM j
+       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q37 with the bucket-size cap applied before the candidate self-join —
+    * the identical window-count + filter the capped operator declares.
+    */
+  def cappedSql(cap: Int): String =
+    s"""WITH $cte,
+       |bandsc AS (SELECT doc_id, band, bkey FROM (
+       |  SELECT doc_id, band, bkey,
+       |         count(*) OVER (PARTITION BY band, bkey) AS bsize FROM bands)
+       |  WHERE bsize <= $cap),
+       |candc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bandsc a JOIN bandsc b
+       |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |jc AS (SELECT doc_a, doc_b,
+       |              round(CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE)
+       |                / len(list_distinct(list_concat(x.sset, y.sset))), 6) AS jaccard
+       |       FROM candc JOIN ss x ON x.doc_id = doc_a
+       |                  JOIN ss y ON y.doc_id = doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM jc
        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 }

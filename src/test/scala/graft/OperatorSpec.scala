@@ -89,6 +89,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(pairs.head.getDouble(2) == 1.0)
   }
 
+  test("minhash capped: over-capped boilerplate bucket dropped, rare pair kept") {
+    // six byte-identical "boilerplate" docs share every band bucket (size 6);
+    // with cap=4 those buckets are dropped, so none of their 15 pairs emerge.
+    // The rare identical pair (7,8) sits in buckets of size 2 and survives.
+    val boiler = (1L to 6L).map(i => (i, "a b c d e f g h"))
+    val rare = Seq((7L, "p q r s t u v w"), (8L, "p q r s t u v w"))
+    val docs = (boiler ++ rare).toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val capped = MinHash.nearDuplicatesCapped(docs, col("doc_id"), toks, 0.5, cap = 4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((7L, 8L)))
+    val full = MinHash.nearDuplicates(docs, col("doc_id"), toks, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(full) && full.size == 16) // C(6,2) + 1
+  }
+
   test("simhash: identical docs → hamming 0; disjoint docs → nonzero") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z"))
       .toDF("doc_id", "text")
