@@ -370,6 +370,52 @@ object CurationQueries {
           round((col("n_shingles") - col("n_distinct")).cast("double")
                 / col("n_shingles").cast("double"), 6))
         .orderBy("doc_id")
+    },
+
+    // Streaming ingestion dedup (DocStreams.dedupedIngest) pinned in BATCH
+    // mode — the identical transform the continuous flow runs (digest →
+    // first-arrival dedup → stream-static anti-join vs corpus digests).
+    // The arrival batch = modified near-dup copies + verbatim corpus rows +
+    // within-batch re-arrivals (doc_id+1000 copies of the first ten), so
+    // both dedup layers bite. A deterministic representative (min doc_id)
+    // and arrival counts are re-attached for the oracle; StreamingSpec
+    // proves micro-batched == batch on the surviving digest set.
+    QueryDef("q119_ingest_dedup",
+      """WITH newb AS (
+        |  SELECT doc_id, text || ' tail tail' AS text FROM documents WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id, upper(text) AS text FROM documents
+        |  WHERE doc_id >= 25 AND doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 50 AND doc_id < 60
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text || ' tail tail' AS text FROM documents
+        |  WHERE doc_id < 10),
+        |agg AS (SELECT sha256(text) AS h, min(doc_id) AS doc_id,
+        |               CAST(count(*) AS BIGINT) AS n_arrivals
+        |        FROM newb GROUP BY 1)
+        |SELECT doc_id, h, n_arrivals FROM agg
+        |WHERE h NOT IN (SELECT DISTINCT sha256(text) FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+      val newb = base.where(col("doc_id") < 25)
+        .select(col("doc_id"), concat(col("text"), lit(" tail tail")).as("text"))
+        .unionAll(base.where(col("doc_id") >= 25 && col("doc_id") < 50)
+          .select(col("doc_id"), upper(col("text")).as("text")))
+        .unionAll(base.where(col("doc_id") >= 50 && col("doc_id") < 60)
+          .select(col("doc_id"), col("text")))
+        .unionAll(base.where(col("doc_id") < 10)
+          .select((col("doc_id") + 1000L).as("doc_id"),
+            concat(col("text"), lit(" tail tail")).as("text")))
+      val fresh = graft.streaming.DocStreams.dedupedIngest(
+        newb.withColumn("ingest_ts", timestamp_micros(col("doc_id") * 1000000L)),
+        base)
+      newb.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .join(fresh.select("h"), Seq("h"), "left_semi")
+        .groupBy("h")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_arrivals"))
+        .select(col("doc_id"), col("h"), col("n_arrivals"))
+        .orderBy("doc_id")
     }
   )
 }

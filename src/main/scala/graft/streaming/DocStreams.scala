@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Continuous corpus ingestion with deduplication — the streaming twin of the
+  * batch incremental-dedup operator (q114). New document batches land as
+  * parquet files in a directory; each micro-batch is deduplicated twice:
+  *
+  *   1. within the stream — exact content-digest first-arrival dedup with
+  *      watermark-bounded state (`dropDuplicatesWithinWatermark`): one state
+  *      entry per surviving digest INSIDE the horizon, expired once the
+  *      watermark passes it. Plain `dropDuplicates` would keep an entry per
+  *      digest forever — an unbounded-state leak on a continuous pipeline.
+  *   2. against the accumulated corpus — stream-static LEFT ANTI join on the
+  *      digest. The static side is a digest-only (column-pruned) relation,
+  *      re-resolved every micro-batch, so a recompacted corpus is picked up
+  *      without restarting the query.
+  *
+  * Run under the parquet file sink (`writeStream.format("parquet")` with a
+  * checkpoint) the flow is end-to-end exactly-once: the sink's commit log
+  * records which files each batch wrote, so a retried batch never
+  * double-adds documents. Scale shape at 100 TB: the stream side is the
+  * (small) arrival batch, the static side one pruned digest scan; nothing
+  * ever self-joins the corpus.
+  *
+  * Reference anchor: create_train_valid_test_datasets.py:41-54 lands
+  * archives idempotently before dataset builds; this is that step as a
+  * continuous pipeline plus the dedup a curation pipeline needs (q114 gives
+  * the same semantics batch-vs-corpus; q119 pins them against the oracle).
+  */
+object DocStreams {
+
+  /** Landing schema: arrival batches carry an ingest timestamp (event time
+    * for the dedup watermark) alongside the document payload.
+    */
+  val landingSchema: StructType = new StructType()
+    .add("doc_id", LongType)
+    .add("ingest_ts", TimestampType)
+    .add("text", StringType)
+
+  /** File-stream source over a landing directory of parquet batches. */
+  def readLanding(spark: SparkSession, landingDir: String,
+                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(landingSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(landingDir)
+  }
+
+  /** Mode-agnostic dedup transform — give it the streaming landing relation
+    * or the equivalent batch relation (the parity test runs both): digest →
+    * first-arrival dedup → anti-join against the corpus digest set. Batch
+    * mode keeps one arbitrary row per digest (callers needing a
+    * deterministic representative pick min doc_id downstream, as q119 does);
+    * streaming mode keeps the first arrival in processing order.
+    */
+  def dedupedIngest(newDocs: DataFrame, corpus: DataFrame,
+                    horizon: String = "1 hour"): DataFrame = {
+    val digests = corpus.select(sha2(col("text"), 256).as("h")).distinct()
+    val hashed = newDocs.withColumn("h", sha2(col("text"), 256))
+    val firstArrival =
+      if (newDocs.isStreaming)
+        hashed.withWatermark("ingest_ts", horizon).dropDuplicatesWithinWatermark("h")
+      else hashed.dropDuplicates("h")
+    firstArrival.join(digests, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("ingest_ts"), col("text"), col("h"))
+  }
+
+  /** Land → dedup → parquet append, exactly-once, drain-all-and-stop
+    * (Trigger.AvailableNow — the same incremental-batch idiom as the
+    * streaming NPZ converter).
+    */
+  def runIngest(spark: SparkSession, landingDir: String, corpus: DataFrame,
+                outDir: String, checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = dedupedIngest(readLanding(spark, landingDir), corpus)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

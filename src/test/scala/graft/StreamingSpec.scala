@@ -77,6 +77,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys.toSet == batchKeys)
   }
 
+  test("ingestion dedup: micro-batched == batch; cross-batch dups collapse") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStreams
+    val sql = spark
+    import sql.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_landing").toString
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000)
+    // batch 1: two distinct docs + one corpus dup; batch 2: a re-arrival of
+    // doc 1 (cross-micro-batch dup) + one fresh doc + another corpus dup
+    val b1 = Seq((1L, ts(0), "alpha beta"), (2L, ts(1), "gamma delta"),
+      (3L, ts(2), "corpus one"))
+    val b2 = Seq((4L, ts(3), "alpha beta"), (5L, ts(4), "epsilon zeta"),
+      (6L, ts(5), "corpus two"))
+    b1.toDF("doc_id", "ingest_ts", "text").repartition(1)
+      .write.mode("append").parquet(dir)
+    b2.toDF("doc_id", "ingest_ts", "text").repartition(1)
+      .write.mode("append").parquet(dir)
+    val corpus = Seq((100L, "corpus one"), (101L, "corpus two"))
+      .toDF("doc_id", "text")
+    // force one file per micro-batch so the dedup state crosses batches
+    val stream = EventStreams.runToMemory(
+      DocStreams.dedupedIngest(
+        DocStreams.readLanding(spark, dir, maxFilesPerTrigger = Some(1)), corpus),
+      "ingest_dedup_parity", mode = "append")
+    val streamDigests = stream.select("h").collect().map(_.getString(0)).toSet
+    val batch = DocStreams.dedupedIngest(
+      (b1 ++ b2).toDF("doc_id", "ingest_ts", "text"), corpus)
+    val batchDigests = batch.select("h").collect().map(_.getString(0)).toSet
+    assert(streamDigests == batchDigests)
+    // exactly the three fresh texts survive, each once
+    assert(stream.count() == 3 && batch.count() == 3)
+    assert(stream.select("text").collect().map(_.getString(0)).toSet ==
+      Set("alpha beta", "gamma delta", "epsilon zeta"))
+  }
+
   test("session windows produce sane sessions under watermark") {
     val sessions = EventStreams.runToMemory(
       EventStreams.sessionAggregates(EventStreams.readStream(spark, TestSpark.sfDir)),
