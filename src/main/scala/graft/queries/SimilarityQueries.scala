@@ -185,6 +185,79 @@ object SimilarityQueries {
           round(avg(element_at(col("embedding"), 32).cast("double")), 6).as("mean_d31"),
           round(avg(element_at(col("embedding"), 64).cast("double")), 6).as("mean_d63"))
         .orderBy("label")
+    },
+
+    // SemDeDup-style semantic dedup (operators/SemDedup): k-means cells →
+    // within-cell cosine dominance → keep-one-representative. The oracle
+    // unrolls the Lloyd round as CTEs (the q65 playbook) and applies the
+    // identical one-hop min-id dominance rule. τ=0.3 because the synthetic
+    // embeddings are spread (real runs use ~0.95); the semantics don't
+    // depend on τ. The pair join is an equi-join on the cluster id — the
+    // corpus never self-joins globally (SCALE.md "Similarity").
+    QueryDef("q120_semdedup", SemDedupSql.sql) { (s, d) =>
+      graft.operators.SemDedup.mark(
+        Tables.embeddings(s, d).where(col("vec_id") < 1000),
+        "vec_id", "embedding", Dim, k = 4, iters = 1, tau = 0.3)
+        .orderBy("vec_id")
     }
   )
+}
+
+/** Unrolled-CTE DuckDB oracle for [[graft.operators.SemDedup.mark]] with
+  * k=4, iters=1 over vec_id < 1000: seed c0 = first 4 by id, assign a1,
+  * update c1 (1e-9-snapped means, empty cells keep their centroid), assign
+  * a2, then the one-hop min-id cosine-dominance keep rule on the 1e-6 round
+  * grid — the same arithmetic in the same order as KMeans.fit + SemDedup.
+  */
+private object SemDedupSql {
+  private val dim = SimilarityQueries.Dim
+
+  private def d2(c: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, ${dim + 1}),
+       |    i -> (v.x[i] - $c.centroid[i]) * (v.x[i] - $c.centroid[i]))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  private def assignCte(a: String, c: String) =
+    s"""$a AS (
+       |  SELECT vec_id, x, cluster FROM (
+       |    SELECT v.vec_id, v.x, $c.cluster,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY round(${d2(c)}, 6), $c.cluster) AS rn
+       |    FROM v0 v CROSS JOIN $c) t
+       |  WHERE rn = 1)""".stripMargin
+
+  private val dot =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, ${dim + 1}), i -> a.x[i] * b.x[i])),
+       |  (x, y) -> x + y)""".stripMargin
+
+  val sql: String =
+    s"""WITH v0 AS (
+       |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x
+       |  FROM embeddings WHERE vec_id < 1000),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, x AS centroid
+       |  FROM (SELECT vec_id, x FROM v0 ORDER BY vec_id LIMIT 4)),
+       |${assignCte("a1", "c0")},
+       |c1 AS (
+       |  SELECT p.cluster, coalesce(u.mean_c, p.centroid) AS centroid
+       |  FROM c0 p LEFT JOIN (
+       |    SELECT cluster, list(m ORDER BY dm) AS mean_c
+       |    FROM (SELECT cluster, i AS dm, round(avg(x[i + 1]), 9) AS m
+       |          FROM a1, (SELECT unnest(range(0, $dim)) AS i)
+       |          GROUP BY cluster, i)
+       |    GROUP BY cluster) u ON u.cluster = p.cluster),
+       |${assignCte("a2", "c1")},
+       |n AS (SELECT vec_id, cluster, x,
+       |             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |               list_transform(x, e -> e * e)), (x, y) -> x + y)) AS nrm
+       |      FROM a2),
+       |dup AS (SELECT DISTINCT b.vec_id
+       |        FROM n a JOIN n b
+       |          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |        WHERE round($dot / (a.nrm * b.nrm), 6) >= 0.3)
+       |SELECT v.vec_id, v.cluster, (d.vec_id IS NULL) AS keep
+       |FROM n v LEFT JOIN dup d ON v.vec_id = d.vec_id
+       |ORDER BY v.vec_id""".stripMargin
 }

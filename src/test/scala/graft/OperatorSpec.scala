@@ -105,6 +105,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(capped.subsetOf(full) && full.size == 16) // C(6,2) + 1
   }
 
+  test("semdedup: identical vectors collapse to the min id; orthogonal kept") {
+    import graft.operators.SemDedup
+    // vecs 1..3 identical (cos 1), vec 4 orthogonal (cos 0 < tau)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 0.0f)),
+      (4L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val marked = SemDedup.mark(emb, "vec_id", "embedding", dim = 2,
+      k = 2, iters = 1, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(marked == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+  }
+
   test("simhash: identical docs → hamming 0; disjoint docs → nonzero") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z"))
       .toDF("doc_id", "text")
