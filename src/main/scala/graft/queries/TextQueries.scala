@@ -439,6 +439,50 @@ object TextQueries {
         .groupBy("source", "bucket")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
         .orderBy("source", "bucket")
+    },
+
+    // Okapi BM25 top-10 retrieval (operators/Bm25) for three literal
+    // queries. Per-term scores quantize to integer 1e-6 units before the
+    // per-(query, doc) sum; ranks compare the exact integer totals with a
+    // doc_id tie-break. The corpus token stream is semi-joined to the
+    // broadcast query-term set BEFORE any shuffle — only hit rows aggregate.
+    QueryDef("q121_bm25",
+      """WITH q(qid, term) AS (VALUES (1, 'hash'), (1, 'join'), (2, 'window'),
+        |  (2, 'agg'), (3, 'spark'), (3, 'stream')),
+        |bl AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |       FROM documents),
+        |stats AS (SELECT count(*) AS n_docs,
+        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM bl),
+        |tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM bl),
+        |hits AS (SELECT doc_id, dl, term FROM tok
+        |         WHERE term IN (SELECT DISTINCT term FROM q)),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+        |              max(dl) AS dl FROM hits GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT doc_id, term,
+        |         CAST(round(
+        |           ln((CAST(s.n_docs - df.df AS DOUBLE) + 0.5)
+        |              / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |           / (CAST(tf.tf AS DOUBLE)
+        |              + 1.2 * (0.25 + (0.75 * CAST(tf.dl AS DOUBLE)) / s.avgdl))
+        |           * 1000000, 0) AS BIGINT) AS s_e6
+        |       FROM tf JOIN df USING (term) CROSS JOIN stats s),
+        |ag AS (SELECT q.qid, sc.doc_id, CAST(sum(s_e6) AS BIGINT) AS sum_e6
+        |       FROM sc JOIN q ON sc.term = q.term GROUP BY q.qid, sc.doc_id),
+        |rk AS (SELECT qid, doc_id, sum_e6,
+        |              row_number() OVER (PARTITION BY qid
+        |                ORDER BY sum_e6 DESC, doc_id) AS rank FROM ag)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank, doc_id,
+        |       round(CAST(sum_e6 AS DOUBLE) / 1000000, 6) AS score
+        |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val queries = Seq((1L, "hash"), (1L, "join"), (2L, "window"),
+        (2L, "agg"), (3L, "spark"), (3L, "stream")).toDF("qid", "term")
+      graft.operators.Bm25.topK(Tables.documents(s, d), col("doc_id"),
+          split(col("text"), " ", -1), queries, k = 10)
+        .orderBy("qid", "rank")
     }
   )
 }
