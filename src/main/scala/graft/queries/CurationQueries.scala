@@ -416,6 +416,75 @@ object CurationQueries {
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_arrivals"))
         .select(col("doc_id"), col("h"), col("n_arrivals"))
         .orderBy("doc_id")
+    },
+
+    // Cross-document duplicated-SPAN coverage (the exact-substring dedup
+    // signal of Lee et al. 2022, arXiv:2107.06499): a shingle occurring in
+    // ≥ 2 distinct docs is duplicated; each hit covers tokens [pos, pos+2];
+    // overlapping/touching hits merge into spans by an interval-union sweep
+    // (prev-end running max → island ids → per-island extents). Differs
+    // from q109, which counts duplicated POSITIONS — this measures merged
+    // COVERAGE, the quantity substring dedup actually removes. Production
+    // uses ~50-gram windows; the sweep algebra is width-independent.
+    // Scale shape: census groupBy on the uniform shingle hash, hit
+    // positions semi-joined back, and the per-doc window runs over HIT rows
+    // only — the full token stream never enters a window.
+    QueryDef("q122_dup_spans",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |d0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |              ${MinHash.shingleHashesSql("toks")} AS sh FROM t),
+         |s0 AS (SELECT doc_id, i - 1 AS pos, sh[i] AS shingle FROM (
+         |  SELECT doc_id, sh, unnest(range(1, len(sh) + 1)) AS i FROM d0)),
+         |dup AS (SELECT shingle FROM (
+         |  SELECT shingle, count(DISTINCT doc_id) AS nd FROM s0 GROUP BY 1)
+         |  WHERE nd >= 2),
+         |hit AS (SELECT s0.doc_id, s0.pos FROM s0 JOIN dup USING (shingle)),
+         |m AS (SELECT doc_id, pos,
+         |        max(pos + 2) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |      FROM hit),
+         |i AS (SELECT doc_id, pos,
+         |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+         |            THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS UNBOUNDED PRECEDING) AS island
+         |      FROM m),
+         |isl AS (SELECT doc_id, island, max(pos) + 2 - min(pos) + 1 AS cov
+         |        FROM i GROUP BY doc_id, island),
+         |cv AS (SELECT doc_id, CAST(sum(cov) AS BIGINT) AS covered
+         |       FROM isl GROUP BY doc_id)
+         |SELECT d0.doc_id, d0.n_tokens, coalesce(cv.covered, 0) AS covered,
+         |       round(CAST(coalesce(cv.covered, 0) AS DOUBLE) / n_tokens, 6)
+         |         AS dup_frac
+         |FROM d0 LEFT JOIN cv USING (doc_id) ORDER BY d0.doc_id""".stripMargin) {
+      (s, d) =>
+      val toks = split(col("text"), " ", -1)
+      val d0 = Tables.documents(s, d).select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        MinHash.shingleHashes(toks).as("sh"))
+      val s0 = d0.select(col("doc_id"),
+        posexplode(col("sh")).as(Seq("pos", "shingle")))
+      val dup = s0.groupBy("shingle").agg(countDistinct("doc_id").as("nd"))
+        .where(col("nd") >= 2).select("shingle")
+      val hit = s0.join(broadcast(dup), Seq("shingle"), "left_semi")
+        .select("doc_id", "pos")
+      val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+      val withIsland = hit
+        .withColumn("prev_end", max(col("pos") + 2)
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("island",
+          sum(when(col("prev_end").isNull || col("pos") > col("prev_end"), 1)
+            .otherwise(0)).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      val covered = withIsland.groupBy("doc_id", "island")
+        .agg((max("pos") + 2 - min("pos") + 1).as("cov"))
+        .groupBy("doc_id").agg(sum("cov").as("covered"))
+      d0.select("doc_id", "n_tokens")
+        .join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("covered"), lit(0L)).as("covered"),
+          round(coalesce(col("covered"), lit(0L)).cast("double")
+            / col("n_tokens"), 6).as("dup_frac"))
+        .orderBy("doc_id")
     }
   )
 }
