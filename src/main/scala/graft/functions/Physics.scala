@@ -53,8 +53,15 @@ object Physics {
   def minMaxScale(x: Column, mn: Double, mx: Double): Column =
     (x - lit(mn)) / lit(mx - mn)
 
-  /** log1p transform for heavy-tailed channels (reference train_classification.py:185,194). */
-  def log1pScale(x: Column): Column = log1p(x)
+  /** log(x+1) transform for heavy-tailed channels (reference
+    * train_classification.py:185,194). Deliberately `log(x + 1)` — the same
+    * IEEE expression the DuckDB oracles state as `ln(x + 1)` — NOT `log1p`:
+    * they are different libm functions whose last-ulp differences flip
+    * integer-quantized rows at round(x*1e6) half-way boundaries (the q49
+    * r2/r3 hash flip). The log1p accuracy advantage only matters for |x|≪1,
+    * which these heavy-tailed channels never are.
+    */
+  def log1pScale(x: Column): Column = log(x + lit(1.0))
 
   /** Sigmoid over a linear score — the logistic-regression head as a pure
     * expression (reference train_classification.py:282, tools.py:24).

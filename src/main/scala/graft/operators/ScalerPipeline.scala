@@ -30,8 +30,10 @@ object ScalerPipeline {
     * sequential scan, so a rounding snap applied afterwards still flips when
     * the true value sits near a grid boundary — that is exactly how q49
     * failed in one harness run while passing in another. Instead each row is
-    * quantized to integer 1e-6 units once, summed exactly (decimal — no
-    * overflow at any scale), and μ/σ come from those integers through a fixed
+    * quantized to integer 1e-6 units once, summed exactly (decimal(38,0) on
+    * the Spark side, HUGEINT in the oracle — exact for |x| up to ~9.2e12,
+    * far past any physical channel here; the quantization `round(x*1e6)
+    * .cast(long)` is the binding bound), and μ/σ come from those integers through a fixed
     * IEEE op sequence that the DuckDB oracle mirrors token by token:
     * identical integers + identical ops = identical bits, every run, either
     * engine, any partitioning. The 1e-6 input grid perturbs the fitted value
@@ -45,8 +47,11 @@ object ScalerPipeline {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
     val aggs = targets.flatMap { case (c, kind) =>
+      // log(x+1), not log1p — must be the same IEEE function the oracle's
+      // `ln(x + 1)` states, or fit integers drift by one ulp (see
+      // Physics.log1pScale).
       val x = kind match {
-        case Log1pStandard => log1p(col(c))
+        case Log1pStandard => log(col(c) + lit(1.0))
         case _             => col(c)
       }
       val y = round(x * lit(QuantScale), 0).cast("long").cast(dec)
@@ -79,6 +84,9 @@ object ScalerPipeline {
     * `expr` is the (already log-transformed, if applicable) SQL expression.
     */
   def fitStatsSql(expr: String, from: String): String =
+    // y is widened to HUGEINT before squaring: BIGINT*BIGINT errors in DuckDB
+    // once |y| > ~3.0e9 (|expr| > ~3037), while the Spark side squares in
+    // decimal(38,0) — both sums are exact over the full quantized domain.
     s"""SELECT (CAST(sum(y) AS DOUBLE) / count(y)) / CAST(1000000 AS DOUBLE) AS mu,
        |       sqrt(CASE WHEN CAST(sum(y * y) AS DOUBLE) / count(y)
        |                      - (CAST(sum(y) AS DOUBLE) / count(y))
@@ -87,7 +95,8 @@ object ScalerPipeline {
        |                      - (CAST(sum(y) AS DOUBLE) / count(y))
        |                        * (CAST(sum(y) AS DOUBLE) / count(y)) END)
        |       / CAST(1000000 AS DOUBLE) AS sigma
-       |FROM (SELECT CAST(round(($expr) * 1000000, 0) AS BIGINT) AS y FROM $from)""".stripMargin
+       |FROM (SELECT CAST(CAST(round(($expr) * 1000000, 0) AS BIGINT) AS HUGEINT) AS y
+       |      FROM $from)""".stripMargin
 
   /** Persist / reload the stats relation (the fit/apply state of SURVEY §7.4.4
     * — persisted data, never a hidden object).

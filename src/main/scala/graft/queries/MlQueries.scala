@@ -86,7 +86,7 @@ object MlQueries {
          |SELECT split, count(*) AS n,
          |       round(CAST(sum(CAST(round(((ln(o_totalprice + 1) - mu) / sigma)
          |                 * 1000000, 0) AS BIGINT)) AS DOUBLE)
-         |             / count(*) / 1000000, 6) AS avg_s
+         |             / count(*) / 1000000, 6) + 0.0 AS avg_s
          |FROM o, stats GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
       import graft.operators.{ScalerPipeline, Split}
       // keyed on the FULL fixture path (not basename) — two dirs sharing a
@@ -106,11 +106,16 @@ object MlQueries {
       // per-row scaled value is quantized to integer 1e-6 units before the
       // average so the cross-row reduction is exact integer arithmetic —
       // float summation order (partial/merge vs sequential) can't move it.
+      // The train split's avg_s is ≈0 BY CONSTRUCTION (μ is the train mean),
+      // so the final round(…,6) lands on ±0.0 depending on the sign of a
+      // ~1e-11 residual — playbook rule #7: `+ 0.0` on BOTH engines
+      // normalizes -0.0 to +0.0 (this exact cell flipped in r2 and r3).
       ScalerPipeline.apply(reread, loaded)
         .withColumn("q", round(col("o_totalprice_scaled") * 1e6, 0).cast("long"))
         .groupBy("split")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("q")).cast("double") / count(lit(1)) / 1e6, 6).as("avg_s"))
+          (round(sum(col("q")).cast("double") / count(lit(1)) / 1e6, 6) + lit(0.0))
+            .as("avg_s"))
         .orderBy("split")
     },
 

@@ -192,25 +192,35 @@ object SimilarityQueries {
     // unrolls the Lloyd round as CTEs (the q65 playbook) and applies the
     // identical one-hop min-id dominance rule. τ=0.3 because the synthetic
     // embeddings are spread (real runs use ~0.95); the semantics don't
-    // depend on τ. The pair join is an equi-join on the cluster id — the
-    // corpus never self-joins globally (SCALE.md "Similarity").
+    // depend on τ. The pair join is an equi-join on (cluster, sub-cell) —
+    // the corpus never self-joins globally, and cap=80 splits any skewed
+    // cell into hash sub-cells so no task ever sees more than ~cap²/2 pairs
+    // (SCALE.md "Similarity"; the LSH-cap guard of q118 applied to cells).
+    // The cap semantics are declared in the oracle, not approximated.
     QueryDef("q120_semdedup", SemDedupSql.sql) { (s, d) =>
       graft.operators.SemDedup.mark(
         Tables.embeddings(s, d).where(col("vec_id") < 1000),
-        "vec_id", "embedding", Dim, k = 4, iters = 1, tau = 0.3)
+        "vec_id", "embedding", Dim, k = 4, iters = 1, tau = 0.3,
+        cap = SemDedupSql.Cap)
         .orderBy("vec_id")
     }
   )
 }
 
 /** Unrolled-CTE DuckDB oracle for [[graft.operators.SemDedup.mark]] with
-  * k=4, iters=1 over vec_id < 1000: seed c0 = first 4 by id, assign a1,
-  * update c1 (1e-9-snapped means, empty cells keep their centroid), assign
-  * a2, then the one-hop min-id cosine-dominance keep rule on the 1e-6 round
-  * grid — the same arithmetic in the same order as KMeans.fit + SemDedup.
+  * k=4, iters=1, cap=80 over vec_id < 1000: seed c0 = first 4 by id,
+  * assign a1, update c1 (1e-9-snapped means, empty cells keep their
+  * centroid), assign a2, split each cell into ⌈size/cap⌉ salted-hash
+  * sub-cells, then the one-hop min-id cosine-dominance keep rule on the
+  * 1e-6 round grid — the same arithmetic in the same order as KMeans.fit +
+  * SemDedup (including the declared cap semantics: dominance only within a
+  * sub-cell).
   */
-private object SemDedupSql {
+private[queries] object SemDedupSql {
   private val dim = SimilarityQueries.Dim
+  // 80 < every sf0.01 cluster size (113–143), so the gate exercises the
+  // sub-cell split for real, not just the nsub=1 degenerate path.
+  val Cap = 80
 
   private def d2(c: String) =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -249,13 +259,18 @@ private object SemDedupSql {
        |          GROUP BY cluster, i)
        |    GROUP BY cluster) u ON u.cluster = p.cluster),
        |${assignCte("a2", "c1")},
-       |n AS (SELECT vec_id, cluster, x,
+       |sz AS (SELECT cluster, count(*) AS csize FROM a2 GROUP BY cluster),
+       |n AS (SELECT a2.vec_id, a2.cluster, a2.x,
        |             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |               list_transform(x, e -> e * e)), (x, y) -> x + y)) AS nrm
-       |      FROM a2),
+       |               list_transform(x, e -> e * e)), (x, y) -> x + y)) AS nrm,
+       |             (${graft.functions.Hashes.mulHashSql("a2.vec_id",
+                        graft.operators.SemDedup.SubSalt)})
+       |               % ((sz.csize + ${Cap - 1}) // $Cap) AS sub
+       |      FROM a2 JOIN sz USING (cluster)),
        |dup AS (SELECT DISTINCT b.vec_id
        |        FROM n a JOIN n b
-       |          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |          ON a.cluster = b.cluster AND a.sub = b.sub
+       |             AND a.vec_id < b.vec_id
        |        WHERE round($dot / (a.nrm * b.nrm), 6) >= 0.3)
        |SELECT v.vec_id, v.cluster, (d.vec_id IS NULL) AS keep
        |FROM n v LEFT JOIN dup d ON v.vec_id = d.vec_id

@@ -117,6 +117,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(marked == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("semdedup cap: sub-cell split follows the declared hash; capping only shrinks dominance") {
+    import graft.functions.Hashes
+    import graft.operators.SemDedup
+    // 40 identical vectors in one cluster (csize=40, cap=8 → nsub=5 hash
+    // sub-cells) + 1 orthogonal vector that lands in its own cluster.
+    val emb = ((1L to 40L).map(i => (i, Array(1.0f, 0.0f))) :+
+      (41L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val keptFull = SemDedup.mark(emb, "vec_id", "embedding", dim = 2,
+        k = 2, iters = 1, tau = 0.9)
+      .where(col("keep")).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptFull == Set(1L, 41L)) // uncapped: one representative + orthogonal
+    val keptCap = SemDedup.mark(emb, "vec_id", "embedding", dim = 2,
+        k = 2, iters = 1, tau = 0.9, cap = 8)
+      .where(col("keep")).select("vec_id").collect().map(_.getLong(0)).toSet
+    // capping removes comparisons, never adds → keep-set can only grow
+    assert(keptFull.subsetOf(keptCap))
+    // the declared semantics exactly: min id per nonempty sub-cell survives
+    val nsub = (40 + 7) / 8
+    val expected = (1L to 40L).groupBy(i => Hashes.mulHashLong(i, SemDedup.SubSalt) % nsub)
+      .values.map(_.min).toSet + 41L
+    assert(keptCap == expected)
+  }
+
   test("simhash: identical docs → hamming 0; disjoint docs → nonzero") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z"))
       .toDF("doc_id", "text")
