@@ -317,9 +317,13 @@ object CurationQueries {
     // Vocabulary build + integer encoding — the tokenizer-table step of an
     // LLM data pipeline: ids assigned by (count DESC, token) rank over the
     // corpus vocabulary, every document re-emitted as its id sequence.
-    // The ranking window runs over the VOCABULARY (bounded by construction —
-    // token types, not tokens), never the corpus; the encode side is an
-    // explode → broadcast-scale join on token → per-doc ordered re-assembly.
+    // Id assignment is the two-stage GlobalRank (range-partition → census →
+    // per-partition zip), NOT a partition-less window: a web vocabulary is
+    // 10⁷–10⁸ token types, too many for one WindowExec task. The oracle
+    // keeps the plain row_number() formulation — the order is total
+    // ((count, token) is unique), so the two evaluations are identical.
+    // The encode side is an explode → broadcast-scale join on token →
+    // per-doc ordered re-assembly.
     QueryDef("q116_vocab_encode",
       """WITH tok AS (SELECT doc_id, i, toks[i] AS token FROM (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
@@ -336,10 +340,10 @@ object CurationQueries {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), posexplode(split(col("text"), " ", -1)).as(Seq("i", "token")))
         .persist()
-      val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
-        .select(col("token"),
-          (row_number().over(Window.orderBy(col("c").desc, col("token"))) - 1)
-            .cast("long").as("id"))
+      val vocab = graft.operators.GlobalRank.zipWithRank(
+          tok.groupBy("token").agg(count(lit(1)).as("c")),
+          Seq(col("c").desc, col("token")), numPartitions = 8, idName = "id")
+        .select(col("token"), col("id"))
       tok.join(broadcast(vocab), "token")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),

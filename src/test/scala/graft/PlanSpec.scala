@@ -120,6 +120,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("q116: no partition-less window anywhere — vocab ranks via GlobalRank") {
+    // a global row_number() window would funnel the whole vocabulary
+    // (10⁷–10⁸ types at web scale) through ONE task; the two-stage
+    // GlobalRank (range-partition → census → zip) replaces it, so the plan
+    // must contain no Window node at all
+    val p = plan(q("q116_vocab_encode"))
+    assert(!p.contains("Window"), p)
+  }
+
   test("q106: bloom prefilter guards the probe side below the semi join") {
     val p = plan(q("q106_bloom_prefilter_join"))
     assert(p.contains("bloom_might_contain"), p)
