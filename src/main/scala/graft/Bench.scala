@@ -52,10 +52,11 @@ object Bench {
     val names =
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) qs.keys.toSeq.sorted
       else headline
-    // min-of-2 in headline mode: single-JVM runs carry ±1s of GC noise, the
-    // min is the stable estimate of the plan's actual cost. Sweep mode stays
-    // single-pass (diagnostics over 60+ queries).
-    val reps = if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) 1 else 2
+    // min-of-3 in headline mode: single-JVM runs carry ±1s of GC/scheduler
+    // noise — r3 showed ±30% swings on sub-second queries with UNCHANGED
+    // code under min-of-2, so one more rep buys a stable min. Sweep mode
+    // stays single-pass (diagnostics over 60+ queries).
+    val reps = if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) 1 else 3
     val results = names.filter(qs.contains).map { name =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
