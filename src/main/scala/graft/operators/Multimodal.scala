@@ -1,48 +1,105 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing (north-star brief): media as opaque `binary`
-  * columns with typed metadata, and batched decode/feature-extract over
-  * `mapPartitions`.
-  *
-  * The real decode (image/audio codecs) is STUBBED — those libraries are not
-  * in this container — behind [[MediaDecoder]]; `FakeByteDecoder` is a
-  * deterministic stand-in. Everything Spark-side is real and tested: the
-  * binary+metadata schema, the batched partition iteration (batch shape =
-  * `batchSize` rows, mirroring an inference server's request batching), and
-  * the output feature schema. Swapping in a real codec changes only the
-  * decoder body.
+/** Multimodal-column operators (north-star brief): media as opaque `binary`
+  * columns with typed metadata, batched decode/feature-extract over
+  * `mapPartitions`, resize, and frame sampling — with REAL decode kernels
+  * ([[MediaCodecs]]: binary PPM images, RIFF/WAVE PCM16 audio; pure JVM,
+  * no codec dependencies).
   *
   * At 100 TB: binary payloads stay columnar in parquet, metadata predicates
   * (format/size) push down without touching bytes, and decode parallelism is
-  * the scan parallelism — no shuffle anywhere.
+  * the scan parallelism — no shuffle anywhere. The `binaryFile` source used
+  * by [[readMedia]] is the ingest edge; converted-to-parquet media tables
+  * (payload + meta struct) are the steady state.
   */
 object Multimodal {
 
-  /** Decoder contract: one batch of (id, payload) → one feature row each. */
-  trait MediaDecoder extends Serializable {
-    def decodeBatch(batch: Array[(Long, Array[Byte])]): Array[MediaFeatures]
-  }
-
-  final case class MediaFeatures(id: Long, nBytes: Int, firstByte: Int, byteSum16: Long)
-
-  /** Deterministic fake decode: length, first byte, sum of the first 16 bytes.
-    * A real implementation would decode pixels/samples here (`???` in prod).
+  /** Decoder contract: one batch of (id, payload) → one typed feature row
+    * each. Batching mirrors an inference server's request shape — a real
+    * GPU/codec backend amortizes per-call cost across the batch.
     */
-  object FakeByteDecoder extends MediaDecoder {
-    override def decodeBatch(batch: Array[(Long, Array[Byte])]): Array[MediaFeatures] =
-      batch.map { case (id, bytes) =>
-        val head = bytes.take(16)
-        MediaFeatures(id, bytes.length,
-          if (bytes.isEmpty) -1 else bytes(0) & 0xff,
-          head.foldLeft(0L)((acc, b) => acc + (b & 0xff)))
-      }
+  trait MediaDecoder[F] extends Serializable {
+    def decodeBatch(batch: Array[(Long, Array[Byte])]): Array[F]
+    def schema: StructType
+    def toRow(f: F): Row
   }
 
-  /** Wrap a text table as a media table: (id, media binary, meta struct). */
+  /** Decoded-image features: integer channel sums, so a fixture whose pixels
+    * are a pure function of the flat index replays exactly in any engine.
+    */
+  final case class ImageFeatures(id: Long, width: Int, height: Int,
+                                 nPixels: Long, sumR: Long, sumG: Long, sumB: Long)
+
+  object PpmImageDecoder extends MediaDecoder[ImageFeatures] {
+    override def decodeBatch(batch: Array[(Long, Array[Byte])]): Array[ImageFeatures] =
+      batch.map { case (id, bytes) =>
+        val img = MediaCodecs.decodePpm(bytes)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        while (i < img.pixels.length) {
+          sr += img.pixels(i) & 0xff
+          sg += img.pixels(i + 1) & 0xff
+          sb += img.pixels(i + 2) & 0xff
+          i += 3
+        }
+        ImageFeatures(id, img.width, img.height,
+          img.width.toLong * img.height, sr, sg, sb)
+      }
+    override val schema: StructType = new StructType()
+      .add("media_id", LongType).add("width", IntegerType)
+      .add("height", IntegerType).add("n_pixels", LongType)
+      .add("sum_r", LongType).add("sum_g", LongType).add("sum_b", LongType)
+    override def toRow(f: ImageFeatures): Row =
+      Row(f.id, f.width, f.height, f.nPixels, f.sumR, f.sumG, f.sumB)
+  }
+
+  /** Decoded-audio features: integer |sample| aggregates, same replay idea. */
+  final case class AudioFeatures(id: Long, sampleRate: Int, nSamples: Long,
+                                 sumAbs: Long, maxAbs: Long)
+
+  object WavAudioDecoder extends MediaDecoder[AudioFeatures] {
+    override def decodeBatch(batch: Array[(Long, Array[Byte])]): Array[AudioFeatures] =
+      batch.map { case (id, bytes) =>
+        val clip = MediaCodecs.decodeWav(bytes)
+        var (sum, mx) = (0L, 0L)
+        var i = 0
+        while (i < clip.samples.length) {
+          val a = math.abs(clip.samples(i).toLong)
+          sum += a
+          if (a > mx) mx = a
+          i += 1
+        }
+        AudioFeatures(id, clip.sampleRate, clip.samples.length.toLong, sum, mx)
+      }
+    override val schema: StructType = new StructType()
+      .add("media_id", LongType).add("sample_rate", IntegerType)
+      .add("n_samples", LongType).add("sum_abs", LongType).add("max_abs", LongType)
+    override def toRow(f: AudioFeatures): Row =
+      Row(f.id, f.sampleRate, f.nSamples, f.sumAbs, f.maxAbs)
+  }
+
+  /** Scan a directory of media files as (media_id, media, meta): Spark's
+    * `binaryFile` source — payload bytes + file metadata, parallelism = file
+    * count, metadata-only predicates never touch payloads. The id is the
+    * trailing integer of the file stem (`img_07.ppm` → 7).
+    */
+  def readMedia(spark: SparkSession, dir: String, glob: String): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+      .select(
+        regexp_extract(col("path"), "_(\\d+)\\.[a-z]+$", 1).cast("long").as("media_id"),
+        col("content").as("media"),
+        struct(
+          regexp_extract(col("path"), "\\.([a-z]+)$", 1).as("format"),
+          col("length").cast("int").as("n_bytes"),
+          col("path").as("origin")).as("meta"))
+
+  /** Wrap a text table as a media table: (id, media binary, meta struct) —
+    * text-as-bytes is itself a modality (tokenizer-ingest shape).
+    */
   def asMediaTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
@@ -52,20 +109,15 @@ object Multimodal {
         length(col("text").cast("binary")).as("n_bytes"),
         col("source").as("origin")).as("meta"))
 
-  val featureSchema: StructType = new StructType()
-    .add("media_id", LongType).add("n_bytes", IntegerType)
-    .add("first_byte", IntegerType).add("byte_sum16", LongType)
-
-  /** "Resize": deterministic stand-in for an image resize — keeps every
-    * `factor`-th byte (a real codec would decode → scale → re-encode; `???`
-    * in prod). Pure projection: binary in, smaller binary + updated meta out,
-    * no shuffle, parallelism = scan parallelism.
+  /** Real image resize: decode PPM → nearest-neighbor downscale by `factor`
+    * → re-encode. Pure projection: binary in, smaller binary + updated meta
+    * out, no shuffle, parallelism = scan parallelism.
     */
-  def resizeStub(media: DataFrame, factor: Int): DataFrame = {
+  def resizePpm(media: DataFrame, factor: Int): DataFrame = {
     require(factor > 1)
     val resize = udf { (bytes: Array[Byte]) =>
       if (bytes == null) null
-      else bytes.grouped(factor).map(_.head).toArray
+      else MediaCodecs.encodePpm(MediaCodecs.downscale(MediaCodecs.decodePpm(bytes), factor))
     }
     media.withColumn("media", resize(col("media")))
       .withColumn("meta", struct(
@@ -74,9 +126,9 @@ object Multimodal {
         col("meta.origin")))
   }
 
-  /** "Frame sampling": treat the payload as fixed-size frames and keep every
-    * `stride`-th frame — the video-keyframe-extraction shape. Emits one row
-    * per kept frame (Generator-style fan-out), frame index preserved.
+  /** Frame sampling over fixed-size frames: keep every `stride`-th frame —
+    * the video-keyframe / audio-window extraction shape. Emits one row per
+    * kept frame (Generator-style fan-out), frame index preserved.
     */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     require(frameBytes > 0 && stride > 0)
@@ -92,8 +144,8 @@ object Multimodal {
   /** Batched decode over partitions: the mapInPandas-shaped plumbing, Scala
     * edition — fixed batch size, zero shuffle, pluggable decoder.
     */
-  def decodeFeatures(media: DataFrame, decoder: MediaDecoder,
-                     batchSize: Int = 32): DataFrame = {
+  def decodeFeatures[F](media: DataFrame, decoder: MediaDecoder[F],
+                        batchSize: Int = 32): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select(col("media_id"), col("media")).rdd
       .mapPartitions { it =>
@@ -101,10 +153,9 @@ object Multimodal {
           // null payloads decode as empty media rather than NPE-ing the task
           val batch = group.map(r => (r.getLong(0),
             Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte]))).toArray
-          decoder.decodeBatch(batch).iterator
-            .map(f => Row(f.id, f.nBytes, f.firstByte, f.byteSum16))
+          decoder.decodeBatch(batch).iterator.map(decoder.toRow)
         }
       }
-    spark.createDataFrame(rdd, featureSchema)
+    spark.createDataFrame(rdd, decoder.schema)
   }
 }

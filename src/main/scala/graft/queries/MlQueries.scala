@@ -52,24 +52,26 @@ object MlQueries {
         .orderBy("key1", "key2")
     },
 
-    // Multimodal plumbing: binary media column + metadata → batched decode
-    // via mapPartitions (decode kernel stubbed; plumbing real).
-    QueryDef("q47_multimodal_decode",
-      """SELECT doc_id AS media_id, CAST(length(text) AS INT) AS n_bytes,
-        |       ascii(substr(text, 1, 1)) AS first_byte,
-        |       CAST(list_aggregate(list_transform(range(1, LEAST(16, length(text)) + 1),
-        |         i -> ascii(substr(text, i, 1))), 'sum') AS BIGINT) AS byte_sum16
-        |FROM documents
-        |WHERE strlen(text) = length(text) AND length(text) >= 1
-        |ORDER BY media_id""".stripMargin) { (s, d) =>
-      // bytes==chars guard, like q76: the decoder sees UTF-8 BYTES while the
-      // oracle counts CHARACTERS — parity must not depend on the fixture
-      // happening to be all-ASCII
-      val docs = Tables.documents(s, d)
-        .where(octet_length(col("text")) === length(col("text")) &&
-          length(col("text")) >= 1)
-      val media = Multimodal.asMediaTable(docs)
-      Multimodal.decodeFeatures(media, Multimodal.FakeByteDecoder)
+    // Multimodal image decode, REAL bytes end to end: the checked-in PPM
+    // fixture (tools/gen_media_fixture.py) has pixels that are a pure
+    // function of (file id, flat index), so the oracle replays the decoded
+    // channel sums from range() arithmetic while Spark parses the actual
+    // container — header, comments, payload — through the batched
+    // mapPartitions plumbing. A hash match proves every byte of the decode.
+    QueryDef("q47_multimodal_decode", MediaSql.imageSql) { (s, _) =>
+      Multimodal.decodeFeatures(
+        Multimodal.readMedia(s, MediaSql.fixtureDir, "*.ppm"),
+        Multimodal.PpmImageDecoder)
+        .orderBy("media_id")
+    },
+
+    // Audio twin of q47: RIFF/WAVE PCM16 decode (chunk walking incl. the
+    // LIST chunk odd fixtures carry) → integer amplitude aggregates the
+    // oracle replays arithmetically.
+    QueryDef("q123_wav_decode", MediaSql.audioSql) { (s, _) =>
+      Multimodal.decodeFeatures(
+        Multimodal.readMedia(s, MediaSql.fixtureDir, "*.wav"),
+        Multimodal.WavAudioDecoder)
         .orderBy("media_id")
     },
 
@@ -158,55 +160,26 @@ object MlQueries {
       }.toDF("param", "gd_value", "within_bound").orderBy("param")
     },
 
-    // Multimodal → similarity chaining: batched media decode (q47's
-    // mapPartitions plumbing) produces a small feature vector per item,
-    // which flows straight into cosine top-3 within source — the
+    // Multimodal → similarity chaining: batched REAL image decode (q47's
+    // kernel) produces a channel-sum feature vector per image, which flows
+    // straight into cosine top-3 within the same-height group — the
     // decode→embed→ANN shape of a multimodal training-data pipeline, with
     // every stage on the same DataFrame plan.
-    QueryDef("q76_media_knn",
-      """WITH f AS (
-        |  SELECT doc_id AS media_id, source,
-        |         [CAST(length(text) AS DOUBLE),
-        |          CAST(ascii(substr(text, 1, 1)) AS DOUBLE),
-        |          CAST(list_aggregate(list_transform(range(1, LEAST(16, length(text)) + 1),
-        |            i -> ascii(substr(text, i, 1))), 'sum') AS DOUBLE)] AS v
-        |  FROM documents
-        |  WHERE strlen(text) = length(text) AND length(text) >= 1),
-        |n AS (SELECT media_id, source, v,
-        |             sqrt(v[1]*v[1] + v[2]*v[2] + v[3]*v[3]) AS nrm FROM f),
-        |p AS (SELECT a.media_id AS query_id, b.media_id AS neighbor_id,
-        |             round((a.v[1]*b.v[1] + a.v[2]*b.v[2] + a.v[3]*b.v[3])
-        |               / (a.nrm * b.nrm), 6) AS cos
-        |      FROM n a JOIN n b ON a.source = b.source AND a.media_id <> b.media_id
-        |      WHERE a.media_id < 50),
-        |r AS (SELECT query_id, neighbor_id, cos,
-        |             row_number() OVER (PARTITION BY query_id
-        |               ORDER BY cos DESC, neighbor_id) AS rank
-        |      FROM p)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
-        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    QueryDef("q76_media_knn", MediaSql.knnSql) { (s, _) =>
       import graft.functions.Tensors
       import org.apache.spark.sql.expressions.Window
-      // ASCII-only, non-empty guard: the Spark side decodes UTF-8 BYTES while
-      // the oracle counts CHARACTERS — they agree exactly iff bytes == chars,
-      // so the predicate makes the parity contract hold for any data, not
-      // just the (all-ASCII) fixture
-      val docs = Tables.documents(s, d)
-        .where(octet_length(col("text")) === length(col("text")) &&
-          length(col("text")) >= 1)
-      val media = Multimodal.asMediaTable(docs)
-      val feats = Multimodal.decodeFeatures(media, Multimodal.FakeByteDecoder)
-        .join(docs.select(col("doc_id").as("media_id"), col("source")), "media_id")
-        .select(col("media_id"), col("source"),
-          array(col("n_bytes").cast("double"), col("first_byte").cast("double"),
-            col("byte_sum16").cast("double")).as("v"))
+      val feats = Multimodal.decodeFeatures(
+          Multimodal.readMedia(s, MediaSql.fixtureDir, "*.ppm"),
+          Multimodal.PpmImageDecoder)
+        .select(col("media_id"), col("height"),
+          array(col("sum_r").cast("double"), col("sum_g").cast("double"),
+            col("sum_b").cast("double")).as("v"))
       val n = feats.withColumn("nrm", Tensors.norm(col("v")))
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("neighbor_id"))
       n.as("a").join(n.as("b"),
-          col("a.source") === col("b.source") &&
+          col("a.height") === col("b.height") &&
             col("a.media_id") =!= col("b.media_id"))
-        .where(col("a.media_id") < 50)
         .select(col("a.media_id").as("query_id"), col("b.media_id").as("neighbor_id"),
           round(Tensors.dot(col("a.v"), col("b.v"))
             / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
@@ -252,6 +225,78 @@ object MlQueries {
         .orderBy("cluster_id")
     }
   )
+}
+
+/** DuckDB oracles replaying the media fixtures' decoded content from pure
+  * arithmetic (tools/gen_media_fixture.py):
+  *   image i (0..23): w = 8+(i%3)·4, h = 6+(i%2)·4,
+  *                    payload byte f (channel f%3): (f·K + 97·i) mod 256
+  *   clip j (0..7):   n = 64+16·j samples, s(t) = ((t·K + 131·j) mod 4096) − 2048
+  * Spark decodes the actual container bytes; equality proves the parse.
+  */
+private[queries] object MediaSql {
+  import java.io.File
+
+  /** Resolve the repo fixture dir whether the JVM runs from the repo root or
+    * elsewhere (the driver launches sbt from the repo).
+    */
+  def fixtureDir: String =
+    Seq("fixtures/media", "/root/repo/fixtures/media")
+      .map(new File(_)).find(_.isDirectory)
+      .getOrElse(throw new IllegalStateException(
+        "fixtures/media not found — run tools/gen_media_fixture.py"))
+      .getAbsolutePath
+
+  private val K = graft.functions.Hashes.Mult
+
+  /** Per-image pixel replay CTEs shared by q47 and q76. */
+  private val pixelCtes =
+    s"""dims AS (SELECT i, 8 + (i % 3) * 4 AS w, 6 + (i % 2) * 4 AS h
+       |         FROM (SELECT unnest(range(0, 24)) AS i)),
+       |px AS (SELECT i, w, h, unnest(range(0, w * h * 3)) AS f FROM dims),
+       |v AS (SELECT i, w, h, f % 3 AS ch, (f * $K + 97 * i) % 256 AS p FROM px)""".stripMargin
+
+  val imageSql: String =
+    s"""WITH $pixelCtes
+       |SELECT i AS media_id, CAST(max(w) AS INTEGER) AS width,
+       |       CAST(max(h) AS INTEGER) AS height,
+       |       CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+       |       CAST(sum(CASE WHEN ch = 0 THEN p END) AS BIGINT) AS sum_r,
+       |       CAST(sum(CASE WHEN ch = 1 THEN p END) AS BIGINT) AS sum_g,
+       |       CAST(sum(CASE WHEN ch = 2 THEN p END) AS BIGINT) AS sum_b
+       |FROM v GROUP BY i ORDER BY media_id""".stripMargin
+
+  val audioSql: String =
+    s"""WITH clips AS (SELECT j, 64 + 16 * j AS n
+       |               FROM (SELECT unnest(range(0, 8)) AS j)),
+       |t AS (SELECT j, n, unnest(range(0, n)) AS t FROM clips),
+       |s AS (SELECT j, n, ((t * $K + 131 * j) % 4096) - 2048 AS v FROM t)
+       |SELECT j AS media_id, CAST(8000 AS INTEGER) AS sample_rate,
+       |       CAST(max(n) AS BIGINT) AS n_samples,
+       |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       |       CAST(max(abs(v)) AS BIGINT) AS max_abs
+       |FROM s GROUP BY j ORDER BY media_id""".stripMargin
+
+  val knnSql: String =
+    s"""WITH $pixelCtes,
+       |feat AS (SELECT i AS media_id, max(h) AS height,
+       |                CAST(sum(CASE WHEN ch = 0 THEN p END) AS DOUBLE) AS sr,
+       |                CAST(sum(CASE WHEN ch = 1 THEN p END) AS DOUBLE) AS sg,
+       |                CAST(sum(CASE WHEN ch = 2 THEN p END) AS DOUBLE) AS sb
+       |         FROM v GROUP BY i),
+       |n AS (SELECT media_id, height, sr, sg, sb,
+       |             sqrt(sr * sr + sg * sg + sb * sb) AS nrm FROM feat),
+       |p AS (SELECT a.media_id AS query_id, b.media_id AS neighbor_id,
+       |             round((a.sr * b.sr + a.sg * b.sg + a.sb * b.sb)
+       |               / (a.nrm * b.nrm), 6) AS cos
+       |      FROM n a JOIN n b
+       |        ON a.height = b.height AND a.media_id <> b.media_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY cos DESC, neighbor_id) AS rank
+       |      FROM p)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 }
 
 /** Unrolled-CTE DuckDB oracle for the 3-round logistic GD: weight relation

@@ -199,25 +199,80 @@ class OperatorSpec extends AnyFunSuite {
     assert(h.collect().map(_.getLong(1)).toSeq == Seq(0L, 0L, 0L, 0L, 0L))
   }
 
-  test("multimodal decode plumbing produces the expected feature rows") {
-    val docs = Seq((7L, "hello world", "en", "src0", 11L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val row = Multimodal.decodeFeatures(Multimodal.asMediaTable(docs),
-      Multimodal.FakeByteDecoder).head()
-    assert(row.getLong(0) == 7L)
-    assert(row.getInt(1) == 11)
-    assert(row.getInt(2) == 'h'.toInt)
-    assert(row.getLong(3) == "hello world".map(_.toLong).sum)
+  test("ppm codec: header comments skipped, pixels exact, downscale + round trip") {
+    // 2x2 image with a comment line; pixels RGB-interleaved 0..11
+    val bytes = ("P6\n# tiny\n2 2\n255\n").getBytes("US-ASCII") ++
+      (0 until 12).map(_.toByte).toArray
+    val img = MediaCodecs.decodePpm(bytes)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.pixels.toSeq == (0 until 12).map(_.toByte).toSeq)
+    // round trip through encode
+    val again = MediaCodecs.decodePpm(MediaCodecs.encodePpm(img))
+    assert(again.pixels.toSeq == img.pixels.toSeq)
+    // factor-2 downscale keeps only pixel (0,0)
+    val small = MediaCodecs.downscale(img, 2)
+    assert(small.width == 1 && small.height == 1)
+    assert(small.pixels.toSeq == Seq[Byte](0, 1, 2))
+    // truncated payload must fail loudly, not decode garbage
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodePpm(bytes.dropRight(1))
+    }
   }
 
-  test("multimodal resize halves payloads; frame sampling keeps every Nth frame") {
-    val docs = Seq((1L, "abcdefghijkl", "en", "src0", 12L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val media = Multimodal.asMediaTable(docs)
-    val resized = Multimodal.resizeStub(media, 2).head()
-    assert(new String(resized.getAs[Array[Byte]]("media")) == "acegik")
-    assert(resized.getStruct(2).getInt(1) == 6)
-    val frames = Multimodal.sampleFrames(media, frameBytes = 4, stride = 2)
+  test("wav codec: chunk walking skips LIST, samples exact") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val samples = Array[Short](100, -200, 300, -400)
+    val data = {
+      val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    val fmt = {
+      val bb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      bb.array()
+    }
+    val body = "WAVE".getBytes("US-ASCII") ++ chunk("fmt ", fmt) ++
+      chunk("LIST", "INFOx".getBytes ++ Array[Byte](0)) ++ chunk("data", data)
+    val riff = chunk("RIFF", body).patch(4, {
+      val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(body.length); bb.array()
+    }.toSeq, 4)
+    val clip = MediaCodecs.decodeWav(riff.toArray)
+    assert(clip.sampleRate == 8000)
+    assert(clip.samples.toSeq == samples.toSeq)
+  }
+
+  test("multimodal decode plumbing batches real ppm payloads") {
+    val px = (0 until 2 * 1 * 3).map(_.toByte).toArray
+    val ppm = "P6\n2 1\n255\n".getBytes("US-ASCII") ++ px
+    val media = Seq((9L, ppm)).toDF("media_id", "media")
+    val row = Multimodal.decodeFeatures(media, Multimodal.PpmImageDecoder).head()
+    assert(row.getLong(0) == 9L)
+    assert(row.getInt(1) == 2 && row.getInt(2) == 1)
+    assert(row.getLong(4) == 0L + 3L) // sum_r = px(0) + px(3)
+    assert(row.getLong(5) == 1L + 4L)
+    assert(row.getLong(6) == 2L + 5L)
+  }
+
+  test("multimodal resize decodes/downscales/re-encodes; frame sampling keeps every Nth frame") {
+    val px = (0 until 4 * 2 * 3).map(_.toByte).toArray // 4x2 image
+    val ppm = "P6\n4 2\n255\n".getBytes("US-ASCII") ++ px
+    val media = Seq((1L, ppm)).toDF("media_id", "media")
+      .withColumn("meta", struct(lit("image/x-ppm").as("format"),
+        length(col("media")).as("n_bytes"), lit("test").as("origin")))
+    val resized = Multimodal.resizePpm(media, 2).head()
+    val out = MediaCodecs.decodePpm(resized.getAs[Array[Byte]]("media"))
+    assert(out.width == 2 && out.height == 1)
+    // kept pixels: (0,0) and (2,0) → flat offsets 0 and 6
+    assert(out.pixels.toSeq == Seq[Byte](0, 1, 2, 6, 7, 8))
+    val text = Seq((1L, "abcdefghijkl".getBytes("US-ASCII"))).toDF("media_id", "media")
+    val frames = Multimodal.sampleFrames(text, frameBytes = 4, stride = 2)
       .collect().map(r => (r.getInt(1), new String(r.getAs[Array[Byte]]("frame"))))
     assert(frames.toSeq == Seq((0, "abcd"), (2, "ijkl")))
   }
