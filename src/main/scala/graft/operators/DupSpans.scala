@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashes
+
+/** Width-parameterized duplicated-span coverage — the exact-substring dedup
+  * signal of Lee et al. 2022 (arXiv:2107.06499), whose production setting is
+  * ~50-gram windows. q122 implements the fixed 3-gram variant inline; this
+  * operator generalizes the same algebra to any width w:
+  *
+  *   w-gram shingle hashes → census (shingle in ≥2 distinct docs) →
+  *   hit positions semi-joined back → interval-union sweep (each hit covers
+  *   tokens [pos, pos+w−1]; overlapping/touching hits merge into islands).
+  *
+  * Scale shape (identical to q122's): the census groupBy is on the uniform
+  * shingle hash; the per-doc window sweep runs over HIT rows only — the full
+  * token stream never enters a window. Shingle hashing is O(n·w) integer
+  * arithmetic in plain expressions (a fold per window), embarrassingly
+  * parallel and shuffle-free; all of it replays in DuckDB token for token.
+  */
+object DupSpans {
+  import Hashes.Prime
+
+  /** w-gram shingle hashes: fold h = (h·31 + tokenHash(t)) mod P over each
+    * width-long window. Docs shorter than `width` yield an empty array (the
+    * explicit guard matters: Spark's `sequence(0, -k)` DESCENDS where SQL
+    * `range` would be empty).
+    */
+  def shingleHashes(tokens: Column, width: Int): Column = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    val th = transform(tokens, t => Hashes.tokenHash(t))
+    when(size(th) >= width,
+      transform(sequence(lit(0), size(th) - width), i =>
+        aggregate(slice(th, i + 1, lit(width)), lit(0L),
+          (acc, x) => (acc * 31L + x) % Prime)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** DuckDB twin of [[shingleHashes]] — same fold, same op order. */
+  def shingleHashesSql(toks: String, width: Int): String =
+    s"""CASE WHEN len($toks) >= $width THEN
+       |  list_transform(range(0, len($toks) - ${width - 1}),
+       |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform($toks[i + 1 : i + $width],
+       |             t -> ${Hashes.tokenHashSql("t")})),
+       |         (acc, x) -> (acc * 31 + x) % $Prime))
+       |ELSE [] END""".stripMargin
+
+  /** Merged duplicated intervals per doc: (doc_id, island, start_pos,
+    * end_pos) with end = last covered token index. Islands are disjoint and
+    * non-touching by construction — a new island only opens when
+    * pos > running-max(previous end).
+    */
+  def islands(docs: DataFrame, tokens: Column, width: Int): DataFrame = {
+    val s0 = docs.select(col("doc_id"),
+      posexplode(shingleHashes(tokens, width)).as(Seq("pos", "shingle")))
+    val dup = s0.groupBy("shingle").agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= 2).select("shingle")
+    val hit = s0.join(broadcast(dup), Seq("shingle"), "left_semi")
+      .select("doc_id", "pos")
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    hit
+      .withColumn("prev_end", max(col("pos") + (width - 1))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island",
+        sum(when(col("prev_end").isNull || col("pos") > col("prev_end"), 1)
+          .otherwise(0)).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").cast("long").as("start_pos"),
+        (max("pos") + (width - 1)).cast("long").as("end_pos"))
+  }
+
+  /** Per-doc duplicated-token coverage: (doc_id, n_tokens, covered,
+    * dup_frac) — the fraction of each doc's tokens inside a merged
+    * duplicated span.
+    */
+  def coverage(docs: DataFrame, tokens: Column, width: Int): DataFrame = {
+    val cov = islands(docs, tokens, width)
+      .groupBy("doc_id")
+      .agg(sum(col("end_pos") - col("start_pos") + 1).as("covered"))
+    docs.select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        round(coalesce(col("covered"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("dup_frac"))
+  }
+
+  /** Deterministic long-doc fixture, constructed from arithmetic on both
+    * engines (no data files): `nDocs` docs of `nTokens` tokens with
+    * engineered duplication — tokens [100, 180) are an 80-token run common
+    * to ALL docs (hits any width ≤ 80), tokens [200, 230) a 30-token run
+    * shared within doc-id parity classes (hits width ≤ 30 only), everything
+    * else unique per (doc, position). Token spellings keep distinct
+    * (first, last, length) triples across classes so tokenHash cannot
+    * collide where the fixture means "unique".
+    */
+  def syntheticLongDocs(spark: SparkSession, nDocs: Int = 6,
+                        nTokens: Int = 400): DataFrame =
+    spark.range(nDocs).select(col("id").as("doc_id"),
+      transform(sequence(lit(0), lit(nTokens - 1)), t =>
+        when(t >= 100 && t < 180, concat(lit("c"), t.cast("string")))
+          .when(t >= 200 && t < 230,
+            concat(lit("s"), t.cast("string"), lit("_"),
+              pmod(col("id"), lit(2)).cast("string")))
+          .otherwise(concat(lit("u"), t.cast("string"), lit("_"),
+            col("id").cast("string")))).as("toks"))
+
+  /** DuckDB twin of [[syntheticLongDocs]]. */
+  def syntheticLongDocsSql(nDocs: Int = 6, nTokens: Int = 400): String =
+    s"""SELECT d AS doc_id, list_transform(range(0, $nTokens), t ->
+       |  CASE WHEN t >= 100 AND t < 180 THEN 'c' || t
+       |       WHEN t >= 200 AND t < 230 THEN 's' || t || '_' || (d % 2)
+       |       ELSE 'u' || t || '_' || d END) AS toks
+       |FROM (SELECT unnest(range(0, $nDocs)) AS d)""".stripMargin
+}

@@ -489,6 +489,57 @@ object CurationQueries {
           round(coalesce(col("covered"), lit(0L)).cast("double")
             / col("n_tokens"), 6).as("dup_frac"))
         .orderBy("doc_id")
+    },
+
+    // q122 at PRODUCTION span width: the Lee et al. setting is ~50-gram
+    // windows, so the width-parameterized DupSpans operator runs at w=50
+    // over the synthetic long-doc fixture (arithmetic-constructed on both
+    // engines: an 80-token run common to all docs — wide enough to hit at
+    // w=50 — and a 30-token parity-shared run that only sub-50 widths see).
+    // The oracle replays fixture, w-gram fold hashing, census, and
+    // interval-union sweep token for token.
+    QueryDef("q124_dup_spans_w50", DupSpansW50Sql.sql) { (s, _) =>
+      import graft.operators.DupSpans
+      DupSpans.coverage(DupSpans.syntheticLongDocs(s), col("toks"), width = 50)
+        .orderBy("doc_id")
     }
   )
+}
+
+/** DuckDB oracle for q124: [[graft.operators.DupSpans]] at width 50 over
+  * the arithmetic long-doc fixture — same CTE pipeline as q122's oracle
+  * with the span end at pos + 49.
+  */
+private object DupSpansW50Sql {
+  import graft.operators.DupSpans
+  private val W = 50
+
+  val sql: String =
+    s"""WITH docs AS (${DupSpans.syntheticLongDocsSql()}),
+       |d0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |              ${DupSpans.shingleHashesSql("toks", W)} AS sh FROM docs),
+       |s0 AS (SELECT doc_id, i - 1 AS pos, sh[i] AS shingle FROM (
+       |  SELECT doc_id, sh, unnest(range(1, len(sh) + 1)) AS i FROM d0)),
+       |dup AS (SELECT shingle FROM (
+       |  SELECT shingle, count(DISTINCT doc_id) AS nd FROM s0 GROUP BY 1)
+       |  WHERE nd >= 2),
+       |hit AS (SELECT s0.doc_id, s0.pos FROM s0 JOIN dup USING (shingle)),
+       |m AS (SELECT doc_id, pos,
+       |        max(pos + ${W - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |      FROM hit),
+       |i AS (SELECT doc_id, pos,
+       |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+       |            THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS UNBOUNDED PRECEDING) AS island
+       |      FROM m),
+       |isl AS (SELECT doc_id, island, max(pos) + ${W - 1} - min(pos) + 1 AS cov
+       |        FROM i GROUP BY doc_id, island),
+       |cv AS (SELECT doc_id, CAST(sum(cov) AS BIGINT) AS covered
+       |       FROM isl GROUP BY doc_id)
+       |SELECT d0.doc_id, d0.n_tokens, coalesce(cv.covered, 0) AS covered,
+       |       round(CAST(coalesce(cv.covered, 0) AS DOUBLE) / n_tokens, 6)
+       |         AS dup_frac
+       |FROM d0 LEFT JOIN cv USING (doc_id) ORDER BY d0.doc_id""".stripMargin
 }

@@ -199,6 +199,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(h.collect().map(_.getLong(1)).toSeq == Seq(0L, 0L, 0L, 0L, 0L))
   }
 
+  test("dup-span coverage: monotone non-increasing in width; islands disjoint") {
+    import graft.operators.DupSpans
+    val docs = DupSpans.syntheticLongDocs(spark).cache()
+    val covByWidth = Seq(3, 10, 50).map { w =>
+      w -> DupSpans.coverage(docs, col("toks"), w)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    }.toMap
+    // the fixture's engineered spans: 80-token common run + 30-token parity
+    // run at w=3; only the common run survives at w=50
+    assert(covByWidth(3).values.toSet == Set(110L))
+    assert(covByWidth(50).values.toSet == Set(80L))
+    // wider windows can only see FEWER duplicated spans → coverage is
+    // monotone non-increasing in width, per doc
+    for (d <- 0L until 6L; (w1, w2) <- Seq((3, 10), (10, 50)))
+      assert(covByWidth(w1)(d) >= covByWidth(w2)(d),
+        s"doc $d: cov(w=$w1) < cov(w=$w2)")
+    // islands are strictly disjoint and non-touching within a doc
+    for (w <- Seq(3, 10, 50)) {
+      val byDoc = DupSpans.islands(docs, col("toks"), w)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      byDoc.values.foreach { spans =>
+        val sorted = spans.sortBy(_._2)
+        sorted.foreach { case (_, s, e) => assert(s <= e) }
+        sorted.sliding(2).foreach {
+          case Array((_, _, e1), (_, s2, _)) => assert(s2 > e1 + 1,
+            s"islands touch or overlap at width $w")
+          case _ =>
+        }
+      }
+    }
+    docs.unpersist()
+  }
+
   test("ppm codec: header comments skipped, pixels exact, downscale + round trip") {
     // 2x2 image with a comment line; pixels RGB-interleaved 0..11
     val bytes = ("P6\n# tiny\n2 2\n255\n").getBytes("US-ASCII") ++
