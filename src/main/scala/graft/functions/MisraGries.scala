@@ -87,11 +87,19 @@ case class MisraGriesAgg(
     new GenericArrayData(
       b.keysIterator.toArray.sorted.map(UTF8String.fromString(_): Any))
 
+  // Keys serialize as int byte-length + raw UTF-8, NOT writeUTF: writeUTF
+  // throws UTFDataFormatException past 65535 encoded bytes, and a tracked
+  // item can be a whole document, not just a token.
   override def serialize(b: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(b.size)
-    b.foreach { case (key, c) => out.writeUTF(key); out.writeLong(c) }
+    b.foreach { case (key, c) =>
+      val kb = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -101,7 +109,12 @@ case class MisraGriesAgg(
     val n = in.readInt()
     val b = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { val key = in.readUTF(); b.update(key, in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      b.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     b
   }
 

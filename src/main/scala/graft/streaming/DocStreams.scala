@@ -54,6 +54,17 @@ object DocStreams {
     * mode keeps one arbitrary row per digest (callers needing a
     * deterministic representative pick min doc_id downstream, as q119 does);
     * streaming mode keeps the first arrival in processing order.
+    *
+    * Guarantee scope, stated precisely: the anti-join side is the `corpus`
+    * AS PASSED — a static snapshot, not the stream's own output. Within a
+    * run, cross-batch dedup among NEW documents is bounded by the watermark
+    * `horizon` (that is the entire point of bounded state: older state is
+    * dropped by contract). A re-arrival after the horizon of a document this
+    * stream itself already emitted — but which is not in `corpus` — will be
+    * emitted again. Callers wanting dedup against everything ever emitted
+    * must fold the sink back into `corpus`, as [[runIngest]] does at
+    * start-up; downstream exact dedup (q30) remains the safety net, exactly
+    * as in production ingest pipelines.
     */
   def dedupedIngest(newDocs: DataFrame, corpus: DataFrame,
                     horizon: String = "1 hour"): DataFrame = {
@@ -70,11 +81,23 @@ object DocStreams {
   /** Land → dedup → parquet append, exactly-once, drain-all-and-stop
     * (Trigger.AvailableNow — the same incremental-batch idiom as the
     * streaming NPZ converter).
+    *
+    * Documents already written to `outDir` by previous runs are folded into
+    * the anti-join side at start-up, so cross-RUN re-arrivals are dropped
+    * even though each run's in-stream state is watermark-bounded (see
+    * [[dedupedIngest]]'s guarantee scope).
     */
   def runIngest(spark: SparkSession, landingDir: String, corpus: DataFrame,
                 outDir: String, checkpointDir: String): Unit = {
     import org.apache.spark.sql.streaming.Trigger
-    val q = dedupedIngest(readLanding(spark, landingDir), corpus)
+    val prior =
+      if (new java.io.File(outDir).isDirectory)
+        Some(spark.read.schema(landingSchema.add("h", StringType))
+          .parquet(outDir).select("doc_id", "ingest_ts", "text"))
+      else None
+    val known = prior.fold(corpus.select("text"))(p =>
+      corpus.select("text").unionByName(p.select("text")))
+    val q = dedupedIngest(readLanding(spark, landingDir), known)
       .writeStream.format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)

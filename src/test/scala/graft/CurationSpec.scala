@@ -41,6 +41,17 @@ class CurationSpec extends AnyFunSuite {
     assert(cands.size <= 5)
   }
 
+  test("Misra-Gries survives keys past writeUTF's 64KB limit (whole-doc items)") {
+    // tracked items can be full documents; the partial-aggregate shuffle
+    // serializes the buffer, so a >65535-byte UTF-8 key must round-trip
+    val big = "x" * 70000
+    val data = Seq.fill(8)(big) ++ Seq("small1", "small2")
+    val cands = data.toDF("item").repartition(4)
+      .agg(MisraGries.candidates(col("item"), 2).as("c"))
+      .head().getSeq[String](0)
+    assert(cands.contains(big))
+  }
+
   test("misra_gries is callable from SQL via the session extensions") {
     zipfStream(512).toDF("item").createOrReplaceTempView("mg_stream")
     val cands = spark.sql("SELECT misra_gries(item, 3) AS c FROM mg_stream")
