@@ -173,4 +173,72 @@ object VectorExprs {
       copy(newLeft, newRight)
     override def prettyName: String = "vec_dist_sq"
   }
+
+  /** Product-quantization encode: nearest-codeword index per subspace, as
+    * one primitive triple loop. `cb` is the flat codebook —
+    * `cb((s·ksub + w)·sub + i)` = dim i of codeword w in subspace s.
+    * Distances compare on the 1e-6 integer grid (Math.round, exact for the
+    * non-negative squared distances here) with the LOWEST codeword index
+    * winning ties, so a vector's code is identical under any partitioning.
+    */
+  def pqEncodeData(a: ArrayData, m: Int, ksub: Int, cb: Array[Double],
+                   isFloat: Boolean): ArrayData = {
+    val sub = cb.length / (m * ksub)
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var bestW = 0
+      var bestQ = Long.MaxValue
+      var w = 0
+      while (w < ksub) {
+        var d2 = 0.0
+        var i = 0
+        val base = (s * ksub + w) * sub
+        val off = s * sub
+        while (i < sub) {
+          val x = if (isFloat) a.getFloat(off + i).toDouble else a.getDouble(off + i)
+          val d = x - cb(base + i)
+          d2 += d * d
+          i += 1
+        }
+        val q = Math.round(d2 * 1e6)
+        if (q < bestQ) { bestQ = q; bestW = w }
+        w += 1
+      }
+      out(s) = bestW
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** pq_encode(x): code array<int> of length m — the codegen'd form of the
+    * unrolled m·ksub·(dim/m) literal-distance argmin tree, which at 8×16×8
+    * terms exceeds janino's method limit and falls back to interpreted
+    * eval. One reference-object codebook + one fused loop instead.
+    */
+  case class PqEncodeExpr(child: Expression, m: Int, ksub: Int,
+                          cb: Array[Double]) extends UnaryExpression {
+    require(m > 0 && ksub > 0 && cb.length % (m * ksub) == 0,
+      s"pq_encode: codebook length ${cb.length} must be m*ksub*sub")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float|double>, got ${other.catalogString}")
+    }
+    private lazy val isFloat = isFloatArray(child)
+
+    override def nullSafeEval(a: Any): Any =
+      pqEncodeData(a.asInstanceOf[ArrayData], m, ksub, cb, isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("pqCodebook", cb, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.pqEncodeData($c, $m, $ksub, $cbRef, $isFloat);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "pq_encode"
+  }
 }

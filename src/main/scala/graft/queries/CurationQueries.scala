@@ -502,6 +502,65 @@ object CurationQueries {
       import graft.operators.DupSpans
       DupSpans.coverage(DupSpans.syntheticLongDocs(s), col("toks"), width = 50)
         .orderBy("doc_id")
+    },
+
+    // RELATIVE quality gate (the FineWeb/Gopher pattern): keep the top 90%
+    // of each SOURCE by mean unigram log-prob, instead of one absolute
+    // corpus-wide threshold — sources differ systematically (register,
+    // vocabulary), so an absolute band over- or under-prunes per source.
+    // Exactness: the per-token mean is slp_e6/nt computed as one IEEE
+    // double division of identical integers — correctly rounded, so
+    // bit-equal in any engine — ranked DESC with doc_id ties; the kept set
+    // is rn·10 ≤ cnt·9 in pure integer arithmetic. Output is integers only
+    // (the cutoff doc — the worst kept one — instead of its float score).
+    // Shape: the LM scoring is q110's pipeline (one token exchange, census
+    // broadcast back); the gate adds one window per source.
+    QueryDef("q126_relative_quality",
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |total AS (SELECT count(*) AS n FROM tok),
+        |per AS (
+        |  SELECT tok.doc_id, tok.source, count(*) AS nt,
+        |         CAST(sum(CAST(round(ln(freq.c / (1.0 * total.n)) * 1000000, 0)
+        |                  AS BIGINT)) AS BIGINT) AS slp
+        |  FROM tok JOIN freq USING (token) CROSS JOIN total
+        |  GROUP BY tok.doc_id, tok.source),
+        |r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY CAST(slp AS DOUBLE) / nt DESC, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM per)
+        |SELECT source, CAST(max(cnt) AS BIGINT) AS n_docs,
+        |       CAST(count(*) FILTER (WHERE rn * 10 <= cnt * 9) AS BIGINT) AS n_kept,
+        |       max(CASE WHEN rn * 10 <= cnt * 9
+        |                 AND (rn + 1) * 10 > cnt * 9 THEN doc_id END) AS cutoff_doc
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ", -1)).as("token"))
+        .persist() // feeds freq, total and the scoring join
+      val freq = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      val total = broadcast(tok.agg(count(lit(1)).as("n")))
+      val per = tok.join(freq, "token").crossJoin(total)
+        .select(col("doc_id"), col("source"),
+          round(log(col("c") / (lit(1.0) * col("n"))) * 1000000, 0)
+            .cast("long").as("lp_e6"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("nt"), sum("lp_e6").as("slp"))
+      val bySrc = Window.partitionBy("source")
+      val r = per.select(col("doc_id"), col("source"),
+        row_number().over(bySrc.orderBy(
+          (col("slp").cast("double") / col("nt")).desc, col("doc_id"))).as("rn"),
+        count(lit(1)).over(bySrc).as("cnt"))
+      val kept = col("rn") * 10 <= col("cnt") * 9
+      r.groupBy("source")
+        .agg(max("cnt").as("n_docs"),
+          count(when(kept, 1)).as("n_kept"),
+          max(when(kept && (col("rn") + 1) * 10 > col("cnt") * 9,
+            col("doc_id"))).as("cutoff_doc"))
+        .orderBy("source")
     }
   )
 }

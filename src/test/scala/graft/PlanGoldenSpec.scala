@@ -46,7 +46,8 @@ class PlanGoldenSpec extends AnyFunSuite {
     "q107_heavy_hitters", "q108_chunk_windows", "q109_boilerplate_shingles",
     "q110_lm_quality_gate", "q112_weighted_sample", "q113_zorder_key",
     "q114_incremental_dedup", "q116_vocab_encode", "q117_repetition",
-    "q118_lsh_capped", "q119_ingest_dedup", "q121_bm25", "q122_dup_spans")
+    "q118_lsh_capped", "q119_ingest_dedup", "q121_bm25", "q122_dup_spans",
+    "q126_relative_quality")
 
   pinned.foreach { name =>
     test(s"$name physical skeleton matches its golden") {

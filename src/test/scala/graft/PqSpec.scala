@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pq
+
+/** Product-quantization operator: encode parity with a plain-Scala
+  * reference, partition-independence of codes, ADC/re-rank contracts.
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dim = 8
+  private val m = 4
+  private val ksub = 4
+
+  /** 40 deterministic vectors with two obvious planted blobs per subspace. */
+  private def vectors: Seq[(Long, Seq[Double])] =
+    (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 10.0
+      (i, (0 until dim).map(j => base + ((i * 7 + j * 3) % 5) * 0.1))
+    }
+
+  private def corpus = {
+    import spark.implicits._
+    vectors.toDF("vec_id", "embedding")
+  }
+
+  test("encode matches a plain-Scala argmin over the fitted codebooks") {
+    val cb = Pq.fit(corpus, "vec_id", "embedding", dim, m, ksub, iters = 2)
+    val got = Pq.encode(corpus, "vec_id", "embedding", cb)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toMap
+    val sub = dim / m
+    vectors.foreach { case (id, x) =>
+      val want = (0 until m).map { s =>
+        val quantized = (0 until ksub).map { w =>
+          val d2 = (0 until sub).map { i =>
+            val d = x(s * sub + i) - cb.words(s)(w)(i); d * d
+          }.sum
+          Math.round(d2 * 1e6)
+        }
+        quantized.indexOf(quantized.min)
+      }.toList
+      assert(got(id) == want, s"code mismatch for vec $id")
+    }
+  }
+
+  test("codes are identical under different partitionings") {
+    val cb = Pq.fit(corpus, "vec_id", "embedding", dim, m, ksub, iters = 1)
+    def codesOf(parts: Int) =
+      Pq.encode(corpus.repartition(parts), "vec_id", "embedding", cb)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toList
+    assert(codesOf(1) == codesOf(7))
+  }
+
+  test("ADC shortlist + exact re-rank finds the planted nearest neighbor") {
+    import spark.implicits._
+    val cb = Pq.fit(corpus, "vec_id", "embedding", dim, m, ksub, iters = 2)
+    val codes = Pq.encode(corpus, "vec_id", "embedding", cb)
+    // query = vector 0; its blob-mates (even ids) are the near set
+    val q = Seq((0L, vectors(0)._2))
+    val shortlist = Pq.adcTopK(codes, Pq.adcTables(spark, q, cb),
+      k = 10, excludeSelf = true)
+    val reranked = Pq.rerank(shortlist, corpus, "vec_id", "embedding",
+      q.toDF("qid", "qv"), 5).orderBy("rank").collect()
+    assert(reranked.length == 5)
+    // every re-ranked neighbor must come from the same blob (even ids) —
+    // cross-blob distance is ~100 per dimension vs <1 within the blob
+    reranked.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") % 2 == 0,
+        s"cross-blob neighbor ${r.getAs[Long]("neighbor_id")} in top-5")
+    }
+    // re-rank must order by exact distance: non-decreasing d2 down the ranks
+    val d2s = reranked.map(_.getAs[Double]("d2")).toList
+    assert(d2s == d2s.sorted)
+  }
+
+  test("adcTopK excludeSelf drops the query's own row before ranking") {
+    import spark.implicits._
+    val cb = Pq.fit(corpus, "vec_id", "embedding", dim, m, ksub, iters = 1)
+    val codes = Pq.encode(corpus, "vec_id", "embedding", cb)
+    val q = Seq((0L, vectors(0)._2))
+    val withSelf = Pq.adcTopK(codes, Pq.adcTables(spark, q, cb), k = 1)
+      .collect().head.getAs[Long]("neighbor_id")
+    val without = Pq.adcTopK(codes, Pq.adcTables(spark, q, cb), k = 1,
+      excludeSelf = true).collect().head.getAs[Long]("neighbor_id")
+    assert(withSelf == 0L, "self has ADC distance 0 and must rank first")
+    assert(without != 0L)
+  }
+}
