@@ -124,6 +124,49 @@ object Pq {
         round(col("adc_e6").cast("double") / 1e6, 6).as("adc_d2"))
   }
 
+  /** Driver-side probe-cell selection for IVF-PQ: the `nprobe` coarse cells
+    * nearest each query, by the SAME quantized-distance + lowest-cell
+    * tie-break rule [[KMeans.fit]]'s assign step uses — O(nq·kc·dim) driver
+    * arithmetic over the collected O(kc·dim) centroid statistics.
+    */
+  def probeCells(queries: Seq[(Long, Seq[Double])],
+                 centroids: Seq[(Long, Seq[Double])],
+                 nprobe: Int): Seq[(Long, Long)] =
+    queries.flatMap { case (qid, qv) =>
+      centroids.map { case (c, cv) =>
+        var d2 = 0.0
+        var i = 0
+        while (i < qv.length) { val d = qv(i) - cv(i); d2 += d * d; i += 1 }
+        (c, Math.round(d2 * 1e6))
+      }.sortBy { case (c, q) => (q, c) }.take(nprobe).map(p => (qid, p._1))
+    }
+
+  /** IVF-PQ: [[adcTopK]] restricted to each query's probed coarse cells —
+    * the FAISS IndexIVFPQ shape. `codes` must carry a `cluster` column (the
+    * coarse [[KMeans]] assignment); `probes` is the (qid, cluster) relation
+    * from [[probeCells]], broadcast onto the code stream BEFORE the
+    * per-query aggregation, so the scored universe shrinks from N·nq to
+    * N·nprobe/kc on average — the knob that keeps billion-vector search at
+    * interactive cost.
+    */
+  def ivfAdcTopK(codes: DataFrame, tables: DataFrame, probes: DataFrame,
+                 k: Int, excludeSelf: Boolean = false): DataFrame = {
+    val exploded = codes.select(col("vec_id"), col("cluster"),
+      posexplode(col("code")).as(Seq("s", "w")))
+    val all = exploded.join(broadcast(tables), Seq("s", "w"))
+      .join(broadcast(probes), Seq("cluster", "qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("d_e6").as("adc_e6"))
+    val scored = if (excludeSelf) all.where(col("vec_id") =!= col("qid")) else all
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc_e6"), col("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"),
+        round(col("adc_e6").cast("double") / 1e6, 6).as("adc_d2"))
+  }
+
   /** Exact re-rank of an ADC shortlist — the standard PQ search shape
     * (shortlist by compressed codes, then true distances for the few
     * survivors). The shortlist (nq·k rows) broadcasts to the corpus scan,

@@ -259,6 +259,62 @@ object SimilarityQueries {
           (coalesce(col("n_hit"), lit(0L)) >= PqAnnSql.MinRecall10)
             .as("recall_ok"))
         .orderBy("query_id")
+    },
+
+    // IVF-PQ (the FAISS IndexIVFPQ composition): coarse k-means cells over
+    // the corpus, ADC scoring restricted to each query's 2 nearest cells
+    // (operators/Pq.ivfAdcTopK), exact re-rank of the shortlist — the
+    // billion-vector search shape where the scored universe shrinks by
+    // ~nprobe/kc BEFORE the per-query aggregation. Same contract as q125:
+    // exact 10th-neighbor anchor + recall bound asserted TRUE (measured
+    // 6–10 of the exact top-10 at kc=8/nprobe=2 across sf0.001/sf0.01;
+    // threshold 3 leaves drift margin — probing fewer cells trades recall
+    // for cost by design).
+    QueryDef("q127_ivfpq", PqAnnSql.sql) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Tensors
+      import graft.operators.{KMeans, Pq}
+      val emb = Tables.embeddings(s, d)
+      val (assigned, cents) = KMeans.fit(emb, "vec_id", "embedding", Dim,
+        k = PqAnnSql.CoarseCells, iters = 1)
+      val cb = Pq.fit(emb, "vec_id", "embedding", Dim,
+        m = PqAnnSql.M, ksub = PqAnnSql.Ksub, iters = 1)
+      val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+        .join(assigned, "vec_id")
+      val queries = emb.where(col("vec_id") < PqAnnSql.Nq)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      val centroids = cents.orderBy("cluster").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      import s.implicits._
+      val probes = Pq.probeCells(queries, centroids, nprobe = PqAnnSql.Nprobe)
+        .toDF("qid", "cluster")
+      val shortlist = Pq.ivfAdcTopK(codes, Pq.adcTables(s, queries, cb),
+        probes, k = PqAnnSql.Shortlist, excludeSelf = true)
+      val qdf = queries.toDF("qid", "qv")
+      val reranked = Pq.rerank(shortlist, emb, "vec_id", "embedding", qdf, 10)
+      val exact = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+        .crossJoin(broadcast(qdf))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Tensors.distSq(col("x"), col("qv")), 6).as("d2"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
+        .where(col("rank") <= 10)
+        .persist() // feeds both the d10 anchor and the recall join
+      val d10 = exact.where(col("rank") === 10)
+        .select(col("qid").as("query_id"), col("d2").as("exact_d10"))
+      val hits = reranked.join(
+          exact.select(col("qid").as("query_id"), col("vec_id").as("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      d10.join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("exact_d10"),
+          (coalesce(col("n_hit"), lit(0L)) >= PqAnnSql.MinRecallIvf)
+            .as("recall_ok"))
+        .orderBy("query_id")
     }
   )
 }
@@ -278,6 +334,13 @@ private[queries] object PqAnnSql {
     * (measured 6–9 across sf0.001/sf0.01; 4 leaves data drift margin).
     */
   val MinRecall10 = 4
+  /** q127 coarse quantizer: cells and probed-cells-per-query. */
+  val CoarseCells = 8
+  val Nprobe = 2
+  /** q127's looser recall floor — nprobe=2 of 8 cells skips ~3/4 of the
+    * corpus by design (measured 6–10 across sf0.001/sf0.01).
+    */
+  val MinRecallIvf = 3
 
   private val dim = SimilarityQueries.Dim
   private val d2 =

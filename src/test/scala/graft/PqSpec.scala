@@ -78,6 +78,28 @@ class PqSpec extends AnyFunSuite {
     assert(d2s == d2s.sorted)
   }
 
+  test("ivfAdcTopK scores only vectors inside the probed cells") {
+    import spark.implicits._
+    val cb = Pq.fit(corpus, "vec_id", "embedding", dim, m, ksub, iters = 1)
+    // coarse cells = the two planted blobs (k=2 recovers them exactly)
+    val (assigned, cents) = graft.operators.KMeans.fit(
+      corpus, "vec_id", "embedding", dim, k = 2, iters = 2)
+    val codes = Pq.encode(corpus, "vec_id", "embedding", cb)
+      .join(assigned, "vec_id")
+    val q = Seq((0L, vectors(0)._2))
+    val centroids = cents.orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val probes = Pq.probeCells(q, centroids, nprobe = 1)
+    assert(probes.length == 1)
+    val got = Pq.ivfAdcTopK(codes, Pq.adcTables(spark, q, cb),
+      probes.toDF("qid", "cluster"), k = 30, excludeSelf = true).collect()
+    // query 0 sits in the even blob; with nprobe=1 every scored vector must
+    // share its cell, so all 19 same-blob mates and nothing else
+    val ids = got.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(ids.forall(_ % 2 == 0), s"cross-cell ids scored: $ids")
+    assert(got.length == 19)
+  }
+
   test("adcTopK excludeSelf drops the query's own row before ranking") {
     import spark.implicits._
     val cb = Pq.fit(corpus, "vec_id", "embedding", dim, m, ksub, iters = 1)
