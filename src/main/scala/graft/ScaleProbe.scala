@@ -28,6 +28,13 @@ object ScaleProbe {
       val t0 = System.nanoTime(); mat(f); (System.nanoTime() - t0) / 1e9
     }
 
+    lazy val pqCb = graft.operators.Pq.fit(
+      Tables.embeddings(spark, sfDir).where(col("vec_id") < 2000),
+      "vec_id", "embedding", 64, 8, 16, 1)
+    lazy val pqQueries = Tables.embeddings(spark, sfDir).where(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+
     // representative shapes: scan+filter+project, hash agg, flagship
     // filter→histogram→window, global sort
     val shapes: Seq[(String, Int => DataFrame)] = Seq(
@@ -94,6 +101,22 @@ object ScaleProbe {
         sh.join(broadcast(boiler), sh("sh") === col("bl"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n"), count(col("bl")).as("nb"))
+      },
+      // PQ ADC scan (q125/q127 family): codegen'd encode (zero shuffle) →
+      // posexplode ×m → broadcast LUT join → per-(query, vector) integer
+      // aggregate — the compressed-corpus ANN path; should track the scan
+      "pq_adc" -> { m =>
+        val emb = {
+          val base = Tables.embeddings(spark, sfDir)
+          (0 until m).map(k => base.withColumn("vec_id",
+            col("vec_id") + lit(k.toLong * 10_000_000L))).reduce(_ unionAll _)
+        }
+        // codebooks/queries are fixed sample-trained statistics (computed
+        // once, lazily, outside the timed region) — the probe measures the
+        // per-vector encode+score scan, the part that scales with the corpus
+        graft.operators.Pq.adcTopK(
+          graft.operators.Pq.encode(emb, "vec_id", "embedding", pqCb),
+          graft.operators.Pq.adcTables(spark, pqQueries, pqCb), 50)
       })
 
     // warm-up
