@@ -89,6 +89,51 @@ object DupSpans {
           / col("n_tokens"), 6).as("dup_frac"))
   }
 
+  /** Reconstruct each document with every duplicated-span island REMOVED —
+    * the action [[coverage]] only measures (Lee et al. apply exactly this
+    * surgery to C4/RealNews: cut each duplicated span, keep the remainder,
+    * arXiv:2107.06499 §4). Policy: a covered token is dropped from EVERY
+    * document carrying it — the span's content survives nowhere. That is
+    * deliberately the aggressive variant (Lee et al. keep one occurrence);
+    * keep-one requires electing a global representative per span cluster,
+    * which is [[graft.queries.DedupQueries]]' q115 pipeline at document
+    * granularity — at span granularity the remove-all policy is what the
+    * boilerplate use case (headers, license blocks, navigation chrome)
+    * actually wants.
+    *
+    * Scale shape: islands are computed by [[islands]] (census on the uniform
+    * shingle hash, windows over hit rows only); the reconstruction then
+    * joins the SPANS relation — |islands| rows, ≪ corpus — back to the doc
+    * table on doc_id and does all token surgery row-locally with array
+    * HOFs: no token-level explode, no token-level join, no window over the
+    * token stream. Per-row cost is O(n_tokens · islands-in-doc); islands
+    * per doc is small by construction (they are merged, disjoint,
+    * non-touching).
+    *
+    * @return (doc_id, n_tokens, n_kept, clean_text) — clean_text is the
+    *         surviving tokens joined by a single space, in original order.
+    */
+  def scrub(docs: DataFrame, tokens: Column, width: Int): DataFrame = {
+    val spans = islands(docs, tokens, width)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start_pos"), col("end_pos"))).as("spans"))
+    val noSpans = array().cast("array<struct<start_pos:bigint,end_pos:bigint>>")
+    // two-arg transform gives the element index — positions without an
+    // explode, safe for empty arrays (no sequence(0, -1) descent trap)
+    val withPos = transform(tokens, (t, i) =>
+      struct(t.as("t"), i.cast("long").as("p")))
+    docs.select(col("doc_id"), withPos.as("tp"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("spans"), noSpans).as("sp"), col("tp"))
+      .select(col("doc_id"),
+        size(col("tp")).cast("long").as("n_tokens"),
+        filter(col("tp"), x => !exists(col("sp"),
+          s0 => x("p") >= s0("start_pos") && x("p") <= s0("end_pos"))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(transform(col("kept"), x => x("t")), " ").as("clean_text"))
+  }
+
   /** Deterministic long-doc fixture, constructed from arithmetic on both
     * engines (no data files): `nDocs` docs of `nTokens` tokens with
     * engineered duplication — tokens [100, 180) are an 80-token run common

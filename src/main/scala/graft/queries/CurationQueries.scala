@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Hashes, MisraGries}
-import graft.operators.{MinHash, SimHash, ZOrder}
+import graft.operators.{DupSpans, MinHash, Redact, SimHash, ZOrder}
 
 /** Round-3 corpus-curation operators: heavy-hitter sketching, RAG chunking,
   * boilerplate passage removal, perplexity-band quality gating, exact
@@ -561,8 +561,114 @@ object CurationQueries {
           max(when(kept && (col("rn") + 1) * 10 > col("cnt") * 9,
             col("doc_id"))).as("cutoff_doc"))
         .orderBy("source")
+    },
+
+    // q122 closed into an ACTION: reconstruct every document with its
+    // duplicated-span islands cut out (DupSpans.scrub — the surgery Lee et
+    // al. apply to C4; remove-all policy, declared in the operator doc).
+    // The oracle recomputes islands with q122's CTE pipeline and replays
+    // the token surgery as a NOT EXISTS anti-join + ordered string_agg;
+    // Spark does the same surgery row-locally with array HOFs after a
+    // doc-level join of the (small) spans relation — no token-level join,
+    // no window over the token stream. clean_text is hash-compared, so a
+    // single off-by-one at any island boundary fails the gate.
+    QueryDef("q128_span_scrub", SpanScrubSql.sql) { (s, d) =>
+      DupSpans.scrub(Tables.documents(s, d), split(col("text"), " ", -1),
+        width = 3)
+        .orderBy("doc_id")
+    },
+
+    // PII redaction (operators/Redact): emails, IPv4s, phone-shaped digit
+    // runs → typed placeholders, as a sequential regexp_replace fold
+    // restricted to the Java∩RE2 regex subset so BOTH engines rewrite the
+    // string identically — the redacted TEXT is hash-compared, not just
+    // match counts. The input interleaves synthetic PII (pure doc_id
+    // arithmetic, so the oracle constructs the identical string) with the
+    // real document body, which must pass through untouched — the gate
+    // catches false positives on clean text as well as missed matches.
+    // Scale: narrow per-row rewrite at scan speed, no shuffle.
+    QueryDef("q129_pii_redact", PiiSql.sql) { (s, d) =>
+      val raw = concat(
+        lit("contact user"), col("doc_id").cast("string"),
+        lit("@mail"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".example.com from 10."),
+        pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".0."), pmod(col("doc_id"), lit(100)).cast("string"),
+        lit(" call 555-"),
+        (pmod(col("doc_id"), lit(9000)) + 1000).cast("string"),
+        lit(" :: "), col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Redact.matchCount(raw, Redact.Email).as("n_email"),
+          Redact.matchCount(raw, Redact.Ipv4).as("n_ip"),
+          Redact.matchCount(raw, Redact.Phone).as("n_phone"),
+          Redact.redact(raw).as("redacted"))
+        .orderBy("doc_id")
     }
   )
+}
+
+/** DuckDB oracle for q128: q122's island CTEs (3-gram census →
+  * interval-union sweep), then the reconstruction — tokens whose position
+  * falls in no island, re-joined by single spaces in original order.
+  */
+private object SpanScrubSql {
+  val sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |d0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |              ${MinHash.shingleHashesSql("toks")} AS sh FROM t),
+       |s0 AS (SELECT doc_id, i - 1 AS pos, sh[i] AS shingle FROM (
+       |  SELECT doc_id, sh, unnest(range(1, len(sh) + 1)) AS i FROM d0)),
+       |dup AS (SELECT shingle FROM (
+       |  SELECT shingle, count(DISTINCT doc_id) AS nd FROM s0 GROUP BY 1)
+       |  WHERE nd >= 2),
+       |hit AS (SELECT s0.doc_id, s0.pos FROM s0 JOIN dup USING (shingle)),
+       |m AS (SELECT doc_id, pos,
+       |        max(pos + 2) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |      FROM hit),
+       |i AS (SELECT doc_id, pos,
+       |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+       |            THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS UNBOUNDED PRECEDING) AS island
+       |      FROM m),
+       |sp AS (SELECT doc_id, min(pos) AS st, max(pos) + 2 AS en
+       |       FROM i GROUP BY doc_id, island),
+       |tp AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM (
+       |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)),
+       |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+       |         WHERE NOT EXISTS (SELECT 1 FROM sp
+       |           WHERE sp.doc_id = tp.doc_id
+       |             AND tp.pos >= sp.st AND tp.pos <= sp.en)),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |        FROM kept GROUP BY doc_id)
+       |SELECT d0.doc_id, d0.n_tokens,
+       |       coalesce(agg.n_kept, 0) AS n_kept,
+       |       coalesce(agg.clean_text, '') AS clean_text
+       |FROM d0 LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+}
+
+/** DuckDB oracle for q129: the identical synthetic-PII construction from
+  * doc_id arithmetic, per-rule match counts on the raw string, and the same
+  * sequential regexp_replace fold ([[graft.operators.Redact.redactSql]] —
+  * RE2 with the 'g' flag mirrors Spark's replace-all).
+  */
+private object PiiSql {
+  val sql: String =
+    s"""WITH r AS (SELECT doc_id,
+       |  'contact user' || doc_id || '@mail' || (doc_id % 7) ||
+       |  '.example.com from 10.' || (doc_id % 256) || '.0.' ||
+       |  (doc_id % 100) || ' call 555-' || (doc_id % 9000 + 1000) ||
+       |  ' :: ' || text AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |       ${Redact.matchCountSql("raw", Redact.Email)} AS n_email,
+       |       ${Redact.matchCountSql("raw", Redact.Ipv4)} AS n_ip,
+       |       ${Redact.matchCountSql("raw", Redact.Phone)} AS n_phone,
+       |       ${Redact.redactSql("raw")} AS redacted
+       |FROM r ORDER BY doc_id""".stripMargin
 }
 
 /** DuckDB oracle for q124: [[graft.operators.DupSpans]] at width 50 over

@@ -98,4 +98,67 @@ class CurationSpec extends AnyFunSuite {
     val matches = spark.read.parquet(out).where(col("a") < 16 && col("b") < 16)
     assert(matches.agg(max("zval")).head().getLong(0) < 256)
   }
+
+  test("span scrub: n_kept complements coverage and clean_text re-splits to n_kept") {
+    import graft.operators.DupSpans
+    val docs = DupSpans.syntheticLongDocs(spark)
+    val cov = DupSpans.coverage(docs, col("toks"), width = 50)
+      .select("doc_id", "n_tokens", "covered")
+    val scrubbed = DupSpans.scrub(docs, col("toks"), width = 50)
+    val joined = scrubbed.join(cov, Seq("doc_id", "n_tokens")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (nTok, nKept, covered) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("covered"))
+      assert(nKept == nTok - covered,
+        s"doc ${r.getAs[Long]("doc_id")}: kept $nKept != $nTok - $covered")
+      val text = r.getAs[String]("clean_text")
+      val resplit = if (text.isEmpty) 0 else text.split(" ", -1).length
+      assert(resplit == nKept)
+      // the 80-token run common to ALL docs (positions 100-179) must be gone
+      assert(!text.contains("c100"), "shared run survived the scrub")
+    }
+  }
+
+  test("span scrub: order preserved, unique docs untouched, full-cover doc empties") {
+    import graft.operators.DupSpans
+    val docs = Seq(
+      (0L, Seq("a", "b", "c", "x0", "y0", "z0")), // leading run shared with 1
+      (1L, Seq("a", "b", "c", "x1", "y1", "z1")),
+      (2L, Seq("p", "q", "r", "s", "t", "u")),    // all-unique: must pass through
+      (3L, Seq("m", "n", "o")), (4L, Seq("m", "n", "o"))) // fully duplicated
+      .toDF("doc_id", "toks")
+    val got = DupSpans.scrub(docs, col("toks"), width = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_kept"), r.getAs[String]("clean_text")))
+    assert(got(0) == ((0L, 3L, "x0 y0 z0")))
+    assert(got(1) == ((1L, 3L, "x1 y1 z1")))
+    assert(got(2) == ((2L, 6L, "p q r s t u")))
+    assert(got(3) == ((3L, 0L, "")))
+    assert(got(4) == ((4L, 0L, "")))
+  }
+
+  test("pii redact: each category replaced everywhere, clean text untouched") {
+    import graft.operators.Redact
+    val rows = Seq(
+      "mail a.b-c%d@host.sub.example.io and e@f.org twice",
+      "ips 10.0.0.1 and 255.255.255.255 but not 1.2.3 or v1.2.3.4beta",
+      "call 555-0199 or 555-0200, never 55-0199 or 5555-0200x",
+      "plain text with words only stays byte-identical")
+      .toDF("s")
+    val got = rows.select(
+      Redact.redact(col("s")).as("r"),
+      Redact.matchCount(col("s"), Redact.Email).as("ne"),
+      Redact.matchCount(col("s"), Redact.Ipv4).as("ni"),
+      Redact.matchCount(col("s"), Redact.Phone).as("np")).collect()
+    assert(got(0).getString(0) == "mail <EMAIL> and <EMAIL> twice")
+    assert(got(0).getLong(1) == 2)
+    // 1.2.3 lacks an octet; v1.2.3.4beta has no word boundary before 1
+    assert(got(1).getString(0) == "ips <IP> and <IP> but not 1.2.3 or v1.2.3.4beta")
+    assert(got(1).getLong(2) == 2)
+    assert(got(2).getString(0) == "call <PHONE> or <PHONE>, never 55-0199 or 5555-0200x")
+    assert(got(2).getLong(3) == 2)
+    assert(got(3).getString(0) == "plain text with words only stays byte-identical")
+    assert((got(3).getLong(1), got(3).getLong(2), got(3).getLong(3)) == ((0L, 0L, 0L)))
+  }
 }
