@@ -148,6 +148,89 @@ object ScaleQueries {
           sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
             .cast("long")).cast("long").as("revenue_cents"))
         .orderBy("l_returnflag")
+    },
+
+    // Small-file compaction roundtrip (operators/Compaction): the table is
+    // first shattered into 64 task-sized files (what a streaming sink
+    // leaves behind), then compacted into byte-targeted, range-clustered
+    // files, and the aggregate runs over the COMPACTED copy while the
+    // oracle reads the logical table directly — the q49 write→read fidelity
+    // pattern applied to table maintenance. File-count/size/clustering
+    // assertions live in the unit spec (an oracle can't see files).
+    QueryDef("q130_compaction_roundtrip",
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, d) =>
+      import graft.operators.Compaction
+      // keyed on the full fixture path — same isolation rule as q49
+      val out = "/tmp/graft_compact_" + math.abs(d.hashCode.toLong)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$out/small")
+      Compaction.compact(s, s"$out/small", s"$out/compacted",
+        Seq(col("o_orderkey")), targetBytes = 1L << 19)
+      s.read.parquet(s"$out/compacted")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("long")
+            .as("cents"))
+        .orderBy("o_orderstatus")
+    },
+
+    // CDC snapshot merge (operators/Upsert — MERGE INTO as plain algebra):
+    // a deterministic change batch derived from the base itself (two
+    // competing update versions for keys ≡3 mod 10 — exercising last-wins
+    // dedup — deletes for ≡7, fresh inserts at negated keys for ≡1) applied
+    // as anti-join + union. The FULL merged snapshot is hash-compared, so
+    // one wrong row version, one surviving delete, or one lost base row
+    // fails the gate. Money stays in integer cents end to end.
+    QueryDef("q131_cdc_merge",
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |                     CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |              FROM orders),
+        |ch AS (
+        |  SELECT k, st, cents + 500 AS cents, 'U' AS op, 1 AS v
+        |  FROM base WHERE k % 10 = 3
+        |  UNION ALL
+        |  SELECT k, st, cents + 777, 'U', 2 FROM base WHERE k % 10 = 3
+        |  UNION ALL
+        |  SELECT k, st, cents, 'D', 1 FROM base WHERE k % 10 = 7
+        |  UNION ALL
+        |  SELECT -k, 'N', k, 'U', 1 FROM base WHERE k % 10 = 1),
+        |latest AS (SELECT k, st, cents, op FROM (
+        |  SELECT ch.*, row_number() OVER (PARTITION BY k
+        |    ORDER BY v DESC, op DESC) AS rn FROM ch) t WHERE rn = 1),
+        |merged AS (
+        |  SELECT b.k, b.st, b.cents FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = b.k)
+        |  UNION ALL
+        |  SELECT k, st, cents FROM latest WHERE op = 'U')
+        |SELECT k AS o_orderkey, st AS o_orderstatus, cents
+        |FROM merged ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import graft.operators.Upsert
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      def slice(m: Int) = base.where(pmod(col("o_orderkey"), lit(10)) === m)
+      val ch = slice(3)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("cents") + 500).as("cents"), lit("U").as("op"), lit(1).as("v"))
+        .unionByName(slice(3)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("cents") + 777).as("cents"), lit("U").as("op"), lit(2).as("v")))
+        .unionByName(slice(7)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+            lit("D").as("op"), lit(1).as("v")))
+        .unionByName(slice(1)
+          .select((-col("o_orderkey")).as("o_orderkey"), lit("N").as("o_orderstatus"),
+            col("o_orderkey").cast("long").as("cents"),
+            lit("U").as("op"), lit(1).as("v")))
+      val latest = Upsert.latestPerKey(ch, Seq("o_orderkey"), "v").drop("v")
+      Upsert(base, latest, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
     }
   )
 }

@@ -99,6 +99,55 @@ class CurationSpec extends AnyFunSuite {
     assert(matches.agg(max("zval")).head().getLong(0) < 256)
   }
 
+  test("compaction: byte-targeted file count, disjoint key ranges, rows preserved") {
+    import graft.operators.Compaction
+    val dir = "/tmp/graft_compact_spec"
+    val df = spark.range(100000).select(col("id").as("k"),
+      (col("id") * 7919 % 1000).as("v"))
+    df.repartition(50).write.mode("overwrite").parquet(s"$dir/small")
+    val smallCount = Compaction.listDataFiles(spark, s"$dir/small").size
+    assert(smallCount == 50, s"expected 50 shattered files, got $smallCount")
+    val bytes = Compaction.listDataFiles(spark, s"$dir/small").map(_._2).sum
+    val target = bytes / 4 + 1 // force ~4 output files from real input bytes
+    val n = Compaction.compact(spark, s"$dir/small", s"$dir/compacted",
+      Seq(col("k")), target)
+    val outFiles = Compaction.listDataFiles(spark, s"$dir/compacted")
+    assert(outFiles.size == n && n <= 5, s"returned $n, wrote ${outFiles.size}")
+    // fidelity: every row survives exactly once
+    val out = spark.read.parquet(s"$dir/compacted")
+    assert(out.count() == 100000)
+    assert(out.agg(sum("k")).head().getLong(0) == 100000L * 99999 / 2)
+    // clustering: per-file key envelopes must not overlap (range partition)
+    val ranges = outFiles.map { case (f, _) =>
+      val r = spark.read.parquet(f).agg(min("k"), max("k")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo, s"overlap: $ranges")
+      case _ => ()
+    }
+  }
+
+  test("upsert merge: last-wins versions, deletes vanish, inserts land, idempotent") {
+    import graft.operators.Upsert
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "v")
+    val changes = Seq(
+      (2L, "b2", 21L, "U", 1), (2L, "b3", 22L, "U", 2), // competing versions
+      (3L, "c", 30L, "D", 1),                           // delete
+      (9L, "new", 90L, "U", 1))                         // insert
+      .toDF("k", "s", "v", "op", "ver")
+    val latest = Upsert.latestPerKey(changes, Seq("k"), "ver").drop("ver")
+    val got = Upsert(base, latest, Seq("k")).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "a", 10L), (2L, "b3", 22L), (9L, "new", 90L)))
+    // re-applying the same batch to the merged snapshot changes nothing
+    val again = Upsert(Upsert(base, latest, Seq("k")), latest, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(again == got)
+  }
+
   test("span scrub: n_kept complements coverage and clean_text re-splits to n_kept") {
     import graft.operators.DupSpans
     val docs = DupSpans.syntheticLongDocs(spark)
