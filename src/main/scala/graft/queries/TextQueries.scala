@@ -483,8 +483,90 @@ object TextQueries {
       graft.operators.Bm25.topK(Tables.documents(s, d), col("doc_id"),
           split(col("text"), " ", -1), queries, k = 10)
         .orderBy("qid", "rank")
+    },
+
+    // BPE merge LEARNING (operators/BpeLearn) — q71 tokenizes with a fixed
+    // vocab; this learns one: 3 rounds of (integer pair count over the
+    // distinct-word relation → total-order argmax → left-to-right
+    // non-overlapping merge everywhere). The oracle unrolls all 3 rounds as
+    // CTEs with the IDENTICAL carry-fold (the q103/q65 iterative-fit move
+    // applied to pair statistics); each emitted row also carries the
+    // post-merge corpus symbol count, so a single mis-applied merge
+    // anywhere in the corpus flips the hash, not just a wrong pick.
+    QueryDef("q132_bpe_learn", BpeLearnSql.sql) { (s, d) =>
+      import graft.operators.BpeLearn
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ", -1)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val ms = BpeLearn.fit(words, "w", "freq", rounds = 3)
+      import s.implicits._
+      ms.map(m => (m.rank, m.lhs, m.rhs, m.pairCount, m.corpusTokensAfter))
+        .toDF("rank", "lhs", "rhs", "pair_count", "corpus_tokens_after")
+        .orderBy("rank")
     }
   )
+}
+
+/** Unrolled-CTE DuckDB oracle for the 3-round BPE fit: per round, pair
+  * counts from the evolving symbol relation, argmax by (count DESC, a, b),
+  * and the same one-symbol-carry fold [[graft.operators.BpeLearn]] applies.
+  *
+  * Accumulator encoding: DuckDB 1.0's `list_reduce` CORRUPTS a list nested
+  * inside a struct accumulator (the lambda sees a stale `out` from two
+  * steps back — verified: folding ['q','u','e'] with a {out, carry} struct
+  * yields out=['u'], dropping 'q'), so the state is a plain VARCHAR[]
+  * instead: prefix = emitted output, LAST element = the carry, `chr(1)` =
+  * "no carry" (safe: no corpus symbol is the SOH control byte — symbols are
+  * tokens' characters and their concatenations).
+  */
+private object BpeLearnSql {
+
+  /** One round: pairs p_N from s_{N-1}, winner m_N, rewritten s_N, corpus
+    * symbol checksum t_N.
+    */
+  private def round(n: Int): String = {
+    val prev = s"s${n - 1}"
+    s"""p$n AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS c
+       |  FROM (SELECT freq, unnest(list_transform(range(1, len(sym)),
+       |                i -> {'a': sym[i], 'b': sym[i + 1]})) AS pr
+       |        FROM $prev)
+       |  GROUP BY pr.a, pr.b),
+       |m$n AS (SELECT a AS ma, b AS mb, c AS mc FROM p$n
+       |        ORDER BY c DESC, a, b LIMIT 1),
+       |s$n AS (SELECT freq,
+       |  CASE WHEN r[len(r)] = chr(1) THEN r[1:len(r) - 1] ELSE r END AS sym
+       |  FROM (SELECT freq, list_reduce(
+       |      list_prepend(CAST([chr(1)] AS VARCHAR[]),
+       |        list_transform(sym, s -> [s])),
+       |      (acc, e) -> CASE
+       |        WHEN acc[len(acc)] = chr(1)
+       |          THEN list_append(acc[1:len(acc) - 1], e[1])
+       |        WHEN acc[len(acc)] = ma AND e[1] = mb
+       |          THEN list_append(
+       |                 list_append(acc[1:len(acc) - 1], ma || mb), chr(1))
+       |        ELSE list_append(
+       |               list_append(acc[1:len(acc) - 1], acc[len(acc)]),
+       |               e[1]) END) AS r
+       |    FROM $prev, m$n)),
+       |t$n AS (SELECT CAST(sum(freq * len(sym)) AS BIGINT) AS nt FROM s$n)"""
+      .stripMargin
+  }
+
+  val sql: String =
+    s"""WITH w AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |s0 AS (SELECT freq,
+       |  list_transform(range(1, len(w) + 1), i -> w[i]) AS sym FROM w),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT rank, lhs, rhs, pair_count, corpus_tokens_after FROM (
+       |  SELECT 1 AS rank, ma AS lhs, mb AS rhs, mc AS pair_count,
+       |         t1.nt AS corpus_tokens_after FROM m1, t1
+       |  UNION ALL SELECT 2, ma, mb, mc, t2.nt FROM m2, t2
+       |  UNION ALL SELECT 3, ma, mb, mc, t3.nt FROM m3, t3)
+       |ORDER BY rank""".stripMargin
 }
 
 /** Language-ID oracle: same marker lists, same argmax/tie-break. */

@@ -187,6 +187,32 @@ class CurationSpec extends AnyFunSuite {
     assert(got(4) == ((4L, 0L, "")))
   }
 
+  test("bpe learn: pair argmax, merge application, corpus checksum, tie-break") {
+    import graft.operators.BpeLearn
+    val words = Seq(("ab", 3L), ("abc", 2L)).toDF("w", "freq")
+    val ms = BpeLearn.fit(words, "w", "freq", rounds = 2)
+    // round 1: (a,b) weight 5 beats (b,c) weight 2; "ab"→[ab], "abc"→[ab,c]
+    assert((ms(0).lhs, ms(0).rhs, ms(0).pairCount) == (("a", "b", 5L)))
+    assert(ms(0).corpusTokensAfter == 3 * 1 + 2 * 2)
+    // round 2: only (ab,c) remains
+    assert((ms(1).lhs, ms(1).rhs, ms(1).pairCount) == (("ab", "c", 2L)))
+    assert(ms(1).corpusTokensAfter == 3 + 2)
+    // equal counts break to the lexicographically first pair
+    val tie = BpeLearn.fit(Seq(("ba", 2L), ("ab", 2L)).toDF("w", "freq"),
+      "w", "freq", rounds = 1)
+    assert((tie(0).lhs, tie(0).rhs) == (("a", "b")))
+  }
+
+  test("bpe merge application is left-to-right non-overlapping") {
+    import graft.operators.BpeLearn
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"),
+      Seq("b", "a", "a"), Seq("a"), Seq.empty[String]).toDF("sym")
+    val got = df.select(BpeLearn.applyMerge(col("sym"), "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0).toList).toSeq
+    assert(got == Seq(List("aa", "a"), List("aa", "aa"),
+      List("b", "aa"), List("a"), Nil))
+  }
+
   test("pii redact: each category replaced everywhere, clean text untouched") {
     import graft.operators.Redact
     val rows = Seq(
