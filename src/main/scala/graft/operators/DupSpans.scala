@@ -113,8 +113,19 @@ object DupSpans {
     * @return (doc_id, n_tokens, n_kept, clean_text) — clean_text is the
     *         surviving tokens joined by a single space, in original order.
     */
-  def scrub(docs: DataFrame, tokens: Column, width: Int): DataFrame = {
-    val spans = islands(docs, tokens, width)
+  def scrub(docs: DataFrame, tokens: Column, width: Int): DataFrame =
+    removeSpans(docs, tokens,
+      islands(docs, tokens, width).select("doc_id", "start_pos", "end_pos"))
+
+  /** Token surgery shared by [[scrub]] and [[scrubKeepOne]]: drop from each
+    * document every token whose position falls inside one of that doc's
+    * `cut` spans (doc_id, start_pos, end_pos). The cut relation is
+    * |islands|-sized (≪ corpus), joined doc-level, and the removal itself is
+    * row-local array HOFs — no token-level explode, join, or window.
+    */
+  private def removeSpans(docs: DataFrame, tokens: Column,
+                          cut: DataFrame): DataFrame = {
+    val spans = cut
       .groupBy("doc_id")
       .agg(collect_list(struct(col("start_pos"), col("end_pos"))).as("spans"))
     val noSpans = array().cast("array<struct<start_pos:bigint,end_pos:bigint>>")
@@ -132,6 +143,46 @@ object DupSpans {
       .select(col("doc_id"), col("n_tokens"),
         size(col("kept")).cast("long").as("n_kept"),
         array_join(transform(col("kept"), x => x("t")), " ").as("clean_text"))
+  }
+
+  /** [[islands]] plus a content fingerprint per island: the same
+    * `(acc·31 + tokenHash) mod P` fold the shingle hashes use, run over the
+    * island's covered tokens — i.e. an island's fingerprint IS its
+    * (en−st+1)-gram shingle hash, so two islands agree iff their covered
+    * token sequences agree (up to hash collision). Row-local: the spans
+    * relation joins back to the doc's token array and the fold runs over a
+    * slice — no token explode.
+    */
+  def islandFingerprints(docs: DataFrame, tokens: Column,
+                         width: Int): DataFrame =
+    islands(docs, tokens, width)
+      .join(docs.select(col("doc_id"), tokens.as("toks")), "doc_id")
+      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+        aggregate(
+          slice(col("toks"), (col("start_pos") + 1).cast("int"),
+            (col("end_pos") - col("start_pos") + 1).cast("int")),
+          lit(0L),
+          (acc, t) => (acc * 31L + Hashes.tokenHash(t)) % Prime).as("fp"))
+
+  /** Lee et al.'s keep-ONE-occurrence policy (arXiv:2107.06499 §4): each
+    * duplicated span survives in exactly one document — the global
+    * representative — and is cut everywhere else. Representative election is
+    * per island CONTENT ([[islandFingerprints]]): the lexicographically
+    * smallest (doc_id, start_pos) among islands with the same fingerprint
+    * keeps its text. Islands whose merged extents differ across docs have
+    * different fingerprints and each remains its own (kept) cluster — the
+    * conservative direction: never cut text that has no surviving twin.
+    *
+    * Scale shape: everything [[scrub]] does, plus one window over the
+    * islands relation partitioned by fingerprint — |islands| rows, uniform
+    * hash key, never the token stream.
+    */
+  def scrubKeepOne(docs: DataFrame, tokens: Column, width: Int): DataFrame = {
+    val ranked = islandFingerprints(docs, tokens, width)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id", "start_pos")))
+    removeSpans(docs, tokens,
+      ranked.where(col("rn") > 1).select("doc_id", "start_pos", "end_pos"))
   }
 
   /** Deterministic long-doc fixture, constructed from arithmetic on both

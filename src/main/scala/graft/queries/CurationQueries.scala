@@ -604,8 +604,76 @@ object CurationQueries {
           Redact.matchCount(raw, Redact.Phone).as("n_phone"),
           Redact.redact(raw).as("redacted"))
         .orderBy("doc_id")
+    },
+
+    // q128's remove-all policy replaced by Lee et al.'s actual surgery:
+    // keep ONE occurrence of each duplicated span (the lexicographically
+    // first (doc_id, start_pos) island per content fingerprint), cut the
+    // rest (DupSpans.scrubKeepOne). The oracle replays island detection
+    // (q128's CTEs), the per-island slice-fold fingerprint, the
+    // representative window, and the keep-one surgery token for token —
+    // clean_text is hash-compared, so electing the wrong representative or
+    // cutting one extra token anywhere fails the gate.
+    QueryDef("q133_scrub_keep_one", KeepOneSql.sql) { (s, d) =>
+      DupSpans.scrubKeepOne(Tables.documents(s, d),
+        split(col("text"), " ", -1), width = 3)
+        .orderBy("doc_id")
     }
   )
+}
+
+/** DuckDB oracle for q133: q128's island CTEs, then per-island content
+  * fingerprints (the same (acc·31 + tokenHash) mod P fold over the covered
+  * token slice), a min-(doc_id, start) representative per fingerprint, and
+  * the keep-one surgery — only NON-representative islands cut tokens.
+  */
+private object KeepOneSql {
+  import graft.functions.Hashes
+  val sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |d0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |              ${MinHash.shingleHashesSql("toks")} AS sh FROM t),
+       |s0 AS (SELECT doc_id, i - 1 AS pos, sh[i] AS shingle FROM (
+       |  SELECT doc_id, sh, unnest(range(1, len(sh) + 1)) AS i FROM d0)),
+       |dup AS (SELECT shingle FROM (
+       |  SELECT shingle, count(DISTINCT doc_id) AS nd FROM s0 GROUP BY 1)
+       |  WHERE nd >= 2),
+       |hit AS (SELECT s0.doc_id, s0.pos FROM s0 JOIN dup USING (shingle)),
+       |m AS (SELECT doc_id, pos,
+       |        max(pos + 2) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |      FROM hit),
+       |i AS (SELECT doc_id, pos,
+       |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+       |            THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS UNBOUNDED PRECEDING) AS island
+       |      FROM m),
+       |sp AS (SELECT doc_id, min(pos) AS st, max(pos) + 2 AS en
+       |       FROM i GROUP BY doc_id, island),
+       |fp AS (SELECT sp.doc_id, sp.st, sp.en,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(t.toks[sp.st + 1 : sp.en + 1],
+       |             tk -> ${Hashes.tokenHashSql("tk")})),
+       |           (acc, x) -> (acc * 31 + x) % ${Hashes.Prime}) AS f
+       |       FROM sp JOIN t ON t.doc_id = sp.doc_id),
+       |cut AS (SELECT doc_id, st, en FROM (
+       |  SELECT doc_id, st, en,
+       |         row_number() OVER (PARTITION BY f ORDER BY doc_id, st) AS rn
+       |  FROM fp) WHERE rn > 1),
+       |tp AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM (
+       |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)),
+       |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+       |         WHERE NOT EXISTS (SELECT 1 FROM cut
+       |           WHERE cut.doc_id = tp.doc_id
+       |             AND tp.pos >= cut.st AND tp.pos <= cut.en)),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |        FROM kept GROUP BY doc_id)
+       |SELECT d0.doc_id, d0.n_tokens,
+       |       coalesce(agg.n_kept, 0) AS n_kept,
+       |       coalesce(agg.clean_text, '') AS clean_text
+       |FROM d0 LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
 }
 
 /** DuckDB oracle for q128: q122's island CTEs (3-gram census →

@@ -187,6 +187,42 @@ class CurationSpec extends AnyFunSuite {
     assert(got(4) == ((4L, 0L, "")))
   }
 
+  test("keep-one scrub: each duplicated span survives in exactly one doc") {
+    import graft.operators.DupSpans
+    val docs = Seq(
+      (0L, Seq("a", "b", "c", "x0", "y0", "z0")), // leading run shared with 1
+      (1L, Seq("a", "b", "c", "x1", "y1", "z1")),
+      (2L, Seq("p", "q", "r", "s", "t", "u")),    // all-unique: must pass through
+      (3L, Seq("m", "n", "o")), (4L, Seq("m", "n", "o"))) // fully duplicated
+      .toDF("doc_id", "toks")
+    val got = DupSpans.scrubKeepOne(docs, col("toks"), width = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_kept"), r.getAs[String]("clean_text")))
+    // doc 0 is the (doc_id, start)-min representative of "a b c": keeps it
+    assert(got(0) == ((0L, 6L, "a b c x0 y0 z0")))
+    assert(got(1) == ((1L, 3L, "x1 y1 z1")))
+    assert(got(2) == ((2L, 6L, "p q r s t u")))
+    // fully-duplicated pair: doc 3 survives intact, doc 4 empties
+    assert(got(3) == ((3L, 3L, "m n o")))
+    assert(got(4) == ((4L, 0L, "")))
+  }
+
+  test("keep-one scrub on long docs: representative intact, one surviving copy") {
+    import graft.operators.DupSpans
+    val docs = DupSpans.syntheticLongDocs(spark) // 6 docs × 400 tokens
+    val got = DupSpans.scrubKeepOne(docs, col("toks"), width = 50)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_kept"), r.getAs[String]("clean_text")))
+    // at width 50 only the 80-token run common to all docs (positions
+    // 100-179) is covered; doc 0 wins the election and keeps all 400
+    assert(got(0)._2 == 400L)
+    got.tail.foreach { case (id, kept, _) =>
+      assert(kept == 320L, s"doc $id kept $kept, expected 400 - 80") }
+    // the shared run's content survives exactly once across the corpus
+    val copies = got.count(_._3.split(" ", -1).contains("c100"))
+    assert(copies == 1, s"token c100 survives in $copies docs, expected 1")
+  }
+
   test("bpe learn: pair argmax, merge application, corpus checksum, tie-break") {
     import graft.operators.BpeLearn
     val words = Seq(("ab", 3L), ("abc", 2L)).toDF("w", "freq")
