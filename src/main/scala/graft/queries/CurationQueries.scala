@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Hashes, MisraGries}
+import graft.functions.{CountMin, Hashes, MisraGries}
 import graft.operators.{DupSpans, MinHash, Redact, SimHash, ZOrder}
 
 /** Round-3 corpus-curation operators: heavy-hitter sketching, RAG chunking,
@@ -618,6 +618,45 @@ object CurationQueries {
       DupSpans.scrubKeepOne(Tables.documents(s, d),
         split(col("text"), " ", -1), width = 3)
         .orderBy("doc_id")
+    },
+
+    // Count-Min sketch point queries (functions/CountMin — the second
+    // TypedImperativeAggregate next to q107's Misra-Gries): depth×width
+    // integer counter matrix, estimate = min over an item's depth cells.
+    // Unlike MG the sketch is a SUM of one-hot updates, so it is
+    // bit-identical under any partitioning — and its guarantees are the
+    // checkable contract (the q54/q96 bound pattern): est ≥ true ALWAYS
+    // (cells only over-count), and est ≤ true + 3·N/width asserted with
+    // measured slack (expected overcount per row is N/width; min-of-4 rows
+    // sits well under 3× that; measured max ≈ 1.1·N/width at sf0.01).
+    // Integer compare (est−cnt)·width ≤ 3·N — no division, no rounding.
+    // Probes are the exact top-5 tokens, deterministically elected
+    // (count DESC, token) on both engines. Scale shape: one fixed-size
+    // matrix per partition crosses the wire; the exact recount exists only
+    // to state the contract.
+    QueryDef("q134_count_min",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |ex AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM tok GROUP BY token),
+        |t AS (SELECT count(*) AS n FROM tok)
+        |SELECT token, cnt, TRUE AS lower_ok, TRUE AS upper_ok
+        |FROM (SELECT token, cnt FROM ex ORDER BY cnt DESC, token LIMIT 5), t
+        |ORDER BY cnt DESC, token""".stripMargin) { (s, d) =>
+      val (depth, width) = (4, 512)
+      val tok = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ", -1)).as("token"))
+        .persist() // feeds the sketch, the exact counts, and the total
+      val sk = tok.agg(CountMin.sketch(col("token"), depth, width).as("sk"))
+      val total = tok.agg(count(lit(1)).as("n"))
+      val top = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(5)
+      val est = CountMin.estimate(col("sk"), col("token"), depth, width)
+      top.crossJoin(broadcast(sk)).crossJoin(broadcast(total))
+        .select(col("token"), col("cnt"),
+          (est >= col("cnt")).as("lower_ok"),
+          ((est - col("cnt")) * width <= lit(3L) * col("n")).as("upper_ok"))
+        .orderBy(col("cnt").desc, col("token"))
     }
   )
 }

@@ -52,6 +52,48 @@ class CurationSpec extends AnyFunSuite {
     assert(cands.contains(big))
   }
 
+  test("count-min: est >= true for EVERY key, partition-invariant matrix") {
+    import graft.functions.CountMin
+    val (depth, width) = (4, 64)
+    val data = zipfStream(4096)
+    val exact = data.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    val sketches = Seq(1, 7, 32).map { parts =>
+      data.toDF("item").repartition(parts)
+        .agg(CountMin.sketch(col("item"), depth, width).as("sk"))
+        .head().getSeq[Long](0).toIndexedSeq
+    }
+    // the matrix is a commutative integer sum — bit-identical at any
+    // partitioning (this is what lets q134 hash-check estimates at all)
+    assert(sketches.distinct.size == 1, "sketch depends on partitioning")
+    val sk = sketches.head
+    exact.foreach { case (item, cnt) =>
+      val est = CountMin.estimateLocal(sk, item, depth, width)
+      assert(est >= cnt, s"$item: est $est < true $cnt")
+    }
+    // total mass per hash row = N exactly (every update hits each row once)
+    (0 until depth).foreach { i =>
+      assert(sk.slice(i * width, (i + 1) * width).sum == data.size.toLong)
+    }
+  }
+
+  test("count-min: column estimate equals the JVM estimate, nulls skipped") {
+    import graft.functions.CountMin
+    val (depth, width) = (3, 32)
+    val data = Seq("a", "bb", "ccc", "a", null, "bb", "a").toDF("item")
+    val sk = data.agg(CountMin.sketch(col("item"), depth, width).as("sk"))
+    val got = Seq("a", "bb", "ccc", "zz").toDF("probe")
+      .crossJoin(broadcast(sk))
+      .select(col("probe"),
+        CountMin.estimate(col("sk"), col("probe"), depth, width).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val local = sk.head().getSeq[Long](0).toIndexedSeq
+    got.foreach { case (item, est) =>
+      assert(est == CountMin.estimateLocal(local, item, depth, width)) }
+    assert(got("a") >= 3L && got("bb") >= 2L && got("ccc") >= 1L)
+    // null contributes nowhere: 6 non-null updates per row
+    assert(local.slice(0, width).sum == 6L)
+  }
+
   test("misra_gries is callable from SQL via the session extensions") {
     zipfStream(512).toDF("item").createOrReplaceTempView("mg_stream")
     val cands = spark.sql("SELECT misra_gries(item, 3) AS c FROM mg_stream")
