@@ -315,6 +315,47 @@ object SimilarityQueries {
           (coalesce(col("n_hit"), lit(0L)) >= PqAnnSql.MinRecallIvf)
             .as("recall_ok"))
         .orderBy("query_id")
+    },
+
+    // Streaming PQ encode (streaming/EmbeddingStreams): the embedding
+    // firehose → PQ codes → exactly-once parquet index, run HERE as a real
+    // AvailableNow streaming query over a multi-file landing directory
+    // (maxFilesPerTrigger=2 forces several micro-batches). Because encode is
+    // a stateless row-local expression, streaming output must equal the
+    // batch encode row for row — the query emits that comparison (full
+    // outer join on vec_id, per-vector code equality) plus both row counts,
+    // so a dropped batch, a double-committed batch, or any
+    // micro-batch-dependent code flips the hash. The oracle replays the
+    // counts from the table and asserts the parity booleans TRUE.
+    QueryDef("q135_stream_pq_encode",
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(count(*) AS BIGINT) AS n_stream_rows,
+        |       TRUE AS all_codes_match
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      import graft.operators.Pq
+      import graft.streaming.EmbeddingStreams
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = new java.io.File(
+        "/tmp/graft_stream_pq_" + math.abs(d.hashCode.toLong))
+      rmrf(root)
+      val landing = s"$root/landing"
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      emb.repartition(5).write.parquet(landing)
+      val cb = Pq.fit(Tables.embeddings(s, d), "vec_id", "embedding", Dim,
+        m = PqAnnSql.M, ksub = PqAnnSql.Ksub, iters = 1)
+      EmbeddingStreams.runEncode(s, landing, cb,
+        s"$root/codes", s"$root/ckpt", maxFilesPerTrigger = Some(2))
+      val streamCodes = s.read.parquet(s"$root/codes")
+      val batchCodes = EmbeddingStreams.encoded(emb, cb)
+        .withColumnRenamed("code", "bcode")
+      streamCodes.join(batchCodes, Seq("vec_id"), "full_outer")
+        .agg(count(col("bcode")).as("n_vecs"),
+          count(col("code")).as("n_stream_rows"),
+          min(when(col("code") === col("bcode"), true).otherwise(false))
+            .as("all_codes_match"))
     }
   )
 }

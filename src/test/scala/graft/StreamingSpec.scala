@@ -112,6 +112,32 @@ class StreamingSpec extends AnyFunSuite {
       Set("alpha beta", "gamma delta", "epsilon zeta"))
   }
 
+  test("streaming PQ encode: per-file micro-batches == batch; re-run is a no-op") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Pq
+    import graft.streaming.EmbeddingStreams
+    val sql = spark
+    import sql.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_stream").toString
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+      .where(col("vec_id") < 200).select(col("vec_id"), col("embedding"))
+    emb.repartition(3).write.parquet(s"$root/landing")
+    val cb = Pq.fit(emb, "vec_id", "embedding", 64, m = 4, ksub = 4, iters = 1)
+    // one file per trigger: codes must be identical however the rows batch
+    EmbeddingStreams.runEncode(spark, s"$root/landing", cb,
+      s"$root/codes", s"$root/ckpt", maxFilesPerTrigger = Some(1))
+    def sink() = spark.read.parquet(s"$root/codes")
+      .select(col("vec_id"), col("code"))
+    val streamed = sink().as[(Long, Seq[Int])].collect().toMap
+    val batch = EmbeddingStreams.encoded(emb, cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(streamed == batch)
+    // exactly-once: draining the same landing dir again adds nothing
+    EmbeddingStreams.runEncode(spark, s"$root/landing", cb,
+      s"$root/codes", s"$root/ckpt", maxFilesPerTrigger = Some(1))
+    assert(sink().count() == batch.size.toLong)
+  }
+
   test("session windows produce sane sessions under watermark") {
     val sessions = EventStreams.runToMemory(
       EventStreams.sessionAggregates(EventStreams.readStream(spark, TestSpark.sfDir)),
