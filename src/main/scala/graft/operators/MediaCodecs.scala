@@ -92,6 +92,47 @@ object MediaCodecs {
     Image(ow, oh, out)
   }
 
+  /** Decode an uncompressed 24-bit BMP (BITMAPINFOHEADER): rows are stored
+    * bottom-up when biHeight > 0 (top-down when negative), BGR-interleaved,
+    * each row zero-padded to a 4-byte boundary — all three quirks are undone
+    * so the returned [[Image]] is row-major top-down RGB like
+    * [[decodePpm]]'s.
+    */
+  def decodeBmp(bytes: Array[Byte]): Image = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54, "BMP: truncated headers")
+    require(bytes(0) == 'B' && bytes(1) == 'M', "BMP: missing BM magic")
+    val dataOffset = bb.getInt(10)
+    require(bb.getInt(14) >= 40, "BMP: pre-BITMAPINFOHEADER formats unsupported")
+    val w = bb.getInt(18)
+    val rawH = bb.getInt(22)
+    val topDown = rawH < 0
+    val h = math.abs(rawH)
+    require(w > 0 && h > 0, s"BMP: bad dimensions ${w}x$rawH")
+    require((bb.getShort(26) & 0xffff) == 1, "BMP: planes must be 1")
+    val bpp = bb.getShort(28) & 0xffff
+    require(bpp == 24, s"BMP: only 24-bit supported, got $bpp")
+    require(bb.getInt(30) == 0, "BMP: only uncompressed (BI_RGB) supported")
+    val rowSize = (w * 3 + 3) / 4 * 4
+    require(dataOffset.toLong + rowSize.toLong * h <= bytes.length,
+      s"BMP: truncated payload — need ${rowSize.toLong * h} bytes from $dataOffset")
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val src = dataOffset + (if (topDown) y else h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        val dst = (y * w + x) * 3
+        out(dst) = bytes(src + x * 3 + 2)     // R (file order is BGR)
+        out(dst + 1) = bytes(src + x * 3 + 1) // G
+        out(dst + 2) = bytes(src + x * 3)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, h, out)
+  }
+
   /** Decode a RIFF/WAVE container holding mono 16-bit PCM: walk the chunk
     * list (ids are 4 ASCII bytes, sizes little-endian, chunks padded to even
     * offsets), require a PCM fmt chunk, return the data chunk's samples.

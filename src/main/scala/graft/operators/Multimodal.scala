@@ -57,6 +57,44 @@ object Multimodal {
       Row(f.id, f.width, f.height, f.nPixels, f.sumR, f.sumG, f.sumB)
   }
 
+  /** BMP features: [[ImageFeatures]]' channel sums plus a POSITION-weighted
+    * checksum `wsum = Σ (f+1)·pixel(f)` over the row-major top-down RGB flat
+    * index f — channel sums alone cannot tell a correctly un-flipped image
+    * from one with rows in file (bottom-up) order, or RGB from BGR; the
+    * weighted sum pins every byte to its reconstructed position.
+    */
+  final case class PosImageFeatures(id: Long, width: Int, height: Int,
+                                    nPixels: Long, sumR: Long, sumG: Long,
+                                    sumB: Long, wSum: Long)
+
+  object BmpImageDecoder extends MediaDecoder[PosImageFeatures] {
+    override def decodeBatch(batch: Array[(Long, Array[Byte])]): Array[PosImageFeatures] =
+      batch.map { case (id, bytes) =>
+        val img = MediaCodecs.decodeBmp(bytes)
+        var (sr, sg, sb, ws) = (0L, 0L, 0L, 0L)
+        var f = 0
+        while (f < img.pixels.length) {
+          val p = img.pixels(f) & 0xff
+          (f % 3: @annotation.switch) match {
+            case 0 => sr += p
+            case 1 => sg += p
+            case 2 => sb += p
+          }
+          ws += (f + 1).toLong * p
+          f += 1
+        }
+        PosImageFeatures(id, img.width, img.height,
+          img.width.toLong * img.height, sr, sg, sb, ws)
+      }
+    override val schema: StructType = new StructType()
+      .add("media_id", LongType).add("width", IntegerType)
+      .add("height", IntegerType).add("n_pixels", LongType)
+      .add("sum_r", LongType).add("sum_g", LongType).add("sum_b", LongType)
+      .add("wsum", LongType)
+    override def toRow(f: PosImageFeatures): Row =
+      Row(f.id, f.width, f.height, f.nPixels, f.sumR, f.sumG, f.sumB, f.wSum)
+  }
+
   /** Decoded-audio features: integer |sample| aggregates, same replay idea. */
   final case class AudioFeatures(id: Long, sampleRate: Int, nSamples: Long,
                                  sumAbs: Long, maxAbs: Long)

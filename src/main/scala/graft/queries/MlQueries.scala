@@ -75,6 +75,21 @@ object MlQueries {
         .orderBy("media_id")
     },
 
+    // Third real codec: 24-bit BMP — the container with actual layout
+    // quirks (bottom-up row order for even fixtures, top-down for odd,
+    // BGR byte order, rows zero-padded to 4-byte boundaries; widths 7/11/15
+    // so padding is never zero). The oracle replays pixels in IMAGE order
+    // from arithmetic; the position-weighted checksum wsum = Σ (f+1)·p
+    // makes the contract order-sensitive — an un-flipped row, a BGR swap,
+    // or one pad byte leaking into the payload each break the hash, which
+    // plain channel sums would forgive.
+    QueryDef("q136_bmp_decode", MediaSql.bmpSql) { (s, _) =>
+      Multimodal.decodeFeatures(
+        Multimodal.readMedia(s, MediaSql.fixtureDir, "*.bmp"),
+        Multimodal.BmpImageDecoder)
+        .orderBy("media_id")
+    },
+
     // SURVEY §2 rows 4-5: partitioned parquet sink + re-scan, and the
     // fitted-statistics relation persisted and reloaded (stats are *data* —
     // SURVEY §7.4.4). The oracle computes the same result without the
@@ -264,6 +279,21 @@ private[queries] object MediaSql {
        |       CAST(sum(CASE WHEN ch = 0 THEN p END) AS BIGINT) AS sum_r,
        |       CAST(sum(CASE WHEN ch = 1 THEN p END) AS BIGINT) AS sum_g,
        |       CAST(sum(CASE WHEN ch = 2 THEN p END) AS BIGINT) AS sum_b
+       |FROM v GROUP BY i ORDER BY media_id""".stripMargin
+
+  val bmpSql: String =
+    s"""WITH dims AS (SELECT i, 7 + (i % 3) * 4 AS w, 6 + (i % 2) * 4 AS h
+       |              FROM (SELECT unnest(range(0, 12)) AS i)),
+       |px AS (SELECT i, w, h, unnest(range(0, w * h * 3)) AS f FROM dims),
+       |v AS (SELECT i, w, h, f, f % 3 AS ch, (f * $K + 211 * i) % 256 AS p
+       |      FROM px)
+       |SELECT i AS media_id, CAST(max(w) AS INTEGER) AS width,
+       |       CAST(max(h) AS INTEGER) AS height,
+       |       CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+       |       CAST(sum(CASE WHEN ch = 0 THEN p END) AS BIGINT) AS sum_r,
+       |       CAST(sum(CASE WHEN ch = 1 THEN p END) AS BIGINT) AS sum_g,
+       |       CAST(sum(CASE WHEN ch = 2 THEN p END) AS BIGINT) AS sum_b,
+       |       CAST(sum((f + 1) * p) AS BIGINT) AS wsum
        |FROM v GROUP BY i ORDER BY media_id""".stripMargin
 
   val audioSql: String =

@@ -253,6 +253,38 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("bmp codec: bottom-up and top-down rows, BGR swap, pad bytes dropped") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // 2x2 RGB image in row-major top-down order: pixel (x,y) = base..base+2
+    val rgb = (0 until 12).map(_.toByte).toArray
+    def bmp(topDown: Boolean): Array[Byte] = {
+      val rowSize = (2 * 3 + 3) / 4 * 4 // 8: two pad bytes per row
+      val bb = ByteBuffer.allocate(54 + rowSize * 2).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * 2)
+        .putShort(0).putShort(0).putInt(54)
+      bb.putInt(40).putInt(2).putInt(if (topDown) -2 else 2)
+        .putShort(1).putShort(24).putInt(0).putInt(rowSize * 2)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      val ys = if (topDown) Seq(0, 1) else Seq(1, 0) // file row order
+      ys.foreach { y =>
+        (0 until 2).foreach { x =>
+          val base = (y * 2 + x) * 3
+          bb.put(rgb(base + 2)).put(rgb(base + 1)).put(rgb(base)) // BGR
+        }
+        bb.put(0xAA.toByte).put(0xAA.toByte) // junk padding must be ignored
+      }
+      bb.array()
+    }
+    Seq(true, false).foreach { td =>
+      val img = MediaCodecs.decodeBmp(bmp(td))
+      assert(img.width == 2 && img.height == 2, s"topDown=$td")
+      assert(img.pixels.toSeq == rgb.toSeq, s"topDown=$td")
+    }
+    intercept[IllegalArgumentException] { // truncated payload fails loudly
+      MediaCodecs.decodeBmp(bmp(false).dropRight(9))
+    }
+  }
+
   test("wav codec: chunk walking skips LIST, samples exact") {
     import java.nio.{ByteBuffer, ByteOrder}
     val samples = Array[Short](100, -200, 300, -400)

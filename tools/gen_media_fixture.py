@@ -18,6 +18,16 @@ fixtures).
       n(j) = 64 + 16 * j samples
       s(j, t) = ((t * 2654435761 + 131 * j) % 4096) - 2048
       odd j carries a LIST chunk before data (parser must skip chunks)
+
+  images  bmp_<i>.bmp  (i in 0..11)  24-bit uncompressed BMP
+      width  w(i) = 7 + (i % 3) * 4      (7, 11, 15 — never 4-aligned,
+                                          so every row carries pad bytes)
+      height h(i) = 6 + (i % 2) * 4      (6, 10)
+      pixel value in IMAGE order (row-major top-down, RGB-interleaved,
+      flat index f = (y*w + x)*3 + ch):
+          p(i, f) = (f * 2654435761 + 211 * i) % 256
+      the FILE stores rows bottom-up in BGR with zero padding; odd i is
+      written top-down (negative biHeight) — the decoder must handle both
 """
 import os
 import struct
@@ -53,5 +63,27 @@ for j in range(8):
     riff = b"WAVE" + chunks
     with open(os.path.join(out, "snd_%d.wav" % j), "wb") as fh:
         fh.write(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+
+for i in range(12):
+    w = 7 + (i % 3) * 4
+    h = 6 + (i % 2) * 4
+    row_size = (w * 3 + 3) // 4 * 4
+    top_down = i % 2 == 1
+    rows = []
+    ys = range(h) if top_down else range(h - 1, -1, -1)  # file row order
+    for y in ys:
+        row = bytearray()
+        for x in range(w):
+            base = (y * w + x) * 3
+            r, g, b = (((base + ch) * K + 211 * i) % 256 for ch in range(3))
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (row_size - len(row))
+        rows.append(bytes(row))
+    payload = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
+                       1, 24, 0, len(payload), 2835, 2835, 0, 0)
+    filehdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(payload), 0, 0, 54)
+    with open(os.path.join(out, "bmp_%02d.bmp" % i), "wb") as fh:
+        fh.write(filehdr + info + payload)
 
 print("wrote", len(os.listdir(out)), "files to", out)
