@@ -177,6 +177,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q134 count-min: map-side partial sketch before the merge") {
+    val p = plan(q("q134_count_min"))
+    assert(p.contains("partial_count_min"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q133 keep-one scrub: fp-partitioned election, doc-level surgery joins") {
+    val p = plan(q("q133_scrub_keep_one"))
+    // the representative window must partition by the fingerprint — a
+    // partition-less window here would funnel every island through one task
+    assert(p.contains("windowspecdefinition(fp#"), p)
+    // surgery joins stay doc-level (no token-level cartesian blowup)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q109 boilerplate: census set broadcasts back, never sort-merges") {
     val p = plan(q("q109_boilerplate_shingles"))
     assert(p.contains("BroadcastHashJoin"), p)
