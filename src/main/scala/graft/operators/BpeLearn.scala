@@ -75,6 +75,20 @@ object BpeLearn {
     aggregate(sym, zero, step, fin)
   }
 
+  /** Tokenizer APPLY: encode every word with an ordered merge table —
+    * char-split, then each learned merge in rank order, the same
+    * left-to-right fold as training. This is the production split: [[fit]]
+    * learns on a (sampled) word-frequency relation, `encodeWords` encodes
+    * the full vocabulary, and the corpus encodes by joining its token
+    * stream to the resulting (word → symbols) relation on the uniform word
+    * key — the fold never runs per occurrence (q137).
+    */
+  def encodeWords(words: DataFrame, wordCol: String,
+                  merges: Seq[Merge]): DataFrame =
+    merges.sortBy(_.rank).foldLeft(
+      words.select(col(wordCol).as("w"), charSymbols(col(wordCol)).as("sym")))(
+      (df, m) => df.select(col("w"), applyMerge(col("sym"), m.lhs, m.rhs).as("sym")))
+
   /** Learn `rounds` merges from a (word, freq) relation. Each round: one
     * integer pair aggregate + a 1-row argmax collect + a row-local rewrite.
     * The evolving symbol relation is persisted per round (it feeds the pair

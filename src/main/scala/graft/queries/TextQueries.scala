@@ -503,6 +503,32 @@ object TextQueries {
       ms.map(m => (m.rank, m.lhs, m.rhs, m.pairCount, m.corpusTokensAfter))
         .toDF("rank", "lhs", "rhs", "pair_count", "corpus_tokens_after")
         .orderBy("rank")
+    },
+
+    // The learn→apply closure: q132's 3 learned merges re-tokenize the
+    // CORPUS (BpeLearn.encodeWords) — fit on the word-frequency relation,
+    // encode the vocabulary once, then the token stream joins its word to
+    // the (word → encoded length) relation on the uniform word key; the
+    // carry-fold never runs per occurrence. Output is each doc's word and
+    // encoded-symbol counts — wrong merge ranks, a fold drift, or one
+    // mis-encoded word occurrence anywhere flips some doc's integer. The
+    // oracle unrolls learning (q132's CTEs, word carried through) and
+    // replays the same join+sum.
+    QueryDef("q137_bpe_apply", BpeLearnSql.applySql) { (s, d) =>
+      import graft.operators.BpeLearn
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ", -1)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .persist() // feeds 3 fit rounds and the encode pass
+      val ms = BpeLearn.fit(words, "w", "freq", rounds = 3)
+      val wordLen = BpeLearn.encodeWords(words, "w", ms)
+        .select(col("w"), size(col("sym")).cast("long").as("n_sym"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+        .join(wordLen, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_sym"))
+        .orderBy("doc_id")
     }
   )
 }
@@ -533,9 +559,9 @@ private object BpeLearnSql {
        |  GROUP BY pr.a, pr.b),
        |m$n AS (SELECT a AS ma, b AS mb, c AS mc FROM p$n
        |        ORDER BY c DESC, a, b LIMIT 1),
-       |s$n AS (SELECT freq,
+       |s$n AS (SELECT w, freq,
        |  CASE WHEN r[len(r)] = chr(1) THEN r[1:len(r) - 1] ELSE r END AS sym
-       |  FROM (SELECT freq, list_reduce(
+       |  FROM (SELECT w, freq, list_reduce(
        |      list_prepend(CAST([chr(1)] AS VARCHAR[]),
        |        list_transform(sym, s -> [s])),
        |      (acc, e) -> CASE
@@ -552,21 +578,40 @@ private object BpeLearnSql {
       .stripMargin
   }
 
-  val sql: String =
-    s"""WITH w AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+  /** Shared learning prefix: word frequencies, char split (word carried
+    * through every round), and the 3 unrolled rounds.
+    */
+  private val learnCtes: String =
+    s"""w AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  GROUP BY w),
-       |s0 AS (SELECT freq,
+       |s0 AS (SELECT w, freq,
        |  list_transform(range(1, len(w) + 1), i -> w[i]) AS sym FROM w),
        |${round(1)},
        |${round(2)},
-       |${round(3)}
+       |${round(3)}""".stripMargin
+
+  val sql: String =
+    s"""WITH $learnCtes
        |SELECT rank, lhs, rhs, pair_count, corpus_tokens_after FROM (
        |  SELECT 1 AS rank, ma AS lhs, mb AS rhs, mc AS pair_count,
        |         t1.nt AS corpus_tokens_after FROM m1, t1
        |  UNION ALL SELECT 2, ma, mb, mc, t2.nt FROM m2, t2
        |  UNION ALL SELECT 3, ma, mb, mc, t3.nt FROM m3, t3)
        |ORDER BY rank""".stripMargin
+
+  /** q137's oracle: the same learning CTEs, then the corpus re-tokenized by
+    * joining each token occurrence to its word's encoded length from s3.
+    */
+  val applySql: String =
+    s"""WITH $learnCtes,
+       |wl AS (SELECT w, CAST(len(sym) AS BIGINT) AS n_sym FROM s3),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(n_sym) AS BIGINT) AS n_sym
+       |FROM tok JOIN wl USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
 
 /** Language-ID oracle: same marker lists, same argmax/tie-break. */

@@ -281,6 +281,19 @@ class CurationSpec extends AnyFunSuite {
     assert((tie(0).lhs, tie(0).rhs) == (("a", "b")))
   }
 
+  test("bpe encodeWords applies ranked merges in order") {
+    import graft.operators.BpeLearn
+    val words = Seq(("aab", 1L), ("ba", 1L), ("", 1L)).toDF("w", "freq")
+    val merges = Seq(BpeLearn.Merge(2, "aa", "b", 0L, 0L), // deliberately
+      BpeLearn.Merge(1, "a", "a", 0L, 0L))                 // out of order
+    val got = BpeLearn.encodeWords(words, "w", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // rank order must be restored: (a,a) first, then (aa,b) on its output
+    assert(got("aab") == Seq("aab"))
+    assert(got("ba") == Seq("b", "a")) // no merge applies
+    assert(got("") == Seq.empty)       // empty word stays empty
+  }
+
   test("bpe merge application is left-to-right non-overlapping") {
     import graft.operators.BpeLearn
     val df = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"),
