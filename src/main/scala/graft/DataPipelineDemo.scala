@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, Metrics, MinHash, SemDedup}
+import graft.operators.{Components, DupSpans, Metrics, MinHash, SemDedup}
 
 /** End-to-end training-data pipeline over `documents` + `embeddings` — the
   * curation operators composed the way a 100 TB corpus build would run them,
@@ -15,6 +15,9 @@ import graft.operators.{Components, Metrics, MinHash, SemDedup}
   *   2. quality gate — unigram-LM mean log-prob band + token-count +
   *                     repetition heuristics (q110/q117 logic)
   *   3. exact dedup  — first doc per sha2 content digest (q30)
+  *   3b. span scrub  — keep-one-occurrence surgery on duplicated ≥ 20-gram
+  *                     spans (q133's Lee-et-al policy); token counts
+  *                     re-derived from the survivors
   *   4. LSH near-dedup — bucket-CAPPED MinHash banding (q118's skew guard) →
   *                     candidate pairs → connected components → keep the
   *                     longest doc per duplicate cluster (q115)
@@ -95,6 +98,24 @@ object DataPipelineDemo {
         Window.partitionBy("digest").orderBy("doc_id")))
       .where(col("rn") === 1)
       .drop("digest", "rn")
+
+  /** 3b. Span scrub — q133's keep-one-occurrence surgery at span width 20
+    * (Lee et al.'s production setting is ~50; fixture docs are shorter):
+    * each duplicated ≥ width-gram span survives in exactly one document,
+    * docs scrubbed to nothing drop, and `n_tok` is re-derived from the
+    * survivors so packing budgets stay honest. Whole-doc duplicates were
+    * already collapsed by [[exactDedup]], so this stage only ever cuts
+    * PARTIAL overlap (boilerplate runs, quoted passages).
+    */
+  def spanScrub(docs: DataFrame, width: Int = 20): DataFrame = {
+    val scrubbed = DupSpans.scrubKeepOne(docs, split(col("text"), " ", -1), width)
+    docs.drop("text", "n_tok")
+      .join(scrubbed.where(col("n_kept") > 0)
+        .select(col("doc_id"), col("clean_text").as("text"),
+          col("n_kept").as("n_tok")), "doc_id")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        col("n_tok"))
+  }
 
   /** 4a. LSH candidate pairs at Jaccard ≥ 0.5, bucket-capped (q118's skew
     * guard) — lazy, so DemoPlanSpec can assert no CartesianProduct ever
@@ -200,12 +221,13 @@ object DataPipelineDemo {
   def stages(cleaned: DataFrame, emb: DataFrame): Map[String, DataFrame] = {
     val quality = qualityGate(cleaned).persist()
     val exact = exactDedup(quality).persist()
-    val near = lshDedup(exact)
+    val scrub = spanScrub(exact).persist()
+    val near = lshDedup(scrub)
     val sem = semanticDedup(near, emb).persist()
     val decon = decontaminate(sem)
     val packed = pack(decon).persist()
     val mixed = mixture(packed)
-    Map("quality" -> quality, "exact" -> exact,
+    Map("quality" -> quality, "exact" -> exact, "scrub" -> scrub,
       "near" -> near, "sem" -> sem, "decon" -> decon,
       "packed" -> packed, "mixed" -> mixed)
   }
@@ -224,6 +246,7 @@ object DataPipelineDemo {
     val st = stages(cleaned, Tables.embeddings(spark, sfDir))
     val nQuality = st("quality").count()
     val nExact = st("exact").count()
+    val nScrub = st("scrub").count()
     val nNear = st("near").count()
     val nSem = st("sem").count()
     val nDecon = st("decon").count()
@@ -239,9 +262,10 @@ object DataPipelineDemo {
     metrics.close()
 
     println(s"DATA_PIPELINE raw=${raw.count()} clean_observed=$cleanRows " +
-      s"quality=$nQuality exact=$nExact near=$nNear sem=$nSem " +
+      s"quality=$nQuality exact=$nExact scrub=$nScrub near=$nNear sem=$nSem " +
       s"decontaminated=$nDecon pack_buckets=$nBuckets mixture=[$perSource]")
-    require(nQuality >= nExact && nExact >= nNear && nSem >= nDecon,
+    require(nQuality >= nExact && nExact >= nScrub && nScrub >= nNear &&
+      nSem >= nDecon,
       "pipeline funnel must be monotone non-increasing across dedup stages")
     require(nDecon > 0, "pipeline produced no surviving documents")
     spark.stop()

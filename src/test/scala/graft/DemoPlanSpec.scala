@@ -50,6 +50,7 @@ class DemoPlanSpec extends AnyFunSuite {
     "demo_clean" -> (() => cleaned),
     "demo_quality" -> (() => DataPipelineDemo.qualityGate(cleaned)),
     "demo_exact" -> (() => exact),
+    "demo_span_scrub" -> (() => DataPipelineDemo.spanScrub(exact)),
     "demo_lsh_pairs" -> (() => DataPipelineDemo.lshPairs(exact)),
     "demo_decontaminate" -> (() => DataPipelineDemo.decontaminate(exact)),
     "demo_pack" -> (() => DataPipelineDemo.pack(exact)),

@@ -20,12 +20,14 @@ class DemoSpec extends AnyFunSuite {
     val st = runStages()
     val nQuality = st("quality").count()
     val nExact = st("exact").count()
+    val nScrub = st("scrub").count()
     val nNear = st("near").count()
     val nSem = st("sem").count()
     val nDecon = st("decon").count()
     val nMixed = st("mixed").count()
     assert(nQuality >= nExact, "exact dedup cannot add rows")
-    assert(nExact >= nNear, "near dedup cannot add rows")
+    assert(nExact >= nScrub, "span scrub cannot add rows")
+    assert(nScrub >= nNear, "near dedup cannot add rows")
     assert(nNear >= nSem, "semantic dedup cannot add rows")
     assert(nSem >= nDecon, "decontamination cannot add rows")
     assert(nDecon >= nMixed, "mixture selection cannot add rows")
