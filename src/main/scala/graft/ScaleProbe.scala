@@ -84,6 +84,12 @@ object ScaleProbe {
       // clock should track the SCAN, not the key cardinality
       "mg_sketch" -> (m => li(m).select(col("l_returnflag").as("item"))
         .agg(graft.functions.MisraGries.candidates(col("item"), 4).as("c"))),
+      // Count-Min sketch (q134 family): fixed O(depth·width) matrix per
+      // partition, elementwise-add merge — like mg_sketch, wall clock must
+      // track the scan; the matrix never grows with rows or keys
+      "cms_sketch" -> (m => li(m)
+        .select((col("l_partkey") % 1000).cast("string").as("item"))
+        .agg(graft.functions.CountMin.sketch(col("item"), 4, 512).as("sk"))),
       // boilerplate census (q109 family): explode → count-distinct census →
       // small census set broadcast back over the exploded stream
       "boiler_census" -> { m =>
