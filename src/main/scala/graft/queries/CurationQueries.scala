@@ -657,6 +657,46 @@ object CurationQueries {
           (est >= col("cnt")).as("lower_ok"),
           ((est - col("cnt")) * width <= lit(3L) * col("n")).as("upper_ok"))
         .orderBy(col("cnt").desc, col("token"))
+    },
+
+    // Tokenizer-coverage / OOV-rate report: elect a capped top-256
+    // vocabulary (count DESC, token — a TakeOrderedAndProject, never a
+    // global sort), broadcast it onto the token stream, and report per
+    // source how much of the corpus it covers — the go/no-go metric for
+    // freezing a vocab (q116) or a BPE merge table (q132) before an
+    // expensive training run. Coverage is one correctly-rounded IEEE
+    // division of identical integers (the q122 dup_frac pattern). Scale
+    // shape: one token exchange for the census; the stream-side join is
+    // against a broadcast K-row set.
+    QueryDef("q138_vocab_coverage",
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |vocab AS (SELECT token FROM (
+        |  SELECT token, count(*) AS c FROM tok GROUP BY token
+        |  ORDER BY c DESC, token LIMIT 256)),
+        |j AS (SELECT source,
+        |        CASE WHEN token IN (SELECT token FROM vocab)
+        |             THEN 1 ELSE 0 END AS hit
+        |      FROM tok)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(hit) AS BIGINT) AS in_vocab,
+        |       CAST(count(*) - sum(hit) AS BIGINT) AS n_oov,
+        |       round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS coverage
+        |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("token"))
+        .persist() // feeds the census and the coverage join
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("token")).limit(256)
+        .select(col("token"), lit(1).as("hit"))
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(col("hit")).as("in_vocab"),
+          (count(lit(1)) - count(col("hit"))).as("n_oov"),
+          round(count(col("hit")).cast("double") / count(lit(1)), 6)
+            .as("coverage"))
+        .orderBy("source")
     }
   )
 }
