@@ -231,6 +231,41 @@ object ScaleQueries {
       val latest = Upsert.latestPerKey(ch, Seq("o_orderkey"), "v").drop("v")
       Upsert(base, latest, Seq("o_orderkey"))
         .orderBy("o_orderkey")
+    },
+
+    // Exact equi-depth (equal-frequency) histogram — q06/q90 bin by WIDTH;
+    // this bins by RANK: bucket = (global_rank · k) div N over the total
+    // order (value, unique key). The global rank comes from
+    // GlobalRank.zipWithRank (q116's two-stage range-partition + zip), so
+    // no unbounded-cardinality relation crosses a partition-less window —
+    // the scale trap of the textbook ntile() formulation. The oracle states
+    // plain row_number() (identical ranks — the order is total); bucket
+    // assignment is pure integer arithmetic; per-bucket min/max pass
+    // through untouched, so the boundary values hash-exactly. q96's
+    // percentile_approx remains the one-pass approximate path; this is the
+    // exact path when true quantile boundaries are required.
+    QueryDef("q139_equidepth_hist",
+      """WITH v AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |t AS (SELECT count(*) AS n FROM v),
+        |r AS (SELECT o_totalprice AS p,
+        |             row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
+        |               AS rk
+        |      FROM v)
+        |SELECT CAST((rk * 10) // n AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(p) AS lo, max(p) AS hi
+        |FROM r, t GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      import graft.operators.GlobalRank
+      val v = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      val ranked = GlobalRank.zipWithRank(v,
+        Seq(col("o_totalprice"), col("o_orderkey")), numPartitions = 8,
+        idName = "rk")
+      val n = ranked.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .select(expr("(rk * 10) div n").as("bucket"), col("o_totalprice").as("p"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), min("p").as("lo"), max("p").as("hi"))
+        .orderBy("bucket")
     }
   )
 }

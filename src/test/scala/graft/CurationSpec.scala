@@ -281,6 +281,24 @@ class CurationSpec extends AnyFunSuite {
     assert((tie(0).lhs, tie(0).rhs) == (("a", "b")))
   }
 
+  test("keep-one scrub dominates remove-all: every doc keeps at least as much") {
+    import graft.operators.DupSpans
+    val docs = DupSpans.syntheticLongDocs(spark)
+    Seq(20, 50).foreach { width =>
+      val all = DupSpans.scrub(docs, col("toks"), width)
+        .select(col("doc_id"), col("n_kept").as("kept_all"))
+      val one = DupSpans.scrubKeepOne(docs, col("toks"), width)
+        .select(col("doc_id"), col("n_kept").as("kept_one"))
+      val viol = all.join(one, "doc_id")
+        .where(col("kept_one") < col("kept_all")).count()
+      assert(viol == 0, s"width $width: keep-one cut more than remove-all")
+      // and strictly more in total — the representative's copy survives
+      val sumAll = all.agg(sum("kept_all")).head().getLong(0)
+      val sumOne = one.agg(sum("kept_one")).head().getLong(0)
+      assert(sumOne > sumAll, s"width $width: no representative survived")
+    }
+  }
+
   test("bpe encodeWords applies ranked merges in order") {
     import graft.operators.BpeLearn
     val words = Seq(("aab", 1L), ("ba", 1L), ("", 1L)).toDF("w", "freq")

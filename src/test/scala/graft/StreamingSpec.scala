@@ -138,6 +138,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink().count() == batch.size.toLong)
   }
 
+  test("count-min sketch: streaming complete-mode matrix == batch matrix") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.CountMin
+    val root = java.nio.file.Files.createTempDirectory("graft_cms_stream").toString
+    val items = Tables.documents(spark, TestSpark.sfDir)
+      .where(col("doc_id") < 100)
+      .select(explode(split(col("text"), " ", -1)).as("item"))
+    items.repartition(3).write.parquet(s"$root/landing")
+    // one file per trigger: the sketch must survive the state store's
+    // serialize/merge path across micro-batches and still equal the batch
+    // matrix exactly (commutative integer sum)
+    val stream = spark.readStream
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("item", org.apache.spark.sql.types.StringType))
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
+      .agg(CountMin.sketch(col("item"), 4, 64).as("sk"))
+    val streamed = EventStreams.runToMemory(stream, "cms_stream_parity")
+      .head().getSeq[Long](0)
+    val batch = items.agg(CountMin.sketch(col("item"), 4, 64).as("sk"))
+      .head().getSeq[Long](0)
+    assert(streamed == batch)
+  }
+
   test("session windows produce sane sessions under watermark") {
     val sessions = EventStreams.runToMemory(
       EventStreams.sessionAggregates(EventStreams.readStream(spark, TestSpark.sfDir)),
