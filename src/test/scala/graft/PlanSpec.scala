@@ -177,6 +177,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q138 vocab coverage: top-K election never globally sorts; set broadcasts") {
+    val p = plan(q("q138_vocab_coverage"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q134 count-min: map-side partial sketch before the merge") {
     val p = plan(q("q134_count_min"))
     assert(p.contains("partial_count_min"), p)
