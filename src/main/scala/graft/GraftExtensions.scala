@@ -96,5 +96,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         graft.functions.MisraGriesAgg(args.head, intArg(args(1), "k"))
           .toAggregateExpression()))
+
+    ext.injectFunction((
+      new FunctionIdentifier("count_min"),
+      new ExpressionInfo(classOf[graft.functions.CountMinAgg].getName, "count_min"),
+      (args: Seq[Expression]) =>
+        graft.functions.CountMinAgg(args.head,
+          intArg(args(1), "depth"), intArg(args(2), "width"))
+          .toAggregateExpression()))
   }
 }

@@ -94,6 +94,18 @@ class CurationSpec extends AnyFunSuite {
     assert(local.slice(0, width).sum == 6L)
   }
 
+  test("count_min is callable from SQL via the session extensions") {
+    import graft.functions.CountMin
+    zipfStream(512).toDF("item").createOrReplaceTempView("cms_stream")
+    val sk = spark.sql("SELECT count_min(item, 4, 64) AS sk FROM cms_stream")
+      .head().getSeq[Long](0).toIndexedSeq
+    // the SQL surface must produce the identical matrix as the Column API
+    val viaColumn = zipfStream(512).toDF("item")
+      .agg(CountMin.sketch(col("item"), 4, 64)).head().getSeq[Long](0)
+    assert(sk == viaColumn)
+    spark.catalog.dropTempView("cms_stream")
+  }
+
   test("misra_gries is callable from SQL via the session extensions") {
     zipfStream(512).toDF("item").createOrReplaceTempView("mg_stream")
     val cands = spark.sql("SELECT misra_gries(item, 3) AS c FROM mg_stream")
