@@ -103,6 +103,8 @@ object MediaCodecs {
     require(bytes.length >= 54, "BMP: truncated headers")
     require(bytes(0) == 'B' && bytes(1) == 'M', "BMP: missing BM magic")
     val dataOffset = bb.getInt(10)
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      s"BMP: pixel data offset $dataOffset outside the file")
     require(bb.getInt(14) >= 40, "BMP: pre-BITMAPINFOHEADER formats unsupported")
     val w = bb.getInt(18)
     val rawH = bb.getInt(22)
