@@ -171,4 +171,90 @@ object GraftProps extends Properties("graft") {
       val back = rotPerm(n, 4 - k)
       fwd.map(back).sameElements(Array.tabulate(n * n)(identity))
     }
+
+  // ---- media codec fuzz: decode must invert the container layout for ANY
+  // size, row order, and payload — not just the fixtures' arithmetic ----
+  import graft.operators.MediaCodecs
+
+  private val image = for {
+    w <- Gen.choose(1, 12)
+    h <- Gen.choose(1, 10)
+    px <- Gen.listOfN(w * h * 3, Gen.choose(0, 255))
+  } yield MediaCodecs.Image(w, h, px.map(_.toByte).toArray)
+
+  property("ppm roundtrip: decodePpm(encodePpm(img)) == img") =
+    forAll(image) { img =>
+      val out = MediaCodecs.decodePpm(MediaCodecs.encodePpm(img))
+      out.width == img.width && out.height == img.height &&
+        out.pixels.sameElements(img.pixels)
+    }
+
+  /** Build a 24-bit BMP container for row-major top-down RGB pixels —
+    * bottom-up or top-down on disk, BGR, rows padded with junk to 4 bytes.
+    */
+  private def buildBmp(img: MediaCodecs.Image, topDown: Boolean): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val rowSize = (img.width * 3 + 3) / 4 * 4
+    val bb = ByteBuffer.allocate(54 + rowSize * img.height)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(bb.capacity())
+      .putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(img.width)
+      .putInt(if (topDown) -img.height else img.height)
+      .putShort(1).putShort(24).putInt(0).putInt(rowSize * img.height)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val ys = if (topDown) 0 until img.height else (img.height - 1) to 0 by -1
+    ys.foreach { y =>
+      (0 until img.width).foreach { x =>
+        val base = (y * img.width + x) * 3
+        bb.put(img.pixels(base + 2)).put(img.pixels(base + 1)).put(img.pixels(base))
+      }
+      (img.width * 3 until rowSize).foreach(_ => bb.put(0x5A.toByte))
+    }
+    bb.array()
+  }
+
+  property("bmp decode inverts the container for any size and row order") =
+    forAll(image, Gen.oneOf(true, false)) { (img, topDown) =>
+      val out = MediaCodecs.decodeBmp(buildBmp(img, topDown))
+      out.width == img.width && out.height == img.height &&
+        out.pixels.sameElements(img.pixels)
+    }
+
+  private val clip = for {
+    rate <- Gen.choose(4000, 48000)
+    samples <- Gen.nonEmptyListOf(Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+    extraChunk <- Gen.oneOf(true, false)
+  } yield (rate, samples.map(_.toShort).toArray, extraChunk)
+
+  property("wav decode recovers any PCM16 payload, skipping foreign chunks") =
+    forAll(clip) { case (rate, samples, extraChunk) =>
+      import java.nio.{ByteBuffer, ByteOrder}
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+        val bb = ByteBuffer.allocate(8 + padded.length).order(ByteOrder.LITTLE_ENDIAN)
+        bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(padded)
+        bb.array()
+      }
+      val fmt = {
+        val bb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+          .putShort(2).putShort(16)
+        bb.array()
+      }
+      val data = {
+        val bb = ByteBuffer.allocate(samples.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+        samples.foreach(bb.putShort)
+        bb.array()
+      }
+      val body = "WAVE".getBytes("US-ASCII") ++ chunk("fmt ", fmt) ++
+        (if (extraChunk) chunk("LIST", "INFOjunk".getBytes("US-ASCII")) else Array.emptyByteArray) ++
+        chunk("data", data)
+      val riff = "RIFF".getBytes("US-ASCII") ++ {
+        val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(body.length); bb.array()
+      } ++ body
+      val out = MediaCodecs.decodeWav(riff)
+      out.sampleRate == rate && out.samples.sameElements(samples)
+    }
 }
