@@ -67,6 +67,30 @@ object TextHashExprs {
     override def prettyName: String = "shingle_hashes"
   }
 
+  /** array<string> tokens → array<long> of width-w FOLD shingle hashes:
+    * per window, acc = (acc·31 + tokenHash(t)) mod P over the w tokens —
+    * the [[graft.operators.DupSpans]] hash family (NOT the 3-gram quadratic
+    * form above: the fold reduces mod P between steps, so the families
+    * differ; each pairs with its own oracle twin). Same codegen rationale:
+    * the HOF formulation (`transform` + `aggregate(slice(...))` per window)
+    * degrades to interpreted eval at O(n·w) lambda dispatches per row —
+    * measured ~16 s for q128's island pass at sf0.1 vs ~2 s through this
+    * kernel.
+    */
+  case class FoldShinglesExpr(child: Expression, width: Int)
+      extends UnaryExpression {
+    require(width >= 1, s"width must be >= 1, got $width")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      foldShinglesData(v.asInstanceOf[ArrayData], width)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashExprs.foldShinglesData($c, $width);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "fold_shingles"
+  }
+
   /** array<string> tokens → array<long> of k minhash values:
     * mh_j = min over shingles of ((2j+1)·h + 12345j+678) mod P; P if empty.
     */
@@ -91,6 +115,24 @@ object TextHashExprs {
   /** Static-forwarder kernels (public so Janino-generated Java can call). */
   def shingleHashesData(tokens: ArrayData): ArrayData =
     new GenericArrayData(shingleHashes(tokens))
+
+  def foldShinglesData(tokens: ArrayData, width: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < width) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = tokenHash(tokens.getUTF8String(i)); i += 1 }
+    val out = new Array[Long](n - width + 1)
+    i = 0
+    while (i <= n - width) {
+      var acc = 0L
+      var j = 0
+      while (j < width) { acc = (acc * 31L + th(i + j)) % Prime; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 
   def minhashSignatureData(tokens: ArrayData, k: Int): ArrayData = {
     val sh = shingleHashes(tokens)

@@ -25,18 +25,19 @@ object DupSpans {
   import Hashes.Prime
 
   /** w-gram shingle hashes: fold h = (h·31 + tokenHash(t)) mod P over each
-    * width-long window. Docs shorter than `width` yield an empty array (the
-    * explicit guard matters: Spark's `sequence(0, -k)` DESCENDS where SQL
-    * `range` would be empty).
+    * width-long window; docs shorter than `width` yield an empty array.
+    * One codegen'd kernel pass per row
+    * ([[graft.functions.TextHashExprs.FoldShinglesExpr]]) — the equivalent
+    * HOF tree (`transform` + `aggregate(slice)` per window) degrades to
+    * interpreted eval at O(n·w) lambda dispatches and was measured 8×
+    * slower on q128's island pass at sf0.1. Values are bit-identical to the
+    * fold (and to [[shingleHashesSql]]'s replay).
     */
   def shingleHashes(tokens: Column, width: Int): Column = {
     require(width >= 1, s"width must be >= 1, got $width")
-    val th = transform(tokens, t => Hashes.tokenHash(t))
-    when(size(th) >= width,
-      transform(sequence(lit(0), size(th) - width), i =>
-        aggregate(slice(th, i + 1, lit(width)), lit(0L),
-          (acc, x) => (acc * 31L + x) % Prime)))
-      .otherwise(array().cast("array<bigint>"))
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.TextHashExprs.FoldShinglesExpr(
+      GraftColumnBridge.expression(tokens), width))
   }
 
   /** DuckDB twin of [[shingleHashes]] — same fold, same op order. */
