@@ -344,8 +344,13 @@ object SimilarityQueries {
       val landing = s"$root/landing"
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       emb.repartition(5).write.parquet(landing)
-      val cb = Pq.fit(Tables.embeddings(s, d), "vec_id", "embedding", Dim,
-        m = PqAnnSql.M, ksub = PqAnnSql.Ksub, iters = 1)
+      // codebooks train on a 2k-vector sample — the production posture
+      // (codebooks are statistics, not data); the parity contract is
+      // codebook-independent, so the sample only changes WHICH codes both
+      // paths agree on, never whether they agree
+      val cb = Pq.fit(Tables.embeddings(s, d).where(col("vec_id") < 2000),
+        "vec_id", "embedding", Dim, m = PqAnnSql.M, ksub = PqAnnSql.Ksub,
+        iters = 1)
       EmbeddingStreams.runEncode(s, landing, cb,
         s"$root/codes", s"$root/ckpt", maxFilesPerTrigger = Some(2))
       val streamCodes = s.read.parquet(s"$root/codes")
