@@ -293,6 +293,28 @@ class CurationSpec extends AnyFunSuite {
     assert((tie(0).lhs, tie(0).rhs) == (("a", "b")))
   }
 
+  test("gap-slice surgery equals the per-token predicate on random corpora") {
+    import graft.operators.DupSpans
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee") // tiny → many shared 3-grams
+    val docs = (0L until 40L).map { id =>
+      (id, Vector.fill(3 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = docs.toDF("doc_id", "toks")
+    val spans = DupSpans.islands(df, col("toks"), 3).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = DupSpans.scrub(df, col("toks"), 3).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    docs.foreach { case (id, ts) =>
+      val sp = spans.getOrElse(id, Array.empty[(Long, Long)])
+      val want = ts.zipWithIndex.collect {
+        case (t, p) if !sp.exists(s => p >= s._1 && p <= s._2) => t
+      }.mkString(" ")
+      assert(got(id) == want, s"doc $id: surgery diverged from the predicate")
+    }
+  }
+
   test("keep-one scrub dominates remove-all: every doc keeps at least as much") {
     import graft.operators.DupSpans
     val docs = DupSpans.syntheticLongDocs(spark)

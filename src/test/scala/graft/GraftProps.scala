@@ -172,6 +172,22 @@ object GraftProps extends Properties("graft") {
       fwd.map(back).sameElements(Array.tabulate(n * n)(identity))
     }
 
+  private val tokenList = Gen.listOf(token)
+
+  property("FoldShinglesExpr equals the per-window reference fold") =
+    forAll(tokenList, Gen.choose(1, 6)) { (ts, w) =>
+      val arr = new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any])
+      val got = graft.functions.TextHashExprs.foldShinglesData(arr, w)
+      val th = ts.map(t =>
+        graft.functions.TextHashExprs.tokenHash(UTF8String.fromString(t)))
+      val want =
+        if (ts.length < w) Seq.empty[Long]
+        else ts.indices.dropRight(w - 1).map(i =>
+          th.slice(i, i + w).foldLeft(0L)((acc, x) =>
+            (acc * 31L + x) % Hashes.Prime))
+      (0 until got.numElements()).map(got.getLong).toSeq == want
+    }
+
   // ---- media codec fuzz: decode must invert the container layout for ANY
   // size, row order, and payload — not just the fixtures' arithmetic ----
   import graft.operators.MediaCodecs
