@@ -697,6 +697,60 @@ object CurationQueries {
           round(count(col("hit")).cast("double") / count(lit(1)), 6)
             .as("coverage"))
         .orderBy("source")
+    },
+
+    // Quality-GATED continuous ingestion (DocStreams.curatedIngest): q119's
+    // arrival batch first passes the row-local ingest gate (≥ 3 tokens AND
+    // stopword ratio ≥ 5%, integer cross-multiplied) before either dedup
+    // layer — rejected docs never enter dedup state. The gate is
+    // deliberately row-local (corpus-relative LM gates belong in batch
+    // compaction, q110/q126); that is exactly what keeps the composition
+    // streamable in append mode with zero state beyond the dedup horizon.
+    // Pinned here in batch mode (the identical transform the stream runs);
+    // StreamingSpec proves micro-batched ≡ batch including the gate.
+    QueryDef("q140_curated_ingest",
+      """WITH newb AS (
+        |  SELECT doc_id, text || ' tail tail' AS text FROM documents WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id, upper(text) AS text FROM documents
+        |  WHERE doc_id >= 25 AND doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 50 AND doc_id < 60
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text || ' tail tail' AS text FROM documents
+        |  WHERE doc_id < 10),
+        |g AS (SELECT doc_id, text FROM (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM newb)
+        |  WHERE len(toks) >= 3
+        |    AND len(list_filter(toks,
+        |          x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 20 >= len(toks)),
+        |agg AS (SELECT sha256(text) AS h, min(doc_id) AS doc_id,
+        |               CAST(count(*) AS BIGINT) AS n_arrivals
+        |        FROM g GROUP BY 1)
+        |SELECT doc_id, h, n_arrivals FROM agg
+        |WHERE h NOT IN (SELECT DISTINCT sha256(text) FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.streaming.DocStreams
+      val base = Tables.documents(s, d)
+      val newb = base.where(col("doc_id") < 25)
+        .select(col("doc_id"), concat(col("text"), lit(" tail tail")).as("text"))
+        .unionAll(base.where(col("doc_id") >= 25 && col("doc_id") < 50)
+          .select(col("doc_id"), upper(col("text")).as("text")))
+        .unionAll(base.where(col("doc_id") >= 50 && col("doc_id") < 60)
+          .select(col("doc_id"), col("text")))
+        .unionAll(base.where(col("doc_id") < 10)
+          .select((col("doc_id") + 1000L).as("doc_id"),
+            concat(col("text"), lit(" tail tail")).as("text")))
+      val fresh = DocStreams.curatedIngest(
+        newb.withColumn("ingest_ts", timestamp_micros(col("doc_id") * 1000000L)),
+        base)
+      newb.where(DocStreams.ingestQualityGate(col("text")))
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .join(fresh.select("h"), Seq("h"), "left_semi")
+        .groupBy("h")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_arrivals"))
+        .select(col("doc_id"), col("h"), col("n_arrivals"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -78,6 +78,29 @@ object DocStreams {
       .select(col("doc_id"), col("ingest_ts"), col("text"), col("h"))
   }
 
+  /** Row-local ingest quality gate: ≥ `minTokens` tokens and a stopword
+    * ratio of at least `stopTwentieths`/20 (integer cross-multiply, no
+    * float compare) — q33's per-row signals as a streamable predicate.
+    * Deliberately row-local: corpus-RELATIVE gates (the LM band of
+    * q110/q126) need corpus statistics and belong in batch compaction; the
+    * ingest edge filters on per-row signals with zero extra state.
+    */
+  def ingestQualityGate(text: org.apache.spark.sql.Column, minTokens: Int = 3,
+                        stopTwentieths: Int = 1): org.apache.spark.sql.Column = {
+    val toks = split(text, " ", -1)
+    val nStop = size(filter(toks, x => x.isin("the", "a", "of", "and", "to")))
+    size(toks) >= minTokens && nStop * 20 >= size(toks) * stopTwentieths
+  }
+
+  /** Quality-gated continuous ingestion: [[ingestQualityGate]] ahead of
+    * [[dedupedIngest]] — the production ingest-edge composition (cheap
+    * row-local gate first, so rejected documents never enter dedup state).
+    * Mode-agnostic like everything here; fully streamable in append mode.
+    */
+  def curatedIngest(newDocs: DataFrame, corpus: DataFrame,
+                    horizon: String = "1 hour"): DataFrame =
+    dedupedIngest(newDocs.where(ingestQualityGate(col("text"))), corpus, horizon)
+
   /** Land → dedup → parquet append, exactly-once, drain-all-and-stop
     * (Trigger.AvailableNow — the same incremental-batch idiom as the
     * streaming NPZ converter).

@@ -112,6 +112,38 @@ class StreamingSpec extends AnyFunSuite {
       Set("alpha beta", "gamma delta", "epsilon zeta"))
   }
 
+  test("curated ingest: gate + dedup micro-batched == batch; low-quality dropped") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStreams
+    val sql = spark
+    import sql.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_curated").toString
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000)
+    // good docs carry stopwords; doc 3 has none (gate must drop it); doc 4
+    // re-arrives cross-batch (dedup must drop the second copy)
+    val b1 = Seq((1L, ts(0), "the quick fox of the field"),
+      (2L, ts(1), "a stitch of time and thread"),
+      (3L, ts(2), "xx yy zz ww vv uu"))
+    val b2 = Seq((4L, ts(3), "the quick fox of the field"),
+      (5L, ts(4), "to each of the many a share"))
+    b1.toDF("doc_id", "ingest_ts", "text").repartition(1)
+      .write.mode("append").parquet(dir)
+    b2.toDF("doc_id", "ingest_ts", "text").repartition(1)
+      .write.mode("append").parquet(dir)
+    val corpus = Seq((100L, "corpus body the a of")).toDF("doc_id", "text")
+    val stream = EventStreams.runToMemory(
+      DocStreams.curatedIngest(
+        DocStreams.readLanding(spark, dir, maxFilesPerTrigger = Some(1)), corpus),
+      "curated_parity", mode = "append")
+    val batch = DocStreams.curatedIngest(
+      (b1 ++ b2).toDF("doc_id", "ingest_ts", "text"), corpus)
+    assert(stream.select("h").collect().map(_.getString(0)).toSet ==
+      batch.select("h").collect().map(_.getString(0)).toSet)
+    val texts = stream.select("text").collect().map(_.getString(0)).toSet
+    assert(texts == Set("the quick fox of the field",
+      "a stitch of time and thread", "to each of the many a share"))
+  }
+
   test("streaming PQ encode: per-file micro-batches == batch; re-run is a no-op") {
     import org.apache.spark.sql.functions._
     import graft.operators.Pq
