@@ -91,6 +91,27 @@ object TextHashExprs {
     override def prettyName: String = "fold_shingles"
   }
 
+  /** array<string> tokens → array<string> of width-w windows, each window's
+    * tokens joined by the U+0001 separator — EXACT duplicate-window keys
+    * (no hash collisions), the census key of
+    * [[graft.operators.DupSpans.islandsExact]]. Same kernel rationale as
+    * [[FoldShinglesExpr]]: one tight loop per row instead of a per-window
+    * `concat_ws(slice(...))` HOF tree.
+    */
+  case class WindowJoinExpr(child: Expression, width: Int)
+      extends UnaryExpression {
+    require(width >= 1, s"width must be >= 1, got $width")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      windowJoinData(v.asInstanceOf[ArrayData], width)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashExprs.windowJoinData($c, $width);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "window_join"
+  }
+
   /** array<string> tokens → array<long> of k minhash values:
     * mh_j = min over shingles of ((2j+1)·h + 12345j+678) mod P; P if empty.
     */
@@ -129,6 +150,25 @@ object TextHashExprs {
       var j = 0
       while (j < width) { acc = (acc * 31L + th(i + j)) % Prime; j += 1 }
       out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def windowJoinData(tokens: ArrayData, width: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < width) return new GenericArrayData(Array.empty[Any])
+    val ts = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { ts(i) = tokens.getUTF8String(i); i += 1 }
+    val sep = UTF8String.fromString("\u0001")
+    val out = new Array[Any](n - width + 1)
+    i = 0
+    while (i <= n - width) {
+      var w = ts(i)
+      var j = 1
+      while (j < width) { w = UTF8String.concat(w, sep, ts(i + j)); j += 1 }
+      out(i) = w
       i += 1
     }
     new GenericArrayData(out)

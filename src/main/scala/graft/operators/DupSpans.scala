@@ -50,14 +50,31 @@ object DupSpans {
        |         (acc, x) -> (acc * 31 + x) % $Prime))
        |ELSE [] END""".stripMargin
 
-  /** Merged duplicated intervals per doc: (doc_id, island, start_pos,
-    * end_pos) with end = last covered token index. Islands are disjoint and
-    * non-touching by construction — a new island only opens when
-    * pos > running-max(previous end).
+  /** Width-w EXACT window keys: the literal w tokens joined by U+0001
+    * ([[graft.functions.TextHashExprs.WindowJoinExpr]], one kernel pass per
+    * row). No hash collisions — Lee et al.'s ExactSubstr guarantee — at the
+    * cost of shuffling ~w-token string keys instead of 8-byte hashes.
     */
-  def islands(docs: DataFrame, tokens: Column, width: Int): DataFrame = {
-    val s0 = docs.select(col("doc_id"),
-      posexplode(shingleHashes(tokens, width)).as(Seq("pos", "shingle")))
+  def windowKeys(tokens: Column, width: Int): Column = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.TextHashExprs.WindowJoinExpr(
+      GraftColumnBridge.expression(tokens), width))
+  }
+
+  /** DuckDB twin of [[windowKeys]]. */
+  def windowKeysSql(toks: String, width: Int): String =
+    s"""CASE WHEN len($toks) >= $width THEN
+       |  list_transform(range(0, len($toks) - ${width - 1}),
+       |    i -> array_to_string($toks[i + 1 : i + $width], chr(1)))
+       |ELSE [] END""".stripMargin
+
+  /** The census → hit → interval-union sweep shared by [[islands]] and
+    * [[islandsExact]]: `s0` is (doc_id, pos, shingle) with any shingle key
+    * type. The census groupBy runs on the (uniform) key; the per-doc window
+    * sweep sees HIT rows only — the token stream never enters a window.
+    */
+  private def sweep(s0: DataFrame, width: Int): DataFrame = {
     val dup = s0.groupBy("shingle").agg(countDistinct("doc_id").as("nd"))
       .where(col("nd") >= 2).select("shingle")
     val hit = s0.join(broadcast(dup), Seq("shingle"), "left_semi")
@@ -74,12 +91,41 @@ object DupSpans {
         (max("pos") + (width - 1)).cast("long").as("end_pos"))
   }
 
+  /** Merged duplicated intervals per doc: (doc_id, island, start_pos,
+    * end_pos) with end = last covered token index. Islands are disjoint and
+    * non-touching by construction — a new island only opens when
+    * pos > running-max(previous end).
+    */
+  def islands(docs: DataFrame, tokens: Column, width: Int): DataFrame =
+    sweep(docs.select(col("doc_id"),
+      posexplode(shingleHashes(tokens, width)).as(Seq("pos", "shingle"))), width)
+
+  /** [[islands]] with EXACT window keys ([[windowKeys]]): identical algebra,
+    * zero false positives. Use when the hash family's collision probability
+    * is unacceptable (legal/compliance scrubbing) and the wider shuffle is
+    * affordable; at web scale the standard trick is groupBy(hash(key), key)
+    * — same single exchange, collision-free verification for free.
+    */
+  def islandsExact(docs: DataFrame, tokens: Column, width: Int): DataFrame =
+    sweep(docs.select(col("doc_id"),
+      posexplode(windowKeys(tokens, width)).as(Seq("pos", "shingle"))), width)
+
+  /** [[coverage]] over [[islandsExact]] — the exact-substring dedup signal
+    * with no hash collisions.
+    */
+  def coverageExact(docs: DataFrame, tokens: Column, width: Int): DataFrame =
+    coverageFrom(islandsExact(docs, tokens, width), docs, tokens)
+
   /** Per-doc duplicated-token coverage: (doc_id, n_tokens, covered,
     * dup_frac) — the fraction of each doc's tokens inside a merged
     * duplicated span.
     */
-  def coverage(docs: DataFrame, tokens: Column, width: Int): DataFrame = {
-    val cov = islands(docs, tokens, width)
+  def coverage(docs: DataFrame, tokens: Column, width: Int): DataFrame =
+    coverageFrom(islands(docs, tokens, width), docs, tokens)
+
+  private def coverageFrom(isl: DataFrame, docs: DataFrame,
+                           tokens: Column): DataFrame = {
+    val cov = isl
       .groupBy("doc_id")
       .agg(sum(col("end_pos") - col("start_pos") + 1).as("covered"))
     docs.select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))

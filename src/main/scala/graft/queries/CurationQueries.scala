@@ -751,6 +751,50 @@ object CurationQueries {
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_arrivals"))
         .select(col("doc_id"), col("h"), col("n_arrivals"))
         .orderBy("doc_id")
+    },
+
+    // EXACT-substring duplicated-span coverage (DupSpans.coverageExact):
+    // q122's algebra with the census keyed on the LITERAL token windows
+    // (U+0001-joined, one codegen kernel pass) instead of their fold hashes
+    // — Lee et al.'s ExactSubstr guarantee: zero hash-collision false
+    // positives, for scrubbing where a collision is a correctness bug
+    // (legal/compliance removal), at the cost of shuffling w-token string
+    // keys. The oracle replays the identical exact keys, so a single
+    // separator slip or off-by-one window anywhere flips the hash. At web
+    // scale the exchange key would be (hash(window), window) — same single
+    // shuffle, collision-free verification included.
+    QueryDef("q141_exact_spans",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |d0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |              ${DupSpans.windowKeysSql("toks", 3)} AS sh FROM t),
+         |s0 AS (SELECT doc_id, i - 1 AS pos, sh[i] AS shingle FROM (
+         |  SELECT doc_id, sh, unnest(range(1, len(sh) + 1)) AS i FROM d0)),
+         |dup AS (SELECT shingle FROM (
+         |  SELECT shingle, count(DISTINCT doc_id) AS nd FROM s0 GROUP BY 1)
+         |  WHERE nd >= 2),
+         |hit AS (SELECT s0.doc_id, s0.pos FROM s0 JOIN dup USING (shingle)),
+         |m AS (SELECT doc_id, pos,
+         |        max(pos + 2) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |      FROM hit),
+         |i AS (SELECT doc_id, pos,
+         |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+         |            THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS UNBOUNDED PRECEDING) AS island
+         |      FROM m),
+         |isl AS (SELECT doc_id, island, max(pos) + 2 - min(pos) + 1 AS cov
+         |        FROM i GROUP BY doc_id, island),
+         |cv AS (SELECT doc_id, CAST(sum(cov) AS BIGINT) AS covered
+         |       FROM isl GROUP BY doc_id)
+         |SELECT d0.doc_id, d0.n_tokens, coalesce(cv.covered, 0) AS covered,
+         |       round(CAST(coalesce(cv.covered, 0) AS DOUBLE) / n_tokens, 6)
+         |         AS dup_frac
+         |FROM d0 LEFT JOIN cv USING (doc_id) ORDER BY d0.doc_id""".stripMargin) {
+      (s, d) =>
+      DupSpans.coverageExact(Tables.documents(s, d),
+        split(col("text"), " ", -1), width = 3)
+        .orderBy("doc_id")
     }
   )
 }

@@ -293,6 +293,31 @@ class CurationSpec extends AnyFunSuite {
     assert((tie(0).lhs, tie(0).rhs) == (("a", "b")))
   }
 
+  test("exact spans reject hash-colliding windows the fold family merges") {
+    import graft.operators.DupSpans
+    // tokenHash keys on (first char, last char, length): "cat" and "cut"
+    // collide, so the HASHED census sees a cross-doc duplicate window that
+    // does not exist; the EXACT census must not.
+    val docs = Seq((0L, Seq("x", "cat", "y")), (1L, Seq("x", "cut", "y")))
+      .toDF("doc_id", "toks")
+    val hashed = DupSpans.coverage(docs, col("toks"), 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("covered")).toMap
+    val exact = DupSpans.coverageExact(docs, col("toks"), 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("covered")).toMap
+    assert(hashed == Map(0L -> 3L, 1L -> 3L),
+      "fixture must actually exercise the collision")
+    assert(exact == Map(0L -> 0L, 1L -> 0L),
+      "exact keys must not merge distinct windows")
+    // and on genuinely identical windows both variants agree
+    val real = Seq((0L, Seq("a", "b", "c", "d")), (1L, Seq("a", "b", "c", "e")))
+      .toDF("doc_id", "toks")
+    val h2 = DupSpans.coverage(real, col("toks"), 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("covered")).toMap
+    val e2 = DupSpans.coverageExact(real, col("toks"), 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("covered")).toMap
+    assert(h2 == e2 && e2 == Map(0L -> 3L, 1L -> 3L))
+  }
+
   test("gap-slice surgery equals the per-token predicate on random corpora") {
     import graft.operators.DupSpans
     val rnd = new scala.util.Random(42)

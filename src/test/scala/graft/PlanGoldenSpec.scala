@@ -49,7 +49,7 @@ class PlanGoldenSpec extends AnyFunSuite {
     "q118_lsh_capped", "q119_ingest_dedup", "q121_bm25", "q122_dup_spans",
     "q126_relative_quality", "q128_span_scrub", "q129_pii_redact",
     "q133_scrub_keep_one", "q134_count_min", "q138_vocab_coverage",
-    "q139_equidepth_hist")
+    "q139_equidepth_hist", "q140_curated_ingest", "q141_exact_spans")
 
   pinned.foreach { name =>
     test(s"$name physical skeleton matches its golden") {
