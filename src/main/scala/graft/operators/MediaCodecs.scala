@@ -4,8 +4,9 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 /** Dependency-free binary media codecs — the real decode kernels behind the
   * multimodal operators (no codec libraries exist in this environment, so
-  * the containers are the simple, fully-specified ones: binary PPM for
-  * images, RIFF/WAVE PCM16 for audio).
+  * everything here is pure JVM: binary PPM, 24-bit BMP, and zlib-compressed
+  * truecolor PNG for images — the JDK's Inflater supplies the DEFLATE
+  * codec — and RIFF/WAVE PCM16 for audio).
   *
   * Reference analog: the tensor ingest path that turns raw detector files
   * into typed arrays (create_train_valid_test_datasets.py:116) — here the
@@ -133,6 +134,166 @@ object MediaCodecs {
       y += 1
     }
     Image(w, h, out)
+  }
+
+  /** Decode an 8-bit truecolor (color type 2, non-interlaced) PNG — the one
+    * real COMPRESSED container in the codec family: chunk walk with CRC32
+    * verification, multiple IDAT chunks concatenated before a single zlib
+    * inflate (`java.util.zip.Inflater` — the JDK ships the codec), then
+    * scanline defiltering for all five PNG filter types (None/Sub/Up/
+    * Average/Paeth, RFC 2083 §6). Ancillary chunks (tEXt etc.) are skipped;
+    * output is row-major top-down RGB like [[decodePpm]]'s.
+    */
+  def decodePng(bytes: Array[Byte]): Image = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    require(bytes.length >= 8 && java.util.Arrays.equals(
+      java.util.Arrays.copyOf(bytes, 8), sig), "PNG: missing signature")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    var pos = 8
+    var w = -1
+    var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    val crc = new java.util.zip.CRC32()
+    var ended = false
+    while (!ended && pos + 12 <= bytes.length) {
+      val len = bb.getInt(pos)
+      require(len >= 0 && pos + 12L + len <= bytes.length,
+        s"PNG: chunk at $pos overruns the file")
+      val tag = bb.getInt(pos + 4)
+      crc.reset()
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == bb.getInt(pos + 8 + len),
+        s"PNG: CRC mismatch in chunk at $pos")
+      tag match {
+        case 0x49484452 => // IHDR
+          require(len == 13, "PNG: IHDR must be 13 bytes")
+          w = bb.getInt(pos + 8)
+          h = bb.getInt(pos + 12)
+          require(w > 0 && h > 0, s"PNG: bad dimensions ${w}x$h")
+          require(bytes(pos + 16) == 8, "PNG: only bit depth 8 supported")
+          require(bytes(pos + 17) == 2, "PNG: only truecolor (type 2) supported")
+          require(bytes(pos + 18) == 0 && bytes(pos + 19) == 0,
+            "PNG: nonstandard compression/filter method")
+          require(bytes(pos + 20) == 0, "PNG: interlaced images unsupported")
+        case 0x49444154 => // IDAT — may be split; payload is ONE zlib stream
+          require(w > 0, "PNG: IDAT before IHDR")
+          idat.write(bytes, pos + 8, len)
+        case 0x49454e44 => ended = true // IEND
+        case _ => () // ancillary (tEXt, pHYs, ...) — skip
+      }
+      pos += 12 + len
+    }
+    require(ended, "PNG: no IEND chunk")
+    val stride = w * 3
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    while (off < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, off, raw.length - off)
+      require(n > 0 || !inf.needsInput, "PNG: truncated IDAT stream")
+      off += n
+    }
+    require(off == raw.length,
+      s"PNG: inflated ${off} bytes, expected ${raw.length}")
+    inf.end()
+    // defilter: each scanline leads with its filter type; predictors see the
+    // RECONSTRUCTED left/up/upper-left bytes (bpp = 3 for RGB8)
+    val out = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + stride)) & 0xff
+      require(ft <= 4, s"PNG: unknown filter type $ft on row $y")
+      val src = y * (1 + stride) + 1
+      val dst = y * stride
+      var x = 0
+      while (x < stride) {
+        val f = raw(src + x) & 0xff
+        val left = if (x >= 3) out(dst + x - 3) & 0xff else 0
+        val up = if (y > 0) out(dst - stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= 3) out(dst - stride + x - 3) & 0xff else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            f + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        out(dst + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, h, out)
+  }
+
+  /** Encode row-major top-down RGB pixels as an 8-bit truecolor PNG, with a
+    * caller-chosen filter type per row (deflate via the JDK's
+    * `java.util.zip.Deflater`). The fuzz property drives every filter type
+    * through [[decodePng]] with this.
+    */
+  def encodePng(img: Image, filterOf: Int => Int = _ % 5): Array[Byte] = {
+    val stride = img.width * 3
+    val raw = new Array[Byte](img.height * (1 + stride))
+    var y = 0
+    while (y < img.height) {
+      val ft = filterOf(y)
+      require(ft >= 0 && ft <= 4, s"bad filter type $ft")
+      raw(y * (1 + stride)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = img.pixels(y * stride + x) & 0xff
+        val left = if (x >= 3) img.pixels(y * stride + x - 3) & 0xff else 0
+        val up = if (y > 0) img.pixels((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= 3) img.pixels((y - 1) * stride + x - 3) & 0xff else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            cur - (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        raw(y * (1 + stride) + 1 + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val outStream = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      outStream.write(buf, 0, n)
+    }
+    deflater.end()
+    val idat = outStream.toByteArray
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val t = tag.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t)
+      crc.update(body)
+      val bb = ByteBuffer.allocate(12 + body.length).order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(body.length).put(t).put(body).putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(img.width).putInt(img.height)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++ chunk("IEND", Array.emptyByteArray)
   }
 
   /** Decode a RIFF/WAVE container holding mono 16-bit PCM: walk the chunk

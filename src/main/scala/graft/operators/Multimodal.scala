@@ -95,6 +95,35 @@ object Multimodal {
       Row(f.id, f.width, f.height, f.nPixels, f.sumR, f.sumG, f.sumB, f.wSum)
   }
 
+  /** PNG twin of [[BmpImageDecoder]]: the decode crosses a real DEFLATE
+    * stream and five per-row filter predictors, so the position-weighted
+    * checksum is doing real work — a single mis-predicted byte corrupts
+    * every later byte in its row (Sub) or column (Up/Paeth) and breaks wsum.
+    */
+  object PngImageDecoder extends MediaDecoder[PosImageFeatures] {
+    override def decodeBatch(batch: Array[(Long, Array[Byte])]): Array[PosImageFeatures] =
+      batch.map { case (id, bytes) =>
+        val img = MediaCodecs.decodePng(bytes)
+        var (sr, sg, sb, ws) = (0L, 0L, 0L, 0L)
+        var f = 0
+        while (f < img.pixels.length) {
+          val p = img.pixels(f) & 0xff
+          (f % 3: @annotation.switch) match {
+            case 0 => sr += p
+            case 1 => sg += p
+            case 2 => sb += p
+          }
+          ws += (f + 1).toLong * p
+          f += 1
+        }
+        PosImageFeatures(id, img.width, img.height,
+          img.width.toLong * img.height, sr, sg, sb, ws)
+      }
+    override val schema: StructType = BmpImageDecoder.schema
+    override def toRow(f: PosImageFeatures): Row =
+      Row(f.id, f.width, f.height, f.nPixels, f.sumR, f.sumG, f.sumB, f.wSum)
+  }
+
   /** Decoded-audio features: integer |sample| aggregates, same replay idea. */
   final case class AudioFeatures(id: Long, sampleRate: Int, nSamples: Long,
                                  sumAbs: Long, maxAbs: Long)

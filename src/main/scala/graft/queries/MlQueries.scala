@@ -90,6 +90,21 @@ object MlQueries {
         .orderBy("media_id")
     },
 
+    // Fourth real codec, and the first COMPRESSED one: truecolor PNG. The
+    // payload crosses a genuine zlib DEFLATE stream (JDK Inflater) and five
+    // per-row filter predictors (None/Sub/Up/Average/Paeth — fixture row y
+    // of file i uses filter (i+y) % 5, so every file exercises all five);
+    // i%3==0 files carry a tEXt chunk the parser must skip, odd i splits
+    // IDAT in two chunks the parser must concatenate before inflating. The
+    // oracle replays pixels from arithmetic; wsum = Σ (f+1)·p catches any
+    // mis-predicted filter byte, which corrupts the rest of its row/column.
+    QueryDef("q142_png_decode", MediaSql.pngSql) { (s, _) =>
+      Multimodal.decodeFeatures(
+        Multimodal.readMedia(s, MediaSql.fixtureDir, "*.png"),
+        Multimodal.PngImageDecoder)
+        .orderBy("media_id")
+    },
+
     // SURVEY §2 rows 4-5: partitioned parquet sink + re-scan, and the
     // fitted-statistics relation persisted and reloaded (stats are *data* —
     // SURVEY §7.4.4). The oracle computes the same result without the
@@ -286,6 +301,26 @@ private[queries] object MediaSql {
        |              FROM (SELECT unnest(range(0, 12)) AS i)),
        |px AS (SELECT i, w, h, unnest(range(0, w * h * 3)) AS f FROM dims),
        |v AS (SELECT i, w, h, f, f % 3 AS ch, (f * $K + 211 * i) % 256 AS p
+       |      FROM px)
+       |SELECT i AS media_id, CAST(max(w) AS INTEGER) AS width,
+       |       CAST(max(h) AS INTEGER) AS height,
+       |       CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+       |       CAST(sum(CASE WHEN ch = 0 THEN p END) AS BIGINT) AS sum_r,
+       |       CAST(sum(CASE WHEN ch = 1 THEN p END) AS BIGINT) AS sum_g,
+       |       CAST(sum(CASE WHEN ch = 2 THEN p END) AS BIGINT) AS sum_b,
+       |       CAST(sum((f + 1) * p) AS BIGINT) AS wsum
+       |FROM v GROUP BY i ORDER BY media_id""".stripMargin
+
+  /** PNG fixtures: w = 5+(i%3)·4, h = 6+(i%2)·4, pixel (f·K + 229·i) mod 256
+    * in image order — the compression/filtering is invisible to the replay,
+    * which is the point: the contract proves Spark's inflate+defilter
+    * reconstructs exactly the arithmetic the file was built from.
+    */
+  val pngSql: String =
+    s"""WITH dims AS (SELECT i, 5 + (i % 3) * 4 AS w, 6 + (i % 2) * 4 AS h
+       |              FROM (SELECT unnest(range(0, 12)) AS i)),
+       |px AS (SELECT i, w, h, unnest(range(0, w * h * 3)) AS f FROM dims),
+       |v AS (SELECT i, w, h, f, f % 3 AS ch, (f * $K + 229 * i) % 256 AS p
        |      FROM px)
        |SELECT i AS media_id, CAST(max(w) AS INTEGER) AS width,
        |       CAST(max(h) AS INTEGER) AS height,

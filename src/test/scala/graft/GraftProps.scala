@@ -237,6 +237,21 @@ object GraftProps extends Properties("graft") {
         out.pixels.sameElements(img.pixels)
     }
 
+  property("png roundtrip survives any pixels and any per-row filter choice") =
+    forAll(image, Gen.listOfN(16, Gen.choose(0, 4))) { (img, filters) =>
+      val bytes = MediaCodecs.encodePng(img, y => filters(y % filters.length))
+      val out = MediaCodecs.decodePng(bytes)
+      out.width == img.width && out.height == img.height &&
+        out.pixels.sameElements(img.pixels)
+    }
+
+  property("png decode rejects a corrupted chunk CRC") =
+    forAll(image) { img =>
+      val bytes = MediaCodecs.encodePng(img)
+      bytes(16) = (bytes(16) ^ 0x01).toByte // flip a bit inside IHDR's body
+      scala.util.Try(MediaCodecs.decodePng(bytes)).isFailure
+    }
+
   private val clip = for {
     rate <- Gen.choose(4000, 48000)
     samples <- Gen.nonEmptyListOf(Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))

@@ -285,6 +285,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("png codec: fixtures decode through inflate + all five filters") {
+    // every checked-in fixture replays from (f·K + 229·i) mod 256; row y of
+    // file i was stored with filter (i+y)%5, odd i has split IDAT, i%3==0 a
+    // tEXt chunk — one loop proves chunk walk, inflate, and every predictor
+    val dir = Seq("fixtures/media", "/root/repo/fixtures/media")
+      .map(new java.io.File(_)).find(_.isDirectory).get
+    val K = graft.functions.Hashes.Mult
+    (0 until 12).foreach { i =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, f"png_$i%02d.png").toPath)
+      val img = MediaCodecs.decodePng(bytes)
+      val (w, h) = (5 + (i % 3) * 4, 6 + (i % 2) * 4)
+      assert(img.width == w && img.height == h, s"file $i")
+      val want = (0 until w * h * 3).map(f => (((f * K + 229L * i) % 256) & 0xff).toByte)
+      assert(img.pixels.toSeq == want, s"file $i pixels")
+    }
+    // a truncated stream must fail loudly, not return short pixels
+    val whole = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "png_00.png").toPath)
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodePng(whole.dropRight(20))
+    }
+  }
+
   test("wav codec: chunk walking skips LIST, samples exact") {
     import java.nio.{ByteBuffer, ByteOrder}
     val samples = Array[Short](100, -200, 300, -400)

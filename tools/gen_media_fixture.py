@@ -87,3 +87,68 @@ for i in range(12):
         fh.write(filehdr + info + payload)
 
 print("wrote", len(os.listdir(out)), "files to", out)
+
+# images png_<i>.png (i in 0..11): 8-bit truecolor (type 2) PNG, zlib-deflated
+#     width  w(i) = 5 + (i % 3) * 4      (5, 9, 13)
+#     height h(i) = 6 + (i % 2) * 4      (6, 10)
+#     pixel value in IMAGE order (row-major top-down, RGB, f = (y*w+x)*3+ch):
+#         p(i, f) = (f * 2654435761 + 229 * i) % 256
+#     row y is stored with PNG filter type (i + y) % 5 — every file exercises
+#     all five filters (None/Sub/Up/Average/Paeth); i % 3 == 0 carries a tEXt
+#     ancillary chunk the parser must skip; odd i splits IDAT into two chunks
+#     the parser must concatenate before inflating.
+import zlib
+
+def _png_chunk(tag, body):
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+for i in range(12):
+    w = 5 + (i % 3) * 4
+    h = 6 + (i % 2) * 4
+    raw = [bytes(((((y * w + x) * 3 + ch) * K + 229 * i) % 256
+                  for x in range(w) for ch in range(3)))
+           for y in range(h)]
+    stream = bytearray()
+    prior = bytes(w * 3)
+    for y, row in enumerate(raw):
+        ft = (i + y) % 5
+        stream.append(ft)
+        for x in range(w * 3):
+            left = row[x - 3] if x >= 3 else 0
+            up = prior[x]
+            ul = prior[x - 3] if x >= 3 else 0
+            if ft == 0:
+                v = row[x]
+            elif ft == 1:
+                v = row[x] - left
+            elif ft == 2:
+                v = row[x] - up
+            elif ft == 3:
+                v = row[x] - (left + up) // 2
+            else:
+                v = row[x] - _paeth(left, up, ul)
+            stream.append(v & 0xFF)
+        prior = row
+    idat = zlib.compress(bytes(stream), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if i % 3 == 0:
+        png += _png_chunk(b"tEXt", b"Comment\x00fixture %d" % i)
+    if i % 2 == 1 and len(idat) > 2:
+        cut = len(idat) // 2
+        png += _png_chunk(b"IDAT", idat[:cut]) + _png_chunk(b"IDAT", idat[cut:])
+    else:
+        png += _png_chunk(b"IDAT", idat)
+    png += _png_chunk(b"IEND", b"")
+    with open(os.path.join(out, "png_%02d.png" % i), "wb") as fh:
+        fh.write(png)
+
+print("wrote", len(os.listdir(out)), "files to", out)
