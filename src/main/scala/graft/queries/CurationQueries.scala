@@ -753,6 +753,84 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // DSIR importance resampling (Xie et al. 2023, operators/Dsir): tilt
+    // the raw corpus toward a target domain (src0 here) by hashed-unigram
+    // bag-of-features log-likelihood ratio, keep the top-k. Both feature
+    // models collapse to 64 bucket rows → the log-ratio table broadcasts;
+    // per-occurrence ratios are integer 1e-6 units so the per-doc sum is
+    // exact; selection is TakeOrderedAndProject. The oracle replays the
+    // bucket hash (tokenHashSql twin), both smoothed models, and the same
+    // quantized ratio — a one-token drift anywhere flips the hash.
+    QueryDef("q144_dsir_select",
+      s"""WITH tok AS (
+         |  SELECT doc_id, source = 'src0' AS is_target,
+         |         ${Hashes.tokenHashSql("token")} % 64 AS b
+         |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+         |        FROM documents)),
+         |rc AS (SELECT b, count(*) AS rc FROM tok GROUP BY b),
+         |tc AS (SELECT b, count(*) AS tc FROM tok WHERE is_target GROUP BY b),
+         |nr AS (SELECT count(*) AS nr FROM tok),
+         |nt AS (SELECT count(*) AS nt FROM tok WHERE is_target),
+         |ratio AS (
+         |  SELECT rc.b,
+         |         CAST(round((ln(CAST(coalesce(tc.tc, 0) + 1 AS DOUBLE)
+         |                       / CAST(nt.nt + 64 AS DOUBLE))
+         |                   - ln(CAST(rc.rc + 1 AS DOUBLE)
+         |                       / CAST(nr.nr + 64 AS DOUBLE))) * 1000000, 0)
+         |           AS BIGINT) AS lr_e6
+         |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN nr CROSS JOIN nt),
+         |scored AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |         CAST(sum(lr_e6) AS BIGINT) AS w_e6
+         |  FROM tok JOIN ratio USING (b) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, w_e6
+         |FROM scored ORDER BY w_e6 DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+      graft.operators.Dsir.select(
+        Tables.documents(s, d), col("source") === "src0", buckets = 64, k = 50)
+    },
+
+    // DSIR's actual sampler (Dsir.gumbelSample): Gumbel-top-k over the
+    // q144 log-weights — sampling k docs without replacement with
+    // P ∝ exp(w) ≡ top-k of w + Gumbel(0,1) (Vieira 2014). The Gumbel draw
+    // is the salted-hash u ∈ (0,1) strictly, −ln(−ln u) replayed by the
+    // oracle; keys quantize to 1e-9 with doc_id tiebreak; selection stays
+    // TakeOrderedAndProject — noise is a projection, never a shuffle.
+    QueryDef("q145_dsir_sample",
+      s"""WITH tok AS (
+         |  SELECT doc_id, source = 'src0' AS is_target,
+         |         ${Hashes.tokenHashSql("token")} % 64 AS b
+         |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+         |        FROM documents)),
+         |rc AS (SELECT b, count(*) AS rc FROM tok GROUP BY b),
+         |tc AS (SELECT b, count(*) AS tc FROM tok WHERE is_target GROUP BY b),
+         |nr AS (SELECT count(*) AS nr FROM tok),
+         |nt AS (SELECT count(*) AS nt FROM tok WHERE is_target),
+         |ratio AS (
+         |  SELECT rc.b,
+         |         CAST(round((ln(CAST(coalesce(tc.tc, 0) + 1 AS DOUBLE)
+         |                       / CAST(nt.nt + 64 AS DOUBLE))
+         |                   - ln(CAST(rc.rc + 1 AS DOUBLE)
+         |                       / CAST(nr.nr + 64 AS DOUBLE))) * 1000000, 0)
+         |           AS BIGINT) AS lr_e6
+         |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN nr CROSS JOIN nt),
+         |scored AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |         CAST(sum(lr_e6) AS BIGINT) AS w_e6
+         |  FROM tok JOIN ratio USING (b) GROUP BY doc_id),
+         |g AS (
+         |  SELECT doc_id, n_tokens, w_e6,
+         |         CAST(round((CAST(w_e6 AS DOUBLE) / 1000000
+         |             - ln(-ln((${Hashes.mulHashSql("doc_id", 91)} + 1)
+         |                      / CAST(${Hashes.Prime + 2} AS DOUBLE)))) * 1000000000, 0)
+         |           AS BIGINT) AS gkey_e9
+         |  FROM scored)
+         |SELECT doc_id, n_tokens, w_e6, gkey_e9
+         |FROM g ORDER BY gkey_e9 DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      graft.operators.Dsir.gumbelSample(
+        Tables.documents(s, d), col("source") === "src0",
+        buckets = 64, k = 25, seed = 91)
+    },
+
     // EXACT-substring duplicated-span coverage (DupSpans.coverageExact):
     // q122's algebra with the census keyed on the LITERAL token windows
     // (U+0001-joined, one codegen kernel pass) instead of their fold hashes

@@ -140,6 +140,30 @@ object SourceQueries {
         .orderBy("theta_bin", "loge_bin")
     },
 
+    // XML sink → schema'd XML scan → aggregate: Spark 4's built-in XML data
+    // source (SPARK-44265 folded spark-xml into sql/core), same lossless-hop
+    // contract as q66/q67 — integer/string projection before the text hop,
+    // oracle aggregates the original parquet. Explicit schema + rowTag; an
+    // inferSchema XML read would double-scan the input at 100 TB.
+    QueryDef("q143_xml_roundtrip",
+      """SELECT c_mktsegment, count(*) AS n,
+        |       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS bal_cents
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val dir = tmp("xml", d)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"))
+        .write.mode("overwrite").option("rowTag", "row").format("xml").save(dir)
+      val schema = new StructType()
+        .add("c_custkey", LongType).add("c_mktsegment", StringType)
+        .add("bal_cents", LongType)
+      s.read.schema(schema).option("rowTag", "row").format("xml").load(dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("bal_cents").as("bal_cents"))
+        .orderBy("c_mktsegment")
+    },
+
     // JSON-lines sink → schema'd scan → aggregate, same contract.
     QueryDef("q67_jsonl_roundtrip",
       """SELECT o_orderpriority, count(*) AS n,

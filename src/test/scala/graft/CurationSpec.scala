@@ -19,6 +19,37 @@ class CurationSpec extends AnyFunSuite {
   private def zipfStream(n: Int): Seq[String] =
     (0 until n).map(j => s"item${java.lang.Long.numberOfTrailingZeros(j + 1)}")
 
+  test("DSIR weights rank target-like docs above off-domain docs") {
+    import org.apache.spark.sql.functions.col
+    // target corpus speaks "alpha/gamma"; raw background speaks "beta/delta".
+    // A raw doc written in the target's vocabulary must out-weigh one that
+    // isn't, and weights must be exactly reproducible run to run.
+    val docs = Seq(
+      (1L, "alpha gamma alpha gamma", "tgt"),
+      (2L, "alpha gamma gamma alpha", "tgt"),
+      (3L, "alpha gamma alpha alpha", "raw"), // target-like
+      (4L, "beta delta beta delta", "raw"),   // off-domain
+      (5L, "beta beta delta beta", "raw")
+    ).toDF("doc_id", "text", "source")
+    val w = graft.operators.Dsir
+      .importanceWeights(docs, col("source") === "tgt", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w(3) > w(4), s"target-like doc must out-weigh off-domain: $w")
+    assert(w(3) > w(5), w.toString)
+    val again = graft.operators.Dsir
+      .importanceWeights(docs, col("source") === "tgt", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w == again, "weights must be deterministic")
+    // Gumbel-top-k: k rows, deterministic under the same seed
+    val s1 = graft.operators.Dsir
+      .gumbelSample(docs, col("source") === "tgt", 64, k = 3, seed = 7)
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = graft.operators.Dsir
+      .gumbelSample(docs, col("source") === "tgt", 64, k = 3, seed = 7)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2 && s1.length == 3, s"$s1 vs $s2")
+  }
+
   test("Misra-Gries guarantee: every item with count > N/(k+1) survives") {
     val data = zipfStream(4096)
     val exact = data.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }

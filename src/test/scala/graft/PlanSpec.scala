@@ -165,6 +165,14 @@ class PlanSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
   }
 
+  test("q144 DSIR: broadcast ratio join, top-k never a global sort") {
+    val p = plan(q("q144_dsir_select"))
+    // the 64-row log-ratio table must broadcast onto the token stream
+    assert(p.contains("BroadcastHashJoin"), p)
+    // selection is top-k, not Sort+Limit over the whole corpus
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q112 weighted sample: zero-shuffle TakeOrderedAndProject, no global sort") {
     val p = plan(q("q112_weighted_sample"))
     assert(p.contains("TakeOrderedAndProject"), p)
