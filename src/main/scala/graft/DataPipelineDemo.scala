@@ -25,6 +25,9 @@ import graft.operators.{Components, DupSpans, Metrics, MinHash, SemDedup}
   *                     capped within-cell dominance at cos ≥ tau (q120)
   *   6. decontamination — drop training docs whose 3-gram shingle sets
   *                     overlap the held-out eval slice ≥ 50% (q101)
+  *   6b. domain tilt — DSIR importance selection toward the target domain
+  *                     (q144): broadcast 64-row feature-ratio models,
+  *                     TakeOrderedAndProject cap
   *   7. packing      — per-source 512-token greedy sequence buckets (q102)
   *   8. mixture      — √-size temperature quotas per source, deterministic
   *                     hash-ranked fill (q105)
@@ -179,6 +182,19 @@ object DataPipelineDemo {
       .select(train.columns.map(col): _*)
   }
 
+  /** 6b. Domain tilt — DSIR importance selection (q144's operator): keep
+    * the `k` docs whose hashed-unigram features look most like the target
+    * domain (src0 stands in for the curated corpus). Both feature models
+    * are 64 broadcast rows; selection is TakeOrderedAndProject — the stage
+    * costs one token-explode scan whatever the corpus size. Sized so it
+    * only bites once the corpus outgrows the fixture (a cap, not a quota).
+    */
+  def domainTilt(docs: DataFrame, k: Int = 150): DataFrame =
+    docs.join(
+      graft.operators.Dsir.select(docs, col("source") === "src0", 64, k)
+        .select("doc_id"),
+      "doc_id")
+
   /** 7. Packing — q102's greedy in-order token packing into `PackBudget`
     * buckets, windowed PER SOURCE (one exchange on source, never a
     * partition-less window).
@@ -224,11 +240,23 @@ object DataPipelineDemo {
     val scrub = spanScrub(exact).persist()
     val near = lshDedup(scrub)
     val sem = semanticDedup(near, emb).persist()
-    val decon = decontaminate(sem)
-    val packed = pack(decon).persist()
+    // localCheckpoint, not persist: the tilt stage reads decon six ways
+    // (Dsir's token stream feeds both feature models, both totals, and the
+    // scoring join, plus the outer keep-join), and persist() only swaps a
+    // cached scan into the PHYSICAL plan — the logical/explain tree still
+    // embeds the whole upstream funnel once per reference, and AQE
+    // re-renders that string on every stage update. At six references the
+    // funnel's plan text goes combinatorial and the DRIVER becomes the
+    // bottleneck (measured: ~30 min of pure explainString CPU at sf0.001).
+    // Cutting lineage at the fan-out boundary is the same discipline the
+    // iterative operators already apply per round (Components, KMeans); at
+    // 100 TB this boundary is where a real pipeline writes a table anyway.
+    val decon = decontaminate(sem).localCheckpoint()
+    val tilt = domainTilt(decon)
+    val packed = pack(tilt).persist()
     val mixed = mixture(packed)
     Map("quality" -> quality, "exact" -> exact, "scrub" -> scrub,
-      "near" -> near, "sem" -> sem, "decon" -> decon,
+      "near" -> near, "sem" -> sem, "decon" -> decon, "tilt" -> tilt,
       "packed" -> packed, "mixed" -> mixed)
   }
 
@@ -250,6 +278,7 @@ object DataPipelineDemo {
     val nNear = st("near").count()
     val nSem = st("sem").count()
     val nDecon = st("decon").count()
+    val nTilt = st("tilt").count()
     val packed = st("packed")
     val nBuckets = packed.select("source", "bucket").distinct().count()
     val mixed = st("mixed").persist()
@@ -263,9 +292,10 @@ object DataPipelineDemo {
 
     println(s"DATA_PIPELINE raw=${raw.count()} clean_observed=$cleanRows " +
       s"quality=$nQuality exact=$nExact scrub=$nScrub near=$nNear sem=$nSem " +
-      s"decontaminated=$nDecon pack_buckets=$nBuckets mixture=[$perSource]")
+      s"decontaminated=$nDecon tilt=$nTilt pack_buckets=$nBuckets " +
+      s"mixture=[$perSource]")
     require(nQuality >= nExact && nExact >= nScrub && nScrub >= nNear &&
-      nSem >= nDecon,
+      nSem >= nDecon && nDecon >= nTilt,
       "pipeline funnel must be monotone non-increasing across dedup stages")
     require(nDecon > 0, "pipeline produced no surviving documents")
     spark.stop()

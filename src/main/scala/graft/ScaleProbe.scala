@@ -108,6 +108,19 @@ object ScaleProbe {
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n"), count(col("bl")).as("nb"))
       },
+      // DSIR scoring (q144/q145 family): token explode → two 64-row hashed
+      // feature distributions (constant size ⇒ broadcast ratio join) →
+      // exact integer per-doc aggregate → top-k; wall clock must track the
+      // token scan, never the corpus×bucket product
+      "dsir_score" -> { m =>
+        val docs = {
+          val base = Tables.documents(spark, sfDir)
+          (0 until m).map(k => base.withColumn("doc_id",
+            col("doc_id") + lit(k.toLong * 1_000_000L))).reduce(_ unionAll _)
+        }
+        graft.operators.Dsir.select(
+          docs, col("source") === "src0", buckets = 64, k = 50)
+      },
       // PQ ADC scan (q125/q127 family): codegen'd encode (zero shuffle) →
       // posexplode ×m → broadcast LUT join → per-(query, vector) integer
       // aggregate — the compressed-corpus ANN path; should track the scan

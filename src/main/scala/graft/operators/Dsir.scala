@@ -45,6 +45,11 @@ object Dsir {
       // tokenHash is already in [0, Prime) so a plain % stays non-negative —
       // and DuckDB has no pmod, so the oracle can state the same expression
       .withColumn("b", Hashes.tokenHash(col("token")) % buckets.toLong)
+      // drop the token STRING before caching — the hash bucket carries all
+      // downstream information, and caching corpus text ×occurrences is
+      // exactly the kind of hidden O(corpus) memory a 100 TB run dies on
+      // (ScaleProbe caught this as a 1.37 scaling exponent before the fix)
+      .select(col("doc_id"), col("is_target"), col("b"))
       .persist() // three consumers: raw counts, target counts, scoring join
     val rawCnt = tok.groupBy("b").agg(count(lit(1)).as("rc"))
     val tgtCnt = tok.where(col("is_target")).groupBy("b").agg(count(lit(1)).as("tc"))

@@ -53,6 +53,7 @@ class DemoPlanSpec extends AnyFunSuite {
     "demo_span_scrub" -> (() => DataPipelineDemo.spanScrub(exact)),
     "demo_lsh_pairs" -> (() => DataPipelineDemo.lshPairs(exact)),
     "demo_decontaminate" -> (() => DataPipelineDemo.decontaminate(exact)),
+    "demo_domain_tilt" -> (() => DataPipelineDemo.domainTilt(exact)),
     "demo_pack" -> (() => DataPipelineDemo.pack(exact)),
     "demo_mixture" -> (() => DataPipelineDemo.mixture(exact)))
 

@@ -24,13 +24,15 @@ class DemoSpec extends AnyFunSuite {
     val nNear = st("near").count()
     val nSem = st("sem").count()
     val nDecon = st("decon").count()
+    val nTilt = st("tilt").count()
     val nMixed = st("mixed").count()
     assert(nQuality >= nExact, "exact dedup cannot add rows")
     assert(nExact >= nScrub, "span scrub cannot add rows")
     assert(nScrub >= nNear, "near dedup cannot add rows")
     assert(nNear >= nSem, "semantic dedup cannot add rows")
     assert(nSem >= nDecon, "decontamination cannot add rows")
-    assert(nDecon >= nMixed, "mixture selection cannot add rows")
+    assert(nDecon >= nTilt, "domain tilt cannot add rows")
+    assert(nTilt >= nMixed, "mixture selection cannot add rows")
     assert(nMixed > 0, "pipeline must keep at least one document")
     spark.catalog.clearCache()
   }
