@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{CountMin, Hashes, MisraGries}
-import graft.operators.{DupSpans, MinHash, Redact, SimHash, ZOrder}
+import graft.operators.{DupSpans, MinHash, Redact, SimHash, UrlCanon, ZOrder}
 
 /** Round-3 corpus-curation operators: heavy-hitter sketching, RAG chunking,
   * boilerplate passage removal, perplexity-band quality gating, exact
@@ -873,6 +873,57 @@ object CurationQueries {
       DupSpans.coverageExact(Tables.documents(s, d),
         split(col("text"), " ", -1), width = 3)
         .orderBy("doc_id")
+    },
+
+    // URL canonicalization + URL-level dedup (operators/UrlCanon): the
+    // cheapest dedup layer a web pipeline runs FIRST — two crawls of one
+    // page differ in tracking params / fragment / default port / www /
+    // trailing slash before their text does. The fixture derives messy
+    // URL variants from doc_id (case noise, WWW., :80/:443 sometimes
+    // default sometimes not, trailing slash, utm_*/ref params, fragment);
+    // canonicalization must collapse exactly the identity-irrelevant
+    // noise: ~doc_id mod 60 canonical classes survive. The oracle replays
+    // the same regex steps (Java∩RE2 subset) and hashes the canonical
+    // STRING itself, so a single mis-ordered step or over-eager strip
+    // flips the hash. Scale: row-local rewriting + one uniform-key groupBy.
+    QueryDef("q146_url_dedup",
+      s"""WITH raw AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'http'
+         |       WHEN doc_id % 3 = 1 THEN 'HTTP' ELSE 'https' END
+         |  || '://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+         |  || 'Site' || CAST(doc_id % 3 AS VARCHAR) || '.Example.COM'
+         |  || CASE WHEN doc_id % 5 = 0 THEN ':80'
+         |          WHEN doc_id % 5 = 1 THEN ':443' ELSE '' END
+         |  || '/Docs/p' || CAST(doc_id % 4 AS VARCHAR)
+         |  || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+         |  || '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+         |  || CASE WHEN doc_id % 4 = 0 THEN '&ref=rss' ELSE '' END
+         |  || '&utm_campaign=Spring'
+         |  || CASE WHEN doc_id % 3 = 0 THEN '#sec-2' ELSE '' END AS url
+         |  FROM documents),
+         |${UrlCanon.canonicalSqlCtes("raw", "doc_id", "url")}
+         |SELECT canonical_url, min(doc_id) AS keeper_doc,
+         |       CAST(count(*) AS BIGINT) AS n_variants
+         |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 3 === 0, lit("http")).when(id % 3 === 1, lit("HTTP"))
+          .otherwise(lit("https")),
+        lit("://"),
+        when(id % 2 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Site"), (id % 3).cast("string"), lit(".Example.COM"),
+        when(id % 5 === 0, lit(":80")).when(id % 5 === 1, lit(":443"))
+          .otherwise(lit("")),
+        lit("/Docs/p"), (id % 4).cast("string"),
+        when(id % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&id="), (id % 5).cast("string"),
+        when(id % 4 === 0, lit("&ref=rss")).otherwise(lit("")),
+        lit("&utm_campaign=Spring"),
+        when(id % 3 === 0, lit("#sec-2")).otherwise(lit("")))
+      UrlCanon.dedup(
+          Tables.documents(s, d).select(col("doc_id"), url.as("url")),
+          "doc_id", "url")
+        .orderBy("canonical_url")
     }
   )
 }

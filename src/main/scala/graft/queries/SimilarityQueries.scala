@@ -361,6 +361,49 @@ object SimilarityQueries {
           count(col("code")).as("n_stream_rows"),
           min(when(col("code") === col("bcode"), true).otherwise(false))
             .as("all_codes_match"))
+    },
+
+    // Int8 scalar quantization (operators/ScalarQuant): per-dimension
+    // absmax scales fitted by the no-explode ChannelStats aggregate
+    // (O(dim) shuffle), broadcast back, codes = round(x·127/s) — the 4×
+    // ANN memory cut below PQ's 32×. Codes are integers from identical
+    // IEEE expressions (no grid needed: absmax is an exact order-free
+    // max); the reconstruction contract |x·127/s − q| ≤ 0.5 is counted
+    // per vector and BOTH engines must count zero violations (n_bad).
+    QueryDef("q147_int8_quant",
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+         |  FROM embeddings),
+         |a AS (SELECT i AS d, max(abs(x[i + 1])) AS s
+         |      FROM e, (SELECT unnest(range(0, $Dim)) AS i) GROUP BY i),
+         |sc AS (SELECT list(s ORDER BY d) AS scales FROM a),
+         |q AS (SELECT vec_id, x, scales,
+         |        list_transform(range(1, ${Dim + 1}),
+         |          i -> CASE WHEN scales[i] = 0 THEN CAST(0 AS BIGINT)
+         |               ELSE CAST(round(x[i] * 127 / scales[i], 0) AS BIGINT)
+         |               END) AS codes
+         |      FROM e CROSS JOIN sc)
+         |SELECT vec_id, codes[1] AS c0,
+         |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS codes_sum,
+         |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat,
+         |  CAST(len(list_filter(range(1, ${Dim + 1}),
+         |    i -> abs((CASE WHEN scales[i] = 0 THEN CAST(0 AS DOUBLE)
+         |              ELSE x[i] * 127 / scales[i] END) - codes[i]) > 0.5))
+         |    AS BIGINT) AS n_bad
+         |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
+      graft.operators.ScalarQuant
+        .encode(Tables.embeddings(s, d), "vec_id", "embedding", Dim)
+        .select(col("vec_id"),
+          element_at(col("codes"), 1).as("c0"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c).as("codes_sum"),
+          size(filter(col("codes"), c => abs(c) === 127)).cast("long")
+            .as("n_sat"),
+          size(filter(zip_with(
+              zip_with(col("x"), col("scales"), (xv, sv) =>
+                when(sv === 0.0, lit(0.0)).otherwise(xv * 127.0 / sv)),
+              col("codes"), (v, c) => abs(v - c.cast("double"))),
+            e => e > 0.5)).cast("long").as("n_bad"))
+        .orderBy("vec_id")
     }
   )
 }

@@ -50,6 +50,30 @@ class CurationSpec extends AnyFunSuite {
     assert(s1 == s2 && s1.length == 3, s"$s1 vs $s2")
   }
 
+  test("URL canonicalization: strips identity-irrelevant noise, keeps the rest") {
+    val cases = Seq(
+      // tracking params dropped, survivors sorted, fragment gone, host
+      // lowercased + www-stripped, default port gone, trailing slash gone
+      ("HTTP://WWW.Example.COM:80/Docs/A/?b=2&utm_source=x&a=1&ref=r#frag",
+        "http://example.com/Docs/A?a=1&b=2"),
+      // :443 is default only for https — kept on http
+      ("http://example.com:443/p", "http://example.com:443/p"),
+      ("https://example.com:443/p", "https://example.com/p"),
+      // non-default port kept; path case preserved; bare root collapses
+      ("https://Example.com:8443/", "https://example.com:8443"),
+      // all params tracking → '?' dropped entirely
+      ("http://a.io/x?utm_a=1&utm_b=2", "http://a.io/x"))
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.operators.UrlCanon.canonical(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), s"got $got")
+    // canonicalization is idempotent: canonical(canonical(u)) == canonical(u)
+    val twice = cases.map(_._2).toDF("url")
+      .select(graft.operators.UrlCanon.canonical(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == cases.map(_._2), s"not idempotent: $twice")
+  }
+
   test("Misra-Gries guarantee: every item with count > N/(k+1) survives") {
     val data = zipfStream(4096)
     val exact = data.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }

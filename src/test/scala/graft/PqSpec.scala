@@ -112,4 +112,22 @@ class PqSpec extends AnyFunSuite {
     assert(withSelf == 0L, "self has ADC distance 0 and must rank first")
     assert(without != 0L)
   }
+
+  test("int8 scalar quantization: exact codes, half-up ties, zero dims") {
+    import spark.implicits._
+    // absmax per dim = [1.0, 2.0, 0.0]; codes = round(x·127/s), s=0 → 0.
+    // 0.5·127/2.0 = 31.75 → 32; 1.0·127/2.0 = 63.5 lands EXACTLY on a .5
+    // tie → away-from-zero 64 (the rule both engines share).
+    val df = Seq(
+      (1L, Seq(1.0, -2.0, 0.0)),
+      (2L, Seq(0.5, 1.0, 0.0)),
+      (3L, Seq(-0.25, 0.5, 0.0))).toDF("vec_id", "embedding")
+    val got = graft.operators.ScalarQuant
+      .encode(df, "vec_id", "embedding", dim = 3)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](3)).toMap
+    assert(got(1L) == Seq(127L, -127L, 0L), got.toString)
+    assert(got(2L) == Seq(64L, 64L, 0L), got.toString)
+    assert(got(3L) == Seq(-32L, 32L, 0L), got.toString)
+  }
 }
