@@ -121,6 +121,24 @@ object ScaleProbe {
         graft.operators.Dsir.select(
           docs, col("source") === "src0", buckets = 64, k = 50)
       },
+      // Aho–Corasick blocklist scan (q149 family): the automaton ships
+      // plan-embedded, every document is scanned ONCE for all K patterns —
+      // wall clock must track the text scan, independent of K and with no
+      // join or shuffle until the K-row aggregate
+      "ac_scan" -> { m =>
+        val docs = {
+          val base = Tables.documents(spark, sfDir)
+          (0 until m).map(k => base.withColumn("doc_id",
+            col("doc_id") + lit(k.toLong * 1_000_000L))).reduce(_ unionAll _)
+        }
+        val ps = Seq("batch stream", "hash join", "merge part", "slow query",
+          "spark", "stream spark", "table scan", "vector")
+        docs.select(posexplode(
+            graft.functions.MultiMatch.multi_count(col("text"), ps))
+            .as(Seq("idx", "n")))
+          .groupBy("idx")
+          .agg(count(when(col("n") > 0, 1)).as("n_docs"), sum("n").as("n_hits"))
+      },
       // PQ ADC scan (q125/q127 family): codegen'd encode (zero shuffle) →
       // posexplode ×m → broadcast LUT join → per-(query, vector) integer
       // aggregate — the compressed-corpus ANN path; should track the scan

@@ -296,6 +296,286 @@ object MediaCodecs {
       chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++ chunk("IEND", Array.emptyByteArray)
   }
 
+  /** Decode a GIF (87a/89a) holding a single palette-indexed frame — the
+    * second COMPRESSED codec, and a different compression family than PNG's
+    * DEFLATE: variable-width LZW with clear/EOI codes and lockstep
+    * dictionary growth. The full container grammar is walked: logical
+    * screen descriptor, global color table, extension blocks (skipped),
+    * image descriptor with optional LOCAL color table (which takes
+    * precedence over the global one), interlaced row order (the 4-pass
+    * 8/8/4/2 scheme) and sub-block-framed LZW data. Output is row-major
+    * top-down RGB like [[decodePpm]]'s — palette applied.
+    */
+  def decodeGif(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 13, "GIF: truncated header")
+    val magic = new String(bytes, 0, 6, "US-ASCII")
+    require(magic == "GIF87a" || magic == "GIF89a", s"GIF: bad magic '$magic'")
+    def u16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    var pos = 6
+    pos += 4 // logical screen width/height — the frame descriptor is authoritative
+    val lsdPacked = bytes(pos) & 0xff
+    pos += 3 // packed, background color index, pixel aspect ratio
+    var palette: Array[Byte] = null
+    if ((lsdPacked & 0x80) != 0) {
+      val n = 2 << (lsdPacked & 0x07)
+      require(pos + 3 * n <= bytes.length, "GIF: truncated global color table")
+      palette = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * n)
+      pos += 3 * n
+    }
+    // block walk: extensions until the first image descriptor
+    while (pos < bytes.length && (bytes(pos) & 0xff) == 0x21) {
+      pos += 2 // introducer + label
+      while ((bytes(pos) & 0xff) != 0) pos += 1 + (bytes(pos) & 0xff)
+      pos += 1 // block terminator
+    }
+    require(pos < bytes.length && (bytes(pos) & 0xff) == 0x2c,
+      s"GIF: expected image descriptor at byte $pos")
+    val w = u16(pos + 5)
+    val h = u16(pos + 7)
+    require(w > 0 && h > 0, s"GIF: bad dimensions ${w}x$h")
+    val idPacked = bytes(pos + 9) & 0xff
+    val interlaced = (idPacked & 0x40) != 0
+    pos += 10
+    if ((idPacked & 0x80) != 0) { // local color table wins over global
+      val n = 2 << (idPacked & 0x07)
+      require(pos + 3 * n <= bytes.length, "GIF: truncated local color table")
+      palette = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * n)
+      pos += 3 * n
+    }
+    require(palette != null, "GIF: no color table (global or local)")
+    val minCodeSize = bytes(pos) & 0xff
+    require(minCodeSize >= 1 && minCodeSize <= 8, s"GIF: bad LZW root size $minCodeSize")
+    pos += 1
+    // concatenate the sub-block-framed LZW stream
+    val lzw = new java.io.ByteArrayOutputStream()
+    var bs = bytes(pos) & 0xff
+    while (bs != 0) {
+      require(pos + 1 + bs <= bytes.length, s"GIF: sub-block at $pos overruns the file")
+      lzw.write(bytes, pos + 1, bs)
+      pos += 1 + bs
+      require(pos < bytes.length, "GIF: missing sub-block terminator")
+      bs = bytes(pos) & 0xff
+    }
+    val indices = lzwDecode(lzw.toByteArray, minCodeSize, w * h)
+    // apply palette, undoing interlace: sequential decoded rows land on
+    // pass-1 rows 0,8,16…, then 4,12…, then 2,6,10…, then 1,3,5…
+    val rowOrder = new Array[Int](h)
+    if (interlaced) {
+      var r = 0
+      for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); y <- start until h by step) {
+        rowOrder(r) = y; r += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) { rowOrder(y) = y; y += 1 }
+    }
+    val out = new Array[Byte](w * h * 3)
+    val maxIdx = palette.length / 3
+    var r = 0
+    while (r < h) {
+      val y = rowOrder(r)
+      var x = 0
+      while (x < w) {
+        val idx = indices(r * w + x) & 0xff
+        require(idx < maxIdx, s"GIF: pixel index $idx outside the $maxIdx-color table")
+        val dst = (y * w + x) * 3
+        out(dst) = palette(idx * 3)
+        out(dst + 1) = palette(idx * 3 + 1)
+        out(dst + 2) = palette(idx * 3 + 2)
+        x += 1
+      }
+      r += 1
+    }
+    Image(w, h, out)
+  }
+
+  /** GIF LZW decode (LSB-first variable-width codes): clear resets the
+    * dictionary, widths grow in lockstep with the encoder (the width for the
+    * NEXT code grows when the entry count reaches 2^codeSize, capped at 12
+    * bits), and the `code == next-free` KwKwK case reconstructs prev+prev[0].
+    */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int, nPixels: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](nPixels)
+    var outPos = 0
+    var codeSize = minCodeSize + 1
+    var free = eoi + 1
+    var prev = -1
+    var acc = 0L
+    var accBits = 0
+    var bytePos = 0
+    val stack = new Array[Byte](4098) // longest chain (≤4096) + KwKwK byte + root
+    def expand(code: Int, extra: Int): Unit = { // write dict[code] (+KwKwK byte)
+      var sp = 0
+      if (extra >= 0) { stack(sp) = extra.toByte; sp += 1 }
+      var c = code
+      while (c >= clear) { stack(sp) = suffix(c); sp += 1; c = prefix(c) } // > eoi entries chain down
+      stack(sp) = c.toByte
+      sp += 1
+      while (sp > 0) {
+        sp -= 1
+        require(outPos < nPixels, "GIF: LZW stream yields more pixels than the frame holds")
+        out(outPos) = stack(sp); outPos += 1
+      }
+    }
+    def firstByte(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    var done = false
+    while (!done && outPos < nPixels) {
+      while (accBits < codeSize) {
+        require(bytePos < data.length, "GIF: truncated LZW stream")
+        acc |= (data(bytePos) & 0xffL) << accBits
+        accBits += 8
+        bytePos += 1
+      }
+      val code = (acc & ((1L << codeSize) - 1)).toInt
+      acc >>>= codeSize
+      accBits -= codeSize
+      if (code == clear) {
+        codeSize = minCodeSize + 1
+        free = eoi + 1
+        prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else {
+        require(code <= free, s"GIF: code $code beyond dictionary size $free")
+        if (prev == -1) {
+          require(code < clear, s"GIF: first code after clear must be a root, got $code")
+          expand(code, -1)
+        } else {
+          if (code == free) { // KwKwK: prev + first byte of prev
+            require(free < 4096, "GIF: KwKwK code with a full dictionary")
+            expand(prev, firstByte(prev))
+          } else expand(code, -1)
+          if (free < 4096) {
+            prefix(free) = prev
+            suffix(free) = firstByte(if (code == free) prev else code).toByte
+            free += 1
+          }
+        }
+        prev = code
+        if (codeSize < 12 && free >= (1 << codeSize)) codeSize += 1
+      }
+    }
+    require(outPos == nPixels, s"GIF: decoded $outPos pixels, expected $nPixels")
+    out
+  }
+
+  /** Encode a palette-indexed frame as a single-image GIF89a (real LZW
+    * compression — the fuzz property drives [[decodeGif]] with this).
+    * `palette` is 3·2ⁿ RGB bytes (n = 1..8); `indices` row-major top-down.
+    * `localTable` moves the palette into the image descriptor's local color
+    * table (with a deliberately wrong global table, so precedence is
+    * testable); `interlaced` stores rows in 4-pass order.
+    */
+  def encodeGif(width: Int, height: Int, palette: Array[Byte], indices: Array[Byte],
+                interlaced: Boolean = false, localTable: Boolean = false): Array[Byte] = {
+    require(palette.length % 3 == 0, "palette must be RGB triples")
+    val nColors = palette.length / 3
+    require(nColors >= 2 && nColors <= 256 && Integer.bitCount(nColors) == 1,
+      s"palette size must be a power of two in [2,256], got $nColors")
+    require(indices.length == width * height, "indices must cover the frame")
+    val bits = 31 - Integer.numberOfLeadingZeros(nColors) // log2
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(width); u16(height)
+    out.write(0x80 | ((bits - 1) & 0x07)) // global table present, 2^bits entries
+    out.write(0); out.write(0)
+    if (localTable) out.write(new Array[Byte](palette.length)) // wrong on purpose
+    else out.write(palette)
+    out.write(0x2c) // image descriptor
+    u16(0); u16(0); u16(width); u16(height)
+    out.write((if (localTable) 0x80 else 0) | (if (interlaced) 0x40 else 0) |
+      (if (localTable) (bits - 1) & 0x07 else 0))
+    if (localTable) out.write(palette)
+    // row order on disk: interlace passes or sequential
+    val rows =
+      if (interlaced) Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s, st) => s until height by st }
+      else 0 until height
+    val stream = new Array[Byte](indices.length)
+    var p = 0
+    rows.foreach { y =>
+      System.arraycopy(indices, y * width, stream, p, width)
+      p += width
+    }
+    val minCodeSize = math.max(2, bits) // spec: root size >= 2
+    out.write(minCodeSize)
+    val lzw = lzwEncode(stream, minCodeSize)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n)
+      out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0)    // sub-block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF LZW encode, the exact mirror of [[lzwDecode]]'s width schedule:
+    * emit clear first, grow the write width when the entry count reaches
+    * 2^codeSize (checked after each emit, BEFORE that emit's dictionary
+    * add — the decoder's add runs one code behind), reset via clear when
+    * the dictionary fills at 4096.
+    */
+  private def lzwEncode(data: Array[Byte], minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var accBits = 0
+    var codeSize = minCodeSize + 1
+    var free = eoi + 1
+    val dict = new java.util.HashMap[Long, Integer]()
+    def put(code: Int): Unit = {
+      acc |= code.toLong << accBits
+      accBits += codeSize
+      while (accBits >= 8) {
+        out.write((acc & 0xff).toInt)
+        acc >>>= 8
+        accBits -= 8
+      }
+      if (codeSize < 12 && free >= (1 << codeSize)) codeSize += 1
+    }
+    put(clear)
+    if (data.nonEmpty) {
+      var cur = data(0) & 0xff
+      var i = 1
+      while (i < data.length) {
+        val b = data(i) & 0xff
+        val key = (cur.toLong << 8) | b
+        val hit = dict.get(key)
+        if (hit != null) cur = hit.intValue()
+        else {
+          put(cur)
+          if (free < 4096) {
+            dict.put(key, free)
+            free += 1
+          } else { // dictionary full: reset both sides
+            put(clear)
+            dict.clear()
+            codeSize = minCodeSize + 1
+            free = eoi + 1
+          }
+          cur = b
+        }
+        i += 1
+      }
+      put(cur)
+    }
+    put(eoi)
+    if (accBits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
   /** Decode a RIFF/WAVE container holding mono 16-bit PCM: walk the chunk
     * list (ids are 4 ASCII bytes, sizes little-endian, chunks padded to even
     * offsets), require a PCM fmt chunk, return the data chunk's samples.

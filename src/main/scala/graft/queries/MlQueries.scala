@@ -105,6 +105,20 @@ object MlQueries {
         .orderBy("media_id")
     },
 
+    // Fifth real codec, second COMPRESSED one, and a different compression
+    // family than PNG's DEFLATE: GIF89a with variable-width LZW, a 256-color
+    // palette indirection, 4-pass interlaced row order (odd fixtures),
+    // local-color-table precedence (i%4==2 zeroes the global table — a
+    // decoder that reads the wrong table emits all-black pixels and fails
+    // wsum), and extension blocks to skip. The oracle replays the decoded
+    // RGB from palette[index(q)] arithmetic.
+    QueryDef("q148_gif_decode", MediaSql.gifSql) { (s, _) =>
+      Multimodal.decodeFeatures(
+        Multimodal.readMedia(s, MediaSql.fixtureDir, "*.gif"),
+        Multimodal.GifImageDecoder)
+        .orderBy("media_id")
+    },
+
     // SURVEY §2 rows 4-5: partitioned parquet sink + re-scan, and the
     // fitted-statistics relation persisted and reloaded (stats are *data* —
     // SURVEY §7.4.4). The oracle computes the same result without the
@@ -321,6 +335,30 @@ private[queries] object MediaSql {
        |              FROM (SELECT unnest(range(0, 12)) AS i)),
        |px AS (SELECT i, w, h, unnest(range(0, w * h * 3)) AS f FROM dims),
        |v AS (SELECT i, w, h, f, f % 3 AS ch, (f * $K + 229 * i) % 256 AS p
+       |      FROM px)
+       |SELECT i AS media_id, CAST(max(w) AS INTEGER) AS width,
+       |       CAST(max(h) AS INTEGER) AS height,
+       |       CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+       |       CAST(sum(CASE WHEN ch = 0 THEN p END) AS BIGINT) AS sum_r,
+       |       CAST(sum(CASE WHEN ch = 1 THEN p END) AS BIGINT) AS sum_g,
+       |       CAST(sum(CASE WHEN ch = 2 THEN p END) AS BIGINT) AS sum_b,
+       |       CAST(sum((f + 1) * p) AS BIGINT) AS wsum
+       |FROM v GROUP BY i ORDER BY media_id""".stripMargin
+
+  /** GIF fixtures: w = 6+(i%3)·4, h = 6+(i%2)·4; pixel index at q = y·w+x is
+    * (q·K + 241·i) mod 256, palette byte (k·3+c) is ((k·3+c)·K + 83·i) mod
+    * 256 — so decoded RGB at flat f is a two-level arithmetic replay. LZW,
+    * interlacing and table precedence are invisible to the replay, which is
+    * the point: equality proves the full decompress + de-interlace +
+    * palette-resolve path.
+    */
+  val gifSql: String =
+    s"""WITH dims AS (SELECT i, 6 + (i % 3) * 4 AS w, 6 + (i % 2) * 4 AS h
+       |              FROM (SELECT unnest(range(0, 12)) AS i)),
+       |px AS (SELECT i, w, h, unnest(range(0, w * h * 3)) AS f FROM dims),
+       |v AS (SELECT i, w, h, f, f % 3 AS ch,
+       |             (((((f // 3) * $K + 241 * i) % 256) * 3 + (f % 3))
+       |                * $K + 83 * i) % 256 AS p
        |      FROM px)
        |SELECT i AS media_id, CAST(max(w) AS INTEGER) AS width,
        |       CAST(max(h) AS INTEGER) AS height,

@@ -529,8 +529,53 @@ object TextQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_sym"))
         .orderBy("doc_id")
+    },
+
+    // Blocklist / keyword tagging: one Aho–Corasick pass per document counts
+    // ALL patterns at once (functions/MultiMatch — the automaton ships
+    // plan-embedded, no join, no shuffle until the K-row aggregate), vs the
+    // oracle's K-scan cross join. The pattern list mixes single words,
+    // phrases, and a nested pair ("spark" inside "stream spark") so the
+    // dictionary-suffix chain is exercised; every pattern is borderless
+    // (asserted), so overlapping (automaton) and non-overlapping (replace
+    // trick) counts coincide and the hashes must match.
+    QueryDef("q149_blocklist_tag", BlocklistSql.sql) { (s, d) =>
+      import graft.functions.MultiMatch
+      val ps = BlocklistSql.patterns
+      require(ps.forall(!MultiMatch.hasBorder(_)),
+        "q149 contract requires borderless patterns")
+      Tables.documents(s, d)
+        .select(posexplode(MultiMatch.multi_count(col("text"), ps))
+          .as(Seq("idx", "n")))
+        .select(element_at(typedLit(ps), col("idx") + 1).as("keyword"), col("n"))
+        .groupBy("keyword")
+        .agg(count(when(col("n") > 0, 1)).as("n_docs"), sum("n").as("n_hits"))
+        .orderBy("keyword")
     }
   )
+}
+
+/** Oracle for q149: the relational K-scan formulation — corpus × patterns
+  * cross join, occurrences via the replace trick
+  * `(len(text) − len(replace(text, kw, ''))) / len(kw)` (non-overlapping;
+  * equal to the automaton's count because the patterns are borderless).
+  */
+private object BlocklistSql {
+  val patterns: Seq[String] = Seq("batch stream", "hash join", "merge part",
+    "slow query", "spark", "stream spark", "table scan", "vector")
+
+  val sql: String = {
+    val lits = patterns.map(p => s"'$p'").mkString(", ")
+    s"""WITH kw AS (SELECT unnest([$lits]) AS kw),
+       |hits AS (SELECT d.doc_id, k.kw,
+       |                (length(d.text) - length(replace(d.text, k.kw, '')))
+       |                  // length(k.kw) AS n
+       |         FROM documents d CROSS JOIN kw k)
+       |SELECT kw AS keyword,
+       |       CAST(count(CASE WHEN n > 0 THEN 1 END) AS BIGINT) AS n_docs,
+       |       CAST(sum(n) AS BIGINT) AS n_hits
+       |FROM hits GROUP BY kw ORDER BY keyword""".stripMargin
+  }
 }
 
 /** Unrolled-CTE DuckDB oracle for the 3-round BPE fit: per round, pair

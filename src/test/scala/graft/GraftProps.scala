@@ -252,6 +252,57 @@ object GraftProps extends Properties("graft") {
       scala.util.Try(MediaCodecs.decodePng(bytes)).isFailure
     }
 
+  // ---- Aho–Corasick: one-pass counts must equal the naive every-offset
+  // scan for ANY text and pattern set — a dense 2-letter alphabet maximizes
+  // self-overlaps, borders, and nested patterns (the fail/dict-link paths)
+  private val acCase = for {
+    text <- Gen.listOfN(60, Gen.oneOf('a', 'b')).map(_.mkString)
+    n <- Gen.choose(1, 6)
+    pats <- Gen.listOfN(n,
+      Gen.choose(1, 4).flatMap(l => Gen.listOfN(l, Gen.oneOf('a', 'b')).map(_.mkString)))
+  } yield (text, pats.distinct)
+
+  property("aho-corasick counts every overlapping occurrence of every pattern") =
+    forAll(acCase) { case (text, pats) =>
+      val ac = new graft.functions.MultiMatch.Automaton(pats.toArray)
+      val got = ac.countsData(UTF8String.fromString(text))
+      pats.indices.forall { i =>
+        val p = pats(i)
+        val naive = (0 to text.length - p.length)
+          .count(o => text.regionMatches(o, p, 0, p.length))
+        got.getLong(i) == naive
+      }
+    }
+
+  private val palettedImage = for {
+    w <- Gen.choose(1, 14)
+    h <- Gen.choose(1, 12)
+    bits <- Gen.choose(1, 8)
+    palette <- Gen.listOfN((1 << bits) * 3, Gen.choose(0, 255))
+    indices <- Gen.listOfN(w * h, Gen.choose(0, (1 << bits) - 1))
+  } yield (w, h, palette.map(_.toByte).toArray, indices.map(_.toByte).toArray)
+
+  property("gif roundtrip: LZW + palette + interlace + table precedence invert") =
+    forAll(palettedImage, Gen.oneOf(true, false), Gen.oneOf(true, false)) {
+      case ((w, h, palette, indices), interlaced, localTable) =>
+        val bytes = MediaCodecs.encodeGif(w, h, palette, indices, interlaced, localTable)
+        val out = MediaCodecs.decodeGif(bytes)
+        val want = indices.flatMap { idx =>
+          val k = idx & 0xff
+          Array(palette(k * 3), palette(k * 3 + 1), palette(k * 3 + 2))
+        }
+        out.width == w && out.height == h && out.pixels.sameElements(want)
+    }
+
+  property("gif decode rejects a truncated LZW stream") =
+    forAll(palettedImage) { case (w, h, palette, indices) =>
+      val bytes = MediaCodecs.encodeGif(w, h, palette, indices)
+      // chop the trailer and the last data sub-block: the pixel count check
+      // (or the sub-block walk) must fail, never return a short image
+      val cut = bytes.length - math.min(bytes.length - 13, 6)
+      scala.util.Try(MediaCodecs.decodeGif(java.util.Arrays.copyOf(bytes, cut))).isFailure
+    }
+
   private val clip = for {
     rate <- Gen.choose(4000, 48000)
     samples <- Gen.nonEmptyListOf(Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))

@@ -88,6 +88,95 @@ for i in range(12):
 
 print("wrote", len(os.listdir(out)), "files to", out)
 
+# images gif_<i>.gif (i in 0..11): GIF89a, 256-color palette, real LZW
+#     width  w(i) = 6 + (i % 3) * 4      (6, 10, 14)
+#     height h(i) = 6 + (i % 2) * 4      (6, 10)
+#     palette byte (k*3 + c):  ((k*3 + c) * K + 83 * i) % 256
+#     pixel index at q = y*w + x (top-down): idx(q) = (q * K + 241 * i) % 256
+#     → decoded RGB at flat f = q*3 + c: ((idx(f//3)*3 + c) * K + 83*i) % 256
+#     odd i is INTERLACED (4-pass row order on disk); i % 4 == 2 carries the
+#     real palette in a LOCAL color table with a zeroed global one (the
+#     decoder must prefer local); i % 3 == 0 leads with a Graphic Control
+#     Extension block the parser must skip.
+
+
+def _lzw_encode(data, min_code_size):
+    """GIF LZW, width schedule in lockstep with MediaCodecs.lzwDecode: the
+    width for the NEXT code grows when the entry count reaches 2^code_size,
+    checked after each emit BEFORE that emit's dictionary add."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    state = {"acc": 0, "bits": 0, "size": min_code_size + 1, "free": eoi + 1}
+
+    def put(code):
+        state["acc"] |= code << state["bits"]
+        state["bits"] += state["size"]
+        while state["bits"] >= 8:
+            out.append(state["acc"] & 0xFF)
+            state["acc"] >>= 8
+            state["bits"] -= 8
+        if state["size"] < 12 and state["free"] >= (1 << state["size"]):
+            state["size"] += 1
+
+    put(clear)
+    table = {}
+    cur = data[0]
+    for b in data[1:]:
+        if (cur, b) in table:
+            cur = table[(cur, b)]
+        else:
+            put(cur)
+            if state["free"] < 4096:
+                table[(cur, b)] = state["free"]
+                state["free"] += 1
+            else:
+                put(clear)
+                table.clear()
+                state["size"] = min_code_size + 1
+                state["free"] = eoi + 1
+            cur = b
+    put(cur)
+    put(eoi)
+    if state["bits"]:
+        out.append(state["acc"] & 0xFF)
+    return bytes(out)
+
+
+for i in range(12):
+    w = 6 + (i % 3) * 4
+    h = 6 + (i % 2) * 4
+    interlaced = i % 2 == 1
+    local = i % 4 == 2
+    palette = bytes(((p * K + 83 * i) % 256) for p in range(256 * 3))
+    indices = bytes(((q * K + 241 * i) % 256) for q in range(w * h))
+    if interlaced:  # 4-pass row order on disk
+        ys = ([y for y in range(0, h, 8)] + [y for y in range(4, h, 8)]
+              + [y for y in range(2, h, 4)] + [y for y in range(1, h, 2)])
+    else:
+        ys = range(h)
+    stream = b"".join(indices[y * w:(y + 1) * w] for y in ys)
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HH", w, h)
+    gif += bytes((0x80 | 0x07, 0, 0))  # global table present, 256 entries
+    gif += bytes(256 * 3) if local else palette
+    if i % 3 == 0:  # GCE extension the parser must skip
+        gif += bytes((0x21, 0xF9, 4, 0, 0, 0, 0, 0))
+    gif += bytes((0x2C,)) + struct.pack("<HHHH", 0, 0, w, h)
+    gif += bytes(((0x80 | 0x07 if local else 0) | (0x40 if interlaced else 0),))
+    if local:
+        gif += palette
+    gif += bytes((8,))  # LZW root size
+    lzw = _lzw_encode(stream, 8)
+    for off in range(0, len(lzw), 255):
+        block = lzw[off:off + 255]
+        gif += bytes((len(block),)) + block
+    gif += bytes((0, 0x3B))
+    with open(os.path.join(out, "gif_%02d.gif" % i), "wb") as fh:
+        fh.write(bytes(gif))
+
+print("wrote", len(os.listdir(out)), "files to", out)
+
 # images png_<i>.png (i in 0..11): 8-bit truecolor (type 2) PNG, zlib-deflated
 #     width  w(i) = 5 + (i % 3) * 4      (5, 9, 13)
 #     height h(i) = 6 + (i % 2) * 4      (6, 10)
