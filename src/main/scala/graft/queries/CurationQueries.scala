@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -924,8 +925,227 @@ object CurationQueries {
           Tables.documents(s, d).select(col("doc_id"), url.as("url")),
           "doc_id", "url")
         .orderBy("canonical_url")
+    },
+
+    // Classifier-based quality filtering (the CCNet / GPT-3 move): fit a
+    // logistic regression on hashed bag-of-words features (8 token-hash
+    // buckets, normalized counts) against a "reference-quality" label
+    // (source ∈ src0..src3), then score every document with the frozen
+    // weights and gate at 0.5. Training is operators/LogisticGD — two
+    // one-pass integer-quantized full-batch rounds, weights on a 1e-9
+    // grid — so the oracle replays fit AND scoring exactly via unrolled
+    // CTEs (the q103 pattern generalized to 8 features). The keep gate
+    // compares integer score units (q > 500000), never raw doubles.
+    // Scale: rounds × one aggregate pass; scoring is a row-local
+    // expression with plan-embedded weight literals — no join, no shuffle
+    // beyond the final per-source aggregate.
+    QueryDef("q150_quality_classifier", QualityLrSql.sql) { (s, d) =>
+      import graft.operators.LogisticGD
+      val docs = Tables.documents(s, d)
+      val toks = split(col("text"), " ", -1)
+      val nTok = size(toks).cast("double")
+      val feats: Seq[Column] = (0 until QualityLrSql.Buckets).map { k =>
+        size(filter(toks, t => Hashes.tokenHash(t) % QualityLrSql.Buckets === k))
+          .cast("double") / nTok
+      }
+      val label = when(col("source").isin(QualityLrSql.GoodSources: _*), 1.0)
+        .otherwise(0.0)
+      val wts = LogisticGD.fit(docs, feats, label,
+        lr = QualityLrSql.Lr, iters = QualityLrSql.Iters)
+      val z = feats.zip(wts.w).foldLeft(lit(wts.bias): Column) {
+        case (acc, (f, wi)) => acc + f * lit(wi)
+      }
+      val score = lit(1.0) / (lit(1.0) + exp(-z))
+      docs.select(col("source"), round(score * 1e6, 0).cast("long").as("q"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          (round(sum("q").cast("double") / count(lit(1)) / 1e6, 6) + lit(0.0))
+            .as("mean_score"),
+          count(when(col("q") > 500000, 1)).as("n_keep"))
+        .orderBy("source")
+    },
+
+    // The Gopher repetition-rule family (Rae et al. 2021 §A1.1, token-soup
+    // edition): per document, the token fraction claimed by the MOST COMMON
+    // 2/3/4-gram and the union coverage of within-doc duplicated 5-grams,
+    // plus the conjunctive keep gate. The three top-n censuses ride ONE
+    // tagged union of the shingle stream (one exchange keyed on
+    // (doc, n, shingle)); the 5-gram coverage reuses q122's interval-union
+    // sweep with a within-doc census; the gate is pure integer arithmetic
+    // (e.g. top2 < 0.2 ⟺ 10·maxc < nt), so no double comparison can
+    // disagree across engines.
+    QueryDef("q151_gopher_rules", GopherSql.sql) { (s, d) =>
+      import graft.operators.DupSpans
+      val toks = split(col("text"), " ", -1)
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"), size(toks).cast("long").as("nt"))
+      val shUnion = Seq(2, 3, 4).map { n =>
+        base.select(col("doc_id"), lit(n).as("n"),
+          explode(DupSpans.shingleHashes(col("toks"), n)).as("sh"))
+      }.reduce(_ unionAll _)
+      val top = shUnion
+        .groupBy(col("doc_id"), col("n"), col("sh")).agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n").agg(max("c").as("maxc"))
+        .groupBy("doc_id").agg(
+          max(when(col("n") === 2, col("maxc"))).as("max2"),
+          max(when(col("n") === 3, col("maxc"))).as("max3"),
+          max(when(col("n") === 4, col("maxc"))).as("max4"))
+      val s5 = base.select(col("doc_id"),
+        posexplode(DupSpans.shingleHashes(col("toks"), 5)).as(Seq("pos", "sh")))
+      val dup5 = s5.groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2).select("doc_id", "sh")
+      val hit = s5.join(dup5, Seq("doc_id", "sh"), "left_semi")
+        .select("doc_id", "pos")
+      val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+      val cov = hit
+        .withColumn("prev_end", max(col("pos") + 4)
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("island",
+          sum(when(col("prev_end").isNull || col("pos") > col("prev_end"), 1)
+            .otherwise(0)).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "island")
+        .agg((max("pos") + 4 - min("pos") + 1).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("cov5"))
+      def frac(c: Column, mult: Int, nt: Column): Column =
+        round((c * mult).cast("double") / nt.cast("double"), 6)
+      base.select("doc_id", "nt")
+        .join(top, Seq("doc_id"), "left")
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("nt").as("n_tokens"),
+          coalesce(col("max2"), lit(0L)).as("m2"),
+          coalesce(col("max3"), lit(0L)).as("m3"),
+          coalesce(col("max4"), lit(0L)).as("m4"),
+          coalesce(col("cov5"), lit(0L)).cast("long").as("c5"), col("nt"))
+        .select(col("doc_id"), col("n_tokens"),
+          frac(col("m2"), 2, col("nt")).as("top2_frac"),
+          frac(col("m3"), 3, col("nt")).as("top3_frac"),
+          frac(col("m4"), 4, col("nt")).as("top4_frac"),
+          frac(col("c5"), 1, col("nt")).as("dup5_frac"),
+          (col("m2") * 10 < col("nt") && col("m3") * 50 < col("nt") * 3 &&
+            col("m4") * 25 < col("nt") && col("c5") * 20 < col("nt") * 3)
+            .as("keep"))
+        .orderBy("doc_id")
     }
   )
+}
+
+/** Oracle for q150: the q103 unrolled-GD pattern generalized to 8 hashed
+  * bag-of-words features — feature CTE, per-round gradient/update CTEs with
+  * per-row terms quantized to integer 1e-6 units, then scoring with the
+  * round-2 weights and the integer-unit keep gate.
+  */
+private object QualityLrSql {
+  import graft.functions.Hashes
+  val Buckets = 8
+  val GoodSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
+  val Lr = 0.5
+  val Iters = 2
+
+  private val ks = 0 until Buckets
+  private def sig(w: String) =
+    s"1/(1+exp(-($w.b${ks.map(k => s" + $w.c$k*f$k").mkString})))"
+
+  private def gradCte(g: String, w: String) = {
+    def term(mult: String) =
+      s"CAST(sum(CAST(round((${sig(w)} - y)$mult * 1000000, 0) AS BIGINT)) AS BIGINT)"
+    s"""$g AS (SELECT ${term("")} AS gb,
+       |${ks.map(k => s"             ${term(s" * f$k")} AS g$k").mkString(",\n")}
+       |      FROM d, $w)""".stripMargin
+  }
+
+  private def updCte(wN: String, w: String, g: String) = {
+    def upd(old: String, s: String) =
+      s"round($w.$old - $Lr * (CAST($g.$s AS DOUBLE) / 1000000 / nn.n), 9)"
+    s"""$wN AS (SELECT ${upd("b", "gb")} AS b,
+       |${ks.map(k => s"              ${upd(s"c$k", s"g$k")} AS c$k").mkString(",\n")}
+       |       FROM $w, $g, nn)""".stripMargin
+  }
+
+  val sql: String = {
+    val featCols = ks.map(k =>
+      s"CAST(len(list_filter(bk, x -> x = $k)) AS DOUBLE) / nt AS f$k").mkString(",\n       ")
+    val goodList = GoodSources.map(s0 => s"'$s0'").mkString(", ")
+    val rounds = (1 to Iters).map(r =>
+      s"${gradCte(s"g_$r", s"w_${r - 1}")},\n${updCte(s"w_$r", s"w_${r - 1}", s"g_$r")}")
+      .mkString(",\n")
+    s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+       |d AS (SELECT source,
+       |       $featCols,
+       |       CASE WHEN source IN ($goodList) THEN 1.0 ELSE 0.0 END AS y
+       |      FROM (SELECT source,
+       |              list_transform(toks, t -> (${Hashes.tokenHashSql("t")}) % $Buckets) AS bk,
+       |              CAST(len(toks) AS DOUBLE) AS nt
+       |            FROM t)),
+       |nn AS (SELECT count(*) AS n FROM d),
+       |w_0 AS (SELECT 0.0 AS b${ks.map(k => s", 0.0 AS c$k").mkString}),
+       |$rounds,
+       |scored AS (SELECT source,
+       |             CAST(round(${sig(s"w_$Iters")} * 1000000, 0) AS BIGINT) AS q
+       |           FROM d, w_$Iters)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       round(CAST(sum(q) AS DOUBLE) / count(*) / 1000000, 6) + 0.0
+       |         AS mean_score,
+       |       CAST(count(CASE WHEN q > 500000 THEN 1 END) AS BIGINT) AS n_keep
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+  }
+}
+
+/** Oracle for q151: three width-specific shingle censuses (max per-doc
+  * n-gram count), the q122 interval-union sweep restricted to WITHIN-doc
+  * duplicated 5-grams, and the integer-arithmetic keep gate.
+  */
+private object GopherSql {
+  import graft.operators.DupSpans
+
+  private def topCte(n: Int) =
+    s"""m$n AS (SELECT doc_id, max(c) AS maxc FROM (
+       |  SELECT doc_id, sh, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(${DupSpans.shingleHashesSql("toks", n)}) AS sh
+       |    FROM t) GROUP BY doc_id, sh) GROUP BY doc_id)""".stripMargin
+
+  val sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt FROM t),
+       |${topCte(2)},
+       |${topCte(3)},
+       |${topCte(4)},
+       |d5 AS (SELECT doc_id, ${DupSpans.shingleHashesSql("toks", 5)} AS sh FROM t),
+       |s5 AS (SELECT doc_id, i - 1 AS pos, sh[i] AS shingle FROM (
+       |  SELECT doc_id, sh, unnest(range(1, len(sh) + 1)) AS i FROM d5)),
+       |dup AS (SELECT doc_id, shingle FROM (
+       |  SELECT doc_id, shingle, count(*) AS c FROM s5 GROUP BY 1, 2)
+       |  WHERE c >= 2),
+       |hit AS (SELECT s5.doc_id, s5.pos FROM s5 JOIN dup
+       |        USING (doc_id, shingle)),
+       |m AS (SELECT doc_id, pos,
+       |        max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |      FROM hit),
+       |i AS (SELECT doc_id, pos,
+       |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+       |            THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS UNBOUNDED PRECEDING) AS island
+       |      FROM m),
+       |isl AS (SELECT doc_id, island, max(pos) + 4 - min(pos) + 1 AS c
+       |        FROM i GROUP BY doc_id, island),
+       |cv AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS cov5 FROM isl
+       |       GROUP BY doc_id),
+       |j AS (SELECT b.doc_id, b.nt,
+       |        coalesce(m2.maxc, 0) AS m2v, coalesce(m3.maxc, 0) AS m3v,
+       |        coalesce(m4.maxc, 0) AS m4v, coalesce(cv.cov5, 0) AS c5
+       |      FROM b LEFT JOIN m2 ON b.doc_id = m2.doc_id
+       |             LEFT JOIN m3 ON b.doc_id = m3.doc_id
+       |             LEFT JOIN m4 ON b.doc_id = m4.doc_id
+       |             LEFT JOIN cv ON b.doc_id = cv.doc_id)
+       |SELECT doc_id, nt AS n_tokens,
+       |       round(CAST(m2v * 2 AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS top2_frac,
+       |       round(CAST(m3v * 3 AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS top3_frac,
+       |       round(CAST(m4v * 4 AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS top4_frac,
+       |       round(CAST(c5 AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS dup5_frac,
+       |       (m2v * 10 < nt AND m3v * 50 < nt * 3 AND
+       |        m4v * 25 < nt AND c5 * 20 < nt * 3) AS keep
+       |FROM j ORDER BY doc_id""".stripMargin
 }
 
 /** DuckDB oracle for q133: q128's island CTEs, then per-island content
