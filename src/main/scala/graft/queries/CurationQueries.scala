@@ -965,6 +965,62 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // Moderated continuous ingestion: quality gate ∧ Aho–Corasick blocklist
+    // gate → dedup (DocStreams.moderatedIngest) — q140's ingest edge with
+    // content moderation composed in. Both gates are row-local (the
+    // automaton is plan-embedded), so the composition stays streamable in
+    // append mode with zero extra state and blocked documents never enter
+    // dedup state. Pinned in batch mode; StreamingSpec proves micro-batch
+    // ≡ batch including both gates. The oracle states the blocklist as
+    // per-pattern NOT contains — presence/absence, where overlapping vs
+    // non-overlapping counting cannot differ, so no border caveat applies.
+    QueryDef("q152_moderated_ingest",
+      s"""WITH newb AS (
+         |  SELECT doc_id, text || ' tail tail' AS text FROM documents WHERE doc_id < 25
+         |  UNION ALL
+         |  SELECT doc_id, upper(text) AS text FROM documents
+         |  WHERE doc_id >= 25 AND doc_id < 50
+         |  UNION ALL
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 50 AND doc_id < 60
+         |  UNION ALL
+         |  SELECT doc_id + 1000, text || ' tail tail' AS text FROM documents
+         |  WHERE doc_id < 10),
+         |g AS (SELECT doc_id, text FROM (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM newb)
+         |  WHERE len(toks) >= 3
+         |    AND len(list_filter(toks,
+         |          x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 20 >= len(toks)
+         |    ${ModeratedSql.blockPredSql("text")}),
+         |agg AS (SELECT sha256(text) AS h, min(doc_id) AS doc_id,
+         |               CAST(count(*) AS BIGINT) AS n_arrivals
+         |        FROM g GROUP BY 1)
+         |SELECT doc_id, h, n_arrivals FROM agg
+         |WHERE h NOT IN (SELECT DISTINCT sha256(text) FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.streaming.DocStreams
+      val base = Tables.documents(s, d)
+      val newb = base.where(col("doc_id") < 25)
+        .select(col("doc_id"), concat(col("text"), lit(" tail tail")).as("text"))
+        .unionAll(base.where(col("doc_id") >= 25 && col("doc_id") < 50)
+          .select(col("doc_id"), upper(col("text")).as("text")))
+        .unionAll(base.where(col("doc_id") >= 50 && col("doc_id") < 60)
+          .select(col("doc_id"), col("text")))
+        .unionAll(base.where(col("doc_id") < 10)
+          .select((col("doc_id") + 1000L).as("doc_id"),
+            concat(col("text"), lit(" tail tail")).as("text")))
+      val fresh = DocStreams.moderatedIngest(
+        newb.withColumn("ingest_ts", timestamp_micros(col("doc_id") * 1000000L)),
+        base, ModeratedSql.Blocklist)
+      newb.where(DocStreams.ingestQualityGate(col("text")) &&
+          DocStreams.blocklistGate(col("text"), ModeratedSql.Blocklist))
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .join(fresh.select("h"), Seq("h"), "left_semi")
+        .groupBy("h")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_arrivals"))
+        .select(col("doc_id"), col("h"), col("n_arrivals"))
+        .orderBy("doc_id")
+    },
+
     // The Gopher repetition-rule family (Rae et al. 2021 §A1.1, token-soup
     // edition): per document, the token fraction claimed by the MOST COMMON
     // 2/3/4-gram and the union coverage of within-doc duplicated 5-grams,
@@ -1088,6 +1144,16 @@ private object QualityLrSql {
        |       CAST(count(CASE WHEN q > 500000 THEN 1 END) AS BIGINT) AS n_keep
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
   }
+}
+
+/** q152's blocklist: two phrases that occur in a noticeable fraction of the
+  * fixture corpus (so the gate demonstrably bites) and vanish in the
+  * upper-cased arrival branch (so case sensitivity is exercised).
+  */
+private object ModeratedSql {
+  val Blocklist: Seq[String] = Seq("stream spark", "table scan")
+  def blockPredSql(textCol: String): String =
+    Blocklist.map(p => s"AND NOT contains($textCol, '$p')").mkString(" ")
 }
 
 /** Oracle for q151: three width-specific shingle censuses (max per-doc

@@ -101,6 +101,29 @@ object DocStreams {
                     horizon: String = "1 hour"): DataFrame =
     dedupedIngest(newDocs.where(ingestQualityGate(col("text"))), corpus, horizon)
 
+  /** Row-local blocklist gate: TRUE iff `text` contains NO blocklist
+    * pattern — one Aho–Corasick pass per document
+    * ([[graft.functions.MultiMatch]]; the automaton is plan-embedded, so
+    * the whole K-pattern blocklist ships once per task). Zero state, hence
+    * streamable; like [[ingestQualityGate]] it runs AHEAD of dedup so
+    * blocked documents never enter dedup state.
+    */
+  def blocklistGate(text: org.apache.spark.sql.Column,
+                    patterns: Seq[String]): org.apache.spark.sql.Column =
+    !exists(graft.functions.MultiMatch.multi_count(text, patterns), c => c > 0)
+
+  /** [[curatedIngest]] with a blocklist: quality gate ∧ blocklist gate →
+    * dedup — the full moderated ingest edge (both gates row-local; the
+    * expensive stages only ever see documents that will actually land).
+    */
+  def moderatedIngest(newDocs: DataFrame, corpus: DataFrame,
+                      patterns: Seq[String],
+                      horizon: String = "1 hour"): DataFrame =
+    dedupedIngest(
+      newDocs.where(ingestQualityGate(col("text")) &&
+        blocklistGate(col("text"), patterns)),
+      corpus, horizon)
+
   /** Land → dedup → parquet append, exactly-once, drain-all-and-stop
     * (Trigger.AvailableNow — the same incremental-batch idiom as the
     * streaming NPZ converter).

@@ -144,6 +144,39 @@ class StreamingSpec extends AnyFunSuite {
       "a stitch of time and thread", "to each of the many a share"))
   }
 
+  test("moderated ingest: blocklist + gate + dedup micro-batched == batch") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStreams
+    val sql = spark
+    import sql.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_moderated").toString
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000)
+    // doc 2 contains a blocked phrase (blocklist must drop it); doc 3 has no
+    // stopwords (quality gate); doc 4 re-arrives cross-batch (dedup)
+    val b1 = Seq((1L, ts(0), "the quick fox of the field"),
+      (2L, ts(1), "the bad crawl of a dark web page"),
+      (3L, ts(2), "xx yy zz ww vv uu"))
+    val b2 = Seq((4L, ts(3), "the quick fox of the field"),
+      (5L, ts(4), "to each of the many a share"))
+    b1.toDF("doc_id", "ingest_ts", "text").repartition(1)
+      .write.mode("append").parquet(dir)
+    b2.toDF("doc_id", "ingest_ts", "text").repartition(1)
+      .write.mode("append").parquet(dir)
+    val corpus = Seq((100L, "corpus body the a of")).toDF("doc_id", "text")
+    val block = Seq("dark web", "bad crawl")
+    val stream = EventStreams.runToMemory(
+      DocStreams.moderatedIngest(
+        DocStreams.readLanding(spark, dir, maxFilesPerTrigger = Some(1)),
+        corpus, block),
+      "moderated_parity", mode = "append")
+    val batch = DocStreams.moderatedIngest(
+      (b1 ++ b2).toDF("doc_id", "ingest_ts", "text"), corpus, block)
+    assert(stream.select("h").collect().map(_.getString(0)).toSet ==
+      batch.select("h").collect().map(_.getString(0)).toSet)
+    assert(stream.select("text").collect().map(_.getString(0)).toSet ==
+      Set("the quick fox of the field", "to each of the many a share"))
+  }
+
   test("streaming PQ encode: per-file micro-batches == batch; re-run is a no-op") {
     import org.apache.spark.sql.functions._
     import graft.operators.Pq
