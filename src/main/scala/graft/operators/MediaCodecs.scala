@@ -576,6 +576,131 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  /** Decode a QOI image (qoiformat.org, public spec) — the third
+    * COMPRESSION FAMILY in the codec set, next to PNG's DEFLATE and GIF's
+    * LZW: a byte-wise op stream with run-length ops, a 64-entry
+    * recently-seen-color cache addressed by `(3r+5g+7b+11a) mod 64`, and
+    * two delta encodings (2-bit DIFF, luma-relative LUMA). Channels 3 and
+    * 4 both decode; alpha is dropped (the [[Image]] contract is RGB).
+    */
+  def decodeQoi(bytes: Array[Byte]): Image = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    require(bytes.length >= 14 + 8, "QOI: truncated header")
+    require(bb.getInt(0) == 0x716f6966, "QOI: missing 'qoif' magic")
+    val w = bb.getInt(4)
+    val h = bb.getInt(8)
+    require(w > 0 && h > 0, s"QOI: bad dimensions ${w}x$h")
+    val channels = bytes(12) & 0xff
+    require(channels == 3 || channels == 4, s"QOI: channels must be 3 or 4, got $channels")
+    require((bytes(13) & 0xff) <= 1, "QOI: bad colorspace byte")
+    val n = w * h
+    val out = new Array[Byte](n * 3)
+    val cache = new Array[Int](64) // packed 0xRRGGBBAA, zero-initialized per spec
+    var r = 0; var g = 0; var b = 0; var a = 255
+    var px = 0
+    var pos = 14
+    def put(): Unit = {
+      out(px * 3) = r.toByte
+      out(px * 3 + 1) = g.toByte
+      out(px * 3 + 2) = b.toByte
+      px += 1
+      cache(((r * 3 + g * 5 + b * 7 + a * 11) & 0x3fffffff) % 64) =
+        (r << 24) | (g << 16) | (b << 8) | a
+    }
+    while (px < n) {
+      require(pos < bytes.length - 7, "QOI: op stream ran into the end marker")
+      val op = bytes(pos) & 0xff
+      pos += 1
+      if (op == 0xfe) { // QOI_OP_RGB
+        r = bytes(pos) & 0xff; g = bytes(pos + 1) & 0xff; b = bytes(pos + 2) & 0xff
+        pos += 3; put()
+      } else if (op == 0xff) { // QOI_OP_RGBA
+        r = bytes(pos) & 0xff; g = bytes(pos + 1) & 0xff
+        b = bytes(pos + 2) & 0xff; a = bytes(pos + 3) & 0xff
+        pos += 4; put()
+      } else (op >> 6) match {
+        case 0 => // QOI_OP_INDEX
+          val v = cache(op & 0x3f)
+          r = (v >>> 24) & 0xff; g = (v >>> 16) & 0xff; b = (v >>> 8) & 0xff; a = v & 0xff
+          put()
+        case 1 => // QOI_OP_DIFF — 2-bit channel deltas, bias 2
+          r = (r + ((op >> 4) & 3) - 2) & 0xff
+          g = (g + ((op >> 2) & 3) - 2) & 0xff
+          b = (b + (op & 3) - 2) & 0xff
+          put()
+        case 2 => // QOI_OP_LUMA — 6-bit dg bias 32; dr-dg / db-dg 4-bit bias 8
+          val dg = (op & 0x3f) - 32
+          val nx = bytes(pos) & 0xff
+          pos += 1
+          r = (r + dg + ((nx >> 4) & 0xf) - 8) & 0xff
+          g = (g + dg) & 0xff
+          b = (b + dg + (nx & 0xf) - 8) & 0xff
+          put()
+        case _ => // QOI_OP_RUN — length 1..62, bias -1
+          val run = (op & 0x3f) + 1
+          require(px + run <= n, s"QOI: run of $run overruns the frame at pixel $px")
+          var k = 0
+          while (k < run) { put(); k += 1 }
+      }
+    }
+    require(pos + 8 <= bytes.length &&
+      (0 until 7).forall(k => bytes(pos + k) == 0) && bytes(pos + 7) == 1,
+      "QOI: missing 00×7 + 01 end marker")
+    Image(w, h, out)
+  }
+
+  /** Encode RGB pixels as QOI with the spec's greedy op choice (run →
+    * index → diff → luma → rgb) — the fuzz property drives [[decodeQoi]]
+    * through every op type with this.
+    */
+  def encodeQoi(img: Image): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val hdr = ByteBuffer.allocate(14).order(ByteOrder.BIG_ENDIAN)
+      .putInt(0x716f6966).putInt(img.width).putInt(img.height)
+      .put(3.toByte).put(0.toByte)
+    out.write(hdr.array())
+    val cache = new Array[Int](64)
+    var pr = 0; var pg = 0; var pb = 0
+    var run = 0
+    var q = 0
+    val n = img.width * img.height
+    while (q < n) {
+      val r = img.pixels(q * 3) & 0xff
+      val g = img.pixels(q * 3 + 1) & 0xff
+      val b = img.pixels(q * 3 + 2) & 0xff
+      if (r == pr && g == pg && b == pb) {
+        run += 1
+        if (run == 62) { out.write(0xc0 | (run - 1)); run = 0 }
+      } else {
+        if (run > 0) { out.write(0xc0 | (run - 1)); run = 0 }
+        val idx = ((r * 3 + g * 5 + b * 7 + 255 * 11) & 0x3fffffff) % 64
+        val packed = (r << 24) | (g << 16) | (b << 8) | 255
+        if (cache(idx) == packed) out.write(idx)
+        else {
+          cache(idx) = packed
+          // wrapping signed-char deltas (qoi.c semantics): 255→0 is +1
+          def d8(x: Int): Int = ((x + 128) & 0xff) - 128
+          val dr = d8(r - pr); val dg = d8(g - pg); val db = d8(b - pb)
+          if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 && db >= -2 && db <= 1)
+            out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+          else if (dg >= -32 && dg <= 31 &&
+            dr - dg >= -8 && dr - dg <= 7 && db - dg >= -8 && db - dg <= 7) {
+            out.write(0x80 | (dg + 32))
+            out.write(((dr - dg + 8) << 4) | (db - dg + 8))
+          } else {
+            out.write(0xfe); out.write(r); out.write(g); out.write(b)
+          }
+        }
+        pr = r; pg = g; pb = b
+      }
+      q += 1
+    }
+    if (run > 0) out.write(0xc0 | (run - 1))
+    (0 until 7).foreach(_ => out.write(0))
+    out.write(1)
+    out.toByteArray
+  }
+
   /** Decode a RIFF/WAVE container holding mono 16-bit PCM: walk the chunk
     * list (ids are 4 ASCII bytes, sizes little-endian, chunks padded to even
     * offsets), require a PCM fmt chunk, return the data chunk's samples.

@@ -154,6 +154,34 @@ object Multimodal {
       Row(f.id, f.width, f.height, f.nPixels, f.sumR, f.sumG, f.sumB, f.wSum)
   }
 
+  /** QOI twin of [[PngImageDecoder]]: the decode crosses the spec's op
+    * stream — runs, the 64-entry color cache, wrapping delta ops — so the
+    * position-weighted checksum pins every reconstructed pixel.
+    */
+  object QoiImageDecoder extends MediaDecoder[PosImageFeatures] {
+    override def decodeBatch(batch: Array[(Long, Array[Byte])]): Array[PosImageFeatures] =
+      batch.map { case (id, bytes) =>
+        val img = MediaCodecs.decodeQoi(bytes)
+        var (sr, sg, sb, ws) = (0L, 0L, 0L, 0L)
+        var f = 0
+        while (f < img.pixels.length) {
+          val p = img.pixels(f) & 0xff
+          (f % 3: @annotation.switch) match {
+            case 0 => sr += p
+            case 1 => sg += p
+            case 2 => sb += p
+          }
+          ws += (f + 1).toLong * p
+          f += 1
+        }
+        PosImageFeatures(id, img.width, img.height,
+          img.width.toLong * img.height, sr, sg, sb, ws)
+      }
+    override val schema: StructType = BmpImageDecoder.schema
+    override def toRow(f: PosImageFeatures): Row =
+      Row(f.id, f.width, f.height, f.nPixels, f.sumR, f.sumG, f.sumB, f.wSum)
+  }
+
   /** Decoded-audio features: integer |sample| aggregates, same replay idea. */
   final case class AudioFeatures(id: Long, sampleRate: Int, nSamples: Long,
                                  sumAbs: Long, maxAbs: Long)

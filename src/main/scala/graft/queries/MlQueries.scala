@@ -119,6 +119,18 @@ object MlQueries {
         .orderBy("media_id")
     },
 
+    // Sixth real codec, third COMPRESSION FAMILY (QOI's byte-wise op
+    // stream: runs, the 64-entry color cache, wrapping delta ops — next to
+    // DEFLATE and LZW). The fixture's run groups of 4 identical pixels and
+    // 8-step value grid force RUN and INDEX ops through the decoder; the
+    // oracle replays pixels from the group arithmetic.
+    QueryDef("q153_qoi_decode", MediaSql.qoiSql) { (s, _) =>
+      Multimodal.decodeFeatures(
+        Multimodal.readMedia(s, MediaSql.fixtureDir, "*.qoi"),
+        Multimodal.QoiImageDecoder)
+        .orderBy("media_id")
+    },
+
     // SURVEY §2 rows 4-5: partitioned parquet sink + re-scan, and the
     // fitted-statistics relation persisted and reloaded (stats are *data* —
     // SURVEY §7.4.4). The oracle computes the same result without the
@@ -360,6 +372,33 @@ private[queries] object MediaSql {
        |             (((((f // 3) * $K + 241 * i) % 256) * 3 + (f % 3))
        |                * $K + 83 * i) % 256 AS p
        |      FROM px)
+       |SELECT i AS media_id, CAST(max(w) AS INTEGER) AS width,
+       |       CAST(max(h) AS INTEGER) AS height,
+       |       CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+       |       CAST(sum(CASE WHEN ch = 0 THEN p END) AS BIGINT) AS sum_r,
+       |       CAST(sum(CASE WHEN ch = 1 THEN p END) AS BIGINT) AS sum_g,
+       |       CAST(sum(CASE WHEN ch = 2 THEN p END) AS BIGINT) AS sum_b,
+       |       CAST(sum((f + 1) * p) AS BIGINT) AS wsum
+       |FROM v GROUP BY i ORDER BY media_id""".stripMargin
+
+  /** QOI fixtures: w = 6+(i%3)·4, h = 6+(i%2)·4; pixels come in RUN GROUPS
+    * of 4 (gg = q÷4) on a 4-value grid whose step depends on the zone
+    * (gg mod 8 ≥ 4 → ×32, else ×2) and every gg mod 4 = 3 group repeats
+    * group gg−2's color: p = (((src·12+c)·K + 151·i) mod 4)·mult + c.
+    * Every fixture drives RUN, INDEX, LUMA and RGB ops through the decoder
+    * (DIFF rides the smooth-gradient fuzz property); the compression ops
+    * are invisible to the replay, proving the op-stream reconstruction.
+    */
+  val qoiSql: String =
+    s"""WITH dims AS (SELECT i, 6 + (i % 3) * 4 AS w, 6 + (i % 2) * 4 AS h
+       |              FROM (SELECT unnest(range(0, 12)) AS i)),
+       |px AS (SELECT i, w, h, unnest(range(0, w * h * 3)) AS f FROM dims),
+       |g AS (SELECT i, w, h, f, f % 3 AS ch, (f // 3) // 4 AS gg FROM px),
+       |v AS (SELECT i, w, h, f, ch,
+       |             (((gg - 2 * (CASE WHEN gg % 4 = 3 THEN 1 ELSE 0 END))
+       |                 * 12 + ch) * $K + 151 * i) % 4
+       |               * (CASE WHEN gg % 8 >= 4 THEN 32 ELSE 2 END) + ch AS p
+       |      FROM g)
        |SELECT i AS media_id, CAST(max(w) AS INTEGER) AS width,
        |       CAST(max(h) AS INTEGER) AS height,
        |       CAST(max(w) * max(h) AS BIGINT) AS n_pixels,

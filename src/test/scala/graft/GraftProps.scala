@@ -303,6 +303,40 @@ object GraftProps extends Properties("graft") {
       scala.util.Try(MediaCodecs.decodeGif(java.util.Arrays.copyOf(bytes, cut))).isFailure
     }
 
+  property("qoi roundtrip survives any pixels") =
+    forAll(image) { img =>
+      val out = MediaCodecs.decodeQoi(MediaCodecs.encodeQoi(img))
+      out.width == img.width && out.height == img.height &&
+        out.pixels.sameElements(img.pixels)
+    }
+
+  // smooth images walk the value space in small wrapping steps — consecutive
+  // pixels land inside the DIFF/LUMA delta ranges (and repeat for runs), so
+  // every op type including the wrap-around deltas is driven through decode
+  private val smoothImage = for {
+    w <- Gen.choose(1, 12)
+    h <- Gen.choose(1, 10)
+    start <- Gen.choose(0, 255)
+    steps <- Gen.listOfN(w * h * 3, Gen.oneOf(-2, -1, 0, 0, 1, 30))
+  } yield {
+    var v = start
+    val px = steps.map { s => v = (v + s) & 0xff; v.toByte }
+    MediaCodecs.Image(w, h, px.toArray)
+  }
+
+  property("qoi roundtrip survives smooth gradients (delta/run/index ops)") =
+    forAll(smoothImage) { img =>
+      val out = MediaCodecs.decodeQoi(MediaCodecs.encodeQoi(img))
+      out.pixels.sameElements(img.pixels)
+    }
+
+  property("qoi decode rejects a truncated op stream") =
+    forAll(image) { img =>
+      val bytes = MediaCodecs.encodeQoi(img)
+      val cut = bytes.length - math.min(bytes.length - 14, 9)
+      scala.util.Try(MediaCodecs.decodeQoi(java.util.Arrays.copyOf(bytes, cut))).isFailure
+    }
+
   private val clip = for {
     rate <- Gen.choose(4000, 48000)
     samples <- Gen.nonEmptyListOf(Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))

@@ -177,6 +177,73 @@ for i in range(12):
 
 print("wrote", len(os.listdir(out)), "files to", out)
 
+# images qoi_<i>.qoi (i in 0..11): QOI (qoiformat.org), RGB, spec's greedy
+#     encoder (run / index-cache / wrapping diff / luma / rgb ops)
+#     width  w(i) = 6 + (i % 3) * 4, height h(i) = 6 + (i % 2) * 4
+#     pixels come in RUN GROUPS of 4 (gg = q // 4), on a 4-value grid whose
+#     step depends on the ZONE (gg%8 >= 4 -> x32 steps, else x2), and every
+#     gg%4==3 group REPEATS group gg-2's color (src = gg - 2):
+#         src(gg) = gg - 2*(1 if gg%4==3 else 0)
+#         mult(gg) = 32 if gg%8 >= 4 else 2
+#         p(i, f) = (((src*12 + c) * K + 151*i) % 4) * mult + c
+#     run groups exercise QOI_OP_RUN; repeated colors hit the 64-entry cache
+#     (QOI_OP_INDEX); small-zone deltas land in DIFF/LUMA; big-zone and
+#     zone-transition deltas fall through to RGB.
+
+
+def _qoi_encode(w, h, rgb):
+    out = bytearray(b"qoif" + struct.pack(">IIBB", w, h, 3, 0))
+    cache = [0] * 64
+    pr = pg = pb = 0
+    run = 0
+    for q in range(w * h):
+        r, g, b = rgb[q * 3], rgb[q * 3 + 1], rgb[q * 3 + 2]
+        if (r, g, b) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        idx = (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+        packed = (r << 24) | (g << 16) | (b << 8) | 255
+        if cache[idx] == packed:
+            out.append(idx)
+        else:
+            cache[idx] = packed
+            d8 = lambda x: ((x + 128) & 0xFF) - 128
+            dr, dg, db = d8(r - pr), d8(g - pg), d8(b - pb)
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7:
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes((0xFE, r, g, b))
+        pr, pg, pb = r, g, b
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+for i in range(12):
+    w = 6 + (i % 3) * 4
+    h = 6 + (i % 2) * 4
+    rgb = bytearray()
+    for q in range(w * h):
+        gg = q // 4
+        src = gg - 2 * (1 if gg % 4 == 3 else 0)
+        mult = 32 if gg % 8 >= 4 else 2
+        for c in range(3):
+            rgb.append((((src * 12 + c) * K + 151 * i) % 4) * mult + c)
+    with open(os.path.join(out, "qoi_%02d.qoi" % i), "wb") as fh:
+        fh.write(_qoi_encode(w, h, bytes(rgb)))
+
+print("wrote", len(os.listdir(out)), "files to", out)
+
 # images png_<i>.png (i in 0..11): 8-bit truecolor (type 2) PNG, zlib-deflated
 #     width  w(i) = 5 + (i % 3) * 4      (5, 9, 13)
 #     height h(i) = 6 + (i % 2) * 4      (6, 10)
