@@ -231,4 +231,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("q149 blocklist: plan-embedded automaton — no join, one K-row aggregate") {
+    val p = plan(q("q149_blocklist_tag"))
+    assert(p.contains("multi_count"), p)  // the custom expression, not a join
+    assert(!p.contains("Join"), p)
+    // only the K-row aggregate and the contract ordering repartition —
+    // the document stream itself is never hash-exchanged on a wide key
+    assert(p.contains("HashAggregate"), p)
+  }
 }
