@@ -12,6 +12,9 @@ import graft.operators.{Components, DupSpans, Metrics, MinHash, SemDedup}
   * before corpus-wide joins):
   *
   *   1. clean        — PII masking + whitespace normalization (pure exprs)
+  *   1b. blocklist   — Aho–Corasick phrase gate (q149's kernel), row-local,
+  *                     automaton plan-embedded — blocked docs never reach
+  *                     any corpus-wide stage
   *   2. quality gate — unigram-LM mean log-prob band + token-count +
   *                     repetition heuristics (q110/q117 logic)
   *   3. exact dedup  — first doc per sha2 content digest (q30)
@@ -64,6 +67,18 @@ object DataPipelineDemo {
         lit("[A-Za-z0-9.]+@[A-Za-z0-9.]+"), lit("[EMAIL]")),
         lit("https?://[^ ]+"), lit("[URL]")),
         lit("  +"), lit(" ")).as("text"))
+
+  /** 1b. Blocklist gate — drop documents containing ANY blocklist phrase:
+    * one Aho–Corasick pass per document (q149's kernel via
+    * [[graft.streaming.DocStreams.blocklistGate]]), the automaton
+    * plan-embedded. Row-local like the clean stage, so it runs before
+    * anything that shuffles — blocked docs never reach the corpus-wide
+    * stages (and in the streaming edge, never enter dedup state).
+    */
+  val Blocklist: Seq[String] = Seq("stream spark", "slow query")
+
+  def blockGate(docs: DataFrame): DataFrame =
+    docs.where(graft.streaming.DocStreams.blocklistGate(col("text"), Blocklist))
 
   /** 2. Quality gate — corpus-unigram LM mean log-prob plus cheap
     * heuristics, all compared in integer units (q110's no-float-reduction
@@ -235,7 +250,8 @@ object DataPipelineDemo {
     * downstream stages.
     */
   def stages(cleaned: DataFrame, emb: DataFrame): Map[String, DataFrame] = {
-    val quality = qualityGate(cleaned).persist()
+    val blocked = blockGate(cleaned)
+    val quality = qualityGate(blocked).persist()
     val exact = exactDedup(quality).persist()
     val scrub = spanScrub(exact).persist()
     val near = lshDedup(scrub)
@@ -255,7 +271,7 @@ object DataPipelineDemo {
     val tilt = domainTilt(decon)
     val packed = pack(tilt).persist()
     val mixed = mixture(packed)
-    Map("quality" -> quality, "exact" -> exact, "scrub" -> scrub,
+    Map("blocked" -> blocked, "quality" -> quality, "exact" -> exact, "scrub" -> scrub,
       "near" -> near, "sem" -> sem, "decon" -> decon, "tilt" -> tilt,
       "packed" -> packed, "mixed" -> mixed)
   }
@@ -272,6 +288,7 @@ object DataPipelineDemo {
       count(when(length(col("text")) < 8, 1)).as("too_short"))
 
     val st = stages(cleaned, Tables.embeddings(spark, sfDir))
+    val nBlocked = st("blocked").count()
     val nQuality = st("quality").count()
     val nExact = st("exact").count()
     val nScrub = st("scrub").count()
@@ -291,11 +308,12 @@ object DataPipelineDemo {
     metrics.close()
 
     println(s"DATA_PIPELINE raw=${raw.count()} clean_observed=$cleanRows " +
-      s"quality=$nQuality exact=$nExact scrub=$nScrub near=$nNear sem=$nSem " +
+      s"blocked=$nBlocked quality=$nQuality exact=$nExact scrub=$nScrub " +
+      s"near=$nNear sem=$nSem " +
       s"decontaminated=$nDecon tilt=$nTilt pack_buckets=$nBuckets " +
       s"mixture=[$perSource]")
-    require(nQuality >= nExact && nExact >= nScrub && nScrub >= nNear &&
-      nSem >= nDecon && nDecon >= nTilt,
+    require(nBlocked >= nQuality && nQuality >= nExact && nExact >= nScrub &&
+      nScrub >= nNear && nSem >= nDecon && nDecon >= nTilt,
       "pipeline funnel must be monotone non-increasing across dedup stages")
     require(nDecon > 0, "pipeline produced no surviving documents")
     spark.stop()

@@ -41,14 +41,16 @@ class DemoPlanSpec extends AnyFunSuite {
     }
   }
 
-  // lazy composition up to the last non-iterative stage: clean → quality →
-  // exact → {lshPairs, decontaminate, pack, mixture}
+  // lazy composition up to the last non-iterative stage: clean → blocklist →
+  // quality → exact → {lshPairs, decontaminate, pack, mixture}
   private def cleaned = DataPipelineDemo.clean(Tables.documents(spark, TestSpark.sfDir))
-  private def exact = DataPipelineDemo.exactDedup(DataPipelineDemo.qualityGate(cleaned))
+  private def blocked = DataPipelineDemo.blockGate(cleaned)
+  private def exact = DataPipelineDemo.exactDedup(DataPipelineDemo.qualityGate(blocked))
 
   private val lazyStages: Seq[(String, () => DataFrame)] = Seq(
     "demo_clean" -> (() => cleaned),
-    "demo_quality" -> (() => DataPipelineDemo.qualityGate(cleaned)),
+    "demo_blocklist" -> (() => blocked),
+    "demo_quality" -> (() => DataPipelineDemo.qualityGate(blocked)),
     "demo_exact" -> (() => exact),
     "demo_span_scrub" -> (() => DataPipelineDemo.spanScrub(exact)),
     "demo_lsh_pairs" -> (() => DataPipelineDemo.lshPairs(exact)),

@@ -18,6 +18,7 @@ class DemoSpec extends AnyFunSuite {
 
   test("pipeline funnel is monotone and ends non-empty") {
     val st = runStages()
+    val nBlocked = st("blocked").count()
     val nQuality = st("quality").count()
     val nExact = st("exact").count()
     val nScrub = st("scrub").count()
@@ -26,6 +27,9 @@ class DemoSpec extends AnyFunSuite {
     val nDecon = st("decon").count()
     val nTilt = st("tilt").count()
     val nMixed = st("mixed").count()
+    val nClean = DataPipelineDemo.clean(Tables.documents(spark, TestSpark.sfDir)).count()
+    assert(nBlocked < nClean, "blocklist gate must reject blocked phrases at the fixture")
+    assert(nBlocked >= nQuality, "quality gate cannot add rows")
     assert(nQuality >= nExact, "exact dedup cannot add rows")
     assert(nExact >= nScrub, "span scrub cannot add rows")
     assert(nScrub >= nNear, "near dedup cannot add rows")
