@@ -182,6 +182,37 @@ object SourceQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), sum("total_cents").as("total_cents"))
         .orderBy("o_orderpriority")
+    },
+
+    // Schema evolution across parquet batches: batch 1 is written BEFORE a
+    // column existed, batch 2 carries it; a mergeSchema read unifies the
+    // directory (old rows surface NULL for the new column) — the data-lake
+    // reality every long-lived 100 TB corpus hits. The oracle replays the
+    // evolution with a CASE on the batch split. Count-of-non-null proves
+    // the NULL backfill semantics, not just the union.
+    QueryDef("q154_schema_evolution",
+      """WITH v AS (SELECT o_orderstatus,
+        |             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+        |             CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS pr
+        |           FROM orders)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(price_cents) AS BIGINT) AS price_cents,
+        |       CAST(count(pr) AS BIGINT) AS n_with_priority
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dir = tmp("evolve", d)
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"),
+        col("o_orderpriority"))
+      base.where(col("o_orderkey") % 2 === 0).drop("o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/batch=1")
+      base.where(col("o_orderkey") % 2 =!= 0)
+        .write.mode("overwrite").parquet(s"$dir/batch=2")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("price_cents"),
+          count(col("o_orderpriority")).as("n_with_priority"))
+        .orderBy("o_orderstatus")
     }
   )
 }
