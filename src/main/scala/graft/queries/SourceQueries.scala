@@ -213,6 +213,51 @@ object SourceQueries {
         .agg(count(lit(1)).as("n"), sum("price_cents").as("price_cents"),
           count(col("o_orderpriority")).as("n_with_priority"))
         .orderBy("o_orderstatus")
+    },
+
+    // Corrupt-tolerant ingestion: a JSONL landing file where every 7th line
+    // is malformed (truncated mid-object), read in PERMISSIVE mode with a
+    // columnNameOfCorruptRecord column — bad lines surface as quarantine
+    // rows instead of failing the scan (the behavior a 100 TB web-crawl
+    // ingest needs: count and route the garbage, never die on it). Rows
+    // bucket on the corrupt marker, NEVER on partially-parsed fields
+    // (Spark's partial-results mode may fill leading fields of a corrupt
+    // row). The oracle replays the corruption rule arithmetically.
+    QueryDef("q155_corrupt_tolerant_scan",
+      """WITH e AS (SELECT event_id, event_type,
+        |                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |           FROM events),
+        |b AS (SELECT CASE WHEN event_id % 7 = 0 THEN '_corrupt'
+        |             ELSE event_type END AS bucket,
+        |             CASE WHEN event_id % 7 = 0 THEN NULL ELSE k END AS k
+        |      FROM e)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(coalesce(sum(k), 0) AS BIGINT) AS k_sum
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      val dir = tmp("corrupt", d)
+      val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      e.select(
+          when(col("event_id") % 7 === 0,
+            concat(lit("{\"event_id\":"), col("event_id"),
+              lit(",\"event_type\":")))
+          .otherwise(concat(lit("{\"event_id\":"), col("event_id"),
+            lit(",\"event_type\":\""), col("event_type"),
+            lit("\",\"k\":"), col("k"), lit("}")))
+          .as("value"))
+        .write.mode("overwrite").text(dir)
+      val schema = new StructType()
+        .add("event_id", LongType).add("event_type", StringType)
+        .add("k", LongType).add("_corrupt_record", StringType)
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir)
+        .select(when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+          .otherwise(col("event_type")).as("bucket"), col("k"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), coalesce(sum("k"), lit(0L)).as("k_sum"))
+        .orderBy("bucket")
     }
   )
 }
