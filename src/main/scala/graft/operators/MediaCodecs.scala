@@ -325,10 +325,14 @@ object MediaCodecs {
     // block walk: extensions until the first image descriptor
     while (pos < bytes.length && (bytes(pos) & 0xff) == 0x21) {
       pos += 2 // introducer + label
-      while ((bytes(pos) & 0xff) != 0) pos += 1 + (bytes(pos) & 0xff)
+      require(pos < bytes.length, "GIF: truncated extension block")
+      while ((bytes(pos) & 0xff) != 0) {
+        pos += 1 + (bytes(pos) & 0xff)
+        require(pos < bytes.length, "GIF: extension sub-block overruns the file")
+      }
       pos += 1 // block terminator
     }
-    require(pos < bytes.length && (bytes(pos) & 0xff) == 0x2c,
+    require(pos + 10 <= bytes.length && (bytes(pos) & 0xff) == 0x2c,
       s"GIF: expected image descriptor at byte $pos")
     val w = u16(pos + 5)
     val h = u16(pos + 7)
@@ -343,6 +347,7 @@ object MediaCodecs {
       pos += 3 * n
     }
     require(palette != null, "GIF: no color table (global or local)")
+    require(pos + 1 < bytes.length, "GIF: truncated before the LZW stream")
     val minCodeSize = bytes(pos) & 0xff
     require(minCodeSize >= 1 && minCodeSize <= 8, s"GIF: bad LZW root size $minCodeSize")
     pos += 1
@@ -590,6 +595,10 @@ object MediaCodecs {
     val w = bb.getInt(4)
     val h = bb.getInt(8)
     require(w > 0 && h > 0, s"QOI: bad dimensions ${w}x$h")
+    // header dims are untrusted 32-bit fields: w*h*3 must fit an Int or the
+    // pixel-count arithmetic silently wraps (65536×65536 → n = 0)
+    require(w.toLong * h * 3L <= Int.MaxValue,
+      s"QOI: frame ${w}x$h exceeds the supported pixel-buffer size")
     val channels = bytes(12) & 0xff
     require(channels == 3 || channels == 4, s"QOI: channels must be 3 or 4, got $channels")
     require((bytes(13) & 0xff) <= 1, "QOI: bad colorspace byte")

@@ -67,10 +67,15 @@ object Multimodal {
                                     nPixels: Long, sumR: Long, sumG: Long,
                                     sumB: Long, wSum: Long)
 
-  object BmpImageDecoder extends MediaDecoder[PosImageFeatures] {
-    override def decodeBatch(batch: Array[(Long, Array[Byte])]): Array[PosImageFeatures] =
+  /** Shared decoder shell for every [[PosImageFeatures]] codec: the decode
+    * kernel varies, the channel-sum + position-weighted-checksum fold and
+    * the row contract do not.
+    */
+  sealed abstract class PosImageDecoder(decode: Array[Byte] => MediaCodecs.Image)
+      extends MediaDecoder[PosImageFeatures] {
+    final override def decodeBatch(batch: Array[(Long, Array[Byte])]): Array[PosImageFeatures] =
       batch.map { case (id, bytes) =>
-        val img = MediaCodecs.decodeBmp(bytes)
+        val img = decode(bytes)
         var (sr, sg, sb, ws) = (0L, 0L, 0L, 0L)
         var f = 0
         while (f < img.pixels.length) {
@@ -86,43 +91,23 @@ object Multimodal {
         PosImageFeatures(id, img.width, img.height,
           img.width.toLong * img.height, sr, sg, sb, ws)
       }
-    override val schema: StructType = new StructType()
+    final override val schema: StructType = new StructType()
       .add("media_id", LongType).add("width", IntegerType)
       .add("height", IntegerType).add("n_pixels", LongType)
       .add("sum_r", LongType).add("sum_g", LongType).add("sum_b", LongType)
       .add("wsum", LongType)
-    override def toRow(f: PosImageFeatures): Row =
+    final override def toRow(f: PosImageFeatures): Row =
       Row(f.id, f.width, f.height, f.nPixels, f.sumR, f.sumG, f.sumB, f.wSum)
   }
+
+  object BmpImageDecoder extends PosImageDecoder(MediaCodecs.decodeBmp)
 
   /** PNG twin of [[BmpImageDecoder]]: the decode crosses a real DEFLATE
     * stream and five per-row filter predictors, so the position-weighted
     * checksum is doing real work — a single mis-predicted byte corrupts
     * every later byte in its row (Sub) or column (Up/Paeth) and breaks wsum.
     */
-  object PngImageDecoder extends MediaDecoder[PosImageFeatures] {
-    override def decodeBatch(batch: Array[(Long, Array[Byte])]): Array[PosImageFeatures] =
-      batch.map { case (id, bytes) =>
-        val img = MediaCodecs.decodePng(bytes)
-        var (sr, sg, sb, ws) = (0L, 0L, 0L, 0L)
-        var f = 0
-        while (f < img.pixels.length) {
-          val p = img.pixels(f) & 0xff
-          (f % 3: @annotation.switch) match {
-            case 0 => sr += p
-            case 1 => sg += p
-            case 2 => sb += p
-          }
-          ws += (f + 1).toLong * p
-          f += 1
-        }
-        PosImageFeatures(id, img.width, img.height,
-          img.width.toLong * img.height, sr, sg, sb, ws)
-      }
-    override val schema: StructType = BmpImageDecoder.schema
-    override def toRow(f: PosImageFeatures): Row =
-      Row(f.id, f.width, f.height, f.nPixels, f.sumR, f.sumG, f.sumB, f.wSum)
-  }
+  object PngImageDecoder extends PosImageDecoder(MediaCodecs.decodePng)
 
   /** GIF twin of [[PngImageDecoder]]: the decode crosses a variable-width
     * LZW stream (a different compression family than PNG's DEFLATE), a
@@ -130,57 +115,13 @@ object Multimodal {
     * row reordering; the position-weighted checksum pins every decoded
     * byte to its de-interlaced position.
     */
-  object GifImageDecoder extends MediaDecoder[PosImageFeatures] {
-    override def decodeBatch(batch: Array[(Long, Array[Byte])]): Array[PosImageFeatures] =
-      batch.map { case (id, bytes) =>
-        val img = MediaCodecs.decodeGif(bytes)
-        var (sr, sg, sb, ws) = (0L, 0L, 0L, 0L)
-        var f = 0
-        while (f < img.pixels.length) {
-          val p = img.pixels(f) & 0xff
-          (f % 3: @annotation.switch) match {
-            case 0 => sr += p
-            case 1 => sg += p
-            case 2 => sb += p
-          }
-          ws += (f + 1).toLong * p
-          f += 1
-        }
-        PosImageFeatures(id, img.width, img.height,
-          img.width.toLong * img.height, sr, sg, sb, ws)
-      }
-    override val schema: StructType = BmpImageDecoder.schema
-    override def toRow(f: PosImageFeatures): Row =
-      Row(f.id, f.width, f.height, f.nPixels, f.sumR, f.sumG, f.sumB, f.wSum)
-  }
+  object GifImageDecoder extends PosImageDecoder(MediaCodecs.decodeGif)
 
   /** QOI twin of [[PngImageDecoder]]: the decode crosses the spec's op
     * stream — runs, the 64-entry color cache, wrapping delta ops — so the
     * position-weighted checksum pins every reconstructed pixel.
     */
-  object QoiImageDecoder extends MediaDecoder[PosImageFeatures] {
-    override def decodeBatch(batch: Array[(Long, Array[Byte])]): Array[PosImageFeatures] =
-      batch.map { case (id, bytes) =>
-        val img = MediaCodecs.decodeQoi(bytes)
-        var (sr, sg, sb, ws) = (0L, 0L, 0L, 0L)
-        var f = 0
-        while (f < img.pixels.length) {
-          val p = img.pixels(f) & 0xff
-          (f % 3: @annotation.switch) match {
-            case 0 => sr += p
-            case 1 => sg += p
-            case 2 => sb += p
-          }
-          ws += (f + 1).toLong * p
-          f += 1
-        }
-        PosImageFeatures(id, img.width, img.height,
-          img.width.toLong * img.height, sr, sg, sb, ws)
-      }
-    override val schema: StructType = BmpImageDecoder.schema
-    override def toRow(f: PosImageFeatures): Row =
-      Row(f.id, f.width, f.height, f.nPixels, f.sumR, f.sumG, f.sumB, f.wSum)
-  }
+  object QoiImageDecoder extends PosImageDecoder(MediaCodecs.decodeQoi)
 
   /** Decoded-audio features: integer |sample| aggregates, same replay idea. */
   final case class AudioFeatures(id: Long, sampleRate: Int, nSamples: Long,

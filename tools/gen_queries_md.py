@@ -18,8 +18,10 @@ for f in sorted(glob.glob('src/main/scala/graft/queries/*.scala')):
             desc.insert(0, lines[j].strip().lstrip('/ '))
             j -= 1
         first = ' '.join(desc)
-        sent = re.split(r'(?<=[.;]) ', first)[0] if first else ''
-        sent = sent.rstrip('.;,')
+        # protect abbreviation periods ("et al. 2021") from the sentence split
+        guarded = first.replace('et al. ', 'et al.\x00')
+        sent = re.split(r'(?<=[.;]) ', guarded)[0] if first else ''
+        sent = sent.replace('\x00', ' ').rstrip('.;,')
         mod = f.split('/')[-1].replace('.scala', '')
         rows.append((name, mod, sent, 'rows-only' if rows_only else 'oracle'))
 
