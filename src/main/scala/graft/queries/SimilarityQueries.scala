@@ -404,8 +404,98 @@ object SimilarityQueries {
               col("codes"), (v, c) => abs(v - c.cast("double"))),
             e => e > 0.5)).cast("long").as("n_bad"))
         .orderBy("vec_id")
+    },
+
+    // Hybrid retrieval (the RAG-stack shape): a lexical BM25 top-20 leg and
+    // a semantic cosine top-20 leg fused by reciprocal-rank fusion,
+    // RRF(d) = Σ 1/(60 + rank_leg(d)), in integer 1e-6 units. Both legs are
+    // existing scale-safe operators (Bm25.topK semi-joins the corpus to the
+    // broadcast term set; bruteForceTopK broadcasts the single query
+    // vector); the fusion joins two ≤ 20-row relations, and the final
+    // ranking window sees ≤ 40 rows — bounded by construction, never
+    // corpus-sized. No half-way rounding exists: 1e6/(60+r) for r ∈ 1..20
+    // is exactly representable or far from .5 (61..80 divides 2e6 only
+    // where it also divides 1e6).
+    QueryDef("q156_hybrid_retrieval", HybridSql.sql) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val lex = graft.operators.Bm25.topK(
+          Tables.documents(s, d), col("doc_id"), split(col("text"), " ", -1),
+          Seq((1L, "spark"), (1L, "stream")).toDF("qid", "term"), k = 20)
+        .select(col("doc_id"), col("rank").as("r_lex"))
+      val emb = Tables.embeddings(s, d)
+      val sem = Similarity.bruteForceTopK(
+          emb, emb.where(col("vec_id") === HybridSql.AnchorVec), 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("r_sem"))
+      def rrf(r: org.apache.spark.sql.Column) =
+        coalesce(round(lit(1e6) / (r + 60), 0), lit(0.0)).cast("long")
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), (rrf(col("r_lex")) + rrf(col("r_sem"))).as("rrf_e6"),
+          coalesce(col("r_lex"), lit(0)).cast("long").as("r_lex"),
+          coalesce(col("r_sem"), lit(0)).cast("long").as("r_sem"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf_e6").desc, col("doc_id"))).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("rank"), col("doc_id"), col("rrf_e6"), col("r_lex"), col("r_sem"))
+        .orderBy("rank")
     }
   )
+}
+
+/** Oracle for q156: q121's BM25 CTE chain restricted to the one lexical
+  * query, q40's cosine chain restricted to the one anchor vector, then the
+  * same integer-unit RRF fusion and bounded final ranking.
+  */
+private[queries] object HybridSql {
+  val AnchorVec = 3
+  import SimilarityQueries.{dotSql, normSql}
+
+  val sql: String =
+    s"""WITH bl AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |       FROM documents),
+       |stats AS (SELECT count(*) AS n_docs,
+       |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM bl),
+       |tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM bl),
+       |hits AS (SELECT doc_id, dl, term FROM tok
+       |         WHERE term IN ('spark', 'stream')),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+       |              max(dl) AS dl FROM hits GROUP BY doc_id, term),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT doc_id, term,
+       |         CAST(round(
+       |           ln((CAST(s.n_docs - df.df AS DOUBLE) + 0.5)
+       |              / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+       |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+       |           / (CAST(tf.tf AS DOUBLE)
+       |              + 1.2 * (0.25 + (0.75 * CAST(tf.dl AS DOUBLE)) / s.avgdl))
+       |           * 1000000, 0) AS BIGINT) AS s_e6
+       |       FROM tf JOIN df USING (term) CROSS JOIN stats s),
+       |ag AS (SELECT sc.doc_id, CAST(sum(s_e6) AS BIGINT) AS sum_e6
+       |       FROM sc GROUP BY sc.doc_id),
+       |lexk AS (SELECT doc_id, rank AS r_lex FROM (
+       |  SELECT doc_id, row_number() OVER (ORDER BY sum_e6 DESC, doc_id)
+       |           AS rank FROM ag) WHERE rank <= 20),
+       |v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+       |      FROM embeddings),
+       |q AS (SELECT embedding AS qv, nrm AS qn FROM v WHERE vec_id = $AnchorVec),
+       |semk AS (SELECT doc_id, rank AS r_sem FROM (
+       |  SELECT v.vec_id AS doc_id,
+       |         row_number() OVER (ORDER BY
+       |           round(${dotSql("qv", "v.embedding")} / (qn * v.nrm), 6) DESC,
+       |           v.vec_id) AS rank
+       |  FROM q JOIN v ON v.vec_id <> $AnchorVec) WHERE rank <= 20),
+       |f AS (SELECT coalesce(l.doc_id, s2.doc_id) AS doc_id,
+       |        coalesce(CAST(round(1000000 / (l.r_lex + 60), 0) AS BIGINT), 0)
+       |        + coalesce(CAST(round(1000000 / (s2.r_sem + 60), 0) AS BIGINT), 0)
+       |          AS rrf_e6,
+       |        CAST(coalesce(l.r_lex, 0) AS BIGINT) AS r_lex,
+       |        CAST(coalesce(s2.r_sem, 0) AS BIGINT) AS r_sem
+       |      FROM lexk l FULL OUTER JOIN semk s2 ON l.doc_id = s2.doc_id)
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, rrf_e6, r_lex, r_sem
+       |FROM (SELECT *, row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS rank
+       |      FROM f)
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
 }
 
 /** Exact-L2 anchor oracle for q125: the 10th-nearest squared distance per
