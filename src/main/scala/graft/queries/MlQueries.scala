@@ -177,6 +177,68 @@ object MlQueries {
         .orderBy("split")
     },
 
+    // Mergeability contract for the fitted-statistics family: fitting on
+    // partition halves and MERGING the integer sums must equal the global
+    // one-pass fit EXACTLY — the map-side-partials correctness property
+    // that makes the ScalerPipeline distributed-safe, stated as data. Both
+    // paths derive (n, mu, sigma, lo, hi) from the same exact-integer
+    // aggregates through the same IEEE op sequence, so the two output rows
+    // are bit-identical in BOTH engines; a float-accumulation fit would
+    // break the merged row's hash here run-dependently (the q49 lesson,
+    // promoted to an explicit contract).
+    QueryDef("q157_stats_merge",
+      """WITH y AS (SELECT CAST(CAST(round(ln(o_totalprice + 1) * 1000000, 0)
+        |                  AS BIGINT) AS HUGEINT) AS y,
+        |                  ln(o_totalprice + 1) AS x, o_orderkey % 2 AS half
+        |           FROM orders),
+        |h AS (SELECT half, count(*) AS n, sum(y) AS s1, sum(y * y) AS s2,
+        |             min(x) AS lo, max(x) AS hi FROM y GROUP BY half),
+        |m AS (SELECT sum(n) AS n, sum(s1) AS s1, sum(s2) AS s2,
+        |             min(lo) AS lo, max(hi) AS hi FROM h),
+        |g AS (SELECT count(*) AS n, sum(y) AS s1, sum(y * y) AS s2,
+        |             min(x) AS lo, max(x) AS hi FROM y)
+        |SELECT path, CAST(n AS BIGINT) AS n,
+        |       round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000, 9)
+        |         + 0.0 AS mu,
+        |       round(sqrt(CASE WHEN CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |                    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) < 0
+        |                  THEN 0
+        |                  ELSE CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |                    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) END)
+        |             / 1000000, 9) + 0.0 AS sigma,
+        |       round(lo, 9) AS lo, round(hi, 9) AS hi
+        |FROM (SELECT 'global' AS path, * FROM g
+        |      UNION ALL SELECT 'merged', * FROM m)
+        |ORDER BY path""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val x = log(col("o_totalprice") + lit(1.0))
+      val y = round(x * lit(1e6), 0).cast("long").cast(dec)
+      val orders = Tables.orders(s, d)
+      val halves = orders.groupBy((col("o_orderkey") % 2).as("half"))
+        .agg(count(y).as("n"), sum(y).as("s1"), sum(y * y).as("s2"),
+          min(x).as("lo"), max(x).as("hi"))
+      val merged = halves.agg(sum("n").as("n"),
+        sum("s1").cast(dec).as("s1"), sum("s2").cast(dec).as("s2"),
+        min("lo").as("lo"), max("hi").as("hi"))
+      val global = orders.agg(count(y).as("n"), sum(y).as("s1"),
+        sum(y * y).as("s2"), min(x).as("lo"), max(x).as("hi"))
+      def derive(df: org.apache.spark.sql.DataFrame, path: String) = {
+        val s1d = col("s1").cast("double") / col("n").cast("double")
+        val s2d = col("s2").cast("double") / col("n").cast("double")
+        val v = s2d - s1d * s1d
+        df.select(lit(path).as("path"), col("n").cast("long").as("n"),
+          (round(s1d / 1e6, 9) + lit(0.0)).as("mu"),
+          (round(sqrt(when(v < 0, lit(0.0)).otherwise(v)) / 1e6, 9) + lit(0.0))
+            .as("sigma"),
+          round(col("lo"), 9).as("lo"), round(col("hi"), 9).as("hi"))
+      }
+      derive(global, "global").unionAll(derive(merged, "merged"))
+        .orderBy("path")
+    },
+
     // SURVEY §2 row 45: iterative logistic-regression fit (spark.ml,
     // driver-coordinated treeAggregate loop). LBFGS weights can't hash-match
     // any other engine, but their CONTRACT is checkable (the q54/q96
