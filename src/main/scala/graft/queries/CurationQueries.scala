@@ -1021,6 +1021,73 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Split STABILITY under corpus growth — the dataset-versioning property
+    // behind the hash-split design (SURVEY §2 row 17): when a new batch
+    // lands, a salted-hash split NEVER reassigns an existing document
+    // (assignment is a pure function of the key), while shuffle-then-slice
+    // (rank-percent) splits reshuffle ranks and leak documents across the
+    // train/test boundary — silent test-set contamination on every corpus
+    // refresh. Both methods run on the old corpus and the grown corpus;
+    // the contract counts reassignments: hash = 0 by construction, rank > 0,
+    // and BOTH engines must agree on the exact counts. The rank leg uses
+    // the two-stage GlobalRank zip (no partition-less window); percent
+    // slicing compares integers (r·100 < n·64), never fractions.
+    QueryDef("q158_split_stability", {
+      import graft.functions.Hashes
+      import graft.operators.Split
+      def rankCtes(src: String, tag: String) =
+        s"""r_$tag AS (SELECT doc_id,
+           |    row_number() OVER (ORDER BY ${Hashes.mulHashSql("doc_id", 7)},
+           |      doc_id) - 1 AS r,
+           |    count(*) OVER () AS n FROM $src),
+           |s_$tag AS (SELECT doc_id,
+           |    CASE WHEN r * 100 < n * 64 THEN 'train'
+           |         WHEN r * 100 < n * 80 THEN 'valid' ELSE 'test' END AS sp
+           |  FROM r_$tag)""".stripMargin
+      s"""WITH old AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0),
+         |ho AS (SELECT doc_id, ${Split.assignSplitSql("doc_id", 21)} AS sp
+         |       FROM old),
+         |hn AS (SELECT doc_id, ${Split.assignSplitSql("doc_id", 21)} AS sp
+         |       FROM documents),
+         |${rankCtes("old", "o")},
+         |${rankCtes("documents", "n")}
+         |SELECT method, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(n_reassigned AS BIGINT) AS n_reassigned FROM (
+         |  SELECT 'hash' AS method, count(*) AS n_docs,
+         |         count(CASE WHEN ho.sp <> hn.sp THEN 1 END) AS n_reassigned
+         |  FROM ho JOIN hn USING (doc_id)
+         |  UNION ALL
+         |  SELECT 'rank', count(*),
+         |         count(CASE WHEN s_o.sp <> s_n.sp THEN 1 END)
+         |  FROM s_o JOIN s_n USING (doc_id))
+         |ORDER BY method""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.{GlobalRank, Split}
+      val all = Tables.documents(s, d).select(col("doc_id"))
+      val old = all.where(col("doc_id") % 10 =!= 0)
+      def hashSplit(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), Split.assignSplit(col("doc_id"), 21).as("sp"))
+      def rankSplit(df: org.apache.spark.sql.DataFrame) = {
+        val ranked = GlobalRank.zipWithRank(
+          df.select(col("doc_id"), Hashes.mulHash(col("doc_id"), 7).as("h")),
+          Seq(col("h"), col("doc_id")), 8, "r")
+        ranked.crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+          .select(col("doc_id"),
+            when(col("r") * 100 < col("n") * 64, "train")
+              .when(col("r") * 100 < col("n") * 80, "valid")
+              .otherwise("test").as("sp"))
+      }
+      def reassigned(o: org.apache.spark.sql.DataFrame,
+                     n: org.apache.spark.sql.DataFrame, method: String) =
+        o.join(n.withColumnRenamed("sp", "sp_new"), "doc_id")
+          .agg(lit(method).as("method"), count(lit(1)).as("n_docs"),
+            count(when(col("sp") =!= col("sp_new"), 1)).as("n_reassigned"))
+          .select("method", "n_docs", "n_reassigned")
+      reassigned(hashSplit(old), hashSplit(all), "hash")
+        .unionAll(reassigned(rankSplit(old), rankSplit(all), "rank"))
+        .orderBy("method")
+    },
+
     // The Gopher repetition-rule family (Rae et al. 2021 §A1.1, token-soup
     // edition): per document, the token fraction claimed by the MOST COMMON
     // 2/3/4-gram and the union coverage of within-doc duplicated 5-grams,
