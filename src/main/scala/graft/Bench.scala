@@ -71,12 +71,49 @@ object Bench {
         clearCaches(spark)
         dt
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      (name, if (times.contains(-1.0)) -1.0 else times.min, times)
     }
-    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // BENCH_ALL also times the DataPipelineDemo funnel stage by stage: the
+    // curation chain (clean→quality→dedup→…→mixture) has pinned PLANS but
+    // had no pinned WALL-TIME, so a stage regression could hide until a
+    // user's pipeline slowed. Stages materialize in funnel order, so each
+    // timing is that stage's own work on top of its (persisted) upstream.
+    val demoResults =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) {
+        try {
+          val cleaned = DataPipelineDemo.clean(Tables.documents(spark, sfDir))
+          val st = DataPipelineDemo.stages(cleaned, Tables.embeddings(spark, sfDir))
+          Seq("blocked", "quality", "exact", "scrub", "near", "sem",
+            "decon", "tilt", "packed", "mixed").map { stage =>
+            val t0 = System.nanoTime()
+            val ok =
+              try { materialize(st(stage)); true }
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] demo_$stage failed: ${e.getMessage}")
+                false
+              }
+            val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+            (s"demo_$stage", dt, Seq(dt))
+          }
+        } catch {
+          // a broken funnel must not take the whole sweep's JSON down with it
+          case e: Throwable =>
+            System.err.println(s"[bench] demo funnel failed: ${e.getMessage}")
+            Seq(("demo_blocked", -1.0, Seq(-1.0)))
+        } finally clearCaches(spark)
+      } else Seq.empty
+    val all = results ++ demoResults
+    val qJson = all.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}"""
+    // all rep times per query: min stays the metric, but the spread is the
+    // diagnostic — external load shows up as wide reps, a plan regression as
+    // uniformly-slow tight reps (r4's 17.5s-vs-14.0s question was unanswerable
+    // without this)
+    val repJson = all.map { case (k, _, ts) =>
+      "\"" + k + "\":[" + ts.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = all.collect { case (_, v, _) if v >= 0 => v }.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"reps":$repJson,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing so no shutdown log line can interleave with
     // the metric line; also drop a file copy as a parse-proof side channel
     spark.stop()

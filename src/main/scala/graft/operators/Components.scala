@@ -132,16 +132,35 @@ object Components {
         .where(col("a") =!= col("b"))
     }
 
-    var e = init.where(col("a") =!= col("b"))
-      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
-      .distinct().localCheckpoint()
+    // Fixpoint detection rides the checkpoint materialization via observe(),
+    // like connectedComponents' change count: each round's edge set is
+    // distinct and canonically oriented (a > b), so (count, XOR xxhash64(a,b))
+    // is an order-insensitive set signature collected for free DURING the
+    // checkpoint job (bit_xor, not sum: commutative AND overflow-free under
+    // ANSI mode). Signature equality triggers ONE confirming anti-join
+    // (|next| = |e| plus next∖e = ∅ ⇒ set equality) — so the exact check
+    // runs once at convergence instead of two O(E) shuffle-scan jobs every
+    // round, which on a giant graph was the dominant non-rewrite cost.
+    def checkpointWithSig(df: DataFrame, name: String): (DataFrame, Long, Long) = {
+      val obs = org.apache.spark.sql.Observation(name)
+      val out = df.observe(obs, count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("h"))
+        .localCheckpoint()
+      (out, obs.get("n").asInstanceOf[Long], obs.get("h").asInstanceOf[Long])
+    }
+
+    var (e, eN, eH) = checkpointWithSig(
+      init.where(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+        .distinct(),
+      "lsss_init")
     var iter = 0
-    var converged = e.isEmpty
+    var converged = eN == 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e).distinct()).distinct().localCheckpoint()
-      // fixpoint = the star forest reproduces itself exactly
-      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
-      e = next
+      val (next, nN, nH) = checkpointWithSig(
+        smallStar(largeStar(e).distinct()).distinct(), s"lsss_round_$iter")
+      converged = nN == eN && nH == eH && next.exceptAll(e).isEmpty
+      e = next; eN = nN; eH = nH
       iter += 1
     }
     if (!converged && iter >= maxIter) throw new IllegalStateException(
