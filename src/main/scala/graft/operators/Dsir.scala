@@ -11,13 +11,15 @@ import graft.functions.Hashes
   * This is the standard recipe for tilting a 100 TB crawl toward a
   * curated domain (e.g. Wikipedia-like text) without training a classifier.
   *
-  * Shape at scale: the token stream is a narrow explode scanned ONCE
-  * (persisted across its three consumers); both feature distributions
-  * collapse to `buckets` rows (a constant — 10⁴ in the paper), so the
-  * log-ratio table broadcasts and scoring is a map-side join + one exact
-  * integer groupBy per doc; selection is a TakeOrderedAndProject top-k,
-  * never a global sort. No stage's cardinality depends on corpus size
-  * except the token explode every tokenizer pays.
+  * Shape at scale: the token stream is a narrow explode, persisted only
+  * while the feature distributions are derived and released immediately
+  * after (no session-lifetime cache); both distributions collapse to
+  * `buckets` rows (a constant — 10⁴ in the paper), so the log-ratio table
+  * broadcasts and scoring is a map-side join + one exact integer groupBy
+  * per doc; selection is a TakeOrderedAndProject top-k, never a global
+  * sort. No stage's cardinality depends on corpus size except the token
+  * explode every tokenizer pays (twice: once building the ratio table,
+  * once scoring).
   *
   * Determinism: bucket = tokenHash(token) mod buckets (the salted
   * multiplicative family — [[Hashes.tokenHashSql]] is the DuckDB twin);
@@ -39,6 +41,7 @@ object Dsir {
     */
   def importanceWeights(docs: DataFrame, isTarget: Column, buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = docs.sparkSession
     val tok = docs
       .select(col("doc_id"), isTarget.as("is_target"),
         explode(split(col("text"), " ", -1)).as("token"))
@@ -50,23 +53,35 @@ object Dsir {
       // exactly the kind of hidden O(corpus) memory a 100 TB run dies on
       // (ScaleProbe caught this as a 1.37 scaling exponent before the fix)
       .select(col("doc_id"), col("is_target"), col("b"))
-      .persist() // three consumers: raw counts, target counts, scoring join
-    val rawCnt = tok.groupBy("b").agg(count(lit(1)).as("rc"))
-    val tgtCnt = tok.where(col("is_target")).groupBy("b").agg(count(lit(1)).as("tc"))
-    val nRaw = tok.agg(count(lit(1)).as("nr"))
-    val nTgt = tok.where(col("is_target")).agg(count(lit(1)).as("nt"))
-    // every bucket that occurs in ANY doc occurs in the raw counts, so the
-    // raw side is the spine; absent target cells smooth to (0+1)/(nt+B)
-    val ratio = rawCnt
-      .join(tgtCnt, Seq("b"), "left")
-      .crossJoin(broadcast(nRaw)).crossJoin(broadcast(nTgt))
-      .select(col("b"),
-        round((log((coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double")
-              / (col("nt") + lit(buckets.toLong)).cast("double"))
-          - log((col("rc") + lit(1L)).cast("double")
-              / (col("nr") + lit(buckets.toLong)).cast("double"))) * 1e6, 0)
-          .cast("long").as("lr_e6"))
-    tok.join(broadcast(ratio), "b")
+    // the persist lives only while the ≤buckets-row ratio table is derived
+    // (four consumers: raw/target counts, both totals), then is RELEASED —
+    // a session-lifetime cached token relation per call was a leak. The
+    // scoring pass below recomputes the explode once at materialization;
+    // one extra scan, bounded executor memory.
+    tok.persist()
+    val ratioLocal =
+      try {
+        val rawCnt = tok.groupBy("b").agg(count(lit(1)).as("rc"))
+        val tgtCnt = tok.where(col("is_target")).groupBy("b").agg(count(lit(1)).as("tc"))
+        val nRaw = tok.agg(count(lit(1)).as("nr"))
+        val nTgt = tok.where(col("is_target")).agg(count(lit(1)).as("nt"))
+        // every bucket that occurs in ANY doc occurs in the raw counts, so the
+        // raw side is the spine; absent target cells smooth to (0+1)/(nt+B)
+        val ratio = rawCnt
+          .join(tgtCnt, Seq("b"), "left")
+          .crossJoin(broadcast(nRaw)).crossJoin(broadcast(nTgt))
+          .select(col("b"),
+            round((log((coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double")
+                  / (col("nt") + lit(buckets.toLong)).cast("double"))
+              - log((col("rc") + lit(1L)).cast("double")
+                  / (col("nr") + lit(buckets.toLong)).cast("double"))) * 1e6, 0)
+              .cast("long").as("lr_e6"))
+        // ≤ buckets rows by construction — a driver materialization in the
+        // same O(k) class as the fitted-scaler stats and PQ codebooks
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(ratio.collect().toSeq.asJava, ratio.schema)
+      } finally tok.unpersist()
+    tok.join(broadcast(ratioLocal), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("lr_e6").as("w_e6"))
   }

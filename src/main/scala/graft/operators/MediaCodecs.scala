@@ -116,9 +116,14 @@ object MediaCodecs {
     val bpp = bb.getShort(28) & 0xffff
     require(bpp == 24, s"BMP: only 24-bit supported, got $bpp")
     require(bb.getInt(30) == 0, "BMP: only uncompressed (BI_RGB) supported")
-    val rowSize = (w * 3 + 3) / 4 * 4
-    require(dataOffset.toLong + rowSize.toLong * h <= bytes.length,
-      s"BMP: truncated payload — need ${rowSize.toLong * h} bytes from $dataOffset")
+    // untrusted 32-bit dims: bound w*h*3 in Long BEFORE any Int arithmetic —
+    // overflow would wrap rowSize/array sizes negative-or-small and bypass
+    // the truncation check (same guard decodeQoi applies)
+    require(w.toLong * h * 3 <= Int.MaxValue, s"BMP: dimensions ${w}x$h overflow")
+    val rowSizeL = (w.toLong * 3 + 3) / 4 * 4
+    require(dataOffset.toLong + rowSizeL * h <= bytes.length,
+      s"BMP: truncated payload — need ${rowSizeL * h} bytes from $dataOffset")
+    val rowSize = rowSizeL.toInt // ≤ file length, proven by the bound above
     val out = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -184,19 +189,39 @@ object MediaCodecs {
       pos += 12 + len
     }
     require(ended, "PNG: no IEND chunk")
+    // untrusted 32-bit dims: bound the filtered-scanline buffer in Long
+    // before allocating (h rows of 1 filter byte + 3w pixels)
+    require(h.toLong * (1L + 3L * w) <= Int.MaxValue,
+      s"PNG: dimensions ${w}x$h overflow")
     val stride = w * 3
     val raw = new Array[Byte](h * (1 + stride))
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var off = 0
-    while (off < raw.length && !inf.finished()) {
-      val n = inf.inflate(raw, off, raw.length - off)
-      require(n > 0 || !inf.needsInput, "PNG: truncated IDAT stream")
-      off += n
-    }
+    try {
+      while (off < raw.length && !inf.finished()) {
+        // corrupt DEFLATE data surfaces as DataFormatException — rethrow as
+        // the require-style IllegalArgumentException the error contract pins
+        val n =
+          try inf.inflate(raw, off, raw.length - off)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"PNG: corrupt DEFLATE stream: ${e.getMessage}")
+          }
+        // inflate()==0 with the stream unfinished means the inflater wants
+        // something this loop will never provide: more input (truncated
+        // IDAT) or a preset dictionary (zlib FDICT, which the PNG spec
+        // forbids). Gating on needsInput alone missed the FDICT case — a
+        // CRC-valid crafted file would spin this loop forever.
+        require(n > 0,
+          if (inf.needsDictionary) "PNG: preset dictionary (FDICT) not allowed"
+          else "PNG: truncated IDAT stream")
+        off += n
+      }
+    } finally inf.end()
     require(off == raw.length,
       s"PNG: inflated ${off} bytes, expected ${raw.length}")
-    inf.end()
     // defilter: each scanline leads with its filter type; predictors see the
     // RECONSTRUCTED left/up/upper-left bytes (bpp = 3 for RGB8)
     val out = new Array[Byte](h * stride)

@@ -338,9 +338,13 @@ object SimilarityQueries {
         if (f.isDirectory) f.listFiles.foreach(rmrf)
         f.delete(): Unit
       }
-      val root = new java.io.File(
-        "/tmp/graft_stream_pq_" + math.abs(d.hashCode.toLong))
-      rmrf(root)
+      // unique root per invocation (a fixed shared path raced under
+      // concurrent runs — one rmrf'd the other's landing/checkpoint
+      // mid-stream); the result DataFrame reads the codes lazily, so
+      // cleanup waits for JVM exit rather than query construction
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stream_pq_").toFile
+      sys.addShutdownHook(rmrf(root))
       val landing = s"$root/landing"
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       emb.repartition(5).write.parquet(landing)

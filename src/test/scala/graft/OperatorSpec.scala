@@ -309,6 +309,55 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("png/bmp codecs: hostile headers fail loudly, never hang or wrap") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-built CRC-valid PNG with an arbitrary IDAT payload: the vehicle
+    // for zlib-level attacks that chunk CRCs cannot catch
+    def png(w: Int, h: Int, idat: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      def chunk(tag: String, body: Array[Byte]): Unit = {
+        val bb = ByteBuffer.allocate(12 + body.length).order(ByteOrder.BIG_ENDIAN)
+        bb.putInt(body.length).put(tag.getBytes("US-ASCII")).put(body)
+        val crc = new java.util.zip.CRC32()
+        crc.update(bb.array(), 4, 4 + body.length)
+        bb.putInt(crc.getValue.toInt)
+        out.write(bb.array())
+      }
+      val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+        .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      chunk("IHDR", ihdr)
+      chunk("IDAT", idat)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    // zlib header 0x78 0x20: FDICT set, FCHECK valid ((30720+32) % 31 == 0).
+    // PNG forbids preset dictionaries; Inflater reports it as inflate()==0
+    // with needsInput()==false — the exact shape that used to spin forever
+    val fdict = png(1, 1, Array(0x78, 0x20, 1, 2, 3, 4, 0, 0, 0, 0).map(_.toByte))
+    val eFdict = intercept[IllegalArgumentException](MediaCodecs.decodePng(fdict))
+    assert(eFdict.getMessage.contains("dictionary"))
+    // corrupt DEFLATE body behind a VALID chunk CRC: DataFormatException
+    // must surface as the require-style error contract, not escape raw
+    val garbage = png(1, 1, Array(0x78, 0x9c, 0x77, 0x77, 0x77, 0x77).map(_.toByte))
+    intercept[IllegalArgumentException](MediaCodecs.decodePng(garbage))
+    // dims whose w*h*3 wraps Int: must be rejected by the Long bound, not
+    // alloc a wrapped-size array (PNG never reaches inflate; BMP never
+    // reaches the row copy)
+    val ePng = intercept[IllegalArgumentException] {
+      MediaCodecs.decodePng(png(0x20000000, 4, Array[Byte](0x78, 0x9c.toByte)))
+    }
+    assert(ePng.getMessage.contains("overflow"))
+    val bmp = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte)
+    bmp.putInt(10, 54).putInt(14, 40)
+    bmp.putInt(18, 0x20000000).putInt(22, 4) // w*h*3 wraps negative
+    bmp.putShort(26, 1).putShort(28, 24).putInt(30, 0)
+    val eBmp = intercept[IllegalArgumentException](MediaCodecs.decodeBmp(bmp.array()))
+    assert(eBmp.getMessage.contains("overflow"))
+  }
+
   test("wav codec: chunk walking skips LIST, samples exact") {
     import java.nio.{ByteBuffer, ByteOrder}
     val samples = Array[Short](100, -200, 300, -400)
