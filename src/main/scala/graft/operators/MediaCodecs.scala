@@ -775,4 +775,588 @@ object MediaCodecs {
     require(samples != null, "WAV: no data chunk")
     Audio(sampleRate, samples)
   }
+
+  // --------------------------------------------------------------------------
+  // FLAC — the lossless COMPRESSED audio family (the codec set's seventh
+  // member, next to WAV's uncompressed PCM). Lossless means decoded PCM is
+  // bit-exact, so the same arithmetic-fixture oracle contract as WAV applies.
+  // Subset: 16-bit mono/stereo, all four subframe types (CONSTANT, VERBATIM,
+  // FIXED orders 0–4, LPC), Rice/Rice2 residuals incl. escape partitions,
+  // wasted bits, all four stereo decorrelation modes (independent,
+  // left/side, right/side, mid/side), CRC-8 frame-header and CRC-16 frame
+  // checks. Format per the public FLAC bitstream spec (RFC 9639).
+  // --------------------------------------------------------------------------
+
+  /** MSB-first bit reader over a byte array; every read bounds-checks so a
+    * truncated stream fails as IllegalArgumentException, never AIOOBE.
+    */
+  private final class BitReader(bytes: Array[Byte], var bytePos: Int) {
+    private var bitPos = 0 // bits already consumed of bytes(bytePos)
+
+    def readBit(): Int = {
+      require(bytePos < bytes.length, "FLAC: truncated stream")
+      val b = (bytes(bytePos) >> (7 - bitPos)) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      b
+    }
+
+    def readBits(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+
+    /** n-bit two's-complement signed read (n ≥ 1). */
+    def readSigned(n: Int): Int = {
+      val v = readBits(n)
+      (if ((v & (1L << (n - 1))) != 0) v - (1L << n) else v).toInt
+    }
+
+    /** Unary: count of 0 bits before the terminating 1. */
+    def readUnary(): Int = {
+      var q = 0
+      while (readBit() == 0) q += 1
+      q
+    }
+
+    def alignByte(): Unit = if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+    def isAligned: Boolean = bitPos == 0
+  }
+
+  /** CRC-8, polynomial x⁸+x²+x+1 (0x07), init 0 — FLAC frame headers. */
+  private def flacCrc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= bytes(i) & 0xff
+      var b = 0
+      while (b < 8) { crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff; b += 1 }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, polynomial 0x8005, init 0 — FLAC whole-frame checksum. */
+  private def flacCrc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (bytes(i) & 0xff) << 8
+      var b = 0
+      while (b < 8) { crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff else (crc << 1) & 0xffff; b += 1 }
+      i += 1
+    }
+    crc
+  }
+
+  /** The UTF-8-style variable-length frame number (up to 36 bits). */
+  private def readFlacUtf8(br: BitReader): Long = {
+    val b0 = br.readBits(8).toInt
+    if ((b0 & 0x80) == 0) return b0.toLong
+    var lead = 0
+    while (lead < 8 && ((b0 << lead) & 0x80) != 0) lead += 1
+    require(lead >= 2 && lead <= 7, s"FLAC: bad UTF-8 coded number lead byte $b0")
+    var v = (b0 & (0x7f >> lead)).toLong
+    var i = 1
+    while (i < lead) {
+      val c = br.readBits(8).toInt
+      require((c & 0xc0) == 0x80, "FLAC: bad UTF-8 continuation byte")
+      v = (v << 6) | (c & 0x3f)
+      i += 1
+    }
+    v
+  }
+
+  /** Rice-coded residual: 2-bit method (Rice/Rice2), 4-bit partition order,
+    * per-partition parameter with the all-ones escape to fixed-width raw.
+    */
+  private def readFlacResidual(br: BitReader, blockSize: Int, order: Int,
+                               out: Array[Int]): Unit = {
+    val method = br.readBits(2).toInt
+    require(method <= 1, s"FLAC: reserved residual method $method")
+    val pbits = if (method == 0) 4 else 5
+    val escape = (1 << pbits) - 1
+    val po = br.readBits(4).toInt
+    val parts = 1 << po
+    require(blockSize % parts == 0,
+      s"FLAC: partition order $po does not divide block size $blockSize")
+    require((blockSize >> po) >= order || po == 0,
+      s"FLAC: first partition would have negative sample count")
+    var idx = order
+    var p = 0
+    while (p < parts) {
+      val cnt = (blockSize >> po) - (if (p == 0) order else 0)
+      require(cnt >= 0, "FLAC: negative partition sample count")
+      val param = br.readBits(pbits).toInt
+      if (param == escape) {
+        val raw = br.readBits(5).toInt
+        var i = 0
+        while (i < cnt) {
+          out(idx) = if (raw == 0) 0 else br.readSigned(raw)
+          idx += 1; i += 1
+        }
+      } else {
+        var i = 0
+        while (i < cnt) {
+          val q = br.readUnary()
+          val r = if (param == 0) 0L else br.readBits(param)
+          val v = (q.toLong << param) | r
+          out(idx) = ((v >>> 1) ^ -(v & 1L)).toInt // zigzag
+          idx += 1; i += 1
+        }
+      }
+      p += 1
+    }
+  }
+
+  /** One subframe → reconstructed samples (before stereo decorrelation). */
+  private def readFlacSubframe(br: BitReader, blockSize: Int, bps: Int): Array[Int] = {
+    require(br.readBit() == 0, "FLAC: subframe padding bit must be 0")
+    val t = br.readBits(6).toInt
+    var wasted = 0
+    if (br.readBit() == 1) wasted = br.readUnary() + 1
+    val eb = bps - wasted
+    require(eb > 0, s"FLAC: wasted bits $wasted exhaust sample size $bps")
+    val s = new Array[Int](blockSize)
+    if (t == 0) { // CONSTANT
+      java.util.Arrays.fill(s, br.readSigned(eb))
+    } else if (t == 1) { // VERBATIM
+      var i = 0
+      while (i < blockSize) { s(i) = br.readSigned(eb); i += 1 }
+    } else if ((t & 0x38) == 0x08 && (t & 0x07) <= 4) { // FIXED, order 0–4
+      val order = t & 0x07
+      require(order <= blockSize, s"FLAC: fixed order $order > block size")
+      var i = 0
+      while (i < order) { s(i) = br.readSigned(eb); i += 1 }
+      readFlacResidual(br, blockSize, order, s)
+      i = order
+      while (i < blockSize) {
+        val p = order match {
+          case 0 => 0L
+          case 1 => s(i - 1).toLong
+          case 2 => 2L * s(i - 1) - s(i - 2)
+          case 3 => 3L * s(i - 1) - 3L * s(i - 2) + s(i - 3)
+          case _ => 4L * s(i - 1) - 6L * s(i - 2) + 4L * s(i - 3) - s(i - 4)
+        }
+        s(i) = (p + s(i)).toInt
+        i += 1
+      }
+    } else if ((t & 0x20) != 0) { // LPC, order 1–32
+      val order = (t & 0x1f) + 1
+      require(order <= blockSize, s"FLAC: LPC order $order > block size")
+      var i = 0
+      while (i < order) { s(i) = br.readSigned(eb); i += 1 }
+      val precM1 = br.readBits(4).toInt
+      require(precM1 != 15, "FLAC: invalid LPC precision code")
+      val prec = precM1 + 1
+      val shift = br.readSigned(5)
+      require(shift >= 0, s"FLAC: negative LPC shift $shift")
+      val coef = new Array[Int](order)
+      i = 0
+      while (i < order) { coef(i) = br.readSigned(prec); i += 1 }
+      readFlacResidual(br, blockSize, order, s)
+      i = order
+      while (i < blockSize) {
+        var acc = 0L
+        var j = 0
+        while (j < order) { acc += coef(j).toLong * s(i - 1 - j); j += 1 }
+        s(i) = ((acc >> shift) + s(i)).toInt
+        i += 1
+      }
+    } else {
+      throw new IllegalArgumentException(s"FLAC: reserved subframe type $t")
+    }
+    if (wasted > 0) {
+      var i = 0
+      while (i < blockSize) { s(i) = s(i) << wasted; i += 1 }
+    }
+    s
+  }
+
+  /** Decode a FLAC stream (16-bit, mono or stereo) to interleaved PCM16 —
+    * stereo interleaves L,R,L,R so [[Audio]]'s flat sample array carries
+    * either layout and the feature fold is channel-agnostic. Verifies every
+    * frame's CRC-8 header and CRC-16 footer; rejects truncation, reserved
+    * codes, and dimension overflow as IllegalArgumentException.
+    */
+  def decodeFlac(bytes: Array[Byte]): Audio = {
+    require(bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
+      bytes(2) == 'a' && bytes(3) == 'C', "FLAC: missing fLaC magic")
+    var pos = 4
+    var last = false
+    var sampleRate = -1
+    var channels = -1
+    var bps = -1
+    var total = -1L
+    var seenInfo = false
+    while (!last) {
+      require(pos + 4 <= bytes.length, "FLAC: truncated metadata block header")
+      val hdr = bytes(pos) & 0xff
+      last = (hdr & 0x80) != 0
+      val btype = hdr & 0x7f
+      val blen = ((bytes(pos + 1) & 0xff) << 16) | ((bytes(pos + 2) & 0xff) << 8) |
+        (bytes(pos + 3) & 0xff)
+      require(btype != 127, "FLAC: invalid metadata block type 127")
+      require(pos + 4L + blen <= bytes.length, s"FLAC: metadata block at $pos overruns the file")
+      if (btype == 0) { // STREAMINFO
+        require(blen == 34, s"FLAC: STREAMINFO must be 34 bytes, got $blen")
+        val br = new BitReader(bytes, pos + 4)
+        br.readBits(16); br.readBits(16) // min/max block size
+        br.readBits(24); br.readBits(24) // min/max frame size
+        sampleRate = br.readBits(20).toInt
+        channels = br.readBits(3).toInt + 1
+        bps = br.readBits(5).toInt + 1
+        total = br.readBits(36)
+        seenInfo = true
+      }
+      pos += 4 + blen
+    }
+    require(seenInfo, "FLAC: missing STREAMINFO")
+    require(sampleRate > 0, s"FLAC: bad sample rate $sampleRate")
+    require(bps == 16, s"FLAC: only 16-bit streams supported, got $bps")
+    require(channels == 1 || channels == 2,
+      s"FLAC: only mono/stereo supported, got $channels channels")
+    require(total > 0, "FLAC: unknown total sample count unsupported")
+    require(total * channels <= Int.MaxValue / 4,
+      s"FLAC: sample count $total overflows")
+    val out = new Array[Short]((total * channels).toInt)
+    var done = 0L // per-channel samples decoded so far
+    while (done < total) {
+      val frameStart = pos
+      val br = new BitReader(bytes, pos)
+      require(br.readBits(14) == 0x3ffe, s"FLAC: bad frame sync at $frameStart")
+      require(br.readBit() == 0, "FLAC: reserved frame-header bit set")
+      br.readBit() // blocking strategy — frame/sample number parses the same
+      val bsCode = br.readBits(4).toInt
+      val srCode = br.readBits(4).toInt
+      val chAsgn = br.readBits(4).toInt
+      val ssCode = br.readBits(3).toInt
+      require(br.readBit() == 0, "FLAC: reserved frame-header bit set")
+      readFlacUtf8(br)
+      val blockSize = bsCode match {
+        case 0 => throw new IllegalArgumentException("FLAC: reserved block size code 0")
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 => br.readBits(8).toInt + 1
+        case 7 => br.readBits(16).toInt + 1
+        case c => 256 << (c - 8)
+      }
+      val frameRate = srCode match {
+        case 0 => sampleRate
+        case 1 => 88200
+        case 2 => 176400
+        case 3 => 192000
+        case 4 => 8000
+        case 5 => 16000
+        case 6 => 22050
+        case 7 => 24000
+        case 8 => 32000
+        case 9 => 44100
+        case 10 => 48000
+        case 11 => 96000
+        case 12 => br.readBits(8).toInt * 1000
+        case 13 => br.readBits(16).toInt
+        case 14 => br.readBits(16).toInt * 10
+        case _ => throw new IllegalArgumentException("FLAC: invalid sample rate code 15")
+      }
+      require(frameRate == sampleRate,
+        s"FLAC: frame sample rate $frameRate != STREAMINFO $sampleRate")
+      val frameBps = ssCode match {
+        case 0 => bps
+        case 1 => 8
+        case 2 => 12
+        case 4 => 16
+        case 5 => 20
+        case 6 => 24
+        case _ => throw new IllegalArgumentException(s"FLAC: reserved sample size code $ssCode")
+      }
+      require(frameBps == bps, s"FLAC: frame bps $frameBps != STREAMINFO $bps")
+      val nCh = if (chAsgn <= 7) chAsgn + 1 else 2
+      require(nCh == channels, s"FLAC: frame channels $nCh != STREAMINFO $channels")
+      require(chAsgn <= 10, s"FLAC: reserved channel assignment $chAsgn")
+      require(done + blockSize <= total,
+        s"FLAC: frames carry more samples than STREAMINFO's $total")
+      require(br.isAligned, "FLAC: frame header must be byte-aligned before CRC-8")
+      val crc8Pos = br.bytePos
+      val gotCrc8 = br.readBits(8).toInt
+      require(gotCrc8 == flacCrc8(bytes, frameStart, crc8Pos),
+        s"FLAC: frame header CRC-8 mismatch at $frameStart")
+      // subframes — the side channel of L/S, R/S, M/S carries one extra bit
+      val chans = new Array[Array[Int]](nCh)
+      var ch = 0
+      while (ch < nCh) {
+        val extra = chAsgn match {
+          case 8 => if (ch == 1) 1 else 0  // left/side
+          case 9 => if (ch == 0) 1 else 0  // side/right
+          case 10 => if (ch == 1) 1 else 0 // mid/side
+          case _ => 0
+        }
+        chans(ch) = readFlacSubframe(br, blockSize, bps + extra)
+        ch += 1
+      }
+      br.alignByte()
+      val crc16Pos = br.bytePos
+      val gotCrc16 = br.readBits(16).toInt
+      require(gotCrc16 == flacCrc16(bytes, frameStart, crc16Pos),
+        s"FLAC: frame CRC-16 mismatch at $frameStart")
+      // undo stereo decorrelation and interleave
+      var i = 0
+      if (nCh == 1) {
+        val c0 = chans(0)
+        while (i < blockSize) {
+          out((done + i).toInt) = c0(i).toShort; i += 1
+        }
+      } else {
+        val c0 = chans(0); val c1 = chans(1)
+        val base = (done * 2).toInt
+        while (i < blockSize) {
+          val (l, r) = chAsgn match {
+            case 8 => (c0(i), c0(i) - c1(i))              // left, side
+            case 9 => (c1(i) + c0(i), c1(i))              // side, right
+            case 10 =>                                     // mid, side
+              val side = c1(i)
+              val mid2 = (c0(i) << 1) | (side & 1)
+              ((mid2 + side) >> 1, (mid2 - side) >> 1)
+            case _ => (c0(i), c1(i))                       // independent
+          }
+          out(base + 2 * i) = l.toShort
+          out(base + 2 * i + 1) = r.toShort
+          i += 1
+        }
+      }
+      done += blockSize
+      pos = br.bytePos
+    }
+    Audio(sampleRate, out)
+  }
+
+  /** Encode interleaved PCM16 to FLAC (for round-trips and fixtures): fixed
+    * predictors with per-partition best-of Rice-vs-escape residuals,
+    * CONSTANT subframes for flat runs, wasted-bits extraction, and the four
+    * stereo modes. `orderOf(frameIdx, ch)` picks the fixed predictor order
+    * (clamped to the frame), `modeOf(frameIdx)` the stereo mode (0
+    * independent, 1 left/side, 2 right/side, 3 mid/side — ignored for
+    * mono), `partOrderOf(frameIdx)` the Rice partition order (clamped to
+    * divide the block size).
+    */
+  def encodeFlac(audio: Audio, channels: Int = 1, blockSize: Int = 64,
+                 orderOf: (Int, Int) => Int = (_, _) => 2,
+                 modeOf: Int => Int = _ => 0,
+                 partOrderOf: Int => Int = _ => 0): Array[Byte] = {
+    require(channels == 1 || channels == 2, s"channels must be 1 or 2, got $channels")
+    require(blockSize >= 8 && blockSize <= 65535, s"bad block size $blockSize")
+    require(audio.samples.length % channels == 0,
+      "interleaved sample count must divide by channel count")
+    val perCh = audio.samples.length / channels
+    require(perCh > 0, "cannot encode an empty stream")
+
+    final class BitWriter {
+      private val buf = new java.io.ByteArrayOutputStream()
+      private var acc = 0L
+      private var nb = 0
+      def putBits(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((v >> i) & 1L)
+          nb += 1
+          if (nb == 8) { buf.write(acc.toInt & 0xff); acc = 0; nb = 0 }
+          i -= 1
+        }
+      }
+      def putSigned(v: Int, n: Int): Unit = putBits(v.toLong & ((1L << n) - 1), n)
+      def putUnary(q: Int): Unit = { var i = 0; while (i < q) { putBits(0, 1); i += 1 }; putBits(1, 1) }
+      def align(): Unit = if (nb != 0) putBits(0, 8 - nb)
+      def toBytes: Array[Byte] = { require(nb == 0, "unaligned"); buf.toByteArray }
+    }
+
+    def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+    def bitsFor(v: Long): Int = { // minimal signed width that holds v
+      var n = 1
+      while (n < 32 && (v < -(1L << (n - 1)) || v >= (1L << (n - 1)))) n += 1
+      n
+    }
+
+    // one channel's subframe: constant | fixed-order + rice/escape residual
+    def writeSubframe(w: BitWriter, s: Array[Int], bps: Int, wantOrder: Int,
+                      wantPo: Int): Unit = {
+      w.putBits(0, 1) // padding
+      val allEq = s.forall(_ == s(0))
+      // wasted bits: common trailing zeros (capped so ≥1 bit remains)
+      var wasted = 0
+      if (!allEq) {
+        var tz = 32
+        var i = 0
+        while (i < s.length && tz > 0) {
+          if (s(i) != 0) tz = math.min(tz, java.lang.Integer.numberOfTrailingZeros(s(i)))
+          i += 1
+        }
+        if (tz >= 32) tz = 0
+        wasted = math.min(tz, bps - 2)
+      }
+      val eb = bps - wasted
+      val e = if (wasted > 0) s.map(_ >> wasted) else s
+      if (allEq) {
+        w.putBits(0, 6) // CONSTANT
+        w.putBits(0, 1) // no wasted bits
+        w.putSigned(e(0), bps)
+        return
+      }
+      val order = math.max(0, math.min(math.min(wantOrder, 4), e.length - 1))
+      w.putBits(0x08 | order, 6) // FIXED
+      if (wasted > 0) { w.putBits(1, 1); w.putUnary(wasted - 1) }
+      else w.putBits(0, 1)
+      var i = 0
+      while (i < order) { w.putSigned(e(i), eb); i += 1 }
+      val res = new Array[Long](e.length - order)
+      i = order
+      while (i < e.length) {
+        val p = order match {
+          case 0 => 0L
+          case 1 => e(i - 1).toLong
+          case 2 => 2L * e(i - 1) - e(i - 2)
+          case 3 => 3L * e(i - 1) - 3L * e(i - 2) + e(i - 3)
+          case _ => 4L * e(i - 1) - 6L * e(i - 2) + 4L * e(i - 3) - e(i - 4)
+        }
+        res(i - order) = e(i) - p
+        i += 1
+      }
+      // partition order: clamp until it divides blockSize and leaves the
+      // first partition non-negative
+      var po = math.max(0, math.min(wantPo, 4))
+      while (po > 0 && (e.length % (1 << po) != 0 || (e.length >> po) < order)) po -= 1
+      if (e.length % (1 << po) != 0) po = 0
+      w.putBits(0, 2) // method: Rice, 4-bit params
+      w.putBits(po, 4)
+      val parts = 1 << po
+      var start = 0
+      var p = 0
+      while (p < parts) {
+        val cnt = (e.length >> po) - (if (p == 0) order else 0)
+        // best 4-bit rice param vs raw escape for THIS partition
+        var bestParam = 0
+        var bestCost = Long.MaxValue
+        var param = 0
+        while (param <= 14) {
+          var cost = 0L
+          var k = 0
+          while (k < cnt) {
+            cost += (zigzag(res(start + k)) >>> param) + 1 + param
+            k += 1
+          }
+          if (cost < bestCost) { bestCost = cost; bestParam = param }
+          param += 1
+        }
+        val rawBits = {
+          var m = 1
+          var k = 0
+          while (k < cnt) { m = math.max(m, bitsFor(res(start + k))); k += 1 }
+          m
+        }
+        if (5L + rawBits.toLong * cnt < bestCost) { // escape wins
+          w.putBits(15, 4)
+          w.putBits(rawBits, 5)
+          var k = 0
+          while (k < cnt) {
+            w.putBits(res(start + k) & ((1L << rawBits) - 1), rawBits)
+            k += 1
+          }
+        } else {
+          w.putBits(bestParam, 4)
+          var k = 0
+          while (k < cnt) {
+            val z = zigzag(res(start + k))
+            w.putUnary((z >>> bestParam).toInt)
+            if (bestParam > 0) w.putBits(z & ((1L << bestParam) - 1), bestParam)
+            k += 1
+          }
+        }
+        start += cnt
+        p += 1
+      }
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    val lastBs = { val r = perCh % blockSize; if (r == 0) blockSize else r }
+    val info = new BitWriter
+    info.putBits(math.min(blockSize, lastBs), 16)
+    info.putBits(blockSize, 16)
+    info.putBits(0, 24); info.putBits(0, 24) // frame sizes unknown
+    info.putBits(audio.sampleRate, 20)
+    info.putBits(channels - 1, 3)
+    info.putBits(15, 5) // bps - 1
+    info.putBits(perCh, 36)
+    (0 until 16).foreach(_ => info.putBits(0, 8)) // MD5 unset
+    val infoBytes = info.toBytes
+    out.write(0x80) // last metadata block, type 0 (STREAMINFO)
+    out.write(0); out.write(0); out.write(infoBytes.length)
+    out.write(infoBytes)
+
+    val nFrames = (perCh + blockSize - 1) / blockSize
+    var f = 0
+    while (f < nFrames) {
+      val off = f * blockSize
+      val n = math.min(blockSize, perCh - off)
+      val w = new BitWriter
+      w.putBits(0x3ffe, 14)
+      w.putBits(0, 1) // reserved
+      w.putBits(0, 1) // fixed-blocksize strategy
+      w.putBits(7, 4) // block size: 16-bit value-1 at header end
+      w.putBits(0, 4) // sample rate: from STREAMINFO
+      val mode = if (channels == 1) -1 else modeOf(f) & 3
+      val chBits = if (channels == 1) 0 else mode match {
+        case 1 => 8 // left/side
+        case 2 => 9 // right/side
+        case 3 => 10 // mid/side
+        case _ => 1 // 2 independent channels
+      }
+      w.putBits(chBits, 4)
+      w.putBits(4, 3) // sample size: 16
+      w.putBits(0, 1) // reserved
+      require(f < 128, "encodeFlac: >127 frames would need multi-byte numbers")
+      w.putBits(f, 8) // UTF-8 frame number, single byte
+      w.putBits(n - 1, 16)
+      w.align() // header is byte-aligned here by construction (56 bits)
+      val hdrBytes = w.toBytes
+      val frame = new java.io.ByteArrayOutputStream()
+      frame.write(hdrBytes)
+      frame.write(flacCrc8(hdrBytes, 0, hdrBytes.length))
+      // channel data after decorrelation
+      val body = new BitWriter
+      if (channels == 1) {
+        val s = new Array[Int](n)
+        var i = 0
+        while (i < n) { s(i) = audio.samples(off + i).toInt; i += 1 }
+        writeSubframe(body, s, 16, orderOf(f, 0), partOrderOf(f))
+      } else {
+        val l = new Array[Int](n); val r = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          l(i) = audio.samples((off + i) * 2).toInt
+          r(i) = audio.samples((off + i) * 2 + 1).toInt
+          i += 1
+        }
+        val (c0, c1, b0, b1) = mode match {
+          case 1 => (l, Array.tabulate(n)(i => l(i) - r(i)), 16, 17)
+          case 2 => (Array.tabulate(n)(i => l(i) - r(i)), r, 17, 16)
+          case 3 => (Array.tabulate(n)(i => (l(i) + r(i)) >> 1),
+            Array.tabulate(n)(i => l(i) - r(i)), 16, 17)
+          case _ => (l, r, 16, 16)
+        }
+        writeSubframe(body, c0, b0, orderOf(f, 0), partOrderOf(f))
+        writeSubframe(body, c1, b1, orderOf(f, 1), partOrderOf(f))
+      }
+      body.align()
+      frame.write(body.toBytes)
+      val frameBytes = frame.toByteArray
+      val crc16 = flacCrc16(frameBytes, 0, frameBytes.length)
+      out.write(frameBytes)
+      out.write((crc16 >> 8) & 0xff)
+      out.write(crc16 & 0xff)
+      f += 1
+    }
+    out.toByteArray
+  }
 }

@@ -127,10 +127,16 @@ object Multimodal {
   final case class AudioFeatures(id: Long, sampleRate: Int, nSamples: Long,
                                  sumAbs: Long, maxAbs: Long)
 
-  object WavAudioDecoder extends MediaDecoder[AudioFeatures] {
-    override def decodeBatch(batch: Array[(Long, Array[Byte])]): Array[AudioFeatures] =
+  /** Shared decoder shell for every [[AudioFeatures]] codec (the
+    * [[PosImageDecoder]] pattern): the decode kernel varies, the |sample|
+    * fold and row contract do not. Stereo clips fold their interleaved
+    * samples the same way — the features are channel-agnostic.
+    */
+  sealed abstract class PcmAudioDecoder(decode: Array[Byte] => MediaCodecs.Audio)
+      extends MediaDecoder[AudioFeatures] {
+    final override def decodeBatch(batch: Array[(Long, Array[Byte])]): Array[AudioFeatures] =
       batch.map { case (id, bytes) =>
-        val clip = MediaCodecs.decodeWav(bytes)
+        val clip = decode(bytes)
         var (sum, mx) = (0L, 0L)
         var i = 0
         while (i < clip.samples.length) {
@@ -141,12 +147,21 @@ object Multimodal {
         }
         AudioFeatures(id, clip.sampleRate, clip.samples.length.toLong, sum, mx)
       }
-    override val schema: StructType = new StructType()
+    final override val schema: StructType = new StructType()
       .add("media_id", LongType).add("sample_rate", IntegerType)
       .add("n_samples", LongType).add("sum_abs", LongType).add("max_abs", LongType)
-    override def toRow(f: AudioFeatures): Row =
+    final override def toRow(f: AudioFeatures): Row =
       Row(f.id, f.sampleRate, f.nSamples, f.sumAbs, f.maxAbs)
   }
+
+  object WavAudioDecoder extends PcmAudioDecoder(MediaCodecs.decodeWav)
+
+  /** FLAC twin of [[WavAudioDecoder]]: the decode crosses rice-coded
+    * residuals, fixed predictors, and stereo decorrelation — lossless, so
+    * the decoded PCM is bit-exact and the same arithmetic-fixture replay
+    * contract applies.
+    */
+  object FlacAudioDecoder extends PcmAudioDecoder(MediaCodecs.decodeFlac)
 
   /** Scan a directory of media files as (media_id, media, meta): Spark's
     * `binaryFile` source — payload bytes + file metadata, parallelism = file

@@ -131,6 +131,21 @@ object MlQueries {
         .orderBy("media_id")
     },
 
+    // Seventh real codec, and the compressed-AUDIO family WAV left open:
+    // FLAC. Lossless ⇒ decoded PCM is bit-exact, so the q123 replay
+    // contract extends unchanged across rice-coded residuals, fixed
+    // predictors 0–4 (cycled per frame/channel), escape partitions (j=3),
+    // CRC-8/CRC-16 verification, metadata-block skipping (odd j), and all
+    // four stereo decorrelation modes (cycled per frame). Stereo fixtures
+    // interleave L,R in the SAME flat formula, so every container choice
+    // changes the bytes but never the oracle's arithmetic.
+    QueryDef("q159_flac_decode", MediaSql.flacSql) { (s, _) =>
+      Multimodal.decodeFeatures(
+        Multimodal.readMedia(s, MediaSql.fixtureDir, "*.flac"),
+        Multimodal.FlacAudioDecoder)
+        .orderBy("media_id")
+    },
+
     // SURVEY §2 rows 4-5: partitioned parquet sink + re-scan, and the
     // fitted-statistics relation persisted and reloaded (stats are *data* —
     // SURVEY §7.4.4). The oracle computes the same result without the
@@ -475,6 +490,23 @@ private[queries] object MediaSql {
        |               FROM (SELECT unnest(range(0, 8)) AS j)),
        |t AS (SELECT j, n, unnest(range(0, n)) AS t FROM clips),
        |s AS (SELECT j, n, ((t * $K + 131 * j) % 4096) - 2048 AS v FROM t)
+       |SELECT j AS media_id, CAST(8000 AS INTEGER) AS sample_rate,
+       |       CAST(max(n) AS BIGINT) AS n_samples,
+       |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       |       CAST(max(abs(v)) AS BIGINT) AS max_abs
+       |FROM s GROUP BY j ORDER BY media_id""".stripMargin
+
+  /** FLAC fixtures: channels c = 1 + (j%2), per-channel samples m = 48+16j,
+    * INTERLEAVED sample formula v(j,t) = ((t·K + 157j) mod 4096) − 2048 over
+    * t < c·m — identical shape to [[audioSql]] because lossless decode
+    * reproduces PCM bit-exactly whatever predictors/partitions/stereo modes
+    * the container used.
+    */
+  val flacSql: String =
+    s"""WITH clips AS (SELECT j, (1 + (j % 2)) * (48 + 16 * j) AS n
+       |               FROM (SELECT unnest(range(0, 8)) AS j)),
+       |t AS (SELECT j, n, unnest(range(0, n)) AS t FROM clips),
+       |s AS (SELECT j, n, ((t * $K + 157 * j) % 4096) - 2048 AS v FROM t)
        |SELECT j AS media_id, CAST(8000 AS INTEGER) AS sample_rate,
        |       CAST(max(n) AS BIGINT) AS n_samples,
        |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,

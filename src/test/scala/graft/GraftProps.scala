@@ -373,4 +373,51 @@ object GraftProps extends Properties("graft") {
       val out = MediaCodecs.decodeWav(riff)
       out.sampleRate == rate && out.samples.sameElements(samples)
     }
+
+  // ---- FLAC: lossless ⇒ decode(encode(x)) must be BIT-EXACT for any
+  // samples, under every encoder posture: mono/stereo, every fixed
+  // predictor order (cycled per frame/channel), all four stereo modes
+  // (cycled per frame), partition orders 0–4, multiple block sizes, and a
+  // trailing-zero shift that forces the wasted-bits path. Flat inputs
+  // force CONSTANT subframes; wide-range inputs force escape partitions.
+  private val flacCase = for {
+    nPer <- Gen.choose(1, 260)
+    ch <- Gen.oneOf(1, 2)
+    raw <- Gen.listOfN(nPer * ch, Gen.oneOf(
+      Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt), // full range
+      Gen.choose(-40, 40),                                    // rice-friendly
+      Gen.const(1234)))                                       // flat runs
+    shift <- Gen.oneOf(0, 0, 0, 4) // sometimes force wasted bits
+    order <- Gen.choose(0, 4)
+    mode <- Gen.choose(0, 3)
+    po <- Gen.choose(0, 4)
+    bs <- Gen.oneOf(16, 64, 192)
+  } yield (raw.map(v => ((v >> shift) << shift).toShort).toArray,
+    ch, order, mode, po, bs)
+
+  property("flac roundtrip is bit-exact over all subframe/stereo/rice paths") =
+    forAll(flacCase) { case (samples, ch, order, mode, po, bs) =>
+      val enc = MediaCodecs.encodeFlac(MediaCodecs.Audio(8000, samples), ch, bs,
+        (f, c) => (order + f + c) % 5, f => (mode + f) % 4, _ => po)
+      val out = MediaCodecs.decodeFlac(enc)
+      out.sampleRate == 8000 && out.samples.sameElements(samples)
+    }
+
+  property("flac decode rejects truncation and any corrupted frame byte") =
+    forAll(flacCase, Gen.choose(1, 20), Gen.choose(1, 255)) {
+      case ((samples, ch, order, mode, po, bs), cut, flip) =>
+        val enc = MediaCodecs.encodeFlac(MediaCodecs.Audio(8000, samples), ch, bs,
+          (f, c) => (order + f + c) % 5, f => (mode + f) % 4, _ => po)
+        val truncated = scala.util.Try(MediaCodecs.decodeFlac(
+          java.util.Arrays.copyOf(enc, enc.length - math.min(cut, enc.length - 4)))).isFailure
+        // flip one byte inside the LAST frame (past the 42-byte header +
+        // STREAMINFO): the frame CRC-16 must catch it whatever it hit
+        val corrupted = {
+          val b = enc.clone()
+          val at = b.length - 1 - (cut % math.min(cut + 1, 8))
+          b(at) = (b(at) ^ flip).toByte
+          scala.util.Try(MediaCodecs.decodeFlac(b)).isFailure
+        }
+        truncated && corrupted
+    }
 }

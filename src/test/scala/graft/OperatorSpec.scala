@@ -358,6 +358,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(eBmp.getMessage.contains("overflow"))
   }
 
+  test("flac codec: fixtures decode bit-exact through every decorrelation mode") {
+    // cross-implementation check: fixtures come from the PYTHON encoder
+    // (tools/gen_media_fixture.py), decode here crosses rice residuals,
+    // fixed predictors 0–4, escape partitions (j=3), all four stereo modes,
+    // metadata-block skipping (odd j), and CRC-8/CRC-16 verification
+    val dir = Seq("fixtures/media", "/root/repo/fixtures/media")
+      .map(new java.io.File(_)).find(_.isDirectory).get
+    val K = graft.functions.Hashes.Mult
+    (0 until 8).foreach { j =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, s"flac_$j.flac").toPath)
+      val clip = MediaCodecs.decodeFlac(bytes)
+      val ch = 1 + (j % 2)
+      val m = 48 + 16 * j
+      assert(clip.sampleRate == 8000, s"file $j")
+      assert(clip.samples.length == ch * m, s"file $j")
+      val want = (0 until ch * m).map(t => (((t * K + 157L * j) % 4096) - 2048).toShort)
+      assert(clip.samples.toSeq == want, s"file $j samples")
+    }
+    val whole = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "flac_0.flac").toPath)
+    intercept[IllegalArgumentException] { // truncation fails loudly
+      MediaCodecs.decodeFlac(whole.dropRight(8))
+    }
+    intercept[IllegalArgumentException] { // a flipped residual byte breaks CRC-16
+      val b = whole.clone(); b(b.length - 10) = (b(b.length - 10) ^ 0x40).toByte
+      MediaCodecs.decodeFlac(b)
+    }
+  }
+
   test("wav codec: chunk walking skips LIST, samples exact") {
     import java.nio.{ByteBuffer, ByteOrder}
     val samples = Array[Short](100, -200, 300, -400)

@@ -308,3 +308,174 @@ for i in range(12):
         fh.write(png)
 
 print("wrote", len(os.listdir(out)), "files to", out)
+
+# audio flac_<j>.flac (j in 0..7): FLAC (RFC 9639 subset), 16-bit, block 64
+#     channels c(j) = 1 + (j % 2)            (odd j stereo)
+#     per-channel samples m(j) = 48 + 16*j   (48..160 — partial/multi frames)
+#     INTERLEAVED sample t in 0..c*m-1:  s(j,t) = ((t*K + 157*j) % 4096) - 2048
+#     fixed predictor order per (frame f, ch) = (j + f + ch) % 5 (clamped)
+#     stereo mode per frame = (j + f) % 4  (independent, left/side,
+#     right/side, mid/side — the decoder must undo all four decorrelations)
+#     rice partition order = j % 3 (clamped to divide the block size);
+#     j == 3 writes ESCAPE partitions (fixed-width raw residuals) instead
+#     of rice; odd j leads with PADDING + APPLICATION metadata blocks the
+#     parser must skip. The oracle replays only the SAMPLE formula — every
+#     container choice above changes the bytes but not the decoded PCM.
+
+
+def _flac_crc8(data):
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data):
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _Bits:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc & 0xFF)
+                self.acc = 0
+                self.n = 0
+
+    def put_signed(self, v, n):
+        self.put(v & ((1 << n) - 1), n)
+
+    def put_unary(self, q):
+        self.put(1, q + 1)  # q zeros then a one
+
+    def align(self):
+        if self.n:
+            self.put(0, 8 - self.n)
+
+
+def _flac_subframe(w, s, bps, order, po, escape):
+    w.put(0, 1)  # padding
+    order = max(0, min(order, 4, len(s) - 1))
+    w.put(0x08 | order, 6)  # FIXED
+    w.put(0, 1)  # no wasted bits
+    for i in range(order):
+        w.put_signed(s[i], bps)
+    res = []
+    for i in range(order, len(s)):
+        p = (0 if order == 0 else s[i - 1] if order == 1
+             else 2 * s[i - 1] - s[i - 2] if order == 2
+             else 3 * s[i - 1] - 3 * s[i - 2] + s[i - 3] if order == 3
+             else 4 * s[i - 1] - 6 * s[i - 2] + 4 * s[i - 3] - s[i - 4])
+        res.append(s[i] - p)
+    while po > 0 and (len(s) % (1 << po) != 0 or (len(s) >> po) < order):
+        po -= 1
+    w.put(0, 2)  # rice method 0 (4-bit params)
+    w.put(po, 4)
+    start = 0
+    for p in range(1 << po):
+        cnt = (len(s) >> po) - (order if p == 0 else 0)
+        part = res[start:start + cnt]
+        if escape:
+            raw = max((v.bit_length() + 1 for v in part), default=1)
+            w.put(15, 4)
+            w.put(raw, 5)
+            for v in part:
+                w.put(v & ((1 << raw) - 1), raw)
+        else:
+            best, cost = 0, None
+            for param in range(15):
+                c = sum((((v << 1) ^ (v >> 63)) >> param) + 1 + param for v in part)
+                if cost is None or c < cost:
+                    best, cost = param, c
+            w.put(best, 4)
+            for v in part:
+                z = (v << 1) ^ (v >> 63)
+                w.put_unary(z >> best)
+                if best:
+                    w.put(z & ((1 << best) - 1), best)
+        start += cnt
+
+
+for j in range(8):
+    ch = 1 + (j % 2)
+    m = 48 + 16 * j
+    inter = [((t * K + 157 * j) % 4096) - 2048 for t in range(ch * m)]
+    bs = 64
+    info = _Bits()
+    last_bs = m % bs or bs
+    info.put(min(bs, last_bs), 16)
+    info.put(bs, 16)
+    info.put(0, 24)
+    info.put(0, 24)
+    info.put(8000, 20)
+    info.put(ch - 1, 3)
+    info.put(15, 5)
+    info.put(m, 36)
+    for _ in range(16):
+        info.put(0, 8)
+    flac = bytearray(b"fLaC")
+    if j % 2 == 1:  # metadata blocks the parser must skip
+        flac += bytes((1, 0, 0, 4)) + bytes(4)  # PADDING
+        app = b"fixtfixture %d" % j
+        flac += bytes((2, 0, 0, len(app))) + app  # APPLICATION
+    flac += bytes((0x80, 0, 0, len(info.out))) + info.out
+    n_frames = (m + bs - 1) // bs
+    for f in range(n_frames):
+        off = f * bs
+        n = min(bs, m - off)
+        hdr = _Bits()
+        hdr.put(0x3FFE, 14)
+        hdr.put(0, 2)  # reserved + fixed-blocksize strategy
+        hdr.put(7, 4)  # block size: 16-bit value-1 at header end
+        hdr.put(0, 4)  # sample rate: from STREAMINFO
+        mode = (j + f) % 4 if ch == 2 else -1
+        hdr.put({1: 8, 2: 9, 3: 10}.get(mode, ch - 1), 4)
+        hdr.put(4, 3)  # sample size: 16
+        hdr.put(0, 1)
+        hdr.put(f, 8)  # UTF-8 frame number (single byte)
+        hdr.put(n - 1, 16)
+        hdr.align()
+        frame = bytearray(hdr.out)
+        frame.append(_flac_crc8(frame))
+        body = _Bits()
+        if ch == 1:
+            _flac_subframe(body, inter[off:off + n], 16, (j + f) % 5,
+                           j % 3, j == 3)
+        else:
+            left = inter[2 * off:2 * (off + n):2]
+            right = inter[2 * off + 1:2 * (off + n):2]
+            if mode == 1:
+                c0, c1, b0, b1 = left, [l - r for l, r in zip(left, right)], 16, 17
+            elif mode == 2:
+                c0, c1, b0, b1 = [l - r for l, r in zip(left, right)], right, 17, 16
+            elif mode == 3:
+                c0 = [(l + r) >> 1 for l, r in zip(left, right)]
+                c1 = [l - r for l, r in zip(left, right)]
+                b0, b1 = 16, 17
+            else:
+                c0, c1, b0, b1 = left, right, 16, 16
+            _flac_subframe(body, c0, b0, (j + f) % 5, j % 3, j == 3)
+            _flac_subframe(body, c1, b1, (j + f + 1) % 5, j % 3, j == 3)
+        body.align()
+        frame += body.out
+        crc16 = _flac_crc16(frame)
+        frame += bytes(((crc16 >> 8) & 0xFF, crc16 & 0xFF))
+        flac += frame
+    with open(os.path.join(out, "flac_%d.flac" % j), "wb") as fh:
+        fh.write(bytes(flac))
+
+print("wrote", len(os.listdir(out)), "files to", out)
