@@ -69,6 +69,81 @@ object DupSpans {
        |    i -> array_to_string($toks[i + 1 : i + $width], chr(1)))
        |ELSE [] END""".stripMargin
 
+  /** Byte/character-granularity EXACT-substring window keys — Lee et al.'s
+    * ExactSubstr operates on RAW BYTES, not tokens (arXiv:2107.06499 §3.1),
+    * because byte-level duplicates can TOKENIZE differently: punctuation
+    * glued to a word, prefix/suffix noise on the first token, whitespace
+    * variants. A token-window census (any width) misses those entirely —
+    * two docs sharing a 100-char run have zero common tokens if every
+    * shared token carries different neighbors into the split. Every
+    * character offset opens one literal width-`width` substring key
+    * (collision-free, like [[windowKeys]]); Lee et al. reach the same
+    * signal with a suffix array — the census + sweep reaches the merged
+    * spans with one uniform-key exchange instead of a distributed suffix
+    * sort.
+    *
+    * Fixture text is ASCII, so chars ≡ bytes; the algebra is unit-agnostic.
+    */
+  def charWindowKeys(text: Column, width: Int): Column = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    when(length(text) >= width,
+      transform(sequence(lit(0), (length(text) - lit(width)).cast("int")),
+        k => text.substr(k + 1, lit(width))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB twin of [[charWindowKeys]]. */
+  def charWindowKeysSql(txt: String, width: Int): String =
+    s"""CASE WHEN length($txt) >= $width THEN
+       |  list_transform(range(0, length($txt) - ${width - 1}),
+       |    k -> substr($txt, k + 1, $width))
+       |ELSE [] END""".stripMargin
+
+  /** [[islands]] at character granularity over [[charWindowKeys]]:
+    * (doc_id, island, start_pos, end_pos) in CHAR offsets, end = last
+    * covered char.
+    *
+    * `sample` > 1 thins the census by CONTENT-anchored selection — keep a
+    * window iff tokenHash(window) mod sample = 0 (Manber 1994's fingerprint
+    * sampling). Anchoring on content, not position, is what makes thinning
+    * sound: both docs keep the same in-run windows wherever the run sits,
+    * so a shared run is detected whenever it contains ≥ 1 anchor (expected
+    * every `sample` offsets) — a POSITION stride would silently miss every
+    * run whose alignment shift ≢ 0 (mod stride). The filter sits between
+    * the generate and the census exchange, so shuffle volume drops ~sample×
+    * while the row-local hash pass stays O(n) — the right trade at 100 TB,
+    * where the exchange, not the scan, is the bottleneck.
+    */
+  def islandsChars(docs: DataFrame, text: Column, width: Int,
+                   sample: Int = 1): DataFrame = {
+    require(sample >= 1, s"sample must be >= 1, got $sample")
+    val s0 = docs.select(col("doc_id"),
+      posexplode(charWindowKeys(text, width)).as(Seq("pos", "shingle")))
+    // tokenHash lands in [0, Prime) so plain % stays non-negative (and
+    // DuckDB can state the same expression — no pmod there)
+    val anchored =
+      if (sample == 1) s0
+      else s0.where(Hashes.tokenHash(col("shingle")) % sample === 0)
+    sweep(anchored, width)
+  }
+
+  /** Per-doc duplicated-CHARACTER coverage: (doc_id, n_chars, covered,
+    * dup_frac) — the byte-level twin of [[coverage]], catching duplicates
+    * that tokenize differently.
+    */
+  def coverageChars(docs: DataFrame, text: Column, width: Int,
+                    sample: Int = 1): DataFrame = {
+    val cov = islandsChars(docs, text, width, sample)
+      .groupBy("doc_id")
+      .agg(sum(col("end_pos") - col("start_pos") + 1).as("covered"))
+    docs.select(col("doc_id"), length(text).cast("long").as("n_chars"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        round(coalesce(col("covered"), lit(0L)).cast("double")
+          / col("n_chars"), 6).as("dup_frac"))
+  }
+
   /** The census → hit → interval-union sweep shared by [[islands]] and
     * [[islandsExact]]: `s0` is (doc_id, pos, shingle) with any shingle key
     * type. The census groupBy runs on the (uniform) key; the per-doc window

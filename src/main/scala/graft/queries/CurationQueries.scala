@@ -876,6 +876,51 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // BYTE-level exact-substring duplicated coverage (DupSpans
+    // .coverageChars): Lee et al.'s ExactSubstr operates on raw bytes, not
+    // tokens (arXiv:2107.06499 §3.1) — byte duplicates can TOKENIZE
+    // differently (punctuation glued to a word, prefix noise, whitespace
+    // variants), and then no token-window census at ANY width sees them
+    // (CurationSpec pins a concrete miss). Every char offset opens a
+    // literal width-30 substring key; census → hit → interval sweep are
+    // q141's machinery with positions in char units. Content-anchored
+    // sampling (keep a window iff its hash ≡ 0 mod s — Manber 1994) is the
+    // 100 TB census-thinning knob, shift-proof where a position stride is
+    // not; the oracle replays the identical windows, so an off-by-one in
+    // the substring arithmetic or sweep flips the hash.
+    QueryDef("q160_byte_spans",
+      s"""WITH d0 AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |              ${DupSpans.charWindowKeysSql("text", 30)} AS sh
+         |            FROM documents),
+         |s0 AS (SELECT doc_id, i - 1 AS pos, sh[i] AS shingle FROM (
+         |  SELECT doc_id, sh, unnest(range(1, len(sh) + 1)) AS i FROM d0)),
+         |dup AS (SELECT shingle FROM (
+         |  SELECT shingle, count(DISTINCT doc_id) AS nd FROM s0 GROUP BY 1)
+         |  WHERE nd >= 2),
+         |hit AS (SELECT s0.doc_id, s0.pos FROM s0 JOIN dup USING (shingle)),
+         |m AS (SELECT doc_id, pos,
+         |        max(pos + 29) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |      FROM hit),
+         |i AS (SELECT doc_id, pos,
+         |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+         |            THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS UNBOUNDED PRECEDING) AS island
+         |      FROM m),
+         |isl AS (SELECT doc_id, island, max(pos) + 29 - min(pos) + 1 AS cov
+         |        FROM i GROUP BY doc_id, island),
+         |cv AS (SELECT doc_id, CAST(sum(cov) AS BIGINT) AS covered
+         |       FROM isl GROUP BY doc_id)
+         |SELECT d0.doc_id, d0.n_chars, coalesce(cv.covered, 0) AS covered,
+         |       round(CAST(coalesce(cv.covered, 0) AS DOUBLE) / n_chars, 6)
+         |         AS dup_frac
+         |FROM d0 LEFT JOIN cv USING (doc_id) ORDER BY d0.doc_id""".stripMargin) {
+      (s, d) =>
+      DupSpans.coverageChars(Tables.documents(s, d), col("text"), width = 30)
+        .orderBy("doc_id")
+    },
+
     // URL canonicalization + URL-level dedup (operators/UrlCanon): the
     // cheapest dedup layer a web pipeline runs FIRST — two crawls of one
     // page differ in tracking params / fragment / default port / www /

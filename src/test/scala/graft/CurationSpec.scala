@@ -373,6 +373,39 @@ class CurationSpec extends AnyFunSuite {
     assert(h2 == e2 && e2 == Map(0L -> 3L, 1L -> 3L))
   }
 
+  test("byte-level spans catch duplicates every token window misses") {
+    import graft.operators.DupSpans
+    // the shared 32-char run "prefix_shared_run_of_bytes tail " tokenizes
+    // DIFFERENTLY in the two docs (doc 1 glues "XX" onto the first token),
+    // so the docs share ZERO tokens — a token census at any width sees
+    // nothing; the byte census must see the run
+    val docs = Seq(
+      (0L, "prefix_shared_run_of_bytes tail zero"),
+      (1L, "XXprefix_shared_run_of_bytes tail one")).toDF("doc_id", "text")
+    val toks = split(col("text"), " ", -1)
+    val tokenLevel = DupSpans.coverageExact(docs, toks, 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("covered")).toMap
+    assert(tokenLevel == Map(0L -> 0L, 1L -> 0L),
+      "token windows must genuinely miss this duplicate")
+    // width-2 token windows miss it too — every shared token ("tail")
+    // carries a DIFFERENT neighbor into each doc's window
+    val token2 = DupSpans.coverageExact(docs, toks, 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("covered")).toMap
+    assert(token2 == Map(0L -> 0L, 1L -> 0L))
+    val byteLevel = DupSpans.coverageChars(docs, col("text"), width = 20)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("covered")).toMap
+    // doc 0: windows at 0..12 cover chars [0, 31]; doc 1 shifted by 2
+    assert(byteLevel == Map(0L -> 32L, 1L -> 32L),
+      s"byte census must cover the shared run, got $byteLevel")
+    // content-anchored sampling (the 100 TB census-thinning knob) must
+    // still see the run even though doc 1's copy is SHIFTED by 2 chars —
+    // anchors follow content, not position, so both docs keep the same
+    // in-run windows (a position stride would miss every shift ≢ 0 mod s)
+    val sampled = DupSpans.coverageChars(docs, col("text"), width = 20, sample = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("covered")).toMap
+    assert(sampled.values.forall(_ > 0), s"anchored census lost the run: $sampled")
+  }
+
   test("gap-slice surgery equals the per-token predicate on random corpora") {
     import graft.operators.DupSpans
     val rnd = new scala.util.Random(42)
