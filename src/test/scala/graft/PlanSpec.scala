@@ -19,6 +19,26 @@ class PlanSpec extends AnyFunSuite {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
 
+  test("catalog sweep: no CartesianProductExec in ANY query's physical plan") {
+    // the catalog-wide guard behind every per-query broadcast hint: a 1-row
+    // crossJoin that loses its broadcast() (or an AQE-off run of an
+    // unhinted one) plans as CartesianProductExec and shuffles the corpus
+    // against itself. Constructing the DataFrame is enough — sparkPlan is
+    // the pre-AQE physical plan, no query executes for the check itself
+    // (queries whose CONSTRUCTION runs driver iteration still pay only
+    // their construction cost, same as Verify).
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, run) =>
+      try {
+        val p = run(spark, TestSpark.sfDir).queryExecution.sparkPlan
+        val carts = p.collectWithSubqueries {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }
+        if (carts.nonEmpty) Seq(name) else Seq.empty
+      } finally spark.catalog.clearCache()
+    }
+    assert(bad.isEmpty, s"cartesian product in plans of: ${bad.mkString(", ")}")
+  }
+
   test("q01: filter and projection reach the parquet scan") {
     val p = plan(q("q01_pruned_scan"))
     assert(p.contains("PushedFilters: ["), p)
