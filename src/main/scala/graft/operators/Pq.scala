@@ -41,24 +41,49 @@ object Pq {
     def sub: Int = dim / m
   }
 
+  /** Default training-sample cap: codebooks are O(m·ksub·sub) statistics,
+    * not data, and converge on a bounded sample — capping fit cost is the
+    * difference between O(m·iters·sampleCap) and m·iters full passes over a
+    * billion-vector corpus.
+    */
+  val DefaultSampleCap: Int = 65536
+  private val SampleSeed = 173L
+
   /** Train the m sub-codebooks — m independent [[KMeans.fit]] runs over
-    * array slices. O(m · iters) corpus passes; on a real corpus train on a
-    * sample (codebooks are O(m·ksub·sub) — statistics, not data).
+    * array slices of a deterministic training sample (the FAISS `train()`
+    * posture: codebooks from a sample, encode over everything).
+    *
+    * The sample is the first `sampleCap` rows by salted id-hash with id
+    * tie-break — a per-partition top-k (TakeOrderedAndProject), never a
+    * global sort — cached once so the m·iters k-means passes scan
+    * O(sampleCap) rows instead of the corpus. A corpus at or under the cap
+    * trains on every row in a content-independent order, and [[KMeans.fit]]
+    * seeds by smallest id regardless of row order, so sub-cap fits are
+    * bit-identical to the historical full-corpus fit.
     */
   def fit(corpus: DataFrame, idCol: String, embCol: String,
-          dim: Int, m: Int, ksub: Int, iters: Int): Codebooks = {
+          dim: Int, m: Int, ksub: Int, iters: Int,
+          sampleCap: Int = DefaultSampleCap): Codebooks = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(sampleCap >= ksub,
+      s"sampleCap=$sampleCap cannot seed ksub=$ksub codewords")
     val sub = dim / m
     val x = corpus.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("x"))
-    val words = (0 until m).map { s0 =>
-      val sliced = x.select(col("vec_id"),
-        slice(col("x"), s0 * sub + 1, sub).as("xs"))
-      val (_, cents) = KMeans.fit(sliced, "vec_id", "xs", sub, ksub, iters)
-      cents.orderBy("cluster").collect()
-        .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
-    }
-    Codebooks(dim, m, ksub, words)
+      .orderBy(graft.functions.Hashes.mulHash(col("vec_id"), SampleSeed),
+        col("vec_id"))
+      .limit(sampleCap)
+      .persist()
+    try {
+      val words = (0 until m).map { s0 =>
+        val sliced = x.select(col("vec_id"),
+          slice(col("x"), s0 * sub + 1, sub).as("xs"))
+        val (_, cents) = KMeans.fit(sliced, "vec_id", "xs", sub, ksub, iters)
+        cents.orderBy("cluster").collect()
+          .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+      }
+      Codebooks(dim, m, ksub, words)
+    } finally { x.unpersist(false); () }
   }
 
   /** Encode every vector as its m nearest-codeword indices — one row-local

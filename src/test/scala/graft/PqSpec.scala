@@ -47,6 +47,33 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("sub-cap fit is bit-identical to an uncapped fit; a biting cap still " +
+    "recovers the planted blob structure") {
+    // cap >= N: the sample IS the corpus (hash order only), and KMeans seeds
+    // by smallest id regardless of row order — codebooks must match exactly.
+    val full = Pq.fit(corpus, "vec_id", "embedding", dim, m, ksub, iters = 2,
+      sampleCap = 1 << 20)
+    val default = Pq.fit(corpus, "vec_id", "embedding", dim, m, ksub, iters = 2)
+    assert(default == full, "default cap changed a sub-cap corpus's codebooks")
+    // cap < N: train on 12 of 40 vectors. The two planted blobs (base 0 vs
+    // 10) are present in any hash-selected subset, so every subspace must
+    // still learn codewords separating them: each vector's encode-time
+    // nearest codeword lies in its own blob (distance << blob separation).
+    val capped = Pq.fit(corpus, "vec_id", "embedding", dim, m, ksub, iters = 2,
+      sampleCap = 12)
+    val sub = dim / m
+    vectors.foreach { case (_, x) =>
+      (0 until m).foreach { s =>
+        val best = (0 until ksub).map { w =>
+          (0 until sub).map { i =>
+            val d = x(s * sub + i) - capped.words(s)(w)(i); d * d
+          }.sum
+        }.min
+        assert(best < 4.0, s"capped codebook lost the blob in subspace $s")
+      }
+    }
+  }
+
   test("codes are identical under different partitionings") {
     val cb = Pq.fit(corpus, "vec_id", "embedding", dim, m, ksub, iters = 1)
     def codesOf(parts: Int) =
