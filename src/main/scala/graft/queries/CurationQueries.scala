@@ -660,6 +660,69 @@ object CurationQueries {
         .orderBy(col("cnt").desc, col("token"))
     },
 
+    // Streaming Count-Min — q134's sketch maintained by a REAL complete-mode
+    // streaming aggregation (the q135 AvailableNow-inside-the-query pattern):
+    // the token stream lands as a multi-file parquet directory, an
+    // AvailableNow query with maxFilesPerTrigger=1 folds it through the
+    // TypedImperativeAggregate's state-store serialize/merge path across
+    // several micro-batches, and the final matrix must equal the batch
+    // sketch CELL FOR CELL (the sketch is a sum of one-hot updates —
+    // commutative integer adds, so ANY micro-batch slicing is exact). A
+    // dropped or double-committed micro-batch, or any state-serialization
+    // drift, flips `stream_eq_batch` and with it the hash. Bound columns
+    // (q134's contract) are evaluated against the STREAMED matrix. Scale
+    // shape: the stream carries O(depth·width) state regardless of corpus
+    // size — the continuous analogue of q134's one-exchange census.
+    QueryDef("q161_stream_count_min",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |ex AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM tok GROUP BY token),
+        |t AS (SELECT count(*) AS n FROM tok)
+        |SELECT token, cnt, TRUE AS lower_ok, TRUE AS upper_ok,
+        |       TRUE AS stream_eq_batch
+        |FROM (SELECT token, cnt FROM ex ORDER BY cnt DESC, token LIMIT 5), t
+        |ORDER BY cnt DESC, token""".stripMargin) { (s, d) =>
+      val (depth, width) = (4, 512)
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cms_stream_q_").toFile
+      sys.addShutdownHook(rmrf(root))
+      val tok = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ", -1)).as("token"))
+        .persist() // feeds the landing write, the exact counts, the total,
+                   // and the batch-parity sketch
+      tok.repartition(4).write.parquet(s"$root/landing")
+      val stream = s.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("token", org.apache.spark.sql.types.StringType))
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
+        .agg(CountMin.sketch(col("token"), depth, width).as("sk"))
+      val memName = root.getName // unique per invocation — parallel runs
+                                 // cannot clobber each other's memory sink
+      val q = stream.writeStream.outputMode("complete").format("memory")
+        .queryName(memName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val streamedSk = s.table(memName)
+      val batchSk = tok.agg(CountMin.sketch(col("token"), depth, width).as("bsk"))
+      val total = tok.agg(count(lit(1)).as("n"))
+      val top = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(5)
+      val est = CountMin.estimate(col("sk"), col("token"), depth, width)
+      top.crossJoin(broadcast(streamedSk)).crossJoin(broadcast(total))
+        .crossJoin(broadcast(batchSk))
+        .select(col("token"), col("cnt"),
+          (est >= col("cnt")).as("lower_ok"),
+          ((est - col("cnt")) * width <= lit(3L) * col("n")).as("upper_ok"),
+          (col("sk") === col("bsk")).as("stream_eq_batch"))
+        .orderBy(col("cnt").desc, col("token"))
+    },
+
     // Tokenizer-coverage / OOV-rate report: elect a capped top-256
     // vocabulary (count DESC, token — a TakeOrderedAndProject, never a
     // global sort), broadcast it onto the token stream, and report per
