@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * A plan that "would survive 100 TB" should be ~linear (exponent ≈ 1);
   * anything super-linear here is a red flag long before cluster scale.
   *
-  * Usage: runMain graft.ScaleProbe [sfDir]
+  * Usage: runMain graft.ScaleProbe [sfDir] [shape1,shape2,...]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val only: Option[Set[String]] =
+      args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.local(32, appName = "graft-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -53,13 +55,15 @@ object ScaleProbe {
       },
       "global_sort" -> (m => li(m).orderBy("l_extendedprice")),
       // iterative graph rounds (q61/q81 family): key-shifted union = m
-      // disjoint copies, so round count stays fixed while V/E scale by m —
-      // isolates the per-round O(E) cost the fused aggregates claim
+      // disjoint copies, so V/E scale by m with identical structure; the
+      // probe is PINNED to exactly 5 propagation rounds (no convergence
+      // test) so the timed work is rounds × O(E) at every multiplier and
+      // the exponent cannot absorb round-count or scheduler variance
       "cc_rounds" -> { m =>
         val edges = li(m).select(col("l_orderkey").as("src"),
           (col("l_partkey") + lit(20_000_000L) +
             (col("l_orderkey") / lit(10_000_000L)).cast("long") * 10_000_000L).as("dst"))
-        graft.operators.Components.connectedComponents(edges, "src", "dst")
+        graft.operators.Components.propagateRounds(edges, "src", "dst", rounds = 5)
       },
       // shingle-hash equi-join (q101 contamination / LSH-family shape):
       // explode → distinct both sides → join on the 64-bit hash → groupBy
@@ -156,14 +160,24 @@ object ScaleProbe {
           graft.operators.Pq.adcTables(spark, pqQueries, pqCb), 50)
       })
 
+    // the steepest 10× shapes get a 30× leg: confirms no super-linear break
+    // past 10× — the 10→30 exponent is measured on the segment where fixed
+    // job overhead has already amortized, so it is the honest asymptote
+    val deep = Set("shingle_join", "pq_adc")
+
     // warm-up
     mat(li(1).select(col("l_orderkey")))
-    println(f"${"shape"}%-18s ${"t(1x)"}%8s ${"t(10x)"}%8s exponent")
-    shapes.foreach { case (name, mk) =>
+    println(f"${"shape"}%-18s ${"t(1x)"}%8s ${"t(10x)"}%8s ${"exp"}%5s ${"t(30x)"}%8s exp10_30")
+    shapes.filter(s => only.forall(_.contains(s._1))).foreach { case (name, mk) =>
       val t1 = math.min(time(mk(1)), time(mk(1)))
       val t10 = math.min(time(mk(10)), time(mk(10)))
       val exp = math.log(t10 / t1) / math.log(10.0)
-      println(f"$name%-18s $t1%8.2f $t10%8.2f ${exp}%.2f")
+      if (deep(name)) {
+        val t30 = math.min(time(mk(30)), time(mk(30)))
+        val exp30 = math.log(t30 / t10) / math.log(3.0)
+        println(f"$name%-18s $t1%8.2f $t10%8.2f ${exp}%5.2f $t30%8.2f ${exp30}%.2f")
+      } else
+        println(f"$name%-18s $t1%8.2f $t10%8.2f ${exp}%5.2f")
     }
     spark.stop()
   }

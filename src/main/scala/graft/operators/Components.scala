@@ -81,6 +81,42 @@ object Components {
     labels
   }
 
+  /** Exactly `rounds` min-label propagation rounds with NO convergence test
+    * — the benchmark surface behind ScaleProbe's iterative-graph shape. The
+    * convergence-tested [[connectedComponents]] stops when labels stabilize,
+    * so its wall clock confounds per-round cost with round count and
+    * scheduler noise; pinning the round count makes the timed work exactly
+    * `rounds` × O(E) at every scale multiplier, so the observed exponent
+    * isolates the per-round shuffle cost the fused aggregates claim.
+    * Labels after k rounds = minimum id reachable within k hops (correct
+    * CC labels only if k ≥ diameter — this is a probe, not the operator).
+    */
+  def propagateRounds(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .repartition(col("src")).localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val offers = sym
+        .join(labels.withColumnRenamed("id", "src_id"), col("src") === col("src_id"))
+        .groupBy(col("dst").as("id"))
+        .agg(min("comp").as("offer"))
+      labels = labels
+        .join(offers, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("offer"), col("comp"))).as("comp"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Large-star/small-star connected components (Kiveris et al., "Connected
     * Components in MapReduce and Beyond") — the high-diameter /
     * giant-component escape hatch next to [[connectedComponents]]'s plain
