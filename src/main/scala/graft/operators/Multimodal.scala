@@ -123,6 +123,80 @@ object Multimodal {
     */
   object QoiImageDecoder extends PosImageDecoder(MediaCodecs.decodeQoi)
 
+  /** Perceptual difference-hash bands of a decoded image (dHash — Krawetz's
+    * public algorithm): 9×8 nearest-pixel downsample on the integer grid
+    * (px = x·w/9, py = y·h/8), grayscale as the exact channel SUM (no
+    * division — replayable), bit(x, y) = gray(x+1, y) > gray(x, y), the 64
+    * bits packed as four 16-bit band ints. Equal band = LSH candidate — the
+    * same band-bucket trick SimHash uses, so image near-dup detection
+    * composes with the existing Hamming-join machinery: candidates come
+    * from a band equi-join, never an all-pairs product.
+    */
+  final case class DhashBands(id: Long, width: Int, height: Int,
+                              b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** dHash decoder parameterized by a per-pixel transform `(value, px, py,
+    * w, h) → value` applied BEFORE graying — how the fixture plants
+    * perturbed variants of the same file (watermark, brightness) without
+    * separate payloads. dHash is invariant to any monotone global transform
+    * (strict comparisons survive; saturation only creates ties on exact
+    * collisions), so a brightness shift hashes to distance 0 while a CORNER
+    * watermark flips exactly the bits whose grid cells the corner touches —
+    * a true near-duplicate.
+    */
+  final class DhashDecoder(transform: (Int, Int, Int, Int, Int) => Int)
+      extends MediaDecoder[DhashBands] {
+    override def decodeBatch(batch: Array[(Long, Array[Byte])]): Array[DhashBands] =
+      batch.map { case (id, bytes) =>
+        val img = MediaCodecs.decodePpm(bytes)
+        val (w, h) = (img.width, img.height)
+        // grid grays: gray(x, y) for x in 0..8, y in 0..7
+        val g = Array.ofDim[Int](8, 9)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            val px = x * w / 9
+            val py = y * h / 8
+            val base = (py * w + px) * 3
+            var s = 0
+            var ch = 0
+            while (ch < 3) {
+              s += transform(img.pixels(base + ch) & 0xff, px, py, w, h)
+              ch += 1
+            }
+            g(y)(x) = s
+            x += 1
+          }
+          y += 1
+        }
+        val bands = Array.fill(4)(0)
+        var bit = 0
+        while (bit < 64) {
+          val by = bit / 8
+          val bx = bit % 8
+          if (g(by)(bx + 1) > g(by)(bx)) bands(bit / 16) |= 1 << (bit % 16)
+          bit += 1
+        }
+        DhashBands(id, w, h, bands(0), bands(1), bands(2), bands(3))
+      }
+    override val schema: StructType = new StructType()
+      .add("media_id", LongType).add("width", IntegerType)
+      .add("height", IntegerType).add("b0", IntegerType)
+      .add("b1", IntegerType).add("b2", IntegerType).add("b3", IntegerType)
+    override def toRow(f: DhashBands): Row =
+      Row(f.id, f.width, f.height, f.b0, f.b1, f.b2, f.b3)
+  }
+
+  /** The three fixture variants: identity, corner watermark (+100 saturating
+    * where px < w/3 ∧ py < h/3), global brightness (+40 saturating).
+    */
+  val DhashIdentity: DhashDecoder = new DhashDecoder((p, _, _, _, _) => p)
+  val DhashWatermark: DhashDecoder = new DhashDecoder((p, px, py, w, h) =>
+    if (px < w / 3 && py < h / 3) math.min(p + 100, 255) else p)
+  val DhashBrighten: DhashDecoder = new DhashDecoder((p, _, _, _, _) =>
+    math.min(p + 40, 255))
+
   /** Decoded-audio features: integer |sample| aggregates, same replay idea. */
   final case class AudioFeatures(id: Long, sampleRate: Int, nSamples: Long,
                                  sumAbs: Long, maxAbs: Long)

@@ -322,6 +322,48 @@ object MlQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Perceptual-hash image dedup (Multimodal.DhashDecoder): REAL PPM decode
+    // → dHash (9×8 grid, adjacent-gray comparisons, 64 bits as four 16-bit
+    // bands) → band-bucket candidate join → exact Hamming ≤ 6 — SimHash's
+    // banded near-dup shape lifted to the multimodal column. The corpus is
+    // each fixture image under three pixel variants (identity, corner
+    // watermark +1000, brightness +2000): the watermark is a true NEAR-dup
+    // (Hamming 1-3 — only the corner grid cells flip), brightness is
+    // dHash's designed invariance (distance 0), and distinct images sit at
+    // ≥ 12 — so the threshold at 6 recovers exactly the 24 planted
+    // triangles while the band join's false candidates (~87 pairs here)
+    // are rejected by the exact filter, proving both stages bite. Scale:
+    // decode+hash is row-local scan work; candidates come from a band
+    // equi-join (never all-pairs); the Hamming filter touches candidate
+    // rows only — identical inventory to q37/q38's text near-dup.
+    QueryDef("q162_media_dhash_dedup", MediaSql.dhashSql) { (s, _) =>
+      def bandsOf(dec: Multimodal.MediaDecoder[Multimodal.DhashBands],
+                  offset: Long): org.apache.spark.sql.DataFrame =
+        Multimodal.decodeFeatures(
+            Multimodal.readMedia(s, MediaSql.fixtureDir, "*.ppm"), dec)
+          .select((col("media_id") + offset).as("id"),
+            array(col("b0"), col("b1"), col("b2"), col("b3")).as("bv"))
+      val variants = bandsOf(Multimodal.DhashIdentity, 0L)
+        .unionAll(bandsOf(Multimodal.DhashWatermark, 1000L))
+        .unionAll(bandsOf(Multimodal.DhashBrighten, 2000L))
+      val banded = variants.select(col("id"), col("bv"),
+        posexplode(col("bv")).as(Seq("band", "val")))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.val") === col("b.val") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.bv").as("bva"), col("b.bv").as("bvb"))
+        .distinct()
+      val ham = (0 until 4).map(i =>
+        bit_count(element_at(col("bva"), i + 1)
+          .bitwiseXOR(element_at(col("bvb"), i + 1))))
+        .reduce(_ + _)
+      cand.select(col("id_a"), col("id_b"), ham.cast("long").as("hamming"))
+        .where(col("hamming") <= 6)
+        .orderBy("id_a", "id_b")
+    },
+
     // SURVEY §2 row 45 made oracle-checkable: deterministic full-batch
     // gradient descent for the logistic fit (operators/LogisticGD), the same
     // move KMeans made for Lloyd rounds. Per-row gradient terms quantize to
@@ -533,6 +575,57 @@ private[queries] object MediaSql {
        |      FROM p)
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** dHash replay: 9×8 grid grays under three pixel variants (identity,
+    * corner watermark, brightness), adjacent-comparison bits packed into
+    * four 16-bit bands, band-bucket candidate join, Hamming ≤ 6 filter —
+    * the identical algorithm the Spark decoder runs over real decoded
+    * bytes, restated as range() arithmetic over the fixture formula.
+    */
+  val dhashSql: String =
+    s"""WITH dims AS (SELECT i, 8 + (i % 3) * 4 AS w, 6 + (i % 2) * 4 AS h
+       |              FROM (SELECT unnest(range(0, 24)) AS i)),
+       |grid AS (SELECT i, w, h, x, y, (x * w) // 9 AS px, (y * h) // 8 AS py
+       |         FROM dims,
+       |              (SELECT unnest(range(0, 9)) AS x),
+       |              (SELECT unnest(range(0, 8)) AS y)),
+       |vpx AS (SELECT i, w, h, x, y, px, py,
+       |               (((py * w + px) * 3 + ch) * $K + 97 * i) % 256 AS p
+       |        FROM grid, (SELECT unnest(range(0, 3)) AS ch)),
+       |gr AS (SELECT i, x, y,
+       |         CAST(sum(p) AS BIGINT) AS g0,
+       |         CAST(sum(CASE WHEN px < w // 3 AND py < h // 3
+       |                       THEN least(p + 100, 255) ELSE p END) AS BIGINT) AS g1,
+       |         CAST(sum(least(p + 40, 255)) AS BIGINT) AS g2
+       |       FROM vpx GROUP BY i, x, y),
+       |b AS (SELECT a.i, a.x, a.y,
+       |        CASE WHEN n.g0 > a.g0 THEN 1 ELSE 0 END AS bit0,
+       |        CASE WHEN n.g1 > a.g1 THEN 1 ELSE 0 END AS bit1,
+       |        CASE WHEN n.g2 > a.g2 THEN 1 ELSE 0 END AS bit2
+       |      FROM gr a JOIN gr n ON n.i = a.i AND n.y = a.y AND n.x = a.x + 1
+       |      WHERE a.x < 8),
+       |bd AS (SELECT i, (y * 8 + x) // 16 AS band,
+       |         CAST(sum(bit0 * (1 << ((y * 8 + x) % 16))) AS BIGINT) AS v0,
+       |         CAST(sum(bit1 * (1 << ((y * 8 + x) % 16))) AS BIGINT) AS v1,
+       |         CAST(sum(bit2 * (1 << ((y * 8 + x) % 16))) AS BIGINT) AS v2
+       |       FROM b GROUP BY i, band),
+       |var AS (SELECT i AS id, band, v0 AS val FROM bd
+       |        UNION ALL SELECT i + 1000, band, v1 FROM bd
+       |        UNION ALL SELECT i + 2000, band, v2 FROM bd),
+       |vec AS (SELECT id, list(val ORDER BY band) AS bv FROM var GROUP BY id),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM var a JOIN var b
+       |           ON a.band = b.band AND a.val = b.val AND a.id < b.id),
+       |hm AS (SELECT id_a, id_b,
+       |         CAST(bit_count(xor(xa.bv[1], xb.bv[1]))
+       |            + bit_count(xor(xa.bv[2], xb.bv[2]))
+       |            + bit_count(xor(xa.bv[3], xb.bv[3]))
+       |            + bit_count(xor(xa.bv[4], xb.bv[4])) AS BIGINT) AS hamming
+       |       FROM cand
+       |       JOIN vec xa ON xa.id = cand.id_a
+       |       JOIN vec xb ON xb.id = cand.id_b)
+       |SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 6
+       |ORDER BY id_a, id_b""".stripMargin
 }
 
 /** Unrolled-CTE DuckDB oracle for the 3-round logistic GD: weight relation

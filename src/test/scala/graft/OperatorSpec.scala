@@ -253,6 +253,34 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("dhash: monotone-shift invariance, watermark proximity, cross-image " +
+    "separation over the real fixture files") {
+    import graft.operators.Multimodal
+    val dir = new java.io.File(
+      Seq("fixtures/media", "/root/repo/fixtures/media")
+        .find(p => new java.io.File(p).isDirectory).get)
+    val files = dir.listFiles.filter(_.getName.endsWith(".ppm")).sortBy(_.getName)
+      .map(f => (f.getName.drop(4).take(2).toLong,
+        java.nio.file.Files.readAllBytes(f.toPath)))
+    def bandsOf(dec: Multimodal.DhashDecoder) =
+      dec.decodeBatch(files).map(b => b.id -> Seq(b.b0, b.b1, b.b2, b.b3)).toMap
+    val id0 = bandsOf(Multimodal.DhashIdentity)
+    val wm = bandsOf(Multimodal.DhashWatermark)
+    val br = bandsOf(Multimodal.DhashBrighten)
+    def hamming(a: Seq[Int], b: Seq[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    id0.keys.foreach { i =>
+      // any monotone global shift preserves every strict gray comparison
+      assert(hamming(id0(i), br(i)) == 0, s"brightness moved dhash of $i")
+      // the corner watermark flips only bits whose grid cells it touches
+      val d = hamming(id0(i), wm(i))
+      assert(d <= 6, s"watermark pushed $i past the near-dup threshold ($d)")
+    }
+    // distinct images are far apart — the threshold separates with margin
+    for (i <- id0.keys; j <- id0.keys if i < j)
+      assert(hamming(id0(i), id0(j)) >= 12, s"images $i/$j too close")
+  }
+
   test("bmp codec: bottom-up and top-down rows, BGR swap, pad bytes dropped") {
     import java.nio.{ByteBuffer, ByteOrder}
     // 2x2 RGB image in row-major top-down order: pixel (x,y) = base..base+2
