@@ -21,11 +21,14 @@ import org.apache.spark.sql.functions._
   * BEFORE its lineage-cutting checkpoint (localCheckpoint preserves the
   * hash partitioning), so every round's edge⋈rank join reuses one layout
   * instead of re-shuffling O(E) per round. The dangling-vertex id set is
-  * static — computed once, not re-derived per round — and the dangling
-  * mass rides the SAME fused aggregate as the edge messages (tagged rows,
-  * one O(E+V) job) instead of a separate anti-join job per round.
-  * `localCheckpoint` cuts per-round lineage (HDFS checkpoint at cluster
-  * scale).
+  * static (computed once), and the dangling MASS for round k is a scalar
+  * over round k−1's ranks — so it rides an `observe()` on the previous
+  * round's checkpoint materialization and enters round k as a folded
+  * literal. That makes each round exactly ONE job (edge⋈rank join + hash
+  * aggregate + rank rewrite, fused into the round checkpoint), where the
+  * tagged-union formulation ran a separate aggregate checkpoint plus a
+  * broadcast exchange per round. `localCheckpoint` cuts per-round lineage
+  * (HDFS checkpoint at cluster scale).
   */
 object PageRank {
 
@@ -41,38 +44,42 @@ object PageRank {
     val nDF = broadcast(v.agg(count(lit(1)).as("n")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
     // dangling vertices (no out-edges) are a property of the GRAPH, not of
-    // the round — derive the set once and reuse it every iteration
-    val dangIds = v.join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+    // the round — tag the vertex relation once and reuse it every iteration
+    val vTag = v
+      .join(deg.select(col("src").as("id"), lit(true).as("dang0")), Seq("id"), "left")
+      .select(col("id"), col("dang0").isNull.as("dang"))
       .localCheckpoint()
 
-    var ranks = v.crossJoin(nDF).select(col("id"), (lit(1.0) / col("n")).as("r"))
+    var ranks = vTag.crossJoin(nDF)
+      .select(col("id"), col("dang"), (lit(1.0) / col("n")).as("r"))
+    // round 0's dangling mass, in the same 1e-12 integer units every later
+    // round's observe() emits — one O(V) job before the loop, never per round
+    var dm = ranks.where(col("dang"))
+      .agg(coalesce(sum(round(col("r") * 1e12, 0).cast("long")), lit(0L)))
+      .head().getLong(0)
     for (_ <- 0 until iters) {
-      // fused round aggregate: per-edge messages keyed by dst PLUS the
-      // dangling-vertex masses, distinguished by a tag column (no sentinel
-      // id that could collide with real vertex ids) — one O(E+V) aggregate
-      // job where the previous formulation ran a separate anti-join +
-      // aggregate job per round. Dangling mass is redistributed uniformly
-      // (standard damped PageRank), quantized to the same 1e-12 units.
-      val contrib = e
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+      // one fused job per round: per-edge messages quantized to integer
+      // 1e-12 units (float addition order cannot perturb the sum), dangling
+      // mass redistributed uniformly as the LITERAL observed on the previous
+      // round's checkpoint; the new round's dangling mass is observed during
+      // THIS checkpoint's materialization — no extra scan, no broadcast.
+      val msgs = e
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
         .join(deg, "src")
-        .select(col("dst").as("id"), lit(false).as("dang"),
-          round(col("r") / col("outdeg") * 1e12, 0).cast("long").as("m"))
-        .union(dangIds.join(ranks, "id")
-          .select(col("id"), lit(true).as("dang"),
-            round(col("r") * 1e12, 0).cast("long").as("m")))
-      val agg = contrib.groupBy("id", "dang").agg(sum("m").as("m"))
-        .localCheckpoint()
-      val dm = broadcast(agg.where(col("dang"))
-        .agg(coalesce(sum(col("m")), lit(0L)).as("dm")))
-      ranks = v.crossJoin(nDF).crossJoin(dm)
-        .join(agg.where(!col("dang")).select(col("id"), col("m")), Seq("id"), "left")
-        .select(col("id"),
+        .groupBy(col("dst").as("id"))
+        .agg(sum(round(col("r") / col("outdeg") * 1e12, 0).cast("long")).as("m"))
+      val obs = org.apache.spark.sql.Observation()
+      ranks = vTag.crossJoin(nDF)
+        .join(msgs, Seq("id"), "left")
+        .select(col("id"), col("dang"),
           round(lit(1.0 - damping) / col("n")
             + lit(damping) * (coalesce(col("m"), lit(0L)) / lit(1e12)
-              + (col("dm") / lit(1e12)) / col("n")), 9).as("r"))
+              + (lit(dm) / lit(1e12)) / col("n")), 9).as("r"))
+        .observe(obs, coalesce(sum(when(col("dang"),
+          round(col("r") * 1e12, 0).cast("long"))), lit(0L)).as("dm"))
         .localCheckpoint()
+      dm = obs.get("dm").asInstanceOf[Long]
     }
-    ranks
+    ranks.select("id", "r")
   }
 }
