@@ -132,6 +132,26 @@ object DedupQueries {
           split(col("text"), " ", -1), 0.5, cap = 4)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Split-leakage audit — the dataset-versioning invariant q158 states for
+    // assignment stability, applied to CONTENT: near-duplicate pairs whose
+    // members land on different sides of the train/valid/test split are
+    // silent eval contamination (the test doc's near-copy was trained on).
+    // The q37 LSH pairs compose with the q16 hash split; split assignment
+    // is a PURE FUNCTION of doc_id (Split.assignSplit), so labeling both
+    // pair members is row-local arithmetic on the ≤|pairs| relation — no
+    // join against the corpus, no shuffle beyond what the LSH path already
+    // does. At 100 TB the leakage report costs exactly one LSH pass.
+    QueryDef("q163_split_leakage", LshPairsSql.leakageSql(21)) { (s, d) =>
+      import graft.operators.Split
+      MinHash.nearDuplicates(Tables.documents(s, d), col("doc_id"),
+          split(col("text"), " ", -1), 0.5)
+        .select(col("doc_a"), Split.assignSplit(col("doc_a"), 21).as("split_a"),
+          col("doc_b"), Split.assignSplit(col("doc_b"), 21).as("split_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .where(col("split_a") =!= col("split_b"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 }
@@ -180,6 +200,18 @@ private object LshPairsSql {
   /** q37 with the bucket-size cap applied before the candidate self-join —
     * the identical window-count + filter the capped operator declares.
     */
+  /** q37's pairs labeled with the q16 hash split, cross-split rows only. */
+  def leakageSql(seed: Long): String = {
+    import graft.operators.Split
+    s"""WITH $cte,
+       |lk AS (SELECT doc_a, ${Split.assignSplitSql("doc_a", seed)} AS split_a,
+       |              doc_b, ${Split.assignSplitSql("doc_b", seed)} AS split_b,
+       |              jaccard
+       |       FROM j WHERE jaccard >= 0.5)
+       |SELECT doc_a, split_a, doc_b, split_b, jaccard FROM lk
+       |WHERE split_a <> split_b ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def cappedSql(cap: Int): String =
     s"""WITH $cte,
        |bandsc AS (SELECT doc_id, band, bkey FROM (
