@@ -230,6 +230,62 @@ object Multimodal {
 
   object WavAudioDecoder extends PcmAudioDecoder(MediaCodecs.decodeWav)
 
+  /** Acoustic fingerprint bands of a decoded PCM clip — the audio twin of
+    * [[DhashDecoder]] (frame-energy deltas, the public shape behind
+    * Chromaprint-style fingerprints): 33 integer frame energies Σ|s| over
+    * the t ∈ [f·n/33, (f+1)·n/33) grid, bit(f) = e(f+1) > e(f), 32 bits
+    * packed as two 16-bit band ints for the same band-bucket candidate
+    * join. Exactly monotone gain changes (s·2) preserve every comparison —
+    * distance 0 — while a localized edit (a silenced region) flips only
+    * the bits of the frames it touches: a true near-duplicate.
+    */
+  final case class AudioFpBands(id: Long, nSamples: Long, b0: Int, b1: Int)
+
+  /** Parameterized by a per-sample transform `(sample, t, n) → value`
+    * applied before the energy fold — plants perturbed variants of the same
+    * payload, mirroring [[DhashDecoder]]'s pixel transform.
+    */
+  final class AudioFpDecoder(transform: (Int, Int, Int) => Int)
+      extends MediaDecoder[AudioFpBands] {
+    override def decodeBatch(batch: Array[(Long, Array[Byte])]): Array[AudioFpBands] =
+      batch.map { case (id, bytes) =>
+        val clip = MediaCodecs.decodeWav(bytes)
+        val n = clip.samples.length
+        val e = new Array[Long](33)
+        var f = 0
+        while (f < 33) {
+          var t = f * n / 33
+          val hi = (f + 1) * n / 33
+          var s = 0L
+          while (t < hi) {
+            s += math.abs(transform(clip.samples(t).toInt, t, n).toLong)
+            t += 1
+          }
+          e(f) = s
+          f += 1
+        }
+        var (b0, b1) = (0, 0)
+        var bit = 0
+        while (bit < 32) {
+          if (e(bit + 1) > e(bit)) {
+            if (bit < 16) b0 |= 1 << bit else b1 |= 1 << (bit - 16)
+          }
+          bit += 1
+        }
+        AudioFpBands(id, n.toLong, b0, b1)
+      }
+    override val schema: StructType = new StructType()
+      .add("media_id", LongType).add("n_samples", LongType)
+      .add("b0", IntegerType).add("b1", IntegerType)
+    override def toRow(f: AudioFpBands): Row = Row(f.id, f.nSamples, f.b0, f.b1)
+  }
+
+  /** Fixture variants: identity, exact gain ×2, first-eighth silenced. */
+  val AudioFpIdentity: AudioFpDecoder = new AudioFpDecoder((s, _, _) => s)
+  val AudioFpGain: AudioFpDecoder = new AudioFpDecoder((s, _, _) => s * 2)
+  val AudioFpSilence: AudioFpDecoder = new AudioFpDecoder((s, t, n) =>
+    if (t < n / 8) 0 else s)
+
   /** FLAC twin of [[WavAudioDecoder]]: the decode crosses rice-coded
     * residuals, fixed predictors, and stereo decorrelation — lossless, so
     * the decoded PCM is bit-exact and the same arithmetic-fixture replay

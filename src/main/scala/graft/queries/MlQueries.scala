@@ -364,6 +364,42 @@ object MlQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Audio twin of q162 (Multimodal.AudioFpDecoder): REAL WAV decode →
+    // frame-energy fingerprint (33 integer Σ|s| energies, 32 comparison
+    // bits as two 16-bit bands) → band-bucket join → Hamming ≤ 6. Variants
+    // plant the same triangle: exact gain ×2 is monotone in |s| (every
+    // comparison survives — distance 0), a silenced first eighth flips
+    // only the bits of the frames it touches (distance 1-4), distinct
+    // clips sit at ≥ 11. Same scale inventory as q162: row-local
+    // decode+hash, banded candidates, exact filter on candidates only.
+    QueryDef("q164_audio_fp_dedup", MediaSql.audioFpSql) { (s, _) =>
+      def bandsOf(dec: Multimodal.MediaDecoder[Multimodal.AudioFpBands],
+                  offset: Long): org.apache.spark.sql.DataFrame =
+        Multimodal.decodeFeatures(
+            Multimodal.readMedia(s, MediaSql.fixtureDir, "*.wav"), dec)
+          .select((col("media_id") + offset).as("id"),
+            array(col("b0"), col("b1")).as("bv"))
+      val variants = bandsOf(Multimodal.AudioFpIdentity, 0L)
+        .unionAll(bandsOf(Multimodal.AudioFpGain, 100L))
+        .unionAll(bandsOf(Multimodal.AudioFpSilence, 200L))
+      val banded = variants.select(col("id"), col("bv"),
+        posexplode(col("bv")).as(Seq("band", "val")))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.val") === col("b.val") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.bv").as("bva"), col("b.bv").as("bvb"))
+        .distinct()
+      val ham = (0 until 2).map(i =>
+        bit_count(element_at(col("bva"), i + 1)
+          .bitwiseXOR(element_at(col("bvb"), i + 1))))
+        .reduce(_ + _)
+      cand.select(col("id_a"), col("id_b"), ham.cast("long").as("hamming"))
+        .where(col("hamming") <= 6)
+        .orderBy("id_a", "id_b")
+    },
+
     // SURVEY §2 row 45 made oracle-checkable: deterministic full-batch
     // gradient descent for the logistic fit (operators/LogisticGD), the same
     // move KMeans made for Lloyd rounds. Per-row gradient terms quantize to
@@ -621,6 +657,53 @@ private[queries] object MediaSql {
        |            + bit_count(xor(xa.bv[2], xb.bv[2]))
        |            + bit_count(xor(xa.bv[3], xb.bv[3]))
        |            + bit_count(xor(xa.bv[4], xb.bv[4])) AS BIGINT) AS hamming
+       |       FROM cand
+       |       JOIN vec xa ON xa.id = cand.id_a
+       |       JOIN vec xb ON xb.id = cand.id_b)
+       |SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 6
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Audio-fingerprint replay: 33 frame energies per WAV fixture under
+    * three variants (identity, gain ×2, silenced first eighth), 32
+    * comparison bits as two 16-bit bands, band join + Hamming ≤ 6 — the
+    * q162 pipeline with samples for pixels.
+    */
+  val audioFpSql: String =
+    s"""WITH dims AS (SELECT j, 64 + 16 * j AS n
+       |              FROM (SELECT unnest(range(0, 8)) AS j)),
+       |fr AS (SELECT j, n, unnest(range(0, 33)) AS f FROM dims),
+       |ft AS (SELECT j, n, f,
+       |              unnest(range((f * n) // 33, ((f + 1) * n) // 33)) AS t
+       |       FROM fr),
+       |sv AS (SELECT j, n, f, t,
+       |              ((t * $K + 131 * j) % 4096) - 2048 AS s FROM ft),
+       |e AS (SELECT j, f,
+       |        CAST(sum(abs(s)) AS BIGINT) AS e0,
+       |        CAST(sum(abs(s * 2)) AS BIGINT) AS e1,
+       |        CAST(sum(CASE WHEN t < n // 8 THEN 0 ELSE abs(s) END)
+       |          AS BIGINT) AS e2
+       |      FROM sv GROUP BY j, f),
+       |b AS (SELECT a.j, a.f,
+       |        CASE WHEN x.e0 > a.e0 THEN 1 ELSE 0 END AS bit0,
+       |        CASE WHEN x.e1 > a.e1 THEN 1 ELSE 0 END AS bit1,
+       |        CASE WHEN x.e2 > a.e2 THEN 1 ELSE 0 END AS bit2
+       |      FROM e a JOIN e x ON x.j = a.j AND x.f = a.f + 1
+       |      WHERE a.f < 32),
+       |bd AS (SELECT j, f // 16 AS band,
+       |         CAST(sum(bit0 * (1 << (f % 16))) AS BIGINT) AS v0,
+       |         CAST(sum(bit1 * (1 << (f % 16))) AS BIGINT) AS v1,
+       |         CAST(sum(bit2 * (1 << (f % 16))) AS BIGINT) AS v2
+       |       FROM b GROUP BY j, band),
+       |var AS (SELECT j AS id, band, v0 AS val FROM bd
+       |        UNION ALL SELECT j + 100, band, v1 FROM bd
+       |        UNION ALL SELECT j + 200, band, v2 FROM bd),
+       |vec AS (SELECT id, list(val ORDER BY band) AS bv FROM var GROUP BY id),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM var a JOIN var b
+       |           ON a.band = b.band AND a.val = b.val AND a.id < b.id),
+       |hm AS (SELECT id_a, id_b,
+       |         CAST(bit_count(xor(xa.bv[1], xb.bv[1]))
+       |            + bit_count(xor(xa.bv[2], xb.bv[2])) AS BIGINT) AS hamming
        |       FROM cand
        |       JOIN vec xa ON xa.id = cand.id_a
        |       JOIN vec xb ON xb.id = cand.id_b)
