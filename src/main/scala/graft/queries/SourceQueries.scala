@@ -258,6 +258,94 @@ object SourceQueries {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), coalesce(sum("k"), lit(0L)).as("k_sum"))
         .orderBy("bucket")
+    },
+
+    // TFRecord shard scan (sources/TfRecordIngest): the de-facto TF/JAX
+    // training container — length-framed records with MASKED CRC32C on
+    // both length and payload (verified; a flipped byte fails loudly), and
+    // hand-walked tf.train.Example protobuf payloads (varint + LEN wire
+    // format, no protobuf dependency). The oracle replays every feature of
+    // every record from the fixture formula, so one wrong varint shift,
+    // CRC mask constant, or map-entry walk flips the hash. Scale: shards
+    // carry no sync marker, so the FILE is the parallel unit (real corpora
+    // shard into tens of thousands) — decode is flatMap-local, the
+    // one-time converter lane to splittable parquet.
+    QueryDef("q165_tfrecord_scan",
+      s"""WITH g AS (SELECT unnest(range(0, 24)) AS gid)
+         |SELECT 'shard_' || CAST(gid // 8 AS VARCHAR) || '.tfrecord' AS shard,
+         |       gid % 8 AS record_idx, gid AS id,
+         |       (gid * ${graft.functions.Hashes.Mult}) % 1000 AS x0,
+         |       (gid * ${graft.functions.Hashes.Mult} + 97) % 1000 AS x1,
+         |       (gid * ${graft.functions.Hashes.Mult} + 194) % 1000 AS x2,
+         |       (gid * ${graft.functions.Hashes.Mult} + 291) % 1000 AS x3,
+         |       'doc-' || CAST(gid AS VARCHAR) AS txt
+         |FROM g ORDER BY id""".stripMargin) { (s, _) =>
+      graft.sources.TfRecordIngest
+        .scanExamples(s, ContainerFixtures.dir("tfrecord"), "*.tfrecord")
+        .select(col("shard"), col("record_idx").cast("long").as("record_idx"),
+          col("id"),
+          element_at(col("xs"), 1).as("x0"), element_at(col("xs"), 2).as("x1"),
+          element_at(col("xs"), 3).as("x2"), element_at(col("xs"), 4).as("x3"),
+          col("txt"))
+        .orderBy("id")
+    },
+
+    // WebDataset tar-shard scan (sources/WebDatasetIngest): the sharded
+    // multimodal container convention — a sample is the group of adjacent
+    // ustar members sharing a basename (image + caption here). The scan
+    // composes with the codec surface: the image member decodes through
+    // the REAL PPM kernel and its channel sums replay arithmetically, so
+    // the contract proves tar header walk + member slicing + sample
+    // grouping + decode end to end. Scale: tar has no internal index —
+    // the file is the parallel unit, which is exactly why the convention
+    // shards corpora into many tars; decode is row-local.
+    QueryDef("q166_webdataset_scan",
+      s"""WITH dims AS (SELECT gid, 8 + (gid % 3) * 4 AS w, 6 + (gid % 2) * 4 AS h
+         |              FROM (SELECT unnest(range(0, 16)) AS gid)),
+         |px AS (SELECT gid, w, h, unnest(range(0, w * h * 3)) AS f FROM dims),
+         |v AS (SELECT gid, w, h, f % 3 AS ch,
+         |             (f * ${graft.functions.Hashes.Mult} + 149 * gid) % 256 AS p
+         |      FROM px)
+         |SELECT 'shard_' || CAST(gid // 8 AS VARCHAR) || '.tar' AS shard,
+         |       lpad(CAST(gid AS VARCHAR), 6, '0') AS key,
+         |       CAST(max(w) AS INTEGER) AS width,
+         |       CAST(max(h) AS INTEGER) AS height,
+         |       CAST(sum(CASE WHEN ch = 0 THEN p END) AS BIGINT) AS sum_r,
+         |       CAST(sum(CASE WHEN ch = 1 THEN p END) AS BIGINT) AS sum_g,
+         |       CAST(sum(CASE WHEN ch = 2 THEN p END) AS BIGINT) AS sum_b,
+         |       'caption ' || CAST(gid AS VARCHAR) || ' '
+         |         || CAST((gid * 7) % 100 AS VARCHAR) AS txt
+         |FROM v GROUP BY gid ORDER BY key""".stripMargin) { (s, _) =>
+      import s.implicits._
+      graft.sources.WebDatasetIngest
+        .scanSamples(s, ContainerFixtures.dir("webdataset"), "*.tar")
+        .as[(String, String, Array[Byte], String)]
+        .map { case (shard, key, image, txt) =>
+          val img = graft.operators.MediaCodecs.decodePpm(image)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var i = 0
+          while (i < img.pixels.length) {
+            sr += img.pixels(i) & 0xff
+            sg += img.pixels(i + 1) & 0xff
+            sb += img.pixels(i + 2) & 0xff
+            i += 3
+          }
+          (shard, key, img.width, img.height, sr, sg, sb, txt)
+        }
+        .toDF("shard", "key", "width", "height", "sum_r", "sum_g", "sum_b", "txt")
+        .orderBy("key")
     }
   )
+}
+
+/** Resolve a container-fixture directory whether the JVM runs from the repo
+  * root or elsewhere (the MediaSql.fixtureDir posture).
+  */
+private object ContainerFixtures {
+  def dir(name: String): String =
+    Seq(s"fixtures/$name", s"/root/repo/fixtures/$name")
+      .map(new java.io.File(_)).find(_.isDirectory)
+      .getOrElse(throw new IllegalStateException(
+        s"fixtures/$name not found — run tools/gen_${name}_fixture.py"))
+      .getAbsolutePath
 }

@@ -93,4 +93,45 @@ class SourceSpec extends AnyFunSuite {
     val only = read(20).select("clazz").collect().map(_.getInt(0))
     assert(only.toSeq == (0L until 20L).map(ShowerEventsSource.clazzOf))
   }
+
+  test("tfrecord: crc verification rejects a flipped byte; truncation fails " +
+    "loudly; examples parse every feature") {
+    import graft.sources.TfRecordIngest
+    val shard = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      Seq("fixtures/tfrecord", "/root/repo/fixtures/tfrecord")
+        .find(p => new java.io.File(p).isDirectory).get, "shard_0.tfrecord"))
+    val fs = TfRecordIngest.frames(shard)
+    assert(fs.size == 8)
+    val ex = TfRecordIngest.parseExample(fs.head._2)
+    assert(ex.longs("id") == Seq(0L))
+    assert(ex.longs("x").size == 4)
+    assert(new String(ex.bytes("txt").head, "UTF-8") == "doc-0")
+    // flip one payload byte: the payload crc must catch it
+    val bad = shard.clone()
+    bad(20) = (bad(20) ^ 0x01).toByte
+    val e1 = intercept[IllegalArgumentException](TfRecordIngest.frames(bad))
+    assert(e1.getMessage.contains("crc"), e1.getMessage)
+    // truncate mid-record: the frame walk must fail, not return partials
+    intercept[IllegalArgumentException](
+      TfRecordIngest.frames(shard.dropRight(5)))
+  }
+
+  test("webdataset: tar walk slices members exactly; sample grouping pairs " +
+    "modalities; truncation fails loudly") {
+    import graft.sources.WebDatasetIngest
+    val shard = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      Seq("fixtures/webdataset", "/root/repo/fixtures/webdataset")
+        .find(p => new java.io.File(p).isDirectory).get, "shard_0.tar"))
+    val members = WebDatasetIngest.tarMembers(shard)
+    assert(members.size == 16) // 8 samples x 2 modalities
+    val grouped = WebDatasetIngest.samples(members).toMap
+    assert(grouped.size == 8)
+    val s0 = grouped("000000")
+    assert(new String(s0("txt"), "UTF-8") == "caption 0 0")
+    val img = graft.operators.MediaCodecs.decodePpm(s0("ppm"))
+    assert(img.width == 8 && img.height == 6)
+    // a member whose declared size overruns the archive must fail loudly
+    intercept[IllegalArgumentException](
+      WebDatasetIngest.tarMembers(shard.take(600)))
+  }
 }
