@@ -334,6 +334,33 @@ object SourceQueries {
         }
         .toDF("shard", "key", "width", "height", "sum_r", "sum_g", "sum_b", "txt")
         .orderBy("key")
+    },
+
+    // TFRecord SINK → scan roundtrip (the converter lane made
+    // bidirectional): every partition writes its own shard directly (task
+    // parallelism = shard parallelism, no driver funnel), the write-side
+    // proto encoder is proven through the CRC-verifying reader, and the
+    // oracle aggregates the ORIGINAL parquet — the container hop must be
+    // information-preserving, so one wrong varint or CRC on the write path
+    // is a hash mismatch.
+    QueryDef("q167_tfrecord_roundtrip",
+      """SELECT doc_id AS id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS x0,
+        |       CAST(length(text) AS BIGINT) AS x1,
+        |       CAST(length(text) AS BIGINT) AS txt_len
+        |FROM documents ORDER BY id""".stripMargin) { (s, d) =>
+      val dir = tmp("tfrec", d)
+      graft.sources.TfRecordIngest.writeExamples(
+        Tables.documents(s, d).select(col("doc_id").as("id"),
+          array(size(split(col("text"), " ", -1)).cast("long"),
+            length(col("text")).cast("long")).as("xs"),
+          col("text").as("txt")).repartition(3),
+        dir)
+      graft.sources.TfRecordIngest.scanExamples(s, dir, "*.tfrecord")
+        .select(col("id"), element_at(col("xs"), 1).as("x0"),
+          element_at(col("xs"), 2).as("x1"),
+          length(col("txt")).cast("long").as("txt_len"))
+        .orderBy("id")
     }
   )
 }

@@ -3,6 +3,8 @@ package graft.sources
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util.zip.CRC32C
 
+import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -162,6 +164,80 @@ object TfRecordIngest {
       case (_, w) => ex.skip(w)
     }
     TfExample(longs.result(), bytes.result())
+  }
+
+  // ---- minimal proto wire writer (the encoder mirror of the reader) ----
+  private def varintBytes(n: Long): Array[Byte] = {
+    val out = Array.newBuilder[Byte]
+    var v = n
+    while ({
+      val b = (v & 0x7f).toInt
+      v >>>= 7
+      out += (if (v != 0) (b | 0x80).toByte else b.toByte)
+      v != 0
+    }) ()
+    out.result()
+  }
+  private def ld(field: Int, payload: Array[Byte]): Array[Byte] =
+    varintBytes((field << 3) | 2) ++ varintBytes(payload.length.toLong) ++ payload
+
+  /** Serialize one Example{features{...}} with int64_list (packed) and
+    * bytes_list features — the same schema surface the reader walks.
+    */
+  def encodeExample(longs: Map[String, Seq[Long]],
+                    bytes: Map[String, Seq[Array[Byte]]]): Array[Byte] = {
+    val entries =
+      longs.toSeq.sortBy(_._1).map { case (k, vs) =>
+        ld(1, ld(1, k.getBytes("UTF-8")) ++
+          ld(2, ld(3, ld(1, vs.toArray.flatMap(varintBytes)))))
+      } ++
+      bytes.toSeq.sortBy(_._1).map { case (k, vs) =>
+        ld(1, ld(1, k.getBytes("UTF-8")) ++
+          ld(2, ld(1, vs.toArray.flatMap(v => ld(1, v)))))
+      }
+    ld(1, entries.flatten.toArray)
+  }
+
+  /** Frame a payload with the masked-CRC32C record envelope. */
+  def frame(payload: Array[Byte]): Array[Byte] = {
+    val head = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    head.putLong(payload.length.toLong)
+    val lenBytes = new Array[Byte](8)
+    head.position(0); head.get(lenBytes); head.position(8)
+    head.putInt(maskedCrc(lenBytes, 0, 8))
+    val tail = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(maskedCrc(payload, 0, payload.length))
+    head.array() ++ payload ++ tail.array()
+  }
+
+  /** Distributed TFRecord sink: every partition writes its own shard
+    * directly (`part-NNNNN.tfrecord`) — the standard sharded layout, task
+    * parallelism = shard parallelism, no driver funnel. Input schema is the
+    * scan contract: (id long, xs array<long>, txt string).
+    */
+  def writeExamples(df: DataFrame, dir: String): Unit = {
+    import df.sparkSession.implicits._
+    val path = new Path(dir)
+    val fs0 = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs0.delete(path, true)
+    fs0.mkdirs(path)
+    df.select(col("id"), col("xs"), col("txt"))
+      .as[(Long, Seq[Long], String)]
+      .rdd.mapPartitionsWithIndex { case (part, rows) =>
+        // file:// and default-FS paths resolve from task-side defaults; a
+        // cluster deployment threads the job conf here instead
+        val fs = new Path(dir).getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(new Path(dir, f"part-$part%05d.tfrecord"), true)
+        var n = 0L
+        rows.foreach { case (id, xs, txt) =>
+          out.write(frame(encodeExample(
+            Map("id" -> Seq(id), "x" -> xs),
+            Map("txt" -> Seq(txt.getBytes("UTF-8"))))))
+          n += 1
+        }
+        out.close()
+        Iterator.single(n)
+      }.sum(): Unit
   }
 
   /** Scan a directory of TFRecord shards into (shard, record_idx, example)

@@ -116,6 +116,20 @@ class SourceSpec extends AnyFunSuite {
       TfRecordIngest.frames(shard.dropRight(5)))
   }
 
+  test("tfrecord sink: encode -> frame -> parse roundtrips, including " +
+    "negative int64s (10-byte varints) and empty byte values") {
+    import graft.sources.TfRecordIngest
+    val longs = Map("a" -> Seq(-1L, Long.MinValue, 0L, 300L),
+      "id" -> Seq(Long.MaxValue))
+    val bytes = Map("txt" -> Seq("".getBytes("UTF-8"), "héllo".getBytes("UTF-8")))
+    val shard = TfRecordIngest.frame(TfRecordIngest.encodeExample(longs, bytes))
+    val fs = TfRecordIngest.frames(shard)
+    assert(fs.size == 1)
+    val ex = TfRecordIngest.parseExample(fs.head._2)
+    assert(ex.longs == longs)
+    assert(ex.bytes("txt").map(new String(_, "UTF-8")) == Seq("", "héllo"))
+  }
+
   test("webdataset: tar walk slices members exactly; sample grouping pairs " +
     "modalities; truncation fails loudly") {
     import graft.sources.WebDatasetIngest
