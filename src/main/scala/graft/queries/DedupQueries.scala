@@ -134,6 +134,65 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken 2003 —
+    // the MOSS algorithm): slide a width-4 window over the 3-gram shingle
+    // hashes, select the RIGHTMOST minimal hash per window, dedupe
+    // selections. The guarantee (why every code-similarity system uses it):
+    // any shared run of ≥ w+k-1 tokens yields at least one IDENTICAL
+    // selected fingerprint in both documents, while density stays ~2/(w+1)
+    // — a principled alternative to q160's content-anchored mod-s sampling
+    // whose selection adapts to local hash structure. Entirely row-local
+    // here: one fused HOF chain (sequence → per-window aggregate fold →
+    // array_distinct → fold) inside codegen, no explode, no join, no
+    // shuffle until the contract ORDER BY — the census over these
+    // fingerprints is q160's machinery unchanged. The oracle replays
+    // selection relationally (window min + rightmost tie) — a different
+    // formulation whose agreement pins the tie rule exactly.
+    QueryDef("q168_winnowing",
+      s"""$shingleCte,
+         |e AS (SELECT doc_id, i - 1 AS pos, sh[i] AS h FROM (
+         |  SELECT doc_id, sh, unnest(range(1, len(sh) + 1)) AS i FROM s)),
+         |wn AS (SELECT doc_id, unnest(range(0, len(sh) - 3)) AS p FROM s),
+         |m AS (SELECT wn.doc_id, wn.p, min(e.h) AS mh
+         |      FROM wn JOIN e ON e.doc_id = wn.doc_id
+         |        AND e.pos >= wn.p AND e.pos < wn.p + 4
+         |      GROUP BY 1, 2),
+         |sel AS (SELECT m.doc_id, m.mh, max(e.pos) AS pos
+         |        FROM m JOIN e ON e.doc_id = m.doc_id
+         |          AND e.pos >= m.p AND e.pos < m.p + 4 AND e.h = m.mh
+         |        GROUP BY m.doc_id, m.p, m.mh),
+         |fp AS (SELECT DISTINCT doc_id, pos, mh FROM sel),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         |               CAST(sum(mh) AS BIGINT) AS fp_checksum
+         |        FROM fp GROUP BY doc_id)
+         |SELECT s.doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
+         |       coalesce(agg.n_fp, 0) AS n_fp,
+         |       coalesce(agg.fp_checksum, 0) AS fp_checksum
+         |FROM s LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+      val w = 4
+      val emptyFps = array().cast("array<struct<h:bigint,pos:int>>")
+      val init = struct(lit(Long.MaxValue).as("h"), lit(-1).as("pos"))
+      val docs = Tables.documents(s, d)
+        .where(size(split(col("text"), " ", -1)) >= 3)
+        .select(col("doc_id"),
+          MinHash.shingleHashes(split(col("text"), " ", -1)).as("sh"))
+      val selected = transform(sequence(lit(0), size(col("sh")) - w),
+        p => aggregate(sequence(p, p + w - 1), init,
+          (acc, i) => when(element_at(col("sh"), i + 1) <= acc.getField("h"),
+            struct(element_at(col("sh"), i + 1).as("h"), i.as("pos")))
+            .otherwise(acc)))
+      docs
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+          when(size(col("sh")) >= w, array_distinct(selected))
+            .otherwise(emptyFps).as("fps"))
+        .select(col("doc_id"), col("n_sh"),
+          size(col("fps")).cast("long").as("n_fp"),
+          aggregate(col("fps"), lit(0L),
+            (a, x) => a + x.getField("h")).as("fp_checksum"))
+        .orderBy("doc_id")
+    },
+
     // Split-leakage audit — the dataset-versioning invariant q158 states for
     // assignment stability, applied to CONTENT: near-duplicate pairs whose
     // members land on different sides of the train/valid/test split are

@@ -492,4 +492,32 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3).getString(0) == "plain text with words only stays byte-identical")
     assert((got(3).getLong(1), got(3).getLong(2), got(3).getLong(3)) == ((0L, 0L, 0L)))
   }
+
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens yields an " +
+    "identical selected fingerprint in both docs; density ~ 2/(w+1)") {
+    import graft.operators.MinHash
+    // w=4 windows over k=3 shingles: guarantee threshold = 4+3-1 = 6 tokens.
+    // Embed one 8-token run in two otherwise-disjoint documents.
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val docA = s"left filler tokens before $run and unrelated tail words"
+    val docB = s"completely different prefix here $run with other suffix junk"
+    def fingerprints(text: String): Set[Long] = {
+      val w = 4
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+        .select(MinHash.shingleHashes(split(col("text"), " ", -1)).as("sh"))
+      val sh = df.head().getSeq[Long](0)
+      (0 to sh.length - w).map { p =>
+        // rightmost minimal hash in the window — the q168 selection rule
+        (p until p + w).foldLeft((Long.MaxValue, -1)) { case ((mh, mp), i) =>
+          if (sh(i) <= mh) (sh(i), i) else (mh, mp)
+        }
+      }.map(_._1).toSet
+    }
+    val (fa, fb) = (fingerprints(docA), fingerprints(docB))
+    assert((fa & fb).nonEmpty, "shared run produced no shared fingerprint")
+    // density: selections per window position stay well under 1 (the
+    // whole point of winnowing vs keep-every-shingle)
+    val shLen = docA.split(" ").length - 2
+    assert(fa.size < shLen, s"winnowing selected ${fa.size} of $shLen shingles")
+  }
 }
