@@ -361,6 +361,70 @@ object SourceQueries {
           element_at(col("xs"), 2).as("x1"),
           length(col("txt")).cast("long").as("txt_len"))
         .orderBy("id")
+    },
+
+    // Incremental TFRecord→parquet conversion as a REAL streaming drain
+    // (the q135 AvailableNow-inside-the-query pattern over the new
+    // container source): shards land, a checkpointed file stream drains
+    // them (one file per trigger → several micro-batches), a SECOND drain
+    // with nothing new must add zero rows (exactly-once), and a late
+    // incremental batch must be picked up WITHOUT re-decoding the original
+    // shards. The final parquet is compared row-for-row against the
+    // expected union (full outer join on id), so a dropped or
+    // double-committed micro-batch, or any decode drift across the
+    // container hop, flips the hash.
+    QueryDef("q169_stream_tfrecord_convert",
+      """SELECT CAST(count(*) AS BIGINT) AS n_first, TRUE AS redrain_noop,
+        |       CAST(count(*) + 10 AS BIGINT) AS n_incremental,
+        |       TRUE AS content_match
+        |FROM documents""".stripMargin) { (s, d) =>
+      import graft.sources.TfRecordIngest
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_tfrec_stream_").toFile
+      sys.addShutdownHook(rmrf(root))
+      val (landing, out, ckpt) = (s"$root/landing", s"$root/out", s"$root/ckpt")
+      def asExamples(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id").as("id"),
+          array(size(split(col("text"), " ", -1)).cast("long"),
+            length(col("text")).cast("long")).as("xs"),
+          col("text").as("txt"))
+      val base = asExamples(Tables.documents(s, d))
+      val inc = asExamples(Tables.documents(s, d).where(col("doc_id") < 10)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      TfRecordIngest.writeExamples(base.repartition(3), landing)
+      TfRecordIngest.streamToParquet(s, landing, out, ckpt,
+        maxFilesPerTrigger = Some(1))
+      val n1 = s.read.parquet(out).count()
+      TfRecordIngest.streamToParquet(s, landing, out, ckpt) // nothing new
+      val n2 = s.read.parquet(out).count()
+      // late batch: encode to a scratch dir, then land the shards under new
+      // names (writeExamples clears ITS target — never the live landing)
+      TfRecordIngest.writeExamples(inc.repartition(1), s"$root/inc")
+      val fs = new org.apache.hadoop.fs.Path(landing)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/inc"))
+        .filter(_.getPath.getName.endsWith(".tfrecord"))
+        .foreach(f => fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(landing, s"inc-${f.getPath.getName}")): Unit)
+      TfRecordIngest.streamToParquet(s, landing, out, ckpt)
+      val finalRows = s.read.parquet(out)
+        .select(col("id"), element_at(col("xs"), 1).as("x0"), col("txt"))
+      val expected = base.unionAll(inc)
+        .select(col("id"), element_at(col("xs"), 1).as("bx0"),
+          col("txt").as("btxt"))
+      val parity = finalRows.join(expected, Seq("id"), "full_outer")
+        .agg(count(lit(1)).as("n_incremental"),
+          min(when(col("x0") === col("bx0") && col("txt") === col("btxt"),
+            true).otherwise(false)).as("content_match"))
+      import s.implicits._
+      Seq((n1, n1 == n2)).toDF("n_first", "redrain_noop")
+        .crossJoin(broadcast(parity))
+        .select(col("n_first"), col("redrain_noop"),
+          col("n_incremental"), col("content_match"))
     }
   )
 }

@@ -240,16 +240,11 @@ object TfRecordIngest {
       }.sum(): Unit
   }
 
-  /** Scan a directory of TFRecord shards into (shard, record_idx, example)
-    * rows projected through `project`. Decode is flatMap-local; shard-count
-    * parallelism.
-    */
-  def scanExamples(spark: SparkSession, dir: String, glob: String): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
-      .select(input_file_name().as("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, content) =>
+  import org.apache.spark.sql.Dataset
+
+  private def decodeRows(bin: Dataset[(String, Array[Byte])]): DataFrame = {
+    import bin.sparkSession.implicits._
+    bin.flatMap { case (path, content) =>
         val shard = path.split("/").last
         frames(content).map { case (i, payload) =>
           val ex = parseExample(payload)
@@ -261,5 +256,47 @@ object TfRecordIngest {
         }
       }
       .toDF("shard", "record_idx", "id", "xs", "txt")
+  }
+
+  /** Scan a directory of TFRecord shards into (shard, record_idx, example)
+    * rows. Decode is flatMap-local; shard-count parallelism.
+    */
+  def scanExamples(spark: SparkSession, dir: String, glob: String): DataFrame = {
+    import spark.implicits._
+    decodeRows(
+      spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+        .select(input_file_name().as("path"), col("content"))
+        .as[(String, Array[Byte])])
+  }
+
+  /** Incremental converter (the NpzIngest.streamToParquet posture): a file
+    * stream over a TFRecord landing directory, drained with AvailableNow and
+    * exactly-once checkpointing — only shards that arrived since the last
+    * drain are decoded, which is the shape a continuously-fed ingest needs.
+    * Blocks until the drain completes; safe to call repeatedly.
+    */
+  def streamToParquet(spark: SparkSession, srcDir: String, dest: String,
+                      checkpoint: String,
+                      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val reader = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", "*.tfrecord")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n): Unit)
+    val bin = reader.load(srcDir)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+    val q = decodeRows(bin).writeStream
+      .format("parquet")
+      .option("path", dest)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 }
