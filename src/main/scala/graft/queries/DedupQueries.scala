@@ -21,6 +21,27 @@ object DedupQueries {
        |s AS (SELECT doc_id, ${MinHash.shingleHashesSql("toks")} AS sh
        |      FROM t WHERE len(toks) >= 3)""".stripMargin
 
+  /** Winnowing selection replayed relationally (window min + rightmost
+    * tie), ending at `fp` = (doc_id, pos, mh) distinct selections — shared
+    * by q168 (per-doc stats) and q170 (cross-doc census). The relational
+    * re-formulation is deliberately DIFFERENT from the Spark fold; their
+    * agreement pins the tie rule exactly.
+    */
+  private val winnowCte =
+    s"""$shingleCte,
+       |e AS (SELECT doc_id, i - 1 AS pos, sh[i] AS h FROM (
+       |  SELECT doc_id, sh, unnest(range(1, len(sh) + 1)) AS i FROM s)),
+       |wn AS (SELECT doc_id, unnest(range(0, len(sh) - 3)) AS p FROM s),
+       |m AS (SELECT wn.doc_id, wn.p, min(e.h) AS mh
+       |      FROM wn JOIN e ON e.doc_id = wn.doc_id
+       |        AND e.pos >= wn.p AND e.pos < wn.p + 4
+       |      GROUP BY 1, 2),
+       |sel AS (SELECT m.doc_id, m.mh, max(e.pos) AS pos
+       |        FROM m JOIN e ON e.doc_id = m.doc_id
+       |          AND e.pos >= m.p AND e.pos < m.p + 4 AND e.h = m.mh
+       |        GROUP BY m.doc_id, m.p, m.mh),
+       |fp AS (SELECT DISTINCT doc_id, pos, mh FROM sel)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // MinHash signatures: k=8 permutation-min values per doc.
@@ -149,19 +170,7 @@ object DedupQueries {
     // selection relationally (window min + rightmost tie) — a different
     // formulation whose agreement pins the tie rule exactly.
     QueryDef("q168_winnowing",
-      s"""$shingleCte,
-         |e AS (SELECT doc_id, i - 1 AS pos, sh[i] AS h FROM (
-         |  SELECT doc_id, sh, unnest(range(1, len(sh) + 1)) AS i FROM s)),
-         |wn AS (SELECT doc_id, unnest(range(0, len(sh) - 3)) AS p FROM s),
-         |m AS (SELECT wn.doc_id, wn.p, min(e.h) AS mh
-         |      FROM wn JOIN e ON e.doc_id = wn.doc_id
-         |        AND e.pos >= wn.p AND e.pos < wn.p + 4
-         |      GROUP BY 1, 2),
-         |sel AS (SELECT m.doc_id, m.mh, max(e.pos) AS pos
-         |        FROM m JOIN e ON e.doc_id = m.doc_id
-         |          AND e.pos >= m.p AND e.pos < m.p + 4 AND e.h = m.mh
-         |        GROUP BY m.doc_id, m.p, m.mh),
-         |fp AS (SELECT DISTINCT doc_id, pos, mh FROM sel),
+      s"""$winnowCte,
          |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
          |               CAST(sum(mh) AS BIGINT) AS fp_checksum
          |        FROM fp GROUP BY doc_id)
@@ -170,27 +179,62 @@ object DedupQueries {
          |       coalesce(agg.fp_checksum, 0) AS fp_checksum
          |FROM s LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin) {
       (s, d) =>
-      val w = 4
-      val emptyFps = array().cast("array<struct<h:bigint,pos:int>>")
-      val init = struct(lit(Long.MaxValue).as("h"), lit(-1).as("pos"))
+      import graft.operators.Winnow
       val docs = Tables.documents(s, d)
         .where(size(split(col("text"), " ", -1)) >= 3)
         .select(col("doc_id"),
           MinHash.shingleHashes(split(col("text"), " ", -1)).as("sh"))
-      val selected = transform(sequence(lit(0), size(col("sh")) - w),
-        p => aggregate(sequence(p, p + w - 1), init,
-          (acc, i) => when(element_at(col("sh"), i + 1) <= acc.getField("h"),
-            struct(element_at(col("sh"), i + 1).as("h"), i.as("pos")))
-            .otherwise(acc)))
       docs
         .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
-          when(size(col("sh")) >= w, array_distinct(selected))
-            .otherwise(emptyFps).as("fps"))
+          Winnow.fingerprints(col("sh"), 4).as("fps"))
         .select(col("doc_id"), col("n_sh"),
           size(col("fps")).cast("long").as("n_fp"),
           aggregate(col("fps"), lit(0L),
             (a, x) => a + x.getField("h")).as("fp_checksum"))
         .orderBy("doc_id")
+    },
+
+    // Cross-document census over the winnowed fingerprints — MOSS's actual
+    // OUTPUT: document pairs ranked by shared selected fingerprints
+    // (Schleimer et al. 2003 §5 run MOSS exactly this way). q168 proves the
+    // selection; this query proves the overlap report end to end. Scale
+    // shape: selection stays row-local; the census groupBy and the pair
+    // join share one hash exchange on the uniform fingerprint value;
+    // fingerprints selected by > 8 docs are dropped as corpus boilerplate
+    // BEFORE the pair join (q118's cap guard — declared semantics, same cap
+    // in the oracle), bounding every bucket's fan-out at 8·7/2 pairs. The
+    // winnowing guarantee transfers: any shared run of ≥ w+k−1 = 6 tokens
+    // between two docs puts the pair in the census input.
+    QueryDef("q170_winnow_census",
+      s"""$winnowCte,
+         |fpd AS (SELECT DISTINCT doc_id, mh FROM fp),
+         |cen AS (SELECT mh FROM (
+         |          SELECT mh, count(DISTINCT doc_id) AS nd FROM fpd GROUP BY mh)
+         |        WHERE nd BETWEEN 2 AND 8),
+         |hit AS (SELECT doc_id, mh FROM fpd
+         |        WHERE mh IN (SELECT mh FROM cen)),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |              CAST(count(*) AS BIGINT) AS shared
+         |       FROM hit a JOIN hit b
+         |         ON a.mh = b.mh AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+         |       FROM fpd GROUP BY doc_id)
+         |SELECT pr.doc_a, pr.doc_b, pr.shared,
+         |       na.n_fp AS n_a, nb.n_fp AS n_b,
+         |       round(CAST(pr.shared AS DOUBLE)
+         |         / least(na.n_fp, nb.n_fp), 6) AS containment
+         |FROM pr
+         |JOIN nf na ON na.doc_id = pr.doc_a
+         |JOIN nf nb ON nb.doc_id = pr.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      import graft.operators.Winnow
+      val docs = Tables.documents(s, d)
+        .where(size(split(col("text"), " ", -1)) >= 3)
+        .select(col("doc_id"),
+          MinHash.shingleHashes(split(col("text"), " ", -1)).as("sh"))
+      Winnow.sharedPairs(docs, w = 4, cap = 8, minShared = 2)
+        .orderBy("doc_a", "doc_b")
     },
 
     // Split-leakage audit — the dataset-versioning invariant q158 states for

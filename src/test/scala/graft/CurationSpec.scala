@@ -520,4 +520,35 @@ class CurationSpec extends AnyFunSuite {
     val shLen = docA.split(" ").length - 2
     assert(fa.size < shLen, s"winnowing selected ${fa.size} of $shLen shingles")
   }
+
+  test("winnow census: a shared >= w+k-1 run surfaces the PAIR; a " +
+    "fingerprint in more than cap docs is dropped as boilerplate") {
+    import graft.operators.{MinHash, Winnow}
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val boiler = "standard license header text common to every document here"
+    // docs 1&2 share the run; docs 10..15 share ONLY the boilerplate block
+    val rows = Seq(
+      (1L, s"first unique prefix words $run and one unique tail"),
+      (2L, s"second distinct opening phrase $run closing words differ")) ++
+      (10L to 15L).map(i => (i, s"doc body number $i carries $boiler"))
+    val docs = rows.toDF("doc_id", "text")
+      .where(size(split(col("text"), " ", -1)) >= 3)
+      .select(col("doc_id"),
+        MinHash.shingleHashes(split(col("text"), " ", -1)).as("sh"))
+    val pairs = Winnow.sharedPairs(docs, w = 4, cap = 4, minShared = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)),
+      s"shared run must surface pair (1,2): $pairs")
+    // the boilerplate block lives in 6 docs > cap=4: every fingerprint it
+    // contributes is censored, so no boiler-only pair may appear
+    val boilerPairs = pairs.filter { case (a, b) => a >= 10L && b >= 10L }
+    assert(boilerPairs.isEmpty,
+      s"cap must censor boilerplate-only pairs: $boilerPairs")
+    // with the cap lifted the same boilerplate pairs DO appear — proves the
+    // censoring is the cap, not a selection artifact
+    val uncapped = Winnow.sharedPairs(docs, w = 4, cap = 100, minShared = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.exists { case (a, b) => a >= 10L && b >= 10L },
+      s"uncapped census must see the boilerplate pairs: $uncapped")
+  }
 }
