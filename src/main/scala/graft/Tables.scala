@@ -22,10 +22,14 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = read(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = read(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = read(spark, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects outright. Read nanos as long (legacy flag) and truncate to
-    * microseconds — the same ns→µs truncation DuckDB's `epoch_us` applies, so
-    * event-time arithmetic stays exactly comparable across engines.
+  /** `events.ts` has shipped as two different physical types across fixture
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects outright — read nanos as long via the legacy flag and truncate
+    * to microseconds) and parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (which Spark infers as TIMESTAMP_NTZ by default). Normalize BOTH to a
+    * plain session-UTC `TimestampType` at microsecond precision, so
+    * `unix_micros(ts)` equals DuckDB's `epoch_us(ts)` row for row on either
+    * generation and every downstream query is schema-generation-agnostic.
     *
     * Domain assumption, relied on by every epoch-bucketing query (q27, q69,
     * q78, q83, q94): timestamps are AT-OR-AFTER the epoch, so Spark's `div`
@@ -35,10 +39,17 @@ object Tables {
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div`, NOT floor(x/1000): epoch-nanos (~1.7e18) exceed double's
-    // exact-integer range, so the double path is off by ±1 µs on some rows
-    read(spark, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = read(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, NOT floor(x/1000): epoch-nanos (~1.7e18) exceed
+        // double's exact-integer range, so the double path is off ±1 µs
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // session tz is UTC (GraftSession), so this cast is a micros identity
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = read(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = read(spark, d, "embeddings")

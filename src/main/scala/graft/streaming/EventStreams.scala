@@ -14,24 +14,41 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema with ts already truncated to microseconds (see
-    * graft.Tables.events — the parquet column is TIMESTAMP(NANOS)).
+  /** events schema for the raw-nanos fixture generation (ts read as long via
+    * the legacy flag; see graft.Tables.events for the two generations).
     */
   val rawSchema: StructType = new StructType()
     .add("event_id", LongType).add("ts", LongType) // ts read as raw nanos
     .add("user_id", LongType).add("event_type", StringType)
     .add("value", DoubleType).add("props", StringType)
 
-  /** Streaming source over the events parquet (nanos → µs like the batch
-    * path). The file-stream source wants a directory or glob, not a bare
-    * file — hence the glob with an explicit basePath.
+  /** events schema for the micros-timestamp fixture generation (NTZ exactly
+    * as the batch reader infers it; normalized by cast after the scan).
+    */
+  val microsSchema: StructType = new StructType()
+    .add("event_id", LongType).add("ts", TimestampNTZType)
+    .add("user_id", LongType).add("event_type", StringType)
+    .add("value", DoubleType).add("props", StringType)
+
+  /** Streaming source over the events parquet, normalized to µs-precision
+    * `TimestampType` exactly like the batch path (graft.Tables.events). A
+    * file-stream source needs a static schema up front, so probe the parquet
+    * footer through the batch reader first and pick the matching generation
+    * (TIMESTAMP(NANOS) read as long + ns→µs truncation, vs TIMESTAMP(MICROS)
+    * read as NTZ + a micros-identity cast under the UTC session). The
+    * file-stream source also wants a directory or glob, not a bare file —
+    * hence the glob with an explicit basePath.
     */
   def readStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
+    val tsIsRawNanos =
+      graft.Tables.read(spark, sfDir, "events").schema("ts").dataType == LongType
+    val src = spark.readStream
+      .schema(if (tsIsRawNanos) rawSchema else microsSchema)
       .option("basePath", sfDir)
       .parquet(s"$sfDir/events.parque[t]")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (tsIsRawNanos) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else src.withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** Tumbling 1-hour window counts per event type — mode-agnostic. The
