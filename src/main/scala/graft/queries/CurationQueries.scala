@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{CountMin, Hashes, MisraGries}
-import graft.operators.{DupSpans, MinHash, Redact, SimHash, UrlCanon, ZOrder}
+import graft.operators.{DupSpans, Hilbert, MinHash, Redact, SimHash, UrlCanon, ZOrder}
 
 /** Round-3 corpus-curation operators: heavy-hitter sketching, RAG chunking,
   * boilerplate passage removal, perplexity-band quality gating, exact
@@ -236,6 +236,29 @@ object CurationQueries {
         .where(col("l_orderkey") <= 300)
         .select(col("l_orderkey"), col("l_linenumber"),
           ZOrder.zvalue(col("l_partkey"), col("l_suppkey")).as("zval"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Hilbert layout key — q113's Morton key upgraded to the CONTINUOUS
+    // curve: consecutive indexes are always grid neighbors (HilbertSpec
+    // proves bijection + continuity per cell), so a contiguous index range
+    // is a connected 2-d blob and per-file envelopes are tighter at the
+    // same file count. The quadrant walk is one projection step per scale
+    // on the Spark side and the IDENTICAL walk as a CTE chain in the
+    // oracle — same arithmetic, two emitters (operators/Hilbert.scala).
+    QueryDef("q171_hilbert_key",
+      Hilbert.keySql(
+        from = "lineitem WHERE l_orderkey <= 300",
+        carry = Seq("l_orderkey", "l_linenumber"),
+        a = "l_partkey", b = "l_suppkey", out = "hval",
+        orderBy = "l_orderkey, l_linenumber")) { (s, d) =>
+      Hilbert.withKey(
+        Tables.lineitem(s, d)
+          .where(col("l_orderkey") <= 300)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+        col("l_partkey"), col("l_suppkey"), "hval")
+        .select(col("l_orderkey"), col("l_linenumber"), col("hval"))
         .orderBy("l_orderkey", "l_linenumber")
     },
 
