@@ -746,6 +746,61 @@ object CurationQueries {
         .orderBy(col("cnt").desc, col("token"))
     },
 
+    // Streaming Misra-Gries — q107's heavy-hitters summary maintained by a
+    // REAL complete-mode streaming aggregation over the landed token stream
+    // (the q161 harness, different sketch family). Unlike Count-Min the MG
+    // candidate SET is merge-order-dependent at the borderline, so
+    // stream ≡ batch is NOT the statable contract; the GUARANTEE is (Agarwal
+    // et al., PODS'12: merged summaries keep error ≤ N/(k+1)): every token
+    // with exact count > N/(k+1) must be among the ≤ k streamed candidates,
+    // whatever micro-batch slicing the state-store path took. k = 49 makes
+    // the guaranteed set 30 tokens on the fixtures — a real assertion, not a
+    // vacuous one. Scale shape: O(k) state regardless of stream length, the
+    // continuous analogue of q107's one-exchange census.
+    QueryDef("q172_stream_misra_gries",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |ex AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM tok GROUP BY token),
+        |t AS (SELECT count(*) AS n FROM tok)
+        |SELECT token, cnt, TRUE AS in_sketch, TRUE AS size_ok
+        |FROM ex, t WHERE cnt * 50 > n
+        |ORDER BY cnt DESC, token""".stripMargin) { (s, d) =>
+      val k = 49
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mg_stream_q_").toFile
+      sys.addShutdownHook(rmrf(root))
+      val tok = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ", -1)).as("token"))
+        .persist() // feeds the landing write, the exact counts, and the total
+      tok.repartition(4).write.parquet(s"$root/landing")
+      val stream = s.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("token", org.apache.spark.sql.types.StringType))
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
+        .agg(MisraGries.candidates(col("token"), k).as("cands"))
+      val memName = root.getName
+      val q = stream.writeStream.outputMode("complete").format("memory")
+        .queryName(memName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val streamedCands = s.table(memName)
+      val total = tok.agg(count(lit(1)).as("n"))
+      val exact = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      exact.crossJoin(broadcast(total))
+        .where(col("cnt") * (k + 1) > col("n"))
+        .crossJoin(broadcast(streamedCands))
+        .select(col("token"), col("cnt"),
+          array_contains(col("cands"), col("token")).as("in_sketch"),
+          (size(col("cands")) <= k).as("size_ok"))
+        .orderBy(col("cnt").desc, col("token"))
+    },
+
     // Tokenizer-coverage / OOV-rate report: elect a capped top-256
     // vocabulary (count DESC, token — a TakeOrderedAndProject, never a
     // global sort), broadcast it onto the token stream, and report per

@@ -336,6 +336,56 @@ object SourceQueries {
         .orderBy("key")
     },
 
+    // WebDataset SINK → scan roundtrip (q167's move applied to the tar
+    // container): the fixture shards are scanned, re-sharded through the
+    // distributed tar writer (each partition emits its own POSIX ustar
+    // shard with real checksummed headers, samples as adjacent members),
+    // and re-scanned. The oracle replays the ORIGINAL fixture arithmetic —
+    // q166's contract minus the shard name (resharding reassigns it) — so
+    // one wrong octal size field, checksum, member boundary, or padded
+    // byte on the write path is a hash mismatch through the decode.
+    QueryDef("q173_webdataset_roundtrip",
+      s"""WITH dims AS (SELECT gid, 8 + (gid % 3) * 4 AS w, 6 + (gid % 2) * 4 AS h
+         |              FROM (SELECT unnest(range(0, 16)) AS gid)),
+         |px AS (SELECT gid, w, h, unnest(range(0, w * h * 3)) AS f FROM dims),
+         |v AS (SELECT gid, w, h, f % 3 AS ch,
+         |             (f * ${graft.functions.Hashes.Mult} + 149 * gid) % 256 AS p
+         |      FROM px)
+         |SELECT lpad(CAST(gid AS VARCHAR), 6, '0') AS key,
+         |       CAST(max(w) AS INTEGER) AS width,
+         |       CAST(max(h) AS INTEGER) AS height,
+         |       CAST(sum(CASE WHEN ch = 0 THEN p END) AS BIGINT) AS sum_r,
+         |       CAST(sum(CASE WHEN ch = 1 THEN p END) AS BIGINT) AS sum_g,
+         |       CAST(sum(CASE WHEN ch = 2 THEN p END) AS BIGINT) AS sum_b,
+         |       'caption ' || CAST(gid AS VARCHAR) || ' '
+         |         || CAST((gid * 7) % 100 AS VARCHAR) AS txt
+         |FROM v GROUP BY gid ORDER BY key""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val dir = tmp("wds", d)
+      graft.sources.WebDatasetIngest.writeSamples(
+        graft.sources.WebDatasetIngest
+          .scanSamples(s, ContainerFixtures.dir("webdataset"), "*.tar")
+          .select(col("key"), col("image"), col("txt"))
+          .repartition(3),
+        dir)
+      graft.sources.WebDatasetIngest.scanSamples(s, dir, "*.tar")
+        .as[(String, String, Array[Byte], String)]
+        .map { case (_, key, image, txt) =>
+          val img = graft.operators.MediaCodecs.decodePpm(image)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var i = 0
+          while (i < img.pixels.length) {
+            sr += img.pixels(i) & 0xff
+            sg += img.pixels(i + 1) & 0xff
+            sb += img.pixels(i + 2) & 0xff
+            i += 3
+          }
+          (key, img.width, img.height, sr, sg, sb, txt)
+        }
+        .toDF("key", "width", "height", "sum_r", "sum_g", "sum_b", "txt")
+        .orderBy("key")
+    },
+
     // TFRecord SINK → scan roundtrip (the converter lane made
     // bidirectional): every partition writes its own shard directly (task
     // parallelism = shard parallelism, no driver funnel), the write-side

@@ -58,6 +58,70 @@ object WebDatasetIngest {
       }.toMap
     }.toSeq
 
+  /** One POSIX ustar header block: NUL-padded name, octal size/mode/mtime,
+    * the spaces-then-octal checksum dance, magic "ustar\0" + version "00".
+    * mtime is pinned to 0 so a rewrite of identical content is bit-identical.
+    */
+  def ustarHeader(name: String, size: Long): Array[Byte] = {
+    require(name.getBytes("US-ASCII").length <= 100, s"tar name too long: $name")
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, h, off, b.length)
+    }
+    put(0, name)
+    put(100, "0000644\u0000")
+    put(108, "0000000\u0000")
+    put(116, "0000000\u0000")
+    put(124, f"$size%011o\u0000")
+    put(136, "00000000000\u0000")
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum field as spaces
+    h(156) = '0'
+    put(257, "ustar\u0000")
+    put(263, "00")
+    val sum = h.foldLeft(0L)((a, b) => a + (b & 0xff))
+    put(148, f"$sum%06o\u0000 ")
+    h
+  }
+
+  /** Distributed WebDataset SINK: every partition writes its own tar shard
+    * (`part-NNNNN.tar`) — task parallelism = shard parallelism, no driver
+    * funnel, the exact posture of [[TfRecordIngest.writeExamples]]. Each
+    * sample row lands as two ADJACENT members (`key.ppm` + `key.txt`), which
+    * is the convention's sequential-read contract. Payload binaries are
+    * written verbatim, so scan → write → scan round-trips image bytes
+    * bit-exactly (proven through the decoding contract in q173). Input
+    * schema: (key string, image binary, txt string).
+    */
+  def writeSamples(df: DataFrame, dir: String): Unit = {
+    import df.sparkSession.implicits._
+    import org.apache.hadoop.fs.Path
+    val path = new Path(dir)
+    val fs0 = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs0.delete(path, true)
+    fs0.mkdirs(path)
+    df.select(col("key"), col("image"), col("txt"))
+      .as[(String, Array[Byte], String)]
+      .rdd.mapPartitionsWithIndex { case (part, rows) =>
+        val fs = new Path(dir).getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(new Path(dir, f"part-$part%05d.tar"), true)
+        def member(name: String, bytes: Array[Byte]): Unit = {
+          out.write(ustarHeader(name, bytes.length.toLong))
+          out.write(bytes)
+          val pad = (512 - bytes.length % 512) % 512
+          if (pad > 0) out.write(new Array[Byte](pad))
+        }
+        var n = 0L
+        rows.foreach { case (key, image, txt) =>
+          member(s"$key.ppm", image)
+          member(s"$key.txt", txt.getBytes("UTF-8"))
+          n += 1
+        }
+        out.write(new Array[Byte](1024)) // end-of-archive: two zero blocks
+        out.close()
+        Iterator.single(n)
+      }.sum(): Unit
+  }
+
   /** Scan tar shards into (shard, key, image, txt) sample rows — image is
     * the opaque binary the codec surface decodes, txt the UTF-8 caption.
     */

@@ -148,4 +148,47 @@ class SourceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       WebDatasetIngest.tarMembers(shard.take(600)))
   }
+
+  test("webdataset sink: ustar headers carry valid checksums and system tar " +
+    "lists the shard; write -> scan round-trips bytes exactly") {
+    import graft.sources.WebDatasetIngest
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = "/tmp/graft_wds_sink_spec"
+    val rows = Seq(
+      ("000000", Array.tabulate(64)(i => (i * 7 % 251).toByte), "caption a"),
+      ("000001", Array[Byte](), "caption b"), // empty payload: header only
+      ("000002", Array.tabulate(513)(i => (i % 256).toByte), "x")) // pad 511
+    WebDatasetIngest.writeSamples(
+      rows.toDF("key", "image", "txt").repartition(2), dir)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+    assert(shards.length == 2)
+    // checksum validity per the spec: sum of header bytes with the checksum
+    // field read as 8 spaces equals the stored octal value
+    for (f <- shards; bytes = java.nio.file.Files.readAllBytes(f.toPath)
+         if bytes.take(512).exists(_ != 0)) {
+      val h = bytes.take(512)
+      val stored = Integer.parseInt(
+        new String(h, 148, 8, "US-ASCII").takeWhile(c => c >= '0' && c <= '7'), 8)
+      val sum = h.zipWithIndex.map { case (b, i) =>
+        if (i >= 148 && i < 156) 32L else (b & 0xff).toLong
+      }.sum
+      assert(sum == stored, s"${f.getName}: checksum $stored != computed $sum")
+    }
+    // real-tar compliance: the system tar must list every member
+    val listed = scala.sys.process.Process(
+      Seq("tar", "-tf", shards.head.getAbsolutePath)).!!.trim.split("\n").toSeq
+    assert(listed.nonEmpty && listed.forall(n => n.endsWith(".ppm") || n.endsWith(".txt")))
+    // byte-exact roundtrip through our own reader, including the 0-byte and
+    // the pad-straddling payloads
+    val back = WebDatasetIngest.scanSamples(spark, dir, "*.tar")
+      .select("key", "image", "txt")
+      .as[(String, Array[Byte], String)].collect().sortBy(_._1)
+    assert(back.map(_._1).toSeq == rows.map(_._1))
+    rows.zip(back).foreach { case ((k, img, txt), (k2, img2, txt2)) =>
+      assert(k == k2 && txt == txt2 && java.util.Arrays.equals(img, img2))
+    }
+  }
 }
