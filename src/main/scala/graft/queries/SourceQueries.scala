@@ -386,6 +386,29 @@ object SourceQueries {
         .orderBy("key")
     },
 
+    // Arrow IPC stream scan (sources/ArrowIngest): the in-memory columnar
+    // standard's wire format, decoded with the Arrow Java libraries Spark
+    // itself ships (no new dependency). Batches iterate within a stream,
+    // files parallelize across tasks, and the nullable float column proves
+    // validity bitmaps round-trip (absent ≠ 0.0). Fixture values are a pure
+    // function of the global row index, so the oracle replays the archives
+    // with range() arithmetic (gen_arrow_fixture.py; the q97 NPZ trick) —
+    // values are multiples of 1/16, so parity is bit-exact.
+    QueryDef("q174_arrow_scan",
+      s"""WITH r AS (SELECT unnest(range(0, 48)) AS f)
+         |SELECT 'part-' || CAST(f // 24 AS VARCHAR) || '.arrows' AS shard,
+         |       CAST((f % 24) // 8 AS INT) AS batch_idx,
+         |       f AS id,
+         |       CASE WHEN f % 7 = 0 THEN NULL
+         |            ELSE CAST((f * ${graft.functions.Hashes.Mult}) % 4096 AS DOUBLE) / 16.0
+         |       END AS val,
+         |       'tag_' || CAST(f % 5 AS VARCHAR) AS tag
+         |FROM r ORDER BY id""".stripMargin) { (s, _) =>
+      graft.sources.ArrowIngest
+        .scanStreams(s, ContainerFixtures.dir("arrow"), "*.arrows")
+        .orderBy("id")
+    },
+
     // TFRecord SINK → scan roundtrip (the converter lane made
     // bidirectional): every partition writes its own shard directly (task
     // parallelism = shard parallelism, no driver funnel), the write-side

@@ -149,6 +149,25 @@ class SourceSpec extends AnyFunSuite {
       WebDatasetIngest.tarMembers(shard.take(600)))
   }
 
+  test("arrow ipc: batches iterate, nulls surface as null, truncation fails") {
+    import graft.sources.ArrowIngest
+    val dir = Seq("fixtures/arrow", "/root/repo/fixtures/arrow")
+      .find(p => new java.io.File(p).isDirectory).get
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "part-0.arrows"))
+    val rows = ArrowIngest.decodeStream(bytes)
+    assert(rows.size == 24 && rows.map(_._1).distinct == Seq(0, 1, 2))
+    assert(rows.map(_._2) == (0L until 24L))
+    // f % 7 == 0 slots are genuinely null; others replay the fixture formula
+    rows.foreach { case (_, f, v, tag) =>
+      if (f % 7 == 0) assert(v.isEmpty, s"row $f should be null")
+      else assert(v.contains(((f * 2654435761L) % 4096) / 16.0))
+      assert(tag == s"tag_${f % 5}")
+    }
+    // a truncated stream must fail loudly, not yield partial rows silently
+    intercept[Exception](ArrowIngest.decodeStream(bytes.take(bytes.length / 2)))
+  }
+
   test("webdataset sink: ustar headers carry valid checksums and system tar " +
     "lists the shard; write -> scan round-trips bytes exactly") {
     import graft.sources.WebDatasetIngest
