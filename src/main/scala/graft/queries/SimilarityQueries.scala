@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{RandomProjection, Similarity}
 
 /** Similarity search over `embeddings` (north-star similarity family):
   * brute-force exact cosine top-k, LSH bucket assignment, LSH-bucketed ANN
@@ -12,6 +12,11 @@ import graft.operators.Similarity
 object SimilarityQueries {
 
   private[queries] val Dim = 64
+  /** JL projection params (q175/q176): power-of-four output dim → exact
+    * 1/√k scale; seed 7 pins the Rademacher matrix on both engines.
+    */
+  private[queries] val RpDimOut = 16
+  private[queries] val RpSeed = 7L
 
   /** Sequential-fold dot product in DuckDB (matches Spark's `aggregate`). */
   private[queries] def dotSql(a: String, b: String): String =
@@ -442,6 +447,74 @@ object SimilarityQueries {
         .where(col("rank") <= 10)
         .select(col("rank"), col("doc_id"), col("rrf_e6"), col("r_lex"), col("r_sem"))
         .orderBy("rank")
+    },
+
+    // Johnson–Lindenstrauss random projection (operators/RandomProjection):
+    // 64-d float vectors → 16 dims through a ±1 Rademacher matrix whose
+    // cells come from the engine's salted hash, so the oracle recomputes
+    // the SAME matrix in integer SQL — never an RNG stream. Row-local
+    // (transform+aggregate HOFs, zero shuffle, no materialized matrix);
+    // both engines fold dims ascending from a 0.0 init and the 1/√16 scale
+    // is exact, so projected values quantize to identical micro-units.
+    QueryDef("q175_random_projection",
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+         |js AS (SELECT unnest(range(0, ${RpDimOut})) AS j)
+         |SELECT vec_id, CAST(j AS INT) AS j,
+         |       CAST(round((${RandomProjection.coordSql("embedding", "j", 64, RpDimOut, RpSeed)})
+         |            * 1000000, 0) AS BIGINT) AS y_e6
+         |FROM e, js ORDER BY vec_id, j""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .where(col("vec_id") < 50)
+        .select(col("vec_id"),
+          posexplode(RandomProjection.projected(
+            col("embedding"), Dim, RpDimOut, RpSeed)).as(Seq("j", "y")))
+        .select(col("vec_id"), col("j"),
+          round(col("y") * 1e6, 0).cast("long").as("y_e6"))
+        .orderBy("vec_id", "j")
+    },
+
+    // JL distance-preservation contract over q175's projection: 10 fixed
+    // vector pairs, squared L2 in the original 64-d space vs the projected
+    // 16-d space — values hash-checked in exact micro-units, plus the
+    // unbiasedness bound: Σ‖Δy‖² / Σ‖Δx‖² ∈ [0.5, 2.0] (measured 1.06–1.37
+    // across the fixtures; a wrong scale is ~16× out, a dropped dim or sign
+    // error far outside). Per-pair ratios at k=16 are too wide to pin —
+    // the SUM concentrates (E Σ‖Δy‖² = Σ‖Δx‖²), which is the statable form.
+    QueryDef("q176_jl_distortion",
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+         |p AS (SELECT vec_id, embedding,
+         |        list_transform(range(0, ${RpDimOut}),
+         |          j -> ${RandomProjection.coordSql("embedding", "j", 64, RpDimOut, RpSeed)}) AS y
+         |      FROM e),
+         |pairs AS (
+         |  SELECT a.vec_id AS pair_id,
+         |         ${RandomProjection.sqDistSql("a.embedding", "b.embedding", 64)} AS dx,
+         |         ${RandomProjection.sqDistSql("a.y", "b.y", 16)} AS dy
+         |  FROM p a JOIN p b ON b.vec_id = a.vec_id + 10 AND a.vec_id < 10)
+         |SELECT pair_id, CAST(round(dx * 1000000, 0) AS BIGINT) AS d2_full_e6,
+         |       CAST(round(dy * 1000000, 0) AS BIGINT) AS d2_proj_e6,
+         |       TRUE AS sum_ratio_ok
+         |FROM pairs ORDER BY pair_id""".stripMargin) { (s, d) =>
+      val p = Tables.embeddings(s, d)
+        .where(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"),
+          RandomProjection.projected(col("embedding"), Dim, RpDimOut, RpSeed).as("y"))
+      val a = p.select(col("vec_id").as("pair_id"),
+        col("embedding").as("ea"), col("y").as("ya")).where(col("pair_id") < 10)
+      val b = p.select((col("vec_id") - 10).as("pair_id"),
+        col("embedding").as("eb"), col("y").as("yb")).where(col("pair_id") >= 0)
+      val pairs = a.join(b, "pair_id")
+        .select(col("pair_id"),
+          RandomProjection.sqDist(col("ea"), col("eb")).as("dx"),
+          RandomProjection.sqDist(col("ya"), col("yb")).as("dy"))
+        .persist() // feeds both the per-pair output and the 1-row ratio
+      val tot = pairs.agg((sum("dy") / sum("dx")).as("ratio"))
+      pairs.crossJoin(broadcast(tot))
+        .select(col("pair_id"),
+          round(col("dx") * 1e6, 0).cast("long").as("d2_full_e6"),
+          round(col("dy") * 1e6, 0).cast("long").as("d2_proj_e6"),
+          (col("ratio") >= 0.5 && col("ratio") <= 2.0).as("sum_ratio_ok"))
+        .orderBy("pair_id")
     }
   )
 }
