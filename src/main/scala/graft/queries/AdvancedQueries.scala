@@ -622,6 +622,53 @@ object AdvancedQueries {
         .where(col("rn") === 1)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy("lang", "source")
+    },
+
+    // Grid-bucketed spatial self-join: all point pairs within radius 25 on
+    // a 1000×1000 plane (coordinates are salted hashes of the key, so the
+    // layout is deterministic and oracle-replayable). The 2-d instance of
+    // the banded-join discipline used everywhere else in this engine: cell
+    // = ⌊coord/r⌋, the left side explodes to its 3×3 neighborhood, and the
+    // equi-join on cell keys makes candidates O(n·density) — never the n²
+    // cross join the oracle states (any qualifying pair's cells differ by
+    // ≤ 1 per axis, and each pair matches on exactly ONE offset, so the
+    // prefilter is lossless and duplicate-free). Integer arithmetic end to
+    // end — no float determinism surface at all.
+    QueryDef("q178_spatial_join",
+      s"""WITH p AS (SELECT c_custkey AS id,
+         |         (${graft.functions.Hashes.mulHashSql("c_custkey", 11)}) % 1000 AS x,
+         |         (${graft.functions.Hashes.mulHashSql("c_custkey", 13)}) % 1000 AS y
+         |       FROM customer)
+         |SELECT a.id AS a_id, b.id AS b_id,
+         |       CAST((a.x - b.x) * (a.x - b.x)
+         |            + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+         |FROM p a JOIN p b
+         |  ON a.id < b.id
+         | AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      import graft.functions.Hashes
+      val r = 25
+      val pts = Tables.customer(s, d).select(col("c_custkey").as("id"),
+        (Hashes.mulHash(col("c_custkey"), 11) % 1000).as("x"),
+        (Hashes.mulHash(col("c_custkey"), 13) % 1000).as("y"))
+      val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+      val a = pts
+        .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+          explode(offsets).as("off"))
+        .select(col("a_id"), col("ax"), col("ay"),
+          (expr("ax div 25") + col("off.dx")).as("cx"),
+          (expr("ay div 25") + col("off.dy")).as("cy"))
+      val b = pts.select(col("id").as("b_id"), col("x").as("bx"),
+        col("y").as("by"), expr("bx div 25").as("cx"), expr("by div 25").as("cy"))
+      a.join(b, Seq("cx", "cy"))
+        .where(col("a_id") < col("b_id")
+          && (col("ax") - col("bx")) * (col("ax") - col("bx"))
+             + (col("ay") - col("by")) * (col("ay") - col("by")) <= r * r)
+        .select(col("a_id"), col("b_id"),
+          ((col("ax") - col("bx")) * (col("ax") - col("bx"))
+            + (col("ay") - col("by")) * (col("ay") - col("by"))).as("dist2"))
+        .orderBy("a_id", "b_id")
     }
   )
 }

@@ -212,6 +212,78 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Interpolated Kneser-Ney bigram LM — q82's MLE estimate upgraded to
+    // the smoothing real LM-quality filters use (Kneser & Ney 1995; the
+    // SRILM formulation): discount D=0.75 off every seen bigram, redistribute
+    // the held-out mass through the CONTINUATION unigram (how many distinct
+    // left-contexts a word follows — "Francisco" is frequent but only ever
+    // follows "San", so its continuation prob is tiny):
+    //   P(cur|prev) = (c(prev,cur) − D)/c(prev·)
+    //               + (D·N1+(prev·)/c(prev·)) · (N1+(·cur)/T).
+    // Every ingredient is an exact integer count; both engines evaluate the
+    // identical double expression shape (DECIMAL-trap: the SQL casts 0.75 to
+    // DOUBLE explicitly) and quantize each bigram's log-prob to integer 1e-6
+    // units before the per-doc sum. Scale shape: three count aggregates +
+    // broadcast-able type total; the per-occurrence joins are the same
+    // (prev[,cur])-keyed exchanges q82 pays — no new shuffle class.
+    QueryDef("q177_kneser_ney",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |idx AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+        |b AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur FROM idx),
+        |c2 AS (SELECT prev, cur, count(*) AS n2 FROM b GROUP BY prev, cur),
+        |c1 AS (SELECT prev, count(*) AS n1 FROM b GROUP BY prev),
+        |np AS (SELECT prev, count(DISTINCT cur) AS nprev FROM b GROUP BY prev),
+        |nc AS (SELECT cur, count(DISTINCT prev) AS ncont FROM b GROUP BY cur),
+        |tt AS (SELECT count(*) AS t FROM c2),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |         CAST(round(ln(
+        |           (CAST(c2.n2 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+        |             / CAST(c1.n1 AS DOUBLE)
+        |           + (CAST(0.75 AS DOUBLE) * CAST(np.nprev AS DOUBLE)
+        |              / CAST(c1.n1 AS DOUBLE))
+        |             * (CAST(nc.ncont AS DOUBLE) / CAST(tt.t AS DOUBLE))
+        |         ) * 1000000, 0) AS BIGINT) AS lp_e6
+        |  FROM b JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+        |         JOIN np USING (prev) JOIN nc USING (cur) CROSS JOIN tt)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(lp_e6) AS BIGINT) AS sum_lp_e6,
+        |       round(CAST(sum(lp_e6) AS DOUBLE) / count(*) / 1000000, 6)
+        |         AS mean_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+        .where(size(col("toks")) >= 2)
+      val b = t
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+        .select(col("doc_id"), element_at(col("toks"), col("i")).as("prev"),
+          element_at(col("toks"), col("i") + 1).as("cur"))
+        .persist() // feeds four count aggregates + the scoring join
+      val c2 = b.groupBy("prev", "cur").agg(count(lit(1)).as("n2"))
+      val c1 = b.groupBy("prev").agg(count(lit(1)).as("n1"))
+      val np = b.groupBy("prev").agg(countDistinct("cur").as("nprev"))
+      val nc = b.groupBy("cur").agg(countDistinct("prev").as("ncont"))
+      val tt = c2.agg(count(lit(1)).as("t"))
+      val d075 = lit(0.75d)
+      b.join(c2, Seq("prev", "cur")).join(c1, Seq("prev"))
+        .join(np, Seq("prev")).join(nc, Seq("cur"))
+        .crossJoin(broadcast(tt))
+        .select(col("doc_id"),
+          round(log(
+            (col("n2").cast("double") - d075) / col("n1").cast("double")
+              + (d075 * col("nprev").cast("double") / col("n1").cast("double"))
+              * (col("ncont").cast("double") / col("t").cast("double"))
+          ) * 1000000, 0).cast("long").as("lp_e6"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("lp_e6").as("sum_lp_e6"),
+          round(sum("lp_e6").cast("double") / count(lit(1)) / 1000000, 6)
+            .as("mean_logprob"))
+        .orderBy("doc_id")
+    },
+
     // Global top-k heavy hitters: the 20 highest-document-frequency tokens.
     // orderBy+limit plans as TakeOrderedAndProject — each partition keeps a
     // k-sized heap and only k·partitions rows reach the driver-side merge,
