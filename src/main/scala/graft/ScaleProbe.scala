@@ -143,6 +143,37 @@ object ScaleProbe {
           .groupBy("idx")
           .agg(count(when(col("n") > 0, 1)).as("n_docs"), sum("n").as("n_hits"))
       },
+      // grid-bucketed spatial self-join (q178 family): cell equi-join with
+      // 3×3 neighbor explode. Each extra copy gets its own disjoint plane
+      // region (x offset per copy), so point DENSITY — which governs both
+      // candidate count and true output — stays constant and the fair
+      // expectation is linear; piling copies into one plane would grow the
+      // true result itself quadratically and measure the answer, not the plan
+      "spatial_grid" -> { m =>
+        import graft.functions.Hashes
+        val base = Tables.customer(spark, sfDir)
+        val pts = (0 until m).map { k =>
+          base.select((col("c_custkey") + lit(k.toLong * 10_000_000L)).as("id"),
+            (Hashes.mulHash(col("c_custkey"), 11) % 1000
+              + lit(k.toLong * 2000L)).as("x"),
+            (Hashes.mulHash(col("c_custkey"), 13) % 1000).as("y"))
+        }.reduce(_ unionAll _)
+        val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+          yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+        val a = pts
+          .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+            explode(offsets).as("off"))
+          .select(col("a_id"), col("ax"), col("ay"),
+            (expr("ax div 25") + col("off.dx")).as("cx"),
+            (expr("ay div 25") + col("off.dy")).as("cy"))
+        val b = pts.select(col("id").as("b_id"), col("x").as("bx"),
+          col("y").as("by"), expr("bx div 25").as("cx"), expr("by div 25").as("cy"))
+        a.join(b, Seq("cx", "cy"))
+          .where(col("a_id") < col("b_id")
+            && (col("ax") - col("bx")) * (col("ax") - col("bx"))
+               + (col("ay") - col("by")) * (col("ay") - col("by")) <= 625)
+          .groupBy(lit(1)).agg(count(lit(1)).as("n_pairs"))
+      },
       // PQ ADC scan (q125/q127 family): codegen'd encode (zero shuffle) →
       // posexplode ×m → broadcast LUT join → per-(query, vector) integer
       // aggregate — the compressed-corpus ANN path; should track the scan

@@ -669,6 +669,63 @@ object AdvancedQueries {
           ((col("ax") - col("bx")) * (col("ax") - col("bx"))
             + (col("ay") - col("by")) * (col("ay") - col("by"))).as("dist2"))
         .orderBy("a_id", "b_id")
+    },
+
+    // Entity resolution: the classic block → verify → cluster pipeline over
+    // a dirtied record set (100 planted clones with a 2-substitution prefix
+    // perturbation). Blocking on (source, 8-char prefix) bounds candidates
+    // at O(block²) — never all-pairs (the record-linkage form of the banded
+    // join); the edit-distance verify runs on candidates only; matched pairs
+    // cluster through the SAME min-label components machinery as q61, and
+    // every record resolves to coalesce(component, own id). One natural
+    // pair also merges (dist ≤ 5) — deterministic on both engines, and
+    // exactly what ER is for. The oracle replays blocking + verify and
+    // closes the match graph with a recursive CTE (the q61 dual).
+    QueryDef("q180_entity_resolution",
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id AS rid, source, substr(text, 1, 32) AS pre
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id + 1000000 AS rid, source,
+        |         substr(text, 1, 30) || ' x' AS pre
+        |  FROM documents WHERE doc_id < 100),
+        |r AS (SELECT * FROM p UNION ALL SELECT * FROM c),
+        |cand AS (
+        |  SELECT a.rid AS ra, b.rid AS rb
+        |  FROM r a JOIN r b
+        |    ON a.source = b.source
+        |   AND substr(a.pre, 1, 8) = substr(b.pre, 1, 8)
+        |   AND a.rid < b.rid
+        |  WHERE levenshtein(a.pre, b.pre) <= 5),
+        |e AS (SELECT ra AS ea, rb AS eb FROM cand
+        |      UNION ALL SELECT rb, ra FROM cand),
+        |reach(rv, rr) AS (
+        |  SELECT DISTINCT ea, ea FROM e
+        |  UNION
+        |  SELECT e.eb, reach.rr FROM e JOIN reach ON reach.rv = e.ea),
+        |comp AS (SELECT rv, min(rr) AS cmin FROM reach GROUP BY rv)
+        |SELECT r.rid, coalesce(comp.cmin, r.rid) AS entity_id,
+        |       (comp.cmin IS NOT NULL AND comp.cmin <> r.rid) AS merged
+        |FROM r LEFT JOIN comp ON r.rid = comp.rv
+        |ORDER BY rid""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+      val p = base.select(col("doc_id").as("rid"), col("source"),
+        substring(col("text"), 1, 32).as("pre"))
+      val c = base.where(col("doc_id") < 100)
+        .select((col("doc_id") + 1000000L).as("rid"), col("source"),
+          concat(substring(col("text"), 1, 30), lit(" x")).as("pre"))
+      val r = p.unionAll(c).persist() // feeds blocking sides + the resolve join
+      val cand = r.as("a").join(r.as("b"),
+          col("a.source") === col("b.source")
+            && substring(col("a.pre"), 1, 8) === substring(col("b.pre"), 1, 8)
+            && col("a.rid") < col("b.rid"))
+        .where(levenshtein(col("a.pre"), col("b.pre")) <= 5)
+        .select(col("a.rid").as("ra"), col("b.rid").as("rb"))
+      val comp = Components.connectedComponents(cand, "ra", "rb")
+      r.join(comp, r("rid") === comp("id"), "left")
+        .select(col("rid"), coalesce(col("comp"), col("rid")).as("entity_id"),
+          (col("comp").isNotNull && col("comp") =!= col("rid")).as("merged"))
+        .orderBy("rid")
     }
   )
 }

@@ -801,6 +801,56 @@ object CurationQueries {
         .orderBy(col("cnt").desc, col("token"))
     },
 
+    // Streaming HLL distinct counts — the third sketch family through the
+    // q161 harness, and the strongest statable contract of the three:
+    // HyperLogLog++ merge is a register-wise MAX (commutative, associative,
+    // idempotent), so the streamed estimate must equal the batch estimate
+    // EXACTLY under any micro-batch slicing — asserted per source alongside
+    // q54's relative-error bound against the exact distinct count. Scale
+    // shape: O(registers) state per group however long the stream runs —
+    // the continuous form of the cardinality census every ingest wants.
+    QueryDef("q179_stream_hll",
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |             FROM documents)
+        |SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS exact_tokens,
+        |       TRUE AS within_bound, TRUE AS stream_eq_batch
+        |FROM tok GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_hll_stream_q_").toFile
+      sys.addShutdownHook(rmrf(root))
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("token"))
+        .persist() // feeds the landing write, the exact counts, the batch twin
+      tok.repartition(4).write.parquet(s"$root/landing")
+      val stream = s.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("source", org.apache.spark.sql.types.StringType)
+          .add("token", org.apache.spark.sql.types.StringType))
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
+        .groupBy("source")
+        .agg(approx_count_distinct(col("token"), 0.02).as("approx_tokens"))
+      val memName = root.getName
+      val q = stream.writeStream.outputMode("complete").format("memory")
+        .queryName(memName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val streamed = s.table(memName)
+      val batch = tok.groupBy("source")
+        .agg(approx_count_distinct(col("token"), 0.02).as("batch_approx"),
+          countDistinct(col("token")).as("exact_tokens"))
+      batch.join(streamed, "source")
+        .select(col("source"), col("exact_tokens"),
+          (abs(col("approx_tokens") - col("exact_tokens")).cast("double")
+            / col("exact_tokens") <= lit(0.08)).as("within_bound"),
+          (col("approx_tokens") === col("batch_approx")).as("stream_eq_batch"))
+        .orderBy("source")
+    },
+
     // Tokenizer-coverage / OOV-rate report: elect a capped top-256
     // vocabulary (count DESC, token — a TakeOrderedAndProject, never a
     // global sort), broadcast it onto the token stream, and report per
