@@ -409,6 +409,32 @@ object SourceQueries {
         .orderBy("id")
     },
 
+    // Arrow IPC SINK → scan roundtrip (q167's move applied to the columnar
+    // wire format): documents project to the (id, val, tag) contract with
+    // every 7th val NULL, land as partition-per-file .arrows streams
+    // through the batching writer, and come back through the verified
+    // reader. The oracle aggregates the ORIGINAL parquet — the container
+    // hop must preserve values AND validity bitmaps, so a dropped null or
+    // a batch-pivot off-by-one is a hash mismatch. val = n_chars/16 keeps
+    // every non-null value an exact 1/16 multiple (bit-exact parity).
+    QueryDef("q181_arrow_roundtrip",
+      """SELECT doc_id AS id,
+        |       CASE WHEN doc_id % 7 = 0 THEN NULL
+        |            ELSE CAST(n_chars AS DOUBLE) / 16.0 END AS val,
+        |       source AS tag
+        |FROM documents ORDER BY id""".stripMargin) { (s, d) =>
+      val dir = tmp("arrows", d)
+      graft.sources.ArrowIngest.writeStreams(
+        Tables.documents(s, d).select(col("doc_id").as("id"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("n_chars").cast("double") / 16.0).as("val"),
+          col("source").as("tag")).repartition(3),
+        dir, batchRows = 128)
+      graft.sources.ArrowIngest.scanStreams(s, dir, "*.arrows")
+        .select(col("id"), col("val"), col("tag"))
+        .orderBy("id")
+    },
+
     // TFRecord SINK → scan roundtrip (the converter lane made
     // bidirectional): every partition writes its own shard directly (task
     // parallelism = shard parallelism, no driver funnel), the write-side

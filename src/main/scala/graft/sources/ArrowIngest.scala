@@ -57,6 +57,71 @@ object ArrowIngest {
     out.result()
   }
 
+  /** Distributed Arrow IPC SINK: every partition writes its own `.arrows`
+    * stream file (task parallelism = file parallelism, no driver funnel —
+    * the TFRecord/WebDataset sink posture applied to the columnar wire
+    * format). Rows buffer into fixed-size record batches (columnar layout
+    * needs a batch pivot; `batchRows` bounds task memory), `val` keeps its
+    * validity bitmap, and the stream ends with the IPC end-of-stream
+    * marker. Input schema is the scan contract: (id long, val double
+    * nullable, tag string).
+    */
+  def writeStreams(df: DataFrame, dir: String, batchRows: Int = 1024): Unit = {
+    import org.apache.hadoop.fs.Path
+    import df.sparkSession.implicits._
+    val path = new Path(dir)
+    val fs0 = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs0.delete(path, true)
+    fs0.mkdirs(path)
+    df.select(col("id"), col("val"), col("tag"))
+      .as[(Long, Option[Double], String)]
+      .rdd.mapPartitionsWithIndex { case (part, rows) =>
+        import org.apache.arrow.memory.RootAllocator
+        import org.apache.arrow.vector.{BigIntVector, Float8Vector, VarCharVector, VectorSchemaRoot}
+        import org.apache.arrow.vector.ipc.ArrowStreamWriter
+        import org.apache.arrow.vector.types.FloatingPointPrecision
+        import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+        import scala.jdk.CollectionConverters._
+        val fs = new Path(dir).getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(new Path(dir, f"part-$part%05d.arrows"), true)
+        val schema = new Schema(Seq(
+          new Field("id", FieldType.notNullable(new ArrowType.Int(64, true)), null),
+          new Field("val", FieldType.nullable(
+            new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), null),
+          new Field("tag", FieldType.notNullable(ArrowType.Utf8.INSTANCE), null)).asJava)
+        val alloc = new RootAllocator()
+        var n = 0L
+        try {
+          val root = VectorSchemaRoot.create(schema, alloc)
+          try {
+            val writer = new ArrowStreamWriter(root, null, out)
+            writer.start()
+            val ids = root.getVector("id").asInstanceOf[BigIntVector]
+            val vals = root.getVector("val").asInstanceOf[Float8Vector]
+            val tags = root.getVector("tag").asInstanceOf[VarCharVector]
+            rows.grouped(batchRows).foreach { batch =>
+              root.allocateNew()
+              var i = 0
+              batch.foreach { case (id, v, tag) =>
+                ids.setSafe(i, id)
+                v match {
+                  case Some(x) => vals.setSafe(i, x)
+                  case None    => vals.setNull(i)
+                }
+                tags.setSafe(i, tag.getBytes("UTF-8"))
+                i += 1
+              }
+              root.setRowCount(i)
+              writer.writeBatch()
+              n += i
+            }
+            writer.end()
+          } finally root.close()
+        } finally { alloc.close(); out.close() }
+        Iterator.single(n)
+      }.sum(): Unit
+  }
+
   /** Scan a directory of Arrow IPC stream files into
     * (shard, batch_idx, id, val, tag) rows.
     */
