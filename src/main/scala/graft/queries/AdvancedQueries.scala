@@ -726,6 +726,86 @@ object AdvancedQueries {
         .select(col("rid"), coalesce(col("comp"), col("rid")).as("entity_id"),
           (col("comp").isNotNull && col("comp") =!= col("rid")).as("merged"))
         .orderBy("rid")
+    },
+
+    // Multi-pass blocking entity resolution: q180's single blocking key
+    // (8-char PREFIX) is structurally blind to perturbations that land in
+    // the key itself — a clone whose corruption hits the first characters
+    // never shares a block with its original, however small the edit
+    // distance. Production ER unions SEVERAL blocking passes so a pair only
+    // needs to survive ONE of them. Here: pass P blocks on the prefix, pass
+    // S on an 8-char key taken from the END of the 32-char window. Two
+    // planted clone families prove the point — tail-perturbed clones
+    // (+1 000 000) are caught by P, head-perturbed clones (+2 000 000) are
+    // INVISIBLE to P but caught by S, because their corruption and their
+    // blocking key live at opposite ends of the record. Mechanics: each
+    // record explodes to (pass-tagged key) rows, candidates come from ONE
+    // equi-join on (source, tagged key) — per-pass candidate sets union and
+    // pair-dedup inside the same shuffle, never all-pairs — then the
+    // levenshtein verify runs on candidates only and matches cluster through
+    // the q61 components machinery. Scale: blocking keys bound block sizes
+    // exactly as q180; the union multiplies candidate volume by the number
+    // of passes (2), not by n.
+    QueryDef("q182_er_multipass",
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id AS rid, source, substr(text, 1, 32) AS pre
+        |  FROM documents),
+        |c1 AS (
+        |  SELECT doc_id + 1000000 AS rid, source,
+        |         substr(text, 1, 30) || ' x' AS pre
+        |  FROM documents WHERE doc_id < 50),
+        |c2 AS (
+        |  SELECT doc_id + 2000000 AS rid, source,
+        |         'x ' || substr(text, 3, 30) AS pre
+        |  FROM documents WHERE doc_id >= 50 AND doc_id < 100),
+        |r AS (SELECT * FROM p UNION ALL SELECT * FROM c1
+        |      UNION ALL SELECT * FROM c2),
+        |blocks AS (
+        |  SELECT rid, source, pre, 'P:' || substr(pre, 1, 8) AS bkey FROM r
+        |  UNION ALL
+        |  SELECT rid, source, pre, 'S:' || substr(pre, 25, 8) AS bkey FROM r),
+        |cand AS (
+        |  SELECT DISTINCT a.rid AS ra, b.rid AS rb
+        |  FROM blocks a JOIN blocks b
+        |    ON a.source = b.source AND a.bkey = b.bkey AND a.rid < b.rid
+        |  WHERE levenshtein(a.pre, b.pre) <= 5),
+        |e AS (SELECT ra AS ea, rb AS eb FROM cand
+        |      UNION ALL SELECT rb, ra FROM cand),
+        |reach(rv, rr) AS (
+        |  SELECT DISTINCT ea, ea FROM e
+        |  UNION
+        |  SELECT e.eb, reach.rr FROM e JOIN reach ON reach.rv = e.ea),
+        |comp AS (SELECT rv, min(rr) AS cmin FROM reach GROUP BY rv)
+        |SELECT r.rid, coalesce(comp.cmin, r.rid) AS entity_id,
+        |       (comp.cmin IS NOT NULL AND comp.cmin <> r.rid) AS merged
+        |FROM r LEFT JOIN comp ON r.rid = comp.rv
+        |ORDER BY rid""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+      val p = base.select(col("doc_id").as("rid"), col("source"),
+        substring(col("text"), 1, 32).as("pre"))
+      val c1 = base.where(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("rid"), col("source"),
+          concat(substring(col("text"), 1, 30), lit(" x")).as("pre"))
+      val c2 = base.where(col("doc_id") >= 50 && col("doc_id") < 100)
+        .select((col("doc_id") + 2000000L).as("rid"), col("source"),
+          concat(lit("x "), substring(col("text"), 3, 30)).as("pre"))
+      val r = p.unionAll(c1).unionAll(c2).persist() // blocking sides + resolve
+      val blocks = r.select(col("rid"), col("source"), col("pre"),
+        explode(array(
+          concat(lit("P:"), substring(col("pre"), 1, 8)),
+          concat(lit("S:"), substring(col("pre"), 25, 8)))).as("bkey"))
+      val cand = blocks.as("a").join(blocks.as("b"),
+          col("a.source") === col("b.source")
+            && col("a.bkey") === col("b.bkey")
+            && col("a.rid") < col("b.rid"))
+        .where(levenshtein(col("a.pre"), col("b.pre")) <= 5)
+        .select(col("a.rid").as("ra"), col("b.rid").as("rb"))
+        .distinct()
+      val comp = Components.connectedComponents(cand, "ra", "rb")
+      r.join(comp, r("rid") === comp("id"), "left")
+        .select(col("rid"), coalesce(col("comp"), col("rid")).as("entity_id"),
+          (col("comp").isNotNull && col("comp") =!= col("rid")).as("merged"))
+        .orderBy("rid")
     }
   )
 }

@@ -73,6 +73,7 @@ object ArrowIngest {
     val fs0 = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     fs0.delete(path, true)
     fs0.mkdirs(path)
+    val conf = new SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(col("id"), col("val"), col("tag"))
       .as[(Long, Option[Double], String)]
       .rdd.mapPartitionsWithIndex { case (part, rows) =>
@@ -82,7 +83,7 @@ object ArrowIngest {
         import org.apache.arrow.vector.types.FloatingPointPrecision
         import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
         import scala.jdk.CollectionConverters._
-        val fs = new Path(dir).getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = new Path(dir).getFileSystem(conf.value)
         val out = fs.create(new Path(dir, f"part-$part%05d.arrows"), true)
         val schema = new Schema(Seq(
           new Field("id", FieldType.notNullable(new ArrowType.Int(64, true)), null),

@@ -221,12 +221,11 @@ object TfRecordIngest {
     val fs0 = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     fs0.delete(path, true)
     fs0.mkdirs(path)
+    val conf = new SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(col("id"), col("xs"), col("txt"))
       .as[(Long, Seq[Long], String)]
       .rdd.mapPartitionsWithIndex { case (part, rows) =>
-        // file:// and default-FS paths resolve from task-side defaults; a
-        // cluster deployment threads the job conf here instead
-        val fs = new Path(dir).getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = new Path(dir).getFileSystem(conf.value)
         val out = fs.create(new Path(dir, f"part-$part%05d.tfrecord"), true)
         var n = 0L
         rows.foreach { case (id, xs, txt) =>

@@ -99,10 +99,11 @@ object WebDatasetIngest {
     val fs0 = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     fs0.delete(path, true)
     fs0.mkdirs(path)
+    val conf = new SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(col("key"), col("image"), col("txt"))
       .as[(String, Array[Byte], String)]
       .rdd.mapPartitionsWithIndex { case (part, rows) =>
-        val fs = new Path(dir).getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = new Path(dir).getFileSystem(conf.value)
         val out = fs.create(new Path(dir, f"part-$part%05d.tar"), true)
         def member(name: String, bytes: Array[Byte]): Unit = {
           out.write(ustarHeader(name, bytes.length.toLong))
