@@ -806,6 +806,92 @@ object AdvancedQueries {
         .select(col("rid"), coalesce(col("comp"), col("rid")).as("entity_id"),
           (col("comp").isNotNull && col("comp") =!= col("rid")).as("merged"))
         .orderBy("rid")
+    },
+
+    // Triangle counting by degree-ordered orientation — the third graph
+    // kernel next to q81's PageRank and q61's components, and the canonical
+    // "curse of the last reducer" algorithm (Suri & Vassilvitskii, WWW'11):
+    // orient every edge from its lower-(degree, id) endpoint to the higher,
+    // so each triangle {x,y,z} is counted EXACTLY once as a wedge at its
+    // lowest-rank vertex, and — the scale point — the wedge self-join fans
+    // out on OUT-degree, which the orientation bounds by O(√m) even when raw
+    // degrees are power-law skewed. A hub of degree d contributes d·(d-1)/2
+    // wedges unoriented but only ~m/2 oriented; that is the difference
+    // between a dead reducer and a balanced shuffle at 100 TB. Graph: q178's
+    // deterministic spatial edge set (pairs within radius 25), built with the
+    // same lossless grid-bucket equi-join — never n². Three exchanges total
+    // (degree census, wedge join, closing-edge join); the oracle states the
+    // identical orientation in SQL over the n² edge build.
+    QueryDef("q184_triangles",
+      s"""WITH p AS (SELECT c_custkey AS id,
+         |         (${graft.functions.Hashes.mulHashSql("c_custkey", 11)}) % 1000 AS x,
+         |         (${graft.functions.Hashes.mulHashSql("c_custkey", 13)}) % 1000 AS y
+         |       FROM customer),
+         |e0 AS (SELECT a.id AS u, b.id AS v
+         |       FROM p a JOIN p b ON a.id < b.id
+         |        AND (a.x - b.x) * (a.x - b.x)
+         |            + (a.y - b.y) * (a.y - b.y) <= 625),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS dg
+         |        FROM (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0)
+         |        GROUP BY id),
+         |o AS (SELECT CASE WHEN (du.dg < dv.dg) OR (du.dg = dv.dg AND u < v)
+         |                  THEN u ELSE v END AS src,
+         |             CASE WHEN (du.dg < dv.dg) OR (du.dg = dv.dg AND u < v)
+         |                  THEN v ELSE u END AS dst,
+         |             CASE WHEN (du.dg < dv.dg) OR (du.dg = dv.dg AND u < v)
+         |                  THEN dv.dg ELSE du.dg END AS ddst
+         |      FROM e0 JOIN deg du ON e0.u = du.id
+         |               JOIN deg dv ON e0.v = dv.id),
+         |w AS (SELECT x.src AS apex, x.dst AS a, y.dst AS b
+         |      FROM o x JOIN o y ON x.src = y.src
+         |       AND ((x.ddst < y.ddst) OR (x.ddst = y.ddst AND x.dst < y.dst))),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |      FROM w JOIN o ON w.a = o.src AND w.b = o.dst)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+         |       t.n_triangles
+         |FROM t""".stripMargin) { (s, d) =>
+      import graft.functions.Hashes
+      val pts = Tables.customer(s, d).select(col("c_custkey").as("id"),
+        (Hashes.mulHash(col("c_custkey"), 11) % 1000).as("x"),
+        (Hashes.mulHash(col("c_custkey"), 13) % 1000).as("y"))
+      val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+      val a = pts
+        .select(col("id").as("u"), col("x").as("ax"), col("y").as("ay"),
+          explode(offsets).as("off"))
+        .select(col("u"), col("ax"), col("ay"),
+          (expr("ax div 25") + col("off.dx")).as("cx"),
+          (expr("ay div 25") + col("off.dy")).as("cy"))
+      val b = pts.select(col("id").as("v"), col("x").as("bx"),
+        col("y").as("by"), expr("bx div 25").as("cx"), expr("by div 25").as("cy"))
+      val e0 = a.join(b, Seq("cx", "cy"))
+        .where(col("u") < col("v")
+          && (col("ax") - col("bx")) * (col("ax") - col("bx"))
+             + (col("ay") - col("by")) * (col("ay") - col("by")) <= 625)
+        .select("u", "v")
+        .persist() // feeds degree census, orientation, and the edge count
+      val deg = e0.select(col("u").as("id")).unionAll(e0.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("dg"))
+      val du = deg.withColumnsRenamed(Map("id" -> "u", "dg" -> "du"))
+      val dv = deg.withColumnsRenamed(Map("id" -> "v", "dg" -> "dv"))
+      val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+      val o = e0.join(du, Seq("u")).join(dv, Seq("v"))
+        .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
+          when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+          when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+        .persist() // wedge self-join probes it twice + the closing-edge join
+      val w = o.as("x").join(o.as("y"),
+          col("x.src") === col("y.src")
+            && (col("x.ddst") < col("y.ddst")
+              || (col("x.ddst") === col("y.ddst") && col("x.dst") < col("y.dst"))))
+        .select(col("x.dst").as("a"), col("y.dst").as("b"))
+      val nTri = w.join(o, col("a") === col("src") && col("b") === col("dst"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val nEdges = e0.agg(count(lit(1)).as("n_edges"))
+      val nWedges = w.agg(count(lit(1)).as("n_wedges"))
+      nEdges.crossJoin(broadcast(nWedges)).crossJoin(broadcast(nTri))
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"))
     }
   )
 }

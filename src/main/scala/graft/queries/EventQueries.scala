@@ -251,6 +251,79 @@ object EventQueries {
         .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
+    },
+
+    // Stream-stream interval join as a driver-visible query (the q161
+    // AvailableNow-inside-the-query pattern applied to the LAST major
+    // Structured Streaming primitive that was spec-only): purchases matched
+    // to same-user views within the preceding hour, run as a REAL two-source
+    // streaming join — events land as a 4-file parquet directory, both sides
+    // re-read it as file streams with maxFilesPerTrigger=1, and matches flow
+    // through the symmetric-hash join STATE STORE across micro-batches (a
+    // view buffered in batch 1 must still match a purchase arriving in batch
+    // 4). The horizon is wider than the fixture's 30-day span, so no arrival
+    // order can evict a row before its match — which makes stream ≡ batch an
+    // exact contract (`stream_eq_batch` compares per-user aggregates of the
+    // streamed join against the identical-plan batch interval join in-plan;
+    // any dropped/duplicated match flips it and the hash). Output: top-20
+    // users by matched-pair count with exact integer-µs latency sums, FROM
+    // THE STREAMED RESULT. Scale shape: state is bounded by the horizon (the
+    // production default is 2 hours — StreamingSpec runs that posture); the
+    // join itself shuffles both sides on user_id once.
+    QueryDef("q183_stream_interval_join",
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS v_us FROM events
+        |           WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events
+        |      WHERE event_type = 'purchase'),
+        |j AS (SELECT p.user_id, p.p_us - v.v_us AS lat
+        |      FROM p JOIN v ON p.user_id = v.user_id
+        |       AND v.v_us <= p.p_us AND v.v_us >= p.p_us - 3600000000)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(lat) AS BIGINT) AS lat_us, TRUE AS stream_eq_batch
+        |FROM j GROUP BY user_id
+        |ORDER BY n_pairs DESC, user_id LIMIT 20""".stripMargin) { (s, d) =>
+      import graft.streaming.EventStreams
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ssjoin_q_").toFile
+      sys.addShutdownHook(rmrf(root))
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isin("view", "purchase"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      ev.repartition(4).write.parquet(s"$root/landing")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("event_id", org.apache.spark.sql.types.LongType)
+        .add("ts", org.apache.spark.sql.types.TimestampType)
+        .add("user_id", org.apache.spark.sql.types.LongType)
+        .add("event_type", org.apache.spark.sql.types.StringType)
+      def src() = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
+      val joined = EventStreams.viewPurchaseJoin(src(), src(), "60 days")
+      val memName = root.getName // unique per invocation
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(memName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      def perUser(j: org.apache.spark.sql.DataFrame) =
+        j.groupBy("user_id").agg(count(lit(1)).as("n_pairs"),
+          sum(col("p_us") - col("v_us")).as("lat_us"))
+      val sAgg = perUser(s.table(memName))
+      val bEv = Tables.events(s, d)
+      val bAgg = perUser(EventStreams.viewPurchaseJoin(bEv, bEv, "60 days"))
+        .withColumnsRenamed(Map("n_pairs" -> "b_pairs", "lat_us" -> "b_lat"))
+      val mism = sAgg.join(bAgg, Seq("user_id"), "full_outer")
+        .where(!(col("n_pairs") <=> col("b_pairs"))
+          || !(col("lat_us") <=> col("b_lat")))
+        .agg(count(lit(1)).as("m"))
+      sAgg.orderBy(col("n_pairs").desc, col("user_id")).limit(20)
+        .crossJoin(broadcast(mism))
+        .select(col("user_id"), col("n_pairs"), col("lat_us"),
+          (col("m") === 0L).as("stream_eq_batch"))
+        .orderBy(col("n_pairs").desc, col("user_id"))
     }
   )
 }

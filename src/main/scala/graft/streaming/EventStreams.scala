@@ -124,16 +124,23 @@ object EventStreams {
     * watermark passes `view.ts + 1 hour`, the state-cleanup contract a 100 TB
     * continuous pipeline depends on. Mode-agnostic: give it batch relations
     * and the identical plan runs as a batch interval join (the parity check).
+    * `horizon` is the allowed-lateness watermark delay: the production
+    * default (2 hours) bounds state tightly; q183 passes a horizon wider
+    * than the whole bounded fixture so NO arrival order across micro-batches
+    * can evict a row before its match arrives — that is what makes
+    * stream ≡ batch an exact, hashable contract there (inner-join rows are
+    * emitted as matches arrive; the watermark only governs eviction).
     */
-  def viewPurchaseJoin(events: DataFrame, eventsAgain: DataFrame): DataFrame = {
+  def viewPurchaseJoin(events: DataFrame, eventsAgain: DataFrame,
+                       horizon: String = "2 hours"): DataFrame = {
     val views = events.where(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("view_id"))
-      .withWatermark("v_ts", "2 hours")
+      .withWatermark("v_ts", horizon)
     val purchases = eventsAgain.where(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"))
-      .withWatermark("p_ts", "2 hours")
+      .withWatermark("p_ts", horizon)
     purchases.join(views,
       col("p_user") === col("v_user") &&
         col("v_ts") <= col("p_ts") &&
