@@ -266,6 +266,73 @@ object ScaleQueries {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_rows"), min("p").as("lo"), max("p").as("hi"))
         .orderBy("bucket")
+    },
+
+    // Incremental aggregate-view maintenance: q131 merges CDC at ROW level;
+    // this maintains a MATERIALIZED AGGREGATE under the same change stream
+    // without touching the base relation — the aggregate-MV counterpart a
+    // lakehouse needs when the base is 100 TB and the delta is megabytes.
+    // Deletes (keys ≡ 0 mod 97) and updates (≡ 0 mod 89, quantity +5,
+    // encoded delete+insert) become SIGNED delta rows; count and integer-
+    // cents sum are abelian-group aggregates, so applying groupBy(sign·x) to
+    // the delta and full-outer-merging with the stored per-group totals is
+    // EXACT — no rescan of base. The output rows come from the INCREMENTAL
+    // path; `eq_recompute` compares them in-plan against a full recompute of
+    // the patched relation (the maintenance correctness contract), and the
+    // oracle independently states the recompute — so a wrong signed merge
+    // fails the hash twice over. Scale: cost is O(|delta|) + a k-group merge
+    // join, vs O(|base|) for the rescan the operator replaces. (Min/max are
+    // deliberately absent: they are not incrementally maintainable under
+    // deletes without per-group state — that is q157's moments territory.)
+    QueryDef("q185_incremental_agg",
+      """WITH pat AS (
+        |  SELECT l_returnflag AS f, l_linestatus AS st,
+        |         CASE WHEN l_orderkey % 89 = 0 THEN l_quantity + 5
+        |              ELSE l_quantity END AS q
+        |  FROM lineitem WHERE l_orderkey % 97 <> 0)
+        |SELECT f AS l_returnflag, st AS l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(q * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS sum_qty_cents,
+        |       TRUE AS eq_recompute
+        |FROM pat GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("k"),
+        col("l_returnflag").as("f"), col("l_linestatus").as("st"),
+        round(col("l_quantity") * 100, 0).cast("long").as("qc"))
+      def agg(rows: org.apache.spark.sql.DataFrame) =
+        rows.groupBy("f", "st")
+          .agg(count(lit(1)).as("n"), sum("qc").as("s"))
+      // the stored aggregate (built once; on a lake it would be read back)
+      val stored = agg(li)
+      // CDC delta as signed rows: delete = -1, insert = +1
+      val del = li.where(col("k") % 97 === 0)
+        .select(col("f"), col("st"), col("qc"), lit(-1L).as("sign"))
+      val updOld = li.where(col("k") % 89 === 0 && col("k") % 97 =!= 0)
+        .select(col("f"), col("st"), col("qc"), lit(-1L).as("sign"))
+      val updNew = li.where(col("k") % 89 === 0 && col("k") % 97 =!= 0)
+        .select(col("f"), col("st"), (col("qc") + 500L).as("qc"),
+          lit(1L).as("sign"))
+      val deltaAgg = del.unionByName(updOld).unionByName(updNew)
+        .groupBy("f", "st")
+        .agg(sum(col("sign")).as("dn"), sum(col("sign") * col("qc")).as("ds"))
+      val inc = stored.join(deltaAgg, Seq("f", "st"), "full_outer")
+        .select(col("f"), col("st"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"))
+        .where(col("n") > 0)
+      // full recompute of the patched relation — the contract's other side
+      val rec = agg(li.where(col("k") % 97 =!= 0)
+          .select(col("f"), col("st"),
+            when(col("k") % 89 === 0, col("qc") + 500L).otherwise(col("qc")).as("qc")))
+        .withColumnsRenamed(Map("n" -> "rn", "s" -> "rs"))
+      val mism = inc.join(rec, Seq("f", "st"), "full_outer")
+        .where(!(col("n") <=> col("rn")) || !(col("s") <=> col("rs")))
+        .agg(count(lit(1)).as("m"))
+      inc.crossJoin(broadcast(mism))
+        .select(col("f").as("l_returnflag"), col("st").as("l_linestatus"),
+          col("n"), col("s").as("sum_qty_cents"),
+          (col("m") === 0L).as("eq_recompute"))
+        .orderBy("l_returnflag", "l_linestatus")
     }
   )
 }
