@@ -333,6 +333,35 @@ object ScaleQueries {
           col("n"), col("s").as("sum_qty_cents"),
           (col("m") === 0L).as("eq_recompute"))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Exact top-k per group via the bounded-heap aggregate
+    // (functions/TopK): the same answer as q64's rank-window formulation,
+    // through a categorically cheaper plan — the window shuffles and SORTS
+    // every row of every group; the heap aggregate keeps k entries per group
+    // with MAP-SIDE partials, so the exchange carries ≤ k·groups rows and
+    // nothing is globally sorted. The operator is exact, not a sketch: under
+    // the total order (n_chars DESC, doc_id ASC) with unique doc_ids the
+    // top-k set is independent of partitioning and merge order, which is
+    // exactly why it can be hash-pinned against the oracle's row_number
+    // window. This is THE idiom for "best k representatives per cluster /
+    // per source" at 100 TB, where a rank window over the corpus is the
+    // dominant sort.
+    QueryDef("q186_topk_agg",
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |           row_number() OVER (PARTITION BY source
+        |             ORDER BY n_chars DESC, doc_id) AS rn
+        |           FROM documents)
+        |SELECT source, CAST(rn AS BIGINT) AS rank, doc_id, n_chars
+        |FROM r WHERE rn <= 5 ORDER BY source, rank""".stripMargin) { (s, d) =>
+      import graft.functions.TopK
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(TopK.topKBy(col("doc_id"), col("n_chars"), 5).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+          col("e.key").as("doc_id"), col("e.ord").as("n_chars"))
+        .orderBy("source", "rank")
     }
   )
 }

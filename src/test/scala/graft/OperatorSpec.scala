@@ -473,4 +473,28 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(1), new String(r.getAs[Array[Byte]]("frame"))))
     assert(frames.toSeq == Seq((0, "abcd"), (2, "ijkl")))
   }
+
+  test("top_k_by: exact under any partitioning, ties break key-ascending") {
+    import graft.functions.TopK
+    // 3 groups × 200 rows; ord has deliberate ties (ord = key % 50)
+    val rows = for (g <- 0 until 3; i <- 0 until 200)
+      yield (g.toLong, g * 1000L + i, (i % 50).toLong)
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sortBy { case (k, o) => (-o, k) }.take(7)
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val got = rows.toDF("g", "k", "o").repartition(parts)
+        .groupBy("g").agg(TopK.topKBy(col("k"), col("o"), 7).as("top"))
+        .collect().map { r =>
+          r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(e => (e.getLong(0), e.getLong(1)))
+        }.toMap
+      assert(got == expected, s"parts=$parts")
+    }
+    // k larger than the group returns the whole group, still sorted
+    val small = Seq((1L, 10L, 5L), (1L, 11L, 9L)).toDF("g", "k", "o")
+      .groupBy("g").agg(TopK.topKBy(col("k"), col("o"), 100).as("top"))
+      .head().getSeq[org.apache.spark.sql.Row](1).map(e => (e.getLong(0), e.getLong(1)))
+    assert(small == Seq((11L, 9L), (10L, 5L)))
+  }
 }
