@@ -823,14 +823,7 @@ object AdvancedQueries {
     // (degree census, wedge join, closing-edge join); the oracle states the
     // identical orientation in SQL over the n² edge build.
     QueryDef("q184_triangles",
-      s"""WITH p AS (SELECT c_custkey AS id,
-         |         (${graft.functions.Hashes.mulHashSql("c_custkey", 11)}) % 1000 AS x,
-         |         (${graft.functions.Hashes.mulHashSql("c_custkey", 13)}) % 1000 AS y
-         |       FROM customer),
-         |e0 AS (SELECT a.id AS u, b.id AS v
-         |       FROM p a JOIN p b ON a.id < b.id
-         |        AND (a.x - b.x) * (a.x - b.x)
-         |            + (a.y - b.y) * (a.y - b.y) <= 625),
+      s"""WITH ${SpatialEdges.cte},
          |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS dg
          |        FROM (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0)
          |        GROUP BY id),
@@ -851,25 +844,7 @@ object AdvancedQueries {
          |       (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
          |       t.n_triangles
          |FROM t""".stripMargin) { (s, d) =>
-      import graft.functions.Hashes
-      val pts = Tables.customer(s, d).select(col("c_custkey").as("id"),
-        (Hashes.mulHash(col("c_custkey"), 11) % 1000).as("x"),
-        (Hashes.mulHash(col("c_custkey"), 13) % 1000).as("y"))
-      val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
-        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
-      val a = pts
-        .select(col("id").as("u"), col("x").as("ax"), col("y").as("ay"),
-          explode(offsets).as("off"))
-        .select(col("u"), col("ax"), col("ay"),
-          (expr("ax div 25") + col("off.dx")).as("cx"),
-          (expr("ay div 25") + col("off.dy")).as("cy"))
-      val b = pts.select(col("id").as("v"), col("x").as("bx"),
-        col("y").as("by"), expr("bx div 25").as("cx"), expr("by div 25").as("cy"))
-      val e0 = a.join(b, Seq("cx", "cy"))
-        .where(col("u") < col("v")
-          && (col("ax") - col("bx")) * (col("ax") - col("bx"))
-             + (col("ay") - col("by")) * (col("ay") - col("by")) <= 625)
-        .select("u", "v")
+      val e0 = SpatialEdges.frame(s, d)
         .persist() // feeds degree census, orientation, and the edge count
       val deg = e0.select(col("u").as("id")).unionAll(e0.select(col("v").as("id")))
         .groupBy("id").agg(count(lit(1)).as("dg"))
@@ -892,8 +867,101 @@ object AdvancedQueries {
       val nWedges = w.agg(count(lit(1)).as("n_wedges"))
       nEdges.crossJoin(broadcast(nWedges)).crossJoin(broadcast(nTri))
         .select(col("n_edges"), col("n_wedges"), col("n_triangles"))
+    },
+
+    // 2-core decomposition by iterative peeling (operators/KCore) — the
+    // fourth graph kernel, and a different iteration SHAPE from the other
+    // three: PageRank iterates a fixed number of value-propagation rounds,
+    // components iterates to a reachability fixpoint, and k-core iterates a
+    // monotone DELETION (drop degree-<k vertices, restrict edges, repeat)
+    // whose fixpoint is the maximal subgraph of min-degree k. Four peel
+    // rounds are stated as chained CTEs on both engines — a SQL oracle
+    // cannot loop — and `converged` pins the fixpoint claim itself: it
+    // compares the last two edge sets in-plan, so the answer self-certifies
+    // that 4 rounds sufficed (the spatial 2-core converges in ≤ 2 peels at
+    // every SF; a production run would drive rounds by the observe()-fused
+    // change count like Components). Per round: one map-side-combined degree
+    // census + two semi-joins, edge set monotonically shrinking — at 100 TB
+    // the first census dominates and every later round is cheaper.
+    QueryDef("q187_kcore",
+      // the peel CTEs are MATERIALIZED: DuckDB inlines plain CTEs, and each
+      // round references the previous one several times — unmaterialized,
+      // e5 would expand e0 2^5-fold (the exponential-inlining trap the
+      // Hilbert CTE chain documents)
+      s"""WITH ${SpatialEdges.cte},
+         |${(1 to 5).map(i =>
+           s"""d${i - 1} AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS dg
+              |        FROM (SELECT u AS id FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+              |        GROUP BY id),
+              |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+              |       WHERE u IN (SELECT id FROM d${i - 1} WHERE dg >= 2)
+              |         AND v IN (SELECT id FROM d${i - 1} WHERE dg >= 2))""")
+             .mkString(",\n")},
+         |d5 AS (SELECT id, CAST(count(*) AS BIGINT) AS dg
+         |       FROM (SELECT u AS id FROM e5 UNION ALL SELECT v FROM e5)
+         |       GROUP BY id)
+         |SELECT id, dg,
+         |       ((SELECT count(*) FROM e5) = (SELECT count(*) FROM e4))
+         |         AS converged
+         |FROM d5 ORDER BY id""".stripMargin) { (s, d) =>
+      import graft.operators.KCore
+      val states = KCore.peel(SpatialEdges.frame(s, d), k = 2, rounds = 5)
+      val prev = states(states.size - 2)
+      val last = states.last
+      val nPrev = prev.agg(count(lit(1)).as("np"))
+      val nLast = last.agg(count(lit(1)).as("nl"))
+      KCore.coreVertices(last)
+        .crossJoin(broadcast(nPrev.crossJoin(nLast)))
+        .select(col("id"), col("dg"), (col("nl") === col("np")).as("converged"))
+        .orderBy("id")
     }
   )
+}
+
+/** The deterministic spatial graph shared by the q178/q184/q187 family:
+  * customers as points on a 1000×1000 plane (coordinates are salted hashes of
+  * the key), edges between pairs within radius 25, built with the lossless
+  * 3×3 grid-bucket equi-join — candidates are O(n·density), never the n²
+  * cross join the oracle states.
+  */
+private object SpatialEdges {
+  import graft.functions.Hashes
+
+  /** `p` (points) + `e0` (edges u < v) as oracle CTE text. MATERIALIZED:
+    * both downstream chains (orientation, peel rounds) reference e0 more
+    * than once, and DuckDB inlines plain CTEs.
+    */
+  val cte: String =
+    s"""p AS MATERIALIZED (SELECT c_custkey AS id,
+       |         (${Hashes.mulHashSql("c_custkey", 11)}) % 1000 AS x,
+       |         (${Hashes.mulHashSql("c_custkey", 13)}) % 1000 AS y
+       |       FROM customer),
+       |e0 AS MATERIALIZED (SELECT a.id AS u, b.id AS v
+       |       FROM p a JOIN p b ON a.id < b.id
+       |        AND (a.x - b.x) * (a.x - b.x)
+       |            + (a.y - b.y) * (a.y - b.y) <= 625)""".stripMargin
+
+  /** The same edge relation (u, v) via the grid-bucketed join. */
+  def frame(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val pts = Tables.customer(s, d).select(col("c_custkey").as("id"),
+      (Hashes.mulHash(col("c_custkey"), 11) % 1000).as("x"),
+      (Hashes.mulHash(col("c_custkey"), 13) % 1000).as("y"))
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+    val a = pts
+      .select(col("id").as("u"), col("x").as("ax"), col("y").as("ay"),
+        explode(offsets).as("off"))
+      .select(col("u"), col("ax"), col("ay"),
+        (expr("ax div 25") + col("off.dx")).as("cx"),
+        (expr("ay div 25") + col("off.dy")).as("cy"))
+    val b = pts.select(col("id").as("v"), col("x").as("bx"),
+      col("y").as("by"), expr("bx div 25").as("cx"), expr("by div 25").as("cy"))
+    a.join(b, Seq("cx", "cy"))
+      .where(col("u") < col("v")
+        && (col("ax") - col("bx")) * (col("ax") - col("bx"))
+           + (col("ay") - col("by")) * (col("ay") - col("by")) <= 625)
+      .select("u", "v")
+  }
 }
 
 /** Shared edge set + oracle for the dedup-clustering pair q61/q104: the
