@@ -362,6 +362,110 @@ object ScaleQueries {
         .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
           col("e.key").as("doc_id"), col("e.ord").as("n_chars"))
         .orderBy("source", "rank")
+    },
+
+    // Snapshot diff → CDC feed: the INVERSE of q131. Given two full table
+    // snapshots (no change log — the common case when an upstream system
+    // only ships replacements), derive the I/U/D change feed between them
+    // with one full-outer join on the key: key only in old → D, only in new
+    // → I, in both with different payload → U, identical rows vanish. The
+    // new snapshot here is q131's merged result, so the derived feed must
+    // RECOVER exactly the net effect of that change batch — diff ∘ apply =
+    // identity on net changes, the round-trip contract that makes the pair
+    // of operators trustworthy. Scale: one key-partitioned exchange per
+    // side and a row-local compare — the cheapest correct way to re-derive
+    // incrementality for 100 TB snapshots (and the input q185's aggregate
+    // maintenance needs when no log exists).
+    QueryDef("q188_snapshot_diff",
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |                     CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |              FROM orders),
+        |new_snap AS (
+        |  SELECT k, st, cents + 777 AS cents FROM base WHERE k % 10 = 3
+        |  UNION ALL
+        |  SELECT k, st, cents FROM base WHERE k % 10 NOT IN (3, 7)
+        |  UNION ALL
+        |  SELECT -k, 'N', k FROM base WHERE k % 10 = 1)
+        |SELECT coalesce(o.k, n.k) AS k,
+        |       CASE WHEN n.k IS NULL THEN 'D'
+        |            WHEN o.k IS NULL THEN 'I' ELSE 'U' END AS op,
+        |       o.cents AS old_cents, n.cents AS new_cents
+        |FROM base o FULL OUTER JOIN new_snap n ON o.k = n.k
+        |WHERE o.k IS NULL OR n.k IS NULL
+        |   OR o.st <> n.st OR o.cents <> n.cents
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      // q131's merged snapshot, rebuilt directly: winner update for ≡3,
+      // delete for ≡7, insert at negated keys for ≡1
+      val newSnap = base.where(col("k") % 10 === 3)
+          .select(col("k"), col("st"), (col("cents") + 777).as("cents"))
+        .unionByName(base.where(!(col("k") % 10).isin(3, 7))
+          .select(col("k"), col("st"), col("cents")))
+        .unionByName(base.where(col("k") % 10 === 1)
+          .select((-col("k")).as("k"), lit("N").as("st"),
+            col("k").cast("long").as("cents")))
+      val o = base.withColumnsRenamed(
+        Map("k" -> "ok", "st" -> "ost", "cents" -> "old_cents"))
+      val n = newSnap.withColumnsRenamed(
+        Map("k" -> "nk", "st" -> "nst", "cents" -> "new_cents"))
+      o.join(n, col("ok") === col("nk"), "full_outer")
+        .where(col("ok").isNull || col("nk").isNull
+          || col("ost") =!= col("nst") || col("old_cents") =!= col("new_cents"))
+        .select(coalesce(col("ok"), col("nk")).as("k"),
+          when(col("nk").isNull, "D").when(col("ok").isNull, "I")
+            .otherwise("U").as("op"),
+          col("old_cents"), col("new_cents"))
+        .orderBy("k")
+    },
+
+    // Slowly-changing-dimension Type 2: a versioned change series per key
+    // becomes validity INTERVALS — valid_from = effective day, valid_to =
+    // day before the next version (open for the latest), is_current on the
+    // last version. The classic warehouse dimension-history operator, done
+    // the Spark-first way: one lead() window per key over (key, eff day),
+    // integer day arithmetic end to end (the determinism playbook's
+    // calendar rule). Three deterministic versions per tracked key are
+    // derived from the order date itself so both engines build identical
+    // change series. Scale: a single shuffle on the dimension key; dimension
+    // tables are the SMALL side of a lakehouse — the operator exists so that
+    // fact-table as-of joins (q56) have a correctly-bounded history to probe.
+    QueryDef("q189_scd2",
+      """WITH ch AS (
+        |  SELECT o_orderkey AS k, v,
+        |         CAST(epoch(o_orderdate) // 86400 AS BIGINT) + v * 30 AS eff_day,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) + v * 111 AS cents
+        |  FROM orders, (SELECT unnest([0, 1, 2]) AS v)
+        |  WHERE o_orderkey % 100 < 20),
+        |iv AS (
+        |  SELECT k, v, cents, eff_day AS valid_from,
+        |         lead(eff_day) OVER (PARTITION BY k ORDER BY eff_day, v) - 1
+        |           AS valid_to
+        |  FROM ch)
+        |SELECT k, CAST(v AS BIGINT) AS version, cents, valid_from,
+        |       coalesce(valid_to, 9999999) AS valid_to,
+        |       (valid_to IS NULL) AS is_current
+        |FROM iv ORDER BY k, version""".stripMargin) { (s, d) =>
+      val ch = Tables.orders(s, d)
+        .where(col("o_orderkey") % 100 < 20)
+        .select(col("o_orderkey").as("k"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("v"),
+          col("o_orderdate"), col("o_totalprice"))
+        .select(col("k"), col("v"),
+          // o_orderdate ships as TIMESTAMP_NTZ; the UTC session makes the
+          // cast an identity relabeling, then integer day arithmetic
+          (expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            + col("v") * 30L).as("eff_day"),
+          (round(col("o_totalprice") * 100, 0).cast("long") + col("v") * 111L)
+            .as("cents"))
+      val w = Window.partitionBy("k").orderBy("eff_day", "v")
+      ch.withColumn("valid_to_raw", lead(col("eff_day"), 1).over(w) - 1)
+        .select(col("k"), col("v").as("version"), col("cents"),
+          col("eff_day").as("valid_from"),
+          coalesce(col("valid_to_raw"), lit(9999999L)).as("valid_to"),
+          col("valid_to_raw").isNull.as("is_current"))
+        .orderBy("k", "version")
     }
   )
 }
