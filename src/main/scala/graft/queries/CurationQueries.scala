@@ -1384,6 +1384,126 @@ object CurationQueries {
             col("m4") * 25 < col("nt") && col("c5") * 20 < col("nt") * 3)
             .as("keep"))
         .orderBy("doc_id")
+    },
+
+    // Declarative data-quality constraint suite (the Deequ shape): a named
+    // set of table constraints — completeness, domain membership, value
+    // ranges, key uniqueness, referential integrity — evaluated as ONE
+    // pass over the fact table (every row-local check is a conditional
+    // count inside a single aggregate → one exchange of one row) plus one
+    // anti-join for the cross-table constraint. Metrics are exact integer
+    // parts-per-million (ppm = passing·1e6 div rows — no float surface),
+    // `passed` states each constraint's threshold. This is the gate a
+    // 100 TB ingest runs BEFORE publishing a snapshot; its cost is one
+    // scan, which is why the checks fold into one aggregate instead of one
+    // job per constraint. Reference anchor: the defensive checks sprinkled
+    // through create_train_valid_test_datasets.py (existence/shape asserts)
+    // — here as data, not asserts.
+    QueryDef("q190_quality_constraints",
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(l_quantity) AS BIGINT) AS cq,
+        |         CAST(count(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+        |                         THEN 1 END) AS BIGINT) AS cd,
+        |         CAST(count(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+        |                         THEN 1 END) AS BIGINT) AS cr,
+        |         CAST(count(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+        |                         THEN 1 END) AS BIGINT) AS cf,
+        |         CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+        |           AS ck
+        |  FROM lineitem),
+        |orph AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS bad FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_orderkey = l.l_orderkey)),
+        |r AS (
+        |  SELECT 'completeness_quantity' AS constraint_name,
+        |         cq * 1000000 // n AS metric_ppm, cq = n AS passed FROM m
+        |  UNION ALL SELECT 'domain_returnflag', cf * 1000000 // n, cf = n FROM m
+        |  UNION ALL SELECT 'range_discount', cd * 1000000 // n, cd = n FROM m
+        |  UNION ALL SELECT 'range_quantity', cr * 1000000 // n, cr = n FROM m
+        |  UNION ALL SELECT 'unique_order_line', ck * 1000000 // n, ck = n FROM m
+        |  UNION ALL SELECT 'ref_orders', (n - bad) * 1000000 // n, bad = 0
+        |            FROM m, orph)
+        |SELECT constraint_name, CAST(metric_ppm AS BIGINT) AS metric_ppm,
+        |       passed
+        |FROM r ORDER BY constraint_name""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val m = li.agg(
+        count(lit(1)).as("n"),
+        count(col("l_quantity")).as("cq"),
+        count(when(col("l_discount") >= 0 && col("l_discount") <= 0.1, 1)).as("cd"),
+        count(when(col("l_quantity") >= 1 && col("l_quantity") <= 50, 1)).as("cr"),
+        count(when(col("l_returnflag").isin("A", "N", "R"), 1)).as("cf"),
+        countDistinct(struct(col("l_orderkey"), col("l_linenumber"))).as("ck"))
+      val orph = li.join(Tables.orders(s, d),
+          li("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("bad"))
+      val one = m.crossJoin(broadcast(orph))
+      def row(name: String, passing: String) =
+        one.select(lit(name).as("constraint_name"),
+          expr(s"$passing * 1000000 div n").as("metric_ppm"),
+          (col(passing) === col("n")).as("passed"))
+      row("completeness_quantity", "cq")
+        .unionByName(row("domain_returnflag", "cf"))
+        .unionByName(row("range_discount", "cd"))
+        .unionByName(row("range_quantity", "cr"))
+        .unionByName(row("unique_order_line", "ck"))
+        .unionByName(one.select(lit("ref_orders").as("constraint_name"),
+          expr("(n - bad) * 1000000 div n").as("metric_ppm"),
+          (col("bad") === 0L).as("passed")))
+        .orderBy("constraint_name")
+    },
+
+    // Population-stability-index drift audit (the standard production
+    // monitor for "did this feature's distribution move between two
+    // populations"): l_quantity binned into 10 fixed-width integer bins,
+    // compared between the A and R return-flag populations. PSI term per
+    // bin = (p−q)·ln(p/q) with add-one smoothing (stated on both engines —
+    // zero bins must not produce ±∞), each term quantized to 1e-6 BEFORE
+    // the total sums them (the q92 KL discipline: one rounding grid, no
+    // accumulation-order surface). Everything before the 10-row PSI math is
+    // integer bin counting — one map-side-combined aggregate per
+    // population, so the audit costs one scan at any scale. PSI < 0.1 ⇒
+    // stable, the classic threshold, stated as the `stable` column.
+    QueryDef("q191_psi_drift",
+      // bin on INTEGER values: DuckDB's // on DOUBLE is plain division (and
+      // its double→int CAST rounds), so float binning would shift edge rows
+      """WITH b AS (
+        |  SELECT (CAST(l_quantity AS BIGINT) - 1) // 5 AS bin,
+        |         CAST(count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS BIGINT) AS na,
+        |         CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS nb
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb,
+        |             CAST(count(*) AS BIGINT) AS k FROM b),
+        |terms AS (
+        |  SELECT bin, na, nb,
+        |         round((CAST(na + 1 AS DOUBLE) / (ta + k)
+        |                - CAST(nb + 1 AS DOUBLE) / (tb + k))
+        |               * ln((CAST(na + 1 AS DOUBLE) / (ta + k))
+        |                    / (CAST(nb + 1 AS DOUBLE) / (tb + k))), 6) AS term
+        |  FROM b, t),
+        |tot AS (SELECT round(sum(term), 6) AS psi FROM terms)
+        |SELECT bin, na, nb, term, psi, psi < 0.1 AS stable
+        |FROM terms, tot ORDER BY bin""".stripMargin) { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .where(col("l_returnflag").isin("A", "R"))
+        .groupBy(expr("(cast(l_quantity as bigint) - 1) div 5").as("bin"))
+        .agg(count(when(col("l_returnflag") === "A", 1)).as("na"),
+          count(when(col("l_returnflag") === "R", 1)).as("nb"))
+      val t = b.agg(sum("na").as("ta"), sum("nb").as("tb"),
+        count(lit(1)).as("k"))
+      val pa = (col("na") + 1).cast("double") / (col("ta") + col("k"))
+      val pb = (col("nb") + 1).cast("double") / (col("tb") + col("k"))
+      val terms = b.crossJoin(broadcast(t))
+        .select(col("bin"), col("na"), col("nb"),
+          round((pa - pb) * log(pa / pb), 6).as("term"))
+      val tot = terms.agg(round(sum("term"), 6).as("psi"))
+      terms.crossJoin(broadcast(tot))
+        .select(col("bin"), col("na"), col("nb"), col("term"), col("psi"),
+          (col("psi") < 0.1).as("stable"))
+        .orderBy("bin")
     }
   )
 }
