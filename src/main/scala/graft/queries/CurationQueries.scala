@@ -1504,6 +1504,69 @@ object CurationQueries {
         .select(col("bin"), col("na"), col("nb"), col("term"), col("psi"),
           (col("psi") < 0.1).as("stable"))
         .orderBy("bin")
+    },
+
+    // Two-sample Kolmogorov–Smirnov drift statistic — q191's PSI flags
+    // aggregate distribution shift; KS flags the WORST single point of
+    // divergence (max |ECDF_A − ECDF_B|), which catches localized shifts
+    // PSI's sum can dilute. Computed on the binned ECDF so the entire
+    // statistic is exact integer ppm: per-bin counts (one map-side-combined
+    // aggregate), cumulative sums over the 10-row bin relation (the q07
+    // bounded-window discipline — the window runs on the AGGREGATE, never
+    // the corpus), integer ppm division, max. The only float is the
+    // critical value 1.36·√((nA+nB)/(nA·nB)) — one literal-shaped
+    // expression rounded to integer ppm on both engines before the compare.
+    QueryDef("q192_ks_drift",
+      """WITH b AS (
+        |  SELECT (CAST(l_quantity AS BIGINT) - 1) // 5 AS bin,
+        |         CAST(count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS BIGINT) AS na,
+        |         CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS nb
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+        |             CAST(sum(nb) AS BIGINT) AS tb FROM b),
+        |c AS (SELECT bin, CAST(sum(na) OVER (ORDER BY bin) AS BIGINT) AS ca,
+        |             CAST(sum(nb) OVER (ORDER BY bin) AS BIGINT) AS cb
+        |      FROM b),
+        |d AS (SELECT bin, ca * 1000000 // ta AS ca_ppm,
+        |             cb * 1000000 // tb AS cb_ppm,
+        |             abs(ca * 1000000 // ta - cb * 1000000 // tb) AS diff_ppm
+        |      FROM c, t),
+        |k AS (SELECT CAST(max(diff_ppm) AS BIGINT) AS ks_ppm FROM d),
+        |cr AS (SELECT CAST(round(1360000 * sqrt(CAST(ta + tb AS DOUBLE)
+        |                / (CAST(ta AS DOUBLE) * tb)), 0) AS BIGINT) AS crit_ppm
+        |       FROM t)
+        |SELECT bin, CAST(ca_ppm AS BIGINT) AS ca_ppm,
+        |       CAST(cb_ppm AS BIGINT) AS cb_ppm,
+        |       CAST(diff_ppm AS BIGINT) AS diff_ppm, ks_ppm, crit_ppm,
+        |       ks_ppm > crit_ppm AS drifted
+        |FROM d, k, cr ORDER BY bin""".stripMargin) { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .where(col("l_returnflag").isin("A", "R"))
+        .groupBy(expr("(cast(l_quantity as bigint) - 1) div 5").as("bin"))
+        .agg(count(when(col("l_returnflag") === "A", 1)).as("na"),
+          count(when(col("l_returnflag") === "R", 1)).as("nb"))
+      val t = b.agg(sum("na").as("ta"), sum("nb").as("tb"))
+      val w = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = b.select(col("bin"), sum("na").over(w).as("ca"),
+        sum("nb").over(w).as("cb"))
+      val dppm = c.crossJoin(broadcast(t))
+        .select(col("bin"),
+          expr("ca * 1000000 div ta").as("ca_ppm"),
+          expr("cb * 1000000 div tb").as("cb_ppm"),
+          abs(expr("ca * 1000000 div ta") - expr("cb * 1000000 div tb"))
+            .as("diff_ppm"))
+      val k = dppm.agg(max("diff_ppm").as("ks_ppm"))
+      val cr = t.select(
+        round(lit(1360000d) * sqrt((col("ta") + col("tb")).cast("double")
+          / (col("ta").cast("double") * col("tb"))), 0).cast("long")
+          .as("crit_ppm"))
+      dppm.crossJoin(broadcast(k)).crossJoin(broadcast(cr))
+        .select(col("bin"), col("ca_ppm"), col("cb_ppm"), col("diff_ppm"),
+          col("ks_ppm"), col("crit_ppm"),
+          (col("ks_ppm") > col("crit_ppm")).as("drifted"))
+        .orderBy("bin")
     }
   )
 }
