@@ -340,6 +340,57 @@ object RelationalQueries {
         round(min("v"), 6).as("min_s"),
         round(max("v"), 6).as("max_s"),
         count(lit(1)).as("n"))
+    },
+
+    // Robust (median/IQR) scaling — the outlier-resistant sibling of q18's
+    // μ/σ standardization: a single corrupted price shifts a mean scaler
+    // arbitrarily but moves the median not at all. Same fit/apply posture:
+    // stats fitted on the TRAIN split only (one exact-percentile aggregate
+    // over integer cents — the q58-proven quantile_cont ≡ percentile
+    // parity), collected and folded into the apply projection as literals
+    // (the ScalerPipeline "stats are data" discipline — no broadcast join,
+    // apply stays a narrow map), then the scaled test relation summarized
+    // through the playbook's integer-unit quantization. At 100 TB the exact
+    // percentile is the one sort-shaped cost and runs on the train split
+    // once; percentile_approx (q96) is the stated fallback when even that
+    // pass must be one-shot mergeable.
+    QueryDef("q193_robust_scaler",
+      s"""WITH train AS (
+         |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+         |  FROM orders WHERE ${Split.assignSplitSql("o_orderkey", 21)} = 'train'),
+         |stats AS (
+         |  SELECT quantile_cont(c, 0.5) AS med,
+         |         quantile_cont(c, 0.75) - quantile_cont(c, 0.25) AS iqr
+         |  FROM train),
+         |test AS (
+         |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+         |  FROM orders WHERE ${Split.assignSplitSql("o_orderkey", 21)} = 'test'),
+         |q AS (SELECT CAST(round((c - med) / iqr * 1000000, 0) AS BIGINT) AS qv,
+         |             (c - med) / iqr AS v
+         |      FROM test, stats)
+         |SELECT count(*) AS n, round(med, 6) AS med, round(iqr, 6) AS iqr,
+         |       round(CAST(sum(qv) AS DOUBLE) / count(*)
+         |             / CAST(1000000 AS DOUBLE), 6) AS avg_s,
+         |       round(min(v), 6) AS min_s, round(max(v), 6) AS max_s
+         |FROM q, stats GROUP BY med, iqr""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+        .withColumn("split", Split.assignSplit(col("o_orderkey"), 21))
+        .withColumn("c", round(col("o_totalprice") * 100, 0).cast("long"))
+      val st = orders.where(col("split") === "train")
+        .agg(expr("percentile(c, 0.5)").as("med"),
+          (expr("percentile(c, 0.75)") - expr("percentile(c, 0.25)")).as("iqr"))
+        .head()
+      val (med, iqr) = (st.getDouble(0), st.getDouble(1))
+      val v = (col("c") - lit(med)) / lit(iqr)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      orders.where(col("split") === "test")
+        .select(v.as("v"),
+          round(v * 1000000d, 0).cast("long").cast(dec).as("qv"))
+        .agg(count(lit(1)).as("n"),
+          round(lit(med), 6).as("med"), round(lit(iqr), 6).as("iqr"),
+          round(sum("qv").cast("double") / count(lit(1))
+            / lit(1000000).cast("double"), 6).as("avg_s"),
+          round(min("v"), 6).as("min_s"), round(max("v"), 6).as("max_s"))
     }
   )
 }
