@@ -466,6 +466,111 @@ object ScaleQueries {
           coalesce(col("valid_to_raw"), lit(9999999L)).as("valid_to"),
           col("valid_to_raw").isNull.as("is_current"))
         .orderBy("k", "version")
+    },
+
+    // Streaming CDC apply through foreachBatch — the Delta-style streaming
+    // MERGE pattern, and the last major Structured Streaming surface the
+    // catalog lacked: q131's change feed lands as a multi-file directory,
+    // each micro-batch MERGEs into a versioned snapshot inside foreachBatch
+    // (read current → last-wins dedup within the batch → VERSIONED upsert:
+    // a change applies only when its version exceeds the row's stored
+    // version → write snapshot N+1). The version guard is what makes the
+    // merge ARRIVAL-ORDER independent: the feed's two competing updates per
+    // ≡3-key may land in either micro-batch order and the final snapshot is
+    // identical — so the streamed result must hash-equal q131's batch merge
+    // exactly (same oracle), with `multi_batch` certifying the state really
+    // crossed micro-batch boundaries. (Scope, stated: a version-guarded
+    // merge without tombstones assumes a sane feed — no post-delete updates
+    // with stale versions, true of CDC logs with monotone versions.) Scale:
+    // per batch one key-partitioned merge join of delta against snapshot —
+    // the rewrite-all MERGE plan; a table format would add file skipping.
+    QueryDef("q194_stream_cdc_apply",
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |                     CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |              FROM orders),
+        |ch AS (
+        |  SELECT k, st, cents + 500 AS cents, 'U' AS op, 1 AS v
+        |  FROM base WHERE k % 10 = 3
+        |  UNION ALL
+        |  SELECT k, st, cents + 777, 'U', 2 FROM base WHERE k % 10 = 3
+        |  UNION ALL
+        |  SELECT k, st, cents, 'D', 1 FROM base WHERE k % 10 = 7
+        |  UNION ALL
+        |  SELECT -k, 'N', k, 'U', 1 FROM base WHERE k % 10 = 1),
+        |latest AS (SELECT k, st, cents, op FROM (
+        |  SELECT ch.*, row_number() OVER (PARTITION BY k
+        |    ORDER BY v DESC, op DESC) AS rn FROM ch) t WHERE rn = 1),
+        |merged AS (
+        |  SELECT b.k, b.st, b.cents FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = b.k)
+        |  UNION ALL
+        |  SELECT k, st, cents FROM latest WHERE op = 'U')
+        |SELECT k AS o_orderkey, st AS o_orderstatus, cents,
+        |       TRUE AS multi_batch
+        |FROM merged ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import graft.operators.Upsert
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cdc_stream_q_").toFile
+      sys.addShutdownHook(rmrf(root))
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      def slice(m: Int) = base.where(pmod(col("k"), lit(10)) === m)
+      val ch = slice(3)
+          .select(col("k"), col("st"), (col("cents") + 500).as("cents"),
+            lit("U").as("op"), lit(1).as("v"))
+        .unionByName(slice(3)
+          .select(col("k"), col("st"), (col("cents") + 777).as("cents"),
+            lit("U").as("op"), lit(2).as("v")))
+        .unionByName(slice(7)
+          .select(col("k"), col("st"), col("cents"),
+            lit("D").as("op"), lit(1).as("v")))
+        .unionByName(slice(1)
+          .select((-col("k")).as("k"), lit("N").as("st"),
+            col("k").cast("long").as("cents"), lit("U").as("op"),
+            lit(1).as("v")))
+      ch.repartition(3).write.parquet(s"$root/landing")
+      base.withColumn("v", lit(0)).write.parquet(s"$root/snap0")
+      var curPath = s"$root/snap0"
+      var batches = 0
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("k", org.apache.spark.sql.types.LongType)
+        .add("st", org.apache.spark.sql.types.StringType)
+        .add("cents", org.apache.spark.sql.types.LongType)
+        .add("op", org.apache.spark.sql.types.StringType)
+        .add("v", org.apache.spark.sql.types.IntegerType)
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val delta = Upsert.latestPerKey(batch, Seq("k"), "v")
+            .withColumnsRenamed(Map("st" -> "nst", "cents" -> "ncents", "v" -> "nv"))
+          val cur = s.read.parquet(curPath)
+          val takeChange = col("nv").isNotNull &&
+            (col("v").isNull || col("nv") > col("v"))
+          val next = cur.join(delta, Seq("k"), "full_outer")
+            .where(!(takeChange && col("op") === "D"))
+            .select(col("k"),
+              when(takeChange, col("nst")).otherwise(col("st")).as("st"),
+              when(takeChange, col("ncents")).otherwise(col("cents")).as("cents"),
+              when(takeChange, col("nv")).otherwise(col("v")).as("v"))
+          val out = s"$root/snap${id + 1}"
+          next.write.parquet(out)
+          curPath = out
+          batches += 1
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(curPath)
+        .select(col("k").as("o_orderkey"), col("st").as("o_orderstatus"),
+          col("cents"), lit(batches >= 2).as("multi_batch"))
+        .orderBy("o_orderkey")
     }
   )
 }
