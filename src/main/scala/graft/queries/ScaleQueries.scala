@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{BloomPrefilter, BucketCatalog, SkewJoin}
+import graft.operators.{BloomPrefilter, BucketCatalog, SkewJoin, Split}
 
 /** Scale-technique queries: TF-IDF over exploded tokens, bucketed
   * (exchange-free) joins, and salted skew joins. Each is oracle-checked
@@ -570,6 +570,63 @@ object ScaleQueries {
       s.read.parquet(curPath)
         .select(col("k").as("o_orderkey"), col("st").as("o_orderstatus"),
           col("cents"), lit(batches >= 2).as("multi_batch"))
+        .orderBy("o_orderkey")
+    },
+
+    // ECDF / quantile-normalization transform: every TEST value maps to the
+    // train split's empirical CDF, F_train(x) = #{train ≤ x} / n_train —
+    // the rank-based feature transform (and the per-point generalization of
+    // q193's three fitted quantiles). The scalable formulation is the
+    // point: no per-row probe join, no corpus-sized window funnel. UNION
+    // both splits under the total order (value, train-first, uid), then two
+    // GlobalRank.zipWithRank passes (range-partition + per-partition zip —
+    // the q116 machinery): rank in the union minus rank among test rows
+    // alone = #{train rows at-or-before} EXACTLY, because train sorts
+    // before test at equal values and the order is total. Two range
+    // exchanges, whatever the corpus size; the oracle states the same
+    // count with one running-sum window (fine single-node, the very funnel
+    // the two-stage shape replaces). All integers to the final ppm.
+    QueryDef("q195_ecdf_transform",
+      s"""WITH u AS (
+         |  SELECT o_orderkey AS k,
+         |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
+         |         1 AS istrain, o_orderkey * 2 + 1 AS uid
+         |  FROM orders WHERE ${Split.assignSplitSql("o_orderkey", 21)} = 'train'
+         |  UNION ALL
+         |  SELECT o_orderkey,
+         |         CAST(round(o_totalprice * 100, 0) AS BIGINT),
+         |         0, o_orderkey * 2
+         |  FROM orders WHERE ${Split.assignSplitSql("o_orderkey", 21)} = 'test'),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM u
+         |      WHERE istrain = 1),
+         |r AS (SELECT k, c, istrain,
+         |        sum(istrain) OVER (ORDER BY c, istrain DESC, uid
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
+         |      FROM u)
+         |SELECT k AS o_orderkey, c AS cents,
+         |       CAST(cnt * 1000000 // n_train AS BIGINT) AS ecdf_ppm
+         |FROM r, t WHERE istrain = 0 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import graft.operators.GlobalRank
+      val o = Tables.orders(s, d)
+        .withColumn("split", Split.assignSplit(col("o_orderkey"), 21))
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("c"),
+          when(col("split") === "train", 1L).when(col("split") === "test", 0L)
+            .as("istrain"),
+          (col("o_orderkey") * 2 + when(col("split") === "train", 1L)
+            .otherwise(0L)).as("uid"))
+        .where(col("istrain").isNotNull)
+      val u = o.where(col("istrain").isin(0L, 1L))
+      val nTrain = u.where(col("istrain") === 1L).agg(count(lit(1)).as("n_train"))
+      val rAll = GlobalRank.zipWithRank(u,
+        Seq(col("c"), col("istrain").desc, col("uid")), numPartitions = 8,
+        idName = "r_all")
+      val test = rAll.where(col("istrain") === 0L)
+      val rTest = GlobalRank.zipWithRank(test,
+        Seq(col("c"), col("uid")), numPartitions = 8, idName = "r_test")
+      rTest.crossJoin(broadcast(nTrain))
+        .select(col("k").as("o_orderkey"), col("c").as("cents"),
+          expr("(r_all - r_test) * 1000000 div n_train").as("ecdf_ppm"))
         .orderBy("o_orderkey")
     }
   )
