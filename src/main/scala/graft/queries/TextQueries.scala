@@ -623,6 +623,60 @@ object TextQueries {
         .groupBy("keyword")
         .agg(count(when(col("n") > 0, 1)).as("n_docs"), sum("n").as("n_hits"))
         .orderBy("keyword")
+    },
+
+    // Pointwise mutual information over adjacent-token pairs — the classic
+    // collocation detector (Church & Hanks 1990): PMI(x,y) = ln(c_xy·N /
+    // (c_x·c_y)) over bigram events, with a minimum-count floor so rare
+    // coincidences don't dominate (the standard failure mode of raw PMI).
+    // q82/q177 model P(cur|prev) for scoring; PMI ranks the PAIRS — the
+    // phrase-mining step that feeds tokenizer vocabularies and stopword
+    // diagnostics. Count aggregates are exact integers on q82's exchanges
+    // (bigram relation persisted once, three groupBys); the single float is
+    // one ln() of an integer ratio, rounded(6) before the global top-20
+    // TakeOrderedAndProject (ties broken by the pair itself). The marginals
+    // are POSITIONAL (left-slot, right-slot counts), stated identically in
+    // the oracle.
+    QueryDef("q196_pmi",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |idx AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+        |b AS (SELECT toks[i] AS x, toks[i + 1] AS y FROM idx),
+        |cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS nxy
+        |        FROM b GROUP BY x, y),
+        |cx AS (SELECT x, CAST(count(*) AS BIGINT) AS nx FROM b GROUP BY x),
+        |cy AS (SELECT y, CAST(count(*) AS BIGINT) AS ny FROM b GROUP BY y),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM b),
+        |p AS (SELECT x, y, nxy,
+        |        round(ln(CAST(nxy AS DOUBLE) * nb
+        |                 / (CAST(nx AS DOUBLE) * ny)), 6) AS pmi
+        |      FROM cxy JOIN cx USING (x) JOIN cy USING (y), n
+        |      WHERE nxy >= 5)
+        |SELECT x, y, nxy, pmi FROM p
+        |ORDER BY pmi DESC, x, y LIMIT 20""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+        .where(size(col("toks")) >= 2)
+      val b = t
+        .select(explode(sequence(lit(1), size(col("toks")) - 1)).as("i"),
+          col("toks"))
+        .select(element_at(col("toks"), col("i")).as("x"),
+          element_at(col("toks"), col("i") + 1).as("y"))
+        .persist() // feeds the pair counts, both marginals, and the total
+      val cxy = b.groupBy("x", "y").agg(count(lit(1)).as("nxy"))
+      val cx = b.groupBy("x").agg(count(lit(1)).as("nx"))
+      val cy = b.groupBy("y").agg(count(lit(1)).as("ny"))
+      val n = b.agg(count(lit(1)).as("nb"))
+      cxy.where(col("nxy") >= 5)
+        .join(cx, Seq("x")).join(cy, Seq("y"))
+        .crossJoin(broadcast(n))
+        .select(col("x"), col("y"), col("nxy"),
+          round(log(col("nxy").cast("double") * col("nb")
+            / (col("nx").cast("double") * col("ny"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("x"), col("y"))
+        .limit(20)
+        .select(col("x"), col("y"), col("nxy"), col("pmi"))
     }
   )
 }
