@@ -30,6 +30,34 @@ object ScaleProbe {
       val t0 = System.nanoTime(); mat(f); (System.nanoTime() - t0) / 1e9
     }
 
+    // the q178/q184/q187 spatial graph, m disjoint x-shifted copies — same
+    // density and per-copy structure at every multiplier
+    def spatialEdges(m: Int): DataFrame = {
+      import graft.functions.Hashes
+      val base = Tables.customer(spark, sfDir)
+      val pts = (0 until m).map { k =>
+        base.select((col("c_custkey") + lit(k.toLong * 10_000_000L)).as("id"),
+          (Hashes.mulHash(col("c_custkey"), 11) % 1000
+            + lit(k.toLong * 2000L)).as("x"),
+          (Hashes.mulHash(col("c_custkey"), 13) % 1000).as("y"))
+      }.reduce(_ unionAll _)
+      val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+      val a = pts
+        .select(col("id").as("u"), col("x").as("ax"), col("y").as("ay"),
+          explode(offsets).as("off"))
+        .select(col("u"), col("ax"), col("ay"),
+          (expr("ax div 25") + col("off.dx")).as("cx"),
+          (expr("ay div 25") + col("off.dy")).as("cy"))
+      val b = pts.select(col("id").as("v"), col("x").as("bx"),
+        col("y").as("by"), expr("bx div 25").as("cx"), expr("by div 25").as("cy"))
+      a.join(b, Seq("cx", "cy"))
+        .where(col("u") < col("v")
+          && (col("ax") - col("bx")) * (col("ax") - col("bx"))
+             + (col("ay") - col("by")) * (col("ay") - col("by")) <= 625)
+        .select("u", "v")
+    }
+
     lazy val pqCb = graft.operators.Pq.fit(
       Tables.embeddings(spark, sfDir).where(col("vec_id") < 2000),
       "vec_id", "embedding", 64, 8, 16, 1)
@@ -189,12 +217,63 @@ object ScaleProbe {
         graft.operators.Pq.adcTopK(
           graft.operators.Pq.encode(emb, "vec_id", "embedding", pqCb),
           graft.operators.Pq.adcTables(spark, pqQueries, pqCb), 50)
+      },
+      // exact top-k per group, heap aggregate (q186): map-side partials
+      // forward ≤ k entries per group per partition — the exchange carries
+      // O(groups·k·partitions) rows no matter how many input rows
+      "topk_heap" -> { m =>
+        import graft.functions.TopK
+        li(m).groupBy("l_returnflag", "l_linestatus")
+          .agg(TopK.topKBy(col("l_orderkey"),
+            round(col("l_extendedprice") * 100, 0).cast("long"), 5).as("top"))
+      },
+      // the same answer through the rank window (q64's shape): EVERY row
+      // shuffles into its group's partition and sorts — with 6 groups the
+      // sort lands on 6 tasks; the contrast with topk_heap is the point
+      "topk_window" -> { m =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_returnflag", "l_linestatus")
+          .orderBy(col("p").desc, col("l_orderkey"))
+        li(m).select(col("l_returnflag"), col("l_linestatus"),
+            col("l_orderkey"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("p"))
+          .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      },
+      // triangle counting (q184): degree census + orientation joins + wedge
+      // self-join + closing-edge join over the spatial graph (disjoint
+      // x-shifted copies keep density and per-copy structure constant)
+      "triangle_wedge" -> { m =>
+        val e0 = spatialEdges(m)
+        val deg = e0.select(col("u").as("id"))
+          .unionAll(e0.select(col("v").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("dg"))
+        val du = deg.withColumnsRenamed(Map("id" -> "u", "dg" -> "du"))
+        val dv = deg.withColumnsRenamed(Map("id" -> "v", "dg" -> "dv"))
+        val uFirst = col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v"))
+        val o = e0.join(du, Seq("u")).join(dv, Seq("v"))
+          .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
+            when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+            when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+        val w = o.as("x").join(o.as("y"),
+            col("x.src") === col("y.src")
+              && (col("x.ddst") < col("y.ddst")
+                || (col("x.ddst") === col("y.ddst")
+                  && col("x.dst") < col("y.dst"))))
+          .select(col("x.dst").as("a"), col("y.dst").as("b"))
+        w.join(o, col("a") === col("src") && col("b") === col("dst"))
+          .groupBy(lit(1)).agg(count(lit(1)).as("n_triangles"))
+      },
+      // k-core peel rounds (q187): two pinned peel rounds — degree census +
+      // two semi-joins each, edge set shrinking monotonically
+      "kcore_peel" -> { m =>
+        graft.operators.KCore.peel(spatialEdges(m), k = 2, rounds = 2).last
       })
 
     // the steepest 10× shapes get a 30× leg: confirms no super-linear break
     // past 10× — the 10→30 exponent is measured on the segment where fixed
     // job overhead has already amortized, so it is the honest asymptote
-    val deep = Set("shingle_join", "pq_adc")
+    val deep = Set("shingle_join", "pq_adc", "triangle_wedge")
 
     // warm-up
     mat(li(1).select(col("l_orderkey")))
@@ -209,6 +288,8 @@ object ScaleProbe {
         println(f"$name%-18s $t1%8.2f $t10%8.2f ${exp}%5.2f $t30%8.2f ${exp30}%.2f")
       } else
         println(f"$name%-18s $t1%8.2f $t10%8.2f ${exp}%5.2f")
+      spark.catalog.clearCache() // checkpoint/persist residue must not leak
+                                 // into the next shape's timings
     }
     spark.stop()
   }
