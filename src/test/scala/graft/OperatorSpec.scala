@@ -497,4 +497,20 @@ class OperatorSpec extends AnyFunSuite {
       .head().getSeq[org.apache.spark.sql.Row](1).map(e => (e.getLong(0), e.getLong(1)))
     assert(small == Seq((11L, 9L), (10L, 5L)))
   }
+
+  test("k-core peel: tail vertices drop round by round, the core is the fixpoint") {
+    // triangle {1,2,3} with a tail 3-4-5: the 2-core is exactly the triangle,
+    // reached after TWO peels (5 drops first, stranding 4 for the next round)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val states = KCore.peel(edges, k = 2, rounds = 3)
+    val counts = states.map(_.count())
+    assert(counts == Vector(5L, 4L, 3L, 3L)) // monotone shrink, then fixpoint
+    val core = states.last.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(core == Set((1L, 2L), (2L, 3L), (1L, 3L)))
+    // every core vertex keeps degree >= k inside the core
+    val degs = KCore.coreVertices(states.last).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(degs == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }
