@@ -515,6 +515,51 @@ object SimilarityQueries {
           round(col("dy") * 1e6, 0).cast("long").as("d2_proj_e6"),
           (col("ratio") >= 0.5 && col("ratio") <= 2.0).as("sum_ratio_ok"))
         .orderBy("pair_id")
+    },
+
+    // Hard-negative mining — the contrastive-training data-prep step: for
+    // each anchor, the most similar vectors with a DIFFERENT label (the
+    // negatives a trainer learns the most from; easy random negatives teach
+    // nothing). Anchors broadcast against the corpus scan (the q40 posture),
+    // cosines quantize to integer 1e-6 units, and the per-anchor top-3
+    // selection runs through the q186 bounded-heap aggregate — map-side
+    // partials, ≤ k rows per anchor across the exchange, no rank window —
+    // which is exactly how this op must run when the corpus is 100 TB and
+    // every training anchor needs its negatives in one pass. The oracle
+    // states the same selection as a rank window over the stated fold-order
+    // dot product.
+    QueryDef("q197_hard_negatives",
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe,
+         |                  ${normSql("embedding")} AS qn
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS cn
+         |      FROM embeddings),
+         |s AS (SELECT q_id, vec_id AS cand_id,
+         |        CAST(round(${dotSql("qe", "embedding")} / (qn * cn) * 1000000,
+         |             0) AS BIGINT) AS cos_e6
+         |      FROM q JOIN c ON c.label <> q.q_label),
+         |r AS (SELECT q_id, cand_id, cos_e6,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cos_e6 DESC, cand_id) AS rn
+         |      FROM s)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rank, cand_id, cos_e6
+         |FROM r WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      import graft.functions.{Tensors, TopK}
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("qe"), Tensors.norm(col("embedding")).as("qn"))
+      val scored = emb.join(broadcast(q), col("label") =!= col("q_label"))
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          round(Tensors.dot(col("qe"), col("embedding"))
+            / (col("qn") * Tensors.norm(col("embedding"))) * 1000000, 0)
+            .cast("long").as("cos_e6"))
+      scored.groupBy("q_id")
+        .agg(TopK.topKBy(col("cand_id"), col("cos_e6"), 3).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("e.key").as("cand_id"), col("e.ord").as("cos_e6"))
+        .orderBy("q_id", "rank")
     }
   )
 }
