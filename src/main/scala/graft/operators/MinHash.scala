@@ -109,6 +109,13 @@ object MinHash {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Banding candidate pairs WITHOUT the exact-Jaccard verify — the raw
+    * recall surface of the banding scheme, exposed so audits (q198) can
+    * measure candidate-generation precision/recall against ground truth.
+    */
+  def candidates(docs: DataFrame, key: Column, tokens: Column): DataFrame =
+    candidatePairs(bandRows(signatures(docs, key, tokens)))
+
   /** Candidate pairs via LSH banding + exact Jaccard on distinct shingles.
     * Returns (doc_a, doc_b, jaccard) for candidates with jaccard ≥ minJaccard.
     */

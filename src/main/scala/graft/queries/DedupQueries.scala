@@ -44,6 +44,56 @@ object DedupQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // LSH banding quality audit: candidate-generation precision/recall
+    // against exact ground truth. Production dedup trusts the banding
+    // scheme's recall curve (1 − (1 − s^r)^b) on faith; this measures it —
+    // the raw band candidates (MinHash.candidates, verify deliberately OFF)
+    // are compared against the exact-Jaccard ≥ 0.5 truth over all pairs.
+    // tp/n_truth is banding recall (pairs dedup would MISS), tp/n_cand is
+    // precision (verify work wasted on false candidates) — both exact
+    // integer ppm. The all-pairs truth is the audit's cost and the reason
+    // it runs on a SAMPLE in production (the corpus relation here is the
+    // bounded fixture; the candidate side stays the scalable banded join).
+    QueryDef("q198_lsh_quality",
+      s"""WITH ${LshPairsSql.cte},
+         |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+         |          WHERE round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+         |                / len(list_distinct(list_concat(a.sset, b.sset))), 6)
+         |                >= 0.5),
+         |m AS (SELECT
+         |        (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         |        (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+         |        (SELECT CAST(count(*) AS BIGINT) FROM truth t
+         |           JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+         |          AS tp)
+         |SELECT n_truth, n_cand, tp,
+         |       CAST(tp * 1000000 // n_cand AS BIGINT) AS precision_ppm,
+         |       CAST(tp * 1000000 // n_truth AS BIGINT) AS recall_ppm
+         |FROM m""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tokCol = split(col("text"), " ", -1)
+      val cand = MinHash.candidates(docs, col("doc_id"), tokCol).persist()
+      val ss = docs.where(size(tokCol) >= 3)
+        .select(col("doc_id"), array_distinct(MinHash.shingleHashes(tokCol))
+          .as("sset"))
+      val truth = ss.as("a").join(broadcast(ss.as("b")),
+          col("a.doc_id") < col("b.doc_id"))
+        .where(round(size(array_intersect(col("a.sset"), col("b.sset")))
+          .cast("double")
+          / size(array_union(col("a.sset"), col("b.sset"))), 6) >= 0.5)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .persist()
+      val tp = truth.join(cand, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("tp"))
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nC = cand.agg(count(lit(1)).as("n_cand"))
+      nT.crossJoin(broadcast(nC)).crossJoin(broadcast(tp))
+        .select(col("n_truth"), col("n_cand"), col("tp"),
+          expr("tp * 1000000 div n_cand").as("precision_ppm"),
+          expr("tp * 1000000 div n_truth").as("recall_ppm"))
+    },
+
     // MinHash signatures: k=8 permutation-min values per doc.
     QueryDef("q36_minhash_signature",
       s"""$shingleCte
