@@ -449,6 +449,58 @@ object TextQueries {
     // engines and the rank key is pure integer hash arithmetic, so the
     // selected set — not just its size — is cross-engine identical. Shape:
     // one tiny quota aggregate broadcast back, one per-source window.
+    // Exact-total quota allocation by largest remainder (Hamilton's
+    // method): q105's rounded quotas can drift from the target total (each
+    // round() errs independently — a 20-source mix can land at 198 or 203
+    // of a 200-doc budget); here base_i = ⌊N·n_i/total⌋ underallocates by
+    // construction, and the leftover seats go to the largest fractional
+    // remainders (ties → source name). PURE INTEGER arithmetic end to end —
+    // div/mod of exact counts, no float share in sight — so the allocation
+    // is bit-identical on any engine and sums to EXACTLY N, which is the
+    // property a token-budgeted training mix actually needs. Shape: one
+    // k-row source census + a k-row window — free at any corpus scale.
+    QueryDef("q199_quota_allocation",
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM s),
+        |b AS (SELECT source, n, (200 * n) // total AS base,
+        |             (200 * n) % total AS rem
+        |      FROM s, t),
+        |l AS (SELECT CAST(200 - sum(base) AS BIGINT) AS leftover FROM b),
+        |r AS (SELECT source, n, base, rem,
+        |             row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |      FROM b)
+        |SELECT source, n, CAST(base AS BIGINT) AS base,
+        |       CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |         AS extra,
+        |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |            AS BIGINT) AS quota,
+        |       (SELECT CAST(sum(base + CASE WHEN r2.rk <= leftover THEN 1
+        |                                    ELSE 0 END) AS BIGINT)
+        |        FROM r r2) = 200 AS total_exact
+        |FROM r, l ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val src = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+      val tot = src.agg(sum("n").as("total"))
+      val b = src.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"),
+          expr("(200 * n) div total").as("base"),
+          expr("(200 * n) % total").as("rem"))
+      val lo = b.agg((lit(200L) - sum("base")).as("leftover"))
+      val r = b.withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      val alloc = r.crossJoin(broadcast(lo))
+        .select(col("source"), col("n"), col("base"),
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L).as("extra"))
+        .withColumn("quota", col("base") + col("extra"))
+      val chk = alloc.agg((sum("quota") === 200L).as("total_exact"))
+      alloc.crossJoin(broadcast(chk))
+        .select(col("source"), col("n"), col("base"), col("extra"),
+          col("quota"), col("total_exact"))
+        .orderBy("source")
+    },
+
     QueryDef("q105_data_mixture",
       """WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
         |q AS (SELECT source,
