@@ -560,6 +560,89 @@ object SimilarityQueries {
         .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
           col("e.key").as("cand_id"), col("e.ord").as("cos_e6"))
         .orderBy("q_id", "rank")
+    },
+
+    // ANN recall@10 measured against exact truth — the retrieval-eval twin
+    // of q198's LSH audit: q53's IVF contract bounds a score; this measures
+    // the thing users actually tune indexes by. Both paths run in full —
+    // brute-force top-10 (the truth, broadcast-query scan) and IVF top-10
+    // (cell-restricted search) — and per-query hits are counted by joining
+    // the two k-row result sets, so every metric is an exact integer ppm.
+    // The oracle replays BOTH selections (the q40 and q53 CTE chains) and
+    // the same intersection. Scale posture: truth costs one corpus scan per
+    // bounded query batch — exactly what an offline recall audit costs in
+    // production; the IVF side stays the indexed path being graded.
+    QueryDef("q200_ann_recall",
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+         |      FROM v WHERE vec_id < 20),
+         |tpairs AS (
+         |  SELECT query_id, v.vec_id AS neighbor_id,
+         |         round(${dotSql("qv", "v.embedding")} / (qn * v.nrm), 6) AS cos
+         |  FROM q JOIN v ON v.vec_id <> query_id),
+         |truth AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM tpairs) t WHERE rank <= 10),
+         |cent AS MATERIALIZED (
+         |  SELECT label AS cell_id, list(m ORDER BY dim) AS centroid
+         |  FROM (SELECT label, i AS dim, avg(CAST(embedding[i + 1] AS DOUBLE)) AS m
+         |        FROM embeddings, (SELECT unnest(range(0, $Dim)) AS i)
+         |        GROUP BY label, i)
+         |  GROUP BY label),
+         |assigned AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cell_id, ${normSql("embedding")} AS nrm
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell_id,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |               list_transform(range(1, ${Dim + 1}),
+         |                 i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+         |                    * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))),
+         |               (x, y) -> x + y), 6), c.cell_id) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) t
+         |  WHERE rn = 1),
+         |iq AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, cell_id
+         |       FROM assigned WHERE vec_id < 20),
+         |ipairs AS (
+         |  SELECT query_id, a.vec_id AS neighbor_id,
+         |         round(${dotSql("qv", "a.embedding")} / (qn * a.nrm), 6) AS cos
+         |  FROM iq JOIN assigned a
+         |    ON a.cell_id = iq.cell_id AND a.vec_id <> query_id),
+         |iv AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM ipairs) t WHERE rank <= 10),
+         |per AS (SELECT t.query_id, CAST(count(iv.neighbor_id) AS BIGINT) AS hits
+         |        FROM truth t LEFT JOIN iv
+         |          ON iv.query_id = t.query_id AND iv.neighbor_id = t.neighbor_id
+         |        GROUP BY t.query_id),
+         |th AS (SELECT CAST(sum(hits) AS BIGINT) AS th FROM per)
+         |SELECT query_id, hits,
+         |       CAST(hits * 1000000 // 10 AS BIGINT) AS recall_ppm,
+         |       CAST(th * 1000000 // 200 AS BIGINT) AS mean_recall_ppm
+         |FROM per, th ORDER BY query_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val truth = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 20), 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfTopK(emb, col("vec_id") < 20, Dim, 10)
+        .select(col("query_id").as("iq"), col("neighbor_id").as("inb"))
+      val per = truth.join(ivf,
+          col("query_id") === col("iq") && col("neighbor_id") === col("inb"),
+          "left")
+        .groupBy("query_id").agg(count(col("inb")).as("hits"))
+      val th = per.agg(sum("hits").as("th"))
+      per.crossJoin(broadcast(th))
+        .select(col("query_id"), col("hits"),
+          expr("hits * 1000000 div 10").as("recall_ppm"),
+          expr("th * 1000000 div 200").as("mean_recall_ppm"))
+        .orderBy("query_id")
     }
   )
 }
