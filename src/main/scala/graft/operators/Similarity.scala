@@ -84,6 +84,39 @@ object Similarity {
           col("embedding").as("nv"), Tensors.norm(col("embedding")).as("nn"))),
       k)
 
+  /** FAISS-style IVF with LEARNED cells and multi-probe: k-means centroids
+    * (operators/KMeans, deterministic seeds) instead of [[ivfTopK]]'s
+    * per-label cells, and each query searches its `nprobe` nearest cells
+    * instead of one — the two knobs that actually move ANN recall (q200
+    * measures the per-label single-probe variant at 18% mean recall@10;
+    * q201 grades this one on the identical harness). Scale shape is
+    * unchanged: the centroid table is O(cells) and broadcast twice (fit
+    * assignment + query probing), candidates come from an nprobe-bounded
+    * cell equi-join — corpus scanned ∝ nprobe/cells, never fully.
+    */
+  def ivfKmeansTopK(corpus: DataFrame, queryPred: Column, dim: Int, k: Int,
+                    cells: Int, iters: Int, nprobe: Int): DataFrame = {
+    val (assigned, centroids) = KMeans.fit(corpus, "vec_id", "embedding", dim, cells, iters)
+    val inv = assigned.join(
+      corpus.select(col("vec_id"), col("embedding").as("nv"),
+        Tensors.norm(col("embedding")).as("nn")), "vec_id")
+    val q = corpus.where(queryPred).select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"),
+      col("embedding").cast("array<double>").as("qd"),
+      Tensors.norm(col("embedding")).as("qn"))
+    // probe ranking mirrors KMeans.assign: distances compared ROUNDED with
+    // the cluster id tie-break, so the probed cell SET is engine-exact
+    val pw = Window.partitionBy("query_id").orderBy(col("d2"), col("cluster"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("qn"), col("cluster"),
+        round(Tensors.distSq(col("qd"), col("centroid")), 6).as("d2"))
+      .withColumn("rn", row_number().over(pw)).where(col("rn") <= nprobe)
+      .select("query_id", "qv", "qn", "cluster")
+    rankTopK(probes.join(inv, "cluster")
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("vec_id").as("neighbor_id"), col("nv"), col("nn")), k)
+  }
+
   /** IVF-style ANN: coarse quantize each vector to its nearest per-label
     * centroid cell (centroids computed from the data itself — one tiny agg),
     * then search only within the query's cell. The classic inverted-file

@@ -778,7 +778,7 @@ private object LrGdSql {
   * (the assignment against the final centroids — same contract as
   * [[graft.operators.KMeans.fit]]).
   */
-private object KMeansSql {
+private[queries] object KMeansSql {
   private val dim = SimilarityQueries.Dim
 
   private def d2(c: String) =
@@ -789,7 +789,7 @@ private object KMeansSql {
        |  (x, y) -> x + y)""".stripMargin
 
   private def assignCte(a: String, c: String) =
-    s"""$a AS (
+    s"""$a AS MATERIALIZED (
        |  SELECT vec_id, embedding, cluster FROM (
        |    SELECT e.vec_id, e.embedding, c.cluster,
        |           row_number() OVER (PARTITION BY e.vec_id
@@ -798,7 +798,7 @@ private object KMeansSql {
        |  WHERE rn = 1)""".stripMargin
 
   private def updateCte(cN: String, a: String, prev: String) =
-    s"""$cN AS (
+    s"""$cN AS MATERIALIZED (
        |  SELECT p.cluster, coalesce(u.mean_c, p.centroid) AS centroid
        |  FROM $prev p LEFT JOIN (
        |    SELECT cluster, list(m ORDER BY dm) AS mean_c
@@ -808,16 +808,26 @@ private object KMeansSql {
        |          GROUP BY cluster, i)
        |    GROUP BY cluster) u ON u.cluster = p.cluster)""".stripMargin
 
-  val sql: String =
-    s"""WITH c0 AS (
+  /** The 2-round Lloyd chain (c0 seeds → a1/c1 → a2/c2 → a3 final
+    * assignment) as CTE text, parameterized by cell count — shared by q65
+    * and the q201 nprobe-IVF oracle. Ends after `a3`; callers append their
+    * own final CTEs/SELECT. Stages are MATERIALIZED so a caller referencing
+    * c2 and a3 more than once (q201 probes cells AND scans assignments)
+    * computes each Lloyd stage exactly once.
+    */
+  private[queries] def chainCte(k: Int): String =
+    s"""c0 AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
        |         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS centroid
-       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)),
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),
        |${assignCte("a1", "c0")},
        |${updateCte("c1", "a1", "c0")},
        |${assignCte("a2", "c1")},
        |${updateCte("c2", "a2", "c1")},
-       |${assignCte("a3", "c2")}
+       |${assignCte("a3", "c2")}""".stripMargin
+
+  val sql: String =
+    s"""WITH ${chainCte(4)}
        |SELECT s.cluster AS cluster_id, s.n,
        |       round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |         list_transform(c.centroid, v -> v * v)), (x, y) -> x + y)), 6)

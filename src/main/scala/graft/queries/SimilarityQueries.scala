@@ -643,6 +643,87 @@ object SimilarityQueries {
           expr("hits * 1000000 div 10").as("recall_ppm"),
           expr("th * 1000000 div 200").as("mean_recall_ppm"))
         .orderBy("query_id")
+    },
+
+    // IVF with LEARNED cells + multi-probe, graded on q200's exact harness:
+    // k-means centroids (q65's deterministic Lloyd machinery, 8 cells) and
+    // nprobe=2 — the two knobs FAISS users actually turn. q200 measured the
+    // per-label single-probe baseline at 18% mean recall@10; this variant's
+    // number lands in the same ppm columns, so the harness itself documents
+    // what the quantizer upgrade buys. The probe ranking mirrors the
+    // assignment rule exactly (rounded distance, cluster tie-break), and
+    // the oracle replays the full unrolled Lloyd chain (KMeansSql.chainCte)
+    // plus probing, candidate scan and intersection — every metric an exact
+    // integer. Scale: candidates ∝ nprobe/cells of the corpus; centroid
+    // table broadcast; the recall audit stays the one corpus-scan truth.
+    QueryDef("q201_ivf_nprobe_recall",
+      s"""WITH ${graft.queries.KMeansSql.chainCte(8)},
+         |v AS MATERIALIZED (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+         |      FROM v WHERE vec_id < 20),
+         |tpairs AS (
+         |  SELECT query_id, v.vec_id AS neighbor_id,
+         |         round(${dotSql("qv", "v.embedding")} / (qn * v.nrm), 6) AS cos
+         |  FROM q JOIN v ON v.vec_id <> query_id),
+         |truth AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM tpairs) t WHERE rank <= 10),
+         |probes AS MATERIALIZED (
+         |  SELECT query_id, cluster FROM (
+         |    SELECT q2.vec_id AS query_id, c.cluster,
+         |           row_number() OVER (PARTITION BY q2.vec_id ORDER BY
+         |             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |               list_transform(range(1, ${Dim + 1}),
+         |                 i -> (CAST(q2.embedding[i] AS DOUBLE) - c.centroid[i])
+         |                    * (CAST(q2.embedding[i] AS DOUBLE) - c.centroid[i]))),
+         |               (x, y) -> x + y), 6), c.cluster) AS rn
+         |    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20) q2
+         |    CROSS JOIN c2 c) t
+         |  WHERE rn <= 2),
+         |ipairs AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |         round(${dotSql("q.qv", "a.embedding")} / (q.qn * nb.nrm), 6)
+         |           AS cos
+         |  FROM probes p
+         |  JOIN q ON q.query_id = p.query_id
+         |  JOIN a3 a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+         |  JOIN v nb ON nb.vec_id = a.vec_id),
+         |iv AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM ipairs) t WHERE rank <= 10),
+         |per AS (SELECT t.query_id, CAST(count(iv.neighbor_id) AS BIGINT) AS hits
+         |        FROM truth t LEFT JOIN iv
+         |          ON iv.query_id = t.query_id AND iv.neighbor_id = t.neighbor_id
+         |        GROUP BY t.query_id),
+         |th AS (SELECT CAST(sum(hits) AS BIGINT) AS th FROM per)
+         |SELECT query_id, hits,
+         |       CAST(hits * 1000000 // 10 AS BIGINT) AS recall_ppm,
+         |       CAST(th * 1000000 // 200 AS BIGINT) AS mean_recall_ppm
+         |FROM per, th ORDER BY query_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val truth = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 20), 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfKmeansTopK(emb, col("vec_id") < 20, Dim, 10,
+          cells = 8, iters = 2, nprobe = 2)
+        .select(col("query_id").as("iq"), col("neighbor_id").as("inb"))
+      val per = truth.join(ivf,
+          col("query_id") === col("iq") && col("neighbor_id") === col("inb"),
+          "left")
+        .groupBy("query_id").agg(count(col("inb")).as("hits"))
+      val th = per.agg(sum("hits").as("th"))
+      per.crossJoin(broadcast(th))
+        .select(col("query_id"), col("hits"),
+          expr("hits * 1000000 div 10").as("recall_ppm"),
+          expr("th * 1000000 div 200").as("mean_recall_ppm"))
+        .orderBy("query_id")
     }
   )
 }
