@@ -628,6 +628,90 @@ object ScaleQueries {
         .select(col("k").as("o_orderkey"), col("c").as("cents"),
           expr("(r_all - r_test) * 1000000 div n_train").as("ecdf_ppm"))
         .orderBy("o_orderkey")
+    },
+
+    // File-skipping manifest audit — the Iceberg-style payoff of the q171
+    // Hilbert layout, measured as data: points bucket into 16 "files" two
+    // ways — by contiguous Hilbert-key range (each file is a CONNECTED 2-d
+    // blob, so its min/max envelope is tight) and by hash (each "file"
+    // spans the whole plane — every layout-agnostic lake's default). A
+    // per-file min/max manifest is built for both, and a 65×65 box
+    // predicate prunes against each: the Hilbert manifest skips most files,
+    // the hash manifest can skip NONE — the measured difference IS the
+    // argument for layout keys at 100 TB, where "files touched" is the
+    // scan cost. `pruned_lossless` re-runs the filter over ONLY the
+    // candidate files and matches the full-scan count, pinning that the
+    // envelope-intersection logic never drops a row. Integer end to end;
+    // the oracle replays the identical quadrant walk (Hilbert.keySql) and
+    // manifest arithmetic.
+    QueryDef("q202_file_skipping",
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT c_custkey AS id,
+         |         (${graft.functions.Hashes.mulHashSql("c_custkey", 11)}) % 1000 AS x,
+         |         (${graft.functions.Hashes.mulHashSql("c_custkey", 13)}) % 1000 AS y
+         |  FROM customer),
+         |hk AS MATERIALIZED (
+         |  SELECT id, x, y, hval // 65536 AS hb,
+         |         (${graft.functions.Hashes.mulHashSql("id", 17)}) % 16 AS rb
+         |  FROM (${graft.operators.Hilbert.keySql(
+                 from = "pts", carry = Seq("id", "x", "y"),
+                 a = "x", b = "y", out = "hval", bits = 10)}) t),
+         |manh AS MATERIALIZED (
+         |  SELECT hb, min(x) AS xmin, max(x) AS xmax,
+         |         min(y) AS ymin, max(y) AS ymax
+         |  FROM hk GROUP BY hb),
+         |manr AS MATERIALIZED (
+         |  SELECT rb, min(x) AS xmin, max(x) AS xmax,
+         |         min(y) AS ymin, max(y) AS ymax
+         |  FROM hk GROUP BY rb),
+         |ch AS (SELECT CAST(count(*) AS BIGINT) AS n FROM manh
+         |       WHERE xmin <= 160 AND xmax >= 96 AND ymin <= 448 AND ymax >= 384),
+         |cr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM manr
+         |       WHERE xmin <= 160 AND xmax >= 96 AND ymin <= 448 AND ymax >= 384),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS nm FROM hk
+         |       WHERE x BETWEEN 96 AND 160 AND y BETWEEN 384 AND 448),
+         |pe AS (SELECT CAST(count(*) AS BIGINT) AS np FROM hk
+         |       WHERE hb IN (SELECT hb FROM manh
+         |                    WHERE xmin <= 160 AND xmax >= 96
+         |                      AND ymin <= 448 AND ymax >= 384)
+         |         AND x BETWEEN 96 AND 160 AND y BETWEEN 384 AND 448)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM manh) AS hilbert_files,
+         |       ch.n AS hilbert_scanned,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM manr) AS random_files,
+         |       cr.n AS random_scanned,
+         |       mm.nm AS n_match, pe.np = mm.nm AS pruned_lossless
+         |FROM ch, cr, mm, pe""".stripMargin) { (s, d) =>
+      import graft.functions.Hashes
+      import graft.operators.Hilbert
+      val pts = Tables.customer(s, d).select(col("c_custkey").as("id"),
+        (Hashes.mulHash(col("c_custkey"), 11) % 1000).as("x"),
+        (Hashes.mulHash(col("c_custkey"), 13) % 1000).as("y"))
+      val hk = Hilbert.withKey(pts, col("x"), col("y"), "hval", bits = 10)
+        .select(col("id"), col("x"), col("y"),
+          expr("hval div 65536").as("hb"),
+          (Hashes.mulHash(col("id"), 17) % 16).as("rb"))
+        .persist() // feeds both manifests, the match count and the re-scan
+      def manifest(bucket: String) = hk.groupBy(bucket)
+        .agg(min("x").as("xmin"), max("x").as("xmax"),
+          min("y").as("ymin"), max("y").as("ymax"))
+      val inBox = col("x").between(96, 160) && col("y").between(384, 448)
+      val hits = col("xmin") <= 160 && col("xmax") >= 96 &&
+        col("ymin") <= 448 && col("ymax") >= 384
+      val manH = manifest("hb").persist() // candidate filter + file count
+      val manR = manifest("rb")
+      val ch = manH.where(hits).agg(count(lit(1)).as("hilbert_scanned"))
+      val cr = manR.where(hits).agg(count(lit(1)).as("random_scanned"))
+      val nh = manH.agg(count(lit(1)).as("hilbert_files"))
+      val nr = manR.agg(count(lit(1)).as("random_files"))
+      val mm = hk.where(inBox).agg(count(lit(1)).as("n_match"))
+      val pe = hk.join(manH.where(hits).select("hb"), Seq("hb"), "left_semi")
+        .where(inBox).agg(count(lit(1)).as("np"))
+      nh.crossJoin(broadcast(ch)).crossJoin(broadcast(nr))
+        .crossJoin(broadcast(cr)).crossJoin(broadcast(mm))
+        .crossJoin(broadcast(pe))
+        .select(col("hilbert_files"), col("hilbert_scanned"),
+          col("random_files"), col("random_scanned"), col("n_match"),
+          (col("np") === col("n_match")).as("pruned_lossless"))
     }
   )
 }
