@@ -712,6 +712,60 @@ object ScaleQueries {
         .select(col("hilbert_files"), col("hilbert_scanned"),
           col("random_files"), col("random_scanned"), col("n_match"),
           (col("np") === col("n_match")).as("pruned_lossless"))
+    },
+
+    // Per-group least-squares regression from exact integer moment sums —
+    // what `regr_slope`/`regr_intercept` compute, re-derived the playbook
+    // way: the builtins accumulate FLOAT partials whose merge order is
+    // nondeterministic across partitionings, while here x and y quantize to
+    // integer cents once and the five sufficient statistics (n, Σx, Σy,
+    // Σxy, Σx²) are exact integer sums — one map-side-combined aggregate,
+    // mergeable in any order, bit-identical on any engine. slope and
+    // intercept then come from ONE stated double expression over those
+    // integers (the q18 discipline applied to the classic closed form).
+    // Sufficient-statistics regression is also the 100 TB shape: the model
+    // fit costs the same single pass as a count.
+    QueryDef("q203_grouped_regression",
+      """WITH q AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(round(l_quantity * 100, 0) AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |             CAST(sum(x * x) AS HUGEINT) AS sxx
+        |      FROM q GROUP BY flag)
+        |SELECT flag, n,
+        |       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+        |         AS slope,
+        |       round((CAST(sy AS DOUBLE)
+        |              - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+        |                * sx) / n, 6) AS intercept
+        |FROM m ORDER BY flag""".stripMargin) { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val q = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        round(col("l_quantity") * 100, 0).cast("long").as("x"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("y"))
+      // x·y ≈ 5e3·1.0e7 cents² ≈ 5e10 per row — row products fit long, but
+      // the SUMS need 128-bit headroom at scale: decimal(38,0) here, the
+      // oracle's HUGEINT there, both exact
+      val m = q.groupBy("flag").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      val nD = col("n").cast("double")
+      val slope = (nD * col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy").cast("double")) /
+        (nD * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+      m.select(col("flag"), col("n"), round(slope, 6).as("slope"),
+          round((col("sy").cast("double") - slope * col("sx").cast("double"))
+            / col("n"), 6).as("intercept"))
+        .orderBy("flag")
     }
   )
 }
