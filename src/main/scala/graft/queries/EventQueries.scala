@@ -324,6 +324,61 @@ object EventQueries {
         .select(col("user_id"), col("n_pairs"), col("lat_us"),
           (col("m") === 0L).as("stream_eq_batch"))
         .orderBy(col("n_pairs").desc, col("user_id"))
+    },
+
+    // Behavioral sequence mining: the most common within-session event-type
+    // trigrams — the "what do users actually do" census product analytics
+    // ships, and the event-stream sibling of q196's token collocations.
+    // Sessions come from q28's exact lag+cumsum assignment (30-min gap,
+    // (ts, event_id) total order), trigrams from two lead() steps INSIDE
+    // the (user, session) window — sequences never cross a session boundary
+    // by construction, no self-joins, and every window is keyed by user so
+    // nothing funnels through one partition. Census + top-10 with the
+    // (count DESC, trigram) tie rule; integer counts end to end.
+    QueryDef("q204_session_paths",
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |                (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |t AS (
+        |  SELECT event_type,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id, sid
+        |           ORDER BY us, event_id) AS e2,
+        |         lead(event_type, 2) OVER (PARTITION BY user_id, sid
+        |           ORDER BY us, event_id) AS e3
+        |  FROM s)
+        |SELECT event_type || '>' || e2 || '>' || e3 AS trigram,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 10""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val g = ev.withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(wOrd) > 1800000000L, 1L)
+          .otherwise(0L))
+      val sids = g.withColumn("sid",
+        sum("new_session").over(wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      val wSes = Window.partitionBy("user_id", "sid").orderBy("us", "event_id")
+      sids
+        .select(col("event_type"),
+          lead(col("event_type"), 1).over(wSes).as("e2"),
+          lead(col("event_type"), 2).over(wSes).as("e3"))
+        .where(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("trigram"))
+        .groupBy("trigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("trigram"))
+        .limit(10)
     }
   )
 }
