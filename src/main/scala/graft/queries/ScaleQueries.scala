@@ -766,6 +766,39 @@ object ScaleQueries {
           round((col("sy").cast("double") - slope * col("sx").cast("double"))
             / col("n"), 6).as("intercept"))
         .orderBy("flag")
+    },
+
+    // Item co-occurrence mining — the "bought together" census at the heart
+    // of co-occurrence recommenders: parts appearing on the same order,
+    // counted across orders, minimum support 2, top-20 by (count DESC,
+    // pair). The scale discipline is the basket SELF-JOIN: its fan-out is
+    // Σ b_i² over basket sizes — bounded here because order baskets are
+    // naturally small (≤ 7 lines), and the operator states that bound
+    // instead of hiding it (a pathological mega-basket needs a per-basket
+    // cap first, exactly like SemDedup's cluster cap; the shuffle key is
+    // the basket id, so the join never leaves the order's partition).
+    // Exact integer counts end to end.
+    QueryDef("q205_item_cooccurrence",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+        |            FROM lineitem),
+        |pairs AS (
+        |  SELECT a.p AS part_a, b.p AS part_b
+        |  FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        |c AS (SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+        |      FROM pairs GROUP BY part_a, part_b)
+        |SELECT part_a, part_b, n_orders
+        |FROM c WHERE n_orders >= 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+        .distinct()
+      li.as("a").join(li.as("b"),
+          col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .where(col("n_orders") >= 2)
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(20)
     }
   )
 }
