@@ -449,6 +449,42 @@ object TextQueries {
     // engines and the rank key is pure integer hash arithmetic, so the
     // selected set — not just its size — is cross-engine identical. Shape:
     // one tiny quota aggregate broadcast back, one per-source window.
+    // Dataset datasheet — the one-row corpus summary a dataset card states
+    // (Gebru et al.'s "Datasheets for Datasets", the numbers section):
+    // volume, source/language breadth, token mass, exact-duplicate rate and
+    // density figures, all from ONE aggregate pass over the corpus (plus
+    // the distinct-text census inside the same aggregate). Exact integers
+    // and integer ppm/centitoken units throughout — a datasheet that can be
+    // hash-verified is a datasheet two engines can agree on. At 100 TB this
+    // is the cheapest useful corpus report: one scan, one row out.
+    QueryDef("q206_datasheet",
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |       CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts,
+        |       CAST((count(*) - count(DISTINCT text)) * 1000000 // count(*)
+        |            AS BIGINT) AS exact_dup_ppm,
+        |       CAST(sum(len(string_split(text, ' '))) * 100 // count(*)
+        |            AS BIGINT) AS avg_tokens_x100
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("n_chars"), col("text"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_sources"),
+          countDistinct("lang").as("n_langs"),
+          sum("n_chars").as("total_chars"),
+          sum("n_tok").as("total_tokens"),
+          countDistinct("text").as("distinct_texts"))
+        .select(col("n_docs"), col("n_sources"), col("n_langs"),
+          col("total_chars"), col("total_tokens"), col("distinct_texts"),
+          expr("(n_docs - distinct_texts) * 1000000 div n_docs")
+            .as("exact_dup_ppm"),
+          expr("total_tokens * 100 div n_docs").as("avg_tokens_x100"))
+    },
+
     // Exact-total quota allocation by largest remainder (Hamilton's
     // method): q105's rounded quotas can drift from the target total (each
     // round() errs independently — a 20-source mix can land at 198 or 203
