@@ -914,6 +914,50 @@ object AdvancedQueries {
         .crossJoin(broadcast(nPrev.crossJoin(nLast)))
         .select(col("id"), col("dg"), (col("nl") === col("np")).as("converged"))
         .orderBy("id")
+    },
+
+    // Negative-edge sampling for link prediction — the training-data prep a
+    // graph-embedding pipeline needs: positives are the spatial edge set,
+    // negatives are deterministic hash-drawn vertex pairs (4× the positive
+    // count, the usual oversampling) ANTI-JOINED against the edges so no
+    // true edge leaks into the negative class. Randomness is the salted
+    // hash family (playbook rule 1), so the sampled pair SET — not just its
+    // size — is engine-identical, and the `enough` column certifies the
+    // draw survived dedup/self-pair/edge removal with at least one negative
+    // per positive. Scale: candidate volume is a multiple of |E|, never
+    // |V|²; the anti-join is one key-partitioned exchange.
+    QueryDef("q207_negative_edges",
+      s"""WITH ${SpatialEdges.cte},
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pos FROM e0),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+         |idx AS (SELECT unnest(range(0, 4 * (SELECT n_pos FROM np))) AS i),
+         |cand AS (SELECT (${graft.functions.Hashes.mulHashSql("i", 19)})
+         |                  % (SELECT n FROM nc) AS a,
+         |                (${graft.functions.Hashes.mulHashSql("i", 23)})
+         |                  % (SELECT n FROM nc) AS b
+         |         FROM idx),
+         |valid AS (SELECT DISTINCT a, b FROM cand WHERE a < b),
+         |neg AS (SELECT a, b FROM valid vv WHERE NOT EXISTS
+         |        (SELECT 1 FROM e0 WHERE e0.u = vv.a AND e0.v = vv.b))
+         |SELECT np.n_pos, CAST(4 * np.n_pos AS BIGINT) AS n_candidates,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM neg) AS n_neg,
+         |       (SELECT count(*) FROM neg) >= np.n_pos AS enough
+         |FROM np""".stripMargin) { (s, d) =>
+      import graft.functions.Hashes
+      val e0 = SpatialEdges.frame(s, d).persist() // positives + the anti side
+      val np = e0.agg(count(lit(1)).as("n_pos"))
+      val nc = Tables.customer(s, d).agg(count(lit(1)).as("n"))
+      val cand = np.crossJoin(broadcast(nc))
+        .select(explode(sequence(lit(0L), col("n_pos") * 4 - 1)).as("i"),
+          col("n"))
+        .select((Hashes.mulHash(col("i"), 19) % col("n")).as("a"),
+          (Hashes.mulHash(col("i"), 23) % col("n")).as("b"))
+      val neg = cand.where(col("a") < col("b")).distinct()
+        .join(e0, col("a") === col("u") && col("b") === col("v"), "left_anti")
+      val nNeg = neg.agg(count(lit(1)).as("n_neg"))
+      np.crossJoin(broadcast(nNeg))
+        .select(col("n_pos"), (col("n_pos") * 4).as("n_candidates"),
+          col("n_neg"), (col("n_neg") >= col("n_pos")).as("enough"))
     }
   )
 }
