@@ -379,6 +379,54 @@ object EventQueries {
         .groupBy("trigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("trigram"))
         .limit(10)
+    },
+
+    // Time-series resample with gap fill — the "asfreq + fillna" step every
+    // per-entity daily pipeline needs before model features: the event
+    // stream becomes one row PER (user, calendar day), absent days 0-filled
+    // and `last_active_day` forward-filled. The calendar derives from the
+    // data's own min/max day (both engines build identical literals), the
+    // per-user grid is a broadcast cross join against the tiny day relation,
+    // and the forward fill uses max-of-conditional-day over the ordered
+    // window — days are monotone, so running max ≡ last-non-null WITHOUT
+    // the IGNORE NULLS dialect surface. Integer day arithmetic end to end.
+    // Scale: grid size is users × days (rows the OUTPUT needs anyway);
+    // windows are keyed per user.
+    QueryDef("q208_gap_fill",
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |           FROM events),
+        |g AS (SELECT CAST(min(day) AS BIGINT) AS d0,
+        |             CAST(max(day) AS BIGINT) AS d1 FROM e),
+        |days AS (SELECT d0 + unnest(range(0, d1 - d0 + 1)) AS day FROM g),
+        |u AS (SELECT DISTINCT user_id FROM e WHERE user_id < 10),
+        |grid AS (SELECT u.user_id, days.day FROM u CROSS JOIN days),
+        |c AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n
+        |      FROM e WHERE user_id < 10 GROUP BY 1, 2),
+        |f AS (SELECT grid.user_id, grid.day, coalesce(c.n, 0) AS n_events
+        |      FROM grid LEFT JOIN c USING (user_id, day))
+        |SELECT user_id, day, n_events,
+        |       max(CASE WHEN n_events > 0 THEN day END) OVER (
+        |         PARTITION BY user_id ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS last_active_day
+        |FROM f ORDER BY user_id, day""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val g = e.agg(min("day").as("d0"), max("day").as("d1"))
+      val days = g.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val u = e.where(col("user_id") < 10).select("user_id").distinct()
+      val c = e.where(col("user_id") < 10)
+        .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+      val f = u.crossJoin(broadcast(days))
+        .join(c, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      f.withColumn("last_active_day",
+          max(when(col("n_events") > 0, col("day"))).over(w))
+        .orderBy("user_id", "day")
     }
   )
 }
