@@ -799,6 +799,57 @@ object ScaleQueries {
         .where(col("n_orders") >= 2)
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
         .limit(20)
+    },
+
+    // Point-in-time (PIT) join against the SCD2 dimension — the feature-
+    // store correctness op: every fact probe must see the dimension version
+    // that was VALID AT ITS OWN TIMESTAMP, never a later one (the classic
+    // training-serving leak). Facts probe q189's versioned intervals at
+    // eff_day0 + 45 — squarely inside version 1's validity — via an
+    // equi-join on the key plus the interval predicate, so each probe
+    // matches EXACTLY ONE version by construction (the intervals partition
+    // the day line). Joining on the key first bounds the per-key interval
+    // scan at the version count — the 100 TB shape (q56's as-of join is the
+    // union-window alternative when the dimension is too hot to join).
+    QueryDef("q209_pit_join",
+      """WITH ch AS (
+        |  SELECT o_orderkey AS k, v,
+        |         CAST(epoch(o_orderdate) // 86400 AS BIGINT) + v * 30 AS eff_day,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) + v * 111 AS cents
+        |  FROM orders, (SELECT unnest([0, 1, 2]) AS v)
+        |  WHERE o_orderkey % 100 < 20),
+        |iv AS (
+        |  SELECT k, v, cents, eff_day AS valid_from,
+        |         coalesce(lead(eff_day) OVER (PARTITION BY k
+        |           ORDER BY eff_day, v) - 1, 9999999) AS valid_to
+        |  FROM ch),
+        |probe AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(epoch(o_orderdate) // 86400 AS BIGINT) + 45 AS probe_day
+        |  FROM orders WHERE o_orderkey % 100 < 20)
+        |SELECT p.k, p.probe_day, CAST(iv.v AS BIGINT) AS version, iv.cents
+        |FROM probe p JOIN iv ON iv.k = p.k
+        | AND p.probe_day BETWEEN iv.valid_from AND iv.valid_to
+        |ORDER BY p.k""".stripMargin) { (s, d) =>
+      val dayCol = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+      val base = Tables.orders(s, d).where(col("o_orderkey") % 100 < 20)
+      val ch = base
+        .select(col("o_orderkey").as("k"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("v"),
+          dayCol.as("day0"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("c0"))
+        .select(col("k"), col("v"), (col("day0") + col("v") * 30L).as("eff_day"),
+          (col("c0") + col("v") * 111L).as("cents"))
+      val w = Window.partitionBy("k").orderBy("eff_day", "v")
+      val iv = ch.withColumn("valid_to",
+          coalesce(lead(col("eff_day"), 1).over(w) - 1, lit(9999999L)))
+        .withColumnRenamed("eff_day", "valid_from")
+      val probe = base.select(col("o_orderkey").as("pk"),
+        (dayCol + 45L).as("probe_day"))
+      probe.join(iv, col("pk") === col("k")
+          && col("probe_day").between(col("valid_from"), col("valid_to")))
+        .select(col("k"), col("probe_day"), col("v").as("version"), col("cents"))
+        .orderBy("k")
     }
   )
 }
