@@ -427,6 +427,49 @@ object EventQueries {
       f.withColumn("last_active_day",
           max(when(col("n_events") > 0, col("day"))).over(w))
         .orderBy("user_id", "day")
+    },
+
+    // Rolling 7-day distinct actives — WAU/DAU/stickiness, the engagement
+    // triple every product dashboard reports, and a DISTINCT-over-sliding-
+    // window: a plain window frame cannot deduplicate users across the 7
+    // days, so the correct distributed shape is day-grain pre-dedup (the
+    // (user, day) relation — the only corpus-sized pass), then a calendar×
+    // activity range join whose fan-out is bounded at 7 rows per active
+    // day, then count DISTINCT per window anchor. The tiny calendar side
+    // broadcasts. Exact integers; stickiness = DAU/WAU in integer ppm.
+    QueryDef("q210_rolling_wau",
+      """WITH act AS (SELECT DISTINCT user_id,
+        |               epoch_us(ts) // 86400000000 AS day FROM events),
+        |g AS (SELECT CAST(min(day) AS BIGINT) AS d0,
+        |             CAST(max(day) AS BIGINT) AS d1 FROM act),
+        |days AS (SELECT d0 + unnest(range(0, d1 - d0 + 1)) AS d FROM g),
+        |wau AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |        FROM days JOIN act ON act.day BETWEEN d - 6 AND d
+        |        GROUP BY d),
+        |dau AS (SELECT day AS d, CAST(count(*) AS BIGINT) AS dau
+        |        FROM act GROUP BY day)
+        |SELECT wau.d AS day, wau.wau, coalesce(dau.dau, 0) AS dau,
+        |       CAST(coalesce(dau.dau, 0) * 1000000 // wau.wau AS BIGINT)
+        |         AS stickiness_ppm
+        |FROM wau LEFT JOIN dau ON dau.d = wau.d
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val act = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+        .persist() // feeds the calendar bounds, the range join, and dau
+      val g = act.agg(min("day").as("d0"), max("day").as("d1"))
+      val days = g.select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      val wau = broadcast(days)
+        .join(act, col("day").between(col("d") - 6, col("d")))
+        .groupBy("d").agg(countDistinct("user_id").as("wau"))
+      val dau = act.groupBy(col("day").as("dd"))
+        .agg(count(lit(1)).as("dau"))
+      wau.join(dau, col("d") === col("dd"), "left")
+        .select(col("d").as("day"), col("wau"),
+          coalesce(col("dau"), lit(0L)).as("dau"),
+          expr("coalesce(dau, 0) * 1000000 div wau").as("stickiness_ppm"))
+        .orderBy("day")
     }
   )
 }
