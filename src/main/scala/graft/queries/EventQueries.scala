@@ -470,6 +470,50 @@ object EventQueries {
           coalesce(col("dau"), lit(0L)).as("dau"),
           expr("coalesce(dau, 0) * 1000000 div wau").as("stickiness_ppm"))
         .orderBy("day")
+    },
+
+    // Sketch-based rolling WAU — q210's exact range join re-counts every
+    // user up to 7×; the 100 TB posture builds ONE DataSketches HLL per
+    // (day) — a single corpus pass — and answers every 7-day window by
+    // UNIONING seven daily sketches (hll_union_agg), because HLL union is
+    // lossless over sketches: cost per window is O(sketch bytes), not
+    // O(actives). Sketch estimates aren't cross-engine replayable (q54's
+    // rule), so the statable contract is the error bound: the estimate must
+    // sit within 6% of the exact WAU computed alongside (lgConfigK=12 →
+    // rse ≈ 1.6%, the bound is ~4σ). The oracle states the exact count and
+    // TRUE — an out-of-bound sketch is a hash mismatch, not a silent pass.
+    QueryDef("q211_wau_sketch",
+      """WITH act AS (SELECT DISTINCT user_id,
+        |               epoch_us(ts) // 86400000000 AS day FROM events),
+        |g AS (SELECT CAST(min(day) AS BIGINT) AS d0,
+        |             CAST(max(day) AS BIGINT) AS d1 FROM act),
+        |days AS (SELECT d0 + unnest(range(0, d1 - d0 + 1)) AS d FROM g),
+        |wau AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_wau
+        |        FROM days JOIN act ON act.day BETWEEN d - 6 AND d
+        |        GROUP BY d)
+        |SELECT d AS day, exact_wau, TRUE AS within_bound
+        |FROM wau ORDER BY day""".stripMargin) { (s, d) =>
+      val act = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+        .persist() // one pass feeds daily sketches, calendar, and the exact side
+      val daily = act.groupBy("day")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val g = act.agg(min("day").as("d0"), max("day").as("d1"))
+      val days = g.select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      val est = broadcast(days)
+        .join(daily, col("day").between(col("d") - 6, col("d")))
+        .groupBy("d")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = broadcast(days.withColumnRenamed("d", "de"))
+        .join(act, col("day").between(col("de") - 6, col("de")))
+        .groupBy("de").agg(countDistinct("user_id").as("exact_wau"))
+      est.join(exact, col("d") === col("de"))
+        .select(col("d").as("day"), col("exact_wau"),
+          (abs(col("est") - col("exact_wau")).cast("double")
+            / col("exact_wau") <= lit(0.06)).as("within_bound"))
+        .orderBy("day")
     }
   )
 }
