@@ -958,6 +958,55 @@ object AdvancedQueries {
       np.crossJoin(broadcast(nNeg))
         .select(col("n_pos"), (col("n_pos") * 4).as("n_candidates"),
           col("n_neg"), (col("n_neg") >= col("n_pos")).as("enough"))
+    },
+
+    // Graph health report — the one-row datasheet (q206's idea for graphs)
+    // a pipeline checks before running expensive graph algorithms: vertex/
+    // edge volume, component count, largest-component share (is the graph
+    // one blob or dust?), degree extremes and density. Components come from
+    // the q61 min-label machinery, degrees from one census; every figure is
+    // an exact integer or integer unit (share ppm, avg degree ×100). The
+    // oracle closes the graph with the recursive-CTE dual as usual.
+    QueryDef("q213_graph_report",
+      s"""WITH RECURSIVE ${SpatialEdges.cte},
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS dg
+         |        FROM (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0)
+         |        GROUP BY id),
+         |e AS (SELECT u AS ea, v AS eb FROM e0
+         |      UNION ALL SELECT v, u FROM e0),
+         |reach(rv, rr) AS (
+         |  SELECT DISTINCT ea, ea FROM e
+         |  UNION
+         |  SELECT e.eb, reach.rr FROM e JOIN reach ON reach.rv = e.ea),
+         |comp AS (SELECT rv, min(rr) AS cmin FROM reach GROUP BY rv),
+         |cs AS (SELECT cmin, CAST(count(*) AS BIGINT) AS sz
+         |       FROM comp GROUP BY cmin)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM cs) AS n_components,
+         |       (SELECT CAST(max(sz) * 1000000 //
+         |                (SELECT count(*) FROM deg) AS BIGINT) FROM cs)
+         |         AS largest_share_ppm,
+         |       (SELECT CAST(max(dg) AS BIGINT) FROM deg) AS max_degree,
+         |       (SELECT CAST(sum(dg) * 100 // count(*) AS BIGINT) FROM deg)
+         |         AS avg_degree_x100""".stripMargin) { (s, d) =>
+      val e0 = SpatialEdges.frame(s, d).persist() // degrees + components + count
+      val deg = e0.select(col("u").as("id")).unionAll(e0.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("dg"))
+        .persist() // vertex count + degree stats
+      val comp = Components.connectedComponents(e0, "u", "v")
+      val cs = comp.groupBy("comp").agg(count(lit(1)).as("sz"))
+      val nV = deg.agg(count(lit(1)).as("n_vertices"))
+      val nE = e0.agg(count(lit(1)).as("n_edges"))
+      val nC = cs.agg(count(lit(1)).as("n_components"), max("sz").as("mx"))
+      val dStats = deg.agg(max("dg").as("max_degree"),
+        sum("dg").as("sdg"), count(lit(1)).as("nd"))
+      nV.crossJoin(broadcast(nE)).crossJoin(broadcast(nC))
+        .crossJoin(broadcast(dStats))
+        .select(col("n_vertices"), col("n_edges"), col("n_components"),
+          expr("mx * 1000000 div n_vertices").as("largest_share_ppm"),
+          col("max_degree"),
+          expr("sdg * 100 div nd").as("avg_degree_x100"))
     }
   )
 }

@@ -485,6 +485,36 @@ object TextQueries {
           expr("total_tokens * 100 div n_docs").as("avg_tokens_x100"))
     },
 
+    // k-anonymity suppression audit — the privacy gate run before a corpus
+    // leaves the curation pipeline: every quasi-identifier cell (lang ×
+    // source here) carrying fewer than k=5 documents is re-identification
+    // risk and gets flagged for suppression, with the global damage (risky
+    // cells, suppressed docs) carried on every row. One census aggregate +
+    // a 1-row broadcast — the audit costs a group-count at any scale. The
+    // flags are exact integer comparisons, so both engines agree cell for
+    // cell.
+    QueryDef("q212_k_anonymity",
+      """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS risky_cells,
+        |             CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0)
+        |                  AS BIGINT) AS suppressed_docs
+        |      FROM c WHERE n < 5)
+        |SELECT lang, source, n, n < 5 AS suppress,
+        |       t.risky_cells, t.suppressed_docs
+        |FROM c, t ORDER BY lang, source""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val t = c.where(col("n") < 5)
+        .agg(count(lit(1)).as("risky_cells"),
+          coalesce(sum("n"), lit(0L)).as("suppressed_docs"))
+      c.crossJoin(broadcast(t))
+        .select(col("lang"), col("source"), col("n"),
+          (col("n") < 5).as("suppress"),
+          col("risky_cells"), col("suppressed_docs"))
+        .orderBy("lang", "source")
+    },
+
     // Exact-total quota allocation by largest remainder (Hamilton's
     // method): q105's rounded quotas can drift from the target total (each
     // round() errs independently — a 20-source mix can land at 198 or 203
