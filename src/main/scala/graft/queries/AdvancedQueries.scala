@@ -963,10 +963,15 @@ object AdvancedQueries {
     // Graph health report — the one-row datasheet (q206's idea for graphs)
     // a pipeline checks before running expensive graph algorithms: vertex/
     // edge volume, component count, largest-component share (is the graph
-    // one blob or dust?), degree extremes and density. Components come from
-    // the q61 min-label machinery, degrees from one census; every figure is
-    // an exact integer or integer unit (share ppm, avg degree ×100). The
-    // oracle closes the graph with the recursive-CTE dual as usual.
+    // one blob or dust?), degree extremes and density. Components use the
+    // LARGE-STAR/SMALL-STAR algorithm (q104's), not q61's min-label
+    // propagation: a spatial near-grid graph has O(√n) diameter, so label
+    // propagation needs O(diameter) rounds — at sf0.01 it blows the round
+    // cap — while LS/SS contracts in O(log n) rounds regardless of
+    // diameter. Exactly the algorithm-selection judgment this report
+    // exists to inform. Degrees from one census; every figure is an exact
+    // integer or integer unit (share ppm, avg degree ×100). The oracle
+    // closes the graph with the recursive-CTE dual as usual.
     QueryDef("q213_graph_report",
       s"""WITH RECURSIVE ${SpatialEdges.cte},
          |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS dg
@@ -994,7 +999,7 @@ object AdvancedQueries {
       val deg = e0.select(col("u").as("id")).unionAll(e0.select(col("v").as("id")))
         .groupBy("id").agg(count(lit(1)).as("dg"))
         .persist() // vertex count + degree stats
-      val comp = Components.connectedComponents(e0, "u", "v")
+      val comp = Components.largeStarSmallStar(e0, "u", "v")
       val cs = comp.groupBy("comp").agg(count(lit(1)).as("sz"))
       val nV = deg.agg(count(lit(1)).as("n_vertices"))
       val nE = e0.agg(count(lit(1)).as("n_edges"))
