@@ -514,6 +514,38 @@ object EventQueries {
           (abs(col("est") - col("exact_wau")).cast("double")
             / col("exact_wau") <= lit(0.06)).as("within_bound"))
         .orderBy("day")
+    },
+
+    // Retention triangle — the full (cohort week × week age) matrix behind
+    // every retention curve, generalizing q78's cohort bucketing: users
+    // cohort by FIRST-activity week, and each (user, active week) pair
+    // lands one count at its cohort's age. Two keyed aggregates (first-week
+    // per user, then the distinct (user, week) census joined back) — exact
+    // integers, cohorts normalized to 0-base so both engines emit identical
+    // literals whatever the epoch offset.
+    QueryDef("q214_retention_triangle",
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+        |           FROM events),
+        |f AS (SELECT user_id, CAST(min(wk) AS BIGINT) AS cw
+        |      FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, f.cw, e.wk - f.cw AS age
+        |      FROM e JOIN f USING (user_id)),
+        |w0 AS (SELECT CAST(min(cw) AS BIGINT) AS base FROM f)
+        |SELECT cw - base AS cohort, CAST(age AS BIGINT) AS age,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM a, w0 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+      val f = e.groupBy("user_id").agg(min("wk").as("cw"))
+      val a = e.join(f, "user_id")
+        .select(col("user_id"), col("cw"), (col("wk") - col("cw")).as("age"))
+        .distinct()
+      val w0 = f.agg(min("cw").as("base"))
+      a.crossJoin(broadcast(w0))
+        .groupBy((col("cw") - col("base")).as("cohort"), col("age"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "age")
     }
   )
 }

@@ -850,6 +850,47 @@ object ScaleQueries {
           && col("probe_day").between(col("valid_from"), col("valid_to")))
         .select(col("k"), col("probe_day"), col("v").as("version"), col("cents"))
         .orderBy("k")
+    },
+
+    // Robust outlier audit by median absolute deviation — q193's robust
+    // statistics turned into the detection op: a value is anomalous when
+    // |x − median| exceeds 5·MAD, the estimator that survives the very
+    // outliers a mean/stddev rule is dragged by. Two exact-percentile
+    // passes (median, then median of absolute deviations — the q58-proven
+    // quantile parity), deviations in exact integer-cents-vs-double
+    // arithmetic stated identically on both engines, counts exact. Scale:
+    // the percentiles are the sort-shaped cost (per group), everything else
+    // is a scan.
+    QueryDef("q215_mad_outliers",
+      """WITH q AS (SELECT l_returnflag AS f,
+        |             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x
+        |           FROM lineitem),
+        |m AS (SELECT f, quantile_cont(x, 0.5) AS med FROM q GROUP BY f),
+        |dev AS (SELECT q.f, x, abs(x - med) AS ad FROM q JOIN m USING (f)),
+        |md AS (SELECT f, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY f),
+        |o AS (SELECT dev.f,
+        |        CAST(count(CASE WHEN ad > 5 * mad THEN 1 END) AS BIGINT)
+        |          AS n_outliers,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM dev JOIN md USING (f) GROUP BY dev.f)
+        |SELECT o.f AS l_returnflag, o.n, round(m.med, 6) AS med,
+        |       round(md.mad, 6) AS mad, o.n_outliers
+        |FROM o JOIN m ON m.f = o.f JOIN md ON md.f = o.f
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      val q = Tables.lineitem(s, d).select(col("l_returnflag").as("f"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("x"))
+      val m = q.groupBy("f").agg(expr("percentile(x, 0.5)").as("med"))
+      val dev = q.join(m, "f")
+        .select(col("f"), col("x"), abs(col("x") - col("med")).as("ad"))
+      val md = dev.groupBy("f").agg(expr("percentile(ad, 0.5)").as("mad"))
+      val o = dev.join(md, "f").groupBy("f")
+        .agg(count(when(col("ad") > lit(5) * col("mad"), 1)).as("n_outliers"),
+          count(lit(1)).as("n"))
+      o.join(m, "f").join(md, "f")
+        .select(col("f").as("l_returnflag"), col("n"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          col("n_outliers"))
+        .orderBy("l_returnflag")
     }
   )
 }
