@@ -434,6 +434,45 @@ object MlQueries {
           round(sqrt(aggregate(transform(col("centroid"), v => v * v),
             lit(0.0), (a, b) => a + b)), 6).as("centroid_norm"))
         .orderBy("cluster_id")
+    },
+
+    // Calibration curve — the model-eval table reliability diagrams draw:
+    // scores bucket into fixed-width bins and each bin reports observed
+    // positive rate next to mean predicted score; a calibrated scorer has
+    // rate ≈ score per bin. The score is a literal-folded sigmoid (q20's
+    // proven expression shape over the first four embedding dims), rounded
+    // to the 1e-6 grid BEFORE binning so bin edges are decided on identical
+    // doubles; rates and mean scores are exact integer ppm / 1e-6 units.
+    // One census aggregate — model evaluation at 100 TB costs one scan.
+    QueryDef("q217_calibration_bins",
+      """WITH s AS (
+        |  SELECT CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos,
+        |         round(1 / (1 + exp(-(-0.2
+        |           + CAST(embedding[1] AS DOUBLE) * 1.5
+        |           - CAST(embedding[2] AS DOUBLE) * 0.8
+        |           + CAST(embedding[3] AS DOUBLE) * 0.5
+        |           - CAST(embedding[4] AS DOUBLE) * 1.1))), 6) AS p
+        |  FROM embeddings),
+        |b AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, pos,
+        |             CAST(round(p * 1000000, 0) AS BIGINT) AS p_e6 FROM s)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(pos) AS BIGINT) AS n_pos,
+        |       CAST(sum(pos) * 1000000 // count(*) AS BIGINT) AS rate_ppm,
+        |       CAST(sum(p_e6) // count(*) AS BIGINT) AS avg_score_e6
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+      def e(i: Int) = element_at(col("embedding"), i).cast("double")
+      val z = lit(-0.2) + e(1) * 1.5 - e(2) * 0.8 + e(3) * 0.5 - e(4) * 1.1
+      val p = round(lit(1) / (lit(1) + exp(-z)), 6)
+      Tables.embeddings(s, d)
+        .select(when(col("label") % 2 === 0, 1L).otherwise(0L).as("pos"),
+          p.as("p"))
+        .select(least(floor(col("p") * 10), lit(9L)).cast("long").as("bin"),
+          col("pos"), round(col("p") * 1000000, 0).cast("long").as("p_e6"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
+          expr("sum(pos) * 1000000 div count(*)").as("rate_ppm"),
+          expr("sum(p_e6) div count(*)").as("avg_score_e6"))
+        .orderBy("bin")
     }
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{RandomProjection, Similarity}
@@ -724,6 +725,56 @@ object SimilarityQueries {
           expr("hits * 1000000 div 10").as("recall_ppm"),
           expr("th * 1000000 div 200").as("mean_recall_ppm"))
         .orderBy("query_id")
+    },
+
+    // Label-confusability diagnostic: which classes sit closest in
+    // embedding space — the geometric early warning for label noise and
+    // for classes a model will mix up. Per-label centroids (q44's exact
+    // integer-unit means, one map-side-combined pass) → the k² centroid
+    // distance matrix (k=10 labels, so the "pairwise" stage is 45 rows of
+    // driver-free broadcast arithmetic, NEVER the corpus) → each label's
+    // nearest other label with the distance in integer micro-units. All
+    // arithmetic on the 1e-6-quantized centroid grid, so both engines walk
+    // identical integers end to end.
+    QueryDef("q216_label_confusability",
+      s"""WITH cent AS (
+         |  SELECT label, list(m ORDER BY dim) AS c
+         |  FROM (SELECT label, i AS dim,
+         |               round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS m
+         |        FROM embeddings, (SELECT unnest(range(0, $Dim)) AS i)
+         |        GROUP BY label, i)
+         |  GROUP BY label),
+         |pd AS (
+         |  SELECT a.label AS la, b.label AS lb,
+         |         CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list_transform(range(1, ${Dim + 1}),
+         |             i -> (a.c[i] - b.c[i]) * (a.c[i] - b.c[i]))),
+         |           (x, y) -> x + y) * 1000000, 0) AS BIGINT) AS d2_e6
+         |  FROM cent a JOIN cent b ON a.label <> b.label),
+         |r AS (SELECT la, lb, d2_e6,
+         |        row_number() OVER (PARTITION BY la
+         |          ORDER BY d2_e6, lb) AS rn
+         |      FROM pd)
+         |SELECT la AS label, lb AS nearest_label, d2_e6
+         |FROM r WHERE rn = 1 ORDER BY label""".stripMargin) { (s, d) =>
+      import graft.operators.RandomProjection
+      val centAggs = (0 until Dim).map(i =>
+        round(avg(element_at(col("embedding"), i + 1).cast("double")), 6)
+          .as(s"c_$i"))
+      val cent = Tables.embeddings(s, d).groupBy("label")
+        .agg(centAggs.head, centAggs.tail: _*)
+        .select(col("label"),
+          array((0 until Dim).map(i => col(s"c_$i")): _*).as("c"))
+      val pd = cent.as("a").join(broadcast(cent.as("b")),
+          col("a.label") =!= col("b.label"))
+        .select(col("a.label").as("la"), col("b.label").as("lb"),
+          round(RandomProjection.sqDist(col("a.c"), col("b.c")) * 1000000, 0)
+            .cast("long").as("d2_e6"))
+      val w = Window.partitionBy("la").orderBy("d2_e6", "lb")
+      pd.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("la").as("label"), col("lb").as("nearest_label"),
+          col("d2_e6"))
+        .orderBy("label")
     }
   )
 }
