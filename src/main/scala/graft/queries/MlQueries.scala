@@ -473,6 +473,60 @@ object MlQueries {
           expr("sum(pos) * 1000000 div count(*)").as("rate_ppm"),
           expr("sum(p_e6) div count(*)").as("avg_score_e6"))
         .orderBy("bin")
+    },
+
+    // Exact ROC-AUC by rank statistics — the companion metric to q217's
+    // calibration, computed the Mann–Whitney way with EXACT tie handling:
+    // AUC = P(score_pos > score_neg) + ½·P(tie), so on the 1e-6-quantized
+    // score grid 2·U = Σ over distinct scores of npos(s)·(2·negs_below(s)
+    // + negs_at(s)) — every term an integer, no float ranks, no sampling.
+    // The cumulative window runs over the DISTINCT-SCORE relation (bounded
+    // at 1e6 rows by the quantization grid itself — the q07 bounded-window
+    // discipline), after one map-side-combined score census; AUC lands as
+    // integer ppm of 2·n_pos·n_neg. Model evaluation at 100 TB = one
+    // census + a grid-bounded window.
+    QueryDef("q218_auc",
+      """WITH s AS (
+        |  SELECT CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos,
+        |         CAST(round(1 / (1 + exp(-(-0.2
+        |           + CAST(embedding[1] AS DOUBLE) * 1.5
+        |           - CAST(embedding[2] AS DOUBLE) * 0.8
+        |           + CAST(embedding[3] AS DOUBLE) * 0.5
+        |           - CAST(embedding[4] AS DOUBLE) * 1.1))) * 1000000, 0)
+        |           AS BIGINT) AS p_e6
+        |  FROM embeddings),
+        |c AS (SELECT p_e6, CAST(sum(pos) AS BIGINT) AS np_s,
+        |             CAST(count(*) - sum(pos) AS BIGINT) AS nn_s
+        |      FROM s GROUP BY p_e6),
+        |w AS (SELECT p_e6, np_s, nn_s,
+        |        CAST(coalesce(sum(nn_s) OVER (ORDER BY p_e6
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS cum_nn
+        |      FROM c),
+        |t AS (SELECT CAST(sum(np_s * (2 * cum_nn + nn_s)) AS BIGINT) AS u2,
+        |             CAST(sum(np_s) AS BIGINT) AS np,
+        |             CAST(sum(nn_s) AS BIGINT) AS nn
+        |      FROM w)
+        |SELECT np AS n_pos, nn AS n_neg, u2,
+        |       CAST(u2 * 1000000 // (2 * np * nn) AS BIGINT) AS auc_ppm
+        |FROM t""".stripMargin) { (s, d) =>
+      def e(i: Int) = element_at(col("embedding"), i).cast("double")
+      val z = lit(-0.2) + e(1) * 1.5 - e(2) * 0.8 + e(3) * 0.5 - e(4) * 1.1
+      val sRel = Tables.embeddings(s, d)
+        .select(when(col("label") % 2 === 0, 1L).otherwise(0L).as("pos"),
+          round((lit(1) / (lit(1) + exp(-z))) * 1000000, 0).cast("long")
+            .as("p_e6"))
+      val c = sRel.groupBy("p_e6")
+        .agg(sum("pos").as("np_s"),
+          (count(lit(1)) - sum("pos")).as("nn_s"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("p_e6")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val t = c.withColumn("cum_nn", coalesce(sum("nn_s").over(w), lit(0L)))
+        .agg(sum(col("np_s") * (lit(2) * col("cum_nn") + col("nn_s"))).as("u2"),
+          sum("np_s").as("np"), sum("nn_s").as("nn"))
+      t.select(col("np").as("n_pos"), col("nn").as("n_neg"), col("u2"),
+        expr("u2 * 1000000 div (2 * np * nn)").as("auc_ppm"))
     }
   )
 }
