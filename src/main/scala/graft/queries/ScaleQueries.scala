@@ -891,6 +891,40 @@ object ScaleQueries {
           round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
           col("n_outliers"))
         .orderBy("l_returnflag")
+    },
+
+    // Key-skew diagnostic — the audit a pipeline runs on a join/groupBy key
+    // BEFORE committing to a plan, and the quantitative motivation for
+    // q52's salted join and AQE skew handling: group-size distribution of
+    // the key (count census), its extremes and percentiles, the hottest
+    // key's share of all rows, and max-over-average — the number that says
+    // "one reducer gets N× the median task". Everything except the two
+    // reported percentiles is exact integer arithmetic; the census is one
+    // map-side-combined pass and the stats run over the GROUP-SIZE relation
+    // (one row per key — at 100 TB that's where the exact percentile's
+    // sort cost lives; percentile_approx (q96) is the stated fallback).
+    QueryDef("q219_skew_report",
+      """WITH c AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS sz
+        |           FROM lineitem GROUP BY l_orderkey)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(max(sz) AS BIGINT) AS max_group,
+        |       round(quantile_cont(sz, 0.5), 6) AS p50_group,
+        |       round(quantile_cont(sz, 0.99), 6) AS p99_group,
+        |       CAST(max(sz) * 1000000 // sum(sz) AS BIGINT) AS top1_share_ppm,
+        |       CAST(max(sz) * count(*) * 100 // sum(sz) AS BIGINT)
+        |         AS max_over_avg_x100
+        |FROM c""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("sz"))
+        .agg(sum("sz").as("n_rows"), count(lit(1)).as("n_keys"),
+          max("sz").as("max_group"),
+          round(expr("percentile(sz, 0.5)"), 6).as("p50_group"),
+          round(expr("percentile(sz, 0.99)"), 6).as("p99_group"))
+        .select(col("n_rows"), col("n_keys"), col("max_group"),
+          col("p50_group"), col("p99_group"),
+          expr("max_group * 1000000 div n_rows").as("top1_share_ppm"),
+          expr("max_group * n_keys * 100 div n_rows").as("max_over_avg_x100"))
     }
   )
 }
