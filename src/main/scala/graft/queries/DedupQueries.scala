@@ -94,6 +94,73 @@ object DedupQueries {
           expr("tp * 1000000 div n_truth").as("recall_ppm"))
     },
 
+    // Dedup impact report — the before/after accounting every corpus owner
+    // asks for once dedup runs: per source, how many documents and tokens
+    // survive exact dedup (identical text → keep min id) PLUS near-dup
+    // clustering (the q37 LSH pairs at Jaccard ≥ 0.5, closed through
+    // components, min-id representative), and the removal rate in ppm.
+    // Exact-dup edges ride the SAME component closure as near-dup pairs (a
+    // doc links to its text-group representative), so one clustering pass
+    // resolves both — and a doc that is near-dup of one source and exact
+    // dup of another lands in ONE cluster, not two conflicting keeps. All
+    // counts exact integers; the oracle extends the q115 CTE chain with
+    // the exact-dup edges and the per-source rollup.
+    QueryDef("q220_dedup_impact",
+      s"""WITH RECURSIVE ${LshPairsSql.cte},
+         |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |ex AS (SELECT doc_id,
+         |              min(doc_id) OVER (PARTITION BY text) AS rep
+         |       FROM documents),
+         |e AS (SELECT doc_a AS ea, doc_b AS eb FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p
+         |      UNION ALL SELECT doc_id, rep FROM ex WHERE rep <> doc_id
+         |      UNION ALL SELECT rep, doc_id FROM ex WHERE rep <> doc_id),
+         |reach(rv, rr) AS (
+         |  SELECT DISTINCT ea, ea FROM e
+         |  UNION
+         |  SELECT e.eb, reach.rr FROM e JOIN reach ON reach.rv = e.ea),
+         |comp AS (SELECT rv, min(rr) AS cmin FROM reach GROUP BY rv),
+         |k AS (SELECT d.doc_id, d.source,
+         |             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+         |             coalesce(comp.cmin, d.doc_id) = d.doc_id AS kept
+         |      FROM documents d LEFT JOIN comp ON d.doc_id = comp.rv)
+         |SELECT source,
+         |       CAST(count(*) AS BIGINT) AS n_before,
+         |       CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_after,
+         |       CAST((count(*) - count(CASE WHEN kept THEN 1 END)) * 1000000
+         |            // count(*) AS BIGINT) AS removed_ppm,
+         |       CAST(sum(n_tok) AS BIGINT) AS tokens_before,
+         |       CAST(coalesce(sum(CASE WHEN kept THEN n_tok END), 0)
+         |            AS BIGINT) AS tokens_after
+         |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Components
+      val docs = Tables.documents(s, d)
+      val pairs = MinHash.nearDuplicates(docs, col("doc_id"),
+          split(col("text"), " ", -1), 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val ex = docs.select(col("doc_id"),
+          min("doc_id").over(Window.partitionBy("text")).as("rep"))
+        .where(col("rep") =!= col("doc_id"))
+      val edges = pairs
+        .unionByName(ex.select(col("doc_id").as("doc_a"), col("rep").as("doc_b")))
+      val comp = Components.connectedComponents(edges, "doc_a", "doc_b")
+      docs.join(comp, docs("doc_id") === comp("id"), "left")
+        .select(col("source"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tok"),
+          (coalesce(col("comp"), col("doc_id")) === col("doc_id")).as("kept"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_before"),
+          count(when(col("kept"), 1)).as("n_after"),
+          sum("n_tok").as("tokens_before"),
+          coalesce(sum(when(col("kept"), col("n_tok"))), lit(0L))
+            .as("tokens_after"))
+        .select(col("source"), col("n_before"), col("n_after"),
+          expr("(n_before - n_after) * 1000000 div n_before").as("removed_ppm"),
+          col("tokens_before"), col("tokens_after"))
+        .orderBy("source")
+    },
+
     // MinHash signatures: k=8 permutation-min values per doc.
     QueryDef("q36_minhash_signature",
       s"""$shingleCte
