@@ -161,6 +161,44 @@ object DedupQueries {
         .orderBy("source")
     },
 
+    // Per-source shingle novelty — "how much of this source's content
+    // exists nowhere else": the fraction of each source's distinct 3-gram
+    // shingles appearing in NO other source. The inverse diagnostic of
+    // q109's boilerplate census (shared shingles) and the data-value signal
+    // behind source weighting: a source whose shingles are 95% novel adds
+    // vocabulary; one at 5% is mostly restating the corpus. One shingle
+    // explode (the codegen kernel) + distinct + a source-count census per
+    // shingle + the per-source rollup — exact integer ppm.
+    QueryDef("q222_source_novelty",
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |sh AS (SELECT DISTINCT source,
+         |              unnest(${MinHash.shingleHashesSql("toks")}) AS h
+         |       FROM t WHERE len(toks) >= 3),
+         |ns AS (SELECT h, CAST(count(*) AS BIGINT) AS nsrc
+         |       FROM sh GROUP BY h)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(count(CASE WHEN nsrc = 1 THEN 1 END) AS BIGINT)
+         |         AS n_unique,
+         |       CAST(count(CASE WHEN nsrc = 1 THEN 1 END) * 1000000
+         |            // count(*) AS BIGINT) AS unique_ppm
+         |FROM sh JOIN ns USING (h)
+         |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val tokCol = split(col("text"), " ", -1)
+      val sh = Tables.documents(s, d).where(size(tokCol) >= 3)
+        .select(col("source"), explode(MinHash.shingleHashes(tokCol)).as("h"))
+        .distinct()
+        .persist() // feeds the shingle census and the per-source rollup
+      val ns = sh.groupBy("h").agg(count(lit(1)).as("nsrc"))
+      sh.join(ns, "h")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("nsrc") === 1, 1)).as("n_unique"))
+        .select(col("source"), col("n_shingles"), col("n_unique"),
+          expr("n_unique * 1000000 div n_shingles").as("unique_ppm"))
+        .orderBy("source")
+    },
+
     // MinHash signatures: k=8 permutation-min values per doc.
     QueryDef("q36_minhash_signature",
       s"""$shingleCte

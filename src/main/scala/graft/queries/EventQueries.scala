@@ -546,6 +546,44 @@ object EventQueries {
         .groupBy((col("cw") - col("base")).as("cohort"), col("age"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort", "age")
+    },
+
+    // Conversion-latency distribution — "how long from last view to
+    // purchase": each purchase takes its NEAREST preceding view within the
+    // hour (min latency over q183's interval-join pairs, one keyed
+    // aggregate per purchase), then the latency distribution summarizes as
+    // count, exact-integer mean and exact percentiles. The per-purchase
+    // min is what makes the metric well-defined when several views precede
+    // one purchase. Integer microseconds end to end; the two percentile
+    // outputs are the q58-proven quantile parity.
+    QueryDef("q221_conversion_latency",
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS v_us FROM events
+        |           WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS p_us FROM events
+        |      WHERE event_type = 'purchase'),
+        |j AS (SELECT p.event_id, CAST(min(p.p_us - v.v_us) AS BIGINT) AS lat
+        |      FROM p JOIN v ON p.user_id = v.user_id
+        |       AND v.v_us <= p.p_us AND v.v_us >= p.p_us - 3600000000
+        |      GROUP BY p.event_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+        |       CAST(sum(lat) // count(*) AS BIGINT) AS mean_lat_us,
+        |       round(quantile_cont(lat, 0.5), 6) AS p50_lat_us,
+        |       round(quantile_cont(lat, 0.9), 6) AS p90_lat_us
+        |FROM j""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id").as("vu"), unix_micros(col("ts")).as("v_us"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id"),
+          unix_micros(col("ts")).as("p_us"))
+      p.join(v, col("pu") === col("vu")
+          && col("v_us") <= col("p_us")
+          && col("v_us") >= col("p_us") - 3600000000L)
+        .groupBy("event_id").agg(min(col("p_us") - col("v_us")).as("lat"))
+        .agg(count(lit(1)).as("n_conversions"),
+          expr("sum(lat) div count(*)").as("mean_lat_us"),
+          round(expr("percentile(lat, 0.5)"), 6).as("p50_lat_us"),
+          round(expr("percentile(lat, 0.9)"), 6).as("p90_lat_us"))
     }
   )
 }
