@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Hashes
-import graft.operators.MinHash
+import graft.operators.{MinHash, Split}
 
 /** Training-data text pipeline ops over `documents` (north-star brief):
   * exact dedup, token stats, quality scoring, language-ID, fingerprinting.
@@ -483,6 +483,53 @@ object TextQueries {
           expr("(n_docs - distinct_texts) * 1000000 div n_docs")
             .as("exact_dup_ppm"),
           expr("total_tokens * 100 div n_docs").as("avg_tokens_x100"))
+    },
+
+    // Sampling-bias audit by chi-square — "is my sample representative?":
+    // the goodness-of-fit statistic between the 10% hash sample's source
+    // distribution and the full corpus's, Σ (obs − exp)²/exp. Counts are
+    // exact integers (the sample is the deterministic q17 hash draw, so
+    // BOTH engines draw the identical sample — the statistic audits the
+    // draw itself, not randomness); expected counts and the chi² terms are
+    // one stated double expression rounded(6). `biased` compares against
+    // the k−1 = 19 d.o.f. critical value at α = 0.05 (30.144, a literal on
+    // both engines). Two census aggregates — the audit costs a group-count.
+    QueryDef("q223_sample_bias",
+      s"""WITH pop AS (SELECT source, CAST(count(*) AS BIGINT) AS np
+         |            FROM documents GROUP BY source),
+         |samp AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+         |         FROM documents
+         |         WHERE ${Split.sampleSql("doc_id", 31, 10)}
+         |         GROUP BY source),
+         |t AS (SELECT CAST(sum(np) AS BIGINT) AS tp FROM pop),
+         |ts AS (SELECT CAST(sum(ns) AS BIGINT) AS tsamp FROM samp),
+         |terms AS (
+         |  SELECT pop.source,
+         |         round((coalesce(samp.ns, 0) - CAST(tsamp AS DOUBLE) * np / tp)
+         |               * (coalesce(samp.ns, 0) - CAST(tsamp AS DOUBLE) * np / tp)
+         |               / (CAST(tsamp AS DOUBLE) * np / tp), 6) AS term
+         |  FROM pop LEFT JOIN samp USING (source), t, ts),
+         |chi AS (SELECT round(sum(term), 6) AS chi2,
+         |               CAST(count(*) - 1 AS BIGINT) AS df FROM terms)
+         |SELECT t.tp AS n_pop, ts.tsamp AS n_sample, chi.chi2, chi.df,
+         |       chi.chi2 > 30.144 AS biased
+         |FROM chi, t, ts""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pop = docs.groupBy("source").agg(count(lit(1)).as("np"))
+      val samp = Split.sample(docs, col("doc_id"), 31, 10)
+        .groupBy("source").agg(count(lit(1)).as("ns"))
+      val t = pop.agg(sum("np").as("tp"))
+      val ts = samp.agg(sum("ns").as("tsamp"))
+      val exp = col("tsamp").cast("double") * col("np") / col("tp")
+      val dev = coalesce(col("ns"), lit(0L)) - exp
+      val terms = pop.join(samp, Seq("source"), "left")
+        .crossJoin(broadcast(t)).crossJoin(broadcast(ts))
+        .select(round(dev * dev / exp, 6).as("term"))
+      val chi = terms.agg(round(sum("term"), 6).as("chi2"),
+        (count(lit(1)) - 1).as("df"))
+      chi.crossJoin(broadcast(t)).crossJoin(broadcast(ts))
+        .select(col("tp").as("n_pop"), col("tsamp").as("n_sample"),
+          col("chi2"), col("df"), (col("chi2") > 30.144).as("biased"))
     },
 
     // k-anonymity suppression audit — the privacy gate run before a corpus
