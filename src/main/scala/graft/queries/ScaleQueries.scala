@@ -925,6 +925,45 @@ object ScaleQueries {
           col("p50_group"), col("p99_group"),
           expr("max_group * 1000000 div n_rows").as("top1_share_ppm"),
           expr("max_group * n_keys * 100 div n_rows").as("max_over_avg_x100"))
+    },
+
+    // Bloom-filter false-positive-rate audit — measuring the one number
+    // q106's prefilter design depends on: probe the built filter with keys
+    // PROVABLY not in the build set (true negatives, an exact anti-join
+    // both engines state) and compare the measured hit rate against the
+    // configured fpp. Sketch bits aren't cross-engine replayable (the q54
+    // rule), so the statable contract is the bound: measured FPR ≤ 3×
+    // configured (a ≥4σ allowance at this probe count) — `within_bound`
+    // flips the hash if Spark's filter ever degrades. Build/probe set
+    // SIZES are exact oracle-replayable integers.
+    QueryDef("q224_bloom_fpr",
+      """WITH build AS (SELECT DISTINCT o_orderkey FROM orders
+        |               WHERE o_orderpriority = '1-URGENT'
+        |                 AND o_totalprice > 150000),
+        |probes AS (SELECT DISTINCT o_orderkey FROM orders
+        |           WHERE NOT EXISTS (SELECT 1 FROM build b
+        |                             WHERE b.o_orderkey = orders.o_orderkey))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM build) AS n_build,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_probes,
+        |       TRUE AS within_bound""".stripMargin) { (s, d) =>
+      import graft.operators.BloomPrefilter
+      val orders = Tables.orders(s, d)
+      val build = orders
+        .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
+        .select(col("o_orderkey")).distinct()
+      val probes = orders.select(col("o_orderkey")).distinct()
+        .join(build, Seq("o_orderkey"), "left_anti")
+        .persist() // counted twice: raw and filter-surviving
+      val bf = BloomPrefilter.serialize(
+        BloomPrefilter.buildFilter(build, expectedItems = 1L << 17, fpp = 0.01))
+      val fp = probes.where(BloomPrefilter.mightContain(bf, col("o_orderkey")))
+        .agg(count(lit(1)).as("fp_hits"))
+      val nB = build.agg(count(lit(1)).as("n_build"))
+      val nP = probes.agg(count(lit(1)).as("n_probes"))
+      nB.crossJoin(broadcast(nP)).crossJoin(broadcast(fp))
+        .select(col("n_build"), col("n_probes"),
+          (col("fp_hits").cast("double")
+            <= lit(0.03) * col("n_probes")).as("within_bound"))
     }
   )
 }
