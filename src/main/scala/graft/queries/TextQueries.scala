@@ -678,6 +678,46 @@ object TextQueries {
         .orderBy("source", "bucket")
     },
 
+    // Packing-utilization report — the efficiency accounting on top of
+    // q102's packing: per source shard, how many 512-token batches the
+    // greedy in-order pack produced and how full they are. `util_ppm` is
+    // tokens over batch-start capacity (docs STRADDLE batch boundaries in
+    // this packing — a shard can exceed 1e6 ppm when its last document
+    // spills past the final boundary; that asymmetry is exactly what the
+    // report surfaces when comparing packers). Same per-source windows and
+    // exact integers as q102.
+    QueryDef("q225_packing_report",
+      """WITH t AS (SELECT doc_id, source,
+        |             len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |             CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t),
+        |b AS (SELECT source, (cum - n_tok) // 512 AS bucket, n_tok FROM c),
+        |s AS (SELECT source, CAST(max(bucket) + 1 AS BIGINT) AS n_batches,
+        |             CAST(sum(n_tok) AS BIGINT) AS tokens
+        |      FROM b GROUP BY source)
+        |SELECT source, n_batches, tokens,
+        |       CAST(n_batches * 512 AS BIGINT) AS capacity,
+        |       CAST(tokens * 1000000 // (n_batches * 512) AS BIGINT)
+        |         AS util_ppm
+        |FROM s ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .select(col("source"), expr("(cum - n_tok) div 512").as("bucket"),
+          col("n_tok"))
+        .groupBy("source")
+        .agg((max("bucket") + 1).as("n_batches"), sum("n_tok").as("tokens"))
+        .select(col("source"), col("n_batches"), col("tokens"),
+          (col("n_batches") * 512).as("capacity"),
+          expr("tokens * 1000000 div (n_batches * 512)").as("util_ppm"))
+        .orderBy("source")
+    },
+
     // Okapi BM25 top-10 retrieval (operators/Bm25) for three literal
     // queries. Per-term scores quantize to integer 1e-6 units before the
     // per-(query, doc) sum; ranks compare the exact integer totals with a
