@@ -219,6 +219,26 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // The pure-SQL surface through SparkSessionExtensions, driver-gated:
+    // the SAME simhash computation as q38, but issued as a `spark.sql`
+    // string using the extension-registered function (GraftExtensions →
+    // injectFunction) instead of the Column API — proving a SQL-only user
+    // of this library (BI tool, notebook cell, `spark-sql` shell) gets the
+    // bit-identical custom-expression results the programmatic API gets.
+    // SqlSmoke asserts the parity in CI; this entry puts the SQL path
+    // itself under the DuckDB oracle. Plan and scale shape are exactly
+    // q38's (one codegen'd expression, no shuffle before the sort).
+    QueryDef("q226_sql_extension_surface",
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |h AS (SELECT doc_id, ${SimHash.tokenHashListSql("toks")} AS ths FROM t)
+         |SELECT doc_id, CAST(${SimHash.simhashOverThsSql("ths")} AS BIGINT) AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).createOrReplaceTempView("graft_docs_sql_surface")
+      s.sql(
+        """SELECT doc_id, simhash(split(text, ' '), 16) AS simhash
+          |FROM graft_docs_sql_surface ORDER BY doc_id""".stripMargin)
+    },
+
     // SimHash 16-bit fingerprints.
     QueryDef("q38_simhash",
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
