@@ -808,6 +808,91 @@ object AdvancedQueries {
         .orderBy("rid")
     },
 
+    // Phonetic-key blocking: the third ER pass the handoff flagged as open.
+    // Prefix (P) and suffix (S) blocks are both structurally blind to
+    // SPELLING-preserving corruption — a disemvoweled clone ("mchn lrnng")
+    // shares no 8-char window with its original anywhere, yet any human
+    // would merge them. Pass F blocks on the first 8 digits of a
+    // consonant-class code (the Soundex idea minus the RE2-unstatable
+    // adjacent-run collapse): lowercase, strip digits, map b/f/p/v→1,
+    // c/g/j/k/q/s/x/z→2, d/t→3, l→4, m/n→5, r→6, drop everything else.
+    // Removing vowels is a NO-OP under this code, so original and clone get
+    // identical keys AND identical full skeletons. Verify is per-pass-aware:
+    // raw levenshtein ≤ 5 (the q180 rule) OR skeleton-prefix equality with
+    // skeleton levenshtein ≤ 2 — the planted family (+3 000 000) fails the
+    // first arm (one edit per removed vowel) and passes the second at
+    // distance 0. Every regex lives in the Java∩RE2-identical subset
+    // (character classes only, no backreferences — playbook rule #9).
+    // Scale: a third pass multiplies candidate volume ×1.5, not ×n; the
+    // 6-class 8-digit key space keeps phonetic blocks bounded.
+    QueryDef("q228_er_phonetic",
+      s"""WITH RECURSIVE p AS (
+         |  SELECT doc_id AS rid, source, substr(text, 1, 32) AS pre
+         |  FROM documents),
+         |c3 AS (
+         |  SELECT doc_id + 3000000 AS rid, source,
+         |         regexp_replace(substr(text, 1, 32), '[aeiou]', '', 'g') AS pre
+         |  FROM documents WHERE doc_id < 100),
+         |r AS (SELECT * FROM p UNION ALL SELECT * FROM c3),
+         |sk AS (SELECT rid, source, pre,
+         |         ${PhoneticSql.skel("pre")} AS skel
+         |       FROM r),
+         |blocks AS (
+         |  SELECT rid, source, pre, skel, 'P:' || substr(pre, 1, 8) AS bkey
+         |  FROM sk
+         |  UNION ALL
+         |  SELECT rid, source, pre, skel, 'S:' || substr(pre, 25, 8) AS bkey
+         |  FROM sk
+         |  UNION ALL
+         |  SELECT rid, source, pre, skel, 'F:' || substr(skel, 1, 8) AS bkey
+         |  FROM sk),
+         |cand AS (
+         |  SELECT DISTINCT a.rid AS ra, b.rid AS rb
+         |  FROM blocks a JOIN blocks b
+         |    ON a.source = b.source AND a.bkey = b.bkey AND a.rid < b.rid
+         |  WHERE levenshtein(a.pre, b.pre) <= 5
+         |     OR (substr(a.skel, 1, 8) = substr(b.skel, 1, 8)
+         |         AND levenshtein(a.skel, b.skel) <= 2)),
+         |e AS (SELECT ra AS ea, rb AS eb FROM cand
+         |      UNION ALL SELECT rb, ra FROM cand),
+         |reach(rv, rr) AS (
+         |  SELECT DISTINCT ea, ea FROM e
+         |  UNION
+         |  SELECT e.eb, reach.rr FROM e JOIN reach ON reach.rv = e.ea),
+         |comp AS (SELECT rv, min(rr) AS cmin FROM reach GROUP BY rv)
+         |SELECT r.rid, coalesce(comp.cmin, r.rid) AS entity_id,
+         |       (comp.cmin IS NOT NULL AND comp.cmin <> r.rid) AS merged
+         |FROM r LEFT JOIN comp ON r.rid = comp.rv
+         |ORDER BY rid""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+      val p = base.select(col("doc_id").as("rid"), col("source"),
+        substring(col("text"), 1, 32).as("pre"))
+      val c3 = base.where(col("doc_id") < 100)
+        .select((col("doc_id") + 3000000L).as("rid"), col("source"),
+          regexp_replace(substring(col("text"), 1, 32), "[aeiou]", "").as("pre"))
+      val r = p.unionAll(c3).persist() // blocking sides + the resolve join
+      val sk = r.withColumn("skel", PhoneticSql.skelCol(col("pre")))
+      val blocks = sk.select(col("rid"), col("source"), col("pre"), col("skel"),
+        explode(array(
+          concat(lit("P:"), substring(col("pre"), 1, 8)),
+          concat(lit("S:"), substring(col("pre"), 25, 8)),
+          concat(lit("F:"), substring(col("skel"), 1, 8)))).as("bkey"))
+      val cand = blocks.as("a").join(blocks.as("b"),
+          col("a.source") === col("b.source")
+            && col("a.bkey") === col("b.bkey")
+            && col("a.rid") < col("b.rid"))
+        .where(levenshtein(col("a.pre"), col("b.pre")) <= 5
+          || (substring(col("a.skel"), 1, 8) === substring(col("b.skel"), 1, 8)
+              && levenshtein(col("a.skel"), col("b.skel")) <= 2))
+        .select(col("a.rid").as("ra"), col("b.rid").as("rb"))
+        .distinct()
+      val comp = Components.connectedComponents(cand, "ra", "rb")
+      r.join(comp, r("rid") === comp("id"), "left")
+        .select(col("rid"), coalesce(col("comp"), col("rid")).as("entity_id"),
+          (col("comp").isNotNull && col("comp") =!= col("rid")).as("merged"))
+        .orderBy("rid")
+    },
+
     // Triangle counting by degree-ordered orientation — the third graph
     // kernel next to q81's PageRank and q61's components, and the canonical
     // "curse of the last reducer" algorithm (Suri & Vassilvitskii, WWW'11):
@@ -1059,6 +1144,36 @@ private object SpatialEdges {
         && (col("ax") - col("bx")) * (col("ax") - col("bx"))
            + (col("ay") - col("by")) * (col("ay") - col("by")) <= 625)
       .select("u", "v")
+  }
+}
+
+/** The consonant-class phonetic code shared by q228's F blocking pass: per
+  * character, lowercase → strip literal digits → Soundex's consonant classes
+  * (b/f/p/v→1, c/g/j/k/q/s/x/z→2, d/t→3, l→4, m/n→5, r→6) → drop everything
+  * unclassified (vowels, y/h/w, spaces, punctuation). Soundex's adjacent-run
+  * collapse needs a backreference, which RE2 lacks, so it is deliberately
+  * omitted — the code is stated as the SAME character-class regexp_replace
+  * chain on both engines (playbook rule #9).
+  */
+private object PhoneticSql {
+  private val classes = Seq(
+    "[0-9]" -> "", "[bfpv]" -> "1", "[cgjkqsxz]" -> "2",
+    "[dt]" -> "3", "[l]" -> "4", "[mn]" -> "5", "[r]" -> "6")
+
+  /** DuckDB expression text for the skeleton of `e`. */
+  def skel(e: String): String = {
+    val mapped = classes.foldLeft(s"lower($e)") { case (acc, (pat, rep)) =>
+      s"regexp_replace($acc, '$pat', '$rep', 'g')"
+    }
+    s"regexp_replace($mapped, '[^1-6]', '', 'g')"
+  }
+
+  /** The identical chain as a Spark Column (regexp_replace is global). */
+  def skelCol(c: Column): Column = {
+    val mapped = classes.foldLeft(lower(c)) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+    regexp_replace(mapped, "[^1-6]", "")
   }
 }
 

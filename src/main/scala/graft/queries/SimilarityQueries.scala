@@ -775,6 +775,125 @@ object SimilarityQueries {
         .select(col("la").as("label"), col("lb").as("nearest_label"),
           col("d2_e6"))
         .orderBy("label")
+    },
+
+    // nprobe sweep: the recall-vs-cost curve FAISS users actually plot. One
+    // k-means fit (q201's 8 cells, 2 Lloyd rounds), one probe ranking per
+    // query, then ONE plan evaluates top-10 at nprobe ∈ {1, 2, 4} by
+    // crossing the ranked probe table with the 3-row sweep axis — the index
+    // is trained and the corpus scanned once per cell, not once per sweep
+    // point. Recall@10 against the exact brute-force truth in integer ppm.
+    // The monotone_ok column is a PROVEN contract, not a hope: a truth
+    // member reachable at nprobe=p stays reachable at p' > p (candidate
+    // sets grow by ⊇), and at most 9 vectors in the whole corpus outrank a
+    // true top-10 member, so it always survives the candidate top-10 —
+    // recall is non-decreasing in nprobe by construction, and both engines
+    // assert it from their own sweep. Scale: candidates ∝ nprobe/cells of
+    // the corpus per sweep point; the sweep axis and centroid table are
+    // broadcast; truth is the one bounded-query corpus scan every offline
+    // recall audit pays.
+    QueryDef("q227_nprobe_sweep",
+      s"""WITH ${graft.queries.KMeansSql.chainCte(8)},
+         |v AS MATERIALIZED (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+         |      FROM v WHERE vec_id < 20),
+         |tpairs AS (
+         |  SELECT query_id, v.vec_id AS neighbor_id,
+         |         round(${dotSql("qv", "v.embedding")} / (qn * v.nrm), 6) AS cos
+         |  FROM q JOIN v ON v.vec_id <> query_id),
+         |truth AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM tpairs) t WHERE rank <= 10),
+         |pr AS MATERIALIZED (
+         |  SELECT query_id, cluster, rn FROM (
+         |    SELECT q2.vec_id AS query_id, c.cluster,
+         |           row_number() OVER (PARTITION BY q2.vec_id ORDER BY
+         |             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |               list_transform(range(1, ${Dim + 1}),
+         |                 i -> (CAST(q2.embedding[i] AS DOUBLE) - c.centroid[i])
+         |                    * (CAST(q2.embedding[i] AS DOUBLE) - c.centroid[i]))),
+         |               (x, y) -> x + y), 6), c.cluster) AS rn
+         |    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20) q2
+         |    CROSS JOIN c2 c) t
+         |  WHERE rn <= 4),
+         |axis AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS np),
+         |probes AS (SELECT axis.np, pr.query_id, pr.cluster
+         |           FROM pr JOIN axis ON pr.rn <= axis.np),
+         |ipairs AS (
+         |  SELECT p.np, p.query_id, a.vec_id AS neighbor_id,
+         |         round(${dotSql("q.qv", "a.embedding")} / (q.qn * nb.nrm), 6)
+         |           AS cos
+         |  FROM probes p
+         |  JOIN q ON q.query_id = p.query_id
+         |  JOIN a3 a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+         |  JOIN v nb ON nb.vec_id = a.vec_id),
+         |iv AS MATERIALIZED (
+         |  SELECT np, query_id, neighbor_id FROM (
+         |    SELECT np, query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY np, query_id
+         |             ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM ipairs) t WHERE rank <= 10),
+         |h AS (SELECT iv.np, CAST(count(*) AS BIGINT) AS total_hits
+         |      FROM iv JOIN truth USING (query_id, neighbor_id)
+         |      GROUP BY iv.np),
+         |sw AS (SELECT axis.np, coalesce(h.total_hits, 0) AS total_hits
+         |       FROM axis LEFT JOIN h ON h.np = axis.np)
+         |SELECT np, total_hits,
+         |       CAST(total_hits * 1000000 // 200 AS BIGINT) AS mean_recall_ppm,
+         |       total_hits >= coalesce(lag(total_hits) OVER (
+         |         PARTITION BY 1 ORDER BY np), 0) AS monotone_ok
+         |FROM sw ORDER BY np""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.functions.Tensors
+      import graft.operators.KMeans
+      val emb = Tables.embeddings(s, d)
+      val truth = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 20), 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val (assigned, centroids) = KMeans.fit(emb, "vec_id", "embedding", Dim, 8, 2)
+      val inv = assigned.join(
+        emb.select(col("vec_id"), col("embedding").as("nv"),
+          Tensors.norm(col("embedding")).as("nn")), "vec_id")
+      val q = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("embedding").cast("array<double>").as("qd"),
+          Tensors.norm(col("embedding")).as("qn"))
+      // probe ranking mirrors KMeans.assign (rounded distance, cluster
+      // tie-break) — the probed cell SET per query is engine-exact
+      val pw = Window.partitionBy("query_id").orderBy(col("d2"), col("cluster"))
+      val pr = q.crossJoin(broadcast(centroids))
+        .select(col("query_id"), col("qv"), col("qn"), col("cluster"),
+          round(Tensors.distSq(col("qd"), col("centroid")), 6).as("d2"))
+        .withColumn("rn", row_number().over(pw)).where(col("rn") <= 4)
+        .select("query_id", "qv", "qn", "cluster", "rn")
+      val axis = Seq(1L, 2L, 4L).toDF("np")
+      val probes = pr.crossJoin(broadcast(axis)).where(col("rn") <= col("np"))
+      val cands = probes.join(inv, "cluster")
+        .where(col("query_id") =!= col("vec_id"))
+        .select(col("np"), col("query_id"), col("vec_id").as("neighbor_id"),
+          round(Tensors.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
+            .as("cos"))
+        .where(col("cos").isNotNull && !isnan(col("cos")))
+      val w = Window.partitionBy("np", "query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val top = cands.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .select("np", "query_id", "neighbor_id")
+      val h = top.join(truth, Seq("query_id", "neighbor_id"))
+        .groupBy("np").agg(count(lit(1)).as("hits"))
+      val lw = Window.partitionBy(lit(1)).orderBy("np")
+      axis.join(h, Seq("np"), "left")
+        .select(col("np"), coalesce(col("hits"), lit(0L)).as("total_hits"))
+        .select(col("np"), col("total_hits"),
+          expr("total_hits * 1000000 div 200").as("mean_recall_ppm"),
+          (col("total_hits") >=
+            coalesce(lag(col("total_hits"), 1).over(lw), lit(0L)))
+            .as("monotone_ok"))
+        .orderBy("np")
     }
   )
 }
