@@ -554,6 +554,92 @@ object AdvancedQueries {
         .limit(20)
     },
 
+    // HITS hubs & authorities — the fifth graph kernel (PageRank / CC /
+    // triangles / k-core / HITS), on the graph HITS was designed for: the
+    // DIRECTED customer→supplier purchase bipartition, where hub score
+    // (customer breadth) and authority score (supplier endorsement mass)
+    // are genuinely different quantities — PageRank's single score can't
+    // separate them. Two mutual-reinforcement rounds, and unlike q81's
+    // quantize-the-float-contributions design this one is EXACT INTEGER
+    // arithmetic end to end: L1 normalization (mass units, not L2) makes
+    // every step a BIGINT sum + one integer division against a broadcast
+    // 1-row total — no float ever crosses a row boundary, so any partition
+    // order sums identically. Unit choices are overflow-proofs, not taste:
+    // authorities carry 1e9 units (raw ≤ n·1e6 → ×1e9 < 2⁶³), hubs carry
+    // 1e6 (raw ≤ deg·1e9 → ×1e6 < 2⁶³). Scale: each half-round is one
+    // edge-keyed exchange + a k-row total broadcast back, exactly the
+    // PageRank message shape.
+    QueryDef("q230_hits",
+      """WITH pairs AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |a1r AS (SELECT s, CAST(count(*) AS BIGINT) * 1000000 AS raw
+        |        FROM pairs GROUP BY s),
+        |t1 AS (SELECT CAST(sum(raw) AS BIGINT) AS t FROM a1r),
+        |a1 AS (SELECT s, CAST(raw * 1000000000 // t1.t AS BIGINT) AS a
+        |       FROM a1r CROSS JOIN t1),
+        |h1r AS (SELECT p.c, CAST(sum(a1.a) AS BIGINT) AS raw
+        |        FROM pairs p JOIN a1 ON a1.s = p.s GROUP BY p.c),
+        |u1 AS (SELECT CAST(sum(raw) AS BIGINT) AS u FROM h1r),
+        |h1 AS (SELECT c, CAST(raw * 1000000 // u1.u AS BIGINT) AS h
+        |       FROM h1r CROSS JOIN u1),
+        |a2r AS (SELECT p.s, CAST(sum(h1.h) AS BIGINT) AS raw
+        |        FROM pairs p JOIN h1 ON h1.c = p.c GROUP BY p.s),
+        |t2 AS (SELECT CAST(sum(raw) AS BIGINT) AS t FROM a2r),
+        |a2 AS (SELECT s, CAST(raw * 1000000000 // t2.t AS BIGINT) AS a
+        |       FROM a2r CROSS JOIN t2),
+        |h2r AS (SELECT p.c, CAST(sum(a2.a) AS BIGINT) AS raw
+        |        FROM pairs p JOIN a2 ON a2.s = p.s GROUP BY p.c),
+        |u2 AS (SELECT CAST(sum(raw) AS BIGINT) AS u FROM h2r),
+        |h2 AS (SELECT c, CAST(raw * 1000000 // u2.u AS BIGINT) AS h
+        |       FROM h2r CROSS JOIN u2),
+        |ta AS (SELECT 'auth' AS kind, s AS id, a AS score,
+        |              row_number() OVER (ORDER BY a DESC, s) AS rank
+        |       FROM a2),
+        |th AS (SELECT 'hub' AS kind, c AS id, h AS score,
+        |              row_number() OVER (ORDER BY h DESC, c) AS rank
+        |       FROM h2)
+        |SELECT kind, CAST(rank AS BIGINT) AS rank, id, score
+        |FROM (SELECT * FROM ta WHERE rank <= 15
+        |      UNION ALL SELECT * FROM th WHERE rank <= 15)
+        |ORDER BY kind, rank""".stripMargin) { (s, d) =>
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+        .persist() // four half-round message joins reuse it
+      def normed(raw: org.apache.spark.sql.DataFrame, key: String,
+                 unit: Long, out: String) = {
+        val t = raw.agg(sum("raw").as("t"))
+        raw.crossJoin(broadcast(t))
+          .select(col(key), expr(s"raw * $unit div t").as(out))
+      }
+      val a1 = normed(
+        pairs.groupBy("s").agg((count(lit(1)) * 1000000L).as("raw")),
+        "s", 1000000000L, "a")
+      val h1 = normed(
+        pairs.join(a1, "s").groupBy("c").agg(sum("a").as("raw")),
+        "c", 1000000L, "h")
+      val a2 = normed(
+        pairs.join(h1, "c").groupBy("s").agg(sum("h").as("raw")),
+        "s", 1000000000L, "a")
+      val h2 = normed(
+        pairs.join(a2, "s").groupBy("c").agg(sum("a").as("raw")),
+        "c", 1000000L, "h")
+      val ta = a2.select(lit("auth").as("kind"), col("s").as("id"),
+          col("a").as("score"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("kind").orderBy(col("score").desc, col("id"))))
+      val th = h2.select(lit("hub").as("kind"), col("c").as("id"),
+          col("h").as("score"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("kind").orderBy(col("score").desc, col("id"))))
+      ta.unionAll(th).where(col("rank") <= 15)
+        .select(col("kind"), col("rank").cast("long").as("rank"),
+          col("id"), col("score"))
+        .orderBy("kind", "rank")
+    },
+
     // Array-function family: element extrema, ordered slice fold, and
     // first-position lookup over the embedding arrays — the builtin
     // array-op surface (array_max/min, slice, aggregate, array_position)

@@ -516,6 +516,70 @@ object EventQueries {
         .orderBy("day")
     },
 
+    // Sketch-based audience overlap — the set operation HLL does NOT
+    // support natively: intersection. |A∩B| is derived by
+    // inclusion–exclusion over three mergeable estimates (est(A) + est(B)
+    // − est(A∪B)) — the standard move for "returning users" / audience-
+    // overlap dashboards when A and B live on different machines and only
+    // sketches travel. A and B are the first/second halves of the event
+    // calendar (the split day derives from the data, so both engines build
+    // identical literals). The exact side needs NO join either: exact
+    // |A∩B| = |A| + |B| − |A∪B| over three COUNT DISTINCTs. Contract
+    // (q54/q211 rule): the sketch estimate must land within 15% OF THE
+    // UNION — inclusion–exclusion compounds the error of three estimates
+    // scaled by the union size, not the intersection, so that is the
+    // honest statable bound. Scale: sketches are O(2^lgK) bytes per side,
+    // one pass, map-side mergeable — the exact side is the audit cost.
+    QueryDef("q231_hll_intersect",
+      """WITH act AS (SELECT DISTINCT user_id,
+        |               epoch_us(ts) // 86400000000 AS day FROM events),
+        |g AS (SELECT CAST(min(day) AS BIGINT) AS d0,
+        |             CAST(max(day) AS BIGINT) AS d1 FROM act),
+        |s AS (SELECT CASE WHEN day < (g.d0 + g.d1 + 1) // 2 THEN 'a'
+        |             ELSE 'b' END AS side, user_id
+        |      FROM act, g),
+        |c AS (SELECT
+        |        CAST(count(DISTINCT CASE WHEN side = 'a' THEN user_id END)
+        |          AS BIGINT) AS n_a,
+        |        CAST(count(DISTINCT CASE WHEN side = 'b' THEN user_id END)
+        |          AS BIGINT) AS n_b,
+        |        CAST(count(DISTINCT user_id) AS BIGINT) AS n_union
+        |      FROM s)
+        |SELECT n_a, n_b, n_union, n_a + n_b - n_union AS n_intersect,
+        |       TRUE AS within_bound
+        |FROM c""".stripMargin) { (s, d) =>
+      val act = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val g = act.agg(min("day").as("d0"), max("day").as("d1"))
+      val sides = act.crossJoin(broadcast(g))
+        .select(col("user_id"),
+          when(col("day") < expr("(d0 + d1 + 1) div 2"), lit("a"))
+            .otherwise(lit("b")).as("side"))
+        .persist() // one relation feeds the exact census and the sketches
+      val ex = sides.agg(
+        countDistinct(when(col("side") === "a", col("user_id"))).as("n_a"),
+        countDistinct(when(col("side") === "b", col("user_id"))).as("n_b"),
+        countDistinct(col("user_id")).as("n_union"))
+      val sk = sides.groupBy("side")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        .persist() // per-side estimates + the union estimate
+      val perSide = sk.select(col("side"),
+        expr("hll_sketch_estimate(sk)").as("e"))
+      val estSides = perSide.agg(
+        max(when(col("side") === "a", col("e"))).as("est_a"),
+        max(when(col("side") === "b", col("e"))).as("est_b"))
+      val estU = sk.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_u"))
+      ex.crossJoin(broadcast(estSides)).crossJoin(broadcast(estU))
+        .select(col("n_a"), col("n_b"), col("n_union"),
+          (col("n_a") + col("n_b") - col("n_union")).as("n_intersect"),
+          (abs(col("est_a") + col("est_b") - col("est_u")
+            - (col("n_a") + col("n_b") - col("n_union"))).cast("double")
+            <= lit(0.15) * col("n_union")).as("within_bound"))
+    },
+
     // Retention triangle — the full (cohort week × week age) matrix behind
     // every retention curve, generalizing q78's cohort bucketing: users
     // cohort by FIRST-activity week, and each (user, active week) pair

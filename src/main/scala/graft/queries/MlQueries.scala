@@ -527,8 +527,129 @@ object MlQueries {
           sum("np_s").as("np"), sum("nn_s").as("nn"))
       t.select(col("np").as("n_pos"), col("nn").as("n_neg"), col("u2"),
         expr("u2 * 1000000 div (2 * np * nn)").as("auc_ppm"))
+    },
+
+    // PCA by power iteration — the missing classical decomposition next to
+    // k-means/LR/OLS, composed Spark-first: JL-project 64-d → 16-d (q175's
+    // row-local exact-micro-unit kernel), quantize coordinates to an
+    // integer 1e-3 grid, then ONE posexploded aggregation emits the whole
+    // second-moment surface (256 product cells + 16 dim sums + the count as
+    // one 273-slot stats array with map-side combine — a single exchange of
+    // O(k²) cells regardless of corpus size). The centered covariance is
+    // EXACT integer arithmetic (n·Σqᵢqⱼ − ΣqᵢΣqⱼ — no float sum ever
+    // crosses rows), the 16×16 matrix is O(k²) statistics iterated on the
+    // driver (the PQ-codebook posture), and operators/PowerIteration runs 4
+    // snapped rounds whose every fold the oracle replays as CTEs. Output:
+    // per-label projection mass onto the top principal direction + the
+    // Rayleigh quotient — the "does one direction separate my classes"
+    // diagnostic, with eigenvector sign pinned by the e₁ start.
+    QueryDef("q229_pca_power", PcaSql.sql) { (s, d) =>
+      import graft.operators.{PowerIteration, RandomProjection}
+      val k = PcaSql.K
+      val e = Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          transform(
+            RandomProjection.projected(col("embedding"), 64, k, PcaSql.Seed),
+            y => round(y * 1000, 0).cast("long")).as("q"))
+        .persist() // feeds the one-pass moment census AND the projection
+      val statsArr = concat(
+        flatten(transform(col("q"), qi => transform(col("q"), qj => qi * qj))),
+        col("q"), array(lit(1L)))
+      val cells = e.select(posexplode(statsArr).as(Seq("idx", "x")))
+        .groupBy("idx").agg(sum("x").as("s"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val n = cells(k * k + k)
+      val si = Array.tabulate(k)(i => cells(k * k + i))
+      val c = Array.tabulate(k, k)((i, j) =>
+        (n * cells(i * k + j) - si(i) * si(j)).toDouble)
+      val (v, lam) = PowerIteration.topEigenvector(c, PcaSql.Iters)
+      val lambda = BigDecimal(lam)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val varr = array(v.map(lit).toIndexedSeq: _*)
+      e.select(col("label"),
+          round(aggregate(
+            zip_with(col("q"), varr, (qi, vi) => qi.cast("double") * vi),
+            lit(0.0d), (a, x) => a + x), 0).cast("long").as("p"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_rows"), sum("p").as("proj_sum_e3"))
+        .withColumn("lambda", lit(lambda))
+        .orderBy("label")
     }
   )
+}
+
+/** Unrolled-CTE oracle for q229: the SAME JL projection, integer moment
+  * census, exact centered covariance, and 4 power-iteration rounds (ascending
+  * folds, 1e-9 snap after each normalize) as the Spark side — DuckDB walks
+  * the identical doubles because every cross-row reduction is integer and
+  * every in-round float op is IEEE correctly-rounded.
+  */
+private[queries] object PcaSql {
+  val K = 16
+  val Seed = 7L
+  val Iters = 4
+
+  import graft.operators.RandomProjection
+
+  private def fold(body: String, range: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform($range, $body)), (x, y) -> x + y)""".stripMargin
+
+  /** One power-iteration round: w = C·v (ascending j), nrm, snap to 1e-9. */
+  private def round9(prev: String, wName: String, vName: String): String =
+    s"""$wName AS (
+       |  SELECT list_transform(range(1, ${K + 1}), i ->
+       |    ${fold(s"j -> m[i][j] * v[j]", s"range(1, ${K + 1})")}) AS w
+       |  FROM cm, $prev),
+       |$vName AS (
+       |  SELECT list_transform(w, x -> round(x / sqrt(
+       |    ${fold("y -> y * y", "w")}), 9)) AS v
+       |  FROM $wName)""".stripMargin
+
+  val sql: String = {
+    val coord = RandomProjection.coordSql("embedding", "j", 64, K, Seed)
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT CAST(label AS BIGINT) AS label,
+       |         list_transform(range(0, $K),
+       |           j -> CAST(round(($coord) * 1000, 0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |cells AS MATERIALIZED (
+       |  SELECT i, j, CAST(sum(q[i + 1] * q[j + 1]) AS BIGINT) AS s
+       |  FROM e, (SELECT unnest(range(0, $K)) AS i),
+       |       (SELECT unnest(range(0, $K)) AS j)
+       |  GROUP BY i, j),
+       |si AS MATERIALIZED (
+       |  SELECT i, CAST(sum(q[i + 1]) AS BIGINT) AS s
+       |  FROM e, (SELECT unnest(range(0, $K)) AS i) GROUP BY i),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |cdef AS (
+       |  SELECT c.i AS i, c.j AS j,
+       |         CAST(nn.n * c.s - a.s * b.s AS DOUBLE) AS v
+       |  FROM cells c JOIN si a ON a.i = c.i JOIN si b ON b.i = c.j
+       |  CROSS JOIN nn),
+       |cm AS MATERIALIZED (
+       |  SELECT list(rowl ORDER BY i) AS m FROM (
+       |    SELECT i, list(v ORDER BY j) AS rowl FROM cdef GROUP BY i) t),
+       |v0 AS (SELECT list_transform(range(0, $K),
+       |         i -> CASE WHEN i = 0 THEN CAST(1 AS DOUBLE)
+       |              ELSE CAST(0 AS DOUBLE) END) AS v),
+       |${round9("v0", "w1", "v1")},
+       |${round9("v1", "w2", "v2")},
+       |${round9("v2", "w3", "v3")},
+       |${round9("v3", "w4", "v4")},
+       |lam AS (
+       |  SELECT CAST(round(${fold(
+              s"i -> v[i] * (${fold(s"j -> m[i][j] * v[j]", s"range(1, ${K + 1})")})",
+              s"range(1, ${K + 1})")}, 0) AS BIGINT) AS lambda
+       |  FROM cm, v4),
+       |proj AS (
+       |  SELECT label, CAST(round(${fold("i -> CAST(q[i] AS DOUBLE) * v[i]",
+              s"range(1, ${K + 1})")}, 0) AS BIGINT) AS p
+       |  FROM e, v4)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(sum(p) AS BIGINT) AS proj_sum_e3, lam.lambda AS lambda
+       |FROM proj, lam GROUP BY label, lam.lambda ORDER BY label""".stripMargin
+  }
 }
 
 /** DuckDB oracles replaying the media fixtures' decoded content from pure
