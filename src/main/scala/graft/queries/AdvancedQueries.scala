@@ -1241,7 +1241,7 @@ private object SpatialEdges {
   * omitted — the code is stated as the SAME character-class regexp_replace
   * chain on both engines (playbook rule #9).
   */
-private object PhoneticSql {
+private[graft] object PhoneticSql {
   private val classes = Seq(
     "[0-9]" -> "", "[bfpv]" -> "1", "[cgjkqsxz]" -> "2",
     "[dt]" -> "3", "[l]" -> "4", "[mn]" -> "5", "[r]" -> "6")

@@ -516,6 +516,204 @@ object EventQueries {
         .orderBy("day")
     },
 
+    // transformWithState — the arbitrary-stateful API Spark 4 added after
+    // mapGroupsWithState (SPIP: StatefulProcessor with typed state
+    // variables, timers, TTL, on the RocksDB state store) — driven end to
+    // end INSIDE the query by the q161 AvailableNow harness: the event
+    // slice lands as 4 files, maxFilesPerTrigger=1 forces several
+    // micro-batches, and a per-user ValueState maintains (event count, max
+    // cents) across them — count is commutative and max arrival-order-
+    // insensitive, so the FINAL state must equal the batch aggregate under
+    // any slicing; the stream_eq_batch column is that exactly-once witness
+    // (a dropped or replayed micro-batch flips it, and the hash). The
+    // provider conf flips to RocksDB for the drain and is restored after —
+    // state variables are not implemented by the HDFS-backed default.
+    // Scale: O(1) typed state per key on a spillable store — the
+    // continuous analogue of the keyed aggregate, with the state-variable
+    // API the session-machine operators (q28's successor) build on.
+    QueryDef("q236_transform_with_state",
+      """WITH e AS (SELECT user_id,
+        |             CAST(round(greatest(value, 0) * 100, 0) AS BIGINT)
+        |               AS cents
+        |           FROM events WHERE user_id < 20)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(max(cents) AS BIGINT) AS max_cents,
+        |       TRUE AS stream_eq_batch
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+      import org.apache.spark.sql.types.{LongType, StructType}
+      import graft.streaming.StatefulStreams
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_tws_q_").toFile
+      sys.addShutdownHook(rmrf(root))
+      val e = Tables.events(s, d).where(col("user_id") < 20)
+        .select(col("user_id"),
+          round(greatest(col("value"), lit(0)) * 100, 0).cast("long")
+            .as("cents"))
+        .persist() // feeds the landing write and the batch-parity aggregate
+      e.repartition(4).write.parquet(s"$root/landing")
+      val prev =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        StatefulStreams.RocksDbProvider)
+      try {
+        val stream = s.readStream
+          .schema(new StructType()
+            .add("user_id", LongType).add("cents", LongType))
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new StatefulStreams.RunningMax,
+            TimeMode.None(), OutputMode.Update())
+        val memName = root.getName // unique per invocation
+        val q = stream.toDF("user_id", "n", "mx")
+          .writeStream.outputMode("update").format("memory")
+          .queryName(memName)
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // Update mode emits the running state once per touched key per
+        // micro-batch; n is monotone, so max(n) (and its mx) IS the final
+        // state
+        val streamed = s.table(memName)
+          .groupBy("user_id").agg(max("n").as("sn"), max("mx").as("smx"))
+        val batch = e.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), max("cents").as("max_cents"))
+        batch.join(streamed, Seq("user_id"), "left")
+          .select(col("user_id"), col("n_events"), col("max_cents"),
+            (col("sn") === col("n_events")
+              && col("smx") === col("max_cents")).as("stream_eq_batch"))
+          .orderBy("user_id")
+      } finally {
+        prev match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    },
+
+    // Window funnel (the ClickHouse windowFunnel semantics): how deep does
+    // each user get through view → click → purchase when EVERY later step
+    // must land within 1 hour of the FIRST step — the deadline anchors at
+    // step 1, which is what distinguishes this from q77 (ordering only)
+    // and q94 (session-scoped): a user who views, then clicks 90 minutes
+    // later, reaches step 1 here. Steps resolve as a chain of conditional
+    // min-aggregates — t₂ = min(click ∈ (t₁, t₁+1h]), t₃ = min(purchase ∈
+    // (t₂, t₁+1h]) — each one keyed groupBy + broadcast-joined back, so
+    // the chain is three map-side-combined exchanges on user_id, never a
+    // self-join fan-out. Integer microseconds end to end; output is the
+    // steps-reached histogram every funnel dashboard draws.
+    QueryDef("q235_window_funnel",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |g1 AS (SELECT user_id, CAST(min(us) AS BIGINT) AS t1
+        |       FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |g2 AS (SELECT e.user_id, CAST(min(us) AS BIGINT) AS t2
+        |       FROM e JOIN g1 USING (user_id)
+        |       WHERE event_type = 'click'
+        |         AND us > t1 AND us <= t1 + 3600000000
+        |       GROUP BY e.user_id),
+        |g3 AS (SELECT e.user_id, CAST(min(us) AS BIGINT) AS t3
+        |       FROM e JOIN g1 USING (user_id) JOIN g2 USING (user_id)
+        |       WHERE event_type = 'purchase'
+        |         AND us > t2 AND us <= t1 + 3600000000
+        |       GROUP BY e.user_id),
+        |s AS (SELECT u.user_id,
+        |        CASE WHEN g3.t3 IS NOT NULL THEN 3
+        |             WHEN g2.t2 IS NOT NULL THEN 2
+        |             WHEN g1.t1 IS NOT NULL THEN 1
+        |             ELSE 0 END AS steps
+        |      FROM u LEFT JOIN g1 USING (user_id)
+        |             LEFT JOIN g2 USING (user_id)
+        |             LEFT JOIN g3 USING (user_id))
+        |SELECT CAST(steps AS BIGINT) AS steps,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM s GROUP BY steps ORDER BY steps""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+        .persist() // feeds the universe and all three step aggregates
+      val hour = 3600000000L
+      val u = e.select("user_id").distinct()
+      val g1 = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val g2 = e.join(g1, "user_id")
+        .where(col("event_type") === "click"
+          && col("us") > col("t1") && col("us") <= col("t1") + hour)
+        .groupBy("user_id").agg(min("us").as("t2"))
+      val g3 = e.join(g1, "user_id").join(g2, "user_id")
+        .where(col("event_type") === "purchase"
+          && col("us") > col("t2") && col("us") <= col("t1") + hour)
+        .groupBy("user_id").agg(min("us").as("t3"))
+      u.join(g1, Seq("user_id"), "left")
+        .join(g2, Seq("user_id"), "left")
+        .join(g3, Seq("user_id"), "left")
+        .select(when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L)
+          .otherwise(0L).as("steps"))
+        .groupBy("steps").agg(count(lit(1)).as("n_users"))
+        .orderBy("steps")
+    },
+
+    // Per-series EWMA — a SEQUENTIAL RECURRENCE (s_t depends on s_{t-1}),
+    // the op class no window frame can express because it is not
+    // associative. Spark-first answer: KeyValueGroupedDataset
+    // .flatMapSortedGroups — the typed sorted-group API built for exactly
+    // this (secondary sort WITHIN the exchange, one ordered pass per key,
+    // O(1) state) — the first coverage of that surface in the catalog.
+    // Determinism is the integer playbook: daily volumes in exact cents,
+    // smoothing as the α=1/2 integer recurrence s_t = (y_t + s_{t-1}) div 2
+    // (values clamped non-negative so floor-vs-truncate never diverges),
+    // so both engines walk identical BIGINTs — the oracle is a recursive
+    // CTE stepping the same recurrence. Scale: one exchange keyed by
+    // series, sort bounded per key, state one long — the canonical shape
+    // for gap-aware smoothing/state machines over 100 TB of event series.
+    QueryDef("q233_ewma",
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, y,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |      FROM d),
+        |rec(event_type, rn, day, y, s) AS (
+        |  SELECT event_type, rn, day, y, y FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn, r.day, r.y, (r.y + rec.s) // 2
+        |  FROM r JOIN rec ON r.event_type = rec.event_type
+        |                 AND r.rn = rec.rn + 1)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, y AS y_cents,
+        |       CAST(s AS BIGINT) AS ewma_cents
+        |FROM rec ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
+          .as("y"))
+        .as[(String, Long, Long)]
+      daily.groupByKey(_._1)
+        .flatMapSortedGroups(col("day")) { (k, rows) =>
+          var state = -1L
+          rows.map { case (_, day, y) =>
+            state = if (state < 0) y else (y + state) / 2
+            (k, day, y, state)
+          }
+        }
+        .toDF("event_type", "day", "y_cents", "ewma_cents")
+        .orderBy("event_type", "day")
+    },
+
     // Sketch-based audience overlap — the set operation HLL does NOT
     // support natively: intersection. |A∩B| is derived by
     // inclusion–exclusion over three mergeable estimates (est(A) + est(B)

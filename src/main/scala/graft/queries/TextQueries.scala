@@ -882,6 +882,79 @@ object TextQueries {
         .orderBy(col("pmi").desc, col("x"), col("y"))
         .limit(20)
         .select(col("x"), col("y"), col("nxy"), col("pmi"))
+    },
+
+    // T5-style span corruption — the pretraining-objective data prep step
+    // itself: ~20% of token slots are selected by the salted hash (never an
+    // RNG, so the MASK PATTERN is part of the contract), consecutive
+    // selections merge into spans, each span is replaced by a numbered
+    // sentinel in the input and emitted after that sentinel in the target —
+    // exactly the (inputs, targets) pair an encoder–decoder trainer
+    // consumes. Mechanics: one posexploded token relation; span starts via
+    // lag(corrupt), span ids via the lag+cumsum island trick (the q94
+    // sessionization pattern applied to token runs); both texts reassemble
+    // with an order-pinned aggregation — Spark sorts (pos, piece) structs
+    // inside the array (collect_list order is NOT deterministic; array_sort
+    // makes it irrelevant), DuckDB uses string_agg(... ORDER BY pos).
+    // Scale: everything is keyed by doc_id — explode, two narrow windows,
+    // one aggregation; no cross-doc traffic at all.
+    QueryDef("q234_span_corruption",
+      s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents WHERE doc_id < 100),
+         |tk AS (SELECT doc_id, toks, unnest(range(0, len(toks))) AS pos FROM b),
+         |f AS (SELECT doc_id, pos, toks[pos + 1] AS tok,
+         |        (${Hashes.mulHashSql("doc_id * 4096 + pos", 31)}) % 5 = 0
+         |          AS corrupt
+         |      FROM tk),
+         |g AS (SELECT doc_id, pos, tok, corrupt,
+         |        corrupt AND NOT coalesce(lag(corrupt) OVER (
+         |          PARTITION BY doc_id ORDER BY pos), FALSE) AS is_start
+         |      FROM f),
+         |h AS (SELECT doc_id, pos, tok, corrupt, is_start,
+         |        sum(CASE WHEN is_start THEN 1 ELSE 0 END) OVER (
+         |          PARTITION BY doc_id ORDER BY pos) - 1 AS sid
+         |      FROM g)
+         |SELECT doc_id,
+         |       coalesce(string_agg(
+         |         CASE WHEN NOT corrupt THEN tok
+         |              WHEN is_start THEN '<X' || CAST(sid AS BIGINT) || '>'
+         |         END, ' ' ORDER BY pos), '') AS src_text,
+         |       coalesce(string_agg(
+         |         CASE WHEN corrupt AND is_start
+         |                THEN '<X' || CAST(sid AS BIGINT) || '> ' || tok
+         |              WHEN corrupt THEN tok
+         |         END, ' ' ORDER BY pos), '') AS tgt_text,
+         |       CAST(sum(CASE WHEN is_start THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_spans
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d).where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ", -1)).as(Seq("pos", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val h = toks
+        .withColumn("corrupt",
+          Hashes.mulHash(col("doc_id") * 4096 + col("pos"), 31) % 5 === 0)
+        .withColumn("is_start",
+          col("corrupt") && !coalesce(lag(col("corrupt"), 1).over(w), lit(false)))
+        .withColumn("sid",
+          sum(when(col("is_start"), 1L).otherwise(0L)).over(w) - 1)
+      val srcPiece = when(!col("corrupt"), col("tok"))
+        .when(col("is_start"),
+          concat(lit("<X"), col("sid").cast("string"), lit(">")))
+      val tgtPiece = when(col("corrupt") && col("is_start"),
+          concat(lit("<X"), col("sid").cast("string"), lit("> "), col("tok")))
+        .when(col("corrupt"), col("tok"))
+      def orderedText(piece: org.apache.spark.sql.Column) =
+        array_join(transform(
+          array_sort(collect_list(when(piece.isNotNull,
+            struct(col("pos"), piece.as("p"))))),
+          x => x.getField("p")), " ")
+      h.groupBy("doc_id")
+        .agg(orderedText(srcPiece).as("src_text"),
+          orderedText(tgtPiece).as("tgt_text"),
+          sum(when(col("is_start"), 1L).otherwise(0L)).as("n_spans"))
+        .orderBy("doc_id")
     }
   )
 }
