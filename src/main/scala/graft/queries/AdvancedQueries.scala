@@ -554,6 +554,132 @@ object AdvancedQueries {
         .limit(20)
     },
 
+    // Hash-seeded Poisson bootstrap — error bars at 100 TB cost: resampling
+    // with replacement is impossible over a distributed corpus (it needs
+    // global coordination), so production bootstraps give each row a
+    // PSEUDO-RANDOM MULTIPLICITY per resample (Poisson(1)-ish) and sweep
+    // all B resamples in ONE scan. Here multiplicity = Binomial(3, 1/3)
+    // from three salted-hash draws — mean 1 like Poisson(1), bounded ≤ 3,
+    // and exactly replayable (never an RNG stream, playbook rule #1). The
+    // 32 resample means are exact integer micro-cents; the interval is the
+    // stated order statistics (2nd and 31st of 32 — the central ~94%
+    // band). One exchange of B×partial cells (map-side combined); the
+    // sweep axis and the final 32-row ranking are broadcast-sized.
+    QueryDef("q239_bootstrap_ci",
+      s"""WITH ax AS (SELECT unnest(range(0, 32)) AS b),
+         |r AS (SELECT l_orderkey * 8 + l_linenumber AS key,
+         |             CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+         |               AS BIGINT) AS cents
+         |      FROM lineitem),
+         |m AS (SELECT ax.b, r.cents,
+         |        (CASE WHEN (${graft.functions.Hashes.mulHashSql("key * 96 + b * 3 +  0", 77)})
+         |              % 3 = 0 THEN 1 ELSE 0 END
+         |         + CASE WHEN (${graft.functions.Hashes.mulHashSql("key * 96 + b * 3 +  1", 77)})
+         |              % 3 = 0 THEN 1 ELSE 0 END
+         |         + CASE WHEN (${graft.functions.Hashes.mulHashSql("key * 96 + b * 3 +  2", 77)})
+         |              % 3 = 0 THEN 1 ELSE 0 END) AS mult
+         |      FROM r, ax),
+         |a AS (SELECT b, CAST(sum(mult) AS BIGINT) AS n,
+         |             CAST(sum(mult * cents) AS BIGINT) AS s
+         |      FROM m GROUP BY b),
+         |means AS (SELECT b, CAST(s * 1000000 // n AS BIGINT) AS mean_mc
+         |          FROM a),
+         |rk AS (SELECT mean_mc,
+         |              row_number() OVER (ORDER BY mean_mc, b) AS rn
+         |       FROM means),
+         |f AS (SELECT CAST(sum(cents) * 1000000 // count(*) AS BIGINT)
+         |        AS mean_mc FROM r)
+         |SELECT f.mean_mc AS mean_microcents,
+         |       lo.mean_mc AS lo_microcents,
+         |       hi.mean_mc AS hi_microcents,
+         |       CAST(32 AS BIGINT) AS n_resamples,
+         |       lo.mean_mc <= f.mean_mc AND f.mean_mc <= hi.mean_mc
+         |         AS ci_contains_point
+         |FROM f, (SELECT mean_mc FROM rk WHERE rn = 2) lo,
+         |     (SELECT mean_mc FROM rk WHERE rn = 31) hi""".stripMargin) { (s, d) =>
+      import graft.functions.Hashes
+      import s.implicits._
+      val r = Tables.lineitem(s, d)
+        .select((col("l_orderkey") * 8 + col("l_linenumber")).as("key"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long").as("cents"))
+        .persist() // feeds the resample sweep and the point estimate
+      val ax = (0L until 32L).toDF("b")
+      def draw(j: Int) =
+        when(Hashes.mulHash(col("key") * 96 + col("b") * 3 + j, 77) % 3 === 0,
+          1L).otherwise(0L)
+      val a = r.crossJoin(broadcast(ax))
+        .select(col("b"), col("cents"),
+          (draw(0) + draw(1) + draw(2)).as("mult"))
+        .groupBy("b")
+        .agg(sum("mult").as("n"), sum(col("mult") * col("cents")).as("s"))
+      val means = a.select(col("b"), expr("s * 1000000 div n").as("mean_mc"))
+      val w = Window.partitionBy(lit(1)).orderBy("mean_mc", "b")
+      val rk = means.withColumn("rn", row_number().over(w))
+      val lo = rk.where(col("rn") === 2).select(col("mean_mc").as("lo_mc"))
+      val hi = rk.where(col("rn") === 31).select(col("mean_mc").as("hi_mc"))
+      val f = r.agg(expr("sum(cents) * 1000000 div count(*)").as("mean_mc"))
+      f.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select(col("mean_mc").as("mean_microcents"),
+          col("lo_mc").as("lo_microcents"),
+          col("hi_mc").as("hi_microcents"),
+          lit(32L).as("n_resamples"),
+          (col("lo_mc") <= col("mean_mc") && col("mean_mc") <= col("hi_mc"))
+            .as("ci_contains_point"))
+    },
+
+    // Label-propagation communities (LPA) — the sixth graph kernel, and a
+    // DIFFERENT question than q61's connected components: CC answers "what
+    // is reachable", LPA answers "where is the density" — one spatial blob
+    // with a thin bridge is ONE component but TWO communities. Synchronous
+    // LPA with a fully deterministic update: each vertex adopts the
+    // neighbor label with the highest count, ties to the smallest label
+    // (raw LPA breaks ties randomly and is famously irreproducible — the
+    // deterministic rule is what makes an oracle possible at all). Two
+    // rounds over q178's spatial graph; per round one edge-keyed count
+    // aggregate + one per-vertex argmax window — O(E) exchanges, label
+    // table O(V), the Pregel message shape without any driver state.
+    QueryDef("q238_label_propagation",
+      s"""WITH ${SpatialEdges.cte},
+         |ed AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
+         |      UNION ALL SELECT v, u FROM e0),
+         |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM ed),
+         |c1 AS (SELECT e.src AS id, l.lbl, count(*) AS c
+         |       FROM ed e JOIN l0 l ON l.id = e.dst GROUP BY 1, 2),
+         |l1 AS MATERIALIZED (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl,
+         |           row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl)
+         |             AS rn
+         |    FROM c1) t WHERE rn = 1),
+         |c2 AS (SELECT e.src AS id, l.lbl, count(*) AS c
+         |       FROM ed e JOIN l1 l ON l.id = e.dst GROUP BY 1, 2),
+         |l2 AS (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl,
+         |           row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl)
+         |             AS rn
+         |    FROM c2) t WHERE rn = 1)
+         |SELECT id, lbl AS community FROM l2 ORDER BY id""".stripMargin) { (s, d) =>
+      val e0 = SpatialEdges.frame(s, d)
+      val ed = e0.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
+        .persist() // both propagation rounds scan it
+      val l0 = ed.select(col("src").as("id"), col("src").as("lbl")).distinct()
+      def round(labels: org.apache.spark.sql.DataFrame) = {
+        val cnt = ed.join(labels.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("id").orderBy(col("c").desc, col("lbl"))
+        cnt.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select("id", "lbl")
+          .localCheckpoint() // round plans must not nest
+      }
+      round(round(l0))
+        .select(col("id"), col("lbl").as("community"))
+        .orderBy("id")
+    },
+
     // HITS hubs & authorities — the fifth graph kernel (PageRank / CC /
     // triangles / k-core / HITS), on the graph HITS was designed for: the
     // DIRECTED customer→supplier purchase bipartition, where hub score

@@ -884,6 +884,56 @@ object TextQueries {
         .select(col("x"), col("y"), col("nxy"), col("pmi"))
     },
 
+    // Token-budget mixture trimming — q105 allocates DOC quotas, but real
+    // pretraining mixtures are cut in TOKENS: each source keeps its
+    // hash-ranked documents while the budget lasts. Selection composes the
+    // two proven pieces — q105's deterministic hash ranking (content-
+    // independent, so the kept set is a uniform sample of the source) and
+    // q102's start-offset convention for the cumulative gate (a doc is in
+    // iff its tokens START inside the budget — exactly one straddler, so
+    // even a source whose first doc exceeds the budget contributes, and
+    // utilization lands near 100% instead of undershooting by a doc).
+    // One window per source partition, exact integer tokens/ppm — the
+    // per-source running sum never leaves its exchange.
+    QueryDef("q237_token_budget",
+      """WITH r AS (SELECT doc_id, source,
+        |             len(string_split(text, ' ')) AS n_tok,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY (doc_id * 2654435761) % 1000000007, doc_id)
+        |               AS rk
+        |           FROM documents),
+        |c AS (SELECT source, n_tok,
+        |        CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY rk
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM r)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |       CAST(2000 AS BIGINT) AS budget,
+        |       CAST(sum(n_tok) * 1000000 // 2000 AS BIGINT)
+        |         AS utilization_ppm
+        |FROM c WHERE cum - n_tok < 2000
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2000L
+      val rkW = Window.partitionBy("source")
+        .orderBy((col("doc_id") * lit(2654435761L)) % lit(1000000007L),
+          col("doc_id"))
+      val cumW = Window.partitionBy("source").orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+        .withColumn("rk", row_number().over(rkW))
+        .withColumn("cum", sum("n_tok").over(cumW))
+        .where(col("cum") - col("n_tok") < budget)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          lit(budget).as("budget"),
+          expr(s"tokens * 1000000 div $budget").as("utilization_ppm"))
+        .orderBy("source")
+    },
+
     // T5-style span corruption — the pretraining-objective data prep step
     // itself: ~20% of token slots are selected by the salted hash (never an
     // RNG, so the MASK PATTERN is part of the contract), consecutive

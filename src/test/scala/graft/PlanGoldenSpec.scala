@@ -58,7 +58,11 @@ class PlanGoldenSpec extends AnyFunSuite {
     "q191_psi_drift", "q192_ks_drift", "q196_pmi", "q197_hard_negatives",
     "q198_lsh_quality", "q199_quota_allocation", "q203_grouped_regression",
     "q204_session_paths", "q205_item_cooccurrence", "q206_datasheet",
-    "q207_negative_edges", "q208_gap_fill")
+    "q207_negative_edges", "q208_gap_fill",
+    // round-7 wave (same declarative-body rule: driver-fit and streaming
+    // queries — q227/q228/q229/q232/q236, iterative q238 — are excluded)
+    "q230_hits", "q231_hll_intersect", "q233_ewma", "q234_span_corruption",
+    "q235_window_funnel", "q237_token_budget", "q239_bootstrap_ci")
 
   pinned.foreach { name =>
     test(s"$name physical skeleton matches its golden") {
