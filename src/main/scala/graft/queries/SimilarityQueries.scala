@@ -949,6 +949,64 @@ object SimilarityQueries {
           expr(s"th * 1000000 div ${PqRecallSql.Nq * 10}")
             .as("mean_recall_ppm"))
         .orderBy("query_id")
+    },
+
+    // IVF-PQ measured recall — q232's full-replay harness composed with the
+    // coarse quantizer (q127's IndexIVFPQ shape): one-round 64-d k-means
+    // cells, nprobe=2 probe selection on the e6-integer grid with cluster
+    // ties (Pq.probeCells' exact rule), and the ADC sum restricted to each
+    // query's probed cells BEFORE the per-query aggregation. Together with
+    // q200/q201/q227/q232 the engine now publishes the whole ANN quality
+    // ladder as MEASURED numbers on one harness: per-label IVF 18% →
+    // k-means IVF nprobe 1/2/4 = 54.5/69/85.5% → flat PQ 67.5% → IVF-PQ
+    // (this query) — the recall cost of skipping ~3/4 of the corpus,
+    // quantified. The oracle replays coarse fit, probes, all 8
+    // sub-codebooks, encode, restricted ADC, shortlist and re-rank.
+    QueryDef("q240_ivfpq_recall", PqRecallSql.sqlIvf) { (s, d) =>
+      import graft.functions.Tensors
+      import graft.operators.{KMeans, Pq}
+      val emb = Tables.embeddings(s, d)
+      val (assigned, cents) = KMeans.fit(emb, "vec_id", "embedding", Dim,
+        k = PqRecallSql.CoarseCells, iters = 1)
+      val cb = Pq.fit(emb, "vec_id", "embedding", Dim,
+        m = PqRecallSql.M, ksub = PqRecallSql.Ksub, iters = 1)
+      val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+        .join(assigned, "vec_id")
+      val queries = emb.where(col("vec_id") < PqRecallSql.Nq)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      val centroids = cents.orderBy("cluster").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      import s.implicits._
+      val probes = Pq.probeCells(queries, centroids,
+        nprobe = PqRecallSql.Nprobe).toDF("qid", "cluster")
+      val qdf = queries.toDF("qid", "qv")
+      val shortlist = Pq.ivfAdcTopK(codes, Pq.adcTables(s, queries, cb),
+        probes, k = PqRecallSql.Shortlist, excludeSelf = true)
+      val reranked = Pq.rerank(shortlist, emb, "vec_id", "embedding", qdf, 10)
+        .select(col("query_id").as("iq"), col("neighbor_id").as("inb"))
+      val truth = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+        .crossJoin(broadcast(qdf))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Tensors.distSq(col("x"), col("qv")), 6).as("d2"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
+        .where(col("rank") <= 10)
+        .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+      val per = truth.join(reranked,
+          col("query_id") === col("iq") && col("neighbor_id") === col("inb"),
+          "left")
+        .groupBy("query_id").agg(count(col("inb")).as("hits"))
+      val th = per.agg(sum("hits").as("th"))
+      per.crossJoin(broadcast(th))
+        .select(col("query_id"), col("hits"),
+          expr("hits * 1000000 div 10").as("recall_ppm"),
+          expr(s"th * 1000000 div ${PqRecallSql.Nq * 10}")
+            .as("mean_recall_ppm"))
+        .orderBy("query_id")
     }
   )
 }
@@ -1021,24 +1079,18 @@ private[queries] object PqRecallSql {
        |  FROM cd$s cd JOIN ad$s a USING (w))""".stripMargin
   }
 
-  val sql: String = {
-    val subs = (0 until M).map(subCtes).mkString(",\n")
-    val union = (0 until M).map(s => s"SELECT * FROM pt$s")
-      .mkString(" UNION ALL ")
+  /** Shared recall tail: shortlist → exact re-rank → truth → ppm metrics.
+    * `adcCte` supplies the (qid, vec_id, adc_e6) relation.
+    */
+  private def tail(subs: String, adcCte: String): String =
     s"""WITH $subs,
-       |allp AS ($union),
-       |adc AS MATERIALIZED (
-       |  SELECT qid, vec_id, CAST(sum(d_e6) AS BIGINT) AS adc_e6
-       |  FROM allp WHERE vec_id <> qid GROUP BY qid, vec_id),
+       |$adcCte,
        |sl AS MATERIALIZED (
        |  SELECT qid, vec_id FROM (
        |    SELECT qid, vec_id,
        |           row_number() OVER (PARTITION BY qid
        |             ORDER BY adc_e6, vec_id) AS rn
        |    FROM adc) t WHERE rn <= $Shortlist),
-       |vv AS MATERIALIZED (
-       |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x
-       |  FROM embeddings),
        |qq AS (SELECT vec_id AS qid, x AS qx FROM vv WHERE vec_id < $Nq),
        |rr AS MATERIALIZED (
        |  SELECT qid AS query_id, vec_id AS neighbor_id FROM (
@@ -1066,7 +1118,83 @@ private[queries] object PqRecallSql {
        |       CAST(hits * 1000000 // 10 AS BIGINT) AS recall_ppm,
        |       CAST(th * 1000000 // ${Nq * 10} AS BIGINT) AS mean_recall_ppm
        |FROM per, th ORDER BY query_id""".stripMargin
+
+  private val vvCte =
+    """vv AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x
+      |  FROM embeddings)""".stripMargin
+
+  val sql: String = {
+    val subs = (0 until M).map(subCtes).mkString(",\n") + ",\n" + vvCte
+    val union = (0 until M).map(s => s"SELECT * FROM pt$s")
+      .mkString(" UNION ALL ")
+    tail(subs,
+      s"""allp AS ($union),
+         |adc AS MATERIALIZED (
+         |  SELECT qid, vec_id, CAST(sum(d_e6) AS BIGINT) AS adc_e6
+         |  FROM allp WHERE vec_id <> qid GROUP BY qid, vec_id)""".stripMargin)
   }
+
+  /** q240: the coarse quantizer (one-round 64-d Lloyd, matching
+    * KMeans.fit(iters = 1)), probe selection on the e6-integer grid with
+    * cluster ties (Pq.probeCells' exact rule), and the ADC sum restricted
+    * to each query's nprobe=2 cells BEFORE aggregation — IndexIVFPQ, every
+    * stage replayed.
+    */
+  val CoarseCells = 8
+  val Nprobe = 2
+
+  val sqlIvf: String = {
+    val subs = (0 until M).map(subCtes).mkString(",\n") + ",\n" + vvCte
+    val union = (0 until M).map(s => s"SELECT * FROM pt$s")
+      .mkString(" UNION ALL ")
+    val coarse =
+      s"""cc0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, x AS c
+         |  FROM (SELECT vec_id, x FROM vv ORDER BY vec_id LIMIT $CoarseCells)),
+         |ca1 AS (
+         |  SELECT vec_id, x, cluster FROM (
+         |    SELECT v.vec_id, v.x, c.cluster,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY round(${d2("v.x", "c.c", dim)}, 6), c.cluster)
+         |             AS rn
+         |    FROM vv v CROSS JOIN cc0 c) t
+         |  WHERE rn = 1),
+         |cc1 AS MATERIALIZED (
+         |  SELECT p.cluster, coalesce(u.mean_c, p.c) AS c
+         |  FROM cc0 p LEFT JOIN (
+         |    SELECT cluster, list(m ORDER BY dm) AS mean_c
+         |    FROM (SELECT cluster, i AS dm, round(avg(x[i + 1]), 9) AS m
+         |          FROM ca1, (SELECT unnest(range(0, $dim)) AS i)
+         |          GROUP BY cluster, i)
+         |    GROUP BY cluster) u ON u.cluster = p.cluster),
+         |ca2 AS MATERIALIZED (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT v.vec_id, c.cluster,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY round(${d2("v.x", "c.c", dim)}, 6), c.cluster)
+         |             AS rn
+         |    FROM vv v CROSS JOIN cc1 c) t
+         |  WHERE rn = 1),
+         |pr AS MATERIALIZED (
+         |  SELECT qid, cluster FROM (
+         |    SELECT q.vec_id AS qid, c.cluster,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY CAST(round(${d2("q.x", "c.c", dim)} * 1000000, 0)
+         |                        AS BIGINT), c.cluster) AS rn
+         |    FROM (SELECT vec_id, x FROM vv WHERE vec_id < $Nq) q
+         |    CROSS JOIN cc1 c) t
+         |  WHERE rn <= $Nprobe)""".stripMargin
+    tail(subs + ",\n" + coarse,
+      s"""allp AS ($union),
+         |adc AS MATERIALIZED (
+         |  SELECT pt.qid, pt.vec_id, CAST(sum(pt.d_e6) AS BIGINT) AS adc_e6
+         |  FROM allp pt
+         |  JOIN ca2 a ON a.vec_id = pt.vec_id
+         |  JOIN pr p ON p.qid = pt.qid AND p.cluster = a.cluster
+         |  WHERE pt.vec_id <> pt.qid GROUP BY pt.qid, pt.vec_id)""".stripMargin)
+  }
+
 }
 
 /** Oracle for q156: q121's BM25 CTE chain restricted to the one lexical
