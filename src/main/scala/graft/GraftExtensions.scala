@@ -21,9 +21,13 @@ import graft.functions.{BloomExprs, ChannelStatsAgg, ShingleExplodeExpr, TextHas
   *   SparkSession.builder().withExtensions(new GraftExtensions) …
   * or spark.sql.extensions=graft.GraftExtensions.
   *
-  * No custom optimizer Rule or SparkStrategy is injected: SURVEY §4 #3 found
-  * no reference operator lacking a Spark physical counterpart, and the stats
-  * literal-fold (§4 #2) is done collect-side in ScalerPipeline.
+  * One planner strategy is injected: [[graft.plans.AsofJoinStrategy]] plans
+  * the custom [[graft.plans.AsofJoinPlan]] logical node into the native
+  * merge-scan [[graft.plans.AsofJoinExec]] — the whole-operator escalation
+  * for the as-of join, which no composition of built-in operators executes
+  * in one pass. (SURVEY §4 #3 found no REFERENCE operator needing this; the
+  * as-of node is part of the additive pipeline surface, and the stats
+  * literal-fold (§4 #2) stays collect-side in ScalerPipeline.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -34,6 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+
     ext.injectFunction((
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[TextHashExprs.ShingleHashesExpr].getName, "shingle_hashes"),

@@ -516,6 +516,44 @@ object EventQueries {
         .orderBy("day")
     },
 
+    // Native as-of join — the custom whole-operator Catalyst surface
+    // (plans/NativeAsof: LogicalPlan → injected SparkStrategy → merge-scan
+    // SparkPlan) doing the job q56's compositional union+window form does,
+    // but in ONE forward pass per co-partitioned sorted partition AND
+    // attaching the matched right row's PAYLOAD (the compositional form
+    // can only attach the time; payload costs it a second join back).
+    // Right side pre-aggregated to unique (user, ts) rows — the operator's
+    // documented determinism contract. The oracle is DuckDB's own native
+    // `ASOF LEFT JOIN`, which has exactly the same at-or-before semantics:
+    // two independent native implementations of the operator must agree
+    // row for row. Scale: two key exchanges + per-partition sorts, right
+    // side streamed at most once per partition regardless of probe count —
+    // the plan SortMergeJoin users expect, for the join Spark doesn't ship.
+    QueryDef("q241_native_asof",
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_uid, epoch_us(ts) AS v_us,
+        |             CAST(count(*) AS BIGINT) AS nv
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.p_us, v.v_us, v.nv
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.v_uid AND v.v_us <= p.p_us
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      import graft.plans.NativeAsof
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("us"), col("event_type"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us").as("p_us"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_uid"), col("us").as("v_us"))
+        .agg(count(lit(1)).as("nv"))
+      NativeAsof.join(p, v, "user_id", "v_uid", "p_us", "v_us")
+        .select(col("event_id"), col("user_id"), col("p_us"),
+          col("v_us"), col("nv"))
+        .orderBy("event_id")
+    },
+
     // transformWithState — the arbitrary-stateful API Spark 4 added after
     // mapGroupsWithState (SPIP: StatefulProcessor with typed state
     // variables, timers, TTL, on the RocksDB state store) — driven end to

@@ -1,11 +1,19 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-/** Bridge to the `private[sql]` Column↔Expression converters — the supported
-  * path for third-party Catalyst expressions in Spark 4's column-node world.
+/** Bridge to the `private[sql]` Column↔Expression and plan→DataFrame
+  * converters — the supported path for third-party Catalyst expressions and
+  * logical plans in Spark 4's column-node world.
   */
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap a custom LogicalPlan (e.g. graft.plans.AsofJoinPlan) as a
+    * DataFrame on the session's classic implementation.
+    */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

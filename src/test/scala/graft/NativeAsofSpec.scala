@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsofJoin
+import graft.plans.NativeAsof
+
+/** The custom LogicalPlan → Strategy → SparkPlan as-of join: literal-frame
+  * semantics, payload attachment, null handling, partition-boundary safety
+  * (keys scattered across many shuffle partitions), and full parity with
+  * the compositional operators/AsofJoin on the events fixture.
+  */
+class NativeAsofSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("literal semantics: at-or-before match, payload attached, nulls kept") {
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "early"),
+      (2L, 10L, "other"), (3L, 10L, "nokey"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 7L, 70L), (1L, 10L, 100L), (1L, 15L, 150L),
+      (2L, 11L, 110L))
+      .toDF("rk", "rt", "pay")
+    val out = NativeAsof.join(l, r, "k", "rk", "t", "rt")
+      .select("k", "t", "tag", "rt", "pay").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3),
+        if (x.isNullAt(4)) -1L else x.getLong(4))).toSet
+    assert(out == Set(
+      (1L, 10L, "a", 10L, 100L),     // tie at 10 matches (at-or-before)
+      (1L, 20L, "b", 15L, 150L),     // latest ≤ 20
+      (1L, 5L, "early", -1L, -1L),   // nothing precedes
+      (2L, 10L, "other", -1L, -1L),  // right row is later
+      (3L, 10L, "nokey", -1L, -1L))) // key absent on right
+  }
+
+  test("null keys and times never match; left rows survive") {
+    val l = Seq((Some(1L), Some(10L)), (None, Some(10L)), (Some(1L), None))
+      .toDF("k", "t")
+    val r = Seq((Some(1L), Some(5L), 1L), (None.asInstanceOf[Option[Long]], Some(1L), 2L))
+      .toDF("rk", "rt", "pay")
+    val out = NativeAsof.join(l, r, "k", "rk", "t", "rt").collect()
+    assert(out.length == 3)
+    val matched = out.filter(!_.isNullAt(4))
+    assert(matched.length == 1 && matched.head.getLong(4) == 1L)
+  }
+
+  test("partition boundaries: many keys across many shuffle partitions") {
+    val n = 2000
+    val l = (0 until n).map(i => (i.toLong % 97, i.toLong * 3 + 1)).toDF("k", "t")
+    val r = (0 until n).map(i => (i.toLong % 97, i.toLong * 3)).toDF("rk", "rt")
+      .withColumn("pay", col("rt") * 10)
+    val out = NativeAsof.join(l, r, "k", "rk", "t", "rt")
+    // brute-force truth via SQL join
+    val truth = l.as("l").join(r.as("r"),
+        col("l.k") === col("r.rk") && col("r.rt") <= col("l.t"), "left")
+      .groupBy(col("l.k").as("k"), col("l.t").as("t"))
+      .agg(max("r.rt").as("want_rt"))
+    val cmp = out.join(truth, Seq("k", "t"))
+      .where(!(col("rt") <=> col("want_rt")))
+    assert(cmp.count() == 0)
+    assert(out.count() == n)
+  }
+
+  test("parity with the compositional AsofJoin on the events fixture") {
+    val ev = Tables.events(spark, TestSpark.sfDir)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("us"), col("event_type"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "us")
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_uid"), col("us").as("v_us"))
+      .agg(count(lit(1)).as("nv")) // unique (key, time) rows
+    val native = NativeAsof.join(purchases, views,
+        "user_id", "v_uid", "us", "v_us")
+      .select(col("event_id"), col("v_us"))
+    val composed = AsofJoin.asof(purchases,
+        views.select(col("v_uid").as("user_id"), col("v_us")),
+        Seq("user_id"), col("us"), col("v_us"), "asof_us")
+      .select(col("event_id"), col("asof_us"))
+    val diff = native.join(composed, "event_id")
+      .where(!(col("v_us") <=> col("asof_us")))
+    assert(diff.count() == 0)
+    assert(native.count() == purchases.count())
+  }
+
+  test("the physical plan is the native exec with two exchanges") {
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 5L)).toDF("rk", "rt")
+    val plan = NativeAsof.join(l, r, "k", "rk", "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"))
+  }
+}
