@@ -554,6 +554,41 @@ object EventQueries {
         .orderBy("event_id")
     },
 
+    // The custom optimizer rule under the gate: the SAME native as-of join
+    // with a left-only predicate applied ABOVE the join in the API call —
+    // plans/PushFilterThroughAsof (injectOptimizerRule) sinks it below the
+    // custom node, where Catalyst's stock rules carry it into the parquet
+    // scan; without the rule the filter would run after both shuffles and
+    // the merge (Catalyst stops pushing at operators it doesn't know).
+    // NativeAsofSpec pins the optimized-plan shape; this query pins the
+    // SEMANTICS: filtered-above must equal the oracle's filtered-below.
+    QueryDef("q242_asof_pushdown",
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us
+        |           FROM events
+        |           WHERE event_type = 'purchase' AND user_id < 50),
+        |v AS (SELECT user_id AS v_uid, epoch_us(ts) AS v_us,
+        |             CAST(count(*) AS BIGINT) AS nv
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.p_us, v.v_us, v.nv
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.v_uid AND v.v_us <= p.p_us
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      import graft.plans.NativeAsof
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("us"), col("event_type"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us").as("p_us"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_uid"), col("us").as("v_us"))
+        .agg(count(lit(1)).as("nv"))
+      NativeAsof.join(p, v, "user_id", "v_uid", "p_us", "v_us")
+        .where(col("user_id") < 50) // above the join — the rule moves it
+        .select(col("event_id"), col("user_id"), col("p_us"),
+          col("v_us"), col("nv"))
+        .orderBy("event_id")
+    },
+
     // transformWithState — the arbitrary-stateful API Spark 4 added after
     // mapGroupsWithState (SPIP: StatefulProcessor with typed state
     // variables, timers, TTL, on the RocksDB state store) — driven end to

@@ -84,6 +84,25 @@ class NativeAsofSpec extends AnyFunSuite {
     assert(native.count() == purchases.count())
   }
 
+  test("custom rule pushes left-only filters below the as-of join") {
+    val l = Seq((1L, 10L, 5L)).toDF("k", "t", "extra")
+    val r = Seq((1L, 5L, 7L)).toDF("rk", "rt", "pay")
+    val q = NativeAsof.join(l, r, "k", "rk", "t", "rt")
+      .where(col("extra") > 1 && col("pay") > 0) // left-only + right-ref
+    val opt = q.queryExecution.optimizedPlan
+    // the left-only predicate must sit BELOW the join...
+    val aj = opt.collectFirst {
+      case p: graft.plans.AsofJoinPlan => p
+    }.getOrElse(fail(s"no AsofJoinPlan in:\n$opt"))
+    assert(aj.left.toString.contains("extra"),
+      s"left-only filter not pushed below the join:\n$opt")
+    // ...and the right-referencing one must stay above (pushing it would
+    // change which right row is latest-at-or-before)
+    assert(!aj.right.toString.contains("pay > "),
+      s"right filter must not push:\n$opt")
+    assert(q.collect().length == 1)
+  }
+
   test("the physical plan is the native exec with two exchanges") {
     val l = Seq((1L, 10L)).toDF("k", "t")
     val r = Seq((1L, 5L)).toDF("rk", "rt")

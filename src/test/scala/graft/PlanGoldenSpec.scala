@@ -62,7 +62,8 @@ class PlanGoldenSpec extends AnyFunSuite {
     // round-7 wave (same declarative-body rule: driver-fit and streaming
     // queries — q227/q228/q229/q232/q236, iterative q238 — are excluded)
     "q230_hits", "q231_hll_intersect", "q233_ewma", "q234_span_corruption",
-    "q235_window_funnel", "q237_token_budget", "q239_bootstrap_ci")
+    "q235_window_funnel", "q237_token_budget", "q239_bootstrap_ci",
+    "q241_native_asof", "q242_asof_pushdown")
 
   pinned.foreach { name =>
     test(s"$name physical skeleton matches its golden") {
