@@ -516,6 +516,143 @@ object EventQueries {
         .orderBy("day")
     },
 
+    // A/B-test analyzer — the two-proportion z-test every experimentation
+    // platform runs: users split into arms by the salted hash (the
+    // assignment IS part of the contract — never an RNG), conversion =
+    // reached a purchase event, pooled-variance z-score. All counts are
+    // exact integers from one keyed census; the single z float is computed
+    // in ONE row from those integers with the identical expression shape
+    // on both engines and quantized to 1e-6 (the q19 posture: scalar math
+    // parity, not cross-row float sums). The significance verdict derives
+    // from the same quantized z on both sides — deterministic whatever it
+    // is. Scale: one distinct-user aggregate + a 2-row census; the z
+    // arithmetic is O(1).
+    QueryDef("q243_ab_test",
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         (${graft.functions.Hashes.mulHashSql("user_id", 91)}) % 2
+         |           AS arm,
+         |         CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |                   > sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |              THEN 1 ELSE 0 END AS conv
+         |  FROM events GROUP BY user_id),
+         |c AS (SELECT
+         |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |        CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         |        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |        CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+         |      FROM u),
+         |z AS (SELECT n_a, conv_a, n_b, conv_b,
+         |        sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+         |             * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+         |             * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+         |          AS se
+         |      FROM c),
+         |zz AS (SELECT n_a, conv_a, n_b, conv_b,
+         |         CASE WHEN se = 0 THEN CAST(0 AS DOUBLE)
+         |              ELSE round((CAST(conv_a AS DOUBLE) / n_a
+         |                          - CAST(conv_b AS DOUBLE) / n_b) / se, 6)
+         |         END AS zr
+         |       FROM z)
+         |SELECT n_a, conv_a, n_b, conv_b,
+         |       CAST(round(zr * 1000000, 0) AS BIGINT) AS z_e6,
+         |       abs(zr) > 1.96 AS significant
+         |FROM zz""".stripMargin) { (s, d) =>
+      import graft.functions.Hashes
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(when(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)) >
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)),
+          1L).otherwise(0L).as("conv"))
+        .select((Hashes.mulHash(col("user_id"), 91) % 2).as("arm"), col("conv"))
+      val c = u.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+      val p = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      // the degenerate all-convert / none-convert census has se = 0; both
+      // engines state z = 0 for it explicitly (ANSI Spark would otherwise
+      // throw on the 0/0 and DuckDB would emit NaN — neither is a result)
+      val se = sqrt(p * (lit(1) - p) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      val zr = when(se === 0, lit(0.0d)).otherwise(
+        round((col("conv_a").cast("double") / col("n_a") -
+          col("conv_b").cast("double") / col("n_b")) / se, 6))
+      c.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(zr * 1000000, 0).cast("long").as("z_e6"),
+        (abs(zr) > 1.96).as("significant"))
+    },
+
+    // MapState — the second transformWithState state-variable kind (q236
+    // covers ValueState): a per-user map of per-event-type counters, the
+    // state a session machine keeps per-category tallies in. Same
+    // AvailableNow harness, same exactly-once witness: commutative integer
+    // adds make the final map equal the batch (user, event_type) census
+    // under any micro-batch slicing, and Update-mode emissions are
+    // monotone so max-per-cell downstream recovers the final state.
+    QueryDef("q244_mapstate_counts",
+      """WITH e AS (SELECT user_id, event_type FROM events WHERE user_id < 20)
+        |SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       TRUE AS stream_eq_batch
+        |FROM e GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      import graft.streaming.StatefulStreams
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_tws_map_q_").toFile
+      sys.addShutdownHook(rmrf(root))
+      val e = Tables.events(s, d).where(col("user_id") < 20)
+        .select(col("user_id"), col("event_type"))
+        .persist() // feeds the landing write and the batch-parity census
+      e.repartition(4).write.parquet(s"$root/landing")
+      val prev =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        StatefulStreams.RocksDbProvider)
+      try {
+        val stream = s.readStream
+          .schema(new StructType()
+            .add("user_id", LongType).add("event_type", StringType))
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
+          .as[(Long, String)]
+          .groupByKey(_._1)
+          .transformWithState(new StatefulStreams.CategoryCounts,
+            TimeMode.None(), OutputMode.Update())
+        val memName = root.getName
+        val q = stream.toDF("user_id", "event_type", "n")
+          .writeStream.outputMode("update").format("memory")
+          .queryName(memName)
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val streamed = s.table(memName)
+          .groupBy("user_id", "event_type").agg(max("n").as("sn"))
+        val batch = e.groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n_events"))
+        batch.join(streamed, Seq("user_id", "event_type"), "left")
+          .select(col("user_id"), col("event_type"), col("n_events"),
+            (col("sn") === col("n_events")).as("stream_eq_batch"))
+          .orderBy("user_id", "event_type")
+      } finally {
+        prev match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    },
+
     // Native as-of join — the custom whole-operator Catalyst surface
     // (plans/NativeAsof: LogicalPlan → injected SparkStrategy → merge-scan
     // SparkPlan) doing the job q56's compositional union+window form does,

@@ -28,6 +28,30 @@ object StatefulStreams {
     * is the final state, recoverable downstream as max(n) since n is
     * monotone.
     */
+  /** Per-key MAP state — one counter per event type, the state-variable
+    * kind a session machine keeps per-category tallies in. Counts are
+    * commutative integer adds, so the final map equals the batch
+    * (key, category) aggregate under any micro-batch slicing. Emits the
+    * full map each batch (Update semantics — counts are monotone, so the
+    * max per (key, category) downstream IS the final map).
+    */
+  class CategoryCounts extends StatefulProcessor[Long, (Long, String), (Long, String, Long)] {
+    @transient private var st: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+                                 tv: TimerValues): Iterator[(Long, String, Long)] = {
+      rows.foreach { case (_, cat) =>
+        val cur = if (st.containsKey(cat)) st.getValue(cat) else 0L
+        st.updateValue(cat, cur + 1L)
+      }
+      st.iterator().map { case (cat, n) => (key, cat, n) }.toIndexedSeq.iterator
+    }
+  }
+
   class RunningMax extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
     @transient private var st: ValueState[(Long, Long)] = _
 
