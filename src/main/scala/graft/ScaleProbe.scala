@@ -268,6 +268,32 @@ object ScaleProbe {
       // two semi-joins each, edge set shrinking monotonically
       "kcore_peel" -> { m =>
         graft.operators.KCore.peel(spatialEdges(m), k = 2, rounds = 2).last
+      },
+      // native as-of join (q241): two key exchanges + per-partition sorted
+      // merge, right side streamed at most once per partition — wall clock
+      // must track |L| + |R|, never |L| × per-key-right-rows
+      "native_asof" -> { m =>
+        val ev = li(m)
+        val l = ev.select(col("l_orderkey").as("k"),
+          col("l_partkey").cast("long").as("t"), col("l_extendedprice"))
+        val r = ev.select(col("l_orderkey").as("rk"),
+            (col("l_partkey") - 1).cast("long").as("rt"),
+            col("l_suppkey").cast("long").as("s"))
+          .groupBy("rk", "rt").agg(max("s").as("pay"))
+        graft.plans.NativeAsof.join(l, r, "k", "rk", "t", "rt")
+      },
+      // sorted-group recurrence (q233 family): one exchange keyed by the
+      // series + secondary sort inside it, O(1) state per key — the
+      // flatMapSortedGroups scan must track rows, not groups × rows
+      "sorted_group_scan" -> { m =>
+        import spark.implicits._
+        val d = li(m).select(col("l_returnflag").as("g"),
+            col("l_orderkey").as("o"), col("l_linenumber").cast("long").as("y"))
+          .as[(String, Long, Long)]
+        d.groupByKey(_._1).flatMapSortedGroups(col("o")) { (k, it) =>
+          var s = 0L
+          it.map { case (_, o, y) => s = (s + y) / 2; (k, o, s) }
+        }.toDF("g", "o", "s")
       })
 
     // the steepest 10× shapes get a 30× leg: confirms no super-linear break

@@ -739,6 +739,10 @@ object AdvancedQueries {
         val t = raw.agg(sum("raw").as("t"))
         raw.crossJoin(broadcast(t))
           .select(col(key), expr(s"raw * $unit div t").as(out))
+          // each half-round feeds the NEXT round and (for the final two)
+          // its own ranked output branch — without this the ta/th union
+          // re-derives the whole mutual-reinforcement chain per branch
+          .persist()
       }
       val a1 = normed(
         pairs.groupBy("s").agg((count(lit(1)) * 1000000L).as("raw")),

@@ -233,6 +233,105 @@ object ScaleQueries {
         .orderBy("o_orderkey")
     },
 
+    // Time travel — Delta/Iceberg's AS OF, as algebra over a versioned
+    // change log: base rows enter as version 0, three deterministic change
+    // batches stack on top (v1 updates ≡3 / deletes ≡7 / inserts −k for
+    // ≡1; v2 updates ≡5 and deletes/re-inserts mod-20 slices; v3
+    // OVERRIDES v1's ≡3 update), and the snapshot AS OF v is one window:
+    // per (asof, key) keep the highest-version op ≤ v, drop deletes. ALL
+    // four historical snapshots come out of ONE plan — the log crosses a
+    // broadcast 4-row version axis, so reconstruction cost is
+    // O(versions · |log|), not versions × full merges. The fold_eq_window
+    // column is the algebraic self-check: the iterative Upsert.apply chain
+    // (v1 then v2 then v3 — how the log was actually written) must land on
+    // EXACTLY the window formulation's v3 stats; TRUE is stated by the
+    // oracle, so a divergence between the two merge semantics is a hash
+    // mismatch. Money in integer cents end to end.
+    QueryDef("q245_time_travel",
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |                     CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |                       AS cents
+        |              FROM orders),
+        |lg AS (
+        |  SELECT k, st, cents, 'U' AS op, 0 AS v FROM base
+        |  UNION ALL
+        |  SELECT k, st, cents + 500, 'U', 1 FROM base WHERE k % 10 = 3
+        |  UNION ALL
+        |  SELECT k, st, cents, 'D', 1 FROM base WHERE k % 10 = 7
+        |  UNION ALL
+        |  SELECT -k, 'N', k, 'U', 1 FROM base WHERE k % 10 = 1
+        |  UNION ALL
+        |  SELECT k, st, cents + 900, 'U', 2 FROM base WHERE k % 10 = 5
+        |  UNION ALL
+        |  SELECT -k, 'N', k, 'D', 2 FROM base WHERE k % 20 = 1
+        |  UNION ALL
+        |  SELECT k, 'R', 42, 'U', 2 FROM base WHERE k % 20 = 7
+        |  UNION ALL
+        |  SELECT k, st, cents + 1000, 'U', 3 FROM base WHERE k % 10 = 3),
+        |ax AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS vnow),
+        |snap AS (
+        |  SELECT vnow, k, cents FROM (
+        |    SELECT ax.vnow, l.k, l.cents, l.op,
+        |           row_number() OVER (PARTITION BY ax.vnow, l.k
+        |             ORDER BY l.v DESC, l.op DESC) AS rn
+        |    FROM lg l JOIN ax ON l.v <= ax.vnow) t
+        |  WHERE rn = 1 AND op = 'U')
+        |SELECT vnow AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS fold_eq_window
+        |FROM snap GROUP BY vnow ORDER BY version""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.operators.Upsert
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .persist() // feeds the log build and the iterative fold
+      def m(mod: Int, r: Int) = base.where(pmod(col("k"), lit(mod)) === r)
+      def b(rows: org.apache.spark.sql.DataFrame*) = rows.reduce(_ unionByName _)
+      val b1 = b(
+        m(10, 3).select(col("k"), col("st"), (col("cents") + 500).as("cents"),
+          lit("U").as("op"), lit(1L).as("v")),
+        m(10, 7).select(col("k"), col("st"), col("cents"),
+          lit("D").as("op"), lit(1L).as("v")),
+        m(10, 1).select((-col("k")).as("k"), lit("N").as("st"),
+          col("k").cast("long").as("cents"), lit("U").as("op"), lit(1L).as("v")))
+      val b2 = b(
+        m(10, 5).select(col("k"), col("st"), (col("cents") + 900).as("cents"),
+          lit("U").as("op"), lit(2L).as("v")),
+        m(20, 1).select((-col("k")).as("k"), lit("N").as("st"),
+          col("k").cast("long").as("cents"), lit("D").as("op"), lit(2L).as("v")),
+        m(20, 7).select(col("k"), lit("R").as("st"), lit(42L).as("cents"),
+          lit("U").as("op"), lit(2L).as("v")))
+      val b3 = m(10, 3).select(col("k"), col("st"),
+        (col("cents") + 1000).as("cents"), lit("U").as("op"), lit(3L).as("v"))
+      val log = base
+        .select(col("k"), col("st"), col("cents"), lit("U").as("op"),
+          lit(0L).as("v"))
+        .unionByName(b1).unionByName(b2).unionByName(b3)
+      val ax = Seq(0L, 1L, 2L, 3L).toDF("vnow")
+      val w = Window.partitionBy("vnow", "k")
+        .orderBy(col("v").desc, col("op").desc)
+      val snap = log.join(broadcast(ax), col("v") <= col("vnow"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 && col("op") === "U")
+      val windowed = snap.groupBy(col("vnow").as("version"))
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+      // the iterative merge chain — the way the log was actually written
+      val s3 = Seq(b1, b2, b3).foldLeft(base) { (acc, batch) =>
+        Upsert(acc, Upsert.latestPerKey(batch, Seq("k"), "v").drop("v"),
+          Seq("k"))
+      }
+      val foldStats = s3.agg(count(lit(1)).as("fn"),
+        sum("cents").as("fs"))
+      windowed.crossJoin(broadcast(foldStats))
+        .select(col("version"), col("n_rows"), col("sum_cents"),
+          (max(when(col("version") === 3,
+            (col("n_rows") === col("fn")) && (col("sum_cents") === col("fs"))))
+            .over(Window.partitionBy(lit(1))))
+            .as("fold_eq_window"))
+        .orderBy("version")
+    },
+
     // Exact equi-depth (equal-frequency) histogram — q06/q90 bin by WIDTH;
     // this bins by RANK: bucket = (global_rank · k) div N over the total
     // order (value, unique key). The global rank comes from
