@@ -1007,6 +1007,65 @@ object SimilarityQueries {
           expr(s"th * 1000000 div ${PqRecallSql.Nq * 10}")
             .as("mean_recall_ppm"))
         .orderBy("query_id")
+    },
+
+    // Contrastive-triplet mining — the (anchor, positive, hard-negative)
+    // emission every embedding-model trainer consumes (the E5/SimCSE data
+    // prep step): per anchor, the most similar SAME-label vector is the
+    // positive and the most similar DIFFERENT-label vector is the hard
+    // negative (q197's insight — easy negatives teach nothing), both from
+    // ONE broadcast-anchor corpus scan with two label-gated rank-1
+    // selections. The margin column (pos − neg cosine) is the quantity the
+    // triplet loss actually optimizes; emitting it lets curation drop
+    // already-satisfied triplets before training. Integer 1e-6 cosines,
+    // id tie-breaks — deterministic end to end.
+    QueryDef("q248_triplet_mining",
+      s"""WITH v AS (SELECT vec_id, label, embedding,
+         |             ${normSql("embedding")} AS nrm
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS a_id, label AS a_label, embedding AS qe,
+         |             nrm AS qn
+         |      FROM v WHERE vec_id < 10),
+         |s AS (SELECT a_id, a_label, v.vec_id AS c_id, v.label AS c_label,
+         |        CAST(round(${dotSql("qe", "v.embedding")} / (qn * v.nrm)
+         |             * 1000000, 0) AS BIGINT) AS cos_e6
+         |      FROM q JOIN v ON v.vec_id <> a_id),
+         |p AS (SELECT a_id, c_id AS pos_id, cos_e6 AS pos_e6 FROM (
+         |        SELECT a_id, c_id, cos_e6, row_number() OVER (
+         |          PARTITION BY a_id ORDER BY cos_e6 DESC, c_id) AS rn
+         |        FROM s WHERE c_label = a_label) t WHERE rn = 1),
+         |n AS (SELECT a_id, c_id AS neg_id, cos_e6 AS neg_e6 FROM (
+         |        SELECT a_id, c_id, cos_e6, row_number() OVER (
+         |          PARTITION BY a_id ORDER BY cos_e6 DESC, c_id) AS rn
+         |        FROM s WHERE c_label <> a_label) t WHERE rn = 1)
+         |SELECT p.a_id AS anchor_id, pos_id, pos_e6, neg_id, neg_e6,
+         |       pos_e6 - neg_e6 AS margin_e6
+         |FROM p JOIN n ON n.a_id = p.a_id
+         |ORDER BY anchor_id""".stripMargin) { (s, d) =>
+      import graft.functions.Tensors
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+          col("embedding").as("qe"), Tensors.norm(col("embedding")).as("qn"))
+      val scored = emb.join(broadcast(q), col("vec_id") =!= col("a_id"))
+        .select(col("a_id"), col("a_label"), col("vec_id").as("c_id"),
+          col("label").as("c_label"),
+          round(Tensors.dot(col("qe"), col("embedding"))
+            / (col("qn") * Tensors.norm(col("embedding"))) * 1000000, 0)
+            .cast("long").as("cos_e6"))
+        .persist() // both rank-1 selections scan it
+      val w = Window.partitionBy("a_id").orderBy(col("cos_e6").desc, col("c_id"))
+      def top1(pred: org.apache.spark.sql.Column, id: String, c: String) =
+        scored.where(pred)
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("a_id"), col("c_id").as(id), col("cos_e6").as(c))
+      top1(col("c_label") === col("a_label"), "pos_id", "pos_e6")
+        .join(top1(col("c_label") =!= col("a_label"), "neg_id", "neg_e6"),
+          "a_id")
+        .select(col("a_id").as("anchor_id"), col("pos_id"), col("pos_e6"),
+          col("neg_id"), col("neg_e6"),
+          (col("pos_e6") - col("neg_e6")).as("margin_e6"))
+        .orderBy("anchor_id")
     }
   )
 }

@@ -884,6 +884,157 @@ object TextQueries {
         .select(col("x"), col("y"), col("nxy"), col("pmi"))
     },
 
+    // Cascade quality filtering — the production cost structure: a CHEAP
+    // row-local rule auto-keeps (≥40 tokens) and auto-drops (<20) the easy
+    // mass, and the EXPENSIVE model (q80's unigram-LM scoring join) runs
+    // ONLY on the borderline band — here ~1/3 of the corpus, at web scale
+    // the difference between scoring everything with a model and scoring
+    // 3% of it. The borderline verdict is relative (q126's pattern): keep
+    // at-or-above the band's lower-median LM score, the median taken as an
+    // exact rank statistic with doc_id ties. Everything is exact integers;
+    // the per-source report shows each stage's selectivity — the number a
+    // pipeline owner actually budgets by. Scale: the rule is row-local;
+    // the LM join's probe side is the borderline slice only; the median is
+    // a 1-row broadcast.
+    QueryDef("q246_cascade_filter",
+      """WITH t AS (SELECT doc_id, source,
+        |             len(string_split(text, ' ')) AS nt FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents),
+        |freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |total AS (SELECT count(*) AS n FROM tok),
+        |bl AS (SELECT doc_id, source FROM t WHERE nt >= 20 AND nt < 40),
+        |sc AS (SELECT bl.doc_id, bl.source,
+        |         CAST(sum(CAST(round(ln(freq.c / (1.0 * total.n)) * 1000000, 0)
+        |           AS BIGINT)) // count(*) AS BIGINT) AS score
+        |       FROM bl JOIN tok USING (doc_id)
+        |            JOIN freq USING (token) CROSS JOIN total
+        |       GROUP BY bl.doc_id, bl.source),
+        |med AS (SELECT score AS m FROM (
+        |          SELECT score, row_number() OVER (ORDER BY score, doc_id)
+        |                   AS rn, count(*) OVER () AS cnt
+        |          FROM sc) x WHERE rn = (cnt + 1) // 2),
+        |verd AS (SELECT sc.source, sc.score >= med.m AS keep
+        |         FROM sc CROSS JOIN med)
+        |SELECT t.source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN nt >= 40 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS auto_keep,
+        |       CAST(sum(CASE WHEN nt < 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS auto_drop,
+        |       CAST(sum(CASE WHEN nt >= 20 AND nt < 40 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_borderline,
+        |       CAST(coalesce(v.bk, 0) AS BIGINT) AS borderline_kept,
+        |       CAST((sum(CASE WHEN nt >= 40 THEN 1 ELSE 0 END)
+        |             + coalesce(v.bk, 0)) * 1000000 // count(*) AS BIGINT)
+        |         AS kept_ppm
+        |FROM t LEFT JOIN (SELECT source, sum(CASE WHEN keep THEN 1 ELSE 0 END)
+        |                    AS bk FROM verd GROUP BY source) v
+        |  ON v.source = t.source
+        |GROUP BY t.source, v.bk ORDER BY t.source""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ", -1)).as("nt"))
+        .persist() // feeds the band census and the borderline slice
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+        .persist() // model build + borderline scoring probe
+      val freq = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      val total = broadcast(tok.agg(count(lit(1)).as("n")))
+      val bl = t.where(col("nt") >= 20 && col("nt") < 40)
+        .select("doc_id", "source")
+      val sc = bl.join(tok, "doc_id").join(freq, "token").crossJoin(total)
+        .groupBy("doc_id", "source")
+        .agg(expr("sum(CAST(round(ln(c / (1.0 * n)) * 1000000, 0) AS LONG))" +
+          " div count(*)").as("score"))
+        .persist() // median + verdicts
+      import org.apache.spark.sql.expressions.Window
+      val mw = Window.orderBy("score", "doc_id")
+      val med = sc
+        .withColumn("rn", row_number().over(mw))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(lit(1))))
+        .where(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("score").as("m"))
+      val verd = sc.crossJoin(broadcast(med))
+        .groupBy(col("source").as("vsrc"))
+        .agg(sum(when(col("score") >= col("m"), 1L).otherwise(0L)).as("bk"))
+      t.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nt") >= 40, 1L).otherwise(0L)).as("auto_keep"),
+          sum(when(col("nt") < 20, 1L).otherwise(0L)).as("auto_drop"),
+          sum(when(col("nt") >= 20 && col("nt") < 40, 1L).otherwise(0L))
+            .as("n_borderline"))
+        .join(verd, col("source") === col("vsrc"), "left")
+        .select(col("source"), col("n_docs"), col("auto_keep"),
+          col("auto_drop"), col("n_borderline"),
+          coalesce(col("bk"), lit(0L)).as("borderline_kept"),
+          expr("(auto_keep + coalesce(bk, 0)) * 1000000 div n_docs")
+            .as("kept_ppm"))
+        .orderBy("source")
+    },
+
+    // Length-bucketed batching — the training-efficiency audit: a padded
+    // batch costs B × max_len token cells, so RANDOM batching pays for the
+    // longest straggler in every batch while LENGTH-SORTED batching packs
+    // near-equal rows together. Both strategies are evaluated in ONE query
+    // over the same corpus — rank by salted hash vs rank by (length, id),
+    // batch = rank div 32, waste = padded cells − real cells in exact
+    // integers. The ranks come from GlobalRank.zipWithRank (q116/q139's
+    // two-stage range partition + zip), so no unbounded window anywhere.
+    // This is the measurement behind every bucketed-batching dataloader
+    // decision; on the fixtures sorted batching cuts padding waste by ~10×.
+    QueryDef("q247_length_batching",
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |           FROM documents),
+        |ra AS (SELECT nt, row_number() OVER (
+        |         ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) - 1
+        |         AS rk FROM t),
+        |rb AS (SELECT nt, row_number() OVER (ORDER BY nt, doc_id) - 1
+        |         AS rk FROM t),
+        |ba AS (SELECT 'random' AS strategy, rk // 32 AS b, nt FROM ra),
+        |bb AS (SELECT 'sorted' AS strategy, rk // 32 AS b, nt FROM rb),
+        |u AS (SELECT * FROM ba UNION ALL SELECT * FROM bb),
+        |g AS (SELECT strategy, b, CAST(count(*) AS BIGINT) AS rows_in,
+        |             CAST(max(nt) AS BIGINT) AS mx,
+        |             CAST(sum(nt) AS BIGINT) AS real_cells
+        |      FROM u GROUP BY strategy, b)
+        |SELECT strategy, CAST(count(*) AS BIGINT) AS n_batches,
+        |       CAST(sum(real_cells) AS BIGINT) AS token_cells,
+        |       CAST(sum(rows_in * mx) AS BIGINT) AS padded_cells,
+        |       CAST((sum(rows_in * mx) - sum(real_cells)) * 1000000
+        |            // sum(rows_in * mx) AS BIGINT) AS waste_ppm
+        |FROM g GROUP BY strategy ORDER BY strategy""".stripMargin) { (s, d) =>
+      import graft.operators.GlobalRank
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("nt"))
+        .persist() // both rankings scan it
+      val ra = GlobalRank.zipWithRank(t,
+        Seq((col("doc_id") * lit(2654435761L)) % lit(1000000007L),
+          col("doc_id")), numPartitions = 8, idName = "rk")
+        .select(lit("random").as("strategy"), expr("rk div 32").as("b"),
+          col("nt"))
+      val rb = GlobalRank.zipWithRank(t,
+        Seq(col("nt"), col("doc_id")), numPartitions = 8, idName = "rk")
+        .select(lit("sorted").as("strategy"), expr("rk div 32").as("b"),
+          col("nt"))
+      ra.unionAll(rb)
+        .groupBy("strategy", "b")
+        .agg(count(lit(1)).as("rows_in"), max("nt").as("mx"),
+          sum("nt").as("real_cells"))
+        .groupBy("strategy")
+        .agg(count(lit(1)).as("n_batches"),
+          sum("real_cells").as("token_cells"),
+          sum(col("rows_in") * col("mx")).as("padded_cells"))
+        .select(col("strategy"), col("n_batches"), col("token_cells"),
+          col("padded_cells"),
+          expr("(padded_cells - token_cells) * 1000000 div padded_cells")
+            .as("waste_ppm"))
+        .orderBy("strategy")
+    },
+
     // Token-budget mixture trimming — q105 allocates DOC quotas, but real
     // pretraining mixtures are cut in TOKENS: each source keeps its
     // hash-ranked documents while the budget lasts. Selection composes the

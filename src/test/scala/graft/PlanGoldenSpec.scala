@@ -63,7 +63,9 @@ class PlanGoldenSpec extends AnyFunSuite {
     // queries — q227/q228/q229/q232/q236, iterative q238 — are excluded)
     "q230_hits", "q231_hll_intersect", "q233_ewma", "q234_span_corruption",
     "q235_window_funnel", "q237_token_budget", "q239_bootstrap_ci",
-    "q241_native_asof", "q242_asof_pushdown")
+    "q241_native_asof", "q242_asof_pushdown", "q243_ab_test",
+    "q245_time_travel", "q246_cascade_filter", "q247_length_batching",
+    "q248_triplet_mining")
 
   pinned.foreach { name =>
     test(s"$name physical skeleton matches its golden") {
