@@ -543,6 +543,117 @@ object MlQueries {
     // per-label projection mass onto the top principal direction + the
     // Rayleigh quotient — the "does one direction separate my classes"
     // diagnostic, with eigenvector sign pinned by the e₁ start.
+    // Dataset cartography (Swayamdipta et al. 2020) — the training-dynamics
+    // data map: each example's CONFIDENCE (mean probability assigned to its
+    // true class across training checkpoints) and VARIABILITY (spread of
+    // that probability) locate it as easy-to-learn / ambiguous / hard —
+    // the signal used to prune easy mass and surface label noise. The
+    // checkpoints are a deterministic-GD trajectory on a LEARNABLE task
+    // (quantity > 25 with quantity/50 among the features, lr 50 — see
+    // CartographySql for why q103's task would collapse the map):
+    // refitting with iters = 1, 2, 3 replays exact prefixes of one
+    // trajectory (snap-9 weights, integer-quantized gradients), so
+    // w₁/w₂/w₃ are replayable constants the oracle re-derives with the
+    // same unrolled chain — every intermediate weight visible. Per-example
+    // probabilities quantize to integer 1e-6; confidence is an integer
+    // mean and variability the EXACT integer dispersion 3Σx² − (Σx)² — no
+    // float crosses a row. Scale: scoring is three literal-weight
+    // row-local sigmoids in one pass; the fits are k × the q103 aggregate.
+    QueryDef("q251_cartography", CartographySql.sql) { (s, d) =>
+      import graft.operators.LogisticGD
+      val li = Tables.lineitem(s, d)
+      val f = Seq(col("l_discount") * 10, col("l_quantity") / 50.0)
+      val y = when(col("l_quantity") > 25, 1.0).otherwise(0.0)
+      val ws = (1 to 3).map(k =>
+        LogisticGD.fit(li, f, y, lr = CartographySql.Lr, iters = k))
+      def p(wk: LogisticGD.Weights) = {
+        val z = lit(wk.bias) + f(0) * lit(wk.w(0)) + f(1) * lit(wk.w(1))
+        round((lit(1.0) / (lit(1.0) + exp(-z))) * 1000000, 0).cast("long")
+      }
+      val sc = li.select(y.as("y"),
+        p(ws(0)).as("p1"), p(ws(1)).as("p2"), p(ws(2)).as("p3"))
+      def tc(pc: String) = when(col("y") === 1.0, col(pc))
+        .otherwise(lit(1000000L) - col(pc))
+      val r = sc
+        .select(tc("p1").as("x1"), tc("p2").as("x2"), tc("p3").as("x3"))
+        .select(expr("(x1 + x2 + x3) div 3").as("conf_e6"),
+          (lit(3L) * (col("x1") * col("x1") + col("x2") * col("x2")
+            + col("x3") * col("x3"))
+            - (col("x1") + col("x2") + col("x3"))
+              * (col("x1") + col("x2") + col("x3"))).as("varx"))
+      val region = when(col("conf_e6") >= 600000, "easy")
+        .when(col("conf_e6") <= 400000, "hard")
+        .otherwise("ambiguous")
+      r.groupBy(region.as("region"))
+        .agg(count(lit(1)).as("n_examples"),
+          expr("sum(conf_e6) div count(*)").as("mean_conf_e6"),
+          expr("sum(varx) div count(*)").as("mean_varx"))
+        .orderBy("region")
+    },
+
+    // Decile lift table — how every ranking-model filter gets judged in
+    // production: rank the corpus by the classifier score, cut into ten
+    // equal-frequency bins (q139's (rank·10) div n rule via GlobalRank, no
+    // unbounded window), and report per-decile positive rate plus
+    // cumulative lift over the base rate — the table behind "the top 10%
+    // of the score captures 2.3× its share of positives". Score/label are
+    // q218's literal sigmoid and parity label, so the three eval query
+    // families (AUC / calibration / lift) grade the SAME model. Exact
+    // integer ppm throughout; the cumulative window runs over ten rows.
+    QueryDef("q250_decile_lift",
+      """WITH s AS (
+        |  SELECT vec_id,
+        |         CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos,
+        |         CAST(round(1 / (1 + exp(-(-0.2
+        |           + CAST(embedding[1] AS DOUBLE) * 1.5
+        |           - CAST(embedding[2] AS DOUBLE) * 0.8
+        |           + CAST(embedding[3] AS DOUBLE) * 0.5
+        |           - CAST(embedding[4] AS DOUBLE) * 1.1))) * 1000000, 0)
+        |           AS BIGINT) AS p_e6
+        |  FROM embeddings),
+        |t AS (SELECT count(*) AS n, CAST(sum(pos) AS BIGINT) AS np FROM s),
+        |r AS (SELECT pos,
+        |        row_number() OVER (ORDER BY p_e6 DESC, vec_id) - 1 AS rk
+        |      FROM s),
+        |g AS (SELECT (rk * 10) // n AS decile,
+        |             CAST(count(*) AS BIGINT) AS n_rows,
+        |             CAST(sum(pos) AS BIGINT) AS n_pos
+        |      FROM r, t GROUP BY 1),
+        |c AS (SELECT decile, n_rows, n_pos,
+        |        CAST(sum(n_rows) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+        |        CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+        |      FROM g)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_rows, n_pos,
+        |       CAST(n_pos * 1000000 // n_rows AS BIGINT) AS pos_rate_ppm,
+        |       CAST(cum_pos * t.n * 1000000 // (cum_n * t.np) AS BIGINT)
+        |         AS cum_lift_ppm
+        |FROM c, t ORDER BY decile""".stripMargin) { (s, d) =>
+      import graft.operators.GlobalRank
+      import org.apache.spark.sql.expressions.Window
+      def e(i: Int) = element_at(col("embedding"), i).cast("double")
+      val z = lit(-0.2) + e(1) * 1.5 - e(2) * 0.8 + e(3) * 0.5 - e(4) * 1.1
+      val sRel = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          when(col("label") % 2 === 0, 1L).otherwise(0L).as("pos"),
+          round((lit(1) / (lit(1) + exp(-z))) * 1000000, 0).cast("long")
+            .as("p_e6"))
+      val t = sRel.agg(count(lit(1)).as("n"), sum("pos").as("np"))
+      val ranked = GlobalRank.zipWithRank(sRel,
+        Seq(col("p_e6").desc, col("vec_id")), numPartitions = 8, idName = "rk")
+      val g = ranked.crossJoin(broadcast(t))
+        .groupBy(expr("(rk * 10) div n").as("decile"))
+        .agg(count(lit(1)).as("n_rows"), sum("pos").as("n_pos"))
+      val w = Window.orderBy("decile")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum_n", sum("n_rows").over(w))
+        .withColumn("cum_pos", sum("n_pos").over(w))
+        .crossJoin(broadcast(t))
+        .select(col("decile"), col("n_rows"), col("n_pos"),
+          expr("n_pos * 1000000 div n_rows").as("pos_rate_ppm"),
+          expr("cum_pos * n * 1000000 div (cum_n * np)").as("cum_lift_ppm"))
+        .orderBy("decile")
+    },
+
     QueryDef("q229_pca_power", PcaSql.sql) { (s, d) =>
       import graft.operators.{PowerIteration, RandomProjection}
       val k = PcaSql.K
@@ -951,8 +1062,12 @@ private object LrGdSql {
        |       FROM $w, $g, nn)""".stripMargin
   }
 
-  val sql: String =
-    s"""WITH d AS (SELECT l_discount * 10 AS f0, l_quantity / 50.0 AS f1,
+  /** The shared unrolled chain `d, nn, w_0 … w_3` — q103's trajectory with
+    * EVERY intermediate weight vector visible (q251 scores examples under
+    * w_1/w_2/w_3; q103 reads only the final w_3).
+    */
+  private[queries] val chain3: String =
+    s"""d AS (SELECT l_discount * 10 AS f0, l_quantity / 50.0 AS f1,
        |                  CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END AS y
        |           FROM lineitem),
        |nn AS (SELECT count(*) AS n FROM d),
@@ -962,7 +1077,10 @@ private object LrGdSql {
        |${gradCte("g_2", "w_1")},
        |${updCte("w_2", "w_1", "g_2")},
        |${gradCte("g_3", "w_2")},
-       |${updCte("w_3", "w_2", "g_3")}
+       |${updCte("w_3", "w_2", "g_3")}""".stripMargin
+
+  val sql: String =
+    s"""WITH $chain3
        |SELECT param, value FROM (
        |  SELECT 'bias' AS param, b AS value FROM w_3
        |  UNION ALL SELECT 'w0', c0 FROM w_3
@@ -992,6 +1110,81 @@ private object LrGdSql {
   * (the assignment against the final centroids — same contract as
   * [[graft.operators.KMeans.fit]]).
   */
+/** q251 oracle: the q103 trajectory chain with scoring under every
+  * intermediate weight vector, true-class probability transform, exact
+  * integer confidence/dispersion, and the region census.
+  */
+private object CartographySql {
+  /** q251 trains its OWN problem — q103's label (linestatus) is
+    * feature-independent, which collapses every example to conf ≈ 0.5 and
+    * the whole map to one region. Here the label IS learnable (quantity >
+    * 25 with quantity/50 a feature) and lr = 50 makes the 3-round
+    * trajectory actually traverse the map: the early rounds overshoot, so
+    * boundary examples oscillate (ambiguous), aligned examples saturate
+    * (easy), and examples the early bias misclassifies stay low (hard) —
+    * 2989 / 1339 / 1672 at sf0.001.
+    */
+  val Lr = 50.0
+
+  private def sig(w: String) = s"1/(1+exp(-($w.b + $w.c0*f0 + $w.c1*f1)))"
+
+  private def gradCte(g: String, w: String) = {
+    def term(mult: String) =
+      s"CAST(sum(CAST(round((${sig(w)} - y)$mult * 1000000, 0) AS BIGINT)) AS BIGINT)"
+    s"""$g AS (SELECT ${term("")} AS gb,
+       |             ${term(" * f0")} AS g0,
+       |             ${term(" * f1")} AS g1
+       |      FROM d, $w)""".stripMargin
+  }
+
+  private def updCte(wN: String, w: String, g: String) = {
+    def upd(old: String, s: String) =
+      s"round($w.$old - $Lr * (CAST($g.$s AS DOUBLE) / 1000000 / nn.n), 9)"
+    s"""$wN AS (SELECT ${upd("b", "gb")} AS b, ${upd("c0", "g0")} AS c0,
+       |              ${upd("c1", "g1")} AS c1
+       |       FROM $w, $g, nn)""".stripMargin
+  }
+
+  private val chain: String =
+    s"""d AS (SELECT l_discount * 10 AS f0, l_quantity / 50.0 AS f1,
+       |                  CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS y
+       |           FROM lineitem),
+       |nn AS (SELECT count(*) AS n FROM d),
+       |w_0 AS (SELECT 0.0 AS b, 0.0 AS c0, 0.0 AS c1),
+       |${gradCte("g_1", "w_0")},
+       |${updCte("w_1", "w_0", "g_1")},
+       |${gradCte("g_2", "w_1")},
+       |${updCte("w_2", "w_1", "g_2")},
+       |${gradCte("g_3", "w_2")},
+       |${updCte("w_3", "w_2", "g_3")}""".stripMargin
+
+  private def pSig(w: String) =
+    s"CAST(round((${sig(w)}) * 1000000, 0) AS BIGINT)"
+
+  val sql: String =
+    s"""WITH $chain,
+       |sc AS (SELECT d.y, ${pSig("w_1")} AS p1, ${pSig("w_2")} AS p2,
+       |              ${pSig("w_3")} AS p3
+       |       FROM d, w_1, w_2, w_3),
+       |tc AS (SELECT
+       |         CASE WHEN y = 1.0 THEN p1 ELSE 1000000 - p1 END AS x1,
+       |         CASE WHEN y = 1.0 THEN p2 ELSE 1000000 - p2 END AS x2,
+       |         CASE WHEN y = 1.0 THEN p3 ELSE 1000000 - p3 END AS x3
+       |       FROM sc),
+       |r AS (SELECT (x1 + x2 + x3) // 3 AS conf_e6,
+       |             3 * (x1*x1 + x2*x2 + x3*x3)
+       |               - (x1 + x2 + x3) * (x1 + x2 + x3) AS varx
+       |      FROM tc),
+       |g AS (SELECT CASE WHEN conf_e6 >= 600000 THEN 'easy'
+       |                  WHEN conf_e6 <= 400000 THEN 'hard'
+       |                  ELSE 'ambiguous' END AS region, conf_e6, varx
+       |      FROM r)
+       |SELECT region, CAST(count(*) AS BIGINT) AS n_examples,
+       |       CAST(sum(conf_e6) // count(*) AS BIGINT) AS mean_conf_e6,
+       |       CAST(sum(varx) // count(*) AS BIGINT) AS mean_varx
+       |FROM g GROUP BY region ORDER BY region""".stripMargin
+}
+
 private[queries] object KMeansSql {
   private val dim = SimilarityQueries.Dim
 

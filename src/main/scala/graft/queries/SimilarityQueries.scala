@@ -1066,6 +1066,79 @@ object SimilarityQueries {
           col("neg_id"), col("neg_e6"),
           (col("pos_e6") - col("neg_e6")).as("margin_e6"))
         .orderBy("anchor_id")
+    },
+
+    // k-NN classifier evaluation — leave-one-out accuracy of the simplest
+    // embedding classifier: each of 50 held-out queries takes its 5
+    // nearest corpus neighbors (self excluded) and votes by majority label
+    // (ties to the smallest label — raw k-NN's coin-flip ties would be
+    // irreproducible). One broadcast-query corpus scan, one top-5 window,
+    // one vote census; the corpus-level accuracy lands in every row as
+    // exact ppm. This closes the embedding-eval loop the catalog grades
+    // models by: recall (q200 ladder), confusability (q216), and now
+    // end-task accuracy.
+    QueryDef("q249_knn_eval",
+      s"""WITH v AS (SELECT vec_id, label, embedding,
+         |             ${normSql("embedding")} AS nrm
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS t_label, embedding AS qe,
+         |             nrm AS qn
+         |      FROM v WHERE vec_id < 50),
+         |s AS (SELECT q_id, t_label, v.vec_id AS c_id, v.label AS c_label,
+         |        CAST(round(${dotSql("qe", "v.embedding")} / (qn * v.nrm)
+         |             * 1000000, 0) AS BIGINT) AS cos_e6
+         |      FROM q JOIN v ON v.vec_id <> q_id),
+         |k5 AS (SELECT q_id, t_label, c_label FROM (
+         |         SELECT q_id, t_label, c_label, cos_e6,
+         |                row_number() OVER (PARTITION BY q_id
+         |                  ORDER BY cos_e6 DESC, c_id) AS rn
+         |         FROM s) t WHERE rn <= 5),
+         |votes AS (SELECT q_id, t_label, c_label,
+         |                 CAST(count(*) AS BIGINT) AS nv
+         |          FROM k5 GROUP BY q_id, t_label, c_label),
+         |pred AS (SELECT q_id, t_label, c_label AS p_label FROM (
+         |           SELECT q_id, t_label, c_label, nv,
+         |                  row_number() OVER (PARTITION BY q_id
+         |                    ORDER BY nv DESC, c_label) AS rn
+         |           FROM votes) t WHERE rn = 1),
+         |acc AS (SELECT CAST(sum(CASE WHEN t_label = p_label THEN 1
+         |                        ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         |          AS acc_ppm
+         |        FROM pred)
+         |SELECT q_id AS query_id, CAST(t_label AS BIGINT) AS true_label,
+         |       CAST(p_label AS BIGINT) AS pred_label,
+         |       t_label = p_label AS correct, acc.acc_ppm
+         |FROM pred, acc ORDER BY query_id""".stripMargin) { (s, d) =>
+      import graft.functions.Tensors
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("label").as("t_label"),
+          col("embedding").as("qe"), Tensors.norm(col("embedding")).as("qn"))
+      val scored = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("t_label"), col("vec_id").as("c_id"),
+          col("label").as("c_label"),
+          round(Tensors.dot(col("qe"), col("embedding"))
+            / (col("qn") * Tensors.norm(col("embedding"))) * 1000000, 0)
+            .cast("long").as("cos_e6"))
+      val kw = Window.partitionBy("q_id").orderBy(col("cos_e6").desc, col("c_id"))
+      val k5 = scored.withColumn("rn", row_number().over(kw))
+        .where(col("rn") <= 5).select("q_id", "t_label", "c_label")
+      val votes = k5.groupBy("q_id", "t_label", "c_label")
+        .agg(count(lit(1)).as("nv"))
+      val vw = Window.partitionBy("q_id").orderBy(col("nv").desc, col("c_label"))
+      val pred = votes.withColumn("rn", row_number().over(vw))
+        .where(col("rn") === 1)
+        .select(col("q_id"), col("t_label"), col("c_label").as("p_label"))
+        .persist() // per-query rows + the accuracy census
+      val acc = pred.agg(
+        expr("sum(CASE WHEN t_label = p_label THEN 1 ELSE 0 END)" +
+          " * 1000000 div count(*)").as("acc_ppm"))
+      pred.crossJoin(broadcast(acc))
+        .select(col("q_id").as("query_id"),
+          col("t_label").cast("long").as("true_label"),
+          col("p_label").cast("long").as("pred_label"),
+          (col("t_label") === col("p_label")).as("correct"), col("acc_ppm"))
+        .orderBy("query_id")
     }
   )
 }
