@@ -1139,6 +1139,90 @@ object SimilarityQueries {
           col("p_label").cast("long").as("pred_label"),
           (col("t_label") === col("p_label")).as("correct"), col("acc_ppm"))
         .orderBy("query_id")
+    },
+
+    // Index persistence — the ANN index LIFECYCLE: a real deployment
+    // trains codebooks once, persists codebooks + codes as tables, and
+    // serves queries from the RELOADED artifacts. This query runs both
+    // paths — in-memory (q125's fit→encode→ADC→re-rank) and
+    // persist-to-parquet→reload→rebuild-Codebooks→same search — and
+    // asserts they pick IDENTICAL neighbors (reload_eq): doubles round-trip
+    // parquet bit-exactly and codes are integers, so any divergence means
+    // the persistence layer corrupted the index. Contract columns are
+    // q125's exact-anchor pattern (oracle replays the exact 10th-neighbor
+    // distance; recall and reload parity assert as booleans). Scale: the
+    // codebook table is O(m·ksub·sub) rows, codes are the corpus-sized
+    // integer relation — exactly what you'd store; search cost unchanged.
+    QueryDef("q253_index_persistence", {
+      // q125's oracle with the added reload-parity contract column
+      val base = PqAnnSql.sql
+        .replace("TRUE AS recall_ok", "TRUE AS recall_ok, TRUE AS reload_eq")
+      require(base.contains("reload_eq"), "oracle surgery failed")
+      base
+    }) { (s, d) =>
+      import graft.functions.Tensors
+      import graft.operators.Pq
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val cb = Pq.fit(emb, "vec_id", "embedding", Dim,
+        m = PqAnnSql.M, ksub = PqAnnSql.Ksub, iters = 1)
+      val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+      val dir = s"/tmp/graft_pq_index_${math.abs(d.hashCode.toLong)}"
+      val cbRows = for {
+        s0 <- 0 until cb.m; w <- 0 until cb.ksub
+      } yield (s0, w, cb.words(s0)(w))
+      cbRows.toDF("s", "w", "vals")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      val loaded = s.read.parquet(s"$dir/codebook").collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toIndexedSeq))
+        .toMap
+      val cb2 = Pq.Codebooks(Dim, PqAnnSql.M, PqAnnSql.Ksub,
+        IndexedSeq.tabulate(PqAnnSql.M)(s0 =>
+          IndexedSeq.tabulate(PqAnnSql.Ksub)(w => loaded((s0, w)))))
+      val codes2 = s.read.parquet(s"$dir/codes")
+      val queries = emb.where(col("vec_id") < PqAnnSql.Nq)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      val qdf = queries.toDF("qid", "qv")
+      def top10(cbX: Pq.Codebooks, codesX: org.apache.spark.sql.DataFrame) =
+        Pq.rerank(
+          Pq.adcTopK(codesX, Pq.adcTables(s, queries, cbX),
+            k = PqAnnSql.Shortlist, excludeSelf = true),
+          emb, "vec_id", "embedding", qdf, 10)
+          .select(col("query_id"), col("neighbor_id"))
+      val r1 = top10(cb, codes)
+      val r2 = top10(cb2, codes2).withColumnsRenamed(
+        Map("query_id" -> "q2", "neighbor_id" -> "n2"))
+      val mismatches = r1.join(r2,
+          col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+          "full_outer")
+        .where(col("query_id").isNull || col("q2").isNull)
+        .agg(count(lit(1)).as("bad"))
+      val exact = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+        .crossJoin(broadcast(qdf))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Tensors.distSq(col("x"), col("qv")), 6).as("d2"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
+        .where(col("rank") <= 10)
+        .persist() // anchor + recall join
+      val d10 = exact.where(col("rank") === 10)
+        .select(col("qid").as("query_id"), col("d2").as("exact_d10"))
+      val hits = r2.join(
+          exact.select(col("qid").as("q2"), col("vec_id").as("n2")),
+          Seq("q2", "n2"))
+        .groupBy(col("q2").as("query_id")).agg(count(lit(1)).as("n_hit"))
+      d10.join(hits, Seq("query_id"), "left")
+        .crossJoin(broadcast(mismatches))
+        .select(col("query_id"), col("exact_d10"),
+          (coalesce(col("n_hit"), lit(0L)) >= PqAnnSql.MinRecall10)
+            .as("recall_ok"),
+          (col("bad") === 0).as("reload_eq"))
+        .orderBy("query_id")
     }
   )
 }

@@ -386,6 +386,65 @@ object SourceQueries {
         .orderBy("key")
     },
 
+    // Cross-container transcode — the shard-migration job every multimodal
+    // corpus eventually runs (WebDataset tars in, TFRecord shards out):
+    // samples decode from the tar fixture through the REAL PPM kernel,
+    // re-serialize as tf.train.Examples (id + a 5-slot feature vector of
+    // decoded image statistics + the caption as bytes), land as
+    // partition-per-shard TFRecords through the verifying writer, and come
+    // back through the proto reader. The oracle replays the ORIGINAL pixel
+    // arithmetic (q173's contract), so the transcode must be
+    // information-preserving across TWO container formats and one codec —
+    // a wrong varint, CRC, tar offset, or channel sum anywhere in the
+    // chain is a hash mismatch. Scale: decode/encode are row-local; shard
+    // count = partition count on both sides.
+    QueryDef("q252_transcode",
+      s"""WITH dims AS (SELECT gid, 8 + (gid % 3) * 4 AS w, 6 + (gid % 2) * 4 AS h
+         |              FROM (SELECT unnest(range(0, 16)) AS gid)),
+         |px AS (SELECT gid, w, h, unnest(range(0, w * h * 3)) AS f FROM dims),
+         |v AS (SELECT gid, w, h, f % 3 AS ch,
+         |             (f * ${graft.functions.Hashes.Mult} + 149 * gid) % 256 AS p
+         |      FROM px)
+         |SELECT lpad(CAST(gid AS VARCHAR), 6, '0') AS key,
+         |       CAST(max(w) AS INTEGER) AS width,
+         |       CAST(max(h) AS INTEGER) AS height,
+         |       CAST(sum(CASE WHEN ch = 0 THEN p END) AS BIGINT) AS sum_r,
+         |       CAST(sum(CASE WHEN ch = 1 THEN p END) AS BIGINT) AS sum_g,
+         |       CAST(sum(CASE WHEN ch = 2 THEN p END) AS BIGINT) AS sum_b,
+         |       'caption ' || CAST(gid AS VARCHAR) || ' '
+         |         || CAST((gid * 7) % 100 AS VARCHAR) AS txt
+         |FROM v GROUP BY gid ORDER BY key""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val dir = tmp("transcode", d)
+      val samples = graft.sources.WebDatasetIngest
+        .scanSamples(s, ContainerFixtures.dir("webdataset"), "*.tar")
+        .as[(String, String, Array[Byte], String)]
+        .map { case (_, key, image, txt) =>
+          val img = graft.operators.MediaCodecs.decodePpm(image)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var i = 0
+          while (i < img.pixels.length) {
+            sr += img.pixels(i) & 0xff
+            sg += img.pixels(i + 1) & 0xff
+            sb += img.pixels(i + 2) & 0xff
+            i += 3
+          }
+          (key.toLong,
+            Seq(img.width.toLong, img.height.toLong, sr, sg, sb), txt)
+        }
+        .toDF("id", "xs", "txt")
+      graft.sources.TfRecordIngest.writeExamples(samples.repartition(2), dir)
+      graft.sources.TfRecordIngest.scanExamples(s, dir, "*.tfrecord")
+        .select(lpad(col("id").cast("string"), 6, "0").as("key"),
+          element_at(col("xs"), 1).cast("int").as("width"),
+          element_at(col("xs"), 2).cast("int").as("height"),
+          element_at(col("xs"), 3).as("sum_r"),
+          element_at(col("xs"), 4).as("sum_g"),
+          element_at(col("xs"), 5).as("sum_b"),
+          col("txt"))
+        .orderBy("key")
+    },
+
     // Arrow IPC stream scan (sources/ArrowIngest): the in-memory columnar
     // standard's wire format, decoded with the Arrow Java libraries Spark
     // itself ships (no new dependency). Batches iterate within a stream,
