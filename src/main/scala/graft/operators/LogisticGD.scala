@@ -37,9 +37,19 @@ object LogisticGD {
     * @return weights after `iters` full-batch rounds from zero init
     */
   def fit(df: DataFrame, features: Seq[Column], label: Column,
-          lr: Double, iters: Int): Weights = {
+          lr: Double, iters: Int): Weights =
+    fitTrajectory(df, features, label, lr, iters).last
+
+  /** The full training trajectory: weights after EVERY round (element k =
+    * the `iters = k+1` fit — prefixes of one deterministic trajectory).
+    * One aggregate pass per round; q251's cartography consumes all
+    * checkpoints of one call instead of refitting per k.
+    */
+  def fitTrajectory(df: DataFrame, features: Seq[Column], label: Column,
+                    lr: Double, iters: Int): Seq[Weights] = {
     var b = 0.0
     var w = Vector.fill(features.size)(0.0)
+    val out = Vector.newBuilder[Weights]
     for (_ <- 0 until iters) {
       val z = features.zip(w).foldLeft(lit(b): Column) {
         case (acc, (f, wi)) => acc + f * lit(wi)
@@ -55,7 +65,8 @@ object LogisticGD {
         snap9(old - lr * (s.toDouble / 1000000.0 / n.toDouble))
       b = upd(b, row.getLong(0))
       w = w.indices.map(i => upd(w(i), row.getLong(i + 1))).toVector
+      out += Weights(b, w)
     }
-    Weights(b, w)
+    out.result()
   }
 }

@@ -516,6 +516,105 @@ object EventQueries {
         .orderBy("day")
     },
 
+    // Event-time TIMERS — the last transformWithState capability (q236
+    // ValueState, q244 MapState): a session machine whose "session closed"
+    // signal is the WATERMARK passing a re-registered timer at
+    // (last event + gap), flushing the ListState buffer as sorted,
+    // gap-split sessions. Determinism engineering: the landing files are
+    // RANGE-PARTITIONED by time with explicitly ascending mtimes (the file
+    // source schedules oldest-mtime-first), so batches arrive in global
+    // event-time order — a timer firing then PROVES its sessions can never
+    // be extended, because any later event is beyond the fired range. The
+    // comparison set is bounded away from the stream's tail: sessions
+    // ending within (gap + watermark delay) of the corpus max may or may
+    // not have flushed when AvailableNow drains, so BOTH engines restrict
+    // to end < max − 40 min (gap 30 + delay 10) — the oracle is q28's
+    // lag+cumsum sessionization in integer milliseconds under the same
+    // cutoff, row for row against the TIMER-EMITTED sessions.
+    QueryDef("q254_timer_sessions",
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events
+        |           WHERE user_id < 20),
+        |mx AS (SELECT max(ms) AS m FROM e),
+        |l AS (SELECT user_id, ms,
+        |        lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS pms
+        |      FROM e),
+        |g AS (SELECT user_id, ms,
+        |        CASE WHEN pms IS NULL OR ms - pms > 1800000 THEN 1 ELSE 0 END
+        |          AS brk
+        |      FROM l),
+        |s AS (SELECT user_id, ms,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ms) AS sid
+        |      FROM g),
+        |ses AS (SELECT user_id, CAST(min(ms) AS BIGINT) AS start_ms,
+        |               CAST(max(ms) AS BIGINT) AS end_ms,
+        |               CAST(count(*) AS BIGINT) AS n_events
+        |        FROM s GROUP BY user_id, sid)
+        |SELECT user_id, start_ms, end_ms, n_events
+        |FROM ses, mx WHERE end_ms < mx.m - 2400000
+        |ORDER BY user_id, start_ms""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+      import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
+      import graft.streaming.StatefulStreams
+      val gapMs = 1800000L
+      val cutMs = gapMs + 600000L
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_timer_q_").toFile
+      sys.addShutdownHook(rmrf(root))
+      val e = Tables.events(s, d).where(col("user_id") < 20)
+        .select(col("user_id"), col("ts"))
+      e.repartitionByRange(4, col("ts"))
+        .write.parquet(s"$root/landing")
+      // the file source schedules by modification time: force ascending
+      // mtimes in lexicographic (= time-range) part order so batches
+      // arrive in global event-time order
+      val parts = new java.io.File(s"$root/landing").listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1500000000000L + i * 60000L): Unit
+      }
+      val prev =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        StatefulStreams.RocksDbProvider)
+      try {
+        val stream = s.readStream
+          .schema(new StructType()
+            .add("user_id", LongType).add("ts", TimestampType))
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
+          .withWatermark("ts", "10 minutes")
+          .as[(Long, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .transformWithState(new StatefulStreams.TimerSessions(gapMs),
+            TimeMode.EventTime(), OutputMode.Append())
+        val memName = root.getName
+        val q = stream.toDF("user_id", "start_ms", "end_ms", "n_events")
+          .writeStream.outputMode("append").format("memory")
+          .queryName(memName)
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val mx = e.agg(expr("max(unix_millis(ts))").as("m"))
+        s.table(memName)
+          .crossJoin(broadcast(mx))
+          .where(col("end_ms") < col("m") - cutMs)
+          .select("user_id", "start_ms", "end_ms", "n_events")
+          .orderBy("user_id", "start_ms")
+      } finally {
+        prev match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    },
+
     // A/B-test analyzer — the two-proportion z-test every experimentation
     // platform runs: users split into arms by the salted hash (the
     // assignment IS part of the contract — never an RNG), conversion =

@@ -551,8 +551,8 @@ object MlQueries {
     // checkpoints are a deterministic-GD trajectory on a LEARNABLE task
     // (quantity > 25 with quantity/50 among the features, lr 50 — see
     // CartographySql for why q103's task would collapse the map):
-    // refitting with iters = 1, 2, 3 replays exact prefixes of one
-    // trajectory (snap-9 weights, integer-quantized gradients), so
+    // LogisticGD.fitTrajectory exposes every round's weights from ONE fit
+    // (snap-9 weights, integer-quantized gradients — deterministic), so
     // w₁/w₂/w₃ are replayable constants the oracle re-derives with the
     // same unrolled chain — every intermediate weight visible. Per-example
     // probabilities quantize to integer 1e-6; confidence is an integer
@@ -564,8 +564,8 @@ object MlQueries {
       val li = Tables.lineitem(s, d)
       val f = Seq(col("l_discount") * 10, col("l_quantity") / 50.0)
       val y = when(col("l_quantity") > 25, 1.0).otherwise(0.0)
-      val ws = (1 to 3).map(k =>
-        LogisticGD.fit(li, f, y, lr = CartographySql.Lr, iters = k))
+      val ws = LogisticGD.fitTrajectory(li, f, y,
+        lr = CartographySql.Lr, iters = 3)
       def p(wk: LogisticGD.Weights) = {
         val z = lit(wk.bias) + f(0) * lit(wk.w(0)) + f(1) * lit(wk.w(1))
         round((lit(1.0) / (lit(1.0) + exp(-z))) * 1000000, 0).cast("long")

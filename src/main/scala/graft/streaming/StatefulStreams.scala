@@ -28,6 +28,87 @@ object StatefulStreams {
     * is the final state, recoverable downstream as max(n) since n is
     * monotone.
     */
+  /** Event-time-TIMER session machine — the full transformWithState
+    * surface: ListState buffers a user's event times, and a single
+    * re-registered event-time timer at (buffered max + gap) flushes when
+    * the WATERMARK passes it — the watermark-driven "session closed"
+    * signal no batch operator has. On fire, the buffer is sorted and
+    * sessionized by the gap rule (the buffer may legitimately hold several
+    * closed sessions if one batch spanned more than a gap), emitted, and
+    * cleared; a new arrival always re-registers the timer later, so a
+    * firing timer PROVES no future event can extend the flushed sessions —
+    * provided batches arrive in event-time-range order, which the q254
+    * harness enforces with range-partitioned landing files and explicit
+    * ascending mtimes (the file source schedules by modification time).
+    */
+  class TimerSessions(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp),
+        (Long, Long, Long, Long)] {
+    @transient private var buf: ListState[Long] = _
+    @transient private var tmr: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[Long]("buf", Encoders.scalaLong, TTLConfig.NONE)
+      tmr = getHandle.getValueState[Long]("tmr", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Sessionize + emit + clear the buffer (timer-fire semantics). */
+    private def flush(key: Long): Seq[(Long, Long, Long, Long)] = {
+      val ts = buf.get().toArray.sorted
+      buf.clear()
+      tmr.clear()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      if (ts.nonEmpty) {
+        var start = ts(0)
+        var last = ts(0)
+        var n = 1L
+        var i = 1
+        while (i < ts.length) {
+          if (ts(i) - last > gapMs) {
+            out += ((key, start, last, n))
+            start = ts(i)
+            n = 0L
+          }
+          last = ts(i)
+          n += 1
+          i += 1
+        }
+        out += ((key, start, last, n))
+      }
+      out.toSeq
+    }
+
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, java.sql.Timestamp)],
+                                 tv: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      // input for a key is handled BEFORE its expired timers, and
+      // re-registering would delete a timer that is already DUE — so a due
+      // buffer flushes inline first (same emission the timer would have
+      // produced; the watermark is event-time-derived, so this is as
+      // deterministic as the timer path)
+      val due =
+        if (tmr.exists() && tmr.get() <= tv.getCurrentWatermarkInMs())
+          flush(key)
+        else Seq.empty
+      // buffered max rides along in the timer value (timer ≡ max + gap)
+      var mx = if (tmr.exists()) tmr.get() - gapMs else Long.MinValue
+      rows.foreach { case (_, ts) =>
+        val ms = ts.getTime
+        buf.appendValue(ms)
+        if (ms > mx) mx = ms
+      }
+      if (tmr.exists()) getHandle.deleteTimer(tmr.get())
+      val exp = mx + gapMs
+      getHandle.registerTimer(exp)
+      tmr.update(exp)
+      due.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] =
+      flush(key).iterator
+  }
+
   /** Per-key MAP state — one counter per event type, the state-variable
     * kind a session machine keeps per-category tallies in. Counts are
     * commutative integer adds, so the final map equals the batch
