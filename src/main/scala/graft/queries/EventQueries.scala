@@ -973,6 +973,169 @@ object EventQueries {
         .orderBy("steps")
     },
 
+    // The EWMA recurrence, CONTINUOUSLY — q233's batch flatMapSortedGroups
+    // op as a stateful stream: the daily rollup lands range-partitioned by
+    // day with forced ascending mtimes (q254's ordered-batch discipline),
+    // a ValueState carries one long of smoothing state per series across
+    // micro-batches, and each batch folds its locally-sorted slice of the
+    // series through the same s ← (y + s) div 2 step. The streamed rows
+    // must equal the batch recurrence EXACTLY — the oracle is q233's
+    // recursive CTE verbatim — which is only possible because order was
+    // engineered, not hoped for: a recurrence is the op class where
+    // arrival order IS the semantics (contrast q236/q244, whose
+    // commutative state tolerates any slicing).
+    QueryDef("q256_stream_ewma",
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, y,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |      FROM d),
+        |rec(event_type, rn, day, y, s) AS (
+        |  SELECT event_type, rn, day, y, y FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn, r.day, r.y, (r.y + rec.s) // 2
+        |  FROM r JOIN rec ON r.event_type = rec.event_type
+        |                 AND r.rn = rec.rn + 1)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, y AS y_cents,
+        |       CAST(s AS BIGINT) AS ewma_cents
+        |FROM rec ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      import graft.streaming.StatefulStreams
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sewma_q_").toFile
+      sys.addShutdownHook(rmrf(root))
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
+          .as("y"))
+      daily.repartitionByRange(4, col("day")).write.parquet(s"$root/landing")
+      val parts = new java.io.File(s"$root/landing").listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1500000000000L + i * 60000L): Unit
+      }
+      val prev =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        StatefulStreams.RocksDbProvider)
+      try {
+        val stream = s.readStream
+          .schema(new StructType().add("event_type", StringType)
+            .add("day", LongType).add("y", LongType))
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
+          .as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new StatefulStreams.OrderedEwma,
+            TimeMode.None(), OutputMode.Append())
+        val memName = root.getName
+        val q = stream.toDF("event_type", "day", "y_cents", "ewma_cents")
+          .writeStream.outputMode("append").format("memory")
+          .queryName(memName)
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(memName)
+          .select("event_type", "day", "y_cents", "ewma_cents")
+          .orderBy("event_type", "day")
+      } finally {
+        prev match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    },
+
+    // Theil–Sen robust trend — the median-of-pairwise-slopes estimator
+    // (up to ~29% outlier breakdown vs OLS's zero): per event-type daily
+    // series, every day pair yields an integer cents-per-day slope, the
+    // series' slope is the exact lower-median of those (rank statistic
+    // with (d1, d2) ties), and the intercept is the lower-median residual
+    // y − slope·day — all integer once slopes round, so both engines walk
+    // identical values. Scale posture stated honestly: the pair fan-out is
+    // O(T²) per series (T = series length, ~30 here — 435 pairs); at long
+    // horizons production samples pairs (the q112 hash-sample machinery
+    // composes directly), which keeps the estimator's guarantees in
+    // expectation.
+    QueryDef("q255_theil_sen",
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |             CAST(round(CAST(b.y - a.y AS DOUBLE)
+        |                        / (b.day - a.day), 0) AS BIGINT) AS s,
+        |             a.day AS d1, b.day AS d2
+        |      FROM d a JOIN d b
+        |        ON a.event_type = b.event_type AND a.day < b.day),
+        |ms AS (SELECT event_type, s AS slope FROM (
+        |         SELECT event_type, s,
+        |                row_number() OVER (PARTITION BY event_type
+        |                  ORDER BY s, d1, d2) AS rn,
+        |                count(*) OVER (PARTITION BY event_type) AS cnt
+        |         FROM p) t WHERE rn = (cnt + 1) // 2),
+        |r AS (SELECT d.event_type, d.day, d.y - ms.slope * d.day AS resid
+        |      FROM d JOIN ms USING (event_type)),
+        |mb AS (SELECT event_type, resid AS intercept FROM (
+        |         SELECT event_type, resid,
+        |                row_number() OVER (PARTITION BY event_type
+        |                  ORDER BY resid, day) AS rn,
+        |                count(*) OVER (PARTITION BY event_type) AS cnt
+        |         FROM r) t WHERE rn = (cnt + 1) // 2),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |       FROM d GROUP BY event_type)
+        |SELECT nd.event_type, nd.n_days, ms.slope AS slope_cpd,
+        |       CAST(mb.intercept AS BIGINT) AS intercept_cents
+        |FROM nd JOIN ms USING (event_type) JOIN mb USING (event_type)
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dRel = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
+          .as("y"))
+        .persist() // pair build, residuals, and the day census
+      val p = dRel.as("a").join(dRel.as("b"),
+          col("a.event_type") === col("b.event_type")
+            && col("a.day") < col("b.day"))
+        .select(col("a.event_type").as("event_type"),
+          round((col("b.y") - col("a.y")).cast("double")
+            / (col("b.day") - col("a.day")), 0).cast("long").as("s"),
+          col("a.day").as("d1"), col("b.day").as("d2"))
+      val sw = Window.partitionBy("event_type").orderBy("s", "d1", "d2")
+      val cw = Window.partitionBy("event_type")
+      val ms = p.withColumn("rn", row_number().over(sw))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .where(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col("s").as("slope"))
+      val r = dRel.join(ms, "event_type")
+        .select(col("event_type"), col("day"),
+          (col("y") - col("slope") * col("day")).as("resid"))
+      val rw = Window.partitionBy("event_type").orderBy("resid", "day")
+      val mb = r.withColumn("rn", row_number().over(rw))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .where(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col("resid").as("intercept"))
+      val nd = dRel.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      nd.join(ms, "event_type").join(mb, "event_type")
+        .select(col("event_type"), col("n_days"),
+          col("slope").as("slope_cpd"),
+          col("intercept").as("intercept_cents"))
+        .orderBy("event_type")
+    },
+
     // Per-series EWMA — a SEQUENTIAL RECURRENCE (s_t depends on s_{t-1}),
     // the op class no window frame can express because it is not
     // associative. Spark-first answer: KeyValueGroupedDataset

@@ -28,6 +28,33 @@ object StatefulStreams {
     * is the final state, recoverable downstream as max(n) since n is
     * monotone.
     */
+  /** Ordered per-key recurrence — q233's integer EWMA run CONTINUOUSLY:
+    * one long of ValueState per series, each batch's rows sorted by day
+    * locally, the recurrence folded from the carried state. Correct only
+    * under the ordered-batch harness (range-partitioned landing +
+    * ascending mtimes — the q254 discipline): a recurrence is the op class
+    * where arrival order IS the semantics.
+    */
+  class OrderedEwma
+      extends StatefulProcessor[String, (String, Long, Long), (String, Long, Long, Long)] {
+    @transient private var st: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Long]("s", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long, Long)],
+                                 tv: TimerValues): Iterator[(String, Long, Long, Long)] = {
+      val sorted = rows.toArray.sortBy(_._2)
+      var s = if (st.exists()) st.get() else -1L
+      val out = sorted.map { case (_, day, y) =>
+        s = if (s < 0) y else (y + s) / 2
+        (key, day, y, s)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
   /** Event-time-TIMER session machine — the full transformWithState
     * surface: ListState buffers a user's event times, and a single
     * re-registered event-time timer at (buffered max + gap) flushes when
