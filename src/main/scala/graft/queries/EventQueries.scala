@@ -790,6 +790,109 @@ object EventQueries {
         .orderBy("event_id")
     },
 
+    // Tolerance as-of (pandas merge_asof(tolerance=...) / the WITHIN
+    // clause): the latest at-or-before match counts only if it is RECENT
+    // ENOUGH — here, the preceding view within 1 hour of the purchase.
+    // Semantically this is exactly a post-condition on the as-of result
+    // (the latest-≤ match either is within the window or no in-window
+    // match exists — anything else in the window would be later and
+    // preferred), so the native operator composes with one CASE instead of
+    // growing a cursor variant; DuckDB's ASOF JOIN gets the IDENTICAL
+    // CASE. The matched flag makes the tolerance bite visible: q241
+    // matches ~96% of purchases, the 1-hour window keeps ~2/3.
+    QueryDef("q257_asof_tolerance",
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_uid, epoch_us(ts) AS v_us,
+        |             CAST(count(*) AS BIGINT) AS nv
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |j AS (SELECT p.event_id, p.user_id, p.p_us, v.v_us, v.nv
+        |      FROM p ASOF LEFT JOIN v
+        |        ON p.user_id = v.v_uid AND v.v_us <= p.p_us)
+        |SELECT event_id, user_id, p_us,
+        |       CASE WHEN p_us - v_us <= 3600000000 THEN v_us END AS v_us_tol,
+        |       CASE WHEN p_us - v_us <= 3600000000 THEN nv END AS nv_tol,
+        |       coalesce(p_us - v_us <= 3600000000, FALSE) AS matched
+        |FROM j ORDER BY event_id""".stripMargin) { (s, d) =>
+      import graft.plans.NativeAsof
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("us"), col("event_type"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us").as("p_us"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_uid"), col("us").as("v_us"))
+        .agg(count(lit(1)).as("nv"))
+      val in = col("p_us") - col("v_us") <= 3600000000L
+      NativeAsof.join(p, v, "user_id", "v_uid", "p_us", "v_us")
+        .select(col("event_id"), col("user_id"), col("p_us"),
+          when(in, col("v_us")).as("v_us_tol"),
+          when(in, col("nv")).as("nv_tol"),
+          coalesce(in, lit(false)).as("matched"))
+        .orderBy("event_id")
+    },
+
+    // Time-based split — the ML-data split temporal problems REQUIRE
+    // (train on the past, evaluate on the future; a hash split would leak
+    // tomorrow into training): the cutoff is the exact 80th-percentile
+    // rank statistic of the event order (rank ≤ ⌊4n/5⌋ with event_id
+    // ties, via GlobalRank — no partition-less window), and the audit
+    // reports what modelers must check before trusting the split — class
+    // balance per side AND the user-overlap census (users active on BOTH
+    // sides: the surface where user-level features leak test-period
+    // behavior into training; q163's near-dup leakage audit is the
+    // content-level sibling of this identity-level one).
+    QueryDef("q258_temporal_split",
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |t AS (SELECT count(*) AS n FROM e),
+        |r AS (SELECT event_id, user_id, event_type,
+        |             row_number() OVER (ORDER BY us, event_id) - 1 AS rk
+        |      FROM e),
+        |sp AS (SELECT user_id, event_type,
+        |              CASE WHEN rk < (4 * t.n) // 5 THEN 'train'
+        |                   ELSE 'test' END AS split
+        |       FROM r, t),
+        |ov AS (SELECT CAST(count(*) AS BIGINT) AS overlap_users FROM (
+        |         SELECT user_id FROM sp GROUP BY user_id
+        |         HAVING count(DISTINCT split) = 2)),
+        |g AS (SELECT event_type,
+        |        CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS train_n,
+        |        CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS test_n
+        |      FROM sp GROUP BY event_type)
+        |SELECT g.event_type, g.train_n, g.test_n,
+        |       CAST(g.test_n * 1000000 // (g.train_n + g.test_n) AS BIGINT)
+        |         AS test_share_ppm,
+        |       ov.overlap_users
+        |FROM g, ov ORDER BY g.event_type""".stripMargin) { (s, d) =>
+      import graft.operators.GlobalRank
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+      val t = e.agg(count(lit(1)).as("n"))
+      val sp = GlobalRank.zipWithRank(e,
+          Seq(col("us"), col("event_id")), numPartitions = 8, idName = "rk")
+        .crossJoin(broadcast(t))
+        .select(col("user_id"), col("event_type"),
+          when(col("rk") < expr("(4 * n) div 5"), "train").otherwise("test")
+            .as("split"))
+        .persist() // the per-type census and the overlap census
+      val ov = sp.groupBy("user_id")
+        .agg(countDistinct("split").as("ns"))
+        .where(col("ns") === 2)
+        .agg(count(lit(1)).as("overlap_users"))
+      sp.groupBy("event_type")
+        .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("train_n"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("test_n"))
+        .crossJoin(broadcast(ov))
+        .select(col("event_type"), col("train_n"), col("test_n"),
+          expr("test_n * 1000000 div (train_n + test_n)").as("test_share_ppm"),
+          col("overlap_users"))
+        .orderBy("event_type")
+    },
+
     // The custom optimizer rule under the gate: the SAME native as-of join
     // with a left-only predicate applied ABOVE the join in the API call —
     // plans/PushFilterThroughAsof (injectOptimizerRule) sinks it below the
