@@ -1261,6 +1261,92 @@ object AdvancedQueries {
           col("n_neg"), (col("n_neg") >= col("n_pos")).as("enough"))
     },
 
+    // Link-prediction evaluation — closing the graph-ML loop the way
+    // q249/q250 close the embedding one: common-neighbor counts (the
+    // classic link-prediction score) are computed for REAL edges
+    // (positives) and q207's deterministic hash-drawn non-edges
+    // (negatives) in one two-hop keyed join, and the ranking quality is
+    // the exact Mann–Whitney AUC on the integer score grid (q218's
+    // arithmetic — ties handled exactly, no float ever). Spatial-graph
+    // edges share neighbors, random pairs almost never do, so the score
+    // separates (measured AUC 0.66 on the sparse sf0.001 graph, 0.91 on
+    // the denser sf0.01 one — the number is an oracle row, not a claim).
+    // Scale: the two-hop join fans out by degree (bounded by
+    // the grid density), negatives are a multiple of |E|, the AUC is one
+    // census + a grid-bounded window.
+    QueryDef("q259_linkpred_auc",
+      s"""WITH ${SpatialEdges.cte},
+         |ed AS MATERIALIZED (SELECT u AS a, b FROM (
+         |        SELECT u, v AS b FROM e0 UNION ALL SELECT v, u FROM e0)
+         |        t(u, b)),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pos FROM e0),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+         |idx AS (SELECT unnest(range(0, 4 * (SELECT n_pos FROM np))) AS i),
+         |cand AS (SELECT (${graft.functions.Hashes.mulHashSql("i", 19)})
+         |                  % (SELECT n FROM nc) AS a,
+         |                (${graft.functions.Hashes.mulHashSql("i", 23)})
+         |                  % (SELECT n FROM nc) AS b
+         |         FROM idx),
+         |valid AS (SELECT DISTINCT a, b FROM cand WHERE a < b),
+         |neg AS (SELECT a, b FROM valid vv WHERE NOT EXISTS
+         |        (SELECT 1 FROM e0 WHERE e0.u = vv.a AND e0.v = vv.b)),
+         |pairs AS (SELECT u AS a, v AS b, 1 AS pos FROM e0
+         |          UNION ALL SELECT a, b, 0 FROM neg),
+         |cn AS (SELECT p.a, p.b, p.pos, CAST(count(e2.b) AS BIGINT) AS score
+         |       FROM pairs p
+         |       LEFT JOIN ed e1 ON e1.a = p.a
+         |       LEFT JOIN ed e2 ON e2.a = p.b AND e2.b = e1.b
+         |       GROUP BY p.a, p.b, p.pos),
+         |c AS (SELECT score, CAST(sum(pos) AS BIGINT) AS np_s,
+         |             CAST(count(*) - sum(pos) AS BIGINT) AS nn_s
+         |      FROM cn GROUP BY score),
+         |w AS (SELECT score, np_s, nn_s,
+         |        CAST(coalesce(sum(nn_s) OVER (ORDER BY score
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS cum_nn
+         |      FROM c),
+         |t AS (SELECT CAST(sum(np_s * (2 * cum_nn + nn_s)) AS BIGINT) AS u2,
+         |             CAST(sum(np_s) AS BIGINT) AS np,
+         |             CAST(sum(nn_s) AS BIGINT) AS nn
+         |      FROM w)
+         |SELECT np AS n_pos, nn AS n_neg, u2,
+         |       CAST(u2 * 1000000 // (2 * np * nn) AS BIGINT) AS auc_ppm
+         |FROM t""".stripMargin) { (s, d) =>
+      import graft.functions.Hashes
+      val e0 = SpatialEdges.frame(s, d)
+        .persist() // positives, the anti side, and the adjacency build
+      val ed = e0.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e0.select(col("v").as("a"), col("u").as("b")))
+        .persist() // probed twice by the two-hop join
+      val np = e0.agg(count(lit(1)).as("n_pos"))
+      val nc = Tables.customer(s, d).agg(count(lit(1)).as("n"))
+      val cand = np.crossJoin(broadcast(nc))
+        .select(explode(sequence(lit(0L), col("n_pos") * 4 - 1)).as("i"),
+          col("n"))
+        .select((Hashes.mulHash(col("i"), 19) % col("n")).as("a"),
+          (Hashes.mulHash(col("i"), 23) % col("n")).as("b"))
+      val neg = cand.where(col("a") < col("b")).distinct()
+        .join(e0, col("a") === col("u") && col("b") === col("v"), "left_anti")
+      val pairs = e0.select(col("u").as("a"), col("v").as("b"), lit(1L).as("pos"))
+        .unionAll(neg.select(col("a"), col("b"), lit(0L).as("pos")))
+      val e1 = ed.withColumnsRenamed(Map("a" -> "a1", "b" -> "w1"))
+      val e2 = ed.withColumnsRenamed(Map("a" -> "a2", "b" -> "w2"))
+      val cn = pairs
+        .join(e1, col("a") === col("a1"), "left")
+        .join(e2, col("b") === col("a2") && col("w1") === col("w2"), "left")
+        .groupBy("a", "b", "pos")
+        .agg(count(col("w2")).as("score"))
+      val c = cn.groupBy("score")
+        .agg(sum("pos").as("np_s"), (count(lit(1)) - sum("pos")).as("nn_s"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      c.withColumn("cum_nn", coalesce(sum("nn_s").over(w), lit(0L)))
+        .agg(sum(col("np_s") * (lit(2) * col("cum_nn") + col("nn_s"))).as("u2"),
+          sum("np_s").as("np"), sum("nn_s").as("nn"))
+        .select(col("np").as("n_pos"), col("nn").as("n_neg"), col("u2"),
+          expr("u2 * 1000000 div (2 * np * nn)").as("auc_ppm"))
+    },
+
     // Graph health report — the one-row datasheet (q206's idea for graphs)
     // a pipeline checks before running expensive graph algorithms: vertex/
     // edge volume, component count, largest-component share (is the graph
