@@ -294,6 +294,37 @@ object ScaleProbe {
           var s = 0L
           it.map { case (_, o, y) => s = (s + y) / 2; (k, o, s) }
         }.toDF("g", "o", "s")
+      },
+      // NSW beam WALK (q260): the graph is pre-built AND materialized
+      // OUTSIDE the timed frame — the probe measures the SEARCH, whose
+      // cost is hops × beam × degree per query regardless of corpus size;
+      // a 10× graph should cost ~the same to walk (the whole point of
+      // graph ANN). Synthetic hash graph — structure-free, but the join
+      // shape is q260's exactly
+      "nsw_walk" -> { m =>
+        import graft.functions.Hashes
+        import org.apache.spark.sql.expressions.Window
+        val n = m * 100000L
+        val graph = spark.range(n).select(col("id").as("vid"))
+          .select(col("vid"), explode(sequence(lit(0), lit(7))).as("j"))
+          .select(col("vid").as("src"),
+            (Hashes.mulHash(col("vid") * 8 + col("j"), 37) % n).as("dst"))
+          .persist()
+        graph.count(): Unit // build outside the timed walk
+        var frontier = spark.range(20)
+          .select(col("id").as("qid"), lit(0L).as("vid"))
+        val w = Window.partitionBy("qid").orderBy(
+          Hashes.mulHash(col("vid") + col("qid") * 131, 41).desc, col("vid"))
+        for (_ <- 1 to 6) {
+          frontier = frontier.join(graph, col("vid") === col("src"))
+            .select(col("qid"), col("dst").as("vid"))
+            .unionByName(frontier)
+            .distinct()
+            .withColumn("rk", row_number().over(w))
+            .where(col("rk") <= 16).select("qid", "vid")
+            .localCheckpoint()
+        }
+        frontier
       })
 
     // the steepest 10× shapes get a 30× leg: confirms no super-linear break
