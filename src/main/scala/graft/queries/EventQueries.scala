@@ -517,20 +517,24 @@ object EventQueries {
     },
 
     // Event-time TIMERS — the last transformWithState capability (q236
-    // ValueState, q244 MapState): a session machine whose "session closed"
-    // signal is the WATERMARK passing a re-registered timer at
-    // (last event + gap), flushing the ListState buffer as sorted,
-    // gap-split sessions. Determinism engineering: the landing files are
-    // RANGE-PARTITIONED by time with explicitly ascending mtimes (the file
-    // source schedules oldest-mtime-first), so batches arrive in global
-    // event-time order — a timer firing then PROVES its sessions can never
-    // be extended, because any later event is beyond the fired range. The
-    // comparison set is bounded away from the stream's tail: sessions
-    // ending within (gap + watermark delay) of the corpus max may or may
-    // not have flushed when AvailableNow drains, so BOTH engines restrict
-    // to end < max − 40 min (gap 30 + delay 10) — the oracle is q28's
-    // lag+cumsum sessionization in integer milliseconds under the same
-    // cutoff, row for row against the TIMER-EMITTED sessions.
+    // ValueState, q244 MapState): a session machine where sessions closed
+    // by EVIDENCE (a later buffered event proves the gap) emit on sight,
+    // and each key's OPEN TAIL flushes when the WATERMARK passes its
+    // re-registered timer at (last event + gap) — emission depends on
+    // evidence and watermarks, never on which order the file source picks
+    // files (an earlier design leaned on pickup order and flaked ONCE in
+    // five runs — the post-mortem is in the handoff). The stream runs as
+    // TWO sequential AvailableNow drains over one checkpoint (the q169
+    // incremental posture): wave A lands and drains, wave B arrives, the
+    // SAME query resumes — so ListState buffers and registered timers
+    // must survive a full query restart through the RocksDB checkpoint,
+    // and a tail spanning the waves must merge (timer-fire safety across
+    // the split is provable: an A-tail fires only if end ≤ maxA − 40 min,
+    // and a B event continuing it would need ts ≤ end + 30 min < mid —
+    // impossible, B is beyond mid). Comparison bounded away from the
+    // stream tail: BOTH engines restrict to end < max − 40 min (gap 30 +
+    // delay 10); the oracle is q28's lag+cumsum sessionization in integer
+    // milliseconds under the same cutoff, row for row.
     QueryDef("q254_timer_sessions",
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events
         |           WHERE user_id < 20),
@@ -567,40 +571,44 @@ object EventQueries {
       sys.addShutdownHook(rmrf(root))
       val e = Tables.events(s, d).where(col("user_id") < 20)
         .select(col("user_id"), col("ts"))
-      e.repartitionByRange(4, col("ts"))
-        .write.parquet(s"$root/landing")
-      // the file source schedules by modification time: force ascending
-      // mtimes in lexicographic (= time-range) part order so batches
-      // arrive in global event-time order
-      val parts = new java.io.File(s"$root/landing").listFiles()
-        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1500000000000L + i * 60000L): Unit
-      }
+        .persist() // wave split + the cutoff bound
+      val mid = e.agg(
+        expr("(min(unix_millis(ts)) + max(unix_millis(ts))) div 2"))
+        .head().getLong(0)
       val prev =
         s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         StatefulStreams.RocksDbProvider)
       try {
-        val stream = s.readStream
-          .schema(new StructType()
-            .add("user_id", LongType).add("ts", TimestampType))
-          .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
-          .withWatermark("ts", "10 minutes")
-          .as[(Long, java.sql.Timestamp)]
-          .groupByKey(_._1)
-          .transformWithState(new StatefulStreams.TimerSessions(gapMs),
-            TimeMode.EventTime(), OutputMode.Append())
-        val memName = root.getName
-        val q = stream.toDF("user_id", "start_ms", "end_ms", "n_events")
-          .writeStream.outputMode("append").format("memory")
-          .queryName(memName)
-          .option("checkpointLocation", s"$root/ckpt")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        def drain(): Unit = {
+          val stream = s.readStream
+            .schema(new StructType()
+              .add("user_id", LongType).add("ts", TimestampType))
+            .parquet(s"$root/landing")
+            .withWatermark("ts", "10 minutes")
+            .as[(Long, java.sql.Timestamp)]
+            .groupByKey(_._1)
+            .transformWithState(new StatefulStreams.TimerSessions(gapMs),
+              TimeMode.EventTime(), OutputMode.Append())
+          val q = stream.toDF("user_id", "start_ms", "end_ms", "n_events")
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", s"$root/out")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        // wave A lands and drains to a STOP; wave B arrives and the SAME
+        // checkpoint resumes — buffers and registered timers must survive
+        // a full query restart through the RocksDB checkpoint
+        e.where(expr(s"unix_millis(ts) <= $mid"))
+          .write.parquet(s"$root/landing")
+        drain()
+        e.where(expr(s"unix_millis(ts) > $mid"))
+          .write.mode("append").parquet(s"$root/landing")
+        drain()
         val mx = e.agg(expr("max(unix_millis(ts))").as("m"))
-        s.table(memName)
+        s.read.parquet(s"$root/out")
           .crossJoin(broadcast(mx))
           .where(col("end_ms") < col("m") - cutMs)
           .select("user_id", "start_ms", "end_ms", "n_events")
@@ -1077,16 +1085,18 @@ object EventQueries {
     },
 
     // The EWMA recurrence, CONTINUOUSLY — q233's batch flatMapSortedGroups
-    // op as a stateful stream: the daily rollup lands range-partitioned by
-    // day with forced ascending mtimes (q254's ordered-batch discipline),
-    // a ValueState carries one long of smoothing state per series across
-    // micro-batches, and each batch folds its locally-sorted slice of the
-    // series through the same s ← (y + s) div 2 step. The streamed rows
-    // must equal the batch recurrence EXACTLY — the oracle is q233's
-    // recursive CTE verbatim — which is only possible because order was
-    // engineered, not hoped for: a recurrence is the op class where
-    // arrival order IS the semantics (contrast q236/q244, whose
-    // commutative state tolerates any slicing).
+    // op as a stateful stream: a ValueState carries one long of smoothing
+    // state per series, each drain folds its locally-sorted slice of the
+    // series through the same s ← (y + s) div 2 step, and ORDER comes
+    // from sequential WAVES (early calendar half drains to a stop, late
+    // half resumes the same checkpoint — q169's incremental posture), so
+    // the state also crosses a real query restart through RocksDB. The
+    // streamed rows must equal the batch recurrence EXACTLY — the oracle
+    // is q233's recursive CTE verbatim — which is only possible because
+    // order is guaranteed by code, never by file-source pickup order (the
+    // flake post-mortem lives in the handoff): a recurrence is the op
+    // class where arrival order IS the semantics (contrast q236/q244,
+    // whose commutative state tolerates any slicing).
     QueryDef("q256_stream_ewma",
       """WITH RECURSIVE d AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
@@ -1121,34 +1131,43 @@ object EventQueries {
           expr("unix_micros(ts) div 86400000000").as("day"))
         .agg(sum(round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
           .as("y"))
-      daily.repartitionByRange(4, col("day")).write.parquet(s"$root/landing")
-      val parts = new java.io.File(s"$root/landing").listFiles()
-        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1500000000000L + i * 60000L): Unit
-      }
+        .persist() // wave split scans it twice
+      val midDay = daily.agg(expr("(min(day) + max(day)) div 2"))
+        .head().getLong(0)
       val prev =
         s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         StatefulStreams.RocksDbProvider)
       try {
-        val stream = s.readStream
-          .schema(new StructType().add("event_type", StringType)
-            .add("day", LongType).add("y", LongType))
-          .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
-          .as[(String, Long, Long)]
-          .groupByKey(_._1)
-          .transformWithState(new StatefulStreams.OrderedEwma,
-            TimeMode.None(), OutputMode.Append())
-        val memName = root.getName
-        val q = stream.toDF("event_type", "day", "y_cents", "ewma_cents")
-          .writeStream.outputMode("append").format("memory")
-          .queryName(memName)
-          .option("checkpointLocation", s"$root/ckpt")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(memName)
+        def drain(): Unit = {
+          val stream = s.readStream
+            .schema(new StructType().add("event_type", StringType)
+              .add("day", LongType).add("y", LongType))
+            .parquet(s"$root/landing")
+            .as[(String, Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new StatefulStreams.OrderedEwma,
+              TimeMode.None(), OutputMode.Append())
+          val q = stream.toDF("event_type", "day", "y_cents", "ewma_cents")
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", s"$root/out")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        // ordered WAVES, not ordered files: the early half of the calendar
+        // lands and drains to a stop, then the late half arrives and the
+        // SAME checkpoint resumes — the smoothing state crosses a real
+        // query restart, and wave order is guaranteed by code, not by
+        // whatever file order the source picks (the flake post-mortem in
+        // the handoff)
+        daily.where(col("day") <= midDay).write.parquet(s"$root/landing")
+        drain()
+        daily.where(col("day") > midDay)
+          .write.mode("append").parquet(s"$root/landing")
+        drain()
+        s.read.parquet(s"$root/out")
           .select("event_type", "day", "y_cents", "ewma_cents")
           .orderBy("event_type", "day")
       } finally {

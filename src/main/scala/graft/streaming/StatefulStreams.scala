@@ -79,11 +79,8 @@ object StatefulStreams {
       tmr = getHandle.getValueState[Long]("tmr", Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    /** Sessionize + emit + clear the buffer (timer-fire semantics). */
-    private def flush(key: Long): Seq[(Long, Long, Long, Long)] = {
-      val ts = buf.get().toArray.sorted
-      buf.clear()
-      tmr.clear()
+    /** Gap-split the sorted times into (key, start, end, n) sessions. */
+    private def sessionize(key: Long, ts: Array[Long]): Seq[(Long, Long, Long, Long)] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
       if (ts.nonEmpty) {
         var start = ts(0)
@@ -108,32 +105,32 @@ object StatefulStreams {
     override def handleInputRows(key: Long,
                                  rows: Iterator[(Long, java.sql.Timestamp)],
                                  tv: TimerValues): Iterator[(Long, Long, Long, Long)] = {
-      // input for a key is handled BEFORE its expired timers, and
-      // re-registering would delete a timer that is already DUE — so a due
-      // buffer flushes inline first (same emission the timer would have
-      // produced; the watermark is event-time-derived, so this is as
-      // deterministic as the timer path)
-      val due =
-        if (tmr.exists() && tmr.get() <= tv.getCurrentWatermarkInMs())
-          flush(key)
-        else Seq.empty
-      // buffered max rides along in the timer value (timer ≡ max + gap)
-      var mx = if (tmr.exists()) tmr.get() - gapMs else Long.MinValue
-      rows.foreach { case (_, ts) =>
-        val ms = ts.getTime
-        buf.appendValue(ms)
-        if (ms > mx) mx = ms
-      }
+      rows.foreach { case (_, ts) => buf.appendValue(ts.getTime) }
+      val all = buf.get().toArray.sorted
+      val sessions = sessionize(key, all)
+      // every session except the OPEN TAIL is closed by in-batch evidence
+      // (a later buffered event proves the gap) — emit those now; the tail
+      // stays buffered and flushes when the WATERMARK passes its timer.
+      // This makes emission independent of any cross-file ordering the
+      // source might choose: evidence, not arrival order, closes sessions.
+      val closed = sessions.dropRight(1)
+      val tail = sessions.last
+      buf.clear()
+      all.filter(_ >= tail._2).foreach(buf.appendValue)
       if (tmr.exists()) getHandle.deleteTimer(tmr.get())
-      val exp = mx + gapMs
+      val exp = all.last + gapMs
       getHandle.registerTimer(exp)
       tmr.update(exp)
-      due.iterator
+      closed.iterator
     }
 
     override def handleExpiredTimer(key: Long, tv: TimerValues,
-                                    info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] =
-      flush(key).iterator
+                                    info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+      val ts = buf.get().toArray.sorted
+      buf.clear()
+      tmr.clear()
+      sessionize(key, ts).iterator
+    }
   }
 
   /** Per-key MAP state — one counter per event type, the state-variable
