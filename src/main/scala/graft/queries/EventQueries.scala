@@ -1180,6 +1180,132 @@ object EventQueries {
       }
     },
 
+    // Rolling correlation — "do views and purchases move together, and
+    // when did they decouple": trailing-7-observation Pearson between the
+    // two daily series, from EXACT integer window moments (Σx, Σy, Σx²,
+    // Σy², Σxy over ROWS 6 PRECEDING — every sum a BIGINT in cents; the
+    // covariance/variance combinations n·Σxy − ΣxΣy stay in exact integer
+    // arithmetic and both engines convert the IDENTICAL integers to
+    // double for the one ratio+sqrt, quantized 1e-6). Only full windows
+    // emit (rn ≥ 7 — a partial-window "correlation" is noise). The window
+    // partitions by nothing but runs over the ~30-row daily series — a
+    // k-row stats relation, not the corpus (the q19 scalar-parity
+    // posture applied to window moments).
+    QueryDef("q261_rolling_corr",
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2),
+        |j AS (SELECT v.day, v.y AS x, p.y AS yy
+        |      FROM (SELECT day, y FROM d WHERE event_type = 'view') v
+        |      JOIN (SELECT day, y FROM d WHERE event_type = 'purchase') p
+        |        USING (day)),
+        |w AS (SELECT day,
+        |        row_number() OVER (ORDER BY day) AS rn,
+        |        CAST(sum(x) OVER tw AS BIGINT) AS sx,
+        |        CAST(sum(yy) OVER tw AS BIGINT) AS sy,
+        |        CAST(sum(x * x) OVER tw AS BIGINT) AS sxx,
+        |        CAST(sum(yy * yy) OVER tw AS BIGINT) AS syy,
+        |        CAST(sum(x * yy) OVER tw AS BIGINT) AS sxy
+        |      FROM j
+        |      WINDOW tw AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+        |                    AND CURRENT ROW)),
+        |c AS (SELECT day,
+        |        CAST(round(
+        |          CAST(7 * sxy - sx * sy AS DOUBLE)
+        |          / sqrt(CAST(7 * sxx - sx * sx AS DOUBLE)
+        |                 * CAST(7 * syy - sy * sy AS DOUBLE)) * 1000000, 0)
+        |          AS BIGINT) AS corr_e6
+        |      FROM w WHERE rn >= 7)
+        |SELECT CAST(day AS BIGINT) AS day, corr_e6
+        |FROM c ORDER BY day""".stripMargin) { (s, d) =>
+      val dRel = Tables.events(s, d)
+        .where(col("event_type").isin("view", "purchase"))
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
+          .as("y"))
+      val v = dRel.where(col("event_type") === "view").select(col("day"), col("y").as("x"))
+      val p = dRel.where(col("event_type") === "purchase")
+        .select(col("day").as("pd"), col("y").as("yy"))
+      val j = v.join(p, col("day") === col("pd")).select("day", "x", "yy")
+      val tw = Window.orderBy("day").rowsBetween(-6, 0)
+      val w = j.select(col("day"),
+        row_number().over(Window.orderBy("day")).as("rn"),
+        sum("x").over(tw).as("sx"), sum("yy").over(tw).as("sy"),
+        sum(col("x") * col("x")).over(tw).as("sxx"),
+        sum(col("yy") * col("yy")).over(tw).as("syy"),
+        sum(col("x") * col("yy")).over(tw).as("sxy"))
+      w.where(col("rn") >= 7)
+        .select(col("day"),
+          round((lit(7) * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt((lit(7) * col("sxx") - col("sx") * col("sx")).cast("double")
+              * (lit(7) * col("syy") - col("sy") * col("sy")).cast("double"))
+            * 1000000, 0).cast("long").as("corr_e6"))
+        .orderBy("day")
+    },
+
+    // Seasonal-baseline anomaly detection — the ops-analytics staple: each
+    // (event_type, day-of-week) gets an integer baseline (exact floor-div
+    // mean of daily cents), residual = actual − baseline, and a day is
+    // anomalous when |residual| exceeds 3× the series' MAD of residuals
+    // (q215's robust detector pointed at SEASONAL residuals — a stddev
+    // rule would let the weekly pattern inflate its own threshold). MAD =
+    // exact lower-median rank statistic; everything integer end to end.
+    // Output = the anomaly list a pager fires on.
+    QueryDef("q262_seasonal_anomaly",
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, day % 7 AS dow,
+        |             CAST(sum(y) // count(*) AS BIGINT) AS base
+        |      FROM d GROUP BY 1, 2),
+        |r AS (SELECT d.event_type, d.day, d.y, b.base,
+        |             d.y - b.base AS resid
+        |      FROM d JOIN b ON b.event_type = d.event_type
+        |                   AND b.dow = d.day % 7),
+        |m AS (SELECT event_type, a AS mad FROM (
+        |        SELECT event_type, abs(resid) AS a,
+        |               row_number() OVER (PARTITION BY event_type
+        |                 ORDER BY abs(resid), day) AS rn,
+        |               count(*) OVER (PARTITION BY event_type) AS cnt
+        |        FROM r) t WHERE rn = (cnt + 1) // 2)
+        |SELECT r.event_type, CAST(r.day AS BIGINT) AS day, r.y AS cents,
+        |       r.base AS baseline_cents, CAST(r.resid AS BIGINT) AS resid_cents
+        |FROM r JOIN m ON m.event_type = r.event_type
+        |WHERE abs(r.resid) > 3 * m.mad
+        |ORDER BY r.event_type, day""".stripMargin) { (s, d) =>
+      val dRel = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
+          .as("y"))
+        .persist() // baseline fit + residual scan
+      val b = dRel.groupBy(col("event_type").as("bt"),
+          (col("day") % 7).as("dow"))
+        .agg(expr("sum(y) div count(*)").as("base"))
+      val r = dRel.join(b,
+          col("event_type") === col("bt") && col("day") % 7 === col("dow"))
+        .select(col("event_type"), col("day"), col("y"), col("base"),
+          (col("y") - col("base")).as("resid"))
+        .persist() // the MAD census and the anomaly filter
+      val mw = Window.partitionBy("event_type").orderBy(abs(col("resid")), col("day"))
+      val cw = Window.partitionBy("event_type")
+      val m = r.withColumn("rn", row_number().over(mw))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .where(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type").as("mt"), abs(col("resid")).as("mad"))
+      r.join(m, col("event_type") === col("mt"))
+        .where(abs(col("resid")) > lit(3) * col("mad"))
+        .select(col("event_type"), col("day"), col("y").as("cents"),
+          col("base").as("baseline_cents"), col("resid").as("resid_cents"))
+        .orderBy("event_type", "day")
+    },
+
     // Theil–Sen robust trend — the median-of-pairwise-slopes estimator
     // (up to ~29% outlier breakdown vs OLS's zero): per event-type daily
     // series, every day pair yields an integer cents-per-day slope, the
