@@ -65,7 +65,9 @@ class PlanGoldenSpec extends AnyFunSuite {
     "q235_window_funnel", "q237_token_budget", "q239_bootstrap_ci",
     "q241_native_asof", "q242_asof_pushdown", "q243_ab_test",
     "q245_time_travel", "q246_cascade_filter", "q247_length_batching",
-    "q248_triplet_mining", "q249_knn_eval", "q250_decile_lift")
+    "q248_triplet_mining", "q249_knn_eval", "q250_decile_lift",
+    "q255_theil_sen", "q257_asof_tolerance", "q259_linkpred_auc",
+    "q261_rolling_corr", "q262_seasonal_anomaly")
 
   pinned.foreach { name =>
     test(s"$name physical skeleton matches its golden") {
