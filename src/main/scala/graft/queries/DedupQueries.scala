@@ -281,6 +281,74 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // MinHash ESTIMATOR calibration — q198 grades the LSH BANDING
+    // (candidate precision/recall); this grades the ESTIMATE itself:
+    // matching-component fraction of the 8-hash signature vs the exact
+    // shingle-set Jaccard, per pair, ENTIRELY in integers (both are exact
+    // ratios of set/match counts — inter·1e6 div union and matches·1e6
+    // div 8 — so the oracle compares them value-for-value, no bound
+    // needed). The 100 fixed adjacent-doc pairs mostly sit at low true
+    // Jaccard, exactly where an 8-hash estimate is coarse (granularity
+    // 125 000 ppm) — the mean-absolute-error column is the number a
+    // practitioner uses to size K.
+    QueryDef("q263_minhash_calibration",
+      s"""$shingleCte,
+         |sig AS (SELECT doc_id,
+         |          ${(0 until MinHash.K).map(j =>
+                s"${MinHash.minhashSql("sh", j)} AS mh_$j").mkString(",\n          ")}
+         |        FROM s),
+         |ss AS (SELECT doc_id, list_distinct(sh) AS sset FROM s),
+         |p AS (SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b,
+         |        CAST(len(list_intersect(sa.sset, sb.sset)) * 1000000
+         |             // len(list_distinct(list_concat(sa.sset, sb.sset)))
+         |          AS BIGINT) AS exact_e6,
+         |        CAST((${(0 until MinHash.K).map(j =>
+                s"(CASE WHEN ga.mh_$j = gb.mh_$j THEN 1 ELSE 0 END)")
+                .mkString(" + ")}) * 1000000 // ${MinHash.K}
+         |          AS BIGINT) AS est_e6
+         |      FROM sig ga
+         |      JOIN sig gb ON gb.doc_id = ga.doc_id + 1
+         |      JOIN ss sa ON sa.doc_id = ga.doc_id
+         |      JOIN ss sb ON sb.doc_id = gb.doc_id
+         |      WHERE ga.doc_id % 2 = 0 AND ga.doc_id < 200),
+         |m AS (SELECT CAST(sum(abs(est_e6 - exact_e6)) // count(*) AS BIGINT)
+         |        AS mean_abs_err_e6 FROM p)
+         |SELECT doc_a, doc_b, exact_e6, est_e6,
+         |       abs(est_e6 - exact_e6) AS abs_err_e6, m.mean_abs_err_e6
+         |FROM p, m ORDER BY doc_a""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tokCol = split(col("text"), " ", -1)
+      val sigs = MinHash.signatures(docs, col("doc_id"), tokCol)
+      val ss = docs.where(size(tokCol) >= 3)
+        .select(col("doc_id"),
+          array_distinct(MinHash.shingleHashes(tokCol)).as("sset"))
+      val ga = sigs.toDF(sigs.columns.map(c => s"a_$c").toIndexedSeq: _*)
+      val gb = sigs.toDF(sigs.columns.map(c => s"b_$c").toIndexedSeq: _*)
+      val matches = (0 until MinHash.K)
+        .map(j => when(col(s"a_mh_$j") === col(s"b_mh_$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val p = ga.join(gb, col("b_doc_id") === col("a_doc_id") + 1)
+        .where(col("a_doc_id") % 2 === 0 && col("a_doc_id") < 200)
+        .join(ss.select(col("doc_id").as("a_doc_id"), col("sset").as("sa")),
+          "a_doc_id")
+        .join(ss.select(col("doc_id").as("b_doc_id"), col("sset").as("sb")),
+          "b_doc_id")
+        .select(col("a_doc_id").as("doc_a"), col("b_doc_id").as("doc_b"),
+          expr("CAST(size(array_intersect(sa, sb)) AS BIGINT) * 1000000" +
+            " div size(array_union(sa, sb))").as("exact_e6"),
+          matches.as("nm"))
+        .select(col("doc_a"), col("doc_b"), col("exact_e6"),
+          expr(s"nm * 1000000 div ${MinHash.K}").as("est_e6"))
+        .persist() // per-pair rows + the global mean
+      val m = p.agg(
+        expr("sum(abs(est_e6 - exact_e6)) div count(*)").as("mean_abs_err_e6"))
+      p.crossJoin(broadcast(m))
+        .select(col("doc_a"), col("doc_b"), col("exact_e6"), col("est_e6"),
+          abs(col("est_e6") - col("exact_e6")).as("abs_err_e6"),
+          col("mean_abs_err_e6"))
+        .orderBy("doc_a")
+    },
+
     // END-TO-END near-dup removal — the full chain a corpus owner runs:
     // LSH candidates → exact-Jaccard verify (≥ 0.5) → connected components
     // over surviving pairs → keep the min-id representative per cluster.

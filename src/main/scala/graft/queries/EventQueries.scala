@@ -1180,6 +1180,61 @@ object EventQueries {
       }
     },
 
+    // Cohort LTV curve — q214's retention triangle with MONEY: users
+    // cohort by first-activity week, purchase cents land at their
+    // cohort's week age, and each cohort's running cumulative spend
+    // divided by its FIXED user count (denominator = cohort size, not
+    // active users — the LTV convention) gives cumulative
+    // value-per-user by age, the curve payback models are fit to. Exact
+    // integer cents; the cumulative window runs per cohort over the
+    // handful of age rows.
+    QueryDef("q264_cohort_ltv",
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+        |             CASE WHEN event_type = 'purchase'
+        |                  THEN CAST(round(greatest(value, 0) * 100, 0)
+        |                    AS BIGINT) ELSE 0 END AS cents
+        |           FROM events),
+        |f AS (SELECT user_id, CAST(min(wk) AS BIGINT) AS cw
+        |      FROM e GROUP BY user_id),
+        |w0 AS (SELECT CAST(min(cw) AS BIGINT) AS base FROM f),
+        |cs AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_users
+        |       FROM f GROUP BY cw),
+        |a AS (SELECT f.cw, e.wk - f.cw AS age,
+        |             CAST(sum(e.cents) AS BIGINT) AS cents
+        |      FROM e JOIN f USING (user_id) GROUP BY f.cw, e.wk - f.cw),
+        |c AS (SELECT cw, age, cents,
+        |        CAST(sum(cents) OVER (PARTITION BY cw ORDER BY age)
+        |          AS BIGINT) AS cum_cents
+        |      FROM a)
+        |SELECT c.cw - w0.base AS cohort, CAST(c.age AS BIGINT) AS age,
+        |       cs.n_users, c.cents, c.cum_cents,
+        |       CAST(c.cum_cents // cs.n_users AS BIGINT)
+        |         AS cum_per_user_cents
+        |FROM c JOIN cs USING (cw), w0
+        |ORDER BY cohort, age""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"),
+          when(col("event_type") === "purchase",
+            round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
+            .otherwise(0L).as("cents"))
+      val f = e.groupBy("user_id").agg(min("wk").as("cw"))
+      val w0 = f.agg(min("cw").as("base"))
+      val cs = f.groupBy("cw").agg(count(lit(1)).as("n_users"))
+      val a = e.join(f, "user_id")
+        .groupBy(col("cw"), (col("wk") - col("cw")).as("age"))
+        .agg(sum("cents").as("cents"))
+      val cumW = Window.partitionBy("cw").orderBy("age")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      a.withColumn("cum_cents", sum("cents").over(cumW))
+        .join(cs, "cw")
+        .crossJoin(broadcast(w0))
+        .select((col("cw") - col("base")).as("cohort"), col("age"),
+          col("n_users"), col("cents"), col("cum_cents"),
+          expr("cum_cents div n_users").as("cum_per_user_cents"))
+        .orderBy("cohort", "age")
+    },
+
     // Rolling correlation — "do views and purchases move together, and
     // when did they decouple": trailing-7-observation Pearson between the
     // two daily series, from EXACT integer window moments (Σx, Σy, Σx²,
