@@ -43,7 +43,10 @@ object PowerIteration {
       var i = 0
       while (i < k) { s += w(i) * w(i); i += 1 }
       val nrm = math.sqrt(s)
-      v = w.map(x => r9(x / nrm))
+      // a zero image (zero matrix, or C annihilating the iterate) would
+      // turn every later round into NaN via 0/0 — keep the previous
+      // iterate instead; the Rayleigh quotient then reads λ = 0 off it
+      if (nrm != 0.0) v = w.map(x => r9(x / nrm))
     }
     val u = matVec(v)
     var lam = 0.0

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
@@ -21,46 +21,67 @@ import org.apache.spark.sql.types.LongType
   * and can only attach the TIME, not the matched row's payload (attaching
   * payload compositionally needs a second join back). This physical
   * operator is the textbook database answer: co-partition both sides by
-  * key, sort each partition by (key, time), and stream BOTH sides once with
+  * key, sort each partition by (keys, time), and stream BOTH sides once with
   * a per-partition merge cursor — O(|L| + |R|) per partition, zero extra
   * exchanges beyond the two key shuffles, full right payload attached, the
   * plan a first-class node the optimizer can see.
   *
   * Semantics: for each left row, the right row with the GREATEST time ≤ the
-  * left time within the same key (at-or-before, matching AsofJoin and
-  * DuckDB's `ASOF LEFT JOIN`); unmatched left rows keep null right columns;
-  * null keys/times never match (SQL join-key semantics). Key and time are
-  * restricted to LongType — the engine's event-time playbook is integer
-  * microseconds anyway, and primitive comparisons keep the merge loop
-  * allocation-free. Determinism: callers must give the right side unique
-  * (key, time) rows (pre-aggregate duplicates) — among equal (key, time)
-  * right rows the sort order is not defined, so the attached payload would
-  * not be either. Left-side ties are fine: every left row at time t sees
-  * the same latest-right-row.
+  * left time within the same composite key (at-or-before, matching
+  * AsofJoin and DuckDB's `ASOF LEFT JOIN`); unmatched left rows keep null
+  * right columns; a null in ANY key component or the time never matches
+  * (SQL join-key semantics). Keys and times are restricted to LongType —
+  * the engine's event-time playbook is integer microseconds anyway, and
+  * primitive comparisons keep the merge loop allocation-free.
+  *
+  * Tolerance (`ASOF JOIN ... WITHIN`-style bounded staleness) lives INSIDE
+  * the cursor: with `tolerance = Some(w)`, a match additionally requires
+  * `leftTime - rightTime <= w`. Because the cursor's candidate is already
+  * the LATEST at-or-before row, any earlier row is staler still — so
+  * rejecting the candidate nulls the row in the same pass, no post-filter.
+  *
+  * Determinism: the right side must be unique per (keys, time) — among
+  * equal rows the sort order is undefined, so the attached payload would
+  * not be deterministic either. The contract is now ENFORCED on request:
+  * `assertUniqueRight = true` makes the merge cursor raise on the first
+  * duplicate (one extra comparison per right row — keep it on unless the
+  * uniqueness is proven upstream, e.g. by a groupBy). Left-side ties are
+  * always fine: every left row at time t sees the same latest-right-row.
   */
 object NativeAsof {
 
-  /** As-of left join via the native operator. All four name LongType
-    * columns; right columns are appended nullable (rename collisions
+  /** Single-key as-of left join (the original surface). */
+  def join(left: DataFrame, right: DataFrame, leftKey: String,
+           rightKey: String, leftTime: String, rightTime: String): DataFrame =
+    joinMulti(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime)
+
+  /** Composite-key as-of left join with optional bounded staleness and
+    * optional right-uniqueness enforcement. All named columns must be
+    * LongType; right columns are appended nullable (rename collisions
     * upstream — distinct right-side names keep the output unambiguous).
     */
-  def join(left: DataFrame, right: DataFrame, leftKey: String,
-           rightKey: String, leftTime: String, rightTime: String): DataFrame = {
+  def joinMulti(left: DataFrame, right: DataFrame, leftKeys: Seq[String],
+                rightKeys: Seq[String], leftTime: String, rightTime: String,
+                tolerance: Option[Long] = None,
+                assertUniqueRight: Boolean = false): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"key arity mismatch: ${leftKeys.size} vs ${rightKeys.size}")
+    require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
-    def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
+    def longAttr(p: LogicalPlan, n: String): Attribute = {
+      val a = p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column $n not found among ${p.output.map(_.name).mkString(", ")}"))
-    def longAttr(p: LogicalPlan, n: String): Attribute = {
-      val a = attr(p, n)
       require(a.dataType == LongType,
         s"native asof needs LongType for $n, got ${a.dataType.catalogString}")
       a
     }
     org.apache.spark.sql.GraftColumnBridge.ofRows(left.sparkSession,
-      AsofJoinPlan(lp, rp, longAttr(lp, leftKey), longAttr(rp, rightKey),
-        longAttr(lp, leftTime), longAttr(rp, rightTime)))
+      AsofJoinPlan(lp, rp,
+        leftKeys.map(longAttr(lp, _)), rightKeys.map(longAttr(rp, _)),
+        longAttr(lp, leftTime), longAttr(rp, rightTime),
+        tolerance, assertUniqueRight))
   }
 }
 
@@ -69,8 +90,10 @@ object NativeAsof {
   * node arrives at the analyzer already resolved.
   */
 case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
-                        leftKey: Expression, rightKey: Expression,
-                        leftTime: Expression, rightTime: Expression)
+                        leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                        leftTime: Expression, rightTime: Expression,
+                        tolerance: Option[Long] = None,
+                        assertUniqueRight: Boolean = false)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -84,22 +107,24 @@ case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsofJoinPlan(l, r, lks, rks, lt, rt, tol, uniq) =>
+      AsofJoinExec(planLater(l), planLater(r), lks, rks, lt, rt, tol, uniq) :: Nil
     case _ => Nil
   }
 }
 
 /** Physical as-of join: requiredChildDistribution co-partitions both sides
-  * on the key (EnsureRequirements inserts the two exchanges and checks
+  * on the keys (EnsureRequirements inserts the two exchanges and checks
   * compatibility exactly as it does for SortMergeJoin), requiredChildOrdering
-  * sorts each partition by (key, time), and doExecute zips partitions with a
+  * sorts each partition by (keys, time), and doExecute zips partitions with a
   * single forward-only merge cursor — the right side is scanned at most once
   * per partition no matter how many left rows probe it.
   */
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
-                        leftKey: Expression, rightKey: Expression,
-                        leftTime: Expression, rightTime: Expression)
+                        leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                        leftTime: Expression, rightTime: Expression,
+                        tolerance: Option[Long],
+                        assertUniqueRight: Boolean)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -108,14 +133,14 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+      rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
 
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
@@ -124,14 +149,15 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
-    val lk = leftKey
-    val lt = leftTime
-    val rk = rightKey
-    val rt = rightTime
+    val nk = leftKeys.size
+    val lkExprs = leftKeys :+ leftTime
+    val rkExprs = rightKeys :+ rightTime
+    val tol = tolerance
+    val uniq = assertUniqueRight
     val out = output
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
-      val lProj = UnsafeProjection.create(Seq(lk, lt), lOut)
-      val rProj = UnsafeProjection.create(Seq(rk, rt), rOut)
+      val lProj = UnsafeProjection.create(lkExprs, lOut)
+      val rProj = UnsafeProjection.create(rkExprs, rOut)
       // bind the output against NULLABLE right attrs — unmatched left rows
       // feed an all-null right buffer, and a non-nullable binding would
       // read primitive zeros instead of nulls
@@ -140,21 +166,55 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
 
+      // kt holds nk key slots + the time slot; null in ANY slot → no match
+      def anyNull(kt: InternalRow): Boolean = {
+        var i = 0
+        while (i <= nk) { if (kt.isNullAt(i)) return true; i += 1 }
+        false
+      }
+      // lexicographic compare of cursor keys vs a left row's keys
+      def cmpKeys(a: Array[Long], kt: InternalRow): Int = {
+        var i = 0
+        while (i < nk) {
+          val d = java.lang.Long.compare(a(i), kt.getLong(i))
+          if (d != 0) return d
+          i += 1
+        }
+        0
+      }
+
       // forward-only right cursor
       var rRow: InternalRow = null
-      var rKey = 0L
+      val rKeyV = new Array[Long](nk)
       var rTs = 0L
+      var havePrev = false
       def advanceRight(): Unit = {
+        val prevTs = rTs
+        var prevSame = havePrev
         rRow = null
         while (rRow == null && ri.hasNext) {
           val cand = ri.next()
           val kt = rProj(cand)
           // null key or null time never matches — skip (SQL semantics)
-          if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
+          if (!anyNull(kt)) {
+            var i = 0
+            var same = prevSame
+            while (i < nk) {
+              val k = kt.getLong(i)
+              if (same && rKeyV(i) != k) same = false
+              rKeyV(i) = k
+              i += 1
+            }
+            val ts = kt.getLong(nk)
+            if (uniq && same && ts == prevTs)
+              throw new IllegalStateException(
+                "native asof: right side has duplicate (keys, time) rows at " +
+                  s"keys=${rKeyV.mkString(",")} time=$ts — the attached " +
+                  "payload would be nondeterministic; pre-aggregate the right side")
             rRow = cand
-            rKey = kt.getLong(0)
-            rTs = kt.getLong(1)
-          }
+            rTs = ts
+            havePrev = true
+          } else prevSame = false
         }
       }
       advanceRight()
@@ -162,27 +222,40 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       // latest matched right row for the current left key (copied — the
       // child iterator reuses its row buffer)
       var haveMatch = false
-      var matchKey = 0L
+      val matchKey = new Array[Long](nk)
+      var matchTs = 0L
       var matchRow: InternalRow = null
+      def matchKeyDiffers(kt: InternalRow): Boolean = {
+        var i = 0
+        while (i < nk) { if (matchKey(i) != kt.getLong(i)) return true; i += 1 }
+        false
+      }
 
       li.map { lRow =>
         val kt = lProj(lRow)
-        if (kt.isNullAt(0) || kt.isNullAt(1)) {
+        if (anyNull(kt)) {
           joiner(joined(lRow, nullRight))
         } else {
-          val lKeyV = kt.getLong(0)
-          val lTsV = kt.getLong(1)
-          if (haveMatch && matchKey != lKeyV) { haveMatch = false; matchRow = null }
-          while (rRow != null &&
-            (rKey < lKeyV || (rKey == lKeyV && rTs <= lTsV))) {
-            if (rKey == lKeyV) {
+          val lTsV = kt.getLong(nk)
+          if (haveMatch && matchKeyDiffers(kt)) { haveMatch = false; matchRow = null }
+          while (rRow != null && {
+            val c = cmpKeys(rKeyV, kt)
+            c < 0 || (c == 0 && rTs <= lTsV)
+          }) {
+            if (cmpKeys(rKeyV, kt) == 0) {
               matchRow = rRow.copy()
-              matchKey = lKeyV
+              var i = 0
+              while (i < nk) { matchKey(i) = rKeyV(i); i += 1 }
+              matchTs = rTs
               haveMatch = true
             }
             advanceRight()
           }
-          joiner(joined(lRow, if (haveMatch) matchRow else nullRight))
+          // bounded staleness: the cursor's candidate is the LATEST
+          // at-or-before row, so if IT is outside the window every earlier
+          // row is too — null out in the same pass
+          val within = haveMatch && tol.forall(w => lTsV - matchTs <= w)
+          joiner(joined(lRow, if (within) matchRow else nullRight))
         }
       }
     }

@@ -801,13 +801,14 @@ object EventQueries {
     // Tolerance as-of (pandas merge_asof(tolerance=...) / the WITHIN
     // clause): the latest at-or-before match counts only if it is RECENT
     // ENOUGH — here, the preceding view within 1 hour of the purchase.
-    // Semantically this is exactly a post-condition on the as-of result
-    // (the latest-≤ match either is within the window or no in-window
-    // match exists — anything else in the window would be later and
-    // preferred), so the native operator composes with one CASE instead of
-    // growing a cursor variant; DuckDB's ASOF JOIN gets the IDENTICAL
-    // CASE. The matched flag makes the tolerance bite visible: q241
-    // matches ~96% of purchases, the 1-hour window keeps ~2/3.
+    // The bound now lives INSIDE AsofJoinExec's cursor (tolerance=Some):
+    // the cursor's candidate is already the LATEST at-or-before row, so if
+    // IT is outside the window every earlier row is staler — the exec
+    // nulls the right side in the same merge pass, no second projection
+    // over the joined relation. The oracle states the identical bound as a
+    // post-CASE on DuckDB's ASOF JOIN (equivalent by the same argument).
+    // The matched flag makes the tolerance bite visible: q241 matches
+    // ~96% of purchases, the 1-hour window keeps ~2/3.
     QueryDef("q257_asof_tolerance",
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us
         |           FROM events WHERE event_type = 'purchase'),
@@ -831,12 +832,59 @@ object EventQueries {
       val v = ev.where(col("event_type") === "view")
         .groupBy(col("user_id").as("v_uid"), col("us").as("v_us"))
         .agg(count(lit(1)).as("nv"))
-      val in = col("p_us") - col("v_us") <= 3600000000L
-      NativeAsof.join(p, v, "user_id", "v_uid", "p_us", "v_us")
+      NativeAsof.joinMulti(p, v, Seq("user_id"), Seq("v_uid"), "p_us", "v_us",
+          tolerance = Some(3600000000L))
         .select(col("event_id"), col("user_id"), col("p_us"),
-          when(in, col("v_us")).as("v_us_tol"),
-          when(in, col("nv")).as("nv_tol"),
-          coalesce(in, lit(false)).as("matched"))
+          col("v_us").as("v_us_tol"), col("nv").as("nv_tol"),
+          col("v_us").isNotNull.as("matched"))
+        .orderBy("event_id")
+    },
+
+    // Composite-key native as-of — the canonical (exchange, symbol)
+    // quote-trade shape: the as-of key is usually a TUPLE, and a
+    // single-key cursor would force concatenating keys into one column
+    // upstream. AsofJoinExec's cursor now compares a lexicographic
+    // composite of LongType keys directly (co-partition on all keys, sort
+    // by keys then time, same O(|L|+|R|) merge). Stand-in tuple here:
+    // (user_id, weekday) — the latest SAME-WEEKDAY view at-or-before each
+    // purchase. The right side is unique per (keys, time) by groupBy
+    // construction, and assertUniqueRight=true makes the exec PROVE it
+    // while scanning (the determinism contract enforced, not just
+    // documented). Oracle: DuckDB's ASOF LEFT JOIN with two equality
+    // conditions — again two independent native implementations agreeing.
+    QueryDef("q265_multikey_asof",
+      """WITH p AS (SELECT event_id, user_id,
+        |             (epoch_us(ts) // 86400000000) % 7 AS p_dow,
+        |             epoch_us(ts) AS p_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_uid,
+        |             (epoch_us(ts) // 86400000000) % 7 AS v_dow,
+        |             epoch_us(ts) AS v_us,
+        |             CAST(count(*) AS BIGINT) AS nv
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2, 3)
+        |SELECT p.event_id, p.user_id, CAST(p.p_dow AS BIGINT) AS p_dow,
+        |       p.p_us, v.v_us, v.nv
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.v_uid AND p.p_dow = v.v_dow
+        | AND v.v_us <= p.p_us
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      import graft.plans.NativeAsof
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("us"), col("event_type"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("(us div 86400000000) % 7").cast("long").as("p_dow"),
+          col("us").as("p_us"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_uid"),
+          expr("(us div 86400000000) % 7").cast("long").as("v_dow"),
+          col("us").as("v_us"))
+        .agg(count(lit(1)).as("nv"))
+      NativeAsof.joinMulti(p, v, Seq("user_id", "p_dow"), Seq("v_uid", "v_dow"),
+          "p_us", "v_us", assertUniqueRight = true)
+        .select(col("event_id"), col("user_id"), col("p_dow"), col("p_us"),
+          col("v_us"), col("nv"))
         .orderBy("event_id")
     },
 
@@ -1268,11 +1316,13 @@ object EventQueries {
         |      WINDOW tw AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
         |                    AND CURRENT ROW)),
         |c AS (SELECT day,
-        |        CAST(round(
-        |          CAST(7 * sxy - sx * sy AS DOUBLE)
-        |          / sqrt(CAST(7 * sxx - sx * sx AS DOUBLE)
-        |                 * CAST(7 * syy - sy * sy AS DOUBLE)) * 1000000, 0)
-        |          AS BIGINT) AS corr_e6
+        |        CASE WHEN 7 * sxx - sx * sx = 0 OR 7 * syy - sy * sy = 0
+        |          THEN NULL
+        |          ELSE CAST(round(
+        |            CAST(7 * sxy - sx * sy AS DOUBLE)
+        |            / sqrt(CAST(7 * sxx - sx * sx AS DOUBLE)
+        |                   * CAST(7 * syy - sy * sy AS DOUBLE)) * 1000000, 0)
+        |            AS BIGINT) END AS corr_e6
         |      FROM w WHERE rn >= 7)
         |SELECT CAST(day AS BIGINT) AS day, corr_e6
         |FROM c ORDER BY day""".stripMargin) { (s, d) =>
@@ -1293,12 +1343,21 @@ object EventQueries {
         sum(col("x") * col("x")).over(tw).as("sxx"),
         sum(col("yy") * col("yy")).over(tw).as("syy"),
         sum(col("x") * col("yy")).over(tw).as("sxy"))
+      // a constant 7-day window zeroes a variance: Spark (non-ANSI) would
+      // null the 0/0 while DuckDB errors on CAST(NaN AS BIGINT) — the
+      // degenerate arm must be stated as NULL on BOTH engines (the q243
+      // se = 0 discipline); factors are checked separately, their BIGINT
+      // product could overflow
       w.where(col("rn") >= 7)
         .select(col("day"),
-          round((lit(7) * col("sxy") - col("sx") * col("sy")).cast("double")
-            / sqrt((lit(7) * col("sxx") - col("sx") * col("sx")).cast("double")
-              * (lit(7) * col("syy") - col("sy") * col("sy")).cast("double"))
-            * 1000000, 0).cast("long").as("corr_e6"))
+          when(lit(7) * col("sxx") - col("sx") * col("sx") === 0 ||
+               lit(7) * col("syy") - col("sy") * col("sy") === 0,
+            lit(null).cast("long"))
+            .otherwise(
+              round((lit(7) * col("sxy") - col("sx") * col("sy")).cast("double")
+                / sqrt((lit(7) * col("sxx") - col("sx") * col("sx")).cast("double")
+                  * (lit(7) * col("syy") - col("sy") * col("sy")).cast("double"))
+                * 1000000, 0).cast("long")).as("corr_e6"))
         .orderBy("day")
     },
 

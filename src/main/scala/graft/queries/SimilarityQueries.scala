@@ -1247,7 +1247,18 @@ object SimilarityQueries {
       val cb = Pq.fit(emb, "vec_id", "embedding", Dim,
         m = PqAnnSql.M, ksub = PqAnnSql.Ksub, iters = 1)
       val codes = Pq.encode(emb, "vec_id", "embedding", cb)
-      val dir = s"/tmp/graft_pq_index_${math.abs(d.hashCode.toLong)}"
+      // unique root per invocation (a fixed dataset-keyed path raced under
+      // concurrent runs — one overwrite against another's reload) with
+      // JVM-exit cleanup; the returned DataFrame reads the codes lazily,
+      // so cleanup must not happen at query-construction time
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_pq_index_").toFile
+      sys.addShutdownHook(rmrf(root))
+      val dir = root.getAbsolutePath
       val cbRows = for {
         s0 <- 0 until cb.m; w <- 0 until cb.ksub
       } yield (s0, w, cb.words(s0)(w))

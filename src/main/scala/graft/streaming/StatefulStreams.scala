@@ -45,12 +45,16 @@ object StatefulStreams {
     override def handleInputRows(key: String, rows: Iterator[(String, Long, Long)],
                                  tv: TimerValues): Iterator[(String, Long, Long, Long)] = {
       val sorted = rows.toArray.sortBy(_._2)
-      var s = if (st.exists()) st.get() else -1L
+      // initialization is tracked by ValueState EXISTENCE, not a sentinel
+      // value — a magic negative would silently restart the recurrence on
+      // any negative series value
+      var init = st.exists()
+      var s = if (init) st.get() else 0L
       val out = sorted.map { case (_, day, y) =>
-        s = if (s < 0) y else (y + s) / 2
+        s = if (!init) { init = true; y } else (y + s) / 2
         (key, day, y, s)
       }
-      st.update(s)
+      if (init) st.update(s)
       out.iterator
     }
   }

@@ -110,4 +110,80 @@ class NativeAsofSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("AsofJoin"))
   }
+
+  test("composite key: key-boundary and null-component semantics") {
+    // (k1, k2) tuples where single-key-on-k1 would cross-match
+    val l = Seq((1L, 1L, 10L, "a"), (1L, 2L, 10L, "b"), (2L, 1L, 10L, "c"))
+      .toDF("k1", "k2", "t", "tag")
+    val r = Seq((1L, 1L, 5L, 100L), (1L, 2L, 7L, 200L), (2L, 2L, 1L, 300L))
+      .toDF("rk1", "rk2", "rt", "pay")
+    val out = NativeAsof.joinMulti(l, r, Seq("k1", "k2"), Seq("rk1", "rk2"),
+        "t", "rt").select("tag", "pay").collect()
+      .map(x => (x.getString(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    assert(out == Set(("a", 100L), ("b", 200L), ("c", -1L)))
+
+    // null in ANY key component never matches, left row survives
+    val ln = Seq((Some(1L), Some(1L), Some(10L)), (Some(1L), None, Some(10L)))
+      .toDF("k1", "k2", "t")
+    val outN = NativeAsof.joinMulti(ln, r, Seq("k1", "k2"), Seq("rk1", "rk2"),
+      "t", "rt").collect()
+    assert(outN.length == 2)
+    assert(outN.count(!_.isNullAt(6)) == 1)
+  }
+
+  test("composite key agrees with a brute-force window across partitions") {
+    val n = 2000
+    val l = (0 until n).map(i => (i.toLong % 13, i.toLong % 7, i.toLong * 3 + 1))
+      .toDF("k1", "k2", "t")
+    val r = (0 until n).map(i => (i.toLong % 13, i.toLong % 7, i.toLong * 3))
+      .toDF("rk1", "rk2", "rt").withColumn("pay", col("rt") * 10)
+      .distinct()
+    val out = NativeAsof.joinMulti(l, r, Seq("k1", "k2"), Seq("rk1", "rk2"),
+      "t", "rt")
+    val truth = l.as("l").join(r.as("r"),
+        col("l.k1") === col("r.rk1") && col("l.k2") === col("r.rk2") &&
+          col("r.rt") <= col("l.t"), "left")
+      .groupBy(col("l.k1").as("k1"), col("l.k2").as("k2"), col("l.t").as("t"))
+      .agg(max("r.rt").as("want_rt"))
+    val cmp = out.join(truth, Seq("k1", "k2", "t"))
+      .where(!(col("rt") <=> col("want_rt")))
+    assert(cmp.count() == 0)
+    assert(out.count() == n)
+  }
+
+  test("tolerance inside the exec nulls stale matches, keeps fresh ones") {
+    val l = Seq((1L, 100L, "fresh"), (1L, 200L, "stale"), (1L, 50L, "none"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 90L, 900L)).toDF("rk", "rt", "pay")
+    val out = NativeAsof.joinMulti(l, r, Seq("k"), Seq("rk"), "t", "rt",
+        tolerance = Some(20L))
+      .select("tag", "pay").collect()
+      .map(x => (x.getString(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    // t=100: 100-90=10 ≤ 20 → match; t=200: 110 > 20 → nulled in-cursor;
+    // t=50: no at-or-before row at all
+    assert(out == Set(("fresh", 900L), ("stale", -1L), ("none", -1L)))
+    // and the tolerance path must equal the compose-then-filter formulation
+    val post = NativeAsof.join(l, r, "k", "rk", "t", "rt")
+      .select(col("tag"),
+        when(col("t") - col("rt") <= 20L, col("pay")).as("pay")).collect()
+      .map(x => (x.getString(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    assert(out == post)
+  }
+
+  test("assertUniqueRight raises on duplicate (keys, time) right rows") {
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val dup = Seq((1L, 5L, 100L), (1L, 5L, 200L)).toDF("rk", "rt", "pay")
+      .coalesce(1) // both duplicates in one partition so the cursor sees them
+    val ex = intercept[org.apache.spark.SparkException] {
+      NativeAsof.joinMulti(l, dup, Seq("k"), Seq("rk"), "t", "rt",
+        assertUniqueRight = true).collect()
+    }
+    assert(ex.getMessage.contains("duplicate") ||
+      Option(ex.getCause).exists(_.getMessage.contains("duplicate")))
+    // unique right side passes with the assertion on
+    val ok = Seq((1L, 5L, 100L), (1L, 6L, 200L)).toDF("rk", "rt", "pay")
+    val out = NativeAsof.joinMulti(l, ok, Seq("k"), Seq("rk"), "t", "rt",
+      assertUniqueRight = true).collect()
+    assert(out.length == 1 && out.head.getLong(4) == 200L)
+  }
 }
