@@ -295,6 +295,23 @@ object ScaleProbe {
           it.map { case (_, o, y) => s = (s + y) / 2; (k, o, s) }
         }.toDF("g", "o", "s")
       },
+      // NSW graph BUILD (q266): LSH band-bucket seed + one NN-descent
+      // round over synthetic hash vectors — candidate work is bands ×
+      // capped-bucket per vector for the seed and (2k)² per vector per
+      // round, both linear in the corpus; the exponent must sit near 1,
+      // nowhere near the all-pairs build's 2
+      "nsw_build" -> { m =>
+        import graft.functions.Hashes
+        val n = m * 20000L
+        val dim = 16
+        val vecs = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            d => (Hashes.mulHash(col("id") * 131L + d, 19) % 1000)
+              .cast("double") / 1000.0d).as("embedding"))
+        graft.operators.NswGraph.buildRefined(vecs, "vec_id", "embedding",
+          dim, bands = 8, rbits = 6, seed = 11L, cap = 64,
+          kInternal = 8, rounds = 1, deg = 8)
+      },
       // NSW beam WALK (q260): the graph is pre-built AND materialized
       // OUTSIDE the timed frame — the probe measures the SEARCH, whose
       // cost is hops × beam × degree per query regardless of corpus size;

