@@ -14,7 +14,12 @@ object Bench {
 
   /** Headline set: one per operator family (scan, agg, flagship window,
     * star join, augmentation union, math, events, sessionization, dedup
-    * exact/minhash/simhash, knn, channel stats, mapPartitions scoring).
+    * exact/minhash/simhash, knn, channel stats, mapPartitions scoring) —
+    * plus, since round 7, the heavy round-5/6/7 machinery the wall-time
+    * gate previously never saw: driver-round PCA, exact HITS, deterministic
+    * LPA, the native as-of exec, the event-time-timer session stream, and
+    * the scalable NSW build + walk. Totals are NOT comparable with
+    * BENCH_r06 and earlier — BASELINE.md carries the re-baselined set.
     */
   val headline: Seq[String] = Seq(
     "q01_pruned_scan", "q03_group_count", "q07_survival_curve",
@@ -22,7 +27,9 @@ object Bench {
     "q26_tumbling_window", "q28_sessionize", "q30_exact_dedup",
     "q36_minhash_signature", "q38_simhash", "q40_knn_bruteforce",
     "q45_channel_stats", "q46_mappartitions_score",
-    "q56_asof_join", "q57_rollup", "q61_dedup_components", "q81_pagerank")
+    "q56_asof_join", "q57_rollup", "q61_dedup_components", "q81_pagerank",
+    "q229_pca_power", "q230_hits", "q238_label_propagation",
+    "q241_native_asof", "q254_timer_sessions", "q266_nsw_scalable")
 
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -241,4 +241,65 @@ object VectorExprs {
       copy(child = newChild)
     override def prettyName: String = "pq_encode"
   }
+
+  /** All `bands` sign-LSH band signatures of a vector in one fused pass —
+    * the signature stage of the scalable NSW build (NswGraph). Semantics
+    * are IDENTICAL to the HOF formulation (ascending-d double fold from
+    * 0.0 per plane, sign bit = proj ≥ 0, band sig = Σ bit·2^pos with exact
+    * small-power weights), so results stay bit-equal and the DuckDB oracle
+    * is unaffected; what changes is dim·bands·rbits interpreted lambda
+    * dispatches per row becoming one primitive loop.
+    */
+  def lshBandSigsData(a: ArrayData, isFloat: Boolean, bands: Int, rbits: Int,
+                      dim: Int, seed: Long): ArrayData = {
+    require(a.numElements() >= dim,
+      s"lsh_band_sigs: need $dim elements, got ${a.numElements()}")
+    val out = new Array[Long](bands)
+    var b = 0
+    var j = 0L
+    while (b < bands) {
+      var sig = 0L
+      var i = 0
+      while (i < rbits) {
+        var acc = 0.0
+        var d = 0
+        while (d < dim) {
+          val x = if (isFloat) a.getFloat(d).toDouble else a.getDouble(d)
+          val s = if (Hashes.mulHashLong(j * 4096L + d, seed) % 2 == 0) 1.0 else -1.0
+          acc += x * s
+          d += 1
+        }
+        if (acc >= 0) sig += (1L << i)
+        i += 1
+        j += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** lsh_band_sigs(vec): array<long> of the `bands` band signatures. */
+  case class LshBandSigsExpr(child: Expression, bands: Int, rbits: Int,
+                             dim: Int, seed: Long) extends UnaryExpression {
+    require(bands > 0 && rbits > 0 && rbits < 63 && dim > 0)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float|double>, got ${other.catalogString}")
+    }
+    private lazy val isFloat = isFloatArray(child)
+
+    override def nullSafeEval(a: Any): Any =
+      lshBandSigsData(a.asInstanceOf[ArrayData], isFloat, bands, rbits, dim, seed)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.lshBandSigsData($c, $isFloat, $bands, $rbits, $dim, ${seed}L);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "lsh_band_sigs"
+  }
 }

@@ -50,9 +50,29 @@ object NswGraph {
     g.unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
 
-  /** Per-(vector, band) integer signatures: (vec_id, band, sig). */
+  /** Per-(vector, band) integer signatures: (vec_id, band, sig). One
+    * codegen'd [[graft.functions.VectorExprs.LshBandSigsExpr]] pass per
+    * row — no per-plane lambda dispatch, no explode+groupBy exchange.
+    */
   def signatures(emb: DataFrame, idCol: String, embCol: String, dim: Int,
                  bands: Int, rbits: Int, seed: Long): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val sigs = GraftColumnBridge.column(graft.functions.VectorExprs
+      .LshBandSigsExpr(GraftColumnBridge.expression(col("__x")),
+        bands, rbits, dim, seed))
+    emb.select(col(idCol).as("vec_id"), col(embCol).as("__x"))
+      .select(col("vec_id"), posexplode(sigs).as(Seq("band", "sig")))
+      .select(col("vec_id"), col("band").cast("long").as("band"), col("sig"))
+  }
+
+  /** The pure-HOF signature formulation [[signatures]] replaces (kept for
+    * the bit-equality test, exactly like Tensors.dotHof): per plane j an
+    * ascending-d double fold of vec[d] · hash-sign(j, d), bits packed with
+    * exact pow-of-two weights.
+    */
+  private[graft] def signaturesHof(emb: DataFrame, idCol: String,
+                                   embCol: String, dim: Int, bands: Int,
+                                   rbits: Int, seed: Long): DataFrame = {
     val lBits = bands * rbits
     def signCell(j: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
       when(Hashes.mulHash(j * 4096L + d, seed) % 2 === 0, lit(1.0d))

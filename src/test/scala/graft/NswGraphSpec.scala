@@ -18,6 +18,16 @@ class NswGraphSpec extends AnyFunSuite {
   private val Dim = 64
   private def emb = Tables.embeddings(spark, TestSpark.sfDir)
 
+  test("codegen'd band signatures are bit-equal to the HOF formulation") {
+    val fast = NswGraph.signatures(emb, "vec_id", "embedding", Dim,
+      bands = 16, rbits = 4, seed = 11L)
+    val hof = NswGraph.signaturesHof(emb, "vec_id", "embedding", Dim,
+      bands = 16, rbits = 4, seed = 11L)
+    assert(fast.exceptAll(hof).count() == 0)
+    assert(hof.exceptAll(fast).count() == 0)
+    assert(fast.count() == emb.count() * 16)
+  }
+
   test("build plan is cartesian-free: equi-join candidates only") {
     val g = NswGraph.build(emb, "vec_id", "embedding", Dim,
       bands = 4, rbits = 4, seed = 11L, cap = 64, deg = 8)
