@@ -888,6 +888,98 @@ object EventQueries {
         .orderBy("event_id")
     },
 
+    // State-TTL witness — the last uncovered transformWithState surface:
+    // TTLConfig-backed state EVICTION, proven deterministically. Two
+    // per-user counters differ only in TTL (1 ms vs none); the harness is
+    // q254's two-wave discipline — wave A (events at-or-before the
+    // midpoint microsecond) lands and drains in one micro-batch, the query
+    // STOPS, wave B drains through the same RocksDB checkpoint seconds
+    // later. By wave B the TTL'd counter has expired (the inter-wave gap
+    // exceeds 1 ms by orders of magnitude — the one wall-clock dependency,
+    // and it cannot race) and RE-INITIALIZES from empty, so its wave-B
+    // value is the wave-B-only count; the TTL-free counter must carry
+    // wave A's count through the checkpoint restart. The oracle states
+    // both waves from the same midpoint split: a failed eviction, a failed
+    // re-init, or lost checkpoint state each flip a different column.
+    QueryDef("q268_state_ttl",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us
+        |           FROM events WHERE user_id < 20),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS na
+        |      FROM e, m WHERE us <= mid GROUP BY user_id),
+        |b AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nb
+        |      FROM e, m WHERE us > mid GROUP BY user_id),
+        |r AS (SELECT user_id, na AS ttl_cnt, na AS keep_cnt FROM a
+        |      UNION ALL
+        |      SELECT b.user_id, b.nb AS ttl_cnt,
+        |             CAST(coalesce(a.na, 0) + b.nb AS BIGINT) AS keep_cnt
+        |      FROM b LEFT JOIN a USING (user_id))
+        |SELECT user_id, ttl_cnt, keep_cnt
+        |FROM r ORDER BY user_id, keep_cnt""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+      import org.apache.spark.sql.types.LongType
+      import org.apache.spark.sql.types.StructType
+      import graft.streaming.StatefulStreams
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ttl_q_").toFile
+      sys.addShutdownHook(rmrf(root))
+      val e = Tables.events(s, d).where(col("user_id") < 20)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+        .persist() // wave split boundary + both landing writes
+      val mid = e.agg(expr("(min(us) + max(us)) div 2")).head().getLong(0)
+      val prev =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        StatefulStreams.RocksDbProvider)
+      try {
+        def drain(): Unit = {
+          val stream = s.readStream
+            .schema(new StructType()
+              .add("user_id", LongType).add("us", LongType))
+            .parquet(s"$root/landing")
+            .as[(Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new StatefulStreams.TtlCounter,
+              TimeMode.ProcessingTime(), OutputMode.Update())
+          // Trigger.Once, NOT AvailableNow: in TimeMode.ProcessingTime the
+          // stateful operator's shouldRunAnotherBatch is unconditionally
+          // true (processing-time timers/TTL might always have work), so
+          // AvailableNow never terminates — it kept appending empty
+          // micro-batches forever when tried. Once() runs exactly one
+          // batch per drain, which is also precisely the wave contract.
+          val q = stream.toDF("user_id", "ttl_cnt", "keep_cnt")
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", s"$root/out")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.Once())
+            .start()
+          q.awaitTermination()
+        }
+        // coalesce(1): exactly one file per wave → exactly one micro-batch
+        // per drain (a split wave would reset the TTL counter mid-wave)
+        e.where(col("us") <= mid).coalesce(1).write.parquet(s"$root/landing")
+        drain()
+        e.where(col("us") > mid).coalesce(1)
+          .write.mode("append").parquet(s"$root/landing")
+        drain()
+        s.read.parquet(s"$root/out")
+          .select("user_id", "ttl_cnt", "keep_cnt")
+          .orderBy("user_id", "keep_cnt")
+      } finally {
+        prev match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    },
+
     // Time-based split — the ML-data split temporal problems REQUIRE
     // (train on the past, evaluate on the future; a hash split would leak
     // tomorrow into training): the cutoff is the exact 80th-percentile

@@ -59,6 +59,43 @@ object StatefulStreams {
     }
   }
 
+  /** State-TTL witness (q268): two per-key event counters that differ ONLY
+    * in their TTLConfig — `ttl` expires after 1 ms of processing time,
+    * `keep` never. Driven by the two-wave drain harness (one micro-batch
+    * per wave, a full query restart between them), the wall-clock gap
+    * between waves is seconds, so by wave B the `ttl` state has PROVABLY
+    * expired and re-initializes from empty while `keep` accumulates
+    * through the RocksDB checkpoint — eviction and re-initialization in
+    * one hash-checked contract. TTL is processing-time by definition
+    * (TimeMode.ProcessingTime is REQUIRED — Spark raises
+    * cannotProvideTTLConfigForTimeMode otherwise); the 1 ms duration is
+    * what makes wall clock deterministic here: any inter-batch gap
+    * exceeds it by 2-3 orders of magnitude, so the witness never races.
+    */
+  class TtlCounter
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var ttl: ValueState[Long] = _
+    @transient private var keep: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      ttl = getHandle.getValueState[Long]("ttl", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(1)))
+      keep = getHandle.getValueState[Long]("keep", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                 tv: TimerValues): Iterator[(Long, Long, Long)] = {
+      var n = 0L
+      rows.foreach(_ => n += 1)
+      val t = (if (ttl.exists()) ttl.get() else 0L) + n
+      val k = (if (keep.exists()) keep.get() else 0L) + n
+      ttl.update(t)
+      keep.update(k)
+      Iterator.single((key, t, k))
+    }
+  }
+
   /** Event-time-TIMER session machine — the full transformWithState
     * surface: ListState buffers a user's event times, and a single
     * re-registered event-time timer at (buffered max + gap) flushes when

@@ -226,6 +226,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("TTL state evicts between drains; TTL-free state survives the restart") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import org.apache.spark.sql.types.{LongType, StructType}
+    import graft.streaming.StatefulStreams
+    import spark.implicits._
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(): Unit
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_ttl_spec_").toFile
+    try {
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        StatefulStreams.RocksDbProvider)
+      try {
+        def drain(): Unit = {
+          val st = spark.readStream
+            .schema(new StructType().add("k", LongType).add("x", LongType))
+            .parquet(s"$root/landing")
+            .as[(Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new StatefulStreams.TtlCounter,
+              TimeMode.ProcessingTime(), OutputMode.Update())
+          // Trigger.Once, not AvailableNow: ProcessingTime mode keeps
+          // shouldRunAnotherBatch true forever (see q268)
+          val q = st.toDF("k", "ttl_cnt", "keep_cnt")
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", s"$root/out")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.Once()).start()
+          q.awaitTermination()
+        }
+        // wave A: key 1 ×3, key 2 ×1; wave B: key 1 ×2, key 3 ×1
+        Seq((1L, 0L), (1L, 0L), (1L, 0L), (2L, 0L)).toDF("k", "x")
+          .coalesce(1).write.parquet(s"$root/landing")
+        drain()
+        Seq((1L, 0L), (1L, 0L), (3L, 0L)).toDF("k", "x")
+          .coalesce(1).write.mode("append").parquet(s"$root/landing")
+        drain()
+        val out = spark.read.parquet(s"$root/out")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(out == Set(
+          (1L, 3L, 3L), (2L, 1L, 1L), // wave A
+          (1L, 2L, 5L),               // wave B: ttl RE-INITIALIZED, keep carried
+          (3L, 1L, 1L)))
+      } finally prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    } finally rmrf(root)
+  }
+
   test("session windows produce sane sessions under watermark") {
     val sessions = EventStreams.runToMemory(
       EventStreams.sessionAggregates(EventStreams.readStream(spark, TestSpark.sfDir)),
