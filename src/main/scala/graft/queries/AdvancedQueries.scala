@@ -680,6 +680,109 @@ object AdvancedQueries {
         .orderBy("id")
     },
 
+    // Modularity score — the missing EVALUATION half of community
+    // detection (Newman & Girvan): q238 produces communities, this grades
+    // them. Q = Σ_c (e_c/m − (d_c/2m)²) over the SAME deterministic
+    // 2-round LPA labels; computed EXACTLY as the integer numerator
+    // Σ_c (4·m·e_c − d_c²) over 4m² (every term a BIGINT — e_c from one
+    // edge-endpoint label join, d_c from the degree census, m from the
+    // undirected edge count; nothing floats until the final ppm-style
+    // quantization, which states FLOOR explicitly on both engines because
+    // a negative numerator would floor vs truncate differently). Output:
+    // the 10 largest communities with their internal-edge/degree mass,
+    // each row carrying the global q_e6 — the number a clustering
+    // dashboard prints. Scale: the grading adds two keyed aggregates and
+    // one broadcast 1-row total on top of LPA's own exchanges.
+    QueryDef("q270_modularity",
+      s"""WITH ${SpatialEdges.cte},
+         |ed AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
+         |      UNION ALL SELECT v, u FROM e0),
+         |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM ed),
+         |c1 AS (SELECT e.src AS id, l.lbl, count(*) AS c
+         |       FROM ed e JOIN l0 l ON l.id = e.dst GROUP BY 1, 2),
+         |l1 AS MATERIALIZED (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl,
+         |           row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl)
+         |             AS rn
+         |    FROM c1) t WHERE rn = 1),
+         |c2 AS (SELECT e.src AS id, l.lbl, count(*) AS c
+         |       FROM ed e JOIN l1 l ON l.id = e.dst GROUP BY 1, 2),
+         |l2 AS MATERIALIZED (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl,
+         |           row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl)
+         |             AS rn
+         |    FROM c2) t WHERE rn = 1),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+         |dg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+         |       FROM ed GROUP BY src),
+         |cm AS MATERIALIZED (
+         |  SELECT l2.lbl AS community, CAST(count(*) AS BIGINT) AS size,
+         |         CAST(sum(dg.deg) AS BIGINT) AS d_sum
+         |  FROM l2 JOIN dg ON dg.id = l2.id GROUP BY l2.lbl),
+         |ein AS (SELECT lu.lbl AS community, CAST(count(*) AS BIGINT) AS e_in
+         |        FROM e0 JOIN l2 lu ON lu.id = e0.u
+         |                JOIN l2 lv ON lv.id = e0.v
+         |        WHERE lu.lbl = lv.lbl GROUP BY lu.lbl),
+         |parts AS (SELECT cm.community, cm.size, cm.d_sum,
+         |            CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in
+         |          FROM cm LEFT JOIN ein USING (community)),
+         |num AS (SELECT CAST(sum(4 * m.m * e_in - d_sum * d_sum) AS BIGINT)
+         |          AS num, CAST(4 * m.m * m.m AS BIGINT) AS den
+         |        FROM parts, m GROUP BY m.m),
+         |q AS (SELECT CASE WHEN num >= 0 THEN num * 1000000 // den
+         |             ELSE -(((-num) * 1000000 + den - 1) // den) END AS q_e6
+         |      FROM num)
+         |SELECT community, size, e_in, d_sum, CAST(q_e6 AS BIGINT) AS q_e6
+         |FROM (SELECT p.*, q.q_e6,
+         |        row_number() OVER (ORDER BY p.size DESC, p.community) AS rn
+         |      FROM parts p, q) t
+         |WHERE rn <= 10 ORDER BY size DESC, community""".stripMargin) { (s, d) =>
+      val e0 = SpatialEdges.frame(s, d).persist() // LPA rounds + m + e_in
+      val ed = e0.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
+        .persist() // both propagation rounds + the degree census
+      val l0 = ed.select(col("src").as("id"), col("src").as("lbl")).distinct()
+      def lpaRound(labels: org.apache.spark.sql.DataFrame) = {
+        val cnt = ed.join(labels.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("id").orderBy(col("c").desc, col("lbl"))
+        cnt.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select("id", "lbl")
+          .localCheckpoint() // round plans must not nest
+      }
+      val l2 = lpaRound(lpaRound(l0)).persist() // d_sum census + e_in join
+      val m = e0.agg(count(lit(1)).as("m"))
+      val dg = ed.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val cm = l2.join(dg, "id")
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("size"), sum("deg").as("d_sum"))
+      val ein = e0
+        .join(l2.select(col("id").as("u"), col("lbl").as("lu")), "u")
+        .join(l2.select(col("id").as("v"), col("lbl").as("lv")), "v")
+        .where(col("lu") === col("lv"))
+        .groupBy(col("lu").as("community")).agg(count(lit(1)).as("e_in"))
+      val parts = cm.join(ein, Seq("community"), "left")
+        .select(col("community"), col("size"), col("d_sum"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"))
+        .crossJoin(broadcast(m))
+        .persist() // the global numerator and the ranked output both scan it
+      val nd = parts
+        .agg(sum(lit(4) * col("m") * col("e_in") - col("d_sum") * col("d_sum"))
+          .as("num"), max(expr("4 * m * m")).as("den"))
+      val q = nd.select(
+        when(col("num") >= 0, expr("num * 1000000 div den"))
+          .otherwise(-expr("((-num) * 1000000 + den - 1) div den"))
+          .as("q_e6"))
+      val w = Window.orderBy(col("size").desc, col("community"))
+      parts.crossJoin(broadcast(q))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+        .select("community", "size", "e_in", "d_sum", "q_e6")
+        .orderBy(col("size").desc, col("community"))
+    },
+
     // HITS hubs & authorities — the fifth graph kernel (PageRank / CC /
     // triangles / k-core / HITS), on the graph HITS was designed for: the
     // DIRECTED customer→supplier purchase bipartition, where hub score

@@ -1516,6 +1516,61 @@ object CurationQueries {
     // the corpus), integer ppm division, max. The only float is the
     // critical value 1.36·√((nA+nB)/(nA·nB)) — one literal-shaped
     // expression rounded to integer ppm on both engines before the compare.
+    // k-anonymity / l-diversity audit — the privacy census a dataset that
+    // leaves the building must pass (Sweeney's k-anonymity; Machanavajjhala
+    // et al.'s l-diversity): rows whose QUASI-IDENTIFIER tuple — here
+    // (event_type, weekday, $5 spend tier), the kind of low-cardinality
+    // combination an attacker can join against public data — lands in a
+    // group of fewer than k=5 records are re-identifiable, and groups
+    // where the SENSITIVE attribute (user_id) takes fewer than l=3
+    // distinct values leak it even at k. One exact grouped census, two
+    // threshold rules, a per-event-type risk summary — the shape is one
+    // keyed aggregate + a k-row rollup, identical at any scale.
+    QueryDef("q269_k_anonymity",
+      """WITH e AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |         CAST(round(greatest(value, 0) * 100, 0) AS BIGINT) // 500
+        |           AS tier,
+        |         user_id
+        |  FROM events),
+        |g AS (SELECT event_type, dow, tier,
+        |        CAST(count(*) AS BIGINT) AS n,
+        |        CAST(count(DISTINCT user_id) AS BIGINT) AS l
+        |      FROM e GROUP BY 1, 2, 3),
+        |s AS (SELECT event_type,
+        |        CAST(count(*) AS BIGINT) AS n_groups,
+        |        CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS small_groups,
+        |        CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |          AS risky_rows,
+        |        CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS low_div_groups,
+        |        CAST(sum(n) AS BIGINT) AS total_rows
+        |      FROM g GROUP BY event_type)
+        |SELECT event_type, n_groups, small_groups, risky_rows,
+        |       low_div_groups,
+        |       CAST(risky_rows * 1000000 // total_rows AS BIGINT)
+        |         AS risk_ppm
+        |FROM s ORDER BY event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("dow"),
+        expr("cast(round(greatest(value, 0) * 100, 0) as bigint) div 500")
+          .as("tier"),
+        col("user_id"))
+      val g = e.groupBy("event_type", "dow", "tier")
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("l"))
+      g.groupBy("event_type")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("small_groups"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).as("risky_rows"),
+          sum(when(col("l") < 3, 1L).otherwise(0L)).as("low_div_groups"),
+          sum("n").as("total_rows"))
+        .select(col("event_type"), col("n_groups"), col("small_groups"),
+          col("risky_rows"), col("low_div_groups"),
+          expr("risky_rows * 1000000 div total_rows").as("risk_ppm"))
+        .orderBy("event_type")
+    },
+
     QueryDef("q192_ks_drift",
       """WITH b AS (
         |  SELECT (CAST(l_quantity AS BIGINT) - 1) // 5 AS bin,

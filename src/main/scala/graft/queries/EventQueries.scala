@@ -1630,13 +1630,83 @@ object EventQueries {
         .as[(String, Long, Long)]
       daily.groupByKey(_._1)
         .flatMapSortedGroups(col("day")) { (k, rows) =>
-          var state = -1L
+          // init tracked explicitly, not by a negative sentinel (the
+          // OrderedEwma advisor fix applied to the batch twin too)
+          var init = false
+          var state = 0L
           rows.map { case (_, day, y) =>
-            state = if (state < 0) y else (y + state) / 2
+            state = if (!init) { init = true; y } else (y + state) / 2
             (k, day, y, state)
           }
         }
         .toDF("event_type", "day", "y_cents", "ewma_cents")
+        .orderBy("event_type", "day")
+    },
+
+    // Holt's linear-trend smoothing — the forecasting recurrence one rung
+    // above q233's EWMA: level AND trend, l_t = ⌊(y_t + (l+b))/2⌋,
+    // b_t = ⌊((l_t − l) + b)/2⌋ with α=β=½ — the op class windows can't
+    // express (non-associative, TWO coupled carried states), run
+    // distributed by the q233 shape: one exchange keyed by series,
+    // secondary sort by day, O(1) state per key. All-integer cents; the
+    // TREND can go negative, which is exactly where division semantics
+    // must be PINNED: DuckDB's integer `//` TRUNCATES toward zero
+    // (-5 // 2 = -2, measured — it only floors for non-integer operands),
+    // matching Scala's `/`, so truncating halving is the stated contract
+    // on both engines (Math.floorDiv was 1-off on every negative odd
+    // trend; a float formulation 1-ulp-split against DuckDB's round() at
+    // this magnitude — the 1e-6 grid sits ~10 ulps above double noise at
+    // 1e4 cents — so integers are the only honest contract). Each row
+    // carries its 3-step-ahead forecast l + 3b — the number a capacity
+    // dashboard plots. Oracle: recursive CTE stepping the same recurrence
+    // (the q233 precedent with two carried columns).
+    QueryDef("q271_holt_trend",
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, y,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |      FROM d),
+        |rec(event_type, rn, day, y, l, b) AS (
+        |  SELECT event_type, rn, day, y, y, CAST(0 AS BIGINT)
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn, r.day, r.y,
+        |         (r.y + (rec.l + rec.b)) // 2,
+        |         (((r.y + (rec.l + rec.b)) // 2 - rec.l) + rec.b) // 2
+        |  FROM r JOIN rec ON r.event_type = rec.event_type
+        |                 AND r.rn = rec.rn + 1)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, y AS y_cents,
+        |       CAST(l AS BIGINT) AS level_cents,
+        |       CAST(b AS BIGINT) AS trend_cents,
+        |       CAST(l + 3 * b AS BIGINT) AS f3_cents
+        |FROM rec ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
+          .as("y"))
+        .as[(String, Long, Long)]
+      daily.groupByKey(_._1)
+        .flatMapSortedGroups(col("day")) { (k, rows) =>
+          var init = false
+          var l = 0L
+          var b = 0L
+          rows.map { case (_, day, y) =>
+            if (!init) { init = true; l = y; b = 0L }
+            else {
+              val lNew = (y + (l + b)) / 2
+              b = ((lNew - l) + b) / 2
+              l = lNew
+            }
+            (k, day, y, l, b, l + 3 * b)
+          }
+        }
+        .toDF("event_type", "day", "y_cents", "level_cents", "trend_cents",
+          "f3_cents")
         .orderBy("event_type", "day")
     },
 
