@@ -230,6 +230,65 @@ object TextHashExprs {
     override def prettyName: String = "simhash"
   }
 
+  /** Best-segmentation DP value for `word` under `vocab` (gram → score):
+    * maximize Σ piece-scores, tie-break to FEWER pieces, both packed into
+    * one long v = 64·Σscores − pieces (pieces ≤ 63 by the caller's word-
+    * length cap, so ordering on v IS the lexicographic (score, −pieces)
+    * order). Pieces are vocab grams of length 2–4; any single char is
+    * always a piece at score 1 (the SentencePiece character fallback that
+    * guarantees every word segments). dp[i] = max(dp[i−1] + 63,
+    * max_{L=2..4, gram ∈ vocab} dp[i−L] + 64·score − 1) — identical to
+    * the q273 oracle's recursive-CTE frontier.
+    */
+  def viterbiSegValue(w: UTF8String,
+                      vocab: java.util.HashMap[String, java.lang.Long]): Long = {
+    val s = w.toString
+    val n = s.length
+    val dp = new Array[Long](n + 1)
+    var i = 1
+    while (i <= n) {
+      var best = dp(i - 1) + 63
+      var l = 2
+      while (l <= 4 && l <= i) {
+        val sc = vocab.get(s.substring(i - l, i))
+        if (sc != null) {
+          val cand = dp(i - l) + 64L * sc.longValue - 1
+          if (cand > best) best = cand
+        }
+        l += 1
+      }
+      dp(i) = best
+      i += 1
+    }
+    dp(n)
+  }
+
+  /** viterbi_seg(word): the packed DP value (see [[viterbiSegValue]]);
+    * the vocab rides along as a codegen reference object, so the whole
+    * segmentation is one fused loop per row — no join fan-out over
+    * per-position candidate grams on the Spark side.
+    */
+  case class ViterbiSegExpr(child: Expression,
+                            vocab: java.util.HashMap[String, java.lang.Long])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(viterbiSegValue(v.asInstanceOf[UTF8String], vocab))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val vRef = ctx.addReferenceObj("viterbiVocab", vocab, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashExprs.viterbiSegValue($c, $vRef);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "viterbi_seg"
+  }
+
+  def viterbi_seg(word: Column,
+                  vocab: java.util.HashMap[String, java.lang.Long]): Column =
+    GraftColumnBridge.column(
+      ViterbiSegExpr(GraftColumnBridge.expression(word), vocab))
+
   def simhash_expr(tokens: Column, bits: Int): Column =
     GraftColumnBridge.column(SimHashExpr(GraftColumnBridge.expression(tokens), bits))
 

@@ -354,6 +354,57 @@ object RelationalQueries {
     // percentile is the one sort-shaped cost and runs on the train split
     // once; percentile_approx (q96) is the stated fallback when even that
     // pass must be one-shot mergeable.
+    // Recursive CTE — the SQL surface Spark only grew in 4.x (WITH
+    // RECURSIVE, SPARK-24497): hierarchy traversal that no fixed-depth
+    // join chain expresses, run through spark.sql against the SAME
+    // recursive formulation DuckDB executes. The hierarchy is derived and
+    // deterministic — parent(custkey) = custkey div 10, a 10-ary tree
+    // rooted at the single-digit keys — so both engines walk identical
+    // chains (every div-10 ancestor ≥ 1 is a real customer: keys are
+    // dense from 1). Per customer the recursion yields its depth, root,
+    // and the exact-cents account-balance sum along its ancestor chain;
+    // the output is the (root, depth) rollup. Dialect note: the ONLY
+    // difference between the two texts is integer division (`div` vs
+    // `//`) — both truncate. Scale: Spark executes the recursion as
+    // iterative UnionLoop steps, each an equi-join against the dense key
+    // range — depth is log₁₀(maxkey), so 6 rounds at 1e6 customers.
+    QueryDef("q272_recursive_cte",
+      """WITH RECURSIVE rec(k, node, depth) AS (
+        |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer
+        |  UNION ALL
+        |  SELECT k, node // 10, depth + 1 FROM rec WHERE node // 10 >= 1),
+        |per AS (
+        |  SELECT r.k, CAST(max(r.depth) AS BIGINT) AS depth,
+        |         CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS chain_cents,
+        |         CAST(min(CASE WHEN r.node < 10 THEN r.node END) AS BIGINT)
+        |           AS root
+        |  FROM rec r JOIN customer c ON c.c_custkey = r.node
+        |  GROUP BY r.k)
+        |SELECT root, depth, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(chain_cents) AS BIGINT) AS chain_cents
+        |FROM per GROUP BY root, depth ORDER BY root, depth""".stripMargin) {
+      (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("q272_customer")
+      s.sql(
+        """WITH RECURSIVE rec(k, node, depth) AS (
+          |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT)
+          |  FROM q272_customer
+          |  UNION ALL
+          |  SELECT k, node div 10, depth + 1 FROM rec WHERE node div 10 >= 1),
+          |per AS (
+          |  SELECT r.k, CAST(max(r.depth) AS BIGINT) AS depth,
+          |         CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT))
+          |           AS BIGINT) AS chain_cents,
+          |         CAST(min(CASE WHEN r.node < 10 THEN r.node END) AS BIGINT)
+          |           AS root
+          |  FROM rec r JOIN q272_customer c ON c.c_custkey = r.node
+          |  GROUP BY r.k)
+          |SELECT root, depth, CAST(count(*) AS BIGINT) AS n_customers,
+          |       CAST(sum(chain_cents) AS BIGINT) AS chain_cents
+          |FROM per GROUP BY root, depth ORDER BY root, depth""".stripMargin)
+    },
+
     QueryDef("q193_robust_scaler",
       s"""WITH train AS (
          |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c

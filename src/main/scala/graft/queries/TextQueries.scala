@@ -984,6 +984,87 @@ object TextQueries {
     // two-stage range partition + zip), so no unbounded window anywhere.
     // This is the measurement behind every bucketed-batching dataloader
     // decision; on the fixtures sorted batching cuts padding waste by ~10×.
+    // Subword segmentation by Viterbi DP — the tokenizer-side op BPE-apply
+    // (q137) doesn't cover: given a SCORED piece vocabulary, find each
+    // word's best segmentation (the SentencePiece/unigram-LM decode step,
+    // Kudo 2018). Vocabulary = 2-4-char grams shared by ≥2 distinct
+    // corpus words, scored by that document-frequency; any single char is
+    // always a fallback piece at score 1, so every word segments. The DP
+    // maximizes total score with ties to fewer pieces — both packed into
+    // one integer (64·Σscores − pieces; words cap at 18 chars so the
+    // piece count never aliases the score). Spark side: the vocab is a
+    // collected broadcast statistic and functions/TextHashExprs
+    // .ViterbiSegExpr runs the whole DP as one codegen'd loop per row;
+    // the oracle replays it as a recursive CTE whose frontier carries
+    // dp[i−1..i−3] as columns and LEFT-JOINs the vocab per piece length.
+    // Output: per word, its count, best score, piece count, and the
+    // chars-per-piece compression a tokenizer dashboard tracks.
+    QueryDef("q273_viterbi_seg",
+      """WITH RECURSIVE toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks
+        |       WHERE len(word) BETWEEN 4 AND 18 GROUP BY word),
+        |pos AS (SELECT word, l, s FROM (SELECT word FROM wf) ww,
+        |        (SELECT unnest(range(2, 5)) AS l) ls,
+        |        LATERAL (SELECT unnest(range(1, len(word) - l + 2)) AS s) ss),
+        |vocab AS MATERIALIZED (
+        |  SELECT substr(word, s, l) AS g,
+        |         CAST(count(DISTINCT word) AS BIGINT) AS sc
+        |  FROM pos GROUP BY 1 HAVING count(DISTINCT word) >= 2),
+        |rec(word, i, d0, d1, d2, d3) AS (
+        |  SELECT word, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM wf
+        |  UNION ALL
+        |  SELECT r.word, r.i + 1,
+        |         greatest(r.d0 + 63,
+        |           coalesce(r.d1 + 64 * v2.sc - 1, -1),
+        |           coalesce(r.d2 + 64 * v3.sc - 1, -1),
+        |           coalesce(r.d3 + 64 * v4.sc - 1, -1)),
+        |         r.d0, r.d1, r.d2
+        |  FROM rec r
+        |  LEFT JOIN vocab v2 ON r.i >= 1 AND v2.g = substr(r.word, r.i, 2)
+        |  LEFT JOIN vocab v3 ON r.i >= 2 AND v3.g = substr(r.word, r.i - 1, 3)
+        |  LEFT JOIN vocab v4 ON r.i >= 3 AND v4.g = substr(r.word, r.i - 2, 4)
+        |  WHERE r.i < len(r.word)),
+        |fin AS (SELECT word, d0 AS v FROM rec WHERE i = len(word)),
+        |o AS (SELECT wf.word, wf.cnt, CAST(len(wf.word) AS BIGINT) AS n_chars,
+        |        CAST((f.v + 63) // 64 AS BIGINT) AS seg_score,
+        |        CAST(64 * ((f.v + 63) // 64) - f.v AS BIGINT) AS n_pieces
+        |      FROM wf JOIN fin f USING (word))
+        |SELECT word, cnt, n_chars, seg_score, n_pieces,
+        |       CAST(n_chars * 1000000 // n_pieces AS BIGINT)
+        |         AS chars_per_piece_ppm
+        |FROM o ORDER BY cnt DESC, word""".stripMargin) { (s, d) =>
+      import graft.functions.TextHashExprs
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+      val wf = toks.where(length(col("word")).between(4, 18))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .persist() // vocab extraction + the scored output scan it
+      val grams = wf.select(col("word"),
+          explode(expr("sequence(2, 4)")).as("l"))
+        .select(col("word"), col("l"),
+          explode(expr("sequence(1, length(word) - l + 1)")).as("p"))
+        .select(col("word"), expr("substring(word, p, l)").as("g"))
+      val vocab = grams.groupBy("g").agg(countDistinct("word").as("sc"))
+        .where(col("sc") >= 2)
+      // the vocab is a broadcast STATISTIC (gram → integer score), not
+      // data — the same collect class as scaler means or PQ codebooks
+      val vmap = new java.util.HashMap[String, java.lang.Long]
+      vocab.collect().foreach(r =>
+        vmap.put(r.getString(0), java.lang.Long.valueOf(r.getLong(1))))
+      wf.select(col("word"), col("cnt"),
+          length(col("word")).cast("long").as("n_chars"),
+          TextHashExprs.viterbi_seg(col("word"), vmap).as("v"))
+        .select(col("word"), col("cnt"), col("n_chars"),
+          expr("(v + 63) div 64").as("seg_score"),
+          expr("64 * ((v + 63) div 64) - v").as("n_pieces"))
+        .select(col("word"), col("cnt"), col("n_chars"), col("seg_score"),
+          col("n_pieces"),
+          expr("n_chars * 1000000 div n_pieces").as("chars_per_piece_ppm"))
+        .orderBy(col("cnt").desc, col("word"))
+    },
+
     QueryDef("q247_length_batching",
       """WITH t AS (SELECT doc_id,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
