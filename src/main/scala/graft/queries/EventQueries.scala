@@ -1710,6 +1710,50 @@ object EventQueries {
         .orderBy("event_type", "day")
     },
 
+    // Markov transition matrix + stationary distribution — the behavioral
+    // model one rung above q204's raw session paths: P(next event type |
+    // current), exact integer counts from one lead() window, row-
+    // stochastic probabilities on the 1e-6 integer grid, and the
+    // stationary state weights from six power-iteration rounds on the
+    // TRANSPOSED matrix (operators/PowerIteration — the k×k matrix is
+    // STATISTICS, k = #event types, so driver rounds are the q229/scaler
+    // posture; the oracle replays every round with the same ascending-
+    // fold + 1e-9 snap discipline). Output: the dense k² transition grid,
+    // each row carrying its from-state's stationary weight — the numbers
+    // a churn/engagement model starts from.
+    QueryDef("q276_markov_stationary", MarkovSql.sql) { (s, d) =>
+      import graft.operators.PowerIteration
+      import s.implicits._
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"), col("event_id"))
+        .withColumn("nxt", lead("event_type", 1).over(w))
+        .where(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("ft"), col("nxt").as("tt"))
+        .agg(count(lit(1)).as("c"))
+      // the k² transition census is statistics, not data (k = event
+      // types) — collected like scaler means / PQ codebooks
+      val cells = pairs.collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      val types = cells.keys.flatMap(k => Seq(k._1, k._2)).toSeq
+        .distinct.sorted.toArray
+      val k = types.length
+      val counts = Array.tabulate(k, k)((i, j) =>
+        cells.getOrElse((types(i), types(j)), 0L))
+      val rowSum = counts.map(_.sum)
+      val pE6 = Array.tabulate(k, k)((i, j) =>
+        if (rowSum(i) == 0) 0L else counts(i)(j) * 1000000L / rowSum(i))
+      val cMat = Array.tabulate(k, k)((i, j) => pE6(j)(i).toDouble)
+      val (pi, _) = PowerIteration.topEigenvector(cMat, 6)
+      def e9(x: Double): Long = BigDecimal(x * 1000000000d)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+      val rows = for (i <- 0 until k; j <- 0 until k)
+        yield (types(i), types(j), counts(i)(j), pE6(i)(j), e9(pi(i)))
+      rows.toDF("from_type", "to_type", "c", "p_e6", "pi_from_e9")
+        .orderBy("from_type", "to_type")
+    },
+
     // Sketch-based audience overlap — the set operation HLL does NOT
     // support natively: intersection. |A∩B| is derived by
     // inclusion–exclusion over three mergeable estimates (est(A) + est(B)
@@ -1844,4 +1888,66 @@ object EventQueries {
           round(expr("percentile(lat, 0.9)"), 6).as("p90_lat_us"))
     }
   )
+}
+
+/** q276 oracle: the transition census, the dense (from, to) probability
+  * grid on the integer 1e-6 row-stochastic grid, the TRANSPOSED matrix as
+  * a nested list, and six unrolled power-iteration rounds with the exact
+  * q229 replay discipline (ascending-j mat-vec fold from 0.0, L2 norm,
+  * 1e-9 HALF_UP snap) — k is data-driven, so the folds range over len(m).
+  */
+private object MarkovSql {
+  private def fold(body: String, range: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform($range, $body)), (x, y) -> x + y)""".stripMargin
+
+  private def round9(prev: String, wName: String, vName: String): String =
+    s"""$wName AS (
+       |  SELECT list_transform(range(1, len(m) + 1), i ->
+       |    ${fold("j -> m[i][j] * v[j]", "range(1, len(m) + 1)")}) AS w
+       |  FROM cm, $prev),
+       |$vName AS (
+       |  SELECT list_transform(w, x -> round(x / sqrt(
+       |    ${fold("y -> y * y", "w")}), 9)) AS v
+       |  FROM $wName)""".stripMargin
+
+  val sql: String = {
+    val rounds = (1 to 6).map(r => round9(s"v${r - 1}", s"w$r", s"v$r"))
+      .mkString(",\n")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+       |           FROM events),
+       |p0 AS (SELECT event_type AS ft,
+       |         lead(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY us, event_id) AS tt
+       |       FROM e),
+       |pr AS (SELECT ft, tt, CAST(count(*) AS BIGINT) AS c FROM p0
+       |       WHERE tt IS NOT NULL GROUP BY 1, 2),
+       |ty AS (SELECT t, row_number() OVER (ORDER BY t) - 1 AS ix FROM (
+       |        SELECT DISTINCT ft AS t FROM pr
+       |        UNION SELECT DISTINCT tt FROM pr) u),
+       |grid AS (SELECT a.ix AS i, b.ix AS j, a.t AS ft, b.t AS tt
+       |         FROM ty a, ty b),
+       |cc AS (SELECT g.i, g.j, g.ft, g.tt,
+       |         CAST(coalesce(pr.c, 0) AS BIGINT) AS c
+       |       FROM grid g LEFT JOIN pr ON pr.ft = g.ft AND pr.tt = g.tt),
+       |rs AS (SELECT i, CAST(sum(c) AS BIGINT) AS s FROM cc GROUP BY i),
+       |pe AS (SELECT cc.i, cc.j, cc.ft, cc.tt, cc.c,
+       |         CASE WHEN rs.s = 0 THEN 0
+       |              ELSE cc.c * 1000000 // rs.s END AS p_e6
+       |       FROM cc JOIN rs USING (i)),
+       |cm AS MATERIALIZED (
+       |  SELECT list(rowl ORDER BY r) AS m FROM (
+       |    SELECT j AS r, list(CAST(p_e6 AS DOUBLE) ORDER BY i) AS rowl
+       |    FROM pe GROUP BY j) t),
+       |v0 AS (SELECT list_transform(range(0, len(m)),
+       |         i -> CASE WHEN i = 0 THEN CAST(1 AS DOUBLE)
+       |              ELSE CAST(0 AS DOUBLE) END) AS v FROM cm),
+       |$rounds,
+       |pi AS (SELECT v FROM v6)
+       |SELECT pe.ft AS from_type, pe.tt AS to_type, pe.c,
+       |       CAST(pe.p_e6 AS BIGINT) AS p_e6,
+       |       CAST(round(pi.v[pe.i + 1] * 1000000000, 0) AS BIGINT)
+       |         AS pi_from_e9
+       |FROM pe, pi ORDER BY from_type, to_type""".stripMargin
+  }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Histogram, ScalerPipeline, Split, SurvivalCurve}
@@ -354,6 +355,117 @@ object RelationalQueries {
     // percentile is the one sort-shaped cost and runs on the train split
     // once; percentile_approx (q96) is the stated fallback when even that
     // pass must be one-shot mergeable.
+    // Benford first-digit audit — the forensic data-quality screen
+    // (fabricated or unit-mangled monetary columns fail it): the observed
+    // first-significant-digit distribution of order totals vs Benford's
+    // log10(1 + 1/d) expectation, graded by a chi-square-style statistic
+    // kept ENTIRELY in integer ppm units — obs_ppm from exact counts,
+    // exp_ppm from the one scalar log10 per digit (the q19 scalar-parity
+    // posture: a single libm call on identical literals, rounded to ppm
+    // before any arithmetic), and chi2_e6 = Σ (obs−exp)²//exp over the
+    // nine digit rows — so no float ever crosses a row boundary. Scale:
+    // one 9-group census over a derived column.
+    QueryDef("q274_benford",
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |             AS cents FROM orders),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        |        AS digit FROM c WHERE cents > 0),
+        |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+        |      GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM o),
+        |g AS (SELECT unnest(range(1, 10)) AS digit),
+        |r AS (SELECT g.digit, CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+        |        CAST(coalesce(o.n, 0) * 1000000 // t.total AS BIGINT)
+        |          AS obs_ppm,
+        |        CAST(round(log10(1 + 1 / CAST(g.digit AS DOUBLE)) * 1000000,
+        |          0) AS BIGINT) AS exp_ppm
+        |      FROM g LEFT JOIN o ON o.digit = g.digit, t),
+        |x AS (SELECT CAST(sum((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)
+        |               // exp_ppm) AS BIGINT) AS chi2_e6 FROM r)
+        |SELECT r.digit, r.n, r.obs_ppm, r.exp_ppm, x.chi2_e6
+        |FROM r, x ORDER BY r.digit""".stripMargin) { (s, d) =>
+      val c = Tables.orders(s, d)
+        .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .where(col("cents") > 0)
+        .select(expr("cast(substr(cast(cents as string), 1, 1) as bigint)")
+          .as("digit"))
+      val o = c.groupBy("digit").agg(count(lit(1)).as("n"))
+      val t = o.agg(sum("n").as("total"))
+      val g = s.range(1, 10).select(col("id").as("digit"))
+      val r = g.join(o, Seq("digit"), "left")
+        .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+        .crossJoin(broadcast(t))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div total").as("obs_ppm"),
+          round(log10(lit(1) + lit(1) / col("digit").cast("double")) * 1000000,
+            0).cast("long").as("exp_ppm"))
+      val x = r.agg(sum(expr(
+        "(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div exp_ppm"))
+        .as("chi2_e6"))
+      r.crossJoin(broadcast(x))
+        .select("digit", "n", "obs_ppm", "exp_ppm", "chi2_e6")
+        .orderBy("digit")
+    },
+
+    // Gini coefficient + Lorenz deciles — the inequality census every
+    // marketplace/spend dashboard carries: per-customer order totals in
+    // exact cents, ranked ascending with id tie-break, Gini from the
+    // closed form (2·Σ rank·xᵢ − (n+1)·Σx) / (n·Σx) in pure BIGINT
+    // arithmetic (numerator non-negative by the ascending sort, so
+    // truncating division is unambiguous), and the Lorenz curve sampled
+    // at the decile boundaries — cumulative spend share of the bottom
+    // 10%..100% in ppm. Scale: one keyed aggregate + one global sort of
+    // the k-row per-customer relation (the sorted-rank shape GlobalRank
+    // exists for when the relation is corpus-sized).
+    QueryDef("q275_gini",
+      """WITH u AS (SELECT o_custkey AS c,
+        |             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |               AS BIGINT) AS cents
+        |           FROM orders GROUP BY o_custkey),
+        |r AS (SELECT c, cents,
+        |        row_number() OVER (ORDER BY cents, c) AS rk FROM u),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(cents) AS BIGINT) AS tot,
+        |             CAST(sum(rk * cents) AS BIGINT) AS rs FROM r),
+        |gini AS (SELECT n, tot,
+        |           CAST((2 * rs - (n + 1) * tot) * 1000000 // (n * tot)
+        |             AS BIGINT) AS gini_ppm FROM t),
+        |cumall AS (SELECT rk,
+        |             CAST(sum(cents) OVER (ORDER BY rk) AS BIGINT) AS cum
+        |           FROM r),
+        |bnd AS (SELECT k, (k * t.n) // 10 AS brk
+        |        FROM (SELECT unnest(range(1, 11)) AS k) ks, t)
+        |SELECT CAST(b.k AS BIGINT) AS decile,
+        |       CAST(c.cum * 1000000 // g.tot AS BIGINT) AS cum_share_ppm,
+        |       g.n, g.tot AS total_cents, g.gini_ppm
+        |FROM bnd b JOIN cumall c ON c.rk = b.brk, gini g
+        |ORDER BY decile""".stripMargin) { (s, d) =>
+      val u = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("c"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      val r = u.select(col("c"), col("cents"),
+          row_number().over(Window.orderBy("cents", "c")).as("rk"))
+        .persist() // totals + the cumulative scan
+      val t = r.agg(count(lit(1)).as("n"), sum("cents").as("tot"),
+        sum(col("rk") * col("cents")).as("rs"))
+      val gini = t.select(col("n"), col("tot"),
+        expr("(2 * rs - (n + 1) * tot) * 1000000 div (n * tot)")
+          .as("gini_ppm"))
+      val cumW = Window.orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumall = r.select(col("rk"), col("cents"))
+        .withColumn("cum", sum("cents").over(cumW))
+      val bnd = s.range(1, 11).select(col("id").as("k"))
+        .crossJoin(broadcast(t.select(col("n").as("tn"))))
+        .select(col("k"), expr("(k * tn) div 10").as("brk"))
+      bnd.join(cumall, col("rk") === col("brk"))
+        .crossJoin(broadcast(gini))
+        .select(col("k").as("decile"),
+          expr("cum * 1000000 div tot").as("cum_share_ppm"),
+          col("n"), col("tot").as("total_cents"), col("gini_ppm"))
+        .orderBy("decile")
+    },
+
     // Recursive CTE — the SQL surface Spark only grew in 4.x (WITH
     // RECURSIVE, SPARK-24497): hierarchy traversal that no fixed-depth
     // join chain expresses, run through spark.sql against the SAME
