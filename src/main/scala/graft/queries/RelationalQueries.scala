@@ -428,15 +428,16 @@ object RelationalQueries {
         |             CAST(sum(cents) AS BIGINT) AS tot,
         |             CAST(sum(rk * cents) AS BIGINT) AS rs FROM r),
         |gini AS (SELECT n, tot,
-        |           CAST((2 * rs - (n + 1) * tot) * 1000000 // (n * tot)
-        |             AS BIGINT) AS gini_ppm FROM t),
+        |           CAST(CAST(2 * rs - (n + 1) * tot AS HUGEINT) * 1000000
+        |             // (n * tot) AS BIGINT) AS gini_ppm FROM t),
         |cumall AS (SELECT rk,
         |             CAST(sum(cents) OVER (ORDER BY rk) AS BIGINT) AS cum
         |           FROM r),
         |bnd AS (SELECT k, (k * t.n) // 10 AS brk
         |        FROM (SELECT unnest(range(1, 11)) AS k) ks, t)
         |SELECT CAST(b.k AS BIGINT) AS decile,
-        |       CAST(c.cum * 1000000 // g.tot AS BIGINT) AS cum_share_ppm,
+        |       CAST(CAST(c.cum AS HUGEINT) * 1000000 // g.tot AS BIGINT)
+        |         AS cum_share_ppm,
         |       g.n, g.tot AS total_cents, g.gini_ppm
         |FROM bnd b JOIN cumall c ON c.rk = b.brk, gini g
         |ORDER BY decile""".stripMargin) { (s, d) =>
@@ -448,9 +449,11 @@ object RelationalQueries {
         .persist() // totals + the cumulative scan
       val t = r.agg(count(lit(1)).as("n"), sum("cents").as("tot"),
         sum(col("rk") * col("cents")).as("rs"))
+      // the ×1e6 products exceed BIGINT at sf0.1 scale — widened to
+      // DECIMAL(38,0) on this side, HUGEINT in the oracle
       val gini = t.select(col("n"), col("tot"),
-        expr("(2 * rs - (n + 1) * tot) * 1000000 div (n * tot)")
-          .as("gini_ppm"))
+        expr("cast(cast(2 * rs - (n + 1) * tot as decimal(38,0)) * 1000000" +
+          " div (n * tot) as bigint)").as("gini_ppm"))
       val cumW = Window.orderBy("rk")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cumall = r.select(col("rk"), col("cents"))
@@ -461,7 +464,8 @@ object RelationalQueries {
       bnd.join(cumall, col("rk") === col("brk"))
         .crossJoin(broadcast(gini))
         .select(col("k").as("decile"),
-          expr("cum * 1000000 div tot").as("cum_share_ppm"),
+          expr("cast(cast(cum as decimal(38,0)) * 1000000 div tot as bigint)")
+            .as("cum_share_ppm"),
           col("n"), col("tot").as("total_cents"), col("gini_ppm"))
         .orderBy("decile")
     },
