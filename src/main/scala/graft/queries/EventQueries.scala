@@ -980,6 +980,69 @@ object EventQueries {
       }
     },
 
+    // Late-data witness — the watermark semantics APPEND mode actually
+    // promises, proven with the two-wave harness run IN REVERSE: wave A is
+    // the NEWER half of the calendar (so the checkpointed watermark jumps
+    // to maxA − 1h), wave B is the OLDER half — every wave-B row arrives
+    // below the watermark, its windows are already finalized or evicted,
+    // and the daily counts must equal the WAVE-A-ONLY counts for windows
+    // the watermark closed (end ≤ wm); the still-open tail window never
+    // emits. A dropped-late-row bug, a premature emission, or a watermark
+    // that regressed across the restart each flips the result. The oracle
+    // restates the whole thing relationally: the µs midpoint split, the
+    // ms watermark (Spark tracks event-time stats in milliseconds), the
+    // day-bucket counts over wave A, the end ≤ wm emission filter.
+    QueryDef("q279_late_data",
+      """WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+        |g AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |a AS (SELECT us FROM e, g WHERE us > g.mid),
+        |wm AS (SELECT max(us) // 1000 - 3600000 AS wm_ms FROM a),
+        |w AS (SELECT (us // 1000) // 86400000 * 86400000 AS start_ms,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM a GROUP BY 1)
+        |SELECT CAST(w.start_ms AS BIGINT) AS window_start_ms, w.n
+        |FROM w, wm WHERE w.start_ms + 86400000 <= wm.wm_ms
+        |ORDER BY window_start_ms""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_late_q_").toFile
+      sys.addShutdownHook(rmrf(root))
+      val e = Tables.events(s, d).select(col("ts"),
+          expr("unix_micros(ts)").as("us"))
+        .persist() // wave split boundary + both landing writes
+      val mid = e.agg(expr("(min(us) + max(us)) div 2")).head().getLong(0)
+      def drain(): Unit = {
+        val q = s.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType))))
+          .parquet(s"$root/landing")
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day")).count()
+          .select(col("window.start").as("start"), col("count").as("n"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // REVERSED waves: the new half first (watermark jumps), old half late
+      e.where(col("us") > mid).select("ts").coalesce(1)
+        .write.parquet(s"$root/landing")
+      drain()
+      e.where(col("us") <= mid).select("ts").coalesce(1)
+        .write.mode("append").parquet(s"$root/landing")
+      drain()
+      s.read.parquet(s"$root/out")
+        .select(expr("unix_millis(start)").as("window_start_ms"), col("n"))
+        .orderBy("window_start_ms")
+    },
+
     // Time-based split — the ML-data split temporal problems REQUIRE
     // (train on the past, evaluate on the future; a hash split would leak
     // tomorrow into training): the cutoff is the exact 80th-percentile

@@ -38,6 +38,62 @@ object MlQueries {
     // SURVEY §2 row 50: batched mapPartitions scoring behind the BatchScorer
     // trait — the CNN-inference stand-in with a linear kernel, so the oracle
     // can replay it in SQL exactly.
+    // Calibration audit (reliability bins + ECE) — the model-eval op the
+    // confusion/AUC family doesn't cover: ARE the scores probabilities?
+    // q07's scoring expression plays the model; rows bin by floor(p·10)
+    // (the q07 binning precedent — identical double expression on both
+    // engines, then integer bins), and per bin the confidence (exact mean
+    // of round(p·1e6) units) is compared to the empirical positive rate.
+    // ECE = Σ n_b·|conf−emp| / N — entirely integer ppm once the per-row
+    // quantization lands, so no float crosses a row boundary. Output: the
+    // 10-bin reliability table every calibration plot draws, each row
+    // carrying the global ECE.
+    QueryDef("q277_calibration_ece",
+      """WITH scored AS (
+        |  SELECT CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS pos,
+        |         (l_discount * 10 + l_quantity / 50.0 + l_tax * 12.5) / 3
+        |           AS p
+        |  FROM lineitem WHERE l_quantity >= 5 AND l_quantity < 45),
+        |b AS (SELECT LEAST(GREATEST(CAST(floor(p * 10) AS BIGINT), 0), 9)
+        |        AS bin,
+        |        CAST(round(p * 1000000, 0) AS BIGINT) AS p_e6, pos
+        |      FROM scored),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(pos) AS BIGINT) AS n_pos,
+        |        CAST(sum(p_e6) AS BIGINT) AS sum_e6
+        |      FROM b GROUP BY bin),
+        |r AS (SELECT bin, n, n_pos,
+        |        CAST(sum_e6 // n AS BIGINT) AS conf_ppm,
+        |        CAST(n_pos * 1000000 // n AS BIGINT) AS emp_ppm
+        |      FROM g),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |        CAST(sum(n * abs(conf_ppm - emp_ppm)) AS BIGINT) AS w
+        |      FROM r)
+        |SELECT r.bin, r.n, r.n_pos, r.conf_ppm, r.emp_ppm,
+        |       CAST(t.w // t.total AS BIGINT) AS ece_ppm
+        |FROM r, t ORDER BY r.bin""".stripMargin) { (s, d) =>
+      val scored = Tables.lineitem(s, d)
+        .where(col("l_quantity") >= 5 && col("l_quantity") < 45)
+        .select(when(col("l_linestatus") === "F", 1L).otherwise(0L).as("pos"),
+          ((col("l_discount") * 10 + col("l_quantity") / 50.0
+            + col("l_tax") * 12.5) / 3).as("p"))
+      val b = scored.select(
+        least(greatest(floor(col("p") * 10).cast("long"), lit(0L)), lit(9L))
+          .as("bin"),
+        round(col("p") * 1000000, 0).cast("long").as("p_e6"), col("pos"))
+      val g = b.groupBy("bin").agg(count(lit(1)).as("n"),
+        sum("pos").as("n_pos"), sum("p_e6").as("sum_e6"))
+      val r = g.select(col("bin"), col("n"), col("n_pos"),
+        expr("sum_e6 div n").as("conf_ppm"),
+        expr("n_pos * 1000000 div n").as("emp_ppm"))
+      val t = r.agg(sum("n").as("total"),
+        sum(col("n") * abs(col("conf_ppm") - col("emp_ppm"))).as("w"))
+      r.crossJoin(broadcast(t))
+        .select(col("bin"), col("n"), col("n_pos"), col("conf_ppm"),
+          col("emp_ppm"), expr("w div total").as("ece_ppm"))
+        .orderBy("bin")
+    },
+
     QueryDef("q46_mappartitions_score",
       """SELECT l_orderkey AS key1, l_linenumber AS key2,
         |       round(1 / (1 + exp(-(-2.0 + 4.0 * (l_discount * 10) + 1.0 * (l_quantity / 50.0)))), 6) AS score

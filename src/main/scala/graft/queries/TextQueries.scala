@@ -984,6 +984,56 @@ object TextQueries {
     // two-stage range partition + zip), so no unbounded window anywhere.
     // This is the measurement behind every bucketed-batching dataloader
     // decision; on the fixtures sorted batching cuts padding waste by ~10×.
+    // Quantile normalization — the batch-effect corrector (the genomics
+    // staple, applied to curation: per-source length distributions made
+    // comparable before length-based filters): each document's length is
+    // replaced by the GLOBAL distribution's value at the equivalent
+    // relative rank, all in exact rank arithmetic — rank within source
+    // (value, id ties), mapped global rank (rk·n_global)//n_source, one
+    // equi-join back to the globally ranked values. No floats anywhere.
+    // Scale note: both windows here are GlobalRank's territory at corpus
+    // size (partition-less rank is the documented anti-pattern — q258's
+    // zipWithRank is the drop-in); at the k-row fixture the plain window
+    // states the semantics.
+    QueryDef("q278_quantile_norm",
+      """WITH v AS (SELECT doc_id, source, n_chars FROM documents),
+        |sr AS (SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY n_chars, doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY source) AS ns
+        |       FROM v),
+        |gr AS (SELECT n_chars AS gv,
+        |         row_number() OVER (ORDER BY n_chars, doc_id) AS grk
+        |       FROM v),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS ng FROM v),
+        |mapd AS (SELECT sr.doc_id, sr.source, sr.n_chars, sr.rk,
+        |           (sr.rk * t.ng) // sr.ns AS g
+        |         FROM sr, t)
+        |SELECT m.doc_id, m.source, m.n_chars,
+        |       CAST(m.rk AS BIGINT) AS rank_in_source,
+        |       CAST(g.gv AS BIGINT) AS norm_chars
+        |FROM mapd m JOIN gr g ON g.grk = m.g
+        |ORDER BY m.doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        col("n_chars")).persist() // both rank scans
+      val sw = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      val sr = v.select(col("doc_id"), col("source"), col("n_chars"),
+        row_number().over(sw).as("rk"),
+        count(lit(1)).over(Window.partitionBy("source")).as("ns"))
+      val gr = v.select(col("n_chars").as("gv"),
+        row_number().over(Window.orderBy("n_chars", "doc_id")).as("grk"))
+      val t = v.agg(count(lit(1)).as("ng"))
+      sr.crossJoin(broadcast(t))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rk"),
+          expr("(rk * ng) div ns").as("g"))
+        .join(gr, col("grk") === col("g"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("rk").cast("long").as("rank_in_source"),
+          col("gv").cast("long").as("norm_chars"))
+        .orderBy("doc_id")
+    },
+
     // Subword segmentation by Viterbi DP — the tokenizer-side op BPE-apply
     // (q137) doesn't cover: given a SCORED piece vocabulary, find each
     // word's best segmentation (the SentencePiece/unigram-LM decode step,
