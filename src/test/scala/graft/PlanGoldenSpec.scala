@@ -67,7 +67,13 @@ class PlanGoldenSpec extends AnyFunSuite {
     "q245_time_travel", "q246_cascade_filter", "q247_length_batching",
     "q248_triplet_mining", "q249_knn_eval", "q250_decile_lift",
     "q255_theil_sen", "q257_asof_tolerance", "q259_linkpred_auc",
-    "q261_rolling_corr", "q262_seasonal_anomaly")
+    "q261_rolling_corr", "q262_seasonal_anomaly",
+    // round-7 wave 2 (declarative bodies only; q270/q272/q273/q276 run
+    // driver rounds / recursion / collected vocab during construction,
+    // q268/q279 drive streams — excluded by the same rule)
+    "q265_multikey_asof", "q269_k_anonymity", "q271_holt_trend",
+    "q274_benford", "q275_gini", "q277_calibration_ece",
+    "q278_quantile_norm")
 
   pinned.foreach { name =>
     test(s"$name physical skeleton matches its golden") {
