@@ -1817,6 +1817,85 @@ object EventQueries {
         .orderBy("from_type", "to_type")
     },
 
+    // Kaplan–Meier survival estimator — the STATISTICAL survival curve
+    // next to q07's threshold-sweep namesake (the reference's flagship
+    // output family, completed with censoring): time from a user's first
+    // activity to first PURCHASE, administratively censored at a 7-day
+    // horizon — a user converting later (or never) contributes at-risk
+    // time through day 7 but no event, the distinction naive conversion
+    // rates get wrong. S(t) = Π_{u ≤ t} (n_u − d_u)/n_u runs as an
+    // all-integer ppm product recurrence (S ← S·(n−d) div n, truncating
+    // on both engines) over the ascending duration axis — a k-row series,
+    // folded by the q233 sorted-group shape with one constant key; the
+    // oracle steps the same recurrence as a recursive CTE. Output: the
+    // at-risk/event/survival table every time-to-conversion analysis
+    // draws.
+    QueryDef("q280_kaplan_meier",
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |u AS (SELECT user_id, min(day) AS f FROM e GROUP BY user_id),
+        |p AS (SELECT user_id, min(day) AS pd FROM e
+        |      WHERE event_type = 'purchase' GROUP BY user_id),
+        |s AS (SELECT u.user_id,
+        |        CASE WHEN p.pd IS NOT NULL AND p.pd - u.f <= 7
+        |             THEN p.pd - u.f ELSE 7 END AS dur,
+        |        CASE WHEN p.pd IS NOT NULL AND p.pd - u.f <= 7
+        |             THEN 0 ELSE 1 END AS censored
+        |      FROM u LEFT JOIN p USING (user_id)),
+        |ev AS (SELECT dur, CAST(count(*) AS BIGINT) AS d
+        |       FROM s WHERE censored = 0 GROUP BY dur),
+        |risk AS (SELECT ev.dur, ev.d,
+        |           (SELECT CAST(count(*) AS BIGINT) FROM s
+        |            WHERE s.dur >= ev.dur) AS n_risk
+        |         FROM ev),
+        |r AS (SELECT dur, d, n_risk,
+        |        row_number() OVER (ORDER BY dur) AS rn FROM risk),
+        |km(rn, dur, d, n_risk, s_ppm) AS (
+        |  SELECT rn, dur, d, n_risk,
+        |         CAST(1000000 * (n_risk - d) // n_risk AS BIGINT)
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.rn, r.dur, r.d, r.n_risk,
+        |         km.s_ppm * (r.n_risk - r.d) // r.n_risk
+        |  FROM r JOIN km ON r.rn = km.rn + 1)
+        |SELECT CAST(dur AS BIGINT) AS duration_days, n_risk, d,
+        |       CAST(s_ppm AS BIGINT) AS survival_ppm
+        |FROM km ORDER BY duration_days""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .persist() // first-activity and first-purchase censuses
+      val u = e.groupBy("user_id").agg(min("day").as("f"))
+      val p = e.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("day").as("pd"))
+      val conv = col("pd").isNotNull && col("pd") - col("f") <= 7
+      val sdf = u.join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(conv, col("pd") - col("f")).otherwise(7L).as("dur"),
+          when(conv, 0L).otherwise(1L).as("censored"))
+        .persist() // event census + at-risk census
+      val ev = sdf.where(col("censored") === 0)
+        .groupBy("dur").agg(count(lit(1)).as("d"))
+      val durs = sdf.select(col("dur").as("rdur"))
+      // at-risk = users with duration ≥ t: a range join on the k-row
+      // duration axis (events × durations, both tiny censuses)
+      val risk = ev.join(durs, col("rdur") >= col("dur"))
+        .groupBy("dur", "d").agg(count(lit(1)).as("n_risk"))
+        .as[(Long, Long, Long)]
+      risk.groupByKey(_ => 0)
+        .flatMapSortedGroups(col("dur")) { (_, rows) =>
+          var sPpm = 1000000L
+          rows.map { case (dur, dd, n) =>
+            sPpm = sPpm * (n - dd) / n
+            (dur, n, dd, sPpm)
+          }
+        }
+        .toDF("duration_days", "n_risk", "d", "survival_ppm")
+        .orderBy("duration_days")
+    },
+
     // Sketch-based audience overlap — the set operation HLL does NOT
     // support natively: intersection. |A∩B| is derived by
     // inclusion–exclusion over three mergeable estimates (est(A) + est(B)
