@@ -1817,6 +1817,92 @@ object EventQueries {
         .orderBy("from_type", "to_type")
     },
 
+    // Markov removal-effect attribution — the data-driven alternative to
+    // q93's positional rules (Anderl et al.'s marketing staple): user
+    // journeys truncated at first purchase feed a START/channel transition
+    // matrix; conversion probability from START solves the absorption
+    // system, and each channel's credit is its REMOVAL EFFECT — how much
+    // conversion drops when the channel is turned off (removal = pinning
+    // the channel's absorption value to 0, which redirects its inbound
+    // mass to LOST — so all five solves share ONE matrix, masked). The
+    // solve is a FIXED 16-round fixed-point iteration with 1e-9 snapping —
+    // stated as such, deterministic whether or not converged (the q229
+    // driver-exact playbook; the k×k matrix is statistics). Oracle replays
+    // the census, the masked chains, and the ppm arithmetic.
+    QueryDef("q281_markov_attribution", AttributionSql.sql) { (s, d) =>
+      import s.implicits._
+      def r9(x: Double): Double =
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def e9(x: Double): Long = BigDecimal(x * 1000000000d)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val fp = ev.where(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("us").as("pus"), col("event_id").as("pid"))
+      val kept = ev.join(fp, Seq("user_id"), "left")
+        .where(col("event_type") =!= "purchase" &&
+          (col("pus").isNull || col("us") < col("pus") ||
+            (col("us") === col("pus") && col("event_id") < col("pid"))))
+        .select(col("user_id"), col("event_type"), col("us"), col("event_id"),
+          col("pus").isNotNull.as("conv"))
+        .persist() // three transition branches + the no-kept anti-join
+      val seq = kept.select(col("user_id"), col("event_type"), col("conv"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("user_id")).as("nk"),
+        lead("event_type", 1).over(w).as("nxt"))
+      val tr = seq.where(col("rn") === 1)
+        .select(lit("START").as("f"), col("event_type").as("t"))
+        .unionByName(seq.where(col("nxt").isNotNull)
+          .select(col("event_type").as("f"), col("nxt").as("t")))
+        .unionByName(seq.where(col("rn") === col("nk"))
+          .select(col("event_type").as("f"),
+            when(col("conv"), "CONV").otherwise("LOST").as("t")))
+        .unionByName(fp.join(kept.select("user_id").distinct(),
+            Seq("user_id"), "left_anti")
+          .select(lit("START").as("f"), lit("CONV").as("t")))
+      // the transition census is k² statistics — collected like q276's
+      val cnt = tr.groupBy("f", "t").agg(count(lit(1)).as("c")).collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      val states = cnt.keys.map(_._1).toSeq.distinct.sorted.toArray
+      val nT = states.length
+      val ix = states.zipWithIndex.toMap
+      val rsum = states.map(st =>
+        cnt.collect { case ((f, _), c) if f == st => c }.sum)
+      def pE6(f: Int, tn: String): Long =
+        cnt.getOrElse((states(f), tn), 0L) * 1000000L / rsum(f)
+      val m = Array.tabulate(nT, nT)((i, j) =>
+        pE6(i, states(j)).toDouble / 1000000)
+      val b = Array.tabulate(nT)(i => pE6(i, "CONV").toDouble / 1000000)
+      def absorb(mask: Int): Double = {
+        var a = Array.fill(nT)(0.0)
+        for (_ <- 0 until AttributionSql.Rounds) {
+          a = Array.tabulate(nT) { i =>
+            if (i == mask) 0.0
+            else {
+              var acc = 0.0
+              var j = 0
+              while (j < nT) { acc += m(i)(j) * a(j); j += 1 }
+              r9(acc + b(i))
+            }
+          }
+        }
+        a(ix("START"))
+      }
+      val base = absorb(-1)
+      val rows = AttributionSql.Channels.map { c =>
+        val rm = ix.get(c).map(absorb).getOrElse(base)
+        val ppm =
+          if (base == 0) 0L
+          else BigDecimal((base - rm) / base * 1000000d)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+        (c, e9(base), e9(rm), ppm)
+      }
+      rows.toDF("channel", "conv_e9", "removed_e9", "removal_ppm")
+        .orderBy("channel")
+    },
+
     // Kaplan–Meier survival estimator — the STATISTICAL survival curve
     // next to q07's threshold-sweep namesake (the reference's flagship
     // output family, completed with censoring): time from a user's first
@@ -2091,5 +2177,116 @@ private object MarkovSql {
        |       CAST(round(pi.v[pe.i + 1] * 1000000000, 0) AS BIGINT)
        |         AS pi_from_e9
        |FROM pe, pi ORDER BY from_type, to_type""".stripMargin
+  }
+}
+
+/** q281 oracle: user journeys truncated at first purchase, the
+  * START/channel transition census, the transient matrix + CONV-absorption
+  * vector on the 1e-6 grid, and five masked 16-round fixed-point chains
+  * (base + one per removed channel) replayed with the q229 discipline —
+  * ascending-j folds, + b[i], 1e-9 HALF_UP snap; a masked state is pinned
+  * to 0 each round (removal = the channel absorbs to LOST).
+  */
+private object AttributionSql {
+  val Channels = Seq("click", "error", "signup", "view")
+  val Rounds = 16
+
+  private def fold(body: String, range: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform($range, $body)), (x, y) -> x + y)""".stripMargin
+
+  /** One masked fixed-point round; `mix` is the 1-based masked index column
+    * (NULL = no mask) in scope.
+    */
+  private def step(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT mix, list_transform(range(1, len(m) + 1), i ->
+       |    CASE WHEN mix IS NOT NULL AND i = mix THEN CAST(0 AS DOUBLE)
+       |         ELSE round(${fold("j -> m[i][j] * a[j]", "range(1, len(m) + 1)")}
+       |                    + bv[i], 9) END) AS a
+       |  FROM cm, bvec, $prev)""".stripMargin
+
+  private def chain(tag: String, maskSql: String): String = {
+    val steps = (1 to Rounds).map(r => step(s"${tag}_${r - 1}", s"${tag}_$r"))
+      .mkString(",\n")
+    s"""${tag}_0 AS (
+       |  SELECT ($maskSql) AS mix,
+       |         list_transform(range(0, len(m)), x -> CAST(0 AS DOUBLE)) AS a
+       |  FROM cm),
+       |$steps,
+       |$tag AS (SELECT a[(SELECT ix + 1 FROM ty WHERE st = 'START')] AS aS
+       |         FROM ${tag}_$Rounds)""".stripMargin
+  }
+
+  val sql: String = {
+    val chains = (chain("base", "CAST(NULL AS BIGINT)") +:
+      Channels.zipWithIndex.map { case (c, i) =>
+        chain(s"rm$i", s"(SELECT ix + 1 FROM ty WHERE st = '$c')")
+      }).mkString(",\n")
+    val outs = Channels.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS channel,
+         |  CAST(round(base.aS * 1000000000, 0) AS BIGINT) AS conv_e9,
+         |  CAST(round(rm$i.aS * 1000000000, 0) AS BIGINT) AS removed_e9,
+         |  CASE WHEN base.aS = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(round((base.aS - rm$i.aS) / base.aS * 1000000, 0)
+         |         AS BIGINT) END AS removal_ppm
+         |FROM base, rm$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+       |           FROM events),
+       |fp AS (SELECT user_id, us AS pus, event_id AS pid FROM (
+       |         SELECT user_id, us, event_id,
+       |                row_number() OVER (PARTITION BY user_id
+       |                  ORDER BY us, event_id) AS rn
+       |         FROM e WHERE event_type = 'purchase') t WHERE rn = 1),
+       |kept AS (SELECT e.user_id, e.event_type, e.us, e.event_id,
+       |           fp.pus IS NOT NULL AS conv
+       |         FROM e LEFT JOIN fp USING (user_id)
+       |         WHERE e.event_type <> 'purchase'
+       |           AND (fp.pus IS NULL OR e.us < fp.pus
+       |                OR (e.us = fp.pus AND e.event_id < fp.pid))),
+       |seq AS (SELECT user_id, event_type, conv,
+       |          row_number() OVER (PARTITION BY user_id
+       |            ORDER BY us, event_id) AS rn,
+       |          count(*) OVER (PARTITION BY user_id) AS nk,
+       |          lead(event_type) OVER (PARTITION BY user_id
+       |            ORDER BY us, event_id) AS nxt
+       |        FROM kept),
+       |tr AS (
+       |  SELECT 'START' AS f, event_type AS t FROM seq WHERE rn = 1
+       |  UNION ALL
+       |  SELECT event_type, nxt FROM seq WHERE nxt IS NOT NULL
+       |  UNION ALL
+       |  SELECT event_type, CASE WHEN conv THEN 'CONV' ELSE 'LOST' END
+       |  FROM seq WHERE rn = nk
+       |  UNION ALL
+       |  SELECT 'START', 'CONV' FROM fp
+       |  WHERE NOT EXISTS (SELECT 1 FROM kept k
+       |                    WHERE k.user_id = fp.user_id)),
+       |cnt AS (SELECT f, t, CAST(count(*) AS BIGINT) AS c
+       |        FROM tr GROUP BY 1, 2),
+       |rsum AS (SELECT f, CAST(sum(c) AS BIGINT) AS s FROM cnt GROUP BY f),
+       |ty AS (SELECT f AS st, row_number() OVER (ORDER BY f) - 1 AS ix
+       |       FROM (SELECT DISTINCT f FROM cnt) u),
+       |pe AS (SELECT a.ix AS i, b.ix AS j,
+       |         CAST(coalesce(cnt.c, 0) * 1000000 // rsum.s AS BIGINT)
+       |           AS p_e6
+       |       FROM ty a JOIN rsum ON rsum.f = a.st
+       |       CROSS JOIN ty b
+       |       LEFT JOIN cnt ON cnt.f = a.st AND cnt.t = b.st),
+       |pb AS (SELECT a.ix AS i,
+       |         CAST(coalesce(cnt.c, 0) * 1000000 // rsum.s AS BIGINT)
+       |           AS p_e6
+       |       FROM ty a JOIN rsum ON rsum.f = a.st
+       |       LEFT JOIN cnt ON cnt.f = a.st AND cnt.t = 'CONV'),
+       |cm AS MATERIALIZED (
+       |  SELECT list(rowl ORDER BY i) AS m FROM (
+       |    SELECT i, list(CAST(p_e6 AS DOUBLE) / 1000000 ORDER BY j) AS rowl
+       |    FROM pe GROUP BY i) t),
+       |bvec AS MATERIALIZED (
+       |  SELECT list(CAST(p_e6 AS DOUBLE) / 1000000 ORDER BY i) AS bv
+       |  FROM pb),
+       |$chains
+       |SELECT * FROM ($outs) z ORDER BY channel""".stripMargin
   }
 }
