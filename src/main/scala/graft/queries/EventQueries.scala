@@ -1817,6 +1817,64 @@ object EventQueries {
         .orderBy("from_type", "to_type")
     },
 
+    // CUSUM changepoint detection — the sequential drift detector q262's
+    // per-day anomaly rule can't replace (CUSUM accumulates SMALL
+    // persistent shifts that never individually cross a 3σ bar): per
+    // series, S_t = max(0, S_{t−1} + (y_t − μ − slack)) in exact integer
+    // cents, alarming when S_t > h with μ = the series' exact floor-mean,
+    // slack = μ/20, h = μ (self-scaling thresholds, no tuning constants
+    // smuggled in as floats). A one-sided page test as a pure integer
+    // recurrence — the q233 sorted-group fold; oracle steps it as a
+    // recursive CTE. Output: every (series, day) with its statistic and
+    // alarm flag — the pager stream for slow regressions.
+    QueryDef("q282_cusum",
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |mu AS (SELECT event_type, CAST(sum(y) // count(*) AS BIGINT) AS mu
+        |       FROM d GROUP BY event_type),
+        |r AS (SELECT d.event_type, d.day, d.y, mu.mu,
+        |        row_number() OVER (PARTITION BY d.event_type
+        |          ORDER BY d.day) AS rn
+        |      FROM d JOIN mu USING (event_type)),
+        |rec(event_type, rn, day, y, mu, s) AS (
+        |  SELECT event_type, rn, day, y, mu,
+        |         greatest(CAST(0 AS BIGINT), y - mu - mu // 20)
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn, r.day, r.y, r.mu,
+        |         greatest(CAST(0 AS BIGINT),
+        |                  rec.s + (r.y - r.mu - r.mu // 20))
+        |  FROM r JOIN rec ON r.event_type = rec.event_type
+        |                 AND r.rn = rec.rn + 1)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, y AS y_cents,
+        |       CAST(s AS BIGINT) AS cusum_cents, s > mu AS alarm
+        |FROM rec ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
+          .as("y"))
+      val mu = daily.groupBy("event_type")
+        .agg(expr("sum(y) div count(*)").as("mu"))
+      daily.join(mu, "event_type")
+        .select(col("event_type"), col("day"), col("y"), col("mu"))
+        .as[(String, Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapSortedGroups(col("day")) { (k, rows) =>
+          var st = 0L
+          rows.map { case (_, day, y, m) =>
+            st = math.max(0L, st + (y - m - m / 20))
+            (k, day, y, st, st > m)
+          }
+        }
+        .toDF("event_type", "day", "y_cents", "cusum_cents", "alarm")
+        .orderBy("event_type", "day")
+    },
+
     // Markov removal-effect attribution — the data-driven alternative to
     // q93's positional rules (Anderl et al.'s marketing staple): user
     // journeys truncated at first purchase feed a START/channel transition
