@@ -1817,6 +1817,89 @@ object EventQueries {
         .orderBy("from_type", "to_type")
     },
 
+    // Forecast backtest — the eval loop q271's forecasts were missing: at
+    // every origin row the 3-observation-ahead Holt forecast (l + 3b) is
+    // graded against the realized value, per-series MAPE in exact ppm,
+    // and — the honesty bar every forecasting claim must clear — compared
+    // to the naive persistence baseline (ŷ = today's value). skill_ppm =
+    // naive − model; a model that can't beat persistence shows up
+    // negative instead of hiding behind an absolute number. All integer:
+    // the recurrence is q271's, the horizon is 3 OBSERVATIONS (lead over
+    // the row index — calendar gaps don't skew the join), zero-valued
+    // realizations are excluded from the denominator on both engines.
+    QueryDef("q283_forecast_backtest",
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, y,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |      FROM d),
+        |rec(event_type, rn, day, y, l, b) AS (
+        |  SELECT event_type, rn, day, y, y, CAST(0 AS BIGINT)
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn, r.day, r.y,
+        |         (r.y + (rec.l + rec.b)) // 2,
+        |         (((r.y + (rec.l + rec.b)) // 2 - rec.l) + rec.b) // 2
+        |  FROM r JOIN rec ON r.event_type = rec.event_type
+        |                 AND r.rn = rec.rn + 1),
+        |fin AS (SELECT event_type, rn, y, l, b,
+        |          lead(y, 3) OVER (PARTITION BY event_type ORDER BY rn)
+        |            AS ya
+        |        FROM rec),
+        |ape AS (SELECT event_type,
+        |          abs((l + 3 * b) - ya) * 1000000 // ya AS model_ape,
+        |          abs(y - ya) * 1000000 // ya AS naive_ape
+        |        FROM fin WHERE ya IS NOT NULL AND ya > 0)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+        |       CAST(sum(model_ape) // count(*) AS BIGINT) AS mape_ppm,
+        |       CAST(sum(naive_ape) // count(*) AS BIGINT) AS naive_mape_ppm,
+        |       CAST(sum(naive_ape) // count(*)
+        |            - sum(model_ape) // count(*) AS BIGINT) AS skill_ppm
+        |FROM ape GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
+          .as("y"))
+        .as[(String, Long, Long)]
+      val rec = daily.groupByKey(_._1)
+        .flatMapSortedGroups(col("day")) { (k, rows) =>
+          var init = false
+          var rn = 0L
+          var l = 0L
+          var b = 0L
+          rows.map { case (_, day, y) =>
+            rn += 1
+            if (!init) { init = true; l = y; b = 0L }
+            else {
+              val lNew = (y + (l + b)) / 2
+              b = ((lNew - l) + b) / 2
+              l = lNew
+            }
+            (k, rn, y, l, b)
+          }
+        }
+        .toDF("event_type", "rn", "y", "l", "b")
+      val w = Window.partitionBy("event_type").orderBy("rn")
+      rec.withColumn("ya", lead("y", 3).over(w))
+        .where(col("ya").isNotNull && col("ya") > 0)
+        .select(col("event_type"),
+          expr("abs((l + 3 * b) - ya) * 1000000 div ya").as("model_ape"),
+          expr("abs(y - ya) * 1000000 div ya").as("naive_ape"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_eval"),
+          expr("sum(model_ape) div count(*)").as("mape_ppm"),
+          expr("sum(naive_ape) div count(*)").as("naive_mape_ppm"),
+          expr("sum(naive_ape) div count(*) - sum(model_ape) div count(*)")
+            .as("skill_ppm"))
+        .orderBy("event_type")
+    },
+
     // CUSUM changepoint detection — the sequential drift detector q262's
     // per-day anomaly rule can't replace (CUSUM accumulates SMALL
     // persistent shifts that never individually cross a 3σ bar): per
