@@ -710,6 +710,57 @@ object MlQueries {
         .orderBy("decile")
     },
 
+    // Second principal component by DEFLATION — the step from "top
+    // eigenvector" (q229) to an actual PCA basis: C₂ = C − λ₁·v₁v₁ᵀ
+    // removes the leading component's variance (Hotelling deflation), and
+    // the same 4 snapped power rounds on C₂ yield v₂. The deflation
+    // arithmetic runs in raw IEEE doubles with ONE stated expression
+    // shape (c − λ·vᵢ·vⱼ, the un-rounded Rayleigh λ) — both engines
+    // compute identical doubles because C's entries are exact integers
+    // and v₁ is on the 1e-9 snap grid, so no extra quantization is
+    // needed. Output: both components on the e9 grid, their eigenvalues,
+    // the orthogonality witness v₁·v₂ (≈0 — deflation's own correctness
+    // check), and λ₁'s explained-variance share of the top-2 subspace.
+    QueryDef("q284_pca_deflation", DeflateSql.sql) { (s, d) =>
+      import graft.operators.{PowerIteration, RandomProjection}
+      import s.implicits._
+      val k = PcaSql.K
+      val e = Tables.embeddings(s, d)
+        .select(transform(
+          RandomProjection.projected(col("embedding"), 64, k, PcaSql.Seed),
+          y => round(y * 1000, 0).cast("long")).as("q"))
+      val statsArr = concat(
+        flatten(transform(col("q"), qi => transform(col("q"), qj => qi * qj))),
+        col("q"), array(lit(1L)))
+      val cells = e.select(posexplode(statsArr).as(Seq("idx", "x")))
+        .groupBy("idx").agg(sum("x").as("s"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val n = cells(k * k + k)
+      val si = Array.tabulate(k)(i => cells(k * k + i))
+      val c = Array.tabulate(k, k)((i, j) =>
+        (n * cells(i * k + j) - si(i) * si(j)).toDouble)
+      val (v1, l1) = PowerIteration.topEigenvector(c, PcaSql.Iters)
+      val c2 = Array.tabulate(k, k)((i, j) => c(i)(j) - l1 * v1(i) * v1(j))
+      val (v2, l2) = PowerIteration.topEigenvector(c2, PcaSql.Iters)
+      def e9(x: Double): Long = BigDecimal(x * 1000000000d)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+      def r0(x: Double): Long =
+        BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+      var ortho = 0.0
+      var i = 0
+      while (i < k) { ortho += v1(i) * v2(i); i += 1 }
+      val share = BigDecimal(l1 / (l1 + l2) * 1000000d)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+      val rows =
+        v1.toSeq.zipWithIndex.map { case (x, ci) =>
+          (1L, ci.toLong + 1, e9(x), r0(l1), e9(ortho), share)
+        } ++ v2.toSeq.zipWithIndex.map { case (x, ci) =>
+          (2L, ci.toLong + 1, e9(x), r0(l2), e9(ortho), share)
+        }
+      rows.toDF("comp", "ci", "v_e9", "lambda", "ortho_e9", "share1_ppm")
+        .orderBy("comp", "ci")
+    },
+
     QueryDef("q229_pca_power", PcaSql.sql) { (s, d) =>
       import graft.operators.{PowerIteration, RandomProjection}
       val k = PcaSql.K
@@ -816,6 +867,109 @@ private[queries] object PcaSql {
        |SELECT label, CAST(count(*) AS BIGINT) AS n_rows,
        |       CAST(sum(p) AS BIGINT) AS proj_sum_e3, lam.lambda AS lambda
        |FROM proj, lam GROUP BY label, lam.lambda ORDER BY label""".stripMargin
+  }
+}
+
+/** q284 oracle: PcaSql's census + 4 rounds → v₁, the UN-rounded Rayleigh
+  * λ₁, the deflated matrix C₂ = C − λ₁·v₁v₁ᵀ rebuilt cell-by-cell from the
+  * exact cdef doubles, 4 more rounds on C₂ → v₂, and the orthogonality /
+  * variance-share arithmetic — every float op in the same stated shape as
+  * the Spark side.
+  */
+private[queries] object DeflateSql {
+  import graft.operators.RandomProjection
+  private val K = PcaSql.K
+
+  private def fold(body: String, range: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform($range, $body)), (x, y) -> x + y)""".stripMargin
+
+  /** One power-iteration round over matrix CTE `mat` (column `m`). */
+  private def round9(mat: String, prev: String, wName: String,
+                     vName: String): String =
+    s"""$wName AS (
+       |  SELECT list_transform(range(1, ${K + 1}), i ->
+       |    ${fold(s"j -> $mat.m[i][j] * $prev.v[j]", s"range(1, ${K + 1})")}) AS w
+       |  FROM $mat, $prev),
+       |$vName AS (
+       |  SELECT list_transform(w, x -> round(x / sqrt(
+       |    ${fold("y -> y * y", "w")}), 9)) AS v
+       |  FROM $wName)""".stripMargin
+
+  private def rayleigh(mat: String, vc: String, name: String): String =
+    s"""$name AS (
+       |  SELECT ${fold(
+            s"i -> $vc.v[i] * (${fold(s"j -> $mat.m[i][j] * $vc.v[j]",
+              s"range(1, ${K + 1})")})",
+            s"range(1, ${K + 1})")} AS lr
+       |  FROM $mat, $vc)""".stripMargin
+
+  val sql: String = {
+    val coord = RandomProjection.coordSql("embedding", "j", 64, K, PcaSql.Seed)
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT list_transform(range(0, $K),
+       |           j -> CAST(round(($coord) * 1000, 0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |cells AS MATERIALIZED (
+       |  SELECT i, j, CAST(sum(q[i + 1] * q[j + 1]) AS BIGINT) AS s
+       |  FROM e, (SELECT unnest(range(0, $K)) AS i),
+       |       (SELECT unnest(range(0, $K)) AS j)
+       |  GROUP BY i, j),
+       |si AS MATERIALIZED (
+       |  SELECT i, CAST(sum(q[i + 1]) AS BIGINT) AS s
+       |  FROM e, (SELECT unnest(range(0, $K)) AS i) GROUP BY i),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |cdef AS MATERIALIZED (
+       |  SELECT c.i AS i, c.j AS j,
+       |         CAST(nn.n * c.s - a.s * b.s AS DOUBLE) AS v
+       |  FROM cells c JOIN si a ON a.i = c.i JOIN si b ON b.i = c.j
+       |  CROSS JOIN nn),
+       |cm AS MATERIALIZED (
+       |  SELECT list(rowl ORDER BY i) AS m FROM (
+       |    SELECT i, list(v ORDER BY j) AS rowl FROM cdef GROUP BY i) t),
+       |v0 AS (SELECT list_transform(range(0, $K),
+       |         i -> CASE WHEN i = 0 THEN CAST(1 AS DOUBLE)
+       |              ELSE CAST(0 AS DOUBLE) END) AS v),
+       |${round9("cm", "v0", "w1", "v1x")},
+       |${round9("cm", "v1x", "w2", "v2x")},
+       |${round9("cm", "v2x", "w3", "v3x")},
+       |${round9("cm", "v3x", "w4", "v4x")},
+       |${rayleigh("cm", "v4x", "lamr")},
+       |c2def AS (
+       |  SELECT cd.i, cd.j,
+       |         cd.v - lamr.lr * (v4x.v)[cd.i + 1] * (v4x.v)[cd.j + 1] AS v
+       |  FROM cdef cd, lamr, v4x),
+       |cm2 AS MATERIALIZED (
+       |  SELECT list(rowl ORDER BY i) AS m FROM (
+       |    SELECT i, list(v ORDER BY j) AS rowl FROM c2def GROUP BY i) t),
+       |${round9("cm2", "v0", "u1", "p1x")},
+       |${round9("cm2", "p1x", "u2", "p2x")},
+       |${round9("cm2", "p2x", "u3", "p3x")},
+       |${round9("cm2", "p3x", "u4", "p4x")},
+       |${rayleigh("cm2", "p4x", "lam2r")},
+       |ortho AS (
+       |  SELECT ${fold("i -> (a.v)[i] * (b.v)[i]", s"range(1, ${K + 1})")} AS o
+       |  FROM v4x a, p4x b),
+       |shr AS (SELECT CAST(round(l1.lr / (l1.lr + l2.lr) * 1000000, 0)
+       |          AS BIGINT) AS share1_ppm
+       |        FROM lamr l1, lam2r l2),
+       |out1 AS (SELECT CAST(1 AS BIGINT) AS comp,
+       |           CAST(ii.i + 1 AS BIGINT) AS ci,
+       |           CAST(round((v4x.v)[ii.i + 1] * 1000000000, 0) AS BIGINT)
+       |             AS v_e9,
+       |           CAST(round(lamr.lr, 0) AS BIGINT) AS lambda
+       |         FROM v4x, lamr, (SELECT unnest(range(0, $K)) AS i) ii),
+       |out2 AS (SELECT CAST(2 AS BIGINT) AS comp,
+       |           CAST(ii.i + 1 AS BIGINT) AS ci,
+       |           CAST(round((p4x.v)[ii.i + 1] * 1000000000, 0) AS BIGINT)
+       |             AS v_e9,
+       |           CAST(round(lam2r.lr, 0) AS BIGINT) AS lambda
+       |         FROM p4x, lam2r, (SELECT unnest(range(0, $K)) AS i) ii)
+       |SELECT z.comp, z.ci, z.v_e9, z.lambda,
+       |       CAST(round(ortho.o * 1000000000, 0) AS BIGINT) AS ortho_e9,
+       |       shr.share1_ppm
+       |FROM (SELECT * FROM out1 UNION ALL SELECT * FROM out2) z, ortho, shr
+       |ORDER BY z.comp, z.ci""".stripMargin
   }
 }
 
