@@ -1900,6 +1900,160 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // Delta-method CI for a RATIO metric — the metrics-engineering staple
+    // q243's two-proportion z-test doesn't cover: revenue-per-view is a
+    // ratio of two per-user sums, and users (not events) are the
+    // independent units, so Var(R) needs the delta method over per-user
+    // (x, y) moments: Var ≈ (Σy)⁻²·[S_xx − 2R·S_xy + R²·S_yy] with the
+    // five moments (n, Σx, Σy, and the CENTERED S terms via n·Σab − ΣaΣb)
+    // kept as exact BIGINTs from one keyed census; only the final one-row
+    // ratio/sqrt runs in floats, in one stated expression shape quantized
+    // to ppm (the q19/q243 scalar-parity posture). Output: the ratio, its
+    // standard error, and the 95% CI a metrics platform prints.
+    QueryDef("q285_ratio_delta_ci",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |         THEN CAST(round(greatest(value, 0) * 100, 0) AS BIGINT)
+        |         ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx,
+        |        CAST(sum(y * y) AS BIGINT) AS syy,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy
+        |      FROM u),
+        |f AS (SELECT n, sx, sy,
+        |        CAST(sx AS DOUBLE) / sy AS r,
+        |        (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / n AS vx,
+        |        (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) / n AS vy,
+        |        (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / n AS vxy
+        |      FROM m),
+        |g AS (SELECT n, sx, sy, r,
+        |        sqrt((vx - 2 * r * vxy + r * r * vy))
+        |          / CAST(sy AS DOUBLE) AS se
+        |      FROM f)
+        |SELECT n, sx AS purchase_cents, sy AS views,
+        |       CAST(round(r * 1000000, 0) AS BIGINT) AS ratio_ppm,
+        |       CAST(round(se * 1000000, 0) AS BIGINT) AS se_ppm,
+        |       CAST(round((r - CAST(1.96 AS DOUBLE) * se) * 1000000, 0)
+        |         AS BIGINT) AS lo_ppm,
+        |       CAST(round((r + CAST(1.96 AS DOUBLE) * se) * 1000000, 0)
+        |         AS BIGINT) AS hi_ppm
+        |FROM g""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase",
+            round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+      val m = u.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+      val f = m.select(col("n"), col("sx"), col("sy"),
+        (col("sx").cast("double") / col("sy")).as("r"),
+        ((col("n").cast("double") * col("sxx")
+          - col("sx").cast("double") * col("sx")) / col("n")).as("vx"),
+        ((col("n").cast("double") * col("syy")
+          - col("sy").cast("double") * col("sy")) / col("n")).as("vy"),
+        ((col("n").cast("double") * col("sxy")
+          - col("sx").cast("double") * col("sy")) / col("n")).as("vxy"))
+      val g = f.select(col("n"), col("sx"), col("sy"), col("r"),
+        (sqrt(col("vx") - lit(2) * col("r") * col("vxy")
+          + col("r") * col("r") * col("vy"))
+          / col("sy").cast("double")).as("se"))
+      g.select(col("n"), col("sx").as("purchase_cents"), col("sy").as("views"),
+        round(col("r") * 1000000, 0).cast("long").as("ratio_ppm"),
+        round(col("se") * 1000000, 0).cast("long").as("se_ppm"),
+        round((col("r") - lit(1.96) * col("se")) * 1000000, 0).cast("long")
+          .as("lo_ppm"),
+        round((col("r") + lit(1.96) * col("se")) * 1000000, 0).cast("long")
+          .as("hi_ppm"))
+    },
+
+    // Haar wavelet energy census — the multi-resolution decomposition the
+    // single-scale detectors (q262 daily, q282 cumulative) can't give:
+    // three UNNORMALIZED Haar levels over each daily series — pairwise
+    // a = x₀+x₁, d = x₀−x₁ on exact integer cents (no √2, so every
+    // coefficient stays a BIGINT and the transform is exactly
+    // reversible), approximations cascading level to level, a trailing
+    // odd element dropped per level (stated on both engines via
+    // full-pairs-only grouping). Per-level detail energy Σd² localizes
+    // WHERE the variance lives: day-to-day noise (level 1) vs
+    // multi-day/weekly structure (levels 2–3) — the census compression
+    // and anomaly systems read first. Three unrolled pair-group levels,
+    // each one keyed aggregate over a k-row series relation.
+    QueryDef("q286_haar_energy",
+      """WITH d0 AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |l0 AS (SELECT event_type, y,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+        |           AS rn
+        |       FROM d0),
+        |l1 AS (SELECT event_type, rn // 2 AS rn,
+        |         CAST(max(CASE WHEN rn % 2 = 0 THEN y END)
+        |            + max(CASE WHEN rn % 2 = 1 THEN y END) AS BIGINT) AS a,
+        |         CAST(max(CASE WHEN rn % 2 = 0 THEN y END)
+        |            - max(CASE WHEN rn % 2 = 1 THEN y END) AS BIGINT) AS d
+        |       FROM l0 GROUP BY event_type, rn // 2 HAVING count(*) = 2),
+        |l2 AS (SELECT event_type, rn // 2 AS rn,
+        |         CAST(max(CASE WHEN rn % 2 = 0 THEN a END)
+        |            + max(CASE WHEN rn % 2 = 1 THEN a END) AS BIGINT) AS a,
+        |         CAST(max(CASE WHEN rn % 2 = 0 THEN a END)
+        |            - max(CASE WHEN rn % 2 = 1 THEN a END) AS BIGINT) AS d
+        |       FROM l1 GROUP BY event_type, rn // 2 HAVING count(*) = 2),
+        |l3 AS (SELECT event_type, rn // 2 AS rn,
+        |         CAST(max(CASE WHEN rn % 2 = 0 THEN a END)
+        |            + max(CASE WHEN rn % 2 = 1 THEN a END) AS BIGINT) AS a,
+        |         CAST(max(CASE WHEN rn % 2 = 0 THEN a END)
+        |            - max(CASE WHEN rn % 2 = 1 THEN a END) AS BIGINT) AS d
+        |       FROM l2 GROUP BY event_type, rn // 2 HAVING count(*) = 2),
+        |en AS (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS level,
+        |         CAST(count(*) AS BIGINT) AS n_coeffs,
+        |         CAST(sum(d * d) AS BIGINT) AS detail_energy FROM l1
+        |  GROUP BY event_type
+        |  UNION ALL
+        |  SELECT event_type, 2, CAST(count(*) AS BIGINT),
+        |         CAST(sum(d * d) AS BIGINT) FROM l2 GROUP BY event_type
+        |  UNION ALL
+        |  SELECT event_type, 3, CAST(count(*) AS BIGINT),
+        |         CAST(sum(d * d) AS BIGINT) FROM l3 GROUP BY event_type)
+        |SELECT event_type, level, n_coeffs, detail_energy
+        |FROM en ORDER BY event_type, level""".stripMargin) { (s, d) =>
+      val d0 = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
+          .as("y"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val l0 = d0.select(col("event_type"), col("y"),
+        (row_number().over(w) - 1).as("rn"))
+      def level(in: org.apache.spark.sql.DataFrame, v: String) =
+        in.groupBy(col("event_type"), expr("rn div 2").as("rn"))
+          .agg((max(when(expr("rn % 2 = 0"), col(v)))
+            + max(when(expr("rn % 2 = 1"), col(v)))).as("a"),
+            (max(when(expr("rn % 2 = 0"), col(v)))
+              - max(when(expr("rn % 2 = 1"), col(v)))).as("d"),
+            count(lit(1)).as("np"))
+          .where(col("np") === 2).drop("np")
+      val l1 = level(l0, "y").persist() // feeds l2 and its own energy row
+      val l2 = level(l1, "a").persist()
+      val l3 = level(l2, "a")
+      def en(df: org.apache.spark.sql.DataFrame, lvl: Int) =
+        df.groupBy("event_type").agg(count(lit(1)).as("n_coeffs"),
+            sum(col("d") * col("d")).as("detail_energy"))
+          .select(col("event_type"), lit(lvl.toLong).as("level"),
+            col("n_coeffs"), col("detail_energy"))
+      en(l1, 1).unionByName(en(l2, 2)).unionByName(en(l3, 3))
+        .orderBy("event_type", "level")
+    },
+
     // CUSUM changepoint detection — the sequential drift detector q262's
     // per-day anomaly rule can't replace (CUSUM accumulates SMALL
     // persistent shifts that never individually cross a 3σ bar): per
