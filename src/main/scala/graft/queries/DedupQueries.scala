@@ -54,6 +54,55 @@ object DedupQueries {
     // integer ppm. The all-pairs truth is the audit's cost and the reason
     // it runs on a SAMPLE in production (the corpus relation here is the
     // bounded fixture; the candidate side stays the scalable banded join).
+    // LSH parameter planner — the DESIGN-TOOL query the banding family
+    // (q37/q118/q198/q263) configures itself with: for every (bands, rows)
+    // split of a K=128-slot signature budget, the S-curve
+    // P(collide | s) = 1 − (1 − s^r)^b evaluated at the far/near design
+    // points (s=0.3 must not collide, s=0.8 must) gives FP and FN; the
+    // plan with minimal FP+FN wins (ties to fewer bands — cheaper index).
+    // Pure scalar math on a generated grid, ppm-quantized per cell in
+    // ONE stated expression shape — the whole table is what you'd pin in
+    // a design doc, and the chosen row explains why the production
+    // queries run 16×8-ish splits. Scale: the grid is O(divisors of K).
+    QueryDef("q287_lsh_planner",
+      """WITH g AS (SELECT unnest(range(1, 129)) AS b),
+        |grid AS (SELECT b, 128 // b AS r FROM g WHERE 128 % b = 0),
+        |sc AS (SELECT b, r,
+        |         CAST(round((1 - pow(1 - pow(CAST(0.3 AS DOUBLE), r), b))
+        |           * 1000000, 0) AS BIGINT) AS fp_ppm,
+        |         CAST(round(pow(1 - pow(CAST(0.8 AS DOUBLE), r), b)
+        |           * 1000000, 0) AS BIGINT) AS fn_ppm
+        |       FROM grid),
+        |best AS (SELECT b AS best_b, r AS best_r FROM (
+        |           SELECT b, r, row_number() OVER (
+        |             ORDER BY fp_ppm + fn_ppm, b) AS rn FROM sc) t
+        |         WHERE rn = 1)
+        |SELECT CAST(sc.b AS BIGINT) AS bands, CAST(sc.r AS BIGINT) AS rows_,
+        |       sc.fp_ppm, sc.fn_ppm,
+        |       CAST(sc.fp_ppm + sc.fn_ppm AS BIGINT) AS cost_ppm,
+        |       CAST(best.best_b AS BIGINT) AS best_bands,
+        |       CAST(best.best_r AS BIGINT) AS best_rows
+        |FROM sc, best ORDER BY bands""".stripMargin) { (s, d) =>
+      val grid = s.range(1, 129).select(col("id").as("b"))
+        .where(expr("128 % b = 0")).select(col("b"), expr("128 div b").as("r"))
+      val sc = grid.select(col("b"), col("r"),
+        round((lit(1.0) - pow(lit(1.0) - pow(lit(0.3), col("r").cast("double")),
+          col("b").cast("double"))) * 1000000, 0).cast("long").as("fp_ppm"),
+        round(pow(lit(1.0) - pow(lit(0.8), col("r").cast("double")),
+          col("b").cast("double")) * 1000000, 0).cast("long").as("fn_ppm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(expr("fp_ppm + fn_ppm"), col("b"))
+      val best = sc.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("b").as("best_bands"), col("r").as("best_rows"))
+      sc.crossJoin(broadcast(best))
+        .select(col("b").as("bands"), col("r").as("rows_"),
+          col("fp_ppm"), col("fn_ppm"),
+          (col("fp_ppm") + col("fn_ppm")).as("cost_ppm"),
+          col("best_bands"), col("best_rows"))
+        .orderBy("bands")
+    },
+
     QueryDef("q198_lsh_quality",
       s"""WITH ${LshPairsSql.cte},
          |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

