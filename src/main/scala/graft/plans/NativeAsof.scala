@@ -30,9 +30,20 @@ import org.apache.spark.sql.types.LongType
   * left time within the same composite key (at-or-before, matching
   * AsofJoin and DuckDB's `ASOF LEFT JOIN`); unmatched left rows keep null
   * right columns; a null in ANY key component or the time never matches
-  * (SQL join-key semantics). Keys and times are restricted to LongType —
-  * the engine's event-time playbook is integer microseconds anyway, and
-  * primitive comparisons keep the merge loop allocation-free.
+  * (SQL join-key semantics). Times are restricted to LongType — the
+  * engine's event-time playbook is integer microseconds anyway, and
+  * primitive comparisons keep the merge loop allocation-free. Key columns
+  * that are not already LongType (market-style joins key on VARCHAR
+  * symbols) are DICTIONARY-ENCODED in front of the cursor: the distinct
+  * key universe from both sides gets dense Long ids (sorted row_number)
+  * and is broadcast back onto each side — the cursor itself never changes,
+  * because as-of matching only needs key EQUALITY plus a per-side sort
+  * order CONSISTENT across both sides, which any injective Long encoding
+  * provides. A null symbol encodes to null and so never matches; a left
+  * symbol unseen on the right encodes fine and finds no match. The dict
+  * is the symbol universe — small by nature (tickers, channels, device
+  * ids), hence broadcast; a genuinely high-cardinality key would swap the
+  * broadcast for a shuffle-join encode with the same algebra.
   *
   * Tolerance (`ASOF JOIN ... WITHIN`-style bounded staleness) lives INSIDE
   * the cursor: with `tolerance = Some(w)`, a match additionally requires
@@ -56,9 +67,11 @@ object NativeAsof {
     joinMulti(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime)
 
   /** Composite-key as-of left join with optional bounded staleness and
-    * optional right-uniqueness enforcement. All named columns must be
-    * LongType; right columns are appended nullable (rename collisions
-    * upstream — distinct right-side names keep the output unambiguous).
+    * optional right-uniqueness enforcement. Time columns must be LongType;
+    * key columns of any other orderable type are dictionary-encoded (see
+    * object scaladoc). Right columns are appended nullable (rename
+    * collisions upstream — distinct right-side names keep the output
+    * unambiguous).
     */
   def joinMulti(left: DataFrame, right: DataFrame, leftKeys: Seq[String],
                 rightKeys: Seq[String], leftTime: String, rightTime: String,
@@ -67,6 +80,13 @@ object NativeAsof {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       s"key arity mismatch: ${leftKeys.size} vs ${rightKeys.size}")
     require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
+    val needEnc = leftKeys.indices.filter { i =>
+      left.schema(leftKeys(i)).dataType != LongType ||
+        right.schema(rightKeys(i)).dataType != LongType
+    }
+    if (needEnc.nonEmpty)
+      return joinEncoded(left, right, leftKeys, rightKeys, leftTime, rightTime,
+        tolerance, assertUniqueRight, needEnc)
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def longAttr(p: LogicalPlan, n: String): Attribute = {
@@ -82,6 +102,62 @@ object NativeAsof {
         leftKeys.map(longAttr(lp, _)), rightKeys.map(longAttr(rp, _)),
         longAttr(lp, leftTime), longAttr(rp, rightTime),
         tolerance, assertUniqueRight))
+  }
+
+  /** Dictionary-encode the non-Long key positions, run the Long-keyed
+    * cursor, then drop the synthetic id columns — output schema is exactly
+    * the un-encoded `left ++ right` the caller expects. The dict per key
+    * position is `distinct(leftKey ∪ rightKey)` with a sorted row_number:
+    * deterministic, injective, null-free (nulls stay null through the
+    * left join and keep SQL never-match semantics). One broadcast per
+    * encoded key position; the two extra narrow joins happen BEFORE the
+    * key exchange, so the shuffle still moves Long keys.
+    */
+  private def joinEncoded(left: DataFrame, right: DataFrame,
+                          leftKeys: Seq[String], rightKeys: Seq[String],
+                          leftTime: String, rightTime: String,
+                          tolerance: Option[Long], assertUniqueRight: Boolean,
+                          encIdx: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, col, row_number}
+    var l = left
+    var r = right
+    var lks = leftKeys
+    var rks = rightKeys
+    encIdx.foreach { i =>
+      val (lk, rk) = (leftKeys(i), rightKeys(i))
+      val lt = left.schema(lk).dataType
+      val rt = right.schema(rk).dataType
+      require(lt == rt,
+        s"asof key type mismatch at position $i: ${lt.catalogString} vs ${rt.catalogString}")
+      // the key UNIVERSE — tiny by the symbol-key assumption; the global
+      // row_number window runs on those few rows only. Built ONCE PER SIDE
+      // with a side-specific id name: an encoded key attribute must appear
+      // in exactly one child of the custom join node, or the analyzer's
+      // self-join deduplication cannot tell the two uses apart and the
+      // optimizer prunes the "unreferenced" copy out from under the exec.
+      def dict(outName: String): DataFrame =
+        left.select(col(lk).as("__asof_sym"))
+          .unionByName(right.select(col(rk).as("__asof_sym")))
+          .where(col("__asof_sym").isNotNull).distinct()
+          .withColumn(outName,
+            row_number().over(Window.orderBy("__asof_sym")).cast("long"))
+      val (encL, encR) = (s"__asof_dict_l_$i", s"__asof_dict_r_$i")
+      require(!left.columns.contains(encL) && !right.columns.contains(encR),
+        s"columns $encL/$encR collide with the dictionary-encode temp names")
+      val dl = dict(encL)
+      val dr = dict(encR)
+      l = l.join(broadcast(dl), l(lk) === dl("__asof_sym"), "left")
+        .drop("__asof_sym")
+      r = r.join(broadcast(dr), r(rk) === dr("__asof_sym"), "left")
+        .drop("__asof_sym")
+      lks = lks.updated(i, encL)
+      rks = rks.updated(i, encR)
+    }
+    val encNames = encIdx.flatMap(i =>
+      Seq(s"__asof_dict_l_$i", s"__asof_dict_r_$i"))
+    joinMulti(l, r, lks, rks, leftTime, rightTime, tolerance,
+      assertUniqueRight).drop(encNames: _*)
   }
 }
 

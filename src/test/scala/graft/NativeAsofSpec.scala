@@ -186,4 +186,52 @@ class NativeAsofSpec extends AnyFunSuite {
       assertUniqueRight = true).collect()
     assert(out.length == 1 && out.head.getLong(4) == 200L)
   }
+
+  test("string keys: dictionary encode, unseen-right symbol, null symbol") {
+    val l = Seq((Option("AAPL"), 10L, "a"), (Option("AAPL"), 3L, "early"),
+      (Option("MSFT"), 10L, "m"), (Option("NVDA"), 10L, "unseen"),
+      (Option.empty[String], 10L, "nullsym"))
+      .toDF("sym", "t", "tag")
+    val r = Seq(("AAPL", 5L, 50L), ("AAPL", 9L, 90L), ("MSFT", 10L, 100L),
+      ("TSLA", 1L, 10L)) // TSLA never probed; NVDA never quoted
+      .toDF("rsym", "rt", "pay")
+    val out = NativeAsof.joinMulti(l, r, Seq("sym"), Seq("rsym"), "t", "rt")
+    // output schema: encode temp columns must NOT leak
+    assert(out.columns.toSeq == Seq("sym", "t", "tag", "rsym", "rt", "pay"))
+    val got = out.collect().map(x => (x.getString(2),
+      if (x.isNullAt(5)) -1L else x.getLong(5))).toSet
+    assert(got == Set(("a", 90L), ("early", -1L), ("m", 100L),
+      ("unseen", -1L), ("nullsym", -1L)))
+  }
+
+  test("string keys compose with composite keys, tolerance and uniqueness") {
+    // (symbol, venue) both VARCHAR — two encoded positions; tolerance 4
+    val l = Seq(("A", "X", 10L), ("A", "Y", 10L), ("B", "X", 10L))
+      .toDF("sym", "ven", "t")
+    val r = Seq(("A", "X", 8L, 80L), ("A", "Y", 2L, 20L), ("B", "X", 10L, 100L))
+      .toDF("rsym", "rven", "rt", "pay")
+    val out = NativeAsof.joinMulti(l, r, Seq("sym", "ven"),
+        Seq("rsym", "rven"), "t", "rt",
+        tolerance = Some(4L), assertUniqueRight = true)
+      .collect().map(x => (x.getString(0), x.getString(1),
+        if (x.isNullAt(6)) -1L else x.getLong(6))).toSet
+    // (A,Y)'s only quote is 8 ticks stale → tolerance nulls it
+    assert(out == Set(("A", "X", 80L), ("A", "Y", -1L), ("B", "X", 100L)))
+  }
+
+  test("string keys agree with a brute-force window across partitions") {
+    val n = 1500
+    val l = (0 until n).map(i => (s"S${i % 53}", i.toLong * 3 + 1)).toDF("sym", "t")
+    val r = (0 until n).map(i => (s"S${i % 53}", i.toLong * 3)).toDF("rsym", "rt")
+      .withColumn("pay", col("rt") * 7)
+    val out = NativeAsof.joinMulti(l, r, Seq("sym"), Seq("rsym"), "t", "rt")
+    val truth = l.as("l").join(r.as("r"),
+        col("l.sym") === col("r.rsym") && col("r.rt") <= col("l.t"), "left")
+      .groupBy(col("l.sym").as("sym"), col("l.t").as("t"))
+      .agg(max("r.rt").as("want_rt"))
+    val bad = out.join(truth, Seq("sym", "t"))
+      .where(!(col("rt") <=> col("want_rt"))).count()
+    assert(bad == 0)
+    assert(out.count() == n)
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit guards for the round-8 additions: the data-driven q281 channel
+  * set (r7 verdict missing #4), plus cases added as the round progresses.
+  */
+class Round9Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(rmrf)
+    f.delete(): Unit
+  }
+
+  test("q281 attribution discovers channels from the data (no static list)") {
+    import spark.implicits._
+    // the oracle SQL must carry no hardcoded channel literals
+    val sql = SparkEntry.oracleSql("q281_markov_attribution")
+    assert(!sql.contains("'click'") && !sql.contains("'view'") &&
+      !sql.contains("'signup'"))
+    // a fixture with a channel ("promo") the old static list never knew:
+    //   u1: view → click → purchase   u2: promo → (lost)   u3: purchase only
+    val root = java.nio.file.Files.createTempDirectory("graft_attr_").toFile
+    try {
+      val us = 1000000L
+      Seq(
+        (1L, 1L * us, 1L, "view", 0.0, "{}"),
+        (2L, 2L * us, 1L, "click", 0.0, "{}"),
+        (3L, 3L * us, 1L, "purchase", 5.0, "{}"),
+        (4L, 1L * us, 2L, "promo", 0.0, "{}"),
+        (5L, 1L * us, 3L, "purchase", 7.0, "{}"))
+        .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .select(org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.col("us")).as("ts"),
+          org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("value"),
+          org.apache.spark.sql.functions.col("props"))
+        .coalesce(1).write.parquet(s"$root/events.parquet")
+      val out = SparkEntry.queries("q281_markov_attribution")(spark, root.toString)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      // transition census: START→{view, promo, CONV} each 1/3 (333333 e-6
+      // floor); view→click→CONV chain is certain; promo absorbs to LOST.
+      // base aS = .333333·1 + .333333·0 + .333333 = .666666; removing promo
+      // changes nothing (its absorption is already 0); removing view or
+      // click kills the u1 path → (.666666−.333333)/.666666 → 500000 ppm.
+      assert(out.map(_._1).toSeq == Seq("click", "promo", "view"))
+      assert(out.forall(_._2 == 666666000L))
+      assert(out.map(t => t._1 -> t._3).toMap ==
+        Map("click" -> 500000L, "promo" -> 0L, "view" -> 500000L))
+    } finally rmrf(root)
+  }
+}
