@@ -58,6 +58,11 @@ object ScaleProbe {
         .select("u", "v")
     }
 
+    // nsw_upsert fixtures cached per multiplier — built on the first rep,
+    // so the min-of-2 reflects the pure upsert (see the shape comment)
+    val upsertFixtures = scala.collection.mutable.Map
+      .empty[Int, (DataFrame, DataFrame, DataFrame, DataFrame)]
+
     lazy val pqCb = graft.operators.Pq.fit(
       Tables.embeddings(spark, sfDir).where(col("vec_id") < 2000),
       "vec_id", "embedding", 64, 8, 16, 1)
@@ -311,6 +316,45 @@ object ScaleProbe {
         graft.operators.NswGraph.buildRefined(vecs, "vec_id", "embedding",
           dim, bands = 8, rbits = 6, seed = 11L, cap = 64,
           kInternal = 8, rounds = 1, deg = 8)
+      },
+      // NSW incremental UPSERT (q290): a FIXED 1000-vector batch links into
+      // a pre-built graph over an m×20k corpus. The base graph + the stored
+      // signature relation (the production posture: the index persists its
+      // signatures) are built and persisted on first touch per multiplier —
+      // the first rep pays the build, min-of-2 keeps the pure-upsert rep.
+      // Upsert work = batch band probe + affected neighborhoods + two local
+      // refine rounds; the only corpus-sized stages are the census groupBy
+      // and the candidate equi-join SCAN of the signature relation, so the
+      // exponent must sit far below the build's (≈0.33), let alone 1
+      "nsw_upsert" -> { m =>
+        import graft.functions.Hashes
+        import graft.operators.NswGraph
+        val n = m * 20000L
+        val dim = 16
+        def vecs(lo: Long, hi: Long): DataFrame =
+          spark.range(lo, hi).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(dim - 1)),
+              d => (Hashes.mulHash(col("id") * 131L + d, 19) % 1000)
+                .cast("double") / 1000.0d).as("embedding"))
+        val (base, batch, baseGraph, sigs) =
+          upsertFixtures.getOrElseUpdate(m, {
+            val base = vecs(1000, n).persist()
+            base.count(): Unit
+            val batch = vecs(0, 1000).persist()
+            batch.count(): Unit
+            val g = NswGraph.buildRefined(base, "vec_id", "embedding", dim,
+              bands = 8, rbits = 6, seed = 11L, cap = 64,
+              kInternal = 8, rounds = 1, deg = 8).persist()
+            g.count(): Unit
+            val s = NswGraph.signatures(
+              base.unionByName(batch), "vec_id", "embedding", dim,
+              bands = 8, rbits = 6, seed = 11L).persist()
+            s.count(): Unit
+            (base, batch, g, s)
+          })
+        NswGraph.upsert(base, batch, baseGraph, "vec_id", "embedding", dim,
+          bands = 8, rbits = 6, seed = 11L, cap = 64, kInternal = 8,
+          deg = 8, allSigs = Some(sigs))
       },
       // NSW beam WALK (q260): the graph is pre-built AND materialized
       // OUTSIDE the timed frame — the probe measures the SEARCH, whose

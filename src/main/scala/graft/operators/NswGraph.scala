@@ -173,14 +173,220 @@ object NswGraph {
       .where(col("rn") <= deg).select("src", "dst")
   }
 
+  /** Incremental index maintenance — the operation a daily-refreshed
+    * 100 TB corpus needs (a full rebuild per batch is the one thing it
+    * cannot afford): link a NEW batch of vectors into an existing k-NN
+    * graph without touching unaffected neighborhoods.
+    *
+    *   1. Candidates for each new vector come from the SAME sign-LSH band
+    *      buckets as [[build]] (census over the combined corpus signatures,
+    *      the same over-cap sub-split) — an equi-join of the small new
+    *      side's band rows against the corpus band index, never a scan of
+    *      pairs. Intra-batch pairs surface in both orders automatically.
+    *   2. Each new vector keeps its top-`deg` candidates by exact cosine
+    *      (1e-6 grid, id ties) — its out-edges.
+    *   3. Each AFFECTED base vector (one with ≥ 1 new candidate) re-ranks
+    *      its existing out-edges together with its new candidates and
+    *      re-prunes to `deg` — the local repair that lets new content
+    *      become REACHABLE (the undirected walk traverses these reverse
+    *      links). Unaffected vectors' edges pass through untouched.
+    *
+    * Work per batch: signature compute for the batch, one band-bucket
+    * equi-join against the corpus signature relation (in production that
+    * relation is persisted next to the graph — pass it via `allSigs` to
+    * skip recompute), and re-scoring only over affected neighborhoods —
+    * nothing quadratic, nothing proportional to corpus × batch. Quality is
+    * measured, not assumed: q290 walks the upserted graph under the q260
+    * recall harness against a from-scratch rebuild.
+    */
+  def upsert(baseEmb: DataFrame, newEmb: DataFrame, baseGraph: DataFrame,
+             idCol: String, embCol: String, dim: Int, bands: Int, rbits: Int,
+             seed: Long, cap: Int, kInternal: Int, deg: Int,
+             allSigs: Option[DataFrame] = None): DataFrame = {
+    require(cap >= 1 && deg >= 1 && kInternal >= deg)
+    val allEmb = baseEmb.select(col(idCol), col(embCol))
+      .unionByName(newEmb.select(col(idCol), col(embCol)))
+    val sig = allSigs.getOrElse(
+      signatures(allEmb, idCol, embCol, dim, bands, rbits, seed))
+    val cs = sig.groupBy("band", "sig").agg(count(lit(1)).as("bsize"))
+    val sb = sig.join(broadcast(cs), Seq("band", "sig"))
+      .withColumn("nsub", expr(s"(bsize + ${cap - 1}) div $cap"))
+      .withColumn("sub", Hashes.mulHash(col("vec_id"), SubSalt) % col("nsub"))
+      .select("band", "sig", "sub", "vec_id")
+    val newIds = newEmb.select(col(idCol).as("vec_id"))
+    val sbN = sb.join(broadcast(newIds), Seq("vec_id"))
+    val cand = sbN.as("a").join(sb.as("b"), Seq("band", "sig", "sub"))
+      .where(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("ni"), col("b.vec_id").as("oi"))
+      .distinct()
+    val v = allEmb.select(col(idCol).as("vec_id"), col(embCol).as("x"),
+      Tensors.norm(col(embCol)).as("nrm"))
+    val scored = cand
+      .join(v.select(col("vec_id").as("ni"), col("x").as("xa"),
+        col("nrm").as("na")), "ni")
+      .join(v.select(col("vec_id").as("oi"), col("x").as("xb"),
+        col("nrm").as("nb")), "oi")
+      .select(col("ni"), col("oi"),
+        round(Tensors.dot(col("xa"), col("xb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
+      .persist() // feeds the new-edge prune AND the reverse repair
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    // the buildRefined insight carries over: link and refine at the WIDE
+    // internal degree, prune to `deg` only at the very end — descent over
+    // a deg-width neighborhood plateaus well short of the rebuilt graph
+    val newScored = scored
+      .select(col("ni").as("src"), col("oi").as("dst"), col("cos"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= kInternal)
+      .select("src", "dst", "cos")
+    // reverse candidates: base → new only (intra-batch reverses are
+    // already in `scored` under the other order)
+    val rev = scored
+      .join(broadcast(newIds).withColumnRenamed("vec_id", "oi"),
+        Seq("oi"), "left_anti")
+      .select(col("oi").as("src"), col("ni").as("dst"), col("cos"))
+    val aff = rev.select("src").distinct()
+    val oldScored = baseGraph.join(aff, Seq("src"), "left_semi")
+      .join(v.select(col("vec_id").as("src"), col("x").as("xa"),
+        col("nrm").as("na")), "src")
+      .join(v.select(col("vec_id").as("dst"), col("x").as("xb"),
+        col("nrm").as("nb")), "dst")
+      .select(col("src"), col("dst"),
+        round(Tensors.dot(col("xa"), col("xb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
+    val repruned = oldScored.unionByName(rev)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= kInternal)
+      .select("src", "dst", "cos")
+      .persist() // walked by refine AND pruned into the final graph
+    val unchanged = baseGraph.join(aff, Seq("src"), "left_anti")
+    // two local NN-descent rounds for the new nodes over the wide graph —
+    // round 2 walks the edges round 1 discovered (the buildRefined round
+    // structure, restricted to the batch's neighborhoods)
+    var newWide = newScored
+    for (_ <- 1 to 2) {
+      val wide = unchanged
+        .unionByName(repruned.select("src", "dst"))
+        .unionByName(newWide.select("src", "dst"))
+        .localCheckpoint() // refine probes it four ways; plans must not nest
+      newWide = localRefine(wide, v, newIds, kInternal)
+    }
+    def prune(sc: DataFrame): DataFrame = sc
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= deg)
+      .select("src", "dst")
+    unchanged
+      .unionByName(prune(repruned))
+      .unionByName(prune(newWide))
+  }
+
+  /** One LOCAL NN-descent round for the NEW nodes only, over the WIDE
+    * internal-degree graph: candidates per new node are its UNDIRECTED
+    * neighbors plus their undirected neighbors (two hops, bounded by
+    * (2·kInternal)² pairs per new node); edges by direction come from
+    * broadcast semi-joins of the small frontier id sets against the edge
+    * list — two edge-relation scans, zero wide shuffles, work bounded by
+    * batch × kInternal². Returns the new nodes' re-ranked top-`kInternal`
+    * out-edges WITH scores — the caller prunes to the final degree.
+    */
+
+  private def localRefine(g: DataFrame, v: DataFrame, newIds: DataFrame,
+                          kInternal: Int): DataFrame = {
+    val out1 = g.join(broadcast(newIds).withColumnRenamed("vec_id", "src"),
+        Seq("src"))
+      .select(col("src").as("n"), col("dst").as("m"))
+    val in1 = g.join(broadcast(newIds).withColumnRenamed("vec_id", "dst"),
+        Seq("dst"))
+      .select(col("dst").as("n"), col("src").as("m"))
+    val n1 = out1.unionByName(in1).distinct()
+    val mIds = n1.select(col("m").as("vec_id")).distinct()
+    val out2 = g.join(broadcast(mIds).withColumnRenamed("vec_id", "src"),
+        Seq("src"))
+      .select(col("src").as("m"), col("dst").as("t"))
+    val in2 = g.join(broadcast(mIds).withColumnRenamed("vec_id", "dst"),
+        Seq("dst"))
+      .select(col("dst").as("m"), col("src").as("t"))
+    val two = n1.join(out2.unionByName(in2).distinct(), "m")
+      .select(col("n"), col("t").as("dst"))
+      .where(col("n") =!= col("dst"))
+    val cand = n1.select(col("n"), col("m").as("dst")).unionByName(two)
+      .distinct()
+    val scored = cand
+      .join(v.select(col("vec_id").as("n"), col("x").as("xa"),
+        col("nrm").as("na")), "n")
+      .join(v.select(col("vec_id").as("dst"), col("x").as("xb"),
+        col("nrm").as("nb")), "dst")
+      .select(col("n").as("src"), col("dst"),
+        round(Tensors.dot(col("xa"), col("xb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    scored
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= kInternal)
+      .select("src", "dst", "cos")
+  }
+
+  /** Deletion with local repair: drop every edge touching a deleted id,
+    * then each node that LOST an out-edge tops back up to `deg` from the
+    * standard repair candidate set — the deleted neighbors' own neighbors
+    * (the two-hop detour around the hole), re-ranked together with its
+    * surviving edges by exact cosine. Only affected neighborhoods are
+    * rescored; `delIds` is broadcast twice and never joined wide.
+    */
+  def remove(emb: DataFrame, graph: DataFrame, delIds: DataFrame,
+             idCol: String, embCol: String, deg: Int): DataFrame = {
+    require(deg >= 1)
+    val del = delIds.select(col(delIds.columns.head).as("vec_id"))
+    val keptSrc = graph
+      .join(broadcast(del).withColumnRenamed("vec_id", "src"),
+        Seq("src"), "left_anti")
+    val survivors = keptSrc
+      .join(broadcast(del).withColumnRenamed("vec_id", "dst"),
+        Seq("dst"), "left_anti")
+      .select("src", "dst")
+    // nodes that lost an out-edge to a deleted neighbor
+    val aff = keptSrc
+      .join(broadcast(del).withColumnRenamed("vec_id", "dst"), Seq("dst"),
+        "left_semi")
+      .select("src").distinct()
+    // repair candidates: through the hole — src → (deleted d) → t
+    val delOut = graph
+      .join(broadcast(del).withColumnRenamed("vec_id", "src"), Seq("src"))
+      .select(col("src").as("d"), col("dst").as("t"))
+      .join(broadcast(del).withColumnRenamed("vec_id", "t"), Seq("t"),
+        "left_anti")
+    val detour = keptSrc
+      .join(broadcast(del).withColumnRenamed("vec_id", "dst"), Seq("dst"),
+        "left_semi")
+      .select(col("src"), col("dst").as("d"))
+      .join(delOut, "d")
+      .where(col("src") =!= col("t"))
+      .select(col("src"), col("t").as("dst"))
+    val v = emb.select(col(idCol).as("vec_id"), col(embCol).as("x"),
+      Tensors.norm(col(embCol)).as("nrm"))
+    val candAff = survivors.join(aff, Seq("src"), "left_semi")
+      .unionByName(detour).distinct()
+    val scored = candAff
+      .join(v.select(col("vec_id").as("src"), col("x").as("xa"),
+        col("nrm").as("na")), "src")
+      .join(v.select(col("vec_id").as("dst"), col("x").as("xb"),
+        col("nrm").as("nb")), "dst")
+      .select(col("src"), col("dst"),
+        round(Tensors.dot(col("xa"), col("xb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val repaired = scored
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= deg)
+      .select("src", "dst")
+    survivors.join(aff, Seq("src"), "left_anti").unionByName(repaired)
+  }
+
   /** DuckDB CTE chain mirroring [[build]] verbatim — emits prefixed CTEs
     * and finally `${p}g(src, dst)`; expects a CTE `$src(vec_id, embedding,
     * nrm)` in scope. `p` prefixes every CTE name so several builds can
     * coexist in one oracle.
     */
-  def graphCteSql(dim: Int, bands: Int, rbits: Int, seed: Long, cap: Int,
-                  deg: Int, dotSql: (String, String) => String,
-                  p: String = "", src: String = "v"): String = {
+  /** Signature CTEs (`${p}pl/${p}lbit/${p}sg`) over `$src` — factored so
+    * the build AND upsert oracles replay the identical hashing.
+    */
+  private def sigChainSql(dim: Int, bands: Int, rbits: Int, seed: Long,
+                          p: String, src: String): String = {
     val lBits = bands * rbits
     val sign = s"(CASE WHEN (${Hashes.mulHashSql("(p.j) * 4096 + (i - 1)", seed)}) % 2 = 0" +
       " THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
@@ -194,13 +400,23 @@ object NswGraph {
        |  FROM $src v, ${p}pl p),
        |${p}sg AS (SELECT vec_id, band,
        |         CAST(sum(bit * CAST(pow(2, pos) AS BIGINT)) AS BIGINT) AS sig
-       |       FROM ${p}lbit GROUP BY 1, 2),
-       |${p}cs AS (SELECT band, sig, CAST(count(*) AS BIGINT) AS bsize
+       |       FROM ${p}lbit GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Census + capped sub-cell CTEs (`${p}cs/${p}sb`) over `${p}sg`. */
+  private def bucketChainSql(cap: Int, p: String): String =
+    s"""${p}cs AS (SELECT band, sig, CAST(count(*) AS BIGINT) AS bsize
        |       FROM ${p}sg GROUP BY 1, 2),
        |${p}sb AS (SELECT sg.vec_id, sg.band, sg.sig,
        |         (${Hashes.mulHashSql("sg.vec_id", SubSalt)})
        |           % ((cs.bsize + ${cap - 1}) // $cap) AS sub
-       |       FROM ${p}sg sg JOIN ${p}cs cs USING (band, sig)),
+       |       FROM ${p}sg sg JOIN ${p}cs cs USING (band, sig))""".stripMargin
+
+  def graphCteSql(dim: Int, bands: Int, rbits: Int, seed: Long, cap: Int,
+                  deg: Int, dotSql: (String, String) => String,
+                  p: String = "", src: String = "v"): String = {
+    s"""${sigChainSql(dim, bands, rbits, seed, p, src)},
+       |${bucketChainSql(cap, p)},
        |${p}cand AS (SELECT DISTINCT a.vec_id AS ai, b.vec_id AS bi
        |         FROM ${p}sb a JOIN ${p}sb b USING (band, sig, sub)
        |         WHERE a.vec_id < b.vec_id),
@@ -259,4 +475,140 @@ object NswGraph {
        |             ORDER BY cos DESC, dst) AS rn FROM ${p}s$rounds) t
        |  WHERE rn <= $deg)""".stripMargin
   }
+
+  /** DuckDB CTE chain mirroring [[upsert]] stage for stage: the signature
+    * census over the COMBINED corpus `$src`, the capped band-bucket
+    * candidate join restricted to new-side rows (`newPred(vec_id)` marks
+    * NEW vectors), the wide-internal link + affected-node repair, the
+    * local NN-descent round for the new nodes, and the final prune to
+    * `deg`. Ends in `$out(src, dst)` — the upserted graph.
+    */
+  def upsertCteSql(dim: Int, bands: Int, rbits: Int, seed: Long, cap: Int,
+                   kInternal: Int, deg: Int,
+                   dotSql: (String, String) => String,
+                   newPred: String => String, baseG: String,
+                   p: String = "u_", src: String = "v",
+                   out: String = "g"): String =
+    s"""${sigChainSql(dim, bands, rbits, seed, p, src)},
+       |${bucketChainSql(cap, p)},
+       |${p}cand AS (SELECT DISTINCT a.vec_id AS ni, b.vec_id AS oi
+       |         FROM ${p}sb a JOIN ${p}sb b USING (band, sig, sub)
+       |         WHERE (${newPred("a.vec_id")}) AND a.vec_id <> b.vec_id),
+       |${p}sc AS MATERIALIZED (
+       |  SELECT ni, oi,
+       |         round(${dotSql("a.embedding", "b.embedding")}
+       |               / (a.nrm * b.nrm), 6) AS cos
+       |  FROM ${p}cand JOIN $src a ON a.vec_id = ni
+       |  JOIN $src b ON b.vec_id = oi),
+       |${p}newg AS (SELECT src, dst, cos FROM (
+       |    SELECT ni AS src, oi AS dst, cos, row_number() OVER (PARTITION BY ni
+       |             ORDER BY cos DESC, oi) AS rn FROM ${p}sc) t
+       |  WHERE rn <= $kInternal),
+       |${p}rev AS (SELECT oi AS src, ni AS dst, cos FROM ${p}sc
+       |        WHERE NOT (${newPred("oi")})),
+       |${p}aff AS (SELECT DISTINCT src FROM ${p}rev),
+       |${p}old AS (SELECT e.src, e.dst,
+       |         round(${dotSql("a.embedding", "b.embedding")}
+       |               / (a.nrm * b.nrm), 6) AS cos
+       |       FROM $baseG e JOIN ${p}aff USING (src)
+       |       JOIN $src a ON a.vec_id = e.src
+       |       JOIN $src b ON b.vec_id = e.dst),
+       |${p}rp AS MATERIALIZED (SELECT src, dst, cos FROM (
+       |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |             ORDER BY cos DESC, dst) AS rn
+       |    FROM (SELECT * FROM ${p}old UNION ALL SELECT * FROM ${p}rev) t0) t
+       |  WHERE rn <= $kInternal),
+       |${p}un AS (SELECT src, dst FROM $baseG
+       |       WHERE src NOT IN (SELECT src FROM ${p}aff)),
+       |${p}g1 AS MATERIALIZED (
+       |  SELECT src, dst FROM ${p}un
+       |  UNION ALL SELECT src, dst FROM ${p}rp
+       |  UNION ALL SELECT src, dst FROM ${p}newg),
+       |${refineRoundCtes(1, s"${p}g1", dotSql, newPred, p, src, kInternal)},
+       |${p}g2 AS MATERIALIZED (
+       |  SELECT src, dst FROM ${p}un
+       |  UNION ALL SELECT src, dst FROM ${p}rp
+       |  UNION ALL SELECT src, dst FROM ${p}rg1),
+       |${refineRoundCtes(2, s"${p}g2", dotSql, newPred, p, src, kInternal)},
+       |$out AS MATERIALIZED (
+       |  SELECT src, dst FROM ${p}un
+       |  UNION ALL
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |             ORDER BY cos DESC, dst) AS rn FROM ${p}rp) t
+       |  WHERE rn <= $deg
+       |  UNION ALL
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |             ORDER BY cos DESC, dst) AS rn FROM ${p}rg2) t
+       |  WHERE rn <= $deg)""".stripMargin
+
+  /** One oracle refine round r over graph CTE `$g`: new-node two-hop
+    * candidates re-scored and pruned to `kInternal` as `${p}rg$r`.
+    */
+  private def refineRoundCtes(r: Int, g: String,
+                              dotSql: (String, String) => String,
+                              newPred: String => String, p: String,
+                              src: String, kInternal: Int): String =
+    s"""${p}n$r AS (SELECT DISTINCT n, m FROM (
+       |    SELECT src AS n, dst AS m FROM $g WHERE ${newPred("src")}
+       |    UNION ALL
+       |    SELECT dst AS n, src AS m FROM $g WHERE ${newPred("dst")}) t),
+       |${p}m$r AS (SELECT DISTINCT m, t FROM (
+       |    SELECT src AS m, dst AS t FROM $g
+       |    WHERE src IN (SELECT m FROM ${p}n$r)
+       |    UNION ALL SELECT dst AS m, src AS t FROM $g
+       |    WHERE dst IN (SELECT m FROM ${p}n$r)) t),
+       |${p}rc$r AS (SELECT DISTINCT n, dst FROM (
+       |    SELECT n, m AS dst FROM ${p}n$r
+       |    UNION ALL SELECT n1.n, m2.t AS dst FROM ${p}n$r n1
+       |    JOIN ${p}m$r m2 ON n1.m = m2.m) t
+       |  WHERE n <> dst),
+       |${p}rsc$r AS (SELECT c.n AS src, c.dst,
+       |         round(${dotSql("a.embedding", "b.embedding")}
+       |               / (a.nrm * b.nrm), 6) AS cos
+       |       FROM ${p}rc$r c JOIN $src a ON a.vec_id = c.n
+       |       JOIN $src b ON b.vec_id = c.dst),
+       |${p}rg$r AS MATERIALIZED (SELECT src, dst, cos FROM (
+       |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |             ORDER BY cos DESC, dst) AS rn FROM ${p}rsc$r) t
+       |  WHERE rn <= $kInternal)""".stripMargin
+
+  /** DuckDB CTE chain mirroring [[remove]]: drop edges touching deleted
+    * ids (`delPred(vec_id)` marks deletions), then nodes that lost an
+    * out-edge re-rank their surviving edges together with the two-hop
+    * detour candidates (through the deleted neighbor) and re-prune to
+    * `deg`. Ends in `$out(src, dst)` — the repaired graph.
+    */
+  def removeCteSql(deg: Int, dotSql: (String, String) => String,
+                   delPred: String => String, baseG: String,
+                   p: String = "d_", src: String = "v",
+                   out: String = "g"): String =
+    s"""${p}ks AS (SELECT src, dst FROM $baseG
+       |       WHERE NOT (${delPred("src")})),
+       |${p}sv AS (SELECT src, dst FROM ${p}ks
+       |       WHERE NOT (${delPred("dst")})),
+       |${p}aff AS (SELECT DISTINCT src FROM ${p}ks
+       |        WHERE ${delPred("dst")}),
+       |${p}dout AS (SELECT src AS d, dst AS t FROM $baseG
+       |         WHERE (${delPred("src")}) AND NOT (${delPred("dst")})),
+       |${p}det AS (SELECT DISTINCT k.src, o.t AS dst
+       |        FROM ${p}ks k JOIN ${p}dout o ON k.dst = o.d
+       |        WHERE k.src <> o.t),
+       |${p}cand AS (SELECT src, dst FROM (
+       |    SELECT s.src, s.dst FROM ${p}sv s JOIN ${p}aff a ON s.src = a.src
+       |    UNION SELECT src, dst FROM ${p}det) t),
+       |${p}sc AS (SELECT c.src, c.dst,
+       |         round(${dotSql("a.embedding", "b.embedding")}
+       |               / (a.nrm * b.nrm), 6) AS cos
+       |       FROM ${p}cand c JOIN $src a ON a.vec_id = c.src
+       |       JOIN $src b ON b.vec_id = c.dst),
+       |${p}rp AS (SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |             ORDER BY cos DESC, dst) AS rn FROM ${p}sc) t
+       |  WHERE rn <= $deg),
+       |$out AS MATERIALIZED (
+       |  SELECT src, dst FROM ${p}sv
+       |  WHERE src NOT IN (SELECT src FROM ${p}aff)
+       |  UNION ALL SELECT src, dst FROM ${p}rp)""".stripMargin
 }

@@ -1121,6 +1121,77 @@ object SimilarityQueries {
       val fine = nswWalk(v, q, bu, up, NswSql.Hops, NswSql.Beam)
       nswFoundRecall(emb, v, q, fine)
     },
+
+    // Incremental index maintenance, the ANN ladder's missing PRODUCT
+    // operation (r7 verdict missing #1): a daily-refreshed 100 TB corpus
+    // cannot full-rebuild its graph per batch. Every 8th vector is held
+    // out as the arriving batch; the base graph is the q266 scalable
+    // build over the REST, and NswGraph.upsert links the batch in — LSH
+    // band-bucket candidates for the new vectors only (equi-join of the
+    // small batch's band rows against the corpus signature relation),
+    // top-deg out-edges per new vector, and a LOCAL re-prune of only the
+    // affected base nodes so new content becomes reachable through their
+    // reverse links. The q260/q266 walk + recall harness then grades the
+    // UPSERTED graph over the FULL corpus — upsert quality is measured
+    // against the from-scratch rebuild (q266's 94.5%), not assumed.
+    // Oracle replays base build, candidate census, both prunes, and the
+    // walk. Scale: batch-sized band probe + affected neighborhoods only;
+    // ScaleProbe `nsw_upsert` pins the exponent with the signature
+    // relation pre-materialized (the production posture — the index
+    // stores its signatures next to its edges).
+    QueryDef("q290_nsw_upsert", UpsertNswSql.sql) { (s, d) =>
+      import graft.functions.Tensors
+      import graft.operators.NswGraph
+      val emb = Tables.embeddings(s, d)
+      val isNew = col("vec_id") % 8 === 0
+      val baseEmb = emb.where(!isNew)
+      val newEmb = emb.where(isNew)
+      val v = emb.select(col("vec_id"), col("embedding"),
+        Tensors.norm(col("embedding")).as("nrm"))
+        .persist() // walk scoring
+      val baseGraph = NswGraph.buildRefined(baseEmb, "vec_id", "embedding",
+          SimilarityQueries.Dim, ScalableNswSql.Bands, ScalableNswSql.Rbits,
+          ScalableNswSql.Seed, ScalableNswSql.Cap, ScalableNswSql.KInternal,
+          ScalableNswSql.Rounds, NswSql.Deg)
+        .localCheckpoint() // upsert probes it twice (repair + passthrough)
+      val graph = NswGraph.upsert(baseEmb, newEmb, baseGraph,
+          "vec_id", "embedding", SimilarityQueries.Dim, ScalableNswSql.Bands,
+          ScalableNswSql.Rbits, ScalableNswSql.Seed, ScalableNswSql.Cap,
+          ScalableNswSql.KInternal, NswSql.Deg)
+        .persist() // probed once per hop
+      nswWalkRecall(emb, v, graph)
+    },
+
+    // Deletion with local repair — the other half of index maintenance:
+    // 10% of the corpus (every 10th id above the query range) is deleted
+    // from the full q266 scalable graph; every edge touching a deleted id
+    // is dropped, and each node that LOST an out-edge tops back up from
+    // the two-hop detour through the hole (the deleted neighbor's own
+    // neighbors), re-ranked with its survivors by exact cosine. The walk
+    // + recall harness grades the repaired graph against brute-force
+    // truth over the REMAINING corpus — a deleted vector must neither be
+    // findable nor leave its neighborhood stranded. Oracle replays drop,
+    // detour, re-prune, and walk.
+    QueryDef("q291_nsw_delete", DeleteNswSql.sql) { (s, d) =>
+      import graft.functions.Tensors
+      import graft.operators.NswGraph
+      val emb0 = Tables.embeddings(s, d)
+      val delPred = col("vec_id") >= 100 && col("vec_id") % 10 === 3
+      val emb = emb0.where(!delPred) // remaining corpus
+      val v = emb.select(col("vec_id"), col("embedding"),
+        Tensors.norm(col("embedding")).as("nrm"))
+        .persist() // walk scoring
+      val full = NswGraph.buildRefined(emb0, "vec_id", "embedding",
+          SimilarityQueries.Dim, ScalableNswSql.Bands, ScalableNswSql.Rbits,
+          ScalableNswSql.Seed, ScalableNswSql.Cap, ScalableNswSql.KInternal,
+          ScalableNswSql.Rounds, NswSql.Deg)
+        .localCheckpoint() // remove probes it three ways
+      val graph = NswGraph.remove(emb0, full,
+          emb0.where(delPred).select("vec_id"),
+          "vec_id", "embedding", NswSql.Deg)
+        .persist() // probed once per hop
+      nswWalkRecall(emb, v, graph)
+    },
   ) ++ defsTail
 
   /** q260/q266 shared harness: beam-walk the given k-NN graph from the
@@ -1755,11 +1826,11 @@ private[queries] object NswSql {
     * graph-independent, which is what lets q260 (exact all-pairs build)
     * and q266 (LSH + NN-descent scalable build) share every other CTE.
     */
-  def sqlWithGraph(graphCtes: String): String = {
+  def sqlWithGraph(graphCtes: String, vWhere: String = ""): String = {
     val hops = (1 to Hops).map(h => hop(s"f${h - 1}", s"f$h")).mkString(",\n")
     s"""WITH v AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
-       |  FROM embeddings),
+       |  FROM embeddings$vWhere),
        |$graphCtes,
        |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
        |      FROM v WHERE vec_id < $Nq),
@@ -1853,6 +1924,61 @@ private[queries] object HnswSql {
        |$upHops,
        |$baseHops,
        |${NswSql.recallTail(s"b${NswSql.Hops}")}""".stripMargin
+  }
+}
+
+/** Oracle for q290: the q266 scalable build over the base 7/8 of the
+  * corpus (every 8th id held out as the arriving batch), the upsert chain
+  * (combined-corpus signature census, capped band-bucket candidates for
+  * new-side rows, new-node prune, affected-node reverse repair), then the
+  * standard walk + recall over the upserted graph and the FULL corpus.
+  */
+private[queries] object UpsertNswSql {
+  import SimilarityQueries.{dotSql, normSql}
+  import graft.operators.NswGraph
+
+  val sql: String = {
+    val newPred = (id: String) => s"$id % 8 = 0"
+    val base = NswGraph.refinedGraphCteSql(SimilarityQueries.Dim,
+      ScalableNswSql.Bands, ScalableNswSql.Rbits, ScalableNswSql.Seed,
+      ScalableNswSql.Cap, ScalableNswSql.KInternal, ScalableNswSql.Rounds,
+      NswSql.Deg, dotSql, p = "b_", src = "bv")
+    val up = NswGraph.upsertCteSql(SimilarityQueries.Dim,
+      ScalableNswSql.Bands, ScalableNswSql.Rbits, ScalableNswSql.Seed,
+      ScalableNswSql.Cap, ScalableNswSql.KInternal, NswSql.Deg, dotSql,
+      newPred, baseG = "b_g")
+    NswSql.sqlWithGraph(
+      s"""bv AS MATERIALIZED (
+         |  SELECT vec_id, embedding, nrm FROM v WHERE NOT (vec_id % 8 = 0)),
+         |$base,
+         |$up""".stripMargin)
+  }
+}
+
+/** Oracle for q291: the q266 scalable build over the FULL corpus, the
+  * delete-with-repair chain (drop touched edges, two-hop detour
+  * candidates, affected-node re-prune), then the standard walk + recall
+  * with both sides of the grade restricted to the REMAINING corpus.
+  */
+private[queries] object DeleteNswSql {
+  import SimilarityQueries.{dotSql, normSql}
+  import graft.operators.NswGraph
+
+  val sql: String = {
+    val delPred = (id: String) => s"$id >= 100 AND $id % 10 = 3"
+    val full = NswGraph.refinedGraphCteSql(SimilarityQueries.Dim,
+      ScalableNswSql.Bands, ScalableNswSql.Rbits, ScalableNswSql.Seed,
+      ScalableNswSql.Cap, ScalableNswSql.KInternal, ScalableNswSql.Rounds,
+      NswSql.Deg, dotSql, p = "f_", src = "va")
+    val rm = NswGraph.removeCteSql(NswSql.Deg, dotSql, delPred,
+      baseG = "f_g", src = "va")
+    NswSql.sqlWithGraph(
+      s"""va AS MATERIALIZED (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+         |  FROM embeddings),
+         |$full,
+         |$rm""".stripMargin,
+      vWhere = " WHERE NOT (vec_id >= 100 AND vec_id % 10 = 3)")
   }
 }
 

@@ -96,4 +96,66 @@ class NswGraphSpec extends AnyFunSuite {
     assert(ro * 10 >= total * 9, s"refined edge recall below 90%: $ro/$total")
     exact.unpersist(): Unit
   }
+
+  test("upsert: new nodes linked, unaffected edges untouched, degree bound") {
+    val isNew = col("vec_id") % 8 === 0
+    val baseEmb = emb.where(!isNew)
+    val newEmb = emb.where(isNew)
+    val baseGraph = NswGraph.buildRefined(baseEmb, "vec_id", "embedding",
+      Dim, bands = 16, rbits = 4, seed = 11L, cap = 64,
+      kInternal = 16, rounds = 2, deg = 8).localCheckpoint()
+    val g = NswGraph.upsert(baseEmb, newEmb, baseGraph, "vec_id",
+      "embedding", Dim, bands = 16, rbits = 4, seed = 11L, cap = 64,
+      kInternal = 16, deg = 8).persist()
+    // degree bound + no self-loops hold after maintenance
+    assert(g.where(col("src") === col("dst")).count() == 0)
+    val maxDeg = g.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(max("d")).head().getLong(0)
+    assert(maxDeg <= 8)
+    // every new node with ≥1 bucket candidate has out-edges
+    val nNewLinked = g.where(col("src") % 8 === 0)
+      .select("src").distinct().count()
+    val nNew = newEmb.count()
+    assert(nNewLinked * 10 >= nNew * 9,
+      s"only $nNewLinked of $nNew new nodes linked")
+    // new nodes are reachable: some base node points at a new node
+    assert(g.where(col("src") % 8 =!= 0 && col("dst") % 8 === 0).count() > 0)
+    // unaffected base nodes keep their exact old edge lists
+    val affected = g.where(col("src") % 8 =!= 0)
+      .join(baseGraph, Seq("src", "dst"), "left_anti")
+      .select("src").distinct()
+    val untouched = baseGraph.join(affected, Seq("src"), "left_anti")
+    assert(untouched.join(g, Seq("src", "dst"), "left_anti").count() == 0)
+    g.unpersist(): Unit
+  }
+
+  test("remove: deleted ids vanish, lost degree repairs via the detour") {
+    val delPred = col("vec_id") >= 100 && col("vec_id") % 10 === 3
+    val full = NswGraph.buildRefined(emb, "vec_id", "embedding",
+      Dim, bands = 16, rbits = 4, seed = 11L, cap = 64,
+      kInternal = 16, rounds = 2, deg = 8).localCheckpoint()
+    val del = emb.where(delPred).select("vec_id")
+    val g = NswGraph.remove(emb, full, del, "vec_id", "embedding", deg = 8)
+      .persist()
+    // no deleted id on either end
+    assert(g.join(del.withColumnRenamed("vec_id", "src"), Seq("src")).count() == 0)
+    assert(g.join(del.withColumnRenamed("vec_id", "dst"), Seq("dst")).count() == 0)
+    val maxDeg = g.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(max("d")).head().getLong(0)
+    assert(maxDeg <= 8)
+    // nodes that lost an edge to a deleted neighbor keep degree 8 when the
+    // detour supplies enough candidates: mean degree of affected nodes
+    // must stay within one edge of the bound
+    val aff = full.join(del.withColumnRenamed("vec_id", "dst"), Seq("dst"),
+      "left_semi").select("src").distinct()
+      .join(del.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
+    val affDeg = g.join(aff, Seq("src"), "left_semi")
+      .groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(avg("d")).head().getDouble(0)
+    assert(affDeg >= 7.0, s"affected nodes under-repaired: mean degree $affDeg")
+    // determinism: a second maintenance run is identical
+    val g2 = NswGraph.remove(emb, full, del, "vec_id", "embedding", deg = 8)
+    assert(g.exceptAll(g2).count() == 0)
+    g.unpersist(): Unit
+  }
 }
