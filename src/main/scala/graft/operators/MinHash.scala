@@ -124,6 +124,37 @@ object MinHash {
     verifyJaccard(candidatePairs(bandRows(signatures(docs, key, tokens))),
       docs, key, tokens, minJaccard)
 
+  /** Cross-relation near-duplicate detection — the PROBE side (an arriving
+    * batch) against the CORPUS side (the accumulated band index): band rows
+    * from both, candidates from the (band, bkey) equi-join, exact-Jaccard
+    * verify on candidates only. Returns (probe_id, corpus_id, jaccard) for
+    * verified pairs. This is the q37 machinery split across two relations —
+    * the shape a continuously-ingesting pipeline runs every micro-batch,
+    * where the probe side is small and the corpus side is the stored index
+    * (in production the corpus band rows and shingle sets are persisted,
+    * not recomputed; recomputation here keeps the operator self-contained).
+    */
+  def crossNearDuplicates(probe: DataFrame, corpus: DataFrame, key: Column,
+                          tokens: Column, minJaccard: Double): DataFrame = {
+    val pb = bandRows(signatures(probe, key, tokens))
+      .withColumnsRenamed(Map("doc_id" -> "probe_id"))
+    val cb = bandRows(signatures(corpus, key, tokens))
+      .withColumnsRenamed(Map("doc_id" -> "corpus_id"))
+    val cand = pb.join(cb, Seq("band", "bkey"))
+      .select("probe_id", "corpus_id").distinct()
+    val pss = probe.where(size(tokens) >= 3)
+      .select(key.as("probe_id"),
+        array_distinct(shingleHashes(tokens)).as("sset_p"))
+    val css = corpus.where(size(tokens) >= 3)
+      .select(key.as("corpus_id"),
+        array_distinct(shingleHashes(tokens)).as("sset_c"))
+    cand.join(pss, "probe_id").join(css, "corpus_id")
+      .select(col("probe_id"), col("corpus_id"),
+        round(size(array_intersect(col("sset_p"), col("sset_c"))).cast("double")
+          / size(array_union(col("sset_p"), col("sset_c"))), 6).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** [[nearDuplicates]] with a bucket-size cap: band buckets holding more
     * than `cap` docs are dropped BEFORE the self-join. This is the standard
     * skew guard for web-scale dedup — a boilerplate bucket of B docs would

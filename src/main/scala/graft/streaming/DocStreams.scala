@@ -124,6 +124,68 @@ object DocStreams {
         blocklistGate(col("text"), patterns)),
       corpus, horizon)
 
+  /** Near-duplicate ingest gate — the check a continuously-ingesting
+    * pipeline actually runs (exact-digest dedup only catches VERBATIM
+    * re-arrivals; scraped and templated near-copies sail through it): the
+    * arriving batch's MinHash band signatures probe the accumulated band
+    * index ([[graft.operators.MinHash.crossNearDuplicates]] — candidates
+    * from the (band, bkey) equi-join, exact Jaccard on candidates only),
+    * and any document with a verified match ≥ `minJaccard` is dropped.
+    * Returns the survivors with the arriving schema intact.
+    *
+    * BATCH transform by design: the drop is an anti-join against a set
+    * derived from the batch itself, which streaming's incremental model
+    * cannot express in one pass — so the continuous flow runs this per
+    * micro-batch via `foreachBatch` ([[runNearDupIngest]]), exactly the
+    * production idiom. Scale shape: probe side is the (small) batch, the
+    * corpus side is one pruned index scan; nothing self-joins the corpus.
+    */
+  def nearDupGate(newDocs: DataFrame, corpus: DataFrame,
+                  minJaccard: Double = 0.5): DataFrame = {
+    val matched = graft.operators.MinHash.crossNearDuplicates(
+        newDocs, corpus, col("doc_id"), split(col("text"), " ", -1), minJaccard)
+      .select(col("probe_id").as("doc_id")).distinct()
+    newDocs.join(matched, Seq("doc_id"), "left_anti")
+  }
+
+  /** Continuous near-dup-gated ingestion: land → [[nearDupGate]] against
+    * corpus ∪ everything this flow already emitted → parquet. Each
+    * micro-batch runs the batch gate via `foreachBatch`; the accumulated
+    * index is re-read per batch, so wave B's near-copies of wave A's
+    * survivors are caught by wave A's index (StreamingSpec pins this under
+    * the two-drain harness). Idempotence: each batch overwrites its own
+    * `batch=<id>` partition directory, so a retried batch rewrites rather
+    * than double-appends.
+    */
+  def runNearDupIngest(spark: SparkSession, landingDir: String,
+                       corpus: DataFrame, outDir: String,
+                       checkpointDir: String,
+                       minJaccard: Double = 0.5): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = readLanding(spark, landingDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // list COMPLETED batch dirs eagerly — a lazy glob over outDir would
+        // be resolved mid-write and race with this batch's own output
+        val priorDirs = Option(new java.io.File(outDir).listFiles)
+          .map(_.filter(f => f.isDirectory && f.getName.startsWith("batch=")
+            && f.getName != s"batch=$batchId").map(_.getPath).toSeq)
+          .getOrElse(Seq.empty)
+        val prior =
+          if (priorDirs.nonEmpty)
+            Some(spark.read.schema(landingSchema).parquet(priorDirs: _*))
+          else None
+        val acc = prior.fold(corpus.select("doc_id", "text"))(p =>
+          corpus.select("doc_id", "text").unionByName(
+            p.select("doc_id", "text")))
+        nearDupGate(batch, acc, minJaccard)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Land → dedup → parquet append, exactly-once, drain-all-and-stop
     * (Trigger.AvailableNow — the same incremental-batch idiom as the
     * streaming NPZ converter).

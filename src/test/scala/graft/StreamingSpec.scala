@@ -292,4 +292,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.where(col("session_start") > col("session_end")
       || col("n_events") <= 0).count() == 0)
   }
+
+  test("near-dup gate: wave B's copies are caught by wave A's index") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStreams
+    val sql = spark
+    import sql.implicits._
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(): Unit
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_ndgate_").toFile
+    try {
+      val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000)
+      val corpus = Seq((100L, "alpha beta gamma delta epsilon"))
+        .toDF("doc_id", "text")
+      // wave A: one verbatim corpus copy (caught), one novel doc (survives)
+      Seq((1L, ts(0), "alpha beta gamma delta epsilon"),
+        (2L, ts(1), "one two three four five six"))
+        .toDF("doc_id", "ingest_ts", "text")
+        .repartition(1).write.mode("append").parquet(s"$root/landing")
+      DocStreams.runNearDupIngest(spark, s"$root/landing", corpus,
+        s"$root/out", s"$root/ckpt")
+      // wave B: a copy of WAVE A'S survivor (only the accumulated index
+      // can catch it) and a fresh control
+      Seq((3L, ts(2), "one two three four five six"),
+        (4L, ts(3), "seven eight nine ten eleven twelve"))
+        .toDF("doc_id", "ingest_ts", "text")
+        .repartition(1).write.mode("append").parquet(s"$root/landing")
+      DocStreams.runNearDupIngest(spark, s"$root/landing", corpus,
+        s"$root/out", s"$root/ckpt")
+      val landed = spark.read.parquet(s"$root/out/*")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(landed == Set(2L, 4L),
+        s"expected survivors {2, 4}, got $landed")
+      // batch parity: the same decisions from the batch-mode gate
+      val wa = Seq((1L, ts(0), "alpha beta gamma delta epsilon"),
+        (2L, ts(1), "one two three four five six"))
+        .toDF("doc_id", "ingest_ts", "text")
+      val sA = DocStreams.nearDupGate(wa, corpus)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(sA == Set(2L))
+      val acc = corpus.unionByName(
+        Seq((2L, "one two three four five six")).toDF("doc_id", "text"))
+      val wb = Seq((3L, ts(2), "one two three four five six"),
+        (4L, ts(3), "seven eight nine ten eleven twelve"))
+        .toDF("doc_id", "ingest_ts", "text")
+      val sB = DocStreams.nearDupGate(wb, acc)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(sB == Set(4L))
+    } finally rmrf(root)
+  }
 }
