@@ -3,12 +3,22 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): runs the headline queries on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR and prints the metric JSON line with per-query
+  * seconds, preceded by a separate detail line (per-rep times + shuffle
+  * bytes/records from a SparkListener).
   *
   * Methodology: a warm-up pass (JIT + parquet footer cache + codegen cache)
   * runs the two cheapest queries first; each measured query is then fully
   * materialized through the `noop` sink — `count()` would let Catalyst prune
   * away projection work and under-measure scans.
+  *
+  * Output-format contract (r7 verdict #6): the driver's tail capture
+  * truncated the old single fat line (`parsed: null`), so the LAST stdout
+  * line is now a COMPACT metric object (seconds at 3 decimals, no reps),
+  * with the rep arrays and shuffle telemetry on their own `detail` line
+  * just above it; SPARK_GRAFT_BENCH_OUT gets the full JSON either way.
+  * Shuffle bytes make load-vs-plan adjudication mechanical: a plan
+  * regression moves bytes, box load moves only seconds.
   */
 object Bench {
 
@@ -41,6 +51,43 @@ object Bench {
   private def clearCaches(spark: SparkSession): Unit =
     spark.catalog.clearCache()
 
+  /** Cumulative shuffle counters fed by a SparkListener; task-end events
+    * arrive asynchronously, so snapshots poll until two consecutive reads
+    * agree (bounded at ~300 ms).
+    */
+  private final class ShuffleMeter {
+    import java.util.concurrent.atomic.AtomicLong
+    val read = new AtomicLong
+    val write = new AtomicLong
+    val records = new AtomicLong
+    def listener: org.apache.spark.scheduler.SparkListener =
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            read.addAndGet(m.shuffleReadMetrics.totalBytesRead): Unit
+            write.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+            records.addAndGet(m.shuffleWriteMetrics.recordsWritten): Unit
+          }
+        }
+      }
+    def snapshot(): (Long, Long, Long) = {
+      var prev = (read.get, write.get, records.get)
+      var tries = 0
+      while (tries < 12) {
+        Thread.sleep(25)
+        val cur = (read.get, write.get, records.get)
+        if (cur == prev) return cur
+        prev = cur
+        tries += 1
+      }
+      prev
+    }
+  }
+
+  private def r3(x: Double): Double = math.rint(x * 1000) / 1000
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -49,6 +96,8 @@ object Bench {
     // with stdout under sbt and have corrupted the driver's JSON parse
     // (BENCH_r01 "parsed": null). The metric line must be the only output.
     spark.sparkContext.setLogLevel("ERROR")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter.listener)
 
     val qs = SparkEntry.queries
     // JIT/IO warm-up: cheap scan + agg, not timed
@@ -65,6 +114,7 @@ object Bench {
     // stays single-pass (diagnostics over 60+ queries).
     val reps = if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) 1 else 3
     val results = names.filter(qs.contains).map { name =>
+      val s0 = meter.snapshot()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -78,7 +128,13 @@ object Bench {
         clearCaches(spark)
         dt
       }
-      (name, if (times.contains(-1.0)) -1.0 else times.min, times)
+      val s1 = meter.snapshot()
+      // bytes/records are plan-determined — report the per-rep average so
+      // the number is comparable whatever `reps` is
+      val sh = (math.max(0L, s1._1 - s0._1) / reps,
+        math.max(0L, s1._2 - s0._2) / reps,
+        math.max(0L, s1._3 - s0._3) / reps)
+      (name, if (times.contains(-1.0)) -1.0 else times.min, times, sh)
     }
     // BENCH_ALL also times the DataPipelineDemo funnel stage by stage: the
     // curation chain (clean→quality→dedup→…→mixture) has pinned PLANS but
@@ -100,42 +156,54 @@ object Bench {
                 false
               }
             val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-            (s"demo_$stage", dt, Seq(dt))
+            (s"demo_$stage", dt, Seq(dt), (0L, 0L, 0L))
           }
         } catch {
           // a broken funnel must not take the whole sweep's JSON down with it
           case e: Throwable =>
             System.err.println(s"[bench] demo funnel failed: ${e.getMessage}")
-            Seq(("demo_blocked", -1.0, Seq(-1.0)))
+            Seq(("demo_blocked", -1.0, Seq(-1.0), (0L, 0L, 0L)))
         } finally clearCaches(spark)
       } else Seq.empty
     val all = results ++ demoResults
-    val qJson = all.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qJson = all.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // all rep times per query: min stays the metric, but the spread is the
     // diagnostic — external load shows up as wide reps, a plan regression as
     // uniformly-slow tight reps (r4's 17.5s-vs-14.0s question was unanswerable
     // without this)
-    val repJson = all.map { case (k, _, ts) =>
-      "\"" + k + "\":[" + ts.mkString(",") + "]"
+    val repJson = all.map { case (k, _, ts, _) =>
+      "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val total = all.collect { case (_, v, _) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"reps":$repJson,"sf":"$sfDir"}"""
+    // per-query shuffle telemetry (bytes read, bytes written, records
+    // written per rep) — the load-vs-plan adjudication channel
+    val shJson = all.map { case (k, _, _, (rd, wr, rec)) =>
+      "\"" + k + "\":[" + rd + "," + wr + "," + rec + "]"
+    }.mkString("{", ",", "}")
+    val total = r3(all.collect { case (_, v, _, _) if v >= 0 => v }.sum)
+    val metricLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}"""
+    val detailLine =
+      s"""{"detail":"bench","reps":$repJson,"shuffle_rw_rec":$shJson}"""
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"reps":$repJson,"shuffle_rw_rec":$shJson,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing so no shutdown log line can interleave with
     // the metric line; also drop a file copy as a parse-proof side channel
     spark.stop()
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        json.getBytes("UTF-8"))
+        full.getBytes("UTF-8"))
     }
     // Write straight to fd 1, not System.out: under `sbt -batch` the managed
     // run's System.out is routed through sbt's logger, which prefixes every
     // line with "[info] " — that prefix is what broke the driver's JSON parse
     // in round 1 (BENCH_r01 "parsed": null). FileDescriptor.out bypasses the
-    // redirection so the metric line starts at column 0.
+    // redirection so the metric line starts at column 0. Detail first, the
+    // compact metric line LAST — the driver reads the final JSON line.
     val raw = new java.io.PrintStream(
       new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
-    raw.println(json)
+    raw.println(detailLine)
+    raw.println(metricLine)
     raw.flush()
   }
 }

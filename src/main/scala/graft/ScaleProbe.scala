@@ -62,6 +62,8 @@ object ScaleProbe {
     // so the min-of-2 reflects the pure upsert (see the shape comment)
     val upsertFixtures = scala.collection.mutable.Map
       .empty[Int, (DataFrame, DataFrame, DataFrame, DataFrame)]
+    // disk_walk index dirs cached per multiplier (same first-rep discipline)
+    val diskWalkFixtures = scala.collection.mutable.Map.empty[Int, String]
 
     lazy val pqCb = graft.operators.Pq.fit(
       Tables.embeddings(spark, sfDir).where(col("vec_id") < 2000),
@@ -355,6 +357,41 @@ object ScaleProbe {
         NswGraph.upsert(base, batch, baseGraph, "vec_id", "embedding", dim,
           bands = 8, rbits = 6, seed = 11L, cap = 64, kInternal = 8,
           deg = 8, allSigs = Some(sigs))
+      },
+      // Disk-resident ANN walk (q293): index pre-WRITTEN to parquet on the
+      // first rep (min-of-2 keeps the pure search), then the beam walk
+      // reads only visited neighborhoods via pushed In filters — search
+      // time and IO must be corpus-size-INDEPENDENT (the DiskANN claim);
+      // a 10× corpus adds row groups the filters never touch
+      "disk_walk" -> { m =>
+        import graft.functions.Hashes
+        import graft.operators.DiskAnn
+        val n = m * 100000L
+        val dim = 16
+        val dir = diskWalkFixtures.getOrElseUpdate(m, {
+          val d = java.nio.file.Files
+            .createTempDirectory(s"graft_diskwalk_$m").toString
+          val graph = spark.range(n).select(col("id").as("vid"))
+            .select(col("vid"), explode(sequence(lit(0), lit(7))).as("j"))
+            .select(col("vid").as("src"),
+              (Hashes.mulHash(col("vid") * 8 + col("j"), 37) % n).as("dst"))
+          val vecs = spark.range(n).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(dim - 1)),
+              dd => ((Hashes.mulHash(col("id") * 131L + dd, 19) % 1000)
+                .cast("double") / 1000.0d).cast("float")).as("embedding"))
+          DiskAnn.writeIndex(graph, vecs, "vec_id", "embedding", d,
+            buckets = 16)
+          d
+        })
+        val queries = (0L until 20L).map { q =>
+          q -> Array.tabulate(dim)(dd =>
+            (Hashes.mulHashLong(q * 131L + dd, 19) % 1000).toFloat / 1000f)
+        }
+        val (found, io) = DiskAnn.search(spark, dir, queries, entry = 0L,
+          hops = 6, beam = 16)
+        import spark.implicits._
+        System.err.println(s"[disk_walk m=$m] io=$io found=${found.size}")
+        found.toDF("qid", "vid")
       },
       // NSW beam WALK (q260): the graph is pre-built AND materialized
       // OUTSIDE the timed frame — the probe measures the SEARCH, whose

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Disk-resident graph-ANN (the DiskANN/Vamana practice point — Subramanya
+  * et al., NeurIPS 2019): the k-NN graph and the vectors live in PARQUET,
+  * range-laid-out and sorted so row-group min/max statistics act as the
+  * index, and the beam search reads ONLY the visited neighborhoods — per
+  * hop, the frontier's node ids are pushed as `In` filters into the edge
+  * and vector scans, so IO is proportional to `queries × beam × degree`
+  * per hop and INDEPENDENT of corpus size (ScaleProbe `disk_walk` pins
+  * it; DiskAnnSpec asserts the filters actually reach the parquet scan as
+  * PushedFilters).
+  *
+  * The walk itself is q260/q266's beam search verbatim — same expansion,
+  * same 1e-6-rounded cosine with ascending-index double accumulation
+  * (bit-replicating [[graft.functions.VectorExprs.dotData]]), same id
+  * tie-breaks — so the disk-resident path must produce EXACTLY the
+  * in-memory walk's results (q293 pins it against the q266 oracle). The
+  * driver-side orchestration is the point, not a smell: a beam search is
+  * inherently sequential in its hops, the frontier is O(queries × beam)
+  * ids, and pushing those ids down is what turns a full-graph scan per
+  * hop into a few row-group reads — the query-serving posture, where the
+  * "driver" is the search node and the parquet files are the SSD-resident
+  * index shards.
+  */
+object DiskAnn {
+
+  /** IO accounting for the scale claim: rows actually fetched per search. */
+  final case class IoStats(edgeRows: Long, vecRows: Long, scans: Int)
+
+  /** Lay the index out on disk: edges range-partitioned and sorted by
+    * `src`, vectors by `vec_id` — sorted row groups give parquet min/max
+    * statistics their pruning power (an `In` probe touches only the row
+    * groups whose [min, max] covers a probed id).
+    */
+  def writeIndex(graph: DataFrame, emb: DataFrame, idCol: String,
+                 embCol: String, dir: String, buckets: Int = 8): Unit = {
+    graph.repartitionByRange(buckets, col("src"))
+      .sortWithinPartitions("src")
+      .write.mode("overwrite").parquet(s"$dir/edges")
+    emb.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+      .repartitionByRange(buckets, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  /** Filtered adjacency fetch: one scan, ids pushed down. */
+  def fetchEdges(spark: SparkSession, dir: String,
+                 ids: Seq[Long]): Map[Long, Seq[Long]] =
+    spark.read.parquet(s"$dir/edges")
+      .where(col("src").isin(ids: _*))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSeq }
+
+  /** Filtered vector fetch: one scan, ids pushed down. */
+  def fetchVectors(spark: SparkSession, dir: String,
+                   ids: Seq[Long]): Map[Long, Array[Float]] =
+    spark.read.parquet(s"$dir/vectors")
+      .where(col("vec_id").isin(ids: _*))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toMap
+
+  /** Bit-replicas of the engine's scoring chain: ascending-index double
+    * accumulation ([[graft.functions.VectorExprs.dotData]]) and Spark's
+    * `round(x, 6)` (BigDecimal.valueOf, HALF_UP).
+    */
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** The q260/q266 beam walk over the disk index: `hops` × `beam` from
+    * `entry` for every query, reading only visited neighborhoods. Returns
+    * the final frontier (qid → beam vids) plus the IO ledger.
+    */
+  def search(spark: SparkSession, dir: String,
+             queries: Seq[(Long, Array[Float])], entry: Long, hops: Int,
+             beam: Int): (Seq[(Long, Long)], IoStats) = {
+    val qn = queries.map { case (qid, qe) => qid -> math.sqrt(dot(qe, qe)) }.toMap
+    val qe = queries.toMap
+    var edgeRows = 0L
+    var vecRows = 0L
+    var scans = 0
+    val vecCache = scala.collection.mutable.Map.empty[Long, Array[Float]]
+    val normCache = scala.collection.mutable.Map.empty[Long, Double]
+    val cosCache = scala.collection.mutable.Map.empty[(Long, Long), Double]
+    def ensureVectors(ids: Seq[Long]): Unit = {
+      val missing = ids.filterNot(vecCache.contains).distinct
+      if (missing.nonEmpty) {
+        val got = fetchVectors(spark, dir, missing)
+        vecRows += got.size
+        scans += 1
+        got.foreach { case (id, v) =>
+          vecCache(id) = v
+          normCache(id) = math.sqrt(dot(v, v))
+        }
+      }
+    }
+    def cos(qid: Long, vid: Long): Double =
+      cosCache.getOrElseUpdate((qid, vid),
+        r6(dot(qe(qid), vecCache(vid)) / (qn(qid) * normCache(vid))))
+
+    var frontier: Map[Long, Seq[Long]] = queries.map(_._1 -> Seq(entry)).toMap
+    val adjCache = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+    for (_ <- 1 to hops) {
+      val probe = frontier.values.flatten.toSeq.distinct
+        .filterNot(adjCache.contains)
+      if (probe.nonEmpty) {
+        val fetched = fetchEdges(spark, dir, probe)
+        edgeRows += fetched.values.map(_.size).sum
+        scans += 1
+        probe.foreach(id => adjCache(id) = fetched.getOrElse(id, Seq.empty))
+      }
+      val expanded = frontier.map { case (qid, vids) =>
+        qid -> (vids ++ vids.flatMap(adjCache.getOrElse(_, Seq.empty))).distinct
+      }
+      ensureVectors(expanded.values.flatten.toSeq.distinct)
+      frontier = expanded.map { case (qid, vids) =>
+        qid -> vids.map(v => (cos(qid, v), v))
+          .sortBy { case (c, v) => (-c, v) }.take(beam).map(_._2)
+      }
+    }
+    (frontier.toSeq.flatMap { case (qid, vids) => vids.map(qid -> _) },
+      IoStats(edgeRows, vecRows, scans))
+  }
+}

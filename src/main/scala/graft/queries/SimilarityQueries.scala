@@ -1192,6 +1192,52 @@ object SimilarityQueries {
         .persist() // probed once per hop
       nswWalkRecall(emb, v, graph)
     },
+
+    // Disk-resident graph ANN (the DiskANN practice point, HANDOFF's one
+    // uncovered ladder rung): the q266 graph and the vectors are laid out
+    // in parquet sorted by id, and the SEARCH reads only the visited
+    // neighborhoods — per hop the frontier ids are pushed as In filters
+    // into the edge/vector scans, so search IO is queries × beam × degree
+    // per hop, independent of corpus size (ScaleProbe `disk_walk`;
+    // DiskAnnSpec pins PushedFilters reaching the scan and IO counts).
+    // The walk arithmetic bit-replicates the engine's scoring chain, so
+    // the ORACLE IS q266'S VERBATIM: the disk-resident access path must
+    // reproduce the in-memory walk's every hit — recall equality is the
+    // equivalence proof, not a coincidence.
+    QueryDef("q293_diskann_walk", ScalableNswSql.sql) { (s, d) =>
+      import graft.functions.Tensors
+      import graft.operators.{DiskAnn, NswGraph}
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val emb = Tables.embeddings(s, d)
+      val v = emb.select(col("vec_id"), col("embedding"),
+        Tensors.norm(col("embedding")).as("nrm"))
+        .persist() // recall grading
+      val graph = NswGraph.buildRefined(emb, "vec_id", "embedding",
+        SimilarityQueries.Dim, ScalableNswSql.Bands, ScalableNswSql.Rbits,
+        ScalableNswSql.Seed, ScalableNswSql.Cap, ScalableNswSql.KInternal,
+        ScalableNswSql.Rounds, NswSql.Deg)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_diskann_").toFile
+      sys.addShutdownHook(rmrf(root))
+      DiskAnn.writeIndex(graph, emb, "vec_id", "embedding", root.toString)
+      val queries = emb.where(col("vec_id") < NswSql.Nq)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val entry = emb.agg(min("vec_id")).head().getLong(0)
+      val (found, io) = DiskAnn.search(s, root.toString, queries, entry,
+        NswSql.Hops, NswSql.Beam)
+      // IO sanity stated at query time: the whole search touched a bounded
+      // neighborhood, never the corpus (DiskAnnSpec pins the exact bounds)
+      require(io.vecRows <= NswSql.Nq.toLong * NswSql.Beam * NswSql.Hops
+        * (NswSql.Deg + 1),
+        s"disk walk read ${io.vecRows} vectors — neighborhood bound broken")
+      import s.implicits._
+      val fdf = found.toDF("qid", "vid")
+      nswFoundRecall(emb, v, nswQueries(v), fdf)
+    },
   ) ++ defsTail
 
   /** q260/q266 shared harness: beam-walk the given k-NN graph from the
