@@ -28,8 +28,10 @@ object Bench {
     * plus, since round 7, the heavy round-5/6/7 machinery the wall-time
     * gate previously never saw: driver-round PCA, exact HITS, deterministic
     * LPA, the native as-of exec, the event-time-timer session stream, and
-    * the scalable NSW build + walk. Totals are NOT comparable with
-    * BENCH_r06 and earlier — BASELINE.md carries the re-baselined set.
+    * the scalable NSW build + walk. Round 8 adds q290 (incremental NSW
+    * upsert — the maintenance path a refreshed corpus runs daily). Totals
+    * are NOT comparable with BENCH_r06 and earlier — BASELINE.md carries
+    * the re-baselined set.
     */
   val headline: Seq[String] = Seq(
     "q01_pruned_scan", "q03_group_count", "q07_survival_curve",
@@ -39,7 +41,8 @@ object Bench {
     "q45_channel_stats", "q46_mappartitions_score",
     "q56_asof_join", "q57_rollup", "q61_dedup_components", "q81_pagerank",
     "q229_pca_power", "q230_hits", "q238_label_propagation",
-    "q241_native_asof", "q254_timer_sessions", "q266_nsw_scalable")
+    "q241_native_asof", "q254_timer_sessions", "q266_nsw_scalable",
+    "q290_nsw_upsert")
 
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
