@@ -1238,6 +1238,128 @@ object SimilarityQueries {
       val fdf = found.toDF("qid", "vid")
       nswFoundRecall(emb, v, nswQueries(v), fdf)
     },
+
+    // HNSW LAYERED upsert — q290 maintains a single-layer graph; the
+    // production index is q267's two-layer HNSW, and a refresh batch must
+    // maintain BOTH layers: the arriving batch upserts into the base
+    // graph, and the batch's hub-elected members (same salted-hash level
+    // draw as the build — level assignment is a pure function of the id,
+    // so it never changes under maintenance) upsert into the hub graph.
+    // Both layers then serve the standard coarse-to-fine walk over
+    // undirected graphs, graded against full-corpus truth. Oracle replays
+    // both builds, both upsert chains, and the layered walk.
+    QueryDef("q294_hnsw_upsert", HnswUpsertSql.sql) { (s, d) =>
+      import graft.functions.{Hashes, Tensors}
+      import graft.operators.NswGraph
+      val emb = Tables.embeddings(s, d)
+      val isNew = col("vec_id") % 8 === 0
+      val baseEmb = emb.where(!isNew)
+      val newEmb = emb.where(isNew)
+      val v = emb.select(col("vec_id"), col("embedding"),
+        Tensors.norm(col("embedding")).as("nrm"))
+        .persist() // walk scoring
+      val baseGraph = NswGraph.buildRefined(baseEmb, "vec_id", "embedding",
+          SimilarityQueries.Dim, ScalableNswSql.Bands, ScalableNswSql.Rbits,
+          ScalableNswSql.Seed, ScalableNswSql.Cap, ScalableNswSql.KInternal,
+          ScalableNswSql.Rounds, NswSql.Deg)
+        .localCheckpoint()
+      val bg = NswGraph.undirected(
+        NswGraph.upsert(baseEmb, newEmb, baseGraph, "vec_id", "embedding",
+          SimilarityQueries.Dim, ScalableNswSql.Bands, ScalableNswSql.Rbits,
+          ScalableNswSql.Seed, ScalableNswSql.Cap, ScalableNswSql.KInternal,
+          NswSql.Deg))
+        .persist() // probed once per base hop
+      val hubPred =
+        Hashes.mulHash(col("vec_id"), HnswSql.HubSalt) % HnswSql.HubMod === 0
+      val hubBase = baseEmb.where(hubPred)
+      val hubNew = newEmb.where(hubPred)
+      val hubGraph = NswGraph.buildRefined(hubBase, "vec_id", "embedding",
+          SimilarityQueries.Dim, HnswSql.HubBands, HnswSql.HubRbits,
+          ScalableNswSql.Seed, ScalableNswSql.Cap, HnswSql.HubK,
+          HnswSql.HubRounds, HnswSql.HubDeg)
+        .localCheckpoint()
+      val hg = NswGraph.undirected(
+        NswGraph.upsert(hubBase, hubNew, hubGraph, "vec_id", "embedding",
+          SimilarityQueries.Dim, HnswSql.HubBands, HnswSql.HubRbits,
+          ScalableNswSql.Seed, ScalableNswSql.Cap, HnswSql.HubK,
+          HnswSql.HubDeg))
+        .persist() // probed once per hub hop
+      val q = nswQueries(v)
+      val entry = emb.where(hubPred).agg(min("vec_id").as("vid"))
+      val p0 = q.select(col("qid")).crossJoin(broadcast(entry))
+      val up = nswWalk(v, q, hg, p0, HnswSql.UpHops, HnswSql.UpBeam)
+      val fine = nswWalk(v, q, bg, up, NswSql.Hops, NswSql.Beam)
+      nswFoundRecall(emb, v, q, fine)
+    },
+
+    // Retrieval RANKING quality — MRR and NDCG@10, the metrics recall@k
+    // cannot see (recall counts hits; these score WHERE the hits landed).
+    // The evaluated run is the JL-projected retrieval (q175's 16-d
+    // Rademacher projection — a 4× dimension cut): top-10 by projected
+    // cosine per query, graded against exact-64-d truth with graded
+    // relevance rel = 11 − truth_rank. Determinism: the DCG discounts
+    // 1/log2(i+1) are PINNED 1e-6 integer literals on both engines
+    // (Round9Spec proves them correct to the formula) — no cross-engine
+    // libm log; everything after is integer arithmetic (dcg_e6 sums,
+    // ndcg ppm by integer div against the closed-form ideal, reciprocal
+    // rank as 1e6 div r). The measured numbers are the finding: the 4×
+    // cut costs more in NDCG than in recall, because JL preserves
+    // distances but shuffles near-tie ranks.
+    QueryDef("q295_retrieval_metrics", RankMetricsSql.sql) { (s, d) =>
+      import graft.functions.Tensors
+      import graft.operators.RandomProjection
+      val emb = Tables.embeddings(s, d)
+      val p = emb.select(col("vec_id"),
+          RandomProjection.projected(col("embedding"),
+            SimilarityQueries.Dim, RpDimOut, RpSeed).as("y"))
+        .withColumn("yn", Tensors.norm(col("y")))
+        .persist() // query + corpus legs of the projected ranking
+      val qp = p.where(col("vec_id") < NswSql.Nq)
+        .select(col("vec_id").as("qid"), col("y").as("qy"), col("yn").as("qn"))
+      val wq = Window.partitionBy("qid")
+      val found = p.join(broadcast(qp), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          round(Tensors.dot(col("qy"), col("y")) / (col("qn") * col("yn")), 6)
+            .as("pcos"))
+        .withColumn("r", row_number().over(
+          wq.orderBy(col("pcos").desc, col("cid"))))
+        .where(col("r") <= 10)
+        .select("qid", "cid", "r")
+      val vt = emb.select(col("vec_id"), col("embedding"),
+        Tensors.norm(col("embedding")).as("nrm"))
+      val qt = vt.where(col("vec_id") < NswSql.Nq)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("tqn"))
+      val truth = vt.join(broadcast(qt), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          round(Tensors.dot(col("qe"), col("embedding"))
+            / (col("tqn") * col("nrm")), 6).as("tcos"))
+        .withColumn("tr", row_number().over(
+          wq.orderBy(col("tcos").desc, col("cid"))))
+        .where(col("tr") <= 10)
+        .select(col("qid"), col("cid"), (lit(11) - col("tr")).cast("long").as("rel"))
+      val wArr = array(RankMetricsSql.WE6.map(lit): _*)
+      val graded = found.join(truth, Seq("qid", "cid"), "left")
+        .select(col("qid"), col("r"), coalesce(col("rel"), lit(0L)).as("rel"))
+        .withColumn("w_e6", element_at(wArr, col("r").cast("int")))
+      val perQ = graded.groupBy("qid")
+        .agg(sum(col("rel") * col("w_e6")).as("dcg_e6"),
+          min(when(col("rel") > 0, col("r"))).as("fr"))
+      val idcg = RankMetricsSql.WE6.zipWithIndex
+        .map { case (w, i) => (10L - i) * w }.sum
+      perQ.select(col("qid").as("query_id"), col("dcg_e6"),
+          expr(s"dcg_e6 * 1000000 div $idcg").as("ndcg_ppm"),
+          coalesce(col("fr"), lit(0)).cast("long").as("first_rel_rank"),
+          when(col("fr").isNull, 0L)
+            .otherwise(expr("1000000 div fr")).as("rr_ppm"))
+        .crossJoin(broadcast(
+          perQ.agg(
+            expr(s"sum(dcg_e6 * 1000000 div $idcg) div ${NswSql.Nq}")
+              .as("mean_ndcg_ppm"),
+            expr(s"sum(CASE WHEN fr IS NULL THEN 0 ELSE 1000000 div fr END) div ${NswSql.Nq}")
+              .as("mean_rr_ppm"))))
+        .orderBy("query_id")
+    },
   ) ++ defsTail
 
   /** q260/q266 shared harness: beam-walk the given k-NN graph from the
@@ -2025,6 +2147,141 @@ private[queries] object DeleteNswSql {
          |$full,
          |$rm""".stripMargin,
       vWhere = " WHERE NOT (vec_id >= 100 AND vec_id % 10 = 3)")
+  }
+}
+
+/** Oracle for q294: base build over the non-batch 7/8 + base upsert chain
+  * (as q290), the hub layer's OWN build over non-batch hubs + hub upsert
+  * chain (level assignment is the salted hash of the id — maintenance
+  * never moves a vector between levels), both layers symmetrized, then
+  * the q267 coarse-to-fine walk and the standard recall tail.
+  */
+private[queries] object HnswUpsertSql {
+  import SimilarityQueries.{dotSql, normSql}
+  import graft.operators.NswGraph
+  import graft.functions.Hashes
+
+  val sql: String = {
+    val newPred = (id: String) => s"$id % 8 = 0"
+    val base = NswGraph.refinedGraphCteSql(SimilarityQueries.Dim,
+      ScalableNswSql.Bands, ScalableNswSql.Rbits, ScalableNswSql.Seed,
+      ScalableNswSql.Cap, ScalableNswSql.KInternal, ScalableNswSql.Rounds,
+      NswSql.Deg, dotSql, p = "b_", src = "bv")
+    val up = NswGraph.upsertCteSql(SimilarityQueries.Dim,
+      ScalableNswSql.Bands, ScalableNswSql.Rbits, ScalableNswSql.Seed,
+      ScalableNswSql.Cap, ScalableNswSql.KInternal, NswSql.Deg, dotSql,
+      newPred, baseG = "b_g", p = "u_", src = "v", out = "bg")
+    val hub = NswGraph.refinedGraphCteSql(SimilarityQueries.Dim,
+      HnswSql.HubBands, HnswSql.HubRbits, ScalableNswSql.Seed,
+      ScalableNswSql.Cap, HnswSql.HubK, HnswSql.HubRounds, HnswSql.HubDeg,
+      dotSql, p = "h_", src = "hubbv")
+    val hup = NswGraph.upsertCteSql(SimilarityQueries.Dim,
+      HnswSql.HubBands, HnswSql.HubRbits, ScalableNswSql.Seed,
+      ScalableNswSql.Cap, HnswSql.HubK, HnswSql.HubDeg, dotSql,
+      newPred, baseG = "h_g", p = "w_", src = "hubv", out = "hg")
+    val upHops = (1 to HnswSql.UpHops).map(h =>
+      NswSql.hopOver(s"p${h - 1}", s"p$h", "hu", HnswSql.UpBeam)).mkString(",\n")
+    val baseHops = (1 to NswSql.Hops).map(h =>
+      NswSql.hopOver(if (h == 1) s"p${HnswSql.UpHops}" else s"b${h - 1}",
+        s"b$h", "bu", NswSql.Beam)).mkString(",\n")
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |bv AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm FROM v WHERE NOT (vec_id % 8 = 0)),
+       |$base,
+       |$up,
+       |bu AS MATERIALIZED (SELECT src, dst FROM bg
+       |  UNION SELECT dst AS src, src AS dst FROM bg),
+       |hubv AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm FROM v
+       |  WHERE (${Hashes.mulHashSql("vec_id", HnswSql.HubSalt)}) % ${HnswSql.HubMod} = 0),
+       |hubbv AS MATERIALIZED (
+       |  SELECT vec_id, embedding, nrm FROM hubv WHERE NOT (vec_id % 8 = 0)),
+       |$hub,
+       |$hup,
+       |hu AS MATERIALIZED (SELECT src, dst FROM hg
+       |  UNION SELECT dst AS src, src AS dst FROM hg),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+       |      FROM v WHERE vec_id < ${NswSql.Nq}),
+       |p0 AS (SELECT q.qid, (SELECT min(vec_id) FROM hubv) AS vid FROM q),
+       |$upHops,
+       |$baseHops,
+       |${NswSql.recallTail(s"b${NswSql.Hops}")}""".stripMargin
+  }
+}
+
+/** Oracle for q295: the 16-d JL-projected top-10 per query (q175's
+  * Rademacher coordinates), graded-relevance truth from the exact 64-d
+  * ranking (rel = 11 − rank), and the all-integer DCG/NDCG/MRR arithmetic
+  * over the pinned 1e-6 discount literals.
+  */
+private[graft] object RankMetricsSql {
+  import SimilarityQueries.{dotSql, normSql, Dim, RpDimOut, RpSeed}
+  import graft.operators.RandomProjection
+
+  /** round(1/log2(i+1), 6)·1e6 for ranks 1..10 — pinned on both engines
+    * (Round9Spec re-derives them from the formula).
+    */
+  val WE6: Seq[Long] = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+    356207L, 333333L, 315465L, 301030L, 289065L)
+
+  private def dotKSql(a: String, b: String, k: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, ${k + 1}),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  val sql: String = {
+    val wRows = WE6.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(range(0, $RpDimOut),
+       |           j -> ${RandomProjection.coordSql("embedding", "j", Dim, RpDimOut, RpSeed)}) AS y
+       |  FROM embeddings),
+       |pn AS (SELECT vec_id, y, sqrt(${dotKSql("y", "y", RpDimOut)}) AS yn FROM p),
+       |qp AS (SELECT vec_id AS qid, y AS qy, yn AS qn FROM pn
+       |       WHERE vec_id < ${NswSql.Nq}),
+       |found AS (SELECT qid, cid, r FROM (
+       |    SELECT qp.qid, pn.vec_id AS cid,
+       |           row_number() OVER (PARTITION BY qp.qid
+       |             ORDER BY round(${dotKSql("qy", "pn.y", RpDimOut)}
+       |                            / (qn * pn.yn), 6) DESC, pn.vec_id) AS r
+       |    FROM qp JOIN pn ON pn.vec_id <> qp.qid) t
+       |  WHERE r <= 10),
+       |v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+       |      FROM embeddings),
+       |qt AS (SELECT vec_id AS qid, embedding AS qe, nrm AS tqn FROM v
+       |       WHERE vec_id < ${NswSql.Nq}),
+       |truth AS (SELECT qid, cid, CAST(11 - tr AS BIGINT) AS rel FROM (
+       |    SELECT qt.qid, v.vec_id AS cid,
+       |           row_number() OVER (PARTITION BY qt.qid
+       |             ORDER BY round(${dotSql("qe", "v.embedding")}
+       |                            / (tqn * v.nrm), 6) DESC, v.vec_id) AS tr
+       |    FROM qt JOIN v ON v.vec_id <> qt.qid) t
+       |  WHERE tr <= 10),
+       |w(i, w_e6) AS (VALUES $wRows),
+       |idcg AS (SELECT CAST(sum((11 - i) * w_e6) AS BIGINT) AS v FROM w),
+       |g AS (SELECT f.qid, f.r, coalesce(t.rel, 0) AS rel, w.w_e6
+       |      FROM found f LEFT JOIN truth t ON t.qid = f.qid AND t.cid = f.cid
+       |      JOIN w ON w.i = f.r),
+       |pq AS (SELECT qid, CAST(sum(rel * w_e6) AS BIGINT) AS dcg_e6,
+       |              min(CASE WHEN rel > 0 THEN r END) AS fr
+       |       FROM g GROUP BY qid),
+       |m AS (SELECT CAST(sum(dcg_e6 * 1000000 // idcg.v) // ${NswSql.Nq} AS BIGINT)
+       |          AS mean_ndcg_ppm,
+       |        CAST(sum(CASE WHEN fr IS NULL THEN 0
+       |                 ELSE 1000000 // fr END) // ${NswSql.Nq} AS BIGINT)
+       |          AS mean_rr_ppm
+       |      FROM pq, idcg)
+       |SELECT pq.qid AS query_id, pq.dcg_e6,
+       |       CAST(pq.dcg_e6 * 1000000 // idcg.v AS BIGINT) AS ndcg_ppm,
+       |       CAST(coalesce(pq.fr, 0) AS BIGINT) AS first_rel_rank,
+       |       CAST(CASE WHEN pq.fr IS NULL THEN 0
+       |            ELSE 1000000 // pq.fr END AS BIGINT) AS rr_ppm,
+       |       m.mean_ndcg_ppm, m.mean_rr_ppm
+       |FROM pq, idcg, m ORDER BY query_id""".stripMargin
   }
 }
 

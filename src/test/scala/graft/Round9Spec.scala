@@ -52,4 +52,31 @@ class Round9Spec extends AnyFunSuite {
         Map("click" -> 500000L, "promo" -> 0L, "view" -> 500000L))
     } finally rmrf(root)
   }
+
+  test("q295's pinned DCG discounts re-derive from 1/log2(i+1)") {
+    // the literals exist so neither engine evaluates a cross-engine log in
+    // the data path; this is the one place the formula is computed
+    val derived = (1 to 10).map { i =>
+      BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000
+    }.map(_.toLongExact)
+    assert(derived == graft.queries.RankMetricsSql.WE6)
+    // and the closed-form ideal DCG matches the in-query fold
+    val idcg = graft.queries.RankMetricsSql.WE6.zipWithIndex
+      .map { case (w, i) => (10L - i) * w }.sum
+    assert(idcg == 29966114L)
+  }
+
+  test("upsert with an empty batch is the identity on the base graph") {
+    import graft.operators.NswGraph
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val base = NswGraph.buildRefined(emb, "vec_id", "embedding", 64,
+      bands = 8, rbits = 4, seed = 11L, cap = 64,
+      kInternal = 12, rounds = 1, deg = 6).localCheckpoint()
+    val empty = emb.where(org.apache.spark.sql.functions.lit(false))
+    val out = NswGraph.upsert(emb, empty, base, "vec_id", "embedding", 64,
+      bands = 8, rbits = 4, seed = 11L, cap = 64, kInternal = 12, deg = 6)
+    assert(out.exceptAll(base).count() == 0)
+    assert(base.exceptAll(out).count() == 0)
+  }
 }
