@@ -1360,6 +1360,84 @@ object SimilarityQueries {
               .as("mean_rr_ppm"))))
         .orderBy("query_id")
     },
+
+    // Ranking-fidelity LADDER — q295's graded harness run over two
+    // compression rungs side by side, the table a serving team reads
+    // before choosing a memory budget: int8 scalar quantization (4×
+    // smaller, q147's codes) vs the 16-d JL projection (4× fewer dims,
+    // q175's coordinates), both ranked by their own cosine and graded
+    // against the exact-64-d truth with the same pinned-discount
+    // DCG/MRR/recall arithmetic. The measured contrast IS the product
+    // insight: int8 is near-lossless in ranking (its error is per-value
+    // rounding, preserving order almost everywhere) while JL-16 preserves
+    // distances in expectation but scrambles near-tie ORDER — the two 4×
+    // cuts are nowhere near interchangeable, and only graded metrics
+    // expose it.
+    QueryDef("q296_rank_fidelity", RankLadderSql.sql) { (s, d) =>
+      import graft.functions.Tensors
+      import graft.operators.{RandomProjection, ScalarQuant}
+      val emb = Tables.embeddings(s, d)
+      val wq = Window.partitionBy("qid")
+      val vt = emb.select(col("vec_id"), col("embedding"),
+        Tensors.norm(col("embedding")).as("nrm"))
+      val qt = vt.where(col("vec_id") < NswSql.Nq)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("tqn"))
+      val truth = vt.join(broadcast(qt), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          round(Tensors.dot(col("qe"), col("embedding"))
+            / (col("tqn") * col("nrm")), 6).as("tcos"))
+        .withColumn("tr", row_number().over(
+          wq.orderBy(col("tcos").desc, col("cid"))))
+        .where(col("tr") <= 10)
+        .select(col("qid"), col("cid"),
+          (lit(11) - col("tr")).cast("long").as("rel"))
+        .persist() // grades both rungs
+      def top10(vecs: org.apache.spark.sql.DataFrame) = {
+        val vn = vecs.withColumn("yn", Tensors.norm(col("y")))
+        val qp = vn.where(col("vec_id") < NswSql.Nq)
+          .select(col("vec_id").as("qid"), col("y").as("qy"),
+            col("yn").as("qn"))
+        vn.join(broadcast(qp), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("cid"),
+            round(Tensors.dot(col("qy"), col("y")) / (col("qn") * col("yn")), 6)
+              .as("pcos"))
+          .withColumn("r", row_number().over(
+            wq.orderBy(col("pcos").desc, col("cid"))))
+          .where(col("r") <= 10).select("qid", "cid", "r")
+      }
+      val wArr = array(RankMetricsSql.WE6.map(lit): _*)
+      val idcg = RankMetricsSql.WE6.zipWithIndex
+        .map { case (w, i) => (10L - i) * w }.sum
+      def grade(method: String, found: org.apache.spark.sql.DataFrame) = {
+        val g = found.join(truth, Seq("qid", "cid"), "left")
+          .select(col("qid"), col("r"),
+            coalesce(col("rel"), lit(0L)).as("rel"))
+          .withColumn("w_e6", element_at(wArr, col("r").cast("int")))
+        g.groupBy("qid")
+          .agg(sum(col("rel") * col("w_e6")).as("dcg_e6"),
+            min(when(col("rel") > 0, col("r"))).as("fr"),
+            sum(when(col("rel") > 0, 1L).otherwise(0L)).as("hits"))
+          .agg(
+            expr(s"sum(hits) * 1000000 div ${NswSql.Nq * 10}")
+              .as("recall10_ppm"),
+            expr(s"sum(CASE WHEN fr IS NULL THEN 0 ELSE 1000000 div fr END) div ${NswSql.Nq}")
+              .as("mean_rr_ppm"),
+            expr(s"sum(dcg_e6 * 1000000 div $idcg) div ${NswSql.Nq}")
+              .as("mean_ndcg_ppm"))
+          .select(lit(method).as("method"), col("recall10_ppm"),
+            col("mean_rr_ppm"), col("mean_ndcg_ppm"))
+      }
+      val i8 = ScalarQuant.encode(emb, "vec_id", "embedding",
+          SimilarityQueries.Dim)
+        .select(col("vec_id"),
+          transform(col("codes"), c => c.cast("double")).as("y"))
+      val jl = emb.select(col("vec_id"),
+        RandomProjection.projected(col("embedding"),
+          SimilarityQueries.Dim, RpDimOut, RpSeed).as("y"))
+      grade("int8", top10(i8)).unionByName(grade("jl16", top10(jl)))
+        .orderBy("method")
+    },
   ) ++ defsTail
 
   /** q260/q266 shared harness: beam-walk the given k-NN graph from the
@@ -2282,6 +2360,99 @@ private[graft] object RankMetricsSql {
        |            ELSE 1000000 // pq.fr END AS BIGINT) AS rr_ppm,
        |       m.mean_ndcg_ppm, m.mean_rr_ppm
        |FROM pq, idcg, m ORDER BY query_id""".stripMargin
+  }
+}
+
+/** Oracle for q296: q295's graded harness instantiated per rung — the
+  * int8 code vectors (q147's encode chain, codes ranked by their own
+  * cosine) and the 16-d JL coordinates (q175's), each top-10'd, graded
+  * against the shared exact truth, and reduced to one summary row per
+  * method with the same pinned-discount integer arithmetic.
+  */
+private[queries] object RankLadderSql {
+  import SimilarityQueries.{dotSql, normSql, Dim, RpDimOut, RpSeed}
+  import graft.operators.RandomProjection
+
+  private def dotKSql(a: String, b: String, k: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, ${k + 1}),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  /** Rung chain for method `m` over candidate CTE `${m}y(vec_id, y)` of
+    * dimension `k`, ending in the one-row summary `${m}s`.
+    */
+  private def rung(m: String, k: Int): String =
+    s"""${m}n AS (SELECT vec_id, y, sqrt(${dotKSql("y", "y", k)}) AS yn
+       |       FROM ${m}y),
+       |${m}q AS (SELECT vec_id AS qid, y AS qy, yn AS qn FROM ${m}n
+       |       WHERE vec_id < ${NswSql.Nq}),
+       |${m}f AS (SELECT qid, cid, r FROM (
+       |    SELECT q.qid, n.vec_id AS cid,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY round(${dotKSql("qy", "n.y", k)}
+       |                            / (qn * n.yn), 6) DESC, n.vec_id) AS r
+       |    FROM ${m}q q JOIN ${m}n n ON n.vec_id <> q.qid) t
+       |  WHERE r <= 10),
+       |${m}g AS (SELECT f.qid, f.r, coalesce(t.rel, 0) AS rel, w.w_e6
+       |       FROM ${m}f f LEFT JOIN truth t
+       |         ON t.qid = f.qid AND t.cid = f.cid
+       |       JOIN w ON w.i = f.r),
+       |${m}p AS (SELECT qid, CAST(sum(rel * w_e6) AS BIGINT) AS dcg_e6,
+       |              min(CASE WHEN rel > 0 THEN r END) AS fr,
+       |              CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |                AS hits
+       |       FROM ${m}g GROUP BY qid),
+       |${m}s AS (SELECT
+       |        CAST(sum(hits) * 1000000 // ${NswSql.Nq * 10} AS BIGINT)
+       |          AS recall10_ppm,
+       |        CAST(sum(CASE WHEN fr IS NULL THEN 0
+       |                 ELSE 1000000 // fr END) // ${NswSql.Nq} AS BIGINT)
+       |          AS mean_rr_ppm,
+       |        CAST(sum(dcg_e6 * 1000000 // idcg.v) // ${NswSql.Nq} AS BIGINT)
+       |          AS mean_ndcg_ppm
+       |      FROM ${m}p, idcg)""".stripMargin
+
+  val sql: String = {
+    val wRows = RankMetricsSql.WE6.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+       |      FROM embeddings),
+       |qt AS (SELECT vec_id AS qid, embedding AS qe, nrm AS tqn FROM v
+       |       WHERE vec_id < ${NswSql.Nq}),
+       |truth AS MATERIALIZED (
+       |  SELECT qid, cid, CAST(11 - tr AS BIGINT) AS rel FROM (
+       |    SELECT qt.qid, v.vec_id AS cid,
+       |           row_number() OVER (PARTITION BY qt.qid
+       |             ORDER BY round(${dotSql("qe", "v.embedding")}
+       |                            / (tqn * v.nrm), 6) DESC, v.vec_id) AS tr
+       |    FROM qt JOIN v ON v.vec_id <> qt.qid) t
+       |  WHERE tr <= 10),
+       |w(i, w_e6) AS (VALUES $wRows),
+       |idcg AS (SELECT CAST(sum((11 - i) * w_e6) AS BIGINT) AS v FROM w),
+       |e AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+       |      FROM embeddings),
+       |a AS (SELECT i AS d, max(abs(x[i + 1])) AS s
+       |      FROM e, (SELECT unnest(range(0, $Dim)) AS i) GROUP BY i),
+       |sc AS (SELECT list(s ORDER BY d) AS scales FROM a),
+       |i8y AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(range(1, ${Dim + 1}),
+       |           i -> CASE WHEN scales[i] = 0 THEN CAST(0 AS DOUBLE)
+       |                ELSE CAST(CAST(round(x[i] * 127 / scales[i], 0)
+       |                  AS BIGINT) AS DOUBLE) END) AS y
+       |  FROM e CROSS JOIN sc),
+       |${rung("i8", Dim)},
+       |jly AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(range(0, $RpDimOut),
+       |           j -> ${RandomProjection.coordSql("embedding", "j", Dim, RpDimOut, RpSeed)}) AS y
+       |  FROM embeddings),
+       |${rung("jl", RpDimOut)}
+       |SELECT 'int8' AS method, recall10_ppm, mean_rr_ppm, mean_ndcg_ppm
+       |FROM i8s
+       |UNION ALL
+       |SELECT 'jl16', recall10_ppm, mean_rr_ppm, mean_ndcg_ppm FROM jls
+       |ORDER BY method""".stripMargin
   }
 }
 
