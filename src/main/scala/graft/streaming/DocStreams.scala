@@ -186,6 +186,40 @@ object DocStreams {
     q.awaitTermination()
   }
 
+  /** Compact the near-dup gate's accumulated output: fold all `batch=*`
+    * partition directories into one consolidated `batch=compacted` dir and
+    * remove the originals — after compaction each micro-batch's index
+    * re-read lists ONE directory instead of one per historical batch (the
+    * growth the per-batch layout trades for idempotence). Run between
+    * drains (no query active on `outDir`); the consolidated dir keeps the
+    * same landing schema, so [[runNearDupIngest]]'s accumulation is
+    * unchanged. Returns the number of batch dirs folded.
+    */
+  def compactGateOutput(spark: SparkSession, outDir: String): Int = {
+    val dirs = Option(new java.io.File(outDir).listFiles)
+      .map(_.filter(f => f.isDirectory && f.getName.startsWith("batch=")
+        && f.getName != "batch=compacted").toSeq)
+      .getOrElse(Seq.empty)
+    if (dirs.isEmpty) return 0
+    val all = spark.read.schema(landingSchema)
+      .parquet(dirs.map(_.getPath): _*)
+    // write-then-swap: the consolidated dir lands under a temp name first,
+    // so a crash mid-compaction leaves the original batch dirs intact
+    val tmp = s"$outDir/.compact_tmp"
+    all.coalesce(math.max(1, dirs.size / 8))
+      .write.mode("overwrite").parquet(tmp)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(): Unit
+    }
+    val target = new java.io.File(s"$outDir/batch=compacted")
+    rmrf(target)
+    val ok = new java.io.File(tmp).renameTo(target)
+    require(ok, s"compaction rename failed: $tmp -> $target")
+    dirs.foreach(rmrf)
+    dirs.size
+  }
+
   /** Land → dedup → parquet append, exactly-once, drain-all-and-stop
     * (Trigger.AvailableNow — the same incremental-batch idiom as the
     * streaming NPZ converter).

@@ -341,6 +341,23 @@ class StreamingSpec extends AnyFunSuite {
       val sB = DocStreams.nearDupGate(wb, acc)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(sB == Set(4L))
+      // compact the accumulated index, then a third wave: a copy of a
+      // wave-B survivor must still be caught THROUGH the compacted dir
+      val folded = DocStreams.compactGateOutput(spark, s"$root/out")
+      assert(folded >= 1)
+      val dirs = new java.io.File(s"$root/out").listFiles
+        .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+      assert(dirs == Set("batch=compacted"))
+      Seq((5L, ts(4), "seven eight nine ten eleven twelve"),
+        (6L, ts(5), "thirteen fourteen fifteen sixteen seventeen"))
+        .toDF("doc_id", "ingest_ts", "text")
+        .repartition(1).write.mode("append").parquet(s"$root/landing")
+      DocStreams.runNearDupIngest(spark, s"$root/landing", corpus,
+        s"$root/out", s"$root/ckpt")
+      val landedAll = spark.read.parquet(s"$root/out/*")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(landedAll == Set(2L, 4L, 6L),
+        s"expected survivors {2, 4, 6}, got $landedAll")
     } finally rmrf(root)
   }
 }
