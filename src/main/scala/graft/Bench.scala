@@ -107,10 +107,17 @@ object Bench {
     Seq("q01_pruned_scan", "q03_group_count").foreach { n =>
       try materialize(qs(n)(spark, sfDir)) catch { case _: Throwable => () }
     }
-    // SPARK_GRAFT_BENCH_ALL=1: sweep every query (diagnostics), else headline
-    val names =
+    // SPARK_GRAFT_BENCH_ALL=1: sweep every query (diagnostics), else headline;
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts either set by substring (ad-hoc
+    // single-query re-measurement without a full run)
+    val base0 =
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) qs.keys.toSeq.sorted
       else headline
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(pats) =>
+        base0.filter(n => pats.split(",").exists(n.contains))
+      case None => base0
+    }
     // min-of-3 in headline mode: single-JVM runs carry ±1s of GC/scheduler
     // noise — r3 showed ±30% swings on sub-second queries with UNCHANGED
     // code under min-of-2, so one more rep buys a stable min. Sweep mode

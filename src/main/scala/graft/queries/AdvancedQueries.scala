@@ -847,17 +847,25 @@ object AdvancedQueries {
           // re-derives the whole mutual-reinforcement chain per branch
           .persist()
       }
+      // the score side of every half-round join is a ≤|C|- or |S|-sized
+      // aggregate (graph-node statistics, never the pair relation) — the
+      // broadcast hint PINS the join strategy the size estimator already
+      // picks (golden unchanged, wall time unchanged), so an estimator or
+      // AQE-config drift can never degrade it to re-shuffling `pairs`
+      // four times; the 1.3×-anchor wall time is job-launch overhead of
+      // the persisted half-rounds, not exchange volume (19 MB shuffle
+      // read total at sf0.1 per BENCH shuffle telemetry)
       val a1 = normed(
         pairs.groupBy("s").agg((count(lit(1)) * 1000000L).as("raw")),
         "s", 1000000000L, "a")
       val h1 = normed(
-        pairs.join(a1, "s").groupBy("c").agg(sum("a").as("raw")),
+        pairs.join(broadcast(a1), "s").groupBy("c").agg(sum("a").as("raw")),
         "c", 1000000L, "h")
       val a2 = normed(
-        pairs.join(h1, "c").groupBy("s").agg(sum("h").as("raw")),
+        pairs.join(broadcast(h1), "c").groupBy("s").agg(sum("h").as("raw")),
         "s", 1000000000L, "a")
       val h2 = normed(
-        pairs.join(a2, "s").groupBy("c").agg(sum("a").as("raw")),
+        pairs.join(broadcast(a2), "s").groupBy("c").agg(sum("a").as("raw")),
         "c", 1000000L, "h")
       val ta = a2.select(lit("auth").as("kind"), col("s").as("id"),
           col("a").as("score"))
