@@ -1361,11 +1361,12 @@ object SimilarityQueries {
         .orderBy("query_id")
     },
 
-    // Ranking-fidelity LADDER — q295's graded harness run over two
+    // Ranking-fidelity LADDER — q295's graded harness run over three
     // compression rungs side by side, the table a serving team reads
     // before choosing a memory budget: int8 scalar quantization (4×
-    // smaller, q147's codes) vs the 16-d JL projection (4× fewer dims,
-    // q175's coordinates), both ranked by their own cosine and graded
+    // smaller, q147's codes), the 16-d JL projection (4× fewer dims,
+    // q175's coordinates), and the plain 16-dim PREFIX slice (the
+    // Matryoshka deployment move), each ranked by its own cosine and graded
     // against the exact-64-d truth with the same pinned-discount
     // DCG/MRR/recall arithmetic. The measured contrast IS the product
     // insight: int8 is near-lossless in ranking (its error is per-value
@@ -1435,7 +1436,17 @@ object SimilarityQueries {
       val jl = emb.select(col("vec_id"),
         RandomProjection.projected(col("embedding"),
           SimilarityQueries.Dim, RpDimOut, RpSeed).as("y"))
-      grade("int8", top10(i8)).unionByName(grade("jl16", top10(jl)))
+      // the Matryoshka question: serve on the embedding's FIRST 16 dims
+      // (a prefix slice, the MRL deployment move) — same 4x cut as the
+      // other rungs, but the fixture's dimensions are i.i.d., so a prefix
+      // is statistically exactly a 16-d random restriction: it lands
+      // between int8 (per-value noise) and JL (mixed-axis ranks)
+      val head = emb.select(col("vec_id"),
+        transform(slice(col("embedding"), 1, RpDimOut),
+          x => x.cast("double")).as("y"))
+      grade("head16", top10(head))
+        .unionByName(grade("int8", top10(i8)))
+        .unionByName(grade("jl16", top10(jl)))
         .orderBy("method")
     },
   ) ++ defsTail
@@ -2447,9 +2458,16 @@ private[queries] object RankLadderSql {
        |  SELECT vec_id, list_transform(range(0, $RpDimOut),
        |           j -> ${RandomProjection.coordSql("embedding", "j", Dim, RpDimOut, RpSeed)}) AS y
        |  FROM embeddings),
-       |${rung("jl", RpDimOut)}
-       |SELECT 'int8' AS method, recall10_ppm, mean_rr_ppm, mean_ndcg_ppm
-       |FROM i8s
+       |${rung("jl", RpDimOut)},
+       |hdy AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(range(1, ${RpDimOut + 1}),
+       |           i -> CAST(embedding[i] AS DOUBLE)) AS y
+       |  FROM embeddings),
+       |${rung("hd", RpDimOut)}
+       |SELECT 'head16' AS method, recall10_ppm, mean_rr_ppm, mean_ndcg_ppm
+       |FROM hds
+       |UNION ALL
+       |SELECT 'int8', recall10_ppm, mean_rr_ppm, mean_ndcg_ppm FROM i8s
        |UNION ALL
        |SELECT 'jl16', recall10_ppm, mean_rr_ppm, mean_ndcg_ppm FROM jls
        |ORDER BY method""".stripMargin
