@@ -377,6 +377,91 @@ object NswGraph {
     survivors.join(aff, Seq("src"), "left_anti").unionByName(repaired)
   }
 
+  /** Vamana-style α-occlusion pruning (Subramanya et al., NeurIPS 2019 —
+    * the robust-prune step that gives DiskANN graphs their long-range
+    * DIVERSITY): per node u, walk its candidates best-first and keep c
+    * only if NO already-kept neighbor k occludes it — occlusion in
+    * similarity terms: α·(1 − cos(k, c)) ≤ (1 − cos(u, c)), i.e. some
+    * kept neighbor is α-times closer to c than u is, so the edge u→c is
+    * redundant (the walk can reach c through k). Plain top-deg keeps deg
+    * near-duplicates of each other; α-pruning trades the closest few for
+    * coverage of distinct directions, which is what long walks need.
+    *
+    * Deterministic and oracle-statable: cosines on the 1e-6 integer grid,
+    * α as the rational alphaNum/alphaDen (default 6/5 = 1.2, the DiskANN
+    * setting), candidates ordered (cos desc, id), the greedy fold run by
+    * flatMapSortedGroups with O(deg) state. Work: candidate pair cosines
+    * are per-node k×k (`wide` is the kInternal-degree graph), so the
+    * whole prune is O(n·k²) rows — linear in the corpus, one exchange on
+    * the node key.
+    */
+  def robustPrune(wide: DataFrame, emb: DataFrame, idCol: String,
+                  embCol: String, deg: Int, alphaNum: Long = 6,
+                  alphaDen: Long = 5): DataFrame = {
+    val spark = wide.sparkSession
+    import spark.implicits._
+    val v = emb.select(col(idCol).as("vec_id"), col(embCol).as("x"),
+      Tensors.norm(col(embCol)).as("nrm"))
+    // multiply-then-round: round(x, 6) * 1e6 re-introduces float noise
+    // that Spark's cast would TRUNCATE while DuckDB's cast rounds —
+    // round(x * 1e6, 0) lands exactly on the integer grid on both engines
+    def cosE6(xa: org.apache.spark.sql.Column, xb: org.apache.spark.sql.Column,
+              na: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
+      round(Tensors.dot(xa, xb) / (na * nb) * 1000000, 0).cast("long")
+    val cu = wide
+      .join(v.select(col("vec_id").as("src"), col("x").as("xa"),
+        col("nrm").as("na")), "src")
+      .join(v.select(col("vec_id").as("dst"), col("x").as("xb"),
+        col("nrm").as("nb")), "dst")
+      .select(col("src"), col("dst"),
+        cosE6(col("xa"), col("xb"), col("na"), col("nb")).as("cu_e6"))
+    val pairs = wide.as("a")
+      .join(wide.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") =!= col("b.dst"))
+      .select(col("a.src").as("src"), col("a.dst").as("c1"),
+        col("b.dst").as("c2"))
+      .join(v.select(col("vec_id").as("c1"), col("x").as("xa"),
+        col("nrm").as("na")), "c1")
+      .join(v.select(col("vec_id").as("c2"), col("x").as("xb"),
+        col("nrm").as("nb")), "c2")
+      .select(col("src"), col("c1"),
+        struct(col("c2"),
+          cosE6(col("xa"), col("xb"), col("na"), col("nb")).as("p")).as("e"))
+      .groupBy("src", "c1")
+      .agg(map_from_entries(collect_list(col("e"))).as("pl"))
+    val pruned = cu.join(pairs,
+        cu("src") === pairs("src") && cu("dst") === pairs("c1"), "left")
+      .select(cu("src"), cu("dst"), col("cu_e6"),
+        coalesce(col("pl"), map()).as("pl"))
+      .as[(Long, Long, Long, Map[Long, Long])]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("cu_e6").desc, col("dst")) { (u, rows) =>
+        val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+        rows.flatMap { case (_, c, cuE6, pl) =>
+          if (kept.size >= deg) None
+          else {
+            val occluded = kept.exists { k =>
+              pl.get(k).exists(p =>
+                alphaNum * (1000000L - p) <= alphaDen * (1000000L - cuE6))
+            }
+            if (occluded) None
+            else { kept += c; Some((u, c)) }
+          }
+        }
+      }
+      .toDF("src", "dst")
+    // relax the typed encoder's NON-NULLABLE schema through a fresh
+    // RDD-backed relation: the walk's per-hop self-union trips Spark's
+    // Union constraint rewrite over the IsNotNull constraints minted from
+    // non-nullable attributes after relation dedup (NoSuchElementException
+    // key-not-found on the frontier attribute — measured, and absent with
+    // nullable columns). The wrap is lazy; no extra action runs here.
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(pruned.rdd, StructType(Seq(
+      StructField("src", LongType, nullable = true),
+      StructField("dst", LongType, nullable = true))))
+  }
+
   /** DuckDB CTE chain mirroring [[build]] verbatim — emits prefixed CTEs
     * and finally `${p}g(src, dst)`; expects a CTE `$src(vec_id, embedding,
     * nrm)` in scope. `p` prefixes every CTE name so several builds can
@@ -611,4 +696,59 @@ object NswGraph {
        |  SELECT src, dst FROM ${p}sv
        |  WHERE src NOT IN (SELECT src FROM ${p}aff)
        |  UNION ALL SELECT src, dst FROM ${p}rp)""".stripMargin
+
+  /** DuckDB CTE chain mirroring [[robustPrune]]: candidate ranks + pair
+    * cosines over the wide graph CTE `$wideG(src, dst)`, then `steps`
+    * unrolled greedy rounds carrying the kept list (the attribution-chain
+    * unroll posture — no recursion corner cases), ending in
+    * `$out(src, dst)`. `steps` must be ≥ the wide graph's max degree.
+    */
+  def robustPruneCteSql(deg: Int, steps: Int,
+                        dotSql: (String, String) => String,
+                        wideG: String, alphaNum: Long = 6,
+                        alphaDen: Long = 5, p: String = "r_",
+                        src: String = "v", out: String = "g"): String = {
+    def cosE6(a: String, b: String, na: String, nb: String) =
+      s"CAST(round(${dotSql(a, b)} / ($na * $nb) * 1000000, 0) AS BIGINT)"
+    val stepCtes = (1 to steps).map { r =>
+      s"""${p}st$r AS MATERIALIZED (
+         |  SELECT s.u,
+         |    CASE WHEN c.c IS NULL OR len(s.kept) >= $deg THEN s.kept
+         |         WHEN len(list_filter(c.pl, e ->
+         |                list_contains(s.kept, e.k)
+         |                AND $alphaNum * (1000000 - e.p)
+         |                    <= $alphaDen * (1000000 - c.cu_e6))) > 0
+         |         THEN s.kept
+         |         ELSE list_append(s.kept, c.c) END AS kept
+         |  FROM ${p}st${r - 1} s LEFT JOIN ${p}cd c
+         |    ON c.u = s.u AND c.rn = $r)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}cu AS (SELECT w.src AS u, w.dst AS c,
+       |         ${cosE6("a.embedding", "b.embedding", "a.nrm", "b.nrm")}
+       |           AS cu_e6
+       |       FROM $wideG w JOIN $src a ON a.vec_id = w.src
+       |       JOIN $src b ON b.vec_id = w.dst),
+       |${p}pc AS (SELECT x.src AS u, x.dst AS c1, y.dst AS c2,
+       |         ${cosE6("a.embedding", "b.embedding", "a.nrm", "b.nrm")}
+       |           AS p_e6
+       |       FROM $wideG x JOIN $wideG y
+       |         ON x.src = y.src AND x.dst <> y.dst
+       |       JOIN $src a ON a.vec_id = x.dst
+       |       JOIN $src b ON b.vec_id = y.dst),
+       |${p}pl AS (SELECT u, c1 AS c,
+       |         list(struct_pack(k := c2, p := p_e6) ORDER BY c2) AS pl
+       |       FROM ${p}pc GROUP BY u, c1),
+       |${p}cd AS MATERIALIZED (
+       |  SELECT cu.u, cu.c, cu.cu_e6,
+       |         row_number() OVER (PARTITION BY cu.u
+       |           ORDER BY cu.cu_e6 DESC, cu.c) AS rn,
+       |         coalesce(pl.pl, []) AS pl
+       |  FROM ${p}cu cu LEFT JOIN ${p}pl pl
+       |    ON pl.u = cu.u AND pl.c = cu.c),
+       |${p}st0 AS (SELECT DISTINCT u, CAST([] AS BIGINT[]) AS kept
+       |        FROM ${p}cd),
+       |$stepCtes,
+       |$out AS MATERIALIZED (
+       |  SELECT u AS src, unnest(kept) AS dst FROM ${p}st$steps)""".stripMargin
+  }
 }

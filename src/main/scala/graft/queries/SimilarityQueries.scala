@@ -1449,6 +1449,40 @@ object SimilarityQueries {
         .unionByName(grade("jl16", top10(jl)))
         .orderBy("method")
     },
+
+    // Vamana α-occlusion pruning (NswGraph.robustPrune — the robust-prune
+    // step that gives DiskANN graphs their diversity): the scalable build
+    // keeps its FULL kInternal-wide candidate lists, and each node then
+    // keeps a candidate only if no already-kept neighbor is α-times
+    // closer to it than the node itself (α = 1.2 as a 6/5 rational on
+    // the 1e-6 integer cosine grid) — plain top-deg keeps deg mutual
+    // near-duplicates; α-pruning trades the closest few for distinct
+    // DIRECTIONS. Graded under the identical q260/q266 walk: 94.5%
+    // recall@10 at BOTH fixture scales — exactly q266's top-deg number,
+    // the honest finding for a NEAR-RANDOM corpus (its neighborhoods are
+    // already diverse, so occlusion rarely fires; on clustered corpora
+    // the same prune is what keeps walks from orbiting one cluster, and
+    // the measured-neutral cost here means it can be ON by default at
+    // the same degree budget). The greedy is
+    // a per-node O(k²) fold (flatMapSortedGroups, O(deg) state); the
+    // oracle unrolls all kInternal steps with the kept list as a column.
+    QueryDef("q297_robust_prune", RobustNswSql.sql) { (s, d) =>
+      import graft.functions.Tensors
+      import graft.operators.NswGraph
+      val emb = Tables.embeddings(s, d)
+      val v = emb.select(col("vec_id"), col("embedding"),
+        Tensors.norm(col("embedding")).as("nrm"))
+        .persist() // walk scoring
+      val wide = NswGraph.buildRefined(emb, "vec_id", "embedding",
+          SimilarityQueries.Dim, ScalableNswSql.Bands, ScalableNswSql.Rbits,
+          ScalableNswSql.Seed, ScalableNswSql.Cap, ScalableNswSql.KInternal,
+          ScalableNswSql.Rounds, ScalableNswSql.KInternal)
+        .localCheckpoint() // prune probes it three ways
+      val graph = NswGraph.robustPrune(wide, emb, "vec_id", "embedding",
+          NswSql.Deg)
+        .localCheckpoint() // probed once per hop
+      nswWalkRecall(emb, v, graph)
+    },
   ) ++ defsTail
 
   /** q260/q266 shared harness: beam-walk the given k-NN graph from the
@@ -2297,6 +2331,25 @@ private[queries] object HnswUpsertSql {
        |$upHops,
        |$baseHops,
        |${NswSql.recallTail(s"b${NswSql.Hops}")}""".stripMargin
+  }
+}
+
+/** Oracle for q297: the scalable build at kInternal width (as `w_g`),
+  * the α-occlusion greedy unrolled over all kInternal ranks (kept list
+  * as a column), then the standard walk + recall over the pruned graph.
+  */
+private[queries] object RobustNswSql {
+  import SimilarityQueries.dotSql
+  import graft.operators.NswGraph
+
+  val sql: String = {
+    val wide = NswGraph.refinedGraphCteSql(SimilarityQueries.Dim,
+      ScalableNswSql.Bands, ScalableNswSql.Rbits, ScalableNswSql.Seed,
+      ScalableNswSql.Cap, ScalableNswSql.KInternal, ScalableNswSql.Rounds,
+      ScalableNswSql.KInternal, dotSql, p = "w_")
+    val prune = NswGraph.robustPruneCteSql(NswSql.Deg,
+      ScalableNswSql.KInternal, dotSql, wideG = "w_g")
+    NswSql.sqlWithGraph(s"$wide,\n$prune")
   }
 }
 

@@ -67,6 +67,29 @@ class Round9Spec extends AnyFunSuite {
     assert(idcg == 29966114L)
   }
 
+  test("robustPrune drops the occluded near-duplicate, keeps the new direction") {
+    import graft.operators.NswGraph
+    import spark.implicits._
+    // u=(1,0); c1≈same direction (best); c2 hugs c1 (occluded by it:
+    // α·(1−cos(c1,c2)) ≤ (1−cos(u,c2))); c3 points elsewhere (kept — a
+    // top-2 prune by cosine alone would keep c1,c2 and drop c3)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.99f, 0.14f)),
+      (2L, Array(0.98f, 0.20f)),
+      (3L, Array(0.70f, -0.71f)))
+      .toDF("vec_id", "embedding")
+    val wide = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val got = NswGraph.robustPrune(wide, emb, "vec_id", "embedding", deg = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (0L, 3L)))
+    // and with a loose α (α→∞ never occludes) the plain top-2 comes back
+    val loose = NswGraph.robustPrune(wide, emb, "vec_id", "embedding",
+        deg = 2, alphaNum = 1000000, alphaDen = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((0L, 1L), (0L, 2L)))
+  }
+
   test("upsert with an empty batch is the identity on the base graph") {
     import graft.operators.NswGraph
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
