@@ -69,4 +69,64 @@ object EmbeddingStreams {
       .start()
     q.awaitTermination()
   }
+
+  /** Continuously-MAINTAINED graph-ANN index — the streaming composition
+    * of [[graft.operators.NswGraph.upsert]]: each arriving embedding batch
+    * links into the stored graph (band-bucket candidates + local repair,
+    * never a rebuild), and the index lands write-then-swap so a reader
+    * always sees a complete, mutually-consistent (vectors, edges) pair.
+    * The very first batch bootstraps the index with a from-scratch build.
+    *
+    * foreachBatch for the same reason as [[DocStreams.runNearDupIngest]]:
+    * the upsert re-ranks affected neighborhoods against batch-derived
+    * state, which the incremental streaming model can't express — per
+    * micro-batch batch semantics is the production idiom, and determinism
+    * makes stream ≡ batch exactly (StreamingSpec pins the two-wave drain
+    * against the hand-composed build→upsert chain, edge for edge).
+    */
+  def runGraphMaintenance(spark: SparkSession, landingDir: String,
+                          indexDir: String, checkpointDir: String,
+                          dim: Int, bands: Int, rbits: Int, seed: Long,
+                          cap: Int, kInternal: Int, deg: Int): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.NswGraph
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(): Unit
+    }
+    val q = readLanding(spark, landingDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val batch = batch0.persist() // probed by sigs, ids, and the union
+        val cur = new java.io.File(s"$indexDir/current")
+        val newIdx =
+          if (!cur.isDirectory) {
+            val g = NswGraph.buildRefined(batch, "vec_id", "embedding", dim,
+              bands, rbits, seed, cap, kInternal, rounds = 2, deg)
+            (batch, g)
+          } else {
+            val baseVecs = spark.read.schema(landingSchema)
+              .parquet(s"$indexDir/current/vectors")
+            val baseGraph = spark.read.parquet(s"$indexDir/current/edges")
+            val g = NswGraph.upsert(baseVecs, batch, baseGraph,
+              "vec_id", "embedding", dim, bands, rbits, seed, cap,
+              kInternal, deg)
+            (baseVecs.unionByName(batch), g)
+          }
+        val tmp = s"$indexDir/.next"
+        newIdx._1.write.mode("overwrite").parquet(s"$tmp/vectors")
+        newIdx._2.write.mode("overwrite").parquet(s"$tmp/edges")
+        // swap: the new index becomes `current` atomically-enough for a
+        // single-writer maintenance loop; the old tree is dropped after
+        val old = new java.io.File(s"$indexDir/.old")
+        rmrf(old)
+        if (cur.isDirectory) { require(cur.renameTo(old), s"swap out $cur") }
+        require(new java.io.File(tmp).renameTo(cur), s"swap in $tmp")
+        rmrf(old)
+        batch.unpersist(): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

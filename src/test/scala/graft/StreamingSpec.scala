@@ -360,4 +360,41 @@ class StreamingSpec extends AnyFunSuite {
         s"expected survivors {2, 4, 6}, got $landedAll")
     } finally rmrf(root)
   }
+
+  test("graph maintenance stream: two drains == build then upsert, edge for edge") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.NswGraph
+    import graft.streaming.EmbeddingStreams
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(): Unit
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_gmaint_").toFile
+    try {
+      val emb = Tables.embeddings(spark, TestSpark.sfDir)
+        .select("vec_id", "embedding")
+      val isNew = col("vec_id") % 8 === 0
+      val waveA = emb.where(!isNew)
+      val waveB = emb.where(isNew)
+      def drain(): Unit =
+        EmbeddingStreams.runGraphMaintenance(spark, s"$root/landing",
+          s"$root/index", s"$root/ckpt", dim = 64, bands = 8, rbits = 4,
+          seed = 11L, cap = 64, kInternal = 12, deg = 6)
+      waveA.coalesce(1).write.mode("append").parquet(s"$root/landing")
+      drain() // bootstrap build
+      waveB.coalesce(1).write.mode("append").parquet(s"$root/landing")
+      drain() // incremental upsert through the swapped index
+      val got = spark.read.parquet(s"$root/index/current/edges")
+      val baseGraph = NswGraph.buildRefined(waveA, "vec_id", "embedding",
+        64, 8, 4, 11L, 64, kInternal = 12, rounds = 2, deg = 6)
+        .localCheckpoint()
+      val want = NswGraph.upsert(waveA, waveB, baseGraph, "vec_id",
+        "embedding", 64, 8, 4, 11L, 64, kInternal = 12, deg = 6)
+      assert(got.exceptAll(want).count() == 0)
+      assert(want.exceptAll(got).count() == 0)
+      // the maintained vector set is the full corpus
+      assert(spark.read.parquet(s"$root/index/current/vectors").count()
+        == emb.count())
+    } finally rmrf(root)
+  }
 }
