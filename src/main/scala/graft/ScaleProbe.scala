@@ -393,6 +393,26 @@ object ScaleProbe {
         System.err.println(s"[disk_walk m=$m] io=$io found=${found.size}")
         found.toDF("qid", "vid")
       },
+      // Vamana α-occlusion prune (q297): per-node k² pair cosines + the
+      // greedy fold — O(n·k²) rows, one exchange on the node key; must
+      // scale like the other per-node-bounded shapes, nowhere near
+      // quadratic in the corpus
+      "robust_prune" -> { m =>
+        import graft.functions.Hashes
+        val n = m * 20000L
+        val dim = 16
+        val vecs = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            d => (Hashes.mulHash(col("id") * 131L + d, 19) % 1000)
+              .cast("double") / 1000.0d).as("embedding"))
+        val wide = spark.range(n).select(col("id").as("vid"))
+          .select(col("vid"), explode(sequence(lit(0), lit(11))).as("j"))
+          .select(col("vid").as("src"),
+            (Hashes.mulHash(col("vid") * 12 + col("j"), 37) % n).as("dst"))
+          .where(col("src") =!= col("dst"))
+        graft.operators.NswGraph.robustPrune(wide, vecs, "vec_id",
+          "embedding", deg = 6)
+      },
       // NSW beam WALK (q260): the graph is pre-built AND materialized
       // OUTSIDE the timed frame — the probe measures the SEARCH, whose
       // cost is hops × beam × degree per query regardless of corpus size;
