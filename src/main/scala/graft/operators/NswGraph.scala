@@ -142,13 +142,27 @@ object NswGraph {
     */
   def buildRefined(emb: DataFrame, idCol: String, embCol: String, dim: Int,
                    bands: Int, rbits: Int, seed: Long, cap: Int,
-                   kInternal: Int, rounds: Int, deg: Int): DataFrame = {
+                   kInternal: Int, rounds: Int, deg: Int): DataFrame =
+    refine(emb, idCol, embCol,
+      build(emb, idCol, embCol, dim, bands, rbits, seed, cap, kInternal)
+        .localCheckpoint(),
+      kInternal, rounds, deg)
+
+  /** The NN-descent round loop on its own, applicable to ANY existing
+    * graph — [[buildRefined]] runs it over a fresh LSH seed, and as a
+    * standalone it is the periodic REFRESH a maintained index schedules:
+    * q298 measures chained upserts decaying ~1.2 recall points per batch;
+    * one refresh round (no re-bucketing, no signature recompute — just
+    * descent over the current edges) buys the quality back at a fraction
+    * of a rebuild's cost (q299 measures exactly how much).
+    */
+  def refine(emb: DataFrame, idCol: String, embCol: String, g0: DataFrame,
+             kInternal: Int, rounds: Int, deg: Int): DataFrame = {
     require(rounds >= 1 && kInternal >= deg)
     val v = emb.select(col(idCol).as("vec_id"), col(embCol).as("x"),
       Tensors.norm(col(embCol)).as("nrm"))
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
-    var g = build(emb, idCol, embCol, dim, bands, rbits, seed, cap, kInternal)
-      .localCheckpoint()
+    var g = g0
     var scored: DataFrame = null
     for (_ <- 1 to rounds) {
       val und = g.unionByName(
@@ -532,10 +546,25 @@ object NswGraph {
     val seedCtes = graphCteSql(dim, bands, rbits, seed, cap, kInternal,
         dotSql, p = s"${p}s_", src = src)
       .replace(s"${p}s_g AS MATERIALIZED", s"${p}g0 AS MATERIALIZED")
+    s"""$seedCtes,
+       |${refineCteSql(kInternal, rounds, deg, dotSql, baseG = s"${p}g0",
+            p = p, src = src, out = s"${p}g")}""".stripMargin
+  }
+
+  /** The NN-descent round chains on their own, from an arbitrary base
+    * graph CTE `$baseG` — [[refinedGraphCteSql]] composes it with the LSH
+    * seed; q299's refresh replay composes it with a maintained graph.
+    * Ends in `$out(src, dst)`.
+    */
+  def refineCteSql(kInternal: Int, rounds: Int, deg: Int,
+                   dotSql: (String, String) => String, baseG: String,
+                   p: String = "", src: String = "v",
+                   out: String = "g"): String = {
     val roundCtes = (1 to rounds).map { r =>
+      val prev = if (r == 1) baseG else s"${p}g${r - 1}"
       s"""${p}u$r AS MATERIALIZED (
-         |  SELECT src, dst FROM ${p}g${r - 1}
-         |  UNION SELECT dst AS src, src AS dst FROM ${p}g${r - 1}),
+         |  SELECT src, dst FROM $prev
+         |  UNION SELECT dst AS src, src AS dst FROM $prev),
          |${p}c$r AS (SELECT DISTINCT src, dst FROM (
          |    SELECT x.src, y.dst FROM ${p}u$r x JOIN ${p}u$r y
          |      ON x.dst = y.src
@@ -552,9 +581,8 @@ object NswGraph {
          |             ORDER BY cos DESC, dst) AS rn FROM ${p}s$r) t
          |  WHERE rn <= $kInternal)""".stripMargin
     }.mkString(",\n")
-    s"""$seedCtes,
-       |$roundCtes,
-       |${p}g AS MATERIALIZED (
+    s"""$roundCtes,
+       |$out AS MATERIALIZED (
        |  SELECT src, dst FROM (
        |    SELECT src, dst, row_number() OVER (PARTITION BY src
        |             ORDER BY cos DESC, dst) AS rn FROM ${p}s$rounds) t
