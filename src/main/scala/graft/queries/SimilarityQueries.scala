@@ -1560,6 +1560,56 @@ object SimilarityQueries {
         .localCheckpoint() // probed once per hop
       nswWalkRecall(emb, v, refreshed)
     },
+
+    // Beam-width SERVING sweep — the latency/recall knob a query-serving
+    // team actually turns (beam ∝ distance computations per query, the
+    // dominant serving cost): the q266 scalable graph built ONCE, walked
+    // at beam 8 / 16 / 32 under otherwise identical hops, each graded
+    // against brute-force truth. The resulting three-row curve is the
+    // capacity-planning table: where recall saturates is where extra
+    // beam stops buying quality and only burns latency. Oracle replays
+    // the build once and all three walks.
+    QueryDef("q300_beam_sweep", BeamSweepSql.sql) { (s, d) =>
+      import graft.functions.Tensors
+      import graft.operators.NswGraph
+      val emb = Tables.embeddings(s, d)
+      val v = emb.select(col("vec_id"), col("embedding"),
+        Tensors.norm(col("embedding")).as("nrm"))
+        .persist() // three walks + grading share it
+      val graph = NswGraph.buildRefined(emb, "vec_id", "embedding",
+          SimilarityQueries.Dim, ScalableNswSql.Bands, ScalableNswSql.Rbits,
+          ScalableNswSql.Seed, ScalableNswSql.Cap, ScalableNswSql.KInternal,
+          ScalableNswSql.Rounds, NswSql.Deg)
+        .localCheckpoint() // probed once per hop per beam
+      val q = nswQueries(v)
+      val entry = v.agg(min("vec_id").as("vid"))
+      val f0 = q.select(col("qid")).crossJoin(broadcast(entry))
+      val truth = Similarity.bruteForceTopK(emb,
+          emb.where(col("vec_id") < NswSql.Nq), 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist() // grades all three beams
+      val fw = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+      def graded(beam: Int): org.apache.spark.sql.DataFrame = {
+        val fin = nswWalk(v, q, graph, f0, NswSql.Hops, beam)
+        val found = fin
+          .join(v, col("vid") === col("vec_id"))
+          .join(broadcast(q), "qid")
+          .where(col("vid") =!= col("qid"))
+          .select(col("qid"), col("vid"),
+            round(Tensors.dot(col("qe"), col("embedding"))
+              / (col("qn") * col("nrm")), 6).as("cos"))
+          .withColumn("rn", row_number().over(fw)).where(col("rn") <= 10)
+          .select(col("qid").as("iq"), col("vid").as("inb"))
+        truth.join(found,
+            col("query_id") === col("iq") && col("neighbor_id") === col("inb"),
+            "left")
+          .agg(count(col("inb")).as("th"))
+          .select(lit(beam.toLong).as("beam"),
+            expr(s"th * 1000000 div ${NswSql.Nq * 10}").as("mean_recall_ppm"))
+      }
+      graded(8).unionByName(graded(16)).unionByName(graded(32))
+        .orderBy("beam")
+    },
   ) ++ defsTail
 
   /** q260/q266 shared harness: beam-walk the given k-NN graph from the
@@ -2483,6 +2533,66 @@ private[queries] object RefreshSql {
     s"""${UpsertDecaySql.chainCtes("gu")},
        |${NswGraph.refineCteSql(ScalableNswSql.KInternal, 1, NswSql.Deg,
             dotSql, baseG = "gu", p = "f_", src = "v", out = "g")}""".stripMargin)
+}
+
+/** Oracle for q300: the q266 scalable build ONCE, then three beam walks
+  * (8/16/32) over the same graph CTE, each with its own found/grade tail
+  * reduced to one (beam, mean_recall_ppm) row against the shared truth.
+  */
+private[queries] object BeamSweepSql {
+  import SimilarityQueries.{dotSql, normSql}
+  import graft.operators.NswGraph
+
+  val sql: String = {
+    val build = NswGraph.refinedGraphCteSql(SimilarityQueries.Dim,
+      ScalableNswSql.Bands, ScalableNswSql.Rbits, ScalableNswSql.Seed,
+      ScalableNswSql.Cap, ScalableNswSql.KInternal, ScalableNswSql.Rounds,
+      NswSql.Deg, dotSql)
+    def walk(beam: Int): String = {
+      val hops = (1 to NswSql.Hops).map(h =>
+        NswSql.hopOver(if (h == 1) "f0" else s"w${beam}_f${h - 1}",
+          s"w${beam}_f$h", "g", beam)).mkString(",\n")
+      s"""$hops,
+         |w${beam}_found AS (SELECT qid, vid FROM (
+         |    SELECT f.qid, f.vid,
+         |           row_number() OVER (PARTITION BY f.qid
+         |             ORDER BY round(${dotSql("q.qe", "v.embedding")}
+         |                            / (q.qn * v.nrm), 6) DESC, f.vid) AS rn
+         |    FROM w${beam}_f${NswSql.Hops} f
+         |    JOIN v ON v.vec_id = f.vid JOIN q ON q.qid = f.qid
+         |    WHERE f.vid <> f.qid) t
+         |  WHERE rn <= 10),
+         |w${beam}_s AS (SELECT CAST($beam AS BIGINT) AS beam,
+         |        CAST(count(w.vid) * 1000000 // ${NswSql.Nq * 10} AS BIGINT)
+         |          AS mean_recall_ppm
+         |      FROM truth t LEFT JOIN w${beam}_found w
+         |        ON w.qid = t.query_id AND w.vid = t.neighbor_id)""".stripMargin
+    }
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |$build,
+       |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+       |      FROM v WHERE vec_id < ${NswSql.Nq}),
+       |f0 AS (SELECT q.qid, (SELECT min(vec_id) FROM v) AS vid FROM q),
+       |tpairs AS (
+       |  SELECT qid AS query_id, v.vec_id AS neighbor_id,
+       |         round(${dotSql("qe", "v.embedding")} / (qn * v.nrm), 6) AS cos
+       |  FROM q JOIN v ON v.vec_id <> q.qid),
+       |truth AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM tpairs) t WHERE rank <= 10),
+       |${walk(8)},
+       |${walk(16)},
+       |${walk(32)}
+       |SELECT beam, mean_recall_ppm FROM w8_s
+       |UNION ALL SELECT beam, mean_recall_ppm FROM w16_s
+       |UNION ALL SELECT beam, mean_recall_ppm FROM w32_s
+       |ORDER BY beam""".stripMargin
+  }
 }
 
 /** Oracle for q295: the 16-d JL-projected top-10 per query (q175's
