@@ -83,6 +83,90 @@ object DiskAnn {
     * `entry` for every query, reading only visited neighborhoods. Returns
     * the final frontier (qid → beam vids) plus the IO ledger.
     */
+  /** The DISTRIBUTED serving variant of [[search]]: the driver orchestrates
+    * only ID SETS (the frontier's distinct node ids, O(queries × beam) longs
+    * per hop — what it takes to build the pushdown filter); every expansion,
+    * cosine, and per-query top-beam selection runs on EXECUTORS through the
+    * exact q266 walk expression chain ([[graft.functions.Tensors.dot]] +
+    * `round(…, 6)` + (cos desc, vid asc) window), so the results are
+    * hash-identical to both the in-memory walk and the driver-side
+    * [[search]] (DiskAnnSpec pins the equality; q301's oracle is q266's
+    * verbatim). This is the thousand-query batch posture the driver-side
+    * walk can't reach: scoring work per hop is queries × beam × degree rows
+    * spread across the cluster, while IO stays visited-neighborhood-bounded
+    * because the per-hop edge/vector scans still carry `In` filters built
+    * from the frontier ids (same row-group pruning as [[search]]).
+    *
+    * `queries` must have columns (qid, qe: array<float>, qn: double).
+    * Returns the final frontier DataFrame (qid, vid) plus the IO ledger.
+    */
+  def searchDistributed(spark: SparkSession, dir: String,
+                        queries: DataFrame, entry: Long, hops: Int,
+                        beam: Int): (DataFrame, IoStats) = {
+    import graft.functions.Tensors
+    import org.apache.spark.sql.expressions.Window
+    val fw = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    val q = broadcast(queries.select("qid", "qe", "qn"))
+    var edgeRows = 0L
+    var vecRows = 0L
+    var scans = 0
+    // Driver-side caches hold ONLY ids (the pushdown-filter bookkeeping);
+    // the fetched rows themselves accumulate in executor-side DataFrames.
+    val adjIds = scala.collection.mutable.Set.empty[Long]
+    val vecIds = scala.collection.mutable.Set.empty[Long]
+    var adj = spark.emptyDataFrame
+      .withColumn("src", lit(0L)).withColumn("dst", lit(0L))
+      .where(lit(false)).select("src", "dst")
+    var vecs: DataFrame = null
+    var frontier = queries.select(col("qid"), lit(entry).as("vid"))
+      .localCheckpoint()
+    for (_ <- 1 to hops) {
+      val fids = frontier.select("vid").distinct()
+        .collect().map(_.getLong(0)) // ids only: O(queries × beam)
+      val probe = fids.filterNot(adjIds.contains)
+      if (probe.nonEmpty) {
+        val got = spark.read.parquet(s"$dir/edges")
+          .where(col("src").isin(probe.toIndexedSeq: _*))
+          .localCheckpoint()
+        edgeRows += got.count()
+        scans += 1
+        adj = adj.unionByName(got).localCheckpoint()
+        adjIds ++= probe
+      }
+      val expanded = frontier
+        .join(adj, col("vid") === col("src"))
+        .select(col("qid"), col("dst").as("vid"))
+        .unionByName(frontier)
+        .distinct()
+        .localCheckpoint()
+      val eids = expanded.select("vid").distinct()
+        .collect().map(_.getLong(0))
+      val missing = eids.filterNot(vecIds.contains)
+      if (missing.nonEmpty) {
+        val got = spark.read.parquet(s"$dir/vectors")
+          .where(col("vec_id").isin(missing.toIndexedSeq: _*))
+          .select(col("vec_id"), col("embedding"),
+            Tensors.norm(col("embedding")).as("nrm"))
+          .localCheckpoint()
+        vecRows += got.count()
+        scans += 1
+        vecs = if (vecs == null) got else vecs.unionByName(got).localCheckpoint()
+        vecIds ++= missing
+      }
+      frontier = expanded
+        .join(vecs, col("vid") === col("vec_id"))
+        .join(q, "qid")
+        .select(col("qid"), col("vid"),
+          round(Tensors.dot(col("qe"), col("embedding"))
+            / (col("qn") * col("nrm")), 6).as("cos"))
+        .withColumn("rn", row_number().over(fw))
+        .where(col("rn") <= beam)
+        .select("qid", "vid")
+        .localCheckpoint() // hop plans must not nest
+    }
+    (frontier, IoStats(edgeRows, vecRows, scans))
+  }
+
   def search(spark: SparkSession, dir: String,
              queries: Seq[(Long, Array[Float])], entry: Long, hops: Int,
              beam: Int): (Seq[(Long, Long)], IoStats) = {

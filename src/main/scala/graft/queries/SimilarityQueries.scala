@@ -1610,6 +1610,48 @@ object SimilarityQueries {
       graded(8).unionByName(graded(16)).unionByName(graded(32))
         .orderBy("beam")
     },
+
+    // DISTRIBUTED disk-resident serving — q293 proves the bounded-IO access
+    // path but scores every candidate on the driver (the single-search-node
+    // posture); a THOUSAND-query batch needs the scoring spread across the
+    // cluster. DiskAnn.searchDistributed keeps the driver down to ID-set
+    // orchestration (the frontier's distinct node ids per hop — exactly
+    // what it takes to build the pushdown In filters, O(queries × beam)
+    // longs and corpus-size-independent), while expansion, cosine, and the
+    // per-query top-beam window all run on executors through the verbatim
+    // q266 walk expression chain. The access path stays
+    // visited-neighborhood-bounded (same require as q293) AND the compute
+    // path is now partitioned by query — the two scale axes of a serving
+    // fleet, finally in one plan. Oracle: q266's verbatim, third client of
+    // the same hash — in-memory walk ≡ driver disk walk ≡ distributed disk
+    // walk.
+    QueryDef("q301_diskann_serve", ScalableNswSql.sql) { (s, d) =>
+      import graft.functions.Tensors
+      import graft.operators.{DiskAnn, NswGraph}
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val emb = Tables.embeddings(s, d)
+      val v = emb.select(col("vec_id"), col("embedding"),
+        Tensors.norm(col("embedding")).as("nrm"))
+        .persist() // recall grading
+      val graph = NswGraph.buildRefined(emb, "vec_id", "embedding",
+        SimilarityQueries.Dim, ScalableNswSql.Bands, ScalableNswSql.Rbits,
+        ScalableNswSql.Seed, ScalableNswSql.Cap, ScalableNswSql.KInternal,
+        ScalableNswSql.Rounds, NswSql.Deg)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_diskserve_").toFile
+      sys.addShutdownHook(rmrf(root))
+      DiskAnn.writeIndex(graph, emb, "vec_id", "embedding", root.toString)
+      val entry = emb.agg(min("vec_id")).head().getLong(0)
+      val (frontier, io) = DiskAnn.searchDistributed(s, root.toString,
+        nswQueries(v), entry, NswSql.Hops, NswSql.Beam)
+      require(io.vecRows <= NswSql.Nq.toLong * NswSql.Beam * NswSql.Hops
+        * (NswSql.Deg + 1),
+        s"distributed walk read ${io.vecRows} vectors — bound broken")
+      nswFoundRecall(emb, v, nswQueries(v), frontier)
+    },
   ) ++ defsTail
 
   /** q260/q266 shared harness: beam-walk the given k-NN graph from the

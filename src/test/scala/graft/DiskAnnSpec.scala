@@ -68,6 +68,29 @@ class DiskAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed serving walk equals the driver-side walk exactly") {
+    withIndex { dir =>
+      import graft.functions.Tensors
+      val emb = Tables.embeddings(spark, TestSpark.sfDir)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val (driver, _) = DiskAnn.search(spark, dir, queries, 0L, 6, 16)
+      val qdf = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          Tensors.norm(col("embedding")).as("qn"))
+      val (frontier, io) = DiskAnn.searchDistributed(spark, dir, qdf, 0L, 6, 16)
+      val dist = frontier.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // bit-identical frontiers: the executor-side expression chain and the
+      // driver-side replica must agree on every (query, neighbor) pair
+      assert(dist.sorted.toSeq == driver.sorted,
+        s"distributed ${dist.length} vs driver ${driver.size}")
+      // and the distributed path keeps the same neighborhood IO bound
+      assert(io.vecRows <= 5L * 16 * 6 * 9,
+        s"vector rows ${io.vecRows} exceed the neighborhood bound")
+    }
+  }
+
   test("search is deterministic across runs") {
     withIndex { dir =>
       val emb = Tables.embeddings(spark, TestSpark.sfDir)
