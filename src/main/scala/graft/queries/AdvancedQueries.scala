@@ -1510,6 +1510,101 @@ object AdvancedQueries {
           expr("mx * 1000000 div n_vertices").as("largest_share_ppm"),
           col("max_degree"),
           expr("sdg * 100 div nd").as("avg_degree_x100"))
+    },
+
+    // Single-source BFS shortest-path layers — the one graph primitive the
+    // family (PageRank, CC, triangles, k-core, HITS, LPA, modularity) was
+    // still missing: DISTANCE. Over q81's bipartite customer↔supplier
+    // interaction graph, from the smallest customer id, four frontier
+    // rounds; first-touch IS the minimum hop count because each round's
+    // frontier is anti-joined against everything already reached (the
+    // textbook distributed BFS — per round one equi-join shuffle keyed by
+    // edge source + one anti-join, frontier bounded by |V|, no weights so
+    // no priority queue to fake). The oracle's recursive CTE carries (id,
+    // dist) pairs under UNION dedup — bounded by |V|·hops, not path count —
+    // and takes min(dist) per id.
+    QueryDef("q302_bfs_layers",
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s + 1000000 AS dst FROM pairs
+        |      UNION ALL SELECT s + 1000000, c FROM pairs),
+        |seed AS (SELECT min(src) AS id FROM e),
+        |bfs(id, dist) AS (
+        |  SELECT id, 0 FROM seed
+        |  UNION
+        |  SELECT e.dst, bfs.dist + 1
+        |  FROM bfs JOIN e ON e.src = bfs.id WHERE bfs.dist < 4)
+        |SELECT id, CAST(min(dist) AS BIGINT) AS dist
+        |FROM bfs GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val e = pairs.select(col("c").as("src"), (col("s") + 1000000L).as("dst"))
+        .unionAll(pairs.select((col("s") + 1000000L).as("src"),
+          col("c").as("dst")))
+        .persist() // probed once per round
+      val seed = e.agg(min("src").as("id"))
+      var known = seed.withColumn("dist", lit(0L)).localCheckpoint()
+      var frontier = known.select("id")
+      for (h <- 1 to 4) {
+        val next = frontier.join(e, col("id") === col("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(known, Seq("id"), "left_anti")
+          .withColumn("dist", lit(h.toLong))
+          .localCheckpoint() // round plans must not nest
+        known = known.unionByName(next).localCheckpoint()
+        frontier = next.select("id")
+      }
+      known.orderBy("id")
+    },
+
+    // Skyline (Pareto frontier) — the multi-criteria shortlist operator:
+    // parts where no other part is both cheaper-or-equal AND
+    // smaller-or-equal with at least one strict. The naive formulation is
+    // a quadratic NOT EXISTS self-join; in 2-D it reduces to (1) a
+    // min-size census per distinct price (one equi-shuffle with map-side
+    // combine), (2) a prefix-min window over that CENSUS — orders of
+    // magnitude smaller than the data, the only globally-ordered pass —
+    // and (3) an equi-join of the points back against their price's
+    // census row: survive iff no strictly-cheaper price has min size ≤
+    // own (prefix) and no equal-priced point is strictly smaller (census
+    // min). No self-join, no global sort of the DATA — the 100 TB shape
+    // for pareto shortlists. Duplicate (price, size) points all survive
+    // (domination needs one strict coordinate), stated by both engines.
+    QueryDef("q304_skyline",
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |         CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cents,
+        |         CAST(p_size AS BIGINT) AS size
+        |  FROM part),
+        |w AS (
+        |  SELECT p_partkey, cents, size,
+        |         min(size) OVER (ORDER BY cents
+        |           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS min_size_cheaper,
+        |         min(size) OVER (PARTITION BY cents) AS min_size_equal
+        |  FROM p)
+        |SELECT p_partkey, cents, size
+        |FROM w
+        |WHERE (min_size_cheaper IS NULL OR min_size_cheaper > size)
+        |  AND min_size_equal >= size
+        |ORDER BY cents, size, p_partkey""".stripMargin) { (s, d) =>
+      val p = Tables.part(s, d).select(col("p_partkey"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("cents"),
+        col("p_size").cast("long").as("size"))
+      val census = p.groupBy("cents").agg(min("size").as("min_size_equal"))
+      val prefix = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val w = census.select(col("cents"), col("min_size_equal"),
+        min("min_size_equal").over(prefix).as("min_size_cheaper"))
+      p.join(w, "cents")
+        .where((col("min_size_cheaper").isNull
+            || col("min_size_cheaper") > col("size"))
+          && col("min_size_equal") >= col("size"))
+        .select("p_partkey", "cents", "size")
+        .orderBy("cents", "size", "p_partkey")
     }
   )
 }

@@ -1063,6 +1063,73 @@ object ScaleQueries {
         .select(col("n_build"), col("n_probes"),
           (col("fp_hits").cast("double")
             <= lit(0.03) * col("n_probes")).as("within_bound"))
+    },
+
+    // Association rules — q205 stops at co-occurrence counts; the curation
+    // decision needs DIRECTED rules graded by confidence (P(b|a)) and lift
+    // (observed co-rate over independence). Same bounded basket self-join
+    // as q205 (fan-out Σ b_i², baskets ≤ 7 lines, shuffle keyed by basket
+    // id), then each undirected pair emits both rule directions joined
+    // against the broadcast-sized item-support census. All ratios are ppm
+    // integer divisions; the lift numerator is 128-bit (decimal(38,0) /
+    // HUGEINT) because n_ab · N · 1e6 overflows BIGINT at corpus scale —
+    // the same headroom posture as the regression moments. Min support 2,
+    // top-20 by (lift DESC, confidence DESC, antecedent, consequent).
+    QueryDef("q305_assoc_rules",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+        |            FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS baskets FROM li),
+        |item AS (SELECT p, CAST(count(*) AS BIGINT) AS n_item
+        |         FROM li GROUP BY p),
+        |pairs AS (
+        |  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM li a JOIN li b ON a.k = b.k AND a.p < b.p
+        |  GROUP BY a.p, b.p),
+        |rules AS (
+        |  SELECT pa AS antecedent, pb AS consequent, n_ab FROM pairs
+        |  UNION ALL
+        |  SELECT pb, pa, n_ab FROM pairs)
+        |SELECT r.antecedent, r.consequent, r.n_ab AS support,
+        |       CAST(r.n_ab * 1000000 // ia.n_item AS BIGINT) AS conf_ppm,
+        |       CAST(CAST(r.n_ab AS HUGEINT) * n.baskets * 1000000
+        |            // (ia.n_item * ic.n_item) AS BIGINT) AS lift_ppm
+        |FROM rules r
+        |JOIN item ia ON ia.p = r.antecedent
+        |JOIN item ic ON ic.p = r.consequent
+        |CROSS JOIN n
+        |WHERE r.n_ab >= 2
+        |ORDER BY lift_ppm DESC, conf_ppm DESC, antecedent, consequent
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+        .distinct()
+        .persist() // basket census + pair join share it
+      val n = li.select(countDistinct("k").as("baskets"))
+      val item = li.groupBy("p").agg(count(lit(1)).as("n_item"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("n_ab"))
+      val rules = pairs.select(col("pa").as("antecedent"),
+          col("pb").as("consequent"), col("n_ab"))
+        .unionByName(pairs.select(col("pb").as("antecedent"),
+          col("pa").as("consequent"), col("n_ab")))
+      rules
+        .join(broadcast(item.select(col("p"), col("n_item").as("n_a"))),
+          col("antecedent") === col("p")).drop("p")
+        .join(broadcast(item.select(col("p"), col("n_item").as("n_c"))),
+          col("consequent") === col("p")).drop("p")
+        .crossJoin(broadcast(n))
+        .where(col("n_ab") >= 2)
+        .select(col("antecedent"), col("consequent"),
+          col("n_ab").as("support"),
+          expr("n_ab * 1000000 div n_a").as("conf_ppm"),
+          expr("CAST(n_ab AS DECIMAL(38,0)) * baskets * 1000000" +
+            " div (CAST(n_a AS DECIMAL(38,0)) * n_c)")
+            .cast("long").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("conf_ppm").desc,
+          col("antecedent"), col("consequent"))
+        .limit(20)
     }
   )
 }
