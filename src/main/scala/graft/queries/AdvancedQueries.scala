@@ -1605,6 +1605,85 @@ object AdvancedQueries {
           && col("min_size_equal") >= col("size"))
         .select("p_partkey", "cents", "size")
         .orderBy("cents", "size", "p_partkey")
+    },
+
+    // Grid-density clustering — the DBSCAN shape made distributable (the
+    // CLIQUE/grid reduction): instead of per-point ε-neighborhoods
+    // (a quadratic radius join), points census into fixed 100×100 cells
+    // (one equi-shuffle with map-side combine), DENSE cells (≥ 4 points)
+    // become the vertices, 8-neighborhood adjacency between dense cells
+    // becomes the edge list (offset-explode equi-join — 9 candidates per
+    // cell, never all-pairs), and clusters are the connected components
+    // of that CELL graph (large-star/small-star, count-gated). The graph
+    // the fixpoint runs on is the DENSE-CELL census — orders of magnitude
+    // smaller than the data, the property that makes density clustering
+    // survive 100 TB. Same deterministic point cloud as the q178/q184
+    // spatial family; sparse-cell points report as the noise row
+    // (cluster_id −1), exactly DBSCAN's noise semantics at cell
+    // granularity.
+    QueryDef("q307_grid_density", {
+      import graft.functions.Hashes
+      s"""WITH RECURSIVE p AS (
+         |  SELECT c_custkey AS id,
+         |         (${Hashes.mulHashSql("c_custkey", 11)}) % 1000 AS x,
+         |         (${Hashes.mulHashSql("c_custkey", 13)}) % 1000 AS y
+         |  FROM customer),
+         |cells AS (
+         |  SELECT (x // 100) * 1000 + (y // 100) AS cid,
+         |         CAST(count(*) AS BIGINT) AS n_pts
+         |  FROM p GROUP BY 1),
+         |dense AS (SELECT cid, n_pts FROM cells WHERE n_pts >= 4),
+         |e AS (
+         |  SELECT a.cid AS ea, b.cid AS eb
+         |  FROM dense a JOIN dense b
+         |    ON abs(a.cid // 1000 - b.cid // 1000) <= 1
+         |   AND abs(a.cid % 1000 - b.cid % 1000) <= 1),
+         |reach(rv, rr) AS (
+         |  SELECT DISTINCT ea, ea FROM e
+         |  UNION
+         |  SELECT e.eb, reach.rr FROM e JOIN reach ON reach.rv = e.ea),
+         |comp AS (SELECT rv AS cid, min(rr) AS cluster_id
+         |         FROM reach GROUP BY rv),
+         |clusters AS (
+         |  SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_cells,
+         |         CAST(sum(d.n_pts) AS BIGINT) AS n_points
+         |  FROM dense d JOIN comp c ON c.cid = d.cid
+         |  GROUP BY c.cluster_id),
+         |noise AS (
+         |  SELECT CAST(-1 AS BIGINT) AS cluster_id,
+         |         CAST(count(*) AS BIGINT) AS n_cells,
+         |         CAST(coalesce(sum(n_pts), 0) AS BIGINT) AS n_points
+         |  FROM cells WHERE n_pts < 4)
+         |SELECT cluster_id, n_cells, n_points FROM clusters
+         |UNION ALL SELECT * FROM noise
+         |ORDER BY cluster_id""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      val p = Tables.customer(s, d).select(col("c_custkey").as("id"),
+        (Hashes.mulHash(col("c_custkey"), 11) % 1000).as("x"),
+        (Hashes.mulHash(col("c_custkey"), 13) % 1000).as("y"))
+      val cells = p
+        .groupBy((expr("x div 100") * 1000 + expr("y div 100")).as("cid"))
+        .agg(count(lit(1)).as("n_pts"))
+        .persist() // dense vertices + noise census share it
+      val dense = cells.where(col("n_pts") >= 4)
+      val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+      val a = dense.select(col("cid").as("ea"), explode(offsets).as("off"))
+        .select(col("ea"),
+          ((expr("ea div 1000") + col("off.dx")) * 1000
+            + (expr("ea % 1000") + col("off.dy"))).as("nb"))
+      val e = a.join(dense.select(col("cid").as("eb")),
+        col("nb") === col("eb"))
+      val comp = Components.largeStarSmallStar(e, "ea", "eb")
+      val clusters = dense.join(comp, col("cid") === col("id"))
+        .groupBy(col("comp").as("cluster_id"))
+        .agg(count(lit(1)).as("n_cells"), sum("n_pts").as("n_points"))
+      val noise = cells.where(col("n_pts") < 4)
+        .agg(count(lit(1)).as("n_cells"),
+          coalesce(sum("n_pts"), lit(0L)).as("n_points"))
+        .select(lit(-1L).as("cluster_id"), col("n_cells"), col("n_points"))
+      clusters.unionByName(noise).orderBy("cluster_id")
     }
   )
 }

@@ -710,6 +710,113 @@ object MlQueries {
         .orderBy("decile")
     },
 
+    // Multinomial Naive Bayes fit + apply — the count-based generative
+    // classifier next to the discriminative family (q48/q103 logistic,
+    // q150 hashed-feature quality LR): the fit IS one aggregation pass
+    // (per-(class, token) counts, per-class token totals, class priors —
+    // all mergeable, no gradient loop), the exact property that makes NB
+    // the first classifier anyone runs at corpus scale. Laplace-smoothed
+    // log-likelihoods round to 1e-6 integer units at the ONE libm call
+    // (the q80 posture); everything downstream — per-document score sums,
+    // the (score DESC, class ASC) argmax — is exact integer arithmetic.
+    // Train on doc_id%10<8, score the held-out fifth, emit the
+    // lang-vs-predicted confusion census (q34's heuristic langid is the
+    // rule-based counterpart of this learned one). Scale: the likelihood
+    // relation is vocab × n_class rows keyed by token (the scoring join's
+    // shuffle key); classes and priors broadcast; the ×n_class scoring
+    // fan-out is bounded by the class count.
+    QueryDef("q303_naive_bayes",
+      """WITH tr AS (SELECT doc_id, lang, text FROM documents
+        |            WHERE doc_id % 10 < 8),
+        |te AS (SELECT doc_id, lang, text FROM documents
+        |       WHERE doc_id % 10 >= 8),
+        |trtok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |          FROM tr),
+        |vocab AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+        |          FROM trtok),
+        |cls AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS n_docs
+        |        FROM tr GROUP BY lang),
+        |ctot AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS n_tok
+        |         FROM trtok GROUP BY lang),
+        |prior AS (
+        |  SELECT cls.c,
+        |         CAST(round(ln(CAST(cls.n_docs AS DOUBLE)
+        |           / (SELECT sum(n_docs) FROM cls)) * 1000000, 0) AS BIGINT)
+        |           AS prior_e6,
+        |         CAST(round(ln(CAST(1 AS DOUBLE) / (ctot.n_tok + vocab.v))
+        |           * 1000000, 0) AS BIGINT) AS def_e6
+        |  FROM cls JOIN ctot ON ctot.c = cls.c CROSS JOIN vocab),
+        |lp AS (
+        |  SELECT t.lang AS c, t.token,
+        |         CAST(round(ln(CAST(count(*) + 1 AS DOUBLE)
+        |           / (max(ctot.n_tok) + max(vocab.v))) * 1000000, 0) AS BIGINT)
+        |           AS lp_e6
+        |  FROM trtok t JOIN ctot ON ctot.c = t.lang CROSS JOIN vocab
+        |  GROUP BY t.lang, t.token),
+        |tetok AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM te) GROUP BY doc_id, token),
+        |scored AS (
+        |  SELECT tt.doc_id, p.c,
+        |         max(p.prior_e6)
+        |           + sum(tt.cnt * coalesce(lp.lp_e6, p.def_e6)) AS score
+        |  FROM tetok tt CROSS JOIN prior p
+        |  LEFT JOIN lp ON lp.c = p.c AND lp.token = tt.token
+        |  GROUP BY tt.doc_id, p.c),
+        |pred AS (
+        |  SELECT doc_id, c AS predicted,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score DESC, c) AS rn
+        |  FROM scored)
+        |SELECT te.lang, pred.predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM te JOIN pred ON pred.doc_id = te.doc_id AND pred.rn = 1
+        |GROUP BY te.lang, pred.predicted
+        |ORDER BY te.lang, pred.predicted""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tr = docs.where(col("doc_id") % 10 < 8)
+      val te = docs.where(col("doc_id") % 10 >= 8)
+      val trtok = tr.select(col("lang"),
+          explode(split(col("text"), " ", -1)).as("token"))
+        .persist() // vocab + class totals + likelihood counts share it
+      val vocab = trtok.agg(countDistinct("token").as("v"))
+      val cls = tr.groupBy(col("lang").as("c")).agg(count(lit(1)).as("n_docs"))
+      val ctot = trtok.groupBy(col("lang").as("c"))
+        .agg(count(lit(1)).as("n_tok"))
+      val nTrain = broadcast(cls.agg(sum("n_docs").as("nd")))
+      val prior = cls.join(ctot, "c").crossJoin(broadcast(vocab))
+        .crossJoin(nTrain)
+        .select(col("c"),
+          round(log(col("n_docs").cast("double") / col("nd")) * 1000000, 0)
+            .cast("long").as("prior_e6"),
+          round(log(lit(1.0).cast("double") / (col("n_tok") + col("v")))
+            * 1000000, 0).cast("long").as("def_e6"))
+      val lp = trtok.groupBy(col("lang").as("c"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(ctot, "c").crossJoin(broadcast(vocab))
+        .select(col("c"), col("token"),
+          round(log((col("cnt") + 1).cast("double")
+            / (col("n_tok") + col("v"))) * 1000000, 0)
+            .cast("long").as("lp_e6"))
+      val tetok = te.select(col("doc_id"),
+          explode(split(col("text"), " ", -1)).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      val scored = tetok.crossJoin(broadcast(prior))
+        .join(lp, Seq("c", "token"), "left")
+        .groupBy("doc_id", "c")
+        .agg((max("prior_e6")
+          + sum(col("cnt") * coalesce(col("lp_e6"), col("def_e6"))))
+          .as("score"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("c"))
+      val pred = scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("c").as("predicted"))
+      te.select(col("doc_id"), col("lang")).join(pred, "doc_id")
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    },
+
     // Second principal component by DEFLATION — the step from "top
     // eigenvector" (q229) to an actual PCA basis: C₂ = C − λ₁·v₁v₁ᵀ
     // removes the leading component's variance (Hotelling deflation), and

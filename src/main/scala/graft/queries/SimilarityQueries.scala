@@ -1652,6 +1652,98 @@ object SimilarityQueries {
         s"distributed walk read ${io.vecRows} vectors — bound broken")
       nswFoundRecall(emb, v, nswQueries(v), frontier)
     },
+
+    // Late-interaction (MaxSim) retrieval — the ColBERT scoring shape
+    // (Khattab & Zaharia, SIGIR 2020): instead of ONE vector per item, each
+    // side carries a BAG of sub-vectors and the score is
+    // Σᵢ maxⱼ cos(qᵢ, dⱼ) — a query facet matches its BEST counterpart
+    // facet, so multi-aspect items aren't averaged into mush. Here the
+    // 64-d embedding is read as 4 × 16-d facets (the Matryoshka-style
+    // slicing q296 already exploits); candidates come from the q42 LSH
+    // bucket equi-join (never all-pairs), and each candidate pays exactly
+    // 16 sub-cosines — a constant-factor rerank, the production posture
+    // where MaxSim is the precision stage over an ANN recall stage. Every
+    // sub-cosine lands on the 1e-6 integer grid BEFORE max/sum, so the
+    // whole interaction matrix is exact integer arithmetic in both
+    // engines; ranking ties break by neighbor id. Top-3 per query with
+    // the full-vector cosine alongside — the rerank-vs-base comparison.
+    QueryDef("q306_late_interaction", {
+      def subDot(a: String, b: String, ka: Int, kb: Int): String =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |  list_transform(range(1, 17),
+           |    i -> CAST($a[i + ${ka * 16}] AS DOUBLE)
+           |       * CAST($b[i + ${kb * 16}] AS DOUBLE))),
+           |  (x, y) -> x + y)""".stripMargin
+      def subNorm(a: String, k: Int): String =
+        s"sqrt(${subDot(a, a, k, k)})"
+      val subNorms = (0 until 4)
+        .map(k => s"${subNorm("embedding", k)} AS sn$k").mkString(",\n|       ")
+      val maxsim = (0 until 4).map { i =>
+        "greatest(" + (0 until 4).map { j =>
+          s"""CAST(round(${subDot("qv", "v.embedding", i, j)}
+             | / (q.qsn$i * v.sn$j) * 1000000, 0) AS BIGINT)""".stripMargin
+        }.mkString(", ") + ")"
+      }.mkString(" + ")
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+         |       $subNorms,
+         |       ${Similarity.lshBucketSql("embedding", Dim, 4)} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+         |             sn0 AS qsn0, sn1 AS qsn1, sn2 AS qsn2, sn3 AS qsn3,
+         |             bucket
+         |      FROM v WHERE vec_id < 20),
+         |pairs AS (
+         |  SELECT query_id, v.vec_id AS neighbor_id,
+         |         $maxsim AS maxsim_e6,
+         |         round(${dotSql("qv", "v.embedding")} / (qn * v.nrm), 6)
+         |           AS cos_full
+         |  FROM q JOIN v ON v.bucket = q.bucket AND v.vec_id <> query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, maxsim_e6, cos_full,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY maxsim_e6 DESC, neighbor_id) AS rank
+         |  FROM pairs)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+         |       maxsim_e6, cos_full
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Tensors
+      def sub(c: org.apache.spark.sql.Column, k: Int)
+          : org.apache.spark.sql.Column = slice(c, k * 16 + 1, 16)
+      val v = Tables.embeddings(s, d).select(
+        col("vec_id"), col("embedding"),
+        Tensors.norm(col("embedding")).as("nrm"),
+        Tensors.norm(sub(col("embedding"), 0)).as("sn0"),
+        Tensors.norm(sub(col("embedding"), 1)).as("sn1"),
+        Tensors.norm(sub(col("embedding"), 2)).as("sn2"),
+        Tensors.norm(sub(col("embedding"), 3)).as("sn3"),
+        Similarity.lshBucket(col("embedding"), Dim, 4).as("bucket"))
+      val q = v.where(col("vec_id") < 20).select(
+        col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("sn0").as("qsn0"), col("sn1").as("qsn1"),
+        col("sn2").as("qsn2"), col("sn3").as("qsn3"),
+        col("bucket").as("qbucket"))
+      val maxsim = (0 until 4).map { i =>
+        greatest((0 until 4).map { j =>
+          round(Tensors.dot(sub(col("qv"), i), sub(col("embedding"), j))
+            / (col(s"qsn$i") * col(s"sn$j")) * 1000000, 0).cast("long")
+        }: _*)
+      }.reduce(_ + _)
+      val fw = Window.partitionBy("query_id")
+        .orderBy(col("maxsim_e6").desc, col("neighbor_id"))
+      q.join(v, col("qbucket") === col("bucket")
+          && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          maxsim.as("maxsim_e6"),
+          round(Tensors.dot(col("qv"), col("embedding"))
+            / (col("qn") * col("nrm")), 6).as("cos_full"))
+        .withColumn("rank", row_number().over(fw))
+        .where(col("rank") <= 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("maxsim_e6"), col("cos_full"))
+        .orderBy("query_id", "rank")
+    },
   ) ++ defsTail
 
   /** q260/q266 shared harness: beam-walk the given k-NN graph from the
