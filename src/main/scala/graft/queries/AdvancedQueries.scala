@@ -1684,6 +1684,58 @@ object AdvancedQueries {
           coalesce(sum("n_pts"), lit(0L)).as("n_points"))
         .select(lit(-1L).as("cluster_id"), col("n_cells"), col("n_points"))
       clusters.unionByName(noise).orderBy("cluster_id")
+    },
+
+    // Weighted cheapest paths (Bellman-Ford rounds) — q302 counts hops;
+    // routing and attribution need COST. Min-plus relaxation over the
+    // customer↔supplier graph weighted by the cheapest line item ever
+    // shipped between the pair (exact cents): four synchronous rounds of
+    // dist ← min(dist, min over in-edges(dist[src] + w)), each one
+    // edge-keyed equi-join + min-aggregate — the min-plus semiring
+    // counterpart of the PageRank round, same shuffle shape, integer
+    // arithmetic end to end. Both engines replay the SAME four rounds as
+    // chained aggregations (no recursion — path enumeration would
+    // explode; round-wise min never does: state is one row per vertex).
+    QueryDef("q308_cheapest_path", {
+      def rnd(k: Int, prev: String) =
+        s"""d$k AS (
+           |  SELECT id, min(cost) AS cost FROM (
+           |    SELECT id, cost FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS id, p.cost + e.w AS cost
+           |    FROM $prev p JOIN e ON e.src = p.id)
+           |  GROUP BY id)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT o_custkey AS c, l_suppkey AS s,
+         |         min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY o_custkey, l_suppkey),
+         |e AS (SELECT c AS src, s + 1000000 AS dst, w FROM pairs
+         |      UNION ALL SELECT s + 1000000, c, w FROM pairs),
+         |seed AS (SELECT min(src) AS id, CAST(0 AS BIGINT) AS cost FROM e),
+         |d0 AS (SELECT id, cost FROM seed),
+         |${rnd(1, "d0")}, ${rnd(2, "d1")}, ${rnd(3, "d2")}, ${rnd(4, "d3")}
+         |SELECT id, cost FROM d4 ORDER BY id""".stripMargin
+    }) { (s, d) =>
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .agg(min(round(col("l_extendedprice") * 100, 0).cast("long")).as("w"))
+      val e = pairs.select(col("c").as("src"), (col("s") + 1000000L).as("dst"),
+          col("w"))
+        .unionAll(pairs.select((col("s") + 1000000L).as("src"),
+          col("c").as("dst"), col("w")))
+        .persist() // probed once per round
+      var dist = e.agg(min("src").as("id")).withColumn("cost", lit(0L))
+        .localCheckpoint()
+      for (_ <- 1 to 4) {
+        dist = dist
+          .unionByName(dist.join(e, col("id") === col("src"))
+            .select(col("dst").as("id"), (col("cost") + col("w")).as("cost")))
+          .groupBy("id").agg(min("cost").as("cost"))
+          .localCheckpoint() // round plans must not nest
+      }
+      dist.orderBy("id")
     }
   )
 }

@@ -1287,6 +1287,92 @@ object TextQueries {
           orderedText(tgtPiece).as("tgt_text"),
           sum(when(col("is_start"), 1L).otherwise(0L)).as("n_spans"))
         .orderBy("doc_id")
+    },
+
+    // TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) — the
+    // graph-centrality answer to "which words matter in this corpus":
+    // adjacent-token pairs (q82's bigram relation) become an undirected
+    // word graph, words dictionary-encode by alphabetical rank (a window
+    // over the VOCAB census — statistics-sized, the scaler posture), and
+    // q81's damped PageRank (2 rounds, contributions quantized to 1e-12
+    // integer units so both engines sum exactly) ranks the vocabulary.
+    // Stopword-free fixture text makes every token a candidate; real
+    // pipelines drop a stoplist first (q149's blocklist machinery).
+    // Top-20 by (rank DESC, word) with the oracle replaying the same
+    // dictionary, edges, and both PageRank rounds.
+    QueryDef("q309_textrank", {
+      def m(k: Int, prev: String) =
+        s"""d$k AS (
+           |  SELECT coalesce(sum(CAST(round(p.r * 1e12, 0) AS BIGINT)), 0) AS dm
+           |  FROM $prev p WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = p.id)),
+           |m$k AS (
+           |  SELECT e.dst AS id,
+           |         sum(CAST(round(p.r / deg.outdeg * 1e12, 0) AS BIGINT)) AS m
+           |  FROM e JOIN $prev p ON e.src = p.id JOIN deg ON deg.src = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      def r(k: Int) =
+        s"""r$k AS (
+           |  SELECT v.id, round((CAST(1.0 AS DOUBLE) - 0.85) / nn.n
+           |    + 0.85 * (coalesce(m$k.m, 0) / 1e12 + (d$k.dm / 1e12) / nn.n), 9) AS r
+           |  FROM v CROSS JOIN nn CROSS JOIN d$k LEFT JOIN m$k ON m$k.id = v.id)""".stripMargin
+      s"""WITH t AS (
+         |  SELECT string_split(text, ' ') AS toks FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |idx AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t),
+         |b AS (SELECT DISTINCT toks[i] AS wa, toks[i + 1] AS wb FROM idx
+         |      WHERE toks[i] <> toks[i + 1]),
+         |vocab AS (
+         |  SELECT word, row_number() OVER (ORDER BY word) AS wid
+         |  FROM (SELECT DISTINCT wa AS word FROM b
+         |        UNION SELECT DISTINCT wb FROM b)),
+         |e AS (
+         |  SELECT DISTINCT va.wid AS src, vb.wid AS dst
+         |  FROM b JOIN vocab va ON va.word = b.wa
+         |         JOIN vocab vb ON vb.word = b.wb
+         |  UNION
+         |  SELECT DISTINCT vb.wid, va.wid
+         |  FROM b JOIN vocab va ON va.word = b.wa
+         |         JOIN vocab vb ON vb.word = b.wb),
+         |v AS (SELECT wid AS id FROM vocab),
+         |nn AS (SELECT count(*) AS n FROM v),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS r FROM v CROSS JOIN nn),
+         |${m(1, "r0")},
+         |${r(1)},
+         |${m(2, "r1")},
+         |${r(2)}
+         |SELECT vocab.word, round(r2.r, 6) AS textrank
+         |FROM r2 JOIN vocab ON vocab.wid = r2.id
+         |ORDER BY textrank DESC, word LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.PageRank
+      val t = Tables.documents(s, d)
+        .select(split(col("text"), " ", -1).as("toks"))
+        .where(size(col("toks")) >= 2)
+      val b = t
+        .select(col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+        .select(element_at(col("toks"), col("i")).as("wa"),
+          element_at(col("toks"), col("i") + 1).as("wb"))
+        .where(col("wa") =!= col("wb"))
+        .distinct()
+        .persist() // vocab + both encode joins share it
+      val vw = org.apache.spark.sql.expressions.Window.orderBy("word")
+      val vocab = b.select(col("wa").as("word"))
+        .union(b.select(col("wb").as("word"))).distinct()
+        .withColumn("wid", row_number().over(vw))
+        .persist() // census-sized: the dictionary, encode + decode
+      val enc = b
+        .join(vocab.select(col("word").as("wa"), col("wid").as("sa")), "wa")
+        .join(vocab.select(col("word").as("wb"), col("wid").as("sb")), "wb")
+      val e = enc.select(col("sa").as("src"), col("sb").as("dst"))
+        .union(enc.select(col("sb").as("src"), col("sa").as("dst")))
+        .distinct()
+      PageRank.pagerank(e, iters = 2)
+        .join(vocab, col("id") === col("wid"))
+        .select(col("word"), round(col("r"), 6).as("textrank"))
+        .orderBy(col("textrank").desc, col("word"))
+        .limit(20)
     }
   )
 }
