@@ -817,6 +817,205 @@ object MlQueries {
         .orderBy("lang", "predicted")
     },
 
+    // Bradley–Terry preference ratings (MM algorithm, Hunter 2004) — the
+    // model behind pairwise-preference data: P(i beats j) =
+    // rᵢ/(rᵢ+rⱼ), fitted by three minorization-maximization rounds of
+    // rᵢ ← Wᵢ / Σⱼ nᵢⱼ/(rᵢ+rⱼ). Matches derive deterministically from
+    // the fixture: per order, the two smallest supplier keys compete and
+    // the larger line-revenue total wins (ties to the smaller key). Each
+    // MM round is ONE pair-keyed join + aggregate (the PageRank shuffle
+    // shape); per-opponent contributions quantize to 1e-12 integer units
+    // BEFORE summing (order-insensitive exact sums — the q81 posture) and
+    // ratings live on the 1e-9 grid. Every player also plays one win and
+    // one loss against a FIXED reference of rating 1 — the standard
+    // regularizer that pins the scale, keeps zero-win players off 0, and
+    // guards every denominator. Top-20 by (rating DESC, supplier).
+    QueryDef("q310_bradley_terry", {
+      def round_(k: Int, prev: String) =
+        s"""c$k AS (
+           |  SELECT p.i,
+           |         sum(CAST(round(p.n / (ri.r + rj.r) * 1e12, 0) AS BIGINT))
+           |           AS s
+           |  FROM pairs p JOIN $prev ri ON ri.id = p.i
+           |               JOIN $prev rj ON rj.id = p.j
+           |  GROUP BY p.i),
+           |r$k AS (
+           |  SELECT w.id,
+           |         round((w.wins + 1) * 1e12 /
+           |           (c$k.s + CAST(round(CAST(2 AS DOUBLE) / (prv.r + 1) * 1e12,
+           |                               0) AS BIGINT)),
+           |           9) AS r
+           |  FROM w JOIN c$k ON c$k.i = w.id JOIN $prev prv ON prv.id = w.id)""".stripMargin
+      s"""WITH sup AS (
+         |  SELECT l_orderkey AS k, l_suppkey AS s,
+         |         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cents
+         |  FROM lineitem GROUP BY l_orderkey, l_suppkey),
+         |rk AS (SELECT k, s, cents,
+         |         row_number() OVER (PARTITION BY k ORDER BY s) AS rn
+         |       FROM sup),
+         |duel AS (
+         |  SELECT a.k, a.s AS s1, a.cents AS c1, b.s AS s2, b.cents AS c2
+         |  FROM rk a JOIN rk b ON a.k = b.k AND a.rn = 1 AND b.rn = 2),
+         |matches AS (
+         |  SELECT CASE WHEN c2 > c1 THEN s2 ELSE s1 END AS winner,
+         |         CASE WHEN c2 > c1 THEN s1 ELSE s2 END AS loser
+         |  FROM duel),
+         |pairs AS (
+         |  SELECT i, j, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT winner AS i, loser AS j FROM matches
+         |    UNION ALL SELECT loser, winner FROM matches)
+         |  GROUP BY i, j),
+         |w AS (
+         |  SELECT p.id, coalesce(v.wins, 0) AS wins, p.games FROM
+         |    (SELECT i AS id, sum(n) AS games FROM pairs GROUP BY i) p
+         |    LEFT JOIN (SELECT winner AS id, CAST(count(*) AS BIGINT) AS wins
+         |               FROM matches GROUP BY winner) v ON v.id = p.id),
+         |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS r FROM w),
+         |${round_(1, "r0")},
+         |${round_(2, "r1")},
+         |${round_(3, "r2")}
+         |SELECT w.id AS suppkey, CAST(w.games AS BIGINT) AS games,
+         |       CAST(w.wins AS BIGINT) AS wins, round(r3.r, 6) AS rating
+         |FROM w JOIN r3 ON r3.id = w.id
+         |ORDER BY rating DESC, suppkey LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("s")
+      val sup = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k"), col("l_suppkey").as("s"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("cents"))
+        .withColumn("rn", row_number().over(wOrd))
+      val duel = sup.where(col("rn") === 1)
+        .select(col("k"), col("s").as("s1"), col("cents").as("c1"))
+        .join(sup.where(col("rn") === 2)
+          .select(col("k"), col("s").as("s2"), col("cents").as("c2")), "k")
+      val matches = duel.select(
+          when(col("c2") > col("c1"), col("s2")).otherwise(col("s1"))
+            .as("winner"),
+          when(col("c2") > col("c1"), col("s1")).otherwise(col("s2"))
+            .as("loser"))
+        .persist() // pair census + win census share it
+      val pairs = matches.select(col("winner").as("i"), col("loser").as("j"))
+        .unionAll(matches.select(col("loser").as("i"), col("winner").as("j")))
+        .groupBy("i", "j").agg(count(lit(1)).as("n"))
+        .persist() // probed once per MM round
+      val wins = matches.groupBy(col("winner").as("id"))
+        .agg(count(lit(1)).as("wins"))
+      val w = pairs.groupBy(col("i").as("id")).agg(sum("n").as("games"))
+        .join(wins, Seq("id"), "left")
+        .select(col("id"), coalesce(col("wins"), lit(0L)).as("wins"),
+          col("games"))
+        .persist() // joined every round + final output
+      var r = w.select(col("id"), lit(1.0).as("r")).localCheckpoint()
+      for (_ <- 1 to 3) {
+        val c = pairs
+          .join(r.select(col("id").as("i"), col("r").as("ri")), "i")
+          .join(r.select(col("id").as("j"), col("r").as("rj")), "j")
+          .groupBy("i")
+          .agg(sum(round(col("n") / (col("ri") + col("rj")) * 1e12, 0)
+            .cast("long")).as("s"))
+        r = w.join(c, col("id") === col("i"))
+          .join(r.select(col("id").as("pid"), col("r").as("prv")),
+            col("id") === col("pid"))
+          .select(col("id"),
+            round((col("wins") + 1) * 1e12
+              / (col("s")
+                + round(lit(2.0) / (col("prv") + 1) * 1e12, 0).cast("long")),
+              9).as("r"))
+          .localCheckpoint() // round plans must not nest
+      }
+      w.join(r, "id")
+        .select(col("id").as("suppkey"), col("games"), col("wins"),
+          round(col("r"), 6).as("rating"))
+        .orderBy(col("rating").desc, col("suppkey"))
+        .limit(20)
+    },
+
+    // Isotonic regression (pool-adjacent-violators) — THE calibration
+    // fitter (q217 diagnoses miscalibration, q277 scores it; this one
+    // FIXES it): the best monotone non-decreasing fit of observed
+    // positive rate to predicted score. PAV's sequential pooling looks
+    // un-distributable, but the fit only depends on the SCORE CENSUS
+    // (distinct score → count, positives — one aggregate scan), and on a
+    // census of m rows the closed-form minimax characterization
+    // ŷᵢ = max_{j≤i} min_{k≥i} avg(y over [j,k]) is exact: prefix sums
+    // over the census, the m×m upper-triangle grid via a broadcast
+    // nested-loop self-join (m ≈ 100 two-decimal score bins —
+    // statistics-sized, the scaler posture), one suffix-min window, one
+    // max-aggregate. Averages are ratios of exact integer prefix sums —
+    // min/max over identical doubles commute, so both engines agree
+    // without any mid-chain rounding; fitted values round to 1e-6 at the
+    // END. Output is the per-bin calibration map; its monotonicity is
+    // the isotonic guarantee.
+    QueryDef("q311_isotonic",
+      """WITH s AS (
+        |  SELECT CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos,
+        |         round(1 / (1 + exp(-(-0.2
+        |           + CAST(embedding[1] AS DOUBLE) * 1.5
+        |           - CAST(embedding[2] AS DOUBLE) * 0.8
+        |           + CAST(embedding[3] AS DOUBLE) * 0.5
+        |           - CAST(embedding[4] AS DOUBLE) * 1.1))), 6) AS p
+        |  FROM embeddings),
+        |census AS (
+        |  SELECT CAST(round(p * 100, 0) AS BIGINT) AS sc,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(pos) AS BIGINT) AS sy
+        |  FROM s GROUP BY 1),
+        |pre AS (
+        |  SELECT sc, n, sy,
+        |         sum(n) OVER (ORDER BY sc) AS cn,
+        |         sum(sy) OVER (ORDER BY sc) AS cy
+        |  FROM census),
+        |grid AS (
+        |  SELECT a.sc AS jsc, b.sc AS ksc,
+        |         CAST(b.cy - (a.cy - a.sy) AS DOUBLE)
+        |           / (b.cn - (a.cn - a.n)) AS avg_jk
+        |  FROM pre a JOIN pre b ON a.sc <= b.sc),
+        |mn AS (
+        |  SELECT jsc, ksc,
+        |         min(avg_jk) OVER (PARTITION BY jsc ORDER BY ksc
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m
+        |  FROM grid),
+        |fit AS (SELECT ksc AS sc, max(m) AS f FROM mn GROUP BY ksc)
+        |SELECT c.sc, c.n, c.sy,
+        |       CAST(c.sy * 1000000 // c.n AS BIGINT) AS rate_ppm,
+        |       CAST(round(f.f * 1000000, 0) AS BIGINT) AS fitted_e6
+        |FROM census c JOIN fit f ON f.sc = c.sc
+        |ORDER BY c.sc""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      def e(i: Int) = element_at(col("embedding"), i).cast("double")
+      val z = lit(-0.2) + e(1) * 1.5 - e(2) * 0.8 + e(3) * 0.5 - e(4) * 1.1
+      val p = round(lit(1) / (lit(1) + exp(-z)), 6)
+      val census = Tables.embeddings(s, d)
+        .select(when(col("label") % 2 === 0, 1L).otherwise(0L).as("pos"),
+          p.as("p"))
+        .groupBy(round(col("p") * 100, 0).cast("long").as("sc"))
+        .agg(count(lit(1)).as("n"), sum("pos").as("sy"))
+        .persist() // grid sides + final join share the census
+      val cw = Window.orderBy("sc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = census.select(col("sc"), col("n"), col("sy"),
+        sum("n").over(cw).as("cn"), sum("sy").over(cw).as("cy"))
+      val a = pre.select(col("sc").as("jsc"), (col("cy") - col("sy")).as("cyp"),
+        (col("cn") - col("n")).as("cnp"))
+      val b = pre.select(col("sc").as("ksc"), col("cy"), col("cn"))
+      val grid = broadcast(a).join(b, col("jsc") <= col("ksc"))
+        .select(col("jsc"), col("ksc"),
+          ((col("cy") - col("cyp")).cast("double")
+            / (col("cn") - col("cnp"))).as("avg_jk"))
+      val sw = Window.partitionBy("jsc").orderBy("ksc")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val fit = grid
+        .select(col("ksc"), min("avg_jk").over(sw).as("m"))
+        .groupBy(col("ksc").as("fsc")).agg(max("m").as("f"))
+      census.join(fit, col("sc") === col("fsc"))
+        .select(col("sc"), col("n"), col("sy"),
+          expr("sy * 1000000 div n").as("rate_ppm"),
+          round(col("f") * 1000000, 0).cast("long").as("fitted_e6"))
+        .orderBy("sc")
+    },
+
     // Second principal component by DEFLATION — the step from "top
     // eigenvector" (q229) to an actual PCA basis: C₂ = C − λ₁·v₁v₁ᵀ
     // removes the leading component's variance (Hotelling deflation), and
