@@ -1736,6 +1736,226 @@ object AdvancedQueries {
           .localCheckpoint() // round plans must not nest
       }
       dist.orderBy("id")
+    },
+
+    // Spectral bisection — graph partitioning by the sign of the Fiedler
+    // vector: 8 power-iteration rounds on cI − L (c = maxdeg + 1, L the
+    // combinatorial Laplacian), each round ONE edge-keyed neighbor-sum
+    // exchange plus broadcast 1-row statistics — the PageRank shuffle
+    // shape carrying an eigensolve. The constant eigenvector (L's kernel)
+    // deflates by EXACT mean-centering every round: the iterate lives in
+    // 1e-9 integer units, so neighbor sums, means (floor div) and the
+    // norm's sum of squares (128-bit) are order-insensitive exact
+    // integers; the only doubles are the per-element normalize, identical
+    // on identical inputs. Output is the cut census: side sizes, volumes,
+    // cut edges, conductance — the balanced-partition quality report.
+    // (On a disconnected graph the Fiedler sign splits components — still
+    // the minimum-conductance answer.) Oracle replays seed, all 8 rounds,
+    // and the census.
+    QueryDef("q312_spectral_cut", {
+      import graft.functions.Hashes
+      // center + normalize `src` (id, xq) into `out`, all exact but the
+      // final per-element divide
+      // every generated CTE is MATERIALIZED: the 8-round chain references
+      // each predecessor multiple times and DuckDB inlines plain CTEs —
+      // un-materialized, the query tree doubles per round (playbook: the
+      // SpatialEdges lesson, compounded 8×)
+      def cn(src: String, out: String) =
+        s"""${out}_m AS MATERIALIZED (
+           |  SELECT sum(xq) // count(*) AS mean FROM $src),
+           |${out}_c AS MATERIALIZED (
+           |  SELECT id, xq - ${out}_m.mean AS xc FROM $src CROSS JOIN ${out}_m),
+           |${out}_n AS MATERIALIZED (
+           |  SELECT sqrt(CAST(sum(CAST(xc AS HUGEINT) * xc) AS DOUBLE)) AS nrm
+           |  FROM ${out}_c),
+           |$out AS MATERIALIZED (
+           |  SELECT id, CAST(round(xc / ${out}_n.nrm * 1e9, 0) AS BIGINT) AS xq
+           |  FROM ${out}_c CROSS JOIN ${out}_n)""".stripMargin
+      def rnd(k: Int, prev: String) =
+        s"""nb$k AS MATERIALIZED (
+           |  SELECT sym.a AS id, sum(x.xq) AS s
+           |  FROM sym JOIN $prev x ON x.id = sym.b GROUP BY sym.a),
+           |y$k AS MATERIALIZED (
+           |  SELECT d.a AS id,
+           |         (cc.c - d.dg) * x.xq + coalesce(nb$k.s, 0) AS xq
+           |  FROM deg d CROSS JOIN cc
+           |       JOIN $prev x ON x.id = d.a
+           |       LEFT JOIN nb$k ON nb$k.id = d.a),
+           |${cn(s"y$k", s"x$k")}""".stripMargin
+      val rounds = (1 to 8)
+        .map(k => rnd(k, if (k == 1) "x0" else s"x${k - 1}")).mkString(",\n")
+      s"""WITH ${SpatialEdges.cte},
+         |sym AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+         |        UNION ALL SELECT v, u FROM e0),
+         |deg AS MATERIALIZED (SELECT a, CAST(count(*) AS BIGINT) AS dg FROM sym GROUP BY a),
+         |cc AS MATERIALIZED (SELECT max(dg) + 1 AS c FROM deg),
+         |seed AS (
+         |  SELECT a AS id,
+         |         ((${Hashes.mulHashSql("a", 17)}) % 2001 - 1000) * 1000000 AS xq
+         |  FROM deg),
+         |${cn("seed", "x0")},
+         |$rounds,
+         |side AS MATERIALIZED (
+         |  SELECT x.id, CASE WHEN x.xq >= 0 THEN 1 ELSE -1 END AS sd, d.dg
+         |  FROM x8 x JOIN deg d ON d.a = x.id),
+         |cut AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS cut_edges
+         |  FROM e0 JOIN side sa ON sa.id = e0.u JOIN side sb ON sb.id = e0.v
+         |  WHERE sa.sd <> sb.sd),
+         |census AS (
+         |  SELECT CAST(coalesce(sum(CASE WHEN sd = 1 THEN 1 END), 0) AS BIGINT)
+         |           AS n_pos,
+         |         CAST(coalesce(sum(CASE WHEN sd = -1 THEN 1 END), 0) AS BIGINT)
+         |           AS n_neg,
+         |         CAST(coalesce(sum(CASE WHEN sd = 1 THEN dg END), 0) AS BIGINT)
+         |           AS vol_pos,
+         |         CAST(coalesce(sum(CASE WHEN sd = -1 THEN dg END), 0) AS BIGINT)
+         |           AS vol_neg
+         |  FROM side)
+         |SELECT n_pos, n_neg, vol_pos, vol_neg, cut.cut_edges,
+         |       CASE WHEN least(vol_pos, vol_neg) = 0 THEN CAST(-1 AS BIGINT)
+         |            ELSE CAST(cut.cut_edges * 1000000
+         |                      // least(vol_pos, vol_neg) AS BIGINT)
+         |       END AS conductance_ppm
+         |FROM census CROSS JOIN cut""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val e0 = SpatialEdges.frame(s, d).persist() // sym + cut census
+      val sym = e0.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e0.select(col("v").as("a"), col("u").as("b")))
+        .persist() // probed once per round
+      val deg = sym.groupBy("a").agg(count(lit(1)).as("dg"))
+        .persist() // every round + the census
+      val cc = broadcast(deg.agg((max("dg") + 1).as("c")))
+      def centerNormalize(cur: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val m = broadcast(cur.agg(expr("sum(xq) div count(*)").as("mean")))
+        val cen = cur.crossJoin(m).select(col("id"),
+          (col("xq") - col("mean")).as("xc"))
+        val n = broadcast(cen.agg(
+          sqrt(sum(col("xc").cast(dec) * col("xc")).cast("double")).as("nrm")))
+        cen.crossJoin(n).select(col("id"),
+          round(col("xc") / col("nrm") * 1e9, 0).cast("long").as("xq"))
+      }
+      var x = centerNormalize(
+        deg.select(col("a").as("id"),
+          ((Hashes.mulHash(col("a"), 17) % 2001 - 1000) * 1000000L).as("xq")))
+        .localCheckpoint()
+      for (_ <- 1 to 8) {
+        val nb = sym.join(x, col("id") === col("b"))
+          .groupBy(col("a").as("nid")).agg(sum("xq").as("s"))
+        val y = deg.crossJoin(cc)
+          .join(x, col("id") === col("a"))
+          .join(nb, col("a") === col("nid"), "left")
+          .select(col("a").as("id"),
+            ((col("c") - col("dg")) * col("xq")
+              + coalesce(col("s"), lit(0L))).as("xq"))
+        x = centerNormalize(y).localCheckpoint() // round plans must not nest
+      }
+      val side = x.join(deg, col("id") === col("a"))
+        .select(col("id"),
+          when(col("xq") >= 0, lit(1)).otherwise(lit(-1)).as("sd"),
+          col("dg"))
+        .persist() // census + cut join
+      val cut = broadcast(e0
+        .join(side.select(col("id").as("u"), col("sd").as("sdu")), "u")
+        .join(side.select(col("id").as("v"), col("sd").as("sdv")), "v")
+        .where(col("sdu") =!= col("sdv"))
+        .agg(count(lit(1)).as("cut_edges")))
+      side.agg(
+          coalesce(sum(when(col("sd") === 1, 1L)), lit(0L)).as("n_pos"),
+          coalesce(sum(when(col("sd") === -1, 1L)), lit(0L)).as("n_neg"),
+          coalesce(sum(when(col("sd") === 1, col("dg"))), lit(0L))
+            .as("vol_pos"),
+          coalesce(sum(when(col("sd") === -1, col("dg"))), lit(0L))
+            .as("vol_neg"))
+        .crossJoin(cut)
+        .select(col("n_pos"), col("n_neg"), col("vol_pos"), col("vol_neg"),
+          col("cut_edges"),
+          when(least(col("vol_pos"), col("vol_neg")) === 0, lit(-1L))
+            .otherwise(expr(
+              "cut_edges * 1000000 div least(vol_pos, vol_neg)"))
+            .as("conductance_ppm"))
+    },
+
+    // Weisfeiler–Lehman color refinement — the 1-WL vertex-canonicalization
+    // primitive under graph kernels and GNN expressiveness results: start
+    // from degree colors, then repeatedly recolor each vertex by (own
+    // color, SORTED multiset of neighbor colors), compressing each distinct
+    // signature to a dense id. Per round: one edge-keyed neighbor-collect
+    // (numeric-sorted inside the aggregate — order-insensitive), one
+    // signature census, one dictionary window over the DISTINCT-signature
+    // relation (bounded by the color count — the census posture), one
+    // encode join. Output is the refinement trajectory — distinct colors
+    // after rounds 0/1/2 — the stabilization curve a graph-dedup or
+    // symmetry-detection pass reads. Oracle replays degrees, both rounds,
+    // and the censuses with the identical signature strings.
+    QueryDef("q313_wl_colors", {
+      def rnd(k: Int, prev: String) =
+        s"""sig$k AS MATERIALIZED (
+           |  SELECT c.id,
+           |         CAST(c.col AS VARCHAR) || '|' ||
+           |           coalesce(string_agg(CAST(n.col AS VARCHAR), ','
+           |             ORDER BY n.col, n.id), '') AS sig
+           |  FROM $prev c
+           |  LEFT JOIN sym ON sym.a = c.id
+           |  LEFT JOIN $prev n ON n.id = sym.b
+           |  GROUP BY c.id, c.col),
+           |dict$k AS MATERIALIZED (
+           |  SELECT sig, row_number() OVER (ORDER BY sig) AS col
+           |  FROM (SELECT DISTINCT sig FROM sig$k)),
+           |c$k AS MATERIALIZED (
+           |  SELECT s.id, d.col FROM sig$k s JOIN dict$k d ON d.sig = s.sig)"""
+          .stripMargin
+      s"""WITH ${SpatialEdges.cte},
+         |sym AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+         |        UNION ALL SELECT v, u FROM e0),
+         |c0 AS MATERIALIZED (
+         |  SELECT a AS id, CAST(count(*) AS BIGINT) AS col
+         |  FROM sym GROUP BY a),
+         |${rnd(1, "c0")},
+         |${rnd(2, "c1")}
+         |SELECT r, n_colors FROM (
+         |  SELECT CAST(0 AS BIGINT) AS r,
+         |         CAST(count(DISTINCT col) AS BIGINT) AS n_colors FROM c0
+         |  UNION ALL
+         |  SELECT 1, count(DISTINCT col) FROM c1
+         |  UNION ALL
+         |  SELECT 2, count(DISTINCT col) FROM c2)
+         |ORDER BY r""".stripMargin
+    }) { (s, d) =>
+      val e0 = SpatialEdges.frame(s, d)
+      val sym = e0.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e0.select(col("v").as("a"), col("u").as("b")))
+        .persist() // probed once per round
+      var c = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("col"))
+        .localCheckpoint()
+      val counts = scala.collection.mutable.ArrayBuffer(
+        c.select(countDistinct("col")).head().getLong(0))
+      for (k <- 1 to 2) {
+        val sig = c
+          .join(sym, col("id") === col("a"), "left")
+          .join(c.select(col("id").as("nid"), col("col").as("ncol")),
+            col("b") === col("nid"), "left")
+          .groupBy(col("id"), col("col"))
+          .agg(concat(col("col").cast("string"), lit("|"),
+            coalesce(array_join(transform(array_sort(collect_list(
+              when(col("ncol").isNotNull,
+                struct(col("ncol"), col("nid"))))),
+              x => x.getField("ncol").cast("string")), ","), lit("")))
+            .as("sig"))
+        val dw = org.apache.spark.sql.expressions.Window.orderBy("sig")
+        val dict = sig.select("sig").distinct()
+          .withColumn("ncol", row_number().over(dw).cast("long"))
+        c = sig.join(dict, "sig")
+          .select(col("id"), col("ncol").as("col"))
+          .localCheckpoint() // round plans must not nest
+        counts += c.select(countDistinct("col")).head().getLong(0)
+      }
+      val rows = counts.zipWithIndex
+        .map { case (n, r) => (r.toLong, n) }.toSeq
+      s.createDataFrame(rows).toDF("r", "n_colors").orderBy("r")
     }
   )
 }
