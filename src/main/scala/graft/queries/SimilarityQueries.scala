@@ -1744,6 +1744,138 @@ object SimilarityQueries {
           col("neighbor_id"), col("maxsim_e6"), col("cos_full"))
         .orderBy("query_id", "rank")
     },
+
+    // Context assembly — the full RAG serving pipeline as ONE declarative
+    // plan: (1) RECALL top-8 bucket-mates by full-vector cosine (the q42
+    // LSH equi-join, never all-pairs), (2) RERANK the 8 by q306's MaxSim
+    // facet score (constant-factor precision stage), (3) DEDUP — a
+    // candidate whose sha-256 content hash already appeared at a better
+    // rerank rank is dropped (the q30 digest; retrieval loves returning
+    // near-identical chunks), (4) PACK the survivors greedily under a
+    // 150-token context budget (rank-ordered running token sum, stop
+    // before overflow). Every stage keys its shuffle by query or hash —
+    // the assembled context is the actual deliverable of a retrieval
+    // pipeline, and it comes out of one Catalyst plan with no driver
+    // orchestration. Embeddings join documents 1:1 by id.
+    QueryDef("q314_context_assembly", {
+      def subDot(a: String, b: String, ka: Int, kb: Int): String =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |  list_transform(range(1, 17),
+           |    i -> CAST($a[i + ${ka * 16}] AS DOUBLE)
+           |       * CAST($b[i + ${kb * 16}] AS DOUBLE))),
+           |  (x, y) -> x + y)""".stripMargin
+      def subNorm(a: String, k: Int): String =
+        s"sqrt(${subDot(a, a, k, k)})"
+      val subNorms = (0 until 4)
+        .map(k => s"${subNorm("embedding", k)} AS sn$k").mkString(",\n|       ")
+      val maxsim = (0 until 4).map { i =>
+        "greatest(" + (0 until 4).map { j =>
+          s"""CAST(round(${subDot("qv", "c.embedding", i, j)}
+             | / (c.qsn$i * c.sn$j) * 1000000, 0) AS BIGINT)""".stripMargin
+        }.mkString(", ") + ")"
+      }.mkString(" + ")
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+         |       $subNorms,
+         |       ${Similarity.lshBucketSql("embedding", Dim, 4)} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+         |             sn0 AS qsn0, sn1 AS qsn1, sn2 AS qsn2, sn3 AS qsn3,
+         |             bucket
+         |      FROM v WHERE vec_id < 5),
+         |cand AS (
+         |  SELECT * FROM (
+         |    SELECT q.query_id, q.qv, q.qsn0, q.qsn1, q.qsn2, q.qsn3,
+         |           v.vec_id AS doc_id, v.embedding, v.sn0, v.sn1, v.sn2, v.sn3,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             round(${dotSql("qv", "v.embedding")} / (qn * v.nrm), 6)
+         |               DESC, v.vec_id) AS recall_rank
+         |    FROM q JOIN v ON v.bucket = q.bucket AND v.vec_id <> q.query_id)
+         |  WHERE recall_rank <= 8),
+         |rer AS (
+         |  SELECT query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY $maxsim DESC, doc_id) AS rr
+         |  FROM cand c),
+         |ded AS (
+         |  SELECT query_id, doc_id, rr FROM (
+         |    SELECT r.query_id, r.doc_id, r.rr,
+         |           row_number() OVER (PARTITION BY r.query_id, sha256(d.text)
+         |             ORDER BY r.rr) AS hrank
+         |    FROM rer r JOIN documents d ON d.doc_id = r.doc_id)
+         |  WHERE hrank = 1),
+         |packed AS (
+         |  SELECT query_id, doc_id, rr, n_tokens,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY query_id ORDER BY rr)
+         |           AS BIGINT) AS cum_tokens
+         |  FROM (SELECT de.query_id, de.doc_id, de.rr,
+         |               CAST(len(string_split(d.text, ' ')) AS BIGINT)
+         |                 AS n_tokens
+         |        FROM ded de JOIN documents d ON d.doc_id = de.doc_id))
+         |SELECT query_id,
+         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY rr)
+         |         AS BIGINT) AS rank,
+         |       doc_id, n_tokens, cum_tokens
+         |FROM packed WHERE cum_tokens <= 150
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Tensors
+      def sub(c: org.apache.spark.sql.Column, k: Int)
+          : org.apache.spark.sql.Column = slice(c, k * 16 + 1, 16)
+      val v = Tables.embeddings(s, d).select(
+        col("vec_id"), col("embedding"),
+        Tensors.norm(col("embedding")).as("nrm"),
+        Tensors.norm(sub(col("embedding"), 0)).as("sn0"),
+        Tensors.norm(sub(col("embedding"), 1)).as("sn1"),
+        Tensors.norm(sub(col("embedding"), 2)).as("sn2"),
+        Tensors.norm(sub(col("embedding"), 3)).as("sn3"),
+        Similarity.lshBucket(col("embedding"), Dim, 4).as("bucket"))
+      val q = v.where(col("vec_id") < 5).select(
+        col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("sn0").as("qsn0"), col("sn1").as("qsn1"),
+        col("sn2").as("qsn2"), col("sn3").as("qsn3"),
+        col("bucket").as("qbucket"))
+      val rw = Window.partitionBy("query_id")
+        .orderBy(col("cos_full").desc, col("doc_id"))
+      val cand = q.join(v, col("qbucket") === col("bucket")
+          && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("qv"), col("qsn0"), col("qsn1"),
+          col("qsn2"), col("qsn3"), col("vec_id").as("doc_id"),
+          col("embedding"), col("sn0"), col("sn1"), col("sn2"), col("sn3"),
+          round(Tensors.dot(col("qv"), col("embedding"))
+            / (col("qn") * col("nrm")), 6).as("cos_full"))
+        .withColumn("recall_rank", row_number().over(rw))
+        .where(col("recall_rank") <= 8)
+      val maxsim = (0 until 4).map { i =>
+        greatest((0 until 4).map { j =>
+          round(Tensors.dot(sub(col("qv"), i), sub(col("embedding"), j))
+            / (col(s"qsn$i") * col(s"sn$j")) * 1000000, 0).cast("long")
+        }: _*)
+      }.reduce(_ + _)
+      val rrw = Window.partitionBy("query_id")
+        .orderBy(col("ms").desc, col("doc_id"))
+      val rer = cand.withColumn("ms", maxsim)
+        .withColumn("rr", row_number().over(rrw))
+        .select("query_id", "doc_id", "rr")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      val hw = Window.partitionBy("query_id", "h").orderBy("rr")
+      val ded = rer.join(docs, "doc_id")
+        .withColumn("hrank", row_number().over(hw))
+        .where(col("hrank") === 1)
+      val cw = Window.partitionBy("query_id").orderBy("rr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val packed = ded
+        .withColumn("cum_tokens", sum("n_tokens").over(cw))
+        .where(col("cum_tokens") <= 150)
+      packed
+        .withColumn("rank",
+          row_number().over(Window.partitionBy("query_id").orderBy("rr"))
+            .cast("long"))
+        .select("query_id", "rank", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("query_id", "rank")
+    },
   ) ++ defsTail
 
   /** q260/q266 shared harness: beam-walk the given k-NN graph from the
