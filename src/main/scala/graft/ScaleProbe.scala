@@ -393,6 +393,43 @@ object ScaleProbe {
         System.err.println(s"[disk_walk m=$m] io=$io found=${found.size}")
         found.toDF("qid", "vid")
       },
+      // DISTRIBUTED disk walk (q301): same index, same pushed-In access
+      // path, but expansion/scoring/top-beam run as executor-side
+      // DataFrame ops — the serving-fleet posture. Must stay as
+      // corpus-size-independent as the driver walk: the driver handles
+      // only frontier ids, and the per-hop job cost is queries × beam ×
+      // degree rows regardless of n
+      "disk_walk_dist" -> { m =>
+        import graft.functions.Hashes
+        import graft.operators.DiskAnn
+        val n = m * 100000L
+        val dim = 16
+        val dir = diskWalkFixtures.getOrElseUpdate(m, {
+          val d = java.nio.file.Files
+            .createTempDirectory(s"graft_diskwalk_$m").toString
+          val graph = spark.range(n).select(col("id").as("vid"))
+            .select(col("vid"), explode(sequence(lit(0), lit(7))).as("j"))
+            .select(col("vid").as("src"),
+              (Hashes.mulHash(col("vid") * 8 + col("j"), 37) % n).as("dst"))
+          val vecs = spark.range(n).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(dim - 1)),
+              dd => ((Hashes.mulHash(col("id") * 131L + dd, 19) % 1000)
+                .cast("double") / 1000.0d).cast("float")).as("embedding"))
+          DiskAnn.writeIndex(graph, vecs, "vec_id", "embedding", d,
+            buckets = 16)
+          d
+        })
+        import graft.functions.Tensors
+        val qdf = spark.range(20).select(col("id").as("qid"),
+            transform(sequence(lit(0), lit(dim - 1)),
+              dd => ((Hashes.mulHash(col("id") * 131L + dd, 19) % 1000)
+                .cast("double") / 1000.0d).cast("float")).as("qe"))
+          .withColumn("qn", Tensors.norm(col("qe")))
+        val (frontier, io) = DiskAnn.searchDistributed(spark, dir, qdf,
+          entry = 0L, hops = 6, beam = 16)
+        System.err.println(s"[disk_walk_dist m=$m] io=$io")
+        frontier
+      },
       // Vamana α-occlusion prune (q297): per-node k² pair cosines + the
       // greedy fold — O(n·k²) rows, one exchange on the node key; must
       // scale like the other per-node-bounded shapes, nowhere near
