@@ -1956,6 +1956,75 @@ object AdvancedQueries {
       val rows = counts.zipWithIndex
         .map { case (n, r) => (r.toLong, n) }.toSeq
       s.createDataFrame(rows).toDF("r", "n_colors").orderBy("r")
+    },
+
+    // Greedy maximal matching — the locally-dominant-edge algorithm
+    // (Hoepman 2004's distributed folklore): per round, every vertex
+    // nominates its smallest incident edge id, an edge joins the matching
+    // iff BOTH endpoints nominated it (a purely local test — one
+    // vertex-keyed min-aggregate + one edge-keyed equality join per
+    // round), matched vertices and their edges drop out, repeat. Three
+    // pinned rounds over the spatial graph; dominant-edge matching is
+    // maximAL (no augmenting-path search), the load-balancing /
+    // entity-pairing primitive. Every round's state is the surviving edge
+    // list — monotonically shrinking, never the quadratic candidate set.
+    // Oracle replays the identical three rounds (MATERIALIZED per round).
+    QueryDef("q315_maximal_matching", {
+      def rnd(k: Int, prev: String) =
+        s"""cand$k AS MATERIALIZED (
+           |  SELECT vx, min(eid) AS ce FROM (
+           |    SELECT u AS vx, eid FROM $prev
+           |    UNION ALL SELECT v, eid FROM $prev)
+           |  GROUP BY vx),
+           |m$k AS MATERIALIZED (
+           |  SELECT e.u, e.v, e.eid FROM $prev e
+           |  JOIN cand$k cu ON cu.vx = e.u AND cu.ce = e.eid
+           |  JOIN cand$k cv ON cv.vx = e.v AND cv.ce = e.eid),
+           |mv$k AS MATERIALIZED (
+           |  SELECT u AS vx FROM m$k UNION ALL SELECT v FROM m$k),
+           |e$k AS MATERIALIZED (
+           |  SELECT e.u, e.v, e.eid FROM $prev e
+           |  WHERE NOT EXISTS (SELECT 1 FROM mv$k WHERE mv$k.vx = e.u)
+           |    AND NOT EXISTS (SELECT 1 FROM mv$k WHERE mv$k.vx = e.v))"""
+          .stripMargin
+      s"""WITH ${SpatialEdges.cte},
+         |e00 AS MATERIALIZED (
+         |  SELECT u, v, u * 1000000 + v AS eid FROM e0),
+         |${rnd(1, "e00")},
+         |${rnd(2, "e1")},
+         |${rnd(3, "e2")}
+         |SELECT u, v FROM (
+         |  SELECT u, v FROM m1 UNION ALL
+         |  SELECT u, v FROM m2 UNION ALL
+         |  SELECT u, v FROM m3)
+         |ORDER BY u""".stripMargin
+    }) { (s, d) =>
+      var e = SpatialEdges.frame(s, d)
+        .select(col("u"), col("v"), (col("u") * 1000000L + col("v")).as("eid"))
+        .localCheckpoint()
+      var matched = e.where(lit(false)).select("u", "v")
+      for (_ <- 1 to 3) {
+        val cand = e.select(col("u").as("vx"), col("eid"))
+          .unionAll(e.select(col("v").as("vx"), col("eid")))
+          .groupBy("vx").agg(min("eid").as("ce"))
+        val m = e
+          .join(cand.select(col("vx").as("cu"), col("ce").as("ceu")),
+            col("u") === col("cu") && col("eid") === col("ceu"))
+          .join(cand.select(col("vx").as("cv"), col("ce").as("cev")),
+            col("v") === col("cv") && col("eid") === col("cev"))
+          .select("u", "v", "eid")
+          .localCheckpoint() // round plans must not nest
+        val mv = m.select(col("u").as("vx"))
+          .unionAll(m.select(col("v").as("vx")))
+        matched = matched.unionByName(m.select("u", "v"))
+        e = e
+          .join(mv.select(col("vx").as("du")), col("u") === col("du"),
+            "left_anti")
+          .join(mv.select(col("vx").as("dv")), col("v") === col("dv"),
+            "left_anti")
+          .localCheckpoint()
+      }
+      matched.orderBy("u")
     }
   )
 }

@@ -1016,6 +1016,100 @@ object MlQueries {
         .orderBy("sc")
     },
 
+    // Weight-of-Evidence encoding + Information Value — the credit-scoring
+    // categorical encoder (and the feature-screening statistic IV that
+    // rides on it): per category, WOE = ln of the positive-share to
+    // negative-share ratio, with the ±0.5 Laplace guard folded into exact
+    // integers by multiplying through by 2 — ln((2·pos+1)·N / ((2·neg+1)
+    // ·P)) has an all-BIGINT argument, ONE libm call on identical
+    // doubles, rounded to 1e-6 (the q80 posture). IV contributions reuse
+    // the ROUNDED woe so both engines integerize identically. One census
+    // aggregate over orders; priorities vs a fixed price threshold.
+    QueryDef("q317_woe_iv",
+      """WITH base AS (
+        |  SELECT o_orderpriority AS cat,
+        |         CASE WHEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |                   > 15000000 THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |c AS (SELECT cat, CAST(sum(y) AS BIGINT) AS pos,
+        |             CAST(count(*) - sum(y) AS BIGINT) AS neg
+        |      FROM base GROUP BY cat),
+        |t AS (SELECT CAST(sum(pos) AS BIGINT) AS tp,
+        |             CAST(sum(neg) AS BIGINT) AS tn FROM c),
+        |w AS (
+        |  SELECT cat, pos, neg,
+        |         CAST(round(ln(CAST((2 * pos + 1) * tn AS DOUBLE)
+        |           / ((2 * neg + 1) * tp)) * 1000000, 0) AS BIGINT) AS woe_e6
+        |  FROM c CROSS JOIN t)
+        |SELECT cat, pos, neg, woe_e6,
+        |       CAST(round(CAST(pos * tn - neg * tp AS DOUBLE) / (tp * tn)
+        |         * woe_e6, 0) AS BIGINT) AS iv_e6
+        |FROM w CROSS JOIN t ORDER BY cat""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d).select(
+        col("o_orderpriority").as("cat"),
+        when(round(col("o_totalprice") * 100, 0).cast("long") > 15000000L,
+          1L).otherwise(0L).as("y"))
+      val c = base.groupBy("cat")
+        .agg(sum("y").as("pos"), (count(lit(1)) - sum("y")).as("neg"))
+      val t = broadcast(c.agg(sum("pos").as("tp"), sum("neg").as("tn")))
+      c.crossJoin(t)
+        .select(col("cat"), col("pos"), col("neg"), col("tp"), col("tn"),
+          round(log(((lit(2) * col("pos") + 1) * col("tn")).cast("double")
+            / ((lit(2) * col("neg") + 1) * col("tp"))) * 1000000, 0)
+            .cast("long").as("woe_e6"))
+        .select(col("cat"), col("pos"), col("neg"), col("woe_e6"),
+          round((col("pos") * col("tn") - col("neg") * col("tp"))
+            .cast("double") / (col("tp") * col("tn")) * col("woe_e6"), 0)
+            .cast("long").as("iv_e6"))
+        .orderBy("cat")
+    },
+
+    // Out-of-fold target encoding — the leakage-safe categorical encoder
+    // (the q163/q258 leakage discipline applied to features): a row in
+    // fold f gets its category's mean target computed WITHOUT fold f,
+    // shrunk toward the global mean with strength m=10 — enc = (S_cat −
+    // S_fold + m·μ) / (N_cat − N_fold + m). Everything is two census
+    // aggregates (category totals, category×fold totals) joined back —
+    // no per-row leakage-safe recompute, which is the whole trick; sums
+    // are exact integer cents and the single division lands on the 1e-6
+    // grid. Output is the (category, fold) encoding map a feature
+    // pipeline broadcasts at apply time.
+    QueryDef("q318_target_encoding",
+      """WITH base AS (
+        |  SELECT l_returnflag AS cat, CAST(l_orderkey % 5 AS BIGINT) AS fold,
+        |         CAST(round(l_quantity * 100, 0) AS BIGINT) AS t
+        |  FROM lineitem),
+        |cf AS (SELECT cat, fold, CAST(sum(t) AS BIGINT) AS sf,
+        |              CAST(count(*) AS BIGINT) AS nf
+        |       FROM base GROUP BY cat, fold),
+        |c AS (SELECT cat, CAST(sum(sf) AS BIGINT) AS sc,
+        |             CAST(sum(nf) AS BIGINT) AS nc FROM cf GROUP BY cat),
+        |g AS (SELECT CAST(sum(sc) AS BIGINT) AS sg,
+        |             CAST(sum(nc) AS BIGINT) AS ng FROM c)
+        |SELECT cf.cat, cf.fold, cf.nf,
+        |       CAST(round((CAST(c.sc - cf.sf AS DOUBLE)
+        |           + 10 * (CAST(g.sg AS DOUBLE) / g.ng))
+        |         / (c.nc - cf.nf + 10) * 10000, 0) AS BIGINT) AS enc_e4
+        |FROM cf JOIN c USING (cat) CROSS JOIN g
+        |ORDER BY cf.cat, cf.fold""".stripMargin) { (s, d) =>
+      val base = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("cat"),
+        (col("l_orderkey") % 5).cast("long").as("fold"),
+        round(col("l_quantity") * 100, 0).cast("long").as("t"))
+      val cf = base.groupBy("cat", "fold")
+        .agg(sum("t").as("sf"), count(lit(1)).as("nf"))
+        .persist() // category rollup + output share it
+      val c = cf.groupBy("cat").agg(sum("sf").as("sc"), sum("nf").as("nc"))
+      val g = broadcast(c.agg(sum("sc").as("sg"), sum("nc").as("ng")))
+      cf.join(c, "cat").crossJoin(g)
+        .select(col("cat"), col("fold"), col("nf"),
+          round(((col("sc") - col("sf")).cast("double")
+              + lit(10) * (col("sg").cast("double") / col("ng")))
+            / (col("nc") - col("nf") + 10) * 10000, 0)
+            .cast("long").as("enc_e4"))
+        .orderBy("cat", "fold")
+    },
+
     // Second principal component by DEFLATION — the step from "top
     // eigenvector" (q229) to an actual PCA basis: C₂ = C − λ₁·v₁v₁ᵀ
     // removes the leading component's variance (Hotelling deflation), and

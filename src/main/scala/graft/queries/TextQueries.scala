@@ -1373,6 +1373,93 @@ object TextQueries {
         .select(col("word"), round(col("r"), 6).as("textrank"))
         .orderBy(col("textrank").desc, col("word"))
         .limit(20)
+    },
+
+    // Greedy set cover — the source-selection operator: which sources,
+    // picked one at a time, cover the corpus BIGRAM vocabulary fastest
+    // (bigrams, not unigrams — the shared token set saturates in one
+    // pick; bigram coverage is what discriminates sources)? Five
+    // greedy rounds, each ONE aggregation: count every source's
+    // still-uncovered tokens (anti-join against the accumulated cover),
+    // pick (max gain, ties → smallest source), fold its tokens into the
+    // cover. The greedy rule carries the classic (1 − 1/e) guarantee, and
+    // each round's state is the covered-token set — vocabulary-sized
+    // statistics, never the corpus. The census pick is a 1-row collect
+    // (the scaler posture). Rounds that find no remaining gain emit
+    // nothing. Oracle replays the identical five picks (MATERIALIZED
+    // rounds).
+    QueryDef("q316_set_cover", {
+      def rnd(k: Int): String = {
+        val gainSrc =
+          if (k == 1) "st"
+          else s"""(SELECT st.source, st.token FROM st
+                  | WHERE NOT EXISTS (SELECT 1 FROM cov${k - 1} c
+                  |                   WHERE c.token = st.token))""".stripMargin
+        val prevCov =
+          if (k == 1) "SELECT token FROM cov_empty"
+          else s"SELECT token FROM cov${k - 1}"
+        s"""g$k AS MATERIALIZED (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS gain
+           |  FROM $gainSrc u GROUP BY source),
+           |p$k AS MATERIALIZED (
+           |  SELECT source, gain FROM g$k
+           |  ORDER BY gain DESC, source LIMIT 1),
+           |cov$k AS MATERIALIZED (
+           |  SELECT DISTINCT token FROM (
+           |    $prevCov
+           |    UNION ALL
+           |    SELECT st.token FROM st JOIN p$k USING (source))),
+           |r$k AS MATERIALIZED (
+           |  SELECT CAST($k AS BIGINT) AS round, source, gain,
+           |         (SELECT CAST(count(*) AS BIGINT) FROM cov$k) AS cum_covered
+           |  FROM p$k)""".stripMargin
+      }
+      s"""WITH tt AS MATERIALIZED (
+         |  SELECT source, string_split(text, ' ') AS toks FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |st AS MATERIALIZED (
+         |  SELECT DISTINCT source, toks[i] || ' ' || toks[i + 1] AS token
+         |  FROM (SELECT source, toks, unnest(range(1, len(toks))) AS i
+         |        FROM tt)),
+         |cov_empty AS (SELECT CAST(NULL AS VARCHAR) AS token WHERE FALSE),
+         |${(1 to 5).map(rnd).mkString(",\n")}
+         |SELECT round, source, gain, cum_covered FROM (
+         |  SELECT * FROM r1 UNION ALL SELECT * FROM r2
+         |  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+         |  UNION ALL SELECT * FROM r5)
+         |ORDER BY round""".stripMargin
+    }) { (s, d) =>
+      val st = Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ", -1).as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("source"),
+          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"),
+          col("toks"))
+        .select(col("source"),
+          concat(element_at(col("toks"), col("i")), lit(" "),
+            element_at(col("toks"), col("i") + 1)).as("token"))
+        .distinct()
+        .persist() // probed once per greedy round
+      var covered = st.select("token").where(lit(false)).localCheckpoint()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+      for (k <- 1 to 5) {
+        val gains = st.join(covered.select(col("token").as("ct")),
+            col("token") === col("ct"), "left_anti")
+          .groupBy("source").agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("source"))
+          .limit(1).collect() // 1-row census pick, the scaler posture
+        if (gains.nonEmpty) {
+          val (src, gain) = (gains(0).getString(0), gains(0).getLong(1))
+          covered = covered
+            .unionByName(st.where(col("source") === src).select("token"))
+            .distinct()
+            .localCheckpoint() // round plans must not nest
+          out += ((k.toLong, src, gain, covered.count()))
+        }
+      }
+      s.createDataFrame(out.toSeq)
+        .toDF("round", "source", "gain", "cum_covered")
+        .orderBy("round")
     }
   )
 }
