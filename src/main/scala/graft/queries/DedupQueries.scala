@@ -547,6 +547,86 @@ object DedupQueries {
           round(col("jaccard"), 6).as("jaccard"))
         .where(col("split_a") =!= col("split_b"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Prefix-filtered EXACT set-similarity join (the PPJoin/AllPairs
+    // family, Chaudhuri et al. ICDE 2006, Xiao et al. WWW 2008) — the
+    // scalable exact complement to MinHash-LSH: two shingle sets with
+    // Jaccard ≥ 0.7 MUST share at least one element among each side's
+    // (n − ⌈0.7n⌉ + 1) RAREST shingles, so candidates come from an
+    // equi-join on prefix shingles only (rarest-first via the
+    // document-frequency census; per-doc prefix selection is a window
+    // PARTITIONED by doc — no global sort anywhere), then exact
+    // intersection counts verify with the threshold as a cross-multiplied
+    // integer inequality (no division at the boundary). Unlike q39's
+    // same-source blocked quadratic, this runs UNBLOCKED over the whole
+    // corpus — the candidate bound comes from the algorithm, not a
+    // fixture filter.
+    QueryDef("q319_prefix_jaccard",
+      s"""$shingleCte,
+         |sx AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, unnest(sh) AS h FROM s),
+         |nd AS MATERIALIZED (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sx GROUP BY doc_id),
+         |df AS MATERIALIZED (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS dfc FROM sx GROUP BY h),
+         |pre AS MATERIALIZED (
+         |  SELECT doc_id, h FROM (
+         |    SELECT sx.doc_id, sx.h, nd.n,
+         |           row_number() OVER (PARTITION BY sx.doc_id
+         |             ORDER BY df.dfc, sx.h) AS rn
+         |    FROM sx JOIN df USING (h) JOIN nd USING (doc_id))
+         |  WHERE rn <= n - (7 * n + 9) // 10 + 1),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |inter AS MATERIALIZED (
+         |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM cand c JOIN sx xa ON xa.doc_id = c.doc_a
+         |              JOIN sx xb ON xb.doc_id = c.doc_b AND xb.h = xa.h
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b, i.inter,
+         |       CAST(i.inter * 1000000 // (na.n + nb.n - i.inter) AS BIGINT)
+         |         AS jacc_ppm
+         |FROM inter i JOIN nd na ON na.doc_id = i.doc_a
+         |             JOIN nd nb ON nb.doc_id = i.doc_b
+         |WHERE i.inter * 10 >= 7 * (na.n + nb.n - i.inter)
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val toksCol = split(col("text"), " ", -1)
+      val sx = Tables.documents(s, d)
+        .where(size(toksCol) >= 3)
+        .select(col("doc_id"),
+          explode(MinHash.shingleHashes(toksCol)).as("h"))
+        .distinct()
+        .persist() // df census + prefix + both verify joins
+      val nd = sx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .persist() // prefix bound + final sizes
+      val df = sx.groupBy("h").agg(count(lit(1)).as("dfc"))
+      val pw = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("dfc"), col("h"))
+      val pre = sx.join(df, "h").join(nd, "doc_id")
+        .withColumn("rn", row_number().over(pw))
+        .where(col("rn") <= col("n") - expr("(7 * n + 9) div 10") + 1)
+        .select("doc_id", "h")
+      val cand = pre.select(col("doc_id").as("doc_a"), col("h"))
+        .join(pre.select(col("doc_id").as("doc_b"), col("h")), "h")
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val inter = cand
+        .join(sx.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+        .join(sx.select(col("doc_id").as("doc_b"), col("h").as("hb")),
+          "doc_b")
+        .where(col("h") === col("hb"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(nd.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          "doc_a")
+        .join(nd.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          "doc_b")
+        .where(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * 7)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          expr("inter * 1000000 div (na + nb - inter)").as("jacc_ppm"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 }
