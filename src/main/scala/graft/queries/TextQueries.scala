@@ -1460,6 +1460,77 @@ object TextQueries {
       s.createDataFrame(out.toSeq)
         .toDF("round", "source", "gain", "cum_covered")
         .orderBy("round")
+    },
+
+    // Phrase search over a POSITIONAL inverted index — the IR primitive
+    // BM25 (q121) can't answer: "these words, adjacent, in this order".
+    // The index is the flat (doc_id, pos, token) relation; a k-token
+    // phrase match is a (k−1)-way self-equi-join on (doc_id, pos+offset,
+    // token) — every hop an equi-join keyed by token then doc/pos, never
+    // a scan of the documents themselves. Target phrases are data-derived
+    // (the top-3 corpus trigrams, ties broken lexically), broadcast into
+    // the first index probe — the three-row dimension join of phrase
+    // serving. Per phrase: matched docs + total occurrences; the census
+    // window that ranks trigrams is statistics-sized (distinct trigrams),
+    // the q304 posture.
+    QueryDef("q320_phrase_search",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |pos AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i,
+        |         unnest(toks) AS tok FROM t),
+        |tri AS (
+        |  SELECT toks[i] AS p1, toks[i + 1] AS p2, toks[i + 2] AS p3
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        |        FROM t)),
+        |top AS (
+        |  SELECT p1, p2, p3 FROM (
+        |    SELECT p1, p2, p3, count(*) AS n FROM tri GROUP BY 1, 2, 3)
+        |  ORDER BY n DESC, p1, p2, p3 LIMIT 3),
+        |hits AS (
+        |  SELECT top.p1 || ' ' || top.p2 || ' ' || top.p3 AS phrase,
+        |         a.doc_id
+        |  FROM top
+        |  JOIN pos a ON a.tok = top.p1
+        |  JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |            AND b.tok = top.p2
+        |  JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        |            AND c.tok = top.p3)
+        |SELECT phrase, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM hits GROUP BY phrase ORDER BY phrase""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+        .where(size(col("toks")) >= 3)
+      val pos = t
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("i0", "tok")))
+        .select(col("doc_id"), (col("i0") + 1).as("i"), col("tok"))
+        .persist() // probed three times per phrase hop
+      val tri = t
+        .select(col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 2)).as("i"))
+        .select(element_at(col("toks"), col("i")).as("p1"),
+          element_at(col("toks"), col("i") + 1).as("p2"),
+          element_at(col("toks"), col("i") + 2).as("p3"))
+      val top = tri.groupBy("p1", "p2", "p3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("p1"), col("p2"), col("p3"))
+        .limit(3).select("p1", "p2", "p3")
+      val a = pos.withColumnsRenamed(Map("doc_id" -> "da", "i" -> "ia", "tok" -> "ta"))
+      val b = pos.withColumnsRenamed(Map("doc_id" -> "db", "i" -> "ib", "tok" -> "tb"))
+      val c = pos.withColumnsRenamed(Map("doc_id" -> "dc", "i" -> "ic", "tok" -> "tc"))
+      broadcast(top)
+        .join(a, col("ta") === col("p1"))
+        .join(b, col("db") === col("da") && col("ib") === col("ia") + 1
+          && col("tb") === col("p2"))
+        .join(c, col("dc") === col("da") && col("ic") === col("ia") + 2
+          && col("tc") === col("p3"))
+        .select(concat_ws(" ", col("p1"), col("p2"), col("p3")).as("phrase"),
+          col("da").as("doc_id"))
+        .groupBy("phrase")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .orderBy("phrase")
     }
   )
 }
