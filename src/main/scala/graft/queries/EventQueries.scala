@@ -2464,6 +2464,88 @@ object EventQueries {
           expr("sum(lat) div count(*)").as("mean_lat_us"),
           round(expr("percentile(lat, 0.5)"), 6).as("p50_lat_us"),
           round(expr("percentile(lat, 0.9)"), 6).as("p90_lat_us"))
+    },
+
+    // Mann–Whitney U rank-sum test — the NONPARAMETRIC arm comparison q243's
+    // proportion z-test can't give: does arm A's purchase-value DISTRIBUTION
+    // stochastically dominate arm B's, with no normality assumption on the
+    // skewed values? Ranks never materialize per row: the value CENSUS
+    // (count + arm-A count per distinct cent value) carries everything —
+    // the doubled average rank of value x is 2·(#smaller) + n_x + 1, so
+    // 2·R_A is one census-weighted sum and the tie correction Σ(t³−t) is a
+    // census aggregate too. One equi-shuffle over the data, then windows
+    // and sums over the statistics-sized census (the q304 posture). The
+    // z denominator uses the tie-corrected variance; both engines evaluate
+    // the identical double expression on identical BIGINT census sums
+    // (the q243 posture), with the all-values-tied degenerate stated as
+    // z = 0 on both.
+    QueryDef("q321_mann_whitney",
+      s"""WITH p AS (
+         |  SELECT (${graft.functions.Hashes.mulHashSql("user_id", 97)}) % 2
+         |           AS arm,
+         |         CAST(round(value * 100, 0) AS BIGINT) AS x
+         |  FROM events WHERE event_type = 'purchase'),
+         |census AS (
+         |  SELECT x, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS na
+         |  FROM p GROUP BY x),
+         |ranked AS (
+         |  SELECT x, n, na,
+         |         2 * coalesce(sum(n) OVER (ORDER BY x
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           + n + 1 AS ar2
+         |  FROM census),
+         |agg AS (
+         |  SELECT CAST(sum(na) AS BIGINT) AS n_a,
+         |         CAST(sum(n) - sum(na) AS BIGINT) AS n_b,
+         |         CAST(sum(na * ar2) AS BIGINT) AS r2_a,
+         |         CAST(sum(n * n * n - n) AS BIGINT) AS tie_t
+         |  FROM ranked),
+         |u AS (
+         |  SELECT n_a, n_b, r2_a, tie_t,
+         |         r2_a - n_a * (n_a + 1) AS u2_a,
+         |         n_a + n_b AS nt
+         |  FROM agg),
+         |z AS (
+         |  SELECT n_a, n_b, r2_a, u2_a, tie_t,
+         |         (CAST(n_a AS DOUBLE) * n_b / 12)
+         |           * ((nt + 1) - CAST(tie_t AS DOUBLE) / (nt * (nt - 1)))
+         |           AS var_u,
+         |         CAST(u2_a - n_a * n_b AS DOUBLE) / 2 AS dev
+         |  FROM u)
+         |SELECT n_a, n_b, r2_a, u2_a, tie_t,
+         |       CAST(round(CASE WHEN var_u <= 0 THEN CAST(0 AS DOUBLE)
+         |                       ELSE dev / sqrt(var_u) END * 1000000, 0)
+         |            AS BIGINT) AS z_e6
+         |FROM z""".stripMargin) { (s, d) =>
+      import graft.functions.Hashes
+      val p = Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .select((Hashes.mulHash(col("user_id"), 97) % 2).as("arm"),
+          round(col("value") * 100, 0).cast("long").as("x"))
+      val census = p.groupBy("x").agg(count(lit(1)).as("n"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"))
+      val wPrefix = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = census.select(col("n"), col("na"),
+        (lit(2L) * coalesce(sum("n").over(wPrefix), lit(0L))
+          + col("n") + 1L).as("ar2"))
+      val agg = ranked.agg(
+        sum("na").as("n_a"),
+        (sum("n") - sum("na")).as("n_b"),
+        sum(col("na") * col("ar2")).as("r2_a"),
+        sum(col("n") * col("n") * col("n") - col("n")).as("tie_t"))
+      val u = agg.select(col("n_a"), col("n_b"), col("r2_a"), col("tie_t"),
+        (col("r2_a") - col("n_a") * (col("n_a") + 1L)).as("u2_a"),
+        (col("n_a") + col("n_b")).as("nt"))
+      val varU = (col("n_a").cast("double") * col("n_b") / 12) *
+        ((col("nt") + 1L) - col("tie_t").cast("double")
+          / (col("nt") * (col("nt") - 1L)))
+      val dev = (col("u2_a") - col("n_a") * col("n_b")).cast("double") / 2
+      u.select(col("n_a"), col("n_b"), col("r2_a"), col("u2_a"), col("tie_t"),
+        round(when(varU <= 0, lit(0.0)).otherwise(dev / sqrt(varU))
+          * 1000000, 0).cast("long").as("z_e6"))
     }
   )
 }
