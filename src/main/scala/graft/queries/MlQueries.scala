@@ -1192,6 +1192,92 @@ object MlQueries {
         .agg(count(lit(1)).as("n_rows"), sum("p").as("proj_sum_e3"))
         .withColumn("lambda", lit(lambda))
         .orderBy("label")
+    },
+
+    // Split conformal prediction (Vovk et al.; Lei et al. JASA 2018) — the
+    // distribution-free uncertainty interval every deployed regressor needs:
+    // fit on the train fold, take the ⌈0.9(n+1)⌉-th smallest absolute
+    // residual on the CALIBRATION fold as q̂, and the interval pred ± q̂ is
+    // guaranteed ≥90% coverage on exchangeable test rows — no model or
+    // noise assumptions. Model here is the per-flag train mean, kept exact
+    // by scaling residuals through the train count (|n·y − S| — constant
+    // factor within a group, so order statistics and coverage are
+    // unaffected); q̂ is the exact order statistic via a per-group
+    // row_number (the contract; q96's sketch is the approximate path at
+    // 100 TB where calibration is a bounded sample anyway). Folds are the
+    // deterministic hash split (q16's primitive) on the line's composite
+    // key. Coverage lands within noise of the 90% target — the guarantee
+    // the query exists to witness.
+    QueryDef("q322_conformal", {
+      import graft.functions.Hashes
+      s"""WITH base AS (
+         |  SELECT l_returnflag AS flag,
+         |         (${Hashes.mulHashSql("l_orderkey * 8 + l_linenumber", 53)})
+         |           % 3 AS fold,
+         |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+         |  FROM lineitem),
+         |tr AS (
+         |  SELECT flag, CAST(sum(y) AS BIGINT) AS sg,
+         |         CAST(count(*) AS BIGINT) AS ng
+         |  FROM base WHERE fold = 0 GROUP BY flag),
+         |cal AS (
+         |  SELECT base.flag, abs(base.y * tr.ng - tr.sg) AS r
+         |  FROM base JOIN tr USING (flag) WHERE base.fold = 1),
+         |kk AS (
+         |  SELECT flag, CAST(count(*) AS BIGINT) AS n_cal,
+         |         least((9 * (count(*) + 1) + 9) // 10, count(*)) AS k
+         |  FROM cal GROUP BY flag),
+         |rn AS (
+         |  SELECT flag, r,
+         |         row_number() OVER (PARTITION BY flag ORDER BY r) AS rn
+         |  FROM cal),
+         |qh AS (
+         |  SELECT rn.flag, kk.n_cal, kk.k, CAST(rn.r AS BIGINT) AS qhat
+         |  FROM rn JOIN kk ON rn.flag = kk.flag AND rn.rn = kk.k),
+         |tst AS (
+         |  SELECT base.flag, CAST(count(*) AS BIGINT) AS n_test,
+         |         CAST(sum(CASE WHEN abs(base.y * tr.ng - tr.sg) <= qh.qhat
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS covered
+         |  FROM base JOIN tr USING (flag) JOIN qh USING (flag)
+         |  WHERE base.fold = 2 GROUP BY base.flag)
+         |SELECT tst.flag, qh.n_cal, qh.k, qh.qhat, tst.n_test, tst.covered,
+         |       tst.covered * 1000000 // tst.n_test AS coverage_ppm,
+         |       2 * (qh.qhat // tr.ng) AS width_cents
+         |FROM tst JOIN qh ON tst.flag = qh.flag
+         |         JOIN tr ON tst.flag = tr.flag
+         |ORDER BY tst.flag""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        (Hashes.mulHash(col("l_orderkey") * 8 + col("l_linenumber"), 53) % 3)
+          .as("fold"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("y"))
+        .persist() // train census + calibration + test share the split
+      val tr = base.where(col("fold") === 0).groupBy("flag")
+        .agg(sum("y").as("sg"), count(lit(1)).as("ng"))
+      val cal = base.where(col("fold") === 1).join(broadcast(tr), "flag")
+        .select(col("flag"), abs(col("y") * col("ng") - col("sg")).as("r"))
+        .persist() // count census + order statistic
+      val kk = cal.groupBy("flag").agg(count(lit(1)).as("n_cal"),
+        least(expr("(9 * (count(*) + 1) + 9) div 10"), count(lit(1))).as("k"))
+      val rn = cal.withColumn("rn",
+        row_number().over(Window.partitionBy("flag").orderBy("r")))
+      val qh = rn.join(broadcast(kk), Seq("flag"))
+        .where(col("rn") === col("k"))
+        .select(col("flag"), col("n_cal"), col("k"), col("r").as("qhat"))
+      val tst = base.where(col("fold") === 2)
+        .join(broadcast(tr), "flag").join(broadcast(qh.select("flag", "qhat")), "flag")
+        .groupBy("flag").agg(count(lit(1)).as("n_test"),
+          sum(when(abs(col("y") * col("ng") - col("sg")) <= col("qhat"), 1L)
+            .otherwise(0L)).as("covered"))
+      tst.join(qh, "flag").join(tr.select("flag", "ng"), "flag")
+        .select(col("flag"), col("n_cal"), col("k"), col("qhat"),
+          col("n_test"), col("covered"),
+          expr("covered * 1000000 div n_test").as("coverage_ppm"),
+          (lit(2L) * expr("qhat div ng")).as("width_cents"))
+        .orderBy("flag")
     }
   )
 }
