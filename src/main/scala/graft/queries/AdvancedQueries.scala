@@ -2025,6 +2025,78 @@ object AdvancedQueries {
           .localCheckpoint()
       }
       matched.orderBy("u")
+    },
+
+    // Per-vertex local clustering coefficient — q184 counts the corpus's
+    // triangles as ONE number; community detection and spam/bot features
+    // need them PER VERTEX: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), how
+    // close v's neighborhood is to a clique. Same degree-oriented wedge
+    // join as q184 (each triangle enumerated exactly once, wedge count
+    // bounded by Σ min-degree — the arboricity bound that makes triangle
+    // counting survive 100 TB), then every found triangle credits its
+    // THREE corners via a 3-way union (a constant-factor explode, no new
+    // join class). Output: the top-20 vertices by triangle count over the
+    // spatial graph, with exact-ppm coefficients.
+    QueryDef("q323_clustering_coef",
+      s"""WITH ${SpatialEdges.cte},
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS dg
+         |        FROM (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0)
+         |        GROUP BY id),
+         |o AS (SELECT CASE WHEN (du.dg < dv.dg) OR (du.dg = dv.dg AND u < v)
+         |                  THEN u ELSE v END AS src,
+         |             CASE WHEN (du.dg < dv.dg) OR (du.dg = dv.dg AND u < v)
+         |                  THEN v ELSE u END AS dst,
+         |             CASE WHEN (du.dg < dv.dg) OR (du.dg = dv.dg AND u < v)
+         |                  THEN dv.dg ELSE du.dg END AS ddst
+         |      FROM e0 JOIN deg du ON e0.u = du.id
+         |               JOIN deg dv ON e0.v = dv.id),
+         |w AS (SELECT x.src AS apex, x.dst AS a, y.dst AS b
+         |      FROM o x JOIN o y ON x.src = y.src
+         |       AND ((x.ddst < y.ddst) OR (x.ddst = y.ddst AND x.dst < y.dst))),
+         |tri AS (SELECT w.apex, w.a, w.b
+         |        FROM w JOIN o ON w.a = o.src AND w.b = o.dst),
+         |tv AS (SELECT apex AS id FROM tri
+         |       UNION ALL SELECT a FROM tri
+         |       UNION ALL SELECT b FROM tri),
+         |tc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+         |       FROM tv GROUP BY id)
+         |SELECT tc.id, tc.n_triangles, deg.dg AS degree,
+         |       2 * tc.n_triangles * 1000000 // (deg.dg * (deg.dg - 1))
+         |         AS cc_ppm
+         |FROM tc JOIN deg ON tc.id = deg.id
+         |ORDER BY tc.n_triangles DESC, tc.id LIMIT 20""".stripMargin) { (s, d) =>
+      val e0 = SpatialEdges.frame(s, d)
+        .persist() // degree census + orientation share it
+      val deg = e0.select(col("u").as("id"))
+        .unionAll(e0.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("dg"))
+        .persist() // orientation + final cc join
+      val du = deg.withColumnsRenamed(Map("id" -> "u", "dg" -> "du"))
+      val dv = deg.withColumnsRenamed(Map("id" -> "v", "dg" -> "dv"))
+      val uFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val o = e0.join(du, Seq("u")).join(dv, Seq("v"))
+        .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
+          when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+          when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+        .persist() // wedge self-join + closing-edge probe
+      val w = o.as("x").join(o.as("y"),
+          col("x.src") === col("y.src")
+            && (col("x.ddst") < col("y.ddst")
+              || (col("x.ddst") === col("y.ddst")
+                && col("x.dst") < col("y.dst"))))
+        .select(col("x.src").as("apex"), col("x.dst").as("a"),
+          col("y.dst").as("b"))
+      val tri = w.join(o, col("a") === col("src") && col("b") === col("dst"))
+        .select("apex", "a", "b")
+      val tv = tri.select(col("apex").as("id"))
+        .unionAll(tri.select(col("a").as("id")))
+        .unionAll(tri.select(col("b").as("id")))
+      val tc = tv.groupBy("id").agg(count(lit(1)).as("n_triangles"))
+      tc.join(deg, "id")
+        .select(col("id"), col("n_triangles"), col("dg").as("degree"),
+          expr("2 * n_triangles * 1000000 div (dg * (dg - 1))").as("cc_ppm"))
+        .orderBy(col("n_triangles").desc, col("id")).limit(20)
     }
   )
 }
