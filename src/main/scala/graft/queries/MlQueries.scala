@@ -1278,6 +1278,63 @@ object MlQueries {
           expr("covered * 1000000 div n_test").as("coverage_ppm"),
           (lit(2L) * expr("qhat div ng")).as("width_cents"))
         .orderBy("flag")
+    },
+
+    // Balanced GroupKFold — CV folds that are leakage-safe by construction
+    // (every customer's orders land in ONE fold, the q163 discipline) AND
+    // size-balanced: groups sorted by row count and dealt round-robin
+    // (the greedy-LPT shape scikit-learn's GroupKFold approximates), so a
+    // few whale customers can't make one fold 2× another. The sequential
+    // part runs on the GROUP CENSUS (one row per customer — the q304
+    // window-over-census posture), never the data; rows then join their
+    // group's fold by key. Per fold, the row-count deviation from perfect
+    // balance, side-by-side with q16-style group HASHING — the measured
+    // gap is why balanced dealing exists.
+    QueryDef("q326_group_kfold", {
+      import graft.functions.Hashes
+      s"""WITH gs AS (
+         |  SELECT o_custkey AS g, CAST(count(*) AS BIGINT) AS n
+         |  FROM orders GROUP BY o_custkey),
+         |bal AS (
+         |  SELECT g, n,
+         |         (row_number() OVER (ORDER BY n DESC, g) - 1) % 5 AS fold
+         |  FROM gs),
+         |hsh AS (
+         |  SELECT g, n, (${Hashes.mulHashSql("g", 29)}) % 5 AS fold
+         |  FROM gs),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM gs),
+         |b AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_groups,
+         |             CAST(sum(n) AS BIGINT) AS rows_bal
+         |      FROM bal GROUP BY fold),
+         |h AS (SELECT fold, CAST(sum(n) AS BIGINT) AS rows_hash
+         |      FROM hsh GROUP BY fold)
+         |SELECT b.fold, b.n_groups, b.rows_bal, h.rows_hash,
+         |       abs(b.rows_bal * 5 - tot.t) * 1000000 // tot.t
+         |         AS bal_dev_ppm,
+         |       abs(h.rows_hash * 5 - tot.t) * 1000000 // tot.t
+         |         AS hash_dev_ppm
+         |FROM b JOIN h USING (fold) CROSS JOIN tot
+         |ORDER BY b.fold""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      import org.apache.spark.sql.expressions.Window
+      val gs = Tables.orders(s, d).groupBy(col("o_custkey").as("g"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // balanced deal + hash fold + total share it
+      val bal = gs.withColumn("fold",
+        ((row_number().over(Window.orderBy(col("n").desc, col("g"))) - 1) % 5)
+          .cast("long"))
+      val hsh = gs.withColumn("fold", Hashes.mulHash(col("g"), 29) % 5)
+      val tot = broadcast(gs.agg(sum("n").as("t")))
+      val b = bal.groupBy("fold").agg(count(lit(1)).as("n_groups"),
+        sum("n").as("rows_bal"))
+      val h = hsh.groupBy("fold").agg(sum("n").as("rows_hash"))
+      b.join(h, "fold").crossJoin(tot)
+        .select(col("fold"), col("n_groups"), col("rows_bal"),
+          col("rows_hash"),
+          expr("abs(rows_bal * 5 - t) * 1000000 div t").as("bal_dev_ppm"),
+          expr("abs(rows_hash * 5 - t) * 1000000 div t").as("hash_dev_ppm"))
+        .orderBy("fold")
     }
   )
 }

@@ -1130,6 +1130,67 @@ object ScaleQueries {
         .orderBy(col("lift_ppm").desc, col("conf_ppm").desc,
           col("antecedent"), col("consequent"))
         .limit(20)
+    },
+
+    // Rendezvous (highest-random-weight) sharding — how a 100 TB corpus
+    // actually gets laid out across storage/index shards (Thaler &
+    // Ravishankar 1998, the consistent-hashing alternative with no ring
+    // state): each key goes to the shard with the max hash(key, shard).
+    // The property this query MEASURES is elastic rebalance: adding a
+    // 9th shard moves ~1/9 of keys under rendezvous (only those whose new
+    // shard wins) vs ~8/9 under naive `key % N` (almost everything
+    // reshuffles — a full-corpus rewrite at every resize). Shape: the
+    // 9-shard weight table is a constant-factor explode of the key set
+    // (the q13 union posture), argmax per key is a 9-row window — no
+    // joins, no data-sized windows.
+    QueryDef("q325_rendezvous_shard", {
+      import graft.functions.Hashes
+      s"""WITH w AS (
+         |  SELECT doc_id, sh,
+         |         ${Hashes.mulHashSql("doc_id * 64 + sh", 17)} AS wt
+         |  FROM documents, (SELECT unnest(range(0, 9)) AS sh)),
+         |a8 AS (
+         |  SELECT doc_id, sh AS shard8 FROM (
+         |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY wt DESC, sh) AS rn
+         |    FROM w WHERE sh < 8) t WHERE rn = 1),
+         |a9 AS (
+         |  SELECT doc_id, sh AS shard9 FROM (
+         |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY wt DESC, sh) AS rn
+         |    FROM w) t WHERE rn = 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |       CAST(sum(CASE WHEN a8.doc_id % 8 <> a8.doc_id % 9
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS moved_naive,
+         |       CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS moved_rendezvous,
+         |       CAST(sum(CASE WHEN a8.doc_id % 8 <> a8.doc_id % 9
+         |                THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*)
+         |         AS naive_ppm,
+         |       CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
+         |         AS BIGINT) * 1000000 // count(*) AS rendezvous_ppm
+         |FROM a8 JOIN a9 USING (doc_id)""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      val w = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("sh", explode(sequence(lit(0L), lit(8L))))
+        .withColumn("wt", Hashes.mulHash(col("doc_id") * 64 + col("sh"), 17))
+      def assign(ww: org.apache.spark.sql.DataFrame, name: String) = ww
+        .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("wt").desc, col("sh"))))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("sh").as(name))
+      assign(w.where(col("sh") < 8), "shard8")
+        .join(assign(w, "shard9"), "doc_id")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("doc_id") % 8 =!= col("doc_id") % 9, 1L)
+            .otherwise(0L)).as("moved_naive"),
+          sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L))
+            .as("moved_rendezvous"),
+          expr("sum(CASE WHEN doc_id % 8 <> doc_id % 9 THEN 1 ELSE 0 END)" +
+            " * 1000000 div count(*)").as("naive_ppm"),
+          expr("sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)" +
+            " * 1000000 div count(*)").as("rendezvous_ppm"))
     }
   )
 }

@@ -1531,6 +1531,144 @@ object TextQueries {
         .agg(countDistinct("doc_id").as("n_docs"),
           count(lit(1)).as("n_occurrences"))
         .orderBy("phrase")
+    },
+
+    // χ² token–label relevance — the feature-selection screen (the
+    // OCFS/chi2 classic) that picks WHICH tokens separate a class before
+    // any model trains: per token, the 2×2 document-presence contingency
+    // against the en/not-en label, χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)).
+    // Every cell is an exact integer census count (distinct doc-token
+    // presence, one equi-shuffle + a broadcast 1-row label total); only
+    // the final χ² is a double, evaluated in the identical expression
+    // shape on identical BIGINTs (q243 posture). Degenerate tokens
+    // present in EVERY document carry no signal — stated as χ² = 0 on
+    // both engines. Top-20 by the rounded statistic.
+    QueryDef("q327_chi2_tokens",
+      """WITH lab AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(y) AS BIGINT) AS p FROM lab),
+        |pres AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |cell AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS nt,
+        |         CAST(sum(y) AS BIGINT) AS a
+        |  FROM pres JOIN lab USING (doc_id) GROUP BY token),
+        |chi AS (
+        |  SELECT token, a, nt - a AS b, tot.p - a AS c,
+        |         tot.n - tot.p - (nt - a) AS d, tot.n AS n, nt
+        |  FROM cell CROSS JOIN tot)
+        |SELECT token, a, b, c, d, chi2_e6 FROM (
+        |  SELECT token, a, b, c, d,
+        |         CASE WHEN nt = n THEN CAST(0 AS BIGINT)
+        |              ELSE CAST(round(CAST(n AS DOUBLE)
+        |                * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+        |                * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+        |                / (CAST(nt AS DOUBLE) * (n - nt)
+        |                   * (a + c) * (b + d)) * 1000000, 0) AS BIGINT)
+        |         END AS chi2_e6
+        |  FROM chi) t
+        |ORDER BY chi2_e6 DESC, token LIMIT 20""".stripMargin) { (s, d) =>
+      val lab = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .persist() // total census + presence join
+      val tot = broadcast(lab.agg(count(lit(1)).as("n"), sum("y").as("p")))
+      val pres = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+        .distinct()
+      val cell = pres.join(lab, "doc_id").groupBy("token")
+        .agg(count(lit(1)).as("nt"), sum("y").as("a"))
+      val chi = cell.crossJoin(tot)
+        .select(col("token"), col("a"), (col("nt") - col("a")).as("b"),
+          (col("p") - col("a")).as("c"),
+          (col("n") - col("p") - (col("nt") - col("a"))).as("d"),
+          col("n"), col("nt"))
+      val dev = col("a").cast("double") * col("d") -
+        col("b").cast("double") * col("c")
+      chi.select(col("token"), col("a"), col("b"), col("c"), col("d"),
+          when(col("nt") === col("n"), lit(0L))
+            .otherwise(round(col("n").cast("double") * dev * dev
+              / (col("nt").cast("double") * (col("n") - col("nt"))
+                * (col("a") + col("c")) * (col("b") + col("d")))
+              * 1000000, 0).cast("long")).as("chi2_e6"))
+        .orderBy(col("chi2_e6").desc, col("token")).limit(20)
+    },
+
+    // Zipf-law fit — the corpus sanity check run on every new text source:
+    // rank tokens by frequency and regress ln(freq) on ln(rank) over the
+    // top 1000; natural text sits near slope −1, and a source that
+    // doesn't (template spam, machine noise) fails ingest review. Both
+    // logs are taken on exact integer census values and quantized to
+    // integer 1e-6 units BEFORE summing (the q80 posture — float sums
+    // commute only when the terms are integers), so the OLS moment sums
+    // are exact BIGINTs and the slope/intercept/r² are one identical
+    // double expression on both engines. The rank window runs over the
+    // vocabulary census, never the corpus (q304 posture).
+    QueryDef("q328_zipf_fit",
+      """WITH census AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |ranked AS (
+        |  SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS r
+        |  FROM census),
+        |pts AS (
+        |  SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT)
+        |           AS x,
+        |         CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000, 0) AS BIGINT)
+        |           AS y
+        |  FROM ranked WHERE r <= 1000),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM pts)
+        |SELECT n,
+        |       CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |         * 1000000, 0) AS BIGINT) AS slope_e6,
+        |       CAST(round((CAST(sy AS DOUBLE)
+        |           - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |             * sx) / n, 0) AS BIGINT) AS intercept_e6,
+        |       CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |         * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |         / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |            * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+        |         * 1000000, 0) AS BIGINT) AS r2_e6
+        |FROM m""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val census = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ", -1)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      val ranked = census.withColumn("r",
+        row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+      val pts = ranked.where(col("r") <= 1000)
+        .select(round(log(col("r").cast("double")) * 1000000, 0)
+            .cast("long").as("x"),
+          round(log(col("freq").cast("double")) * 1000000, 0)
+            .cast("long").as("y"))
+      val m = pts.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val sxy = col("n").cast("double") * col("sxy") -
+        col("sx").cast("double") * col("sy")
+      val sxx = col("n").cast("double") * col("sxx") -
+        col("sx").cast("double") * col("sx")
+      val syy = col("n").cast("double") * col("syy") -
+        col("sy").cast("double") * col("sy")
+      m.select(col("n"),
+        round(sxy / sxx * 1000000, 0).cast("long").as("slope_e6"),
+        round((col("sy").cast("double") - sxy / sxx * col("sx")) / col("n"), 0)
+          .cast("long").as("intercept_e6"),
+        round(sxy * sxy / (sxx * syy) * 1000000, 0).cast("long").as("r2_e6"))
     }
   )
 }
