@@ -2097,6 +2097,40 @@ object AdvancedQueries {
         .select(col("id"), col("n_triangles"), col("dg").as("degree"),
           expr("2 * n_triangles * 1000000 div (dg * (dg - 1))").as("cc_ppm"))
         .orderBy(col("n_triangles").desc, col("id")).limit(20)
+    },
+
+    // Jaro–Winkler fuzzy matching — the name-similarity measure record
+    // linkage actually uses (Winkler 1990, the Census Bureau matcher),
+    // next to q73's levenshtein and q228's phonetic keys. Spark has no
+    // Jaro family, so this runs through the custom codegen expression
+    // functions/StringSimExprs (SURVEY preference order (b) — a per-pair
+    // double loop no HOF tree expresses without leaving whole-stage
+    // codegen). The oracle is DuckDB's NATIVE jaro_winkler_similarity —
+    // two fully independent implementations of the published algorithm
+    // agreeing to 1e-6 across every candidate pair is the strongest
+    // oracle class in the suite. Candidates are brand-blocked part-name
+    // pairs (the q180 blocking discipline), never all-pairs.
+    QueryDef("q329_jaro_winkler",
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand, p_name FROM part WHERE p_partkey < 400),
+        |pairs AS (
+        |  SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+        |         CAST(round(jaro_winkler_similarity(a.p_name, b.p_name)
+        |           * 1000000, 0) AS BIGINT) AS jw_e6
+        |  FROM p a JOIN p b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey)
+        |SELECT pk_a, pk_b, jw_e6 FROM pairs
+        |ORDER BY jw_e6 DESC, pk_a, pk_b LIMIT 20""".stripMargin) { (s, d) =>
+      import graft.functions.StringSimExprs
+      val p = Tables.part(s, d).where(col("p_partkey") < 400)
+        .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      p.as("a").join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand")
+            && col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("pk_a"), col("b.p_partkey").as("pk_b"),
+          round(StringSimExprs.jaroWinkler(col("a.p_name"), col("b.p_name"))
+            * 1000000, 0).cast("long").as("jw_e6"))
+        .orderBy(col("jw_e6").desc, col("pk_a"), col("pk_b")).limit(20)
     }
   )
 }

@@ -102,4 +102,26 @@ class Round9Spec extends AnyFunSuite {
     assert(out.exceptAll(base).count() == 0)
     assert(base.exceptAll(out).count() == 0)
   }
+
+  test("jaro_winkler kernel pins the DuckDB-verified reference values") {
+    import graft.functions.StringSimExprs
+    def jw(a: String, b: String): Double = StringSimExprs.jaroWinkler(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    // classic published pairs, values cross-checked against DuckDB's
+    // jaro_winkler_similarity before adoption
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("duane", "dwayne") - 0.84) < 1e-12)
+    // boost threshold: jaro <= 0.7 gets NO prefix bonus despite prefix 2
+    assert(math.abs(jw("abcdef", "abzzzz") - 0.5555555555555555) < 1e-12)
+    // DuckDB's empty-string convention (0, not the textbook 1)
+    assert(jw("", "") == 0.0)
+    assert(jw("a", "") == 0.0)
+    // identity and disjoint
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("abc", "xyz") == 0.0)
+    // adjacent transposition outside the window of 1-char strings
+    assert(jw("ab", "ba") == 0.0)
+  }
 }
