@@ -2546,6 +2546,84 @@ object EventQueries {
       u.select(col("n_a"), col("n_b"), col("r2_a"), col("u2_a"), col("tie_t"),
         round(when(varU <= 0, lit(0.0)).otherwise(dev / sqrt(varU))
           * 1000000, 0).cast("long").as("z_e6"))
+    },
+
+    // Difference-in-differences — the workhorse causal estimator when
+    // treatment wasn't randomized but a pre-period exists: the treatment
+    // effect is (post−pre change in the treated arm) MINUS (post−pre
+    // change in the control arm), so any shared time trend cancels. The
+    // pre/post boundary is the midpoint of the observed time range (a
+    // broadcast 1-row census — both engines derive the identical literal
+    // from the data, the q83 posture); cells are exact integer (count,
+    // cent-sum) aggregates in ONE pass of conditional sums, and only the
+    // final four means enter a double expression evaluated identically on
+    // both engines (q243 posture). Degenerate empty cells state DiD = 0.
+    QueryDef("q331_diff_in_diff", {
+      import graft.functions.Hashes
+      s"""WITH bounds AS (
+         |  SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+         |         CAST(max(epoch_us(ts)) AS BIGINT) AS hi FROM events),
+         |p AS (
+         |  SELECT (${Hashes.mulHashSql("user_id", 43)}) % 2 AS arm,
+         |         CASE WHEN epoch_us(ts) * 2 >= lo + hi THEN 1 ELSE 0 END
+         |           AS post,
+         |         CAST(round(value * 100, 0) AS BIGINT) AS v
+         |  FROM events CROSS JOIN bounds WHERE event_type = 'purchase'),
+         |c AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN arm = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+         |    CAST(sum(CASE WHEN arm = 1 AND post = 0 THEN v ELSE 0 END) AS BIGINT) AS s_t_pre,
+         |    CAST(sum(CASE WHEN arm = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+         |    CAST(sum(CASE WHEN arm = 1 AND post = 1 THEN v ELSE 0 END) AS BIGINT) AS s_t_post,
+         |    CAST(sum(CASE WHEN arm = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+         |    CAST(sum(CASE WHEN arm = 0 AND post = 0 THEN v ELSE 0 END) AS BIGINT) AS s_c_pre,
+         |    CAST(sum(CASE WHEN arm = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+         |    CAST(sum(CASE WHEN arm = 0 AND post = 1 THEN v ELSE 0 END) AS BIGINT) AS s_c_post
+         |  FROM p)
+         |SELECT n_t_pre, s_t_pre, n_t_post, s_t_post,
+         |       n_c_pre, s_c_pre, n_c_post, s_c_post,
+         |       CASE WHEN n_t_pre = 0 OR n_t_post = 0
+         |                 OR n_c_pre = 0 OR n_c_post = 0
+         |            THEN CAST(0 AS BIGINT)
+         |            ELSE CAST(round(
+         |              ((CAST(s_t_post AS DOUBLE) / n_t_post
+         |                - CAST(s_t_pre AS DOUBLE) / n_t_pre)
+         |               - (CAST(s_c_post AS DOUBLE) / n_c_post
+         |                  - CAST(s_c_pre AS DOUBLE) / n_c_pre))
+         |              * 10000, 0) AS BIGINT)
+         |       END AS did_e4_cents
+         |FROM c""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      val bounds = broadcast(Tables.events(s, d)
+        .agg(min(unix_micros(col("ts"))).as("lo"),
+          max(unix_micros(col("ts"))).as("hi")))
+      val p = Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .crossJoin(bounds)
+        .select((Hashes.mulHash(col("user_id"), 43) % 2).as("arm"),
+          when(unix_micros(col("ts")) * 2 >= col("lo") + col("hi"), 1L)
+            .otherwise(0L).as("post"),
+          round(col("value") * 100, 0).cast("long").as("v"))
+      def cell(a: Int, po: Int, what: org.apache.spark.sql.Column,
+               name: String) =
+        sum(when(col("arm") === a && col("post") === po, what)
+          .otherwise(0L)).as(name)
+      val c = p.agg(
+        cell(1, 0, lit(1L), "n_t_pre"), cell(1, 0, col("v"), "s_t_pre"),
+        cell(1, 1, lit(1L), "n_t_post"), cell(1, 1, col("v"), "s_t_post"),
+        cell(0, 0, lit(1L), "n_c_pre"), cell(0, 0, col("v"), "s_c_pre"),
+        cell(0, 1, lit(1L), "n_c_post"), cell(0, 1, col("v"), "s_c_post"))
+      val did = (col("s_t_post").cast("double") / col("n_t_post")
+        - col("s_t_pre").cast("double") / col("n_t_pre")) -
+        (col("s_c_post").cast("double") / col("n_c_post")
+          - col("s_c_pre").cast("double") / col("n_c_pre"))
+      c.select(col("n_t_pre"), col("s_t_pre"), col("n_t_post"),
+        col("s_t_post"), col("n_c_pre"), col("s_c_pre"), col("n_c_post"),
+        col("s_c_post"),
+        when(col("n_t_pre") === 0 || col("n_t_post") === 0
+          || col("n_c_pre") === 0 || col("n_c_post") === 0, lit(0L))
+          .otherwise(round(did * 10000, 0).cast("long")).as("did_e4_cents"))
     }
   )
 }

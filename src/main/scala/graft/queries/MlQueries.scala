@@ -1335,6 +1335,109 @@ object MlQueries {
           expr("abs(rows_bal * 5 - t) * 1000000 div t").as("bal_dev_ppm"),
           expr("abs(rows_hash * 5 - t) * 1000000 div t").as("hash_dev_ppm"))
         .orderBy("fold")
+    },
+
+    // Nearest-neighbor covariate matching (the propensity-matching
+    // estimator shape; Rubin 1973) — the causal complement to q243's
+    // randomized A/B: estimate the urgent-priority effect on order
+    // fulfillment by pairing every treated order with the control order
+    // of NEAREST total price (1-NN with replacement, $100 caliper). The
+    // naive match is a quadratic treated×control join; the 1-D shape
+    // collapses it to ONE global sort by the covariate (range-partitioned
+    // at scale — Spark's sort shuffle) + two IGNORE-NULLS running-edge
+    // windows: the nearest control is always the closest control row to
+    // the LEFT or RIGHT in covariate order. Every arithmetic output is an
+    // exact integer count/sum; ATT lands in ppm.
+    QueryDef("q330_nn_matching",
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x,
+        |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+        |           AS treated,
+        |         CASE WHEN o_orderstatus = 'F' THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS y
+        |  FROM orders),
+        |s AS (
+        |  SELECT k, x, treated, y,
+        |         last_value(CASE WHEN treated = 0 THEN x END IGNORE NULLS)
+        |           OVER wp AS px,
+        |         last_value(CASE WHEN treated = 0 THEN y END IGNORE NULLS)
+        |           OVER wp AS py,
+        |         first_value(CASE WHEN treated = 0 THEN x END IGNORE NULLS)
+        |           OVER wn AS nx,
+        |         first_value(CASE WHEN treated = 0 THEN y END IGNORE NULLS)
+        |           OVER wn AS ny
+        |  FROM o
+        |  WINDOW wp AS (ORDER BY x, treated, k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  wn AS (ORDER BY x, treated, k
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |m AS (
+        |  SELECT k, y,
+        |         CASE WHEN px IS NULL AND nx IS NULL THEN NULL
+        |              WHEN nx IS NULL THEN py
+        |              WHEN px IS NULL THEN ny
+        |              WHEN x - px <= nx - x THEN py ELSE ny END AS yc,
+        |         CASE WHEN px IS NULL AND nx IS NULL THEN NULL
+        |              WHEN nx IS NULL THEN x - px
+        |              WHEN px IS NULL THEN nx - x
+        |              WHEN x - px <= nx - x THEN x - px ELSE nx - x END
+        |           AS dist
+        |  FROM s WHERE treated = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_treated,
+        |       CAST(sum(CASE WHEN dist <= 10000 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_matched,
+        |       CAST(sum(CASE WHEN dist <= 10000 THEN y ELSE 0 END)
+        |            AS BIGINT) AS sum_y_treated,
+        |       CAST(sum(CASE WHEN dist <= 10000 THEN yc ELSE 0 END)
+        |            AS BIGINT) AS sum_y_control,
+        |       (CAST(sum(CASE WHEN dist <= 10000 THEN y ELSE 0 END)
+        |             AS BIGINT)
+        |        - CAST(sum(CASE WHEN dist <= 10000 THEN yc ELSE 0 END)
+        |               AS BIGINT)) * 1000000
+        |         // CAST(sum(CASE WHEN dist <= 10000 THEN 1 ELSE 0 END)
+        |                AS BIGINT) AS att_ppm
+        |FROM m""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("x"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("treated"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val ord = Seq(col("x"), col("treated"), col("k"))
+      val wp = Window.orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wn = Window.orderBy(ord: _*)
+        .rowsBetween(1, Window.unboundedFollowing)
+      val ctrlX = when(col("treated") === 0, col("x"))
+      val ctrlY = when(col("treated") === 0, col("y"))
+      val ss = o.select(col("k"), col("x"), col("treated"), col("y"),
+        last(ctrlX, ignoreNulls = true).over(wp).as("px"),
+        last(ctrlY, ignoreNulls = true).over(wp).as("py"),
+        first(ctrlX, ignoreNulls = true).over(wn).as("nx"),
+        first(ctrlY, ignoreNulls = true).over(wn).as("ny"))
+      val m = ss.where(col("treated") === 1).select(col("k"), col("y"),
+        when(col("px").isNull && col("nx").isNull, lit(null))
+          .when(col("nx").isNull, col("py"))
+          .when(col("px").isNull, col("ny"))
+          .when(col("x") - col("px") <= col("nx") - col("x"), col("py"))
+          .otherwise(col("ny")).as("yc"),
+        when(col("px").isNull && col("nx").isNull, lit(null))
+          .when(col("nx").isNull, col("x") - col("px"))
+          .when(col("px").isNull, col("nx") - col("x"))
+          .when(col("x") - col("px") <= col("nx") - col("x"),
+            col("x") - col("px"))
+          .otherwise(col("nx") - col("x")).as("dist"))
+      val inCal = col("dist") <= 10000
+      m.agg(count(lit(1)).as("n_treated"),
+        sum(when(inCal, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(inCal, col("y")).otherwise(0L)).as("sum_y_treated"),
+        sum(when(inCal, col("yc")).otherwise(0L)).as("sum_y_control"),
+        expr("(sum(CASE WHEN dist <= 10000 THEN y ELSE 0 END)" +
+          " - sum(CASE WHEN dist <= 10000 THEN yc ELSE 0 END)) * 1000000" +
+          " div sum(CASE WHEN dist <= 10000 THEN 1 ELSE 0 END)")
+          .as("att_ppm"))
     }
   )
 }
