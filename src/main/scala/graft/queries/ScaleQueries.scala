@@ -1191,6 +1191,66 @@ object ScaleQueries {
             " * 1000000 div count(*)").as("naive_ppm"),
           expr("sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)" +
             " * 1000000 div count(*)").as("rendezvous_ppm"))
+    },
+
+    // KMV distinct sketch — the k-minimum-values estimator (Bar-Yossef et
+    // al. 2002) as a Dataset-typed Aggregator (functions/KmvSketch): keep
+    // the 256 smallest distinct key hashes per group, estimate distincts
+    // as (k−1)·P/h_k. Next to q54's HLL this is the sketch whose STATE is
+    // inspectable and oracle-exact: the k minima are a pure function of
+    // the input set, so DuckDB replays the identical array via a window
+    // over distinct hashes and the hash-equality check covers the sketch
+    // content itself, not just the estimate. Scale shape: map-side
+    // partials forward ≤ k longs per group (the TopK exchange posture);
+    // the udaf path also keeps Spark's PUBLIC custom-aggregate API
+    // exercised next to TopK's catalyst-internal TypedImperativeAggregate.
+    QueryDef("q332_kmv_distinct", {
+      import graft.functions.Hashes
+      s"""WITH h AS (
+         |  SELECT l_returnflag AS flag,
+         |         ${Hashes.mulHashSql("l_orderkey", 71)} AS hv
+         |  FROM lineitem),
+         |dh AS (SELECT DISTINCT flag, hv FROM h),
+         |r AS (
+         |  SELECT flag, hv,
+         |         row_number() OVER (PARTITION BY flag ORDER BY hv) AS rn,
+         |         count(*) OVER (PARTITION BY flag) AS nd
+         |  FROM dh),
+         |mins AS (
+         |  SELECT flag, list(hv ORDER BY hv) AS kmins, max(nd) AS n_exact
+         |  FROM r WHERE rn <= 256 GROUP BY flag)
+         |SELECT flag, CAST(len(kmins) AS BIGINT) AS k_held,
+         |       CAST(kmins[len(kmins)] AS BIGINT) AS h_k,
+         |       CAST(n_exact AS BIGINT) AS n_exact,
+         |       CASE WHEN len(kmins) < 256 THEN CAST(len(kmins) AS BIGINT)
+         |            ELSE CAST(255 AS BIGINT) * ${Hashes.Prime} // kmins[len(kmins)]
+         |       END AS kmv_est,
+         |       abs(CASE WHEN len(kmins) < 256 THEN CAST(len(kmins) AS BIGINT)
+         |                ELSE CAST(255 AS BIGINT) * ${Hashes.Prime} // kmins[len(kmins)]
+         |           END - n_exact) * 1000000 // n_exact AS err_ppm,
+         |       CAST(kmins[1] AS BIGINT) AS h_1,
+         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), kmins),
+         |                        (a, b) -> a + b) AS BIGINT) AS kmins_sum
+         |FROM mins ORDER BY flag""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.{Hashes, KmvSketch}
+      val kmvAgg = KmvSketch.kmv(256)
+      val h = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        Hashes.mulHash(col("l_orderkey"), 71).as("hv"))
+      val g = h.groupBy("flag").agg(kmvAgg(col("hv")).as("kmins"),
+        countDistinct("hv").as("n_exact"))
+      val est = when(size(col("kmins")) < 256,
+        size(col("kmins")).cast("long"))
+        .otherwise(expr(s"255 * ${Hashes.Prime}L div element_at(kmins, 256)"))
+      g.select(col("flag"), size(col("kmins")).cast("long").as("k_held"),
+          element_at(col("kmins"), size(col("kmins"))).as("h_k"),
+          col("n_exact"), est.as("kmv_est"),
+          (abs(est - col("n_exact")) * 1000000 / col("n_exact"))
+            .cast("long").as("err_ppm"),
+          element_at(col("kmins"), 1).as("h_1"),
+          aggregate(col("kmins"), lit(0L), (a, x) => a + x).as("kmins_sum"))
+        .orderBy("flag")
     }
   )
 }
