@@ -2624,6 +2624,78 @@ object EventQueries {
         when(col("n_t_pre") === 0 || col("n_t_post") === 0
           || col("n_c_pre") === 0 || col("n_c_post") === 0, lit(0L))
           .otherwise(round(did * 10000, 0).cast("long")).as("did_e4_cents"))
+    },
+
+    // SPRT — Wald's sequential probability-ratio test, the always-valid
+    // alternative to q243's fixed-horizon z-test: walk the event stream in
+    // time order, add ln(p₁/p₀) per success (purchase) and ln(q₁/q₀) per
+    // failure, and STOP the moment the cumulative log-likelihood ratio
+    // exits ±ln((1−β)/α) — the test that lets an experiment end as early
+    // as the evidence allows, with error rates guaranteed at any stopping
+    // time. Steps are ONE-TIME Scala-computed 1e-6 integer literals
+    // interpolated identically into both engines (the LSH-plane posture —
+    // no cross-engine libm in the data path), so the walk is an exact
+    // integer cumsum window; the first boundary crossing is a min-
+    // aggregate over crossing rows. H₀ p=0.2 vs H₁ p=0.3 at α=β=0.05.
+    QueryDef("q334_sprt", {
+      val sStep = math.round(math.log(0.3 / 0.2) * 1e6) // success: +405465
+      val fStep = math.round(math.log(0.7 / 0.8) * 1e6) // failure: −133531
+      val bound = math.round(math.log(19.0) * 1e6) // ln((1−.05)/.05)
+      s"""WITH t AS (
+         |  SELECT CASE WHEN event_type = 'purchase'
+         |              THEN CAST($sStep AS BIGINT)
+         |              ELSE CAST($fStep AS BIGINT) END AS step,
+         |         epoch_us(ts) AS us, event_id
+         |  FROM events),
+         |walk AS (
+         |  SELECT row_number() OVER (ORDER BY us, event_id) AS rn,
+         |         sum(step) OVER (ORDER BY us, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS llr
+         |  FROM t),
+         |crossing AS (
+         |  SELECT rn, llr FROM walk
+         |  WHERE llr >= $bound OR llr <= -$bound),
+         |firstx AS (
+         |  SELECT rn, llr FROM crossing ORDER BY rn LIMIT 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_events FROM t)
+         |SELECT n.n_events,
+         |       CAST(coalesce(f.rn, 0) AS BIGINT) AS stop_at,
+         |       CAST(coalesce(f.llr, 0) AS BIGINT) AS llr_at_stop,
+         |       CASE WHEN f.rn IS NULL THEN 'continue'
+         |            WHEN f.llr >= $bound THEN 'accept_h1'
+         |            ELSE 'accept_h0' END AS decision
+         |FROM n LEFT JOIN firstx f ON true""".stripMargin
+    }) { (s, d) =>
+      val sStep = math.round(math.log(0.3 / 0.2) * 1e6)
+      val fStep = math.round(math.log(0.7 / 0.8) * 1e6)
+      val bound = math.round(math.log(19.0) * 1e6)
+      val t = Tables.events(s, d).select(
+        when(col("event_type") === "purchase", lit(sStep))
+          .otherwise(lit(fStep)).as("step"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      val wOrd = Window.orderBy("us", "event_id")
+      val walk = t.select(
+        row_number().over(wOrd).cast("long").as("rn"),
+        sum("step").over(wOrd
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("llr"))
+      val firstx = walk
+        .where(col("llr") >= bound || col("llr") <= -bound)
+        .orderBy("rn").limit(1)
+      val n = t.agg(count(lit(1)).as("n_events"))
+      n.crossJoin(broadcast(firstx.select(col("rn"), col("llr"))))
+        .unionByName( // LEFT JOIN ON true semantics when no crossing exists
+          n.crossJoin(broadcast(firstx.agg(count(lit(1)).as("cx"))
+            .where(col("cx") === 0)))
+            .select(col("n_events"), lit(null).cast("long").as("rn"),
+              lit(null).cast("long").as("llr")))
+        .select(col("n_events"),
+          coalesce(col("rn"), lit(0L)).as("stop_at"),
+          coalesce(col("llr"), lit(0L)).as("llr_at_stop"),
+          when(col("rn").isNull, "continue")
+            .when(col("llr") >= bound, "accept_h1")
+            .otherwise("accept_h0").as("decision"))
     }
   )
 }

@@ -1438,6 +1438,89 @@ object MlQueries {
           " - sum(CASE WHEN dist <= 10000 THEN yc ELSE 0 END)) * 1000000" +
           " div sum(CASE WHEN dist <= 10000 THEN 1 ELSE 0 END)")
           .as("att_ppm"))
+    },
+
+    // Uplift by targeting decile + Qini — q250 grades a classifier's LIFT;
+    // an uplift model is graded on the TREATMENT-EFFECT gradient instead:
+    // rank users by a targeting score (activity here), and per decile
+    // compare treated vs control conversion — plus the cumulative Qini
+    // statistic q(k) = cumconv_t(k) − cumconv_c(k)·cumn_t(k)/cumn_c(k),
+    // the area under which is the standard uplift-model metric
+    // (Radcliffe 2007). Every cell is an exact integer census count; the
+    // per-user table the deciles rank over is the aggregate of the event
+    // stream (users ≪ events — the census posture), and Qini is kept
+    // exact by cross-multiplying instead of dividing.
+    QueryDef("q333_uplift_qini", {
+      import graft.functions.Hashes
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS views,
+         |         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+         |                            THEN 1 ELSE 0 END) > 0
+         |              THEN 1 ELSE 0 END AS conv,
+         |         (${Hashes.mulHashSql("user_id", 59)}) % 2 AS arm
+         |  FROM events GROUP BY user_id),
+         |dec AS (
+         |  SELECT arm, conv,
+         |         ntile(10) OVER (ORDER BY views DESC, user_id) AS decile
+         |  FROM u),
+         |cell AS (
+         |  SELECT decile,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_t,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_c
+         |  FROM dec GROUP BY decile),
+         |cum AS (
+         |  SELECT decile, n_t, c_t, n_c, c_c,
+         |         CAST(sum(n_t) OVER w AS BIGINT) AS cn_t,
+         |         CAST(sum(c_t) OVER w AS BIGINT) AS cc_t,
+         |         CAST(sum(n_c) OVER w AS BIGINT) AS cn_c,
+         |         CAST(sum(c_c) OVER w AS BIGINT) AS cc_c
+         |  FROM cell
+         |  WINDOW w AS (ORDER BY decile
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT decile, n_t, c_t, n_c, c_c,
+         |       CASE WHEN n_t = 0 OR n_c = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE c_t * 1000000 // n_t - c_c * 1000000 // n_c
+         |       END AS uplift_ppm,
+         |       CASE WHEN cn_c = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE (cc_t * cn_c - cc_c * cn_t) * 1000000 // cn_c
+         |       END AS qini_e6
+         |FROM cum ORDER BY decile""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      import org.apache.spark.sql.expressions.Window
+      val u = Tables.events(s, d).groupBy("user_id")
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("views"),
+          when(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) > 0, 1L).otherwise(0L).as("conv"))
+        .select((Hashes.mulHash(col("user_id"), 59) % 2).as("arm"),
+          col("conv"),
+          ntile(10).over(Window.orderBy(col("views").desc, col("user_id")))
+            .cast("long").as("decile"))
+      val cell = u.groupBy("decile").agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c_t"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c_c"))
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cell.select(col("decile"), col("n_t"), col("c_t"), col("n_c"),
+          col("c_c"),
+          sum("n_t").over(w).as("cn_t"), sum("c_t").over(w).as("cc_t"),
+          sum("n_c").over(w).as("cn_c"), sum("c_c").over(w).as("cc_c"))
+        .select(col("decile"), col("n_t"), col("c_t"), col("n_c"),
+          col("c_c"),
+          expr("CASE WHEN n_t = 0 OR n_c = 0 THEN CAST(0 AS BIGINT)" +
+            " ELSE c_t * 1000000 div n_t - c_c * 1000000 div n_c END")
+            .as("uplift_ppm"),
+          expr("CASE WHEN cn_c = 0 THEN CAST(0 AS BIGINT)" +
+            " ELSE (cc_t * cn_c - cc_c * cn_t) * 1000000 div cn_c END")
+            .as("qini_e6"))
+        .orderBy("decile")
     }
   )
 }
