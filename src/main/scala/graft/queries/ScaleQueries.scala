@@ -1251,6 +1251,52 @@ object ScaleQueries {
           element_at(col("kmins"), 1).as("h_1"),
           aggregate(col("kmins"), lit(0L), (a, x) => a + x).as("kmins_sum"))
         .orderBy("flag")
+    },
+
+    // Exact median by VALUE-DOMAIN BISECTION — the selection algorithm
+    // that finds an exact order statistic with ZERO exchanges: q58's
+    // exact percentile pays a global sort shuffle and q96's sketch gives
+    // up exactness; this runs ~log₂(value range) map-side count passes
+    // (count(x ≤ mid) needs no shuffle at all — partial counts merge at
+    // the driver), halving the candidate interval until it pins the
+    // ⌈(n+1)/2⌉-th smallest cent value. On a cached 100 TB relation this
+    // is THE exact-median plan: 24 scans that never move a row beat one
+    // full-corpus sort exchange. The loop census is one BIGINT per round
+    // (the scaler posture); the oracle states the same order statistic
+    // positionally.
+    QueryDef("q335_median_bisect",
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x
+        |  FROM lineitem),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM v),
+        |k AS (SELECT n_rows, (n_rows + 1) // 2 AS kth FROM n),
+        |med AS (
+        |  SELECT x AS median_cents FROM v
+        |  ORDER BY x LIMIT 1 OFFSET (SELECT kth - 1 FROM k))
+        |SELECT k.n_rows, k.kth, med.median_cents,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM v
+        |        WHERE x <= med.median_cents) AS n_le_median
+        |FROM k, med""".stripMargin) { (s, d) =>
+      val v = Tables.lineitem(s, d)
+        .select(round(col("l_extendedprice") * 100, 0).cast("long").as("x"))
+        .persist() // one scan per bisection round
+      val bounds = v.agg(count(lit(1)).as("n"), min("x").as("lo"),
+        max("x").as("hi")).head()
+      val nRows = bounds.getLong(0)
+      val kth = (nRows + 1) / 2
+      var lo = bounds.getLong(1)
+      var hi = bounds.getLong(2)
+      // invariant: count(x <= lo - 1) < kth <= count(x <= hi)
+      while (lo < hi) {
+        val mid = lo + (hi - lo) / 2
+        val c = v.where(col("x") <= mid).count()
+        if (c >= kth) hi = mid else lo = mid + 1
+      }
+      val median = lo
+      val nLe = v.where(col("x") <= median).count()
+      import s.implicits._
+      Seq((nRows, kth, median, nLe))
+        .toDF("n_rows", "kth", "median_cents", "n_le_median")
     }
   )
 }
