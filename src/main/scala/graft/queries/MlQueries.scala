@@ -1521,6 +1521,121 @@ object MlQueries {
             " ELSE (cc_t * cn_c - cc_c * cn_t) * 1000000 div cn_c END")
             .as("qini_e6"))
         .orderBy("decile")
+    },
+
+    // Winsorized + trimmed means — the robust-location pair next to
+    // q215's MAD: clamp (winsorize) or drop (trim) everything outside the
+    // exact per-group [P5, P95] before averaging, so a handful of fat
+    // tails can't move the estimate. The percentile bounds are exact
+    // order statistics (ceil(0.05n)/ceil(0.95n)-th smallest via the
+    // per-group rank window — q322's contract; the sketch path is q96),
+    // broadcast back as a 1-row-per-group census; all sums/counts stay
+    // exact BIGINTs and the means are integer 1e-2-cent divisions.
+    QueryDef("q336_robust_means",
+      """WITH v AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x
+        |  FROM lineitem),
+        |cnt AS (SELECT flag, CAST(count(*) AS BIGINT) AS n
+        |        FROM v GROUP BY flag),
+        |kk AS (SELECT flag, n, (5 * n + 99) // 100 AS k05,
+        |              (95 * n + 99) // 100 AS k95 FROM cnt),
+        |rn AS (SELECT flag, x,
+        |              row_number() OVER (PARTITION BY flag ORDER BY x) AS rn
+        |       FROM v),
+        |p AS (SELECT kk.flag, kk.n, lo.x AS p05, hi.x AS p95
+        |      FROM kk JOIN rn lo ON lo.flag = kk.flag AND lo.rn = kk.k05
+        |              JOIN rn hi ON hi.flag = kk.flag AND hi.rn = kk.k95),
+        |w AS (SELECT v.flag, p.n, p.p05, p.p95,
+        |             CASE WHEN x < p05 THEN p05
+        |                  WHEN x > p95 THEN p95 ELSE x END AS wx,
+        |             CASE WHEN x >= p05 AND x <= p95 THEN x END AS tx
+        |      FROM v JOIN p ON v.flag = p.flag)
+        |SELECT flag, max(n) AS n, max(p05) AS p05, max(p95) AS p95,
+        |       CAST(sum(wx) AS BIGINT) * 100 // max(n) AS win_mean_e2,
+        |       CAST(count(tx) AS BIGINT) AS n_trim,
+        |       CAST(sum(tx) AS BIGINT) * 100 // CAST(count(tx) AS BIGINT)
+        |         AS trim_mean_e2
+        |FROM w GROUP BY flag ORDER BY flag""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("x"))
+        .persist() // rank window + clamp pass
+      val kk = v.groupBy("flag").agg(count(lit(1)).as("n"))
+        .select(col("flag"), col("n"),
+          expr("(5 * n + 99) div 100").as("k05"),
+          expr("(95 * n + 99) div 100").as("k95"))
+      val rn = v.withColumn("rn",
+        row_number().over(Window.partitionBy("flag").orderBy("x")))
+      val p = rn.join(broadcast(kk), Seq("flag"))
+        .where(col("rn") === col("k05") || col("rn") === col("k95"))
+        .groupBy("flag").agg(max("n").as("n"),
+          min(when(col("rn") === col("k05"), col("x"))).as("p05"),
+          min(when(col("rn") === col("k95"), col("x"))).as("p95"))
+      v.join(broadcast(p), "flag")
+        .select(col("flag"), col("n"), col("p05"), col("p95"),
+          when(col("x") < col("p05"), col("p05"))
+            .when(col("x") > col("p95"), col("p95"))
+            .otherwise(col("x")).as("wx"),
+          when(col("x") >= col("p05") && col("x") <= col("p95"), col("x"))
+            .as("tx"))
+        .groupBy("flag").agg(max("n").as("n"), max("p05").as("p05"),
+          max("p95").as("p95"),
+          expr("sum(wx) * 100 div max(n)").as("win_mean_e2"),
+          count(col("tx")).as("n_trim"),
+          expr("sum(tx) * 100 div count(tx)").as("trim_mean_e2"))
+        .orderBy("flag")
+    },
+
+    // A/B sample-size (power) analysis — the question every experiment
+    // review starts with: at the OBSERVED baseline conversion rate, how
+    // many users per arm does it take to detect an absolute lift of
+    // 1/2/5 points at α=0.05 (two-sided) with 80% power? n per arm =
+    // (z_{α/2}+z_β)²·2p̄(1−p̄)/δ². The normal quantiles are fixed
+    // published constants embedded identically in both engines (the SPRT
+    // literal posture); the baseline p comes from the conversion census
+    // (exact integers), and each row's n is one stated double expression
+    // rounded up. The answer pairs with q243 (the test those samples
+    // feed) and q334 (the sequential alternative when n is too dear).
+    QueryDef("q338_power_analysis", {
+      val z2 = "2.8016" // z_{0.025} + z_{0.20} = 1.9600 + 0.8416
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+         |                            THEN 1 ELSE 0 END) > 0
+         |              THEN 1 ELSE 0 END AS conv
+         |  FROM events GROUP BY user_id),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+         |             CAST(sum(conv) AS BIGINT) AS n_conv FROM u),
+         |d AS (SELECT unnest([10000, 20000, 50000]) AS delta_ppm)
+         |SELECT d.delta_ppm, c.n_users, c.n_conv,
+         |       c.n_conv * 1000000 // c.n_users AS baseline_ppm,
+         |       CAST(ceil(
+         |         CAST($z2 AS DOUBLE) * CAST($z2 AS DOUBLE)
+         |           * 2 * (CAST(c.n_conv AS DOUBLE) / c.n_users)
+         |           * (1 - CAST(c.n_conv AS DOUBLE) / c.n_users)
+         |           / ((CAST(d.delta_ppm AS DOUBLE) / 1000000)
+         |              * (CAST(d.delta_ppm AS DOUBLE) / 1000000)))
+         |         AS BIGINT) AS n_per_arm
+         |FROM c CROSS JOIN d ORDER BY delta_ppm""".stripMargin
+    }) { (s, d) =>
+      val z2 = lit(2.8016)
+      val u = Tables.events(s, d).groupBy("user_id")
+        .agg(when(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) > 0, 1L).otherwise(0L).as("conv"))
+      val c = broadcast(u.agg(count(lit(1)).as("n_users"),
+        sum("conv").as("n_conv")))
+      val deltas = s.range(1).select(
+        explode(array(lit(10000L), lit(20000L), lit(50000L)))
+          .as("delta_ppm"))
+      val p = col("n_conv").cast("double") / col("n_users")
+      val dd = col("delta_ppm").cast("double") / 1000000
+      c.crossJoin(deltas)
+        .select(col("delta_ppm"), col("n_users"), col("n_conv"),
+          expr("n_conv * 1000000 div n_users").as("baseline_ppm"),
+          ceil(z2 * z2 * 2 * p * (lit(1) - p) / (dd * dd)).cast("long")
+            .as("n_per_arm"))
+        .orderBy("delta_ppm")
     }
   )
 }
