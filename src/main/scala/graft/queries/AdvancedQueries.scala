@@ -2131,6 +2131,77 @@ object AdvancedQueries {
           round(StringSimExprs.jaroWinkler(col("a.p_name"), col("b.p_name"))
             * 1000000, 0).cast("long").as("jw_e6"))
         .orderBy(col("jw_e6").desc, col("pk_a"), col("pk_b")).limit(20)
+    },
+
+    // Approximate graph diameter by DOUBLE BFS SWEEP — the standard
+    // two-pass lower bound (take any vertex, BFS to the farthest vertex
+    // u, then u's eccentricity from a second BFS is ≥ half the true
+    // diameter and usually exact on real graphs): q302's distance
+    // primitive composed with itself, where sweep 2's SEED is sweep 1's
+    // argmax — a 1-row census, not data. Both sweeps are the same
+    // per-round edge-keyed equi-join + anti-join frontier loop with a
+    // 6-hop horizon (stated by both engines; vertices beyond it don't
+    // bound this estimate). Over q81's bipartite customer↔supplier graph.
+    QueryDef("q337_diameter_sweep",
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s + 1000000 AS dst FROM pairs
+        |      UNION ALL SELECT s + 1000000, c FROM pairs),
+        |seed1 AS (SELECT min(src) AS id FROM e),
+        |b1(id, dist) AS (
+        |  SELECT id, 0 FROM seed1
+        |  UNION
+        |  SELECT e.dst, b1.dist + 1
+        |  FROM b1 JOIN e ON e.src = b1.id WHERE b1.dist < 6),
+        |d1 AS (SELECT id, CAST(min(dist) AS BIGINT) AS dist
+        |       FROM b1 GROUP BY id),
+        |far AS (SELECT id, dist FROM d1 ORDER BY dist DESC, id LIMIT 1),
+        |b2(id, dist) AS (
+        |  SELECT id, 0 FROM far
+        |  UNION
+        |  SELECT e.dst, b2.dist + 1
+        |  FROM b2 JOIN e ON e.src = b2.id WHERE b2.dist < 6),
+        |d2 AS (SELECT id, CAST(min(dist) AS BIGINT) AS dist
+        |       FROM b2 GROUP BY id)
+        |SELECT (SELECT id FROM seed1) AS start_id,
+        |       far.id AS far_id, far.dist AS ecc_sweep1,
+        |       (SELECT max(dist) FROM d2) AS diameter_lb,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM d2) AS n_reached
+        |FROM far""".stripMargin) { (s, d) =>
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val e = pairs.select(col("c").as("src"), (col("s") + 1000000L).as("dst"))
+        .unionAll(pairs.select((col("s") + 1000000L).as("src"),
+          col("c").as("dst")))
+        .persist() // probed once per round per sweep
+      def bfs(seed: org.apache.spark.sql.DataFrame) = {
+        var known = seed.withColumn("dist", lit(0L)).localCheckpoint()
+        var frontier = known.select("id")
+        for (h <- 1 to 6) {
+          val next = frontier.join(e, col("id") === col("src"))
+            .select(col("dst").as("id")).distinct()
+            .join(known, Seq("id"), "left_anti")
+            .withColumn("dist", lit(h.toLong))
+            .localCheckpoint() // round plans must not nest
+          known = known.unionByName(next).localCheckpoint()
+          frontier = next.select("id")
+        }
+        known
+      }
+      val seed1 = e.agg(min("src").as("id"))
+      val d1 = bfs(seed1)
+      val far = d1.orderBy(col("dist").desc, col("id")).limit(1)
+        .localCheckpoint() // 1-row census seeds sweep 2
+      val d2 = bfs(far.select("id"))
+      val agg2 = broadcast(d2.agg(max("dist").as("diameter_lb"),
+        count(lit(1)).as("n_reached")))
+      broadcast(seed1.select(col("id").as("start_id")))
+        .crossJoin(broadcast(far.select(col("id").as("far_id"),
+          col("dist").as("ecc_sweep1"))))
+        .crossJoin(agg2)
     }
   )
 }
