@@ -1669,6 +1669,84 @@ object TextQueries {
         round((col("sy").cast("double") - sxy / sxx * col("sx")) / col("n"), 0)
           .cast("long").as("intercept_e6"),
         round(sxy * sxy / (sxx * syy) * 1000000, 0).cast("long").as("r2_e6"))
+    },
+
+    // Smoothed-unigram negative sampling — word2vec's α=0.75 trick
+    // (Mikolov et al. 2013): contrastive negatives drawn ∝ count^0.75,
+    // flattening the head so frequent tokens don't drown the table. The
+    // distributed shape is the PREFIX-SUM SAMPLING operator: integer
+    // weights from the vocab census, a cumulative-offset column over that
+    // census (statistics-sized window), then every sample point u ∈ [0,T)
+    // resolves to its token by "largest cum_lo ≤ u" — which is exactly a
+    // backward AS-OF join, so the lookup runs through the engine's own
+    // plans/NativeAsof exec (constant key) against DuckDB's native ASOF
+    // JOIN as the oracle. Five deterministic hash draws per document;
+    // output compares each token's sampled share against its target
+    // weight share.
+    QueryDef("q339_negative_sampling", {
+      import graft.functions.Hashes
+      s"""WITH cnt AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         |  GROUP BY token),
+         |w AS (
+         |  SELECT token,
+         |         CAST(round(pow(CAST(c AS DOUBLE), CAST(0.75 AS DOUBLE))
+         |           * 1000, 0) AS BIGINT) AS wt
+         |  FROM cnt),
+         |pre AS (
+         |  SELECT token, wt,
+         |         CAST(coalesce(sum(wt) OVER (ORDER BY token
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS cum_lo
+         |  FROM w),
+         |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS t FROM w),
+         |pts AS (
+         |  SELECT (${Hashes.mulHashSql("doc_id * 8 + i", 23)}) % tot.t AS u
+         |  FROM documents, (SELECT unnest(range(1, 6)) AS i) r
+         |  CROSS JOIN tot),
+         |m AS (
+         |  SELECT pre.token FROM pts ASOF JOIN pre ON pts.u >= pre.cum_lo)
+         |SELECT m.token, CAST(count(*) AS BIGINT) AS n_sampled,
+         |       pre.wt * 1000000 // tot.t AS target_ppm,
+         |       CAST(count(*) AS BIGINT) * 1000000
+         |         // (SELECT CAST(count(*) AS BIGINT) FROM pts)
+         |         AS sampled_ppm
+         |FROM m JOIN pre ON m.token = pre.token CROSS JOIN tot
+         |GROUP BY m.token, pre.wt, tot.t
+         |ORDER BY m.token""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      import graft.plans.NativeAsof
+      import org.apache.spark.sql.expressions.Window
+      val cnt = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ", -1)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+      val w = cnt.select(col("token"),
+        round(pow(col("c").cast("double"), lit(0.75)) * 1000, 0)
+          .cast("long").as("wt"))
+        .persist() // prefix census + total + target shares
+      val pre = w.select(col("token"), col("wt"),
+          coalesce(sum("wt").over(Window.orderBy("token")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            .as("cum_lo"))
+        .withColumn("k", lit(0L))
+      val tot = broadcast(w.agg(sum("wt").as("t")))
+      val pts = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("i", explode(sequence(lit(1L), lit(5L))))
+        .crossJoin(tot)
+        .select((Hashes.mulHash(col("doc_id") * 8 + col("i"), 23)
+          % col("t")).as("u"))
+        .withColumn("k", lit(0L))
+      val m = NativeAsof.joinMulti(pts, pre, Seq("k"), Seq("k"),
+        "u", "cum_lo")
+      val nPts = broadcast(pts.agg(count(lit(1)).as("np")))
+      m.groupBy("token", "wt").agg(count(lit(1)).as("n_sampled"))
+        .crossJoin(tot).crossJoin(nPts)
+        .select(col("token"), col("n_sampled"),
+          expr("wt * 1000000 div t").as("target_ppm"),
+          expr("n_sampled * 1000000 div np").as("sampled_ppm"))
+        .orderBy("token")
     }
   )
 }
