@@ -1636,6 +1636,153 @@ object MlQueries {
           ceil(z2 * z2 * 2 * p * (lit(1) - p) / (dd * dd)).cast("long")
             .as("n_per_arm"))
         .orderBy("delta_ppm")
+    },
+
+    // Cross-validated AUC stability — a single AUC (q218) says nothing
+    // about VARIANCE; model review wants the per-fold spread. Five
+    // hash-assigned folds, each scored by the fixed q250 sigmoid index,
+    // each fold's AUC from the rank-sum identity AUC = (R₊ − n₊(n₊+1)/2)
+    // / (n₊n₋) — computed on the per-(fold, score) census with doubled
+    // average ranks (the q321 trick: ranks never materialize per row, the
+    // window runs over the census partitioned by fold). The cross-fold
+    // max−min spread rides on every row; all arithmetic is exact integer
+    // ppm.
+    QueryDef("q340_cv_auc",
+      s"""WITH s AS (
+         |  SELECT vec_id,
+         |         (${graft.functions.Hashes.mulHashSql("vec_id", 37)}) % 5
+         |           AS fold,
+         |         CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos,
+         |         CAST(round(1 / (1 + exp(-(-0.2
+         |           + CAST(embedding[1] AS DOUBLE) * 1.5
+         |           - CAST(embedding[2] AS DOUBLE) * 0.8
+         |           + CAST(embedding[3] AS DOUBLE) * 0.5
+         |           - CAST(embedding[4] AS DOUBLE) * 1.1))) * 1000000, 0)
+         |           AS BIGINT) AS p_e6
+         |  FROM embeddings),
+         |census AS (
+         |  SELECT fold, p_e6, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(pos) AS BIGINT) AS np
+         |  FROM s GROUP BY fold, p_e6),
+         |ranked AS (
+         |  SELECT fold, n, np,
+         |         2 * CAST(coalesce(sum(n) OVER (PARTITION BY fold
+         |             ORDER BY p_e6
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) + n + 1 AS ar2
+         |  FROM census),
+         |f AS (
+         |  SELECT fold, CAST(sum(np) AS BIGINT) AS n_pos,
+         |         CAST(sum(n) - sum(np) AS BIGINT) AS n_neg,
+         |         CAST(sum(np * ar2) AS BIGINT) AS r2_pos
+         |  FROM ranked GROUP BY fold),
+         |a AS (
+         |  SELECT fold, n_pos, n_neg,
+         |         (r2_pos - 2 * n_pos * (n_pos + 1) // 2) * 500000
+         |           // (n_pos * n_neg) AS auc_ppm
+         |  FROM f)
+         |SELECT a.fold, a.n_pos, a.n_neg, a.auc_ppm,
+         |       (SELECT max(auc_ppm) - min(auc_ppm) FROM a) AS spread_ppm
+         |FROM a ORDER BY a.fold""".stripMargin) { (s, d) =>
+      import graft.functions.Hashes
+      import org.apache.spark.sql.expressions.Window
+      def e(i: Int) = element_at(col("embedding"), i).cast("double")
+      val z = lit(-0.2) + e(1) * 1.5 - e(2) * 0.8 + e(3) * 0.5 - e(4) * 1.1
+      val sRel = Tables.embeddings(s, d)
+        .select((Hashes.mulHash(col("vec_id"), 37) % 5).as("fold"),
+          when(col("label") % 2 === 0, 1L).otherwise(0L).as("pos"),
+          round((lit(1) / (lit(1) + exp(-z))) * 1000000, 0).cast("long")
+            .as("p_e6"))
+      val census = sRel.groupBy("fold", "p_e6")
+        .agg(count(lit(1)).as("n"), sum("pos").as("np"))
+      val wPre = Window.partitionBy("fold").orderBy("p_e6")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = census.select(col("fold"), col("n"), col("np"),
+        (lit(2L) * coalesce(sum("n").over(wPre), lit(0L)) + col("n") + 1L)
+          .as("ar2"))
+      val f = ranked.groupBy("fold").agg(sum("np").as("n_pos"),
+        (sum("n") - sum("np")).as("n_neg"),
+        sum(col("np") * col("ar2")).as("r2_pos"))
+      val a = f.select(col("fold"), col("n_pos"), col("n_neg"),
+        expr("(r2_pos - 2 * n_pos * (n_pos + 1) div 2) * 500000" +
+          " div (n_pos * n_neg)").as("auc_ppm"))
+        .persist() // rows + the spread census
+      val spread = broadcast(a.agg(
+        (max("auc_ppm") - min("auc_ppm")).as("spread_ppm")))
+      a.crossJoin(spread)
+        .select(col("fold"), col("n_pos"), col("n_neg"), col("auc_ppm"),
+          col("spread_ppm"))
+        .orderBy("fold")
+    },
+
+    // 1-D Wasserstein (earth-mover) distance — the drift metric that sees
+    // what q191's PSI bins and q192's KS sup-gap blur: W₁ = ∫|F_A − F_B|dx
+    // integrates BOTH how far and how much mass moved, in the metric's own
+    // units (cents here). Discrete exact form: over the sorted value
+    // census, Σ |cumA·n_B − cumB·n_A| · gap / (n_A·n_B) — cumulative
+    // counts and gaps are exact integers, the cross-multiplied terms ride
+    // in DECIMAL(38,0) (the q305 overflow posture), and one integer
+    // division lands the answer in 1e-2 cents. Distributions: purchase
+    // values of the two q321 hash arms.
+    QueryDef("q341_wasserstein", {
+      import graft.functions.Hashes
+      s"""WITH p AS (
+         |  SELECT (${Hashes.mulHashSql("user_id", 97)}) % 2 AS arm,
+         |         CAST(round(value * 100, 0) AS BIGINT) AS x
+         |  FROM events WHERE event_type = 'purchase'),
+         |census AS (
+         |  SELECT x,
+         |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS na,
+         |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS nb
+         |  FROM p GROUP BY x),
+         |tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+         |               CAST(sum(nb) AS BIGINT) AS tb FROM census),
+         |cum AS (
+         |  SELECT x,
+         |         CAST(sum(na) OVER w AS BIGINT) AS ca,
+         |         CAST(sum(nb) OVER w AS BIGINT) AS cb,
+         |         lead(x) OVER (ORDER BY x) AS nx
+         |  FROM census
+         |  WINDOW w AS (ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |terms AS (
+         |  SELECT abs(CAST(ca AS DECIMAL(38, 0)) * tb
+         |             - CAST(cb AS DECIMAL(38, 0)) * ta)
+         |           * (nx - x) AS term
+         |  FROM cum CROSS JOIN tot WHERE nx IS NOT NULL)
+         |SELECT tot.ta AS n_a, tot.tb AS n_b,
+         |       CAST(floor(sum(term) * 100 / (CAST(tot.ta AS DECIMAL(38, 0))
+         |         * tot.tb)) AS BIGINT) AS w1_e2_cents
+         |FROM terms CROSS JOIN tot GROUP BY tot.ta, tot.tb""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .select((Hashes.mulHash(col("user_id"), 97) % 2).as("arm"),
+          round(col("value") * 100, 0).cast("long").as("x"))
+      val census = p.groupBy("x").agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"))
+        .persist() // totals + cumulative pass
+      val tot = broadcast(census.agg(sum("na").as("ta"), sum("nb").as("tb")))
+      val wCum = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = census.select(col("x"),
+        sum("na").over(wCum).as("ca"), sum("nb").over(wCum).as("cb"),
+        lead("x", 1).over(Window.orderBy("x")).as("nx"))
+      val dec = "decimal(38,0)"
+      cum.crossJoin(tot).where(col("nx").isNotNull)
+        .select(col("ta"), col("tb"),
+          (abs(col("ca").cast(dec) * col("tb") - col("cb").cast(dec)
+            * col("ta")) * (col("nx") - col("x"))).as("term"))
+        .groupBy("ta", "tb").agg(
+          floor(sum("term") * 100 / (col("ta").cast(dec) * col("tb")))
+            .cast("long").as("w1_e2_cents"))
+        .select(col("ta").as("n_a"), col("tb").as("n_b"),
+          col("w1_e2_cents"))
     }
   )
 }
