@@ -1405,30 +1405,10 @@ object MlQueries {
         when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
           .as("treated"),
         when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
-      val ord = Seq(col("x"), col("treated"), col("k"))
-      val wp = Window.orderBy(ord: _*)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wn = Window.orderBy(ord: _*)
-        .rowsBetween(1, Window.unboundedFollowing)
-      val ctrlX = when(col("treated") === 0, col("x"))
-      val ctrlY = when(col("treated") === 0, col("y"))
-      val ss = o.select(col("k"), col("x"), col("treated"), col("y"),
-        last(ctrlX, ignoreNulls = true).over(wp).as("px"),
-        last(ctrlY, ignoreNulls = true).over(wp).as("py"),
-        first(ctrlX, ignoreNulls = true).over(wn).as("nx"),
-        first(ctrlY, ignoreNulls = true).over(wn).as("ny"))
-      val m = ss.where(col("treated") === 1).select(col("k"), col("y"),
-        when(col("px").isNull && col("nx").isNull, lit(null))
-          .when(col("nx").isNull, col("py"))
-          .when(col("px").isNull, col("ny"))
-          .when(col("x") - col("px") <= col("nx") - col("x"), col("py"))
-          .otherwise(col("ny")).as("yc"),
-        when(col("px").isNull && col("nx").isNull, lit(null))
-          .when(col("nx").isNull, col("x") - col("px"))
-          .when(col("px").isNull, col("nx") - col("x"))
-          .when(col("x") - col("px") <= col("nx") - col("x"),
-            col("x") - col("px"))
-          .otherwise(col("nx") - col("x")).as("dist"))
+      val m = graft.operators.NnMatch
+        .nearest1d(o, "x", "treated", "k", "y")
+        .select(col("k"), col("y"), col("matched_payload").as("yc"),
+          col("dist"))
       val inCal = col("dist") <= 10000
       m.agg(count(lit(1)).as("n_treated"),
         sum(when(inCal, 1L).otherwise(0L)).as("n_matched"),

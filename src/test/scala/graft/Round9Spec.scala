@@ -124,4 +124,26 @@ class Round9Spec extends AnyFunSuite {
     // adjacent transposition outside the window of 1-char strings
     assert(jw("ab", "ba") == 0.0)
   }
+
+  test("NnMatch.nearest1d distance equals the brute-force quadratic minimum") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.NnMatch
+    val o = Tables.orders(spark, TestSpark.sfDir).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("x"),
+      when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+        .as("treated"),
+      when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+    val viaWindow = NnMatch.nearest1d(o, "x", "treated", "k", "y")
+      .select(col("k"), col("dist"))
+    val t = o.where(col("treated") === 1).select(col("k"), col("x"))
+    val c = o.where(col("treated") === 0).select(col("x").as("cx"))
+    val brute = t.crossJoin(c)
+      .groupBy("k").agg(min(abs(col("x") - col("cx"))).as("bdist"))
+    val joined = viaWindow.join(brute, Seq("k"), "full_outer")
+    // every treated row matched, and the window's pick IS the minimum
+    assert(joined.where(col("dist").isNull || col("bdist").isNull
+      || col("dist") =!= col("bdist")).count() == 0)
+    assert(viaWindow.count() == t.count())
+  }
 }
