@@ -2351,6 +2351,140 @@ object SimilarityQueries {
         .select(col("variant"), col("n_results"), col("n_hits"),
           expr("n_hits * 1000000 div n_truth").as("recall_ppm"))
         .orderBy("variant")
+    },
+
+    // Mutual nearest neighbors — the unsupervised ALIGNMENT primitive
+    // (MUSE/Lample et al. 2018's dictionary induction, also the CCMatrix
+    // bitext-mining filter): split the corpus into two "spaces" (even/odd
+    // labels), take each side's top-1 cross-space neighbor within the LSH
+    // bucket (the q42 candidate discipline — never all-pairs), and keep
+    // only RECIPROCAL pairs — a→b and b→a agreeing is the high-precision
+    // signal that survives when raw cosine top-1 is noisy. Output: the
+    // mutual pair count and the 20 strongest pairs.
+    QueryDef("q342_mutual_nn",
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT vec_id, label % 2 AS side, embedding,
+         |         ${normSql("embedding")} AS nrm,
+         |         ${Similarity.lshBucketSql("embedding", Dim, 4)} AS bucket
+         |  FROM embeddings),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |         round(${dotSql("a.embedding", "b.embedding")}
+         |           / (a.nrm * b.nrm), 6) AS cos
+         |  FROM v a JOIN v b ON a.bucket = b.bucket
+         |   AND a.side = 0 AND b.side = 1),
+         |ab AS (
+         |  SELECT va, vb FROM (
+         |    SELECT va, vb, row_number() OVER (PARTITION BY va
+         |      ORDER BY cos DESC, vb) AS rn FROM pairs) t WHERE rn = 1),
+         |ba AS (
+         |  SELECT va, vb FROM (
+         |    SELECT va, vb, row_number() OVER (PARTITION BY vb
+         |      ORDER BY cos DESC, va) AS rn FROM pairs) t WHERE rn = 1),
+         |mutual AS (
+         |  SELECT ab.va, ab.vb, p.cos
+         |  FROM ab JOIN ba ON ab.va = ba.va AND ab.vb = ba.vb
+         |          JOIN pairs p ON p.va = ab.va AND p.vb = ab.vb),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_mutual FROM mutual)
+         |SELECT n.n_mutual, m.va, m.vb, m.cos FROM mutual m CROSS JOIN n
+         |ORDER BY m.cos DESC, m.va LIMIT 20""".stripMargin) { (s, d) =>
+      import graft.functions.Tensors
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), (col("label") % 2).as("side"),
+          col("embedding"), Tensors.norm(col("embedding")).as("nrm"),
+          Similarity.lshBucket(col("embedding"), Dim, 4).as("bucket"))
+      val a = v.where(col("side") === 0).select(col("vec_id").as("va"),
+        col("embedding").as("ea"), col("nrm").as("na"), col("bucket"))
+      val b = v.where(col("side") === 1).select(col("vec_id").as("vb"),
+        col("embedding").as("eb"), col("nrm").as("nb"), col("bucket"))
+      val pairs = a.join(b, "bucket")
+        .select(col("va"), col("vb"),
+          round(Tensors.dot(col("ea"), col("eb"))
+            / (col("na") * col("nb")), 6).as("cos"))
+        .persist() // two argmax passes + the mutual join
+      val ab = pairs.withColumn("rn", row_number().over(
+          Window.partitionBy("va").orderBy(col("cos").desc, col("vb"))))
+        .where(col("rn") === 1).select("va", "vb")
+      val ba = pairs.withColumn("rn", row_number().over(
+          Window.partitionBy("vb").orderBy(col("cos").desc, col("va"))))
+        .where(col("rn") === 1).select("va", "vb")
+      val mutual = ab.join(ba, Seq("va", "vb"))
+        .join(pairs, Seq("va", "vb"))
+        .persist() // count census + the top-20
+      val n = broadcast(mutual.agg(count(lit(1)).as("n_mutual")))
+      mutual.crossJoin(n)
+        .select(col("n_mutual"), col("va"), col("vb"), col("cos"))
+        .orderBy(col("cos").desc, col("va")).limit(20)
+    },
+
+    // Kendall τ between two retrieval rankings — when a cheaper scorer
+    // (raw dot product, skipping the norm) is proposed to replace cosine,
+    // the reviewable question is HOW DIFFERENTLY it ORDERS the same
+    // candidates, not just recall: τ = (concordant − discordant) /
+    // (n(n−1)/2) over every candidate pair, per query. Candidates are the
+    // q42 bucket-mates (bounded per bucket, never all-pairs); the pair
+    // enumeration is a per-query self-join of that bounded list, and both
+    // scores are integer-quantized before comparison so concordance is an
+    // exact integer census. The fixture's norms vary little, so τ lands
+    // high — the honest measurement that the norm skip is mostly safe
+    // HERE, with per-query exceptions visible.
+    QueryDef("q343_kendall_tau",
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+         |         ${Similarity.lshBucketSql("embedding", Dim, 4)} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+         |             bucket FROM v WHERE vec_id < 20),
+         |cand AS MATERIALIZED (
+         |  SELECT query_id, v.vec_id AS nid,
+         |         CAST(round(${dotSql("qv", "v.embedding")}
+         |           / (qn * v.nrm) * 1000000, 0) AS BIGINT) AS s_cos,
+         |         CAST(round(${dotSql("qv", "v.embedding")} * 1000000, 0)
+         |           AS BIGINT) AS s_dot
+         |  FROM q JOIN v ON v.bucket = q.bucket AND v.vec_id <> query_id),
+         |pp AS (
+         |  SELECT a.query_id,
+         |         CAST(count(*) AS BIGINT) AS n_pairs,
+         |         CAST(sum(CASE WHEN (a.s_cos - b.s_cos) * (a.s_dot - b.s_dot) > 0
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+         |         CAST(sum(CASE WHEN (a.s_cos - b.s_cos) * (a.s_dot - b.s_dot) < 0
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS disc
+         |  FROM cand a JOIN cand b
+         |    ON a.query_id = b.query_id AND a.nid < b.nid
+         |  GROUP BY a.query_id)
+         |SELECT query_id, n_pairs, conc, disc,
+         |       (conc - disc) * 1000000 // n_pairs AS tau_e6
+         |FROM pp ORDER BY query_id""".stripMargin) { (s, d) =>
+      import graft.functions.Tensors
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          Tensors.norm(col("embedding")).as("nrm"),
+          Similarity.lshBucket(col("embedding"), Dim, 4).as("bucket"))
+      val q = v.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("bucket"))
+      val cand = v.join(broadcast(q), Seq("bucket"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("nid"),
+          round(Tensors.dot(col("qv"), col("embedding"))
+            / (col("qn") * col("nrm")) * 1000000, 0).cast("long")
+            .as("s_cos"),
+          round(Tensors.dot(col("qv"), col("embedding")) * 1000000, 0)
+            .cast("long").as("s_dot"))
+        .persist() // self-joined once per side
+      val a = cand.withColumnsRenamed(
+        Map("nid" -> "na", "s_cos" -> "ca", "s_dot" -> "da"))
+      val b = cand.withColumnsRenamed(
+        Map("nid" -> "nb", "s_cos" -> "cb", "s_dot" -> "db"))
+      a.join(b, Seq("query_id")).where(col("na") < col("nb"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_pairs"),
+          sum(when((col("ca") - col("cb")) * (col("da") - col("db")) > 0,
+            1L).otherwise(0L)).as("conc"),
+          sum(when((col("ca") - col("cb")) * (col("da") - col("db")) < 0,
+            1L).otherwise(0L)).as("disc"))
+        .select(col("query_id"), col("n_pairs"), col("conc"), col("disc"),
+          expr("(conc - disc) * 1000000 div n_pairs").as("tau_e6"))
+        .orderBy("query_id")
     }
   )
 }
