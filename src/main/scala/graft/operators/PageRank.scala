@@ -82,4 +82,60 @@ object PageRank {
     }
     ranks.select("id", "r")
   }
+
+  /** Personalized PageRank (random walk with restart): the teleport mass —
+    * both the (1−d) restart and the dangling redistribution — lands on the
+    * SEED set instead of uniformly, so ranks measure proximity TO the seeds
+    * (the recommendation-expansion / related-items primitive). Same exact
+    * integer-quantized message passing and per-round `observe()` dangling
+    * census as [[pagerank]]; init is uniform over seeds (non-seeds start at
+    * 0), and s(v) = 1/|S| replaces 1/n in both teleport terms.
+    *
+    * @param seeds one `id` column; must be a subset of the graph's vertices
+    */
+  def personalized(edges: DataFrame, seeds: DataFrame, iters: Int,
+                   damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .repartition(col("src")).localCheckpoint()
+    val v = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val sd = seeds.select(col("id").cast("long").as("id")).distinct()
+    val nsDF = broadcast(sd.agg(count(lit(1)).as("ns")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val vTag = v
+      .join(deg.select(col("src").as("id"), lit(true).as("dang0")),
+        Seq("id"), "left")
+      .join(sd.select(col("id"), lit(true).as("seed0")), Seq("id"), "left")
+      .select(col("id"), col("dang0").isNull.as("dang"),
+        coalesce(col("seed0"), lit(false)).as("seed"))
+      .localCheckpoint()
+
+    var ranks = vTag.crossJoin(nsDF)
+      .select(col("id"), col("dang"), col("seed"),
+        when(col("seed"), lit(1.0) / col("ns")).otherwise(lit(0.0)).as("r"))
+    var dm = ranks.where(col("dang"))
+      .agg(coalesce(sum(round(col("r") * 1e12, 0).cast("long")), lit(0L)))
+      .head().getLong(0)
+    for (_ <- 0 until iters) {
+      val msgs = e
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .join(deg, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(round(col("r") / col("outdeg") * 1e12, 0).cast("long")).as("m"))
+      val obs = org.apache.spark.sql.Observation()
+      val sv = when(col("seed"), lit(1.0) / col("ns")).otherwise(lit(0.0))
+      ranks = vTag.crossJoin(nsDF)
+        .join(msgs, Seq("id"), "left")
+        .select(col("id"), col("dang"), col("seed"),
+          round(lit(1.0 - damping) * sv
+            + lit(damping) * (coalesce(col("m"), lit(0L)) / lit(1e12)
+              + lit(dm) / lit(1e12) * sv), 9).as("r"))
+        .observe(obs, coalesce(sum(when(col("dang"),
+          round(col("r") * 1e12, 0).cast("long"))), lit(0L)).as("dm"))
+        .localCheckpoint()
+      dm = obs.get("dm").asInstanceOf[Long]
+    }
+    ranks.select("id", "r")
+  }
 }

@@ -2202,6 +2202,75 @@ object AdvancedQueries {
         .crossJoin(broadcast(far.select(col("id").as("far_id"),
           col("dist").as("ecc_sweep1"))))
         .crossJoin(agg2)
+    },
+
+    // Personalized PageRank (random walk with restart) — q81's global
+    // importance becomes proximity TO a seed set when the teleport mass
+    // (both the (1−d) restart and the dangling redistribution) lands on
+    // the seeds instead of uniformly: the related-items / recommendation-
+    // expansion primitive (Haveliwala 2002). Seeds are the 5 smallest
+    // vertex ids (a 5-row census); operators/PageRank.personalized runs
+    // the same exact 1e-12-integer-quantized message passing and
+    // observe()-folded dangling census as the global variant — one
+    // edge-keyed exchange per round. The oracle unrolls both rounds with
+    // the seeded s(v) in place of 1/n.
+    QueryDef("q345_personalized_pr", {
+      def m(k: Int, prev: String) =
+        s"""d$k AS (
+           |  SELECT coalesce(sum(CAST(round(p.r * 1e12, 0) AS BIGINT)), 0) AS dm
+           |  FROM $prev p WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = p.id)),
+           |m$k AS (
+           |  SELECT e.dst AS id,
+           |         sum(CAST(round(p.r / deg.outdeg * 1e12, 0) AS BIGINT)) AS m
+           |  FROM e JOIN $prev p ON e.src = p.id JOIN deg ON deg.src = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      def r(k: Int) =
+        s"""r$k AS (
+           |  SELECT v.id, round((CAST(1.0 AS DOUBLE) - 0.85)
+           |    * (CASE WHEN sd.id IS NOT NULL THEN CAST(1.0 AS DOUBLE) / ns.ns
+           |            ELSE CAST(0 AS DOUBLE) END)
+           |    + 0.85 * (coalesce(m$k.m, 0) / 1e12 + (d$k.dm / 1e12)
+           |      * (CASE WHEN sd.id IS NOT NULL THEN CAST(1.0 AS DOUBLE) / ns.ns
+           |              ELSE CAST(0 AS DOUBLE) END)), 9) AS r
+           |  FROM v LEFT JOIN seeds sd ON sd.id = v.id
+           |  CROSS JOIN ns CROSS JOIN d$k
+           |  LEFT JOIN m$k ON m$k.id = v.id)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT c AS src, s + 1000000 AS dst FROM pairs
+         |      UNION ALL SELECT s + 1000000, c FROM pairs),
+         |v AS (SELECT DISTINCT id FROM
+         |        (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |seeds AS (SELECT id FROM v ORDER BY id LIMIT 5),
+         |ns AS (SELECT count(*) AS ns FROM seeds),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT v.id,
+         |         CASE WHEN sd.id IS NOT NULL THEN CAST(1.0 AS DOUBLE) / ns.ns
+         |              ELSE CAST(0 AS DOUBLE) END AS r
+         |       FROM v LEFT JOIN seeds sd ON sd.id = v.id CROSS JOIN ns),
+         |${m(1, "r0")},
+         |${r(1)},
+         |${m(2, "r1")},
+         |${r(2)}
+         |SELECT id, round(r, 6) AS ppr FROM r2
+         |WHERE round(r, 6) > 0 ORDER BY ppr DESC, id LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val e = pairs.select(col("c").as("src"), (col("s") + 1000000L).as("dst"))
+        .unionAll(pairs.select((col("s") + 1000000L).as("src"),
+          col("c").as("dst")))
+      val seeds = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .orderBy("id").limit(5)
+      PageRank.personalized(e, seeds, iters = 2)
+        .select(col("id"), round(col("r"), 6).as("ppr"))
+        .where(col("ppr") > 0)
+        .orderBy(col("ppr").desc, col("id"))
+        .limit(20)
     }
   )
 }

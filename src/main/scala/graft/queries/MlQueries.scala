@@ -1763,6 +1763,68 @@ object MlQueries {
             .cast("long").as("w1_e2_cents"))
         .select(col("ta").as("n_a"), col("tb").as("n_b"),
           col("w1_e2_cents"))
+    },
+
+    // Optimal operating point by Youden's J — q217 diagnoses calibration
+    // and q218 grades ranking; DEPLOYING the classifier needs a threshold,
+    // and J = TPR − FPR picks the point that maximizes balanced
+    // informedness. Every distinct score is a candidate threshold: one
+    // score census, suffix-sum windows (score descending) give TP/FP at
+    // every candidate simultaneously, and the argmax is a top-1 over the
+    // census (ties → the LOWER threshold, stated identically). All counts
+    // exact BIGINTs; J in integer ppm.
+    QueryDef("q346_youden_threshold",
+      """WITH s AS (
+        |  SELECT CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos,
+        |         CAST(round(1 / (1 + exp(-(-0.2
+        |           + CAST(embedding[1] AS DOUBLE) * 1.5
+        |           - CAST(embedding[2] AS DOUBLE) * 0.8
+        |           + CAST(embedding[3] AS DOUBLE) * 0.5
+        |           - CAST(embedding[4] AS DOUBLE) * 1.1))) * 1000000, 0)
+        |           AS BIGINT) AS p_e6
+        |  FROM embeddings),
+        |census AS (
+        |  SELECT p_e6, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(pos) AS BIGINT) AS np
+        |  FROM s GROUP BY p_e6),
+        |tot AS (SELECT CAST(sum(np) AS BIGINT) AS p,
+        |               CAST(sum(n) - sum(np) AS BIGINT) AS neg FROM census),
+        |suf AS (
+        |  SELECT p_e6,
+        |         CAST(sum(np) OVER w AS BIGINT) AS tp,
+        |         CAST(sum(n - np) OVER w AS BIGINT) AS fp
+        |  FROM census
+        |  WINDOW w AS (ORDER BY p_e6 DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |j AS (
+        |  SELECT p_e6 AS threshold_e6, tp, fp,
+        |         tot.p - tp AS fn, tot.neg - fp AS tn,
+        |         tp * 1000000 // tot.p - fp * 1000000 // tot.neg AS j_ppm
+        |  FROM suf CROSS JOIN tot)
+        |SELECT threshold_e6, tp, fp, fn, tn, j_ppm FROM j
+        |ORDER BY j_ppm DESC, threshold_e6 LIMIT 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      def e(i: Int) = element_at(col("embedding"), i).cast("double")
+      val z = lit(-0.2) + e(1) * 1.5 - e(2) * 0.8 + e(3) * 0.5 - e(4) * 1.1
+      val sRel = Tables.embeddings(s, d)
+        .select(when(col("label") % 2 === 0, 1L).otherwise(0L).as("pos"),
+          round((lit(1) / (lit(1) + exp(-z))) * 1000000, 0).cast("long")
+            .as("p_e6"))
+      val census = sRel.groupBy("p_e6")
+        .agg(count(lit(1)).as("n"), sum("pos").as("np"))
+        .persist() // totals + suffix pass
+      val tot = broadcast(census.agg(sum("np").as("p"),
+        (sum("n") - sum("np")).as("neg")))
+      val w = Window.orderBy(col("p_e6").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      census.select(col("p_e6"),
+          sum("np").over(w).as("tp"), sum(col("n") - col("np")).over(w)
+            .as("fp"))
+        .crossJoin(tot)
+        .select(col("p_e6").as("threshold_e6"), col("tp"), col("fp"),
+          (col("p") - col("tp")).as("fn"), (col("neg") - col("fp")).as("tn"),
+          expr("tp * 1000000 div p - fp * 1000000 div neg").as("j_ppm"))
+        .orderBy(col("j_ppm").desc, col("threshold_e6")).limit(1)
     }
   )
 }

@@ -2485,6 +2485,90 @@ object SimilarityQueries {
         .select(col("query_id"), col("n_pairs"), col("conc"), col("disc"),
           expr("(conc - disc) * 1000000 div n_pairs").as("tau_e6"))
         .orderBy("query_id")
+    },
+
+    // Rank-biased overlap @10 (Webber et al. TOIS 2010) — q343's Kendall τ
+    // weighs every pair equally; serving cares about the TOP, and RBO's
+    // geometric weighting (p = 0.9) says exactly how much two rankers
+    // agree where users look. Truncated form: Σ_{d=1..10} (1−p)p^{d−1}·
+    // X_d/d with X_d the top-d intersection size. The trick that keeps it
+    // one aggregation: an item in both top-10s at ranks (ra, rb) joins
+    // X_d for every d ≥ max(ra, rb), so its total contribution is the
+    // SUFFIX weight W(max(ra,rb)) — ten 1e-12 integer literals computed
+    // once in Scala and shared by both engines (the SPRT posture). Each
+    // query's RBO is then one census join + a sum of exact integers.
+    QueryDef("q344_rbo", {
+      val w = (1 to 10).map(dd =>
+        math.round((1 - 0.9) * math.pow(0.9, dd - 1) / dd * 1e12))
+      val suffix = (1 to 10).map(m => m -> w.drop(m - 1).sum)
+      val valuesSql = suffix.map { case (m, sw) => s"($m, CAST($sw AS BIGINT))" }
+        .mkString(", ")
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+         |         ${Similarity.lshBucketSql("embedding", Dim, 4)} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+         |             bucket FROM v WHERE vec_id < 20),
+         |cand AS MATERIALIZED (
+         |  SELECT query_id, v.vec_id AS nid,
+         |         CAST(round(${dotSql("qv", "v.embedding")}
+         |           / (qn * v.nrm) * 1000000, 0) AS BIGINT) AS s_cos,
+         |         CAST(round(${dotSql("qv", "v.embedding")} * 1000000, 0)
+         |           AS BIGINT) AS s_dot
+         |  FROM q JOIN v ON v.bucket = q.bucket AND v.vec_id <> query_id),
+         |ra AS (SELECT query_id, nid, row_number() OVER (
+         |         PARTITION BY query_id ORDER BY s_cos DESC, nid) AS r
+         |       FROM cand),
+         |rb AS (SELECT query_id, nid, row_number() OVER (
+         |         PARTITION BY query_id ORDER BY s_dot DESC, nid) AS r
+         |       FROM cand),
+         |common AS (
+         |  SELECT ra.query_id,
+         |         CASE WHEN ra.r >= rb.r THEN ra.r ELSE rb.r END AS m
+         |  FROM ra JOIN rb ON ra.query_id = rb.query_id AND ra.nid = rb.nid
+         |  WHERE ra.r <= 10 AND rb.r <= 10),
+         |wt(m, sw) AS (VALUES $valuesSql)
+         |SELECT c.query_id, CAST(count(*) AS BIGINT) AS n_common,
+         |       CAST(sum(wt.sw) AS BIGINT) // 1000000 AS rbo_e6
+         |FROM common c JOIN wt ON wt.m = c.m
+         |GROUP BY c.query_id ORDER BY c.query_id""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Tensors
+      val w = (1 to 10).map(dd =>
+        math.round((1 - 0.9) * math.pow(0.9, dd - 1) / dd * 1e12))
+      val suffix = (1 to 10).map(m => (m.toLong, w.drop(m - 1).sum))
+      import s.implicits._
+      val wt = broadcast(suffix.toDF("m", "sw"))
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          Tensors.norm(col("embedding")).as("nrm"),
+          Similarity.lshBucket(col("embedding"), Dim, 4).as("bucket"))
+      val q = v.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("bucket"))
+      val cand = v.join(broadcast(q), Seq("bucket"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("nid"),
+          round(Tensors.dot(col("qv"), col("embedding"))
+            / (col("qn") * col("nrm")) * 1000000, 0).cast("long")
+            .as("s_cos"),
+          round(Tensors.dot(col("qv"), col("embedding")) * 1000000, 0)
+            .cast("long").as("s_dot"))
+        .persist() // two rank windows
+      val ra = cand.withColumn("r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("s_cos").desc,
+          col("nid")))).select(col("query_id"), col("nid"), col("r").as("ra"))
+      val rb = cand.withColumn("r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("s_dot").desc,
+          col("nid")))).select(col("query_id"), col("nid"), col("r").as("rb"))
+      ra.join(rb, Seq("query_id", "nid"))
+        .where(col("ra") <= 10 && col("rb") <= 10)
+        .select(col("query_id"), greatest(col("ra"), col("rb"))
+          .cast("long").as("m"))
+        .join(wt, "m")
+        .groupBy("query_id").agg(count(lit(1)).as("n_common"),
+          expr("sum(sw) div 1000000").as("rbo_e6"))
+        .orderBy("query_id")
     }
   )
 }
