@@ -1825,6 +1825,72 @@ object MlQueries {
           (col("p") - col("tp")).as("fn"), (col("neg") - col("fp")).as("tn"),
           expr("tp * 1000000 div p - fp * 1000000 div neg").as("j_ppm"))
         .orderBy(col("j_ppm").desc, col("threshold_e6")).limit(1)
+    },
+
+    // One-way ANOVA F — do the three return-flag populations share a mean
+    // quantity? The k-group generalization the test family still lacked
+    // (q243 two proportions, q321 two distributions, q331 2×2). The trap
+    // this query exists to dodge: Σ_g S_g²/n_g is a cross-group FLOAT sum
+    // whose order neither engine guarantees — so the three groups pivot
+    // into ONE ROW of nine exact BIGINT moments (one conditional-sum
+    // pass, the q331 cells posture) and F = (SSB/(k−1))/(SSW/(N−k)) is a
+    // single FIXED-ORDER double expression over them. η² (effect size)
+    // rides along. Quantities are exact integers in the fixture, so the
+    // moment census is exact.
+    QueryDef("q347_anova_f",
+      """WITH q AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS y
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN flag = 'A' THEN y ELSE 0 END) AS BIGINT) AS s_a,
+        |    CAST(sum(CASE WHEN flag = 'A' THEN y * y ELSE 0 END) AS BIGINT) AS ss_a,
+        |    CAST(sum(CASE WHEN flag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
+        |    CAST(sum(CASE WHEN flag = 'N' THEN y ELSE 0 END) AS BIGINT) AS s_n,
+        |    CAST(sum(CASE WHEN flag = 'N' THEN y * y ELSE 0 END) AS BIGINT) AS ss_n,
+        |    CAST(sum(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+        |    CAST(sum(CASE WHEN flag = 'R' THEN y ELSE 0 END) AS BIGINT) AS s_r,
+        |    CAST(sum(CASE WHEN flag = 'R' THEN y * y ELSE 0 END) AS BIGINT) AS ss_r
+        |  FROM q),
+        |f AS (
+        |  SELECT n_a, n_n, n_r, n_a + n_n + n_r AS nt,
+        |         CAST(s_a AS DOUBLE) * s_a / n_a
+        |           + CAST(s_n AS DOUBLE) * s_n / n_n
+        |           + CAST(s_r AS DOUBLE) * s_r / n_r AS grp,
+        |         CAST(s_a + s_n + s_r AS DOUBLE) AS st,
+        |         CAST(ss_a + ss_n + ss_r AS DOUBLE) AS sst
+        |  FROM c)
+        |SELECT n_a, n_n, n_r, nt,
+        |       CAST(round((grp - st * st / nt) / 2
+        |         / ((sst - grp) / (nt - 3)) * 1000000, 0) AS BIGINT)
+        |         AS f_e6,
+        |       CAST(round((grp - st * st / nt)
+        |         / (sst - st * st / nt) * 1000000, 0) AS BIGINT)
+        |         AS eta2_e6
+        |FROM f""".stripMargin) { (s, d) =>
+      val q = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("y"))
+      def cell(fl: String, what: org.apache.spark.sql.Column, name: String) =
+        sum(when(col("flag") === fl, what).otherwise(0L)).as(name)
+      val c = q.agg(
+        cell("A", lit(1L), "n_a"), cell("A", col("y"), "s_a"),
+        cell("A", col("y") * col("y"), "ss_a"),
+        cell("N", lit(1L), "n_n"), cell("N", col("y"), "s_n"),
+        cell("N", col("y") * col("y"), "ss_n"),
+        cell("R", lit(1L), "n_r"), cell("R", col("y"), "s_r"),
+        cell("R", col("y") * col("y"), "ss_r"))
+      val grp = col("s_a").cast("double") * col("s_a") / col("n_a") +
+        col("s_n").cast("double") * col("s_n") / col("n_n") +
+        col("s_r").cast("double") * col("s_r") / col("n_r")
+      val st = (col("s_a") + col("s_n") + col("s_r")).cast("double")
+      val sst = (col("ss_a") + col("ss_n") + col("ss_r")).cast("double")
+      val nt = col("n_a") + col("n_n") + col("n_r")
+      c.select(col("n_a"), col("n_n"), col("n_r"), nt.as("nt"),
+        round((grp - st * st / nt) / 2 / ((sst - grp) / (nt - 3))
+          * 1000000, 0).cast("long").as("f_e6"),
+        round((grp - st * st / nt) / (sst - st * st / nt) * 1000000, 0)
+          .cast("long").as("eta2_e6"))
     }
   )
 }
