@@ -627,6 +627,86 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"), col("inter"),
           expr("inter * 1000000 div (na + nb - inter)").as("jacc_ppm"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // CONTAINMENT dedup — the asymmetric overlap Jaccard is blind to: a
+    // short document quoted whole inside a long one has tiny Jaccard but
+    // containment C(A→B) = |A∩B|/|A| ≈ 1 (Broder 1997's resemblance vs
+    // containment split). Candidates come from RARE shared shingles
+    // (document frequency ≤ 20 — the discriminative-token blocking that
+    // keeps the equi-join linear; stopword-like shingles can't vote),
+    // then exact intersections verify C ≥ 0.8 in EITHER direction as an
+    // integer inequality. Output: ordered (contained → container) pairs —
+    // the quote-inclusion edges a scrubbing pipeline resolves by keeping
+    // the container.
+    QueryDef("q348_containment",
+      s"""$shingleCte,
+         |sx AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, unnest(sh) AS h FROM s),
+         |nd AS MATERIALIZED (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sx GROUP BY doc_id),
+         |df AS MATERIALIZED (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS dfc FROM sx GROUP BY h),
+         |rare AS (SELECT sx.doc_id, sx.h FROM sx JOIN df USING (h)
+         |         WHERE df.dfc <= 20),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |inter AS MATERIALIZED (
+         |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM cand c JOIN sx xa ON xa.doc_id = c.doc_a
+         |              JOIN sx xb ON xb.doc_id = c.doc_b AND xb.h = xa.h
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT CASE WHEN i.inter * 10 >= 8 * na.n THEN i.doc_a
+         |            ELSE i.doc_b END AS contained,
+         |       CASE WHEN i.inter * 10 >= 8 * na.n THEN i.doc_b
+         |            ELSE i.doc_a END AS container,
+         |       i.inter,
+         |       CASE WHEN i.inter * 10 >= 8 * na.n
+         |            THEN i.inter * 1000000 // na.n
+         |            ELSE i.inter * 1000000 // nb.n END AS containment_ppm
+         |FROM inter i JOIN nd na ON na.doc_id = i.doc_a
+         |             JOIN nd nb ON nb.doc_id = i.doc_b
+         |WHERE i.inter * 10 >= 8 * na.n OR i.inter * 10 >= 8 * nb.n
+         |ORDER BY contained, container""".stripMargin) { (s, d) =>
+      val toksCol = split(col("text"), " ", -1)
+      val sx = Tables.documents(s, d)
+        .where(size(toksCol) >= 3)
+        .select(col("doc_id"),
+          explode(MinHash.shingleHashes(toksCol)).as("h"))
+        .distinct()
+        .persist() // df census + rare blocking + both verify joins
+      val nd = sx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val df = sx.groupBy("h").agg(count(lit(1)).as("dfc"))
+      val rare = sx.join(df.where(col("dfc") <= 20), "h")
+        .select("doc_id", "h")
+      val cand = rare.select(col("doc_id").as("doc_a"), col("h"))
+        .join(rare.select(col("doc_id").as("doc_b"), col("h")), "h")
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val inter = cand
+        .join(sx.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+        .join(sx.select(col("doc_id").as("doc_b"), col("h").as("hb")),
+          "doc_b")
+        .where(col("h") === col("hb"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      val aFirst = col("inter") * 10 >= lit(8) * col("na")
+      inter
+        .join(nd.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          "doc_a")
+        .join(nd.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          "doc_b")
+        .where(col("inter") * 10 >= lit(8) * col("na")
+          || col("inter") * 10 >= lit(8) * col("nb"))
+        .select(when(aFirst, col("doc_a")).otherwise(col("doc_b"))
+            .as("contained"),
+          when(aFirst, col("doc_b")).otherwise(col("doc_a"))
+            .as("container"),
+          col("inter"),
+          when(aFirst, expr("inter * 1000000 div na"))
+            .otherwise(expr("inter * 1000000 div nb"))
+            .as("containment_ppm"))
+        .orderBy("contained", "container")
     }
   )
 }

@@ -2696,6 +2696,92 @@ object EventQueries {
           when(col("rn").isNull, "continue")
             .when(col("llr") >= bound, "accept_h1")
             .otherwise("accept_h0").as("decision"))
+    },
+
+    // Next-event prediction accuracy — does conditioning on the PREVIOUS
+    // event beat the majority guess? The Markov argmax predictor (per
+    // previous type, the most frequent successor in the TRAIN period;
+    // ties alphabetical) is graded on held-out transitions against the
+    // unconditional majority baseline — the supervised evaluation q276's
+    // stationary analysis and q204's path census stop short of. The
+    // temporal split is the observed midpoint (q331's boundary census —
+    // training strictly precedes the test period, the q258 leakage
+    // discipline); transitions are per-user lead() pairs that never span
+    // the boundary. All counts exact; accuracies in integer ppm.
+    QueryDef("q349_next_event_acc",
+      """WITH bounds AS (
+        |  SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+        |         CAST(max(epoch_us(ts)) AS BIGINT) AS hi FROM events),
+        |e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        |         CASE WHEN epoch_us(ts) * 2 >= lo + hi THEN 1 ELSE 0 END
+        |           AS post
+        |  FROM events CROSS JOIN bounds),
+        |tr AS (
+        |  SELECT event_type AS prev,
+        |         lead(event_type) OVER (PARTITION BY user_id, post
+        |           ORDER BY us, event_id) AS nxt,
+        |         post
+        |  FROM e),
+        |model AS (
+        |  SELECT prev, nxt AS pred FROM (
+        |    SELECT prev, nxt, row_number() OVER (PARTITION BY prev
+        |      ORDER BY count(*) DESC, nxt) AS rn
+        |    FROM tr WHERE post = 0 AND nxt IS NOT NULL
+        |    GROUP BY prev, nxt) t WHERE rn = 1),
+        |maj AS (
+        |  SELECT nxt AS pred FROM (
+        |    SELECT nxt, row_number() OVER (ORDER BY count(*) DESC, nxt)
+        |      AS rn
+        |    FROM tr WHERE post = 0 AND nxt IS NOT NULL GROUP BY nxt) t
+        |  WHERE rn = 1),
+        |tst AS (SELECT prev, nxt FROM tr WHERE post = 1 AND nxt IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |       CAST(sum(CASE WHEN m.pred = tst.nxt THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS correct_markov,
+        |       CAST(sum(CASE WHEN m.pred = tst.nxt THEN 1 ELSE 0 END)
+        |            AS BIGINT) * 1000000 // count(*) AS acc_markov_ppm,
+        |       CAST(sum(CASE WHEN maj.pred = tst.nxt THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS correct_majority,
+        |       CAST(sum(CASE WHEN maj.pred = tst.nxt THEN 1 ELSE 0 END)
+        |            AS BIGINT) * 1000000 // count(*) AS acc_majority_ppm
+        |FROM tst JOIN model m ON m.prev = tst.prev CROSS JOIN maj""".stripMargin) { (s, d) =>
+      val bounds = broadcast(Tables.events(s, d)
+        .agg(min(unix_micros(col("ts"))).as("lo"),
+          max(unix_micros(col("ts"))).as("hi")))
+      val e = Tables.events(s, d).crossJoin(bounds)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          when(unix_micros(col("ts")) * 2 >= col("lo") + col("hi"), 1L)
+            .otherwise(0L).as("post"))
+      val wSeq = Window.partitionBy("user_id", "post")
+        .orderBy("us", "event_id")
+      val tr = e.select(col("event_type").as("prev"),
+          lead("event_type", 1).over(wSeq).as("nxt"), col("post"))
+        .persist() // model fit + majority + test
+      val model = tr.where(col("post") === 0 && col("nxt").isNotNull)
+        .groupBy("prev", "nxt").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(Window.partitionBy("prev")
+          .orderBy(col("n").desc, col("nxt"))))
+        .where(col("rn") === 1)
+        .select(col("prev"), col("nxt").as("pred"))
+      val maj = tr.where(col("post") === 0 && col("nxt").isNotNull)
+        .groupBy("nxt").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("n").desc, col("nxt"))))
+        .where(col("rn") === 1)
+        .select(col("nxt").as("mpred"))
+      val tst = tr.where(col("post") === 1 && col("nxt").isNotNull)
+      tst.join(broadcast(model), "prev").crossJoin(broadcast(maj))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("pred") === col("nxt"), 1L).otherwise(0L))
+            .as("correct_markov"),
+          expr("sum(CASE WHEN pred = nxt THEN 1 ELSE 0 END) * 1000000" +
+            " div count(*)").as("acc_markov_ppm"),
+          sum(when(col("mpred") === col("nxt"), 1L).otherwise(0L))
+            .as("correct_majority"),
+          expr("sum(CASE WHEN mpred = nxt THEN 1 ELSE 0 END) * 1000000" +
+            " div count(*)").as("acc_majority_ppm"))
     }
   )
 }
