@@ -707,6 +707,132 @@ object DedupQueries {
             .otherwise(expr("inter * 1000000 div nb"))
             .as("containment_ppm"))
         .orderBy("contained", "container")
+    },
+
+    // Curation retention funnel — the END-TO-END report every corpus team
+    // publishes: per source, how many documents survive each stage of
+    // raw → exact dedup (sha-256 keep-min, q30's rule) → near-dup scrub
+    // (q319's prefix-filtered exact Jaccard ≥ 0.7 over the exact
+    // survivors; the keep-first rule drops the larger id of every
+    // verified pair) → quality gate (≥ 5 tokens AND distinct-token ratio
+    // ≥ 0.3 — the repetition screen). One declarative plan composes the
+    // catalog's real machinery end to end; the per-source retention ppm
+    // is the number the data-mixture meeting argues about.
+    QueryDef("q350_curation_funnel",
+      s"""WITH raw AS (
+         |  SELECT doc_id, source, text, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |ex AS (
+         |  SELECT doc_id, source, text, toks FROM (
+         |    SELECT doc_id, source, text, toks, row_number() OVER (
+         |      PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+         |    FROM raw) t WHERE rn = 1),
+         |sh AS (
+         |  SELECT doc_id, ${MinHash.shingleHashesSql("toks")} AS shl
+         |  FROM ex WHERE len(toks) >= 3),
+         |sx AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, unnest(shl) AS h FROM sh),
+         |nd AS MATERIALIZED (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sx
+         |  GROUP BY doc_id),
+         |df AS MATERIALIZED (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS dfc FROM sx GROUP BY h),
+         |pre AS MATERIALIZED (
+         |  SELECT doc_id, h FROM (
+         |    SELECT sx.doc_id, sx.h, nd.n,
+         |           row_number() OVER (PARTITION BY sx.doc_id
+         |             ORDER BY df.dfc, sx.h) AS rn
+         |    FROM sx JOIN df USING (h) JOIN nd USING (doc_id))
+         |  WHERE rn <= n - (7 * n + 9) // 10 + 1),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |dup AS (
+         |  SELECT DISTINCT c.doc_b AS doc_id
+         |  FROM cand c JOIN sx xa ON xa.doc_id = c.doc_a
+         |              JOIN sx xb ON xb.doc_id = c.doc_b AND xb.h = xa.h
+         |              JOIN nd na ON na.doc_id = c.doc_a
+         |              JOIN nd nb ON nb.doc_id = c.doc_b
+         |  GROUP BY c.doc_a, c.doc_b, na.n, nb.n
+         |  HAVING count(*) * 10 >= 7 * (na.n + nb.n - count(*))),
+         |nr AS (
+         |  SELECT ex.doc_id, ex.source, ex.toks FROM ex
+         |  WHERE ex.doc_id NOT IN (SELECT doc_id FROM dup)),
+         |ql AS (
+         |  SELECT doc_id, source FROM nr
+         |  WHERE len(toks) >= 5
+         |    AND len(list_distinct(toks)) * 10 >= 3 * len(toks))
+         |SELECT r.source,
+         |       CAST(count(DISTINCT r.doc_id) AS BIGINT) AS n_raw,
+         |       CAST(count(DISTINCT e2.doc_id) AS BIGINT) AS n_exact,
+         |       CAST(count(DISTINCT n2.doc_id) AS BIGINT) AS n_near,
+         |       CAST(count(DISTINCT q2.doc_id) AS BIGINT) AS n_quality,
+         |       CAST(count(DISTINCT q2.doc_id) AS BIGINT) * 1000000
+         |         // CAST(count(DISTINCT r.doc_id) AS BIGINT)
+         |         AS retained_ppm
+         |FROM raw r
+         |LEFT JOIN ex e2 ON e2.doc_id = r.doc_id
+         |LEFT JOIN nr n2 ON n2.doc_id = r.doc_id
+         |LEFT JOIN ql q2 ON q2.doc_id = r.doc_id
+         |GROUP BY r.source ORDER BY r.source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val raw = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          split(col("text"), " ", -1).as("toks"))
+        .persist() // funnel base + stage joins
+      val ex = raw.withColumn("rn", row_number().over(
+          Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")))
+        .where(col("rn") === 1).drop("rn")
+        .persist() // shingles + near stage + funnel join
+      val sx = ex.where(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          explode(MinHash.shingleHashes(col("toks"))).as("h"))
+        .distinct()
+        .persist() // df census + prefix + verify joins
+      val nd = sx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .persist() // prefix bound + verification sizes
+      val df = sx.groupBy("h").agg(count(lit(1)).as("dfc"))
+      val pw = Window.partitionBy("doc_id").orderBy(col("dfc"), col("h"))
+      val pre = sx.join(df, "h").join(nd, "doc_id")
+        .withColumn("rn", row_number().over(pw))
+        .where(col("rn") <= col("n") - expr("(7 * n + 9) div 10") + 1)
+        .select("doc_id", "h")
+      val cand = pre.select(col("doc_id").as("doc_a"), col("h"))
+        .join(pre.select(col("doc_id").as("doc_b"), col("h")), "h")
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val dup = cand
+        .join(sx.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+        .join(sx.select(col("doc_id").as("doc_b"), col("h").as("hb")),
+          "doc_b")
+        .where(col("h") === col("hb"))
+        .join(nd.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          "doc_a")
+        .join(nd.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(count(lit(1)).as("inter"))
+        .where(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * 7)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val nr = ex.join(dup, Seq("doc_id"), "left_anti")
+        .persist() // quality stage + funnel join
+      val ql = nr.where(size(col("toks")) >= 5
+        && size(array_distinct(col("toks"))) * 10 >= lit(3) * size(col("toks")))
+      raw.select(col("doc_id"), col("source"))
+        .join(ex.select(col("doc_id"), lit(1L).as("in_ex")), Seq("doc_id"),
+          "left")
+        .join(nr.select(col("doc_id"), lit(1L).as("in_nr")), Seq("doc_id"),
+          "left")
+        .join(ql.select(col("doc_id"), lit(1L).as("in_ql")), Seq("doc_id"),
+          "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_raw"),
+          sum(coalesce(col("in_ex"), lit(0L))).as("n_exact"),
+          sum(coalesce(col("in_nr"), lit(0L))).as("n_near"),
+          sum(coalesce(col("in_ql"), lit(0L))).as("n_quality"),
+          expr("sum(coalesce(in_ql, 0)) * 1000000 div count(*)")
+            .as("retained_ppm"))
+        .orderBy("source")
     }
   )
 }
