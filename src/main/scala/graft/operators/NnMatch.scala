@@ -9,14 +9,24 @@ import org.apache.spark.sql.functions._
   * For every treated row, find the control row with the nearest covariate
   * value. The naive plan is a treated×control theta-join; in one dimension
   * the nearest control is always the closest control to the LEFT or RIGHT
-  * in covariate order, so ONE global sort (range-partitioned at scale) and
-  * two IGNORE-NULLS running-edge windows replace it. Ties at equal
-  * distance resolve to the left (smaller-covariate) control; among equal-
-  * covariate controls the sort order's last one carries the payload —
-  * both stated deterministically by the (x, treated, key) total order.
+  * in covariate order. A single `Window.orderBy` would compute that — in
+  * ONE partition (Spark moves everything to one task; the first probe
+  * measured exactly that) — so this runs the distributed form instead:
   *
-  * Used by q330 (causal ATT matching); NnMatchSpec pins the distance
-  * against the brute-force quadratic minimum on the fixture.
+  *   1. range-repartition + sort by (x, treated, key) — the one shuffle;
+  *   2. per-PARTITION running-edge windows (parallel) for the nearest
+  *      control to the left/right within the partition;
+  *   3. boundary repair: a P-row census (each partition's first/last
+  *      control as an atomic struct) carries the nearest control ACROSS
+  *      partition edges — the only sequential window runs over P rows.
+  *
+  * Ties at equal distance resolve to the left (smaller-covariate) control;
+  * among equal-covariate controls the (x, key)-order last/first one carries
+  * the payload — stated deterministically by the total order, and
+  * independent of where the sampled range boundaries land.
+  *
+  * Used by q330 (causal ATT matching); NnMatchSpec-style case in
+  * Round9Spec pins the distance against the brute-force quadratic minimum.
   */
 object NnMatch {
 
@@ -27,29 +37,53 @@ object NnMatch {
     * dist/matched_payload are NULL when no control exists at all.
     */
   def nearest1d(df: DataFrame, x: String, treated: String, key: String,
-                payload: String): DataFrame = {
+                payload: String, partitions: Int = 32): DataFrame = {
     val ord = Seq(col(x), col(treated), col(key))
-    val wp = Window.orderBy(ord: _*)
+    val sorted = df.select(col(key), col(x), col(treated), col(payload))
+      .repartitionByRange(partitions, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("pid", spark_partition_id())
+    // a control row as one atomic (x, key, payload) struct — x leads, key
+    // second, so struct MIN/MAX order the controls exactly like `ord` does
+    // (treated is constant 0 among controls)
+    val ctrl = when(col(treated) === 0,
+      struct(col(x).as("cx"), col(key).as("ck"),
+        col(payload).as("cp")))
+    val wp = Window.partitionBy("pid").orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wn = Window.orderBy(ord: _*)
+    val wn = Window.partitionBy("pid").orderBy(ord: _*)
       .rowsBetween(1, Window.unboundedFollowing)
-    val ctrlX = when(col(treated) === 0, col(x))
-    val ctrlP = when(col(treated) === 0, col(payload))
-    val s = df.select(col(key), col(x), col(treated), col(payload),
-      last(ctrlX, ignoreNulls = true).over(wp).as("px"),
-      last(ctrlP, ignoreNulls = true).over(wp).as("pp"),
-      first(ctrlX, ignoreNulls = true).over(wn).as("nx"),
-      first(ctrlP, ignoreNulls = true).over(wn).as("np"))
-    s.where(col(treated) === 1).select(col(key), col(x), col(payload),
-      when(col("px").isNull && col("nx").isNull, lit(null))
-        .when(col("nx").isNull, col(x) - col("px"))
-        .when(col("px").isNull, col("nx") - col(x))
-        .when(col(x) - col("px") <= col("nx") - col(x), col(x) - col("px"))
-        .otherwise(col("nx") - col(x)).as("dist"),
-      when(col("px").isNull && col("nx").isNull, lit(null))
-        .when(col("nx").isNull, col("pp"))
-        .when(col("px").isNull, col("np"))
-        .when(col(x) - col("px") <= col("nx") - col(x), col("pp"))
-        .otherwise(col("np")).as("matched_payload"))
+    val s = sorted.select(col(key), col(x), col(treated), col(payload),
+      col("pid"),
+      last(ctrl, ignoreNulls = true).over(wp).as("pv"),
+      first(ctrl, ignoreNulls = true).over(wn).as("nv"))
+    // P-row boundary census: each partition's extreme controls, then the
+    // nearest control BEFORE/AFTER every partition via running-edge windows
+    // over the census (the only global-ordered pass — P rows, not data)
+    val census = sorted.groupBy("pid")
+      .agg(max(ctrl).as("lastc"), min(ctrl).as("firstc"))
+    val cwp = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cwn = Window.orderBy("pid")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carry = census.select(col("pid"),
+      last(col("lastc"), ignoreNulls = true).over(cwp).as("prevc"),
+      first(col("firstc"), ignoreNulls = true).over(cwn).as("nextc"))
+    val j = s.join(broadcast(carry), "pid")
+      .select(col(key), col(x), col(treated), col(payload),
+        coalesce(col("pv"), col("prevc")).as("pv"),
+        coalesce(col("nv"), col("nextc")).as("nv"))
+    j.where(col(treated) === 1).select(col(key), col(x), col(payload),
+      when(col("pv").isNull && col("nv").isNull, lit(null))
+        .when(col("nv").isNull, col(x) - col("pv.cx"))
+        .when(col("pv").isNull, col("nv.cx") - col(x))
+        .when(col(x) - col("pv.cx") <= col("nv.cx") - col(x),
+          col(x) - col("pv.cx"))
+        .otherwise(col("nv.cx") - col(x)).as("dist"),
+      when(col("pv").isNull && col("nv").isNull, lit(null))
+        .when(col("nv").isNull, col("pv.cp"))
+        .when(col("pv").isNull, col("nv.cp"))
+        .when(col(x) - col("pv.cx") <= col("nv.cx") - col(x), col("pv.cp"))
+        .otherwise(col("nv.cp")).as("matched_payload"))
   }
 }
