@@ -480,6 +480,58 @@ object ScaleProbe {
             .localCheckpoint()
         }
         frontier
+      },
+
+      // q319's PPJoin prefix-filtered exact set-similarity join: every
+      // TOKEN is salted with the replica index so growth adds corpus, not
+      // duplicates — replicating verbatim would multiply every shingle's
+      // document frequency by m and candidate pairs by m² (a property of
+      // duplicated data, not of the algorithm under test; a tail-only
+      // salt leaves interior shingles shared and measurably explodes)
+      "prefix_join" -> { m =>
+        import org.apache.spark.sql.expressions.Window
+        val docs = {
+          val base = Tables.documents(spark, sfDir)
+          (0 until m).map(k => base
+            .withColumn("doc_id", col("doc_id") + lit(k.toLong * 1_000_000L))
+            .withColumn("text",
+              regexp_replace(col("text"), "(\\S+)", "$1x" + k)))
+            .reduce(_ unionAll _)
+        }
+        val toksCol = split(col("text"), " ", -1)
+        val sx = docs.where(size(toksCol) >= 3)
+          .select(col("doc_id"),
+            explode(graft.operators.MinHash.shingleHashes(toksCol)).as("h"))
+          .distinct().persist()
+        val nd = sx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val df = sx.groupBy("h").agg(count(lit(1)).as("dfc"))
+        val pw = Window.partitionBy("doc_id").orderBy(col("dfc"), col("h"))
+        val pre = sx.join(df, "h").join(nd, "doc_id")
+          .withColumn("rn", row_number().over(pw))
+          .where(col("rn") <= col("n") - expr("(7 * n + 9) div 10") + 1)
+          .select("doc_id", "h")
+        val cand = pre.select(col("doc_id").as("doc_a"), col("h"))
+          .join(pre.select(col("doc_id").as("doc_b"), col("h")), "h")
+          .where(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        cand.join(sx.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+          .join(sx.select(col("doc_id").as("doc_b"), col("h").as("hb")),
+            "doc_b")
+          .where(col("h") === col("hb"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      },
+
+      // operators/NnMatch 1-D nearest-neighbor matching: one range-
+      // partitioned sort + two running-edge windows — the probe confirms
+      // the no-quadratic-join claim holds as n grows (n log n sort)
+      "nn_match" -> { m =>
+        val o = li(m).select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("x"),
+          when(col("l_returnflag") === "A", 1L).otherwise(0L).as("treated"),
+          col("l_quantity").cast("long").as("y"))
+        graft.operators.NnMatch.nearest1d(o, "x", "treated", "k", "y")
+          .groupBy().agg(count(lit(1)).as("n"), sum("dist").as("sd"))
       })
 
     // the steepest 10× shapes get a 30× leg: confirms no super-linear break

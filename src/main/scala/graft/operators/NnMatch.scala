@@ -49,14 +49,22 @@ object NnMatch {
     val ctrl = when(col(treated) === 0,
       struct(col(x).as("cx"), col(key).as("ck"),
         col(payload).as("cp")))
+    // Both edges as GROWING frames (unboundedPreceding → -1): Spark
+    // evaluates growing frames incrementally (O(n) per partition), while a
+    // shrinking frame (1 → unboundedFollowing) re-aggregates the remaining
+    // rows for EVERY row — O(n²) per partition, measured super-linear by
+    // ScaleProbe `nn_match` before this rewrite. "Nearest control to the
+    // RIGHT" is therefore expressed as last-non-null over the REVERSED
+    // order: same row, linear frame.
+    val ordDesc = ord.map(_.desc)
     val wp = Window.partitionBy("pid").orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wn = Window.partitionBy("pid").orderBy(ord: _*)
-      .rowsBetween(1, Window.unboundedFollowing)
+    val wn = Window.partitionBy("pid").orderBy(ordDesc: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val s = sorted.select(col(key), col(x), col(treated), col(payload),
       col("pid"),
       last(ctrl, ignoreNulls = true).over(wp).as("pv"),
-      first(ctrl, ignoreNulls = true).over(wn).as("nv"))
+      last(ctrl, ignoreNulls = true).over(wn).as("nv"))
     // P-row boundary census: each partition's extreme controls, then the
     // nearest control BEFORE/AFTER every partition via running-edge windows
     // over the census (the only global-ordered pass — P rows, not data)
@@ -64,11 +72,11 @@ object NnMatch {
       .agg(max(ctrl).as("lastc"), min(ctrl).as("firstc"))
     val cwp = Window.orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cwn = Window.orderBy("pid")
-      .rowsBetween(1, Window.unboundedFollowing)
+    val cwn = Window.orderBy(col("pid").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val carry = census.select(col("pid"),
       last(col("lastc"), ignoreNulls = true).over(cwp).as("prevc"),
-      first(col("firstc"), ignoreNulls = true).over(cwn).as("nextc"))
+      last(col("firstc"), ignoreNulls = true).over(cwn).as("nextc"))
     val j = s.join(broadcast(carry), "pid")
       .select(col(key), col(x), col(treated), col(payload),
         coalesce(col("pv"), col("prevc")).as("pv"),
