@@ -2271,6 +2271,222 @@ object AdvancedQueries {
         .where(col("ppr") > 0)
         .orderBy(col("ppr").desc, col("id"))
         .limit(20)
+    },
+
+    // Louvain local-move sweep — the modularity-GAIN community operator the
+    // LPA family (q238/q270) doesn't have: starting from the 16-block
+    // spatial partition, every vertex simultaneously evaluates ΔQ for
+    // joining each neighboring community vs staying, using the standard
+    // Louvain gain scaled to exact integers (×2m²>0 preserves the argmax):
+    // gain(C) = 2m·e_{i,C} − k_i·(Σtot(C) − [C = own]·k_i) — the [C = own]
+    // term is the remove-self correction. One synchronous pass (Blondel et
+    // al. 2008's inner loop made deterministic): per-vertex argmax with a
+    // (gain desc, community) tie-break, then the moved-to partition is
+    // graded by the q270 exact-integer modularity. Shuffle shape: the
+    // neighbor-community census and Σtot census are vertex/community-keyed
+    // equi-exchanges; m is a broadcast 1-row total; the argmax is a window
+    // partitioned BY VERTEX — never global. Output: top communities after
+    // the sweep, each row carrying the global moved-vertex count and Q.
+    QueryDef("q351_louvain_move",
+      s"""WITH ${SpatialEdges.cte},
+         |ed AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
+         |      UNION ALL SELECT v, u FROM e0),
+         |l0 AS (SELECT id, (x // 250) * 4 + (y // 250) AS lbl FROM p),
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS dg
+         |        FROM ed GROUP BY src),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+         |own AS MATERIALIZED (
+         |  SELECT l0.id, l0.lbl AS dlbl, deg.dg
+         |  FROM l0 JOIN deg ON deg.id = l0.id),
+         |tot AS MATERIALIZED (
+         |  SELECT l0.lbl, CAST(sum(deg.dg) AS BIGINT) AS tot
+         |  FROM l0 JOIN deg ON deg.id = l0.id GROUP BY l0.lbl),
+         |nc AS MATERIALIZED (
+         |  SELECT e.src AS id, l.lbl AS clbl, CAST(count(*) AS BIGINT) AS e
+         |  FROM ed e JOIN l0 l ON l.id = e.dst GROUP BY 1, 2),
+         |stay AS (
+         |  SELECT own.id, own.dg, own.dlbl, own.dlbl AS clbl,
+         |         CAST(coalesce(nc.e, 0) AS BIGINT) AS e, tot.tot
+         |  FROM own JOIN tot ON tot.lbl = own.dlbl
+         |           LEFT JOIN nc ON nc.id = own.id AND nc.clbl = own.dlbl),
+         |mv AS (
+         |  SELECT nc.id, own.dg, own.dlbl, nc.clbl, nc.e, tot.tot
+         |  FROM nc JOIN own ON own.id = nc.id AND nc.clbl <> own.dlbl
+         |          JOIN tot ON tot.lbl = nc.clbl),
+         |opts AS (
+         |  SELECT t.*, 2 * m.m * e - dg * (tot - CASE WHEN clbl = dlbl
+         |           THEN dg ELSE 0 END) AS gain
+         |  FROM (SELECT * FROM stay UNION ALL SELECT * FROM mv) t, m),
+         |l1 AS MATERIALIZED (
+         |  SELECT id, clbl AS lbl, dlbl FROM (
+         |    SELECT id, clbl, dlbl,
+         |           row_number() OVER (PARTITION BY id
+         |             ORDER BY gain DESC, clbl) AS rn
+         |    FROM opts) t WHERE rn = 1),
+         |mvd AS (SELECT CAST(count(*) FILTER (WHERE lbl <> dlbl) AS BIGINT)
+         |          AS moved FROM l1),
+         |cm AS MATERIALIZED (
+         |  SELECT l1.lbl AS community, CAST(count(*) AS BIGINT) AS size,
+         |         CAST(sum(deg.dg) AS BIGINT) AS d_sum
+         |  FROM l1 JOIN deg ON deg.id = l1.id GROUP BY l1.lbl),
+         |ein AS (SELECT lu.lbl AS community, CAST(count(*) AS BIGINT) AS e_in
+         |        FROM e0 JOIN l1 lu ON lu.id = e0.u
+         |                JOIN l1 lv ON lv.id = e0.v
+         |        WHERE lu.lbl = lv.lbl GROUP BY lu.lbl),
+         |parts AS (SELECT cm.community, cm.size, cm.d_sum,
+         |            CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in
+         |          FROM cm LEFT JOIN ein USING (community)),
+         |num AS (SELECT CAST(sum(4 * m.m * e_in - d_sum * d_sum) AS BIGINT)
+         |          AS num, CAST(4 * m.m * m.m AS BIGINT) AS den
+         |        FROM parts, m GROUP BY m.m),
+         |q AS (SELECT CASE WHEN num >= 0 THEN num * 1000000 // den
+         |             ELSE -(((-num) * 1000000 + den - 1) // den) END AS q_e6
+         |      FROM num)
+         |SELECT community, size, e_in, d_sum, CAST(q_e6 AS BIGINT) AS q_e6,
+         |       moved
+         |FROM (SELECT p.*, q.q_e6, mvd.moved,
+         |        row_number() OVER (ORDER BY p.size DESC, p.community) AS rn
+         |      FROM parts p, q, mvd) t
+         |WHERE rn <= 10 ORDER BY size DESC, community""".stripMargin) { (s, d) =>
+      import graft.functions.Hashes
+      val e0 = SpatialEdges.frame(s, d).persist() // m + e_in + ed both ways
+      val ed = e0.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
+        .persist() // degree census + neighbor-community census
+      val l0 = Tables.customer(s, d).select(col("c_custkey").as("id"),
+          (Hashes.mulHash(col("c_custkey"), 11) % 1000).as("x"),
+          (Hashes.mulHash(col("c_custkey"), 13) % 1000).as("y"))
+        .select(col("id"),
+          (expr("x div 250") * 4 + expr("y div 250")).as("lbl"))
+      val deg = ed.groupBy(col("src").as("id")).agg(count(lit(1)).as("dg"))
+      val m = e0.agg(count(lit(1)).as("m"))
+      val own = l0.join(deg, "id")
+        .select(col("id"), col("lbl").as("dlbl"), col("dg"))
+        .persist() // stay rows + move rows + the moved census
+      val tot = l0.join(deg, "id")
+        .groupBy("lbl").agg(sum("dg").as("tot"))
+      val nc = ed.join(l0.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"), col("lbl").as("clbl"))
+        .agg(count(lit(1)).as("e"))
+        .persist() // stay left-join + move rows
+      val stay = own.join(tot, col("lbl") === col("dlbl"))
+        .join(nc.select(col("id").as("nid"), col("clbl").as("sclbl"),
+            col("e")),
+          col("nid") === col("id") && col("sclbl") === col("dlbl"), "left")
+        .select(col("id"), col("dg"), col("dlbl"), col("dlbl").as("clbl"),
+          coalesce(col("e"), lit(0L)).as("e"), col("tot"))
+      val mv = nc.join(own, "id").where(col("clbl") =!= col("dlbl"))
+        .join(tot, col("lbl") === col("clbl"))
+        .select(col("id"), col("dg"), col("dlbl"), col("clbl"), col("e"),
+          col("tot"))
+      val opts = stay.unionAll(mv).crossJoin(broadcast(m))
+        .withColumn("gain", lit(2) * col("m") * col("e")
+          - col("dg") * (col("tot")
+            - when(col("clbl") === col("dlbl"), col("dg")).otherwise(lit(0L))))
+      val w = Window.partitionBy("id").orderBy(col("gain").desc, col("clbl"))
+      val l1 = opts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("id"), col("clbl").as("lbl"), col("dlbl"))
+        .persist() // moved census + community census + e_in join
+      val mvd = l1.agg(count(when(col("lbl") =!= col("dlbl"), 1)).as("moved"))
+      val cm = l1.join(deg, "id")
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("size"), sum("dg").as("d_sum"))
+      val ein = e0
+        .join(l1.select(col("id").as("u"), col("lbl").as("lu")), "u")
+        .join(l1.select(col("id").as("v"), col("lbl").as("lv")), "v")
+        .where(col("lu") === col("lv"))
+        .groupBy(col("lu").as("community")).agg(count(lit(1)).as("e_in"))
+      val parts = cm.join(ein, Seq("community"), "left")
+        .select(col("community"), col("size"), col("d_sum"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"))
+        .crossJoin(broadcast(m))
+        .persist() // numerator census + ranked output
+      val nd = parts
+        .agg(sum(lit(4) * col("m") * col("e_in") - col("d_sum") * col("d_sum"))
+          .as("num"), max(expr("4 * m * m")).as("den"))
+      val q = nd.select(
+        when(col("num") >= 0, expr("num * 1000000 div den"))
+          .otherwise(-expr("((-num) * 1000000 + den - 1) div den"))
+          .as("q_e6"))
+      val wr = Window.orderBy(col("size").desc, col("community"))
+      parts.crossJoin(broadcast(q)).crossJoin(broadcast(mvd))
+        .withColumn("rn", row_number().over(wr)).where(col("rn") <= 10)
+        .select("community", "size", "e_in", "d_sum", "q_e6", "moved")
+        .orderBy(col("size").desc, col("community"))
+    },
+
+    // Deterministic random-walk corpus — the DeepWalk/node2vec PREP stage
+    // (Perozzi et al. KDD 2014): embeddings train on walk sequences, and
+    // generating them at corpus scale is a pure dataflow problem. Every
+    // 20th vertex starts a walk; at step t the walker at `cur` takes the
+    // neighbor whose per-vertex rank equals a salted hash of (start, cur,
+    // t) mod degree — the engine's declared-hash posture (SURVEY §7.4.1)
+    // instead of an RNG stream, so 1 or 1000 executors produce the SAME
+    // corpus and the oracle replays it arithmetically. Shuffle shape: the
+    // ranked adjacency is ONE vertex-keyed window; each of the 4 steps is
+    // an equi-join on the current vertex (walk frontier vs adjacency —
+    // PageRank's exchange); the visit census is a final node-keyed count.
+    // Never a global window, never all-pairs.
+    QueryDef("q352_walk_corpus", {
+      def stepSql(i: Int): String = {
+        val prev = if (i == 1) "w0" else s"s${i - 1}"
+        val h = graft.functions.Hashes
+          .mulHashSql(s"w.start * 31 + w.cur * 7 + $i", 97)
+        s"""s$i AS (SELECT w.start, a.dst AS cur
+           |  FROM $prev w JOIN adj a ON a.src = w.cur
+           |   AND a.rn = 1 + ($h) % a.dcnt)""".stripMargin
+      }
+      s"""WITH ${SpatialEdges.cte},
+         |ed AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
+         |      UNION ALL SELECT v, u FROM e0),
+         |adj AS MATERIALIZED (
+         |  SELECT src, dst,
+         |         row_number() OVER (PARTITION BY src ORDER BY dst) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS dcnt
+         |  FROM ed),
+         |w0 AS (SELECT DISTINCT src AS start, src AS cur FROM ed
+         |       WHERE src % 20 = 0),
+         |${stepSql(1)},
+         |${stepSql(2)},
+         |${stepSql(3)},
+         |${stepSql(4)},
+         |corpus AS (
+         |  SELECT cur FROM w0 UNION ALL SELECT cur FROM s1
+         |  UNION ALL SELECT cur FROM s2 UNION ALL SELECT cur FROM s3
+         |  UNION ALL SELECT cur FROM s4),
+         |wk AS (SELECT CAST(count(*) AS BIGINT) AS walks FROM w0)
+         |SELECT cur AS id, CAST(count(*) AS BIGINT) AS visits, wk.walks
+         |FROM corpus, wk GROUP BY cur, wk.walks
+         |ORDER BY visits DESC, id LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      val e0 = SpatialEdges.frame(s, d)
+      val ed = e0.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
+      val wAdj = Window.partitionBy("src").orderBy("dst")
+      val adj = ed
+        .withColumn("rn", row_number().over(wAdj))
+        .withColumn("dcnt",
+          count(lit(1)).over(Window.partitionBy("src")).cast("long"))
+        .persist() // all four step joins probe it
+      val w0 = adj.select(col("src").as("id")).distinct()
+        .where(col("id") % 20 === 0)
+        .select(col("id").as("start"), col("id").as("cur"))
+        .persist() // step 1 + walk total + corpus
+      val steps = (1 to 4).scanLeft(w0) { (prev, t) =>
+        prev.join(adj, col("src") === col("cur")
+            && col("rn") === (Hashes.mulHash(
+              col("start") * 31 + col("cur") * 7 + t, 97) % col("dcnt")) + 1)
+          .select(col("start"), col("dst").as("cur"))
+      }
+      val corpus = steps.map(_.select("cur")).reduce(_ unionAll _)
+      val wk = w0.agg(count(lit(1)).as("walks"))
+      corpus.groupBy(col("cur").as("id"))
+        .agg(count(lit(1)).as("visits"))
+        .crossJoin(broadcast(wk))
+        .orderBy(col("visits").desc, col("id"))
+        .limit(20)
     }
   )
 }
