@@ -1891,6 +1891,220 @@ object MlQueries {
           * 1000000, 0).cast("long").as("f_e6"),
         round((grp - st * st / nt) / (sst - st * st / nt) * 1000000, 0)
           .cast("long").as("eta2_e6"))
+    },
+
+    // RANSAC robust line fit (Fischler & Bolles 1981) — the hypothesize-
+    // and-verify complement to q255's Theil-Sen: points carry a planted
+    // y = 5x + 7 band plus 10% far outliers (both declared salted-hash
+    // functions of the row key, so both engines state the SAME corrupted
+    // data). Eight hypothesis lines, each through the struct-min/max
+    // points (by a per-hypothesis salted hash — the deterministic stand-in
+    // for RANSAC's random pair draw) of a ~1% hash subset; the consensus
+    // vote is the data × 8-row-broadcast pass with an EXACT integer
+    // point-to-line test (|dy·(x−x1) − dx·(y−y1)| ≤ t·|dx| — cross-
+    // multiplied, no division), and the winner is refit by exact-integer
+    // least squares on its inliers (decimal(38) headroom for the moment
+    // products). Shuffle shape: two broadcast passes over the data + an
+    // 8-group aggregate — no data-sized exchange at all.
+    QueryDef("q353_ransac", {
+      def h(key: String, seed: String): String =
+        s"(((((($key) % 100003 + 100003 + ($seed)) * 2654435761) " +
+          s"% 1000000007) * (2 * ($seed) + 1)) % 1000000007)"
+      val inl = "dx <> 0 AND abs(dy * (x - x1) - dx * (y - y1)) <= 25 * abs(dx)"
+      s"""WITH p0 AS (
+         |  SELECT l_orderkey * 8 + l_linenumber AS k,
+         |         CAST(l_quantity AS BIGINT) AS x
+         |  FROM lineitem),
+         |pts AS MATERIALIZED (
+         |  SELECT k, x,
+         |         5 * x + 7 + ((${h("k", "301")}) % 21 - 10)
+         |           + CASE WHEN (${h("k", "303")}) % 10 = 0
+         |                  THEN 400 ELSE 0 END AS y
+         |  FROM p0),
+         |hs AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS h),
+         |sub AS (
+         |  SELECT h, k, x, y, ${h("k", "400 + h")} AS hk
+         |  FROM pts, hs
+         |  WHERE (${h("k", "310 + h")}) % 97 = 0),
+         |hyp AS (
+         |  SELECT h, min({'hk': hk, 'k': k, 'x': x, 'y': y}) AS p1,
+         |            max({'hk': hk, 'k': k, 'x': x, 'y': y}) AS p2
+         |  FROM sub GROUP BY h),
+         |hy AS MATERIALIZED (
+         |  SELECT h, p1.x AS x1, p1.y AS y1, p2.x AS x2, p2.y AS y2,
+         |         p2.x - p1.x AS dx, p2.y - p1.y AS dy
+         |  FROM hyp),
+         |votes AS MATERIALIZED (
+         |  SELECT hy.h,
+         |         CAST(count(*) FILTER (WHERE $inl) AS BIGINT) AS inliers
+         |  FROM pts, hy GROUP BY hy.h),
+         |best AS MATERIALIZED (
+         |  SELECT hy.h AS best_h, x1, y1, dx, dy
+         |  FROM hy JOIN votes ON votes.h = hy.h
+         |  ORDER BY votes.inliers DESC, hy.h LIMIT 1),
+         |agg AS (
+         |  SELECT max(best_h) AS best_h, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x * y) AS BIGINT) AS sxy,
+         |         CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM pts, best WHERE $inl),
+         |res AS (
+         |  SELECT best_h,
+         |    CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+         |      * 1000000 // (CAST(n AS HUGEINT) * sxx
+         |                    - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+         |      AS slope_e6
+         |  FROM agg),
+         |res2 AS (
+         |  SELECT r.best_h, r.slope_e6,
+         |    CAST((CAST(a.sy AS HUGEINT) * 1000000 - CAST(r.slope_e6
+         |      AS HUGEINT) * a.sx) // a.n AS BIGINT) AS intercept_e6
+         |  FROM res r, agg a)
+         |SELECT v.h, v.inliers, hy.x1, hy.y1, hy.x2, hy.y2,
+         |       res2.best_h, res2.slope_e6, res2.intercept_e6
+         |FROM votes v JOIN hy ON hy.h = v.h, res2
+         |ORDER BY v.h""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      def hc(key: org.apache.spark.sql.Column,
+             seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (((key % Hashes.PreMod + Hashes.PreMod + seed) * Hashes.Mult)
+          % Hashes.Prime) * (seed * 2 + 1) % Hashes.Prime
+      def inlier(df: org.apache.spark.sql.DataFrame) = df.where(
+        col("dx") =!= 0 && abs(col("dy") * (col("x") - col("x1"))
+          - col("dx") * (col("y") - col("y1"))) <= lit(25) * abs(col("dx")))
+      val pts = Tables.lineitem(s, d)
+        .select((col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+          col("l_quantity").cast("long").as("x"))
+        .withColumn("y", lit(5) * col("x") + 7
+          + (hc(col("k"), lit(301L)) % 21 - 10)
+          + when(hc(col("k"), lit(303L)) % 10 === 0, 400).otherwise(0))
+        .persist() // hypothesis sample + vote pass + refit pass
+      val hsRows = s.range(0, 8).select(col("id").as("h"))
+      val sub = pts.crossJoin(broadcast(hsRows))
+        .where(hc(col("k"), lit(310L) + col("h")) % 97 === 0)
+        .withColumn("hk", hc(col("k"), lit(400L) + col("h")))
+      val hyp = sub.groupBy("h").agg(
+        min(struct(col("hk"), col("k"), col("x"), col("y"))).as("p1"),
+        max(struct(col("hk"), col("k"), col("x"), col("y"))).as("p2"))
+      val hy = hyp.select(col("h"),
+          col("p1.x").as("x1"), col("p1.y").as("y1"),
+          col("p2.x").as("x2"), col("p2.y").as("y2"),
+          (col("p2.x") - col("p1.x")).as("dx"),
+          (col("p2.y") - col("p1.y")).as("dy"))
+        .persist() // vote pass + best + final join
+      val votes = inlier(pts.crossJoin(broadcast(hy)))
+        .groupBy("h").agg(count(lit(1)).as("inliers"))
+        .join(hy.select("h"), Seq("h"), "right")
+        .select(col("h"), coalesce(col("inliers"), lit(0L)).as("inliers"))
+        .persist() // best + final output
+      val best = hy.join(votes, "h")
+        .orderBy(col("inliers").desc, col("h")).limit(1)
+        .select(col("h").as("best_h"), col("x1"), col("y1"),
+          col("dx"), col("dy"))
+      val agg = inlier(pts.crossJoin(broadcast(best)))
+        .agg(max("best_h").as("best_h"), count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      val res = agg.select(col("best_h"),
+        expr("""cast((cast(n as decimal(38,0)) * sxy
+                - cast(sx as decimal(38,0)) * sy) * 1000000
+               div (cast(n as decimal(38,0)) * sxx
+                - cast(sx as decimal(38,0)) * sx) as bigint)""")
+          .as("slope_e6"), col("sx"), col("sy"), col("n"))
+      val res2 = res.select(col("best_h"), col("slope_e6"),
+        expr("""cast((cast(sy as decimal(38,0)) * 1000000
+                - cast(slope_e6 as decimal(38,0)) * sx) div n as bigint)""")
+          .as("intercept_e6"))
+      votes.join(hy, "h").crossJoin(broadcast(res2))
+        .select(col("h"), col("inliers"), col("x1"), col("y1"), col("x2"),
+          col("y2"), col("best_h"), col("slope_e6"), col("intercept_e6"))
+        .orderBy("h")
+    },
+
+    // Rank-1 ALS matrix factorization — the recommender-system kernel
+    // (Koren et al. 2009) on the (customer, part, quantity) rating
+    // relation: alternate u_c ← Σrv/Σv² and v_p ← Σru/Σu² for three
+    // half-sweeps from v≡1, entirely in 1e-6 fixed point — every sweep is
+    // the SAME stated integer formula f' = Σ(r·f)·1e6 div Σ(f² div 1e6),
+    // so both engines land on identical factors with no float crossing a
+    // row boundary. This is THE canonical ALS shuffle: each half-sweep
+    // joins the ratings against the opposite side's factor relation
+    // (key-partitioned equi-join — factors are DATA-sized, never assumed
+    // broadcastable) and aggregates by its own key — two exchanges per
+    // sweep, linear rows, no all-pairs anything. Fit quality lands as an
+    // exact-integer MSE (decimal-128 headroom for the e24-unit squared
+    // residuals). Output: the 10 strongest item factors + global MSE.
+    QueryDef("q354_als_rank1",
+      """WITH r AS MATERIALIZED (
+        |  SELECT o_custkey AS u, l_partkey AS i,
+        |         CAST(l_quantity AS BIGINT) AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |u1 AS MATERIALIZED (
+        |  SELECT u, CAST(sum(r * 1000000) * 1000000 // sum(1000000)
+        |    AS BIGINT) AS uf
+        |  FROM r GROUP BY u),
+        |v1 AS MATERIALIZED (
+        |  SELECT i, CAST(sum(r.r * u1.uf) * 1000000
+        |      // sum(u1.uf * u1.uf // 1000000) AS BIGINT) AS vf,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM r JOIN u1 ON u1.u = r.u GROUP BY i),
+        |u2 AS MATERIALIZED (
+        |  SELECT r.u, CAST(sum(r.r * v1.vf) * 1000000
+        |      // sum(v1.vf * v1.vf // 1000000) AS BIGINT) AS uf
+        |  FROM r JOIN v1 ON v1.i = r.i GROUP BY r.u),
+        |pred AS (
+        |  SELECT r.r * 1000000000000 - u2.uf * v1.vf AS res
+        |  FROM r JOIN u2 ON u2.u = r.u JOIN v1 ON v1.i = r.i),
+        |fit AS (
+        |  SELECT CAST(sum(CAST(res AS HUGEINT) * res)
+        |      // (CAST(count(*) AS HUGEINT)
+        |         * 1000000000000000000) AS BIGINT) AS mse_e6,
+        |    CAST(count(*) AS BIGINT) AS n_total
+        |  FROM pred)
+        |SELECT v1.i AS item, v1.vf AS v_e6, v1.cnt, fit.mse_e6, fit.n_total
+        |FROM v1, fit ORDER BY v1.vf DESC, v1.i LIMIT 10""".stripMargin) {
+      (s, d) =>
+      val dec = "decimal(38,0)"
+      val r = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("i"),
+          col("l_quantity").cast("long").as("r"))
+        .persist() // three half-sweeps + the residual pass share it
+      val u1 = r.groupBy("u")
+        .agg(sum(col("r") * 1000000L).as("num"), sum(lit(1000000L)).as("den"))
+        .select(col("u"),
+          expr(s"cast(cast(num as $dec) * 1000000 div den as bigint)")
+            .as("uf"))
+      val v1 = r.join(u1, "u")
+        .groupBy("i")
+        .agg(sum((col("r") * col("uf")).cast(dec)).as("num"),
+          sum(expr("uf * uf div 1000000")).as("den"),
+          count(lit(1)).as("cnt"))
+        .select(col("i"), expr(s"cast(num * 1000000 div den as bigint)")
+          .as("vf"), col("cnt"))
+        .persist() // u2 sweep + residual pass + final top-10
+      val u2 = r.join(v1, "i")
+        .groupBy("u")
+        .agg(sum((col("r") * col("vf")).cast(dec)).as("num"),
+          sum(expr("vf * vf div 1000000")).as("den"))
+        .select(col("u"), expr(s"cast(num * 1000000 div den as bigint)")
+          .as("uf"))
+      val pred = r.join(u2, "u").join(v1.select("i", "vf"), "i")
+        .select((col("r") * 1000000000000L
+          - col("uf") * col("vf")).as("res"))
+      val fit = pred.agg(
+        sum(expr(s"cast(res as $dec) * res")).as("sse"),
+        count(lit(1)).as("n_total"))
+        .select(expr(s"cast(sse div (cast(n_total as $dec)" +
+          " * 1000000000000000000) as bigint)").as("mse_e6"),
+          col("n_total"))
+      v1.crossJoin(broadcast(fit))
+        .select(col("i").as("item"), col("vf").as("v_e6"), col("cnt"),
+          col("mse_e6"), col("n_total"))
+        .orderBy(col("v_e6").desc, col("item"))
+        .limit(10)
     }
   )
 }
