@@ -2782,6 +2782,97 @@ object EventQueries {
             .as("correct_majority"),
           expr("sum(CASE WHEN mpred = nxt THEN 1 ELSE 0 END) * 1000000" +
             " div count(*)").as("acc_majority_ppm"))
+    },
+
+    // Frequent sequential patterns — PrefixSpan's support-counting core
+    // (Pei et al. ICDE 2001) over (user, day) sessions: how many sessions
+    // contain event-type subsequence a→b (and a→b→c), with gaps allowed.
+    // Subsequence EXISTENCE needs no pairwise position join: a→b holds iff
+    // minpos(a) < maxpos(b) (covers a=b as count≥2), and a→b→c threads
+    // through the EARLIEST b after the first a — so the whole mine is
+    // per-session position censuses + session-keyed equi-joins with a ×k
+    // type fan-out (k = event types, a constant), never a positions×
+    // positions self-join. Pattern support is a ≤k³-key census. Output:
+    // the top-10 2-patterns and top-10 3-patterns by session support.
+    QueryDef("q355_seq_patterns",
+      """WITH pos AS MATERIALIZED (
+        |  SELECT user_id * 100000 + epoch_us(ts) // 86400000000 AS sess,
+        |         event_type AS t,
+        |         row_number() OVER (
+        |           PARTITION BY user_id * 100000 + epoch_us(ts) // 86400000000
+        |           ORDER BY ts, event_id) AS pos
+        |  FROM events),
+        |fa AS MATERIALIZED (
+        |  SELECT sess, t, CAST(min(pos) AS BIGINT) AS fp,
+        |         CAST(max(pos) AS BIGINT) AS lp
+        |  FROM pos GROUP BY sess, t),
+        |ns AS (SELECT CAST(count(DISTINCT sess) AS BIGINT) AS n_sessions
+        |       FROM pos),
+        |p2 AS (
+        |  SELECT a.t AS ta, b.t AS tb,
+        |         CAST(count(*) AS BIGINT) AS support
+        |  FROM fa a JOIN fa b ON a.sess = b.sess AND a.fp < b.lp
+        |  GROUP BY a.t, b.t),
+        |mb AS MATERIALIZED (
+        |  SELECT p.sess, a.t AS ta, p.t AS tb, min(p.pos) AS mp
+        |  FROM pos p JOIN fa a ON a.sess = p.sess AND p.pos > a.fp
+        |  GROUP BY p.sess, a.t, p.t),
+        |p3 AS (
+        |  SELECT mb.ta, mb.tb, c.t AS tc,
+        |         CAST(count(*) AS BIGINT) AS support
+        |  FROM mb JOIN fa c ON c.sess = mb.sess AND c.lp > mb.mp
+        |  GROUP BY mb.ta, mb.tb, c.t),
+        |ranked AS (
+        |  SELECT ta || '>' || tb AS pat, support,
+        |         row_number() OVER (ORDER BY support DESC, ta, tb) AS rn
+        |  FROM p2
+        |  UNION ALL
+        |  SELECT ta || '>' || tb || '>' || tc AS pat, support,
+        |         row_number() OVER (ORDER BY support DESC, ta, tb, tc) AS rn
+        |  FROM p3)
+        |SELECT pat, support, ns.n_sessions
+        |FROM ranked, ns WHERE rn <= 10
+        |ORDER BY support DESC, pat""".stripMargin) { (s, d) =>
+      val sess = col("user_id") * 100000 + expr("unix_micros(ts) div 86400000000")
+      val pos = Tables.events(s, d)
+        .select(sess.as("sess"), col("event_type").as("t"), col("ts"),
+          col("event_id"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("sess").orderBy("ts", "event_id")))
+        .drop("ts", "event_id")
+        .persist() // first/last census + the after-a minimum probe
+      val fa = pos.groupBy("sess", "t")
+        .agg(min("pos").cast("long").as("fp"), max("pos").cast("long").as("lp"))
+        .persist() // p2 self-join + mb + p3 close
+      val ns = pos.agg(countDistinct("sess").as("n_sessions"))
+      val p2 = fa.as("a").join(fa.as("b"),
+          col("a.sess") === col("b.sess") && col("a.fp") < col("b.lp"))
+        .groupBy(col("a.t").as("ta"), col("b.t").as("tb"))
+        .agg(count(lit(1)).as("support"))
+      val mb = pos.as("p").join(fa.as("a"),
+          col("a.sess") === col("p.sess") && col("p.pos") > col("a.fp"))
+        .groupBy(col("p.sess").as("sess"), col("a.t").as("ta"),
+          col("p.t").as("tb"))
+        .agg(min("p.pos").as("mp"))
+      val p3 = mb.join(fa.as("c"),
+          col("c.sess") === mb("sess") && col("c.lp") > col("mp"))
+        .groupBy(col("ta"), col("tb"), col("c.t").as("tc"))
+        .agg(count(lit(1)).as("support"))
+      val r2 = p2.select(concat(col("ta"), lit(">"), col("tb")).as("pat"),
+          col("support"),
+          row_number().over(
+            Window.orderBy(col("support").desc, col("ta"), col("tb")))
+            .as("rn"))
+      val r3 = p3.select(
+          concat(col("ta"), lit(">"), col("tb"), lit(">"), col("tc"))
+            .as("pat"),
+          col("support"),
+          row_number().over(Window.orderBy(col("support").desc, col("ta"),
+            col("tb"), col("tc"))).as("rn"))
+      r2.unionAll(r3).where(col("rn") <= 10)
+        .crossJoin(broadcast(ns))
+        .select("pat", "support", "n_sessions")
+        .orderBy(col("support").desc, col("pat"))
     }
   )
 }

@@ -2569,6 +2569,133 @@ object SimilarityQueries {
         .groupBy("query_id").agg(count(lit(1)).as("n_common"),
           expr("sum(sw) div 1000000").as("rbo_e6"))
         .orderBy("query_id")
+    },
+
+    // Maximal marginal relevance re-ranking (Carbonell & Goldstein, SIGIR
+    // 1998) — the diversification stage q314's assembly pipeline lacks: a
+    // candidate that merely REPEATS an already-selected result should lose
+    // to a fresh aspect even at slightly lower relevance. Per query: top-8
+    // LSH bucket-mates by cosine (the q42 recall stage), then four greedy
+    // MMR picks at λ=½ — argmax of rel − max-sim-to-selected, EXACT in
+    // 1e-6 integer units (both terms are round-6 cosines ×1e6, so the
+    // argmax never compares raw doubles). Every stage is bounded: the
+    // candidate set is 8 rows/query, the pairwise sim matrix 8×8/query,
+    // and each unrolled pick one per-query window — the whole rerank is
+    // O(queries·k²) behind a bucket equi-join, never corpus-sized.
+    QueryDef("q356_mmr_rerank", {
+      def stepSql(t: Int): String = {
+        val su = s"su${t - 1}"
+        s"""sc$t AS (
+           |  SELECT c.query_id, c.nid, c.rel_e6,
+           |         max(p.sim_e6) AS maxsim_e6
+           |  FROM cand c
+           |  JOIN cp p ON p.query_id = c.query_id AND p.an = c.nid
+           |  JOIN $su s ON s.query_id = p.query_id AND s.nid = p.bn
+           |  WHERE NOT EXISTS (SELECT 1 FROM $su x
+           |    WHERE x.query_id = c.query_id AND x.nid = c.nid)
+           |  GROUP BY c.query_id, c.nid, c.rel_e6),
+           |sel$t AS MATERIALIZED (
+           |  SELECT query_id, nid, rel_e6, maxsim_e6,
+           |         rel_e6 - maxsim_e6 AS mmr_e6, $t AS step
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |          ORDER BY rel_e6 - maxsim_e6 DESC, nid) AS rn
+           |        FROM sc$t) t WHERE rn = 1),
+           |su$t AS (SELECT query_id, nid FROM $su
+           |  UNION ALL SELECT query_id, nid FROM sel$t)""".stripMargin
+      }
+      s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+         |           ${Similarity.lshBucketSql("embedding", Dim, 4)} AS bucket
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, bucket
+         |      FROM v WHERE vec_id < 12),
+         |pairs AS (
+         |  SELECT query_id, v.vec_id AS nid, v.embedding AS nv, v.nrm AS nn,
+         |         CAST(round(round(${dotSql("qv", "v.embedding")}
+         |           / (qn * v.nrm), 6) * 1000000, 0) AS BIGINT) AS rel_e6
+         |  FROM q JOIN v ON v.bucket = q.bucket AND v.vec_id <> query_id),
+         |cand AS MATERIALIZED (
+         |  SELECT query_id, nid, nv, nn, rel_e6 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel_e6 DESC, nid) AS rn
+         |    FROM pairs) t WHERE rn <= 8),
+         |cp AS MATERIALIZED (
+         |  SELECT a.query_id, a.nid AS an, b.nid AS bn,
+         |         CAST(round(round(${dotSql("a.nv", "b.nv")}
+         |           / (a.nn * b.nn), 6) * 1000000, 0) AS BIGINT) AS sim_e6
+         |  FROM cand a JOIN cand b
+         |    ON a.query_id = b.query_id AND a.nid <> b.nid),
+         |sel1 AS MATERIALIZED (
+         |  SELECT query_id, nid, rel_e6, CAST(0 AS BIGINT) AS maxsim_e6,
+         |         rel_e6 AS mmr_e6, 1 AS step
+         |  FROM (SELECT query_id, nid, rel_e6,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY rel_e6 DESC, nid) AS rn
+         |        FROM cand) t WHERE rn = 1),
+         |su1 AS (SELECT query_id, nid FROM sel1),
+         |${stepSql(2)},
+         |${stepSql(3)},
+         |${stepSql(4)}
+         |SELECT query_id, step, nid AS neighbor_id, rel_e6, maxsim_e6,
+         |       mmr_e6
+         |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+         |      UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4) z
+         |ORDER BY query_id, step""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Tensors
+      val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        Tensors.norm(col("embedding")).as("nrm"),
+        Similarity.lshBucket(col("embedding"), Dim, 4).as("bucket"))
+      val q = v.where(col("vec_id") < 12)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("bucket"))
+      val pairs = q.join(v.select(col("vec_id").as("nid"),
+            col("embedding").as("nv"), col("nrm").as("nn"), col("bucket")),
+          Seq("bucket"))
+        .where(col("nid") =!= col("query_id"))
+        .withColumn("cosr",
+          round(Tensors.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+        .select(col("query_id"), col("nid"), col("nv"), col("nn"),
+          expr("cast(round(cosr * 1000000, 0) as bigint)").as("rel_e6"))
+      val wq = Window.partitionBy("query_id")
+        .orderBy(col("rel_e6").desc, col("nid"))
+      val cand = pairs.withColumn("rn", row_number().over(wq))
+        .where(col("rn") <= 8).drop("rn")
+        .persist() // pairwise sims + every pick stage scans it
+      val cp = cand.as("a").join(cand.as("b"),
+          col("a.query_id") === col("b.query_id")
+            && col("a.nid") =!= col("b.nid"))
+        .withColumn("simr", round(Tensors.dot(col("a.nv"), col("b.nv"))
+          / (col("a.nn") * col("b.nn")), 6))
+        .select(col("a.query_id").as("query_id"), col("a.nid").as("an"),
+          col("b.nid").as("bn"),
+          expr("cast(round(simr * 1000000, 0) as bigint)").as("sim_e6"))
+        .persist() // three pick stages probe it
+      var sel = cand.withColumn("rn", row_number().over(wq))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("nid"), col("rel_e6"),
+          lit(0L).as("maxsim_e6"), col("rel_e6").as("mmr_e6"),
+          lit(1).as("step"))
+      var selSet = sel.select("query_id", "nid")
+      for (t <- 2 to 4) {
+        val sc = cand.join(selSet, Seq("query_id", "nid"), "left_anti")
+          .join(cp.withColumnRenamed("an", "nid"), Seq("query_id", "nid"))
+          .join(selSet.withColumnRenamed("nid", "bn"), Seq("query_id", "bn"))
+          .groupBy("query_id", "nid", "rel_e6")
+          .agg(max("sim_e6").as("maxsim_e6"))
+          .withColumn("mmr_e6", col("rel_e6") - col("maxsim_e6"))
+        val wm = Window.partitionBy("query_id")
+          .orderBy(col("mmr_e6").desc, col("nid"))
+        val selT = sc.withColumn("rn", row_number().over(wm))
+          .where(col("rn") === 1)
+          .select(col("query_id"), col("nid"), col("rel_e6"),
+            col("maxsim_e6"), col("mmr_e6"), lit(t).as("step"))
+          .localCheckpoint() // picks nest; keep the plan flat
+        sel = sel.unionAll(selT)
+        selSet = selSet.unionAll(selT.select("query_id", "nid"))
+      }
+      sel.select(col("query_id"), col("step"), col("nid").as("neighbor_id"),
+          col("rel_e6"), col("maxsim_e6"), col("mmr_e6"))
+        .orderBy("query_id", "step")
     }
   )
 }
