@@ -1677,6 +1677,116 @@ object CurationQueries {
             col("nm").isNull.as("survived"))
       report("A", waveA, mA).unionByName(report("B", waveB, mB))
         .orderBy("wave", "doc_id")
+    },
+
+    // Entropic optimal transport (Sinkhorn-Knopp; Cuturi NeurIPS 2013) —
+    // the distribution-matching operator behind mixture rebalancing: HOW
+    // should mass move to turn the English length profile into the French
+    // one, not just how far apart they are (q341's Wasserstein is the
+    // distance; this is the PLAN). Both marginals are 8-bucket length
+    // censuses in exact 1e-6 shares; the Gibbs kernel uses base-2 decay
+    // (K = 1e6 >> |i−j|) so NO transcendental ever runs — three Sinkhorn
+    // scaling sweeps are pure integer multiply/floor-divide recurrences,
+    // stated identically on both engines. Everything after the two corpus
+    // censuses is k×k = 64-row STATISTICS (the scaler posture): each sweep
+    // one tiny keyed aggregate — at 100 TB the data cost is two scans.
+    // Output: the dense transport plan with per-row achieved-vs-target
+    // marginal audit (the floor-division mass leak is visible and equal
+    // on both engines).
+    QueryDef("q357_sinkhorn_ot", {
+      def uStep(t: Int): String = {
+        val pv = if (t == 1) "v0" else s"v${t - 1}"
+        s"""u$t AS MATERIALIZED (
+           |  SELECT kv.i, CAST(a.a_e6 * 1000000
+           |      // (sum(kv.k_e6 * $pv.v // 1000000)) AS BIGINT) AS u
+           |  FROM kv JOIN $pv ON $pv.j = kv.j
+           |          JOIN ma a ON a.i = kv.i
+           |  GROUP BY kv.i, a.a_e6),
+           |v$t AS MATERIALIZED (
+           |  SELECT kv.j, CAST(b.b_e6 * 1000000
+           |      // (sum(kv.k_e6 * u$t.u // 1000000)) AS BIGINT) AS v
+           |  FROM kv JOIN u$t ON u$t.i = kv.i
+           |          JOIN mb b ON b.j = kv.j
+           |  GROUP BY kv.j, b.b_e6)""".stripMargin
+      }
+      s"""WITH grid AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS g),
+         |ca AS (SELECT least(n_chars // 75, 7) AS g,
+         |              CAST(count(*) AS BIGINT) AS c
+         |       FROM documents WHERE lang = 'en' GROUP BY 1),
+         |cb AS (SELECT least(n_chars // 75, 7) AS g,
+         |              CAST(count(*) AS BIGINT) AS c
+         |       FROM documents WHERE lang = 'fr' GROUP BY 1),
+         |ta AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM ca),
+         |tb AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cb),
+         |ma AS MATERIALIZED (
+         |  SELECT grid.g AS i,
+         |         CAST(coalesce(ca.c, 0) * 1000000 // ta.t AS BIGINT) AS a_e6
+         |  FROM grid LEFT JOIN ca ON ca.g = grid.g, ta),
+         |mb AS MATERIALIZED (
+         |  SELECT grid.g AS j,
+         |         CAST(coalesce(cb.c, 0) * 1000000 // tb.t AS BIGINT) AS b_e6
+         |  FROM grid LEFT JOIN cb ON cb.g = grid.g, tb),
+         |kv AS MATERIALIZED (
+         |  SELECT a.g AS i, b.g AS j,
+         |         CAST(1000000 // (1 << abs(a.g - b.g)) AS BIGINT) AS k_e6
+         |  FROM grid a, grid b),
+         |v0 AS (SELECT g AS j, CAST(1000000 AS BIGINT) AS v FROM grid),
+         |${uStep(1)},
+         |${uStep(2)},
+         |${uStep(3)},
+         |plan AS (
+         |  SELECT kv.i, kv.j,
+         |         CAST(((u3.u * kv.k_e6 // 1000000) * v3.v) // 1000000
+         |           AS BIGINT) AS p_e6
+         |  FROM kv JOIN u3 ON u3.i = kv.i JOIN v3 ON v3.j = kv.j),
+         |rs AS (SELECT i, CAST(sum(p_e6) AS BIGINT) AS rowsum_e6
+         |       FROM plan GROUP BY i)
+         |SELECT plan.i, plan.j, plan.p_e6, rs.rowsum_e6, ma.a_e6
+         |FROM plan JOIN rs ON rs.i = plan.i JOIN ma ON ma.i = plan.i
+         |ORDER BY plan.i, plan.j""".stripMargin
+    }) { (s, d) =>
+      val grid = s.range(0, 8).select(col("id").as("g"))
+      def census(lang: String) = Tables.documents(s, d)
+        .where(col("lang") === lang)
+        .groupBy(least(expr("n_chars div 75"), lit(7L)).as("g"))
+        .agg(count(lit(1)).as("c"))
+      def marginal(lang: String, key: String, share: String) = {
+        val c = census(lang)
+        val t = c.agg(sum("c").as("t"))
+        grid.join(c, Seq("g"), "left").crossJoin(broadcast(t))
+          .select(col("g").as(key),
+            expr("cast(coalesce(c, 0) * 1000000 div t as bigint)").as(share))
+      }
+      val ma = marginal("en", "i", "a_e6").persist() // sweeps + audit
+      val mb = marginal("fr", "j", "b_e6").persist() // sweeps
+      val kv = grid.as("a").crossJoin(grid.as("b"))
+        .select(col("a.g").as("i"), col("b.g").as("j"),
+          expr("cast(1000000 div shiftleft(1, cast(abs(a.g - b.g) as int))" +
+            " as bigint)").as("k_e6"))
+        .persist() // 64-row kernel: every sweep + the plan read it
+      var v = grid.select(col("g").as("j"), lit(1000000L).as("v"))
+      var u: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to 3) {
+        u = kv.join(v, "j").join(ma, "i")
+          .groupBy(col("i"), col("a_e6"))
+          .agg(sum(expr("k_e6 * v div 1000000")).as("den"))
+          .select(col("i"),
+            expr("cast(a_e6 * 1000000 div den as bigint)").as("u"))
+        v = kv.join(u, "i").join(mb, "j")
+          .groupBy(col("j"), col("b_e6"))
+          .agg(sum(expr("k_e6 * u div 1000000")).as("den"))
+          .select(col("j"),
+            expr("cast(b_e6 * 1000000 div den as bigint)").as("v"))
+      }
+      val plan = kv.join(u, "i").join(v, "j")
+        .select(col("i"), col("j"),
+          expr("cast(((u * k_e6 div 1000000) * v) div 1000000 as bigint)")
+            .as("p_e6"))
+      val rs = plan.groupBy("i").agg(sum("p_e6").as("rowsum_e6"))
+      plan.join(rs, "i").join(ma, "i")
+        .select(col("i"), col("j"), col("p_e6"), col("rowsum_e6"),
+          col("a_e6"))
+        .orderBy("i", "j")
     }
   )
 }

@@ -2784,6 +2784,131 @@ object EventQueries {
             " div count(*)").as("acc_majority_ppm"))
     },
 
+    // Offline bandit replay (Li et al. WSDM 2011) — the counterfactual
+    // policy evaluator: replay the logged event stream against an
+    // ε-greedy policy over the 5 event-type arms, scoring ONLY the events
+    // where the policy's choice matches the logged arm (the unbiased
+    // replay estimator). Exploration is the declared salted hash of
+    // (cohort, step) — the SURVEY §7.4.1 stand-in for the RNG — every 7th
+    // step; exploitation is the empirical-mean argmax with a
+    // smallest-index tie-break, compared as IEEE doubles s/n (identical
+    // rationals on both engines — no cross-row float accumulation, the
+    // state is integer counts). The recurrence carries O(arms) state per
+    // cohort — the q233/q271 sorted-group shape: ONE exchange keyed by
+    // cohort, secondary sort by time, sequential only within a cohort.
+    // Output per cohort: events, match count, replay reward and CTR, and
+    // the per-arm pull census showing exploitation concentrating.
+    QueryDef("q358_bandit_replay", {
+      val h = graft.functions.Hashes
+        .mulHashSql("rec.coh * 1000003 + r.rn", 501)
+      def sc(a: Int) =
+        s"CASE WHEN rec.n$a = 0 THEN 1e18 " +
+          s"ELSE CAST(rec.s$a AS DOUBLE) / rec.n$a END"
+      val argmax =
+        s"""CASE WHEN sc0 >= sc1 AND sc0 >= sc2 AND sc0 >= sc3
+           |       AND sc0 >= sc4 THEN 0
+           |     WHEN sc1 >= sc2 AND sc1 >= sc3 AND sc1 >= sc4 THEN 1
+           |     WHEN sc2 >= sc3 AND sc2 >= sc4 THEN 2
+           |     WHEN sc3 >= sc4 THEN 3 ELSE 4 END""".stripMargin
+      def upd(a: Int) =
+        s"n$a + CASE WHEN ch = $a AND arm = $a THEN 1 ELSE 0 END,\n" +
+          s"  s$a + CASE WHEN ch = $a AND arm = $a THEN rew ELSE 0 END"
+      s"""WITH RECURSIVE r AS MATERIALIZED (
+         |  SELECT user_id % 4 AS coh,
+         |    row_number() OVER (PARTITION BY user_id % 4
+         |      ORDER BY ts, event_id) AS rn,
+         |    CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+         |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS arm,
+         |    CASE WHEN value >= 50 THEN 1 ELSE 0 END AS rew
+         |  FROM events),
+         |seed AS (SELECT DISTINCT coh FROM r),
+         |rec(coh, rn, n0, s0, n1, s1, n2, s2, n3, s3, n4, s4, matches,
+         |    rsum) AS (
+         |  SELECT coh, CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+         |         0, 0
+         |  FROM seed
+         |  UNION ALL
+         |  SELECT coh, rn,
+         |    ${upd(0)},
+         |    ${upd(1)},
+         |    ${upd(2)},
+         |    ${upd(3)},
+         |    ${upd(4)},
+         |    matches + CASE WHEN ch = arm THEN 1 ELSE 0 END,
+         |    rsum + CASE WHEN ch = arm THEN rew ELSE 0 END
+         |  FROM (
+         |    SELECT m.*, CASE WHEN m.rn % 7 = 0 THEN m.hch
+         |                     ELSE $argmax END AS ch
+         |    FROM (
+         |      SELECT rec.coh, r.rn, r.arm, r.rew, rec.n0, rec.s0, rec.n1,
+         |             rec.s1, rec.n2, rec.s2, rec.n3, rec.s3, rec.matches,
+         |             rec.rsum, rec.n4, rec.s4,
+         |             (${h}) % 5 AS hch,
+         |             ${sc(0)} AS sc0, ${sc(1)} AS sc1, ${sc(2)} AS sc2,
+         |             ${sc(3)} AS sc3, ${sc(4)} AS sc4
+         |      FROM rec JOIN r ON r.coh = rec.coh AND r.rn = rec.rn + 1) m
+         |  ) t),
+         |fin AS (SELECT *, row_number() OVER (PARTITION BY coh
+         |          ORDER BY rn DESC) AS rr FROM rec)
+         |SELECT coh, CAST(rn AS BIGINT) AS n_events,
+         |       CAST(matches AS BIGINT) AS matches,
+         |       CAST(rsum AS BIGINT) AS rsum,
+         |       CAST(CASE WHEN matches > 0 THEN rsum * 1000000 // matches
+         |            ELSE 0 END AS BIGINT) AS ctr_ppm,
+         |       CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+         |       CAST(n2 AS BIGINT) AS n2, CAST(n3 AS BIGINT) AS n3,
+         |       CAST(n4 AS BIGINT) AS n4
+         |FROM fin WHERE rr = 1 ORDER BY coh""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      import graft.functions.Hashes
+      val rows = Tables.events(s, d)
+        .select((col("user_id") % 4).as("coh"),
+          when(col("event_type") === "click", 0)
+            .when(col("event_type") === "error", 1)
+            .when(col("event_type") === "purchase", 2)
+            .when(col("event_type") === "signup", 3).otherwise(4).as("arm"),
+          when(col("value") >= 50, 1L).otherwise(0L).as("rew"),
+          col("ts"), col("event_id"))
+        .as[(Long, Int, Long, java.sql.Timestamp, Long)]
+      rows.groupByKey(_._1)
+        .flatMapSortedGroups(col("ts"), col("event_id")) { (coh, it) =>
+          val n = new Array[Long](5)
+          val sArr = new Array[Long](5)
+          var rn = 0L
+          var matches = 0L
+          var rsum = 0L
+          it.foreach { case (_, arm, rew, _, _) =>
+            rn += 1
+            val ch =
+              if (rn % 7 == 0)
+                (Hashes.mulHashLong(coh * 1000003L + rn, 501) % 5).toInt
+              else {
+                var best = 0
+                var i = 1
+                while (i < 5) {
+                  val scI = if (n(i) == 0) 1e18 else sArr(i).toDouble / n(i)
+                  val scB =
+                    if (n(best) == 0) 1e18 else sArr(best).toDouble / n(best)
+                  if (scI > scB) best = i
+                  i += 1
+                }
+                best
+              }
+            if (ch == arm) {
+              matches += 1; rsum += rew
+              n(ch) += 1; sArr(ch) += rew
+            }
+          }
+          val ctr = if (matches > 0) rsum * 1000000L / matches else 0L
+          Iterator((coh, rn, matches, rsum, ctr,
+            n(0), n(1), n(2), n(3), n(4)))
+        }
+        .toDF("coh", "n_events", "matches", "rsum", "ctr_ppm",
+          "n0", "n1", "n2", "n3", "n4")
+        .orderBy("coh")
+    },
+
     // Frequent sequential patterns — PrefixSpan's support-counting core
     // (Pei et al. ICDE 2001) over (user, day) sessions: how many sessions
     // contain event-type subsequence a→b (and a→b→c), with gaps allowed.

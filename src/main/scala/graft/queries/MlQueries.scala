@@ -2105,6 +2105,58 @@ object MlQueries {
           col("mse_e6"), col("n_total"))
         .orderBy(col("v_e6").desc, col("item"))
         .limit(10)
+    },
+
+    // Gradient-alignment data valuation — the TracIn-style attribution
+    // (Pruthi et al. NeurIPS 2020) a curation pipeline runs before paying
+    // for retraining sweeps: which SOURCE's gradient agrees with the
+    // consensus direction? At w = 0 the logistic gradient is exactly
+    // Σ(σ(0) − y)·x = ½·Σ(1 − 2y)·x — the ½ cancels in the projection
+    // ratio, so the per-source gradients are EXACT integer censuses (one
+    // group-aggregate over the corpus, k = sources rows of statistics),
+    // and each source's value is its projection onto the total gradient,
+    // proj_s = ⟨g_s, G⟩/⟨G, G⟩ in ppm (Σ_s proj_s = 1e6 up to flooring).
+    // Negative projections (sources whose examples PULL AGAINST the
+    // consensus) are the interesting output — candidates for downweighting
+    // in the q105 mixture. One exchange, broadcast 1-row total, integer
+    // end to end.
+    QueryDef("q359_grad_valuation",
+      """WITH b AS (
+        |  SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |         n_chars // 100 AS x1, doc_id % 7 AS x2
+        |  FROM documents),
+        |gs AS MATERIALIZED (
+        |  SELECT source, CAST(sum(1 - 2 * y) AS BIGINT) AS g0,
+        |         CAST(sum((1 - 2 * y) * x1) AS BIGINT) AS g1,
+        |         CAST(sum((1 - 2 * y) * x2) AS BIGINT) AS g2
+        |  FROM b GROUP BY source),
+        |gt AS (SELECT CAST(sum(g0) AS BIGINT) AS t0,
+        |              CAST(sum(g1) AS BIGINT) AS t1,
+        |              CAST(sum(g2) AS BIGINT) AS t2 FROM gs)
+        |SELECT gs.source, g0, g1, g2,
+        |       CAST(g0 * t0 + g1 * t1 + g2 * t2 AS BIGINT) AS dot,
+        |       CAST((g0 * t0 + g1 * t1 + g2 * t2) * 1000000
+        |         // (t0 * t0 + t1 * t1 + t2 * t2) AS BIGINT) AS proj_ppm
+        |FROM gs, gt ORDER BY gs.source""".stripMargin) { (s, d) =>
+      val b = Tables.documents(s, d)
+        .select(col("source"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          expr("n_chars div 100").as("x1"), (col("doc_id") % 7).as("x2"))
+      val gs = b.groupBy("source")
+        .agg(sum(lit(1) - lit(2) * col("y")).as("g0"),
+          sum((lit(1) - lit(2) * col("y")) * col("x1")).as("g1"),
+          sum((lit(1) - lit(2) * col("y")) * col("x2")).as("g2"))
+        .persist() // total census + per-source projection
+      val gt = gs.agg(sum("g0").as("t0"), sum("g1").as("t1"),
+        sum("g2").as("t2"))
+      gs.crossJoin(broadcast(gt))
+        .select(col("source"), col("g0"), col("g1"), col("g2"),
+          (col("g0") * col("t0") + col("g1") * col("t1")
+            + col("g2") * col("t2")).as("dot"),
+          expr("""cast((g0 * t0 + g1 * t1 + g2 * t2) * 1000000
+                 div (t0 * t0 + t1 * t1 + t2 * t2) as bigint)""")
+            .as("proj_ppm"))
+        .orderBy("source")
     }
   )
 }
