@@ -2487,6 +2487,104 @@ object AdvancedQueries {
         .crossJoin(broadcast(wk))
         .orderBy(col("visits").desc, col("id"))
         .limit(20)
+    },
+
+    // k-truss peeling (k = 8) — the cohesion rung between q184's triangle
+    // count and q187's k-core: an edge survives only while it closes ≥ k−2
+    // triangles WITH OTHER SURVIVORS, so peeling re-counts support on the
+    // shrinking subgraph (two pinned rounds, the q187 posture — a
+    // fixpoint loop would be count-gated the same way). Each round is the
+    // q323 degree-oriented wedge join (wedge work Σ d_out², never
+    // all-pairs) + a 3-role edge-support census — all equi-exchanges on
+    // edge/vertex keys. Output: the strongest surviving edges with their
+    // final support, each row carrying the edge-count funnel m0 → m1 → m2
+    // (how much of the graph the truss condition peeled away).
+    QueryDef("q360_ktruss", {
+      def roundSql(in: String, r: Int): String =
+        s"""deg$r AS (SELECT id, CAST(count(*) AS BIGINT) AS dg
+           |  FROM (SELECT u AS id FROM $in UNION ALL SELECT v FROM $in)
+           |  GROUP BY id),
+           |o$r AS MATERIALIZED (
+           |  SELECT CASE WHEN (du.dg < dv.dg) OR (du.dg = dv.dg AND u < v)
+           |              THEN u ELSE v END AS src,
+           |         CASE WHEN (du.dg < dv.dg) OR (du.dg = dv.dg AND u < v)
+           |              THEN v ELSE u END AS dst,
+           |         CASE WHEN (du.dg < dv.dg) OR (du.dg = dv.dg AND u < v)
+           |              THEN dv.dg ELSE du.dg END AS ddst
+           |  FROM $in JOIN deg$r du ON $in.u = du.id
+           |           JOIN deg$r dv ON $in.v = dv.id),
+           |tri$r AS (
+           |  SELECT w.apex, w.a, w.b FROM (
+           |    SELECT x.src AS apex, x.dst AS a, y.dst AS b
+           |    FROM o$r x JOIN o$r y ON x.src = y.src
+           |     AND ((x.ddst < y.ddst) OR (x.ddst = y.ddst AND x.dst < y.dst))
+           |  ) w JOIN o$r z ON w.a = z.src AND w.b = z.dst),
+           |sup$r AS MATERIALIZED (
+           |  SELECT u, v, CAST(count(*) AS BIGINT) AS sup FROM (
+           |    SELECT least(apex, a) AS u, greatest(apex, a) AS v FROM tri$r
+           |    UNION ALL
+           |    SELECT least(apex, b), greatest(apex, b) FROM tri$r
+           |    UNION ALL
+           |    SELECT least(a, b), greatest(a, b) FROM tri$r) t
+           |  GROUP BY u, v),
+           |e$r AS MATERIALIZED (
+           |  SELECT sup$r.u, sup$r.v, sup$r.sup AS sup FROM sup$r
+           |  JOIN $in ON $in.u = sup$r.u AND $in.v = sup$r.v
+           |  WHERE sup$r.sup >= 6)""".stripMargin
+      s"""WITH ${SpatialEdges.cteR(40)},
+         |${roundSql("e0", 1)},
+         |${roundSql("e1", 2)},
+         |cnt AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM e0) AS m0,
+         |               (SELECT CAST(count(*) AS BIGINT) FROM e1) AS m1,
+         |               (SELECT CAST(count(*) AS BIGINT) FROM e2) AS m2)
+         |SELECT e2.u, e2.v, e2.sup, cnt.m0, cnt.m1, cnt.m2
+         |FROM e2, cnt
+         |ORDER BY e2.sup DESC, e2.u, e2.v LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      def round(e: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val deg = e.select(col("u").as("id"))
+          .unionAll(e.select(col("v").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("dg"))
+        val du = deg.withColumnsRenamed(Map("id" -> "u", "dg" -> "du"))
+        val dv = deg.withColumnsRenamed(Map("id" -> "v", "dg" -> "dv"))
+        val uFirst = col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v"))
+        val o = e.join(du, Seq("u")).join(dv, Seq("v"))
+          .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
+            when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+            when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+          .persist() // wedge self-join + closing probe
+        val w = o.as("x").join(o.as("y"),
+            col("x.src") === col("y.src")
+              && (col("x.ddst") < col("y.ddst")
+                || (col("x.ddst") === col("y.ddst")
+                  && col("x.dst") < col("y.dst"))))
+          .select(col("x.src").as("apex"), col("x.dst").as("a"),
+            col("y.dst").as("b"))
+        val tri = w.join(o, col("a") === col("src") && col("b") === col("dst"))
+          .select("apex", "a", "b")
+        val roles = tri.select(least(col("apex"), col("a")).as("u"),
+            greatest(col("apex"), col("a")).as("v"))
+          .unionAll(tri.select(least(col("apex"), col("b")),
+            greatest(col("apex"), col("b"))))
+          .unionAll(tri.select(least(col("a"), col("b")),
+            greatest(col("a"), col("b"))))
+        val sup = roles.groupBy("u", "v").agg(count(lit(1)).as("sup"))
+        sup.join(e, Seq("u", "v")).where(col("sup") >= 6)
+          .select("u", "v", "sup")
+          .localCheckpoint() // rounds must not nest plans
+      }
+      val e0 = SpatialEdges.frameR(s, d, 40)
+        .persist() // round 1 + m0 census
+      val e1 = round(e0)
+      val e2 = round(e1.select("u", "v"))
+      val cnt = e0.agg(count(lit(1)).as("m0"))
+        .crossJoin(e1.agg(count(lit(1)).as("m1")))
+        .crossJoin(e2.agg(count(lit(1)).as("m2")))
+      e2.crossJoin(broadcast(cnt))
+        .orderBy(col("sup").desc, col("u"), col("v"))
+        .limit(20)
     }
   )
 }
@@ -2504,7 +2602,14 @@ private object SpatialEdges {
     * both downstream chains (orientation, peel rounds) reference e0 more
     * than once, and DuckDB inlines plain CTEs.
     */
-  val cte: String =
+  val cte: String = cteR(25)
+
+  /** Radius-parametrized variant (q360's truss peel needs the DENSER
+    * radius-40 graph — the radius-25 graph's max edge support is 2, so a
+    * 4-truss is vacuously empty). Cell size = radius keeps the 3×3
+    * neighborhood lossless at any radius.
+    */
+  def cteR(r: Int): String =
     s"""p AS MATERIALIZED (SELECT c_custkey AS id,
        |         (${Hashes.mulHashSql("c_custkey", 11)}) % 1000 AS x,
        |         (${Hashes.mulHashSql("c_custkey", 13)}) % 1000 AS y
@@ -2512,10 +2617,14 @@ private object SpatialEdges {
        |e0 AS MATERIALIZED (SELECT a.id AS u, b.id AS v
        |       FROM p a JOIN p b ON a.id < b.id
        |        AND (a.x - b.x) * (a.x - b.x)
-       |            + (a.y - b.y) * (a.y - b.y) <= 625)""".stripMargin
+       |            + (a.y - b.y) * (a.y - b.y) <= ${r * r})""".stripMargin
 
   /** The same edge relation (u, v) via the grid-bucketed join. */
-  def frame(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  def frame(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    frameR(s, d, 25)
+
+  def frameR(s: org.apache.spark.sql.SparkSession, d: String,
+             r: Int): org.apache.spark.sql.DataFrame = {
     val pts = Tables.customer(s, d).select(col("c_custkey").as("id"),
       (Hashes.mulHash(col("c_custkey"), 11) % 1000).as("x"),
       (Hashes.mulHash(col("c_custkey"), 13) % 1000).as("y"))
@@ -2525,14 +2634,15 @@ private object SpatialEdges {
       .select(col("id").as("u"), col("x").as("ax"), col("y").as("ay"),
         explode(offsets).as("off"))
       .select(col("u"), col("ax"), col("ay"),
-        (expr("ax div 25") + col("off.dx")).as("cx"),
-        (expr("ay div 25") + col("off.dy")).as("cy"))
+        (expr(s"ax div $r") + col("off.dx")).as("cx"),
+        (expr(s"ay div $r") + col("off.dy")).as("cy"))
     val b = pts.select(col("id").as("v"), col("x").as("bx"),
-      col("y").as("by"), expr("bx div 25").as("cx"), expr("by div 25").as("cy"))
+      col("y").as("by"), expr(s"bx div $r").as("cx"),
+      expr(s"by div $r").as("cy"))
     a.join(b, Seq("cx", "cy"))
       .where(col("u") < col("v")
         && (col("ax") - col("bx")) * (col("ax") - col("bx"))
-           + (col("ay") - col("by")) * (col("ay") - col("by")) <= 625)
+           + (col("ay") - col("by")) * (col("ay") - col("by")) <= r * r)
       .select("u", "v")
   }
 }
