@@ -2157,6 +2157,152 @@ object MlQueries {
                  div (t0 * t0 + t1 * t1 + t2 * t2) as bigint)""")
             .as("proj_ppm"))
         .orderBy("source")
+    },
+
+    // Embedding whitening (Su et al. 2021, arXiv:2103.15316) — the
+    // retrieval-quality transform that decorrelates the embedding space:
+    // x' = L⁻¹(x − μ) with Σ = LLᵀ the Cholesky factor of the covariance.
+    // Determinism follows the q276/PowerIteration statistics posture: the
+    // head-4 covariance census is EXACT integers (per-row e3 quantization
+    // before any cross-row sum), the 4×4 Cholesky + forward-substitution
+    // inverse is a FIXED sequence of IEEE double ops with a 1e-9 snap
+    // after every entry — identical on the driver and in the oracle's
+    // unrolled CTE chain — and the whitened covariance WITNESS (≈1e6 on
+    // the diagonal, ≈0 off it: the point of whitening) is again an exact
+    // integer census of e3-quantized transformed values. Two corpus scans
+    // total; everything between them is a 14-number census (driver math,
+    // broadcast literals) — the scaler fit/apply shape at any scale.
+    QueryDef("q361_whitening", {
+      val pairsIdx = for (i <- 1 to 4; j <- 1 to i) yield (i, j)
+      def xq(j: Int) =
+        s"CAST(round(CAST(embedding[$j] AS DOUBLE) * 1000, 0) AS BIGINT)"
+      val censusCols = (1 to 4).map(j => s"CAST(sum(x$j) AS BIGINT) AS s$j") ++
+        pairsIdx.map { case (i, j) =>
+          s"CAST(sum(x$i * x$j) AS BIGINT) AS p$i$j" }
+      val covCols = pairsIdx.map { case (i, j) =>
+        s"CAST(n * p$i$j - s$i * s$j AS DOUBLE)" +
+          s" / (CAST(n AS DOUBLE) * n * 1000000.0) AS c$i$j" }
+      val chol = Seq(
+        "l11" -> "round(sqrt(c11), 9)",
+        "l21" -> "round(c21 / l11, 9)",
+        "l31" -> "round(c31 / l11, 9)",
+        "l41" -> "round(c41 / l11, 9)",
+        "l22" -> "round(sqrt(c22 - l21 * l21), 9)",
+        "l32" -> "round((c32 - l31 * l21) / l22, 9)",
+        "l42" -> "round((c42 - l41 * l21) / l22, 9)",
+        "l33" -> "round(sqrt(c33 - l31 * l31 - l32 * l32), 9)",
+        "l43" -> "round((c43 - l41 * l31 - l42 * l32) / l33, 9)",
+        "l44" -> "round(sqrt(c44 - l41 * l41 - l42 * l42 - l43 * l43), 9)",
+        "m11" -> "round(1.0 / l11, 9)",
+        "m22" -> "round(1.0 / l22, 9)",
+        "m33" -> "round(1.0 / l33, 9)",
+        "m44" -> "round(1.0 / l44, 9)",
+        "m21" -> "round(-(l21 * m11) / l22, 9)",
+        "m31" -> "round(-(l31 * m11 + l32 * m21) / l33, 9)",
+        "m32" -> "round(-(l32 * m22) / l33, 9)",
+        "m41" -> "round(-(l41 * m11 + l42 * m21 + l43 * m31) / l44, 9)",
+        "m42" -> "round(-(l42 * m22 + l43 * m32) / l44, 9)",
+        "m43" -> "round(-(l43 * m33) / l44, 9)")
+      val cholCtes = chol.zipWithIndex.map { case ((name, e), k) =>
+        s"t${k + 1} AS (SELECT *, $e AS $name FROM t$k)" }.mkString(",\n")
+      val tLast = s"t${chol.size}"
+      def zc(j: Int) =
+        s"(CAST(${xq(j)} AS DOUBLE) / 1000.0" +
+          s" - (CAST(s$j AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0)))"
+      def qExpr(i: Int) = {
+        val terms = (1 to i).map(j => s"m$i$j * ${zc(j)}").mkString(" + ")
+        s"CAST(round(($terms) * 1000, 0) AS BIGINT) AS q$i"
+      }
+      val wCols = (1 to 4).map(j => s"CAST(sum(q$j) AS BIGINT) AS ws$j") ++
+        pairsIdx.map { case (i, j) =>
+          s"CAST(sum(q$i * q$j) AS BIGINT) AS wp$i$j" }
+      val outs = pairsIdx.map { case (i, j) =>
+        s"""SELECT $i AS i, $j AS j,
+           |  CAST((c.n * c.p$i$j - c.s$i * c.s$j) // (c.n * c.n) AS BIGINT)
+           |    AS cov_e6,
+           |  CAST((wc.n2 * wc.wp$i$j - wc.ws$i * wc.ws$j)
+           |    // (wc.n2 * wc.n2) AS BIGINT) AS wcov_e6
+           |FROM c, wc""".stripMargin }.mkString("\nUNION ALL\n")
+      s"""WITH x AS (SELECT ${(1 to 4).map(j => s"${xq(j)} AS x$j").mkString(", ")}
+         |  FROM embeddings),
+         |c AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, ${censusCols.mkString(", ")}
+         |  FROM x),
+         |t0 AS (SELECT c.*, ${covCols.mkString(", ")} FROM c),
+         |$cholCtes,
+         |z AS (SELECT ${(1 to 4).map(qExpr).mkString(", ")}
+         |      FROM embeddings, $tLast),
+         |wc AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n2, ${wCols.mkString(", ")}
+         |  FROM z)
+         |SELECT * FROM ($outs) out ORDER BY i, j""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      def r9(x: Double): Double =
+        BigDecimal.valueOf(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      val pairsIdx = for (i <- 1 to 4; j <- 1 to i) yield (i, j)
+      val xs = Tables.embeddings(s, d).select((1 to 4).map(j =>
+        expr(s"cast(round(cast(element_at(embedding, $j) as double) * 1000," +
+          s" 0) as bigint)").as(s"x$j")): _*)
+        .persist() // census + whitened apply pass
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        (1 to 4).map(j => sum(col(s"x$j")).as(s"s$j")) ++
+        pairsIdx.map { case (i, j) =>
+          sum(col(s"x$i") * col(s"x$j")).as(s"p$i$j") }
+      val row = xs.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val n = row.getAs[Long]("n")
+      val sv = (1 to 4).map(j => row.getAs[Long](s"s$j")).toArray
+      val pv = Array.ofDim[Long](5, 5)
+      pairsIdx.foreach { case (i, j) =>
+        pv(i)(j) = row.getAs[Long](s"p$i$j"); pv(j)(i) = pv(i)(j) }
+      def c(i: Int, j: Int): Double =
+        (n * pv(i)(j) - sv(i - 1) * sv(j - 1)).toDouble /
+          (n.toDouble * n * 1000000.0)
+      // Cholesky entries in the EXACT op order the oracle states
+      val l11 = r9(math.sqrt(c(1, 1)))
+      val l21 = r9(c(2, 1) / l11)
+      val l31 = r9(c(3, 1) / l11)
+      val l41 = r9(c(4, 1) / l11)
+      val l22 = r9(math.sqrt(c(2, 2) - l21 * l21))
+      val l32 = r9((c(3, 2) - l31 * l21) / l22)
+      val l42 = r9((c(4, 2) - l41 * l21) / l22)
+      val l33 = r9(math.sqrt(c(3, 3) - l31 * l31 - l32 * l32))
+      val l43 = r9((c(4, 3) - l41 * l31 - l42 * l32) / l33)
+      val l44 = r9(math.sqrt(c(4, 4) - l41 * l41 - l42 * l42 - l43 * l43))
+      val m11 = r9(1.0 / l11); val m22 = r9(1.0 / l22)
+      val m33 = r9(1.0 / l33); val m44 = r9(1.0 / l44)
+      val m21 = r9(-(l21 * m11) / l22)
+      val m31 = r9(-(l31 * m11 + l32 * m21) / l33)
+      val m32 = r9(-(l32 * m22) / l33)
+      val m41 = r9(-(l41 * m11 + l42 * m21 + l43 * m31) / l44)
+      val m42 = r9(-(l42 * m22 + l43 * m32) / l44)
+      val m43 = r9(-(l43 * m33) / l44)
+      val m = Array(
+        Array(m11, 0.0, 0.0, 0.0), Array(m21, m22, 0.0, 0.0),
+        Array(m31, m32, m33, 0.0), Array(m41, m42, m43, m44))
+      val mu = (1 to 4).map(j => sv(j - 1).toDouble / (n * 1000.0)).toArray
+      def zc(j: Int) = col(s"x$j").cast("double") / 1000.0 - lit(mu(j - 1))
+      def q(i: Int) = {
+        val w = (1 to i).map(j => lit(m(i - 1)(j - 1)) * zc(j))
+          .reduce(_ + _)
+        round(w * 1000, 0).cast("long").as(s"q$i")
+      }
+      val z = xs.select((1 to 4).map(q): _*)
+      val wAggs = Seq(count(lit(1)).as("n2")) ++
+        (1 to 4).map(j => sum(col(s"q$j")).as(s"ws$j")) ++
+        pairsIdx.map { case (i, j) =>
+          sum(col(s"q$i") * col(s"q$j")).as(s"wp$i$j") }
+      val wrow = z.agg(wAggs.head, wAggs.tail: _*).collect()(0)
+      val n2 = wrow.getAs[Long]("n2")
+      val ws = (1 to 4).map(j => wrow.getAs[Long](s"ws$j")).toArray
+      val out = pairsIdx.map { case (i, j) =>
+        val wp = wrow.getAs[Long](s"wp$i$j")
+        val cov = (n * pv(i)(j) - sv(i - 1) * sv(j - 1)) / (n * n)
+        val wcov = (n2 * wp - ws(i - 1) * ws(j - 1)) / (n2 * n2)
+        (i, j, cov, wcov)
+      }
+      out.toSeq.toDF("i", "j", "cov_e6", "wcov_e6").orderBy("i", "j")
     }
   )
 }
