@@ -2303,6 +2303,125 @@ object MlQueries {
         (i, j, cov, wcov)
       }
       out.toSeq.toDF("i", "j", "cov_e6", "wcov_e6").orderBy("i", "j")
+    },
+
+    // Oblivious isolation forest (Liu et al. ICDM 2008, with CatBoost-
+    // style oblivious trees: every node at a depth shares its split, so a
+    // tree is 5 half-space bits and a leaf is a 5-bit code) — the
+    // model-based anomaly detector next to the robust-stats family
+    // (q215/q282). With depth-truncated trees every path is depth + c(m)
+    // for leaf size m, so the iForest path-length ranking reduces EXACTLY
+    // to total leaf occupancy across trees — sparse cells are the
+    // anomalies, and no ghost "isolation depth" needs simulating. Tree structure (feature + split fraction per (tree, depth))
+    // is salted-hash CONSTANTS computed at query-build time; only the
+    // per-feature min/max census is data — collected like scaler stats
+    // and folded into literal thresholds (fit/apply posture). 0.5% of
+    // rows carry planted corruption (+200 quantity, +50 discount), and
+    // the witness is that they own the shallow-isolation top-20. Shuffle
+    // shape: one 6-number census, one (tree, leaf)-keyed ≤128-row count
+    // census, five BROADCAST prefix joins, one final per-key aggregate —
+    // nothing pairwise, nothing deeper than the q18 scaler.
+    QueryDef("q362_oblivious_iforest", {
+      import graft.functions.Hashes
+      val trees = 0 until 4
+      val depths = 1 to 5
+      def fidx(t: Int, d: Int) =
+        (Hashes.mulHashLong(t * 31 + d, 601) % 3).toInt
+      def frac(t: Int, d: Int) = Hashes.mulHashLong(t * 31 + d, 603) % 997
+      def thrSql(t: Int, d: Int): String = {
+        val f = fidx(t, d)
+        s"(c.lo$f + ${frac(t, d)} * (c.hi$f - c.lo$f) // 997)"
+      }
+      def codeSql(t: Int): String = depths.map { d =>
+        s"CASE WHEN f${fidx(t, d)} > ${thrSql(t, d)}" +
+          s" THEN ${1 << (5 - d)} ELSE 0 END"
+      }.mkString(" + ")
+      val h = Hashes.mulHashSql("l_orderkey * 8 + l_linenumber", 701)
+      s"""WITH p0 AS (
+         |  SELECT l_orderkey * 8 + l_linenumber AS k,
+         |         CAST(CASE WHEN ($h) % 200 = 0 THEN 1 ELSE 0 END
+         |           AS BIGINT) AS planted,
+         |         CAST(l_quantity AS BIGINT) AS q0,
+         |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS f1,
+         |         CAST(round(l_discount * 100, 0) AS BIGINT) AS d0
+         |  FROM lineitem),
+         |pts AS MATERIALIZED (
+         |  SELECT k, planted, q0 + planted * 200 AS f0, f1,
+         |         d0 + planted * 50 AS f2
+         |  FROM p0),
+         |c AS MATERIALIZED (
+         |  SELECT CAST(min(f0) AS BIGINT) AS lo0, CAST(max(f0) AS BIGINT)
+         |      AS hi0,
+         |    CAST(min(f1) AS BIGINT) AS lo1, CAST(max(f1) AS BIGINT) AS hi1,
+         |    CAST(min(f2) AS BIGINT) AS lo2, CAST(max(f2) AS BIGINT) AS hi2
+         |  FROM pts),
+         |codes AS MATERIALIZED (
+         |  SELECT k, planted, f0, f2,
+         |         ${trees.map(t => s"${codeSql(t)} AS c$t").mkString(",\n         ")}
+         |  FROM pts, c),
+         |pt AS MATERIALIZED (
+         |  ${trees.map(t =>
+            s"SELECT k, planted, f0, f2, $t AS t, c$t AS code FROM codes")
+            .mkString("\n  UNION ALL\n  ")}),
+         |cen AS MATERIALIZED (
+         |  SELECT t, code, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM pt GROUP BY t, code),
+         |sc AS (
+         |  SELECT k, planted, f0, f2, CAST(sum(cen.cnt) AS BIGINT) AS score
+         |  FROM pt JOIN cen ON cen.t = pt.t AND cen.code = pt.code
+         |  GROUP BY k, planted, f0, f2)
+         |SELECT k, score, planted, f0 AS quantity, f2 AS discount_c
+         |FROM sc ORDER BY score, k LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      val trees = 0 until 4
+      val depths = 1 to 5
+      def fidx(t: Int, dd: Int) =
+        (Hashes.mulHashLong(t * 31 + dd, 601) % 3).toInt
+      def frac(t: Int, dd: Int) = Hashes.mulHashLong(t * 31 + dd, 603) % 997
+      val pts = Tables.lineitem(s, d)
+        .select((col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+          when(Hashes.mulHash(col("l_orderkey") * 8 + col("l_linenumber"),
+            701) % 200 === 0, 1L).otherwise(0L).as("planted"),
+          col("l_quantity").cast("long").as("q0"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("f1"),
+          round(col("l_discount") * 100, 0).cast("long").as("d0"))
+        .select(col("k"), col("planted"),
+          (col("q0") + col("planted") * 200).as("f0"), col("f1"),
+          (col("d0") + col("planted") * 50).as("f2"))
+        .persist() // min/max census + the code pass
+      val cRow = pts.agg(min("f0").as("lo0"), max("f0").as("hi0"),
+        min("f1").as("lo1"), max("f1").as("hi1"),
+        min("f2").as("lo2"), max("f2").as("hi2")).collect()(0)
+      val lo = Array(cRow.getAs[Long]("lo0"), cRow.getAs[Long]("lo1"),
+        cRow.getAs[Long]("lo2"))
+      val hi = Array(cRow.getAs[Long]("hi0"), cRow.getAs[Long]("hi1"),
+        cRow.getAs[Long]("hi2"))
+      def thr(t: Int, dd: Int): Long = {
+        val f = fidx(t, dd)
+        lo(f) + frac(t, dd) * (hi(f) - lo(f)) / 997
+      }
+      def code(t: Int) = depths.map { dd =>
+        when(col(s"f${fidx(t, dd)}") > thr(t, dd), 1L << (5 - dd))
+          .otherwise(0L)
+      }.reduce(_ + _).as(s"c$t")
+      val codes = pts.select(
+        Seq(col("k"), col("planted"), col("f0"), col("f2"))
+          ++ trees.map(code): _*)
+      val pt = trees.map(t => codes.select(col("k"), col("planted"),
+          col("f0"), col("f2"), lit(t).as("t"), col(s"c$t").as("code")))
+        .reduce(_ unionAll _)
+        .persist() // leaf census + the prefix joins
+      val cen = pt.groupBy("t", "code").agg(count(lit(1)).as("cnt"))
+        .select(col("t").as("tt"), col("code").as("cc"), col("cnt"))
+      pt.join(broadcast(cen),
+          col("tt") === col("t") && col("cc") === col("code"))
+        .groupBy("k", "planted", "f0", "f2")
+        .agg(sum("cnt").as("score"))
+        .select(col("k"), col("score"), col("planted"),
+          col("f0").as("quantity"), col("f2").as("discount_c"))
+        .orderBy("score", "k")
+        .limit(20)
     }
   )
 }
