@@ -2585,6 +2585,124 @@ object AdvancedQueries {
       e2.crossJoin(broadcast(cnt))
         .orderBy(col("sup").desc, col("u"), col("v"))
         .limit(20)
+    },
+
+    // Borůvka minimum-spanning-forest rounds (Borůvka 1926 — THE
+    // distributed MST algorithm: GraphX/Giraph implement exactly this) on
+    // the distance-weighted spatial graph: every component nominates its
+    // cheapest outgoing edge (one component-keyed min-struct aggregate —
+    // weights (d², u, v) are unique integer triples, so min IS the
+    // deterministic pick), nominated edges merge components (the q61
+    // exact CC machinery on the chosen-edge forest), repeat. Two pinned
+    // rounds (the q187/q360 posture). Per round: one edge exchange + one
+    // vertex-keyed label join + CC on a FOREST (≤V−1 edges, count-gated).
+    // Output: one row per round — edges added, forest weight, and the
+    // component-count collapse, the numbers a hierarchical/single-link
+    // clustering run reads off.
+    QueryDef("q364_boruvka_mst",
+      s"""WITH RECURSIVE ${SpatialEdges.cte},
+         |ew AS MATERIALIZED (
+         |  SELECT e0.u, e0.v,
+         |         (pa.x - pb.x) * (pa.x - pb.x)
+         |           + (pa.y - pb.y) * (pa.y - pb.y) AS d2
+         |  FROM e0 JOIN p pa ON pa.id = e0.u JOIN p pb ON pb.id = e0.v),
+         |m1 AS (SELECT comp, min({'d2': d2, 'u': u, 'v': v}) AS me FROM (
+         |    SELECT u AS comp, d2, u, v FROM ew
+         |    UNION ALL SELECT v, d2, u, v FROM ew) t
+         |  GROUP BY comp),
+         |ch1 AS MATERIALIZED (
+         |  SELECT DISTINCT me.u AS u, me.v AS v, me.d2 AS d2 FROM m1),
+         |ee1 AS (SELECT u AS ea, v AS eb FROM ch1
+         |        UNION ALL SELECT v, u FROM ch1),
+         |reach1(rv, rr) AS (
+         |  SELECT DISTINCT ea, ea FROM ee1
+         |  UNION
+         |  SELECT e.eb, reach1.rr FROM ee1 e JOIN reach1 ON reach1.rv = e.ea),
+         |c1 AS (SELECT rv AS id, min(rr) AS comp FROM reach1 GROUP BY rv),
+         |l1 AS MATERIALIZED (
+         |  SELECT p.id, coalesce(c1.comp, p.id) AS comp
+         |  FROM p LEFT JOIN c1 ON c1.id = p.id),
+         |ew2 AS MATERIALIZED (
+         |  SELECT ew.u, ew.v, ew.d2, lu.comp AS cu, lv.comp AS cv
+         |  FROM ew JOIN l1 lu ON lu.id = ew.u JOIN l1 lv ON lv.id = ew.v
+         |  WHERE lu.comp <> lv.comp),
+         |m2 AS (SELECT comp, min({'d2': d2, 'u': u, 'v': v}) AS me FROM (
+         |    SELECT cu AS comp, d2, u, v FROM ew2
+         |    UNION ALL SELECT cv, d2, u, v FROM ew2) t
+         |  GROUP BY comp),
+         |ch2 AS MATERIALIZED (
+         |  SELECT DISTINCT me.u AS u, me.v AS v, me.d2 AS d2 FROM m2),
+         |eall AS (SELECT u AS ea, v AS eb FROM ch1
+         |  UNION ALL SELECT v, u FROM ch1
+         |  UNION ALL SELECT u, v FROM ch2
+         |  UNION ALL SELECT v, u FROM ch2),
+         |reach2(rv, rr) AS (
+         |  SELECT DISTINCT ea, ea FROM eall
+         |  UNION
+         |  SELECT e.eb, reach2.rr FROM eall e JOIN reach2 ON reach2.rv = e.ea),
+         |c2 AS (SELECT rv AS id, min(rr) AS comp FROM reach2 GROUP BY rv),
+         |l2 AS (SELECT p.id, coalesce(c2.comp, p.id) AS comp
+         |       FROM p LEFT JOIN c2 ON c2.id = p.id)
+         |SELECT CAST(1 AS BIGINT) AS round,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM ch1) AS edges_added,
+         |       (SELECT CAST(sum(d2) AS BIGINT) FROM ch1) AS weight_d2,
+         |       (SELECT CAST(count(DISTINCT comp) AS BIGINT) FROM l1)
+         |         AS n_components
+         |UNION ALL
+         |SELECT 2,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM ch2),
+         |       (SELECT CAST(sum(d2) AS BIGINT) FROM ch2),
+         |       (SELECT CAST(count(DISTINCT comp) AS BIGINT) FROM l2)
+         |ORDER BY round""".stripMargin) { (s, d) =>
+      import graft.functions.Hashes
+      import graft.operators.Components
+      val pts = Tables.customer(s, d).select(col("c_custkey").as("id"),
+          (Hashes.mulHash(col("c_custkey"), 11) % 1000).as("x"),
+          (Hashes.mulHash(col("c_custkey"), 13) % 1000).as("y"))
+        .persist() // edge weighting + both vertex-universe left joins
+      val ew = SpatialEdges.frame(s, d)
+        .join(pts.select(col("id").as("u"), col("x").as("xa"),
+          col("y").as("ya")), Seq("u"))
+        .join(pts.select(col("id").as("v"), col("x").as("xb"),
+          col("y").as("yb")), Seq("v"))
+        .select(col("u"), col("v"),
+          ((col("xa") - col("xb")) * (col("xa") - col("xb"))
+            + (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("d2"))
+        .persist() // both nomination rounds scan it
+      def nominate(cand: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame =
+        cand.select(col("cu").as("comp"), col("d2"), col("u"), col("v"))
+          .unionAll(cand.select(col("cv").as("comp"), col("d2"), col("u"),
+            col("v")))
+          .groupBy("comp")
+          .agg(min(struct(col("d2"), col("u"), col("v"))).as("me"))
+          .select(col("me.u").as("u"), col("me.v").as("v"),
+            col("me.d2").as("d2"))
+          .distinct()
+          .localCheckpoint() // rounds must not nest
+      val ch1 = nominate(ew.select(col("u").as("cu"), col("v").as("cv"),
+        col("u"), col("v"), col("d2")))
+      val l1 = pts.select("id")
+        .join(Components.connectedComponents(ch1, "u", "v"), Seq("id"),
+          "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+        .persist() // round-2 labeling + component count
+      val ew2 = ew
+        .join(l1.select(col("id").as("u"), col("comp").as("cu")), Seq("u"))
+        .join(l1.select(col("id").as("v"), col("comp").as("cv")), Seq("v"))
+        .where(col("cu") =!= col("cv"))
+      val ch2 = nominate(ew2)
+      val l2 = pts.select("id")
+        .join(Components.connectedComponents(ch1.unionAll(ch2), "u", "v"),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      def statsRow(r: Int, ch: org.apache.spark.sql.DataFrame,
+                   l: org.apache.spark.sql.DataFrame) =
+        ch.agg(count(lit(1)).as("edges_added"), sum("d2").as("weight_d2"))
+          .crossJoin(l.agg(countDistinct("comp").as("n_components")))
+          .select(lit(r.toLong).as("round"), col("edges_added"),
+            col("weight_d2"), col("n_components"))
+      statsRow(1, ch1, l1).unionAll(statsRow(2, ch2, l2)).orderBy("round")
     }
   )
 }

@@ -2422,6 +2422,84 @@ object MlQueries {
           col("f0").as("quantity"), col("f2").as("discount_c"))
         .orderBy("score", "k")
         .limit(20)
+    },
+
+    // Cluster-label alignment (the Hungarian assignment, exact over 4! =
+    // 24 permutations) — the missing step between clustering (q65) and
+    // supervised metrics (q08): cluster ids are arbitrary, so accuracy
+    // against true labels is only defined AFTER the best one-to-one
+    // cluster→label mapping. The confusion census is 16 integers; the 24
+    // candidate mappings are build-time literals (96 (perm, cluster,
+    // label) rows); the best permutation is an exact integer trace argmax
+    // with a smallest-perm tie-break. ONE corpus pass (the confusion
+    // census); everything after is statistics arithmetic. Output: the
+    // dense confusion grid, each row carrying its cluster's assigned
+    // label, the winning permutation's trace, and the aligned accuracy.
+    QueryDef("q363_cluster_align", {
+      val perms = (0 to 3).permutations.toSeq.sortBy(_.mkString)
+      val permRows = perms.zipWithIndex.flatMap { case (pm, p) =>
+        pm.zipWithIndex.map { case (tgt, c) => s"($p, $c, $tgt)" } }
+      s"""WITH pts AS (
+         |  SELECT CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 2 ELSE 0
+         |           END
+         |         + CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 1
+         |           ELSE 0 END AS c,
+         |         label % 4 AS l
+         |  FROM embeddings),
+         |grid AS (SELECT a.g AS c, b.g AS l
+         |         FROM (SELECT unnest(range(0, 4)) AS g) a,
+         |              (SELECT unnest(range(0, 4)) AS g) b),
+         |conf AS MATERIALIZED (
+         |  SELECT grid.c, grid.l, CAST(coalesce(n.n, 0) AS BIGINT) AS n
+         |  FROM grid LEFT JOIN (
+         |    SELECT c, l, count(*) AS n FROM pts GROUP BY c, l) n
+         |    ON n.c = grid.c AND n.l = grid.l),
+         |perm(p, c, tgt) AS (VALUES ${permRows.mkString(", ")}),
+         |sc AS (SELECT perm.p, CAST(sum(conf.n) AS BIGINT) AS trace
+         |       FROM perm JOIN conf ON conf.c = perm.c AND conf.l = perm.tgt
+         |       GROUP BY perm.p),
+         |best AS (SELECT p, trace FROM sc ORDER BY trace DESC, p LIMIT 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM conf)
+         |SELECT conf.c, conf.l, conf.n,
+         |       CAST(perm.tgt AS BIGINT) AS assigned_label,
+         |       best.trace, CAST(best.trace * 1000000 // tot.tot AS BIGINT)
+         |         AS acc_ppm
+         |FROM conf JOIN best ON 1 = 1
+         |  JOIN perm ON perm.p = best.p AND perm.c = conf.c, tot
+         |ORDER BY conf.c, conf.l""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val perms = (0 to 3).permutations.toSeq.sortBy(_.mkString)
+      val permDf = perms.zipWithIndex.flatMap { case (pm, p) =>
+        pm.zipWithIndex.map { case (tgt, c) => (p, c.toLong, tgt.toLong) } }
+        .toDF("p", "c", "tgt")
+      val pts = Tables.embeddings(s, d).select(
+        (when(expr("cast(element_at(embedding, 1) as double)") > 0, 2L)
+          .otherwise(0L)
+          + when(expr("cast(element_at(embedding, 2) as double)") > 0, 1L)
+            .otherwise(0L)).as("c"),
+        (col("label") % 4).cast("long").as("l"))
+      val grid = s.range(0, 4).select(col("id").as("c"))
+        .crossJoin(s.range(0, 4).select(col("id").as("l")))
+      val conf = grid.join(
+          pts.groupBy("c", "l").agg(count(lit(1)).as("cnt")),
+          Seq("c", "l"), "left")
+        .select(col("c"), col("l"), coalesce(col("cnt"), lit(0L)).as("n"))
+        .persist() // trace scoring + total + final grid
+      val sc = broadcast(permDf).join(conf,
+          permDf("c") === conf("c") && col("tgt") === col("l"))
+        .groupBy("p").agg(sum("n").as("trace"))
+      val best = sc.orderBy(col("trace").desc, col("p")).limit(1)
+      val tot = conf.agg(sum("n").as("tot"))
+      conf.crossJoin(broadcast(best))
+        .join(broadcast(permDf.withColumnRenamed("p", "bp")
+            .withColumnRenamed("c", "bc")),
+          col("bp") === col("p") && col("bc") === conf("c"))
+        .crossJoin(broadcast(tot))
+        .select(conf("c"), col("l"), col("n"),
+          col("tgt").as("assigned_label"), col("trace"),
+          expr("cast(trace * 1000000 div tot as bigint)").as("acc_ppm"))
+        .orderBy("c", "l")
     }
   )
 }
