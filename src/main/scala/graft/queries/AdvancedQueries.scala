@@ -2703,6 +2703,129 @@ object AdvancedQueries {
           .select(lit(r.toLong).as("round"), col("edges_added"),
             col("weight_d2"), col("n_components"))
       statsRow(1, ch1, l1).unionAll(statsRow(2, ch2, l2)).orderBy("round")
+    },
+
+    // Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter 1969;
+    // the model behind Splink/dedupe.io) — the PROBABILISTIC counterpart
+    // of q228's rule-based ER. A clone relation B (20% of parts,
+    // deterministically corrupted: 2 chars clipped off the name, size
+    // jittered for half, type swapped for a fifth) is linked back against
+    // the full catalog A. Blocking on (brand, first name word) bounds the
+    // candidate volume by key cardinality — never |A|×|B|; at 100 TB the
+    // blocking key is the designer's cost contract exactly as in q287's
+    // LSH planner. Per candidate pair, a 3-field agreement vector
+    // (Jaro-Winkler name ≥ 0.94 via the native codegen expression, size
+    // equality, type equality); m-probabilities are stated priors,
+    // u-probabilities are estimated from the KNOWN-non-match candidate
+    // sample (the clone provenance gives the labeled random-pair sample
+    // §3 of the paper assumes) with add-one smoothing, so every log
+    // weight is finite. Pair score = Σ log-weights, quantized e6;
+    // decisions at the ±ln(10) bands. Output: the truth × decision
+    // confusion census — the 86 false-matches at sf0.01 are identical
+    // catalog names on different parts, the honest F-S failure mode a
+    // name-only field can't split.
+    QueryDef("q367_fellegi_sunter", {
+      import graft.functions.Hashes
+      val mh37 = Hashes.mulHashSql("p_partkey", 37)
+      val mh41 = Hashes.mulHashSql("p_partkey", 41)
+      val mh43 = Hashes.mulHashSql("p_partkey", 43)
+      s"""WITH a AS (
+         |  SELECT p_partkey AS rid, p_name AS nm, p_size AS sz,
+         |         p_type AS ty, p_brand AS br,
+         |         string_split(p_name, ' ')[1] AS w1 FROM part),
+         |b AS (
+         |  SELECT p_partkey + 5000000 AS rid,
+         |         substr(p_name, 1, length(p_name) - 2) AS nm,
+         |         CASE WHEN ($mh37) % 2 = 0 THEN p_size
+         |              ELSE p_size + 1 END AS sz,
+         |         CASE WHEN ($mh41) % 5 = 0 THEN 'OTHER' ELSE p_type END AS ty,
+         |         p_brand AS br, string_split(p_name, ' ')[1] AS w1
+         |  FROM part WHERE ($mh43) % 5 = 0),
+         |cand AS (
+         |  SELECT a.rid AS ra, b.rid AS rb,
+         |         CASE WHEN jaro_winkler_similarity(a.nm, b.nm) >= 0.94
+         |              THEN 1 ELSE 0 END AS g1,
+         |         CASE WHEN a.sz = b.sz THEN 1 ELSE 0 END AS g2,
+         |         CASE WHEN a.ty = b.ty THEN 1 ELSE 0 END AS g3,
+         |         (b.rid = a.rid + 5000000) AS truth
+         |  FROM a JOIN b ON a.br = b.br AND a.w1 = b.w1),
+         |u AS (
+         |  SELECT (CAST(sum(CASE WHEN NOT truth THEN g1 ELSE 0 END) AS DOUBLE)
+         |            + 1) / (sum(CASE WHEN NOT truth THEN 1 ELSE 0 END) + 2)
+         |           AS u1,
+         |         (CAST(sum(CASE WHEN NOT truth THEN g2 ELSE 0 END) AS DOUBLE)
+         |            + 1) / (sum(CASE WHEN NOT truth THEN 1 ELSE 0 END) + 2)
+         |           AS u2,
+         |         (CAST(sum(CASE WHEN NOT truth THEN g3 ELSE 0 END) AS DOUBLE)
+         |            + 1) / (sum(CASE WHEN NOT truth THEN 1 ELSE 0 END) + 2)
+         |           AS u3
+         |  FROM cand),
+         |scored AS (
+         |  SELECT truth,
+         |         CAST(round((
+         |             CASE WHEN g1 = 1 THEN ln(CAST(0.95 AS DOUBLE) / u1)
+         |                  ELSE ln(CAST(0.05 AS DOUBLE) / (1 - u1)) END
+         |           + CASE WHEN g2 = 1 THEN ln(CAST(0.5 AS DOUBLE) / u2)
+         |                  ELSE ln(CAST(0.5 AS DOUBLE) / (1 - u2)) END
+         |           + CASE WHEN g3 = 1 THEN ln(CAST(0.8 AS DOUBLE) / u3)
+         |                  ELSE ln(CAST(0.2 AS DOUBLE) / (1 - u3)) END
+         |           ) * 1000000, 0) AS BIGINT) AS s_e6
+         |  FROM cand, u)
+         |SELECT truth,
+         |       CASE WHEN s_e6 >= 2302585 THEN 'match'
+         |            WHEN s_e6 <= 0 THEN 'non_match'
+         |            ELSE 'possible' END AS decision,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       min(s_e6) AS min_score_e6, max(s_e6) AS max_score_e6
+         |FROM scored GROUP BY truth, decision
+         |ORDER BY truth, decision""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.{Hashes, StringSimExprs}
+      val part = Tables.part(s, d)
+      val a = part.select(col("p_partkey").as("ra"), col("p_name").as("nm_a"),
+        col("p_size").as("sz_a"), col("p_type").as("ty_a"),
+        col("p_brand").as("br"),
+        element_at(split(col("p_name"), " ", -1), 1).as("w1"))
+      val b = part
+        .where(Hashes.mulHash(col("p_partkey"), 43) % 5 === 0)
+        .select((col("p_partkey") + 5000000L).as("rb"),
+          col("p_name").substr(lit(1), length(col("p_name")) - 2).as("nm_b"),
+          when(Hashes.mulHash(col("p_partkey"), 37) % 2 === 0, col("p_size"))
+            .otherwise(col("p_size") + 1).as("sz_b"),
+          when(Hashes.mulHash(col("p_partkey"), 41) % 5 === 0, lit("OTHER"))
+            .otherwise(col("p_type")).as("ty_b"),
+          col("p_brand").as("br"),
+          element_at(split(col("p_name"), " ", -1), 1).as("w1"))
+      val cand = a.join(b, Seq("br", "w1"))
+        .select(col("ra"), col("rb"),
+          when(StringSimExprs.jaroWinkler(col("nm_a"), col("nm_b")) >= 0.94,
+            1L).otherwise(0L).as("g1"),
+          when(col("sz_a") === col("sz_b"), 1L).otherwise(0L).as("g2"),
+          when(col("ty_a") === col("ty_b"), 1L).otherwise(0L).as("g3"),
+          (col("rb") === col("ra") + 5000000L).as("truth"))
+        .persist() // u census + scoring pass
+      def uEst(g: String) =
+        (sum(when(!col("truth"), col(g)).otherwise(0L)).cast("double") + 1) /
+          (sum(when(!col("truth"), 1L).otherwise(0L)) + 2)
+      val u = cand.agg(uEst("g1").as("u1"), uEst("g2").as("u2"),
+        uEst("g3").as("u3"))
+      // 1−m stated as its own literal: Scala's 1 - 0.95 is
+      // 0.050000000000000044, NOT the 0.05 DuckDB parses — the weights
+      // would drift in the 15th digit and the e6 hash with them
+      def w(g: String, uc: String, m: Double, m1: Double) =
+        when(col(g) === 1, log(lit(m) / col(uc)))
+          .otherwise(log(lit(m1) / (lit(1d) - col(uc))))
+      cand.crossJoin(broadcast(u))
+        .select(col("truth"),
+          round((w("g1", "u1", 0.95, 0.05) + w("g2", "u2", 0.5, 0.5)
+            + w("g3", "u3", 0.8, 0.2)) * 1000000, 0).cast("long").as("s_e6"))
+        .groupBy(col("truth"),
+          when(col("s_e6") >= 2302585L, "match")
+            .when(col("s_e6") <= 0L, "non_match")
+            .otherwise("possible").as("decision"))
+        .agg(count(lit(1)).as("n_pairs"), min("s_e6").as("min_score_e6"),
+          max("s_e6").as("max_score_e6"))
+        .orderBy("truth", "decision")
     }
   )
 }

@@ -2998,6 +2998,220 @@ object EventQueries {
         .crossJoin(broadcast(ns))
         .select("pat", "support", "n_sessions")
         .orderBy(col("support").desc, col("pat"))
+    },
+
+    // Cox proportional-hazards score step (Cox 1972; Breslow ties) over
+    // q280's signup→purchase survival frame, with per-user activity
+    // (total event count) as the covariate — the regression companion to
+    // the Kaplan–Meier curve: does activity level shift the conversion
+    // hazard? At β=0 the partial-likelihood score U and information I
+    // are RATIONAL in pure counts — risk-set moments S0/S1/S2 are
+    // suffix sums over the ≤8-row duration census (one window over a
+    // census, not data), so both engines compute exact integers until
+    // the single stated division, and β̂ = U/I is the one-step Newton
+    // estimate from zero. 128-bit intermediates (DECIMAL(38) / HUGEINT)
+    // because d·(S2·S0−S1²)·1e6 overflows int64 at sf0.1. Scale shape:
+    // two user-keyed aggregates + an 8-row census pipeline — the q280
+    // exchanges exactly, nothing new at 100 TB. Output: the per-event-
+    // time score decomposition plus the global β̂ (e6), positive here —
+    // more-active users convert faster, the sanity direction.
+    QueryDef("q368_cox_score",
+      """WITH e AS (SELECT user_id, event_type,
+        |             epoch_us(ts) // 86400000000 AS day FROM events),
+        |u AS (SELECT user_id, min(day) AS f FROM e GROUP BY user_id),
+        |p AS (SELECT user_id, min(day) AS pd FROM e
+        |      WHERE event_type = 'purchase' GROUP BY user_id),
+        |x AS (SELECT user_id, CAST(count(*) AS BIGINT) AS xv
+        |      FROM e GROUP BY user_id),
+        |s AS (SELECT u.user_id,
+        |        CASE WHEN p.pd IS NOT NULL AND p.pd - u.f <= 7
+        |             THEN p.pd - u.f ELSE 7 END AS dur,
+        |        CASE WHEN p.pd IS NOT NULL AND p.pd - u.f <= 7
+        |             THEN 0 ELSE 1 END AS censored, x.xv
+        |      FROM u LEFT JOIN p USING (user_id) JOIN x USING (user_id)),
+        |g AS (SELECT dur, CAST(count(*) AS BIGINT) AS cnt,
+        |             CAST(sum(xv) AS BIGINT) AS sx,
+        |             CAST(sum(xv * xv) AS HUGEINT) AS sx2
+        |      FROM s GROUP BY dur),
+        |r AS (SELECT dur,
+        |        CAST(sum(cnt) OVER w AS BIGINT) AS s0,
+        |        CAST(sum(sx) OVER w AS BIGINT) AS s1,
+        |        CAST(sum(sx2) OVER w AS HUGEINT) AS s2
+        |      FROM g WINDOW w AS (ORDER BY dur DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |ev AS (SELECT dur, CAST(count(*) AS BIGINT) AS d,
+        |              CAST(sum(xv) AS BIGINT) AS sxe
+        |       FROM s WHERE censored = 0 GROUP BY dur),
+        |terms AS (
+        |  SELECT ev.dur, ev.d, r.s0,
+        |         CAST(ev.sxe * 1000000
+        |           - (ev.d * CAST(r.s1 AS HUGEINT) * 1000000 // r.s0)
+        |           AS BIGINT) AS u_term_e6,
+        |         CAST(ev.d * (r.s2 * r.s0 - CAST(r.s1 AS HUGEINT) * r.s1)
+        |              * 1000000 // (CAST(r.s0 AS HUGEINT) * r.s0)
+        |           AS BIGINT) AS i_term_e6
+        |  FROM ev JOIN r USING (dur)),
+        |tot AS (SELECT CAST(sum(u_term_e6) AS BIGINT) AS uu,
+        |               CAST(sum(i_term_e6) AS BIGINT) AS ii FROM terms)
+        |SELECT terms.dur AS duration_days, terms.d, terms.s0 AS n_risk,
+        |       u_term_e6, i_term_e6,
+        |       CAST(CAST(uu AS HUGEINT) * 1000000 // ii AS BIGINT) AS beta_e6
+        |FROM terms, tot ORDER BY duration_days""".stripMargin) { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .persist() // first-activity, first-purchase, covariate censuses
+      val u = e.groupBy("user_id").agg(min("day").as("f"))
+      val p = e.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("day").as("pd"))
+      val x = e.groupBy("user_id").agg(count(lit(1)).as("xv"))
+      val conv = col("pd").isNotNull && col("pd") - col("f") <= 7
+      val sdf = u.join(p, Seq("user_id"), "left").join(x, Seq("user_id"))
+        .select(col("user_id"),
+          when(conv, col("pd") - col("f")).otherwise(7L).as("dur"),
+          when(conv, 0L).otherwise(1L).as("censored"), col("xv"))
+        .persist() // duration census + event census
+      val g = sdf.groupBy("dur").agg(count(lit(1)).as("cnt"),
+        sum("xv").as("sx"), sum((col("xv") * col("xv")).cast(dec)).as("sx2"))
+      val w = Window.orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = g.select(col("dur"), sum("cnt").over(w).as("s0"),
+        sum("sx").over(w).as("s1"), sum("sx2").over(w).as("s2"))
+      val ev = sdf.where(col("censored") === 0)
+        .groupBy("dur").agg(count(lit(1)).as("d"), sum("xv").as("sxe"))
+      val terms = ev.join(r, Seq("dur"))
+        .select(col("dur"), col("d"), col("s0"),
+          (col("sxe") * 1000000L
+            - expr("d * cast(s1 as decimal(38,0)) * 1000000 div s0"))
+            .cast("long").as("u_term_e6"),
+          expr("""cast(d * (s2 * s0 - cast(s1 as decimal(38,0)) * s1)
+                 |* 1000000 div (cast(s0 as decimal(38,0)) * s0)
+                 |as bigint)""".stripMargin.replace("\n", " "))
+            .as("i_term_e6"))
+        .persist() // totals census + output rows
+      val tot = terms.agg(sum("u_term_e6").as("uu"), sum("i_term_e6").as("ii"))
+      terms.crossJoin(broadcast(tot))
+        .select(col("dur").as("duration_days"), col("d"),
+          col("s0").as("n_risk"), col("u_term_e6"), col("i_term_e6"),
+          expr("cast(cast(uu as decimal(38,0)) * 1000000 div ii as bigint)")
+            .as("beta_e6"))
+        .orderBy("duration_days")
+    },
+
+    // Offline changepoint detection by BINARY SEGMENTATION (Scott & Knott
+    // 1974; the top-down complement of q282's sequential CUSUM): on the
+    // hourly event-count series, choose the split maximizing the
+    // between-segment SSE reduction G(k) = (S_L·n_R − S_R·n_L)²/(n_L·n_R·n),
+    // then recurse once into each side — three changepoints from two
+    // levels. G is stated as an EXACT scaled integer ((…)²·1e6 over the
+    // integer denominator, 128-bit intermediates), so the argmax is an
+    // integer comparison on both engines — no float ordering anywhere.
+    // Scale shape: the series is an hour-keyed census (720 rows at
+    // sf0.1); one window for prefix sums + three k-row argmax scans, all
+    // downstream of a single events scan — the 100 TB cost is that scan.
+    QueryDef("q369_binseg_changepoint",
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+        |             CAST(count(*) AS BIGINT) AS y
+        |      FROM events GROUP BY hr),
+        |hh AS (SELECT hr, y, row_number() OVER (ORDER BY hr) AS rn,
+        |              CAST(sum(y) OVER (ORDER BY hr
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                AS BIGINT) AS cum
+        |       FROM h),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nh,
+        |             CAST(sum(y) AS BIGINT) AS st FROM h),
+        |g1 AS (SELECT hh.rn, hh.hr,
+        |         CAST(CAST((hh.cum * (n.nh - hh.rn)
+        |                    - (n.st - hh.cum) * hh.rn) AS HUGEINT)
+        |              * (hh.cum * (n.nh - hh.rn) - (n.st - hh.cum) * hh.rn)
+        |              * 1000000
+        |              // (hh.rn * (n.nh - hh.rn) * n.nh) AS BIGINT) AS gain
+        |       FROM hh, n WHERE hh.rn < n.nh),
+        |cp1 AS (SELECT rn, hr, gain FROM g1
+        |        ORDER BY gain DESC, rn LIMIT 1),
+        |gl AS (SELECT hh.rn, hh.hr,
+        |         CAST(CAST((hh.cum * (cp1.rn - hh.rn)
+        |                    - (cl.cum - hh.cum) * hh.rn) AS HUGEINT)
+        |              * (hh.cum * (cp1.rn - hh.rn) - (cl.cum - hh.cum) * hh.rn)
+        |              * 1000000
+        |              // (hh.rn * (cp1.rn - hh.rn) * cp1.rn) AS BIGINT) AS gain
+        |       FROM hh, cp1, (SELECT hh.cum FROM hh, cp1
+        |                      WHERE hh.rn = cp1.rn) cl(cum)
+        |       WHERE hh.rn < cp1.rn),
+        |cpl AS (SELECT rn, hr, gain FROM gl ORDER BY gain DESC, rn LIMIT 1),
+        |gr AS (SELECT hh.rn, hh.hr,
+        |         CAST(CAST(((hh.cum - cl.cum) * (n.nh - hh.rn)
+        |                    - (n.st - hh.cum) * (hh.rn - cp1.rn)) AS HUGEINT)
+        |              * ((hh.cum - cl.cum) * (n.nh - hh.rn)
+        |                 - (n.st - hh.cum) * (hh.rn - cp1.rn))
+        |              * 1000000
+        |              // ((hh.rn - cp1.rn) * (n.nh - hh.rn) * (n.nh - cp1.rn))
+        |              AS BIGINT) AS gain
+        |       FROM hh, n, cp1, (SELECT hh.cum FROM hh, cp1
+        |                         WHERE hh.rn = cp1.rn) cl(cum)
+        |       WHERE hh.rn > cp1.rn AND hh.rn < n.nh),
+        |cpr AS (SELECT rn, hr, gain FROM gr ORDER BY gain DESC, rn LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS level, 'root' AS segment,
+        |       CAST(rn AS BIGINT) AS split_pos, CAST(hr AS BIGINT) AS split_hr,
+        |       gain AS gain_e6 FROM cp1
+        |UNION ALL
+        |SELECT 2, 'left', CAST(rn AS BIGINT), CAST(hr AS BIGINT), gain
+        |FROM cpl
+        |UNION ALL
+        |SELECT 2, 'right', CAST(rn AS BIGINT), CAST(hr AS BIGINT), gain
+        |FROM cpr
+        |ORDER BY level, segment""".stripMargin) { (s, d) =>
+      val h = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 3600000000").as("hr"))
+        .groupBy("hr").agg(count(lit(1)).as("y"))
+      val hh = h.select(col("hr"), col("y"),
+          row_number().over(Window.orderBy("hr")).as("rn"),
+          sum("y").over(Window.orderBy("hr")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cum"))
+        .persist() // three candidate scans + the split-row lookups
+      val n = hh.agg(max("rn").as("nh"), max("cum").as("st"))
+      // exact integer gain: (num² · 1e6) div den via decimal div
+      val g1 = hh.crossJoin(broadcast(n)).where(col("rn") < col("nh"))
+        .select(col("rn"), col("hr"),
+          expr("""cast(cast((cum * (nh - rn) - (st - cum) * rn) as decimal(38,0))
+                 |* (cum * (nh - rn) - (st - cum) * rn) * 1000000
+                 |div (rn * (nh - rn) * nh) as bigint)""".stripMargin
+            .replace("\n", " ")).as("gain"))
+      val cp1 = g1.orderBy(col("gain").desc, col("rn")).limit(1)
+        .select(col("rn").as("crn"), col("hr").as("chr"),
+          col("gain").as("cgain"))
+        .persist() // both child scans read it
+      val cl = hh.join(cp1, col("rn") === col("crn"))
+        .select(col("cum").as("ccum"))
+      val gl = hh.crossJoin(broadcast(cp1)).crossJoin(broadcast(cl))
+        .where(col("rn") < col("crn"))
+        .select(col("rn"), col("hr"),
+          expr("""cast(cast((cum * (crn - rn) - (ccum - cum) * rn) as decimal(38,0))
+                 |* (cum * (crn - rn) - (ccum - cum) * rn) * 1000000
+                 |div (rn * (crn - rn) * crn) as bigint)""".stripMargin
+            .replace("\n", " ")).as("gain"))
+      val cpl = gl.orderBy(col("gain").desc, col("rn")).limit(1)
+      val gr = hh.crossJoin(broadcast(n)).crossJoin(broadcast(cp1))
+        .crossJoin(broadcast(cl))
+        .where(col("rn") > col("crn") && col("rn") < col("nh"))
+        .select(col("rn"), col("hr"),
+          expr("""cast(cast(((cum - ccum) * (nh - rn) - (st - cum) * (rn - crn))
+                 |as decimal(38,0))
+                 |* ((cum - ccum) * (nh - rn) - (st - cum) * (rn - crn))
+                 |* 1000000
+                 |div ((rn - crn) * (nh - rn) * (nh - crn)) as bigint)"""
+            .stripMargin.replace("\n", " ")).as("gain"))
+      val cpr = gr.orderBy(col("gain").desc, col("rn")).limit(1)
+      def row(lv: Int, seg: String, df: org.apache.spark.sql.DataFrame) =
+        df.select(lit(lv.toLong).as("level"), lit(seg).as("segment"),
+          col(df.columns(0)).cast("long").as("split_pos"),
+          col(df.columns(1)).cast("long").as("split_hr"),
+          col(df.columns(2)).as("gain_e6"))
+      row(1, "root", cp1).unionAll(row(2, "left", cpl))
+        .unionAll(row(2, "right", cpr))
+        .orderBy("level", "segment")
     }
   )
 }
