@@ -2500,6 +2500,281 @@ object MlQueries {
           col("tgt").as("assigned_label"), col("trace"),
           expr("cast(trace * 1000000 div tot as bigint)").as("acc_ppm"))
         .orderBy("c", "l")
+    },
+
+    // Closed-form multiple OLS via the NORMAL-EQUATIONS CENSUS — the
+    // k-feature generalization of q203's per-group simple regression and
+    // the exact pattern MLlib's summarizer + WeightedLeastSquares runs:
+    // ONE pass collects the 3×3 Gram matrix and moment vector as ten
+    // exact integer sums (cents / basis points), then β = A⁻¹b is
+    // Cramer's rule stated as literal determinant arithmetic over the
+    // census — both engines evaluate the identical 128-bit integer
+    // determinants (DECIMAL(38) / HUGEINT: det(A) ~ n·s11·s22 ≈ 1e30 at
+    // sf0.1) and divide as doubles only at the stated output boundary.
+    // R² follows from the same census (SSE = Σy² − βᵀ(2b − Aβ) algebra
+    // folded to census terms). Scale shape: one scan → one 1-row
+    // aggregate; NOTHING else moves — the optimal 100 TB regression
+    // plan. Model: price_cents ~ qty_cents + discount_bp.
+    QueryDef("q370_ols_cramer",
+      """WITH q AS (
+        |  SELECT CAST(round(l_quantity * 100, 0) AS BIGINT) AS x1,
+        |         CAST(round(l_discount * 10000, 0) AS BIGINT) AS x2,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |             CAST(sum(x1) AS HUGEINT) AS s1,
+        |             CAST(sum(x2) AS HUGEINT) AS s2,
+        |             CAST(sum(y) AS HUGEINT) AS sy,
+        |             CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+        |             CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+        |             CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+        |             CAST(sum(x1 * y) AS HUGEINT) AS s1y,
+        |             CAST(sum(x2 * y) AS HUGEINT) AS s2y,
+        |             CAST(sum(y * y) AS HUGEINT) AS syy
+        |      FROM q),
+        |det AS (
+        |  SELECT n, sy, s1y, s2y, syy, s1, s2,
+        |         n * (s11 * s22 - s12 * s12)
+        |           - s1 * (s1 * s22 - s12 * s2)
+        |           + s2 * (s1 * s12 - s11 * s2) AS da,
+        |         sy * (s11 * s22 - s12 * s12)
+        |           - s1 * (s1y * s22 - s12 * s2y)
+        |           + s2 * (s1y * s12 - s11 * s2y) AS d0,
+        |         n * (s1y * s22 - s12 * s2y)
+        |           - sy * (s1 * s22 - s12 * s2)
+        |           + s2 * (s1 * s2y - s1y * s2) AS d1,
+        |         n * (s11 * s2y - s1y * s2)
+        |           - s1 * (s1 * s2y - s1y * s2)
+        |           + sy * (s1 * s12 - s11 * s2) AS d2
+        |  FROM m),
+        |b AS (SELECT n,
+        |             CAST(d0 AS DOUBLE) / CAST(da AS DOUBLE) AS b0,
+        |             CAST(d1 AS DOUBLE) / CAST(da AS DOUBLE) AS b1,
+        |             CAST(d2 AS DOUBLE) / CAST(da AS DOUBLE) AS b2,
+        |             CAST(sy AS DOUBLE) AS syd, CAST(syy AS DOUBLE) AS syyd,
+        |             CAST(s1y AS DOUBLE) AS s1yd, CAST(s2y AS DOUBLE) AS s2yd
+        |      FROM det)
+        |SELECT CAST(n AS BIGINT) AS n, round(b0, 6) AS b0, round(b1, 6) AS b1,
+        |       round(b2, 6) AS b2,
+        |       round(1 - (syyd - b0 * syd - b1 * s1yd - b2 * s2yd)
+        |               / (syyd - syd * syd / CAST(n AS DOUBLE)), 6) AS r2
+        |FROM b""".stripMargin) { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val q = Tables.lineitem(s, d).select(
+        round(col("l_quantity") * 100, 0).cast("long").as("x1"),
+        round(col("l_discount") * 10000, 0).cast("long").as("x2"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("y"))
+      val m = q.agg(count(lit(1)).cast(dec).as("n"),
+        sum("x1").cast(dec).as("s1"), sum("x2").cast(dec).as("s2"),
+        sum("y").cast(dec).as("sy"),
+        sum((col("x1") * col("x1")).cast(dec)).as("s11"),
+        sum((col("x1") * col("x2")).cast(dec)).as("s12"),
+        sum((col("x2") * col("x2")).cast(dec)).as("s22"),
+        sum((col("x1") * col("y")).cast(dec)).as("s1y"),
+        sum((col("x2") * col("y")).cast(dec)).as("s2y"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+      val det = m.select(col("*"),
+        expr("""n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+               |+ s2 * (s1 * s12 - s11 * s2)""".stripMargin.replace("\n", " "))
+          .as("da"),
+        expr("""sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+               |+ s2 * (s1y * s12 - s11 * s2y)""".stripMargin
+          .replace("\n", " ")).as("d0"),
+        expr("""n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+               |+ s2 * (s1 * s2y - s1y * s2)""".stripMargin.replace("\n", " "))
+          .as("d1"),
+        expr("""n * (s11 * s2y - s1y * s2) - s1 * (s1 * s2y - s1y * s2)
+               |+ sy * (s1 * s12 - s11 * s2)""".stripMargin.replace("\n", " "))
+          .as("d2"))
+      val b0 = col("d0").cast("double") / col("da").cast("double")
+      val b1 = col("d1").cast("double") / col("da").cast("double")
+      val b2 = col("d2").cast("double") / col("da").cast("double")
+      det.select(col("n").cast("long").as("n"),
+        round(b0, 6).as("b0"), round(b1, 6).as("b1"), round(b2, 6).as("b2"),
+        round(lit(1d) - (col("syy").cast("double")
+            - b0 * col("sy").cast("double")
+            - b1 * col("s1y").cast("double")
+            - b2 * col("s2y").cast("double"))
+          / (col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double")
+              / col("n").cast("double")), 6).as("r2"))
+    },
+
+    // Histogram-based greedy decision tree, depth 2 — the exact split-
+    // finding core of LightGBM/XGBoost-hist (Ke et al. 2017) as a
+    // relational plan: features pre-binned to small integer domains, ONE
+    // exchange builds the (feature, bin) label histogram (in Spark a
+    // single explode→groupBy pass, the map-side-combining histogram
+    // every distributed GBDT runs), thresholds scanned as a cumulative
+    // window over the ≤40-row census, and the Gini-optimal split chosen
+    // by EXACT scaled-integer comparison ((posL²+negL²)·nR +
+    // (posR²+negR²)·nL)·1e6 // (nL·nR) — no float argmax. Level 2
+    // re-partitions rows by the root decision and repeats per side (the
+    // per-level data pass of every histogram GBDT). Label: returnflag =
+    // 'R'; the root split recovers the shipyear boundary that actually
+    // determines return status in TPC-H data. Scale: two scans, two
+    // histogram exchanges, all decisions from broadcast censuses.
+    QueryDef("q371_histogram_tree",
+      """WITH f AS (
+        |  SELECT CAST(round(l_quantity, 0) AS BIGINT) // 4 AS f1,
+        |         CAST(round(l_discount * 100, 0) AS BIGINT) AS f2,
+        |         CAST(year(l_shipdate) - 1992 AS BIGINT) AS f3,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |h AS (SELECT 'f1' AS feat, f1 AS bin, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(y) AS BIGINT) AS pos FROM f GROUP BY f1
+        |      UNION ALL
+        |      SELECT 'f2', f2, CAST(count(*) AS BIGINT),
+        |             CAST(sum(y) AS BIGINT) FROM f GROUP BY f2
+        |      UNION ALL
+        |      SELECT 'f3', f3, CAST(count(*) AS BIGINT),
+        |             CAST(sum(y) AS BIGINT) FROM f GROUP BY f3),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+        |               CAST(sum(y) AS BIGINT) AS post FROM f),
+        |cum AS (SELECT feat, bin,
+        |          CAST(sum(n) OVER (PARTITION BY feat ORDER BY bin
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS nl,
+        |          CAST(sum(pos) OVER (PARTITION BY feat ORDER BY bin
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS posl
+        |        FROM h),
+        |sc AS (SELECT feat, bin, nl, posl, nt - nl AS nr, post - posl AS posr,
+        |         CAST((CAST(posl * posl + (nl - posl) * (nl - posl)
+        |                 AS HUGEINT) * (nt - nl)
+        |               + CAST((post - posl) * (post - posl)
+        |                   + (nt - nl - post + posl) * (nt - nl - post + posl)
+        |                 AS HUGEINT) * nl) * 1000000
+        |              // (nl * (nt - nl)) AS BIGINT) AS score
+        |       FROM cum, tot WHERE nl > 0 AND nt - nl > 0),
+        |root AS (SELECT feat, bin, score, nl, posl, nr, posr FROM sc
+        |         ORDER BY score DESC, feat, bin LIMIT 1),
+        |fs AS (SELECT f.*, CASE WHEN (root.feat = 'f1' AND f.f1 <= root.bin)
+        |                          OR (root.feat = 'f2' AND f.f2 <= root.bin)
+        |                          OR (root.feat = 'f3' AND f.f3 <= root.bin)
+        |                        THEN 'L' ELSE 'R' END AS side
+        |       FROM f, root),
+        |h2 AS (SELECT side, 'f1' AS feat, f1 AS bin,
+        |              CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(y) AS BIGINT) AS pos FROM fs GROUP BY side, f1
+        |       UNION ALL
+        |       SELECT side, 'f2', f2, CAST(count(*) AS BIGINT),
+        |              CAST(sum(y) AS BIGINT) FROM fs GROUP BY side, f2
+        |       UNION ALL
+        |       SELECT side, 'f3', f3, CAST(count(*) AS BIGINT),
+        |              CAST(sum(y) AS BIGINT) FROM fs GROUP BY side, f3),
+        |tot2 AS (SELECT side, CAST(count(*) AS BIGINT) AS nt,
+        |                CAST(sum(y) AS BIGINT) AS post FROM fs GROUP BY side),
+        |cum2 AS (SELECT side, feat, bin,
+        |           CAST(sum(n) OVER (PARTITION BY side, feat ORDER BY bin
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS BIGINT) AS nl,
+        |           CAST(sum(pos) OVER (PARTITION BY side, feat ORDER BY bin
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS BIGINT) AS posl
+        |         FROM h2),
+        |sc2 AS (SELECT cum2.side, feat, bin, nl, posl,
+        |          tot2.nt - nl AS nr, tot2.post - posl AS posr,
+        |          CAST((CAST(posl * posl + (nl - posl) * (nl - posl)
+        |                  AS HUGEINT) * (tot2.nt - nl)
+        |                + CAST((tot2.post - posl) * (tot2.post - posl)
+        |                    + (tot2.nt - nl - tot2.post + posl)
+        |                      * (tot2.nt - nl - tot2.post + posl)
+        |                  AS HUGEINT) * nl) * 1000000
+        |               // (nl * (tot2.nt - nl)) AS BIGINT) AS score
+        |        FROM cum2 JOIN tot2 USING (side)
+        |        WHERE nl > 0 AND tot2.nt - nl > 0),
+        |best2 AS (SELECT side, feat, bin, score, nl, posl, nr, posr,
+        |            row_number() OVER (PARTITION BY side
+        |              ORDER BY score DESC, feat, bin) AS rk
+        |          FROM sc2)
+        |SELECT 'root' AS node, feat, CAST(bin AS BIGINT) AS split_bin, score,
+        |       nl AS n_l, posl AS pos_l, nr AS n_r, posr AS pos_r FROM root
+        |UNION ALL
+        |SELECT side, feat, CAST(bin AS BIGINT), score, nl, posl, nr, posr
+        |FROM best2 WHERE rk = 1
+        |ORDER BY node""".stripMargin) { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("feat").orderBy("bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val wCum2 = org.apache.spark.sql.expressions.Window
+        .partitionBy("side", "feat").orderBy("bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val f = Tables.lineitem(s, d).select(
+          expr("cast(round(l_quantity, 0) as bigint) div 4").as("f1"),
+          round(col("l_discount") * 100, 0).cast("long").as("f2"),
+          (year(col("l_shipdate")) - 1992).cast("long").as("f3"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .persist() // histogram pass + side re-partition pass
+      // one exchange for all three feature histograms: explode the
+      // (feat, bin) pairs, single groupBy — the map-side-combine shape
+      val hist = f.select(col("y"), explode(array(
+          struct(lit("f1").as("feat"), col("f1").as("bin")),
+          struct(lit("f2").as("feat"), col("f2").as("bin")),
+          struct(lit("f3").as("feat"), col("f3").as("bin")))).as("fb"))
+        .groupBy(col("fb.feat").as("feat"), col("fb.bin").as("bin"))
+        .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      val tot = f.agg(count(lit(1)).as("nt"), sum("y").as("post"))
+      def scoreExpr = expr(
+        """cast((cast(posl * posl + (nl - posl) * (nl - posl)
+          |as decimal(38,0)) * (nt - nl)
+          |+ cast((post - posl) * (post - posl)
+          |+ (nt - nl - post + posl) * (nt - nl - post + posl)
+          |as decimal(38,0)) * nl) * 1000000
+          |div (nl * (nt - nl)) as bigint)""".stripMargin.replace("\n", " "))
+      val sc = hist
+        .select(col("feat"), col("bin"), sum("n").over(wCum).as("nl"),
+          sum("pos").over(wCum).as("posl"))
+        .crossJoin(broadcast(tot))
+        .where(col("nl") > 0 && col("nt") - col("nl") > 0)
+        .select(col("feat"), col("bin"), col("nl"), col("posl"),
+          (col("nt") - col("nl")).as("nr"),
+          (col("post") - col("posl")).as("posr"), scoreExpr.as("score"))
+      val root = sc.orderBy(col("score").desc, col("feat"), col("bin"))
+        .limit(1)
+        .select(col("feat").as("rfeat"), col("bin").as("rbin"), col("score"),
+          col("nl"), col("posl"), col("nr"), col("posr"))
+        .persist() // side assignment + output row
+      val fs = f.crossJoin(broadcast(root.select("rfeat", "rbin")))
+        .select(col("f1"), col("f2"), col("f3"), col("y"),
+          when((col("rfeat") === "f1" && col("f1") <= col("rbin"))
+            || (col("rfeat") === "f2" && col("f2") <= col("rbin"))
+            || (col("rfeat") === "f3" && col("f3") <= col("rbin")), "L")
+            .otherwise("R").as("side"))
+      val hist2 = fs.select(col("side"), col("y"), explode(array(
+          struct(lit("f1").as("feat"), col("f1").as("bin")),
+          struct(lit("f2").as("feat"), col("f2").as("bin")),
+          struct(lit("f3").as("feat"), col("f3").as("bin")))).as("fb"))
+        .groupBy(col("side"), col("fb.feat").as("feat"),
+          col("fb.bin").as("bin"))
+        .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      val tot2 = fs.groupBy("side").agg(count(lit(1)).as("nt"),
+        sum("y").as("post"))
+      val sc2 = hist2
+        .select(col("side"), col("feat"), col("bin"),
+          sum("n").over(wCum2).as("nl"), sum("pos").over(wCum2).as("posl"))
+        .join(broadcast(tot2), Seq("side"))
+        .where(col("nl") > 0 && col("nt") - col("nl") > 0)
+        .select(col("side"), col("feat"), col("bin"), col("nl"), col("posl"),
+          (col("nt") - col("nl")).as("nr"),
+          (col("post") - col("posl")).as("posr"), scoreExpr.as("score"))
+      val best2 = sc2
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("side")
+            .orderBy(col("score").desc, col("feat"), col("bin"))))
+        .where(col("rk") === 1)
+      root.select(lit("root").as("node"), col("rfeat").as("feat"),
+          col("rbin").cast("long").as("split_bin"), col("score"),
+          col("nl").as("n_l"), col("posl").as("pos_l"), col("nr").as("n_r"),
+          col("posr").as("pos_r"))
+        .unionAll(best2.select(col("side").as("node"), col("feat"),
+          col("bin").cast("long").as("split_bin"), col("score"),
+          col("nl").as("n_l"), col("posl").as("pos_l"), col("nr").as("n_r"),
+          col("posr").as("pos_r")))
+        .orderBy("node")
     }
   )
 }
