@@ -2775,6 +2775,158 @@ object MlQueries {
           col("nl").as("n_l"), col("posl").as("pos_l"), col("nr").as("n_r"),
           col("posr").as("pos_r")))
         .orderBy("node")
+    },
+
+    // Gradient boosting, two rounds of histogram stumps (Friedman 2001
+    // under squared loss; the additive-ensemble step q371's single tree
+    // feeds into): residuals against the running prediction are
+    // e6-quantized integers, each round builds the SAME one-exchange
+    // (feature, bin) histogram — now of residual SUMS — and picks the
+    // variance-maximal split by exact 128-bit comparison
+    // (S_L²·n_R + S_R²·n_L) // (n_L·n_R); leaf values are truncated
+    // integer means, and the train SSE after each round is an exact
+    // integer census, so the boosting contract (SSE strictly falls every
+    // round) is machine-checkable on both engines. Scale: per round one
+    // scan + one ≤40-row histogram exchange — the map-side-combining
+    // pass every distributed GBDT (LightGBM data-parallel mode) runs;
+    // the model state crossing rounds is a 2-number broadcast.
+    QueryDef("q372_gbdt_round", {
+      // stump round t: histogram of residual r{t} over f, exact
+      // variance-gain argmax, leaf means, updated residual r{t+1}
+      def stump(t: Int): String = {
+        val r = s"r$t"
+        s"""h$t AS (SELECT 'f1' AS feat, f1 AS bin,
+           |              CAST(count(*) AS BIGINT) AS n,
+           |              CAST(sum($r) AS BIGINT) AS sr
+           |       FROM d$t GROUP BY f1
+           |       UNION ALL
+           |       SELECT 'f2', f2, CAST(count(*) AS BIGINT),
+           |              CAST(sum($r) AS BIGINT) FROM d$t GROUP BY f2
+           |       UNION ALL
+           |       SELECT 'f3', f3, CAST(count(*) AS BIGINT),
+           |              CAST(sum($r) AS BIGINT) FROM d$t GROUP BY f3),
+           |tt$t AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+           |                CAST(sum($r) AS BIGINT) AS st FROM d$t),
+           |c$t AS (SELECT feat, bin,
+           |          CAST(sum(n) OVER (PARTITION BY feat ORDER BY bin
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |            AS BIGINT) AS nl,
+           |          CAST(sum(sr) OVER (PARTITION BY feat ORDER BY bin
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |            AS BIGINT) AS sl
+           |        FROM h$t),
+           |s$t AS (SELECT feat, bin, nl, sl, tt$t.nt - nl AS nr,
+           |          tt$t.st - sl AS sr2,
+           |          CAST((CAST(sl AS HUGEINT) * sl * (tt$t.nt - nl)
+           |                + CAST(tt$t.st - sl AS HUGEINT) * (tt$t.st - sl)
+           |                  * nl)
+           |               // (nl * (tt$t.nt - nl)) AS BIGINT) AS score
+           |        FROM c$t, tt$t WHERE nl > 0 AND tt$t.nt - nl > 0),
+           |b$t AS (SELECT feat, bin, score, sl // nl AS vl, sr2 // nr AS vr
+           |        FROM s$t ORDER BY score DESC, feat, bin LIMIT 1),
+           |d${t + 1} AS (
+           |  SELECT f1, f2, f3, $r
+           |           - CASE WHEN (b$t.feat = 'f1' AND f1 <= b$t.bin)
+           |                    OR (b$t.feat = 'f2' AND f2 <= b$t.bin)
+           |                    OR (b$t.feat = 'f3' AND f3 <= b$t.bin)
+           |                  THEN b$t.vl ELSE b$t.vr END AS r${t + 1}
+           |  FROM d$t, b$t),
+           |e${t + 1} AS (SELECT CAST(sum(r${t + 1} * r${t + 1}) AS HUGEINT)
+           |                // 1000000 AS sse FROM d${t + 1})""".stripMargin
+      }
+      s"""WITH f AS (
+         |  SELECT CAST(round(l_quantity, 0) AS BIGINT) // 4 AS f1,
+         |         CAST(round(l_discount * 100, 0) AS BIGINT) AS f2,
+         |         CAST(year(l_shipdate) - 1992 AS BIGINT) AS f3,
+         |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         |  FROM lineitem),
+         |t0 AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+         |              CAST(sum(y) AS BIGINT) AS post FROM f),
+         |d1 AS (SELECT f1, f2, f3,
+         |              y * 1000000 - (post * 1000000 // nt) AS r1
+         |       FROM f, t0),
+         |e1 AS (SELECT CAST(sum(r1 * r1) AS HUGEINT) // 1000000 AS sse
+         |       FROM d1),
+         |${stump(1)},
+         |${stump(2)}
+         |SELECT CAST(1 AS BIGINT) AS round, b1.feat, CAST(b1.bin AS BIGINT)
+         |         AS split_bin, b1.score, b1.vl AS leaf_l_e6,
+         |       b1.vr AS leaf_r_e6, CAST(e1.sse AS BIGINT) AS sse_before_e6,
+         |       CAST(e2.sse AS BIGINT) AS sse_after_e6
+         |FROM b1, e1, e2
+         |UNION ALL
+         |SELECT 2, b2.feat, CAST(b2.bin AS BIGINT), b2.score, b2.vl, b2.vr,
+         |       CAST(e2.sse AS BIGINT), CAST(e3.sse AS BIGINT)
+         |FROM b2, e2, e3
+         |ORDER BY round""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      val wCum = Window.partitionBy("feat").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val f = Tables.lineitem(s, d).select(
+        expr("cast(round(l_quantity, 0) as bigint) div 4").as("f1"),
+        round(col("l_discount") * 100, 0).cast("long").as("f2"),
+        (year(col("l_shipdate")) - 1992).cast("long").as("f3"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      val t0 = f.agg(count(lit(1)).as("nt"), sum("y").as("post"))
+      val d1 = f.crossJoin(broadcast(t0))
+        .select(col("f1"), col("f2"), col("f3"),
+          (col("y") * 1000000L - expr("post * 1000000 div nt")).as("r1"))
+        .persist() // histogram + sse + residual update
+      def sse(dt: DataFrame, r: String): DataFrame =
+        dt.agg(expr(s"cast(cast(sum($r * $r) as decimal(38,0)) div 1000000"
+          + " as bigint)").as("sse"))
+      // one stump round: histogram exchange → exact argmax → leaf means
+      // → residual update (broadcast 1-row model state)
+      def stump(dt: DataFrame, r: String, rNext: String): (DataFrame, DataFrame) = {
+        val hist = dt.select(col(r), explode(array(
+            struct(lit("f1").as("feat"), col("f1").as("bin")),
+            struct(lit("f2").as("feat"), col("f2").as("bin")),
+            struct(lit("f3").as("feat"), col("f3").as("bin")))).as("fb"))
+          .groupBy(col("fb.feat").as("feat"), col("fb.bin").as("bin"))
+          .agg(count(lit(1)).as("n"), sum(r).as("sr"))
+        val tt = dt.agg(count(lit(1)).as("nt"), sum(r).as("st"))
+        val best = hist
+          .select(col("feat"), col("bin"), sum("n").over(wCum).as("nl"),
+            sum("sr").over(wCum).as("sl"))
+          .crossJoin(broadcast(tt))
+          .where(col("nl") > 0 && col("nt") - col("nl") > 0)
+          .select(col("feat"), col("bin"), col("nl"), col("sl"),
+            (col("nt") - col("nl")).as("nr"),
+            (col("st") - col("sl")).as("sr2"),
+            expr("""cast((cast(sl as decimal(38,0)) * sl * (nt - nl)
+                   |+ cast(st - sl as decimal(38,0)) * (st - sl) * nl)
+                   |div (nl * (nt - nl)) as bigint)""".stripMargin
+              .replace("\n", " ")).as("score"))
+          .orderBy(col("score").desc, col("feat"), col("bin")).limit(1)
+          .select(col("feat"), col("bin"), col("score"),
+            expr("sl div nl").as("vl"), expr("sr2 div nr").as("vr"))
+          .persist() // residual update + output row
+        val dNext = dt.crossJoin(broadcast(
+            best.select(col("feat").as("bf"), col("bin").as("bb"),
+              col("vl"), col("vr"))))
+          .select(col("f1"), col("f2"), col("f3"),
+            (col(r) - when((col("bf") === "f1" && col("f1") <= col("bb"))
+              || (col("bf") === "f2" && col("f2") <= col("bb"))
+              || (col("bf") === "f3" && col("f3") <= col("bb")),
+              col("vl")).otherwise(col("vr"))).as(rNext))
+          .persist() // next histogram + sse
+        (best, dNext)
+      }
+      val e1 = sse(d1, "r1")
+      val (b1, d2) = stump(d1, "r1", "r2")
+      val e2 = sse(d2, "r2")
+      val (b2, d3) = stump(d2, "r2", "r3")
+      val e3 = sse(d3, "r3")
+      def outRow(t: Int, b: DataFrame, eb: DataFrame, ea: DataFrame) =
+        b.crossJoin(broadcast(eb.select(col("sse").as("sse_before_e6"))))
+          .crossJoin(broadcast(ea.select(col("sse").as("sse_after_e6"))))
+          .select(lit(t.toLong).as("round"), col("feat"),
+            col("bin").cast("long").as("split_bin"), col("score"),
+            col("vl").as("leaf_l_e6"), col("vr").as("leaf_r_e6"),
+            col("sse_before_e6"), col("sse_after_e6"))
+      outRow(1, b1, e1, e2).unionAll(outRow(2, b2, e2, e3)).orderBy("round")
     }
   )
 }
