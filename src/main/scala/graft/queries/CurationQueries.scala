@@ -1852,6 +1852,77 @@ object CurationQueries {
           sum(when(col("n_hit") > 0, 1L).otherwise(0L)).as("n_contaminated"),
           sum("n_hit").as("hit_spans"))
         .orderBy("source")
+    },
+
+    // UniMax training-mixture allocation (Chung et al. 2023): given
+    // per-source token counts, a total budget (95% of the corpus) and a
+    // 1-epoch per-source cap, compute the WATERFILLING allocation —
+    // every source gets min(its cap, waterline W), W the largest integer
+    // level the budget funds. Exact integer waterline search over the
+    // source census: sort caps ascending with prefix sums, evaluate
+    // wl_k = (B − prefix_k) div (n−k) for every saturation count k, and
+    // take the LARGEST k with wl_k ≥ cap_k (upward-closed by the
+    // standard exchange argument, so this is the unique consistent
+    // level; k=0 is always valid → never empty). Scale shape: ONE token
+    // census (the only data pass) then 20-row census arithmetic — the
+    // mixture design step for a 100 TB corpus costs one aggregate.
+    // Output: per-source allocation, saturation flag, and fill ratio —
+    // the sampling-weights table a training run consumes.
+    QueryDef("q373_unimax_mixture",
+      """WITH tk AS (SELECT source,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |               AS toks
+        |      FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS t,
+        |               CAST(count(*) AS BIGINT) AS ns FROM tk),
+        |bud AS (SELECT t * 95 // 100 AS b, ns FROM tot),
+        |r AS (SELECT source, toks,
+        |        row_number() OVER (ORDER BY toks, source) AS rk,
+        |        CAST(sum(toks) OVER (ORDER BY toks, source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS pre
+        |      FROM tk),
+        |ks AS (SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS ck,
+        |              CAST(0 AS BIGINT) AS pre
+        |       UNION ALL
+        |       SELECT rk, toks, pre FROM r, tot WHERE rk < tot.ns),
+        |w AS (SELECT ks.k, ks.ck,
+        |             (bud.b - ks.pre) // (bud.ns - ks.k) AS wl
+        |      FROM ks, bud),
+        |pick AS (SELECT k, wl FROM w WHERE wl >= ck
+        |         ORDER BY k DESC LIMIT 1)
+        |SELECT r.source, r.toks, least(r.toks, pick.wl) AS allocated,
+        |       (r.toks <= pick.wl) AS saturated, pick.wl AS waterline,
+        |       CAST(least(r.toks, pick.wl) * 1000000 // r.toks AS BIGINT)
+        |         AS fill_ppm
+        |FROM r, pick ORDER BY r.source""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val wOrd = Window.orderBy("toks", "source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tk = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " ", -1))).cast("long").as("toks"))
+      val tot = tk.agg(sum("toks").as("t"), count(lit(1)).as("ns"))
+      val bud = tot.select(expr("t * 95 div 100").as("b"), col("ns"))
+      val r = tk.select(col("source"), col("toks"),
+          row_number().over(Window.orderBy("toks", "source")).as("rk"),
+          sum("toks").over(wOrd).as("pre"))
+        .persist() // waterline candidates + the allocation join
+      val ks = r.crossJoin(broadcast(tot)).where(col("rk") < col("ns"))
+        .select(col("rk").as("k"), col("toks").as("ck"), col("pre"))
+        .unionAll(Seq((0L, 0L, 0L)).toDF("k", "ck", "pre"))
+      val w = ks.crossJoin(broadcast(bud))
+        .select(col("k"), col("ck"),
+          expr("(b - pre) div (ns - k)").as("wl"))
+      val pick = w.where(col("wl") >= col("ck"))
+        .orderBy(col("k").desc).limit(1).select("k", "wl")
+      r.crossJoin(broadcast(pick))
+        .select(col("source"), col("toks"),
+          least(col("toks"), col("wl")).as("allocated"),
+          (col("toks") <= col("wl")).as("saturated"),
+          col("wl").as("waterline"),
+          expr("least(toks, wl) * 1000000 div toks").as("fill_ppm"))
+        .orderBy("source")
     }
   )
 }

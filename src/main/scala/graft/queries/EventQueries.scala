@@ -3212,6 +3212,111 @@ object EventQueries {
       row(1, "root", cp1).unionAll(row(2, "left", cpl))
         .unionAll(row(2, "right", cpr))
         .orderBy("level", "segment")
+    },
+
+    // Shapley-value channel attribution (Shapley 1953 applied to
+    // marketing touchpoints — the coalition-game alternative to q281's
+    // Markov removal effects): each user's PRE-CONVERSION touch set over
+    // the four non-purchase channels is a 4-bit mask, the game value
+    // v(S) is the empirical conversion rate of users with exactly that
+    // touch set, and channel c's Shapley value sums the weighted
+    // marginal gains v(S∪c)−v(S) over all 8 subsets not containing c
+    // with the exact coalition weights |S|!(3−|S|)!/4! ∈ {6,2,2,6}/24.
+    // The entire game lives on a 16-row subset census (generated axis,
+    // absent subsets valued 0 by stated CASE); per-term doubles are
+    // e9-quantized BEFORE the per-channel sum (float-summation-order
+    // playbook), so φ is an exact integer. Scale shape: one user-keyed
+    // aggregate → 16-row census → 32-row join; the 100 TB cost is the
+    // single events scan, the game arithmetic is free.
+    QueryDef("q375_shapley_attribution",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t
+        |           FROM events),
+        |p AS (SELECT user_id, min(t) AS pt FROM e
+        |      WHERE event_type = 'purchase' GROUP BY user_id),
+        |tch AS (SELECT e.user_id,
+        |          max(CASE WHEN e.event_type = 'view'
+        |                AND (p.pt IS NULL OR e.t < p.pt)
+        |              THEN 1 ELSE 0 END) AS bv,
+        |          max(CASE WHEN e.event_type = 'click'
+        |                AND (p.pt IS NULL OR e.t < p.pt)
+        |              THEN 1 ELSE 0 END) AS bc,
+        |          max(CASE WHEN e.event_type = 'signup'
+        |                AND (p.pt IS NULL OR e.t < p.pt)
+        |              THEN 1 ELSE 0 END) AS bs,
+        |          max(CASE WHEN e.event_type = 'error'
+        |                AND (p.pt IS NULL OR e.t < p.pt)
+        |              THEN 1 ELSE 0 END) AS be,
+        |          max(CASE WHEN e.event_type = 'purchase'
+        |              THEN 1 ELSE 0 END) AS conv
+        |        FROM e LEFT JOIN p ON p.user_id = e.user_id
+        |        GROUP BY e.user_id),
+        |cen AS (SELECT bv + 2 * bc + 4 * bs + 8 * be AS st,
+        |               CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(conv) AS BIGINT) AS c
+        |        FROM tch GROUP BY 1),
+        |ax AS (SELECT unnest(range(0, 16)) AS st),
+        |v AS (SELECT ax.st, coalesce(cen.n, 0) AS n, coalesce(cen.c, 0) AS c
+        |      FROM ax LEFT JOIN cen USING (st)),
+        |ch(name, bit) AS (VALUES ('view', 1), ('click', 2), ('signup', 4),
+        |                         ('error', 8)),
+        |pairs AS (SELECT ch.name, bit_count(v0.st) AS ssize,
+        |                 v0.n AS n0, v0.c AS c0, v1.n AS n1, v1.c AS c1
+        |          FROM ch JOIN v v0 ON (v0.st & ch.bit) = 0
+        |               JOIN v v1 ON v1.st = v0.st + ch.bit),
+        |term AS (SELECT name,
+        |           CAST(round(
+        |             (CAST(CASE WHEN ssize = 0 OR ssize = 3 THEN 6
+        |                   ELSE 2 END AS DOUBLE) / 24)
+        |             * ((CASE WHEN n1 > 0 THEN CAST(c1 AS DOUBLE) / n1
+        |                 ELSE 0 END)
+        |                - (CASE WHEN n0 > 0 THEN CAST(c0 AS DOUBLE) / n0
+        |                   ELSE 0 END)) * 1000000000, 0) AS BIGINT) AS t_e9
+        |         FROM pairs)
+        |SELECT name AS channel, CAST(sum(t_e9) AS BIGINT) AS phi_e9
+        |FROM term GROUP BY name ORDER BY channel""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("t"))
+      val p = e.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("t").as("pt"))
+      def touched(ch: String) =
+        max(when(col("event_type") === ch
+          && (col("pt").isNull || col("t") < col("pt")), 1L).otherwise(0L))
+      val tch = e.join(p, Seq("user_id"), "left")
+        .groupBy("user_id")
+        .agg(touched("view").as("bv"), touched("click").as("bc"),
+          touched("signup").as("bs"), touched("error").as("be"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+      val cen = tch
+        .groupBy((col("bv") + col("bc") * 2 + col("bs") * 4 + col("be") * 8)
+          .as("st"))
+        .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      val ax = s.range(0, 16).select(col("id").as("st"))
+      val v = ax.join(cen, Seq("st"), "left")
+        .select(col("st"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .persist() // both sides of the marginal-gain self-join
+      val ch = Seq(("view", 1L), ("click", 2L), ("signup", 4L),
+        ("error", 8L)).toDF("name", "bit")
+      val pairs = broadcast(ch)
+        .join(v.as("v0"), expr("(v0.st & bit) = 0"))
+        .join(v.as("v1"), expr("v1.st = v0.st + bit"))
+        .select(col("name"), bit_count(col("v0.st")).as("ssize"),
+          col("v0.n").as("n0"), col("v0.c").as("c0"),
+          col("v1.n").as("n1"), col("v1.c").as("c1"))
+      pairs
+        .select(col("name"), round(
+          (when(col("ssize") === 0 || col("ssize") === 3, 6d).otherwise(2d)
+            / 24d)
+            * (when(col("n1") > 0, col("c1").cast("double") / col("n1"))
+                .otherwise(0d)
+              - when(col("n0") > 0, col("c0").cast("double") / col("n0"))
+                .otherwise(0d)) * 1000000000L, 0).cast("long").as("t_e9"))
+        .groupBy(col("name").as("channel"))
+        .agg(sum("t_e9").as("phi_e9"))
+        .orderBy("channel")
     }
   )
 }

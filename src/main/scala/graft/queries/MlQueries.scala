@@ -2927,6 +2927,110 @@ object MlQueries {
             col("vl").as("leaf_l_e6"), col("vr").as("leaf_r_e6"),
             col("sse_before_e6"), col("sse_after_e6"))
       outRow(1, b1, e1, e2).unionAll(outRow(2, b2, e2, e3)).orderBy("round")
+    },
+
+    // Two-component 1-D Gaussian-mixture EM (Dempster et al. 1977), two
+    // unrolled iterations over log order value, means-only with a shared
+    // variance (the k-means-with-soft-assignments shape): the E-step
+    // responsibility collapses to a SIGMOID of the exact integer
+    // difference-of-squared-distances over 2σ² (the q20/q103
+    // transcendental contract — per-row double, e6-quantized BEFORE any
+    // cross-row reduction, so the M-step means are exact integer
+    // ratios Σr·y // Σr and the engines agree bit-for-bit). Init from
+    // the min/max census (quartile points of the range); σ² is the
+    // population variance census, exact in 128-bit. Scale shape: per
+    // iteration ONE scan + one 1-row aggregate with a broadcast 2-number
+    // model state — the distributed-EM pattern (MLlib GaussianMixture
+    // runs exactly this aggregate per step). Output: the two means and
+    // soft counts after each iteration — the separation witness.
+    QueryDef("q374_gmm_em",
+      """WITH q AS (SELECT CAST(round(ln(1 + o_totalprice) * 1000000, 0)
+        |             AS BIGINT) AS y FROM orders),
+        |m0 AS (SELECT CAST(min(y) AS BIGINT) AS mn,
+        |              CAST(max(y) AS BIGINT) AS mx,
+        |              CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(y) AS HUGEINT) AS sy,
+        |              CAST(sum(y * y) AS HUGEINT) AS syy FROM q),
+        |p0 AS (SELECT mn + (mx - mn) // 4 AS mu1,
+        |              mn + ((mx - mn) * 3) // 4 AS mu2,
+        |              CAST((n * syy - sy * sy) // (n * n) AS BIGINT) AS s2
+        |       FROM m0),
+        |e1 AS (SELECT y, CAST(round(1000000 / (1 + exp(
+        |         CAST((y - mu1) * (y - mu1) - (y - mu2) * (y - mu2)
+        |           AS DOUBLE) / CAST(2 * s2 AS DOUBLE))), 0) AS BIGINT) AS r
+        |       FROM q, p0),
+        |m1 AS (SELECT CAST(CAST(sum(r * y) AS HUGEINT)
+        |                // CAST(sum(r) AS HUGEINT) AS BIGINT) AS mu1,
+        |              CAST(CAST(sum((1000000 - r) * y) AS HUGEINT)
+        |                // CAST(sum(1000000 - r) AS HUGEINT) AS BIGINT)
+        |                AS mu2,
+        |              CAST(sum(r) // 1000000 AS BIGINT) AS n1,
+        |              CAST(sum(1000000 - r) // 1000000 AS BIGINT) AS n2,
+        |              (SELECT s2 FROM p0) AS s2
+        |       FROM e1),
+        |e2 AS (SELECT y, CAST(round(1000000 / (1 + exp(
+        |         CAST((y - mu1) * (y - mu1) - (y - mu2) * (y - mu2)
+        |           AS DOUBLE) / CAST(2 * s2 AS DOUBLE))), 0) AS BIGINT) AS r
+        |       FROM q, m1),
+        |m2 AS (SELECT CAST(CAST(sum(r * y) AS HUGEINT)
+        |                // CAST(sum(r) AS HUGEINT) AS BIGINT) AS mu1,
+        |              CAST(CAST(sum((1000000 - r) * y) AS HUGEINT)
+        |                // CAST(sum(1000000 - r) AS HUGEINT) AS BIGINT)
+        |                AS mu2,
+        |              CAST(sum(r) // 1000000 AS BIGINT) AS n1,
+        |              CAST(sum(1000000 - r) // 1000000 AS BIGINT) AS n2
+        |       FROM e2)
+        |SELECT CAST(1 AS BIGINT) AS iter, mu1 AS mu1_e6, mu2 AS mu2_e6,
+        |       n1 AS soft_n1, n2 AS soft_n2 FROM m1
+        |UNION ALL
+        |SELECT 2, mu1, mu2, n1, n2 FROM m2
+        |ORDER BY iter""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val q = Tables.orders(s, d)
+        .select(round(log(lit(1d) + col("o_totalprice")) * 1000000, 0)
+          .cast("long").as("y"))
+        .persist() // variance census + two E-step scans
+      val m0 = q.agg(min("y").as("mn"), max("y").as("mx"),
+        count(lit(1)).as("n"), sum("y").cast(dec).as("sy"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+      val p0 = m0.select(
+        expr("mn + (mx - mn) div 4").as("mu1"),
+        expr("mn + ((mx - mn) * 3) div 4").as("mu2"),
+        expr("cast((n * syy - sy * sy) div (cast(n as decimal(38,0)) * n)"
+          + " as bigint)").as("s2"))
+      def eStep(model: DataFrame): DataFrame =
+        q.crossJoin(broadcast(model.select("mu1", "mu2", "s2")))
+          .select(col("y"), round(lit(1000000d) / (lit(1d) + exp(
+            ((col("y") - col("mu1")) * (col("y") - col("mu1"))
+              - (col("y") - col("mu2")) * (col("y") - col("mu2")))
+              .cast("double") / (lit(2L) * col("s2")).cast("double"))), 0)
+            .cast("long").as("r"))
+      def mStep(e: DataFrame, withS2: Option[DataFrame]): DataFrame = {
+        val base = e.agg(
+          expr("""cast(cast(sum(r * cast(y as decimal(38,0))) as decimal(38,0))
+                 |div cast(sum(cast(r as decimal(38,0))) as decimal(38,0))
+                 |as bigint)""".stripMargin.replace("\n", " ")).as("mu1"),
+          expr("""cast(cast(sum((1000000 - r) * cast(y as decimal(38,0)))
+                 |as decimal(38,0))
+                 |div cast(sum(cast(1000000 - r as decimal(38,0)))
+                 |as decimal(38,0)) as bigint)""".stripMargin
+            .replace("\n", " ")).as("mu2"),
+          expr("cast(sum(r) div 1000000 as bigint)").as("n1"),
+          expr("cast(sum(1000000 - r) div 1000000 as bigint)").as("n2"))
+        withS2 match {
+          case Some(p) => base.crossJoin(broadcast(p.select("s2")))
+          case None    => base
+        }
+      }
+      val m1 = mStep(eStep(p0), Some(p0)).persist() // e2 + output row
+      val m2 = mStep(eStep(m1), None)
+      m1.select(lit(1L).as("iter"), col("mu1").as("mu1_e6"),
+          col("mu2").as("mu2_e6"), col("n1").as("soft_n1"),
+          col("n2").as("soft_n2"))
+        .unionAll(m2.select(lit(2L), col("mu1"), col("mu2"), col("n1"),
+          col("n2")))
+        .orderBy("iter")
     }
   )
 }
