@@ -1923,6 +1923,120 @@ object CurationQueries {
           col("wl").as("waterline"),
           expr("least(toks, wl) * 1000000 div toks").as("fill_ppm"))
         .orderBy("source")
+    },
+
+    // Checksum-validated PII detection (the presidio/scrubadub posture:
+    // a pattern match alone over-fires, so card-shaped digit runs are
+    // VALIDATED with the Luhn mod-10 checksum, ISO/IEC 7812). A 20% slice
+    // of documents gets a deterministic 16-digit number appended — 15
+    // hash digits plus the CORRECT Luhn check digit, then half of those
+    // planted numbers are corrupted (+5 on the check, always invalid) —
+    // so ground truth is constructed to measure the validator, not the
+    // regex. Detection: digit runs of 14-19 chars, per-run Luhn fold
+    // (position-parity doubling from the right) as catalyst higher-order
+    // functions / DuckDB list lambdas — scan-parallel per-row work, no
+    // shuffle until the per-source census. The census shows exactly the
+    // planted valid half flagged PII and the corrupted half rejected —
+    // the false-positive kill a checksum buys over q74's regex masking.
+    QueryDef("q376_luhn_pii", {
+      val dig = "CAST((((doc_id % 100003 + 100003 + (60 + j)) * 2654435761)" +
+        " % 1000000007) * (2 * (60 + j) + 1) % 1000000007 % 10 AS BIGINT)"
+      s"""WITH dg AS (
+         |  SELECT doc_id, list_transform(range(1, 16), j -> $dig) AS d
+         |  FROM documents
+         |  WHERE ${graft.functions.Hashes.bucketSql("doc_id", 59, 5)} = 0),
+         |pay AS (
+         |  SELECT doc_id, d,
+         |         list_aggregate(list_transform(d, x -> CAST(x AS VARCHAR)),
+         |           'string_agg', '') AS p15,
+         |         list_sum(list_transform(range(1, 16), j ->
+         |           CASE WHEN j % 2 = 1
+         |                THEN CASE WHEN 2 * d[j] > 9 THEN 2 * d[j] - 9
+         |                     ELSE 2 * d[j] END
+         |                ELSE d[j] END)) AS gsum
+         |  FROM dg),
+         |num AS (
+         |  SELECT doc_id,
+         |         p15 || CAST(CASE WHEN
+         |             ${graft.functions.Hashes.bucketSql("doc_id", 61, 2)} = 1
+         |           THEN ((10 - gsum % 10) % 10 + 5) % 10
+         |           ELSE (10 - gsum % 10) % 10 END AS VARCHAR) AS cc
+         |  FROM pay),
+         |aug AS (
+         |  SELECT d0.doc_id, d0.source,
+         |         CASE WHEN num.cc IS NOT NULL THEN d0.text || ' ' || num.cc
+         |              ELSE d0.text END AS text
+         |  FROM documents d0 LEFT JOIN num USING (doc_id)),
+         |cand AS (
+         |  SELECT doc_id, source,
+         |         unnest(regexp_extract_all(text, '[0-9]{14,19}')) AS run
+         |  FROM aug),
+         |chk AS (
+         |  SELECT doc_id, source, run,
+         |         list_sum(list_transform(range(1, len(run) + 1), i ->
+         |           CASE WHEN (len(run) - i) % 2 = 1
+         |                THEN CASE WHEN 2 * CAST(substr(run, CAST(i AS INT),
+         |                         1) AS BIGINT) > 9
+         |                     THEN 2 * CAST(substr(run, CAST(i AS INT), 1)
+         |                         AS BIGINT) - 9
+         |                     ELSE 2 * CAST(substr(run, CAST(i AS INT), 1)
+         |                         AS BIGINT) END
+         |                ELSE CAST(substr(run, CAST(i AS INT), 1) AS BIGINT)
+         |           END)) % 10 AS lsum
+         |  FROM cand)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_candidates,
+         |       CAST(sum(CASE WHEN lsum = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_luhn_valid,
+         |       CAST(sum(CASE WHEN lsum <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_luhn_invalid
+         |FROM chk GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // 15 deterministic hash digits per planted doc, j the lambda index
+      val digitExpr = "cast((((doc_id % 100003 + 100003 + (60 + j))" +
+        " * 2654435761) % 1000000007) * (2 * (60 + j) + 1) % 1000000007" +
+        " % 10 as bigint)"
+      val num = docs
+        .where(Hashes.bucket(col("doc_id"), 59, 5) === 0)
+        .select(col("doc_id"),
+          expr(s"transform(sequence(1, 15), j -> $digitExpr)").as("d"))
+        .select(col("doc_id"),
+          expr("array_join(transform(d, x -> cast(x as string)), '')")
+            .as("p15"),
+          expr("""aggregate(sequence(1, 15), 0L, (acc, j) ->
+                 |acc + (CASE WHEN j % 2 = 1
+                 |THEN CASE WHEN 2 * element_at(d, j) > 9
+                 |THEN 2 * element_at(d, j) - 9
+                 |ELSE 2 * element_at(d, j) END
+                 |ELSE element_at(d, j) END))""".stripMargin
+            .replace("\n", " ")).as("gsum"))
+        .select(col("doc_id"),
+          concat(col("p15"),
+            when(Hashes.bucket(col("doc_id"), 61, 2) === 1,
+              ((lit(10L) - col("gsum") % 10) % 10 + 5) % 10)
+              .otherwise((lit(10L) - col("gsum") % 10) % 10)
+              .cast("string")).as("cc"))
+      val aug = docs.join(num, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          when(col("cc").isNotNull, concat(col("text"), lit(" "), col("cc")))
+            .otherwise(col("text")).as("text"))
+      val cand = aug.select(col("doc_id"), col("source"),
+        explode(expr("regexp_extract_all(text, '[0-9]{14,19}', 0)"))
+          .as("run"))
+      val chk = cand.select(col("source"),
+        (expr("""aggregate(sequence(1, length(run)), 0L, (acc, i) ->
+                |acc + (CASE WHEN (length(run) - i) % 2 = 1
+                |THEN CASE WHEN 2 * cast(substr(run, i, 1) as bigint) > 9
+                |THEN 2 * cast(substr(run, i, 1) as bigint) - 9
+                |ELSE 2 * cast(substr(run, i, 1) as bigint) END
+                |ELSE cast(substr(run, i, 1) as bigint) END))""".stripMargin
+          .replace("\n", " ")) % 10).as("lsum"))
+      chk.groupBy("source")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("lsum") === 0, 1L).otherwise(0L)).as("n_luhn_valid"),
+          sum(when(col("lsum") =!= 0, 1L).otherwise(0L))
+            .as("n_luhn_invalid"))
+        .orderBy("source")
     }
   )
 }
