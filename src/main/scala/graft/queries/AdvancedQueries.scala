@@ -2826,6 +2826,135 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("n_pairs"), min("s_e6").as("min_score_e6"),
           max("s_e6").as("max_score_e6"))
         .orderBy("truth", "decision")
+    },
+
+    // Sampled betweenness centrality — Brandes' algorithm (Brandes 2001)
+    // from 2 hub pivots over a 4-hop horizon on q81/q337's bipartite
+    // customer↔supplier graph, the estimator every large-graph toolkit
+    // ships (k-pivot sampling is the standard 100 TB posture; exact
+    // betweenness is O(V·E) and off the table). Forward: 4 unrolled BFS
+    // layers accumulate shortest-path counts σ as exact integer sums
+    // (layer = one edge-keyed exchange + anti-join against the visited
+    // set). Backward: dependencies δ flow down the BFS DAG,
+    // δ(u) += σu·(1e6+δ(v)) // σv per DAG edge — the per-edge integer
+    // division is the stated e6 quantization, identical on both engines,
+    // so the accumulated centralities are exact integers. At 100 TB each
+    // layer is one shuffle and the DAG edges are a subset of the edge
+    // relation — the Pregel/GraphFrames shape; 128-bit guard on the σ·δ
+    // product (σ compounds multiplicatively with depth on the dense
+    // bipartite core). Output: top-15 bridge vertices by summed
+    // dependency — supplier-side ids (+1e6) dominating is the expected
+    // structure, they are the only conduits between customers.
+    QueryDef("q377_betweenness", {
+      // per-seed forward layers f{t}0..f{t}4 + backward d{t}3..d{t}1
+      def seedCtes(t: String, seedCte: String): String = {
+        def fwd(k: Int): String = {
+          val joins = (0 until k)
+            .map(i => s"LEFT JOIN f$t$i w$i ON w$i.id = es.b").mkString(" ")
+          val conds = (0 until k)
+            .map(i => s"w$i.id IS NULL").mkString(" AND ")
+          s"f$t$k AS MATERIALIZED (SELECT es.b AS id," +
+            s" CAST(sum(f.sig) AS BIGINT) AS sig" +
+            s" FROM f$t${k - 1} f JOIN es ON es.a = f.id $joins" +
+            s" WHERE $conds GROUP BY es.b)"
+        }
+        def bwd(k: Int): String = {
+          val succDel =
+            if (k == 3) "1000000" else "1000000 + coalesce(d.del, 0)"
+          val succJoin =
+            if (k == 3) "" else s" LEFT JOIN d$t${k + 1} d ON d.id = v.id"
+          s"d$t$k AS MATERIALIZED (SELECT u.id," +
+            s" CAST(sum(CAST(u.sig AS HUGEINT) * ($succDel) // v.sig)" +
+            s" AS BIGINT) AS del" +
+            s" FROM f$t$k u JOIN es ON es.a = u.id" +
+            s" JOIN f$t${k + 1} v ON v.id = es.b$succJoin GROUP BY u.id)"
+        }
+        s"f${t}0 AS (SELECT sid AS id, CAST(1 AS BIGINT) AS sig" +
+          s" FROM $seedCte),\n" +
+          s"${fwd(1)},\n${fwd(2)},\n${fwd(3)},\n${fwd(4)},\n" +
+          s"${bwd(3)},\n${bwd(2)},\n${bwd(1)},\n" +
+          s"c$t AS (SELECT id, del FROM d${t}1" +
+          s" UNION ALL SELECT id, del FROM d${t}2" +
+          s" UNION ALL SELECT id, del FROM d${t}3)"
+      }
+      "WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk" +
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey),\n" +
+        "es AS MATERIALIZED (SELECT c AS a, sk + 1000000 AS b FROM pairs" +
+        " UNION ALL SELECT sk + 1000000, c FROM pairs),\n" +
+        "deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS dg" +
+        " FROM es GROUP BY a),\n" +
+        "s1 AS (SELECT id AS sid FROM deg ORDER BY dg DESC, id LIMIT 1),\n" +
+        "s2 AS (SELECT deg.id AS sid FROM deg, s1 WHERE deg.id <> s1.sid" +
+        " ORDER BY deg.dg DESC, deg.id LIMIT 1),\n" +
+        s"${seedCtes("a", "s1")},\n" +
+        s"${seedCtes("b", "s2")}\n" +
+        "SELECT id, CAST(sum(del) AS BIGINT) AS bc_e6" +
+        " FROM (SELECT id, del FROM ca UNION ALL SELECT id, del FROM cb)" +
+        " GROUP BY id ORDER BY bc_e6 DESC, id LIMIT 15"
+    }) { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + 1000000L).as("sk"))
+        .distinct()
+      val es = pairs.select(col("c").as("a"), col("sk").as("b"))
+        .unionAll(pairs.select(col("sk"), col("c")))
+        .persist() // every layer of both seeds scans it
+      val deg = es.groupBy(col("a").as("id"))
+        .agg(count(lit(1)).as("dg")).persist() // both pivot picks
+      val s1 = deg.orderBy(col("dg").desc, col("id")).limit(1)
+        .select(col("id").as("sid"))
+      val s2 = deg.crossJoin(broadcast(s1.withColumnRenamed("sid", "m")))
+        .where(col("id") =!= col("m"))
+        .orderBy(col("dg").desc, col("id")).limit(1)
+        .select(col("id").as("sid"))
+      def brandes(seed: DataFrame): DataFrame = {
+        val f0 = seed.select(col("sid").as("id"), lit(1L).as("sig"))
+          .localCheckpoint()
+        // forward: σ-propagating BFS layer with anti-join visited set
+        def step(prev: DataFrame, visited: DataFrame): DataFrame =
+          prev.join(es, prev("id") === es("a"))
+            .select(col("b"), col("sig"))
+            .join(visited, col("b") === visited("id"), "left_anti")
+            .groupBy(col("b").as("id"))
+            .agg(sum("sig").as("sig"))
+            .localCheckpoint() // layers must not nest plans
+        val f1 = step(f0, f0)
+        val f2 = step(f1, f0.select("id").unionAll(f1.select("id")))
+        val f3 = step(f2, f0.select("id").unionAll(f1.select("id"))
+          .unionAll(f2.select("id")))
+        val f4 = step(f3, f0.select("id").unionAll(f1.select("id"))
+          .unionAll(f2.select("id")).unionAll(f3.select("id")))
+        // backward: δ(u) = Σ σu·(1e6+δv) // σv over DAG edges u→v
+        def back(fu: DataFrame, fv: DataFrame,
+                 dNext: Option[DataFrame]): DataFrame = {
+          val vSide = dNext match {
+            case Some(dn) => fv.join(dn.withColumnRenamed("id", "did"),
+                col("id") === col("did"), "left")
+              .select(col("id").as("vid"), col("sig").as("vsig"),
+                coalesce(col("del"), lit(0L)).as("vdel"))
+            case None => fv.select(col("id").as("vid"),
+              col("sig").as("vsig"), lit(0L).as("vdel"))
+          }
+          fu.select(col("id").as("uid"), col("sig").as("usig"))
+            .join(es, col("uid") === es("a"))
+            .join(vSide, col("b") === col("vid"))
+            .groupBy(col("uid").as("id"))
+            .agg(sum(expr("""cast(cast(usig as decimal(38,0))
+                           |* (1000000 + vdel) div vsig as bigint)"""
+              .stripMargin.replace("\n", " "))).as("del"))
+            .localCheckpoint()
+        }
+        val d3 = back(f3, f4, None)
+        val d2 = back(f2, f3, Some(d3))
+        val d1 = back(f1, f2, Some(d2))
+        d1.unionAll(d2).unionAll(d3)
+      }
+      brandes(s1).unionAll(brandes(s2))
+        .groupBy("id").agg(sum("del").as("bc_e6"))
+        .orderBy(col("bc_e6").desc, col("id")).limit(15)
     }
   )
 }
