@@ -2936,16 +2936,27 @@ object MlQueries {
     // difference-of-squared-distances over 2σ² (the q20/q103
     // transcendental contract — per-row double, e6-quantized BEFORE any
     // cross-row reduction, so the M-step means are exact integer
-    // ratios Σr·y // Σr and the engines agree bit-for-bit). Init from
-    // the min/max census (quartile points of the range); σ² is the
-    // population variance census, exact in 128-bit. Scale shape: per
+    // ratios Σr·y // Σr and the engines agree bit-for-bit). The data is
+    // a PLANTED mixture — half the orders (hash-chosen) shifted +3 in
+    // log space — so the no-collapse contract is real, not assumed
+    // (on the raw unimodal log-price EM honestly pulls the means
+    // together; Round11Spec measured it; here the recovered separation
+    // holds near the planted 3.0 across iterations — monotone GROWTH is
+    // not an EM theorem, only likelihood ascent is, and with overlapping
+    // components the means settle slightly inward). Init from the
+    // min/max census
+    // (quartile points of the range); σ² is the population variance
+    // census, exact in 128-bit. Scale shape: per
     // iteration ONE scan + one 1-row aggregate with a broadcast 2-number
     // model state — the distributed-EM pattern (MLlib GaussianMixture
     // runs exactly this aggregate per step). Output: the two means and
     // soft counts after each iteration — the separation witness.
     QueryDef("q374_gmm_em",
-      """WITH q AS (SELECT CAST(round(ln(1 + o_totalprice) * 1000000, 0)
-        |             AS BIGINT) AS y FROM orders),
+      s"""WITH q AS (SELECT CAST(round((ln(1 + o_totalprice)
+         |             + CASE WHEN ${graft.functions.Hashes
+                                      .bucketSql("o_orderkey", 67, 2)} = 1
+         |               THEN 3 ELSE 0 END) * 1000000, 0)
+         |             AS BIGINT) AS y FROM orders),
         |m0 AS (SELECT CAST(min(y) AS BIGINT) AS mn,
         |              CAST(max(y) AS BIGINT) AS mx,
         |              CAST(count(*) AS BIGINT) AS n,
@@ -2959,15 +2970,21 @@ object MlQueries {
         |         CAST((y - mu1) * (y - mu1) - (y - mu2) * (y - mu2)
         |           AS DOUBLE) / CAST(2 * s2 AS DOUBLE))), 0) AS BIGINT) AS r
         |       FROM q, p0),
-        |m1 AS (SELECT CAST(CAST(sum(r * y) AS HUGEINT)
+        |m1a AS (SELECT CAST(CAST(sum(r * y) AS HUGEINT)
         |                // CAST(sum(r) AS HUGEINT) AS BIGINT) AS mu1,
         |              CAST(CAST(sum((1000000 - r) * y) AS HUGEINT)
         |                // CAST(sum(1000000 - r) AS HUGEINT) AS BIGINT)
         |                AS mu2,
         |              CAST(sum(r) // 1000000 AS BIGINT) AS n1,
-        |              CAST(sum(1000000 - r) // 1000000 AS BIGINT) AS n2,
-        |              (SELECT s2 FROM p0) AS s2
+        |              CAST(sum(1000000 - r) // 1000000 AS BIGINT) AS n2
         |       FROM e1),
+        |v1 AS (SELECT CAST((sum(CAST(r AS HUGEINT) * (y - m.mu1)
+        |                        * (y - m.mu1))
+        |                    + sum(CAST(1000000 - r AS HUGEINT) * (y - m.mu2)
+        |                          * (y - m.mu2)))
+        |              // (count(*) * 1000000) AS BIGINT) AS s2
+        |       FROM e1, m1a m),
+        |m1 AS (SELECT m1a.*, v1.s2 FROM m1a, v1),
         |e2 AS (SELECT y, CAST(round(1000000 / (1 + exp(
         |         CAST((y - mu1) * (y - mu1) - (y - mu2) * (y - mu2)
         |           AS DOUBLE) / CAST(2 * s2 AS DOUBLE))), 0) AS BIGINT) AS r
@@ -2988,7 +3005,9 @@ object MlQueries {
       import org.apache.spark.sql.DataFrame
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val q = Tables.orders(s, d)
-        .select(round(log(lit(1d) + col("o_totalprice")) * 1000000, 0)
+        .select(round((log(lit(1d) + col("o_totalprice"))
+          + when(graft.functions.Hashes.bucket(col("o_orderkey"), 67, 2) === 1,
+            3d).otherwise(0d)) * 1000000, 0)
           .cast("long").as("y"))
         .persist() // variance census + two E-step scans
       val m0 = q.agg(min("y").as("mn"), max("y").as("mx"),
@@ -3006,7 +3025,7 @@ object MlQueries {
               - (col("y") - col("mu2")) * (col("y") - col("mu2")))
               .cast("double") / (lit(2L) * col("s2")).cast("double"))), 0)
             .cast("long").as("r"))
-      def mStep(e: DataFrame, withS2: Option[DataFrame]): DataFrame = {
+      def mStep(e: DataFrame, reestimateS2: Boolean): DataFrame = {
         val base = e.agg(
           expr("""cast(cast(sum(r * cast(y as decimal(38,0))) as decimal(38,0))
                  |div cast(sum(cast(r as decimal(38,0))) as decimal(38,0))
@@ -3018,13 +3037,23 @@ object MlQueries {
             .replace("\n", " ")).as("mu2"),
           expr("cast(sum(r) div 1000000 as bigint)").as("n1"),
           expr("cast(sum(1000000 - r) div 1000000 as bigint)").as("n2"))
-        withS2 match {
-          case Some(p) => base.crossJoin(broadcast(p.select("s2")))
-          case None    => base
+        if (!reestimateS2) base
+        else {
+          // full M-step: shared σ² from the NEW means (removes the
+          // between-mode spread so the next E-step sharpens)
+          val v = e.crossJoin(broadcast(base.select("mu1", "mu2")))
+            .agg(expr(
+              """cast((sum(cast(r as decimal(38,0)) * (y - mu1) * (y - mu1))
+                |+ sum(cast(1000000 - r as decimal(38,0)) * (y - mu2)
+                |* (y - mu2)))
+                |div (count(1) * cast(1000000 as decimal(38,0)))
+                |as bigint)""".stripMargin.replace("\n", " ")).as("s2"))
+          base.crossJoin(broadcast(v))
         }
       }
-      val m1 = mStep(eStep(p0), Some(p0)).persist() // e2 + output row
-      val m2 = mStep(eStep(m1), None)
+      val m1 = mStep(eStep(p0), reestimateS2 = true)
+        .persist() // e2 + output row
+      val m2 = mStep(eStep(m1), reestimateS2 = false)
       m1.select(lit(1L).as("iter"), col("mu1").as("mu1_e6"),
           col("mu2").as("mu2_e6"), col("n1").as("soft_n1"),
           col("n2").as("soft_n2"))
