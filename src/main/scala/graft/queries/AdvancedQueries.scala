@@ -2955,6 +2955,71 @@ object AdvancedQueries {
       brandes(s1).unionAll(brandes(s2))
         .groupBy("id").agg(sum("del").as("bc_e6"))
         .orderBy(col("bc_e6").desc, col("id")).limit(15)
+    },
+
+    // Strongly connected components — the DIRECTED dual of q61/q104's CC,
+    // and the question the undirected machinery cannot answer: which
+    // nations form trade FEEDBACK LOOPS (each can reach the others along
+    // directed flows) vs one-way exporters/importers. Graph: facts rolled
+    // up to the nation level (the honest SCC posture at 100 TB — closure
+    // lives on a bounded dimension graph, never the fact table), edge
+    // cn→sn = sn is one of cn's top-3 supplier nations by revenue cents
+    // (self-flows excluded BEFORE ranking; row_number ties broken by sn).
+    // operators/Scc runs the semi-naive closure (delta ⋈ edges per round,
+    // O(longest-shortest-path) rounds) then labels each nation with the
+    // minimum mutually-reachable id. The out-degree-3 top-k edge rule is
+    // what makes the answer non-trivial: dominant exporters everyone buys
+    // from but who buy selectively themselves split the digraph into a
+    // core loop plus one-way periphery. Oracle: recursive-CTE closure +
+    // mutual-reach min, the q61 dual with direction preserved.
+    QueryDef("q378_scc",
+      """WITH RECURSIVE f AS (
+        |  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn,
+        |         CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS rev
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT cn, sn, row_number() OVER (PARTITION BY cn
+        |        ORDER BY rev DESC, sn) AS rk
+        |      FROM f WHERE cn <> sn),
+        |e AS MATERIALIZED (SELECT cn AS src, sn AS dst FROM r WHERE rk <= 3),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT reach.a, e.dst FROM reach JOIN e ON reach.b = e.src),
+        |mutual AS (SELECT r1.a AS ida, r1.b AS idb
+        |           FROM reach r1 JOIN reach r2
+        |             ON r1.a = r2.b AND r1.b = r2.a),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |lab AS (SELECT n.id,
+        |               least(n.id, coalesce(min(m.idb), n.id)) AS scc
+        |        FROM nodes n LEFT JOIN mutual m ON m.ida = n.id
+        |        GROUP BY n.id)
+        |SELECT lab.id AS nation_id, lab.scc AS scc_id,
+        |       CAST(count(*) OVER (PARTITION BY lab.scc) AS BIGINT)
+        |         AS scc_size
+        |FROM lab ORDER BY nation_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val flows = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("cn"), col("s_nationkey").as("sn"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("rev"))
+      val topW = Window.partitionBy("cn").orderBy(col("rev").desc, col("sn"))
+      val edges = flows.where(col("cn") =!= col("sn"))
+        .withColumn("rk", row_number().over(topW))
+        .where(col("rk") <= 3)
+        .select(col("cn").as("src"), col("sn").as("dst"))
+      val lab = graft.operators.Scc.stronglyConnected(edges, "src", "dst")
+      val sizes = lab.groupBy("scc").agg(count(lit(1)).as("scc_size"))
+      lab.join(broadcast(sizes), "scc")
+        .select(col("id").as("nation_id"), col("scc").as("scc_id"),
+          col("scc_size"))
+        .orderBy("nation_id")
     }
   )
 }

@@ -3317,6 +3317,110 @@ object EventQueries {
         .groupBy(col("name").as("channel"))
         .agg(sum("t_e9").as("phi_e9"))
         .orderBy("channel")
+    },
+
+    // Autocorrelation + partial autocorrelation — the ARIMA order-picking
+    // diagnostic q271's Holt fit and q283's backtest were missing: ACF
+    // says HOW persistent the daily-revenue series is at each lag, PACF
+    // says which lags carry DIRECT (not inherited) signal — the
+    // {ACF tails, PACF cuts at p} fingerprint is how an AR(p) order is
+    // read off. All-integer formulation: devs are scaled n·y − S (exact,
+    // no mean division), ρ_k = Σ dev·dev₊k / Σ dev² as an e9 integer
+    // ratio of DECIMAL(38) co-moment sums, and PACF comes from the
+    // Yule-Walker Toeplitz system solved by Cramer's rule — degree-3
+    // polynomials in the e9 ρ's, still exact in 128-bit (e27 terms,
+    // ×1e9 < 1e38). Scale shape: one day-grain rollup, one global-order
+    // lead window over the DAY CENSUS (hundreds of rows, not events),
+    // one 1-row co-moment aggregate — the scaler posture.
+    QueryDef("q379_acf_pacf",
+      """WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(y) AS BIGINT) AS s FROM d),
+        |v AS (SELECT CAST(n * y - s AS HUGEINT) AS dev,
+        |             lead(CAST(n * y - s AS HUGEINT), 1)
+        |               OVER (ORDER BY day) AS d1,
+        |             lead(CAST(n * y - s AS HUGEINT), 2)
+        |               OVER (ORDER BY day) AS d2,
+        |             lead(CAST(n * y - s AS HUGEINT), 3)
+        |               OVER (ORDER BY day) AS d3,
+        |             lead(CAST(n * y - s AS HUGEINT), 4)
+        |               OVER (ORDER BY day) AS d4,
+        |             lead(CAST(n * y - s AS HUGEINT), 5)
+        |               OVER (ORDER BY day) AS d5
+        |      FROM d, c),
+        |a AS (SELECT sum(dev * dev) AS den,
+        |             sum(dev * d1) AS m1, sum(dev * d2) AS m2,
+        |             sum(dev * d3) AS m3, sum(dev * d4) AS m4,
+        |             sum(dev * d5) AS m5
+        |      FROM v),
+        |r AS (SELECT CAST(m1 * 1000000000 // den AS HUGEINT) AS r1,
+        |             CAST(m2 * 1000000000 // den AS HUGEINT) AS r2,
+        |             CAST(m3 * 1000000000 // den AS HUGEINT) AS r3,
+        |             CAST(m4 * 1000000000 // den AS BIGINT) AS r4,
+        |             CAST(m5 * 1000000000 // den AS BIGINT) AS r5,
+        |             CAST(1000000000 AS HUGEINT) AS ee
+        |      FROM a)
+        |SELECT CAST((SELECT n FROM c) AS BIGINT) AS n_days,
+        |       CAST(r1 AS BIGINT) AS rho1_e9,
+        |       CAST(r2 AS BIGINT) AS rho2_e9,
+        |       CAST(r3 AS BIGINT) AS rho3_e9,
+        |       r4 AS rho4_e9, r5 AS rho5_e9,
+        |       CAST(r1 AS BIGINT) AS pacf1_e9,
+        |       CAST((r2 * ee - r1 * r1) * ee
+        |            // (ee * ee - r1 * r1) AS BIGINT) AS pacf2_e9,
+        |       CAST((ee * ee * r3 - 2 * ee * r1 * r2
+        |             - r1 * r1 * r3 + r1 * r2 * r2 + r1 * r1 * r1) * ee
+        |            // (ee * ee * ee - 2 * ee * r1 * r1 - ee * r2 * r2
+        |               + 2 * r1 * r1 * r2) AS BIGINT) AS pacf3_e9
+        |FROM r""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val daily = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
+          .as("y"))
+      val cen = daily.agg(count(lit(1)).as("n"), sum("y").as("s"))
+      val w = Window.orderBy("day")
+      val devs = daily.crossJoin(broadcast(cen))
+        .select((col("n") * col("y") - col("s")).cast(dec).as("dev"),
+          col("day"))
+      val v = devs.select(col("dev"),
+        lead("dev", 1).over(w).as("d1"), lead("dev", 2).over(w).as("d2"),
+        lead("dev", 3).over(w).as("d3"), lead("dev", 4).over(w).as("d4"),
+        lead("dev", 5).over(w).as("d5"))
+      val a = v.agg(
+        sum(col("dev") * col("dev")).as("den"),
+        sum(col("dev") * col("d1")).as("m1"),
+        sum(col("dev") * col("d2")).as("m2"),
+        sum(col("dev") * col("d3")).as("m3"),
+        sum(col("dev") * col("d4")).as("m4"),
+        sum(col("dev") * col("d5")).as("m5"))
+      val r = a.select(
+        expr(s"cast(m1 * 1000000000 div den as $dec)").as("r1"),
+        expr(s"cast(m2 * 1000000000 div den as $dec)").as("r2"),
+        expr(s"cast(m3 * 1000000000 div den as $dec)").as("r3"),
+        expr("cast(m4 * 1000000000 div den as bigint)").as("r4"),
+        expr("cast(m5 * 1000000000 div den as bigint)").as("r5"),
+        lit(1000000000L).cast(dec).as("ee"))
+      r.crossJoin(broadcast(cen.select(col("n"))))
+        .select(col("n").as("n_days"),
+          col("r1").cast("long").as("rho1_e9"),
+          col("r2").cast("long").as("rho2_e9"),
+          col("r3").cast("long").as("rho3_e9"),
+          col("r4").as("rho4_e9"), col("r5").as("rho5_e9"),
+          col("r1").cast("long").as("pacf1_e9"),
+          expr("""cast((r2 * ee - r1 * r1) * ee
+                 |div (ee * ee - r1 * r1) as bigint)"""
+            .stripMargin.replace("\n", " ")).as("pacf2_e9"),
+          expr("""cast((ee * ee * r3 - 2 * ee * r1 * r2
+                 |- r1 * r1 * r3 + r1 * r2 * r2 + r1 * r1 * r1) * ee
+                 |div (ee * ee * ee - 2 * ee * r1 * r1 - ee * r2 * r2
+                 |+ 2 * r1 * r1 * r2) as bigint)"""
+            .stripMargin.replace("\n", " ")).as("pacf3_e9"))
     }
   )
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Property guards for the q378+ continuation: each pins the claim the
+  * operator exists to make — SCC splitting the trade digraph into one
+  * feedback core plus one-way periphery, and the integer ACF/PACF being
+  * THE autocorrelation function (cross-checked against an independent
+  * double-precision computation, not just the oracle's mirrored SQL).
+  */
+class Round12Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q378 SCC: one feedback core, one-way periphery, canonical labels") {
+    val rows = run("q378_scc").collect()
+    assert(rows.length == 25, "every nation appears in the top-3 digraph")
+    val byScc = rows.groupBy(_.getAs[Long]("scc_id"))
+    // labels are canonical minimum members, sizes consistent
+    byScc.foreach { case (scc, members) =>
+      assert(members.map(_.getAs[Long]("nation_id")).min == scc,
+        s"scc $scc is not its minimum member")
+      members.foreach(m => assert(m.getAs[Long]("scc_size") == members.length))
+    }
+    val sizes = byScc.values.map(_.length).toSeq.sorted.reverse
+    assert(sizes.head >= 2, "no feedback loop found — the top-3 rule failed")
+    assert(sizes.count(_ >= 2) == 1, s"expected ONE core, got sizes $sizes")
+    assert(sizes.count(_ == 1) >= 10, "periphery missing — graph degenerated")
+  }
+
+  test("q378 SCC labels agree with mutual reachability by brute force") {
+    // rebuild the 25-node edge set and Floyd-Warshall it on the driver —
+    // an independent algorithm, not the operator's closure join
+    import org.apache.spark.sql.expressions.Window
+    val flows = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("cn"), col("s_nationkey").as("sn"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rev"))
+    val w = Window.partitionBy("cn").orderBy(col("rev").desc, col("sn"))
+    val edges = flows.where(col("cn") =!= col("sn"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+      .select("cn", "sn").collect()
+      .map(r => (r.getAs[Number]("cn").intValue, r.getAs[Number]("sn").intValue))
+    val n = 25
+    val reach = Array.fill(n, n)(false)
+    edges.foreach { case (a, b) => reach(a)(b) = true }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+    val expected = (0 until n).map { v =>
+      v.toLong -> (0 until n)
+        .filter(u => u == v || (reach(v)(u) && reach(u)(v))).min.toLong
+    }.toMap
+    run("q378_scc").collect().foreach { r =>
+      val id = r.getAs[Long]("nation_id")
+      assert(r.getAs[Long]("scc_id") == expected(id),
+        s"nation $id labeled ${r.getAs[Long]("scc_id")}, FW says ${expected(id)}")
+    }
+  }
+
+  test("q379 integer ACF/PACF matches an independent double computation") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
+        .as("y"))
+      .orderBy("day").collect().map(_.getAs[Long]("y").toDouble)
+    val n = daily.length
+    val mean = daily.sum / n
+    val dev = daily.map(_ - mean)
+    val den = dev.map(d => d * d).sum
+    def rho(k: Int): Double =
+      (0 until n - k).map(t => dev(t) * dev(t + k)).sum / den
+    val (r1, r2, r3) = (rho(1), rho(2), rho(3))
+    val pacf2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    val pacf3 = (r3 - 2 * r1 * r2 - r1 * r1 * r3 + r1 * r2 * r2
+      + r1 * r1 * r1) / (1 - 2 * r1 * r1 - r2 * r2 + 2 * r1 * r1 * r2)
+    val row = run("q379_acf_pacf").collect()(0)
+    assert(row.getAs[Long]("n_days") == n)
+    // integer formulation uses scaled devs (n·y − S) and truncating div;
+    // agreement within 2 e9-units of the float ACF proves it computes the
+    // same statistic (the oracle already pins bit-exactness)
+    def ck(colName: String, v: Double): Unit =
+      assert(math.abs(row.getAs[Long](colName) - v * 1e9) <= 2,
+        s"$colName: ${row.getAs[Long](colName)} vs ${(v * 1e9).round}")
+    ck("rho1_e9", r1); ck("rho2_e9", r2); ck("rho3_e9", r3)
+    ck("rho4_e9", rho(4)); ck("rho5_e9", rho(5))
+    ck("pacf1_e9", r1); ck("pacf2_e9", pacf2); ck("pacf3_e9", pacf3)
+    // the diagnostic stays inside its mathematical range
+    Seq("rho1_e9", "rho2_e9", "rho3_e9", "rho4_e9", "rho5_e9",
+      "pacf2_e9", "pacf3_e9").foreach(c =>
+      assert(math.abs(row.getAs[Long](c)) <= 1000000000L))
+  }
+}
