@@ -3020,6 +3020,79 @@ object AdvancedQueries {
         .select(col("id").as("nation_id"), col("scc").as("scc_id"),
           col("scc_size"))
         .orderBy("nation_id")
+    },
+
+    // Luby maximal independent set — THE distributed symmetry-breaking
+    // primitive (Luby 1986), and the dedup pipeline's diversity selector:
+    // on a similarity graph, a maximal independent set is a keep-set in
+    // which no two survivors are neighbors (near-duplicates), maximal in
+    // that every dropped vertex has a kept neighbor to blame — found in
+    // O(log n) rounds of purely local decisions, no sequential greedy
+    // scan. Priorities are salted hashes with the vertex id folded in
+    // (UNIQUE — adjacent ties would deadlock a round). Output: the
+    // per-round census (who joined, who was knocked out, who survived to
+    // the next round) — the geometric die-off IS the O(log n) claim.
+    // Oracle: the identical rounds unrolled as CTE chains over the same
+    // spatial graph (the q178/q184 precedent).
+    QueryDef("q382_luby_mis", {
+      val rounds = 6
+      def roundCtes(r: Int): String =
+        s"""nb$r AS (SELECT es.a AS id, min(al.prio) AS mn
+           |       FROM es JOIN alive${r - 1} al ON al.id = es.b
+           |       GROUP BY es.a),
+           |m$r AS MATERIALIZED (
+           |  SELECT a.id FROM alive${r - 1} a
+           |  LEFT JOIN nb$r ON nb$r.id = a.id
+           |  WHERE nb$r.mn IS NULL OR a.prio < nb$r.mn),
+           |rm$r AS MATERIALIZED (
+           |  SELECT DISTINCT es.b AS id FROM es JOIN m$r ON m$r.id = es.a
+           |  WHERE es.b IN (SELECT id FROM alive${r - 1})
+           |    AND es.b NOT IN (SELECT id FROM m$r)),
+           |alive$r AS MATERIALIZED (
+           |  SELECT al.id, al.prio FROM alive${r - 1} al
+           |  WHERE al.id NOT IN (SELECT id FROM m$r)
+           |    AND al.id NOT IN (SELECT id FROM rm$r))""".stripMargin
+      val stats = (1 to rounds).map(r =>
+        s"""SELECT $r AS round,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM m$r) AS n_mis,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM rm$r) AS n_removed,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM alive$r)
+           |    AS n_alive_after""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${SpatialEdges.cte},
+         |es AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+         |  UNION ALL SELECT v, u FROM e0),
+         |alive0 AS MATERIALIZED (
+         |  SELECT id, (${graft.functions.Hashes.mulHashSql("id", 91)})
+         |             * 10000000 + id AS prio
+         |  FROM p),
+         |${(1 to rounds).map(roundCtes).mkString(",\n")}
+         |SELECT CAST(round AS BIGINT) AS round, n_mis, n_removed,
+         |       n_alive_after
+         |FROM ($stats) z
+         |WHERE n_mis + n_removed > 0
+         |ORDER BY round""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val edges = SpatialEdges.frame(s, d)
+        .select(col("u").as("src"), col("v").as("dst"))
+      val verts = Tables.customer(s, d).select(col("c_custkey").as("id"))
+        .withColumn("prio",
+          graft.functions.Hashes.mulHash(col("id"), 91) * 10000000L
+            + col("id"))
+      val tot = verts.agg(count(lit(1)).as("total"))
+      val decided = graft.operators.Mis.lubyRounds(edges, verts, 6)
+      val w = Window.orderBy("round")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      decided.groupBy("round")
+        .agg(sum(when(col("selected"), 1L).otherwise(0L)).as("n_mis"),
+          sum(when(!col("selected"), 1L).otherwise(0L)).as("n_removed"))
+        .where(col("n_mis") + col("n_removed") > 0)
+        .crossJoin(broadcast(tot))
+        .select(col("round"), col("n_mis"), col("n_removed"),
+          (col("total") - sum(col("n_mis") + col("n_removed")).over(w))
+            .as("n_alive_after"))
+        .orderBy("round")
     }
   )
 }

@@ -2037,6 +2037,139 @@ object CurationQueries {
           sum(when(col("lsum") =!= 0, 1L).otherwise(0L))
             .as("n_luhn_invalid"))
         .orderBy("source")
+    },
+
+    // t-closeness — the third rung of the release-privacy ladder, and the
+    // one k-anonymity/l-diversity (q269) structurally cannot reach: a
+    // group can be large (k ok) and diverse (l ok) while its SENSITIVE
+    // distribution still leaks ("this cohort skews to the top value
+    // tiers"). t = Earth Mover's Distance between the group's ordered
+    // value-tier distribution and the global one (Li, Li & Venkatasubra-
+    // manian, ICDE 2007); for an ordered attribute on a unit grid EMD is
+    // the mean |cumulative gap|. Exact integers: the per-tier grid is
+    // densified (missing tiers still carry cumulative mass), cumulative
+    // counts cross-multiplied against the global census instead of
+    // divided (|C_g·N − C·n_g|), one final ppm division per group.
+    // Scale: one groupBy over facts + a 10-wide dense grid per QI group
+    // + one window cumsum — the q192 KS shape, per-group.
+    QueryDef("q380_t_closeness",
+      """WITH e AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |         least(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT)
+        |               // 500, 9) AS j
+        |  FROM events),
+        |gj AS (SELECT event_type, dow, j, CAST(count(*) AS BIGINT) AS c
+        |       FROM e GROUP BY 1, 2, 3),
+        |qi AS (SELECT event_type, dow, CAST(sum(c) AS BIGINT) AS ng
+        |       FROM gj GROUP BY 1, 2),
+        |gl AS (SELECT j, CAST(sum(c) AS BIGINT) AS cj FROM gj GROUP BY j),
+        |tot AS (SELECT CAST(sum(cj) AS BIGINT) AS nn FROM gl),
+        |grid AS (SELECT qi.event_type, qi.dow, qi.ng, t.j,
+        |                coalesce(gj.c, 0) AS c, coalesce(gl.cj, 0) AS cj
+        |         FROM qi CROSS JOIN (SELECT unnest(range(0, 10)) AS j) t
+        |         LEFT JOIN gj ON gj.event_type = qi.event_type
+        |           AND gj.dow = qi.dow AND gj.j = t.j
+        |         LEFT JOIN gl ON gl.j = t.j),
+        |cum AS (SELECT event_type, dow, ng, j,
+        |          CAST(sum(c) OVER (PARTITION BY event_type, dow
+        |            ORDER BY j) AS HUGEINT) AS cg,
+        |          CAST(sum(cj) OVER (PARTITION BY event_type, dow
+        |            ORDER BY j) AS HUGEINT) AS cn
+        |        FROM grid),
+        |t AS (SELECT event_type, dow, ng,
+        |        CAST(sum(CASE WHEN j < 9
+        |          THEN abs(cg * (SELECT nn FROM tot) - cn * ng)
+        |          ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS gap
+        |      FROM cum GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow, ng AS n_rows,
+        |       CAST(gap * 1000000
+        |            // (CAST(ng AS HUGEINT) * (SELECT nn FROM tot) * 9)
+        |         AS BIGINT) AS t_ppm,
+        |       CAST(gap * 1000000
+        |            // (CAST(ng AS HUGEINT) * (SELECT nn FROM tot) * 9)
+        |         AS BIGINT) > 60000 AS breach
+        |FROM t ORDER BY event_type, dow""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val e = Tables.events(s, d).select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("dow"),
+        expr("least(cast(round(greatest(value, 0) * 100, 0) as bigint)" +
+          " div 500, 9)").as("j"))
+      val gj = e.groupBy("event_type", "dow", "j")
+        .agg(count(lit(1)).as("c")).persist() // feeds qi, gl, grid
+      val qi = gj.groupBy("event_type", "dow").agg(sum("c").as("ng"))
+      val gl = gj.groupBy("j").agg(sum("c").as("cj"))
+      val tot = gl.agg(sum("cj").as("nn"))
+      val grid = qi.crossJoin(
+          broadcast(e.sparkSession.range(0, 10).select(col("id").as("j"))))
+        .join(gj, Seq("event_type", "dow", "j"), "left")
+        .join(broadcast(gl.withColumnRenamed("j", "gj").as("g")),
+          col("j") === col("gj"), "left")
+        .select(col("event_type"), col("dow"), col("ng"), col("j"),
+          coalesce(col("c"), lit(0L)).as("c"),
+          coalesce(col("cj"), lit(0L)).as("cj"))
+      val w = Window.partitionBy("event_type", "dow").orderBy("j")
+      val cum = grid.select(col("event_type"), col("dow"), col("ng"),
+        col("j"),
+        sum("c").over(w).cast(dec).as("cg"),
+        sum("cj").over(w).cast(dec).as("cn"))
+      val t = cum.crossJoin(broadcast(tot))
+        .groupBy(col("event_type"), col("dow"), col("ng"), col("nn"))
+        .agg(sum(when(col("j") < 9,
+          abs(col("cg") * col("nn") - col("cn") * col("ng")))
+          .otherwise(lit(0L).cast(dec))).as("gap"))
+      t.select(col("event_type"), col("dow").cast("long").as("dow"),
+          col("ng").as("n_rows"),
+          expr(s"cast(gap * 1000000 div (cast(ng as $dec) * nn * 9)" +
+            " as bigint)").as("t_ppm"))
+        .withColumn("breach", col("t_ppm") > 60000L)
+        .orderBy("event_type", "dow")
+    },
+
+    // Temperature-scaled mixture weights — the sampling rule multilingual
+    // LM corpora actually ship with (mC4/XLM-R style): p_i ∝ n_i^(1/τ),
+    // τ=1 is proportional (big sources drown small ones), τ→∞ is uniform;
+    // the knob trades head-source fidelity against tail-source coverage.
+    // Sits next to q373's UniMax (a budget CAP rule) as the SMOOTH
+    // reweighting alternative. Exact where possible: τ=1 weights are pure
+    // integer ratios; τ=2,5 go through the transcendental contract —
+    // exp(ln(n)/τ) per SOURCE (a k-row census, not per-row), e6-quantized
+    // before the ppm ratio, so both engines agree bit-for-bit. The
+    // flattening claim is measurable in the output: max(p) falls and
+    // min(p) rises monotonically in τ (Round12Spec pins it).
+    QueryDef("q381_temperature_mixture",
+      """WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n
+        |           FROM documents GROUP BY source),
+        |q AS (SELECT source, n,
+        |        CAST(round(exp(ln(CAST(n AS DOUBLE)) / 2) * 1000000, 0)
+        |          AS BIGINT) AS s2,
+        |        CAST(round(exp(ln(CAST(n AS DOUBLE)) / 5) * 1000000, 0)
+        |          AS BIGINT) AS s5
+        |      FROM s),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |             CAST(sum(s2) AS BIGINT) AS t2,
+        |             CAST(sum(s5) AS BIGINT) AS t5 FROM q)
+        |SELECT source, n AS n_chars,
+        |       CAST(n * 1000000 // tn AS BIGINT) AS p1_ppm,
+        |       CAST(s2 * 1000000 // t2 AS BIGINT) AS p2_ppm,
+        |       CAST(s5 * 1000000 // t5 AS BIGINT) AS p5_ppm
+        |FROM q, t ORDER BY source""".stripMargin) { (s, d) =>
+      val src = Tables.documents(s, d)
+        .groupBy("source").agg(sum("n_chars").as("n"))
+      val q = src.select(col("source"), col("n"),
+        round(exp(log(col("n").cast("double")) / 2) * 1000000, 0)
+          .cast("long").as("s2"),
+        round(exp(log(col("n").cast("double")) / 5) * 1000000, 0)
+          .cast("long").as("s5"))
+        .persist() // census rows feed both the totals and the ratios
+      val t = q.agg(sum("n").as("tn"), sum("s2").as("t2"),
+        sum("s5").as("t5"))
+      q.crossJoin(broadcast(t))
+        .select(col("source"), col("n").as("n_chars"),
+          expr("n * 1000000 div tn").as("p1_ppm"),
+          expr("s2 * 1000000 div t2").as("p2_ppm"),
+          expr("s5 * 1000000 div t5").as("p5_ppm"))
+        .orderBy("source")
     }
   )
 }

@@ -93,4 +93,71 @@ class Round12Spec extends AnyFunSuite {
       "pacf2_e9", "pacf3_e9").foreach(c =>
       assert(math.abs(row.getAs[Long](c)) <= 1000000000L))
   }
+
+  test("q380 t-closeness: small cohorts leak, the metric stays in [0,1]") {
+    val rows = run("q380_t_closeness").collect()
+    rows.foreach { r =>
+      val t = r.getAs[Long]("t_ppm")
+      assert(t >= 0 && t <= 1000000L, s"t_ppm $t outside [0, 1e6]")
+      assert(r.getAs[Boolean]("breach") == (t > 60000L))
+    }
+    // at sf0.001 the (event_type, dow) cohorts are ~tens of rows — small
+    // enough that some skew past t=0.06 while others hold (the metric
+    // must DISCRIMINATE, not fire always or never)
+    val breaches = rows.count(_.getAs[Boolean]("breach"))
+    assert(breaches > 0, "no cohort breached — threshold vacuous")
+    assert(breaches < rows.length, "every cohort breached — threshold vacuous")
+  }
+
+  test("q381 temperature scaling flattens the mixture monotonically") {
+    val rows = run("q381_temperature_mixture").collect()
+    def stats(c: String) = {
+      val v = rows.map(_.getAs[Long](c))
+      (v.min, v.max, v.sum)
+    }
+    val (min1, max1, sum1) = stats("p1_ppm")
+    val (min2, max2, sum2) = stats("p2_ppm")
+    val (min5, max5, sum5) = stats("p5_ppm")
+    assert(max1 > max2 && max2 > max5, s"max must fall: $max1, $max2, $max5")
+    assert(min1 < min2 && min2 < min5, s"min must rise: $min1, $min2, $min5")
+    // each column is a distribution up to integer-division slack
+    Seq(sum1, sum2, sum5).foreach(s =>
+      assert(s <= 1000000L && s > 1000000L - rows.length, s"sum $s"))
+  }
+
+  test("q382 Luby MIS is independent, maximal, and terminates") {
+    val census = run("q382_luby_mis").collect().sortBy(_.getAs[Long]("round"))
+    assert(census.last.getAs[Long]("n_alive_after") == 0,
+      "Luby did not decide every vertex within the unrolled rounds")
+    // re-derive the sets through the operator API and check the DEFINITION
+    val edges = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("id"))
+      .select(col("id").as("u"),
+        (graft.functions.Hashes.mulHash(col("id"), 11) % 1000).as("x"),
+        (graft.functions.Hashes.mulHash(col("id"), 13) % 1000).as("y"))
+    val pts = edges.collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("x"), r.getAs[Long]("y")))
+    val adj = (for {
+      (a, ax, ay) <- pts; (b, bx, by) <- pts
+      if a < b && (ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= 625
+    } yield (a, b)).toSet
+    val verts = Tables.customer(spark, sf).select(col("c_custkey").as("id"))
+      .withColumn("prio",
+        graft.functions.Hashes.mulHash(col("id"), 91) * 10000000L + col("id"))
+    val ed = spark.createDataFrame(adj.toSeq).toDF("src", "dst")
+    val decided = graft.operators.Mis.lubyRounds(ed, verts, 6).collect()
+    val mis = decided.filter(_.getAs[Boolean]("selected"))
+      .map(_.getAs[Long]("id")).toSet
+    val dropped = decided.filterNot(_.getAs[Boolean]("selected"))
+      .map(_.getAs[Long]("id")).toSet
+    adj.foreach { case (a, b) =>
+      assert(!(mis(a) && mis(b)), s"adjacent pair ($a,$b) both selected")
+    }
+    dropped.foreach { v =>
+      assert(adj.exists { case (a, b) =>
+        (a == v && mis(b)) || (b == v && mis(a))
+      }, s"dropped vertex $v has no selected neighbor — not maximal")
+    }
+    assert(mis.size + dropped.size == pts.length, "every vertex decided")
+  }
 }
