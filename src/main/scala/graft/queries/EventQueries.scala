@@ -3421,6 +3421,117 @@ object EventQueries {
                  |div (ee * ee * ee - 2 * ee * r1 * r1 - ee * r2 * r2
                  |+ 2 * r1 * r1 * r2) as bigint)"""
             .stripMargin.replace("\n", " ")).as("pacf3_e9"))
+    },
+
+    // Streaming KMV sketch — the continuously-maintained distinct count:
+    // q332's batch KMV aggregator re-run as transformWithState ValueState
+    // (StatefulStreams.KmvStream holds the SAME bounded sorted array and
+    // folds rows with the SAME reduce), drained over four micro-batches.
+    // The claim: because KMV updates are commutative and idempotent, the
+    // final streamed sketch equals the batch sketch BIT-FOR-BIT under any
+    // micro-batch slicing — stream_eq_batch compares the raw arrays, and
+    // the oracle replays the sketch content (k-min census) + estimator
+    // exactly as q332. This is the dashboard posture at 100 TB: distinct
+    // users per event type maintained in O(k) state per key, never a
+    // shuffle of raw history.
+    QueryDef("q383_stream_kmv", {
+      import graft.functions.Hashes
+      s"""WITH h AS (
+         |  SELECT event_type, ${Hashes.mulHashSql("user_id", 71)} AS hv
+         |  FROM events),
+         |dh AS (SELECT DISTINCT event_type, hv FROM h),
+         |r AS (
+         |  SELECT event_type, hv,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY hv)
+         |           AS rn,
+         |         count(*) OVER (PARTITION BY event_type) AS nd
+         |  FROM dh),
+         |mins AS (
+         |  SELECT event_type, list(hv ORDER BY hv) AS kmins,
+         |         max(nd) AS n_exact
+         |  FROM r WHERE rn <= 64 GROUP BY event_type)
+         |SELECT event_type, CAST(len(kmins) AS BIGINT) AS k_held,
+         |       CAST(kmins[len(kmins)] AS BIGINT) AS h_k,
+         |       CAST(kmins[1] AS BIGINT) AS h_1,
+         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), kmins),
+         |                        (a, b) -> a + b) AS BIGINT) AS kmins_sum,
+         |       CAST(n_exact AS BIGINT) AS n_exact,
+         |       CASE WHEN len(kmins) < 64 THEN CAST(len(kmins) AS BIGINT)
+         |            ELSE CAST(63 AS BIGINT) * ${Hashes.Prime}
+         |                 // kmins[len(kmins)]
+         |       END AS kmv_est,
+         |       TRUE AS stream_eq_batch
+         |FROM mins ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      import graft.functions.{Hashes, KmvSketch}
+      import graft.streaming.StatefulStreams
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_kmv_q_").toFile
+      sys.addShutdownHook(rmrf(root))
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          Hashes.mulHash(col("user_id"), 71).as("hv"))
+        .persist() // feeds the landing write and the batch-parity sketch
+      e.repartition(4).write.parquet(s"$root/landing")
+      val prev =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        StatefulStreams.RocksDbProvider)
+      try {
+        val stream = s.readStream
+          .schema(new StructType()
+            .add("event_type", StringType).add("hv", LongType))
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new StatefulStreams.KmvStream(64),
+            TimeMode.None(), OutputMode.Update())
+        val memName = root.getName // unique per invocation
+        val q = stream.toDF("event_type", "n", "kmins")
+          .writeStream.outputMode("update").format("memory")
+          .queryName(memName)
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // n is monotone per key → the max-n emission carries final state
+        val wn = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("n").desc)
+        val streamed = s.table(memName)
+          .withColumn("rk", row_number().over(wn))
+          .where(col("rk") === 1)
+          .select(col("event_type"), col("kmins").as("skmins"))
+        val batch = e.groupBy("event_type")
+          .agg(KmvSketch.kmv(64)(col("hv")).as("kmins"),
+            countDistinct("hv").as("n_exact"))
+        val est = when(size(col("kmins")) < 64,
+          size(col("kmins")).cast("long"))
+          .otherwise(expr(s"63 * ${Hashes.Prime}L div element_at(kmins, 64)"))
+        batch.join(streamed, Seq("event_type"))
+          .select(col("event_type"),
+            size(col("kmins")).cast("long").as("k_held"),
+            element_at(col("kmins"), size(col("kmins"))).as("h_k"),
+            element_at(col("kmins"), 1).as("h_1"),
+            aggregate(col("kmins"), lit(0L), (a, x) => a + x)
+              .as("kmins_sum"),
+            col("n_exact"), est.as("kmv_est"),
+            (col("kmins") === col("skmins")).as("stream_eq_batch"))
+          .orderBy("event_type")
+      } finally {
+        prev match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
     }
   )
 }

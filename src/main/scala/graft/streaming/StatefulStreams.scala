@@ -35,6 +35,42 @@ object StatefulStreams {
     * ascending mtimes — the q254 discipline): a recurrence is the op class
     * where arrival order IS the semantics.
     */
+  /** Continuously-maintained KMV distinct sketch — the STREAMING twin of
+    * [[graft.functions.KmvSketch]]: one bounded sorted array of k minimum
+    * distinct hashes per key in ValueState, folded with the SAME reduce
+    * the batch Aggregator uses, so the final streamed state must equal
+    * the batch sketch bit-for-bit under any micro-batch slicing (KMV
+    * updates are commutative and idempotent — the mergeability that makes
+    * the sketch map-side-combinable is exactly what makes it
+    * stream-sliceable). Emits (key, rows-seen, sketch) per touched key
+    * per batch; rows-seen is monotone, so the max-n emission is the final
+    * state. O(k) state per key — the streaming-sketch posture.
+    */
+  class KmvStream(k: Int)
+      extends StatefulProcessor[String, (String, Long), (String, Long, Array[Long])] {
+    @transient private var st: ValueState[Array[Long]] = _
+    @transient private var cnt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[Array[Long]]("kmv",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+        TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                                 tv: TimerValues): Iterator[(String, Long, Array[Long])] = {
+      val agg = new graft.functions.KmvSketch.KmvAgg(k)
+      var buf = if (st.exists()) st.get() else Array.empty[Long]
+      var n = if (cnt.exists()) cnt.get() else 0L
+      rows.foreach { case (_, hv) => buf = agg.reduce(buf, hv); n += 1 }
+      st.update(buf)
+      cnt.update(n)
+      Iterator.single((key, n, buf))
+    }
+  }
+
   class OrderedEwma
       extends StatefulProcessor[String, (String, Long, Long), (String, Long, Long, Long)] {
     @transient private var st: ValueState[Long] = _

@@ -160,4 +160,17 @@ class Round12Spec extends AnyFunSuite {
     }
     assert(mis.size + dropped.size == pts.length, "every vertex decided")
   }
+
+  test("q383 streamed KMV sketch equals the batch sketch bit-for-bit") {
+    val rows = run("q383_stream_kmv").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("stream_eq_batch"),
+        s"${r.getAs[String]("event_type")}: streamed sketch diverged")
+      val est = r.getAs[Long]("kmv_est")
+      val exact = r.getAs[Long]("n_exact")
+      assert(math.abs(est - exact) * 10 <= exact,
+        s"KMV estimate $est vs exact $exact — outside 10%")
+    }
+  }
 }
