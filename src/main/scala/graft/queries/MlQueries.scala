@@ -3060,6 +3060,102 @@ object MlQueries {
         .unionAll(m2.select(lit(2L), col("mu1"), col("mu2"), col("n1"),
           col("n2")))
         .orderBy("iter")
+    },
+
+    // Stratified + inverse-propensity-weighted ATE — the confounding
+    // corrector the causal family (q330 matching, q331 DiD, q333 uplift)
+    // was missing, with the ground truth PLANTED so the correction is
+    // measurable, not asserted: treatment probability rises with the
+    // order-priority stratum (10%·s), the outcome carries a +40000·s
+    // stratum effect, a +25000 treatment effect, and bounded hash noise —
+    // so the naive treated-minus-control difference inhales the stratum
+    // skew (≈+38000 bias) while (a) the stratified estimator
+    // Σ (n_s/N)(ȳ₁ₛ−ȳ₀ₛ) and (b) Horvitz–Thompson IPW under the KNOWN
+    // propensity e=s/10 both land near +25000. With EMPIRICAL per-stratum
+    // propensities IPW collapses to (a) algebraically; using the design
+    // propensity keeps the two estimators distinct (IPW pays variance for
+    // not estimating e). Exact integers: per-stratum sums cross-divided
+    // at e6, IPW row contributions quantized per row under the stated
+    // truncating div on both engines. One groupBy census — nothing here
+    // shuffles more than a 5-row stratum table at any corpus size.
+    QueryDef("q384_ipw_ate", {
+      import graft.functions.Hashes
+      s"""WITH o AS (
+         |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+         |         CASE WHEN ${Hashes.bucketSql("o_orderkey", 103, 10)}
+         |              < CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+         |           THEN 1 ELSE 0 END AS t,
+         |         ${Hashes.mulHashSql("o_orderkey", 107)} % 10000 AS noise
+         |  FROM orders),
+         |y AS (SELECT s, t,
+         |        40000 * s + noise
+         |          + CASE WHEN t = 1 THEN 25000 ELSE 0 END AS y
+         |      FROM o),
+         |g AS (SELECT s, t, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(y) AS BIGINT) AS sy
+         |      FROM y GROUP BY s, t),
+         |tc AS (SELECT CAST(sum(CASE WHEN t = 1 THEN n END) AS BIGINT) AS nt,
+         |         CAST(sum(CASE WHEN t = 1 THEN sy END) AS BIGINT) AS syt,
+         |         CAST(sum(CASE WHEN t = 0 THEN n END) AS BIGINT) AS nc,
+         |         CAST(sum(CASE WHEN t = 0 THEN sy END) AS BIGINT) AS syc,
+         |         CAST(sum(n) AS BIGINT) AS nn
+         |       FROM g),
+         |st AS (SELECT a.s, a.n + b.n AS ns,
+         |         a.sy * 1000000 // a.n - b.sy * 1000000 // b.n AS d_e6
+         |       FROM (SELECT * FROM g WHERE t = 1) a
+         |       JOIN (SELECT * FROM g WHERE t = 0) b ON a.s = b.s),
+         |sa AS (SELECT CAST(sum(d_e6 * ns) // sum(ns) AS BIGINT)
+         |         AS strat_ate_e6 FROM st),
+         |ip AS (SELECT CAST(sum(CASE WHEN t = 1
+         |           THEN y * 10000000 // s
+         |           ELSE -(y * 10000000 // (10 - s)) END)
+         |           // (SELECT nn FROM tc) AS BIGINT) AS ipw_ate_e6
+         |       FROM y)
+         |SELECT tc.nn AS n_orders, tc.nt AS n_treated,
+         |       CAST(tc.syt * 1000000 // tc.nt
+         |            - tc.syc * 1000000 // tc.nc AS BIGINT) AS naive_e6,
+         |       sa.strat_ate_e6, ip.ipw_ate_e6
+         |FROM tc, sa, ip""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      val o = Tables.orders(s, d).select(
+        expr("cast(substr(o_orderpriority, 1, 1) as bigint)").as("s"),
+        when(Hashes.bucket(col("o_orderkey"), 103, 10)
+          < expr("cast(substr(o_orderpriority, 1, 1) as bigint)"), 1L)
+          .otherwise(0L).as("t"),
+        (Hashes.mulHash(col("o_orderkey"), 107) % 10000).as("noise"))
+      val y = o.select(col("s"), col("t"),
+        (lit(40000L) * col("s") + col("noise")
+          + when(col("t") === 1, 25000L).otherwise(0L)).as("y"))
+        .persist() // stratum census + the IPW row pass
+      val g = y.groupBy("s", "t")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+        .persist() // totals + per-stratum diffs
+      val tc = g.agg(
+        sum(when(col("t") === 1, col("n"))).as("nt"),
+        sum(when(col("t") === 1, col("sy"))).as("syt"),
+        sum(when(col("t") === 0, col("n"))).as("nc"),
+        sum(when(col("t") === 0, col("sy"))).as("syc"),
+        sum("n").as("nn"))
+      val st = g.where(col("t") === 1).as("a")
+        .join(g.where(col("t") === 0).as("b"), col("a.s") === col("b.s"))
+        .select((col("a.n") + col("b.n")).as("ns"),
+          (expr("a.sy * 1000000 div a.n")
+            - expr("b.sy * 1000000 div b.n")).as("d_e6"))
+      val sa = st.agg(
+        expr("cast(sum(d_e6 * ns) div sum(ns) as bigint)")
+          .as("strat_ate_e6"))
+      val ip = y.crossJoin(broadcast(tc.select("nn")))
+        .agg(expr("""cast(sum(CASE WHEN t = 1
+                    |THEN y * 10000000 div s
+                    |ELSE -(y * 10000000 div (10 - s)) END)
+                    |div max(nn) as bigint)""".stripMargin
+          .replace("\n", " ")).as("ipw_ate_e6"))
+      tc.crossJoin(broadcast(sa)).crossJoin(broadcast(ip))
+        .select(col("nn").as("n_orders"), col("nt").as("n_treated"),
+          (expr("syt * 1000000 div nt") - expr("syc * 1000000 div nc"))
+            .cast("long").as("naive_e6"),
+          col("strat_ate_e6"), col("ipw_ate_e6"))
     }
   )
 }

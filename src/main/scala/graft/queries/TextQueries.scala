@@ -1671,6 +1671,136 @@ object TextQueries {
         round(sxy * sxy / (sxx * syy) * 1000000, 0).cast("long").as("r2_e6"))
     },
 
+    // Heaps' law fit — Zipf's (q328) twin on the GROWTH axis: vocabulary
+    // size vs cumulative volume, V(T) ≈ K·T^β, the curve that prices "how
+    // many new units will the next 10 TB bring" (tokenizer vocab sizing,
+    // OOV-rate forecasting, shingle-index capacity). The unit is the
+    // token TRIGRAM — the dedup shingle — because this synthetic corpus
+    // draws from a 31-word generator vocabulary that saturates in the
+    // first documents (measured; a word-level fit has zero variance),
+    // while the trigram space (31³) keeps genuinely growing corpus-long.
+    // Scale-safe checkpointing: the corpus prefix is bucketed into ≤257
+    // doc-id ranges from a 1-row max census — the cumulative window runs
+    // over a BOUNDED checkpoint census, never one row per document (a
+    // per-doc cumsum would single-partition the corpus at 100 TB).
+    // Vocabulary increments come from each trigram's FIRST checkpoint
+    // (min doc_id census); the log-log OLS is q328's exact-moment
+    // machinery verbatim, with the degenerate-variance guard stated on
+    // both engines (Spark ANSI throws on double 0/0 where DuckDB yields
+    // NaN — the SKILL.md trap).
+    QueryDef("q385_heaps_law",
+      """WITH mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mid
+        |            FROM documents),
+        |w AS (SELECT greatest(1, (mid + 1) // 256) AS wd FROM mx),
+        |toks AS (
+        |  SELECT doc_id, g AS token FROM (
+        |    SELECT doc_id, string_split(text, ' ') AS l FROM documents) b,
+        |  LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) ii,
+        |  LATERAL (SELECT l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g)
+        |    gg
+        |  WHERE len(l) >= 3),
+        |dt AS (SELECT doc_id // (SELECT wd FROM w) AS ck,
+        |         CAST(count(*) AS BIGINT) AS nt
+        |       FROM toks GROUP BY 1),
+        |ft AS (SELECT token, CAST(min(doc_id) AS BIGINT) AS fd
+        |       FROM toks GROUP BY token),
+        |nv AS (SELECT fd // (SELECT wd FROM w) AS ck,
+        |         CAST(count(*) AS BIGINT) AS nv
+        |       FROM ft GROUP BY 1),
+        |cum AS (SELECT dt.ck,
+        |          CAST(sum(dt.nt) OVER (ORDER BY dt.ck) AS BIGINT) AS ct,
+        |          CAST(sum(coalesce(nv.nv, 0)) OVER (ORDER BY dt.ck)
+        |            AS BIGINT) AS cv
+        |        FROM dt LEFT JOIN nv ON nv.ck = dt.ck),
+        |pts AS (
+        |  SELECT CAST(round(ln(CAST(ct AS DOUBLE)) * 1000000, 0) AS BIGINT)
+        |           AS x,
+        |         CAST(round(ln(CAST(cv AS DOUBLE)) * 1000000, 0) AS BIGINT)
+        |           AS y
+        |  FROM cum WHERE ct >= 100),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM pts),
+        |t AS (SELECT CAST(max(ct) AS BIGINT) AS total_tokens,
+        |             CAST(max(cv) AS BIGINT) AS vocab FROM cum)
+        |SELECT m.n AS n_points, t.total_tokens, t.vocab,
+        |       CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |         * 1000000, 0) AS BIGINT) AS beta_e6,
+        |       CAST(round((CAST(sy AS DOUBLE)
+        |           - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |             * sx) / n, 0) AS BIGINT) AS intercept_e6,
+        |       CASE WHEN CAST(n AS HUGEINT) * syy = CAST(sy AS HUGEINT) * sy
+        |                 OR CAST(n AS HUGEINT) * sxx
+        |                    = CAST(sx AS HUGEINT) * sx
+        |            THEN CAST(NULL AS BIGINT)
+        |            ELSE CAST(round(
+        |              (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |              * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |              / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |                 * (CAST(n AS DOUBLE) * syy
+        |                    - CAST(sy AS DOUBLE) * sy))
+        |              * 1000000, 0) AS BIGINT) END AS r2_e6
+        |FROM m, t""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg(max("doc_id").as("mid"))
+        .select(greatest(lit(1L), expr("(mid + 1) div 256")).as("wd"))
+      val toks = docs
+        .select(col("doc_id"), split(col("text"), " ", -1).as("l"))
+        .where(size(col("l")) >= 3)
+        .select(col("doc_id"),
+          explode(expr("sequence(1, size(l) - 2)")).as("i"), col("l"))
+        .select(col("doc_id"),
+          expr("concat(element_at(l, i), ' ', element_at(l, i + 1)," +
+            " ' ', element_at(l, i + 2))").as("token"))
+        .persist() // per-checkpoint counts + first-occurrence census
+      val dt = toks.crossJoin(broadcast(mx))
+        .groupBy(expr("doc_id div wd").as("ck"))
+        .agg(count(lit(1)).as("nt"))
+      val nv = toks.groupBy("token").agg(min("doc_id").as("fd"))
+        .crossJoin(broadcast(mx))
+        .groupBy(expr("fd div wd").as("ck"))
+        .agg(count(lit(1)).as("nv"))
+      val w = Window.orderBy("ck")
+      val cum = dt.join(nv, Seq("ck"), "left")
+        .select(col("ck"), sum("nt").over(w).as("ct"),
+          sum(coalesce(col("nv"), lit(0L))).over(w).as("cv"))
+      val pts = cum.where(col("ct") >= 100)
+        .select(round(log(col("ct").cast("double")) * 1000000, 0)
+            .cast("long").as("x"),
+          round(log(col("cv").cast("double")) * 1000000, 0)
+            .cast("long").as("y"))
+      val m = pts.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val t = cum.agg(max("ct").as("total_tokens"), max("cv").as("vocab"))
+      val sxy = col("n").cast("double") * col("sxy") -
+        col("sx").cast("double") * col("sy")
+      val sxx = col("n").cast("double") * col("sxx") -
+        col("sx").cast("double") * col("sx")
+      val syy = col("n").cast("double") * col("syy") -
+        col("sy").cast("double") * col("sy")
+      m.crossJoin(broadcast(t))
+        .select(col("n").as("n_points"), col("total_tokens"), col("vocab"),
+          round(sxy / sxx * 1000000, 0).cast("long").as("beta_e6"),
+          round((col("sy").cast("double") - sxy / sxx * col("sx"))
+            / col("n"), 0).cast("long").as("intercept_e6"),
+          when(expr("cast(n as decimal(38,0)) * syy")
+            === expr("cast(sy as decimal(38,0)) * sy")
+            || expr("cast(n as decimal(38,0)) * sxx")
+            === expr("cast(sx as decimal(38,0)) * sx"),
+            lit(null).cast("long"))
+            .otherwise(round(sxy * sxy / (sxx * syy) * 1000000, 0)
+              .cast("long")).as("r2_e6"))
+    },
+
     // Smoothed-unigram negative sampling — word2vec's α=0.75 trick
     // (Mikolov et al. 2013): contrastive negatives drawn ∝ count^0.75,
     // flattening the head so frequent tokens don't drown the table. The

@@ -161,6 +161,34 @@ class Round12Spec extends AnyFunSuite {
     assert(mis.size + dropped.size == pts.length, "every vertex decided")
   }
 
+  test("q384 stratified and IPW estimators correct the planted confounding") {
+    val r = run("q384_ipw_ate").collect()(0)
+    val truth = 25000L * 1000000L // planted effect, e6 cents
+    val naive = r.getAs[Long]("naive_e6")
+    val strat = r.getAs[Long]("strat_ate_e6")
+    val ipw = r.getAs[Long]("ipw_ate_e6")
+    // the confounding is designed in: naive inhales the +40000·s stratum
+    // effect through the s-dependent treatment rate
+    assert(naive - truth > 20000L * 1000000L,
+      s"naive $naive not visibly biased vs $truth")
+    // both correctors land near the truth; stratified is the tighter one
+    assert(math.abs(strat - truth) < 3000L * 1000000L, s"strat $strat")
+    assert(math.abs(ipw - truth) < 5000L * 1000000L, s"ipw $ipw")
+    assert(math.abs(strat - truth) < math.abs(naive - truth))
+    assert(math.abs(ipw - truth) < math.abs(naive - truth))
+  }
+
+  test("q385 Heaps fit finds sublinear growth with a tight log-log line") {
+    val r = run("q385_heaps_law").collect()(0)
+    val beta = r.getAs[Long]("beta_e6")
+    assert(beta > 0 && beta < 1000000L,
+      s"beta_e6 $beta outside (0, 1) — not Heaps growth")
+    assert(r.getAs[Long]("r2_e6") > 900000L, "log-log fit not tight")
+    assert(r.getAs[Long]("vocab") > 1000L,
+      "trigram vocabulary degenerate — unit choice regressed")
+    assert(r.getAs[Long]("vocab") < r.getAs[Long]("total_tokens"))
+  }
+
   test("q383 streamed KMV sketch equals the batch sketch bit-for-bit") {
     val rows = run("q383_stream_kmv").collect()
     assert(rows.nonEmpty)
