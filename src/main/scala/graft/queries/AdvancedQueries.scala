@@ -3093,6 +3093,71 @@ object AdvancedQueries {
           (col("total") - sum(col("n_mis") + col("n_removed")).over(w))
             .as("n_alive_after"))
         .orderBy("round")
+    },
+
+    // Association rules (market-basket) — the ITEMSET complement to
+    // q355's sequential patterns: which part brands co-occur in the same
+    // order beyond chance. Baskets are orders, items the DISTINCT brands
+    // on the order's lines; pair supports come from one within-basket
+    // self-equi-join on the order key (candidates bounded by the per-
+    // order line count squared — the Apriori candidate join, never a
+    // brand×brand cross product against facts); rules carry confidence
+    // P(c|a) and lift P(a,c)/(P(a)P(c)) as exact e6 integer ratios of
+    // census counts. The data-derived minimum support (0.1% of baskets,
+    // floor 1) keeps the rule list stable as the corpus grows — support
+    // thresholds, not top-k over noise, are what make basket mining
+    // scale. Top 20 by (lift, antecedent, consequent) for determinism.
+    QueryDef("q386_assoc_rules",
+      """WITH b AS (
+        |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders
+        |      FROM b),
+        |s AS (SELECT brand, CAST(count(*) AS BIGINT) AS n1
+        |      FROM b GROUP BY brand),
+        |pr AS (SELECT a.brand AS ant, c.brand AS cons,
+        |         CAST(count(*) AS BIGINT) AS n_both
+        |       FROM b a JOIN b c ON a.okey = c.okey
+        |         AND a.brand <> c.brand
+        |       GROUP BY 1, 2),
+        |r AS (SELECT pr.ant, pr.cons, pr.n_both,
+        |        sa.n1 AS n_ant, sc.n1 AS n_cons, n.n_orders,
+        |        CAST(pr.n_both * 1000000 // sa.n1 AS BIGINT) AS conf_e6,
+        |        CAST(pr.n_both * n.n_orders * 1000000
+        |             // (sa.n1 * sc.n1) AS BIGINT) AS lift_e6
+        |      FROM pr JOIN s sa ON sa.brand = pr.ant
+        |      JOIN s sc ON sc.brand = pr.cons
+        |      CROSS JOIN n
+        |      WHERE pr.n_both >= greatest(1, n.n_orders // 1000))
+        |SELECT ant, cons, n_both, n_ant, n_cons, conf_e6, lift_e6
+        |FROM r ORDER BY lift_e6 DESC, ant, cons LIMIT 20""".stripMargin) {
+      (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+        .distinct()
+        .persist() // item supports + the within-basket pair join
+      val n = b.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
+      val sup = b.groupBy("brand").agg(count(lit(1)).as("n1"))
+      val pr = b.as("a").join(b.as("c"),
+          col("a.okey") === col("c.okey")
+            && col("a.brand") =!= col("c.brand"))
+        .groupBy(col("a.brand").as("ant"), col("c.brand").as("cons"))
+        .agg(count(lit(1)).as("n_both"))
+      pr.join(broadcast(sup.select(col("brand").as("ant"),
+          col("n1").as("n_ant"))), "ant")
+        .join(broadcast(sup.select(col("brand").as("cons"),
+          col("n1").as("n_cons"))), "cons")
+        .crossJoin(broadcast(n))
+        .where(col("n_both") >= greatest(lit(1L),
+          expr("n_orders div 1000")))
+        .select(col("ant"), col("cons"), col("n_both"), col("n_ant"),
+          col("n_cons"),
+          expr("n_both * 1000000 div n_ant").as("conf_e6"),
+          expr("n_both * n_orders * 1000000 div (n_ant * n_cons)")
+            .as("lift_e6"))
+        .orderBy(col("lift_e6").desc, col("ant"), col("cons"))
+        .limit(20)
     }
   )
 }

@@ -3156,6 +3156,100 @@ object MlQueries {
           (expr("syt * 1000000 div nt") - expr("syc * 1000000 div nc"))
             .cast("long").as("naive_e6"),
           col("strat_ate_e6"), col("ipw_ate_e6"))
+    },
+
+    // Benjamini–Hochberg FDR — the multiple-testing control the A/B
+    // family (q226 two-sample z, q338 power, q334 SPRT) needs once there
+    // are MANY hypotheses: 25 per-nation calibration tests against a
+    // KNOWN null (outcome is a hash-uniform on [0, 10000), so the null
+    // mean 4999.5 and σ=10000/√12 are theoretical constants — testing
+    // against the known reference sidesteps the global-mean pollution a
+    // pooled estimate would inhale from the planted nations). ~5 nations
+    // (hash-chosen) carry a +2000 shift. p-values via the Abramowitz-
+    // Stegun 7.1.26 erfc polynomial (the transcendental contract: one
+    // double chain per CENSUS row, e6-quantized before any comparison);
+    // BH is the integer step-up p_(k)·20·m ≤ k·1e6 — reject ranks up to
+    // the LARGEST passing k. Output per nation: z, p, naive α=0.05
+    // verdict, BH verdict. The spec checks every planted nation is
+    // caught and BH never rejects more than naive (FDR ⊆ FWER-naive).
+    QueryDef("q387_bh_fdr", {
+      import graft.functions.Hashes
+      val z = "CAST(az AS DOUBLE) / 1000000"
+      val tt = s"(1 / (1 + 0.3275911 * ($z / sqrt(2))))"
+      val erfcChain =
+        s"""round(($tt * 0.254829592
+           | - $tt * $tt * 0.284496736
+           | + $tt * $tt * $tt * 1.421413741
+           | - $tt * $tt * $tt * $tt * 1.453152027
+           | + $tt * $tt * $tt * $tt * $tt * 1.061405429)
+           | * exp(-($z / sqrt(2)) * ($z / sqrt(2))) * 1000000, 0)"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH o AS (
+         |  SELECT c.c_nationkey AS nat,
+         |         ${Hashes.mulHashSql("o.o_orderkey", 109)} % 10000
+         |           + CASE WHEN ${Hashes.bucketSql("c.c_nationkey", 113, 5)}
+         |                       = 0 THEN 2000 ELSE 0 END AS y
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         |g AS (SELECT nat, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(y) AS BIGINT) AS sy
+         |      FROM o GROUP BY nat),
+         |zc AS (SELECT nat, n,
+         |         CAST(round((CAST(sy AS DOUBLE) / n - 4999.5)
+         |           * sqrt(CAST(n AS DOUBLE))
+         |           / (10000 / sqrt(12.0)) * 1000000, 0) AS BIGINT) AS z_e6
+         |       FROM g),
+         |p AS (SELECT nat, n, z_e6, abs(z_e6) AS az FROM zc),
+         |pv AS (SELECT nat, n, z_e6,
+         |         CAST($erfcChain AS BIGINT) AS p_e6
+         |       FROM p),
+         |rk AS (SELECT nat, n, z_e6, p_e6,
+         |         row_number() OVER (ORDER BY p_e6, nat) AS k,
+         |         CAST(count(*) OVER () AS BIGINT) AS m
+         |       FROM pv),
+         |km AS (SELECT coalesce(max(CASE WHEN p_e6 * 20 * m <= k * 1000000
+         |                       THEN k END), 0) AS kmax
+         |       FROM rk)
+         |SELECT nat AS nation_id, n, z_e6, p_e6,
+         |       p_e6 * 20 <= 1000000 AS naive_reject,
+         |       k <= (SELECT kmax FROM km) AS bh_reject
+         |FROM rk ORDER BY p_e6, nation_id""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").cast("long").as("nat"),
+          (Hashes.mulHash(col("o_orderkey"), 109) % 10000
+            + when(Hashes.bucket(col("c_nationkey"), 113, 5) === 0, 2000L)
+              .otherwise(0L)).as("y"))
+      val g = o.groupBy("nat").agg(count(lit(1)).as("n"), sum("y").as("sy"))
+      val zc = g.select(col("nat"), col("n"),
+        round((col("sy").cast("double") / col("n") - 4999.5)
+          * sqrt(col("n").cast("double"))
+          / (lit(10000d) / sqrt(lit(12.0))) * 1000000, 0)
+          .cast("long").as("z_e6"))
+      val t = expr("1 / (1 + 0.3275911 * (cast(abs(z_e6) as double)" +
+        " / 1000000 / sqrt(2)))")
+      val x = expr("cast(abs(z_e6) as double) / 1000000 / sqrt(2)")
+      val pv = zc.select(col("nat"), col("n"), col("z_e6"),
+        round((t * 0.254829592 - t * t * 0.284496736
+          + t * t * t * 1.421413741 - t * t * t * t * 1.453152027
+          + t * t * t * t * t * 1.061405429) * exp(-x * x) * 1000000, 0)
+          .cast("long").as("p_e6"))
+      val w = Window.orderBy("p_e6", "nat")
+      val rk = pv.select(col("nat"), col("n"), col("z_e6"), col("p_e6"),
+          row_number().over(w).as("k"),
+          count(lit(1)).over(Window.partitionBy()).as("m"))
+        .persist() // the kmax census + the verdict rows
+      val km = rk.agg(coalesce(max(when(
+        col("p_e6") * 20 * col("m") <= col("k") * 1000000L, col("k"))),
+        lit(0)).as("kmax"))
+      rk.crossJoin(broadcast(km))
+        .select(col("nat").as("nation_id"), col("n"), col("z_e6"),
+          col("p_e6"),
+          (col("p_e6") * 20 <= 1000000L).as("naive_reject"),
+          (col("k") <= col("kmax")).as("bh_reject"))
+        .orderBy("p_e6", "nation_id")
     }
   )
 }

@@ -189,6 +189,53 @@ class Round12Spec extends AnyFunSuite {
     assert(r.getAs[Long]("vocab") < r.getAs[Long]("total_tokens"))
   }
 
+  test("q386 association rules respect the support/confidence identities") {
+    val rows = run("q386_assoc_rules").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (nb, na, nc) = (r.getAs[Long]("n_both"), r.getAs[Long]("n_ant"),
+        r.getAs[Long]("n_cons"))
+      assert(nb <= math.min(na, nc), "pair support exceeds item support")
+      assert(r.getAs[Long]("conf_e6") == nb * 1000000L / na)
+      assert(r.getAs[Long]("conf_e6") <= 1000000L)
+      assert(r.getAs[Long]("lift_e6") > 0)
+    }
+    val lifts = rows.map(_.getAs[Long]("lift_e6"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b },
+      "not sorted by lift")
+    // symmetric rule pairs share their lift (lift is direction-free)
+    val byPair = rows.groupBy(r => {
+      val a = r.getAs[String]("ant"); val c = r.getAs[String]("cons")
+      if (a < c) (a, c) else (c, a)
+    })
+    byPair.values.filter(_.length == 2).foreach(p =>
+      assert(p(0).getAs[Long]("lift_e6") == p(1).getAs[Long]("lift_e6")))
+  }
+
+  test("q387 BH catches every planted shift and never exceeds naive") {
+    val rows = run("q387_bh_fdr").collect()
+    assert(rows.length == 25)
+    val planted = (0 until 25).filter(nat =>
+      graft.functions.Hashes.mulHashLong(nat.toLong, 113) % 5 == 0)
+      .map(_.toLong).toSet
+    assert(planted.nonEmpty)
+    rows.foreach { r =>
+      val nat = r.getAs[Long]("nation_id")
+      if (planted(nat))
+        assert(r.getAs[Boolean]("bh_reject"),
+          s"planted nation $nat not rejected by BH")
+      if (r.getAs[Boolean]("bh_reject"))
+        assert(r.getAs[Boolean]("naive_reject"),
+          s"BH rejected $nat that naive keeps — step-up broken")
+    }
+    val bh = rows.count(_.getAs[Boolean]("bh_reject"))
+    assert(bh <= planted.size + 2,
+      s"BH rejected $bh with only ${planted.size} planted — FDR not controlled")
+    // p-values are valid probabilities, ordered consistently with |z|
+    rows.foreach(r => assert(r.getAs[Long]("p_e6") >= 0
+      && r.getAs[Long]("p_e6") <= 1000000L))
+  }
+
   test("q383 streamed KMV sketch equals the batch sketch bit-for-bit") {
     val rows = run("q383_stream_kmv").collect()
     assert(rows.nonEmpty)
