@@ -532,6 +532,26 @@ object ScaleProbe {
           col("l_quantity").cast("long").as("y"))
         graft.operators.NnMatch.nearest1d(o, "x", "treated", "k", "y")
           .groupBy().agg(count(lit(1)).as("n"), sum("dist").as("sd"))
+      },
+
+      // one Luby MIS round over the spatial graph: the per-round cost is
+      // the scale claim (round COUNT is O(log n) by the geometric die-off
+      // q382's census shows) — edge-keyed min-priority exchange + two
+      // anti-joins, all hash-partitioned on vertex id
+      "luby_round" -> { m =>
+        import graft.functions.Hashes
+        val verts = (0 until m).map { k =>
+          Tables.customer(spark, sfDir)
+            .select((col("c_custkey") + lit(k.toLong * 10_000_000L)).as("id"))
+        }.reduce(_ unionAll _)
+          .withColumn("prio",
+            Hashes.mulHash(col("id") % 10_000_000L, 91) * 10_000_000L
+              + col("id"))
+        val edges = spatialEdges(m)
+          .select(col("u").as("src"), col("v").as("dst"))
+        graft.operators.Mis.lubyRounds(edges, verts, 1)
+          .groupBy().agg(count(lit(1)).as("n"),
+            sum(when(col("selected"), 1L).otherwise(0L)).as("n_mis"))
       })
 
     // the steepest 10× shapes get a 30× leg: confirms no super-linear break
