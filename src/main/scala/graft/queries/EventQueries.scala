@@ -3532,6 +3532,56 @@ object EventQueries {
             s.conf.unset("spark.sql.streaming.stateStore.providerClass")
         }
       }
+    },
+
+    // Exponentially time-decayed counts — the freshness-weighted volume
+    // metric every ops dashboard ranks by (a burst yesterday should
+    // outrank steady drip from last month): each event contributes
+    // 2^(−age/half-life) with a 1-day half-life, anchored at the
+    // corpus's own max timestamp (a 1-row census, so the query is
+    // replayable — wall clock never enters). Transcendental contract:
+    // the decay weight is ONE double chain per row — exp(−age_days·ln2)
+    // with ln 2 as a shared literal, e6-quantized BEFORE the sum — so
+    // the cross-row reduction is pure integer. Output carries both the
+    // raw and decayed rankings; their divergence is the recency signal.
+    // Scale: one max census + one groupBy — nothing new moves at 100 TB.
+    QueryDef("q388_decayed_counts",
+      """WITH mx AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS tmax
+        |            FROM events),
+        |w AS (SELECT event_type,
+        |        CAST(round(exp(-(CAST(tmax - epoch_us(ts) AS DOUBLE)
+        |          / 86400000000.0) * 0.6931471805599453) * 1000000, 0)
+        |          AS BIGINT) AS w_e6
+        |      FROM events, mx),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_raw,
+        |        CAST(sum(w_e6) AS BIGINT) AS decayed_e6
+        |      FROM w GROUP BY event_type)
+        |SELECT event_type, n_raw, decayed_e6,
+        |       CAST(decayed_e6 // n_raw AS BIGINT) AS mean_w_e6,
+        |       CAST(row_number() OVER (ORDER BY n_raw DESC, event_type)
+        |         AS BIGINT) AS rank_raw,
+        |       CAST(row_number() OVER (ORDER BY decayed_e6 DESC, event_type)
+        |         AS BIGINT) AS rank_decayed
+        |FROM g ORDER BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val mx = Tables.events(s, d)
+        .agg(max(expr("unix_micros(ts)")).as("tmax"))
+      val w = Tables.events(s, d).crossJoin(broadcast(mx))
+        .select(col("event_type"),
+          // IEEE-identical to the oracle's -(age/day)·ln2: negating the
+          // constant vs the operand is exact in floating point
+          round(exp((col("tmax") - expr("unix_micros(ts)")).cast("double")
+            / 86400000000.0 * -0.6931471805599453) * 1000000, 0)
+            .cast("long").as("w_e6"))
+      val g = w.groupBy("event_type")
+        .agg(count(lit(1)).as("n_raw"), sum("w_e6").as("decayed_e6"))
+      g.select(col("event_type"), col("n_raw"), col("decayed_e6"),
+          expr("decayed_e6 div n_raw").as("mean_w_e6"),
+          row_number().over(Window.orderBy(col("n_raw").desc,
+            col("event_type"))).cast("long").as("rank_raw"),
+          row_number().over(Window.orderBy(col("decayed_e6").desc,
+            col("event_type"))).cast("long").as("rank_decayed"))
+        .orderBy("event_type")
     }
   )
 }

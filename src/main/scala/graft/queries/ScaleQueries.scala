@@ -1297,6 +1297,85 @@ object ScaleQueries {
       import s.implicits._
       Seq((nRows, kth, median, nLe))
         .toDF("n_rows", "kth", "median_cents", "n_le_median")
+    },
+
+    // Join-cardinality estimation from KMV sketches (Beyer et al.,
+    // SIGMOD 2007) — the PLANNER's question answered without running the
+    // join: two k=128 sketches of the (hashed) join-key domains, the
+    // union sketch is the bottom-k of the merged minima, Ĵ = |union
+    // elements present in BOTH side sketches|/k, and the distinct-key
+    // intersection estimate is Ĵ·D̂(A∪B). Everything after the two
+    // census aggregates is arithmetic on two 128-long arrays in ONE row
+    // (array_union/sort/slice/filter — no shuffle); the exact
+    // intersection is computed alongside as the truth twin and the error
+    // is reported in ppm. At 100 TB this is the shape that decides
+    // broadcast-vs-shuffle before paying for either: two map-side
+    // sketch passes, never a key exchange.
+    QueryDef("q389_kmv_join_card", {
+      import graft.functions.Hashes
+      s"""WITH a AS (SELECT DISTINCT ${Hashes.mulHashSql("o_custkey", 71)}
+         |             AS hv FROM orders),
+         |b AS (SELECT DISTINCT ${Hashes.mulHashSql("c_custkey", 71)} AS hv
+         |      FROM customer WHERE c_acctbal > 0),
+         |ka AS (SELECT hv FROM a ORDER BY hv LIMIT 128),
+         |kb AS (SELECT hv FROM b ORDER BY hv LIMIT 128),
+         |un AS (SELECT hv FROM (SELECT hv FROM ka UNION
+         |                       SELECT hv FROM kb) u
+         |       ORDER BY hv LIMIT 128),
+         |ku AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |              CAST(max(hv) AS BIGINT) AS hk FROM un),
+         |lo AS (SELECT CAST(count(*) AS BIGINT) AS l FROM un
+         |       WHERE hv IN (SELECT hv FROM ka)
+         |         AND hv IN (SELECT hv FROM kb)),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM a
+         |       WHERE hv IN (SELECT hv FROM b)),
+         |eu AS (SELECT CASE WHEN k < 128 THEN k
+         |              ELSE CAST(127 AS BIGINT) * ${Hashes.Prime} // hk
+         |              END AS est_union, k, hk FROM ku)
+         |SELECT eu.k AS k_union, eu.hk AS hk_union, lo.l AS l_overlap,
+         |       CAST(eu.est_union AS BIGINT) AS est_union,
+         |       CAST(lo.l * eu.est_union // eu.k AS BIGINT) AS est_inter,
+         |       ex.exact_inter,
+         |       CAST(abs(lo.l * eu.est_union // eu.k - ex.exact_inter)
+         |            * 1000000 // greatest(ex.exact_inter, 1) AS BIGINT)
+         |         AS err_ppm
+         |FROM eu, lo, ex""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.{Hashes, KmvSketch}
+      val a = Tables.orders(s, d)
+        .select(Hashes.mulHash(col("o_custkey"), 71).as("hv")).distinct()
+        .persist() // sketch + exact-truth sides
+      val b = Tables.customer(s, d).where(col("c_acctbal") > 0)
+        .select(Hashes.mulHash(col("c_custkey"), 71).as("hv")).distinct()
+        .persist()
+      val kmv = KmvSketch.kmv(128)
+      val ska = a.agg(kmv(col("hv")).as("ka"))
+      val skb = b.agg(kmv(col("hv")).as("kb"))
+      val ex = a.join(b, Seq("hv"), "left_semi")
+        .agg(count(lit(1)).as("exact_inter"))
+      ska.crossJoin(broadcast(skb)).crossJoin(broadcast(ex))
+        .select(col("ka"), col("kb"), col("exact_inter"),
+          slice(array_sort(array_union(col("ka"), col("kb"))), 1, 128)
+            .as("un"))
+        .select(col("exact_inter"),
+          size(col("un")).cast("long").as("k_union"),
+          element_at(col("un"), size(col("un"))).as("hk_union"),
+          size(filter(col("un"), x =>
+            array_contains(col("ka"), x) && array_contains(col("kb"), x)))
+            .cast("long").as("l_overlap"),
+          col("un"))
+        .select(col("k_union"), col("hk_union"), col("l_overlap"),
+          when(col("k_union") < 128, col("k_union"))
+            .otherwise(expr(s"127 * ${Hashes.Prime}L div hk_union"))
+            .as("est_union"),
+          col("exact_inter"))
+        .select(col("k_union"), col("hk_union"), col("l_overlap"),
+          col("est_union"),
+          expr("l_overlap * est_union div k_union").as("est_inter"),
+          col("exact_inter"),
+          expr("""abs(l_overlap * est_union div k_union - exact_inter)
+                 |* 1000000 div greatest(exact_inter, 1L)"""
+            .stripMargin.replace("\n", " ")).as("err_ppm"))
     }
   )
 }

@@ -236,6 +236,38 @@ class Round12Spec extends AnyFunSuite {
       && r.getAs[Long]("p_e6") <= 1000000L))
   }
 
+  test("q388 decay weights are valid and rankings are permutations") {
+    val rows = run("q388_decayed_counts").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mean_w_e6") <= 1000000L, "a weight exceeded 1")
+      assert(r.getAs[Long]("mean_w_e6") > 0)
+      assert(r.getAs[Long]("decayed_e6") <= r.getAs[Long]("n_raw") * 1000000L)
+    }
+    Seq("rank_raw", "rank_decayed").foreach { c =>
+      assert(rows.map(_.getAs[Long](c)).sorted.toSeq
+        == (1L to rows.length).toSeq, s"$c is not a permutation")
+    }
+  }
+
+  test("q389 KMV join-cardinality estimate lands within 10% of exact") {
+    val r = run("q389_kmv_join_card").collect()(0)
+    assert(r.getAs[Long]("l_overlap") <= r.getAs[Long]("k_union"))
+    assert(r.getAs[Long]("exact_inter") > 0)
+    assert(r.getAs[Long]("err_ppm") < 100000L,
+      s"estimate ${r.getAs[Long]("est_inter")} vs exact " +
+        s"${r.getAs[Long]("exact_inter")} — err ${r.getAs[Long]("err_ppm")}ppm")
+    // independent truth: distinct customer keys with positive balance that
+    // actually appear among orders
+    import graft.functions.Hashes
+    val a = Tables.orders(spark, sf)
+      .select(Hashes.mulHash(col("o_custkey"), 71).as("hv")).distinct()
+    val b = Tables.customer(spark, sf).where(col("c_acctbal") > 0)
+      .select(Hashes.mulHash(col("c_custkey"), 71).as("hv")).distinct()
+    assert(r.getAs[Long]("exact_inter")
+      == a.join(b, Seq("hv"), "left_semi").count())
+  }
+
   test("q383 streamed KMV sketch equals the batch sketch bit-for-bit") {
     val rows = run("q383_stream_kmv").collect()
     assert(rows.nonEmpty)
