@@ -3158,6 +3158,149 @@ object AdvancedQueries {
             .as("lift_e6"))
         .orderBy(col("lift_e6").desc, col("ant"), col("cons"))
         .limit(20)
+    },
+
+    // Skyline (Pareto frontier) — the multi-criteria dominance operator
+    // (Börzsönyi et al., ICDE 2001) the top-k family can't express: parts
+    // undominated in (price ↓, size ↑) — no other part is cheaper-or-
+    // equal AND bigger-or-equal with one strict. For 2-D the frontier
+    // needs NO pairwise join at all: one sort by price with a RANGE
+    // frame (strictly-cheaper prefix) gives the best size any cheaper
+    // part achieves, and a per-price-group max settles equal-price
+    // dominance — O(n log n), one exchange, vs the naive n² dominance
+    // join. The value-based RANGE frame (not ROWS) is what makes
+    // price-ties correct: a part is only tested against STRICTLY cheaper
+    // ones.
+    QueryDef("q390_skyline",
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |         CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_c,
+        |         CAST(p_size AS BIGINT) AS sz
+        |  FROM part),
+        |f AS (SELECT p_partkey, price_c, sz,
+        |        max(sz) OVER (ORDER BY price_c
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS best_cheaper,
+        |        max(sz) OVER (PARTITION BY price_c) AS best_same
+        |      FROM p)
+        |SELECT p_partkey, price_c, sz
+        |FROM f
+        |WHERE (best_cheaper IS NULL OR best_cheaper < sz)
+        |  AND sz = best_same
+        |ORDER BY price_c, p_partkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.part(s, d).select(col("p_partkey"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("price_c"),
+        col("p_size").cast("long").as("sz"))
+      val wr = Window.orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wg = Window.partitionBy("price_c")
+      p.select(col("p_partkey"), col("price_c"), col("sz"),
+          max("sz").over(wr).as("best_cheaper"),
+          max("sz").over(wg).as("best_same"))
+        .where((col("best_cheaper").isNull
+          || col("best_cheaper") < col("sz"))
+          && col("sz") === col("best_same"))
+        .select("p_partkey", "price_c", "sz")
+        .orderBy("price_c", "p_partkey")
+    },
+
+    // DBSCAN — density clustering over the spatial graph (Ester et al.,
+    // KDD 1996), the clustering family's density rung next to k-means
+    // (centroid, q65) and Louvain (modularity, q351): CORE points have
+    // ≥ 3 neighbors within eps=75 (the radius-25 graph has ZERO core
+    // points at the small fixture — measured — so DBSCAN runs on the
+    // denser grid, the q360 precedent), clusters are connected components of
+    // the core-core subgraph (the q61 machinery), BORDER points attach
+    // to a core neighbor, everything else is NOISE. The one algorithmic
+    // liberty is stated: classic DBSCAN assigns a border point to the
+    // first-discovered cluster (scan-order-dependent); here it joins the
+    // MINIMUM adjacent core cluster id — deterministic, engine-order-
+    // free, and exactly replayable by the oracle's recursive-CTE closure.
+    // Scale: degree census + CC rounds + one border join, all on the
+    // grid-bucketed edge relation — no stage beyond the q178 family.
+    QueryDef("q391_dbscan", {
+      s"""WITH RECURSIVE ${SpatialEdges.cteR(75)},
+         |es AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+         |  UNION ALL SELECT v, u FROM e0),
+         |dg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
+         |       FROM es GROUP BY a),
+         |core AS MATERIALIZED (SELECT id FROM dg WHERE deg >= 3),
+         |ce AS MATERIALIZED (
+         |  SELECT es.a AS ea, es.b AS eb FROM es
+         |  WHERE es.a IN (SELECT id FROM core)
+         |    AND es.b IN (SELECT id FROM core)),
+         |reach(rv, rr) AS (
+         |  SELECT DISTINCT ea, ea FROM ce
+         |  UNION
+         |  SELECT ce.eb, reach.rr FROM ce JOIN reach ON reach.rv = ce.ea),
+         |comp AS (SELECT rv AS id, min(rr) AS cl FROM reach GROUP BY rv),
+         |corelab AS MATERIALIZED (
+         |  SELECT core.id, coalesce(comp.cl, core.id) AS cl
+         |  FROM core LEFT JOIN comp ON comp.id = core.id),
+         |border AS (
+         |  SELECT es.a AS id, min(cl.cl) AS cl
+         |  FROM es JOIN corelab cl ON cl.id = es.b
+         |  WHERE es.a NOT IN (SELECT id FROM corelab)
+         |  GROUP BY es.a),
+         |pts AS (SELECT id FROM p),
+         |lab AS (
+         |  SELECT id, 'core' AS role, cl FROM corelab
+         |  UNION ALL SELECT id, 'border', cl FROM border
+         |  UNION ALL
+         |  SELECT id, 'noise', CAST(NULL AS BIGINT) FROM pts
+         |  WHERE id NOT IN (SELECT id FROM corelab)
+         |    AND id NOT IN (SELECT id FROM border))
+         |SELECT cl AS cluster_id,
+         |       CAST(sum(CASE WHEN role = 'core' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_core,
+         |       CAST(sum(CASE WHEN role = 'border' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_border,
+         |       CAST(count(*) AS BIGINT) AS n_total
+         |FROM lab GROUP BY cl
+         |ORDER BY cluster_id NULLS FIRST""".stripMargin
+    }) { (s, d) =>
+      val es = SpatialEdges.frameR(s, d, 75)
+      val sym = es.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(es.select(col("v"), col("u")))
+        .persist() // degree census + core-core subgraph + border join
+      val core = sym.groupBy(col("a").as("id"))
+        .agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= 3).select("id")
+        .persist() // both ends of the core filter + the label join
+      val ce = sym
+        .join(core.withColumnRenamed("id", "ca"), col("a") === col("ca"))
+        .join(core.withColumnRenamed("id", "cb"), col("b") === col("cb"))
+        .select(col("a").as("ea"), col("b").as("eb"))
+      val comp = graft.operators.Components
+        .connectedComponents(ce, "ea", "eb")
+      val corelab = core
+        .join(comp, core("id") === comp("id"), "left")
+        .select(core("id"), coalesce(col("comp"), core("id")).as("cl"))
+        .persist() // border lookup + the role union
+      val border = sym
+        .join(corelab.select(col("id").as("bid"), col("cl")),
+          col("b") === col("bid"))
+        .join(corelab.select(col("id").as("aid")),
+          col("a") === col("aid"), "left_anti")
+        .groupBy(col("a").as("id")).agg(min("cl").as("cl"))
+      val pts = Tables.customer(s, d).select(col("c_custkey").as("id"))
+      val noise = pts
+        .join(corelab.select("id"), Seq("id"), "left_anti")
+        .join(border.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), lit("noise").as("role"),
+          lit(null).cast("long").as("cl"))
+      val lab = corelab.select(col("id"), lit("core").as("role"), col("cl"))
+        .unionAll(border.select(col("id"), lit("border").as("role"),
+          col("cl")))
+        .unionAll(noise)
+      lab.groupBy(col("cl").as("cluster_id"))
+        .agg(sum(when(col("role") === "core", 1L).otherwise(0L))
+          .as("n_core"),
+          sum(when(col("role") === "border", 1L).otherwise(0L))
+            .as("n_border"),
+          count(lit(1)).as("n_total"))
+        .orderBy(col("cluster_id").asc_nulls_first)
     }
   )
 }

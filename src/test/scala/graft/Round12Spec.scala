@@ -268,6 +268,72 @@ class Round12Spec extends AnyFunSuite {
       == a.join(b, Seq("hv"), "left_semi").count())
   }
 
+  test("q390 skyline equals the brute-force dominance frontier") {
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("price_c"),
+        col("p_size").cast("long").as("sz"))
+      .collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("price_c"),
+        r.getAs[Long]("sz")))
+    def dominated(p: (Long, Long, Long)): Boolean = parts.exists { q =>
+      q._1 != p._1 && q._2 <= p._2 && q._3 >= p._3 &&
+        (q._2 < p._2 || q._3 > p._3)
+    }
+    val expected = parts.filterNot(dominated).map(_._1).toSet
+    val got = run("q390_skyline").collect()
+      .map(_.getAs[Long]("p_partkey")).toSet
+    assert(got == expected,
+      s"frontier mismatch: extra ${got -- expected}, missing ${expected -- got}")
+    // frontier property: sorted by price, sizes strictly increase
+    val rows = run("q390_skyline").collect()
+    val szs = rows.sortBy(r =>
+      (r.getAs[Long]("price_c"), r.getAs[Long]("p_partkey")))
+      .map(_.getAs[Long]("sz"))
+    assert(szs.zip(szs.tail).forall { case (a, b) => a < b })
+  }
+
+  test("q391 DBSCAN census matches a brute-force density clustering") {
+    import graft.functions.Hashes
+    val pts = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("id"),
+        (Hashes.mulHash(col("c_custkey"), 11) % 1000).as("x"),
+        (Hashes.mulHash(col("c_custkey"), 13) % 1000).as("y"))
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("x"), r.getAs[Long]("y")))
+    def near(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      a._1 != b._1 &&
+        (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3) <= 75 * 75
+    val nbrs = pts.map(p => p._1 -> pts.filter(q => near(p, q)).map(_._1))
+      .toMap
+    val core = pts.map(_._1).filter(id => nbrs(id).length >= 3).toSet
+    // core-core components by union-find
+    val parent = scala.collection.mutable.Map(core.toSeq.map(c => c -> c): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (c <- core; n <- nbrs(c) if core(n)) {
+      val (ra, rb) = (find(c), find(n))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val borders = pts.map(_._1)
+      .filter(id => !core(id) && nbrs(id).exists(core))
+    val nNoise = pts.length - core.size - borders.length
+    val rows = run("q391_dbscan").collect()
+    val noiseRow = rows.filter(_.isNullAt(0))
+    assert(noiseRow.length == (if (nNoise > 0) 1 else 0))
+    if (nNoise > 0)
+      assert(noiseRow(0).getAs[Long]("n_total") == nNoise)
+    assert(rows.map(_.getAs[Long]("n_core")).sum == core.size)
+    assert(rows.map(_.getAs[Long]("n_border")).sum == borders.length)
+    assert(rows.map(_.getAs[Long]("n_total")).sum == pts.length)
+    // per-cluster core counts match the union-find components
+    val sizes = core.groupBy(find).map { case (r, m) => (r, m.size.toLong) }
+    rows.filterNot(_.isNullAt(0)).foreach { r =>
+      assert(sizes(r.getAs[Long]("cluster_id")) == r.getAs[Long]("n_core"),
+        s"cluster ${r.getAs[Long]("cluster_id")} core count mismatch")
+    }
+  }
+
   test("q383 streamed KMV sketch equals the batch sketch bit-for-bit") {
     val rows = run("q383_stream_kmv").collect()
     assert(rows.nonEmpty)
