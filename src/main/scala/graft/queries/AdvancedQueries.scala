@@ -3301,6 +3301,111 @@ object AdvancedQueries {
             .as("n_border"),
           count(lit(1)).as("n_total"))
         .orderBy(col("cluster_id").asc_nulls_first)
+    },
+
+    // Bradley–Terry pairwise-strength ratings (Bradley & Terry 1952,
+    // Hunter's MM algorithm 2004) — the model behind chess Elo, LLM
+    // preference leaderboards, and A/B preference aggregation: from a
+    // census of pairwise WIN COUNTS alone, recover a strength scale in
+    // which P(i beats j) = r_i/(r_i + r_j). Games: every lineitem is a
+    // match between the customer's nation and the supplier's nation, the
+    // customer nation "wins" when the line's discount reaches 5% (a
+    // deterministic, data-stated outcome rule). Two MM rounds from a
+    // uniform start: r_i ← W_i / Σ_j n_ij/(r_i + r_j), renormalized to
+    // mean 1e6 — every quantity an exact integer ratio of the 25×25
+    // match census (the k² statistics posture; facts are touched once,
+    // by the census groupBy). Output carries wins, games and both
+    // rounds' ratings — the spec pins that ratings order consistently
+    // with win rate at the top.
+    QueryDef("q392_bradley_terry",
+      """WITH g AS (
+        |  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn,
+        |         CASE WHEN l.l_discount >= 0.05 THEN 1 ELSE 0 END AS cw
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey),
+        |pc AS (SELECT least(cn, sn) AS i, greatest(cn, sn) AS j,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN (cn < sn AND cw = 1)
+        |                         OR (cn > sn AND cw = 0)
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS wi
+        |       FROM g GROUP BY 1, 2),
+        |e AS (SELECT i AS a, j AS b, n, wi AS w FROM pc
+        |      UNION ALL SELECT j, i, n, n - wi FROM pc),
+        |wt AS (SELECT a, CAST(sum(w) AS BIGINT) AS wins,
+        |         CAST(sum(n) AS BIGINT) AS games
+        |       FROM e GROUP BY a),
+        |r0 AS (SELECT a, CAST(1000000 AS BIGINT) AS r FROM wt),
+        |d1 AS (SELECT e.a,
+        |         CAST(sum(e.n * 1000000000000 // (ra.r + rb.r)) AS BIGINT)
+        |           AS den
+        |       FROM e JOIN r0 ra ON ra.a = e.a JOIN r0 rb ON rb.a = e.b
+        |       GROUP BY e.a),
+        |u1 AS (SELECT wt.a, wt.wins * 1000000000000 // d1.den AS r
+        |       FROM wt JOIN d1 ON d1.a = wt.a),
+        |s1 AS (SELECT CAST(sum(r) AS BIGINT) AS t,
+        |              CAST(count(*) AS BIGINT) AS k FROM u1),
+        |r1 AS (SELECT a, CAST(r * k * 1000000 // t AS BIGINT) AS r
+        |       FROM u1, s1),
+        |d2 AS (SELECT e.a,
+        |         CAST(sum(e.n * 1000000000000 // (ra.r + rb.r)) AS BIGINT)
+        |           AS den
+        |       FROM e JOIN r1 ra ON ra.a = e.a JOIN r1 rb ON rb.a = e.b
+        |       GROUP BY e.a),
+        |u2 AS (SELECT wt.a, wt.wins * 1000000000000 // d2.den AS r
+        |       FROM wt JOIN d2 ON d2.a = wt.a),
+        |s2 AS (SELECT CAST(sum(r) AS BIGINT) AS t,
+        |              CAST(count(*) AS BIGINT) AS k FROM u2),
+        |r2 AS (SELECT a, CAST(r * k * 1000000 // t AS BIGINT) AS r
+        |       FROM u2, s2)
+        |SELECT wt.a AS nation_id, wt.wins, wt.games,
+        |       r1.r AS r1_e6, r2.r AS r2_e6
+        |FROM wt JOIN r1 ON r1.a = wt.a JOIN r2 ON r2.a = wt.a
+        |ORDER BY nation_id""".stripMargin) { (s, d) =>
+      val g = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .where(col("c_nationkey") =!= col("s_nationkey"))
+        .select(col("c_nationkey").as("cn"), col("s_nationkey").as("sn"),
+          when(col("l_discount") >= 0.05, 1L).otherwise(0L).as("cw"))
+      val pc = g.groupBy(least(col("cn"), col("sn")).as("i"),
+          greatest(col("cn"), col("sn")).as("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(when((col("cn") < col("sn") && col("cw") === 1)
+            || (col("cn") > col("sn") && col("cw") === 0), 1L)
+            .otherwise(0L)).as("wi"))
+      val e = pc.select(col("i").as("a"), col("j").as("b"), col("n"),
+          col("wi").as("w"))
+        .unionAll(pc.select(col("j"), col("i"), col("n"),
+          (col("n") - col("wi")).as("w")))
+        .persist() // the census drives both MM rounds
+      val wt = e.groupBy("a").agg(sum("w").as("wins"), sum("n").as("games"))
+        .persist()
+      def round(r: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val den = e
+          .join(broadcast(r.select(col("a").as("ra_a"), col("r").as("ra"))),
+            col("a") === col("ra_a"))
+          .join(broadcast(r.select(col("a").as("rb_a"), col("r").as("rb"))),
+            col("b") === col("rb_a"))
+          .groupBy("a")
+          .agg(sum(expr("n * 1000000000000L div (ra + rb)")).as("den"))
+        val u = wt.join(den, "a")
+          .select(col("a"), expr("wins * 1000000000000L div den").as("r"))
+        val sTot = u.agg(sum("r").as("t"), count(lit(1)).as("k"))
+        u.crossJoin(broadcast(sTot))
+          .select(col("a"), expr("r * k * 1000000 div t").as("r"))
+      }
+      val r0 = wt.select(col("a"), lit(1000000L).as("r"))
+      val r1 = round(r0).persist() // feeds round 2 + the output join
+      val r2 = round(r1)
+      wt.join(r1.withColumnRenamed("r", "r1_e6"), "a")
+        .join(r2.withColumnRenamed("r", "r2_e6"), "a")
+        .select(col("a").as("nation_id"), col("wins"), col("games"),
+          col("r1_e6"), col("r2_e6"))
+        .orderBy("nation_id")
     }
   )
 }

@@ -3582,6 +3582,108 @@ object EventQueries {
           row_number().over(Window.orderBy(col("decayed_e6").desc,
             col("event_type"))).cast("long").as("rank_decayed"))
         .orderBy("event_type")
+    },
+
+    // Matrix profile (Yeh et al., ICDM 2016) — the time-series motif/
+    // anomaly primitive: for every 7-day window of the daily-revenue
+    // series, the z-normalized distance to its NEAREST other window
+    // (exclusion zone |a−b| ≥ 4 kills trivial self-matches). Low profile
+    // = repeated shape (motif), high = unique shape (discord). The
+    // z-normalized distance collapses to 2w(1 − ρ) with ρ the Pearson
+    // correlation of the two windows — so the whole profile is integer
+    // co-moments (one 7-offset alignment join over the DAY CENSUS, ~30
+    // rows; pairs ~24², never event-grain) plus one double chain per
+    // pair, e6-quantized before the min. Windows with zero variance are
+    // excluded by a stated guard on both engines. Scale: everything
+    // after the day rollup is statistics-sized.
+    QueryDef("q393_matrix_profile",
+      """WITH d0 AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT row_number() OVER (ORDER BY day) AS rn, y FROM d0),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+        |st AS (SELECT rn AS a FROM d, n WHERE rn <= nd - 6),
+        |pairs AS (SELECT x.a, z.a AS b FROM st x JOIN st z
+        |          ON abs(x.a - z.a) >= 4),
+        |al AS (SELECT p.a, p.b, xa.y AS xv, yb.y AS yv
+        |       FROM pairs p
+        |       JOIN (SELECT unnest(range(0, 7)) AS k) kk ON true
+        |       JOIN d xa ON xa.rn = p.a + k
+        |       JOIN d yb ON yb.rn = p.b + k),
+        |mo AS (SELECT a, b,
+        |         CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+        |         CAST(sum(xv * yv) AS BIGINT) AS sxy,
+        |         CAST(sum(xv * xv) AS BIGINT) AS sxx,
+        |         CAST(sum(yv * yv) AS BIGINT) AS syy
+        |       FROM al GROUP BY a, b),
+        |dist AS (
+        |  SELECT a, b,
+        |    CAST(round(14 * (1 - (7 * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+        |      / sqrt((7 * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+        |             * (7 * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)))
+        |      * 1000000, 0) AS BIGINT) AS d2_e6
+        |  FROM mo
+        |  WHERE 7 * sxx <> sx * sx AND 7 * syy <> sy * sy),
+        |prof AS (
+        |  SELECT a, b, d2_e6,
+        |         row_number() OVER (PARTITION BY a ORDER BY d2_e6, b) AS rk
+        |  FROM dist),
+        |mp AS (SELECT a AS w_start, b AS nn_start, d2_e6 FROM prof
+        |       WHERE rk = 1),
+        |mn AS (SELECT CAST(min(d2_e6) AS BIGINT) AS md FROM mp)
+        |SELECT CAST(w_start AS BIGINT) AS w_start,
+        |       CAST(nn_start AS BIGINT) AS nn_start, d2_e6,
+        |       d2_e6 = (SELECT md FROM mn) AS is_motif
+        |FROM mp ORDER BY w_start""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val d0 = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
+          .as("y"))
+      val dd = d0.select(row_number().over(Window.orderBy("day"))
+          .cast("long").as("rn"), col("y"))
+        .persist() // the start list + both alignment sides scan it
+      val n = dd.agg(count(lit(1)).as("nd"))
+      val st = dd.crossJoin(broadcast(n)).where(col("rn") <= col("nd") - 6)
+        .select(col("rn").as("a"))
+      val pairs = st.join(broadcast(st.withColumnRenamed("a", "b")),
+        abs(col("a") - col("b")) >= 4) // ≤k² window starts — BNLJ, never
+                                       // a cartesian over data
+      val al = pairs
+        .select(col("a"), col("b"), explode(expr("sequence(0, 6)")).as("k"))
+        .join(dd.select(col("rn").as("xr"), col("y").as("xv")),
+          col("xr") === col("a") + col("k"))
+        .join(dd.select(col("rn").as("yr"), col("y").as("yv")),
+          col("yr") === col("b") + col("k"))
+      val mo = al.groupBy("a", "b").agg(
+        sum("xv").as("sx"), sum("yv").as("sy"),
+        sum(col("xv") * col("yv")).as("sxy"),
+        sum(col("xv") * col("xv")).as("sxx"),
+        sum(col("yv") * col("yv")).as("syy"))
+      val dist = mo
+        .where(expr("7 * sxx <> sx * sx and 7 * syy <> sy * sy"))
+        .select(col("a"), col("b"),
+          round((lit(14d) * (lit(1d)
+            - (lit(7d) * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy"))
+              / sqrt((lit(7d) * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx"))
+                * (lit(7d) * col("syy").cast("double")
+                  - col("sy").cast("double") * col("sy")))))
+            * 1000000, 0).cast("long").as("d2_e6"))
+      val wr = Window.partitionBy("a").orderBy(col("d2_e6"), col("b"))
+      val mp = dist.withColumn("rk", row_number().over(wr))
+        .where(col("rk") === 1)
+        .select(col("a").as("w_start"), col("b").as("nn_start"),
+          col("d2_e6"))
+        .persist() // min census + output
+      val mn = mp.agg(min("d2_e6").as("md"))
+      mp.crossJoin(broadcast(mn))
+        .select(col("w_start"), col("nn_start"), col("d2_e6"),
+          (col("d2_e6") === col("md")).as("is_motif"))
+        .orderBy("w_start")
     }
   )
 }

@@ -334,6 +334,46 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("q392 Bradley-Terry ratings order consistently with win rates") {
+    val rows = run("q392_bradley_terry").collect()
+    assert(rows.length == 25)
+    val mean = rows.map(_.getAs[Long]("r2_e6")).sum / rows.length
+    assert(math.abs(mean - 1000000L) <= 25, s"normalization drifted: $mean")
+    def wr(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("wins").toDouble / r.getAs[Long]("games")
+    val byRating = rows.sortBy(-_.getAs[Long]("r2_e6"))
+    val topWr = wr(byRating.head)
+    val botWr = wr(byRating.last)
+    assert(topWr > 0.5 && botWr < 0.5,
+      s"extremes not separated: top $topWr bot $botWr")
+    // Spearman-ish sanity: the top-5 by rating all out-win the bottom-5
+    val top5 = byRating.take(5).map(wr).min
+    val bot5 = byRating.takeRight(5).map(wr).max
+    assert(top5 > bot5, "rating order contradicts win-rate order")
+  }
+
+  test("q393 matrix profile: symmetric motif, exclusion zone respected") {
+    val rows = run("q393_matrix_profile").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Long]("w_start") - r.getAs[Long]("nn_start"))
+        >= 4, "exclusion zone violated")
+      val d2 = r.getAs[Long]("d2_e6")
+      assert(d2 >= -10 && d2 <= 28000000L + 10,
+        s"d2 $d2 outside [0, 4w] (z-norm distance range)")
+    }
+    val motifs = rows.filter(_.getAs[Boolean]("is_motif"))
+    assert(motifs.nonEmpty)
+    // the global motif pair is MUTUAL: each member's nearest neighbor is
+    // the other (they share the same minimal distance)
+    val byStart = rows.map(r =>
+      r.getAs[Long]("w_start") -> r.getAs[Long]("nn_start")).toMap
+    motifs.foreach { m =>
+      val (a, b) = (m.getAs[Long]("w_start"), m.getAs[Long]("nn_start"))
+      assert(byStart(b) == a, s"motif pair ($a,$b) not mutual")
+    }
+  }
+
   test("q383 streamed KMV sketch equals the batch sketch bit-for-bit") {
     val rows = run("q383_stream_kmv").collect()
     assert(rows.nonEmpty)
