@@ -3684,6 +3684,115 @@ object EventQueries {
         .select(col("w_start"), col("nn_start"), col("d2_e6"),
           (col("d2_e6") === col("md")).as("is_motif"))
         .orderBy("w_start")
+    },
+
+    // Holt–Winters ADDITIVE-SEASONAL smoothing — the third rung of the
+    // forecasting ladder (q233 EWMA: level; q271 Holt: level+trend; here:
+    // level+trend+7 weekly seasonal states), on data that HAS a weekly
+    // pattern (the dow-4/5 revenue bump is ~30%, measured — q262's
+    // seasonal-anomaly premise). All-integer α=β=γ=½ truncating-halving
+    // recurrences (the q271 division contract); init at day 7: level =
+    // first-week floor-mean, trend 0, seasonals = first-week deviations,
+    // and the Holt-only twin initialized IDENTICALLY so the two one-step
+    // forecast error columns isolate exactly what the seasonal states
+    // buy. Nine carried longs per series — the sorted-group-recurrence
+    // scale shape (one exchange, O(1) state per key). The oracle steps
+    // the same recurrence with the 7 seasonal slots as rotating CTE
+    // columns. MEASURED FINDING (the q283 honesty bar): on this corpus
+    // HW loses to plain Holt at BOTH scales (sf0.01 abs-error totals
+    // 10.07M vs 7.70M) — the pooled dow bump is real but not stable
+    // week-over-week, so γ=½ seasonal states chase noise; with ~3
+    // cycles of history the seasonal rung costs accuracy, which is
+    // exactly what a forecast eval exists to surface. The spec replays
+    // both recurrences independently instead of betting on a winner.
+    QueryDef("q394_holt_winters",
+      """WITH RECURSIVE d0 AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, day, y,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |          AS rn
+        |      FROM d0),
+        |ini AS (
+        |  SELECT event_type,
+        |    CAST(sum(y) // 7 AS BIGINT) AS l0,
+        |    CAST(max(CASE WHEN rn = 1 THEN y END) AS BIGINT) AS y1,
+        |    CAST(max(CASE WHEN rn = 2 THEN y END) AS BIGINT) AS y2,
+        |    CAST(max(CASE WHEN rn = 3 THEN y END) AS BIGINT) AS y3,
+        |    CAST(max(CASE WHEN rn = 4 THEN y END) AS BIGINT) AS y4,
+        |    CAST(max(CASE WHEN rn = 5 THEN y END) AS BIGINT) AS y5,
+        |    CAST(max(CASE WHEN rn = 6 THEN y END) AS BIGINT) AS y6,
+        |    CAST(max(CASE WHEN rn = 7 THEN y END) AS BIGINT) AS y7
+        |  FROM d WHERE rn <= 7 GROUP BY event_type),
+        |rec(event_type, rn, day, y, l, b, s1, s2, s3, s4, s5, s6, s7,
+        |    lh, bh, f_hw, f_holt) AS (
+        |  SELECT d.event_type, 7, d.day, d.y, ini.l0, CAST(0 AS BIGINT),
+        |         y1 - l0, y2 - l0, y3 - l0, y4 - l0, y5 - l0, y6 - l0,
+        |         y7 - l0, ini.l0, CAST(0 AS BIGINT),
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM ini JOIN d ON d.event_type = ini.event_type AND d.rn = 7
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn, r.day, r.y,
+        |         (r.y - rec.s1 + rec.l + rec.b) // 2,
+        |         (((r.y - rec.s1 + rec.l + rec.b) // 2 - rec.l) + rec.b)
+        |           // 2,
+        |         rec.s2, rec.s3, rec.s4, rec.s5, rec.s6, rec.s7,
+        |         ((r.y - (r.y - rec.s1 + rec.l + rec.b) // 2) + rec.s1)
+        |           // 2,
+        |         (r.y + rec.lh + rec.bh) // 2,
+        |         (((r.y + rec.lh + rec.bh) // 2 - rec.lh) + rec.bh) // 2,
+        |         rec.l + rec.b + rec.s1,
+        |         rec.lh + rec.bh
+        |  FROM d r JOIN rec ON r.event_type = rec.event_type
+        |                   AND r.rn = rec.rn + 1)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, y AS y_cents,
+        |       f_hw, f_holt,
+        |       abs(y - f_hw) AS err_hw, abs(y - f_holt) AS err_holt
+        |FROM rec WHERE rn >= 8
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
+          .as("y"))
+        .as[(String, Long, Long)]
+      daily.groupByKey(_._1)
+        .flatMapSortedGroups(col("day")) { (k, rows) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val seas = scala.collection.mutable.Queue.empty[Long]
+          var (l, b, lh, bh) = (0L, 0L, 0L, 0L)
+          var t = 0
+          rows.flatMap { case (_, day, y) =>
+            t += 1
+            if (t < 7) { buf += y; Nil }
+            else if (t == 7) {
+              buf += y
+              l = buf.sum / 7 // first-week floor-mean (non-negative sum)
+              lh = l
+              buf.foreach(yy => seas.enqueue(yy - l))
+              Nil
+            } else {
+              val s1 = seas.dequeue()
+              val fHw = l + b + s1
+              val fHolt = lh + bh
+              val lN = (y - s1 + l + b) / 2
+              b = ((lN - l) + b) / 2
+              seas.enqueue(((y - lN) + s1) / 2)
+              l = lN
+              val lhN = (y + lh + bh) / 2
+              bh = ((lhN - lh) + bh) / 2
+              lh = lhN
+              Seq((k, day, y, fHw, fHolt,
+                math.abs(y - fHw), math.abs(y - fHolt)))
+            }
+          }
+        }
+        .toDF("event_type", "day", "y_cents", "f_hw", "f_holt",
+          "err_hw", "err_holt")
+        .orderBy("event_type", "day")
     }
   )
 }

@@ -374,6 +374,51 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("q394 Holt-Winters matches an independent replay of both recurrences") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
+        .as("y"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"),
+        r.getAs[Long]("y")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(v => (v._2, v._3)))
+    val expected = scala.collection.mutable.Map
+      .empty[(String, Long), (Long, Long)]
+    daily.foreach { case (et, series) =>
+      val week = series.take(7).map(_._2)
+      var l = week.sum / 7
+      var b = 0L
+      var lh = l
+      var bh = 0L
+      val seas = scala.collection.mutable.Queue(week.map(_ - l): _*)
+      series.drop(7).foreach { case (day, y) =>
+        val s1 = seas.dequeue()
+        expected((et, day)) = (l + b + s1, lh + bh)
+        val lN = (y - s1 + l + b) / 2
+        b = ((lN - l) + b) / 2
+        seas.enqueue(((y - lN) + s1) / 2)
+        l = lN
+        val lhN = (y + lh + bh) / 2
+        bh = ((lhN - lh) + bh) / 2
+        lh = lhN
+      }
+    }
+    val rows = run("q394_holt_winters").collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val key = (r.getAs[String]("event_type"), r.getAs[Long]("day"))
+      val (fhw, fholt) = expected(key)
+      assert(r.getAs[Long]("f_hw") == fhw, s"$key HW forecast diverged")
+      assert(r.getAs[Long]("f_holt") == fholt, s"$key Holt forecast diverged")
+      assert(r.getAs[Long]("err_hw")
+        == math.abs(r.getAs[Long]("y_cents") - fhw))
+      assert(r.getAs[Long]("err_holt")
+        == math.abs(r.getAs[Long]("y_cents") - fholt))
+    }
+  }
+
   test("q383 streamed KMV sketch equals the batch sketch bit-for-bit") {
     val rows = run("q383_stream_kmv").collect()
     assert(rows.nonEmpty)
