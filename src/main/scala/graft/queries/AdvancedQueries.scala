@@ -3406,6 +3406,164 @@ object AdvancedQueries {
         .select(col("a").as("nation_id"), col("wins"), col("games"),
           col("r1_e6"), col("r2_e6"))
         .orderBy("nation_id")
+    },
+
+    // Gale–Shapley stable matching (Gale & Shapley 1962; the deferred-
+    // acceptance mechanism behind residency match, school choice, and ad
+    // slot allocation): customer nations propose to supplier nations,
+    // each side ranking the other by bilateral trade revenue (complete
+    // 25×25 preference lists from the flow census, ties by id). Rounds
+    // are SIMULTANEOUS deferred acceptance — every free proposer offers
+    // to its best not-yet-rejecting counterpart, each receiver keeps the
+    // best of {tenant, new offers} and rejects the rest — pure window
+    // argmins over the preference census, no sequential scan, the
+    // Luby-style symmetry-free round structure. Customers-propose yields
+    // the unique CUSTOMER-OPTIMAL stable matching, so any correct
+    // implementation must agree row-for-row; the spec additionally
+    // verifies the definition — no blocking pair — by brute force.
+    // Oracle: the identical rounds unrolled as CTE chains (windows are
+    // legal in non-recursive CTEs). Scale: everything here is the k²
+    // dimension census; facts are touched once by the flow rollup.
+    QueryDef("q395_stable_matching", {
+      val rounds = 40
+      def roundCtes(r: Int): String =
+        s"""avail$r AS (
+           |  SELECT cp.cn, cp.sn, cp.crk FROM cpref cp
+           |  WHERE cp.cn NOT IN (SELECT c FROM m${r - 1})
+           |    AND NOT EXISTS (SELECT 1 FROM rej${r - 1} j
+           |                    WHERE j.c = cp.cn AND j.s = cp.sn)),
+           |prop$r AS (
+           |  SELECT cn AS c, sn AS s FROM (
+           |    SELECT cn, sn,
+           |           row_number() OVER (PARTITION BY cn ORDER BY crk)
+           |             AS rn
+           |    FROM avail$r) z WHERE rn = 1),
+           |cand$r AS MATERIALIZED (
+           |  SELECT c, s FROM prop$r UNION ALL SELECT c, s FROM m${r - 1}),
+           |m$r AS MATERIALIZED (
+           |  SELECT c, s FROM (
+           |    SELECT cand$r.c, cand$r.s,
+           |           row_number() OVER (PARTITION BY cand$r.s
+           |             ORDER BY sp.srk) AS rn
+           |    FROM cand$r JOIN spref sp
+           |      ON sp.cn = cand$r.c AND sp.sn = cand$r.s) z
+           |  WHERE rn = 1),
+           |rej$r AS MATERIALIZED (
+           |  SELECT c, s FROM rej${r - 1}
+           |  UNION ALL
+           |  SELECT c, s FROM cand$r
+           |  WHERE NOT EXISTS (SELECT 1 FROM m$r
+           |                    WHERE m$r.c = cand$r.c
+           |                      AND m$r.s = cand$r.s))""".stripMargin
+      s"""WITH f AS (
+         |  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn,
+         |         CAST(sum(CAST(round(l.l_extendedprice * 100, 0)
+         |           AS BIGINT)) AS BIGINT) AS rev
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |nk AS (SELECT n_nationkey AS id FROM nation),
+         |grid AS MATERIALIZED (
+         |  SELECT a.id AS cn, b.id AS sn, coalesce(f.rev, 0) AS rev
+         |  FROM nk a CROSS JOIN nk b
+         |  LEFT JOIN f ON f.cn = a.id AND f.sn = b.id),
+         |cpref AS MATERIALIZED (
+         |  SELECT cn, sn, row_number() OVER (PARTITION BY cn
+         |    ORDER BY rev DESC, sn) AS crk FROM grid),
+         |spref AS MATERIALIZED (
+         |  SELECT cn, sn, row_number() OVER (PARTITION BY sn
+         |    ORDER BY rev DESC, cn) AS srk FROM grid),
+         |m0 AS (SELECT CAST(NULL AS BIGINT) AS c, CAST(NULL AS BIGINT) AS s
+         |       WHERE false),
+         |rej0 AS (SELECT CAST(NULL AS BIGINT) AS c,
+         |                CAST(NULL AS BIGINT) AS s WHERE false),
+         |${(1 to rounds).map(roundCtes).mkString(",\n")},
+         |um AS (SELECT CAST(count(*) AS BIGINT) AS n_unmatched FROM nk
+         |       WHERE id NOT IN (SELECT c FROM m$rounds))
+         |SELECT m.c AS customer_nation, m.s AS supplier_nation,
+         |       CAST(cp.crk AS BIGINT) AS c_rank,
+         |       CAST(sp.srk AS BIGINT) AS s_rank,
+         |       um.n_unmatched
+         |FROM m$rounds m
+         |JOIN cpref cp ON cp.cn = m.c AND cp.sn = m.s
+         |JOIN spref sp ON sp.cn = m.c AND sp.sn = m.s
+         |CROSS JOIN um
+         |ORDER BY customer_nation""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("fcn"), col("s_nationkey").as("fsn"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("rev"))
+      val nk = Tables.nation(s, d).select(col("n_nationkey").as("id"))
+      val grid = nk.select(col("id").as("cn"))
+        .crossJoin(broadcast(nk.select(col("id").as("sn"))))
+        .join(f, col("cn") === col("fcn") && col("sn") === col("fsn"),
+          "left")
+        .select(col("cn"), col("sn"), coalesce(col("rev"), lit(0L))
+          .as("rev"))
+      val cpref = grid.select(col("cn"), col("sn"),
+        row_number().over(Window.partitionBy("cn")
+          .orderBy(col("rev").desc, col("sn"))).cast("long").as("crk"))
+        .persist() // every round's proposal pass + the output ranks
+      val spref = grid.select(col("cn"), col("sn"),
+        row_number().over(Window.partitionBy("sn")
+          .orderBy(col("rev").desc, col("cn"))).cast("long").as("srk"))
+        .persist() // every round's keep pass + the output ranks
+      var matched: DataFrame = s.emptyDataFrame
+        .withColumn("c", lit(0L)).withColumn("s", lit(0L))
+        .where(lit(false)).select("c", "s")
+      var rej: DataFrame = matched
+      var free = nk.count()
+      var r = 0
+      while (r < 40 && free > 0) {
+        val avail = cpref
+          .join(matched.select(col("c").as("mc")),
+            col("cn") === col("mc"), "left_anti")
+          .join(rej.select(col("c").as("jc"), col("s").as("js")),
+            col("cn") === col("jc") && col("sn") === col("js"),
+            "left_anti")
+        val prop = avail
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("cn").orderBy("crk")))
+          .where(col("rn") === 1)
+          .select(col("cn").as("c"), col("sn").as("s"))
+        val cand = prop.unionByName(matched).localCheckpoint()
+        val kept = cand
+          .join(spref, col("c") === col("cn") && col("s") === col("sn"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("s").orderBy("srk")))
+          .where(col("rn") === 1)
+          .select("c", "s")
+          .localCheckpoint()
+        rej = rej.unionByName(
+          cand.join(kept.withColumnsRenamed(Map("c" -> "kc", "s" -> "ks")),
+            col("c") === col("kc") && col("s") === col("ks"), "left_anti"))
+          .localCheckpoint()
+        matched = kept
+        free = nk.count() - matched.count()
+        r += 1
+      }
+      val um = nk
+        .join(matched.select(col("c")), col("id") === col("c"), "left_anti")
+        .agg(count(lit(1)).as("n_unmatched"))
+      val cpOut = cpref.select(col("cn").as("cpn"), col("sn").as("cps"),
+        col("crk"))
+      val spOut = spref.select(col("cn").as("spn"), col("sn").as("sps"),
+        col("srk"))
+      matched
+        .join(cpOut, col("c") === col("cpn") && col("s") === col("cps"))
+        .join(spOut, col("c") === col("spn") && col("s") === col("sps"))
+        .crossJoin(broadcast(um))
+        .select(col("c").as("customer_nation"),
+          col("s").as("supplier_nation"), col("crk").as("c_rank"),
+          col("srk").as("s_rank"), col("n_unmatched"))
+        .orderBy("customer_nation")
     }
   )
 }

@@ -419,6 +419,67 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("q395 matching is perfect, stable, and customer-optimal") {
+    val rows = run("q395_stable_matching").collect()
+    assert(rows.length == 25)
+    assert(rows.forall(_.getAs[Long]("n_unmatched") == 0))
+    // rebuild the preference matrices and check the DEFINITION: no pair
+    // (c, s) both prefer each other to their assigned partners
+    val flows = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("cn"), col("s_nationkey").as("sn"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rev"))
+      .collect()
+      .map(r => (r.getAs[Number]("cn").longValue,
+        r.getAs[Number]("sn").longValue) -> r.getAs[Long]("rev")).toMap
+    def rev(c: Long, s: Long) = flows.getOrElse((c, s), 0L)
+    // rank: smaller is better; order by (rev desc, id)
+    def better(ra: Long, ia: Long, rb: Long, ib: Long): Boolean =
+      ra > rb || (ra == rb && ia < ib)
+    def cRank(c: Long, s: Long) =
+      (0L until 25L).count(s2 => better(rev(c, s2), s2, rev(c, s), s)) + 1
+    def sRank(s: Long, c: Long) =
+      (0L until 25L).count(c2 => better(rev(c2, s), c2, rev(c, s), c)) + 1
+    val mC = rows.map(r => r.getAs[Long]("customer_nation")
+      -> r.getAs[Long]("supplier_nation")).toMap
+    val mS = mC.map(_.swap)
+    // reported ranks agree with the rebuilt preference matrices
+    rows.foreach { r =>
+      val (c, su) = (r.getAs[Long]("customer_nation"),
+        r.getAs[Long]("supplier_nation"))
+      assert(r.getAs[Long]("c_rank") == cRank(c, su))
+      assert(r.getAs[Long]("s_rank") == sRank(su, c))
+    }
+    // stability: no blocking pair
+    for (c <- 0L until 25L; su <- 0L until 25L if mC(c) != su) {
+      val blocking = cRank(c, su) < cRank(c, mC(c)) &&
+        sRank(su, c) < sRank(su, mS(su))
+      assert(!blocking, s"blocking pair ($c, $su)")
+    }
+    // customer-optimality: agrees with a sequential driver-side GS
+    val freeQ = scala.collection.mutable.Queue(0L until 25L: _*)
+    val next = scala.collection.mutable.Map((0L until 25L).map(_ -> 0): _*)
+    val prefs = (0L until 25L).map(c =>
+      c -> (0L until 25L).sortBy(s2 => (-rev(c, s2), s2))).toMap
+    val tenant = scala.collection.mutable.Map.empty[Long, Long]
+    while (freeQ.nonEmpty) {
+      val c = freeQ.dequeue()
+      val su = prefs(c)(next(c))
+      next(c) += 1
+      tenant.get(su) match {
+        case None => tenant(su) = c
+        case Some(t) =>
+          if (sRank(su, c) < sRank(su, t)) { tenant(su) = c; freeQ.enqueue(t) }
+          else freeQ.enqueue(c)
+      }
+    }
+    tenant.foreach { case (su, c) =>
+      assert(mC(c) == su, s"GS replay disagrees at customer $c")
+    }
+  }
+
   test("q383 streamed KMV sketch equals the batch sketch bit-for-bit") {
     val rows = run("q383_stream_kmv").collect()
     assert(rows.nonEmpty)
