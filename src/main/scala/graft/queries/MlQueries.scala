@@ -3250,6 +3250,148 @@ object MlQueries {
           (col("p_e6") * 20 <= 1000000L).as("naive_reject"),
           (col("k") <= col("kmax")).as("bh_reject"))
         .orderBy("p_e6", "nation_id")
+    },
+
+    // CUPED variance reduction (Deng et al., WSDM 2013) — the A/B
+    // industry's standard power multiplier: adjust the experiment metric
+    // by a PRE-EXPERIMENT covariate, Y' = Y − θ(X − X̄), θ = cov/var,
+    // shrinking variance by ρ² while leaving the treatment contrast
+    // unbiased (assignment is independent of X). The experiment is
+    // planted end-to-end: a persistent per-user baseline (hash-derived)
+    // enters BOTH periods — users' natural event revenue alone is
+    // nearly uncorrelated across periods (ρ≈0.07, measured) AND heavy
+    // enough to drown a realistic plant, so the natural component is
+    // scaled down (÷50, stated on both engines) and the baseline is
+    // what gives CUPED its ρ≈0.99 to harvest — treatment is
+    // a 50% hash split worth +5000 post-period cents. Exact integers
+    // throughout: θ as an e6 ratio of 128-bit co-moment sums, per-user
+    // adjustments via the n-scaled deviation with stated truncating
+    // division, variances as n²-scaled second moments. θ pools both
+    // arms (standard practice; the treatment term perturbs cov by an
+    // identical amount on both engines). One user-grain census — the
+    // q384 scale shape.
+    QueryDef("q397_cuped", {
+      import graft.functions.Hashes
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |         CAST(round(greatest(value, 0) * 100, 0) AS BIGINT) AS c
+         |  FROM events),
+         |mm AS (SELECT CAST(min(day) AS BIGINT) AS d0 FROM e),
+         |u AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN day - (SELECT d0 FROM mm) < 15
+         |             THEN c ELSE 0 END) AS BIGINT) // 50
+         |      + ${Hashes.mulHashSql("user_id", 131)} % 50000 AS x,
+         |    CAST(sum(CASE WHEN day - (SELECT d0 FROM mm) >= 15
+         |             THEN c ELSE 0 END) AS BIGINT) // 50
+         |      + ${Hashes.mulHashSql("user_id", 131)} % 50000
+         |      + CASE WHEN ${Hashes.bucketSql("user_id", 127, 2)} = 0
+         |        THEN 5000 ELSE 0 END AS y,
+         |    CASE WHEN ${Hashes.bucketSql("user_id", 127, 2)} = 0
+         |      THEN 1 ELSE 0 END AS t
+         |  FROM e GROUP BY user_id),
+         |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS BIGINT) AS sx,
+         |         CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+         |       FROM u),
+         |th AS (SELECT n, sx,
+         |         CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+         |              // (n * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+         |           AS theta_e6
+         |       FROM mo),
+         |adj AS (SELECT u.t,
+         |          u.y * 1000000
+         |            - th.theta_e6 * (th.n * u.x - th.sx) // th.n AS ycv
+         |        FROM u, th),
+         |arms AS (SELECT
+         |    CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         |    CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         |    CAST(sum(CASE WHEN t = 1 THEN ycv END) AS BIGINT) AS st,
+         |    CAST(sum(CASE WHEN t = 0 THEN ycv END) AS BIGINT) AS sc,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(ycv AS HUGEINT) * ycv) AS HUGEINT) AS scv2,
+         |    CAST(sum(ycv) AS HUGEINT) AS scv
+         |  FROM adj),
+         |raw AS (SELECT
+         |    CAST(sum(CASE WHEN t = 1 THEN y END) AS BIGINT) AS syt,
+         |    CAST(sum(CASE WHEN t = 0 THEN y END) AS BIGINT) AS syc,
+         |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS sy2,
+         |    CAST(sum(y) AS HUGEINT) AS sys
+         |  FROM u)
+         |SELECT arms.n AS n_users, arms.nt AS n_treated,
+         |       th.theta_e6,
+         |       CAST(raw.syt * 1000000 // arms.nt
+         |            - raw.syc * 1000000 // arms.nc AS BIGINT)
+         |         AS naive_ate_e6,
+         |       CAST(arms.st // arms.nt - arms.sc // arms.nc AS BIGINT)
+         |         AS cuped_ate_e6,
+         |       CAST(1000000
+         |            - (arms.n * arms.scv2 - arms.scv * arms.scv) * 1000000
+         |              // ((arms.n * raw.sy2 - raw.sys * raw.sys)
+         |                 * CAST(1000000000000 AS HUGEINT))
+         |         AS BIGINT) AS var_reduction_ppm
+         |FROM arms, raw, th""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      val dec = "decimal(38,0)"
+      val e = Tables.events(s, d).select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(round(greatest(value, 0) * 100, 0) as bigint)").as("c"))
+      val mm = e.agg(min("day").as("d0"))
+      val u = e.crossJoin(broadcast(mm))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") - col("d0") < 15, col("c")).otherwise(0L))
+          .as("x0"),
+          sum(when(col("day") - col("d0") >= 15, col("c")).otherwise(0L))
+            .as("y0"))
+        .select(col("user_id"),
+          (expr("x0 div 50")
+            + Hashes.mulHash(col("user_id"), 131) % 50000).as("x"),
+          (expr("y0 div 50") + Hashes.mulHash(col("user_id"), 131) % 50000
+            + when(Hashes.bucket(col("user_id"), 127, 2) === 0, 5000L)
+              .otherwise(0L)).as("y"),
+          when(Hashes.bucket(col("user_id"), 127, 2) === 0, 1L)
+            .otherwise(0L).as("t"))
+        .persist() // moment census + the adjusted pass + raw arms
+      val mo = u.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"),
+        sum(expr(s"cast(x as $dec) * y")).as("sxy"),
+        sum(expr(s"cast(x as $dec) * x")).as("sxx"))
+      val th = mo.select(col("n"), col("sx"),
+        expr(s"""cast((n * sxy - cast(sx as $dec) * sy) * 1000000
+                |div (n * sxx - cast(sx as $dec) * sx) as bigint)"""
+          .stripMargin.replace("\n", " ")).as("theta_e6"))
+      val adj = u.crossJoin(broadcast(th))
+        .select(col("t"),
+          expr("y * 1000000 - theta_e6 * (n * x - sx) div n").as("ycv"))
+      val arms = adj.agg(
+        sum(when(col("t") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("t") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("t") === 1, col("ycv"))).as("st"),
+        sum(when(col("t") === 0, col("ycv"))).as("sc"),
+        count(lit(1)).as("n"),
+        sum(expr(s"cast(ycv as $dec) * ycv")).as("scv2"),
+        sum(col("ycv").cast(dec)).as("scv"))
+      val raw = u.agg(
+        sum(when(col("t") === 1, col("y"))).as("syt"),
+        sum(when(col("t") === 0, col("y"))).as("syc"),
+        sum(expr(s"cast(y as $dec) * y")).as("sy2"),
+        sum(col("y").cast(dec)).as("sys"))
+      arms.crossJoin(broadcast(raw))
+        .crossJoin(broadcast(th.select("theta_e6")))
+        .select(col("n").as("n_users"), col("nt").as("n_treated"),
+          col("theta_e6"),
+          (expr("syt * 1000000 div nt") - expr("syc * 1000000 div nc"))
+            .cast("long").as("naive_ate_e6"),
+          (expr("st div nt") - expr("sc div nc")).cast("long")
+            .as("cuped_ate_e6"),
+          expr(s"""cast(1000000
+                  |- (n * scv2 - scv * scv) * 1000000
+                  |div ((n * sy2 - sys * sys)
+                  |* cast(1000000000000 as $dec)) as bigint)"""
+            .stripMargin.replace("\n", " ")).as("var_reduction_ppm"))
     }
   )
 }

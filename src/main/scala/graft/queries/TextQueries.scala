@@ -1801,6 +1801,100 @@ object TextQueries {
               .cast("long")).as("r2_e6"))
     },
 
+    // TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) —
+    // PageRank on the token co-occurrence graph: tokens are vertices,
+    // every within-2-positions co-occurrence contributes a (multi-)edge
+    // in both directions, and 2 rounds of the engine's own quantized
+    // PageRank (operators/PageRank — integer 1e-12 message units, 1e-9
+    // rank grid) score centrality. Multiplicity IS the edge weight: the
+    // operator's per-edge-row messages make the weighted variant fall
+    // out of the multiset edge relation with no extra machinery. Tokens
+    // dictionary-encode to dense ids by sorted order (both engines state
+    // the same ranking). The top-10 keywords are the graph's hubs — the
+    // unsupervised summary a corpus triage pass actually ships.
+    QueryDef("q396_textrank", {
+      def m(k: Int, prev: String) =
+        s"""d$k AS (
+           |  SELECT coalesce(sum(CAST(round(p.r * 1e12, 0) AS BIGINT)), 0)
+           |    AS dm
+           |  FROM $prev p WHERE NOT EXISTS (SELECT 1 FROM deg
+           |                                 WHERE deg.src = p.id)),
+           |m$k AS (
+           |  SELECT e.dst AS id,
+           |         sum(CAST(round(p.r / deg.outdeg * 1e12, 0) AS BIGINT))
+           |           AS m
+           |  FROM e JOIN $prev p ON e.src = p.id
+           |  JOIN deg ON deg.src = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      def r(k: Int) =
+        s"""r$k AS (
+           |  SELECT v.id, round((CAST(1.0 AS DOUBLE) - 0.85) / nn.n
+           |    + 0.85 * (coalesce(m$k.m, 0) / 1e12 + (d$k.dm / 1e12) / nn.n),
+           |    9) AS r
+           |  FROM v CROSS JOIN nn CROSS JOIN d$k
+           |  LEFT JOIN m$k ON m$k.id = v.id)""".stripMargin
+      s"""WITH pos AS (
+         |  SELECT doc_id, i AS p, l[i] AS tok FROM (
+         |    SELECT doc_id, string_split(text, ' ') AS l FROM documents) b,
+         |  LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) ii),
+         |dict AS MATERIALIZED (
+         |  SELECT tok, row_number() OVER (ORDER BY tok) AS id
+         |  FROM (SELECT DISTINCT tok FROM pos) t),
+         |co AS (SELECT a.doc_id, a.tok AS ta, b.tok AS tb
+         |       FROM pos a JOIN pos b
+         |         ON a.doc_id = b.doc_id
+         |        AND b.p - a.p IN (1, 2)),
+         |e AS MATERIALIZED (
+         |  SELECT da.id AS src, db.id AS dst
+         |  FROM co JOIN dict da ON da.tok = co.ta
+         |  JOIN dict db ON db.tok = co.tb
+         |  UNION ALL
+         |  SELECT db.id, da.id
+         |  FROM co JOIN dict da ON da.tok = co.ta
+         |  JOIN dict db ON db.tok = co.tb),
+         |v AS (SELECT DISTINCT id FROM
+         |        (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT count(*) AS n FROM v),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS r
+         |       FROM v CROSS JOIN nn),
+         |${m(1, "r0")},
+         |${r(1)},
+         |${m(2, "r1")},
+         |${r(2)}
+         |SELECT dict.tok AS token, round(r2.r, 6) AS textrank
+         |FROM r2 JOIN dict ON dict.id = r2.id
+         |ORDER BY textrank DESC, token LIMIT 10""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pos = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ", -1)).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+        .persist() // both sides of the co-occurrence join + the dict
+      val dict = pos.select("tok").distinct()
+        .withColumn("id", row_number().over(Window.orderBy("tok"))
+          .cast("long"))
+        .persist() // both endpoint encodes + the output decode
+      val co = pos.as("a").join(pos.as("b"),
+          col("a.doc_id") === col("b.doc_id")
+            && (col("b.p") - col("a.p")).isin(1, 2))
+        .select(col("a.tok").as("ta"), col("b.tok").as("tb"))
+      val enc = co
+        .join(broadcast(dict.select(col("tok").as("ta"),
+          col("id").as("ia"))), "ta")
+        .join(broadcast(dict.select(col("tok").as("tb"),
+          col("id").as("ib"))), "tb")
+      val e = enc.select(col("ia").as("src"), col("ib").as("dst"))
+        .unionAll(enc.select(col("ib"), col("ia")))
+      graft.operators.PageRank.pagerank(e, iters = 2)
+        .withColumnRenamed("id", "rid")
+        .join(broadcast(dict), col("rid") === col("id"))
+        .select(col("tok").as("token"), round(col("r"), 6).as("textrank"))
+        .orderBy(col("textrank").desc, col("token"))
+        .limit(10)
+    },
+
     // Smoothed-unigram negative sampling — word2vec's α=0.75 trick
     // (Mikolov et al. 2013): contrastive negatives drawn ∝ count^0.75,
     // flattening the head so frequent tokens don't drown the table. The

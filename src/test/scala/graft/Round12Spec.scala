@@ -480,6 +480,36 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("q396 TextRank scores are a proper distribution over hub tokens") {
+    val rows = run("q396_textrank").collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getAs[Double]("textrank"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    scores.foreach(s => assert(s > 0 && s < 1))
+    // PageRank mass: 31 tokens share total 1, so top-10 hubs must each
+    // beat the uniform floor 1/31 while no token hoards the graph
+    scores.foreach(s => assert(s > 1.0 / 31 * 0.8 && s < 0.2))
+  }
+
+  test("q397 CUPED harvests the planted covariate correlation") {
+    val r = run("q397_cuped").collect()(0)
+    assert(r.getAs[Long]("theta_e6") > 0)
+    val nt = r.getAs[Long]("n_treated")
+    assert(nt > 0 && nt < r.getAs[Long]("n_users"))
+    // the guarantee CUPED actually makes: variance falls by rho^2 —
+    // with the planted baseline dominating, more than half the variance
+    // must vanish (94.7% at sf0.01, 77% at the 15-user sf0.001)
+    assert(r.getAs[Long]("var_reduction_ppm") > 500000L,
+      s"variance reduction ${r.getAs[Long]("var_reduction_ppm")}ppm")
+    // both estimators are unbiased for the planted +5000 — wide bands
+    // because sf0.001 has only 15 users; the point-estimate tightening
+    // shows up in SE, not in any single draw
+    Seq("naive_ate_e6", "cuped_ate_e6").foreach { c =>
+      assert(math.abs(r.getAs[Long](c) - 5000000000L) < 15000000000L,
+        s"$c = ${r.getAs[Long](c)}")
+    }
+  }
+
   test("q383 streamed KMV sketch equals the batch sketch bit-for-bit") {
     val rows = run("q383_stream_kmv").collect()
     assert(rows.nonEmpty)
