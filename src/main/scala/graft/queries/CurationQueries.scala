@@ -2170,6 +2170,136 @@ object CurationQueries {
           expr("s2 * 1000000 div t2").as("p2_ppm"),
           expr("s5 * 1000000 div t5").as("p5_ppm"))
         .orderBy("source")
+    },
+
+    // Mondrian k-anonymization (LeFevre et al., ICDE 2006) — the privacy
+    // family's ENFORCER next to its meters (q269 k/l, q380 t): greedily
+    // bisect the quasi-identifier domain (dow × value-tier) along the
+    // wider dimension at the cell's exact median, refusing any cut that
+    // would leave a side under k=5 — after 3 rounds every surviving cell
+    // is a generalization region with ≥ k rows by construction. All
+    // decisions are census arithmetic: per-cell range stats, per-value
+    // cumulative counts (the q335 value-domain posture), median = first
+    // value whose cum reaches ⌈n/2⌉; rows relabel by one broadcast-join
+    // per round (cell ids double each round, stable cell·2+side coding,
+    // so lineage is readable in the id's bits). Output: the final cell
+    // census with its generalization ranges — the table a release
+    // actually publishes.
+    QueryDef("q398_mondrian", {
+      val k = 5
+      def roundCtes(r: Int): String = {
+        val p = s"rows${r - 1}"
+        s"""st$r AS MATERIALIZED (
+           |  SELECT cell, CAST(count(*) AS BIGINT) AS n,
+           |         min(d) AS dmin, max(d) AS dmax,
+           |         min(t) AS tmin, max(t) AS tmax
+           |  FROM $p GROUP BY cell),
+           |cd$r AS (SELECT cell, d AS v, CAST(count(*) AS BIGINT) AS c
+           |         FROM $p GROUP BY cell, d),
+           |cdc$r AS (SELECT cell, v, sum(c) OVER (PARTITION BY cell
+           |            ORDER BY v) AS cum FROM cd$r),
+           |md$r AS (SELECT cell, v AS med, cum FROM (
+           |    SELECT cdc$r.cell, v, cum,
+           |           row_number() OVER (PARTITION BY cdc$r.cell
+           |             ORDER BY v) AS rn
+           |    FROM cdc$r JOIN st$r ON st$r.cell = cdc$r.cell
+           |    WHERE cum * 2 >= st$r.n) z WHERE rn = 1),
+           |ct$r AS (SELECT cell, t AS v, CAST(count(*) AS BIGINT) AS c
+           |         FROM $p GROUP BY cell, t),
+           |ctc$r AS (SELECT cell, v, sum(c) OVER (PARTITION BY cell
+           |            ORDER BY v) AS cum FROM ct$r),
+           |mt$r AS (SELECT cell, v AS med, cum FROM (
+           |    SELECT ctc$r.cell, v, cum,
+           |           row_number() OVER (PARTITION BY ctc$r.cell
+           |             ORDER BY v) AS rn
+           |    FROM ctc$r JOIN st$r ON st$r.cell = ctc$r.cell
+           |    WHERE cum * 2 >= st$r.n) z WHERE rn = 1),
+           |dec$r AS MATERIALIZED (
+           |  SELECT st$r.cell,
+           |         CASE WHEN st$r.tmax - st$r.tmin
+           |                   >= st$r.dmax - st$r.dmin
+           |              THEN 't' ELSE 'd' END AS dim,
+           |         CASE WHEN st$r.tmax - st$r.tmin
+           |                   >= st$r.dmax - st$r.dmin
+           |              THEN mt$r.med ELSE md$r.med END AS med,
+           |         CASE WHEN st$r.tmax - st$r.tmin
+           |                   >= st$r.dmax - st$r.dmin
+           |              THEN mt$r.cum ELSE md$r.cum END AS nlo,
+           |         st$r.n
+           |  FROM st$r JOIN md$r ON md$r.cell = st$r.cell
+           |  JOIN mt$r ON mt$r.cell = st$r.cell),
+           |rows$r AS (
+           |  SELECT p.d, p.t,
+           |    CASE WHEN dec$r.nlo >= $k AND dec$r.n - dec$r.nlo >= $k
+           |         THEN p.cell * 2
+           |              + CASE WHEN (CASE WHEN dec$r.dim = 't' THEN p.t
+           |                           ELSE p.d END) > dec$r.med
+           |                THEN 1 ELSE 0 END
+           |         ELSE p.cell * 2 END AS cell
+           |  FROM $p p JOIN dec$r ON dec$r.cell = p.cell)""".stripMargin
+      }
+      s"""WITH rows0 AS (
+         |  SELECT (epoch_us(ts) // 86400000000) % 7 AS d,
+         |         least(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT)
+         |               // 500, 19) AS t,
+         |         CAST(1 AS BIGINT) AS cell
+         |  FROM events),
+         |${(1 to 3).map(roundCtes).mkString(",\n")}
+         |SELECT cell AS cell_id, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(min(d) AS BIGINT) AS dow_min,
+         |       CAST(max(d) AS BIGINT) AS dow_max,
+         |       CAST(min(t) AS BIGINT) AS tier_min,
+         |       CAST(max(t) AS BIGINT) AS tier_max
+         |FROM rows3 GROUP BY cell ORDER BY cell""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      val k = 5
+      var rows: DataFrame = Tables.events(s, d).select(
+        expr("(unix_micros(ts) div 86400000000) % 7").as("d"),
+        expr("least(cast(round(greatest(value, 0) * 100, 0) as bigint)" +
+          " div 500, 19)").as("t"),
+        lit(1L).as("cell"))
+      for (_ <- 1 to 3) {
+        val st = rows.groupBy("cell").agg(count(lit(1)).as("n"),
+          min("d").as("dmin"), max("d").as("dmax"),
+          min("t").as("tmin"), max("t").as("tmax"))
+        def medOf(c: String): DataFrame = {
+          val cw = Window.partitionBy("cell").orderBy("v")
+          val cum = rows.groupBy(col("cell"), col(c).as("v"))
+            .agg(count(lit(1)).as("cnt"))
+            .select(col("cell"), col("v"), sum("cnt").over(cw).as("cum"))
+          cum.join(st.select(col("cell"), col("n")), "cell")
+            .where(col("cum") * 2 >= col("n"))
+            .withColumn("rn", row_number().over(cw))
+            .where(col("rn") === 1)
+            .select(col("cell"), col("v").as(s"med_$c"),
+              col("cum").as(s"cum_$c"))
+        }
+        val dec = st
+          .join(medOf("d"), "cell").join(medOf("t"), "cell")
+          .select(col("cell").as("dcell"),
+            (col("tmax") - col("tmin") >= col("dmax") - col("dmin"))
+              .as("useT"),
+            when(col("tmax") - col("tmin") >= col("dmax") - col("dmin"),
+              col("med_t")).otherwise(col("med_d")).as("med"),
+            when(col("tmax") - col("tmin") >= col("dmax") - col("dmin"),
+              col("cum_t")).otherwise(col("cum_d")).as("nlo"),
+            col("n"))
+        rows = rows.join(broadcast(dec), col("cell") === col("dcell"))
+          .select(col("d"), col("t"),
+            when(col("nlo") >= k && col("n") - col("nlo") >= k,
+              col("cell") * 2
+                + when((when(col("useT"), col("t")).otherwise(col("d")))
+                  > col("med"), 1L).otherwise(0L))
+              .otherwise(col("cell") * 2).as("cell"))
+          .localCheckpoint()
+      }
+      rows.groupBy(col("cell").as("cell_id"))
+        .agg(count(lit(1)).as("n"),
+          min("d").as("dow_min"), max("d").as("dow_max"),
+          min("t").as("tier_min"), max("t").as("tier_max"))
+        .orderBy("cell_id")
     }
   )
 }

@@ -510,6 +510,34 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("q398 Mondrian cells satisfy k, partition the rows, and nest") {
+    val rows = run("q398_mondrian").collect()
+    assert(rows.length > 1, "Mondrian never split — k gate broken")
+    rows.foreach(r => assert(r.getAs[Long]("n") >= 5,
+      s"cell ${r.getAs[Long]("cell_id")} violates k=5"))
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total,
+      "cells do not partition the input")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dow_min") <= r.getAs[Long]("dow_max"))
+      assert(r.getAs[Long]("tier_min") <= r.getAs[Long]("tier_max"))
+      // depth-3 coding: every leaf id carries three split bits
+      val id = r.getAs[Long]("cell_id")
+      assert(id >= 8 && id < 16, s"cell id $id not a depth-3 leaf code")
+    }
+    // cells are pairwise disjoint rectangles in (dow, tier)
+    for (a <- rows; b <- rows
+         if a.getAs[Long]("cell_id") < b.getAs[Long]("cell_id")) {
+      val overlap =
+        a.getAs[Long]("dow_min") <= b.getAs[Long]("dow_max") &&
+          b.getAs[Long]("dow_min") <= a.getAs[Long]("dow_max") &&
+          a.getAs[Long]("tier_min") <= b.getAs[Long]("tier_max") &&
+          b.getAs[Long]("tier_min") <= a.getAs[Long]("tier_max")
+      assert(!overlap, s"cells ${a.getAs[Long]("cell_id")} and " +
+        s"${b.getAs[Long]("cell_id")} overlap")
+    }
+  }
+
   test("q383 streamed KMV sketch equals the batch sketch bit-for-bit") {
     val rows = run("q383_stream_kmv").collect()
     assert(rows.nonEmpty)
