@@ -3564,6 +3564,97 @@ object AdvancedQueries {
           col("s").as("supplier_nation"), col("crk").as("c_rank"),
           col("srk").as("s_rank"), col("n_unmatched"))
         .orderBy("customer_nation")
+    },
+
+    // Geo distance join — the spherical upgrade of the planar q178 grid:
+    // customers get deterministic lat/lon (hash-derived, lat ∈ ±60°,
+    // lon ∈ ±170° — wrap-free by construction, stated; production
+    // double-registers antimeridian-boundary points), candidate pairs
+    // come from a LOSSLESS 3×3 lat/lon cell join (0.5° × 1.0° cells:
+    // 50 km ≤ 0.45° of latitude everywhere and ≤ 0.9° of longitude up
+    // to |lat| = 60°), and only candidates pay the haversine — one
+    // trig chain per candidate (radians/sin/cos/asin/sqrt, identical
+    // order on both engines), rounded to integer meters before the
+    // 50 km cut. The brute-force-equality spec proves the grid drops
+    // NOTHING. Scale: candidates are O(n · local density), never n².
+    QueryDef("q399_geo_join", {
+      import graft.functions.Hashes
+      val dist =
+        """CAST(round(2 * 6371008.8 * asin(sqrt(
+          |  sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+          |  + cos(radians(a.lat)) * cos(radians(b.lat))
+          |    * sin(radians(b.lon - a.lon) / 2)
+          |    * sin(radians(b.lon - a.lon) / 2))), 0) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH p AS (
+         |  SELECT c_custkey AS id,
+         |         (${Hashes.mulHashSql("c_custkey", 17)} % 120000)
+         |           / CAST(1000 AS DOUBLE) - 60 AS lat,
+         |         (${Hashes.mulHashSql("c_custkey", 19)} % 340000)
+         |           / CAST(1000 AS DOUBLE) - 170 AS lon
+         |  FROM customer),
+         |a AS (SELECT id, lat, lon,
+         |        CAST(floor(lat / 0.5) AS BIGINT) + dx AS clat,
+         |        CAST(floor(lon / 1.0) AS BIGINT) + dy AS clon
+         |      FROM p, (SELECT unnest(range(-1, 2)) AS dx) xx,
+         |           (SELECT unnest(range(-1, 2)) AS dy) yy),
+         |b AS (SELECT id, lat, lon,
+         |        CAST(floor(lat / 0.5) AS BIGINT) AS clat,
+         |        CAST(floor(lon / 1.0) AS BIGINT) AS clon
+         |      FROM p),
+         |cand AS (SELECT DISTINCT a.id AS u, b.id AS v,
+         |           a.lat AS alat, a.lon AS alon,
+         |           b.lat AS blat, b.lon AS blon
+         |         FROM a JOIN b ON a.clat = b.clat AND a.clon = b.clon
+         |           AND a.id < b.id),
+         |d AS (SELECT u, v, $dist AS dist_m
+         |      FROM (SELECT u, v, alat AS lat, alon AS lon FROM cand) a
+         |      JOIN (SELECT u AS u2, v AS v2, blat AS lat, blon AS lon
+         |            FROM cand) b
+         |        ON a.u = b.u2 AND a.v = b.v2
+         |      WHERE true),
+         |hits AS (SELECT u, v, dist_m FROM d WHERE dist_m <= 50000),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM hits)
+         |SELECT u, v, dist_m, nc.n_pairs
+         |FROM hits, nc ORDER BY dist_m, u LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      val p = Tables.customer(s, d).select(col("c_custkey").as("id"),
+        ((Hashes.mulHash(col("c_custkey"), 17) % 120000)
+          .cast("double") / 1000 - 60).as("lat"),
+        ((Hashes.mulHash(col("c_custkey"), 19) % 340000)
+          .cast("double") / 1000 - 170).as("lon"))
+        .persist() // both grid sides
+      val a = p.select(col("id"), col("lat"), col("lon"),
+          explode(expr("sequence(-1, 1)")).as("dx"), col("lat"))
+        .select(col("id"), col("lat"), col("lon"), col("dx"),
+          explode(expr("sequence(-1, 1)")).as("dy"))
+        .select(col("id").as("u"), col("lat").as("alat"),
+          col("lon").as("alon"),
+          (floor(col("lat") / 0.5).cast("long") + col("dx")).as("clat"),
+          (floor(col("lon") / 1.0).cast("long") + col("dy")).as("clon"))
+      val b = p.select(col("id").as("v"), col("lat").as("blat"),
+        col("lon").as("blon"),
+        floor(col("lat") / 0.5).cast("long").as("clat"),
+        floor(col("lon") / 1.0).cast("long").as("clon"))
+      val cand = a.join(b, Seq("clat", "clon"))
+        .where(col("u") < col("v"))
+        .select("u", "v", "alat", "alon", "blat", "blon")
+        .distinct()
+      val dm = round(lit(2d) * 6371008.8 * asin(sqrt(
+        sin(radians(col("blat") - col("alat")) / 2)
+          * sin(radians(col("blat") - col("alat")) / 2)
+          + cos(radians(col("alat"))) * cos(radians(col("blat")))
+          * sin(radians(col("blon") - col("alon")) / 2)
+          * sin(radians(col("blon") - col("alon")) / 2))), 0)
+        .cast("long")
+      val hits = cand.select(col("u"), col("v"), dm.as("dist_m"))
+        .where(col("dist_m") <= 50000)
+        .persist() // count census + top-20
+      val nc = hits.agg(count(lit(1)).as("n_pairs"))
+      hits.crossJoin(broadcast(nc))
+        .orderBy("dist_m", "u")
+        .limit(20)
     }
   )
 }
