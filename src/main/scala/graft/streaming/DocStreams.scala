@@ -156,15 +156,32 @@ object DocStreams {
     * the two-drain harness). Idempotence: each batch overwrites its own
     * `batch=<id>` partition directory, so a retried batch rewrites rather
     * than double-appends.
+    *
+    * `compactEvery` > 0 bounds the per-batch index-read cost on a
+    * long-running flow: whenever the number of completed prior batch dirs
+    * reaches the threshold, they are folded into `batch=compacted`
+    * ([[compactGateOutput]]) at batch ENTRY — before this batch's own
+    * listing, and always excluding this batch's own (possibly partial,
+    * about-to-be-overwritten) directory — so the per-micro-batch listing
+    * and scan stay O(compactEvery) instead of O(total batches ever).
     */
   def runNearDupIngest(spark: SparkSession, landingDir: String,
                        corpus: DataFrame, outDir: String,
                        checkpointDir: String,
-                       minJaccard: Double = 0.5): Unit = {
+                       minJaccard: Double = 0.5,
+                       compactEvery: Int = 0): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     val q = readLanding(spark, landingDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0) {
+          val nPrior = Option(new java.io.File(outDir).listFiles)
+            .map(_.count(f => f.isDirectory && f.getName.startsWith("batch=")
+              && f.getName != "batch=compacted"
+              && f.getName != s"batch=$batchId")).getOrElse(0)
+          if (nPrior >= compactEvery)
+            compactGateOutput(spark, outDir, Some(batchId)): Unit
+        }
         // list COMPLETED batch dirs eagerly — a lazy glob over outDir would
         // be resolved mid-write and race with this batch's own output
         val priorDirs = Option(new java.io.File(outDir).listFiles)
@@ -187,24 +204,42 @@ object DocStreams {
   }
 
   /** Compact the near-dup gate's accumulated output: fold all `batch=*`
-    * partition directories into one consolidated `batch=compacted` dir and
-    * remove the originals — after compaction each micro-batch's index
-    * re-read lists ONE directory instead of one per historical batch (the
-    * growth the per-batch layout trades for idempotence). Run between
-    * drains (no query active on `outDir`); the consolidated dir keeps the
-    * same landing schema, so [[runNearDupIngest]]'s accumulation is
-    * unchanged. Returns the number of batch dirs folded.
+    * partition directories — PLUS the contents of any existing
+    * `batch=compacted` from a previous compaction, so repeated compaction is
+    * cumulative, never lossy — into one consolidated `batch=compacted` dir
+    * and remove the folded originals. After compaction each micro-batch's
+    * index re-read lists ONE directory instead of one per historical batch
+    * (the growth the per-batch layout trades for idempotence). The
+    * consolidated dir keeps the same landing schema, so [[runNearDupIngest]]
+    * 's accumulation is unchanged. Returns the number of per-batch dirs
+    * folded (excluding the prior `batch=compacted`).
+    *
+    * Safe to call from INSIDE `foreachBatch` by passing `excludeBatchId` =
+    * the current batch id: the in-flight batch's own directory (including a
+    * partial one left by a failed earlier attempt of the same batch, which
+    * the retry is about to overwrite) is never folded, so a retried batch
+    * cannot leave duplicate or partial rows frozen into the compacted dir.
     */
-  def compactGateOutput(spark: SparkSession, outDir: String): Int = {
+  def compactGateOutput(spark: SparkSession, outDir: String,
+                        excludeBatchId: Option[Long] = None): Int = {
+    val skip = excludeBatchId.map(id => s"batch=$id")
     val dirs = Option(new java.io.File(outDir).listFiles)
       .map(_.filter(f => f.isDirectory && f.getName.startsWith("batch=")
-        && f.getName != "batch=compacted").toSeq)
+        && f.getName != "batch=compacted" && !skip.contains(f.getName)).toSeq)
       .getOrElse(Seq.empty)
     if (dirs.isEmpty) return 0
-    val all = spark.read.schema(landingSchema)
-      .parquet(dirs.map(_.getPath): _*)
-    // write-then-swap: the consolidated dir lands under a temp name first,
-    // so a crash mid-compaction leaves the original batch dirs intact
+    // fold the prior consolidated dir in alongside the new batch dirs —
+    // omitting it here is a data-loss bug (the rmrf below would discard the
+    // previously compacted survivors from both the dedup index and the
+    // pipeline output on every compaction after the first)
+    val prevCompacted = new java.io.File(s"$outDir/batch=compacted")
+    val readPaths = dirs.map(_.getPath) ++
+      (if (prevCompacted.isDirectory) Seq(prevCompacted.getPath) else Nil)
+    val all = spark.read.schema(landingSchema).parquet(readPaths: _*)
+    // write-then-swap: the consolidated dir lands under a temp name first
+    // (the write fully materializes before anything is deleted), so a crash
+    // mid-compaction leaves the original batch dirs AND prior compacted
+    // contents intact
     val tmp = s"$outDir/.compact_tmp"
     all.coalesce(math.max(1, dirs.size / 8))
       .write.mode("overwrite").parquet(tmp)
@@ -212,10 +247,9 @@ object DocStreams {
       if (f.isDirectory) f.listFiles.foreach(rmrf)
       f.delete(): Unit
     }
-    val target = new java.io.File(s"$outDir/batch=compacted")
-    rmrf(target)
-    val ok = new java.io.File(tmp).renameTo(target)
-    require(ok, s"compaction rename failed: $tmp -> $target")
+    rmrf(prevCompacted)
+    val ok = new java.io.File(tmp).renameTo(prevCompacted)
+    require(ok, s"compaction rename failed: $tmp -> $prevCompacted")
     dirs.foreach(rmrf)
     dirs.size
   }

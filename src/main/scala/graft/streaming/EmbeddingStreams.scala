@@ -99,6 +99,19 @@ object EmbeddingStreams {
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         val batch = batch0.persist() // probed by sigs, ids, and the union
         val cur = new java.io.File(s"$indexDir/current")
+        // crash-window recovery: the swap below is two renames
+        // (current→.old, .next→current); a crash between them leaves no
+        // `current` and the whole corpus index sitting in `.old`. Without
+        // this restore, the next run would see no index and BOOTSTRAP a
+        // fresh build from only the arriving batch — silently discarding
+        // the corpus. Restoring .old→current and letting the checkpointed
+        // retry re-run the upsert is idempotent: the swap replaces the
+        // index wholesale and the upsert is deterministic.
+        locally {
+          val old = new java.io.File(s"$indexDir/.old")
+          if (!cur.isDirectory && old.isDirectory)
+            require(old.renameTo(cur), s"recover $old -> $cur")
+        }
         val newIdx =
           if (!cur.isDirectory) {
             val g = NswGraph.buildRefined(batch, "vec_id", "embedding", dim,

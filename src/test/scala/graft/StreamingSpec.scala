@@ -358,6 +358,68 @@ class StreamingSpec extends AnyFunSuite {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(landedAll == Set(2L, 4L, 6L),
         s"expected survivors {2, 4, 6}, got $landedAll")
+      // REPEATED compaction must be cumulative: fold again (prior compacted
+      // dir + the post-compaction batch dir) — the pre-fix behavior dropped
+      // the previously consolidated survivors {2, 4} here
+      val folded2 = DocStreams.compactGateOutput(spark, s"$root/out")
+      assert(folded2 >= 1)
+      val afterSecond = spark.read.parquet(s"$root/out/*")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(afterSecond == Set(2L, 4L, 6L),
+        s"second compaction lost survivors: got $afterSecond")
+      // and the twice-compacted index still gates a fourth wave
+      Seq((7L, ts(6), "one two three four five six"), // dup of doc 2
+        (8L, ts(7), "eighteen nineteen twenty twentyone twentytwo"))
+        .toDF("doc_id", "ingest_ts", "text")
+        .repartition(1).write.mode("append").parquet(s"$root/landing")
+      DocStreams.runNearDupIngest(spark, s"$root/landing", corpus,
+        s"$root/out", s"$root/ckpt")
+      val landedFinal = spark.read.parquet(s"$root/out/*")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(landedFinal == Set(2L, 4L, 6L, 8L),
+        s"expected survivors {2, 4, 6, 8}, got $landedFinal")
+    } finally rmrf(root)
+  }
+
+  test("near-dup gate auto-compaction bounds batch dirs on a long flow") {
+    import graft.streaming.DocStreams
+    val sql = spark
+    import sql.implicits._
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(): Unit
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_ndauto_").toFile
+    try {
+      val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000)
+      val corpus = Seq((100L, "alpha beta gamma delta epsilon"))
+        .toDF("doc_id", "text")
+      // 10 waves: wave w lands one novel doc and (w>0) one verbatim copy of
+      // the PREVIOUS wave's novel doc — every wave exercises the accumulated
+      // index, and dup detection across a compaction boundary proves the
+      // folded dirs still feed the gate. tokenHash fingerprints a token by
+      // (first char, last char, length) only, so cross-wave vocabularies
+      // must differ in LENGTH (per wave) and LAST CHAR (per token) to be
+      // distinct under the hash: 7·Δw ≠ 31·Δi for the ranges used here.
+      def novel(w: Int) =
+        (0 until 6).map(i => "x" * (w + 2) + ('a' + i).toChar).mkString(" ")
+      var expected = Set.empty[Long]
+      for (w <- 0 until 10) {
+        val rows = Seq((w * 10L, ts(w * 2L), novel(w))) ++
+          (if (w > 0) Seq((w * 10L + 1, ts(w * 2L + 1), novel(w - 1))) else Nil)
+        expected += w * 10L
+        rows.toDF("doc_id", "ingest_ts", "text")
+          .repartition(1).write.mode("append").parquet(s"$root/landing")
+        DocStreams.runNearDupIngest(spark, s"$root/landing", corpus,
+          s"$root/out", s"$root/ckpt", compactEvery = 3)
+      }
+      val landed = spark.read.parquet(s"$root/out/*")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(landed == expected, s"expected $expected, got $landed")
+      // the whole point: dir count stays bounded by compactEvery + 1, not 10
+      val nDirs = new java.io.File(s"$root/out").listFiles
+        .count(_.getName.startsWith("batch="))
+      assert(nDirs <= 4, s"auto-compaction left $nDirs batch dirs")
     } finally rmrf(root)
   }
 
@@ -395,6 +457,19 @@ class StreamingSpec extends AnyFunSuite {
       // the maintained vector set is the full corpus
       assert(spark.read.parquet(s"$root/index/current/vectors").count()
         == emb.count())
+      // crash-window recovery: simulate dying between the two swap renames
+      // (current→.old done, .next→current not) — the corpus index sits in
+      // .old and `current` is gone. The next drain must RESTORE it, not
+      // bootstrap a fresh build from only the arriving batch.
+      assert(new java.io.File(s"$root/index/current")
+        .renameTo(new java.io.File(s"$root/index/.old")))
+      val waveC = emb.where(col("vec_id") % 8 === 1)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      waveC.coalesce(1).write.mode("append").parquet(s"$root/landing")
+      drain()
+      val recovered = spark.read.parquet(s"$root/index/current/vectors")
+      assert(recovered.count() == emb.count() + waveC.count(),
+        "post-crash drain lost the corpus index")
     } finally rmrf(root)
   }
 }
