@@ -27,10 +27,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object StringSimExprs {
 
-  /** The kernel — static so generated code calls it directly. */
+  /** The kernel — static so generated code calls it directly. Operates on
+    * CODEPOINTS, not UTF-16 code units: DuckDB/RapidFuzz count an emoji or
+    * non-BMP CJK character as ONE symbol, and a code-unit loop would both
+    * inflate lengths (surrogate pair = 2) and allow per-half surrogate
+    * matches — scoring such strings differently from the pinned oracle.
+    */
   def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
-    val s1 = a.toString
-    val s2 = b.toString
+    val s1 = a.toString.codePoints().toArray
+    val s2 = b.toString.codePoints().toArray
     val l1 = s1.length
     val l2 = s2.length
     if (l1 == 0 || l2 == 0) return 0.0
@@ -45,7 +50,7 @@ object StringSimExprs {
       var j = lo
       var done = false
       while (j < hi && !done) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!m2(j) && s1(i) == s2(j)) {
           m1(i) = true; m2(j) = true; m += 1; done = true
         }
         j += 1
@@ -59,7 +64,7 @@ object StringSimExprs {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (s1(i) != s2(k)) t += 1
         k += 1
       }
       i += 1
@@ -70,7 +75,7 @@ object StringSimExprs {
     if (sim <= 0.7) return sim
     var pref = 0
     val pmax = math.min(4, math.min(l1, l2))
-    while (pref < pmax && s1.charAt(pref) == s2.charAt(pref)) pref += 1
+    while (pref < pmax && s1(pref) == s2(pref)) pref += 1
     sim + pref * 0.1 * (1.0 - sim)
   }
 

@@ -3549,6 +3549,13 @@ object AdvancedQueries {
         free = nk.count() - matched.count()
         r += 1
       }
+      // GS with complete lists always terminates, but the 40-round unroll
+      // is a bound, not a proof — a pathological preference census that
+      // needed more rounds would otherwise silently emit a PARTIAL (and
+      // hence possibly unstable) matching. Fail loudly instead; the
+      // fixture census converges well inside the bound.
+      require(free == 0,
+        s"stable matching did not converge in $r rounds ($free proposers still free)")
       val um = nk
         .join(matched.select(col("c")), col("id") === col("c"), "left_anti")
         .agg(count(lit(1)).as("n_unmatched"))

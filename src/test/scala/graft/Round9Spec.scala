@@ -123,6 +123,19 @@ class Round9Spec extends AnyFunSuite {
     assert(jw("abc", "xyz") == 0.0)
     // adjacent transposition outside the window of 1-char strings
     assert(jw("ab", "ba") == 0.0)
+    // non-BMP codepoints count as ONE symbol (codepoint iteration, the
+    // DuckDB/RapidFuzz convention) — under UTF-16 code units "😀" is a
+    // surrogate pair and these would score differently:
+    // identical 3-symbol strings containing an emoji
+    assert(jw("a😀b", "a😀b") == 1.0)
+    // single-symbol strings, different emoji → no match, not per-half
+    // surrogate matches (both share the high surrogate D83D)
+    assert(jw("😀", "😁") == 0.0)
+    // jaro of 2-symbol strings sharing one symbol = (1/2+1/2+1)/3 = 2/3;
+    // code-unit math would see lengths 3, window 0, plus a spurious
+    // shared-high-surrogate match between the two emoji
+    assert(math.abs(jw("a😀", "a😁") - (2.0 / 3)) < 1e-12)
+    assert(math.abs(jw("😀a", "😁a") - (2.0 / 3)) < 1e-12)
   }
 
   test("NnMatch.nearest1d distance equals the brute-force quadratic minimum") {
