@@ -3534,6 +3534,123 @@ object EventQueries {
       }
     },
 
+    // Streaming quantile sketch — q400's bottom-k rank sample maintained
+    // CONTINUOUSLY (StatefulStreams.QSketchStream, the q383 KMV harness
+    // verbatim): per event type, the 64 smallest-row-hash (hash, value)
+    // pairs live in transformWithState ValueState and fold each
+    // micro-batch with the batch Aggregator's own reduce. Bottom-k is
+    // commutative and slicing-insensitive, so the streamed sketch — and
+    // the median/p90 it answers — equals the batch sketch bit-for-bit
+    // (stream_eq_batch compares the raw pair arrays). This is continuous
+    // percentile monitoring at 100 TB: O(2k) longs of state per key,
+    // never a shuffle or retention of raw history. Oracle replays the
+    // sample content (h/x checksums) + both quantile estimates.
+    QueryDef("q401_stream_quantiles", {
+      import graft.functions.Hashes
+      s"""WITH v AS (
+         |  SELECT event_type,
+         |         ${Hashes.mulHashSql("event_id", 101)} AS h,
+         |         CAST(round(value * 100, 0) AS BIGINT) AS x
+         |  FROM events),
+         |s AS (SELECT event_type, h, x,
+         |             row_number() OVER (PARTITION BY event_type
+         |               ORDER BY h, x) AS rn
+         |      FROM v),
+         |samp AS (SELECT event_type,
+         |                list(x ORDER BY x) AS xs,
+         |                list(h ORDER BY h, x) AS hs,
+         |                CAST(count(*) AS BIGINT) AS n_held
+         |         FROM s WHERE rn <= 64 GROUP BY event_type)
+         |SELECT event_type, n_held,
+         |       CAST(hs[1] AS BIGINT) AS h_1,
+         |       CAST(hs[len(hs)] AS BIGINT) AS h_k,
+         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), xs),
+         |                        (a, b) -> a + b) AS BIGINT) AS xs_sum,
+         |       xs[CAST((50 * len(xs) + 99) // 100 AS INT)] AS p50_x,
+         |       xs[CAST((90 * len(xs) + 99) // 100 AS INT)] AS p90_x,
+         |       TRUE AS stream_eq_batch
+         |FROM samp ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      import graft.functions.{Hashes, QuantileSketch}
+      import graft.streaming.StatefulStreams
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_qsk_q_").toFile
+      sys.addShutdownHook(rmrf(root))
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          Hashes.mulHash(col("event_id"), 101).as("h"),
+          round(col("value") * 100, 0).cast("long").as("x"))
+        .persist() // feeds the landing write and the batch-parity sketch
+      e.repartition(4).write.parquet(s"$root/landing")
+      val prev =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        StatefulStreams.RocksDbProvider)
+      try {
+        val stream = s.readStream
+          .schema(new StructType().add("event_type", StringType)
+            .add("h", LongType).add("x", LongType))
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
+          .as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new StatefulStreams.QSketchStream(64),
+            TimeMode.None(), OutputMode.Update())
+        val memName = root.getName // unique per invocation
+        val q = stream.toDF("event_type", "n", "pairs")
+          .writeStream.outputMode("update").format("memory")
+          .queryName(memName)
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // n is monotone per key → the max-n emission carries final state
+        val wn = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("n").desc)
+        val streamed = s.table(memName)
+          .withColumn("rk", row_number().over(wn))
+          .where(col("rk") === 1)
+          .select(col("event_type"), col("pairs").as("spairs"))
+        val batch = e.groupBy("event_type")
+          .agg(QuantileSketch.qsketch(64)(col("h"), col("x")).as("pairs"))
+        // interleaved [h, x, …] → positional slices: h at even 0-based
+        // lambda indices, x at odd; checksums keep hash order, but the
+        // quantile estimates read the sampled VALUES sorted by value
+        // (the q400 lesson — hash order is the sampling order, not the
+        // value order)
+        batch.join(streamed, Seq("event_type"))
+          .withColumn("n_held", expr("CAST(size(pairs) AS BIGINT) div 2"))
+          .withColumn("xs", expr(
+            "array_sort(transform(filter(transform(pairs, " +
+              "(v, i) -> named_struct('i', i, 'v', v)), p -> p.i % 2 = 1), " +
+              "p -> p.v))"))
+          .select(col("event_type"), col("n_held"),
+            element_at(col("pairs"), 1).as("h_1"),
+            element_at(col("pairs"),
+              ((col("n_held") - 1) * 2 + 1).cast("int")).as("h_k"),
+            aggregate(col("xs"), lit(0L), (a, x) => a + x).as("xs_sum"),
+            element_at(col("xs"),
+              expr("(50 * n_held + 99) div 100").cast("int")).as("p50_x"),
+            element_at(col("xs"),
+              expr("(90 * n_held + 99) div 100").cast("int")).as("p90_x"),
+            (col("pairs") === col("spairs")).as("stream_eq_batch"))
+          .orderBy("event_type")
+      } finally {
+        prev match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    },
+
     // Exponentially time-decayed counts — the freshness-weighted volume
     // metric every ops dashboard ranks by (a burst yesterday should
     // outrank steady drip from last month): each event contributes

@@ -1376,6 +1376,91 @@ object ScaleQueries {
           expr("""abs(l_overlap * est_union div k_union - exact_inter)
                  |* 1000000 div greatest(exact_inter, 1L)"""
             .stripMargin.replace("\n", " ")).as("err_ppm"))
+    },
+
+    // Mergeable quantile sketch — the sketch family's missing member (the
+    // r8 verdict's Missing #5): bottom-k rank sampling (Cohen & Kaplan
+    // 2007) as functions/QuantileSketch, the k = 1024 smallest-row-hash
+    // (hash, value) pairs per group. Unlike KLL/t-digest, whose state
+    // depends on merge ORDER (unpinnable by a hash oracle), the bottom-k
+    // sample is a pure function of the input multiset — so the sketch
+    // content is oracle-exact while still answering EVERY quantile with
+    // rank error O(1/√k) ≈ 1.6 % std at this k. The trade vs KLL's
+    // O(1/k) is priced honestly: the output carries each estimate's
+    // MEASURED rank error (err_ppm), computed against the relation
+    // itself. Scale shape: map-side partials forward ≤ k pairs per group
+    // (the KMV/TopK exchange posture); the rank-error census is a
+    // 15-row broadcast against one scan. Streaming twin: q401.
+    QueryDef("q400_quantile_sketch", {
+      import graft.functions.Hashes
+      s"""WITH v AS (
+         |  SELECT l_returnflag AS flag,
+         |         ${Hashes.mulHashSql("l_orderkey * 8 + l_linenumber", 101)}
+         |           AS h,
+         |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x
+         |  FROM lineitem),
+         |cnt AS (SELECT flag, CAST(count(*) AS BIGINT) AS n_rows FROM v
+         |        GROUP BY flag),
+         |s AS (SELECT flag, h, x,
+         |             row_number() OVER (PARTITION BY flag ORDER BY h, x)
+         |               AS rn
+         |      FROM v),
+         |samp AS (SELECT flag, list(x ORDER BY x) AS xs FROM s
+         |         WHERE rn <= 1024 GROUP BY flag),
+         |q AS (SELECT unnest([10, 25, 50, 75, 90]) AS q_pct),
+         |est AS (
+         |  SELECT samp.flag, q.q_pct, CAST(len(xs) AS BIGINT) AS n_held,
+         |         xs[CAST((q.q_pct * len(xs) + 99) // 100 AS INT)] AS est_x
+         |  FROM samp CROSS JOIN q),
+         |r AS (
+         |  SELECT e.flag, e.q_pct, e.n_held, e.est_x,
+         |         CAST(sum(CASE WHEN v.x <= e.est_x THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_le,
+         |         max(c.n_rows) AS n_rows
+         |  FROM est e JOIN v ON v.flag = e.flag
+         |  JOIN cnt c ON c.flag = e.flag
+         |  GROUP BY e.flag, e.q_pct, e.n_held, e.est_x)
+         |SELECT flag, q_pct, n_held, est_x,
+         |       n_le * 1000000 // n_rows AS rank_ppm,
+         |       abs(n_le * 1000000 // n_rows - CAST(q_pct AS BIGINT) * 10000)
+         |         AS err_ppm
+         |FROM r ORDER BY flag, q_pct""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.{Hashes, QuantileSketch}
+      val v = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        Hashes.mulHash(col("l_orderkey") * 8 + col("l_linenumber"), 101)
+          .as("h"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("x"))
+        .persist() // sketch pass + the rank-error census
+      val sk = v.groupBy("flag").agg(
+        QuantileSketch.qsketch(1024)(col("h"), col("x")).as("pairs"),
+        count(lit(1)).as("n_rows"))
+      val est = sk
+        .select(col("flag"), col("n_rows"), col("pairs"),
+          explode(array(Seq(10, 25, 50, 75, 90).map(lit): _*)).as("q_pct"))
+        .withColumn("n_held", expr("CAST(size(pairs) AS BIGINT) div 2"))
+        // the sketch array is (h, x) ascending by HASH (the sampling
+        // order); quantiles read the sampled VALUES sorted by value —
+        // conflating the two puts the "p10" wherever the hash order
+        // happens to land it (Round13Spec's rank-error bound caught this;
+        // the mirrored-oracle hash check alone could not)
+        .withColumn("xs", expr(
+          "array_sort(transform(filter(transform(pairs, " +
+            "(v, i) -> named_struct('i', i, 'v', v)), p -> p.i % 2 = 1), " +
+            "p -> p.v))"))
+        .withColumn("r", expr("(q_pct * n_held + 99) div 100"))
+        .withColumn("est_x", element_at(col("xs"), col("r").cast("int")))
+        .select("flag", "q_pct", "n_rows", "n_held", "est_x")
+      v.join(broadcast(est), Seq("flag"))
+        .groupBy("flag", "q_pct", "n_rows", "n_held", "est_x")
+        .agg(sum(when(col("x") <= col("est_x"), 1L).otherwise(0L))
+          .as("n_le"))
+        .select(col("flag"), col("q_pct"), col("n_held"), col("est_x"),
+          expr("n_le * 1000000 div n_rows").as("rank_ppm"),
+          expr("abs(n_le * 1000000 div n_rows - CAST(q_pct AS BIGINT) * 10000)")
+            .as("err_ppm"))
+        .orderBy("flag", "q_pct")
     }
   )
 }

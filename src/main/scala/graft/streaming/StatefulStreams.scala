@@ -71,6 +71,42 @@ object StatefulStreams {
     }
   }
 
+  /** Continuously-maintained quantile sketch — the streaming twin of
+    * [[graft.functions.QuantileSketch]] (bottom-k rank sample), exactly
+    * the [[KmvStream]] pattern: one bounded interleaved (hash, value)
+    * pair array per key in ValueState, folded with the SAME reduce the
+    * batch Aggregator uses. Bottom-k updates are commutative and
+    * insensitive to slicing, so the final streamed sketch equals the
+    * batch sketch bit-for-bit — and with it every quantile estimate it
+    * answers. O(2k) longs of state per key: continuous percentile
+    * monitoring (latency/value quantiles per stream key) without ever
+    * shuffling or retaining raw history.
+    */
+  class QSketchStream(k: Int)
+      extends StatefulProcessor[String, (String, Long, Long), (String, Long, Array[Long])] {
+    @transient private var st: ValueState[Array[Long]] = _
+    @transient private var cnt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[Array[Long]]("qsk",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+        TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long, Long)],
+                                 tv: TimerValues): Iterator[(String, Long, Array[Long])] = {
+      val agg = new graft.functions.QuantileSketch.QSketchAgg(k)
+      var buf = if (st.exists()) st.get() else Array.empty[Long]
+      var n = if (cnt.exists()) cnt.get() else 0L
+      rows.foreach { case (_, h, x) => buf = agg.reduce(buf, (h, x)); n += 1 }
+      st.update(buf)
+      cnt.update(n)
+      Iterator.single((key, n, buf))
+    }
+  }
+
   class OrderedEwma
       extends StatefulProcessor[String, (String, Long, Long), (String, Long, Long, Long)] {
     @transient private var st: ValueState[Long] = _
