@@ -430,6 +430,45 @@ object ScaleProbe {
         System.err.println(s"[disk_walk_dist m=$m] io=$io")
         frontier
       },
+      // FLEET disk walk (q402): the multiplier scales the QUERY BATCH
+      // (3 → 30 queries) with slices = queries over a FIXED 100k corpus —
+      // the claim is wall-time FLAT in query count up to the executor
+      // count, because each task walks its own slice independently
+      // (task-local parquet point reads, no driver orchestration). The
+      // corpus-independence claim is disk_walk's; this row isolates the
+      // query-parallelism claim
+      "fleet_serve" -> { m =>
+        import graft.functions.{Hashes, Tensors}
+        import graft.operators.DiskAnn
+        val dim = 16
+        val dir = diskWalkFixtures.getOrElseUpdate(1, {
+          val n = 100000L
+          val d = java.nio.file.Files
+            .createTempDirectory("graft_diskwalk_1").toString
+          val graph = spark.range(n).select(col("id").as("vid"))
+            .select(col("vid"), explode(sequence(lit(0), lit(7))).as("j"))
+            .select(col("vid").as("src"),
+              (Hashes.mulHash(col("vid") * 8 + col("j"), 37) % n).as("dst"))
+          val vecs = spark.range(n).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(dim - 1)),
+              dd => ((Hashes.mulHash(col("id") * 131L + dd, 19) % 1000)
+                .cast("double") / 1000.0d).cast("float")).as("embedding"))
+          DiskAnn.writeIndex(graph, vecs, "vec_id", "embedding", d,
+            buckets = 16)
+          d
+        })
+        val nq = m * 3
+        val qdf = spark.range(nq).select(col("id").as("qid"),
+            transform(sequence(lit(0), lit(dim - 1)),
+              dd => ((Hashes.mulHash(col("id") * 131L + dd, 19) % 1000)
+                .cast("double") / 1000.0d).cast("float")).as("qe"))
+          .withColumn("qn", Tensors.norm(col("qe")))
+        val ea = spark.sparkContext.longAccumulator(s"fleet_e_$m")
+        val va = spark.sparkContext.longAccumulator(s"fleet_v_$m")
+        val out = DiskAnn.searchFleet(spark, dir, qdf, entry = 0L,
+          hops = 6, beam = 16, slices = nq, ea, va)
+        out
+      },
       // Vamana α-occlusion prune (q297): per-node k² pair cosines + the
       // greedy fold — O(n·k²) rows, one exchange on the node key; must
       // scale like the other per-node-bounded shapes, nowhere near

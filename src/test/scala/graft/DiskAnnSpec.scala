@@ -102,4 +102,33 @@ class DiskAnnSpec extends AnyFunSuite {
       assert(a.sorted == b.sorted)
     }
   }
+
+  test("fleet walk (task-local parquet reads) equals the driver-side walk") {
+    withIndex { dir =>
+      import graft.functions.Tensors
+      val emb = Tables.embeddings(spark, TestSpark.sfDir)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val (driver, dio) = DiskAnn.search(spark, dir, queries, 0L, 6, 16)
+      val qdf = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          Tensors.norm(col("embedding")).as("qn"))
+      val ea = spark.sparkContext.longAccumulator("spec_fleet_e")
+      val va = spark.sparkContext.longAccumulator("spec_fleet_v")
+      val fleet = DiskAnn.searchFleet(spark, dir, qdf, 0L, 6, 16,
+        slices = 3, ea, va)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // bit-identical results: the task-local parquet walk and the
+      // driver-side replica agree on every (query, neighbor) pair
+      assert(fleet.sorted.toSeq == driver.sorted,
+        s"fleet ${fleet.length} vs driver ${driver.size}")
+      // IO stays neighborhood-bounded; slicing can re-read a node's
+      // vector once per SLICE that visits it, never per corpus row — the
+      // slice count (3) is the honest multiplier on the driver walk's
+      // dedup'd reads
+      assert(va.value <= dio.vecRows * 3,
+        s"fleet vector rows ${va.value} vs driver ${dio.vecRows} x 3 slices")
+    }
+  }
 }
