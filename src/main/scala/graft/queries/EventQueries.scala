@@ -3651,6 +3651,69 @@ object EventQueries {
       }
     },
 
+    // CUSUM changepoint detection — the ops-monitoring primitive the
+    // time-series family (q233 EWMA, q262 seasonal anomaly, q393 matrix
+    // profile) was missing: WHERE did the level shift? Per event type,
+    // the cumulative-sum statistic over the day census, computed in
+    // EXACT integers by scaling out the mean division: S_t = n·cum_t −
+    // t·total (n × the classic Σ(x_i − x̄) prefix sum, sign and argmax
+    // preserved). The changepoint is the |S_t| argmax over interior days
+    // (S_n ≡ 0 by construction), ties to the earliest day; pre/post
+    // means are emitted as e6 ratios so the shift magnitude is part of
+    // the checked output. Scale: one day-census groupBy, then windows
+    // over ≤ days rows per key — nothing corpus-sized moves twice.
+    QueryDef("q403_cusum_changepoint",
+      """WITH day AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, day, x,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY day) AS BIGINT) AS t,
+        |         CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day)
+        |           AS BIGINT) AS cum
+        |  FROM day),
+        |tot AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS total,
+        |               CAST(count(*) AS BIGINT) AS n_days
+        |        FROM day GROUP BY 1),
+        |s AS (SELECT c.event_type, c.day, c.t, c.cum, tot.total,
+        |             tot.n_days, tot.n_days * c.cum - c.t * tot.total AS s_t
+        |      FROM c JOIN tot USING (event_type)),
+        |b AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(s_t) DESC, day) AS rk
+        |      FROM s WHERE t < n_days)
+        |SELECT event_type, day AS cp_day, t AS cp_t, n_days,
+        |       abs(s_t) AS cusum_stat,
+        |       cum * 1000000 // t AS pre_mean_e6,
+        |       (total - cum) * 1000000 // (n_days - t) AS post_mean_e6
+        |FROM b WHERE rk = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val day = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val c = day
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("cum", sum("x").over(w))
+      val tot = day.groupBy("event_type")
+        .agg(sum("x").as("total"), count(lit(1)).as("n_days"))
+      val rkw = Window.partitionBy("event_type")
+        .orderBy(abs(col("s_t")).desc, col("day"))
+      c.join(tot, "event_type")
+        .withColumn("s_t", col("n_days") * col("cum") - col("t") * col("total"))
+        .where(col("t") < col("n_days"))
+        .withColumn("rk", row_number().over(rkw))
+        .where(col("rk") === 1)
+        .select(col("event_type"), col("day").as("cp_day"),
+          col("t").as("cp_t"), col("n_days"),
+          abs(col("s_t")).as("cusum_stat"),
+          expr("cum * 1000000 div t").as("pre_mean_e6"),
+          expr("(total - cum) * 1000000 div (n_days - t)").as("post_mean_e6"))
+        .orderBy("event_type")
+    },
+
     // Exponentially time-decayed counts — the freshness-weighted volume
     // metric every ops dashboard ranks by (a burst yesterday should
     // outrank steady drip from last month): each event contributes

@@ -3392,6 +3392,162 @@ object MlQueries {
                   |div ((n * sy2 - sys * sys)
                   |* cast(1000000000000 as $dec)) as bigint)"""
             .stripMargin.replace("\n", " ")).as("var_reduction_ppm"))
+    },
+
+    // Depth-2 CART decision tree — exact greedy induction over SPLIT
+    // CENSUSES (the supervised-learning gap next to q103's logistic GD
+    // and q65's k-means): per node, the (feature, value, label) census
+    // is a tiny groupBy, cumulative windows turn it into every candidate
+    // split's class counts, and the Gini objective Σ_child (Σ_k cnt_k²)
+    // /n_child is maximized in exact integers (e6-scaled division stated
+    // identically on both engines; ties → (feature, value) asc). The
+    // LABEL carries a PLANTED depth-2 rule — high-value AND urgent-ish
+    // (f_bucket ≥ 3 ∧ f_prio ≤ 2) — with 10 % hash-flip noise, so
+    // recovery is measurable, not asserted: the induced 4-leaf tree must
+    // predict 1 on exactly the planted cell and land ≈ 90 % accuracy
+    // (Round13Spec). Scale: each node's candidate evaluation touches
+    // only its census (≤ Σ distinct feature values rows); the data is
+    // scanned once per LEVEL, and the chosen split is a 1-row collect —
+    // the scaler/codebook posture. Oracle replays census, argmax, both
+    // child argmaxes, and the leaf table.
+    QueryDef("q405_cart_tree", CartSql.sql) { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Hashes
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        month(col("o_orderdate")).cast("long").as("f_month"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("f_prio"),
+        expr("least(cast(round(o_totalprice * 100, 0) as bigint)" +
+          " div 5000000, 9L)").as("f_bucket"))
+        .withColumn("base",
+          (col("f_bucket") >= 3 && col("f_prio") <= 2).cast("long"))
+        .withColumn("flip",
+          (Hashes.mulHash(col("k"), 17) % 10 === 0).cast("long"))
+        .withColumn("label", (col("base") + col("flip")) % 2)
+        .select("k", "f_month", "f_prio", "f_bucket", "label")
+        .persist() // root census + two child censuses + leaf table
+      def fcol(fn: String) = col(s"f_$fn")
+      def bestSplit(node: DataFrame): (String, Long) = {
+        val cen = node.select(
+          expr("stack(3, 'bucket', f_bucket, 'month', f_month, " +
+            "'prio', f_prio) AS (fn, fv)"), col("label"))
+          .groupBy("fn", "fv")
+          .agg(count(lit(1)).as("n"), sum("label").as("p"))
+        val w = Window.partitionBy("fn").orderBy("fv")
+        val t = Window.partitionBy("fn")
+        val r = cen
+          .withColumn("lc", sum("n").over(w))
+          .withColumn("lp", sum("p").over(w))
+          .withColumn("nn", sum("n").over(t))
+          .withColumn("pp", sum("p").over(t))
+          .withColumn("mx", max("fv").over(t))
+          .where(col("fv") < col("mx"))
+          .withColumn("score", expr(
+            "(lp * lp + (lc - lp) * (lc - lp)) * 1000000 div lc" +
+              " + ((pp - lp) * (pp - lp)" +
+              " + (nn - lc - pp + lp) * (nn - lc - pp + lp))" +
+              " * 1000000 div (nn - lc)"))
+          .orderBy(col("score").desc, col("fn"), col("fv"))
+          .limit(1).collect()(0) // 1-row census pick
+        (r.getAs[String]("fn"), r.getAs[Long]("fv"))
+      }
+      val (rf, rt) = bestSplit(o)
+      val lside = o.where(fcol(rf) <= rt)
+      val rside = o.where(fcol(rf) > rt)
+      val (lf, lt) = bestSplit(lside)
+      val (rf2, rt2) = bestSplit(rside)
+      def leaves(side: DataFrame, tag: String, cf: String, ct: Long) =
+        side
+          .withColumn("leaf",
+            concat(lit(tag), when(fcol(cf) <= ct, "L").otherwise("R")))
+          .groupBy("leaf")
+          .agg(count(lit(1)).as("n"), sum("label").as("pos"))
+          .withColumn("pred", (col("pos") * 2 > col("n")).cast("long"))
+          .withColumn("n_correct", when(col("pred") === 1, col("pos"))
+            .otherwise(col("n") - col("pos")))
+          .withColumn("sub_f", lit(cf)).withColumn("sub_t", lit(ct))
+      leaves(lside, "L", lf, lt)
+        .unionByName(leaves(rside, "R", rf2, rt2))
+        .withColumn("root_f", lit(rf)).withColumn("root_t", lit(rt))
+        .select("leaf", "root_f", "root_t", "sub_f", "sub_t",
+          "n", "pos", "pred", "n_correct")
+        .orderBy("leaf")
+    },
+
+    // Isotonic regression (pool-adjacent-violators) — the monotone
+    // calibrator production scorers actually ship (Zadrozny & Elkan,
+    // KDD 2002), completing the calibration pair with q277's ECE: the
+    // purchase rate per value bin, forced monotone non-decreasing with
+    // minimal squared error. Instead of the sequential PAV merge loop,
+    // the fitted value uses the MINIMAX closed form iso_i =
+    // max_{j ≤ i} min_{k ≥ i} mean(rate over bins j..k) — over a B-bin
+    // census that is a B³ combo join of three broadcast prefix
+    // relations, pure integer arithmetic (e9-scaled truncated division,
+    // stated identically on both engines). Scale: the data is touched
+    // once for the bin census; everything after is B³ = 1000 census
+    // rows. Round13Spec asserts the output is actually monotone and
+    // collapses to the raw rates wherever those were already monotone.
+    QueryDef("q406_isotonic_pav",
+      """WITH x AS (
+        |  SELECT least(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT)
+        |           // 5000, 9) AS bin,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |cen AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(y) AS BIGINT) AS pos
+        |        FROM x GROUP BY bin),
+        |c AS (SELECT bin, n, pos,
+        |             CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        |             CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+        |      FROM cen),
+        |jb AS (SELECT bin AS jbin, cn AS jcn, cp AS jcp FROM c
+        |       UNION ALL SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+        |                        CAST(0 AS BIGINT)),
+        |kb AS (SELECT bin AS kbin, cn AS kcn, cp AS kcp FROM c),
+        |seg AS (
+        |  SELECT c.bin, jb.jbin,
+        |         (kb.kcp - jb.jcp) * 1000000000 // (kb.kcn - jb.jcn)
+        |           AS avg_e9
+        |  FROM c JOIN jb ON jb.jbin <= c.bin - 1
+        |  JOIN kb ON kb.kbin >= c.bin),
+        |mn AS (SELECT bin, jbin, min(avg_e9) AS m FROM seg
+        |       GROUP BY bin, jbin),
+        |iso AS (SELECT bin, max(m) AS iso_e9 FROM mn GROUP BY bin)
+        |SELECT c.bin, c.n, c.pos,
+        |       c.pos * 1000000000 // c.n AS raw_e9,
+        |       iso.iso_e9
+        |FROM c JOIN iso USING (bin) ORDER BY c.bin""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val x = Tables.events(s, d).select(
+        expr("least(cast(round(greatest(value, 0) * 100, 0) as bigint)" +
+          " div 5000, 9L)").as("bin"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      val cen = x.groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      // ≤ 10-row census — the single-partition window is the bin axis
+      val w = Window.orderBy("bin")
+      val c = cen
+        .withColumn("cn", sum("n").over(w))
+        .withColumn("cp", sum("pos").over(w))
+        .persist() // three combo-join probes + the output join
+      val jb = c.select(col("bin").as("jbin"), col("cn").as("jcn"),
+        col("cp").as("jcp"))
+        .unionByName(c.sparkSession.range(1).select(
+          lit(-1L).as("jbin"), lit(0L).as("jcn"), lit(0L).as("jcp")))
+      val kb = c.select(col("bin").as("kbin"), col("cn").as("kcn"),
+        col("cp").as("kcp"))
+      val iso = c.select("bin")
+        .join(broadcast(jb), col("jbin") <= col("bin") - 1)
+        .join(broadcast(kb), col("kbin") >= col("bin"))
+        .withColumn("avg_e9",
+          expr("(kcp - jcp) * 1000000000 div (kcn - jcn)"))
+        .groupBy("bin", "jbin").agg(min("avg_e9").as("m"))
+        .groupBy("bin").agg(max("m").as("iso_e9"))
+      c.join(iso, "bin")
+        .select(col("bin"), col("n"), col("pos"),
+          expr("pos * 1000000000 div n").as("raw_e9"), col("iso_e9"))
+        .orderBy("bin")
     }
   )
 }
@@ -4058,4 +4214,94 @@ private[queries] object KMeansSql {
        |         AS centroid_norm
        |FROM (SELECT cluster, count(*) AS n FROM a3 GROUP BY cluster) s
        |JOIN c2 c USING (cluster) ORDER BY cluster_id""".stripMargin
+}
+
+/** q405's oracle: the identical depth-2 greedy induction unrolled as CTE
+  * chains — census → cumulative-window candidate scores → argmax (LIMIT 1
+  * under the same (score DESC, fn, fv) order) at the root and in each
+  * child, then the 4-leaf table. The split predicate a child inherits is
+  * applied through a CASE over the argmax'd feature name, so the oracle
+  * follows whatever split the data chose, exactly like the engine.
+  */
+private[queries] object CartSql {
+  import graft.functions.Hashes
+
+  private def censusScore(src: String, p: String): String =
+    s"""${p}cen AS (
+       |  SELECT fn, fv, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(label) AS BIGINT) AS p
+       |  FROM (SELECT 'bucket' AS fn, f_bucket AS fv, label FROM $src
+       |        UNION ALL SELECT 'month', f_month, label FROM $src
+       |        UNION ALL SELECT 'prio', f_prio, label FROM $src) u
+       |  GROUP BY fn, fv),
+       |${p}sc AS (
+       |  SELECT fn, fv,
+       |         CAST(sum(n) OVER (PARTITION BY fn ORDER BY fv) AS BIGINT)
+       |           AS lc,
+       |         CAST(sum(p) OVER (PARTITION BY fn ORDER BY fv) AS BIGINT)
+       |           AS lp,
+       |         CAST(sum(n) OVER (PARTITION BY fn) AS BIGINT) AS nn,
+       |         CAST(sum(p) OVER (PARTITION BY fn) AS BIGINT) AS pp,
+       |         max(fv) OVER (PARTITION BY fn) AS mx
+       |  FROM ${p}cen),
+       |${p}best AS (
+       |  SELECT fn, fv FROM (
+       |    SELECT fn, fv,
+       |           (lp * lp + (lc - lp) * (lc - lp)) * 1000000 // lc
+       |           + ((pp - lp) * (pp - lp)
+       |              + (nn - lc - pp + lp) * (nn - lc - pp + lp))
+       |             * 1000000 // (nn - lc) AS score
+       |    FROM ${p}sc WHERE fv < mx) z
+       |  ORDER BY score DESC, fn, fv LIMIT 1)""".stripMargin
+
+  private def pick(p: String, col: String): String =
+    s"""CASE (SELECT fn FROM ${p}best)
+       |  WHEN 'bucket' THEN $col.f_bucket
+       |  WHEN 'month' THEN $col.f_month
+       |  ELSE $col.f_prio END""".stripMargin.replace("\n", " ")
+
+  val sql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey AS k,
+       |         CAST(month(o_orderdate) AS BIGINT) AS f_month,
+       |         CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS f_prio,
+       |         least(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+       |               // 5000000, 9) AS f_bucket,
+       |         (CASE WHEN least(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+       |                          // 5000000, 9) >= 3
+       |                AND CAST(substr(o_orderpriority, 1, 1) AS BIGINT) <= 2
+       |               THEN 1 ELSE 0 END
+       |          + CASE WHEN (${Hashes.mulHashSql("o_orderkey", 17)}) % 10 = 0
+       |                 THEN 1 ELSE 0 END) % 2 AS label
+       |  FROM orders),
+       |${censusScore("o", "r_")},
+       |ol AS (SELECT o.* FROM o WHERE ${pick("r_", "o")}
+       |         <= (SELECT fv FROM r_best)),
+       |orr AS (SELECT o.* FROM o WHERE ${pick("r_", "o")}
+       |          > (SELECT fv FROM r_best)),
+       |${censusScore("ol", "l_")},
+       |${censusScore("orr", "x_")},
+       |lv AS (
+       |  SELECT 'L' || CASE WHEN ${pick("l_", "ol")}
+       |                       <= (SELECT fv FROM l_best)
+       |                     THEN 'L' ELSE 'R' END AS leaf, label FROM ol
+       |  UNION ALL
+       |  SELECT 'R' || CASE WHEN ${pick("x_", "orr")}
+       |                       <= (SELECT fv FROM x_best)
+       |                     THEN 'L' ELSE 'R' END, label FROM orr),
+       |la AS (SELECT leaf, CAST(count(*) AS BIGINT) AS n,
+       |              CAST(sum(label) AS BIGINT) AS pos
+       |       FROM lv GROUP BY leaf)
+       |SELECT leaf,
+       |       (SELECT fn FROM r_best) AS root_f,
+       |       (SELECT fv FROM r_best) AS root_t,
+       |       CASE WHEN leaf LIKE 'L%' THEN (SELECT fn FROM l_best)
+       |            ELSE (SELECT fn FROM x_best) END AS sub_f,
+       |       CASE WHEN leaf LIKE 'L%' THEN (SELECT fv FROM l_best)
+       |            ELSE (SELECT fv FROM x_best) END AS sub_t,
+       |       n, pos,
+       |       CAST(CASE WHEN pos * 2 > n THEN 1 ELSE 0 END AS BIGINT)
+       |         AS pred,
+       |       CASE WHEN pos * 2 > n THEN pos ELSE n - pos END AS n_correct
+       |FROM la ORDER BY leaf""".stripMargin
 }

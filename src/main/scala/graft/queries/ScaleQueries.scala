@@ -1461,6 +1461,62 @@ object ScaleQueries {
           expr("abs(n_le * 1000000 div n_rows - CAST(q_pct AS BIGINT) * 10000)")
             .as("err_ppm"))
         .orderBy("flag", "q_pct")
+    },
+
+    // AMS F₂ sketch (Alon–Matias–Szegedy 1996) — the SECOND frequency
+    // moment, i.e. the SELF-JOIN SIZE on a key: 16 independent ±1-hash
+    // estimators Z_j = Σ_rows σ_j(key), each with E[Z_j²] = F₂, folded in
+    // ONE aggregation pass (16 sums — trivially mergeable map-side, the
+    // sketch's point). Next to q389's KMV join-cardinality (which
+    // estimates key-DOMAIN overlap) this estimates join SIZE with
+    // multiplicity — the quantity a join planner actually prices when
+    // the key is skewed (F₂ ≫ distinct count exactly when a hot key
+    // would blow up a shuffle partition). Both the mean-of-16 and
+    // median-of-16 combiners are emitted with measured error against the
+    // exact census truth; all arithmetic is int64 (|Z_j| ≤ n, Z² ≤ n²).
+    QueryDef("q404_ams_f2", {
+      import graft.functions.Hashes
+      val zs = (0 until 16).map(j =>
+        s"CAST(sum(1 - 2 * ((${Hashes.mulHashSql(s"l_partkey * 16 + $j", 131)}) % 2)) AS BIGINT) AS z$j")
+        .mkString(",\n         ")
+      s"""WITH z AS (
+         |  SELECT $zs
+         |  FROM lineitem),
+         |sq AS (SELECT list_sort([${(0 until 16).map(j => s"z$j * z$j").mkString(", ")}]) AS s
+         |       FROM z),
+         |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM (
+         |         SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem
+         |         GROUP BY l_partkey) t)
+         |SELECT CAST(list_reduce(s, (a, b) -> a + b) // 16 AS BIGINT)
+         |         AS f2_mean,
+         |       CAST((s[8] + s[9]) // 2 AS BIGINT) AS f2_median,
+         |       ex.f2_exact,
+         |       abs(CAST(list_reduce(s, (a, b) -> a + b) // 16 AS BIGINT)
+         |           - ex.f2_exact) * 1000000 // ex.f2_exact AS mean_err_ppm,
+         |       abs(CAST((s[8] + s[9]) // 2 AS BIGINT) - ex.f2_exact)
+         |         * 1000000 // ex.f2_exact AS median_err_ppm
+         |FROM sq, ex""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      val li = Tables.lineitem(s, d)
+      val zCols = (0 until 16).map(j =>
+        sum(lit(1L) - lit(2L)
+          * (Hashes.mulHash(col("l_partkey") * 16 + j, 131) % 2)).as(s"z$j"))
+      val zz = li.agg(zCols.head, zCols.tail: _*)
+      val ex = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("f2_exact"))
+      zz.crossJoin(ex)
+        .withColumn("sq", array_sort(array(
+          (0 until 16).map(j => col(s"z$j") * col(s"z$j")): _*)))
+        .select(
+          expr("aggregate(sq, 0L, (a, b) -> a + b) div 16").as("f2_mean"),
+          expr("(element_at(sq, 8) + element_at(sq, 9)) div 2")
+            .as("f2_median"),
+          col("f2_exact"),
+          expr("abs(aggregate(sq, 0L, (a, b) -> a + b) div 16 - f2_exact)" +
+            " * 1000000 div f2_exact").as("mean_err_ppm"),
+          expr("abs((element_at(sq, 8) + element_at(sq, 9)) div 2 - f2_exact)" +
+            " * 1000000 div f2_exact").as("median_err_ppm"))
     }
   )
 }

@@ -67,4 +67,68 @@ class Round13Spec extends AnyFunSuite {
       assert(r.getAs[Long]("h_1") <= r.getAs[Long]("h_k"))
     }
   }
+
+  test("q403 CUSUM changepoint lands on an interior day with a level shift") {
+    val rows = run("q403_cusum_changepoint").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[Long]("cp_t")
+      val nd = r.getAs[Long]("n_days")
+      assert(t >= 1 && t < nd, s"changepoint index $t outside (0, $nd)")
+      assert(r.getAs[Long]("cusum_stat") > 0)
+      // the argmax day separates two different mean levels by definition
+      // of a nonzero max |S_t|
+      assert(r.getAs[Long]("pre_mean_e6") != r.getAs[Long]("post_mean_e6"))
+    }
+  }
+
+  test("q404 AMS F2 estimators bracket the exact self-join size") {
+    val r = run("q404_ams_f2").collect()(0)
+    val exact = r.getAs[Long]("f2_exact")
+    assert(exact > 0)
+    // 16 averaged ±1-hash estimators: relative std ≈ √(2/16) ≈ 35% — a
+    // 100% band is ~3σ; the point is the right ORDER OF MAGNITUDE from
+    // one mergeable pass, not precision
+    assert(r.getAs[Long]("mean_err_ppm") <= 1000000L,
+      s"mean estimator off by ${r.getAs[Long]("mean_err_ppm")} ppm")
+    assert(r.getAs[Long]("median_err_ppm") <= 1000000L,
+      s"median estimator off by ${r.getAs[Long]("median_err_ppm")} ppm")
+  }
+
+  test("q405 depth-2 CART recovers the planted rule") {
+    val rows = run("q405_cart_tree").collect()
+    assert(rows.length == 4, "a depth-2 tree has 4 leaves")
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val correct = rows.map(_.getAs[Long]("n_correct")).sum
+    // 10% planted label noise → a tree that recovers the rule sits ≈ 90%
+    assert(correct * 100 >= n * 85,
+      s"accuracy ${correct * 100 / n}% — the planted rule was not recovered")
+    val pos = rows.filter(_.getAs[Long]("pred") == 1)
+    assert(pos.length == 1,
+      s"planted AND-rule has ONE positive cell, tree predicts ${pos.length}")
+    // the positive leaf's path must be exactly {bucket > 2, prio <= 2}
+    val leaf = pos(0)
+    val conds = Seq(
+      (leaf.getAs[String]("root_f"), leaf.getAs[Long]("root_t"),
+        leaf.getAs[String]("leaf").charAt(0)),
+      (leaf.getAs[String]("sub_f"), leaf.getAs[Long]("sub_t"),
+        leaf.getAs[String]("leaf").charAt(1))).toSet
+    assert(conds == Set(("bucket", 2L, 'R'), ("prio", 2L, 'L')),
+      s"positive leaf path $conds is not the planted rule")
+  }
+
+  test("q406 isotonic fit is monotone and mean-preserving") {
+    val rows = run("q406_isotonic_pav").collect().sortBy(_.getAs[Long]("bin"))
+    assert(rows.length >= 3)
+    val iso = rows.map(_.getAs[Long]("iso_e9"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b },
+      s"isotonic output not monotone: ${iso.toSeq}")
+    // PAV preserves the weighted mean exactly in rationals; e9 truncation
+    // moves each fitted value by < 1 ulp, so the drift is bounded by n
+    val drift = rows.map(r => r.getAs[Long]("n") * r.getAs[Long]("iso_e9")
+      - r.getAs[Long]("pos") * 1000000000L).sum
+    val nTot = rows.map(_.getAs[Long]("n")).sum
+    assert(math.abs(drift) <= nTot,
+      s"weighted mean drifted by $drift over $nTot rows")
+  }
 }
