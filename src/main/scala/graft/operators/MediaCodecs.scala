@@ -20,6 +20,58 @@ object MediaCodecs {
   /** Mono PCM16 clip. */
   final case class Audio(sampleRate: Int, samples: Array[Short])
 
+  /** Uncompressed video: per-frame plane data, frames(t) = Y ++ U ++ V
+    * (C444: each plane width·height bytes).
+    */
+  final case class Video(width: Int, height: Int, frames: Array[Array[Byte]])
+
+  /** Decode a YUV4MPEG2 (.y4m) stream — the uncompressed video container
+    * (mjpegtools spec; the format ffmpeg/x264 pipelines exchange raw video
+    * in): a space-separated parameter header line `YUV4MPEG2 W<w> H<h>
+    * F<rate> [Ip] [A<aspect>] [C<space>] [X<ext>...]`, then frames, each a
+    * `FRAME[ <params>]\n` line followed by the raw planes. Only C444
+    * (full-resolution U/V planes) is supported — the fixtures' colorspace;
+    * subsampled C420 would change plane sizes, and an unsupported tag must
+    * fail loudly rather than misparse payload bytes as frame headers.
+    */
+  def decodeY4m(bytes: Array[Byte]): Video = {
+    var pos = 0
+    def readLine(): String = {
+      val start = pos
+      while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+      require(pos < bytes.length, "y4m: unterminated header line")
+      pos += 1
+      new String(bytes, start, pos - 1 - start, "US-ASCII")
+    }
+    val header = readLine()
+    require(header.startsWith("YUV4MPEG2"), "y4m: bad magic")
+    val tags = header.split(' ').drop(1)
+    var w = -1
+    var h = -1
+    var cspace = "C420" // the spec default when no C tag is present
+    tags.foreach { t =>
+      if (t.nonEmpty) t.charAt(0) match {
+        case 'W' => w = t.substring(1).toInt
+        case 'H' => h = t.substring(1).toInt
+        case 'C' => cspace = t
+        case _ => () // F/I/A/X params irrelevant to plane layout
+      }
+    }
+    require(w > 0 && h > 0, s"y4m: missing W/H in '$header'")
+    require(cspace == "C444", s"y4m: unsupported colorspace $cspace")
+    val frameBytes = w * h * 3
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (pos < bytes.length) {
+      val fl = readLine()
+      require(fl == "FRAME" || fl.startsWith("FRAME "),
+        s"y4m: expected FRAME, got '$fl'")
+      require(pos + frameBytes <= bytes.length, "y4m: truncated frame")
+      frames += java.util.Arrays.copyOfRange(bytes, pos, pos + frameBytes)
+      pos += frameBytes
+    }
+    Video(w, h, frames.toArray)
+  }
+
   /** Decode a binary (P6) PPM: `P6 <w> <h> <maxval>` header tokens separated
     * by whitespace with `#`-to-end-of-line comments, a single whitespace
     * byte, then w·h·3 RGB bytes. Only maxval 255 (1 byte/sample) supported.

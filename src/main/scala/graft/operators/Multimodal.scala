@@ -298,13 +298,59 @@ object Multimodal {
     * count, metadata-only predicates never touch payloads. The id is the
     * trailing integer of the file stem (`img_07.ppm` → 7).
     */
+  /** Decoded-and-SAMPLED video features — the frame-sampling op a video
+    * training pipeline runs at ingest (decode is per-row bounded; sampling
+    * keeps every 2nd frame, the stride-k curriculum shape): plane sums over
+    * the sampled frames plus a (t+1)-weighted Y checksum that pins WHICH
+    * frames were kept and in what order — plane sums alone can't tell
+    * stride-2-from-0 apart from stride-2-from-1.
+    */
+  final case class VideoFeatures(id: Long, width: Int, height: Int,
+                                 nFrames: Long, nSampled: Long, sumY: Long,
+                                 sumU: Long, sumV: Long, wsum: Long)
+
+  object Y4mVideoDecoder extends MediaDecoder[VideoFeatures] {
+    private val Stride = 2
+    override def decodeBatch(batch: Array[(Long, Array[Byte])]): Array[VideoFeatures] =
+      batch.map { case (id, bytes) =>
+        val vid = MediaCodecs.decodeY4m(bytes)
+        val plane = vid.width * vid.height
+        var (sy, su, sv, ws) = (0L, 0L, 0L, 0L)
+        var sampled = 0L
+        var t = 0
+        while (t < vid.frames.length) {
+          val fr = vid.frames(t)
+          var fy = 0L
+          var i = 0
+          while (i < plane) { fy += fr(i) & 0xff; i += 1 }
+          while (i < 2 * plane) { su += fr(i) & 0xff; i += 1 }
+          while (i < 3 * plane) { sv += fr(i) & 0xff; i += 1 }
+          sy += fy
+          ws += (t + 1L) * fy
+          sampled += 1
+          t += Stride
+        }
+        VideoFeatures(id, vid.width, vid.height, vid.frames.length.toLong,
+          sampled, sy, su, sv, ws)
+      }
+    override val schema: StructType = new StructType()
+      .add("media_id", LongType).add("width", IntegerType)
+      .add("height", IntegerType).add("n_frames", LongType)
+      .add("n_sampled", LongType).add("sum_y", LongType)
+      .add("sum_u", LongType).add("sum_v", LongType).add("wsum", LongType)
+    override def toRow(f: VideoFeatures): Row =
+      Row(f.id, f.width, f.height, f.nFrames, f.nSampled, f.sumY, f.sumU,
+        f.sumV, f.wsum)
+  }
+
   def readMedia(spark: SparkSession, dir: String, glob: String): DataFrame =
     spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
       .select(
-        regexp_extract(col("path"), "_(\\d+)\\.[a-z]+$", 1).cast("long").as("media_id"),
+        // [a-z0-9] in the extension: "y4m" carries a digit
+        regexp_extract(col("path"), "_(\\d+)\\.[a-z0-9]+$", 1).cast("long").as("media_id"),
         col("content").as("media"),
         struct(
-          regexp_extract(col("path"), "\\.([a-z]+)$", 1).as("format"),
+          regexp_extract(col("path"), "\\.([a-z0-9]+)$", 1).as("format"),
           col("length").cast("int").as("n_bytes"),
           col("path").as("origin")).as("meta"))
 

@@ -2133,6 +2133,78 @@ object AdvancedQueries {
         .orderBy(col("jw_e6").desc, col("pk_a"), col("pk_b")).limit(20)
     },
 
+    // Entity resolution — the record-linkage pipeline (block → score →
+    // resolve) that deduplicates entity catalogs at scale: every 4th part
+    // spawns a PERTURBED variant (LAST name token dropped — a
+    // deterministic surrogate for the truncations real feeds carry;
+    // dropped last, not first, because Jaro–Winkler is prefix-weighted
+    // and the true pair must stay findable), blocking on the FIRST name
+    // token keeps candidates to same-block pairs (never variants ×
+    // catalog), the codegen Jaro–Winkler scores each candidate, and each
+    // variant resolves to its argmax above a 0.85 threshold. The planted
+    // ground truth makes resolution ACCURACY a checked output
+    // (n_correct/n_variants), not a claim; the oracle rescoring uses
+    // DuckDB's independent native JW — the q329 two-implementations
+    // contract extended to the whole linkage pipeline. Scale: block-key
+    // equi-join, per-block fan-in bounded by name-vocabulary frequency;
+    // JW only on candidates.
+    QueryDef("q409_entity_resolution",
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+        |  FROM part),
+        |vr AS (
+        |  SELECT p_partkey AS vkey,
+        |         substr(p_name, 1, length(p_name)
+        |           - strpos(reverse(p_name), ' ')) AS vname, blk
+        |  FROM p WHERE p_partkey % 4 = 0),
+        |cand AS (
+        |  SELECT vr.vkey, p.p_partkey,
+        |         CAST(round(jaro_winkler_similarity(vr.vname, p.p_name)
+        |           * 1000000, 0) AS BIGINT) AS jw_e6
+        |  FROM vr JOIN p USING (blk)),
+        |res AS (SELECT *, row_number() OVER (PARTITION BY vkey
+        |          ORDER BY jw_e6 DESC, p_partkey) AS rk
+        |        FROM cand),
+        |r1 AS (SELECT vkey, p_partkey AS matched_key, jw_e6,
+        |              CAST(CASE WHEN p_partkey = vkey THEN 1 ELSE 0 END
+        |                   AS BIGINT) AS is_correct,
+        |              CAST(CASE WHEN jw_e6 >= 850000 THEN 1 ELSE 0 END
+        |                   AS BIGINT) AS resolved
+        |       FROM res WHERE rk = 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_variants,
+        |               CAST(sum(is_correct) AS BIGINT) AS n_correct
+        |        FROM r1)
+        |SELECT r1.vkey, r1.matched_key, r1.jw_e6, r1.is_correct,
+        |       r1.resolved, tot.n_variants, tot.n_correct
+        |FROM r1, tot WHERE r1.vkey < 400 ORDER BY r1.vkey""".stripMargin) { (s, d) =>
+      import graft.functions.StringSimExprs
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+        element_at(split(col("p_name"), " ", -1), 1).as("blk"))
+      val vr = p.where(col("p_partkey") % 4 === 0)
+        .select(col("p_partkey").as("vkey"),
+          expr("substring(p_name, 1, length(p_name)" +
+            " - instr(reverse(p_name), ' '))").as("vname"),
+          col("blk"))
+      val cand = vr.join(p, "blk")
+        .select(col("vkey"), col("p_partkey"),
+          round(StringSimExprs.jaroWinkler(col("vname"), col("p_name"))
+            * 1000000, 0).cast("long").as("jw_e6"))
+      val w = Window.partitionBy("vkey")
+        .orderBy(col("jw_e6").desc, col("p_partkey"))
+      val r1 = cand.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("vkey"), col("p_partkey").as("matched_key"),
+          col("jw_e6"),
+          (col("p_partkey") === col("vkey")).cast("long").as("is_correct"),
+          (col("jw_e6") >= 850000).cast("long").as("resolved"))
+      val tot = r1.agg(count(lit(1)).as("n_variants"),
+        sum("is_correct").as("n_correct"))
+      r1.where(col("vkey") < 400)
+        .crossJoin(broadcast(tot))
+        .orderBy("vkey")
+    },
+
     // Approximate graph diameter by DOUBLE BFS SWEEP — the standard
     // two-pass lower bound (take any vertex, BFS to the farthest vertex
     // u, then u's eccentricity from a second BFS is ≥ half the true

@@ -202,6 +202,23 @@ object MlQueries {
         .orderBy("media_id")
     },
 
+    // VIDEO — the modality the media family (images, audio) left open:
+    // YUV4MPEG2 is the uncompressed interchange container real video
+    // pipelines pass between decode and encode stages (pure header parse
+    // + raw C444 planes — honestly decodable in this dependency-free
+    // environment, unlike H.264/VP9 bitstreams). The decoder parses the
+    // parameter header, skips FRAME-line params, and SAMPLES every 2nd
+    // frame — the stride-k frame sampling a video training pipeline runs
+    // at ingest; the (t+1)-weighted Y checksum pins WHICH frames were
+    // kept. Oracle replays plane bytes from the fixture arithmetic over
+    // exactly the sampled frame grid.
+    QueryDef("q407_y4m_sample", MediaSql.y4mSql) { (s, _) =>
+      Multimodal.decodeFeatures(
+        Multimodal.readMedia(s, MediaSql.fixtureDir, "*.y4m"),
+        Multimodal.Y4mVideoDecoder)
+        .orderBy("media_id")
+    },
+
     // SURVEY §2 rows 4-5: partitioned parquet sink + re-scan, and the
     // fitted-statistics relation persisted and reloaded (stats are *data* —
     // SURVEY §7.4.4). The oracle computes the same result without the
@@ -3764,6 +3781,32 @@ private[queries] object MediaSql {
        |         FROM (SELECT unnest(range(0, 24)) AS i)),
        |px AS (SELECT i, w, h, unnest(range(0, w * h * 3)) AS f FROM dims),
        |v AS (SELECT i, w, h, f % 3 AS ch, (f * $K + 97 * i) % 256 AS p FROM px)""".stripMargin
+
+  /** q407: replay the Y4M fixtures' plane bytes over the SAMPLED frame
+    * grid (stride 2) — b(v,t,p,f) = (t·131 + p·17 + f·K + 97·v) % 256.
+    */
+  val y4mSql: String =
+    s"""WITH vids AS (
+       |  SELECT i, 8 + (i % 3) * 4 AS w, 6 + (i % 2) * 4 AS h,
+       |         6 + i % 5 AS nf
+       |  FROM (SELECT unnest(range(0, 8)) AS i)),
+       |st AS (SELECT i, w, h, nf, unnest(range(0, nf, 2)) AS t FROM vids),
+       |pl AS (SELECT i, w, h, nf, t, unnest(range(0, 3)) AS p FROM st),
+       |b AS (SELECT i, w, h, nf, t, p, unnest(range(0, w * h)) AS f
+       |      FROM pl),
+       |v AS (SELECT i, w, h, nf, t, p,
+       |             (t * 131 + p * 17 + f * $K + 97 * i) % 256 AS val
+       |      FROM b)
+       |SELECT i AS media_id, CAST(max(w) AS INTEGER) AS width,
+       |       CAST(max(h) AS INTEGER) AS height,
+       |       CAST(max(nf) AS BIGINT) AS n_frames,
+       |       CAST(count(DISTINCT t) AS BIGINT) AS n_sampled,
+       |       CAST(sum(CASE WHEN p = 0 THEN val END) AS BIGINT) AS sum_y,
+       |       CAST(sum(CASE WHEN p = 1 THEN val END) AS BIGINT) AS sum_u,
+       |       CAST(sum(CASE WHEN p = 2 THEN val END) AS BIGINT) AS sum_v,
+       |       CAST(sum(CASE WHEN p = 0 THEN (t + 1) * val END) AS BIGINT)
+       |         AS wsum
+       |FROM v GROUP BY i ORDER BY media_id""".stripMargin
 
   val imageSql: String =
     s"""WITH $pixelCtes

@@ -1753,6 +1753,108 @@ object SimilarityQueries {
       nswFoundRecall(emb, v, nswQueries(v), frontier)
     },
 
+    // Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
+    // THE hybrid-retrieval combiner: production search fuses a LEXICAL
+    // list (inverted-index token overlap) with a VECTOR list (embedding
+    // cosine) because each misses what the other catches, and RRF needs
+    // no score calibration between them — only ranks: score = Σ_lists
+    // 1/(60 + rank), here as e9-truncated integer division so the fused
+    // ordering is exact on both engines. Per query: top-10 from each
+    // modality (token equi-join through the exploded inverted index —
+    // never text × text; query-batch × corpus cosine — the broadcast-5
+    // eval shape), full-outer fusion, fused top-5. Ties by doc id
+    // everywhere.
+    QueryDef("q408_rrf_fusion", {
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+         |    AS tok
+         |  FROM documents),
+         |lex AS (
+         |  SELECT q.doc_id AS qid, t.doc_id, CAST(count(*) AS BIGINT) AS ov
+         |  FROM toks q JOIN toks t USING (tok)
+         |  WHERE q.doc_id < 5 AND t.doc_id <> q.doc_id
+         |  GROUP BY 1, 2),
+         |lr AS (SELECT qid, doc_id,
+         |              CAST(row_number() OVER (PARTITION BY qid
+         |                ORDER BY ov DESC, doc_id) AS BIGINT) AS r
+         |       FROM lex),
+         |l10 AS (SELECT * FROM lr WHERE r <= 10),
+         |v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+         |      FROM embeddings),
+         |vc AS (
+         |  SELECT q.vec_id AS qid, t.vec_id AS doc_id,
+         |         round(${dotSql("q.embedding", "t.embedding")}
+         |               / (q.nrm * t.nrm), 6) AS cos
+         |  FROM v q JOIN v t ON t.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 5),
+         |vr AS (SELECT qid, doc_id,
+         |              CAST(row_number() OVER (PARTITION BY qid
+         |                ORDER BY cos DESC, doc_id) AS BIGINT) AS r
+         |       FROM vc),
+         |v10 AS (SELECT * FROM vr WHERE r <= 10),
+         |fused AS (
+         |  SELECT coalesce(l10.qid, v10.qid) AS qid,
+         |         coalesce(l10.doc_id, v10.doc_id) AS doc_id,
+         |         CASE WHEN l10.r IS NULL THEN 0 ELSE 1 END AS in_lex,
+         |         CASE WHEN v10.r IS NULL THEN 0 ELSE 1 END AS in_vec,
+         |         coalesce(1000000000 // (60 + l10.r), 0)
+         |         + coalesce(1000000000 // (60 + v10.r), 0) AS rrf_e9
+         |  FROM l10 FULL OUTER JOIN v10
+         |    ON l10.qid = v10.qid AND l10.doc_id = v10.doc_id),
+         |top AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |          ORDER BY rrf_e9 DESC, doc_id) AS fr
+         |        FROM fused)
+         |SELECT qid AS query_id, doc_id,
+         |       CAST(in_lex AS BIGINT) AS in_lex,
+         |       CAST(in_vec AS BIGINT) AS in_vec, rrf_e9,
+         |       CAST(fr AS BIGINT) AS fused_rank
+         |FROM top WHERE fr <= 5 ORDER BY query_id, fused_rank""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Tensors
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " ", -1))).as("tok"))
+      val lex = toks.where(col("doc_id") < 5)
+        .withColumnsRenamed(Map("doc_id" -> "qid"))
+        .join(toks, "tok")
+        .where(col("doc_id") =!= col("qid"))
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("ov"))
+      val lw = Window.partitionBy("qid")
+        .orderBy(col("ov").desc, col("doc_id"))
+      val l10 = lex.withColumn("r", row_number().over(lw).cast("long"))
+        .where(col("r") <= 10).select("qid", "doc_id", "r")
+      val v = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding"), Tensors.norm(col("embedding")).as("nrm"))
+      val q = v.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val vc = v.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          round(Tensors.dot(col("qe"), col("embedding"))
+            / (col("qn") * col("nrm")), 6).as("cos"))
+      val vw = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("doc_id"))
+      val v10 = vc.withColumn("r", row_number().over(vw).cast("long"))
+        .where(col("r") <= 10).select("qid", "doc_id", "r")
+      val fused = l10.withColumnsRenamed(Map("r" -> "lr"))
+        .join(v10.withColumnsRenamed(Map("r" -> "vr")),
+          Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"),
+          when(col("lr").isNull, 0L).otherwise(1L).as("in_lex"),
+          when(col("vr").isNull, 0L).otherwise(1L).as("in_vec"),
+          (coalesce(expr("1000000000L div (60 + lr)"), lit(0L))
+            + coalesce(expr("1000000000L div (60 + vr)"), lit(0L)))
+            .as("rrf_e9"))
+      val fw = Window.partitionBy("qid")
+        .orderBy(col("rrf_e9").desc, col("doc_id"))
+      fused.withColumn("fused_rank", row_number().over(fw).cast("long"))
+        .where(col("fused_rank") <= 5)
+        .select(col("qid").as("query_id"), col("doc_id"), col("in_lex"),
+          col("in_vec"), col("rrf_e9"), col("fused_rank"))
+        .orderBy("query_id", "fused_rank")
+    },
+
     // Late-interaction (MaxSim) retrieval — the ColBERT scoring shape
     // (Khattab & Zaharia, SIGIR 2020): instead of ONE vector per item, each
     // side carries a BAG of sub-vectors and the score is

@@ -117,6 +117,51 @@ class Round13Spec extends AnyFunSuite {
       s"positive leaf path $conds is not the planted rule")
   }
 
+  test("q407 Y4M sampling keeps every 2nd frame of every fixture") {
+    val rows = run("q407_y4m_sample").collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val nf = r.getAs[Long]("n_frames")
+      val ns = r.getAs[Long]("n_sampled")
+      assert(nf == 6 + r.getAs[Long]("media_id") % 5)
+      assert(ns == (nf + 1) / 2, s"stride-2 sampling: $ns of $nf")
+      assert(r.getAs[Long]("sum_y") > 0 && r.getAs[Long]("wsum") > 0)
+    }
+    // the decoder rejects subsampled colorspaces rather than misparsing
+    import graft.operators.MediaCodecs
+    val c420 = "YUV4MPEG2 W4 H2 F25:1 C420\nFRAME\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](12)(0)
+    intercept[IllegalArgumentException](MediaCodecs.decodeY4m(c420))
+  }
+
+  test("q408 RRF fuses both modalities and ranks dual hits sensibly") {
+    val rows = run("q408_rrf_fusion").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 5)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length == 5, s"query $qid: ${rs.length} fused rows")
+      // fused scores non-increasing in fused_rank
+      val sorted = rs.sortBy(_.getAs[Long]("fused_rank"))
+      val scores = sorted.map(_.getAs[Long]("rrf_e9"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      // every fused row came from at least one list
+      rs.foreach(r =>
+        assert(r.getAs[Long]("in_lex") + r.getAs[Long]("in_vec") >= 1))
+    }
+    // score algebra: a list member contributes 1e9/(60+r) for r in 1..10,
+    // so every fused row sits in [1e9 div 70, lists * (1e9 div 61)] — and
+    // a dual-membership doc (when the fixture produces one) must carry
+    // more than any single-list maximum
+    rows.foreach { r =>
+      val lists = r.getAs[Long]("in_lex") + r.getAs[Long]("in_vec")
+      val sc = r.getAs[Long]("rrf_e9")
+      assert(sc >= lists * (1000000000L / 70) && sc <= lists * (1000000000L / 61),
+        s"rrf score $sc outside the $lists-list band")
+      if (lists == 2)
+        assert(sc > 1000000000L / 61, "dual hit does not outrank singles")
+    }
+  }
+
   test("q406 isotonic fit is monotone and mean-preserving") {
     val rows = run("q406_isotonic_pav").collect().sortBy(_.getAs[Long]("bin"))
     assert(rows.length >= 3)

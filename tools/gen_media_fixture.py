@@ -479,3 +479,29 @@ for j in range(8):
         fh.write(bytes(flac))
 
 print("wrote", len(os.listdir(out)), "files to", out)
+
+# video  vid_<v>.y4m  (v in 0..7)  YUV4MPEG2, C444 (full-res planes)
+#     width  w(v) = 8 + (v % 3) * 4,  height h(v) = 6 + (v % 2) * 4
+#     frames nf(v) = 6 + v % 5
+#     plane byte at (frame t, plane p in {0=Y,1=U,2=V}, flat index f):
+#         b(v, t, p, f) = (t * 131 + p * 17 + f * 2654435761 + 97 * v) % 256
+#     odd v carries a parameter on each FRAME line (parser must skip to \n);
+#     v % 4 == 0 carries an X-param in the stream header
+for v in range(8):
+    w = 8 + (v % 3) * 4
+    h = 6 + (v % 2) * 4
+    nf = 6 + v % 5
+    hdr = "YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C444" % (w, h)
+    if v % 4 == 0:
+        hdr += " Xfixture%d" % v
+    data = bytearray(hdr.encode() + b"\n")
+    for t in range(nf):
+        fl = "FRAME"
+        if v % 2 == 1:
+            fl += " Xt%d" % t
+        data += fl.encode() + b"\n"
+        for p in range(3):
+            data += bytes(((t * 131 + p * 17 + f * K + 97 * v) % 256)
+                          for f in range(w * h))
+    with open(os.path.join(out, "vid_%d.y4m" % v), "wb") as fh:
+        fh.write(bytes(data))
