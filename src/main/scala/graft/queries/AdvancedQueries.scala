@@ -2205,6 +2205,85 @@ object AdvancedQueries {
         .orderBy("vkey")
     },
 
+    // Item-based collaborative filtering (Sarwar et al., WWW 2001) — the
+    // classic top-N recommender: item–item similarity from basket
+    // co-occurrence, then each customer's candidate scores sum the
+    // similarities to items they already hold. Similarity is SQUARED
+    // cosine in exact integers — c_ab²·10¹² div (c_a·c_b) — which is
+    // monotone in cosine for positive counts, so rankings are identical
+    // and no sqrt enters either engine. Candidate pairs come from the
+    // within-basket self-join (pairs per basket ≤ basket², never
+    // item × item) and recommendations exclude already-held items via
+    // anti-join. Top-3 per customer for the bounded eval slice. Scale:
+    // basket self-join is linear in baskets × basket²; the item-pair
+    // census is the only thing that shuffles.
+    QueryDef("q411_item_cf",
+      """WITH b AS (
+        |  SELECT DISTINCT o_custkey AS cust, o_orderkey AS ok,
+        |         l_partkey AS item
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |ic AS (SELECT item, CAST(count(DISTINCT ok) AS BIGINT) AS c
+        |       FROM b GROUP BY item),
+        |pairs AS (
+        |  SELECT a.item AS ia, bb.item AS ib,
+        |         CAST(count(*) AS BIGINT) AS cab
+        |  FROM b a JOIN b bb ON a.ok = bb.ok AND a.item <> bb.item
+        |  GROUP BY 1, 2),
+        |sim AS (
+        |  SELECT pairs.ia, pairs.ib,
+        |         cab * cab * 1000000000000 // (ca.c * cb.c) AS sim2_e12
+        |  FROM pairs JOIN ic ca ON ca.item = pairs.ia
+        |  JOIN ic cb ON cb.item = pairs.ib),
+        |held AS (SELECT DISTINCT cust, item FROM b),
+        |sc AS (
+        |  SELECT h.cust, s.ib AS cand,
+        |         CAST(sum(s.sim2_e12) AS BIGINT) AS score
+        |  FROM held h JOIN sim s ON s.ia = h.item
+        |  WHERE h.cust < 50
+        |    AND NOT EXISTS (SELECT 1 FROM held h2
+        |                    WHERE h2.cust = h.cust AND h2.item = s.ib)
+        |  GROUP BY 1, 2),
+        |top AS (SELECT *, row_number() OVER (PARTITION BY cust
+        |          ORDER BY score DESC, cand) AS rk
+        |        FROM sc)
+        |SELECT cust AS customer, cand AS item, score AS score_e12,
+        |       CAST(rk AS BIGINT) AS rank
+        |FROM top WHERE rk <= 3 ORDER BY customer, rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
+          col("l_partkey").as("item"))
+        .distinct()
+        .persist() // basket self-join + item census + held sets
+      val ic = b.groupBy("item").agg(countDistinct("ok").as("c"))
+      val pairs = b.as("a")
+        .join(b.as("bb"),
+          col("a.ok") === col("bb.ok") && col("a.item") =!= col("bb.item"))
+        .groupBy(col("a.item").as("ia"), col("bb.item").as("ib"))
+        .agg(count(lit(1)).as("cab"))
+      val sim = pairs
+        .join(ic.select(col("item").as("ia"), col("c").as("ca")), "ia")
+        .join(ic.select(col("item").as("ib"), col("c").as("cb")), "ib")
+        .select(col("ia"), col("ib"),
+          expr("cab * cab * 1000000000000L div (ca * cb)").as("sim2_e12"))
+      val held = b.select("cust", "item").distinct()
+      val sc = held.where(col("cust") < 50)
+        .join(sim, col("item") === col("ia"))
+        .join(held.select(col("cust").as("hc"), col("item").as("hi")),
+          col("hc") === col("cust") && col("hi") === col("ib"), "left_anti")
+        .groupBy(col("cust"), col("ib").as("cand"))
+        .agg(sum("sim2_e12").as("score"))
+      val w = Window.partitionBy("cust")
+        .orderBy(col("score").desc, col("cand"))
+      sc.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("cust").as("customer"), col("cand").as("item"),
+          col("score").as("score_e12"), col("rk").as("rank"))
+        .orderBy("customer", "rank")
+    },
+
     // Approximate graph diameter by DOUBLE BFS SWEEP — the standard
     // two-pass lower bound (take any vertex, BFS to the farthest vertex
     // u, then u's eccentricity from a second BFS is ≥ half the true

@@ -3714,6 +3714,179 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // Page's CUSUM drift monitor — q403 finds WHERE a completed series
+    // shifted (retrospective argmax); this is the SEQUENTIAL test that
+    // raises the alarm while the series is still arriving (Page 1954,
+    // the classic quickest-detection recurrence): S_t = max(0, S_{t-1} +
+    // x_t − ref − slack), alarm when S_t clears the threshold. The
+    // reference level is the first-15-observed-days mean per key (a
+    // census, truncated integer division stated on both engines), slack
+    // = ref/10, threshold = 3·ref. The recurrence is the q233
+    // flatMapSortedGroups shape — one exchange, secondary sort, O(1)
+    // state per key — with the oracle unrolled as the same recursive
+    // CTE. Emits the full per-day trace so the alarm PATH, not just the
+    // verdict, is hash-checked.
+    QueryDef("q410_page_cusum",
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r0 AS (SELECT event_type, day, x,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY day) AS BIGINT) AS rn
+        |       FROM d),
+        |ref AS (SELECT event_type,
+        |          CAST(sum(x) AS BIGINT) // count(*) AS refx
+        |        FROM r0 WHERE rn <= 15 GROUP BY event_type),
+        |r AS (SELECT r0.event_type, r0.rn, r0.day, r0.x,
+        |             CAST(ref.refx AS BIGINT) AS refx
+        |      FROM r0 JOIN ref USING (event_type)),
+        |rec(event_type, rn, day, x, refx, s) AS (
+        |  SELECT event_type, rn, day, x, refx,
+        |         greatest(CAST(0 AS BIGINT), x - refx - refx // 10)
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn, r.day, r.x, r.refx,
+        |         greatest(CAST(0 AS BIGINT),
+        |                  rec.s + r.x - r.refx - r.refx // 10)
+        |  FROM r JOIN rec ON r.event_type = rec.event_type
+        |                 AND r.rn = rec.rn + 1)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, x, refx,
+        |       CAST(s AS BIGINT) AS s_cusum,
+        |       CAST(CASE WHEN s > 3 * refx THEN 1 ELSE 0 END AS BIGINT)
+        |         AS alarm
+        |FROM rec ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val r0 = daily.withColumn("rn", row_number().over(w).cast("long"))
+      val ref = r0.where(col("rn") <= 15).groupBy("event_type")
+        .agg(expr("sum(x) div count(1)").as("refx"))
+      r0.join(ref, "event_type")
+        .select(col("event_type"), col("day"), col("x"), col("refx"))
+        .as[(String, Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapSortedGroups(col("day")) { (k, rows) =>
+          var st = 0L
+          rows.map { case (_, day, x, refx) =>
+            st = math.max(0L, st + x - refx - refx / 10)
+            (k, day, x, refx, st, if (st > 3 * refx) 1L else 0L)
+          }
+        }
+        .toDF("event_type", "day", "x", "refx", "s_cusum", "alarm")
+        .orderBy("event_type", "day")
+    },
+
+    // Page's CUSUM, CONTINUOUSLY — q410's sequential drift monitor as an
+    // always-on stream (StatefulStreams.PageCusum): one long of state per
+    // series, the q256 ordered-wave harness (early calendar half drains
+    // to a stop, late half resumes the same RocksDB checkpoint — order by
+    // code, never by file pickup), the reference level precomputed as a
+    // batch census and carried on each row. The oracle is q410's
+    // recursive CTE VERBATIM — streamed ≡ batch is the shared-hash proof,
+    // the q293/q266 contract applied to streaming state. This is the
+    // production posture for drift alarms: the alarm fires mid-stream,
+    // not in a nightly batch.
+    QueryDef("q412_stream_cusum",
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r0 AS (SELECT event_type, day, x,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY day) AS BIGINT) AS rn
+        |       FROM d),
+        |ref AS (SELECT event_type,
+        |          CAST(sum(x) AS BIGINT) // count(*) AS refx
+        |        FROM r0 WHERE rn <= 15 GROUP BY event_type),
+        |r AS (SELECT r0.event_type, r0.rn, r0.day, r0.x,
+        |             CAST(ref.refx AS BIGINT) AS refx
+        |      FROM r0 JOIN ref USING (event_type)),
+        |rec(event_type, rn, day, x, refx, s) AS (
+        |  SELECT event_type, rn, day, x, refx,
+        |         greatest(CAST(0 AS BIGINT), x - refx - refx // 10)
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn, r.day, r.x, r.refx,
+        |         greatest(CAST(0 AS BIGINT),
+        |                  rec.s + r.x - r.refx - r.refx // 10)
+        |  FROM r JOIN rec ON r.event_type = rec.event_type
+        |                 AND r.rn = rec.rn + 1)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, x, refx,
+        |       CAST(s AS BIGINT) AS s_cusum,
+        |       CAST(CASE WHEN s > 3 * refx THEN 1 ELSE 0 END AS BIGINT)
+        |         AS alarm
+        |FROM rec ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      import org.apache.spark.sql.expressions.Window
+      import graft.streaming.StatefulStreams
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_scusum_q_").toFile
+      sys.addShutdownHook(rmrf(root))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val r0 = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+      val ref = r0.where(col("rn") <= 15).groupBy("event_type")
+        .agg(expr("sum(x) div count(1)").as("refx"))
+      val daily = r0.join(ref, "event_type")
+        .select(col("event_type"), col("day"), col("x"), col("refx"))
+        .persist() // wave split scans it twice
+      val midDay = daily.agg(expr("(min(day) + max(day)) div 2"))
+        .head().getLong(0)
+      val prev =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        StatefulStreams.RocksDbProvider)
+      try {
+        def drain(): Unit = {
+          val stream = s.readStream
+            .schema(new StructType().add("event_type", StringType)
+              .add("day", LongType).add("x", LongType)
+              .add("refx", LongType))
+            .parquet(s"$root/landing")
+            .as[(String, Long, Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new StatefulStreams.PageCusum,
+              TimeMode.None(), OutputMode.Append())
+          val q = stream
+            .toDF("event_type", "day", "x", "refx", "s_cusum", "alarm")
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", s"$root/out")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        daily.where(col("day") <= midDay).write.parquet(s"$root/landing")
+        drain()
+        daily.where(col("day") > midDay)
+          .write.mode("append").parquet(s"$root/landing")
+        drain()
+        s.read.parquet(s"$root/out")
+          .orderBy("event_type", "day")
+      } finally {
+        prev match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    },
+
     // Exponentially time-decayed counts — the freshness-weighted volume
     // metric every ops dashboard ranks by (a burst yesterday should
     // outrank steady drip from last month): each event contributes

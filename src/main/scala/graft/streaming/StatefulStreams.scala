@@ -107,6 +107,38 @@ object StatefulStreams {
     }
   }
 
+  /** Page's CUSUM drift monitor, CONTINUOUSLY — q410's batch recurrence
+    * S ← max(0, S + x − ref − ref/10) as one long of ValueState per
+    * series, the [[OrderedEwma]] discipline verbatim: rows sort by day
+    * locally per batch and order across batches comes from the ordered-
+    * wave harness, because a recurrence is the op class where arrival
+    * order IS the semantics. The reference level arrives precomputed on
+    * each row (a batch census — the scaler posture), so the stream needs
+    * exactly one long of state per key: the production shape for
+    * always-on drift alarms over thousands of series.
+    */
+  class PageCusum
+      extends StatefulProcessor[String, (String, Long, Long, Long), (String, Long, Long, Long, Long, Long)] {
+    @transient private var st: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Long]("s", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long, Long, Long)],
+                                 tv: TimerValues): Iterator[(String, Long, Long, Long, Long, Long)] = {
+      val sorted = rows.toArray.sortBy(_._2)
+      // max(0, …) pins the state floor, so existence-vs-sentinel is moot
+      // here: a missing state and a zero state fold identically
+      var s = if (st.exists()) st.get() else 0L
+      val out = sorted.map { case (k, day, x, refx) =>
+        s = math.max(0L, s + x - refx - refx / 10)
+        (k, day, x, refx, s, if (s > 3 * refx) 1L else 0L)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
   class OrderedEwma
       extends StatefulProcessor[String, (String, Long, Long), (String, Long, Long, Long)] {
     @transient private var st: ValueState[Long] = _

@@ -162,6 +162,44 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("q410/q412: streamed Page-CUSUM equals the batch recurrence row-for-row") {
+    val batch = run("q410_page_cusum")
+    val stream = run("q412_stream_cusum")
+    assert(batch.exceptAll(stream).count() == 0)
+    assert(stream.exceptAll(batch).count() == 0)
+    // recurrence invariants on the shared trace
+    batch.collect().foreach { r =>
+      val sc = r.getAs[Long]("s_cusum")
+      assert(sc >= 0, "CUSUM state went negative")
+      assert((r.getAs[Long]("alarm") == 1) == (sc > 3 * r.getAs[Long]("refx")))
+    }
+  }
+
+  test("q411 item-CF recommendations exclude held items and rank correctly") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q411_item_cf").collect()
+    assert(rows.nonEmpty)
+    val byC = rows.groupBy(_.getAs[Long]("customer"))
+    byC.foreach { case (c, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length).toSeq, s"customer $c ranks not dense")
+      val scores = sorted.map(_.getAs[Long]("score_e12"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // no recommendation may be an item the customer already holds
+    val held = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("customer"), col("l_partkey").as("item"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("customer"), r.getAs[Long]("item"))
+      assert(!held.contains(key), s"recommended an already-held item: $key")
+    }
+  }
+
   test("q406 isotonic fit is monotone and mean-preserving") {
     val rows = run("q406_isotonic_pav").collect().sortBy(_.getAs[Long]("bin"))
     assert(rows.length >= 3)
