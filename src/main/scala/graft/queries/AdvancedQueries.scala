@@ -2284,6 +2284,96 @@ object AdvancedQueries {
         .orderBy("customer", "rank")
     },
 
+    // Personalized PageRank — q81's global rank with a RESTART
+    // distribution (Jeh & Widom 2003; the "related to THIS node" graph
+    // feature behind recommendation and entity-disambiguation systems):
+    // p ← 85%·Pᵀp + 15%·e_seed, three unrolled rounds from each of five
+    // seed nations over the revenue-weighted trade digraph. Integer
+    // contract: transition ratios pre-scaled to e9 (rev·10⁹ div out),
+    // mass in e9 units, per-edge contribution divided BEFORE the sum so
+    // every intermediate stays in int64; dangling mass is dropped (the
+    // push-style PPR convention, stated). The per-seed vectors are k²
+    // census math — five seeds ride one 625-row transition relation.
+    QueryDef("q414_personalized_pagerank", {
+      // the restart term applies UNCONDITIONALLY (p' = 85%·spread +
+      // 15%·e_seed) — conditioning it on the seed receiving spread mass
+      // silently drops the whole restart for seeds with no in-edges
+      // (nation 0 here; Round13Spec caught it — both mirrored engines
+      // shared the wart, so the hash oracle could not)
+      def spread(prev: String, out: String): String =
+        s"""$out AS (
+           |  SELECT seed, node, CAST(sum(p) AS BIGINT) AS p FROM (
+           |    SELECT p.seed, t.dst AS node,
+           |           85 * CAST(sum(p.p * t.t_e9 // 1000000000) AS BIGINT)
+           |             // 100 AS p
+           |    FROM $prev p JOIN t ON t.src = p.node
+           |    GROUP BY p.seed, t.dst
+           |    UNION ALL
+           |    SELECT seed, seed, 150000000 FROM sd) u
+           |  GROUP BY seed, node)""".stripMargin
+      s"""WITH f AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         |         CAST(sum(round(l.l_extendedprice * 100, 0)) AS BIGINT)
+         |           AS rev
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |ow AS (SELECT src, CAST(sum(rev) AS BIGINT) AS outw FROM f
+         |       GROUP BY src),
+         |t AS (SELECT f.src, f.dst, rev * 1000000000 // outw AS t_e9
+         |      FROM f JOIN ow USING (src)),
+         |sd AS (SELECT n_nationkey AS seed FROM nation
+         |       WHERE n_nationkey < 5),
+         |p0 AS (SELECT seed, seed AS node, CAST(1000000000 AS BIGINT) AS p
+         |       FROM sd),
+         |${spread("p0", "p1")},
+         |${spread("p1", "p2")},
+         |${spread("p2", "p3")},
+         |r AS (SELECT seed, node, p,
+         |             row_number() OVER (PARTITION BY seed
+         |               ORDER BY p DESC, node) AS rk
+         |      FROM p3)
+         |SELECT seed, node, p AS ppr_e9, CAST(rk AS BIGINT) AS rank
+         |FROM r WHERE rk <= 10 ORDER BY seed, rank""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("rev"))
+      val ow = f.groupBy("src").agg(sum("rev").as("outw"))
+      val t = f.join(ow, "src")
+        .select(col("src"), col("dst"),
+          expr("rev * 1000000000L div outw").as("t_e9"))
+        .persist() // probed once per round per seed batch
+      val sd = Tables.nation(s, d).where(col("n_nationkey") < 5)
+        .select(col("n_nationkey").as("seed"))
+      val p0 = sd.select(col("seed"), col("seed").as("node"),
+        lit(1000000000L).as("p"))
+      def spread(p: DataFrame): DataFrame =
+        p.join(t, col("node") === col("src"))
+          .groupBy(col("seed"), col("dst"))
+          .agg(sum(expr("p * t_e9 div 1000000000L")).as("m"))
+          .select(col("seed"), col("dst").as("node"),
+            expr("85 * m div 100").as("p"))
+          .unionByName(sd.select(col("seed"), col("seed").as("node"),
+            lit(150000000L).as("p")))
+          .groupBy("seed", "node").agg(sum("p").as("p"))
+      val p3 = spread(spread(spread(p0)))
+      val w = Window.partitionBy("seed").orderBy(col("p").desc, col("node"))
+      p3.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 10)
+        .select(col("seed"), col("node"), col("p").as("ppr_e9"),
+          col("rk").as("rank"))
+        .orderBy("seed", "rank")
+    },
+
     // Approximate graph diameter by DOUBLE BFS SWEEP — the standard
     // two-pass lower bound (take any vertex, BFS to the farthest vertex
     // u, then u's eccentricity from a second BFS is ≥ half the true

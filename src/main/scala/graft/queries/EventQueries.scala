@@ -3887,6 +3887,107 @@ object EventQueries {
       }
     },
 
+    // Rolling-origin forecast backtest — the EVALUATION harness the
+    // forecasting family (q233 EWMA, q271 Holt, q394 Holt–Winters) was
+    // missing: which model should this series actually ship? One sorted
+    // recurrence pass emits each day's (naive, EWMA, Holt) states; each
+    // day's 1-step-ahead forecast joins the NEXT day's actual; MAE over
+    // the last 10 origins per series ranks the models. Model selection
+    // becomes a measured, hash-checked output instead of a default —
+    // and the result is honest about this corpus (whichever wins, wins
+    // by arithmetic both engines replay). Scale: the recurrence is the
+    // q233 single-exchange shape; the eval join is rn = rn+1 within key.
+    QueryDef("q415_forecast_backtest",
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, y,
+        |        CAST(row_number() OVER (PARTITION BY event_type
+        |          ORDER BY day) AS BIGINT) AS rn
+        |      FROM d),
+        |rec(event_type, rn, day, y, s, l, b) AS (
+        |  SELECT event_type, rn, day, y, y, y, CAST(0 AS BIGINT)
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn, r.day, r.y,
+        |         (r.y + rec.s) // 2,
+        |         (r.y + (rec.l + rec.b)) // 2,
+        |         (((r.y + (rec.l + rec.b)) // 2 - rec.l) + rec.b) // 2
+        |  FROM r JOIN rec ON r.event_type = rec.event_type
+        |                 AND r.rn = rec.rn + 1),
+        |n AS (SELECT event_type, max(rn) AS nmax FROM r GROUP BY 1),
+        |pr AS (
+        |  SELECT a.event_type, a.y, a.s, a.l, a.b, nx.y AS y_next
+        |  FROM rec a
+        |  JOIN rec nx ON nx.event_type = a.event_type
+        |             AND nx.rn = a.rn + 1
+        |  JOIN n ON n.event_type = a.event_type
+        |  WHERE a.rn >= n.nmax - 10 AND a.rn < n.nmax),
+        |e AS (
+        |  SELECT event_type, 'ewma' AS model, abs(s - y_next) AS err
+        |  FROM pr
+        |  UNION ALL SELECT event_type, 'holt', abs(l + b - y_next) FROM pr
+        |  UNION ALL SELECT event_type, 'naive', abs(y - y_next) FROM pr),
+        |mae AS (SELECT event_type, model,
+        |               CAST(sum(err) AS BIGINT) // count(*) AS mae_cents,
+        |               CAST(count(*) AS BIGINT) AS n_origins
+        |        FROM e GROUP BY 1, 2)
+        |SELECT event_type, model, mae_cents, n_origins,
+        |       CAST(row_number() OVER (PARTITION BY event_type
+        |         ORDER BY mae_cents, model) AS BIGINT) AS rank
+        |FROM mae ORDER BY event_type, rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
+          .as("y"))
+        .as[(String, Long, Long)]
+      val st = daily.groupByKey(_._1)
+        .flatMapSortedGroups(col("day")) { (k, rows) =>
+          var init = false
+          var sEw = 0L
+          var l = 0L
+          var b = 0L
+          var rn = 0L
+          rows.map { case (_, day, y) =>
+            rn += 1
+            if (!init) { init = true; sEw = y; l = y; b = 0L }
+            else {
+              sEw = (y + sEw) / 2
+              val lNew = (y + (l + b)) / 2
+              b = ((lNew - l) + b) / 2
+              l = lNew
+            }
+            (k, rn, day, y, sEw, l, b)
+          }
+        }
+        .toDF("event_type", "rn", "day", "y", "s", "l", "b")
+        .persist() // self-join rn+1 + the nmax census
+      val n = st.groupBy("event_type").agg(max("rn").as("nmax"))
+      val nx = st.select(col("event_type").as("et2"), col("rn").as("rn1"),
+        col("y").as("y_next"))
+      val e = st.join(nx,
+          col("et2") === col("event_type") && col("rn1") === col("rn") + 1)
+        .drop("et2")
+        .join(n, "event_type")
+        .where(col("rn") >= col("nmax") - 10 && col("rn") < col("nmax"))
+        .select(col("event_type"),
+          expr("stack(3, 'ewma', abs(s - y_next)," +
+            " 'holt', abs(l + b - y_next)," +
+            " 'naive', abs(y - y_next)) AS (model, err)"))
+      val mae = e.groupBy("event_type", "model")
+        .agg(expr("sum(err) div count(1)").as("mae_cents"),
+          count(lit(1)).as("n_origins"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("mae_cents"), col("model"))
+      mae.withColumn("rank", row_number().over(w).cast("long"))
+        .orderBy("event_type", "rank")
+    },
+
     // Exponentially time-decayed counts — the freshness-weighted volume
     // metric every ops dashboard ranks by (a burst yesterday should
     // outrank steady drip from last month): each event contributes

@@ -3411,6 +3411,80 @@ object MlQueries {
             .stripMargin.replace("\n", " ")).as("var_reduction_ppm"))
     },
 
+    // Leave-one-group-out influence — data valuation made O(k) instead of
+    // O(k·n): because the OLS fit is a function of SUFFICIENT STATISTICS
+    // (n, Σx, Σy, Σxx, Σxy), refitting WITHOUT a group is global moments
+    // MINUS that group's moments — no retraining pass per group, which is
+    // the only formulation that survives 25 retrains over 100 TB. Here:
+    // the spend-on-balance slope per customer nation, the full-data slope
+    // vs each nation's leave-out slope, influence = the shift its removal
+    // causes (e6 units, DECIMAL(38) headroom for the moment algebra,
+    // truncated division stated on both engines).
+    QueryDef("q413_logo_influence",
+      """WITH r AS (
+        |  SELECT c.c_nationkey AS nation,
+        |         CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS x,
+        |         CAST(sum(round(o.o_totalprice * 100, 0)) AS BIGINT) AS y
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_nationkey, c.c_custkey, c.c_acctbal),
+        |g AS (SELECT nation, CAST(count(*) AS HUGEINT) AS n,
+        |             CAST(sum(x) AS HUGEINT) AS sx,
+        |             CAST(sum(y) AS HUGEINT) AS sy,
+        |             CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |             CAST(sum(x * y) AS HUGEINT) AS sxy
+        |      FROM r GROUP BY nation),
+        |tot AS (SELECT sum(n) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+        |               sum(sxx) AS tsxx, sum(sxy) AS tsxy
+        |        FROM g),
+        |s AS (SELECT g.nation, g.n, tot.*,
+        |             tot.tn - g.n AS ln, tot.tsx - g.sx AS lsx,
+        |             tot.tsy - g.sy AS lsy, tot.tsxx - g.sxx AS lsxx,
+        |             tot.tsxy - g.sxy AS lsxy
+        |      FROM g, tot)
+        |SELECT nation, CAST(n AS BIGINT) AS n_group,
+        |       CAST((tn * tsxy - tsx * tsy) * 1000000
+        |            // (tn * tsxx - tsx * tsx) AS BIGINT) AS slope_full_e6,
+        |       CAST((ln * lsxy - lsx * lsy) * 1000000
+        |            // (ln * lsxx - lsx * lsx) AS BIGINT) AS slope_loo_e6,
+        |       CAST((ln * lsxy - lsx * lsy) * 1000000
+        |            // (ln * lsxx - lsx * lsx)
+        |            - (tn * tsxy - tsx * tsy) * 1000000
+        |            // (tn * tsxx - tsx * tsx) AS BIGINT) AS influence_e6
+        |FROM s ORDER BY nation""".stripMargin) { (s, d) =>
+      val dec = "decimal(38,0)"
+      val r = Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"), col("c_custkey"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("x"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("y"))
+      val g = r.groupBy("nation").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      val tot = g.agg(sum("n").as("tn"), sum("sx").as("tsx"),
+        sum("sy").as("tsy"), sum("sxx").as("tsxx"), sum("sxy").as("tsxy"))
+      def slopeE6(n: String, sx: String, sy: String, sxx: String,
+                  sxy: String) =
+        s"""(cast($n as $dec) * $sxy - cast($sx as $dec) * $sy) * 1000000
+           |div (cast($n as $dec) * $sxx - cast($sx as $dec) * $sx)"""
+          .stripMargin.replace("\n", " ")
+      g.crossJoin(broadcast(tot))
+        .withColumn("ln", col("tn") - col("n"))
+        .withColumn("lsx", col("tsx") - col("sx"))
+        .withColumn("lsy", col("tsy") - col("sy"))
+        .withColumn("lsxx", col("tsxx") - col("sxx"))
+        .withColumn("lsxy", col("tsxy") - col("sxy"))
+        .select(col("nation"), col("n").as("n_group"),
+          expr(s"cast(${slopeE6("tn", "tsx", "tsy", "tsxx", "tsxy")} as bigint)")
+            .as("slope_full_e6"),
+          expr(s"cast(${slopeE6("ln", "lsx", "lsy", "lsxx", "lsxy")} as bigint)")
+            .as("slope_loo_e6"),
+          expr(s"cast(${slopeE6("ln", "lsx", "lsy", "lsxx", "lsxy")}" +
+            s" - (${slopeE6("tn", "tsx", "tsy", "tsxx", "tsxy")}) as bigint)")
+            .as("influence_e6"))
+        .orderBy("nation")
+    },
+
     // Depth-2 CART decision tree — exact greedy induction over SPLIT
     // CENSUSES (the supervised-learning gap next to q103's logistic GD
     // and q65's k-means): per node, the (feature, value, label) census

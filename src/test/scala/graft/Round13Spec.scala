@@ -200,6 +200,53 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("q413 LOGO influence: algebra consistent, slopes finite") {
+    val rows = run("q413_logo_influence").collect()
+    assert(rows.length == 25)
+    val full = rows.map(_.getAs[Long]("slope_full_e6")).distinct
+    assert(full.length == 1, "full-data slope must be one number")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("influence_e6")
+        == r.getAs[Long]("slope_loo_e6") - r.getAs[Long]("slope_full_e6"))
+      assert(r.getAs[Long]("n_group") > 0)
+    }
+    // influence must actually vary across groups (else the census
+    // subtraction is broken and every LOO slope equals the full slope)
+    assert(rows.map(_.getAs[Long]("influence_e6")).distinct.length > 1)
+  }
+
+  test("q414 PPR: mass bounded, seed prominent, ranks dense") {
+    val rows = run("q414_personalized_pagerank").collect()
+    def num(r: org.apache.spark.sql.Row, c: String): Long =
+      r.getAs[Number](c).longValue
+    val byS = rows.groupBy(num(_, "seed"))
+    assert(byS.size == 5)
+    byS.foreach { case (seed, rs) =>
+      val sorted = rs.sortBy(num(_, "rank"))
+      assert(sorted.map(num(_, "rank")).toSeq == (1L to sorted.length).toSeq)
+      // total mass ≤ 1e9 (restart + spread only lose mass to dangling
+      // nodes and truncation, never create it)
+      assert(rs.map(num(_, "ppr_e9")).sum <= 1000000000L)
+      // personalization: the seed's own mass must be in its top-10
+      assert(rs.exists(num(_, "node") == seed),
+        s"seed $seed missing from its own top-10")
+    }
+  }
+
+  test("q415 backtest ranks three models per series by measured MAE") {
+    val rows = run("q415_forecast_backtest").collect()
+    val byT = rows.groupBy(_.getAs[String]("event_type"))
+    byT.foreach { case (t, rs) =>
+      assert(rs.map(_.getAs[String]("model")).toSet ==
+        Set("naive", "ewma", "holt"), s"$t models incomplete")
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      val maes = sorted.map(_.getAs[Long]("mae_cents"))
+      assert(maes.zip(maes.tail).forall { case (a, b) => a <= b })
+      assert(maes.forall(_ >= 0))
+      assert(sorted.forall(_.getAs[Long]("n_origins") == 10))
+    }
+  }
+
   test("q406 isotonic fit is monotone and mean-preserving") {
     val rows = run("q406_isotonic_pav").collect().sortBy(_.getAs[Long]("bin"))
     assert(rows.length >= 3)
