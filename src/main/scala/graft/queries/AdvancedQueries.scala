@@ -2134,32 +2134,36 @@ object AdvancedQueries {
     },
 
     // Entity resolution — the record-linkage pipeline (block → score →
-    // resolve) that deduplicates entity catalogs at scale: every 4th part
-    // spawns a PERTURBED variant (LAST name token dropped — a
-    // deterministic surrogate for the truncations real feeds carry;
-    // dropped last, not first, because Jaro–Winkler is prefix-weighted
-    // and the true pair must stay findable), blocking on the FIRST name
-    // token keeps candidates to same-block pairs (never variants ×
-    // catalog), the codegen Jaro–Winkler scores each candidate, and each
-    // variant resolves to its argmax above a 0.85 threshold. The planted
-    // ground truth makes resolution ACCURACY a checked output
-    // (n_correct/n_variants), not a claim; the oracle rescoring uses
-    // DuckDB's independent native JW — the q329 two-implementations
-    // contract extended to the whole linkage pipeline. Scale: block-key
-    // equi-join, per-block fan-in bounded by name-vocabulary frequency;
-    // JW only on candidates.
+    // resolve) that deduplicates entity catalogs at scale. The ENTITY is
+    // a descriptor string (name + brand + type + size — 98 % unique in
+    // this catalog; the bare 2-word p_name has only 64 distinct values,
+    // a degenerate linkage universe); every 4th part spawns a PERTURBED
+    // variant (last character dropped — the typo surrogate; JW is
+    // prefix-weighted so the true pair stays findable), blocking on
+    // (name, brand) keeps candidates to same-block pairs (never
+    // variants × catalog — the first-token-only key put 12.5 M pairs
+    // through JW; this key holds it to ~60 k), the codegen Jaro–Winkler
+    // scores each candidate, and each variant resolves to its argmax
+    // above a 0.85 threshold. The planted ground truth makes resolution
+    // ACCURACY a checked output (n_correct/n_variants — duplicate
+    // descriptors price the honest ceiling), not a claim; the oracle
+    // rescoring uses DuckDB's independent native JW — the q329
+    // two-implementations contract extended to the whole linkage
+    // pipeline.
     QueryDef("q409_entity_resolution",
       """WITH p AS (
-        |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+        |  SELECT p_partkey,
+        |         p_name || ' ' || p_brand || ' ' || p_type
+        |           || ' size ' || p_size AS ent,
+        |         p_name || '|' || p_brand AS blk
         |  FROM part),
         |vr AS (
         |  SELECT p_partkey AS vkey,
-        |         substr(p_name, 1, length(p_name)
-        |           - strpos(reverse(p_name), ' ')) AS vname, blk
+        |         substr(ent, 1, length(ent) - 1) AS vname, blk
         |  FROM p WHERE p_partkey % 4 = 0),
         |cand AS (
         |  SELECT vr.vkey, p.p_partkey,
-        |         CAST(round(jaro_winkler_similarity(vr.vname, p.p_name)
+        |         CAST(round(jaro_winkler_similarity(vr.vname, p.ent)
         |           * 1000000, 0) AS BIGINT) AS jw_e6
         |  FROM vr JOIN p USING (blk)),
         |res AS (SELECT *, row_number() OVER (PARTITION BY vkey
@@ -2179,16 +2183,18 @@ object AdvancedQueries {
         |FROM r1, tot WHERE r1.vkey < 400 ORDER BY r1.vkey""".stripMargin) { (s, d) =>
       import graft.functions.StringSimExprs
       import org.apache.spark.sql.expressions.Window
-      val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
-        element_at(split(col("p_name"), " ", -1), 1).as("blk"))
+      val p = Tables.part(s, d).select(col("p_partkey"),
+        concat(col("p_name"), lit(" "), col("p_brand"), lit(" "),
+          col("p_type"), lit(" size "), col("p_size").cast("string"))
+          .as("ent"),
+        concat(col("p_name"), lit("|"), col("p_brand")).as("blk"))
       val vr = p.where(col("p_partkey") % 4 === 0)
         .select(col("p_partkey").as("vkey"),
-          expr("substring(p_name, 1, length(p_name)" +
-            " - instr(reverse(p_name), ' '))").as("vname"),
+          expr("substring(ent, 1, length(ent) - 1)").as("vname"),
           col("blk"))
       val cand = vr.join(p, "blk")
         .select(col("vkey"), col("p_partkey"),
-          round(StringSimExprs.jaroWinkler(col("vname"), col("p_name"))
+          round(StringSimExprs.jaroWinkler(col("vname"), col("ent"))
             * 1000000, 0).cast("long").as("jw_e6"))
       val w = Window.partitionBy("vkey")
         .orderBy(col("jw_e6").desc, col("p_partkey"))

@@ -247,6 +247,22 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("q409 entity resolution recovers planted variants above 90%") {
+    val rows = run("q409_entity_resolution").collect()
+    assert(rows.nonEmpty)
+    val nVar = rows.head.getAs[Long]("n_variants")
+    val nCor = rows.head.getAs[Long]("n_correct")
+    // duplicate descriptors (~2% of the catalog) are the honest ceiling;
+    // anything near the block-size floor means the scorer stopped
+    // discriminating
+    assert(nCor * 10 >= nVar * 9, s"resolution accuracy $nCor/$nVar < 90%")
+    rows.foreach { r =>
+      if (r.getAs[Long]("is_correct") == 1)
+        assert(r.getAs[Long]("jw_e6") >= 850000,
+          "a correct match scored under the resolve threshold")
+    }
+  }
+
   test("q406 isotonic fit is monotone and mean-preserving") {
     val rows = run("q406_isotonic_pav").collect().sortBy(_.getAs[Long]("bin"))
     assert(rows.length >= 3)
