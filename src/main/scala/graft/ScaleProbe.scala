@@ -469,6 +469,20 @@ object ScaleProbe {
           hops = 6, beam = 16, slices = nq, ea, va)
         out
       },
+      // Quantile sketch (q400): bottom-k rank sample as a map-side-partial
+      // aggregate — the exchange carries ≤ k pairs per group whatever the
+      // input size, so the shape must track the hash-aggregate family
+      "qsketch" -> { m =>
+        import graft.functions.{Hashes, QuantileSketch}
+        val n = m * 600000L
+        val d = spark.range(n).select(
+          (col("id") % 3).cast("string").as("g"),
+          Hashes.mulHash(col("id"), 101).as("h"),
+          (Hashes.mulHash(col("id"), 7) % 100000).as("x"))
+        d.groupBy("g").agg(
+          QuantileSketch.qsketch(1024)(col("h"), col("x")).as("pairs"))
+          .select(col("g"), size(col("pairs")).as("n2"))
+      },
       // Vamana α-occlusion prune (q297): per-node k² pair cosines + the
       // greedy fold — O(n·k²) rows, one exchange on the node key; must
       // scale like the other per-node-bounded shapes, nowhere near

@@ -108,6 +108,14 @@ class PlanSpec extends AnyFunSuite {
       "expected partial + final WindowGroupLimit pair\n" + p)
   }
 
+  test("quantile sketch aggregates map-side before the exchange") {
+    // the sketch's mergeability claim made physical: a partial
+    // qsketchagg below the exchange means each task forwards ≤ k pairs
+    // per group — the exchange never carries raw rows
+    val p = plan(q("q400_quantile_sketch"))
+    assert(p.contains("partial_qsketchagg"), p)
+  }
+
   test("expression pipelines run inside whole-stage codegen") {
     // codegen stages carry the `*(n)` prefix — visible only in the FINAL
     // adaptive plan, so execute first (AQE inserts codegen per stage)
