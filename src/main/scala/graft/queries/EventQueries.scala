@@ -3988,6 +3988,96 @@ object EventQueries {
         .orderBy("event_type", "rank")
     },
 
+    // Windowed quantile monitoring + SKETCH-OF-SKETCHES — the q400
+    // bottom-k sketch in its production posture: a per-(type, week)
+    // sketch answers each window's median, and the ALL-TIME sketch is
+    // re-aggregated FROM THE WINDOW SKETCHES' pairs — never from raw
+    // rows again. Because bottom-k(∪ bottom-k's) = bottom-k(all), the
+    // re-aggregated sketch must equal the direct global sketch
+    // BIT-FOR-BIT, and `resketch_eq` carries that proof in the checked
+    // output: the mergeability that makes 100 TB windowed percentile
+    // dashboards one cheap rollup instead of a re-scan. Oracle replays
+    // window ranks, the union re-rank, and the direct ranks.
+    QueryDef("q416_windowed_quantiles", {
+      import graft.functions.Hashes
+      s"""WITH v AS (
+         |  SELECT event_type,
+         |         (epoch_us(ts) // 86400000000) // 7 AS week,
+         |         ${Hashes.mulHashSql("event_id", 101)} AS h,
+         |         CAST(round(value * 100, 0) AS BIGINT) AS x
+         |  FROM events),
+         |ws AS (SELECT event_type, week, h, x,
+         |              row_number() OVER (PARTITION BY event_type, week
+         |                ORDER BY h, x) AS rn
+         |       FROM v),
+         |wk AS (SELECT event_type, week,
+         |              CAST(count(*) AS BIGINT) AS n_held,
+         |              list(x ORDER BY x) AS xs
+         |       FROM ws WHERE rn <= 64 GROUP BY 1, 2),
+         |re AS (SELECT event_type, h, x,
+         |              row_number() OVER (PARTITION BY event_type
+         |                ORDER BY h, x) AS rn
+         |       FROM ws WHERE rn <= 64),
+         |gre AS (SELECT event_type, list(x ORDER BY h, x) AS rxs
+         |        FROM re WHERE rn <= 64 GROUP BY 1),
+         |gd AS (SELECT event_type, h, x,
+         |              row_number() OVER (PARTITION BY event_type
+         |                ORDER BY h, x) AS rn
+         |       FROM v),
+         |gds AS (SELECT event_type, list(x ORDER BY h, x) AS dxs,
+         |               list(x ORDER BY x) AS sxs
+         |        FROM gd WHERE rn <= 64 GROUP BY 1)
+         |SELECT wk.event_type, CAST(wk.week AS BIGINT) AS week, wk.n_held,
+         |       wk.xs[CAST((50 * len(wk.xs) + 99) // 100 AS INT)] AS p50_w,
+         |       gds.sxs[CAST((50 * len(gds.sxs) + 99) // 100 AS INT)]
+         |         AS p50_g,
+         |       (gre.rxs = gds.dxs) AS resketch_eq
+         |FROM wk JOIN gre USING (event_type) JOIN gds USING (event_type)
+         |ORDER BY event_type, week""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.{Hashes, QuantileSketch}
+      val sortedXs =
+        "array_sort(transform(filter(transform(pairs, " +
+          "(v, i) -> named_struct('i', i, 'v', v)), p -> p.i % 2 = 1), " +
+          "p -> p.v))"
+      val v = Tables.events(s, d).select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000) div 7").as("week"),
+        Hashes.mulHash(col("event_id"), 101).as("h"),
+        round(col("value") * 100, 0).cast("long").as("x"))
+        .persist() // window sketches + the direct global sketch
+      val wsk = v.groupBy("event_type", "week")
+        .agg(QuantileSketch.qsketch(64)(col("h"), col("x")).as("pairs"))
+        .persist() // per-window output + the re-aggregation source
+      val wq = wsk
+        .withColumn("n_held", expr("CAST(size(pairs) AS BIGINT) div 2"))
+        .withColumn("xs", expr(sortedXs))
+        .select(col("event_type"), col("week"), col("n_held"),
+          element_at(col("xs"),
+            expr("(50 * size(xs) + 99) div 100").cast("int")).as("p50_w"))
+      // sketch-of-sketches: window pairs explode back to (h, x) rows and
+      // re-aggregate — rows touched: Σ windows × k, never the corpus
+      val gre = wsk
+        .select(col("event_type"),
+          explode(expr("sequence(0, size(pairs) div 2 - 1)")).as("j"),
+          col("pairs"))
+        .select(col("event_type"),
+          element_at(col("pairs"), (col("j") * 2 + 1).cast("int")).as("h"),
+          element_at(col("pairs"), (col("j") * 2 + 2).cast("int")).as("x"))
+        .groupBy("event_type")
+        .agg(QuantileSketch.qsketch(64)(col("h"), col("x")).as("rpairs"))
+      val gd = v.groupBy("event_type")
+        .agg(QuantileSketch.qsketch(64)(col("h"), col("x")).as("pairs"))
+        .withColumn("sxs", expr(sortedXs))
+        .select(col("event_type"), col("pairs").as("dpairs"),
+          element_at(col("sxs"),
+            expr("(50 * size(sxs) + 99) div 100").cast("int")).as("p50_g"))
+      wq.join(gre, "event_type").join(gd, "event_type")
+        .select(col("event_type"), col("week"), col("n_held"),
+          col("p50_w"), col("p50_g"),
+          (col("rpairs") === col("dpairs")).as("resketch_eq"))
+        .orderBy("event_type", "week")
+    },
+
     // Exponentially time-decayed counts — the freshness-weighted volume
     // metric every ops dashboard ranks by (a burst yesterday should
     // outrank steady drip from last month): each event contributes
