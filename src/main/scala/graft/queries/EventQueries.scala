@@ -4078,6 +4078,247 @@ object EventQueries {
         .orderBy("event_type", "week")
     },
 
+    // UCB1 bandit replay (Auer, Cesa-Bianchi & Fischer 2002) — offline
+    // policy evaluation for the explore/exploit family: replay the UCB1
+    // arm-selection rule over the daily reward grid (arms = event types,
+    // reward = the day's e6-normalized volume) and price its cumulative
+    // regret against the best-in-hindsight arm. The sequential fold is a
+    // bounded-day census (≤ 30 steps over a 5-arm grid — the
+    // scaler/BpeLearn driver-gated posture; the DATA work is one day
+    // census); the oracle unrolls the identical recurrence as a
+    // recursive CTE with the 10-column arm state and the argmax repeated
+    // per update column. Transcendental contract: the UCB bonus
+    // √(2·ln t / n) is ONE double chain per (step, arm), e6-quantized
+    // HALF_UP before any comparison; means are truncated integer
+    // divisions; argmax ties break to the lower arm index.
+    QueryDef("q417_ucb1_replay", {
+      def scI(i: Int) =
+        s"""(rec.s$i // greatest(rec.n$i, 1)
+           | + CAST(round(sqrt(2.0 * ln(CAST(gw.t AS DOUBLE))
+           |   / CAST(greatest(rec.n$i, 1) AS DOUBLE)) * 1000000, 0)
+           |   AS BIGINT))""".stripMargin.replace("\n", " ")
+      val cExpr =
+        s"""CASE WHEN rec.t + 1 <= 5 THEN rec.t + 1
+           | WHEN ${scI(1)} >= greatest(${scI(2)}, ${scI(3)}, ${scI(4)}, ${scI(5)}) THEN 1
+           | WHEN ${scI(2)} >= greatest(${scI(3)}, ${scI(4)}, ${scI(5)}) THEN 2
+           | WHEN ${scI(3)} >= greatest(${scI(4)}, ${scI(5)}) THEN 3
+           | WHEN ${scI(4)} >= ${scI(5)} THEN 4 ELSE 5 END"""
+          .stripMargin.replace("\n", " ")
+      def nUpd(i: Int) = s"rec.n$i + CASE WHEN ($cExpr) = $i THEN 1 ELSE 0 END"
+      def sUpd(i: Int) =
+        s"rec.s$i + CASE WHEN ($cExpr) = $i THEN gw.r$i ELSE 0 END"
+      s"""WITH RECURSIVE d AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
+         |           AS BIGINT) AS r
+         |  FROM events GROUP BY 1, 2),
+         |fd AS (SELECT day FROM d GROUP BY day HAVING count(*) = 5),
+         |arms AS (SELECT event_type,
+         |                CAST(row_number() OVER (ORDER BY event_type)
+         |                  AS BIGINT) AS arm
+         |         FROM (SELECT DISTINCT event_type FROM d)),
+         |tg AS (SELECT day, CAST(row_number() OVER (ORDER BY day)
+         |         AS BIGINT) AS t FROM fd),
+         |grid AS (SELECT tg.t, tg.day, arms.arm, d.r
+         |         FROM d JOIN tg USING (day) JOIN arms USING (event_type)
+         |         WHERE tg.t <= 30),
+         |mx AS (SELECT CAST(max(r) AS BIGINT) AS rmax FROM grid),
+         |g AS (SELECT t, day, arm,
+         |             r * 1000000 // (SELECT rmax FROM mx) AS re6
+         |      FROM grid),
+         |gw AS (SELECT t, max(day) AS day,
+         |              CAST(max(CASE WHEN arm = 1 THEN re6 END) AS BIGINT) AS r1,
+         |              CAST(max(CASE WHEN arm = 2 THEN re6 END) AS BIGINT) AS r2,
+         |              CAST(max(CASE WHEN arm = 3 THEN re6 END) AS BIGINT) AS r3,
+         |              CAST(max(CASE WHEN arm = 4 THEN re6 END) AS BIGINT) AS r4,
+         |              CAST(max(CASE WHEN arm = 5 THEN re6 END) AS BIGINT) AS r5
+         |       FROM g GROUP BY t),
+         |best AS (SELECT arm AS barm FROM (
+         |           SELECT arm, sum(re6) AS s FROM g GROUP BY arm
+         |           ORDER BY s DESC, arm LIMIT 1)),
+         |rec(t, chosen, n1, n2, n3, n4, n5, s1, s2, s3, s4, s5) AS (
+         |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |         CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION ALL
+         |  SELECT gw.t, $cExpr,
+         |         ${nUpd(1)}, ${nUpd(2)}, ${nUpd(3)}, ${nUpd(4)}, ${nUpd(5)},
+         |         ${sUpd(1)}, ${sUpd(2)}, ${sUpd(3)}, ${sUpd(4)}, ${sUpd(5)}
+         |  FROM rec JOIN gw ON gw.t = rec.t + 1),
+         |steps AS (
+         |  SELECT rec.t, gw.day, rec.chosen,
+         |         CASE rec.chosen WHEN 1 THEN gw.r1 WHEN 2 THEN gw.r2
+         |              WHEN 3 THEN gw.r3 WHEN 4 THEN gw.r4
+         |              ELSE gw.r5 END AS r_chosen_e6,
+         |         CASE (SELECT barm FROM best)
+         |              WHEN 1 THEN gw.r1 WHEN 2 THEN gw.r2
+         |              WHEN 3 THEN gw.r3 WHEN 4 THEN gw.r4
+         |              ELSE gw.r5 END AS r_best_e6
+         |  FROM rec JOIN gw ON gw.t = rec.t
+         |  WHERE rec.t >= 1)
+         |SELECT t, CAST(day AS BIGINT) AS day, chosen AS chosen_arm,
+         |       r_chosen_e6,
+         |       CAST(sum(r_best_e6 - r_chosen_e6)
+         |            OVER (ORDER BY t) AS BIGINT) AS cum_regret_e6,
+         |       (SELECT barm FROM best) AS best_arm
+         |FROM steps ORDER BY t""".stripMargin
+    }) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
+          .as("r"))
+        .persist() // full-day census + arm index + grid
+      val fd = daily.groupBy("day").agg(count(lit(1)).as("c"))
+        .where(col("c") === 5).select("day")
+      val arms = daily.select("event_type").distinct()
+        .orderBy("event_type").collect().map(_.getString(0))
+        .zipWithIndex.map { case (e, i) => (e, i + 1L) }
+      val armDf = {
+        import s.implicits._
+        arms.toSeq.toDF("event_type", "arm")
+      }
+      val tg = {
+        import org.apache.spark.sql.expressions.Window
+        fd.withColumn("t",
+          row_number().over(Window.orderBy("day")).cast("long"))
+      }
+      // the bounded (t, arm, reward) census — ≤ 30 × 5 cells
+      val grid = daily.join(tg, "day").join(broadcast(armDf), "event_type")
+        .where(col("t") <= 30)
+        .select(col("t"), col("day"), col("arm"), col("r"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      val rmax = grid.map(_._4).max
+      val re6 = grid.map { case (t, day, a, r) =>
+        ((t, a), (day, r * 1000000L / rmax))
+      }.toMap
+      val tMax = grid.map(_._1).max
+      val best = (1L to 5L)
+        .map(a => (a, (1L to tMax).map(t => re6((t, a))._2).sum))
+        .maxBy { case (a, s0) => (s0, -a) }._1
+      def bonus(t: Long, n: Long): Long =
+        java.math.BigDecimal.valueOf(
+          math.sqrt(2.0 * math.log(t.toDouble) / n.toDouble) * 1000000.0)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      val n = Array.fill(6)(0L)
+      val sm = Array.fill(6)(0L)
+      var cum = 0L
+      val out = (1L to tMax).map { t =>
+        val c =
+          if (t <= 5) t
+          else (1 to 5).map { i =>
+            (sm(i) / math.max(n(i), 1L)
+              + bonus(t, math.max(n(i), 1L)), -i)
+          }.zipWithIndex.maxBy(_._1)._2 + 1
+        val (day, rc) = re6((t, c.toLong))
+        n(c.toInt) += 1
+        sm(c.toInt) += rc
+        cum += re6((t, best))._2 - rc
+        (t, day, c.toLong, rc, cum, best)
+      }
+      import s.implicits._
+      out.toDF("t", "day", "chosen_arm", "r_chosen_e6", "cum_regret_e6",
+        "best_arm").orderBy("t")
+    },
+
+    // Off-policy evaluation: IPS and SNIPS (Horvitz–Thompson / Swaminathan
+    // & Joachims) — q417's counterfactual twin: production logs record ONE
+    // arm's reward per step (the arm a uniform logging policy happened to
+    // pull — hash-derived, so both engines replay the log); the value of
+    // EVERY arm is then estimated from that censored log by importance
+    // weighting: IPS = Σ 1{a_t=b}·r_t·(1/p_log) / T, SNIPS normalizes by
+    // the realized weight mass. The full grid is known here, so both
+    // estimators are priced against the true mean — the bias/variance
+    // trade (IPS unbiased but weight-noisy, SNIPS biased but stable) is a
+    // measured column, not prose. All integer: rewards e6-normalized,
+    // weights exact 5s, truncated division stated on both engines.
+    QueryDef("q418_ips_offpolicy", {
+      import graft.functions.Hashes
+      s"""WITH d AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
+         |           AS BIGINT) AS r
+         |  FROM events GROUP BY 1, 2),
+         |fd AS (SELECT day FROM d GROUP BY day HAVING count(*) = 5),
+         |arms AS (SELECT event_type,
+         |                CAST(row_number() OVER (ORDER BY event_type)
+         |                  AS BIGINT) AS arm
+         |         FROM (SELECT DISTINCT event_type FROM d)),
+         |tg AS (SELECT day, CAST(row_number() OVER (ORDER BY day)
+         |         AS BIGINT) AS t FROM fd),
+         |mx AS (SELECT CAST(max(r) AS BIGINT) AS rmax FROM d
+         |       WHERE day IN (SELECT day FROM fd)),
+         |g AS (SELECT tg.t, arms.arm,
+         |             d.r * 1000000 // (SELECT rmax FROM mx) AS re6
+         |      FROM d JOIN tg USING (day) JOIN arms USING (event_type)),
+         |log AS (SELECT t, (${Hashes.mulHashSql("t", 23)}) % 5 + 1
+         |          AS logged_arm FROM (SELECT DISTINCT t FROM g)),
+         |est AS (
+         |  SELECT g.arm AS target,
+         |         CAST(count(*) AS BIGINT) AS n_steps,
+         |         CAST(sum(CASE WHEN log.logged_arm = g.arm THEN 1 ELSE 0
+         |                  END) AS BIGINT) AS n_match,
+         |         CAST(sum(CASE WHEN log.logged_arm = g.arm THEN 5 * g.re6
+         |                  ELSE 0 END) AS BIGINT) AS wsum,
+         |         CAST(sum(g.re6) AS BIGINT) AS rsum
+         |  FROM g JOIN log ON log.t = g.t
+         |  GROUP BY g.arm)
+         |SELECT target AS arm, n_steps, n_match,
+         |       wsum // n_steps AS ips_e6,
+         |       CASE WHEN n_match = 0 THEN 0
+         |            ELSE wsum // (5 * n_match) END AS snips_e6,
+         |       rsum // n_steps AS true_mean_e6,
+         |       abs(wsum // n_steps - rsum // n_steps) AS ips_err_e6,
+         |       abs(CASE WHEN n_match = 0 THEN 0
+         |                ELSE wsum // (5 * n_match) END
+         |           - rsum // n_steps) AS snips_err_e6
+         |FROM est ORDER BY arm""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
+          .as("r"))
+        .persist() // full-day census + arm index + grid + rmax
+      val fd = daily.groupBy("day").agg(count(lit(1)).as("c"))
+        .where(col("c") === 5).select("day")
+      val armW = Window.orderBy("event_type")
+      val arms = daily.select("event_type").distinct()
+        .withColumn("arm", row_number().over(armW).cast("long"))
+      val tg = fd.withColumn("t",
+        row_number().over(Window.orderBy("day")).cast("long"))
+      val rmax = daily.join(fd, "day").agg(max("r")).head().getLong(0)
+      val g = daily.join(tg, "day").join(broadcast(arms), "event_type")
+        .select(col("t"), col("arm"),
+          expr(s"r * 1000000L div ${rmax}L").as("re6"))
+      val logDf = g.select("t").distinct()
+        .select(col("t"), (Hashes.mulHash(col("t"), 23) % 5 + 1)
+          .as("logged_arm"))
+      g.join(logDf, "t")
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_steps"),
+          sum(when(col("logged_arm") === col("arm"), 1L).otherwise(0L))
+            .as("n_match"),
+          sum(when(col("logged_arm") === col("arm"), expr("5 * re6"))
+            .otherwise(0L)).as("wsum"),
+          sum("re6").as("rsum"))
+        .select(col("arm"), col("n_steps"), col("n_match"),
+          expr("wsum div n_steps").as("ips_e6"),
+          expr("CASE WHEN n_match = 0 THEN 0L" +
+            " ELSE wsum div (5 * n_match) END").as("snips_e6"),
+          expr("rsum div n_steps").as("true_mean_e6"),
+          expr("abs(wsum div n_steps - rsum div n_steps)").as("ips_err_e6"),
+          expr("abs(CASE WHEN n_match = 0 THEN 0L" +
+            " ELSE wsum div (5 * n_match) END - rsum div n_steps)")
+            .as("snips_err_e6"))
+        .orderBy("arm")
+    },
+
     // Exponentially time-decayed counts — the freshness-weighted volume
     // metric every ops dashboard ranks by (a burst yesterday should
     // outrank steady drip from last month): each event contributes

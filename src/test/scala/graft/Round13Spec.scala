@@ -263,6 +263,41 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("q417 UCB1 replay explores then exploits over the day grid") {
+    val rows = run("q417_ucb1_replay").collect().sortBy(_.getAs[Long]("t"))
+    assert(rows.nonEmpty)
+    // initialization: steps 1..5 play arms 1..5 in order
+    assert(rows.take(5).map(_.getAs[Long]("chosen_arm")).toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    rows.foreach { r =>
+      val a = r.getAs[Long]("chosen_arm")
+      assert(a >= 1 && a <= 5)
+      assert(r.getAs[Long]("r_chosen_e6") >= 0)
+    }
+    // the best-in-hindsight arm must be pulled more than once after the
+    // exploration phase on any grid where it actually leads
+    val best = rows.head.getAs[Long]("best_arm")
+    assert(rows.count(_.getAs[Long]("chosen_arm") == best) >= 2,
+      "UCB1 never returned to the best arm")
+  }
+
+  test("q418 IPS/SNIPS: one logged arm per step, estimates bounded") {
+    val rows = run("q418_ips_offpolicy").collect()
+    assert(rows.length == 5)
+    val nSteps = rows.head.getAs[Long]("n_steps")
+    assert(rows.forall(_.getAs[Long]("n_steps") == nSteps))
+    // the uniform log records exactly ONE arm per step
+    assert(rows.map(_.getAs[Long]("n_match")).sum == nSteps)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("true_mean_e6") >= 0
+        && r.getAs[Long]("true_mean_e6") <= 1000000L)
+      // SNIPS is a weighted mean of observed rewards → bounded by 1e6;
+      // IPS has no such bound (that's its variance problem)
+      assert(r.getAs[Long]("snips_e6") >= 0
+        && r.getAs[Long]("snips_e6") <= 1000000L)
+    }
+  }
+
   test("q406 isotonic fit is monotone and mean-preserving") {
     val rows = run("q406_isotonic_pav").collect().sortBy(_.getAs[Long]("bin"))
     assert(rows.length >= 3)
