@@ -1463,6 +1463,162 @@ object ScaleQueries {
         .orderBy("flag", "q_pct")
     },
 
+    // Incremental view maintenance — the materialized-aggregate update a
+    // warehouse runs per CDC batch: the maintained (count, sum) per flag
+    // is base aggregate + insert deltas − delete deltas, DELTA-SIZED work
+    // that never rescans the base (at 100 TB that is the difference
+    // between a view refresh and a table scan). The honest boundary is a
+    // CHECKED column, not prose: count/sum are self-maintainable under
+    // deletes, MIN is not — a delete that hits the current minimum forces
+    // a rescan, and `min_needs_rescan` says exactly when (the oracle
+    // derives it from the same delta census). `maintained_eq` proves the
+    // delta algebra equals the from-scratch recompute.
+    QueryDef("q419_ivm_aggregate",
+      """WITH l AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x,
+        |         l_orderkey AS k
+        |  FROM lineitem),
+        |base AS (SELECT * FROM l WHERE k % 7 <> 0),
+        |ins AS (SELECT * FROM l WHERE k % 7 = 0),
+        |del AS (SELECT * FROM base WHERE k % 5 = 0),
+        |ba AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(x) AS BIGINT) AS s,
+        |              CAST(min(x) AS BIGINT) AS mn
+        |       FROM base GROUP BY flag),
+        |ia AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(x) AS BIGINT) AS s,
+        |              CAST(min(x) AS BIGINT) AS mn
+        |       FROM ins GROUP BY flag),
+        |da AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(x) AS BIGINT) AS s,
+        |              CAST(min(x) AS BIGINT) AS mn
+        |       FROM del GROUP BY flag),
+        |re AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(x) AS BIGINT) AS s
+        |       FROM (SELECT flag, x, k FROM base
+        |             EXCEPT ALL SELECT flag, x, k FROM del
+        |             UNION ALL SELECT flag, x, k FROM ins) u
+        |       GROUP BY flag)
+        |SELECT ba.flag,
+        |       ba.n + coalesce(ia.n, 0) - coalesce(da.n, 0) AS n_maint,
+        |       ba.s + coalesce(ia.s, 0) - coalesce(da.s, 0) AS s_maint,
+        |       re.n AS n_recomputed, re.s AS s_recomputed,
+        |       (ba.n + coalesce(ia.n, 0) - coalesce(da.n, 0) = re.n
+        |        AND ba.s + coalesce(ia.s, 0) - coalesce(da.s, 0) = re.s)
+        |         AS maintained_eq,
+        |       ba.mn AS min_base,
+        |       (da.mn IS NOT NULL AND da.mn <= least(ba.mn,
+        |          coalesce(ia.mn, ba.mn))) AS min_needs_rescan
+        |FROM ba LEFT JOIN ia ON ia.flag = ba.flag
+        |LEFT JOIN da ON da.flag = ba.flag
+        |JOIN re ON re.flag = ba.flag
+        |ORDER BY ba.flag""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("x"),
+        col("l_orderkey").as("k"))
+      val base = l.where(col("k") % 7 =!= 0).persist() // agg + delta derive
+      val ins = l.where(col("k") % 7 === 0)
+      val del = base.where(col("k") % 5 === 0)
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("flag").agg(count(lit(1)).as("n"), sum("x").as("s"),
+          min("x").as("mn"))
+      val ba = agg(base)
+      val ia = agg(ins).withColumnsRenamed(
+        Map("n" -> "in_", "s" -> "is_", "mn" -> "imn"))
+      val da = agg(del).withColumnsRenamed(
+        Map("n" -> "dn", "s" -> "ds", "mn" -> "dmn"))
+      val re = base.exceptAll(del).unionByName(ins)
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n_recomputed"), sum("x").as("s_recomputed"))
+      ba.join(ia, Seq("flag"), "left").join(da, Seq("flag"), "left")
+        .join(re, "flag")
+        .select(col("flag"),
+          (col("n") + coalesce(col("in_"), lit(0L))
+            - coalesce(col("dn"), lit(0L))).as("n_maint"),
+          (col("s") + coalesce(col("is_"), lit(0L))
+            - coalesce(col("ds"), lit(0L))).as("s_maint"),
+          col("n_recomputed"), col("s_recomputed"),
+          ((col("n") + coalesce(col("in_"), lit(0L))
+            - coalesce(col("dn"), lit(0L)) === col("n_recomputed"))
+            && (col("s") + coalesce(col("is_"), lit(0L))
+              - coalesce(col("ds"), lit(0L)) === col("s_recomputed")))
+            .as("maintained_eq"),
+          col("mn").as("min_base"),
+          (col("dmn").isNotNull && col("dmn") <=
+            least(col("mn"), coalesce(col("imn"), col("mn"))))
+            .as("min_needs_rescan"))
+        .orderBy("flag")
+    },
+
+    // Sketch-based global bucketing — ntile WITHOUT the global sort: the
+    // q400 bottom-k sketch supplies approximate quartile boundaries (a
+    // k-row census broadcast), and rows are assigned by comparison in ONE
+    // scan — at 100 TB this replaces ntile(4)'s full-corpus sort exchange
+    // (the single most expensive primitive in the engine's ledger) with a
+    // map-only pass. The price is bounded bucket-size skew, and the query
+    // MEASURES it: each bucket's realized share vs the ideal 250000 ppm,
+    // priced by the sketch's O(1/√k) rank error. Boundaries live strictly
+    // inside the value range, so buckets are never empty by construction.
+    QueryDef("q420_sketch_ntile", {
+      import graft.functions.Hashes
+      s"""WITH v AS (
+         |  SELECT ${Hashes.mulHashSql("l_orderkey * 8 + l_linenumber", 101)}
+         |           AS h,
+         |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x
+         |  FROM lineitem),
+         |s AS (SELECT h, x, row_number() OVER (ORDER BY h, x) AS rn
+         |      FROM v),
+         |samp AS (SELECT list(x ORDER BY x) AS xs FROM s WHERE rn <= 1024),
+         |b AS (SELECT xs[CAST((25 * len(xs) + 99) // 100 AS INT)] AS b1,
+         |             xs[CAST((50 * len(xs) + 99) // 100 AS INT)] AS b2,
+         |             xs[CAST((75 * len(xs) + 99) // 100 AS INT)] AS b3
+         |      FROM samp),
+         |a AS (SELECT CASE WHEN x <= b.b1 THEN 1 WHEN x <= b.b2 THEN 2
+         |                  WHEN x <= b.b3 THEN 3 ELSE 4 END AS bucket
+         |      FROM v, b),
+         |cnt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM a
+         |        GROUP BY bucket),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cnt)
+         |SELECT cnt.bucket, cnt.n,
+         |       cnt.n * 1000000 // tot.nt AS share_ppm,
+         |       abs(cnt.n * 1000000 // tot.nt - 250000) AS skew_ppm
+         |FROM cnt, tot ORDER BY cnt.bucket""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.{Hashes, QuantileSketch}
+      val v = Tables.lineitem(s, d).select(
+        Hashes.mulHash(col("l_orderkey") * 8 + col("l_linenumber"), 101)
+          .as("h"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("x"))
+        .persist() // sketch pass + the assignment pass
+      val sortedXs =
+        "array_sort(transform(filter(transform(pairs, " +
+          "(v, i) -> named_struct('i', i, 'v', v)), p -> p.i % 2 = 1), " +
+          "p -> p.v))"
+      val b = v.agg(QuantileSketch.qsketch(1024)(col("h"), col("x"))
+          .as("pairs"))
+        .withColumn("xs", expr(sortedXs))
+        .select(
+          element_at(col("xs"),
+            expr("(25 * size(xs) + 99) div 100").cast("int")).as("b1"),
+          element_at(col("xs"),
+            expr("(50 * size(xs) + 99) div 100").cast("int")).as("b2"),
+          element_at(col("xs"),
+            expr("(75 * size(xs) + 99) div 100").cast("int")).as("b3"))
+      val cnt = v.crossJoin(broadcast(b))
+        .select(when(col("x") <= col("b1"), 1)
+          .when(col("x") <= col("b2"), 2)
+          .when(col("x") <= col("b3"), 3).otherwise(4).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(sum("n").as("nt"))
+      cnt.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n"),
+          expr("n * 1000000 div nt").as("share_ppm"),
+          expr("abs(n * 1000000 div nt - 250000)").as("skew_ppm"))
+        .orderBy("bucket")
+    },
+
     // AMS F₂ sketch (Alon–Matias–Szegedy 1996) — the SECOND frequency
     // moment, i.e. the SELF-JOIN SIZE on a key: 16 independent ±1-hash
     // estimators Z_j = Σ_rows σ_j(key), each with E[Z_j²] = F₂, folded in

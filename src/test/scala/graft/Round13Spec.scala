@@ -298,6 +298,28 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("q419 IVM: delta algebra equals recompute; min boundary honest") {
+    val rows = run("q419_ivm_aggregate").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("maintained_eq"),
+        s"${r.getAs[String]("flag")}: maintained aggregate diverged")
+      assert(r.getAs[Long]("n_maint") == r.getAs[Long]("n_recomputed"))
+    }
+  }
+
+  test("q420 sketch-ntile buckets stay near quarter shares without a sort") {
+    val rows = run("q420_sketch_ntile").collect()
+    assert(rows.map(_.getAs[Int]("bucket")).sorted.toSeq == Seq(1, 2, 3, 4))
+    rows.foreach { r =>
+      // k = 1024 → rank error std ≈ 1.4% per boundary; 6% ≈ 4σ
+      assert(r.getAs[Long]("skew_ppm") <= 60000L,
+        s"bucket ${r.getAs[Int]("bucket")} skew " +
+          s"${r.getAs[Long]("skew_ppm")} ppm — sketch boundaries broken")
+    }
+    assert(rows.map(_.getAs[Long]("share_ppm")).sum >= 999996L)
+  }
+
   test("q406 isotonic fit is monotone and mean-preserving") {
     val rows = run("q406_isotonic_pav").collect().sortBy(_.getAs[Long]("bin"))
     assert(rows.length >= 3)
