@@ -2380,6 +2380,194 @@ object AdvancedQueries {
         .orderBy("seed", "rank")
     },
 
+    // k-truss (Cohen 2008) — the triangle-reinforced core, one rung above
+    // q187's k-core (degree can be faked by star hubs; truss membership
+    // needs every edge to sit in ≥ k−2 triangles — actual cohesion): over
+    // the item co-purchase graph, three PINNED peel rounds each recompute
+    // per-edge triangle support via the oriented wedge join (the q184
+    // discipline — a<b<c, never undirected blowup) and drop edges below
+    // threshold. The threshold is DATA-DRIVEN — the lower quartile of the
+    // initial support census (a 1-row pick; co-purchase density inverts
+    // between scales, so any fixed k peels everything at one scale and
+    // nothing at the other; the median cascaded the sparse-scale truss to
+    // empty in 3 rounds) — and the per-round edge census is part of the checked
+    // output: the convergence PATH, not just the fixpoint. Scale: support
+    // is an edge-keyed equi-join per round; peeling only shrinks it.
+    QueryDef("q423_ktruss", {
+      // MATERIALIZED throughout: each round references its input THREE
+      // times (wedge join + closure + peel) — default CTE inlining would
+      // re-execute the upstream chain 3^rounds times (the checker hung
+      // >10 min at sf0.01 before this)
+      def roundCtes(inE: String, p: String): String =
+        s"""${p}tri AS MATERIALIZED (
+           |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |  FROM $inE e1 JOIN $inE e2 ON e2.a = e1.b
+           |  JOIN $inE e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |${p}sup AS MATERIALIZED (
+           |  SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+           |    SELECT x AS a, y AS b FROM ${p}tri
+           |    UNION ALL SELECT y, z FROM ${p}tri
+           |    UNION ALL SELECT x, z FROM ${p}tri) u
+           |  GROUP BY a, b),
+           |${p}out AS MATERIALIZED (
+           |  SELECT e.a, e.b, coalesce(s.sup, 0) AS sup
+           |  FROM $inE e LEFT JOIN ${p}sup s ON s.a = e.a AND s.b = e.b
+           |  WHERE coalesce(s.sup, 0) >= (SELECT thr FROM th))""".stripMargin
+      s"""WITH b AS (
+         |  SELECT DISTINCT o_orderkey AS ok, l_partkey AS item
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e0 AS MATERIALIZED (
+         |  SELECT x.item AS a, y.item AS b
+         |  FROM b x JOIN b y ON x.ok = y.ok AND x.item < y.item
+         |  GROUP BY x.item, y.item),
+         |tri0 AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b
+         |  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |sup0 AS MATERIALIZED (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+         |    SELECT x AS a, y AS b FROM tri0
+         |    UNION ALL SELECT y, z FROM tri0
+         |    UNION ALL SELECT x, z FROM tri0) u
+         |  GROUP BY a, b),
+         |th AS (SELECT sup AS thr FROM (
+         |         SELECT sup, row_number() OVER (ORDER BY sup, a, b) AS rn,
+         |                count(*) OVER () AS n
+         |         FROM sup0) z
+         |       WHERE rn = (n + 3) // 4),
+         |r1out AS MATERIALIZED (
+         |  SELECT e.a, e.b, coalesce(s.sup, 0) AS sup
+         |  FROM e0 e LEFT JOIN sup0 s ON s.a = e.a AND s.b = e.b
+         |  WHERE coalesce(s.sup, 0) >= (SELECT thr FROM th)),
+         |${roundCtes("r1out", "r2")},
+         |${roundCtes("r2out", "r3")},
+         |census AS (
+         |  SELECT 1 AS round, CAST(count(*) AS BIGINT) AS n_edges
+         |  FROM r1out
+         |  UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM r2out
+         |  UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM r3out),
+         |top AS (SELECT a, b, sup,
+         |               row_number() OVER (ORDER BY sup DESC, a, b) AS rk
+         |        FROM r3out)
+         |SELECT CAST(c.round AS BIGINT) AS round, c.n_edges,
+         |       (SELECT thr FROM th) AS thr,
+         |       t.a AS edge_a, t.b AS edge_b, t.sup
+         |FROM census c LEFT JOIN top t ON t.rk = c.round
+         |ORDER BY round""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      val bk = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey").as("ok"), col("l_partkey").as("item"))
+        .distinct()
+      var e: DataFrame = bk.as("x")
+        .join(bk.as("y"),
+          col("x.ok") === col("y.ok") && col("x.item") < col("y.item"))
+        .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+        .agg(count(lit(1)).as("cab"))
+        .select("a", "b")
+        .localCheckpoint() // round plans must not nest
+      def support(edges: DataFrame): DataFrame = {
+        val tri = edges.as("e1")
+          .join(edges.as("e2"), col("e2.a") === col("e1.b"))
+          .join(edges.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"),
+            col("e2.b").as("z"))
+        tri.select(col("x").as("a"), col("y").as("b"))
+          .unionByName(tri.select(col("y").as("a"), col("z").as("b")))
+          .unionByName(tri.select(col("x").as("a"), col("z").as("b")))
+          .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+      }
+      val sup0 = support(e).localCheckpoint()
+      // data-driven threshold: median of the initial support census
+      val thr = sup0
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("sup"), col("a"), col("b"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .where(col("rn") === expr("(n + 3) div 4"))
+        .head().getAs[Long]("sup") // 1-row census pick
+      val census = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var last: DataFrame = null
+      for (r <- 1 to 3) {
+        val sup = if (r == 1) sup0 else support(e)
+        last = e.join(sup, Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            coalesce(col("sup"), lit(0L)).as("sup"))
+          .where(col("sup") >= thr)
+          .localCheckpoint()
+        census += ((r.toLong, last.count()))
+        e = last.select("a", "b").localCheckpoint()
+      }
+      import s.implicits._
+      val cdf = census.toSeq.toDF("round", "n_edges")
+      val top = last
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("sup").desc, col("a"), col("b"))).cast("long"))
+      cdf.join(top, col("rk") === col("round"), "left")
+        .select(col("round"), col("n_edges"), lit(thr).as("thr"),
+          col("a").as("edge_a"), col("b").as("edge_b"), col("sup"))
+        .orderBy("round")
+    },
+
+    // Degree assortativity (Newman 2002) — the one-number answer to "do
+    // hubs talk to hubs?": the Pearson correlation of (deg(src),
+    // deg(dst)) over the edges of the customer–supplier trade graph,
+    // computed from exact integer co-moments (the q70 correlation posture
+    // applied to graph structure). Negative = disassortative (hubs serve
+    // the periphery — typical for commerce), positive = hub-club. All
+    // sums int64 (degrees ≤ node count); the e6 ratio divides last
+    // through DECIMAL(38) headroom.
+    QueryDef("q422_assortativity",
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS a, s + 1000000 AS b FROM e0
+        |      UNION ALL SELECT s + 1000000, c FROM e0),
+        |dg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg FROM e
+        |       GROUP BY a),
+        |ed AS (SELECT da.deg AS x, db.deg AS y
+        |       FROM e JOIN dg da ON da.v = e.a JOIN dg db ON db.v = e.b),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |             CAST(sum(x) AS HUGEINT) AS sx,
+        |             CAST(sum(y) AS HUGEINT) AS sy,
+        |             CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |             CAST(sum(y * y) AS HUGEINT) AS syy,
+        |             CAST(sum(x * y) AS HUGEINT) AS sxy
+        |      FROM ed)
+        |SELECT CAST(n AS BIGINT) AS n_directed_edges,
+        |       CAST((n * sxy - sx * sy) * 1000000
+        |            // CAST(round(sqrt(CAST((n * sxx - sx * sx)
+        |                 * (n * syy - sy * sy) AS DOUBLE)), 0) AS HUGEINT)
+        |         AS BIGINT) AS assortativity_e6
+        |FROM m""".stripMargin) { (s, d) =>
+      val dec = "decimal(38,0)"
+      val e0 = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val e = e0.select(col("c").as("a"), (col("s") + 1000000L).as("b"))
+        .unionByName(e0.select((col("s") + 1000000L).as("a"),
+          col("c").as("b")))
+        .persist() // degree census probes it twice
+      val dg = e.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+      val ed = e
+        .join(dg.select(col("v").as("a"), col("deg").as("x")), "a")
+        .join(dg.select(col("v").as("b"), col("deg").as("y")), "b")
+      val m = ed.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      m.select(col("n").as("n_directed_edges"),
+        expr(s"""cast((cast(n as $dec) * sxy - cast(sx as $dec) * sy)
+                |* 1000000 div cast(round(sqrt(cast(
+                |  (cast(n as $dec) * sxx - cast(sx as $dec) * sx)
+                |  * (cast(n as $dec) * syy - cast(sy as $dec) * sy)
+                |  as double)), 0) as $dec) as bigint)"""
+          .stripMargin.replace("\n", " ")).as("assortativity_e6"))
+    },
+
     // Approximate graph diameter by DOUBLE BFS SWEEP — the standard
     // two-pass lower bound (take any vertex, BFS to the farthest vertex
     // u, then u's eccentricity from a second BFS is ≥ half the true
@@ -3309,7 +3497,7 @@ object AdvancedQueries {
       s"""WITH ${SpatialEdges.cte},
          |es AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
          |  UNION ALL SELECT v, u FROM e0),
-         |alive0 AS MATERIALIZED (
+         |alive0 AS (
          |  SELECT id, (${graft.functions.Hashes.mulHashSql("id", 91)})
          |             * 10000000 + id AS prio
          |  FROM p),

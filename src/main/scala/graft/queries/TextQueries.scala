@@ -2100,6 +2100,57 @@ object TextQueries {
           sum(when(col("q") > 1, col("mean_e6")).otherwise(0L))
             .as("kept_mean_sum_e6"))
         .orderBy("source")
+    },
+
+    // Shared-prefix census — the KV-CACHE SHARING potential of an
+    // inference corpus (serving systems dedupe attention state across
+    // requests that share a prompt prefix — vLLM-style prefix caching):
+    // group documents by their first-4-token prefix; every document
+    // beyond the first in a group re-uses a cached prefix, so the
+    // avoidable token mass is Σ_g (n_g − 1) · 4. Emits, per source, the
+    // group census and the sharing ratio in ppm of total tokens — the
+    // number a serving-capacity plan actually needs. One explode-free
+    // pass: the prefix key is a bounded slice, the census a groupBy.
+    QueryDef("q421_prefix_sharing",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         array_to_string(string_split(text, ' ')[1:4], ' ')
+        |           AS prefix
+        |  FROM documents),
+        |g AS (SELECT source, prefix, CAST(count(*) AS BIGINT) AS n_g
+        |      FROM t GROUP BY source, prefix),
+        |per AS (SELECT source,
+        |               CAST(count(*) AS BIGINT) AS n_groups,
+        |               CAST(sum(CASE WHEN n_g > 1 THEN n_g ELSE 0 END)
+        |                    AS BIGINT) AS n_shared_docs,
+        |               CAST(sum((n_g - 1) * 4) AS BIGINT) AS shared_tok
+        |        FROM g GROUP BY source),
+        |tok AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tok,
+        |               CAST(count(*) AS BIGINT) AS n_docs
+        |        FROM t GROUP BY source)
+        |SELECT tok.source, tok.n_docs, per.n_groups, per.n_shared_docs,
+        |       per.shared_tok, tok.total_tok,
+        |       per.shared_tok * 1000000 // tok.total_tok AS sharing_ppm
+        |FROM per JOIN tok USING (source) ORDER BY source""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tok"),
+        concat_ws(" ", slice(split(col("text"), " ", -1), 1, 4))
+          .as("prefix"))
+        .persist() // group census + token totals
+      val g = t.groupBy("source", "prefix").agg(count(lit(1)).as("n_g"))
+      val per = g.groupBy("source").agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n_g") > 1, col("n_g")).otherwise(0L))
+          .as("n_shared_docs"),
+        sum((col("n_g") - 1) * 4).as("shared_tok"))
+      val tok = t.groupBy("source").agg(sum("n_tok").as("total_tok"),
+        count(lit(1)).as("n_docs"))
+      per.join(tok, "source")
+        .select(col("source"), col("n_docs"), col("n_groups"),
+          col("n_shared_docs"), col("shared_tok"), col("total_tok"),
+          expr("shared_tok * 1000000 div total_tok").as("sharing_ppm"))
+        .orderBy("source")
     }
   )
 }

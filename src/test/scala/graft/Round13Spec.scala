@@ -320,6 +320,40 @@ class Round13Spec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("share_ppm")).sum >= 999996L)
   }
 
+  test("q421 prefix-sharing census is internally consistent") {
+    val rows = run("q421_prefix_sharing").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_groups") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_shared_docs") <= r.getAs[Long]("n_docs"))
+      // shared tokens = 4 per doc beyond each group's first
+      assert(r.getAs[Long]("shared_tok")
+        <= (r.getAs[Long]("n_docs") - 1) * 4)
+      assert(r.getAs[Long]("sharing_ppm") <= 1000000L)
+    }
+  }
+
+  test("q422 assortativity is a valid correlation") {
+    val r = run("q422_assortativity").collect()(0)
+    val a = r.getAs[Long]("assortativity_e6")
+    assert(a >= -1000000L && a <= 1000000L, s"r=$a outside [-1, 1] e6")
+    assert(r.getAs[Long]("n_directed_edges") > 0)
+  }
+
+  test("q423 k-truss peel is monotone and survivors meet the threshold") {
+    val rows = run("q423_ktruss").collect().sortBy(_.getAs[Long]("round"))
+    assert(rows.length == 3)
+    val ns = rows.map(_.getAs[Long]("n_edges"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      s"peel grew the graph: ${ns.toSeq}")
+    assert(ns.last > 0, "truss emptied — threshold census degenerate")
+    val thr = rows.head.getAs[Long]("thr")
+    rows.foreach { r =>
+      Option(r.getAs[java.lang.Long]("sup")).foreach(sp =>
+        assert(sp >= thr, "surviving edge under threshold"))
+    }
+  }
+
   test("q406 isotonic fit is monotone and mean-preserving") {
     val rows = run("q406_isotonic_pav").collect().sortBy(_.getAs[Long]("bin"))
     assert(rows.length >= 3)
