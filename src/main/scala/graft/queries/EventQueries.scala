@@ -4319,6 +4319,93 @@ object EventQueries {
         .orderBy("arm")
     },
 
+    // Kaplan–Meier survival with CENSORING (Kaplan & Meier 1958) — the
+    // user-lifetime complement to q07's event-level survival curve, and
+    // the estimator naive churn analysis gets wrong: a user who never
+    // went quiet hasn't churned, they're CENSORED, and dropping or
+    // death-counting them biases retention down. Churn = the FIRST
+    // inactivity gap > 2 days (the corpus spans ~30 days of uniformly
+    // active users, so the churn horizon scales to the window — a
+    // 14-day gap never occurs; lifetime runs first event → last event
+    // before that gap); users with no such gap are censored at their
+    // observed span. S(t) folds Π(1 − d_t/n_t) as an e6-integer product
+    // recurrence over the bounded duration census (per-step truncated
+    // division stated on both engines; the oracle unrolls the same
+    // recurrence as a recursive CTE). Scale: one user-day census + one
+    // lag window; everything after is the duration census.
+    QueryDef("q424_kaplan_meier",
+      """WITH RECURSIVE ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |lg AS (SELECT user_id, day,
+        |              lag(day) OVER (PARTITION BY user_id ORDER BY day)
+        |                AS pday
+        |       FROM ud),
+        |u AS (SELECT user_id, min(day) AS d0, max(day) AS d1,
+        |             min(CASE WHEN day - pday > 2 THEN pday END)
+        |               AS gap_end
+        |      FROM lg GROUP BY user_id),
+        |lt AS (SELECT user_id,
+        |              coalesce(gap_end, d1) - d0 AS dur,
+        |              CASE WHEN gap_end IS NULL THEN 1 ELSE 0 END
+        |                AS censored
+        |       FROM u),
+        |cen AS (SELECT dur AS t, CAST(count(*) AS BIGINT) AS n_at,
+        |               CAST(sum(1 - censored) AS BIGINT) AS d
+        |        FROM lt GROUP BY dur),
+        |grid AS (SELECT t, n_at, d,
+        |                CAST(row_number() OVER (ORDER BY t) AS BIGINT)
+        |                  AS rn,
+        |                CAST(sum(n_at) OVER (ORDER BY t DESC) AS BIGINT)
+        |                  AS n_risk
+        |         FROM cen),
+        |rec(rn, t, n_risk, d, s_e6) AS (
+        |  SELECT rn, t, n_risk, d,
+        |         1000000 * (n_risk - d) // n_risk
+        |  FROM grid WHERE rn = 1
+        |  UNION ALL
+        |  SELECT g.rn, g.t, g.n_risk, g.d,
+        |         rec.s_e6 * (g.n_risk - g.d) // g.n_risk
+        |  FROM grid g JOIN rec ON g.rn = rec.rn + 1)
+        |SELECT t AS duration_days, n_risk, d AS n_churned,
+        |       CAST(s_e6 AS BIGINT) AS survival_e6
+        |FROM rec ORDER BY t""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val lg = ud.withColumn("pday",
+        lag("day", 1).over(Window.partitionBy("user_id").orderBy("day")))
+      val u = lg.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"),
+          min(when(col("day") - col("pday") > 2, col("pday")))
+            .as("gap_end"))
+      val cen = u.select(
+          (coalesce(col("gap_end"), col("d1")) - col("d0")).as("t"),
+          col("gap_end").isNull.cast("long").as("censored"))
+        .groupBy("t")
+        .agg(count(lit(1)).as("n_at"),
+          sum(lit(1L) - col("censored")).as("d"))
+      val grid = cen
+        .withColumn("n_risk",
+          sum("n_at").over(Window.orderBy(col("t").desc)))
+        .select(col("t"), col("n_risk"), col("d"))
+        .as[(Long, Long, Long)]
+      // the KM product recurrence over the bounded duration census — a
+      // single sorted fold (≤ distinct durations rows)
+      grid.repartition(1).mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        var sE6 = 1000000L
+        rows.iterator.map { case (t, nRisk, dd) =>
+          sE6 = sE6 * (nRisk - dd) / nRisk
+          (t, nRisk, dd, sE6)
+        }
+      }.toDF("duration_days", "n_risk", "n_churned", "survival_e6")
+        .orderBy("duration_days")
+    },
+
     // Exponentially time-decayed counts — the freshness-weighted volume
     // metric every ops dashboard ranks by (a burst yesterday should
     // outrank steady drip from last month): each event contributes

@@ -354,6 +354,23 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("q424 Kaplan-Meier curve is a valid survival function") {
+    val rows = run("q424_kaplan_meier").collect()
+      .sortBy(_.getAs[Long]("duration_days"))
+    assert(rows.length >= 3, "duration census degenerate")
+    val sv = rows.map(_.getAs[Long]("survival_e6"))
+    assert(sv.forall(x => x >= 0 && x <= 1000000L))
+    assert(sv.zip(sv.tail).forall { case (a, b) => a >= b },
+      s"survival not monotone: ${sv.toSeq}")
+    val risk = rows.map(_.getAs[Long]("n_risk"))
+    assert(risk.zip(risk.tail).forall { case (a, b) => a >= b },
+      "risk set grew over time")
+    // censoring matters: at least one step's deaths < its risk set
+    // shrinkage (the censored leave without dying)
+    assert(rows.map(_.getAs[Long]("n_churned")).sum < risk.head,
+      "nobody censored — the estimator degenerates to the naive curve")
+  }
+
   test("q406 isotonic fit is monotone and mean-preserving") {
     val rows = run("q406_isotonic_pav").collect().sortBy(_.getAs[Long]("bin"))
     assert(rows.length >= 3)
