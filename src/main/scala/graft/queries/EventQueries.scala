@@ -4406,6 +4406,123 @@ object EventQueries {
         .orderBy("duration_days")
     },
 
+    // Log-rank test (Mantel 1966) — DO two cohorts' survival curves
+    // differ? The hypothesis test that belongs next to q424's KM
+    // estimator: cohorts = busier vs quieter half of users (median split
+    // on active-day counts — a census rank), lifetimes/censoring exactly
+    // q424's (>2-day gap). At each death time, observed cohort-1 deaths
+    // vs the expected share of the pooled deaths under H₀, with the
+    // hypergeometric variance; the statistic (ΣO−E)²/ΣV is χ²(1) and the
+    // 3.84 critical value makes `significant` a checked output. All
+    // integer: e6-scaled truncated divisions per death time (stated on
+    // both engines), sums exact. Scale: everything after the per-user
+    // lifetime pass is a death-time × cohort census.
+    QueryDef("q425_logrank",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |lg AS (SELECT user_id, day,
+        |              lag(day) OVER (PARTITION BY user_id ORDER BY day)
+        |                AS pday
+        |       FROM ud),
+        |u AS (SELECT user_id, min(day) AS d0, max(day) AS d1,
+        |             CAST(count(*) AS BIGINT) AS nd,
+        |             min(CASE WHEN day - pday > 2 THEN pday END)
+        |               AS gap_end
+        |      FROM lg GROUP BY user_id),
+        |lt AS (SELECT user_id,
+        |              coalesce(gap_end, d1) - d0 AS dur,
+        |              CASE WHEN gap_end IS NULL THEN 1 ELSE 0 END
+        |                AS censored,
+        |              CASE WHEN row_number() OVER (ORDER BY nd DESC,
+        |                     user_id) * 2 <= count(*) OVER ()
+        |                   THEN 1 ELSE 2 END AS cohort
+        |       FROM u),
+        |dt AS (SELECT DISTINCT dur AS t FROM lt WHERE censored = 0),
+        |cell AS (
+        |  SELECT dt.t,
+        |         CAST(sum(CASE WHEN cohort = 1 AND dur >= dt.t
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN cohort = 2 AND dur >= dt.t
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |         CAST(sum(CASE WHEN cohort = 1 AND dur = dt.t
+        |                  AND censored = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS d1,
+        |         CAST(sum(CASE WHEN cohort = 2 AND dur = dt.t
+        |                  AND censored = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS d2
+        |  FROM dt CROSS JOIN lt GROUP BY dt.t),
+        |terms AS (
+        |  SELECT t, n1, n2, d1, d2,
+        |         (d1 + d2) * n1 * 1000000 // (n1 + n2) AS e1_e6,
+        |         CASE WHEN n1 + n2 > 1 THEN
+        |           (d1 + d2) * n1 * n2 * (n1 + n2 - d1 - d2) * 1000000
+        |           // ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+        |         ELSE 0 END AS v_e6
+        |  FROM cell),
+        |stat AS (
+        |  SELECT CAST(sum(d1 * 1000000 - e1_e6) AS BIGINT) AS oe_e6,
+        |         CAST(sum(v_e6) AS BIGINT) AS var_e6
+        |  FROM terms)
+        |SELECT terms.t AS death_day, terms.n1, terms.n2, terms.d1,
+        |       terms.d2, terms.e1_e6, terms.v_e6,
+        |       stat.oe_e6, stat.var_e6,
+        |       stat.oe_e6 * stat.oe_e6 // stat.var_e6 AS logrank_e6,
+        |       (stat.oe_e6 * stat.oe_e6 // stat.var_e6 > 3841459)
+        |         AS significant
+        |FROM terms, stat ORDER BY death_day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val lg = ud.withColumn("pday",
+        lag("day", 1).over(Window.partitionBy("user_id").orderBy("day")))
+      val u = lg.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"),
+          count(lit(1)).as("nd"),
+          min(when(col("day") - col("pday") > 2, col("pday")))
+            .as("gap_end"))
+      val lt = u.select(
+          (coalesce(col("gap_end"), col("d1")) - col("d0")).as("dur"),
+          col("gap_end").isNull.cast("long").as("censored"),
+          when(row_number().over(Window.orderBy(col("nd").desc,
+            col("user_id"))) * 2 <= count(lit(1)).over(Window.partitionBy()),
+            1L).otherwise(2L).as("cohort"))
+        .persist() // death-time grid + the cell census
+      val dt = lt.where(col("censored") === 0).select(col("dur").as("t"))
+        .distinct()
+      val cell = dt.crossJoin(lt)
+        .groupBy("t")
+        .agg(
+          sum(when(col("cohort") === 1 && col("dur") >= col("t"), 1L)
+            .otherwise(0L)).as("n1"),
+          sum(when(col("cohort") === 2 && col("dur") >= col("t"), 1L)
+            .otherwise(0L)).as("n2"),
+          sum(when(col("cohort") === 1 && col("dur") === col("t")
+            && col("censored") === 0, 1L).otherwise(0L)).as("d1"),
+          sum(when(col("cohort") === 2 && col("dur") === col("t")
+            && col("censored") === 0, 1L).otherwise(0L)).as("d2"))
+      val terms = cell.select(col("t"), col("n1"), col("n2"), col("d1"),
+        col("d2"),
+        expr("(d1 + d2) * n1 * 1000000 div (n1 + n2)").as("e1_e6"),
+        expr("CASE WHEN n1 + n2 > 1 THEN" +
+          " (d1 + d2) * n1 * n2 * (n1 + n2 - d1 - d2) * 1000000" +
+          " div ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))" +
+          " ELSE 0L END").as("v_e6"))
+        .persist() // output rows + the stat fold
+      val stat = terms.agg(
+        sum(expr("d1 * 1000000 - e1_e6")).as("oe_e6"),
+        sum("v_e6").as("var_e6"))
+      terms.crossJoin(broadcast(stat))
+        .select(col("t").as("death_day"), col("n1"), col("n2"),
+          col("d1"), col("d2"), col("e1_e6"), col("v_e6"),
+          col("oe_e6"), col("var_e6"),
+          expr("oe_e6 * oe_e6 div var_e6").as("logrank_e6"),
+          expr("oe_e6 * oe_e6 div var_e6 > 3841459").as("significant"))
+        .orderBy("death_day")
+    },
+
     // Exponentially time-decayed counts — the freshness-weighted volume
     // metric every ops dashboard ranks by (a burst yesterday should
     // outrank steady drip from last month): each event contributes

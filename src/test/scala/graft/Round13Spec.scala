@@ -371,6 +371,22 @@ class Round13Spec extends AnyFunSuite {
       "nobody censored — the estimator degenerates to the naive curve")
   }
 
+  test("q425 log-rank cells are hypergeometric-consistent") {
+    val rows = run("q425_logrank").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+      val d1 = r.getAs[Long]("d1"); val d2 = r.getAs[Long]("d2")
+      assert(d1 <= n1 && d2 <= n2, "more deaths than at-risk")
+      assert(d1 + d2 >= 1, "a death time with no deaths")
+      // E1 is a share of pooled deaths: 0 ≤ E1 ≤ (d1+d2)·1e6
+      val e1 = r.getAs[Long]("e1_e6")
+      assert(e1 >= 0 && e1 <= (d1 + d2) * 1000000L)
+      assert(r.getAs[Long]("v_e6") >= 0)
+      assert(r.getAs[Long]("logrank_e6") >= 0)
+    }
+  }
+
   test("q406 isotonic fit is monotone and mean-preserving") {
     val rows = run("q406_isotonic_pav").collect().sortBy(_.getAs[Long]("bin"))
     assert(rows.length >= 3)
