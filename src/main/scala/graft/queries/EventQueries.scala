@@ -4523,6 +4523,126 @@ object EventQueries {
         .orderBy("death_day")
     },
 
+    // RFM segmentation — the workhorse customer-value taxonomy (recency,
+    // frequency, monetary): per user, days since last event, active-day
+    // count, and total value, each cut into terciles by exact rank (ties
+    // by user id — ntile is count-deterministic), composed into a 3-digit
+    // segment code. The output is the segment census with per-segment
+    // value share — the table a CRM actually routes campaigns by. One
+    // user pass + rank windows; the census is ≤ 27 rows at any scale.
+    QueryDef("q426_rfm_segments",
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(epoch_us(ts) // 86400000000) AS last_day,
+        |         CAST(count(DISTINCT epoch_us(ts) // 86400000000)
+        |           AS BIGINT) AS freq,
+        |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0)
+        |           AS BIGINT)) AS BIGINT) AS money
+        |  FROM events GROUP BY user_id),
+        |h AS (SELECT max(last_day) AS horizon FROM u),
+        |sc AS (SELECT user_id, freq, money,
+        |              (SELECT horizon FROM h) - last_day AS recency,
+        |              ntile(3) OVER (ORDER BY (SELECT horizon FROM h)
+        |                - last_day, user_id) AS r_t,
+        |              ntile(3) OVER (ORDER BY freq DESC, user_id) AS f_t,
+        |              ntile(3) OVER (ORDER BY money DESC, user_id) AS m_t
+        |       FROM u)
+        |SELECT CAST(r_t * 100 + f_t * 10 + m_t AS BIGINT) AS segment,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(money) AS BIGINT) AS value_cents,
+        |       CAST(sum(money) AS BIGINT) * 1000000
+        |         // (SELECT CAST(sum(money) AS BIGINT) FROM u)
+        |         AS value_share_ppm
+        |FROM sc GROUP BY r_t, f_t, m_t ORDER BY segment""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val u = Tables.events(s, d).groupBy("user_id")
+        .agg(max(expr("unix_micros(ts) div 86400000000")).as("last_day"),
+          countDistinct(expr("unix_micros(ts) div 86400000000")).as("freq"),
+          sum(round(greatest(col("value"), lit(0)) * 100, 0).cast("long"))
+            .as("money"))
+        .persist() // horizon census + tercile windows + value total
+      val horizon = u.agg(max("last_day")).head().getLong(0)
+      val total = u.agg(sum("money")).head().getLong(0)
+      val sc = u.select(col("user_id"), col("freq"), col("money"),
+          (lit(horizon) - col("last_day")).as("recency"))
+        .withColumn("r_t", ntile(3).over(
+          Window.orderBy(col("recency"), col("user_id"))))
+        .withColumn("f_t", ntile(3).over(
+          Window.orderBy(col("freq").desc, col("user_id"))))
+        .withColumn("m_t", ntile(3).over(
+          Window.orderBy(col("money").desc, col("user_id"))))
+      sc.groupBy(expr("CAST(r_t * 100 + f_t * 10 + m_t AS BIGINT)")
+          .as("segment"))
+        .agg(count(lit(1)).as("n_users"), sum("money").as("value_cents"))
+        .select(col("segment"), col("n_users"), col("value_cents"),
+          expr(s"value_cents * 1000000 div ${total}L").as("value_share_ppm"))
+        .orderBy("segment")
+    },
+
+    // Seasonal strength by one-way ANOVA (η²) — how much of a series'
+    // day-to-day variance is the WEEKLY cycle? The variance decomposition
+    // that decides whether q394's seasonal states are worth carrying at
+    // all: per event type, daily volumes grouped by day-of-week,
+    // η²_ppm = SS_between · 10⁶ / SS_total in exact integers (the
+    // n²-scaled sum-of-squares identity n·Σx² − (Σx)² avoids means
+    // entirely), F-statistic in e6 alongside. Scale: one day census per
+    // type; the decomposition is a 7-row-per-type rollup.
+    QueryDef("q427_seasonal_strength",
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day % 7 AS dow, x FROM d),
+        |g AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS ng,
+        |             CAST(sum(x) AS BIGINT) AS sg
+        |      FROM w GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(x) AS BIGINT) AS s,
+        |               CAST(sum(x * x) AS BIGINT) AS ss,
+        |               CAST(count(DISTINCT dow) AS BIGINT) AS k
+        |        FROM w GROUP BY 1),
+        |dec AS (
+        |  SELECT tot.event_type, tot.n, tot.k,
+        |         tot.n * tot.ss - tot.s * tot.s AS sst_n2,
+        |         CAST(sum(tot.n * g.sg * g.sg // g.ng) AS BIGINT)
+        |           - tot.s * tot.s AS ssb_n2
+        |  FROM tot JOIN g ON g.event_type = tot.event_type
+        |  GROUP BY tot.event_type, tot.n, tot.k, tot.ss, tot.s)
+        |SELECT event_type, n AS n_days, k AS n_dow,
+        |       ssb_n2 * 1000000 // sst_n2 AS eta2_ppm,
+        |       CASE WHEN sst_n2 - ssb_n2 > 0 THEN
+        |         ssb_n2 * (n - k) * 1000000
+        |         // ((sst_n2 - ssb_n2) * (k - 1))
+        |       ELSE 0 END AS f_e6
+        |FROM dec ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dd = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("dow", col("day") % 7)
+        .persist() // dow census + totals
+      val g = dd.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("ng"), sum("x").as("sg"))
+      val tot = dd.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("s"),
+          sum(col("x") * col("x")).as("ss"),
+          countDistinct("dow").as("k"))
+      tot.join(g, "event_type")
+        .groupBy(col("event_type"), col("n"), col("k"), col("ss"),
+          col("s"))
+        .agg(sum(expr("n * sg * sg div ng")).as("wsum"))
+        .select(col("event_type"), col("n").as("n_days"),
+          col("k").as("n_dow"),
+          expr("(cast(wsum as bigint) - s * s) * 1000000" +
+            " div (n * ss - s * s)").as("eta2_ppm"),
+          expr("CASE WHEN (n * ss - s * s)" +
+            " - (cast(wsum as bigint) - s * s) > 0 THEN" +
+            " (cast(wsum as bigint) - s * s) * (n - k) * 1000000" +
+            " div (((n * ss - s * s) - (cast(wsum as bigint) - s * s))" +
+            " * (k - 1)) ELSE 0L END").as("f_e6"))
+        .orderBy("event_type")
+    },
+
     // Exponentially time-decayed counts — the freshness-weighted volume
     // metric every ops dashboard ranks by (a burst yesterday should
     // outrank steady drip from last month): each event contributes

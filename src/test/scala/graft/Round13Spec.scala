@@ -387,6 +387,31 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("q426 RFM segments partition the users and their value exactly") {
+    val rows = run("q426_rfm_segments").collect()
+    rows.foreach { r =>
+      val seg = r.getAs[Long]("segment")
+      val (rt, ft, mt) = (seg / 100, seg / 10 % 10, seg % 10)
+      assert(Seq(rt, ft, mt).forall(t => t >= 1 && t <= 3),
+        s"segment $seg is not three terciles")
+    }
+    // shares sum to ~1e6 (truncation loses at most 1 ppm per segment)
+    val shares = rows.map(_.getAs[Long]("value_share_ppm")).sum
+    assert(shares >= 1000000L - rows.length && shares <= 1000000L)
+  }
+
+  test("q427 eta-squared is a valid variance share") {
+    val rows = run("q427_seasonal_strength").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val eta = r.getAs[Long]("eta2_ppm")
+      assert(eta >= 0 && eta <= 1000000L,
+        s"${r.getAs[String]("event_type")}: eta2 $eta outside [0, 1]")
+      assert(r.getAs[Long]("n_dow") <= 7)
+      assert(r.getAs[Long]("f_e6") >= 0)
+    }
+  }
+
   test("q406 isotonic fit is monotone and mean-preserving") {
     val rows = run("q406_isotonic_pav").collect().sortBy(_.getAs[Long]("bin"))
     assert(rows.length >= 3)
