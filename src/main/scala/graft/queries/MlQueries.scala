@@ -3411,6 +3411,76 @@ object MlQueries {
             .stripMargin.replace("\n", " ")).as("var_reduction_ppm"))
     },
 
+    // F1-optimal decision threshold — the post-training step every binary
+    // scorer ships with (a threshold tuned on F1, not an arbitrary 0.5):
+    // the score census sorted descending turns every candidate cut into
+    // (tp, fp, fn) via ONE cumulative window — no per-threshold rescan —
+    // and the argmax F1 row is flagged. The signal is PLANTED (urgent-ish
+    // orders get a +300000 score boost over hash noise) so recovery is
+    // measurable: the best threshold must land inside the boost band and
+    // beat the all-positive baseline F1. Ventile candidate grid keeps the
+    // output bounded; integer F1 = 2·tp·10⁶ div (2·tp + fp + fn).
+    QueryDef("q429_f1_threshold", {
+      import graft.functions.Hashes
+      s"""WITH o AS (
+         |  SELECT o_orderkey AS k,
+         |         CASE WHEN CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+         |                   <= 2 THEN 1 ELSE 0 END AS label
+         |  FROM orders),
+         |sc AS (SELECT k, label,
+         |              (${Hashes.mulHashSql("k", 33)}) % 1000000
+         |                + label * 300000 AS score
+         |       FROM o),
+         |tot AS (SELECT CAST(sum(label) AS BIGINT) AS p,
+         |               CAST(count(*) AS BIGINT) AS n FROM sc),
+         |r AS (SELECT score, label,
+         |             CAST(row_number() OVER (ORDER BY score DESC, k)
+         |               AS BIGINT) AS rn,
+         |             CAST(sum(label) OVER (ORDER BY score DESC, k)
+         |               AS BIGINT) AS tp
+         |      FROM sc),
+         |cand AS (SELECT * FROM r
+         |         WHERE rn * 20 % (SELECT n FROM tot) < 20),
+         |f AS (SELECT score AS threshold, rn AS n_pos_pred, tp,
+         |             rn - tp AS fp, (SELECT p FROM tot) - tp AS fn,
+         |             2 * tp * 1000000
+         |               // (2 * tp + (rn - tp) + (SELECT p FROM tot) - tp)
+         |               AS f1_ppm
+         |      FROM cand),
+         |b AS (SELECT max(f1_ppm) AS best FROM f)
+         |SELECT threshold, n_pos_pred, tp, fp, fn, f1_ppm,
+         |       (f1_ppm = (SELECT best FROM b)) AS is_best
+         |FROM f ORDER BY threshold DESC""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      import org.apache.spark.sql.expressions.Window
+      val sc = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        (substring(col("o_orderpriority"), 1, 1).cast("long") <= 2)
+          .cast("long").as("label"))
+        .select(col("k"), col("label"),
+          (Hashes.mulHash(col("k"), 33) % 1000000
+            + col("label") * 300000).as("score"))
+        .persist() // totals census + the rank window
+      val p = sc.agg(sum("label")).head().getLong(0)
+      val n = sc.count()
+      val w = Window.orderBy(col("score").desc, col("k"))
+      val r = sc
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("tp", sum("label").over(w))
+        .where(expr(s"rn * 20 % ${n}L < 20")) // ventile candidate grid
+      val f = r.select(col("score").as("threshold"),
+        col("rn").as("n_pos_pred"), col("tp"),
+        (col("rn") - col("tp")).as("fp"),
+        (lit(p) - col("tp")).as("fn"),
+        expr(s"2 * tp * 1000000 div (2 * tp + (rn - tp) + ${p}L - tp)")
+          .as("f1_ppm"))
+        .persist() // best census + output
+      val best = f.agg(max("f1_ppm")).head().getLong(0)
+      f.withColumn("is_best", col("f1_ppm") === best)
+        .orderBy(col("threshold").desc)
+    },
+
     // Leave-one-group-out influence — data valuation made O(k) instead of
     // O(k·n): because the OLS fit is a function of SUFFICIENT STATISTICS
     // (n, Σx, Σy, Σxx, Σxy), refitting WITHOUT a group is global moments

@@ -2102,6 +2102,54 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Per-batch n-gram NOVELTY rate — the dataset-freshness curve a
+    // continuously-collected corpus is priced by (q385's Heaps law fits
+    // total vocabulary GROWTH; this asks the operational question per
+    // arrival batch: what fraction of this batch's trigrams has the
+    // corpus never seen?): doc_id order proxies arrival, 10 equal
+    // batches, a trigram's first-seen batch comes from one shingle
+    // census, novelty_ppm = new / distinct per batch. A collapsing
+    // curve says the source is exhausted; a flat one says keep crawling.
+    // Scale: one shingle census (the q101/q109 shape), then a ≤10-row
+    // rollup.
+    QueryDef("q428_trigram_novelty", {
+      import graft.operators.MinHash
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id * 10 // (SELECT max(doc_id) + 1
+         |           FROM documents) AS batch,
+         |         unnest(${MinHash.shingleHashesSql(
+               "string_split(text, ' ')")}) AS sh
+         |  FROM documents),
+         |d AS (SELECT DISTINCT batch, sh FROM t),
+         |fs AS (SELECT sh, min(batch) AS first_batch FROM d GROUP BY sh),
+         |per AS (
+         |  SELECT d.batch, CAST(count(*) AS BIGINT) AS n_distinct,
+         |         CAST(sum(CASE WHEN fs.first_batch = d.batch
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+         |  FROM d JOIN fs USING (sh) GROUP BY d.batch)
+         |SELECT CAST(batch AS BIGINT) AS batch, n_distinct, n_new,
+         |       n_new * 1000000 // n_distinct AS novelty_ppm
+         |FROM per ORDER BY batch""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.MinHash
+      val maxId = Tables.documents(s, d).agg(max("doc_id"))
+        .head().getLong(0) // 1-row census
+      val t = Tables.documents(s, d).select(
+        expr(s"doc_id * 10 div ${maxId + 1}L").as("batch"),
+        explode(MinHash.shingleHashes(split(col("text"), " ", -1)))
+          .as("sh"))
+      val dd = t.select("batch", "sh").distinct().persist()
+      val fs = dd.groupBy("sh").agg(min("batch").as("first_batch"))
+      dd.join(fs, "sh")
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(when(col("first_batch") === col("batch"), 1L).otherwise(0L))
+            .as("n_new"))
+        .select(col("batch"), col("n_distinct"), col("n_new"),
+          expr("n_new * 1000000 div n_distinct").as("novelty_ppm"))
+        .orderBy("batch")
+    },
+
     // Shared-prefix census — the KV-CACHE SHARING potential of an
     // inference corpus (serving systems dedupe attention state across
     // requests that share a prompt prefix — vLLM-style prefix caching):

@@ -412,6 +412,42 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("q428 novelty rate starts at 100% and the corpus gets less novel") {
+    val rows = run("q428_trigram_novelty").collect()
+      .sortBy(_.getAs[Long]("batch"))
+    assert(rows.length == 10)
+    assert(rows.head.getAs[Long]("novelty_ppm") == 1000000L,
+      "batch 0's trigrams are all first-seen by definition")
+    // freshness declines overall: the last batch is less novel than the
+    // first real measurement point
+    assert(rows.last.getAs[Long]("novelty_ppm")
+      < rows(1).getAs[Long]("novelty_ppm"),
+      "novelty never declined — dedup census broken")
+    rows.foreach(r => assert(r.getAs[Long]("n_new")
+      <= r.getAs[Long]("n_distinct")))
+  }
+
+  test("q429 best F1 threshold recovers the planted score boost") {
+    val rows = run("q429_f1_threshold").collect()
+    val best = rows.filter(_.getAs[Boolean]("is_best"))
+    assert(best.nonEmpty)
+    val b = best.minBy(_.getAs[Long]("threshold"))
+    // the planted boost puts positives in [300000, 1300000); the optimal
+    // cut must sit inside the band where classes actually overlap
+    val thr = b.getAs[Long]("threshold")
+    assert(thr >= 300000L && thr < 1300000L,
+      s"best threshold $thr outside the planted boost band")
+    // and it must beat the all-positive baseline F1 = 2p/(n+p)
+    val tp = b.getAs[Long]("tp"); val fp = b.getAs[Long]("fp")
+    val fn = b.getAs[Long]("fn")
+    val p = tp + fn
+    val n = rows.map(_.getAs[Long]("n_pos_pred")).max
+    val baseline = 2 * p * 1000000L / (n + p)
+    assert(b.getAs[Long]("f1_ppm") > baseline,
+      s"tuned F1 ${b.getAs[Long]("f1_ppm")} <= all-positive $baseline")
+    assert(fp >= 0 && fn >= 0)
+  }
+
   test("q406 isotonic fit is monotone and mean-preserving") {
     val rows = run("q406_isotonic_pav").collect().sortBy(_.getAs[Long]("bin"))
     assert(rows.length >= 3)
