@@ -448,6 +448,19 @@ class Round13Spec extends AnyFunSuite {
     assert(fp >= 0 && fn >= 0)
   }
 
+  test("q430 coordinated sample estimates the join within sampling error") {
+    val r = run("q430_coordinated_sample").collect()(0)
+    assert(r.getAs[Long]("n_sampled") > 0,
+      "coordinated sample empty — independent-sampling p² collapse?")
+    // a ~2% key sample at this scale carries ~10% relative std on the
+    // join count; 30% is a ~3σ band
+    assert(r.getAs[Long]("n_err_ppm") <= 300000L,
+      s"join-count estimate off by ${r.getAs[Long]("n_err_ppm")} ppm")
+    assert(r.getAs[Long]("rev_err_ppm") <= 300000L,
+      s"revenue estimate off by ${r.getAs[Long]("rev_err_ppm")} ppm")
+    assert(r.getAs[Long]("n_est") == r.getAs[Long]("n_sampled") * 50)
+  }
+
   test("q406 isotonic fit is monotone and mean-preserving") {
     val rows = run("q406_isotonic_pav").collect().sortBy(_.getAs[Long]("bin"))
     assert(rows.length >= 3)
