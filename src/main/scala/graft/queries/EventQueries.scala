@@ -4523,6 +4523,126 @@ object EventQueries {
         .orderBy("death_day")
     },
 
+    // Empirical Markov lifecycle chain — the user-state model product
+    // analytics runs retention planning on: each user-week lands in
+    // {heavy ≥ 6 active days, light 3–5, inactive ≤ 2 — boundaries from
+    // the observed weekly-day deciles; p50 = 6 here}, consecutive-week
+    // transitions build the empirical 3×3 matrix (e6 row-stochastic,
+    // truncated division stated), and SIX unrolled power steps from the
+    // observed initial distribution give the near-stationary mix — "where
+    // does this cohort settle?". Output: every transition cell plus the
+    // start/settled shares and a row-stochastic check (rows must sum to
+    // 1e6 within per-cell truncation). All censuses; the only data pass
+    // is the user-week activity rollup.
+    QueryDef("q431_lifecycle_markov", {
+      def stepCte(prev: String, out: String): String =
+        s"""$out AS (
+           |  SELECT t.to_s AS st,
+           |         CAST(sum(p.m_e6 * t.p_e6 // 1000000) AS BIGINT) AS m_e6
+           |  FROM $prev p JOIN tm t ON t.from_s = p.st
+           |  GROUP BY t.to_s)""".stripMargin
+      s"""WITH uw AS (
+         |  SELECT user_id, (epoch_us(ts) // 86400000000) // 7 AS week,
+         |         CAST(count(DISTINCT epoch_us(ts) // 86400000000)
+         |           AS BIGINT) AS days
+         |  FROM events GROUP BY 1, 2),
+         |wk AS (SELECT min(week) AS w0, max(week) AS w1 FROM uw),
+         |grid AS (SELECT u.user_id, w.week
+         |         FROM (SELECT DISTINCT user_id FROM uw) u
+         |         CROSS JOIN (SELECT unnest(range((SELECT w0 FROM wk),
+         |             (SELECT w1 FROM wk) + 1)) AS week) w),
+         |st AS (SELECT g.user_id, g.week,
+         |              CASE WHEN coalesce(uw.days, 0) >= 6 THEN 2
+         |                   WHEN coalesce(uw.days, 0) >= 3 THEN 1
+         |                   ELSE 0 END AS s
+         |       FROM grid g LEFT JOIN uw
+         |         ON uw.user_id = g.user_id AND uw.week = g.week),
+         |tr AS (SELECT a.s AS from_s, b.s AS to_s,
+         |              CAST(count(*) AS BIGINT) AS n
+         |       FROM st a JOIN st b ON b.user_id = a.user_id
+         |                          AND b.week = a.week + 1
+         |       GROUP BY 1, 2),
+         |tm AS (SELECT from_s, to_s,
+         |              n * 1000000 // (CAST(sum(n) OVER (PARTITION BY
+         |                from_s) AS BIGINT)) AS p_e6,
+         |              n
+         |       FROM tr),
+         |p0 AS (SELECT s AS st,
+         |              CAST(count(*) AS BIGINT) * 1000000
+         |                // (SELECT CAST(count(*) AS BIGINT) FROM st
+         |                    WHERE week = (SELECT w0 FROM wk)) AS m_e6
+         |       FROM st WHERE week = (SELECT w0 FROM wk) GROUP BY s),
+         |${stepCte("p0", "p1")},
+         |${stepCte("p1", "p2")},
+         |${stepCte("p2", "p3")},
+         |${stepCte("p3", "p4")},
+         |${stepCte("p4", "p5")},
+         |${stepCte("p5", "p6")}
+         |SELECT tm.from_s, tm.to_s, tm.n, tm.p_e6,
+         |       CAST((SELECT sum(p_e6) FROM tm t2
+         |             WHERE t2.from_s = tm.from_s) AS BIGINT) AS row_sum_e6,
+         |       coalesce((SELECT m_e6 FROM p0 WHERE p0.st = tm.from_s), 0)
+         |         AS start_e6,
+         |       coalesce((SELECT m_e6 FROM p6 WHERE p6.st = tm.from_s), 0)
+         |         AS settled_e6
+         |FROM tm ORDER BY from_s, to_s""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      val uw = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          expr("(unix_micros(ts) div 86400000000) div 7").as("week"))
+        .agg(countDistinct(expr("unix_micros(ts) div 86400000000"))
+          .as("days"))
+        .persist() // grid + state joins
+      val (w0, w1) = {
+        val r = uw.agg(min("week"), max("week")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val grid = uw.select("user_id").distinct()
+        .crossJoin(broadcast(
+          s.range(w0, w1 + 1).select(col("id").as("week"))))
+      val st0 = grid.join(uw, Seq("user_id", "week"), "left")
+        .select(col("user_id"), col("week"),
+          when(coalesce(col("days"), lit(0L)) >= 6, 2L)
+            .when(coalesce(col("days"), lit(0L)) >= 3, 1L)
+            .otherwise(0L).as("s"))
+        .persist() // transition join reads it twice; p0 once
+      val tr = st0.as("a")
+        .join(st0.as("b"),
+          col("b.user_id") === col("a.user_id")
+            && col("b.week") === col("a.week") + 1)
+        .groupBy(col("a.s").as("from_s"), col("b.s").as("to_s"))
+        .agg(count(lit(1)).as("n"))
+      val tm = tr.withColumn("p_e6",
+          expr("n * 1000000 div sum(n) over (partition by from_s)"))
+        .persist() // six power steps + output
+      val n0 = st0.where(col("week") === w0).count()
+      var p: DataFrame = st0.where(col("week") === w0)
+        .groupBy(col("s").as("st"))
+        .agg(expr(s"count(1) * 1000000 div ${n0}L").as("m_e6"))
+      for (_ <- 1 to 6)
+        p = p.join(tm, col("st") === col("from_s"))
+          .groupBy(col("to_s"))
+          .agg(sum(expr("m_e6 * p_e6 div 1000000")).as("m_e6"))
+          .select(col("to_s").as("st"), col("m_e6"))
+      val p0 = st0.where(col("week") === w0)
+        .groupBy(col("s").as("st0"))
+        .agg(expr(s"count(1) * 1000000 div ${n0}L").as("start_e6"))
+      val rows = tm
+        .withColumn("row_sum_e6",
+          sum("p_e6").over(Window.partitionBy("from_s")))
+        .join(p0, col("st0") === col("from_s"), "left")
+        .join(p.select(col("st").as("st6"), col("m_e6").as("settled_e6")),
+          col("st6") === col("from_s"), "left")
+        .select(col("from_s"), col("to_s"), col("n"), col("p_e6"),
+          col("row_sum_e6"),
+          coalesce(col("start_e6"), lit(0L)).as("start_e6"),
+          coalesce(col("settled_e6"), lit(0L)).as("settled_e6"))
+        .orderBy("from_s", "to_s")
+      rows
+    },
+
     // RFM segmentation — the workhorse customer-value taxonomy (recency,
     // frequency, monetary): per user, days since last event, active-day
     // count, and total value, each cut into terciles by exact rank (ties

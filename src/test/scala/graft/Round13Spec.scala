@@ -461,6 +461,24 @@ class Round13Spec extends AnyFunSuite {
     assert(r.getAs[Long]("n_est") == r.getAs[Long]("n_sampled") * 50)
   }
 
+  test("q431 lifecycle chain is row-stochastic and settles to a mix") {
+    val rows = run("q431_lifecycle_markov").collect()
+    assert(rows.length >= 4, "transition matrix degenerate")
+    rows.foreach { r =>
+      val p = r.getAs[Long]("p_e6")
+      assert(p >= 0 && p <= 1000000L)
+      // row-stochastic within per-cell truncation (≤ 1 ppm per cell)
+      val rs = r.getAs[Long]("row_sum_e6")
+      assert(rs >= 1000000L - 3 && rs <= 1000000L, s"row sum $rs")
+    }
+    // the settled distribution is a probability mix over the from-states
+    val settled = rows.map(r => (r.getAs[Long]("from_s"),
+      r.getAs[Long]("settled_e6"))).distinct
+    val tot = settled.map(_._2).sum
+    assert(tot >= 900000L && tot <= 1000000L,
+      s"settled mass $tot drifted (power-step truncation only shrinks)")
+  }
+
   test("q406 isotonic fit is monotone and mean-preserving") {
     val rows = run("q406_isotonic_pav").collect().sortBy(_.getAs[Long]("bin"))
     assert(rows.length >= 3)
