@@ -2102,6 +2102,87 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Dunning log-likelihood ratio (G², Dunning 1993) — the keyword-
+    // extraction statistic that stays calibrated where q327's χ² breaks:
+    // sparse contingency cells (χ² assumes normal approximation of cell
+    // counts; G² is the exact likelihood-ratio form 2·Σ O·ln(O/E), the
+    // standard for corpus term comparison). Same token × language table
+    // as q327 so the two statistics' rankings are directly comparable.
+    // Transcendental contract: each cell's O·ln(O/E) is one double chain,
+    // the four-term sum e6-quantized once at the end (the q327/q388
+    // discipline); zero cells contribute exactly 0 by guard.
+    QueryDef("q432_dunning_g2",
+      """WITH lab AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(y) AS BIGINT) AS p FROM lab),
+        |pres AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |cell AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS nt,
+        |         CAST(sum(y) AS BIGINT) AS a
+        |  FROM pres JOIN lab USING (doc_id) GROUP BY token),
+        |tab AS (
+        |  SELECT token, a, nt - a AS b, tot.p - a AS c,
+        |         tot.n - tot.p - (nt - a) AS d, tot.n AS n, tot.p AS p, nt
+        |  FROM cell CROSS JOIN tot)
+        |SELECT token, a, b, c, d,
+        |       CAST(round(2000000 * (
+        |         CASE WHEN a > 0 THEN CAST(a AS DOUBLE)
+        |           * ln(CAST(a AS DOUBLE) * n / (CAST(nt AS DOUBLE) * p))
+        |           ELSE 0 END
+        |         + CASE WHEN b > 0 THEN CAST(b AS DOUBLE)
+        |           * ln(CAST(b AS DOUBLE) * n
+        |                / (CAST(nt AS DOUBLE) * (n - p)))
+        |           ELSE 0 END
+        |         + CASE WHEN c > 0 THEN CAST(c AS DOUBLE)
+        |           * ln(CAST(c AS DOUBLE) * n
+        |                / (CAST(n - nt AS DOUBLE) * p))
+        |           ELSE 0 END
+        |         + CASE WHEN d > 0 THEN CAST(d AS DOUBLE)
+        |           * ln(CAST(d AS DOUBLE) * n
+        |                / (CAST(n - nt AS DOUBLE) * (n - p)))
+        |           ELSE 0 END), 0) AS BIGINT) AS g2_e6
+        |FROM tab ORDER BY g2_e6 DESC, token LIMIT 20""".stripMargin) { (s, d) =>
+      val lab = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .persist() // total census + presence join
+      val tot = broadcast(lab.agg(count(lit(1)).as("n"), sum("y").as("p")))
+      val pres = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ", -1)).as("token"))
+        .distinct()
+      val cell = pres.join(lab, "doc_id").groupBy("token")
+        .agg(count(lit(1)).as("nt"), sum("y").as("a"))
+      cell.crossJoin(tot)
+        .select(col("token"), col("a"), (col("nt") - col("a")).as("b"),
+          (col("p") - col("a")).as("c"),
+          (col("n") - col("p") - (col("nt") - col("a"))).as("d"),
+          col("n"), col("p"), col("nt"))
+        .withColumn("g2_e6", expr(
+          """cast(round(2000000 * (
+            |  CASE WHEN a > 0 THEN cast(a as double)
+            |    * ln(cast(a as double) * n / (cast(nt as double) * p))
+            |    ELSE 0 END
+            |  + CASE WHEN b > 0 THEN cast(b as double)
+            |    * ln(cast(b as double) * n / (cast(nt as double) * (n - p)))
+            |    ELSE 0 END
+            |  + CASE WHEN c > 0 THEN cast(c as double)
+            |    * ln(cast(c as double) * n / (cast(n - nt as double) * p))
+            |    ELSE 0 END
+            |  + CASE WHEN d > 0 THEN cast(d as double)
+            |    * ln(cast(d as double) * n
+            |         / (cast(n - nt as double) * (n - p)))
+            |    ELSE 0 END), 0) as bigint)"""
+            .stripMargin.replace("\n", " ")))
+        .select("token", "a", "b", "c", "d", "g2_e6")
+        .orderBy(col("g2_e6").desc, col("token")).limit(20)
+    },
+
     // Per-batch n-gram NOVELTY rate — the dataset-freshness curve a
     // continuously-collected corpus is priced by (q385's Heaps law fits
     // total vocabulary GROWTH; this asks the operational question per
