@@ -64,31 +64,42 @@ object Hashes {
   def bucketSql(key: String, seed: Long, buckets: Int): String =
     s"(${mulHashSql(key, seed)}) % $buckets"
 
-  /** Polynomial rolling hash over a token array: fold `acc*31 + ascii(first)
-    * + 7*length(token)` mod 1e9+7. Order-sensitive (a true fingerprint), cheap
-    * (no per-character explosion), and replayable in DuckDB via `list_reduce`.
-    * Spark-side it is a single codegen'd `aggregate` higher-order function —
-    * the document-fingerprint primitive (rolling hash over content).
+  /** Polynomial rolling hash over a token array: fold `acc*31 +
+    * tokenHash(token)` mod 1e9+7, where tokenHash is the FULL-CONTENT
+    * codepoint polynomial below. Order-sensitive (a true fingerprint) and
+    * replayable in DuckDB via nested `list_reduce` — the document-
+    * fingerprint primitive (rolling hash over content). Rounds 1–9 folded
+    * only `ascii(first) + 7·len` per token, so documents differing in
+    * token interiors ("cat walked" / "cot warmed") fingerprinted equal;
+    * the full-content per-token hash removes that structural collision.
     */
   def tokenRollingHash(tokens: Column): Column =
     aggregate(
       tokens,
       lit(0L),
-      (acc, t) => (acc * 31L + ascii(t).cast("long") + length(t).cast("long") * 7L) % Prime
+      (acc, t) => (acc * 31L + tokenHash(t)) % Prime
     )
 
   def tokenRollingHashSql(tokensExpr: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($tokensExpr, t -> CAST(ascii(t) + 7*length(t) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $Prime)"
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($tokensExpr, t -> ${tokenHashSql("t")})), (acc, x) -> (acc * 31 + x) % $Prime)"
 
-  /** Per-token integer hash (shingle hashing for MinHash/SimHash): mixes the
-    * first/last character codes and length through the multiplicative hash.
-    * h(t) = ((ascii(t)*131 + ascii(last)*31 + len*7) * Mult) % Prime
+  /** Per-token integer hash (shingle hashing for MinHash/SimHash): a
+    * FULL-CONTENT codepoint polynomial,
+    * h(t) = ((fold over codepoints: acc = (acc·131 + cp) mod P) · Mult) mod P.
+    * Rounds 1–9 fingerprinted a token by (first char, last char, length)
+    * only — "cat"/"cot" and "walked"/"warmed" collided BY CONSTRUCTION,
+    * silently inflating every near-dup candidate set (MinHash/SimHash/
+    * DSIR/DupSpans). The polynomial's only collisions are the birthday
+    * bound of the 1e9+7 modulus (~1 pair per 45k distinct tokens at the
+    * corpus vocabulary sizes here; q433 censuses the real rate).
+    * Spark side is the codegen'd [[TextHashExprs.TokenHashExpr]] (a tight
+    * per-token loop); DuckDB replays it with a char-split `list_reduce`.
+    * Empty/NULL-safe: h("") = 0 on both engines (the DuckDB form filters
+    * the one empty element `string_split('', '')` yields, since
+    * `unicode('')` is −1 there, not 0).
     */
-  def tokenHash(t: Column): Column =
-    ((ascii(t).cast("long") * 131L
-      + ascii(substring(t, -1, 1)).cast("long") * 31L
-      + length(t).cast("long") * 7L) * Mult) % Prime
+  def tokenHash(t: Column): Column = TextHashExprs.token_hash(t)
 
   def tokenHashSql(t: String): String =
-    s"((CAST(ascii($t) AS BIGINT) * 131 + CAST(ascii(substr($t, -1, 1)) AS BIGINT) * 31 + CAST(length($t) AS BIGINT) * 7) * $Mult) % $Prime"
+    s"(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_filter(string_split($t, ''), c -> c <> ''), c -> CAST(unicode(c) AS BIGINT))), (acc, x) -> (acc * 131 + x) % $Prime) * $Mult) % $Prime"
 }

@@ -24,17 +24,49 @@ object TextHashExprs {
   import Hashes.{Mult, Prime}
 
   /** tokenHash(t) — must stay bit-identical to Hashes.tokenHash/tokenHashSql:
-    * ((ascii(first)·131 + ascii(last)·31 + len·7) · Mult) mod P.
-    * `ascii` = code of the first UTF-16 char (ASCII fixture data; matches
-    * Spark's `ascii` and DuckDB's for single-byte chars).
+    * a FULL-CONTENT codepoint polynomial,
+    * `(fold_{cp ∈ codepoints(t)} acc = (acc·131 + cp) mod P) · Mult mod P`.
+    * Iterates CODEPOINTS (not UTF-16 chars) so non-BMP input matches
+    * DuckDB's `unicode()` per split character. Replaces the round-1..9
+    * (first char, last char, length) fingerprint whose structural
+    * collisions ("cat"/"cot", "walked"/"warmed") inflated every near-dup
+    * consumer's candidate sets; the polynomial collides only at the
+    * birthday bound of the 1e9+7 modulus.
     */
   private[graft] def tokenHash(t: UTF8String): Long = {
     val s = t.toString
-    val len = s.length
-    val first = if (len == 0) 0L else s.charAt(0).toLong
-    val last  = if (len == 0) 0L else s.charAt(len - 1).toLong
-    ((first * 131L + last * 31L + len * 7L) * Mult) % Prime
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 131L + cp) % Prime
+      i += Character.charCount(cp)
+    }
+    (acc * Mult) % Prime
   }
+
+  /** Static forwarder for [[TokenHashExpr]] codegen. */
+  def tokenHashValue(t: UTF8String): Long = tokenHash(t)
+
+  /** string → long: the full-content token hash (see [[tokenHash]]). A
+    * custom expression (not an `aggregate`-over-`split` HOF tree) so the
+    * per-token loop stays a tight JVM loop inside whole-stage codegen and
+    * composes inside other HOF lambdas (DSIR's bucket filter).
+    */
+  case class TokenHashExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(tokenHash(v.asInstanceOf[UTF8String]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashExprs.tokenHashValue($c);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "token_hash"
+  }
+
+  def token_hash(t: Column): Column =
+    GraftColumnBridge.column(TokenHashExpr(GraftColumnBridge.expression(t)))
 
   /** Shingle-hash array of a token array (3-gram):
     * sh_i = (th_i·961 + th_{i+1}·31 + th_{i+2}) mod P.

@@ -184,16 +184,67 @@ object DiskAnn {
     ids.foreach(i => probe.add(i): Unit)
     val pred = FilterApi.in(FilterApi.longColumn(idCol), probe)
     files.foreach { f =>
-      val reader = ParquetReader
-        .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(f))
-        .withFilter(FilterCompat.get(pred))
-        .build()
-      try {
-        var g = reader.read()
-        while (g != null) { row(g); g = reader.read() }
-      } finally reader.close()
+      // executor-side footer cache: each part file's per-row-group [min,max]
+      // id ranges are read ONCE per JVM; a file none of whose row groups can
+      // contain a probed id is never opened at all. Without this, every hop
+      // of every fleet task re-opened every part file just to learn "no
+      // matching row groups" from its footer — O(hops × files) opens that
+      // dominate at thousands-of-part-files index sizes (HANDOFF r9 nit).
+      val canMatch = idRanges(f, idCol).exists { case (lo, hi) =>
+        ids.exists(i => i >= lo && i <= hi)
+      }
+      if (canMatch) {
+        filesOpened.increment()
+        val reader = ParquetReader
+          .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(f))
+          .withFilter(FilterCompat.get(pred))
+          .build()
+        try {
+          var g = reader.read()
+          while (g != null) { row(g); g = reader.read() }
+        } finally reader.close()
+      }
     }
   }
+
+  /** Part files actually OPENED by [[localRead]] (post footer-prune) —
+    * JVM-wide diagnostics for the ScaleProbe flatness leg; local[32] shares
+    * the JVM so the probe reads it directly.
+    */
+  val filesOpened = new java.util.concurrent.atomic.LongAdder
+
+  /** JVM-global footer cache: part file → per-row-group (min, max) of the
+    * id column. Index part files are write-once (upserts land NEW
+    * directories), so path + length is a sound cache key; a row group with
+    * absent/empty stats maps to (Long.MinValue, Long.MaxValue) = always
+    * probe. Bounded: one small array per distinct part file per executor.
+    */
+  private val footerRanges =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
+
+  private def idRanges(f: String, idCol: String): Array[(Long, Long)] =
+    footerRanges.computeIfAbsent(
+      s"$f:${new java.io.File(f).length}:$idCol",
+      _ => {
+        import scala.jdk.CollectionConverters._
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f),
+          new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          r.getFooter.getBlocks.asScala.map { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == idCol)
+              .map(_.getStatistics) match {
+              case Some(st) if st != null && !st.isEmpty &&
+                  st.hasNonNullValue =>
+                (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                  st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+              case _ => (Long.MinValue, Long.MaxValue)
+            }
+          }.toArray
+        } finally r.close()
+      })
 
   /** Spark's parquet LIST encoding → float array (3-level list/element). */
   private def groupFloats(g: org.apache.parquet.example.data.Group,
@@ -240,7 +291,12 @@ object DiskAnn {
     require(edgeFiles.nonEmpty && vecFiles.nonEmpty, s"no index at $dir")
     queries.select(col("qid"), col("qe"))
       .as[(Long, Seq[Float])]
-      .repartition(slices, col("qid"))
+      // range partitioning, not hash: hash(qid) can collide several qids
+      // into one slice while others sit empty, so the slowest task carries
+      // a multiple of the average walk load AND re-reads the colliding
+      // queries' overlapping neighborhoods; contiguous qid ranges give
+      // every task an even, deterministic query slice
+      .repartitionByRange(slices, col("qid"))
       .mapPartitions { it =>
         val qs = it.map { case (qid, qe) => qid -> qe.toArray }.toArray
         if (qs.isEmpty) Iterator.empty

@@ -329,9 +329,9 @@ object DupSpans {
     * engineered duplication — tokens [100, 180) are an 80-token run common
     * to ALL docs (hits any width ≤ 80), tokens [200, 230) a 30-token run
     * shared within doc-id parity classes (hits width ≤ 30 only), everything
-    * else unique per (doc, position). Token spellings keep distinct
-    * (first, last, length) triples across classes so tokenHash cannot
-    * collide where the fixture means "unique".
+    * else unique per (doc, position). Token spellings are distinct strings
+    * across classes, so the full-content tokenHash keeps them distinct
+    * where the fixture means "unique".
     */
   def syntheticLongDocs(spark: SparkSession, nDocs: Int = 6,
                         nTokens: Int = 400): DataFrame =

@@ -29,10 +29,18 @@ object MediaCodecs {
     * (mjpegtools spec; the format ffmpeg/x264 pipelines exchange raw video
     * in): a space-separated parameter header line `YUV4MPEG2 W<w> H<h>
     * F<rate> [Ip] [A<aspect>] [C<space>] [X<ext>...]`, then frames, each a
-    * `FRAME[ <params>]\n` line followed by the raw planes. Only C444
-    * (full-resolution U/V planes) is supported — the fixtures' colorspace;
-    * subsampled C420 would change plane sizes, and an unsupported tag must
-    * fail loudly rather than misparse payload bytes as frame headers.
+    * `FRAME[ <params>]\n` line followed by the raw planes.
+    *
+    * Colorspaces: C444 (full-resolution U/V planes) and the C420 family
+    * (C420, C420jpeg, C420mpeg2, C420paldv — 4:2:0, half-resolution chroma;
+    * the suffix only states chroma SITING, which never changes plane byte
+    * layout). 4:2:0 is what real-world interchange overwhelmingly carries,
+    * so subsampled frames are UPSAMPLED ON READ (2×2 nearest-neighbor
+    * replication) into the same full-resolution Y ++ U ++ V layout —
+    * downstream operators see one shape regardless of source subsampling.
+    * C420 requires even W and H (each chroma sample covers a 2×2 block);
+    * odd dimensions and any other C tag (C422, mono, …) fail loudly rather
+    * than misparse payload bytes as frame headers.
     */
   def decodeY4m(bytes: Array[Byte]): Video = {
     var pos = 0
@@ -58,15 +66,49 @@ object MediaCodecs {
       }
     }
     require(w > 0 && h > 0, s"y4m: missing W/H in '$header'")
-    require(cspace == "C444", s"y4m: unsupported colorspace $cspace")
-    val frameBytes = w * h * 3
+    val c420 = Set("C420", "C420jpeg", "C420mpeg2", "C420paldv")(cspace)
+    require(cspace == "C444" || c420,
+      s"y4m: unsupported colorspace $cspace")
+    if (c420)
+      require(w % 2 == 0 && h % 2 == 0,
+        s"y4m: C420 requires even dimensions, got ${w}x$h")
+    val plane = w * h
+    val frameBytes = if (c420) plane + plane / 2 else 3 * plane
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     while (pos < bytes.length) {
       val fl = readLine()
       require(fl == "FRAME" || fl.startsWith("FRAME "),
         s"y4m: expected FRAME, got '$fl'")
       require(pos + frameBytes <= bytes.length, "y4m: truncated frame")
-      frames += java.util.Arrays.copyOfRange(bytes, pos, pos + frameBytes)
+      if (!c420) {
+        frames += java.util.Arrays.copyOfRange(bytes, pos, pos + frameBytes)
+      } else {
+        // upsample the two quarter-size chroma planes to full resolution:
+        // full(x, y) = sub(x/2, y/2) — each subsampled byte covers its 2×2
+        // block, so downstream plane arithmetic is exactly 4× the
+        // subsampled sums (the q434 oracle states that factor explicitly)
+        val out = new Array[Byte](3 * plane)
+        System.arraycopy(bytes, pos, out, 0, plane)
+        val cw = w / 2
+        var p = 0
+        while (p < 2) {
+          val base = pos + plane + p * (plane / 4)
+          val obase = plane + p * plane
+          var y = 0
+          while (y < h) {
+            val srow = base + (y / 2) * cw
+            val orow = obase + y * w
+            var x = 0
+            while (x < w) {
+              out(orow + x) = bytes(srow + x / 2)
+              x += 1
+            }
+            y += 1
+          }
+          p += 1
+        }
+        frames += out
+      }
       pos += frameBytes
     }
     Video(w, h, frames.toArray)

@@ -3474,7 +3474,6 @@ object EventQueries {
       }
       val root = java.nio.file.Files
         .createTempDirectory("graft_kmv_q_").toFile
-      sys.addShutdownHook(rmrf(root))
       val e = Tables.events(s, d)
         .select(col("event_type"),
           Hashes.mulHash(col("user_id"), 71).as("hv"))
@@ -3524,6 +3523,10 @@ object EventQueries {
             col("n_exact"), est.as("kmv_est"),
             (col("kmins") === col("skmins")).as("stream_eq_batch"))
           .orderBy("event_type")
+          // ≤ |event_type| rows — materialize so the landing/checkpoint
+          // tmpdir can be deleted NOW instead of via a shutdown hook that
+          // accumulates per invocation and parks the data until JVM exit
+          .localCheckpoint()
       } finally {
         prev match {
           case Some(p) =>
@@ -3531,6 +3534,7 @@ object EventQueries {
           case None =>
             s.conf.unset("spark.sql.streaming.stateStore.providerClass")
         }
+        rmrf(root)
       }
     },
 
@@ -3582,7 +3586,6 @@ object EventQueries {
       }
       val root = java.nio.file.Files
         .createTempDirectory("graft_qsk_q_").toFile
-      sys.addShutdownHook(rmrf(root))
       val e = Tables.events(s, d)
         .select(col("event_type"),
           Hashes.mulHash(col("event_id"), 101).as("h"),
@@ -3641,6 +3644,9 @@ object EventQueries {
               expr("(90 * n_held + 99) div 100").cast("int")).as("p90_x"),
             (col("pairs") === col("spairs")).as("stream_eq_batch"))
           .orderBy("event_type")
+          // ≤ |event_type| rows — materialize so the tmpdir deletes now
+          // (see q383's note)
+          .localCheckpoint()
       } finally {
         prev match {
           case Some(p) =>
@@ -3648,6 +3654,7 @@ object EventQueries {
           case None =>
             s.conf.unset("spark.sql.streaming.stateStore.providerClass")
         }
+        rmrf(root)
       }
     },
 
@@ -3832,7 +3839,6 @@ object EventQueries {
       }
       val root = java.nio.file.Files
         .createTempDirectory("graft_scusum_q_").toFile
-      sys.addShutdownHook(rmrf(root))
       val w = Window.partitionBy("event_type").orderBy("day")
       val r0 = Tables.events(s, d)
         .groupBy(col("event_type"),
@@ -3877,6 +3883,9 @@ object EventQueries {
         drain()
         s.read.parquet(s"$root/out")
           .orderBy("event_type", "day")
+          // the result READS $root/out lazily — materialize (day-census
+          // sized) before the finally deletes the tmpdir
+          .localCheckpoint()
       } finally {
         prev match {
           case Some(p) =>
@@ -3884,6 +3893,7 @@ object EventQueries {
           case None =>
             s.conf.unset("spark.sql.streaming.stateStore.providerClass")
         }
+        rmrf(root)
       }
     },
 
@@ -4454,10 +4464,13 @@ object EventQueries {
         |  FROM dt CROSS JOIN lt GROUP BY dt.t),
         |terms AS (
         |  SELECT t, n1, n2, d1, d2,
-        |         (d1 + d2) * n1 * 1000000 // (n1 + n2) AS e1_e6,
+        |         CAST(CAST(d1 + d2 AS HUGEINT) * n1 * 1000000
+        |              // (n1 + n2) AS BIGINT) AS e1_e6,
         |         CASE WHEN n1 + n2 > 1 THEN
-        |           (d1 + d2) * n1 * n2 * (n1 + n2 - d1 - d2) * 1000000
-        |           // ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+        |           CAST(CAST(d1 + d2 AS HUGEINT) * n1 * n2
+        |                * (n1 + n2 - d1 - d2) * 1000000
+        |             // (CAST(n1 + n2 AS HUGEINT) * (n1 + n2)
+        |                * (n1 + n2 - 1)) AS BIGINT)
         |         ELSE 0 END AS v_e6
         |  FROM cell),
         |stat AS (
@@ -4505,10 +4518,16 @@ object EventQueries {
             && col("censored") === 0, 1L).otherwise(0L)).as("d2"))
       val terms = cell.select(col("t"), col("n1"), col("n2"), col("d1"),
         col("d2"),
-        expr("(d1 + d2) * n1 * 1000000 div (n1 + n2)").as("e1_e6"),
+        // 128-bit intermediates (decimal(38) / HUGEINT, the q413 pattern):
+        // the plain-BIGINT product d·n1·n2·(n−d)·1e6 overflows int64 once
+        // cohorts pass a few thousand users — both engines would raise
+        expr("cast(cast(d1 + d2 as decimal(38,0)) * n1 * 1000000" +
+          " div (n1 + n2) as bigint)").as("e1_e6"),
         expr("CASE WHEN n1 + n2 > 1 THEN" +
-          " (d1 + d2) * n1 * n2 * (n1 + n2 - d1 - d2) * 1000000" +
-          " div ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))" +
+          " cast(cast(d1 + d2 as decimal(38,0)) * n1 * n2" +
+          " * (n1 + n2 - d1 - d2) * 1000000" +
+          " div (cast(n1 + n2 as decimal(38,0)) * (n1 + n2)" +
+          " * (n1 + n2 - 1)) as bigint)" +
           " ELSE 0L END").as("v_e6"))
         .persist() // output rows + the stat fold
       val stat = terms.agg(

@@ -214,7 +214,25 @@ object MlQueries {
     // exactly the sampled frame grid.
     QueryDef("q407_y4m_sample", MediaSql.y4mSql) { (s, _) =>
       Multimodal.decodeFeatures(
-        Multimodal.readMedia(s, MediaSql.fixtureDir, "*.y4m"),
+        // vid_* only: the C420 fixtures (vid420_*) are q434's surface
+        Multimodal.readMedia(s, MediaSql.fixtureDir, "vid_*.y4m"),
+        Multimodal.Y4mVideoDecoder)
+        .orderBy("media_id")
+    },
+
+    // 4:2:0 chroma subsampling — what real-world video interchange
+    // overwhelmingly carries (q407's C444 is the full-resolution rung).
+    // The decoder reads quarter-size U/V planes and UPSAMPLES on read
+    // (2×2 nearest-neighbor) into the same full-res plane relation, so
+    // every downstream operator is untouched; the oracle states the
+    // upsampling as arithmetic — full-res chroma sums are EXACTLY 4× the
+    // subsampled plane sums, so a decoder that skipped the upsample (or
+    // misparsed the half-size planes as frame headers) hash-mismatches.
+    // Fixtures cycle the C420jpeg siting alias (same plane layout) and
+    // FRAME-line params.
+    QueryDef("q434_y4m_420", MediaSql.y4m420Sql) { (s, _) =>
+      Multimodal.decodeFeatures(
+        Multimodal.readMedia(s, MediaSql.fixtureDir, "vid420_*.y4m"),
         Multimodal.Y4mVideoDecoder)
         .orderBy("media_id")
     },
@@ -3951,6 +3969,45 @@ private[queries] object MediaSql {
        |       CAST(sum(CASE WHEN p = 0 THEN (t + 1) * val END) AS BIGINT)
        |         AS wsum
        |FROM v GROUP BY i ORDER BY media_id""".stripMargin
+
+  /** q434: replay the C420 fixtures over the sampled frame grid. Y is the
+    * full-resolution formula; chroma is the SUBSAMPLED formula times 4 —
+    * each quarter-plane byte covers a 2×2 full-res block after the
+    * decoder's nearest-neighbor upsample, so the 4× factor in this oracle
+    * is what proves the upsample ran.
+    */
+  val y4m420Sql: String =
+    s"""WITH vids AS (
+       |  SELECT i, 8 + (i % 3) * 4 AS w, 6 + (i % 2) * 4 AS h,
+       |         5 + i % 4 AS nf
+       |  FROM (SELECT unnest(range(0, 6)) AS i)),
+       |st AS (SELECT i, w, h, nf, unnest(range(0, nf, 2)) AS t FROM vids),
+       |yv AS (SELECT i, w, h, nf, t,
+       |              (t * 131 + f * $K + 59 * i) % 256 AS val
+       |       FROM (SELECT i, w, h, nf, t, unnest(range(0, w * h)) AS f
+       |             FROM st)),
+       |ya AS (SELECT i, max(w) AS w, max(h) AS h, max(nf) AS nf,
+       |              count(DISTINCT t) AS n_sampled,
+       |              sum(val) AS sum_y, sum((t + 1) * val) AS wsum
+       |       FROM yv GROUP BY i),
+       |cv AS (SELECT i, t, p,
+       |              (t * 131 + p * 17 + f * $K + 59 * i) % 256 AS val
+       |       FROM (SELECT i, t, p,
+       |                    unnest(range(0, (w // 2) * (h // 2))) AS f
+       |             FROM (SELECT i, w, h, t, unnest(range(1, 3)) AS p
+       |                   FROM st))),
+       |ca AS (SELECT i,
+       |              4 * sum(CASE WHEN p = 1 THEN val END) AS sum_u,
+       |              4 * sum(CASE WHEN p = 2 THEN val END) AS sum_v
+       |       FROM cv GROUP BY i)
+       |SELECT ya.i AS media_id, CAST(w AS INTEGER) AS width,
+       |       CAST(h AS INTEGER) AS height, CAST(nf AS BIGINT) AS n_frames,
+       |       CAST(n_sampled AS BIGINT) AS n_sampled,
+       |       CAST(sum_y AS BIGINT) AS sum_y,
+       |       CAST(sum_u AS BIGINT) AS sum_u,
+       |       CAST(sum_v AS BIGINT) AS sum_v,
+       |       CAST(wsum AS BIGINT) AS wsum
+       |FROM ya JOIN ca ON ya.i = ca.i ORDER BY media_id""".stripMargin
 
   val imageSql: String =
     s"""WITH $pixelCtes

@@ -2280,6 +2280,72 @@ object TextQueries {
           col("n_shared_docs"), col("shared_tok"), col("total_tok"),
           expr("shared_tok * 1000000 div total_tok").as("sharing_ppm"))
         .orderBy("source")
+    },
+
+    // Token-hash COLLISION CENSUS — the before/after fidelity audit of the
+    // round-10 tokenHash upgrade. Rounds 1–9 fingerprinted a token by
+    // (first char, last char, length) only; every near-dup consumer
+    // (MinHash bands, SimHash bits, DSIR buckets, DupSpans folds)
+    // inherited its structural collisions while staying oracle-green
+    // (the oracle mirrored the same weak hash). This query measures the
+    // real rate on the corpus vocabulary ∪ the entity-name vocabulary
+    // (customer.c_name — "Customer#000000042"-style tokens share first
+    // char and length, so the legacy hash collapses ALL of them into ~10
+    // cells; measured 1500/1500 collided at sf0.01 vs 0 under the
+    // full-content codepoint polynomial now in Hashes.tokenHash).
+    // collided_* counts tokens living in a shared hash cell (the
+    // candidate-set inflation a near-dup/blocking pass pays).
+    // Scale: one vocabulary census + two ≤|vocab|-row groupBys.
+    QueryDef("q433_tokenhash_census",
+      s"""WITH v AS (
+         |  SELECT DISTINCT token FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+         |    UNION ALL
+         |    SELECT unnest(string_split(c_name, ' ')) AS token FROM customer)),
+         |h AS (
+         |  SELECT token,
+         |         ${Hashes.tokenHashSql("token")} AS h_new,
+         |         ((CAST(ascii(token) AS BIGINT) * 131
+         |           + CAST(ascii(substr(token, -1, 1)) AS BIGINT) * 31
+         |           + CAST(length(token) AS BIGINT) * 7)
+         |          * ${Hashes.Mult}) % ${Hashes.Prime} AS h_old
+         |  FROM v WHERE token <> ''),
+         |gn AS (SELECT h_new, count(*) AS c FROM h GROUP BY h_new),
+         |go AS (SELECT h_old, count(*) AS c FROM h GROUP BY h_old),
+         |an AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         |              CAST(count(*) AS BIGINT) AS n_hashes_new,
+         |              CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+         |                   AS BIGINT) AS collided_new
+         |       FROM gn),
+         |ao AS (SELECT CAST(count(*) AS BIGINT) AS n_hashes_old,
+         |              CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+         |                   AS BIGINT) AS collided_old
+         |       FROM go)
+         |SELECT n_tokens, n_hashes_old, collided_old,
+         |       n_hashes_new, collided_new
+         |FROM an CROSS JOIN ao""".stripMargin) { (s, d) =>
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ", -1)).as("token"))
+        .unionAll(Tables.customer(s, d)
+          .select(explode(split(col("c_name"), " ", -1)).as("token")))
+        .where(col("token") =!= "").distinct()
+      // the retired round-1..9 fingerprint, kept inline ONLY for this audit
+      val oldHash = ((ascii(col("token")).cast("long") * 131L
+        + ascii(substring(col("token"), -1, 1)).cast("long") * 31L
+        + length(col("token")).cast("long") * 7L) * Hashes.Mult) % Hashes.Prime
+      val h = vocab.select(col("token"),
+        Hashes.tokenHash(col("token")).as("h_new"), oldHash.as("h_old"))
+        .persist() // two census groupBys over one vocabulary pass
+      val gn = h.groupBy("h_new").agg(count(lit(1)).as("c"))
+      val go = h.groupBy("h_old").agg(count(lit(1)).as("c"))
+      val an = gn.agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_hashes_new"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("collided_new"))
+      val ao = go.agg(count(lit(1)).as("n_hashes_old"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("collided_old"))
+      an.crossJoin(ao)
+        .select("n_tokens", "n_hashes_old", "collided_old",
+          "n_hashes_new", "collided_new")
     }
   )
 }

@@ -174,6 +174,11 @@ object DocStreams {
     val q = readLanding(spark, landingDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // settle any compaction a crash interrupted BEFORE listing anything:
+        // a half-finished swap otherwise hides consolidated survivors from
+        // this batch's index read (admitting duplicates) or double-counts
+        // folded rows in the output
+        recoverCompaction(outDir)
         if (compactEvery > 0) {
           val nPrior = Option(new java.io.File(outDir).listFiles)
             .map(_.count(f => f.isDirectory && f.getName.startsWith("batch=")
@@ -222,6 +227,7 @@ object DocStreams {
     */
   def compactGateOutput(spark: SparkSession, outDir: String,
                         excludeBatchId: Option[Long] = None): Int = {
+    recoverCompaction(outDir)
     val skip = excludeBatchId.map(id => s"batch=$id")
     val dirs = Option(new java.io.File(outDir).listFiles)
       .map(_.filter(f => f.isDirectory && f.getName.startsWith("batch=")
@@ -236,22 +242,85 @@ object DocStreams {
     val readPaths = dirs.map(_.getPath) ++
       (if (prevCompacted.isDirectory) Seq(prevCompacted.getPath) else Nil)
     val all = spark.read.schema(landingSchema).parquet(readPaths: _*)
-    // write-then-swap: the consolidated dir lands under a temp name first
-    // (the write fully materializes before anything is deleted), so a crash
-    // mid-compaction leaves the original batch dirs AND prior compacted
-    // contents intact
-    val tmp = s"$outDir/.compact_tmp"
+    // Crash-atomic swap protocol. The consolidated relation lands under a
+    // temp name, then a MANIFEST of exactly which inputs it folded is
+    // written INTO the temp dir — only then does any destructive step run,
+    // in an order [[recoverCompaction]] can always finish or undo:
+    //   1. write .compact_tmp (parquet)      — crash ⇒ originals intact
+    //   2. write .compact_tmp/_folded        — tmp is COMPLETE iff present
+    //   3. rename batch=compacted → .compact_old   — never deleted early
+    //   4. rmrf the folded batch dirs (from the manifest)
+    //   5. rename .compact_tmp → batch=compacted
+    //   6. rmrf .compact_old
+    // Every crash window leaves either (a) an incomplete tmp (no manifest:
+    // originals untouched — recovery discards tmp), or (b) a complete tmp
+    // whose manifest names the folded dirs — recovery finishes steps 4–6
+    // verbatim. At no point is the only copy of previously-compacted
+    // survivors in an unnamed temp location.
+    val tmp = new java.io.File(s"$outDir/.compact_tmp")
+    val old = new java.io.File(s"$outDir/.compact_old")
     all.coalesce(math.max(1, dirs.size / 8))
-      .write.mode("overwrite").parquet(tmp)
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rmrf)
-      f.delete(): Unit
+      .write.mode("overwrite").parquet(tmp.getPath)
+    java.nio.file.Files.write(
+      new java.io.File(tmp, FoldedManifest).toPath,
+      dirs.map(_.getName).mkString("\n").getBytes("UTF-8"))
+    if (prevCompacted.isDirectory) {
+      val okAside = prevCompacted.renameTo(old)
+      require(okAside, s"compaction rename failed: $prevCompacted -> $old")
     }
-    rmrf(prevCompacted)
-    val ok = new java.io.File(tmp).renameTo(prevCompacted)
+    dirs.foreach(rmrfFile)
+    val ok = tmp.renameTo(prevCompacted)
     require(ok, s"compaction rename failed: $tmp -> $prevCompacted")
-    dirs.foreach(rmrf)
+    rmrfFile(old)
     dirs.size
+  }
+
+  private val FoldedManifest = "_folded"
+
+  private def rmrfFile(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(rmrfFile)
+    f.delete(): Unit
+  }
+
+  /** Finish or undo a compaction interrupted by a crash (see the swap
+    * protocol in [[compactGateOutput]]). Idempotent; called at compaction
+    * entry AND at every micro-batch entry of [[runNearDupIngest]], so a
+    * restarted flow always sees a settled directory before it lists.
+    *
+    *   - tmp without its `_folded` manifest → the parquet write itself
+    *     crashed; all originals are untouched — discard tmp.
+    *   - tmp WITH manifest → tmp is the complete consolidated relation;
+    *     finish the swap: delete the manifest-named batch dirs (whichever
+    *     still exist), move any not-yet-renamed `batch=compacted` aside,
+    *     rename tmp into place, drop the aside copy.
+    *   - `.compact_old` without tmp → crash fell between the final rename
+    *     and the old-copy cleanup; `batch=compacted` is already the new
+    *     consolidated dir — drop the old copy.
+    */
+  private[graft] def recoverCompaction(outDir: String): Unit = {
+    val tmp = new java.io.File(s"$outDir/.compact_tmp")
+    val old = new java.io.File(s"$outDir/.compact_old")
+    val compacted = new java.io.File(s"$outDir/batch=compacted")
+    val manifest = new java.io.File(tmp, FoldedManifest)
+    if (tmp.isDirectory) {
+      if (!manifest.isFile) {
+        rmrfFile(tmp) // incomplete write; originals intact
+      } else {
+        val folded = new String(
+          java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8")
+          .split("\n").filter(_.nonEmpty)
+        // tmp already folds the pre-crash batch=compacted; if the aside
+        // rename hadn't happened yet, do it now so the final rename lands
+        if (compacted.isDirectory && !old.isDirectory) {
+          val okAside = compacted.renameTo(old)
+          require(okAside, s"recovery rename failed: $compacted -> $old")
+        }
+        folded.foreach(n => rmrfFile(new java.io.File(s"$outDir/$n")))
+        val ok = tmp.renameTo(compacted)
+        require(ok, s"recovery rename failed: $tmp -> $compacted")
+      }
+    }
+    if (old.isDirectory) rmrfFile(old)
   }
 
   /** Land → dedup → parquet append, exactly-once, drain-all-and-stop

@@ -350,10 +350,10 @@ class CurationSpec extends AnyFunSuite {
 
   test("exact spans reject hash-colliding windows the fold family merges") {
     import graft.operators.DupSpans
-    // tokenHash keys on (first char, last char, length): "cat" and "cut"
-    // collide, so the HASHED census sees a cross-doc duplicate window that
-    // does not exist; the EXACT census must not.
-    val docs = Seq((0L, Seq("x", "cat", "y")), (1L, Seq("x", "cut", "y")))
+    // "yislpv" and "ijiaoj" share a full-content polynomial hash (a found
+    // birthday collision mod 1e9+7), so the HASHED census sees a cross-doc
+    // duplicate window that does not exist; the EXACT census must not.
+    val docs = Seq((0L, Seq("x", "yislpv", "y")), (1L, Seq("x", "ijiaoj", "y")))
       .toDF("doc_id", "toks")
     val hashed = DupSpans.coverage(docs, col("toks"), 3)
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("covered")).toMap
@@ -526,11 +526,16 @@ class CurationSpec extends AnyFunSuite {
     import graft.operators.{MinHash, Winnow}
     val run = "alpha beta gamma delta epsilon zeta eta theta"
     val boiler = "standard license header text common to every document here"
-    // docs 1&2 share the run; docs 10..15 share ONLY the boilerplate block
+    // docs 1&2 share the run; docs 10..15 are IDENTICAL boilerplate docs —
+    // identical on purpose: a per-doc unique prefix would let a boundary
+    // window select a boiler shingle in only a SUBSET of the docs (when the
+    // doc-specific boundary shingle hashes below it in the others), putting
+    // that fingerprint under the cap and surfacing a boiler-only pair —
+    // winnowing boundary behavior under ANY hash, not a cap failure
     val rows = Seq(
       (1L, s"first unique prefix words $run and one unique tail"),
       (2L, s"second distinct opening phrase $run closing words differ")) ++
-      (10L to 15L).map(i => (i, s"doc body number $i carries $boiler"))
+      (10L to 15L).map(i => (i, s"doc body carries $boiler"))
     val docs = rows.toDF("doc_id", "text")
       .where(size(split(col("text"), " ", -1)) >= 3)
       .select(col("doc_id"),

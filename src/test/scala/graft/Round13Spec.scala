@@ -127,11 +127,13 @@ class Round13Spec extends AnyFunSuite {
       assert(ns == (nf + 1) / 2, s"stride-2 sampling: $ns of $nf")
       assert(r.getAs[Long]("sum_y") > 0 && r.getAs[Long]("wsum") > 0)
     }
-    // the decoder rejects subsampled colorspaces rather than misparsing
+    // the decoder rejects colorspaces outside {C444, C420*} rather than
+    // misparsing payload bytes as frame headers (C420 support and its
+    // rejection cases are Round14Spec's surface)
     import graft.operators.MediaCodecs
-    val c420 = "YUV4MPEG2 W4 H2 F25:1 C420\nFRAME\n".getBytes("US-ASCII") ++
-      Array.fill[Byte](12)(0)
-    intercept[IllegalArgumentException](MediaCodecs.decodeY4m(c420))
+    val c422 = "YUV4MPEG2 W4 H2 F25:1 C422\nFRAME\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](16)(0)
+    intercept[IllegalArgumentException](MediaCodecs.decodeY4m(c422))
   }
 
   test("q408 RRF fuses both modalities and ranks dual hits sensibly") {

@@ -1,0 +1,155 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Property guards for the round-10 additions: C420 chroma upsampling
+  * (the hash oracle proves the 4× sums, only a hand-built frame proves
+  * WHERE each chroma byte landed), the full-content tokenHash (collision
+  * census + consumer sanity), and the crash-atomic compaction swap (every
+  * crash window of the protocol replayed against the recovery path).
+  */
+class Round14Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("C420 upsample places each chroma byte on its 2x2 block") {
+    import graft.operators.MediaCodecs
+    // W2 H2 C420: Y = [1,2,3,4], U = [9], V = [200 as signed byte]
+    val bytes = "YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 9, 200.toByte)
+    val vid = MediaCodecs.decodeY4m(bytes)
+    assert(vid.width == 2 && vid.height == 2 && vid.frames.length == 1)
+    val fr = vid.frames(0)
+    assert(fr.length == 12, "upsampled frame must be full-res Y++U++V")
+    assert(fr.slice(0, 4).toSeq == Seq[Byte](1, 2, 3, 4))
+    assert(fr.slice(4, 8).toSeq == Seq[Byte](9, 9, 9, 9))
+    assert(fr.slice(8, 12).forall(_ == 200.toByte))
+    // a 4x2 frame must replicate along BOTH axes: U = [10, 20] covers
+    // columns 0-1 and 2-3 of both rows
+    val wide = "YUV4MPEG2 W4 H2 F25:1 C420mpeg2\nFRAME\n"
+      .getBytes("US-ASCII") ++
+      (Array.range(0, 8).map(_.toByte) ++ Array[Byte](10, 20, 30, 40))
+    val v2 = MediaCodecs.decodeY4m(wide)
+    assert(v2.frames(0).slice(8, 16).toSeq ==
+      Seq[Byte](10, 10, 20, 20, 10, 10, 20, 20))
+    assert(v2.frames(0).slice(16, 24).toSeq ==
+      Seq[Byte](30, 30, 40, 40, 30, 30, 40, 40))
+  }
+
+  test("C420 rejects odd dimensions; unknown colorspaces still rejected") {
+    import graft.operators.MediaCodecs
+    val odd = "YUV4MPEG2 W3 H2 F25:1 C420\nFRAME\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](9)(0)
+    val e = intercept[IllegalArgumentException](MediaCodecs.decodeY4m(odd))
+    assert(e.getMessage.contains("even dimensions"))
+    val oddH = "YUV4MPEG2 W4 H3 F25:1 C420jpeg\nFRAME\n"
+      .getBytes("US-ASCII") ++ Array.fill[Byte](18)(0)
+    intercept[IllegalArgumentException](MediaCodecs.decodeY4m(oddH))
+    val mono = "YUV4MPEG2 W4 H2 F25:1 Cmono\nFRAME\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](8)(0)
+    intercept[IllegalArgumentException](MediaCodecs.decodeY4m(mono))
+  }
+
+  test("q434 C420 fixtures decode with exactly 4x the subsampled chroma") {
+    val rows = run("q434_y4m_420").collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("media_id")
+      val nf = r.getAs[Long]("n_frames")
+      assert(nf == 5 + v % 4)
+      assert(r.getAs[Long]("n_sampled") == (nf + 1) / 2)
+      // upsampled chroma sums are 4x an integer byte sum by construction
+      assert(r.getAs[Long]("sum_u") % 4 == 0)
+      assert(r.getAs[Long]("sum_v") % 4 == 0)
+      assert(r.getAs[Long]("sum_y") > 0 && r.getAs[Long]("wsum") > 0)
+    }
+  }
+
+  test("tokenHash is full-content: census shows zero structural collisions") {
+    import graft.functions.{Hashes, TextHashExprs}
+    import org.apache.spark.unsafe.types.UTF8String
+    def th(s: String) = TextHashExprs.tokenHash(UTF8String.fromString(s))
+    // the legacy (first, last, length) fingerprint collided these pairs
+    assert(th("cat") != th("cot"))
+    assert(th("walked") != th("warmed"))
+    assert(th("Customer#000000001") != th("Customer#000000011"))
+    // the planted birthday collision the DupSpans spec uses stays a collision
+    assert(th("yislpv") == th("ijiaoj"))
+    // empty-token contract: h("") = 0 on both engines
+    assert(th("") == 0L)
+    // census query: new hash has zero collided tokens on the fixture vocab,
+    // the legacy hash collapsed the customer-name tokens
+    val r = run("q433_tokenhash_census").head()
+    assert(r.getAs[Long]("collided_new") == 0L)
+    assert(r.getAs[Long]("collided_old") > r.getAs[Long]("n_tokens") / 2,
+      "fixture must actually exercise the legacy collapse")
+    assert(r.getAs[Long]("n_hashes_new") == r.getAs[Long]("n_tokens"))
+  }
+
+  test("compaction recovery settles every crash window without loss or dup") {
+    import graft.streaming.DocStreams
+    val sql = spark
+    import sql.implicits._
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(): Unit
+    }
+    def writeBatch(out: String, id: String, ids: Seq[Long]): Unit =
+      ids.map(i => (i, new java.sql.Timestamp(1700000000000L + i), s"doc $i"))
+        .toDF("doc_id", "ingest_ts", "text")
+        .repartition(1).write.mode("overwrite").parquet(s"$out/batch=$id")
+    def landed(out: String): Set[Long] =
+      spark.read.parquet(s"$out/*").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val root = java.nio.file.Files.createTempDirectory("graft_crash_").toFile
+    try {
+      // --- window A: crash DURING the tmp write (no manifest) ---
+      val a = s"$root/a"
+      writeBatch(a, "0", Seq(1L, 2L))
+      writeBatch(a, "1", Seq(3L))
+      // a half-written tmp: parquet files but no _folded manifest
+      writeBatch(a, "x", Seq(99L))
+      new java.io.File(s"$a/batch=x").renameTo(new java.io.File(s"$a/.compact_tmp"))
+      assert(DocStreams.compactGateOutput(spark, a) == 2)
+      assert(landed(a) == Set(1L, 2L, 3L), "window A lost or duplicated rows")
+      assert(!new java.io.File(s"$a/.compact_tmp").exists)
+
+      // --- window B: crash between the aside-rename and the final rename
+      // (tmp complete WITH manifest, batch=compacted moved to .compact_old,
+      // folded dirs partially deleted) ---
+      val b = s"$root/b"
+      writeBatch(b, "compacted", Seq(1L, 2L)) // prior consolidated
+      writeBatch(b, "5", Seq(3L))
+      writeBatch(b, "6", Seq(4L))
+      // the would-be consolidated tmp folds everything
+      writeBatch(b, "t", Seq(1L, 2L, 3L, 4L))
+      val tmpB = new java.io.File(s"$b/.compact_tmp")
+      new java.io.File(s"$b/batch=t").renameTo(tmpB)
+      java.nio.file.Files.write(
+        new java.io.File(tmpB, "_folded").toPath,
+        "batch=5\nbatch=6".getBytes("UTF-8"))
+      new java.io.File(s"$b/batch=compacted")
+        .renameTo(new java.io.File(s"$b/.compact_old"))
+      rmrf(new java.io.File(s"$b/batch=5")) // partially-finished deletion
+      // next compaction entry must finish the swap: no loss, no dup
+      DocStreams.compactGateOutput(spark, b)
+      assert(landed(b) == Set(1L, 2L, 3L, 4L), "window B lost or duplicated")
+      assert(!new java.io.File(s"$b/.compact_old").exists)
+      assert(!new java.io.File(s"$b/.compact_tmp").exists)
+      assert(!new java.io.File(s"$b/batch=6").exists,
+        "folded dir survived — its rows are duplicated in batch=compacted")
+
+      // --- window C: crash between the final rename and the old cleanup ---
+      val c = s"$root/c"
+      writeBatch(c, "compacted", Seq(1L, 2L, 3L)) // the NEW consolidated dir
+      writeBatch(c, "old", Seq(1L, 2L))           // the superseded copy
+      new java.io.File(s"$c/batch=old")
+        .renameTo(new java.io.File(s"$c/.compact_old"))
+      DocStreams.compactGateOutput(spark, c)
+      assert(landed(c) == Set(1L, 2L, 3L), "window C lost or duplicated")
+      assert(!new java.io.File(s"$c/.compact_old").exists)
+    } finally rmrf(root)
+  }
+}

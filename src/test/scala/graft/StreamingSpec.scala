@@ -397,10 +397,8 @@ class StreamingSpec extends AnyFunSuite {
       // 10 waves: wave w lands one novel doc and (w>0) one verbatim copy of
       // the PREVIOUS wave's novel doc — every wave exercises the accumulated
       // index, and dup detection across a compaction boundary proves the
-      // folded dirs still feed the gate. tokenHash fingerprints a token by
-      // (first char, last char, length) only, so cross-wave vocabularies
-      // must differ in LENGTH (per wave) and LAST CHAR (per token) to be
-      // distinct under the hash: 7·Δw ≠ 31·Δi for the ranges used here.
+      // folded dirs still feed the gate. The wave vocabularies are distinct
+      // strings, which the full-content tokenHash keeps distinct.
       def novel(w: Int) =
         (0 until 6).map(i => "x" * (w + 2) + ('a' + i).toChar).mkString(" ")
       var expected = Set.empty[Long]

@@ -505,3 +505,35 @@ for v in range(8):
                           for f in range(w * h))
     with open(os.path.join(out, "vid_%d.y4m" % v), "wb") as fh:
         fh.write(bytes(data))
+
+# video  vid420_<v>.y4m  (v in 0..5)  YUV4MPEG2, C420 (4:2:0 subsampled
+#     chroma — the dominant real-world interchange layout; the decoder
+#     upsamples to full-res planes on read, so downstream sums are exactly
+#     4x the subsampled chroma bytes)
+#     width  w(v) = 8 + (v % 3) * 4  (8, 12, 16 — all even)
+#     height h(v) = 6 + (v % 2) * 4  (6, 10 — all even)
+#     frames nf(v) = 5 + v % 4
+#     Y plane byte (flat f in [0, w*h)):        (t*131 + f*K + 59*v) % 256
+#     U/V plane byte (p in {1,2}, f in [0, (w/2)*(h/2))):
+#         (t*131 + p*17 + f*K + 59*v) % 256
+#     v % 3 == 1 uses the C420jpeg siting alias (same plane layout);
+#     odd v carries a FRAME-line param (parser must skip to \n)
+for v in range(6):
+    w = 8 + (v % 3) * 4
+    h = 6 + (v % 2) * 4
+    nf = 5 + v % 4
+    ctag = "C420jpeg" if v % 3 == 1 else "C420"
+    hdr = "YUV4MPEG2 W%d H%d F25:1 Ip A1:1 %s" % (w, h, ctag)
+    data = bytearray(hdr.encode() + b"\n")
+    for t in range(nf):
+        fl = "FRAME"
+        if v % 2 == 1:
+            fl += " Xt%d" % t
+        data += fl.encode() + b"\n"
+        data += bytes(((t * 131 + f * K + 59 * v) % 256)
+                      for f in range(w * h))
+        for p in (1, 2):
+            data += bytes(((t * 131 + p * 17 + f * K + 59 * v) % 256)
+                          for f in range((w // 2) * (h // 2)))
+    with open(os.path.join(out, "vid420_%d.y4m" % v), "wb") as fh:
+        fh.write(bytes(data))
