@@ -64,6 +64,7 @@ object ScaleProbe {
       .empty[Int, (DataFrame, DataFrame, DataFrame, DataFrame)]
     // disk_walk index dirs cached per multiplier (same first-rep discipline)
     val diskWalkFixtures = scala.collection.mutable.Map.empty[Int, String]
+    val diskFilesFixtures = scala.collection.mutable.Map.empty[Int, String]
 
     lazy val pqCb = graft.operators.Pq.fit(
       Tables.embeddings(spark, sfDir).where(col("vec_id") < 2000),
@@ -467,6 +468,48 @@ object ScaleProbe {
         val va = spark.sparkContext.longAccumulator(s"fleet_v_$m")
         val out = DiskAnn.searchFleet(spark, dir, qdf, entry = 0L,
           hops = 6, beam = 16, slices = nq, ea, va)
+        out
+      },
+      // FLEET walk vs PART-FILE COUNT: fixed 100k corpus, fixed 6 queries,
+      // the multiplier scales only how many part files the index is split
+      // into (24 → 240). The executor-side footer cache prunes files whose
+      // row-group id ranges cannot hold a probed id BEFORE any open, so
+      // reader opens track visited row groups — per-hop open cost must
+      // stay flat in file count (HANDOFF r9 named this gap; a cacheless
+      // walk pays O(hops × files) opens). Opens are printed from
+      // DiskAnn.filesOpened (same JVM at local[32])
+      "fleet_files" -> { m =>
+        import graft.functions.{Hashes, Tensors}
+        import graft.operators.DiskAnn
+        val dim = 16
+        val dir = diskFilesFixtures.getOrElseUpdate(m, {
+          val n = 100000L
+          val d = java.nio.file.Files
+            .createTempDirectory(s"graft_fleetfiles_$m").toString
+          val graph = spark.range(n).select(col("id").as("vid"))
+            .select(col("vid"), explode(sequence(lit(0), lit(7))).as("j"))
+            .select(col("vid").as("src"),
+              (Hashes.mulHash(col("vid") * 8 + col("j"), 37) % n).as("dst"))
+          val vecs = spark.range(n).select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(dim - 1)),
+              dd => ((Hashes.mulHash(col("id") * 131L + dd, 19) % 1000)
+                .cast("double") / 1000.0d).cast("float")).as("embedding"))
+          DiskAnn.writeIndex(graph, vecs, "vec_id", "embedding", d,
+            buckets = m * 24)
+          d
+        })
+        val qdf = spark.range(6).select(col("id").as("qid"),
+            transform(sequence(lit(0), lit(dim - 1)),
+              dd => ((Hashes.mulHash(col("id") * 131L + dd, 19) % 1000)
+                .cast("double") / 1000.0d).cast("float")).as("qe"))
+          .withColumn("qn", Tensors.norm(col("qe")))
+        val ea = spark.sparkContext.longAccumulator(s"ff_e_$m")
+        val va = spark.sparkContext.longAccumulator(s"ff_v_$m")
+        DiskAnn.filesOpened.reset()
+        val out = DiskAnn.searchFleet(spark, dir, qdf, entry = 0L,
+          hops = 6, beam = 16, slices = 6, ea, va).localCheckpoint()
+        System.err.println(s"[fleet_files m=$m] opens=" +
+          s"${DiskAnn.filesOpened.sum} files=${m * 24 * 2}")
         out
       },
       // Quantile sketch (q400): bottom-k rank sample as a map-side-partial

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashes
+
+/** Exact-substring duplicate detection — the ExactSubstr posture of Lee et
+  * al. 2021 (arXiv:2107.06499 §4.1): every maximal EXACT token-level repeat
+  * of length ≥ L shared by two documents, cross-document, unanchored at any
+  * window grid. This is the primitive the shingle families approximate:
+  * [[DupSpans]] marks positions whose fixed-width window duplicates
+  * SOMEWHERE (per-doc coverage), winnowing samples fingerprints — neither
+  * names the actual repeated span between an actual PAIR of documents, which
+  * is what a dedup audit or a scrub-list builder consumes.
+  *
+  * Suffix-array-free distributed formulation (the suffix array is the
+  * single-node tool; this is the bucketed equivalent):
+  *
+  *   1. ANCHOR CENSUS — every L-token window, EXACT key (-joined, the
+  *      [[DupSpans.islandsExact]] discipline — hashes would admit false
+  *      anchors). Any repeat of length ≥ L contains at least one full
+  *      L-window, so anchors lose nothing.
+  *   2. BUCKET-CAPPED PAIRS — windows sharing a key pair up inside their
+  *      census bucket, buckets over `cap` docs dropped as boilerplate
+  *      (the MinHash census-cap argument verbatim: a bucket of B anchors
+  *      would emit B²/2 pairs on one reducer; true long repeats survive
+  *      through their other, less common anchors).
+  *   3. BIDIRECTIONAL EXTENSION — each candidate pair joins both token
+  *      arrays and extends left/right while tokens match (row-local array
+  *      arithmetic, no shuffle). Every anchor inside the same repeat
+  *      extends to the SAME maximal (start_a, start_b, len) tuple, so a
+  *      plain distinct de-anchors the result — maximality needs no
+  *      neighbor comparison.
+  *
+  * Scale shape: one token explode (the census every shingle family already
+  * pays, with L-token key strings — at 100 TB one would fingerprint the
+  * census keys and let the extension re-verify exactness; kept exact here
+  * so the anchor stage is collision-free by construction), one capped
+  * equi-join, two doc_id equi-joins to fetch token arrays for the
+  * (candidate-sized, not corpus-sized) pair set, then row-local extension.
+  * Nothing is ever all-pairs.
+  */
+object ExactSubstr {
+
+  /** Maximal cross-document exact repeats of ≥ `minLen` tokens.
+    * Output: (doc_a, doc_b, start_a, start_b, len_tokens, fp) — 1-based
+    * token offsets, fp = the matched span's rolling content hash.
+    */
+  def maximalRepeats(docs: DataFrame, key: Column, tokens: Column,
+                     minLen: Int, cap: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val L = minLen
+    val t = docs.select(key.as("doc_id"), tokens.as("toks"))
+    val w = t.select(col("doc_id"),
+        posexplode(DupSpans.windowKeys(col("toks"), L)))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("wkey"))
+    val cen = w.groupBy("wkey").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2 && col("c") <= cap)
+      .select("wkey")
+    val wd = w.join(cen, "wkey")
+    val pairs = wd.as("a")
+      .join(wd.as("b"),
+        col("a.wkey") === col("b.wkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.p").as("pa"),
+        col("b.doc_id").as("doc_b"), col("b.p").as("pb"))
+    val withToks = pairs
+      .join(t.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+    // extension: first-mismatch index over the zipped flanks; zip_with pads
+    // the shorter flank with null → coalesce(…, false) stops at a document
+    // boundary (both engines pad the same way). array_position returns 0
+    // when every zipped element matches — then the whole flank extends.
+    def firstRun(eq: Column): Column =
+      when(array_position(eq, false) === 0, size(eq).cast("long"))
+        .otherwise(array_position(eq, false) - 1)
+    withToks
+      .withColumn("eql", zip_with(
+        reverse(expr("slice(ta, 1, pa - 1)")),
+        reverse(expr("slice(tb, 1, pb - 1)")),
+        (x, y) => coalesce(x === y, lit(false))))
+      .withColumn("eqr", zip_with(
+        expr(s"slice(ta, pa + $L, size(ta))"),
+        expr(s"slice(tb, pb + $L, size(tb))"),
+        (x, y) => coalesce(x === y, lit(false))))
+      .withColumn("l", firstRun(col("eql")))
+      .withColumn("r", firstRun(col("eqr")))
+      .select(col("doc_a"), col("doc_b"),
+        (col("pa") - col("l")).as("start_a"),
+        (col("pb") - col("l")).as("start_b"),
+        (col("l") + L + col("r")).as("len_tokens"),
+        Hashes.tokenRollingHash(expr(
+          s"slice(ta, cast(pa - l as int), cast(l + $L + r as int))"))
+          .as("fp"))
+      .distinct()
+  }
+
+  /** DuckDB oracle of [[maximalRepeats]] — the same census → capped pairs →
+    * extension arithmetic (list_zip pads with NULL, list_position returns 0
+    * on no-match, both matching Spark).
+    */
+  def maximalRepeatsSql(toksExpr: String, minLen: Int, cap: Int): String = {
+    val L = minLen
+    s"""t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+       |w AS (SELECT doc_id, i AS p,
+       |             array_to_string(toks[i:i + ${L - 1}], chr(1)) AS wkey
+       |      FROM t, unnest(range(1, len(toks) - ${L - 2})) AS u(i)),
+       |cen AS (SELECT wkey FROM w GROUP BY wkey
+       |        HAVING count(*) >= 2 AND count(*) <= $cap),
+       |pr AS (SELECT a.doc_id AS doc_a, a.p AS pa,
+       |              b.doc_id AS doc_b, b.p AS pb
+       |       FROM w a JOIN cen USING (wkey) JOIN w b USING (wkey)
+       |       WHERE a.doc_id < b.doc_id),
+       |wt AS (SELECT pr.*, x.toks AS ta, y.toks AS tb
+       |       FROM pr JOIN t x ON x.doc_id = pr.doc_a
+       |               JOIN t y ON y.doc_id = pr.doc_b),
+       |ex AS (SELECT doc_a, doc_b, pa, pb, ta,
+       |  list_transform(list_zip(list_reverse(ta[1:pa - 1]),
+       |                          list_reverse(tb[1:pb - 1])),
+       |                 q -> coalesce(q[1] = q[2], false)) AS eql,
+       |  list_transform(list_zip(ta[pa + $L:], tb[pb + $L:]),
+       |                 q -> coalesce(q[1] = q[2], false)) AS eqr
+       |  FROM wt),
+       |lr AS (SELECT doc_a, doc_b, pa, pb, ta,
+       |  CASE WHEN list_position(eql, false) = 0 THEN len(eql)
+       |       ELSE list_position(eql, false) - 1 END AS l,
+       |  CASE WHEN list_position(eqr, false) = 0 THEN len(eqr)
+       |       ELSE list_position(eqr, false) - 1 END AS r
+       |  FROM ex),
+       |mr AS (SELECT DISTINCT doc_a, doc_b,
+       |  CAST(pa - l AS BIGINT) AS start_a,
+       |  CAST(pb - l AS BIGINT) AS start_b,
+       |  CAST(l + $L + r AS BIGINT) AS len_tokens,
+       |  ${Hashes.tokenRollingHashSql(s"ta[pa - l:pa - l + l + $L + r - 1]")}
+       |    AS fp
+       |  FROM lr)""".stripMargin
+  }
+}

@@ -291,6 +291,58 @@ object NswGraph {
       .unionByName(prune(newWide))
   }
 
+  /** Upsert-vs-refresh-vs-rebuild policy constants, priced by the measured
+    * maintenance harnesses rather than guessed:
+    *   - [[upsert]] BROADCASTS the batch id set and repairs only affected
+    *     neighborhoods — sound when the batch is a small fraction of the
+    *     corpus, a wrong call at scale broadcasts a corpus-sized "batch".
+    *     Batches at or above [[UpsertMaxRatioPct]] percent of the corpus
+    *     are rebuilds.
+    *   - q298 measures chained-upsert decay (recall 96.0 % after one batch
+    *     → 91.0 % after 8 unrefreshed batches, ≈ 0.6 pt per batch); q299
+    *     measures that ONE local-refine refresh pass recovers to 95.5 % at
+    *     a fraction of rebuild cost — so every [[RefreshEveryBatches]]-th
+    *     consecutive upsert carries a refresh.
+    */
+  val UpsertMaxRatioPct: Int = 25
+  val RefreshEveryBatches: Int = 4
+
+  /** The policy decision for one arriving batch: `nCorpus` = indexed
+    * vectors before this batch, `upsertsSinceRefresh` = consecutive plain
+    * upserts since the last rebuild/refresh. Pure integer arithmetic so a
+    * SQL oracle replays it (q436).
+    */
+  def maintenanceDecision(nBatch: Long, nCorpus: Long,
+                          upsertsSinceRefresh: Long): String = {
+    require(nBatch >= 0 && nCorpus >= 0 && upsertsSinceRefresh >= 0)
+    if (nCorpus == 0L || nBatch * 100L >= nCorpus * UpsertMaxRatioPct)
+      "rebuild"
+    else if (upsertsSinceRefresh + 1 >= RefreshEveryBatches) "upsert_refresh"
+    else "upsert"
+  }
+
+  /** [[upsert]] behind the policy's broadcast guard: counts both sides
+    * (two count jobs — cheap next to the upsert itself) and REFUSES a
+    * batch the policy prices as a rebuild, instead of silently
+    * broadcasting it. The count is exact, not sampled: a wrong guard at
+    * 100 TB is an executor-OOM class of failure.
+    */
+  def upsertChecked(baseEmb: DataFrame, newEmb: DataFrame,
+                    baseGraph: DataFrame, idCol: String, embCol: String,
+                    dim: Int, bands: Int, rbits: Int, seed: Long, cap: Int,
+                    kInternal: Int, deg: Int,
+                    allSigs: Option[DataFrame] = None): DataFrame = {
+    val nB = newEmb.count()
+    val nC = baseEmb.count()
+    require(maintenanceDecision(nB, nC, 0L) != "rebuild",
+      s"refusing upsert: batch of $nB vectors is >= $UpsertMaxRatioPct% of " +
+        s"the $nC-vector corpus — upsert broadcasts the batch ids and " +
+        "repairs locally; a corpus-sized batch is a rebuild " +
+        "(NswGraph.buildRefined)")
+    upsert(baseEmb, newEmb, baseGraph, idCol, embCol, dim, bands, rbits,
+      seed, cap, kInternal, deg, allSigs)
+  }
+
   /** One LOCAL NN-descent round for the NEW nodes only, over the WIDE
     * internal-degree graph: candidates per new node are its UNDIRECTED
     * neighbors plus their undirected neighbors (two hops, bounded by

@@ -833,6 +833,33 @@ object DedupQueries {
           expr("sum(coalesce(in_ql, 0)) * 1000000 div count(*)")
             .as("retained_ppm"))
         .orderBy("source")
+    },
+
+    // ExactSubstr dedup (Lee et al. 2021 §4.1) — the canonical training-
+    // data primitive the shingle families approximate: every MAXIMAL exact
+    // token repeat ≥ 8 tokens between a PAIR of documents, cross-document,
+    // unanchored. Anchor census (exact 8-token window keys) → bucket-capped
+    // pair join → row-local bidirectional extension; every anchor inside
+    // one repeat extends to the same maximal tuple, so distinct de-anchors
+    // without any neighbor comparison (operators/ExactSubstr scaladoc for
+    // the 100 TB shape). Top-32 longest repeats, fully ordered so the
+    // LIMIT boundary is deterministic; fp = the span's content hash, which
+    // must agree between the two documents by construction — the planted-
+    // repeat property spec (Round14Spec) proves the extension logic the
+    // mirrored hash can't.
+    QueryDef("q435_exact_substr",
+      s"""WITH ${graft.operators.ExactSubstr.maximalRepeatsSql(
+            "string_split(text, ' ')", minLen = 8, cap = 16)}
+         |SELECT doc_a, doc_b, start_a, start_b, len_tokens, fp
+         |FROM mr
+         |ORDER BY len_tokens DESC, doc_a, start_a, doc_b, start_b
+         |LIMIT 32""".stripMargin) { (s, d) =>
+      graft.operators.ExactSubstr.maximalRepeats(
+          Tables.documents(s, d), col("doc_id"),
+          split(col("text"), " ", -1), minLen = 8, cap = 16)
+        .orderBy(col("len_tokens").desc, col("doc_a"), col("start_a"),
+          col("doc_b"), col("start_b"))
+        .limit(32)
     }
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{RandomProjection, Similarity}
+import graft.operators.{NswGraph, RandomProjection, Similarity}
 
 /** Similarity search over `embeddings` (north-star similarity family):
   * brute-force exact cosine top-k, LSH bucket assignment, LSH-bucketed ANN
@@ -2898,6 +2898,70 @@ object SimilarityQueries {
       sel.select(col("query_id"), col("step"), col("nid").as("neighbor_id"),
           col("rel_e6"), col("maxsim_e6"), col("mmr_e6"))
         .orderBy("query_id", "step")
+    },
+
+    // NSW upsert/refresh/rebuild AUTO-POLICY (NswGraph.maintenanceDecision)
+    // — closes the "wrong call at scale broadcasts a corpus-sized batch"
+    // gap: nothing previously CHOSE between q290's upsert, q299's refresh,
+    // and a rebuild. The decision is priced by the measured harnesses
+    // (q298 decay ≈ 0.6 recall pt per unrefreshed batch, q299 one-pass
+    // recovery, the 25 % broadcast-ratio guard) and replayed here over a
+    // 10-wave arrival simulation on the embeddings corpus: wave w's batch
+    // is the vec_id % 10 == w slice, the corpus accumulates, the
+    // upsert-counter resets on every non-upsert. Ratios start at 100 %
+    // (wave 1 vs the wave-0 corpus) and decay as 1/w, so the output
+    // walks rebuild → upsert → upsert_refresh — the full decision surface
+    // in one checked relation. The policy itself is driver arithmetic
+    // over a ≤10-row wave census (the scaler posture); the oracle is a
+    // recursive CTE carrying (corpus, counter) state.
+    QueryDef("q436_nsw_policy",
+      s"""WITH RECURSIVE sz AS (
+         |  SELECT CAST(vec_id % 10 AS BIGINT) AS w,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM embeddings GROUP BY 1),
+         |st AS (
+         |  SELECT CAST(0 AS BIGINT) AS w, CAST(0 AS BIGINT) AS n_batch,
+         |         CAST(0 AS BIGINT) AS n_corpus,
+         |         (SELECT n FROM sz WHERE w = 0) AS corpus_after,
+         |         CAST(0 AS BIGINT) AS upserts_before,
+         |         CAST(0 AS BIGINT) AS counter_after,
+         |         'build' AS decision
+         |  UNION ALL
+         |  SELECT st.w + 1, sz.n, st.corpus_after,
+         |         st.corpus_after + sz.n,
+         |         st.counter_after,
+         |         CASE WHEN sz.n * 100 >=
+         |                st.corpus_after * ${NswGraph.UpsertMaxRatioPct}
+         |                OR st.counter_after + 1 >=
+         |                   ${NswGraph.RefreshEveryBatches}
+         |              THEN 0 ELSE st.counter_after + 1 END,
+         |         CASE WHEN sz.n * 100 >=
+         |                st.corpus_after * ${NswGraph.UpsertMaxRatioPct}
+         |              THEN 'rebuild'
+         |              WHEN st.counter_after + 1 >=
+         |                   ${NswGraph.RefreshEveryBatches}
+         |              THEN 'upsert_refresh'
+         |              ELSE 'upsert' END
+         |  FROM st JOIN sz ON sz.w = st.w + 1)
+         |SELECT w AS wave, n_batch, n_corpus, upserts_before, decision
+         |FROM st WHERE w >= 1 ORDER BY wave""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val byW = Tables.embeddings(s, d)
+        .groupBy((col("vec_id") % 10).as("w"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤10 rows
+      var corpus = byW.getOrElse(0L, 0L)
+      var counter = 0L
+      val rows = (1L to 9L).map { w =>
+        val nb = byW.getOrElse(w, 0L)
+        val dec = NswGraph.maintenanceDecision(nb, corpus, counter)
+        val row = (w, nb, corpus, counter, dec)
+        counter = if (dec == "upsert") counter + 1 else 0L
+        corpus += nb
+        row
+      }
+      rows.toDF("wave", "n_batch", "n_corpus", "upserts_before", "decision")
+        .orderBy("wave")
     }
   )
 }

@@ -88,6 +88,95 @@ class Round14Spec extends AnyFunSuite {
     assert(r.getAs[Long]("n_hashes_new") == r.getAs[Long]("n_tokens"))
   }
 
+  test("NSW maintenance policy: ratio guard, refresh cadence, upsert guard") {
+    import graft.operators.NswGraph
+    // broadcast-ratio guard: at or above 25% of the corpus → rebuild
+    assert(NswGraph.maintenanceDecision(25, 100, 0) == "rebuild")
+    assert(NswGraph.maintenanceDecision(250000, 1000000, 0) == "rebuild")
+    assert(NswGraph.maintenanceDecision(24, 100, 0) == "upsert")
+    assert(NswGraph.maintenanceDecision(1, 0, 0) == "rebuild",
+      "empty corpus is always a (first) build")
+    // refresh cadence: the 4th consecutive upsert carries the refresh
+    assert(NswGraph.maintenanceDecision(1, 100, 2) == "upsert")
+    assert(NswGraph.maintenanceDecision(1, 100, 3) == "upsert_refresh")
+    assert(NswGraph.maintenanceDecision(1, 100, 7) == "upsert_refresh")
+    // the checked upsert REFUSES a corpus-sized batch instead of
+    // broadcasting it (the wrong-call-at-scale failure mode)
+    val sql = spark
+    import sql.implicits._
+    val emb = (0L until 40L).map(i =>
+      (i, (0 until 4).map(dd => ((i * 7 + dd) % 5).toFloat))).toDF(
+      "vec_id", "embedding")
+    val base = emb.where(col("vec_id") < 20)
+    val batch = emb.where(col("vec_id") >= 20) // 20 vs 20 = 100% >= 25%
+    val g = graft.operators.NswGraph.buildRefined(base, "vec_id",
+      "embedding", dim = 4, bands = 2, rbits = 2, seed = 5, cap = 8,
+      kInternal = 6, rounds = 1, deg = 4)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.NswGraph.upsertChecked(base, batch, g, "vec_id",
+        "embedding", dim = 4, bands = 2, rbits = 2, seed = 5, cap = 8,
+        kInternal = 6, deg = 4)
+    }
+    assert(e.getMessage.contains("refusing upsert"))
+    // and a policy-approved batch goes through the same checked entry
+    val small = emb.where(col("vec_id") >= 36) // 4 of 36 = 11% < 25%
+    val g2 = graft.operators.NswGraph.buildRefined(
+      emb.where(col("vec_id") < 36), "vec_id", "embedding", dim = 4,
+      bands = 2, rbits = 2, seed = 5, cap = 8, kInternal = 6, rounds = 1,
+      deg = 4)
+    val up = graft.operators.NswGraph.upsertChecked(
+      emb.where(col("vec_id") < 36), small, g2, "vec_id", "embedding",
+      dim = 4, bands = 2, rbits = 2, seed = 5, cap = 8, kInternal = 6,
+      deg = 4)
+    assert(up.where(col("src") >= 36).count() > 0,
+      "upserted nodes must gain out-edges")
+    // the q436 replay walks the full decision surface in order
+    val decisions = run("q436_nsw_policy")
+      .orderBy("wave").collect().map(_.getAs[String]("decision")).toSeq
+    assert(decisions.take(4).forall(_ == "rebuild"),
+      s"waves 1-4 have batch/corpus >= 1/4: $decisions")
+    assert(decisions.contains("upsert") &&
+      decisions.contains("upsert_refresh"),
+      s"the simulation must exercise all three decisions: $decisions")
+  }
+
+  test("ExactSubstr finds exactly the planted maximal repeats") {
+    import graft.operators.ExactSubstr
+    val sql = spark
+    import sql.implicits._
+    // unique filler tokens (never repeat anywhere)
+    def noise(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val run = (0 until 20).map(i => s"shared$i") // the planted 20-token run
+    val short = (0 until 7).map(i => s"tiny$i")  // below minLen — invisible
+    // doc 3 carries the run with token 10 flipped → splits into 10 + 9
+    val broken = run.updated(10, "FLIPPED")
+    val docs = Seq(
+      (1L, (noise("a", 5) ++ run ++ noise("b", 4) ++ short).mkString(" ")),
+      (2L, (noise("c", 9) ++ run ++ noise("d", 2) ++ short).mkString(" ")),
+      (3L, (noise("e", 3) ++ broken ++ noise("f", 6)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = ExactSubstr.maximalRepeats(docs, col("doc_id"),
+        split(col("text"), " ", -1), minLen = 8, cap = 16)
+      .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // (1,2): the full 20-token run at 1-based offsets 6 and 10; the 7-token
+    // `short` block must NOT surface. (1,3)/(2,3): the flip splits the run
+    // into maximal halves of 10 and 9 — proves extension stops exactly at
+    // the mismatch and maximality needs no window alignment.
+    val expected = Set(
+      (1L, 2L, 6L, 10L, 20L),
+      (1L, 3L, 6L, 4L, 10L), (1L, 3L, 17L, 15L, 9L),
+      (2L, 3L, 10L, 4L, 10L), (2L, 3L, 21L, 15L, 9L))
+    assert(out == expected, s"got $out")
+    // fp equality across pairs sharing the same span content: the (1,2)
+    // full-run fp must differ from the half-run fps
+    val fps = ExactSubstr.maximalRepeats(docs, col("doc_id"),
+        split(col("text"), " ", -1), minLen = 8, cap = 16)
+      .select("len_tokens", "fp").as[(Long, Long)].collect().toSet
+    assert(fps.map(_._1) == Set(9L, 10L, 20L))
+    assert(fps.size == 3, "same span content must fingerprint identically")
+  }
+
   test("compaction recovery settles every crash window without loss or dup") {
     import graft.streaming.DocStreams
     val sql = spark
