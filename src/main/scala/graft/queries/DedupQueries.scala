@@ -860,6 +860,35 @@ object DedupQueries {
         .orderBy(col("len_tokens").desc, col("doc_a"), col("start_a"),
           col("doc_b"), col("start_b"))
         .limit(32)
+    },
+
+    // SimHash Hamming-distance near-dup pairs via Manku et al.'s WWW'07
+    // pigeonhole blocking — the PRODUCTION simhash posture q38's
+    // fingerprints exist to serve (two fingerprints within Hamming ≤ 3 of
+    // a 32-bit hash agree exactly on one of 4 8-bit blocks, so candidates
+    // come from 4 block equi-joins + a census cap, never an all-pairs
+    // Hamming scan; exact bit-count verify on candidates only). Output is
+    // the per-distance pair census with an order-insensitive pair
+    // checksum — it pins the exact pair SET without materializing ~10k
+    // pair rows into the checked relation.
+    QueryDef("q437_simhash_hamming", {
+      import graft.operators.SimHash
+      s"""WITH ${SimHash.hammingPairsSql("string_split(text, ' ')",
+            bits = 32, bands = 4, maxHamming = 3, cap = 64)}
+         |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(doc_a * 100003 + doc_b) % $Prime AS BIGINT)
+         |         AS pair_checksum
+         |FROM hp GROUP BY hamming ORDER BY hamming""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.SimHash
+      SimHash.hammingPairs(Tables.documents(s, d), col("doc_id"),
+          split(col("text"), " ", -1), bits = 32, bands = 4,
+          maxHamming = 3, cap = 64)
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(col("doc_a") * 100003L + col("doc_b")) % Prime)
+            .as("pair_checksum"))
+        .orderBy("hamming")
     }
   )
 }

@@ -289,7 +289,6 @@ object EventQueries {
       }
       val root = java.nio.file.Files
         .createTempDirectory("graft_ssjoin_q_").toFile
-      sys.addShutdownHook(rmrf(root))
       val ev = Tables.events(s, d)
         .where(col("event_type").isin("view", "purchase"))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
@@ -308,6 +307,9 @@ object EventQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // landing consumed; the result reads the memory sink + batch tables —
+      // delete now instead of deferring to a per-invocation shutdown hook
+      rmrf(root)
       def perUser(j: org.apache.spark.sql.DataFrame) =
         j.groupBy("user_id").agg(count(lit(1)).as("n_pairs"),
           sum(col("p_us") - col("v_us")).as("lat_us"))
@@ -568,7 +570,6 @@ object EventQueries {
       }
       val root = java.nio.file.Files
         .createTempDirectory("graft_timer_q_").toFile
-      sys.addShutdownHook(rmrf(root))
       val e = Tables.events(s, d).where(col("user_id") < 20)
         .select(col("user_id"), col("ts"))
         .persist() // wave split + the cutoff bound
@@ -613,6 +614,9 @@ object EventQueries {
           .where(col("end_ms") < col("m") - cutMs)
           .select("user_id", "start_ms", "end_ms", "n_events")
           .orderBy("user_id", "start_ms")
+          // session-census sized; materialize so the tmpdir deletes now
+          // instead of accumulating per bench rep via a shutdown hook
+          .localCheckpoint()
       } finally {
         prev match {
           case Some(p) =>
@@ -620,6 +624,7 @@ object EventQueries {
           case None =>
             s.conf.unset("spark.sql.streaming.stateStore.providerClass")
         }
+        rmrf(root)
       }
     },
 
@@ -716,7 +721,6 @@ object EventQueries {
       }
       val root = java.nio.file.Files
         .createTempDirectory("graft_tws_map_q_").toFile
-      sys.addShutdownHook(rmrf(root))
       val e = Tables.events(s, d).where(col("user_id") < 20)
         .select(col("user_id"), col("event_type"))
         .persist() // feeds the landing write and the batch-parity census
@@ -750,6 +754,8 @@ object EventQueries {
           .select(col("user_id"), col("event_type"), col("n_events"),
             (col("sn") === col("n_events")).as("stream_eq_batch"))
           .orderBy("user_id", "event_type")
+          // census-sized; materialize so the tmpdir deletes now (q383 note)
+          .localCheckpoint()
       } finally {
         prev match {
           case Some(p) =>
@@ -757,6 +763,7 @@ object EventQueries {
           case None =>
             s.conf.unset("spark.sql.streaming.stateStore.providerClass")
         }
+        rmrf(root)
       }
     },
 
@@ -974,7 +981,6 @@ object EventQueries {
       }
       val root = java.nio.file.Files
         .createTempDirectory("graft_ttl_q_").toFile
-      sys.addShutdownHook(rmrf(root))
       val e = Tables.events(s, d).where(col("user_id") < 20)
         .select(col("user_id"), expr("unix_micros(ts)").as("us"))
         .persist() // wave split boundary + both landing writes
@@ -1017,6 +1023,8 @@ object EventQueries {
         s.read.parquet(s"$root/out")
           .select("user_id", "ttl_cnt", "keep_cnt")
           .orderBy("user_id", "keep_cnt")
+          // the result READS $root/out — materialize before the delete
+          .localCheckpoint()
       } finally {
         prev match {
           case Some(p) =>
@@ -1024,6 +1032,7 @@ object EventQueries {
           case None =>
             s.conf.unset("spark.sql.streaming.stateStore.providerClass")
         }
+        rmrf(root)
       }
     },
 
@@ -1057,7 +1066,6 @@ object EventQueries {
       }
       val root = java.nio.file.Files
         .createTempDirectory("graft_late_q_").toFile
-      sys.addShutdownHook(rmrf(root))
       val e = Tables.events(s, d).select(col("ts"),
           expr("unix_micros(ts)").as("us"))
         .persist() // wave split boundary + both landing writes
@@ -1085,9 +1093,14 @@ object EventQueries {
       e.where(col("us") <= mid).select("ts").coalesce(1)
         .write.mode("append").parquet(s"$root/landing")
       drain()
-      s.read.parquet(s"$root/out")
+      // the result READS $root/out — materialize (day-census sized), then
+      // delete the tmpdir now instead of via an accumulating shutdown hook
+      val out = s.read.parquet(s"$root/out")
         .select(expr("unix_millis(start)").as("window_start_ms"), col("n"))
         .orderBy("window_start_ms")
+        .localCheckpoint()
+      rmrf(root)
+      out
     },
 
     // Time-based split — the ML-data split temporal problems REQUIRE
@@ -1220,7 +1233,6 @@ object EventQueries {
       }
       val root = java.nio.file.Files
         .createTempDirectory("graft_tws_q_").toFile
-      sys.addShutdownHook(rmrf(root))
       val e = Tables.events(s, d).where(col("user_id") < 20)
         .select(col("user_id"),
           round(greatest(col("value"), lit(0)) * 100, 0).cast("long")
@@ -1260,6 +1272,8 @@ object EventQueries {
             (col("sn") === col("n_events")
               && col("smx") === col("max_cents")).as("stream_eq_batch"))
           .orderBy("user_id")
+          // census-sized; materialize so the tmpdir deletes now (q383 note)
+          .localCheckpoint()
       } finally {
         prev match {
           case Some(p) =>
@@ -1267,6 +1281,7 @@ object EventQueries {
           case None =>
             s.conf.unset("spark.sql.streaming.stateStore.providerClass")
         }
+        rmrf(root)
       }
     },
 
@@ -1375,7 +1390,6 @@ object EventQueries {
       }
       val root = java.nio.file.Files
         .createTempDirectory("graft_sewma_q_").toFile
-      sys.addShutdownHook(rmrf(root))
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"),
           expr("unix_micros(ts) div 86400000000").as("day"))
@@ -1420,6 +1434,8 @@ object EventQueries {
         s.read.parquet(s"$root/out")
           .select("event_type", "day", "y_cents", "ewma_cents")
           .orderBy("event_type", "day")
+          // the result READS $root/out — materialize before the delete
+          .localCheckpoint()
       } finally {
         prev match {
           case Some(p) =>
@@ -1427,6 +1443,7 @@ object EventQueries {
           case None =>
             s.conf.unset("spark.sql.streaming.stateStore.providerClass")
         }
+        rmrf(root)
       }
     },
 
@@ -5041,6 +5058,241 @@ object EventQueries {
         .toDF("event_type", "day", "y_cents", "f_hw", "f_holt",
           "err_hw", "err_holt")
         .orderBy("event_type", "day")
+    },
+
+    // SCD Type-2 dimension build — the warehouse primitive that turns a
+    // change stream into validity INTERVALS (Kimball's slowly-changing
+    // dimension): per user, each run of consecutive identical states
+    // (state = the event type, ordered by (ts, event_id)) becomes one
+    // versioned row [valid_from, valid_to), open-ended for the current
+    // state. Exactly the lag-mark → filter-changes → lead-close shape a
+    // MERGE-based SCD pipeline computes: two windows per user key, no
+    // self-joins, nothing corpus-sized moves twice. Integer microseconds;
+    // version numbers are the change ranks so the output is fully ordered.
+    QueryDef("q438_scd2_intervals",
+      """WITH e AS (
+        |  SELECT user_id, event_type AS state, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE user_id < 10),
+        |m AS (SELECT user_id, state, us, event_id,
+        |             lag(state) OVER (PARTITION BY user_id
+        |               ORDER BY us, event_id) AS pstate
+        |      FROM e),
+        |c AS (SELECT user_id, state, us AS valid_from_us,
+        |             CAST(row_number() OVER (PARTITION BY user_id
+        |               ORDER BY us, event_id) AS BIGINT) AS version,
+        |             lead(us) OVER (PARTITION BY user_id
+        |               ORDER BY us, event_id) AS valid_to_us
+        |      FROM m WHERE pstate IS NULL OR state <> pstate)
+        |SELECT user_id, version, state, valid_from_us,
+        |       CAST(coalesce(valid_to_us, -1) AS BIGINT) AS valid_to_us,
+        |       valid_to_us IS NULL AS is_current
+        |FROM c ORDER BY user_id, version""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val e = Tables.events(s, d).where(col("user_id") < 10)
+        .select(col("user_id"), col("event_type").as("state"),
+          expr("unix_micros(ts)").as("us"), col("event_id"))
+      val changes = e
+        .withColumn("pstate", lag("state", 1).over(w))
+        .where(col("pstate").isNull || col("state") =!= col("pstate"))
+      changes
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to_raw", lead("us", 1).over(w))
+        .select(col("user_id"), col("version"), col("state"),
+          col("us").as("valid_from_us"),
+          coalesce(col("valid_to_raw"), lit(-1L)).as("valid_to_us"),
+          col("valid_to_raw").isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    },
+
+    // Split-conformal prediction intervals (Vovk; Lei et al. 2018) — the
+    // DISTRIBUTION-FREE uncertainty wrapper an ML serving pipeline puts
+    // around any point predictor: hash-split events into train/cal/test,
+    // predict each type's cents by its train mean, take q̂ = the exact
+    // ⌈(n+1)·0.9⌉-th smallest calibration |residual| (a RANK statistic —
+    // oracle-exact where a float quantile isn't), and report the measured
+    // test coverage of pred ± q̂, which the conformal guarantee lower-
+    // bounds at ~90 % regardless of how wrong the model is. Scale: one
+    // census per split + a per-type rank pick inside a keyed window.
+    QueryDef("q439_conformal_interval", {
+      val b = graft.functions.Hashes.bucketSql("event_id", 131, 10)
+      s"""WITH e AS (
+         |  SELECT event_id, event_type,
+         |         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         |         $b AS b
+         |  FROM events),
+         |tr AS (SELECT event_type,
+         |              CAST(count(*) AS BIGINT) AS n_train,
+         |              CAST(sum(cents) AS BIGINT) // count(*) AS pred_cents
+         |       FROM e WHERE b < 6 GROUP BY event_type),
+         |cal AS (SELECT e.event_type, abs(cents - pred_cents) AS r,
+         |               event_id
+         |        FROM e JOIN tr USING (event_type)
+         |        WHERE b >= 6 AND b < 8),
+         |cn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal
+         |       FROM cal GROUP BY event_type),
+         |rk AS (SELECT event_type, r,
+         |              row_number() OVER (PARTITION BY event_type
+         |                ORDER BY r, event_id) AS rn
+         |       FROM cal),
+         |qh AS (SELECT rk.event_type, CAST(rk.r AS BIGINT) AS qhat_cents,
+         |              cn.n_cal
+         |       FROM rk JOIN cn USING (event_type)
+         |       WHERE rk.rn = least(((cn.n_cal + 1) * 9 + 9) // 10,
+         |                           cn.n_cal)),
+         |te AS (SELECT e.event_type,
+         |              CAST(count(*) AS BIGINT) AS n_test,
+         |              CAST(sum(CASE WHEN abs(cents - pred_cents)
+         |                       <= qhat_cents THEN 1 ELSE 0 END)
+         |                   AS BIGINT) AS n_cov
+         |       FROM e JOIN tr USING (event_type) JOIN qh
+         |         ON qh.event_type = e.event_type
+         |       WHERE b >= 8 GROUP BY e.event_type)
+         |SELECT tr.event_type, tr.n_train, tr.pred_cents, qh.n_cal,
+         |       qh.qhat_cents, te.n_test,
+         |       te.n_cov * 1000000 // te.n_test AS coverage_ppm
+         |FROM tr JOIN qh ON qh.event_type = tr.event_type
+         |        JOIN te ON te.event_type = tr.event_type
+         |ORDER BY tr.event_type""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Hashes
+      val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          Hashes.bucket(col("event_id"), 131, 10).as("b"))
+        .persist() // three split scans
+      val tr = e.where(col("b") < 6).groupBy("event_type")
+        .agg(count(lit(1)).as("n_train"),
+          expr("sum(cents) div count(1)").as("pred_cents"))
+      val trB = broadcast(tr) // ≤ |event_type| rows
+      val cal = e.where(col("b") >= 6 && col("b") < 8)
+        .join(trB, "event_type")
+        .select(col("event_type"), abs(col("cents") - col("pred_cents"))
+          .as("r"), col("event_id"))
+      val cn = cal.groupBy("event_type").agg(count(lit(1)).as("n_cal"))
+      val wr = Window.partitionBy("event_type").orderBy("r", "event_id")
+      val qh = cal.withColumn("rn", row_number().over(wr))
+        .join(broadcast(cn), "event_type")
+        .where(col("rn") ===
+          least(expr("((n_cal + 1) * 9 + 9) div 10"), col("n_cal")))
+        .select(col("event_type"), col("r").as("qhat_cents"), col("n_cal"))
+      val te = e.where(col("b") >= 8)
+        .join(trB, "event_type").join(broadcast(qh), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(abs(col("cents") - col("pred_cents"))
+            <= col("qhat_cents"), 1L).otherwise(0L)).as("n_cov"))
+      tr.join(qh, "event_type").join(te, "event_type")
+        .select(col("event_type"), col("n_train"), col("pred_cents"),
+          col("n_cal"), col("qhat_cents"), col("n_test"),
+          expr("n_cov * 1000000 div n_test").as("coverage_ppm"))
+        .orderBy("event_type")
+    },
+
+    // Group k-fold assignment + leakage audit — the CV split GROUPED data
+    // requires (all of a user's events in ONE fold, else user-level
+    // features leak across folds): fold = salted hash of the GROUP key.
+    // The audit column pair states the property as data: users spanning
+    // ≥2 folds under the group split (0 by construction) vs under the
+    // naive EVENT-hash split (almost every multi-event user) — the
+    // leakage this operator exists to prevent, measured on this corpus.
+    // Scale: two distinct-censuses + a fold rollup; the fold key is a
+    // projection, never a shuffle of its own.
+    QueryDef("q440_group_kfold", {
+      val gf = graft.functions.Hashes.bucketSql("user_id", 77, 5)
+      val ef = graft.functions.Hashes.bucketSql("event_id", 77, 5)
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |         $gf AS fold, $ef AS efold
+         |  FROM events),
+         |per AS (SELECT fold,
+         |               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |               CAST(count(*) AS BIGINT) AS n_events,
+         |               CAST(sum(CASE WHEN event_type = 'purchase'
+         |                        THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+         |                 // count(*) AS purchase_ppm
+         |        FROM e GROUP BY fold),
+         |sg AS (SELECT CAST(count(*) AS BIGINT) AS spanning_group FROM (
+         |         SELECT user_id FROM e GROUP BY user_id
+         |         HAVING count(DISTINCT fold) > 1)),
+         |sn AS (SELECT CAST(count(*) AS BIGINT) AS spanning_naive FROM (
+         |         SELECT user_id FROM e GROUP BY user_id
+         |         HAVING count(DISTINCT efold) > 1))
+         |SELECT fold, n_users, n_events, purchase_ppm,
+         |       spanning_group, spanning_naive
+         |FROM per CROSS JOIN sg CROSS JOIN sn ORDER BY fold""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+          col("event_type"),
+          Hashes.bucket(col("user_id"), 77, 5).as("fold"),
+          Hashes.bucket(col("event_id"), 77, 5).as("efold"))
+        .persist() // fold rollup + both spanning censuses
+      val per = e.groupBy("fold").agg(
+        countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        expr("sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)" +
+          " * 1000000 div count(1)").as("purchase_ppm"))
+      val sg = e.groupBy("user_id")
+        .agg(countDistinct("fold").as("nf"))
+        .where(col("nf") > 1)
+        .agg(count(lit(1)).as("spanning_group"))
+      val sn = e.groupBy("user_id")
+        .agg(countDistinct("efold").as("nf"))
+        .where(col("nf") > 1)
+        .agg(count(lit(1)).as("spanning_naive"))
+      per.crossJoin(broadcast(sg)).crossJoin(broadcast(sn))
+        .select("fold", "n_users", "n_events", "purchase_ppm",
+          "spanning_group", "spanning_naive")
+        .orderBy("fold")
+    },
+
+    // Leave-one-out target encoding with additive smoothing — the
+    // categorical-feature op every tabular pipeline ships, stated
+    // leakage-FREE: a row's own label is excluded from its category mean
+    // (enc_e = (sum − own + m·prior) / (n − 1 + m), m = 10, prior = the
+    // global rate), because the naive in-fold mean leaks the label into
+    // the feature. All integer e6 arithmetic from two censuses — the
+    // global rate broadcast, the per-user census joined back; the LOO
+    // subtraction is a projection, never a self-join. Output: per-user
+    // audit of the encoded values (count, min, max, sum) so the checked
+    // relation stays user-census-sized.
+    QueryDef("q441_target_encoding",
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |g AS (SELECT CAST(sum(y) AS BIGINT) * 1000000
+        |        // count(*) AS prior_e6 FROM e),
+        |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(y) AS BIGINT) AS sy
+        |      FROM e GROUP BY user_id),
+        |enc AS (SELECT e.user_id, e.event_id,
+        |               ((u.sy - e.y) * 1000000 + 10 * g.prior_e6)
+        |                 // (u.n - 1 + 10) AS enc_e6
+        |        FROM e JOIN u USING (user_id) CROSS JOIN g)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(min(enc_e6) AS BIGINT) AS min_e6,
+        |       CAST(max(enc_e6) AS BIGINT) AS max_e6,
+        |       CAST(sum(enc_e6) AS BIGINT) AS sum_e6
+        |FROM enc WHERE user_id < 20
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .persist() // global rate + per-user census + the encode pass
+      val g = broadcast(e.agg(
+        expr("sum(y) * 1000000 div count(1)").as("prior_e6")))
+      val u = e.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+      e.join(u, "user_id").crossJoin(g)
+        .select(col("user_id"),
+          expr("((sy - y) * 1000000 + 10 * prior_e6) div (n - 1 + 10)")
+            .as("enc_e6"))
+        .where(col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"), min("enc_e6").as("min_e6"),
+          max("enc_e6").as("max_e6"), sum("enc_e6").as("sum_e6"))
+        .orderBy("user_id")
     }
   )
 }
