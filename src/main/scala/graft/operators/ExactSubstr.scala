@@ -94,6 +94,107 @@ object ExactSubstr {
       .distinct()
   }
 
+  /** Cross-relation [[maximalRepeats]] — the PROBE side (an arriving batch)
+    * against the CORPUS side (the accumulated store): corpus windows are
+    * censused and capped, probe windows join them, extension runs pair-
+    * locally exactly as in the self-join form. This is the exact-substring
+    * INGEST GATE posture (the MinHash gate's exact counterpart —
+    * [[graft.streaming.DocStreams.nearDupGate]] admits by estimated
+    * Jaccard; this rejects on any shared verbatim run ≥ minLen, the
+    * contamination-grade contract). Returns
+    * (probe_id, corpus_id, start_p, start_c, len_tokens, fp).
+    */
+  def crossMaximalRepeats(probe: DataFrame, corpus: DataFrame, key: Column,
+                          tokens: Column, minLen: Int, cap: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val L = minLen
+    def windows(docs: DataFrame, side: String) = {
+      val t = docs.select(key.as(s"${side}_id"), tokens.as(s"t$side"))
+      (t, t.select(col(s"${side}_id"),
+          posexplode(DupSpans.windowKeys(col(s"t$side"), L)))
+        .select(col(s"${side}_id"), (col("pos") + 1).as(s"p$side"),
+          col("col").as("wkey")))
+    }
+    val (tp, wp) = windows(probe, "probe")
+    val (tc, wc) = windows(corpus, "corpus")
+    // cap the CORPUS buckets (the stored side a boilerplate window floods);
+    // a probe window matching an over-capped corpus window is censored —
+    // the MinHash capped-bucket argument verbatim
+    val cen = wc.groupBy("wkey").agg(count(lit(1)).as("c"))
+      .where(col("c") <= cap).select("wkey")
+    val pairs = wp.join(wc.join(cen, "wkey"), "wkey")
+      .select("probe_id", "pprobe", "corpus_id", "pcorpus")
+    def firstRun(eq: Column): Column =
+      when(array_position(eq, false) === 0, size(eq).cast("long"))
+        .otherwise(array_position(eq, false) - 1)
+    pairs
+      .join(tp, "probe_id").join(tc, "corpus_id")
+      .withColumn("eql", zip_with(
+        reverse(expr("slice(tprobe, 1, pprobe - 1)")),
+        reverse(expr("slice(tcorpus, 1, pcorpus - 1)")),
+        (x, y) => coalesce(x === y, lit(false))))
+      .withColumn("eqr", zip_with(
+        expr(s"slice(tprobe, pprobe + $L, size(tprobe))"),
+        expr(s"slice(tcorpus, pcorpus + $L, size(tcorpus))"),
+        (x, y) => coalesce(x === y, lit(false))))
+      .withColumn("l", firstRun(col("eql")))
+      .withColumn("r", firstRun(col("eqr")))
+      .select(col("probe_id"), col("corpus_id"),
+        (col("pprobe") - col("l")).as("start_p"),
+        (col("pcorpus") - col("l")).as("start_c"),
+        (col("l") + L + col("r")).as("len_tokens"),
+        Hashes.tokenRollingHash(expr(
+          s"slice(tprobe, cast(pprobe - l as int), cast(l + $L + r as int))"))
+          .as("fp"))
+      .distinct()
+  }
+
+  /** DuckDB CTE chain of [[crossMaximalRepeats]] over `documents` split by
+    * `probePred` / `corpusPred` — ends at `xmr(probe_id, corpus_id,
+    * start_p, start_c, len_tokens, fp)`.
+    */
+  def crossMaximalRepeatsSql(toksExpr: String, probePred: String,
+                             corpusPred: String, minLen: Int,
+                             cap: Int): String = {
+    val L = minLen
+    s"""tp AS (SELECT doc_id AS probe_id, $toksExpr AS tprobe
+       |       FROM documents WHERE $probePred),
+       |tc AS (SELECT doc_id AS corpus_id, $toksExpr AS tcorpus
+       |       FROM documents WHERE $corpusPred),
+       |wp AS (SELECT probe_id, i AS pp,
+       |             array_to_string(tprobe[i:i + ${L - 1}], chr(1)) AS wkey
+       |      FROM tp, unnest(range(1, len(tprobe) - ${L - 2})) AS u(i)),
+       |wc AS (SELECT corpus_id, i AS pc,
+       |             array_to_string(tcorpus[i:i + ${L - 1}], chr(1)) AS wkey
+       |      FROM tc, unnest(range(1, len(tcorpus) - ${L - 2})) AS u(i)),
+       |ccen AS (SELECT wkey FROM wc GROUP BY wkey
+       |         HAVING count(*) <= $cap),
+       |xpr AS (SELECT wp.probe_id, wp.pp, wc.corpus_id, wc.pc
+       |        FROM wp JOIN ccen USING (wkey) JOIN wc USING (wkey)),
+       |xwt AS (SELECT xpr.*, tp.tprobe, tc.tcorpus
+       |        FROM xpr JOIN tp USING (probe_id) JOIN tc USING (corpus_id)),
+       |xex AS (SELECT probe_id, corpus_id, pp, pc, tprobe,
+       |  list_transform(list_zip(list_reverse(tprobe[1:pp - 1]),
+       |                          list_reverse(tcorpus[1:pc - 1])),
+       |                 q -> coalesce(q[1] = q[2], false)) AS eql,
+       |  list_transform(list_zip(tprobe[pp + $L:], tcorpus[pc + $L:]),
+       |                 q -> coalesce(q[1] = q[2], false)) AS eqr
+       |  FROM xwt),
+       |xlr AS (SELECT probe_id, corpus_id, pp, pc, tprobe,
+       |  CASE WHEN list_position(eql, false) = 0 THEN len(eql)
+       |       ELSE list_position(eql, false) - 1 END AS l,
+       |  CASE WHEN list_position(eqr, false) = 0 THEN len(eqr)
+       |       ELSE list_position(eqr, false) - 1 END AS r
+       |  FROM xex),
+       |xmr AS (SELECT DISTINCT probe_id, corpus_id,
+       |  CAST(pp - l AS BIGINT) AS start_p,
+       |  CAST(pc - l AS BIGINT) AS start_c,
+       |  CAST(l + $L + r AS BIGINT) AS len_tokens,
+       |  ${Hashes.tokenRollingHashSql(
+            s"tprobe[pp - l:pp - l + l + $L + r - 1]")} AS fp
+       |  FROM xlr)""".stripMargin
+  }
+
   /** DuckDB oracle of [[maximalRepeats]] — the same census → capped pairs →
     * extension arithmetic (list_zip pads with NULL, list_position returns 0
     * on no-match, both matching Spark).

@@ -889,6 +889,99 @@ object DedupQueries {
           (sum(col("doc_a") * 100003L + col("doc_b")) % Prime)
             .as("pair_checksum"))
         .orderBy("hamming")
+    },
+
+    // WEIGHTED Jaccard verification — q37's exact-Jaccard verify treats a
+    // document as a shingle SET; repetition-heavy near-dups (boilerplate
+    // with the same lines repeated different numbers of times) need the
+    // multiset form: wj = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b), the
+    // histogram-intersection similarity. Candidates come from the SAME
+    // banding surface (never all pairs); the verify is two token censuses
+    // joined on the candidate set, all integer, with Σmax derived as
+    // na + nb − Σmin so one join computes both. Threshold 0.3 on the ppm.
+    QueryDef("q443_weighted_jaccard",
+      s"""WITH ${LshPairsSql.cte},
+         |tf AS (SELECT doc_id, tk AS token,
+         |              CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS tk FROM t)
+         |       GROUP BY doc_id, tk),
+         |nt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS ntok
+         |       FROM tf GROUP BY doc_id),
+         |iw AS (SELECT c.doc_a, c.doc_b,
+         |              CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS inter
+         |       FROM cand c
+         |       JOIN tf a ON a.doc_id = c.doc_a
+         |       JOIN tf b ON b.doc_id = c.doc_b AND b.token = a.token
+         |       GROUP BY c.doc_a, c.doc_b),
+         |wj AS (SELECT iw.doc_a, iw.doc_b, iw.inter,
+         |              iw.inter * 1000000
+         |                // (na.ntok + nb.ntok - iw.inter) AS wj_ppm
+         |       FROM iw JOIN nt na ON na.doc_id = iw.doc_a
+         |               JOIN nt nb ON nb.doc_id = iw.doc_b)
+         |SELECT doc_a, doc_b, inter, wj_ppm FROM wj
+         |WHERE wj_ppm >= 300000 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = split(col("text"), " ", -1)
+      val cand = MinHash.candidates(docs, col("doc_id"), toks)
+      val tf = docs.select(col("doc_id"), explode(toks).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .persist() // both candidate sides + the totals census
+      val nt = tf.groupBy("doc_id").agg(sum("tf").as("ntok"))
+      val iw = cand
+        .join(tf.select(col("doc_id").as("doc_a"), col("token"),
+          col("tf").as("tfa")), "doc_a")
+        .join(tf.select(col("doc_id").as("doc_b"), col("token"),
+          col("tf").as("tfb")), Seq("doc_b", "token"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(least(col("tfa"), col("tfb"))).as("inter"))
+      iw.join(nt.select(col("doc_id").as("doc_a"), col("ntok").as("na")),
+          "doc_a")
+        .join(nt.select(col("doc_id").as("doc_b"), col("ntok").as("nb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          expr("inter * 1000000 div (na + nb - inter)").as("wj_ppm"))
+        .where(col("wj_ppm") >= 300000)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Exact-substring INGEST GATE — q435's operator in its production
+    // posture: an arriving batch (odd doc_ids) probes the accumulated
+    // corpus (even doc_ids); any shared verbatim run ≥ 8 tokens rejects
+    // the probe doc. This is the MinHash gate's exact counterpart — the
+    // contamination-grade admission contract (benchmark decontamination,
+    // license-text quarantine) where an estimated Jaccard is not a
+    // defense. Corpus-side window buckets are capped; per probe doc the
+    // output carries the hit census + the longest shared run, so the
+    // admission decision is auditable, not just boolean.
+    QueryDef("q444_exact_substr_gate",
+      s"""WITH ${graft.operators.ExactSubstr.crossMaximalRepeatsSql(
+            "string_split(text, ' ')", probePred = "doc_id % 2 = 1",
+            corpusPred = "doc_id % 2 = 0", minLen = 8, cap = 16)},
+         |hits AS (SELECT probe_id,
+         |                CAST(count(*) AS BIGINT) AS n_hits,
+         |                CAST(max(len_tokens) AS BIGINT) AS max_len
+         |         FROM xmr GROUP BY probe_id)
+         |SELECT p.probe_id AS doc_id,
+         |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(h.max_len, 0) AS BIGINT) AS max_len,
+         |       h.n_hits IS NULL AS admitted
+         |FROM tp p LEFT JOIN hits h USING (probe_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = split(col("text"), " ", -1)
+      val probe = docs.where(col("doc_id") % 2 === 1)
+      val corpus = docs.where(col("doc_id") % 2 === 0)
+      val xmr = graft.operators.ExactSubstr.crossMaximalRepeats(
+        probe, corpus, col("doc_id"), toks, minLen = 8, cap = 16)
+      val hits = xmr.groupBy("probe_id")
+        .agg(count(lit(1)).as("n_hits"), max("len_tokens").as("max_len"))
+      probe.select(col("doc_id").as("probe_id"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id").as("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("max_len"), lit(0L)).as("max_len"),
+          col("n_hits").isNull.as("admitted"))
+        .orderBy("doc_id")
     }
   )
 }

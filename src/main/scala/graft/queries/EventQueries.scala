@@ -5293,6 +5293,57 @@ object EventQueries {
         .agg(count(lit(1)).as("n_rows"), min("enc_e6").as("min_e6"),
           max("enc_e6").as("max_e6"), sum("enc_e6").as("sum_e6"))
         .orderBy("user_id")
+    },
+
+    // Greedy TTL throttle — at most one KEPT occurrence per user per
+    // 7-day window, greedily from the first (the notification-rate-limit
+    // / crawl-politeness / retention-dedup primitive). NOT sessionization:
+    // a user active EVERY day re-keeps on days 1, 8, 15, … under the
+    // throttle, while q28's gap sessions would chain forever and keep
+    // only day 1. The kept set is a sequential recurrence (next kept =
+    // first day ≥ last kept + 7), so it rides the q410 machinery —
+    // flatMapSortedGroups with O(1) state per key, oracle as the same
+    // recursive CTE — and the full per-day trace is hash-checked, not
+    // just the kept count. Scale: one day census + one keyed exchange
+    // with secondary sort; recursion depth = active days per user.
+    QueryDef("q442_ttl_throttle",
+      """WITH RECURSIVE d AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE user_id < 30 GROUP BY 1, 2),
+        |r AS (SELECT user_id, day,
+        |             CAST(row_number() OVER (PARTITION BY user_id
+        |               ORDER BY day) AS BIGINT) AS rn
+        |      FROM d),
+        |rec(user_id, rn, day, kept, last_kept) AS (
+        |  SELECT user_id, rn, day, CAST(1 AS BIGINT), day
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.rn, r.day,
+        |         CAST(CASE WHEN r.day >= rec.last_kept + 7
+        |              THEN 1 ELSE 0 END AS BIGINT),
+        |         CASE WHEN r.day >= rec.last_kept + 7
+        |              THEN r.day ELSE rec.last_kept END
+        |  FROM r JOIN rec ON r.user_id = rec.user_id
+        |                 AND r.rn = rec.rn + 1)
+        |SELECT user_id, CAST(day AS BIGINT) AS day, kept
+        |FROM rec ORDER BY user_id, day""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d).where(col("user_id") < 30)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .flatMapSortedGroups(col("day")) { (k, rows) =>
+          var lastKept = Long.MinValue / 2
+          rows.map { case (_, day) =>
+            val kept = if (day >= lastKept + 7) 1L else 0L
+            if (kept == 1L) lastKept = day
+            (k, day, kept)
+          }
+        }
+        .toDF("user_id", "day", "kept")
+        .orderBy("user_id", "day")
     }
   )
 }

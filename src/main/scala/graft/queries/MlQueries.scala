@@ -3727,6 +3727,53 @@ object MlQueries {
         .select(col("bin"), col("n"), col("pos"),
           expr("pos * 1000000000 div n").as("raw_e9"), col("iso_e9"))
         .orderBy("bin")
+    },
+
+    // Reliability diagram + expected calibration error — the model-eval
+    // primitive that asks whether a classifier's SCORES mean what they
+    // say (a 0.7 bucket should convert at 70 %): q20's sigmoid scores
+    // over lineitem, label = returnflag R, 10 equal score bins; per bin
+    // the mean claimed probability vs the realized rate, and ECE = the
+    // n-weighted mean |gap| as one constant column. The sigmoid is e6-
+    // quantized ONCE per row (the q327 transcendental discipline), so
+    // every downstream number is exact integer arithmetic. Scale: one
+    // scored projection + a ≤10-row census.
+    QueryDef("q445_reliability_diagram",
+      """WITH sc AS (
+        |  SELECT CAST(round(1 / (1 + exp(-(-2.0 + l_discount * 10 * 4.0
+        |           + l_quantity / 50.0 * 1.0))) * 1000000, 0) AS BIGINT)
+        |           AS p_e6,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |b AS (SELECT p_e6 * 10 // 1000001 AS bin, p_e6, y FROM sc),
+        |cen AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(p_e6) AS BIGINT) // count(*) AS mean_p_e6,
+        |               CAST(sum(y) AS BIGINT) * 1000000
+        |                 // count(*) AS rate_e6
+        |        FROM b GROUP BY bin),
+        |g AS (SELECT bin, n, mean_p_e6, rate_e6,
+        |             abs(mean_p_e6 - rate_e6) AS gap_e6 FROM cen),
+        |ece AS (SELECT CAST(sum(n * gap_e6) AS BIGINT)
+        |          // CAST(sum(n) AS BIGINT) AS ece_e6 FROM g)
+        |SELECT bin, n, mean_p_e6, rate_e6, gap_e6, ece.ece_e6
+        |FROM g CROSS JOIN ece ORDER BY bin""".stripMargin) { (s, d) =>
+      val sc = Tables.lineitem(s, d).select(
+        expr("cast(round(1 / (1 + exp(-(-2.0 + l_discount * 10 * 4.0" +
+          " + l_quantity / 50.0 * 1.0))) * 1000000, 0) as bigint)")
+          .as("p_e6"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      val g = sc.withColumn("bin", expr("p_e6 * 10 div 1000001"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(p_e6) div count(1)").as("mean_p_e6"),
+          expr("sum(y) * 1000000 div count(1)").as("rate_e6"))
+        .withColumn("gap_e6", abs(col("mean_p_e6") - col("rate_e6")))
+        .persist() // output rows + the ECE fold
+      val ece = g.agg(
+        expr("sum(n * gap_e6) div sum(n)").as("ece_e6"))
+      g.crossJoin(broadcast(ece))
+        .select("bin", "n", "mean_p_e6", "rate_e6", "gap_e6", "ece_e6")
+        .orderBy("bin")
     }
   )
 }

@@ -177,6 +177,86 @@ class Round14Spec extends AnyFunSuite {
     assert(fps.size == 3, "same span content must fingerprint identically")
   }
 
+  test("exact-substring gate rejects the planted contamination only") {
+    import graft.operators.ExactSubstr
+    val sql = spark
+    import sql.implicits._
+    val run = (0 until 10).map(i => s"lic$i") // the quarantined text
+    val corpus = Seq(
+      (0L, ((0 until 12).map(i => s"c0x$i") ++ run).mkString(" ")),
+      (2L, (0 until 30).map(i => s"c2x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, ((0 until 5).map(i => s"p1x$i") ++ run ++
+        Seq("tail1")).mkString(" ")),                 // carries the run
+      (3L, (0 until 25).map(i => s"p3x$i").mkString(" "))) // clean
+      .toDF("doc_id", "text")
+    val xmr = ExactSubstr.crossMaximalRepeats(probe, corpus, col("doc_id"),
+        split(col("text"), " ", -1), minLen = 8, cap = 16)
+      .select("probe_id", "corpus_id", "start_p", "start_c", "len_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(xmr == Set((1L, 0L, 6L, 13L, 10L)),
+      s"gate must find exactly the planted 10-token run: $xmr")
+  }
+
+  test("weighted Jaccard is the multiset form: repetition changes the score") {
+    // hand case: A = [x x x y], B = [x y y] →
+    // Σmin = min(3,1) + min(1,2) = 2; Σmax = na + nb − Σmin = 4 + 3 − 2 = 5
+    // wj = 2/5 = 0.4 — the SET Jaccard of {x, y} vs {x, y} would be 1.0
+    val inter = math.min(3, 1) + math.min(1, 2)
+    val wjPpm = inter * 1000000L / (4 + 3 - inter)
+    assert(wjPpm == 400000L)
+    // on the corpus: every q443 pair satisfies 0 < wj_ppm <= 1e6 and
+    // inter <= min doc length by construction
+    val rows = run("q443_weighted_jaccard").collect()
+    rows.foreach { r =>
+      val wj = r.getAs[Long]("wj_ppm")
+      assert(wj >= 300000L && wj <= 1000000L)
+      assert(r.getAs[Long]("inter") > 0)
+    }
+  }
+
+  test("reliability diagram: ECE is the n-weighted mean gap") {
+    val rows = run("q445_reliability_diagram").collect()
+    assert(rows.nonEmpty)
+    val ece = rows.head.getAs[Long]("ece_e6")
+    assert(rows.forall(_.getAs[Long]("ece_e6") == ece), "ECE is global")
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val wsum = rows.map(r => r.getAs[Long]("n") * r.getAs[Long]("gap_e6")).sum
+    assert(ece == wsum / n, "ECE must equal the weighted mean of bin gaps")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mean_p_e6") >= 0 &&
+        r.getAs[Long]("mean_p_e6") <= 1000000)
+      assert(r.getAs[Long]("rate_e6") >= 0 &&
+        r.getAs[Long]("rate_e6") <= 1000000)
+    }
+  }
+
+  test("TTL throttle re-keeps a steady stream; sessionization would not") {
+    val rows = run("q442_ttl_throttle").collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("day"))
+      // greedy contract: kept days are >= 7 apart, and every dropped day
+      // is < 7 after the last kept day
+      var lastKept = Long.MinValue / 2
+      sorted.foreach { r =>
+        val day = r.getAs[Long]("day")
+        val kept = r.getAs[Long]("kept")
+        if (kept == 1L) {
+          assert(day >= lastKept + 7, s"user $u kept day $day too soon")
+          lastKept = day
+        } else {
+          assert(day < lastKept + 7, s"user $u should have kept day $day")
+        }
+      }
+      assert(sorted.head.getAs[Long]("kept") == 1L, "first day always kept")
+    }
+    // the corpus spans ~30 uniformly-active days, so multi-keep users exist
+    assert(byUser.values.exists(_.count(_.getAs[Long]("kept") == 1L) >= 2),
+      "fixture must exercise the re-keep path sessionization lacks")
+  }
+
   test("compaction recovery settles every crash window without loss or dup") {
     import graft.streaming.DocStreams
     val sql = spark
