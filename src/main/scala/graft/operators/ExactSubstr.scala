@@ -16,29 +16,31 @@ import graft.functions.Hashes
   * Suffix-array-free distributed formulation (the suffix array is the
   * single-node tool; this is the bucketed equivalent):
   *
-  *   1. ANCHOR CENSUS — every L-token window, EXACT key (-joined, the
-  *      [[DupSpans.islandsExact]] discipline — hashes would admit false
-  *      anchors). Any repeat of length ≥ L contains at least one full
+  *   1. ANCHOR CENSUS — every L-token window anchors a position. Round
+  *      10 moved the census keys to the 8-byte FOLD HASH
+  *      ([[DupSpans.shingleHashes]]) — fixed-width shuffle keys whatever
+  *      L is (vs shuffling the corpus ~L× over as window strings at
+  *      100 TB) — with the literal windows re-verified after the pair
+  *      join (step 3), so false anchors from hash collisions never
+  *      survive. Any repeat of length ≥ L contains at least one full
   *      L-window, so anchors lose nothing.
-  *   2. BUCKET-CAPPED PAIRS — windows sharing a key pair up inside their
+  *   2. BUCKET-CAPPED PAIRS — windows sharing a hash pair up inside their
   *      census bucket, buckets over `cap` docs dropped as boilerplate
   *      (the MinHash census-cap argument verbatim: a bucket of B anchors
   *      would emit B²/2 pairs on one reducer; true long repeats survive
   *      through their other, less common anchors).
-  *   3. BIDIRECTIONAL EXTENSION — each candidate pair joins both token
-  *      arrays and extends left/right while tokens match (row-local array
-  *      arithmetic, no shuffle). Every anchor inside the same repeat
-  *      extends to the SAME maximal (start_a, start_b, len) tuple, so a
-  *      plain distinct de-anchors the result — maximality needs no
-  *      neighbor comparison.
+  *   3. EXACT RE-VERIFY + BIDIRECTIONAL EXTENSION — each candidate pair
+  *      joins both token arrays, REJECTS hash-collision anchors by
+  *      comparing the literal L-token windows (row-local slice equality),
+  *      then extends left/right while tokens match. Every surviving
+  *      anchor inside the same repeat extends to the SAME maximal
+  *      (start_a, start_b, len) tuple, so a plain distinct de-anchors the
+  *      result — maximality needs no neighbor comparison.
   *
-  * Scale shape: one token explode (the census every shingle family already
-  * pays, with L-token key strings — at 100 TB one would fingerprint the
-  * census keys and let the extension re-verify exactness; kept exact here
-  * so the anchor stage is collision-free by construction), one capped
+  * Scale shape: one token explode with 8-byte census keys, one capped
   * equi-join, two doc_id equi-joins to fetch token arrays for the
-  * (candidate-sized, not corpus-sized) pair set, then row-local extension.
-  * Nothing is ever all-pairs.
+  * (candidate-sized, not corpus-sized) pair set, then row-local verify +
+  * extension. Nothing is ever all-pairs.
   */
 object ExactSubstr {
 
@@ -52,20 +54,24 @@ object ExactSubstr {
     val L = minLen
     val t = docs.select(key.as("doc_id"), tokens.as("toks"))
     val w = t.select(col("doc_id"),
-        posexplode(DupSpans.windowKeys(col("toks"), L)))
-      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("wkey"))
-    val cen = w.groupBy("wkey").agg(count(lit(1)).as("c"))
+        posexplode(DupSpans.shingleHashes(col("toks"), L)))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("wh"))
+    val cen = w.groupBy("wh").agg(count(lit(1)).as("c"))
       .where(col("c") >= 2 && col("c") <= cap)
-      .select("wkey")
-    val wd = w.join(cen, "wkey")
+      .select("wh")
+    val wd = w.join(cen, "wh")
     val pairs = wd.as("a")
       .join(wd.as("b"),
-        col("a.wkey") === col("b.wkey") && col("a.doc_id") < col("b.doc_id"))
+        col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("a.p").as("pa"),
         col("b.doc_id").as("doc_b"), col("b.p").as("pb"))
     val withToks = pairs
       .join(t.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
       .join(t.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+      // exact anchor re-verify: a hash-collision candidate whose literal
+      // windows differ is rejected here, which is what makes the 8-byte
+      // census keys sound
+      .where(expr(s"slice(ta, pa, $L)") === expr(s"slice(tb, pb, $L)"))
     // extension: first-mismatch index over the zipped flanks; zip_with pads
     // the shorter flank with null → coalesce(…, false) stops at a document
     // boundary (both engines pad the same way). array_position returns 0
@@ -111,24 +117,27 @@ object ExactSubstr {
     def windows(docs: DataFrame, side: String) = {
       val t = docs.select(key.as(s"${side}_id"), tokens.as(s"t$side"))
       (t, t.select(col(s"${side}_id"),
-          posexplode(DupSpans.windowKeys(col(s"t$side"), L)))
+          posexplode(DupSpans.shingleHashes(col(s"t$side"), L)))
         .select(col(s"${side}_id"), (col("pos") + 1).as(s"p$side"),
-          col("col").as("wkey")))
+          col("col").as("wh")))
     }
     val (tp, wp) = windows(probe, "probe")
     val (tc, wc) = windows(corpus, "corpus")
     // cap the CORPUS buckets (the stored side a boilerplate window floods);
     // a probe window matching an over-capped corpus window is censored —
-    // the MinHash capped-bucket argument verbatim
-    val cen = wc.groupBy("wkey").agg(count(lit(1)).as("c"))
-      .where(col("c") <= cap).select("wkey")
-    val pairs = wp.join(wc.join(cen, "wkey"), "wkey")
+    // the MinHash capped-bucket argument verbatim. Keys are the 8-byte
+    // fold hashes; the literal windows are re-verified after the join.
+    val cen = wc.groupBy("wh").agg(count(lit(1)).as("c"))
+      .where(col("c") <= cap).select("wh")
+    val pairs = wp.join(wc.join(cen, "wh"), "wh")
       .select("probe_id", "pprobe", "corpus_id", "pcorpus")
     def firstRun(eq: Column): Column =
       when(array_position(eq, false) === 0, size(eq).cast("long"))
         .otherwise(array_position(eq, false) - 1)
     pairs
       .join(tp, "probe_id").join(tc, "corpus_id")
+      .where(expr(s"slice(tprobe, pprobe, $L)") ===
+        expr(s"slice(tcorpus, pcorpus, $L)"))
       .withColumn("eql", zip_with(
         reverse(expr("slice(tprobe, 1, pprobe - 1)")),
         reverse(expr("slice(tcorpus, 1, pcorpus - 1)")),
@@ -161,18 +170,24 @@ object ExactSubstr {
        |       FROM documents WHERE $probePred),
        |tc AS (SELECT doc_id AS corpus_id, $toksExpr AS tcorpus
        |       FROM documents WHERE $corpusPred),
-       |wp AS (SELECT probe_id, i AS pp,
-       |             array_to_string(tprobe[i:i + ${L - 1}], chr(1)) AS wkey
-       |      FROM tp, unnest(range(1, len(tprobe) - ${L - 2})) AS u(i)),
-       |wc AS (SELECT corpus_id, i AS pc,
-       |             array_to_string(tcorpus[i:i + ${L - 1}], chr(1)) AS wkey
-       |      FROM tc, unnest(range(1, len(tcorpus) - ${L - 2})) AS u(i)),
-       |ccen AS (SELECT wkey FROM wc GROUP BY wkey
+       |wp AS (SELECT probe_id, u.i AS pp, shp[u.i] AS wh
+       |       FROM (SELECT probe_id,
+       |               ${DupSpans.shingleHashesSql("tprobe", L)} AS shp
+       |             FROM tp) sp,
+       |            unnest(range(1, len(shp) + 1)) AS u(i)),
+       |wc AS (SELECT corpus_id, u.i AS pc, shc[u.i] AS wh
+       |       FROM (SELECT corpus_id,
+       |               ${DupSpans.shingleHashesSql("tcorpus", L)} AS shc
+       |             FROM tc) sc,
+       |            unnest(range(1, len(shc) + 1)) AS u(i)),
+       |ccen AS (SELECT wh FROM wc GROUP BY wh
        |         HAVING count(*) <= $cap),
        |xpr AS (SELECT wp.probe_id, wp.pp, wc.corpus_id, wc.pc
-       |        FROM wp JOIN ccen USING (wkey) JOIN wc USING (wkey)),
+       |        FROM wp JOIN ccen USING (wh) JOIN wc USING (wh)),
        |xwt AS (SELECT xpr.*, tp.tprobe, tc.tcorpus
-       |        FROM xpr JOIN tp USING (probe_id) JOIN tc USING (corpus_id)),
+       |        FROM xpr JOIN tp USING (probe_id) JOIN tc USING (corpus_id)
+       |        WHERE tp.tprobe[xpr.pp:xpr.pp + ${L - 1}]
+       |            = tc.tcorpus[xpr.pc:xpr.pc + ${L - 1}]),
        |xex AS (SELECT probe_id, corpus_id, pp, pc, tprobe,
        |  list_transform(list_zip(list_reverse(tprobe[1:pp - 1]),
        |                          list_reverse(tcorpus[1:pc - 1])),
@@ -202,18 +217,22 @@ object ExactSubstr {
   def maximalRepeatsSql(toksExpr: String, minLen: Int, cap: Int): String = {
     val L = minLen
     s"""t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
-       |w AS (SELECT doc_id, i AS p,
-       |             array_to_string(toks[i:i + ${L - 1}], chr(1)) AS wkey
-       |      FROM t, unnest(range(1, len(toks) - ${L - 2})) AS u(i)),
-       |cen AS (SELECT wkey FROM w GROUP BY wkey
+       |w AS (SELECT doc_id, u.i AS p, sh[u.i] AS wh
+       |      FROM (SELECT doc_id,
+       |              ${DupSpans.shingleHashesSql("toks", L)} AS sh
+       |            FROM t) s,
+       |           unnest(range(1, len(sh) + 1)) AS u(i)),
+       |cen AS (SELECT wh FROM w GROUP BY wh
        |        HAVING count(*) >= 2 AND count(*) <= $cap),
        |pr AS (SELECT a.doc_id AS doc_a, a.p AS pa,
        |              b.doc_id AS doc_b, b.p AS pb
-       |       FROM w a JOIN cen USING (wkey) JOIN w b USING (wkey)
+       |       FROM w a JOIN cen USING (wh) JOIN w b USING (wh)
        |       WHERE a.doc_id < b.doc_id),
        |wt AS (SELECT pr.*, x.toks AS ta, y.toks AS tb
        |       FROM pr JOIN t x ON x.doc_id = pr.doc_a
-       |               JOIN t y ON y.doc_id = pr.doc_b),
+       |               JOIN t y ON y.doc_id = pr.doc_b
+       |       WHERE x.toks[pr.pa:pr.pa + ${L - 1}]
+       |           = y.toks[pr.pb:pr.pb + ${L - 1}]),
        |ex AS (SELECT doc_a, doc_b, pa, pb, ta,
        |  list_transform(list_zip(list_reverse(ta[1:pa - 1]),
        |                          list_reverse(tb[1:pb - 1])),
