@@ -512,6 +512,25 @@ object ScaleProbe {
           s"${DiskAnn.filesOpened.sum} files=${m * 24 * 2}")
         out
       },
+      // ExactSubstr maximal repeats (q435): anchors are 8-byte fold hashes
+      // (census O(tokens)), every doc pair (2i, 2i+1) shares one 80-token
+      // run unique to the pair — bucket sizes stay 2 at ANY corpus size,
+      // so candidate pairs and extension work grow linearly with docs,
+      // never quadratically. The shape must track the census families
+      // (exponent ≈ 1), proving the operator is anchor-census-bound
+      "exact_substr" -> { m =>
+        val n = m * 1000L
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+          transform(sequence(lit(0), lit(399)), t =>
+            when(t.between(100, 179),
+              concat(lit("r"), (col("id") / 2).cast("long"), lit("_"), t))
+              .otherwise(concat(lit("u"), col("id"), lit("_"), t)))
+            .as("toks"))
+        graft.operators.ExactSubstr.maximalRepeats(docs, col("doc_id"),
+            col("toks"), minLen = 8, cap = 16)
+          .groupBy().agg(count(lit(1)).as("n_repeats"),
+            sum("len_tokens").as("tok_sum"))
+      },
       // Quantile sketch (q400): bottom-k rank sample as a map-side-partial
       // aggregate — the exchange carries ≤ k pairs per group whatever the
       // input size, so the shape must track the hash-aggregate family
