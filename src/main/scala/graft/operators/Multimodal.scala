@@ -343,6 +343,99 @@ object Multimodal {
         f.sumV, f.wsum)
   }
 
+  /** Per-PATCH image features — the ViT-style patchify ingest op (image →
+    * grid of patch×patch tiles → one row per tile). Partial edge tiles are
+    * DROPPED (the standard contract; a resize precedes patchify when full
+    * coverage matters), which the 6/10-high fixtures exercise. One decoder
+    * row per tile: the first 1:N media decoder — decodeBatch flatMaps.
+    */
+  final case class PatchFeatures(id: Long, py: Long, px: Long, nPx: Long,
+                                 sumR: Long, sumG: Long, sumB: Long)
+
+  class PatchifyDecoder(patch: Int) extends MediaDecoder[PatchFeatures] {
+    require(patch >= 1)
+    override def decodeBatch(batch: Array[(Long, Array[Byte])]): Array[PatchFeatures] =
+      batch.flatMap { case (id, bytes) =>
+        val img = MediaCodecs.decodePpm(bytes)
+        val pw = img.width / patch
+        val ph = img.height / patch
+        for (py <- 0 until ph; px <- 0 until pw) yield {
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = py * patch
+          while (y < (py + 1) * patch) {
+            var x = px * patch
+            while (x < (px + 1) * patch) {
+              val i = (y * img.width + x) * 3
+              sr += img.pixels(i) & 0xff
+              sg += img.pixels(i + 1) & 0xff
+              sb += img.pixels(i + 2) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          PatchFeatures(id, py.toLong, px.toLong,
+            patch.toLong * patch, sr, sg, sb)
+        }
+      }
+    override val schema: StructType = new StructType()
+      .add("media_id", LongType).add("py", LongType).add("px", LongType)
+      .add("n_px", LongType).add("sum_r", LongType)
+      .add("sum_g", LongType).add("sum_b", LongType)
+    override def toRow(f: PatchFeatures): Row =
+      Row(f.id, f.py, f.px, f.nPx, f.sumR, f.sumG, f.sumB)
+  }
+
+  /** Energy-threshold activity segments over PCM frames — the VAD-style
+    * segmentation an audio ingest pipeline runs before transcription
+    * (frames of `frame` samples, active iff Σ|s| > threshold, maximal
+    * active runs become segments). Partial tail frames are dropped; one
+    * row per segment (1:N like [[PatchifyDecoder]]).
+    */
+  final case class VadSegment(id: Long, segIdx: Long, startF: Long,
+                              endF: Long, nFrames: Long, energy: Long)
+
+  class VadDecoder(frame: Int, threshold: Long)
+      extends MediaDecoder[VadSegment] {
+    require(frame >= 1)
+    override def decodeBatch(batch: Array[(Long, Array[Byte])]): Array[VadSegment] =
+      batch.flatMap { case (id, bytes) =>
+        val clip = MediaCodecs.decodeWav(bytes)
+        val nF = clip.samples.length / frame
+        val segs = scala.collection.mutable.ArrayBuffer.empty[VadSegment]
+        var segStart = -1L
+        var segEnergy = 0L
+        var f = 0
+        while (f <= nF) {
+          val e =
+            if (f == nF) -1L // sentinel closes a trailing run
+            else {
+              var s = 0L
+              var t = f * frame
+              while (t < (f + 1) * frame) {
+                s += math.abs(clip.samples(t).toLong); t += 1
+              }
+              s
+            }
+          if (e > threshold) {
+            if (segStart < 0) { segStart = f; segEnergy = 0L }
+            segEnergy += e
+          } else if (segStart >= 0) {
+            segs += VadSegment(id, segs.length.toLong, segStart, f - 1L,
+              f - segStart, segEnergy)
+            segStart = -1L
+          }
+          f += 1
+        }
+        segs
+      }
+    override val schema: StructType = new StructType()
+      .add("media_id", LongType).add("seg_idx", LongType)
+      .add("start_frame", LongType).add("end_frame", LongType)
+      .add("n_frames", LongType).add("energy", LongType)
+    override def toRow(f: VadSegment): Row =
+      Row(f.id, f.segIdx, f.startF, f.endF, f.nFrames, f.energy)
+  }
+
   def readMedia(spark: SparkSession, dir: String, glob: String): DataFrame =
     spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
       .select(

@@ -2300,6 +2300,49 @@ object CurationQueries {
           min("d").as("dow_min"), max("d").as("dow_max"),
           min("t").as("tier_min"), max("t").as("tier_max"))
         .orderBy("cell_id")
+    },
+
+    // ε-differentially-private released counts (the Laplace mechanism,
+    // Dwork 2006) — the privacy family's RELEASE primitive next to the
+    // k-anon/l-div/t-closeness audits: per event type, true count +
+    // Laplace(1/ε) noise at ε = 1. The "draw" is the salted full-content
+    // hash of the released key mapped through the Laplace inverse CDF —
+    // deterministic, so both engines replay the released number exactly
+    // (a production system would use a sealed RNG; the MECHANISM —
+    // sensitivity-1 count, inverse-CDF transform, e6 quantization — is
+    // what this query states). u ∈ (0,1) strictly by the +0.5/1e6
+    // mapping, so ln(1 − 2|u − ½|) never sees 0. The noise is
+    // e6-quantized ONCE (the q327 transcendental discipline); released =
+    // true·1e6 + noise_e6. Scale: a keyed census + O(1) scalar math.
+    QueryDef("q448_dp_counts", {
+      val u = s"((${graft.functions.Hashes.tokenHashSql("event_type")})" +
+        " % 1000000 + 0.5) / 1000000.0"
+      s"""WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS true_n
+         |           FROM events GROUP BY event_type),
+         |n AS (SELECT event_type, true_n, $u AS u FROM c),
+         |r AS (SELECT event_type, true_n,
+         |             CAST(round(CASE WHEN u >= 0.5 THEN -1 ELSE 1 END
+         |               * ln(1 - 2 * abs(u - 0.5)) * 1000000, 0) AS BIGINT)
+         |               AS noise_e6
+         |      FROM n)
+         |SELECT event_type, true_n, noise_e6,
+         |       true_n * 1000000 + noise_e6 AS released_e6,
+         |       abs(noise_e6) AS abs_err_e6
+         |FROM r ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      Tables.events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("true_n"))
+        .withColumn("u",
+          (Hashes.tokenHash(col("event_type")) % 1000000L + 0.5)
+            / 1000000.0d)
+        .withColumn("noise_e6", expr(
+          "cast(round(CASE WHEN u >= 0.5 THEN -1 ELSE 1 END" +
+            " * ln(1 - 2 * abs(u - 0.5)) * 1000000, 0) as bigint)"))
+        .select(col("event_type"), col("true_n"), col("noise_e6"),
+          (col("true_n") * 1000000L + col("noise_e6")).as("released_e6"),
+          abs(col("noise_e6")).as("abs_err_e6"))
+        .orderBy("event_type")
     }
   )
 }

@@ -3774,6 +3774,90 @@ object MlQueries {
       g.crossJoin(broadcast(ece))
         .select("bin", "n", "mean_p_e6", "rate_e6", "gap_e6", "ece_e6")
         .orderBy("bin")
+    },
+
+    // pass@k — THE code/reasoning-eval estimator (Chen et al. 2021,
+    // Codex): with n attempts per task and c successes, the unbiased
+    // estimator is 1 − C(n−c, k)/C(n, k) = 1 − ∏_{j<k} (n−c−j)/(n−j).
+    // The product form runs in exact int64 (n = 20, k ≤ 10 → ∏ ≤ 20¹⁰),
+    // and a zero factor (c > n − k) lands pass = 1 with no clamp branch.
+    // The attempt log is the salted-hash synthetic (task difficulty
+    // 5–34 %), so both engines replay it; output = per-k mean pass@k
+    // over the task census — the number an eval report leads with.
+    QueryDef("q446_pass_at_k", {
+      val h = graft.functions.Hashes.mulHashSql("t * 100 + i", 313)
+      s"""WITH a AS (
+         |  SELECT t.t, i.i,
+         |         CASE WHEN ($h) % 100 < 5 + (t.t * 7) % 30
+         |              THEN 1 ELSE 0 END AS ok
+         |  FROM (SELECT unnest(range(0, 50)) AS t) t,
+         |       (SELECT unnest(range(0, 20)) AS i) i),
+         |c AS (SELECT t, CAST(sum(ok) AS BIGINT) AS c,
+         |             CAST(count(*) AS BIGINT) AS n
+         |      FROM a GROUP BY t),
+         |pk AS (SELECT k.k, c.t,
+         |         1000000 - list_reduce(list_prepend(CAST(1 AS BIGINT),
+         |             list_transform(range(0, k.k),
+         |               j -> c.n - c.c - j)),
+         |           (acc, f) -> acc * f) * 1000000
+         |           // list_reduce(list_prepend(CAST(1 AS BIGINT),
+         |             list_transform(range(0, k.k), j -> c.n - j)),
+         |           (acc, f) -> acc * f) AS pass_e6
+         |       FROM c, (SELECT unnest([1, 5, 10]) AS k) k)
+         |SELECT k, CAST(count(*) AS BIGINT) AS n_tasks,
+         |       CAST(sum(pass_e6) AS BIGINT) AS sum_pass_e6,
+         |       CAST(sum(pass_e6) AS BIGINT) // count(*) AS mean_pass_e6
+         |FROM pk GROUP BY k ORDER BY k""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      val a = s.range(50).select(col("id").as("t"))
+        .crossJoin(s.range(20).select(col("id").as("i")))
+        .select(col("t"), col("i"),
+          when(Hashes.mulHash(col("t") * 100 + col("i"), 313) % 100
+            < lit(5) + (col("t") * 7) % 30, 1L).otherwise(0L).as("ok"))
+      val c = a.groupBy("t")
+        .agg(sum("ok").as("c"), count(lit(1)).as("n"))
+      c.crossJoin(
+          s.range(1).select(explode(array(lit(1), lit(5), lit(10))).as("k")))
+        .select(col("k"), col("t"),
+          expr("1000000L - aggregate(sequence(0, k - 1), 1L," +
+            " (acc, j) -> acc * (n - c - j)) * 1000000L" +
+            " div aggregate(sequence(0, k - 1), 1L," +
+            " (acc, j) -> acc * (n - j))").as("pass_e6"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_tasks"), sum("pass_e6").as("sum_pass_e6"),
+          expr("sum(pass_e6) div count(1)").as("mean_pass_e6"))
+        .select("k", "n_tasks", "sum_pass_e6", "mean_pass_e6")
+        .orderBy("k")
+    },
+
+    // ViT-style PATCHIFY — image → grid of 4×4 tiles → one relation row
+    // per tile (the vision-transformer ingest shape; the first 1:N media
+    // decoder, proving decodeFeatures' batch contract covers flatMap
+    // decoders). Partial edge tiles are DROPPED — the 6- and 10-pixel-high
+    // fixtures exercise exactly that contract (1 and 2 full tile rows).
+    // Oracle replays per-tile channel sums from the fixture arithmetic
+    // restricted to the covered pixel grid.
+    QueryDef("q449_patchify", MediaSql.patchifySql) { (s, _) =>
+      Multimodal.decodeFeatures(
+        Multimodal.readMedia(s, MediaSql.fixtureDir, "*.ppm"),
+        new Multimodal.PatchifyDecoder(4))
+        .orderBy("media_id", "py", "px")
+    },
+
+    // VAD-style activity segmentation — PCM frames of 32 samples, a frame
+    // is ACTIVE iff Σ|s| > 32·1024 (half the max mean amplitude), maximal
+    // active runs become segments: the voice-activity shape an audio
+    // pipeline runs before transcription, emitted as one row per segment
+    // (1:N decoder like q449's). Partial tail frames drop (the 80-sample
+    // fixtures exercise it). Oracle replays frame energies from the WAV
+    // fixture arithmetic and rebuilds the runs with the gaps-and-islands
+    // row_number trick.
+    QueryDef("q450_vad_segments", MediaSql.vadSql) { (s, _) =>
+      Multimodal.decodeFeatures(
+        Multimodal.readMedia(s, MediaSql.fixtureDir, "*.wav"),
+        new Multimodal.VadDecoder(32, 32L * 1024))
+        .orderBy("media_id", "seg_idx")
     }
   )
 }
@@ -4151,6 +4235,61 @@ private[queries] object MediaSql {
        |       CAST(sum(CASE WHEN ch = 2 THEN p END) AS BIGINT) AS sum_b,
        |       CAST(sum((f + 1) * p) AS BIGINT) AS wsum
        |FROM v GROUP BY i ORDER BY media_id""".stripMargin
+
+  /** q449: per-4×4-tile channel sums over the PPM fixtures, full tiles
+    * only — the covered grid is x < (w//4)·4, y < (h//4)·4; pixel values
+    * replay from the fixture arithmetic in IMAGE order.
+    */
+  val patchifySql: String =
+    s"""WITH dims AS (SELECT i, 8 + (i % 3) * 4 AS w, 6 + (i % 2) * 4 AS h
+       |              FROM (SELECT unnest(range(0, 24)) AS i)),
+       |py AS (SELECT i, w, h, yy.y FROM dims,
+       |       unnest(range(0, (h // 4) * 4)) AS yy(y)),
+       |px AS (SELECT i, w, y, xx.x FROM py,
+       |       unnest(range(0, (w // 4) * 4)) AS xx(x)),
+       |ch AS (SELECT i, w, y, x, cc.c,
+       |              (y * w + x) * 3 + cc.c AS f
+       |       FROM px, unnest(range(0, 3)) AS cc(c)),
+       |v AS (SELECT i, y // 4 AS py, x // 4 AS px, c,
+       |             (f * $K + 97 * i) % 256 AS p
+       |      FROM ch)
+       |SELECT i AS media_id, CAST(py AS BIGINT) AS py,
+       |       CAST(px AS BIGINT) AS px,
+       |       CAST(count(*) // 3 AS BIGINT) AS n_px,
+       |       CAST(sum(CASE WHEN c = 0 THEN p END) AS BIGINT) AS sum_r,
+       |       CAST(sum(CASE WHEN c = 1 THEN p END) AS BIGINT) AS sum_g,
+       |       CAST(sum(CASE WHEN c = 2 THEN p END) AS BIGINT) AS sum_b
+       |FROM v GROUP BY i, py, px ORDER BY media_id, py, px""".stripMargin
+
+  /** q450: frame energies from the WAV fixture arithmetic (frames of 32,
+    * partial tails dropped), active iff energy > 32·1024, maximal runs via
+    * the gaps-and-islands row_number trick.
+    */
+  val vadSql: String =
+    s"""WITH clips AS (SELECT j, 64 + 16 * j AS n
+       |               FROM (SELECT unnest(range(0, 8)) AS j)),
+       |fr AS (SELECT j, ff.f FROM clips,
+       |       unnest(range(0, n // 32)) AS ff(f)),
+       |sm AS (SELECT j, f,
+       |              abs(((tt.t * $K + 131 * j) % 4096) - 2048) AS a
+       |       FROM fr, unnest(range(f * 32, (f + 1) * 32)) AS tt(t)),
+       |en AS (SELECT j, f, CAST(sum(a) AS BIGINT) AS e
+       |       FROM sm GROUP BY j, f),
+       |act AS (SELECT j, f, e FROM en WHERE e > 32 * 1024),
+       |isl AS (SELECT j, f, e,
+       |               f - row_number() OVER (PARTITION BY j ORDER BY f)
+       |                 AS g
+       |        FROM act),
+       |seg AS (SELECT j, g, CAST(min(f) AS BIGINT) AS start_frame,
+       |               CAST(max(f) AS BIGINT) AS end_frame,
+       |               CAST(count(*) AS BIGINT) AS n_frames,
+       |               CAST(sum(e) AS BIGINT) AS energy
+       |        FROM isl GROUP BY j, g)
+       |SELECT j AS media_id,
+       |       CAST(row_number() OVER (PARTITION BY j ORDER BY start_frame)
+       |            - 1 AS BIGINT) AS seg_idx,
+       |       start_frame, end_frame, n_frames, energy
+       |FROM seg ORDER BY media_id, seg_idx""".stripMargin
 
   val audioSql: String =
     s"""WITH clips AS (SELECT j, 64 + 16 * j AS n

@@ -2962,6 +2962,93 @@ object SimilarityQueries {
       }
       rows.toDF("wave", "n_batch", "n_corpus", "upserts_before", "decision")
         .orderBy("wave")
+    },
+
+    // BINARY (sign) embedding quantization + Hamming retrieval — the
+    // 32×-compression rung below int8 (q229's family): each 64-d float
+    // vector becomes two 32-bit sign words (bit d set iff e[d] > 0 — the
+    // corpus has no exact zeros, asserted by construction of the
+    // fixture), distance = popcount of the XOR. The eval harness ranks
+    // every query's corpus by Hamming and by exact cosine and reports
+    // recall@10 — the measured price of 32× smaller vectors, per query,
+    // not assumed. Scale: quantization is a projection; the brute
+    // Hamming scan is the small-query-side broadcast shape (q40's
+    // posture) — the production path would bucket on word prefixes.
+    QueryDef("q447_binary_quant", {
+      def packSql(lo: Int): String =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform(range(0, 32),
+           |    d -> CASE WHEN embedding[d + $lo + 1] > 0
+           |         THEN (CAST(1 AS BIGINT) << CAST(d AS INT))
+           |         ELSE 0 END)), (a, b) -> a + b)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+         |                  ${packSql(0)} AS w0, ${packSql(32)} AS w1
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+         |             w0 AS q0, w1 AS q1
+         |      FROM v WHERE vec_id < 5),
+         |hb AS (SELECT query_id, v.vec_id AS nid,
+         |              bit_count(xor(q0, v.w0)) + bit_count(xor(q1, v.w1))
+         |                AS ham
+         |       FROM q JOIN v ON v.vec_id <> query_id),
+         |hr AS (SELECT query_id, nid, ham, row_number() OVER (
+         |         PARTITION BY query_id ORDER BY ham, nid) AS rk
+         |       FROM hb),
+         |cb AS (SELECT query_id, v.vec_id AS nid,
+         |              round(${dotSql("qv", "v.embedding")}
+         |                    / (qn * v.nrm), 6) AS cos
+         |       FROM q JOIN v ON v.vec_id <> query_id),
+         |cr AS (SELECT query_id, nid, row_number() OVER (
+         |         PARTITION BY query_id ORDER BY cos DESC, nid) AS rk
+         |       FROM cb),
+         |m AS (SELECT h.query_id,
+         |             CAST(count(c.nid) AS BIGINT) AS n_hit
+         |      FROM hr h LEFT JOIN cr c
+         |        ON c.query_id = h.query_id AND c.nid = h.nid
+         |           AND c.rk <= 10
+         |      WHERE h.rk <= 10 GROUP BY h.query_id)
+         |SELECT query_id, n_hit,
+         |       n_hit * 1000000 // 10 AS recall10_ppm
+         |FROM m ORDER BY query_id""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Tensors
+      def pack(lo: Int) =
+        expr(s"aggregate(sequence(0, 31), 0L, (acc, d) -> acc +" +
+          s" CASE WHEN element_at(embedding, d + $lo + 1) > 0" +
+          s" THEN shiftleft(1L, d) ELSE 0L END)")
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          Tensors.norm(col("embedding")).as("nrm"),
+          pack(0).as("w0"), pack(32).as("w1"))
+        .persist() // query slice + both brute scans
+      val q = v.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("w0").as("q0"), col("w1").as("q1"))
+      val hb = broadcast(q).join(v, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("nid"),
+          (bit_count(expr("q0 ^ w0")) + bit_count(expr("q1 ^ w1")))
+            .cast("long").as("ham"))
+      val wh = Window.partitionBy("query_id").orderBy("ham", "nid")
+      val hr = hb.withColumn("rk", row_number().over(wh))
+        .where(col("rk") <= 10).select("query_id", "nid")
+      val cb = broadcast(q).join(v, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("nid"),
+          round(Tensors.dot(col("qv"), col("embedding"))
+            / (col("qn") * col("nrm")), 6).as("cos"))
+      val wc = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("nid"))
+      val cr = cb.withColumn("rk", row_number().over(wc))
+        .where(col("rk") <= 10).select("query_id", "nid")
+      val crr = cr.select(col("query_id").as("cqid"), col("nid").as("cnid"))
+      hr.join(crr,
+          col("query_id") === col("cqid") && col("nid") === col("cnid"),
+          "left")
+        .groupBy("query_id")
+        .agg(count(col("cnid")).as("n_hit"))
+        .select(col("query_id"), col("n_hit"),
+          expr("n_hit * 1000000 div 10").as("recall10_ppm"))
+        .orderBy("query_id")
     }
   )
 }
