@@ -12,6 +12,31 @@ import graft.Tables
   */
 object EventQueries {
 
+  /** Shared by q442 (batch recurrence) and q451 (streaming twin): the
+    * greedy TTL-throttle trace — streamed ≡ batch by the shared hash.
+    */
+  private val ttlThrottleSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events WHERE user_id < 30 GROUP BY 1, 2),
+      |r AS (SELECT user_id, day,
+      |             CAST(row_number() OVER (PARTITION BY user_id
+      |               ORDER BY day) AS BIGINT) AS rn
+      |      FROM d),
+      |rec(user_id, rn, day, kept, last_kept) AS (
+      |  SELECT user_id, rn, day, CAST(1 AS BIGINT), day
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.user_id, r.rn, r.day,
+      |         CAST(CASE WHEN r.day >= rec.last_kept + 7
+      |              THEN 1 ELSE 0 END AS BIGINT),
+      |         CASE WHEN r.day >= rec.last_kept + 7
+      |              THEN r.day ELSE rec.last_kept END
+      |  FROM r JOIN rec ON r.user_id = rec.user_id
+      |                 AND r.rn = rec.rn + 1)
+      |SELECT user_id, CAST(day AS BIGINT) AS day, kept
+      |FROM rec ORDER BY user_id, day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Tumbling 1-hour event-time window per type.
@@ -5306,27 +5331,7 @@ object EventQueries {
     // recursive CTE — and the full per-day trace is hash-checked, not
     // just the kept count. Scale: one day census + one keyed exchange
     // with secondary sort; recursion depth = active days per user.
-    QueryDef("q442_ttl_throttle",
-      """WITH RECURSIVE d AS (
-        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
-        |  FROM events WHERE user_id < 30 GROUP BY 1, 2),
-        |r AS (SELECT user_id, day,
-        |             CAST(row_number() OVER (PARTITION BY user_id
-        |               ORDER BY day) AS BIGINT) AS rn
-        |      FROM d),
-        |rec(user_id, rn, day, kept, last_kept) AS (
-        |  SELECT user_id, rn, day, CAST(1 AS BIGINT), day
-        |  FROM r WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.user_id, r.rn, r.day,
-        |         CAST(CASE WHEN r.day >= rec.last_kept + 7
-        |              THEN 1 ELSE 0 END AS BIGINT),
-        |         CASE WHEN r.day >= rec.last_kept + 7
-        |              THEN r.day ELSE rec.last_kept END
-        |  FROM r JOIN rec ON r.user_id = rec.user_id
-        |                 AND r.rn = rec.rn + 1)
-        |SELECT user_id, CAST(day AS BIGINT) AS day, kept
-        |FROM rec ORDER BY user_id, day""".stripMargin) { (s, d) =>
+    QueryDef("q442_ttl_throttle", ttlThrottleSql) { (s, d) =>
       import s.implicits._
       Tables.events(s, d).where(col("user_id") < 30)
         .select(col("user_id"),
@@ -5344,6 +5349,77 @@ object EventQueries {
         }
         .toDF("user_id", "day", "kept")
         .orderBy("user_id", "day")
+    },
+
+    // STREAMING TTL throttle — q442's recurrence run where the operator
+    // actually lives in production (a notification rate-limiter is a
+    // stream job): StatefulStreams.Throttle holds the last KEPT day per
+    // user in transformWithState ValueState; the q412 ordered-wave
+    // harness (early calendar half drains to a stop, late half resumes
+    // the SAME RocksDB checkpoint) proves the throttle state survives a
+    // full restart. Oracle = q442's recursive CTE VERBATIM — streamed ≡
+    // batch, row for row, by the shared hash.
+    QueryDef("q451_stream_throttle", ttlThrottleSql) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+      import org.apache.spark.sql.types.{LongType, StructType}
+      import graft.streaming.StatefulStreams
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_thr_q_").toFile
+      val ud = Tables.events(s, d).where(col("user_id") < 30)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+        .persist() // wave split boundary + both landing writes
+      val mid = ud.agg(expr("(min(day) + max(day)) div 2")).head().getLong(0)
+      val prev =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        StatefulStreams.RocksDbProvider)
+      try {
+        def drain(): Unit = {
+          val stream = s.readStream
+            .schema(new StructType()
+              .add("user_id", LongType).add("day", LongType))
+            .parquet(s"$root/landing")
+            .as[(Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new StatefulStreams.Throttle(7),
+              TimeMode.None(), OutputMode.Append())
+          val q = stream.toDF("user_id", "day", "kept")
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", s"$root/out")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        // ordered waves: all wave-A days precede all wave-B days, so the
+        // per-key recurrence sees days in order across the restart
+        ud.where(col("day") <= mid).coalesce(1)
+          .write.parquet(s"$root/landing")
+        drain()
+        ud.where(col("day") > mid).coalesce(1)
+          .write.mode("append").parquet(s"$root/landing")
+        drain()
+        s.read.parquet(s"$root/out")
+          .select("user_id", "day", "kept")
+          .orderBy("user_id", "day")
+          // the result READS $root/out — materialize before the delete
+          .localCheckpoint()
+      } finally {
+        prev match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        rmrf(root)
+      }
     }
   )
 }

@@ -163,6 +163,36 @@ object StatefulStreams {
     }
   }
 
+  /** Greedy TTL throttle (q451, streaming twin of q442): per key, keep a
+    * row iff its day ≥ last kept day + ttl, greedily from the first — the
+    * notification-rate-limit recurrence. State = the last KEPT day,
+    * existence-tracked (no sentinel: day 0 is a valid day). Emits the full
+    * (key, day, kept) trace; under ordered waves the streamed trace must
+    * equal the batch recurrence row for row, across a RocksDB restart.
+    */
+  class Throttle(ttl: Long)
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var st: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Long]("lastKept", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                 tv: TimerValues): Iterator[(Long, Long, Long)] = {
+      val sorted = rows.toArray.sortBy(_._2)
+      var has = st.exists()
+      var lastKept = if (has) st.get() else 0L
+      val out = sorted.map { case (_, day) =>
+        val kept = if (!has || day >= lastKept + ttl) 1L else 0L
+        if (kept == 1L) { lastKept = day; has = true }
+        (key, day, kept)
+      }
+      if (has) st.update(lastKept)
+      out.iterator
+    }
+  }
+
   /** State-TTL witness (q268): two per-key event counters that differ ONLY
     * in their TTLConfig — `ttl` expires after 1 ms of processing time,
     * `keep` never. Driven by the two-wave drain harness (one micro-batch
