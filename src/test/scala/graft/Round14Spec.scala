@@ -257,6 +257,44 @@ class Round14Spec extends AnyFunSuite {
       "fixture must exercise the re-keep path sessionization lacks")
   }
 
+  test("q446/q447/q448/q450 invariants: monotone pass@k, bounded recall, " +
+    "noise algebra, disjoint segments") {
+    // pass@k is monotone in k (adding draws can only help)
+    val pk = run("q446_pass_at_k").orderBy("k").collect()
+      .map(r => r.getAs[Int]("k") -> r.getAs[Long]("mean_pass_e6"))
+    assert(pk.map(_._1).toSeq == Seq(1, 5, 10))
+    assert(pk.sliding(2).forall(p => p(0)._2 <= p(1)._2),
+      s"pass@k must be monotone in k: ${pk.toSeq}")
+    assert(pk.forall { case (_, v) => v >= 0 && v <= 1000000 })
+    // binary-quant recall is a 0..10 hit count over a 10-element list
+    run("q447_binary_quant").collect().foreach { r =>
+      val h = r.getAs[Long]("n_hit")
+      assert(h >= 0 && h <= 10)
+      assert(r.getAs[Long]("recall10_ppm") == h * 1000000 / 10)
+    }
+    // DP release: released = true*1e6 + noise, exactly
+    run("q448_dp_counts").collect().foreach { r =>
+      assert(r.getAs[Long]("released_e6") ==
+        r.getAs[Long]("true_n") * 1000000L + r.getAs[Long]("noise_e6"))
+      assert(r.getAs[Long]("abs_err_e6") ==
+        math.abs(r.getAs[Long]("noise_e6")))
+    }
+    // VAD segments per file: ordered, disjoint, separated by >= 1 inactive
+    // frame, n_frames consistent with the endpoints
+    run("q450_vad_segments").collect()
+      .groupBy(_.getAs[Long]("media_id")).foreach { case (_, rs) =>
+        val segs = rs.sortBy(_.getAs[Long]("seg_idx"))
+          .map(r => (r.getAs[Long]("start_frame"),
+            r.getAs[Long]("end_frame"), r.getAs[Long]("n_frames")))
+        segs.foreach { case (a, b, n) => assert(b - a + 1 == n && n >= 1) }
+        segs.sliding(2).foreach {
+          case Array((_, e1, _), (s2, _, _)) =>
+            assert(s2 >= e1 + 2, "segments must be split by inactive frames")
+          case _ =>
+        }
+      }
+  }
+
   test("compaction recovery settles every crash window without loss or dup") {
     import graft.streaming.DocStreams
     val sql = spark
