@@ -3831,6 +3831,119 @@ object MlQueries {
         .orderBy("k")
     },
 
+    // Cohen's κ inter-annotator agreement (Cohen 1960) — the label-QA
+    // primitive preference/annotation pipelines gate on (raw percent
+    // agreement flatters whenever the label distribution is skewed; κ
+    // subtracts chance agreement from the marginals). Two deterministic
+    // "annotators" label value > $50 with 10 % / 20 % salted-hash flip
+    // noise; per event type the 2×2 confusion census yields
+    // p_o = (n11 + n00)/n, p_e = (m1a·m1b + m0a·m0b)/n², and
+    // κ = (p_o − p_e)/(1 − p_e) in e6 integers — the marginal products
+    // run through decimal(38)/HUGEINT (the q413 pattern: n²·1e6 clears
+    // int64 past ~4M rows per cell). Degenerate p_e = 1 guards to 0 on
+    // both engines. Scale: one keyed census + O(1) scalar math.
+    QueryDef("q452_cohens_kappa", {
+      val h1 = graft.functions.Hashes.mulHashSql("event_id", 41)
+      val h2 = graft.functions.Hashes.mulHashSql("event_id", 43)
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |         CASE WHEN CAST(round(value * 100, 0) AS BIGINT) > 5000
+         |              THEN 1 ELSE 0 END AS y,
+         |         CASE WHEN ($h1) % 10 = 0 THEN 1 ELSE 0 END AS f1,
+         |         CASE WHEN ($h2) % 5 = 0 THEN 1 ELSE 0 END AS f2
+         |  FROM events),
+         |a AS (SELECT event_type,
+         |             CASE WHEN f1 = 1 THEN 1 - y ELSE y END AS a1,
+         |             CASE WHEN f2 = 1 THEN 1 - y ELSE y END AS a2
+         |      FROM e),
+         |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(a1 * a2) AS BIGINT) AS n11,
+         |             CAST(sum(a1 * (1 - a2)) AS BIGINT) AS n10,
+         |             CAST(sum((1 - a1) * a2) AS BIGINT) AS n01,
+         |             CAST(sum((1 - a1) * (1 - a2)) AS BIGINT) AS n00
+         |      FROM a GROUP BY event_type),
+         |k AS (SELECT event_type, n, n11, n10, n01, n00,
+         |             (n11 + n00) * 1000000 // n AS po_ppm,
+         |             CAST((CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+         |                   + CAST(n01 + n00 AS HUGEINT) * (n10 + n00))
+         |                  * 1000000
+         |                  // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm
+         |      FROM c)
+         |SELECT event_type, n, n11, n10, n01, n00, po_ppm, pe_ppm,
+         |       CASE WHEN pe_ppm = 1000000 THEN CAST(0 AS BIGINT)
+         |            ELSE (po_ppm - pe_ppm) * 1000000
+         |                 // (1000000 - pe_ppm) END AS kappa_e6
+         |FROM k ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      val a = Tables.events(s, d).select(col("event_type"),
+          when(round(col("value") * 100, 0).cast("long") > 5000, 1L)
+            .otherwise(0L).as("y"),
+          (Hashes.mulHash(col("event_id"), 41) % 10 === 0).as("f1"),
+          (Hashes.mulHash(col("event_id"), 43) % 5 === 0).as("f2"))
+        .select(col("event_type"),
+          when(col("f1"), lit(1L) - col("y")).otherwise(col("y")).as("a1"),
+          when(col("f2"), lit(1L) - col("y")).otherwise(col("y")).as("a2"))
+      a.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("a1") * col("a2")).as("n11"),
+          sum(col("a1") * (lit(1L) - col("a2"))).as("n10"),
+          sum((lit(1L) - col("a1")) * col("a2")).as("n01"),
+          sum((lit(1L) - col("a1")) * (lit(1L) - col("a2"))).as("n00"))
+        .select(col("event_type"), col("n"), col("n11"), col("n10"),
+          col("n01"), col("n00"),
+          expr("(n11 + n00) * 1000000 div n").as("po_ppm"),
+          expr("cast((cast(n11 + n10 as decimal(38,0)) * (n11 + n01)" +
+            " + cast(n01 + n00 as decimal(38,0)) * (n10 + n00)) * 1000000" +
+            " div (cast(n as decimal(38,0)) * n) as bigint)").as("pe_ppm"))
+        .withColumn("kappa_e6", expr(
+          "CASE WHEN pe_ppm = 1000000 THEN 0L" +
+            " ELSE (po_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm) END"))
+        .orderBy("event_type")
+    },
+
+    // ELO rating ladder (Elo 1978; the arena-style model-ranking op run
+    // over pairwise preference outcomes): 8 players, 150 sequential
+    // matches from the salted-hash log (stronger true-strength wins with
+    // probability ∝ the gap), expected score e = 1/(1 + 10^((r_b−r_a)/400))
+    // e6-quantized ONCE per match (the q327 transcendental discipline),
+    // rating deltas in EXPLICIT integer rounding (K = 32:
+    // Δwin = (32·(1e6−e)+5e5) div 1e6) so the 150-step recurrence never
+    // accumulates float state. Sequential by nature — one ordered fold
+    // over a 150-row match log (driver cost O(matches); the corpus-sized
+    // work is upstream preference COLLECTION, not this fold); oracle is
+    // the q417-style recursive CTE carrying all 8 ratings as state. The
+    // full per-match trace is hash-checked, not just the final ladder.
+    QueryDef("q453_elo_ladder", MediaSql.EloSql.sql) { (s, d) =>
+      import s.implicits._
+      import graft.functions.Hashes
+      val n = MediaSql.EloSql.Matches
+      val log = (0 until n).map { m =>
+        val pa = (Hashes.mulHashLong(m.toLong, 3) % 8).toInt
+        val pb = ((pa + 1 + Hashes.mulHashLong(m.toLong, 5) % 7) % 8).toInt
+        val aWins = Hashes.mulHashLong(m.toLong, 7) % 16 < 8 + (pa - pb)
+        (m.toLong, pa.toLong, pb.toLong, if (aWins) 1L else 0L)
+      }
+      val r = Array.fill(8)(1000L)
+      val rows = log.map { case (m, pa, pb, awin) =>
+        val e = math.round(1000000.0 /
+          (1 + math.pow(10, (r(pb.toInt) - r(pa.toInt)) / 400.0)))
+        val (da, db) =
+          if (awin == 1L)
+            ((32L * (1000000L - e) + 500000L) / 1000000L,
+              -((32L * (1000000L - e) + 500000L) / 1000000L))
+          else
+            (-((32L * e + 500000L) / 1000000L),
+              (32L * e + 500000L) / 1000000L)
+        r(pa.toInt) += da
+        r(pb.toInt) += db
+        (m, pa, pb, awin, e, r(pa.toInt), r(pb.toInt))
+      }
+      rows.toDF("m", "pa", "pb", "a_won", "e_e6", "r_pa_after",
+          "r_pb_after")
+        .orderBy("m")
+    },
+
     // ViT-style PATCHIFY — image → grid of 4×4 tiles → one relation row
     // per tile (the vision-transformer ingest shape; the first 1:N media
     // decoder, proving decodeFeatures' batch contract covers flatMap
@@ -4301,6 +4414,64 @@ private[queries] object MediaSql {
        |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
        |       CAST(max(abs(v)) AS BIGINT) AS max_abs
        |FROM s GROUP BY j ORDER BY media_id""".stripMargin
+
+  private[queries] object EloSql {
+    val Matches = 150
+    import graft.functions.Hashes
+
+    /** q453: the same match log + ELO recurrence as a recursive CTE
+      * carrying all 8 ratings as state (the q417 arm-state pattern).
+      * e is e6-quantized once per match; deltas are explicit integer
+      * rounding, so no float state crosses recursion levels.
+      */
+    val sql: String = {
+      val rCols = (0 until 8).map(i => s"r$i")
+      def pick(src: String, p: String): String =
+        s"CASE $p " + (0 until 8)
+          .map(i => s"WHEN $i THEN $src.r$i").mkString(" ") + " END"
+      val seed = "SELECT CAST(-1 AS BIGINT) AS m, " +
+        rCols.map(c => s"CAST(1000 AS BIGINT) AS $c").mkString(", ") +
+        ", CAST(0 AS BIGINT) AS pa, CAST(0 AS BIGINT) AS pb" +
+        ", CAST(0 AS BIGINT) AS awin, CAST(0 AS BIGINT) AS e"
+      val step = "SELECT s.m, " +
+        (0 until 8).map(i =>
+          s"s.r$i + (CASE WHEN s.pa = $i THEN s.da" +
+            s" WHEN s.pb = $i THEN s.db ELSE 0 END)").mkString(", ") +
+        ", s.pa, s.pb, s.awin, s.e FROM (" +
+        "SELECT q.*, CASE WHEN q.awin = 1" +
+        " THEN (32 * (1000000 - q.e) + 500000) // 1000000" +
+        " ELSE -((32 * q.e + 500000) // 1000000) END AS da," +
+        " CASE WHEN q.awin = 1" +
+        " THEN -((32 * (1000000 - q.e) + 500000) // 1000000)" +
+        " ELSE (32 * q.e + 500000) // 1000000 END AS db FROM (" +
+        "SELECT p.*, CAST(round(1000000 / (1 + pow(10," +
+        " (p.rpb - p.rpa) / 400.0)), 0) AS BIGINT) AS e FROM (" +
+        "SELECT l.m, l.pa, l.pb, l.awin, " +
+        rCols.map(c => s"rec.$c").mkString(", ") +
+        s", ${pick("rec", "l.pa")} AS rpa, ${pick("rec", "l.pb")} AS rpb" +
+        " FROM log l JOIN rec ON l.m = rec.m + 1) p) q) s"
+      s"""WITH RECURSIVE log AS (
+         |  SELECT mm.m,
+         |         (${Hashes.mulHashSql("mm.m", 3)}) % 8 AS pa,
+         |         ((${Hashes.mulHashSql("mm.m", 3)}) % 8 + 1
+         |          + (${Hashes.mulHashSql("mm.m", 5)}) % 7) % 8 AS pb,
+         |         CASE WHEN (${Hashes.mulHashSql("mm.m", 7)}) % 16
+         |              < 8 + ((${Hashes.mulHashSql("mm.m", 3)}) % 8
+         |                     - ((${Hashes.mulHashSql("mm.m", 3)}) % 8 + 1
+         |                        + (${Hashes.mulHashSql("mm.m", 5)}) % 7)
+         |                       % 8)
+         |              THEN 1 ELSE 0 END AS awin
+         |  FROM (SELECT unnest(range(0, $Matches)) AS m) mm),
+         |rec(m, ${rCols.mkString(", ")}, pa, pb, awin, e) AS (
+         |  $seed
+         |  UNION ALL
+         |  $step)
+         |SELECT m, pa, pb, awin AS a_won, e AS e_e6,
+         |       ${pick("rec", "pa")} AS r_pa_after,
+         |       ${pick("rec", "pb")} AS r_pb_after
+         |FROM rec WHERE m >= 0 ORDER BY m""".stripMargin
+    }
+  }
 
   /** FLAC fixtures: channels c = 1 + (j%2), per-channel samples m = 48+16j,
     * INTERLEAVED sample formula v(j,t) = ((t·K + 157j) mod 4096) − 2048 over
