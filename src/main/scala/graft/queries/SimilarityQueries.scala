@@ -3049,6 +3049,110 @@ object SimilarityQueries {
         .select(col("query_id"), col("n_hit"),
           expr("n_hit * 1000000 div 10").as("recall10_ppm"))
         .orderBy("query_id")
+    },
+
+    // Exact KNN-Shapley data valuation (Jia et al. VLDB 2019, Thm 1) —
+    // WHICH training points are worth keeping: for a K-NN utility the
+    // Shapley value of every training point has a closed form over the
+    // distance ranking, s_i = s_{i+1} + (1[y_i=y] − 1[y_{i+1}=y]) ·
+    // min(K,i)/(K·i), i.e. a SUFFIX SUM of rank-local terms — no Monte
+    // Carlo, no retraining, O(n log n) per test point. Each term is
+    // e9-quantized with sign-safe truncation (magnitude div first, then
+    // the ±1 sign — both engines truncate toward zero), so the suffix
+    // sum is exact integer arithmetic; ranking is the established
+    // (round-6 cosine DESC, id ASC) order. The suffix sum runs as a
+    // GROWING frame over rank DESC (the q330 shrinking-frame lesson:
+    // Spark re-aggregates a (current, unboundedFollowing) frame per row,
+    // O(n²) per partition). Output: each test point's 10 most valuable
+    // training points + its total (= the KNN utility by efficiency).
+    QueryDef("q454_knn_shapley", {
+      val K = 5
+      s"""WITH v AS (SELECT vec_id, embedding, label,
+         |                  ${normSql("embedding")} AS nrm
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+         |             label AS qy
+         |      FROM v WHERE vec_id < 5),
+         |tr AS (SELECT query_id, qy, v.vec_id AS train_id, v.label AS ty,
+         |              round(${dotSql("qv", "v.embedding")}
+         |                    / (qn * v.nrm), 6) AS cos
+         |       FROM q JOIN v ON v.vec_id >= 5),
+         |rk AS (SELECT query_id, qy, train_id, ty, cos,
+         |              CAST(row_number() OVER (PARTITION BY query_id
+         |                ORDER BY cos DESC, train_id) AS BIGINT) AS i,
+         |              CAST(count(*) OVER (PARTITION BY query_id)
+         |                   AS BIGINT) AS n
+         |       FROM tr),
+         |tm AS (SELECT query_id, qy, train_id, ty, i, n,
+         |              CASE WHEN ty = qy THEN 1 ELSE 0 END AS m,
+         |              lead(CASE WHEN ty = qy THEN 1 ELSE 0 END)
+         |                OVER (PARTITION BY query_id ORDER BY i) AS mnext
+         |       FROM rk),
+         |t AS (SELECT query_id, train_id, ty, i, n, m,
+         |             CASE WHEN i = n THEN m * (1000000000 // n)
+         |                  ELSE (m - mnext)
+         |                    * ((least($K, i) * 1000000000) // ($K * i))
+         |             END AS term_e9
+         |      FROM tm),
+         |s AS (SELECT query_id, train_id, ty, i,
+         |             CAST(sum(term_e9) OVER (PARTITION BY query_id
+         |               ORDER BY i DESC
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |               AS BIGINT) AS shap_e9
+         |      FROM t),
+         |tot AS (SELECT query_id, CAST(sum(shap_e9) AS BIGINT) AS total_e9
+         |        FROM s GROUP BY query_id),
+         |top AS (SELECT query_id, train_id, ty, shap_e9,
+         |               row_number() OVER (PARTITION BY query_id
+         |                 ORDER BY shap_e9 DESC, train_id) AS vr
+         |        FROM s)
+         |SELECT top.query_id, CAST(vr AS BIGINT) AS value_rank,
+         |       train_id, CAST(ty AS BIGINT) AS train_label,
+         |       shap_e9, tot.total_e9
+         |FROM top JOIN tot USING (query_id)
+         |WHERE vr <= 10 ORDER BY query_id, value_rank""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Tensors
+      val K = 5
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"),
+          Tensors.norm(col("embedding")).as("nrm"))
+      val q = v.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("label").as("qy"))
+      val tr = broadcast(q).join(v, col("vec_id") >= 5)
+        .select(col("query_id"), col("qy"), col("vec_id").as("train_id"),
+          col("label").as("ty"),
+          round(Tensors.dot(col("qv"), col("embedding"))
+            / (col("qn") * col("nrm")), 6).as("cos"))
+      val wi = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("train_id"))
+      val wq = Window.partitionBy("query_id")
+      val rk = tr
+        .withColumn("i", row_number().over(wi).cast("long"))
+        .withColumn("n", count(lit(1)).over(wq))
+        .withColumn("m", when(col("ty") === col("qy"), 1L).otherwise(0L))
+        .withColumn("mnext",
+          lead("m", 1).over(Window.partitionBy("query_id").orderBy("i")))
+      val t = rk.withColumn("term_e9", expr(
+        s"CASE WHEN i = n THEN m * (1000000000 div n)" +
+          s" ELSE (m - mnext) * ((least($K, i) * 1000000000)" +
+          s" div ($K * i)) END"))
+      // suffix sum as a GROWING frame over rank DESC (the q330 lesson)
+      val ws = Window.partitionBy("query_id").orderBy(col("i").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sv = t.withColumn("shap_e9", sum("term_e9").over(ws))
+      val tot = sv.groupBy("query_id").agg(sum("shap_e9").as("total_e9"))
+      val wv = Window.partitionBy("query_id")
+        .orderBy(col("shap_e9").desc, col("train_id"))
+      sv.withColumn("value_rank", row_number().over(wv).cast("long"))
+        .where(col("value_rank") <= 10)
+        .join(tot, "query_id")
+        .select(col("query_id"), col("value_rank"), col("train_id"),
+          col("ty").cast("long").as("train_label"), col("shap_e9"),
+          col("total_e9"))
+        .orderBy("query_id", "value_rank")
     }
   )
 }
