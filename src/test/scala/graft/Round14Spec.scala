@@ -295,6 +295,39 @@ class Round14Spec extends AnyFunSuite {
       }
   }
 
+  test("q452/q453/q454 invariants: kappa <= po, ELO zero-sum, Shapley rank") {
+    // kappa is chance-corrected: never above raw agreement, and the
+    // 2x2 census partitions n
+    run("q452_cohens_kappa").collect().foreach { r =>
+      assert(r.getAs[Long]("kappa_e6") <= r.getAs[Long]("po_ppm"))
+      assert(r.getAs[Long]("n11") + r.getAs[Long]("n10")
+        + r.getAs[Long]("n01") + r.getAs[Long]("n00") == r.getAs[Long]("n"))
+    }
+    // ELO is zero-sum with integer deltas (da = -db exactly), so the
+    // ladder total is invariant at 8 x 1000 after EVERY match
+    val elo = run("q453_elo_ladder").orderBy("m").collect()
+    assert(elo.length == 150)
+    val ratings = Array.fill(8)(1000L)
+    elo.foreach { r =>
+      ratings(r.getAs[Long]("pa").toInt) = r.getAs[Long]("r_pa_after")
+      ratings(r.getAs[Long]("pb").toInt) = r.getAs[Long]("r_pb_after")
+      assert(ratings.sum == 8000L,
+        s"match ${r.getAs[Long]("m")}: ladder total ${ratings.sum}")
+    }
+    // the stronger true-strength pool must end above the weaker
+    assert(ratings.slice(4, 8).sum > ratings.slice(0, 4).sum,
+      s"true strength must surface in the ladder: ${ratings.toSeq}")
+    // KNN-Shapley: value ranking is non-increasing and the efficiency
+    // total is one number per test point
+    run("q454_knn_shapley").collect()
+      .groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+        val sorted = rs.sortBy(_.getAs[Long]("value_rank"))
+        val vals = sorted.map(_.getAs[Long]("shap_e9"))
+        assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
+        assert(rs.map(_.getAs[Long]("total_e9")).distinct.length == 1)
+      }
+  }
+
   test("compaction recovery settles every crash window without loss or dup") {
     import graft.streaming.DocStreams
     val sql = spark
