@@ -1,9 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.ChannelStats
-import graft.operators.{KMeans, LinearSigmoidScorer, Multimodal, Scorer}
+import graft.operators.{BradleyTerry, KMeans, LinearSigmoidScorer, Multimodal, Scorer}
 
 /** The ML-adjacent operator surface: the custom no-explode channel-stats
   * aggregate (SURVEY §4 #1), batched mapPartitions scoring (row 50), the
@@ -3909,39 +3910,54 @@ object MlQueries {
     // e6-quantized ONCE per match (the q327 transcendental discipline),
     // rating deltas in EXPLICIT integer rounding (K = 32:
     // Δwin = (32·(1e6−e)+5e5) div 1e6) so the 150-step recurrence never
-    // accumulates float state. Sequential by nature — one ordered fold
-    // over a 150-row match log (driver cost O(matches); the corpus-sized
-    // work is upstream preference COLLECTION, not this fold); oracle is
-    // the q417-style recursive CTE carrying all 8 ratings as state. The
-    // full per-match trace is hash-checked, not just the final ladder.
-    QueryDef("q453_elo_ladder", MediaSql.EloSql.sql) { (s, d) =>
+    // accumulates float state. The match log is a range() relation with
+    // the hash columns evaluated IN the engine (mirrors the oracle's log
+    // CTE), and the fold is a flatMapSortedGroups recurrence over one
+    // global sorted group — the q442 TTL machinery: O(ratings) executor
+    // state streamed over the ordered log, no driver state. A global
+    // ladder is inherently one sequential chain; per-ladder (tournament /
+    // category) deployments key the same groupByKey and parallelize
+    // across ladders. Oracle is the q417-style recursive CTE carrying
+    // all 8 ratings as state; the full per-match trace is hash-checked,
+    // not just the final ladder.
+    QueryDef("q453_elo_ladder", MediaSql.EloSql.sql) { (s, _) =>
       import s.implicits._
-      import graft.functions.Hashes
-      val n = MediaSql.EloSql.Matches
-      val log = (0 until n).map { m =>
-        val pa = (Hashes.mulHashLong(m.toLong, 3) % 8).toInt
-        val pb = ((pa + 1 + Hashes.mulHashLong(m.toLong, 5) % 7) % 8).toInt
-        val aWins = Hashes.mulHashLong(m.toLong, 7) % 16 < 8 + (pa - pb)
-        (m.toLong, pa.toLong, pb.toLong, if (aWins) 1L else 0L)
-      }
-      val r = Array.fill(8)(1000L)
-      val rows = log.map { case (m, pa, pb, awin) =>
-        val e = math.round(1000000.0 /
-          (1 + math.pow(10, (r(pb.toInt) - r(pa.toInt)) / 400.0)))
-        val (da, db) =
-          if (awin == 1L)
-            ((32L * (1000000L - e) + 500000L) / 1000000L,
-              -((32L * (1000000L - e) + 500000L) / 1000000L))
-          else
-            (-((32L * e + 500000L) / 1000000L),
-              (32L * e + 500000L) / 1000000L)
-        r(pa.toInt) += da
-        r(pb.toInt) += db
-        (m, pa, pb, awin, e, r(pa.toInt), r(pb.toInt))
-      }
-      rows.toDF("m", "pa", "pb", "a_won", "e_e6", "r_pa_after",
+      val log = arenaLog(s).as[(Long, Long, Long, Long)]
+      log.groupByKey(_ => 0)
+        .flatMapSortedGroups(col("m")) { (_, rows) =>
+          val r = Array.fill(8)(1000L)
+          rows.map { case (m, pa, pb, awin) =>
+            val e = math.round(1000000.0 /
+              (1 + math.pow(10, (r(pb.toInt) - r(pa.toInt)) / 400.0)))
+            val da =
+              if (awin == 1L) (32L * (1000000L - e) + 500000L) / 1000000L
+              else -((32L * e + 500000L) / 1000000L)
+            r(pa.toInt) += da
+            r(pb.toInt) -= da
+            (m, pa, pb, awin, e, r(pa.toInt), r(pb.toInt))
+          }
+        }
+        .toDF("m", "pa", "pb", "a_won", "e_e6", "r_pa_after",
           "r_pb_after")
         .orderBy("m")
+    },
+
+    // Bradley–Terry pairwise-preference fit (Hunter 2004's MM algorithm) —
+    // the BATCH-NATIVE, order-independent arena ranking over the SAME
+    // 150-match log as q453's ELO ladder: where ELO folds the log
+    // sequentially (path-dependent, one sorted group), Bradley–Terry fits
+    // the MLE strengths with one census pass over the log + 6 MM rounds on
+    // the player-sized statistics relation (broadcast joins) — the model a
+    // preference-data pipeline actually fits at arena scale, where the log
+    // is millions of comparisons and match order is meaningless. Fixed-point
+    // e6 arithmetic throughout (operators/BradleyTerry); oracle unrolls the
+    // 6 rounds as CTEs with HUGEINT renormalization. Round15Spec carries the
+    // ScalaCheck invariant: on a balanced schedule the fitted strengths
+    // reproduce the win-count order (Ford 1957's classical result).
+    QueryDef("q455_bradley_terry", MediaSql.BtSql.sql) { (s, _) =>
+      BradleyTerry.fit(s, arenaLog(s),
+          s.range(8).toDF("player"), nPlayers = 8, rounds = MediaSql.BtSql.Rounds)
+        .orderBy("player")
     },
 
     // ViT-style PATCHIFY — image → grid of 4×4 tiles → one relation row
@@ -3973,6 +3989,23 @@ object MlQueries {
         .orderBy("media_id", "seg_idx")
     }
   )
+
+  /** The shared 150-match arena log (q453 ELO ladder, q455 Bradley–Terry),
+    * built IN the engine from range() + the salted hash so it mirrors the
+    * oracles' log CTE column for column: 8 players, stronger-id wins with
+    * probability ∝ the id gap. Columns (m, pa, pb, awin), all long.
+    */
+  private def arenaLog(s: SparkSession): DataFrame = {
+    import graft.functions.Hashes
+    s.range(MediaSql.EloSql.Matches.toLong).toDF("m")
+      .withColumn("pa", Hashes.mulHash(col("m"), 3) % 8)
+      .withColumn("pb",
+        (col("pa") + 1 + Hashes.mulHash(col("m"), 5) % 7) % 8)
+      .withColumn("awin",
+        when(Hashes.mulHash(col("m"), 7) % 16
+          < lit(8) + (col("pa") - col("pb")), 1L).otherwise(0L))
+      .select(col("m"), col("pa"), col("pb"), col("awin"))
+  }
 }
 
 /** Unrolled-CTE oracle for q229: the SAME JL projection, integer moment
@@ -4419,6 +4452,25 @@ private[queries] object MediaSql {
     val Matches = 150
     import graft.functions.Hashes
 
+    /** The arena match-log CTE (8 players, salted-hash outcomes, stronger
+      * id wins with probability ∝ the gap) — shared by q453's recursive ELO
+      * oracle and q455's Bradley–Terry oracle; mirrors MlQueries.arenaLog
+      * column for column. NOT stripMargin'd — embedders strip at use.
+      */
+    val logCte: String =
+      s"""log AS (
+         |  SELECT mm.m,
+         |         (${Hashes.mulHashSql("mm.m", 3)}) % 8 AS pa,
+         |         ((${Hashes.mulHashSql("mm.m", 3)}) % 8 + 1
+         |          + (${Hashes.mulHashSql("mm.m", 5)}) % 7) % 8 AS pb,
+         |         CASE WHEN (${Hashes.mulHashSql("mm.m", 7)}) % 16
+         |              < 8 + ((${Hashes.mulHashSql("mm.m", 3)}) % 8
+         |                     - ((${Hashes.mulHashSql("mm.m", 3)}) % 8 + 1
+         |                        + (${Hashes.mulHashSql("mm.m", 5)}) % 7)
+         |                       % 8)
+         |              THEN 1 ELSE 0 END AS awin
+         |  FROM (SELECT unnest(range(0, $Matches)) AS m) mm)"""
+
     /** q453: the same match log + ELO recurrence as a recursive CTE
       * carrying all 8 ratings as state (the q417 arm-state pattern).
       * e is e6-quantized once per match; deltas are explicit integer
@@ -4450,18 +4502,7 @@ private[queries] object MediaSql {
         rCols.map(c => s"rec.$c").mkString(", ") +
         s", ${pick("rec", "l.pa")} AS rpa, ${pick("rec", "l.pb")} AS rpb" +
         " FROM log l JOIN rec ON l.m = rec.m + 1) p) q) s"
-      s"""WITH RECURSIVE log AS (
-         |  SELECT mm.m,
-         |         (${Hashes.mulHashSql("mm.m", 3)}) % 8 AS pa,
-         |         ((${Hashes.mulHashSql("mm.m", 3)}) % 8 + 1
-         |          + (${Hashes.mulHashSql("mm.m", 5)}) % 7) % 8 AS pb,
-         |         CASE WHEN (${Hashes.mulHashSql("mm.m", 7)}) % 16
-         |              < 8 + ((${Hashes.mulHashSql("mm.m", 3)}) % 8
-         |                     - ((${Hashes.mulHashSql("mm.m", 3)}) % 8 + 1
-         |                        + (${Hashes.mulHashSql("mm.m", 5)}) % 7)
-         |                       % 8)
-         |              THEN 1 ELSE 0 END AS awin
-         |  FROM (SELECT unnest(range(0, $Matches)) AS m) mm),
+      s"""WITH RECURSIVE $logCte,
          |rec(m, ${rCols.mkString(", ")}, pa, pb, awin, e) AS (
          |  $seed
          |  UNION ALL
@@ -4470,6 +4511,49 @@ private[queries] object MediaSql {
          |       ${pick("rec", "pa")} AS r_pa_after,
          |       ${pick("rec", "pb")} AS r_pb_after
          |FROM rec WHERE m >= 0 ORDER BY m""".stripMargin
+    }
+  }
+
+  /** q455: Bradley–Terry MM fit over the same arena log, unrolled as CTEs.
+    * Per round r: per-pair MM terms `nm·1e12 // (p_lo+p_hi)` fan to both
+    * endpoints via unnest, per-player denominators sum them, the update is
+    * `w·1e12 // d` floored at 1, and the renormalize to Σ=8e6 runs through
+    * HUGEINT — each step the integer-exact mirror of
+    * operators/BradleyTerry.fit.
+    */
+  private[queries] object BtSql {
+    val Rounds = 6
+
+    val sql: String = {
+      val rounds = (1 to Rounds).map { r =>
+        val prev = s"p${r - 1}"
+        s"""t$r AS (SELECT unnest([c.lo, c.hi]) AS player,
+           |            c.nm * 1000000000000 // (plo.p_e6 + phi.p_e6) AS t_e6
+           |     FROM c JOIN $prev plo ON c.lo = plo.player
+           |            JOIN $prev phi ON c.hi = phi.player),
+           |d$r AS (SELECT player, CAST(sum(t_e6) AS BIGINT) AS d_e6
+           |     FROM t$r GROUP BY player),
+           |r$r AS (SELECT b.player,
+           |            greatest(1, b.w * 1000000000000
+           |              // coalesce(d.d_e6, 1)) AS p_e6
+           |     FROM base b LEFT JOIN d$r d ON b.player = d.player),
+           |p$r AS (SELECT player, CAST(CAST(p_e6 AS HUGEINT) * 8000000
+           |            // (SELECT sum(p_e6) FROM r$r) AS BIGINT) AS p_e6
+           |     FROM r$r)"""
+      }.mkString(",\n")
+      s"""WITH ${EloSql.logCte},
+         |wins AS (SELECT CASE WHEN awin = 1 THEN pa ELSE pb END AS player,
+         |                count(*) AS w FROM log GROUP BY 1),
+         |players AS (SELECT unnest(range(0, 8)) AS player),
+         |base AS (SELECT pl.player, CAST(coalesce(w.w, 0) AS BIGINT) AS w
+         |         FROM players pl LEFT JOIN wins w ON pl.player = w.player),
+         |c AS (SELECT least(pa, pb) AS lo, greatest(pa, pb) AS hi,
+         |             count(*) AS nm FROM log GROUP BY 1, 2),
+         |p0 AS (SELECT player, CAST(1000000 AS BIGINT) AS p_e6 FROM players),
+         |$rounds
+         |SELECT b.player, b.w AS wins, p.p_e6 AS strength_e6
+         |FROM base b JOIN p$Rounds p ON b.player = p.player
+         |ORDER BY b.player""".stripMargin
     }
   }
 
