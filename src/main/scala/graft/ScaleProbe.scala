@@ -505,6 +505,11 @@ object ScaleProbe {
           .withColumn("qn", Tensors.norm(col("qe")))
         val ea = spark.sparkContext.longAccumulator(s"ff_e_$m")
         val va = spark.sparkContext.longAccumulator(s"ff_v_$m")
+        // filesOpened is JVM-global: the reset → localCheckpoint window
+        // assumes THIS probe is the only DiskAnn.localRead activity in the
+        // shared JVM (true under the probe runner, which runs legs
+        // sequentially); a concurrent DiskAnn query would inflate `opens`.
+        // Diagnostic only — the timed result is `out`, not the counter.
         DiskAnn.filesOpened.reset()
         val out = DiskAnn.searchFleet(spark, dir, qdf, entry = 0L,
           hops = 6, beam = 16, slices = 6, ea, va).localCheckpoint()

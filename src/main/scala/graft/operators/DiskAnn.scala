@@ -37,6 +37,7 @@ object DiskAnn {
     */
   def writeIndex(graph: DataFrame, emb: DataFrame, idCol: String,
                  embCol: String, dir: String, buckets: Int = 8): Unit = {
+    invalidateFooters(dir) // a rebuild over an existing path must not serve stale footers
     graph.repartitionByRange(buckets, col("src"))
       .sortWithinPartitions("src")
       .write.mode("overwrite").parquet(s"$dir/edges")
@@ -215,16 +216,33 @@ object DiskAnn {
 
   /** JVM-global footer cache: part file → per-row-group (min, max) of the
     * id column. Index part files are write-once (upserts land NEW
-    * directories), so path + length is a sound cache key; a row group with
-    * absent/empty stats maps to (Long.MinValue, Long.MaxValue) = always
-    * probe. Bounded: one small array per distinct part file per executor.
+    * directories) and Spark part-file names are unique, but nothing
+    * ENFORCES that — so the key carries Hadoop FileStatus length AND
+    * modification time, and [[writeIndex]] invalidates its target dir:
+    * an in-place replacement (same path, same byte length) gets a fresh
+    * footer read instead of silently serving stale [min,max] ranges
+    * (stale ranges would prune files that now hold probed ids — missed
+    * neighbors with no error). A row group with absent/empty stats maps
+    * to (Long.MinValue, Long.MaxValue) = always probe. Bounded: one
+    * small array per distinct part file per executor.
     */
   private val footerRanges =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
 
-  private def idRanges(f: String, idCol: String): Array[(Long, Long)] =
+  /** Drop cached footers under `dir` — called by [[writeIndex]] so a
+    * rebuild over an existing path can never serve the old layout.
+    */
+  private[operators] def invalidateFooters(dir: String): Unit = {
+    val it = footerRanges.keySet.iterator
+    while (it.hasNext) if (it.next.startsWith(dir)) it.remove()
+  }
+
+  private def idRanges(f: String, idCol: String): Array[(Long, Long)] = {
+    val st = org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(f), new org.apache.hadoop.conf.Configuration())
+      .getFileStatus(new org.apache.hadoop.fs.Path(f))
     footerRanges.computeIfAbsent(
-      s"$f:${new java.io.File(f).length}:$idCol",
+      s"$f:${st.getLen}:${st.getModificationTime}:$idCol",
       _ => {
         import scala.jdk.CollectionConverters._
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -245,6 +263,7 @@ object DiskAnn {
           }.toArray
         } finally r.close()
       })
+  }
 
   /** Spark's parquet LIST encoding → float array (3-level list/element). */
   private def groupFloats(g: org.apache.parquet.example.data.Group,

@@ -36,11 +36,27 @@ import graft.functions.Hashes
   *      anchor inside the same repeat extends to the SAME maximal
   *      (start_a, start_b, len) tuple, so a plain distinct de-anchors the
   *      result — maximality needs no neighbor comparison.
+  *   4. RUN-HEAD DEDUP (between verify and extension) — a repeat of
+  *      length R anchors at every one of its ~R−L+1 windows, and each
+  *      anchor would re-run the O(flank) extension before distinct
+  *      collapses them. Verified anchors of one repeat form CONSECUTIVE
+  *      positions on their (doc_a, doc_b, pa−pb) diagonal, so only each
+  *      consecutive run's HEAD (no verified predecessor at pa−1,pb−1)
+  *      extends — exact, because a verified predecessor means the
+  *      predecessor window matches too, i.e. same contiguous region,
+  *      same maximal tuple. Runs split by cap-censored or collision-
+  *      rejected anchors just contribute an extra head each, collapsed
+  *      by the final distinct; disjoint repeats sharing a diagonal keep
+  *      separate heads (a min-per-diagonal shortcut would merge them —
+  *      wrong). The dedup shuffles only skinny (ids, positions) rows;
+  *      token arrays are re-joined for the head set alone, which is
+  *      one-row-per-repeat-run sized.
   *
   * Scale shape: one token explode with 8-byte census keys, one capped
-  * equi-join, two doc_id equi-joins to fetch token arrays for the
-  * (candidate-sized, not corpus-sized) pair set, then row-local verify +
-  * extension. Nothing is ever all-pairs.
+  * equi-join, two doc_id equi-joins to verify the (candidate-sized, not
+  * corpus-sized) pair set, a skinny run-head window, two more joins to
+  * fetch arrays for the head set, then row-local extension once per run.
+  * Nothing is ever all-pairs.
   */
 object ExactSubstr {
 
@@ -65,13 +81,25 @@ object ExactSubstr {
         col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("a.p").as("pa"),
         col("b.doc_id").as("doc_b"), col("b.p").as("pb"))
-    val withToks = pairs
-      .join(t.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
-      .join(t.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+    val ta = t.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
+    val tb = t.select(col("doc_id").as("doc_b"), col("toks").as("tb"))
+    val verified = pairs
+      .join(ta, "doc_a").join(tb, "doc_b")
       // exact anchor re-verify: a hash-collision candidate whose literal
       // windows differ is rejected here, which is what makes the 8-byte
       // census keys sound
       .where(expr(s"slice(ta, pa, $L)") === expr(s"slice(tb, pb, $L)"))
+      .select("doc_a", "doc_b", "pa", "pb")
+    // run-head dedup (scaladoc step 4): extend once per consecutive
+    // verified-anchor run on each (doc pair, diagonal) — skinny rows only
+    val heads = verified
+      .withColumn("prev", lag("pa", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_a"), col("doc_b"), col("pa") - col("pb"))
+          .orderBy("pa")))
+      .where(col("prev").isNull || col("prev") =!= col("pa") - 1)
+      .select("doc_a", "doc_b", "pa", "pb")
+    val withToks = heads.join(ta, "doc_a").join(tb, "doc_b")
     // extension: first-mismatch index over the zipped flanks; zip_with pads
     // the shorter flank with null → coalesce(…, false) stops at a document
     // boundary (both engines pad the same way). array_position returns 0
@@ -134,10 +162,22 @@ object ExactSubstr {
     def firstRun(eq: Column): Column =
       when(array_position(eq, false) === 0, size(eq).cast("long"))
         .otherwise(array_position(eq, false) - 1)
-    pairs
+    val verified = pairs
       .join(tp, "probe_id").join(tc, "corpus_id")
       .where(expr(s"slice(tprobe, pprobe, $L)") ===
         expr(s"slice(tcorpus, pcorpus, $L)"))
+      .select("probe_id", "corpus_id", "pprobe", "pcorpus")
+    // run-head dedup (scaladoc step 4), cross-relation form
+    val heads = verified
+      .withColumn("prev", lag("pprobe", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id"), col("corpus_id"),
+            col("pprobe") - col("pcorpus"))
+          .orderBy("pprobe")))
+      .where(col("prev").isNull || col("prev") =!= col("pprobe") - 1)
+      .select("probe_id", "corpus_id", "pprobe", "pcorpus")
+    heads
+      .join(tp, "probe_id").join(tc, "corpus_id")
       .withColumn("eql", zip_with(
         reverse(expr("slice(tprobe, 1, pprobe - 1)")),
         reverse(expr("slice(tcorpus, 1, pcorpus - 1)")),

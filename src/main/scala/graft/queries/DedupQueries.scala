@@ -886,8 +886,12 @@ object DedupQueries {
           maxHamming = 3, cap = 64)
         .groupBy("hamming")
         .agg(count(lit(1)).as("n_pairs"),
-          (sum(col("doc_a") * 100003L + col("doc_b")) % Prime)
-            .as("pair_checksum"))
+          // per-row terms sum through decimal(38,0) (the q413 pattern) —
+          // the oracle sums into HUGEINT, and a plain int64 sum overflows
+          // (ANSI error) once doc ids / pair counts grow past fixture scale
+          (sum((col("doc_a") * 100003L + col("doc_b"))
+              .cast("decimal(38,0)")) % Prime)
+            .cast("long").as("pair_checksum"))
         .orderBy("hamming")
     },
 
