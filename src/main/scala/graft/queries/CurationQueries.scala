@@ -713,37 +713,40 @@ object CurationQueries {
       }
       val root = java.nio.file.Files
         .createTempDirectory("graft_cms_stream_q_").toFile
-      sys.addShutdownHook(rmrf(root))
-      val tok = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ", -1)).as("token"))
-        .persist() // feeds the landing write, the exact counts, the total,
-                   // and the batch-parity sketch
-      tok.repartition(4).write.parquet(s"$root/landing")
-      val stream = s.readStream
-        .schema(new org.apache.spark.sql.types.StructType()
-          .add("token", org.apache.spark.sql.types.StringType))
-        .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
-        .agg(CountMin.sketch(col("token"), depth, width).as("sk"))
-      val memName = root.getName // unique per invocation — parallel runs
-                                 // cannot clobber each other's memory sink
-      val q = stream.writeStream.outputMode("complete").format("memory")
-        .queryName(memName)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val streamedSk = s.table(memName)
-      val batchSk = tok.agg(CountMin.sketch(col("token"), depth, width).as("bsk"))
-      val total = tok.agg(count(lit(1)).as("n"))
-      val top = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("token")).limit(5)
-      val est = CountMin.estimate(col("sk"), col("token"), depth, width)
-      top.crossJoin(broadcast(streamedSk)).crossJoin(broadcast(total))
-        .crossJoin(broadcast(batchSk))
-        .select(col("token"), col("cnt"),
-          (est >= col("cnt")).as("lower_ok"),
-          ((est - col("cnt")) * width <= lit(3L) * col("n")).as("upper_ok"),
-          (col("sk") === col("bsk")).as("stream_eq_batch"))
-        .orderBy(col("cnt").desc, col("token"))
+      // result reads only the memory sink + source parquet, so the landing
+      // dir deletes at query exit (playbook #41; no localCheckpoint needed)
+      try {
+        val tok = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ", -1)).as("token"))
+          .persist() // feeds the landing write, the exact counts, the total,
+                     // and the batch-parity sketch
+        tok.repartition(4).write.parquet(s"$root/landing")
+        val stream = s.readStream
+          .schema(new org.apache.spark.sql.types.StructType()
+            .add("token", org.apache.spark.sql.types.StringType))
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
+          .agg(CountMin.sketch(col("token"), depth, width).as("sk"))
+        val memName = root.getName // unique per invocation — parallel runs
+                                   // cannot clobber each other's memory sink
+        val q = stream.writeStream.outputMode("complete").format("memory")
+          .queryName(memName)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val streamedSk = s.table(memName)
+        val batchSk = tok.agg(CountMin.sketch(col("token"), depth, width).as("bsk"))
+        val total = tok.agg(count(lit(1)).as("n"))
+        val top = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token")).limit(5)
+        val est = CountMin.estimate(col("sk"), col("token"), depth, width)
+        top.crossJoin(broadcast(streamedSk)).crossJoin(broadcast(total))
+          .crossJoin(broadcast(batchSk))
+          .select(col("token"), col("cnt"),
+            (est >= col("cnt")).as("lower_ok"),
+            ((est - col("cnt")) * width <= lit(3L) * col("n")).as("upper_ok"),
+            (col("sk") === col("bsk")).as("stream_eq_batch"))
+          .orderBy(col("cnt").desc, col("token"))
+      } finally rmrf(root)
     },
 
     // Streaming Misra-Gries — q107's heavy-hitters summary maintained by a
@@ -773,32 +776,35 @@ object CurationQueries {
       }
       val root = java.nio.file.Files
         .createTempDirectory("graft_mg_stream_q_").toFile
-      sys.addShutdownHook(rmrf(root))
-      val tok = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ", -1)).as("token"))
-        .persist() // feeds the landing write, the exact counts, and the total
-      tok.repartition(4).write.parquet(s"$root/landing")
-      val stream = s.readStream
-        .schema(new org.apache.spark.sql.types.StructType()
-          .add("token", org.apache.spark.sql.types.StringType))
-        .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
-        .agg(MisraGries.candidates(col("token"), k).as("cands"))
-      val memName = root.getName
-      val q = stream.writeStream.outputMode("complete").format("memory")
-        .queryName(memName)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val streamedCands = s.table(memName)
-      val total = tok.agg(count(lit(1)).as("n"))
-      val exact = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
-      exact.crossJoin(broadcast(total))
-        .where(col("cnt") * (k + 1) > col("n"))
-        .crossJoin(broadcast(streamedCands))
-        .select(col("token"), col("cnt"),
-          array_contains(col("cands"), col("token")).as("in_sketch"),
-          (size(col("cands")) <= k).as("size_ok"))
-        .orderBy(col("cnt").desc, col("token"))
+      // result reads only the memory sink + source parquet, so the landing
+      // dir deletes at query exit (playbook #41; no localCheckpoint needed)
+      try {
+        val tok = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ", -1)).as("token"))
+          .persist() // feeds the landing write, the exact counts, and the total
+        tok.repartition(4).write.parquet(s"$root/landing")
+        val stream = s.readStream
+          .schema(new org.apache.spark.sql.types.StructType()
+            .add("token", org.apache.spark.sql.types.StringType))
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
+          .agg(MisraGries.candidates(col("token"), k).as("cands"))
+        val memName = root.getName
+        val q = stream.writeStream.outputMode("complete").format("memory")
+          .queryName(memName)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val streamedCands = s.table(memName)
+        val total = tok.agg(count(lit(1)).as("n"))
+        val exact = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        exact.crossJoin(broadcast(total))
+          .where(col("cnt") * (k + 1) > col("n"))
+          .crossJoin(broadcast(streamedCands))
+          .select(col("token"), col("cnt"),
+            array_contains(col("cands"), col("token")).as("in_sketch"),
+            (size(col("cands")) <= k).as("size_ok"))
+          .orderBy(col("cnt").desc, col("token"))
+      } finally rmrf(root)
     },
 
     // Streaming HLL distinct counts — the third sketch family through the
@@ -821,34 +827,37 @@ object CurationQueries {
       }
       val root = java.nio.file.Files
         .createTempDirectory("graft_hll_stream_q_").toFile
-      sys.addShutdownHook(rmrf(root))
-      val tok = Tables.documents(s, d)
-        .select(col("source"), explode(split(col("text"), " ", -1)).as("token"))
-        .persist() // feeds the landing write, the exact counts, the batch twin
-      tok.repartition(4).write.parquet(s"$root/landing")
-      val stream = s.readStream
-        .schema(new org.apache.spark.sql.types.StructType()
-          .add("source", org.apache.spark.sql.types.StringType)
-          .add("token", org.apache.spark.sql.types.StringType))
-        .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
-        .groupBy("source")
-        .agg(approx_count_distinct(col("token"), 0.02).as("approx_tokens"))
-      val memName = root.getName
-      val q = stream.writeStream.outputMode("complete").format("memory")
-        .queryName(memName)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val streamed = s.table(memName)
-      val batch = tok.groupBy("source")
-        .agg(approx_count_distinct(col("token"), 0.02).as("batch_approx"),
-          countDistinct(col("token")).as("exact_tokens"))
-      batch.join(streamed, "source")
-        .select(col("source"), col("exact_tokens"),
-          (abs(col("approx_tokens") - col("exact_tokens")).cast("double")
-            / col("exact_tokens") <= lit(0.08)).as("within_bound"),
-          (col("approx_tokens") === col("batch_approx")).as("stream_eq_batch"))
-        .orderBy("source")
+      // result reads only the memory sink + source parquet, so the landing
+      // dir deletes at query exit (playbook #41; no localCheckpoint needed)
+      try {
+        val tok = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ", -1)).as("token"))
+          .persist() // feeds the landing write, the exact counts, the batch twin
+        tok.repartition(4).write.parquet(s"$root/landing")
+        val stream = s.readStream
+          .schema(new org.apache.spark.sql.types.StructType()
+            .add("source", org.apache.spark.sql.types.StringType)
+            .add("token", org.apache.spark.sql.types.StringType))
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
+          .groupBy("source")
+          .agg(approx_count_distinct(col("token"), 0.02).as("approx_tokens"))
+        val memName = root.getName
+        val q = stream.writeStream.outputMode("complete").format("memory")
+          .queryName(memName)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val streamed = s.table(memName)
+        val batch = tok.groupBy("source")
+          .agg(approx_count_distinct(col("token"), 0.02).as("batch_approx"),
+            countDistinct(col("token")).as("exact_tokens"))
+        batch.join(streamed, "source")
+          .select(col("source"), col("exact_tokens"),
+            (abs(col("approx_tokens") - col("exact_tokens")).cast("double")
+              / col("exact_tokens") <= lit(0.08)).as("within_bound"),
+            (col("approx_tokens") === col("batch_approx")).as("stream_eq_batch"))
+          .orderBy("source")
+      } finally rmrf(root)
     },
 
     // Tokenizer-coverage / OOV-rate report: elect a capped top-256

@@ -614,7 +614,7 @@ object ScaleQueries {
       }
       val root = java.nio.file.Files
         .createTempDirectory("graft_cdc_stream_q_").toFile
-      sys.addShutdownHook(rmrf(root))
+      try {
       val base = Tables.orders(s, d).select(
         col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
         round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
@@ -670,6 +670,11 @@ object ScaleQueries {
         .select(col("k").as("o_orderkey"), col("st").as("o_orderstatus"),
           col("cents"), lit(batches >= 2).as("multi_batch"))
         .orderBy("o_orderkey")
+        // snapshot-sized result whose plan reads $root/snapN — materialize
+        // so the tmpdir deletes at query exit (playbook #41) instead of
+        // leaking a shutdown hook + orphaned dir per invocation
+        .localCheckpoint()
+      } finally rmrf(root)
     },
 
     // ECDF / quantile-normalization transform: every TEST value maps to the

@@ -394,11 +394,10 @@ object SimilarityQueries {
       }
       // unique root per invocation (a fixed shared path raced under
       // concurrent runs — one rmrf'd the other's landing/checkpoint
-      // mid-stream); the result DataFrame reads the codes lazily, so
-      // cleanup waits for JVM exit rather than query construction
+      // mid-stream)
       val root = java.nio.file.Files
         .createTempDirectory("graft_stream_pq_").toFile
-      sys.addShutdownHook(rmrf(root))
+      try {
       val landing = s"$root/landing"
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       emb.repartition(5).write.parquet(landing)
@@ -419,6 +418,10 @@ object SimilarityQueries {
           count(col("code")).as("n_stream_rows"),
           min(when(col("code") === col("bcode"), true).otherwise(false))
             .as("all_codes_match"))
+        // 1-row result whose plan reads $root/codes — materialize so the
+        // tmpdir deletes at query exit (playbook #41)
+        .localCheckpoint()
+      } finally rmrf(root)
     },
 
     // Int8 scalar quantization (operators/ScalarQuant): per-dimension
@@ -1276,7 +1279,7 @@ object SimilarityQueries {
         ScalableNswSql.Rounds, NswSql.Deg)
       val root = java.nio.file.Files
         .createTempDirectory("graft_diskann_").toFile
-      sys.addShutdownHook(rmrf(root))
+      try {
       DiskAnn.writeIndex(graph, emb, "vec_id", "embedding", root.toString)
       val queries = emb.where(col("vec_id") < NswSql.Nq)
         .select(col("vec_id"), col("embedding")).collect()
@@ -1291,7 +1294,10 @@ object SimilarityQueries {
         s"disk walk read ${io.vecRows} vectors — neighborhood bound broken")
       import s.implicits._
       val fdf = found.toDF("qid", "vid")
+      // search collected its ids eagerly; the result plan reads only the
+      // source parquet, so the index dir deletes at query exit
       nswFoundRecall(emb, v, nswQueries(v), fdf)
+      } finally rmrf(root)
     },
 
     // HNSW LAYERED upsert — q290 maintains a single-layer graph; the
@@ -1697,7 +1703,7 @@ object SimilarityQueries {
         ScalableNswSql.Rounds, NswSql.Deg)
       val root = java.nio.file.Files
         .createTempDirectory("graft_diskserve_").toFile
-      sys.addShutdownHook(rmrf(root))
+      try {
       DiskAnn.writeIndex(graph, emb, "vec_id", "embedding", root.toString)
       val entry = emb.agg(min("vec_id")).head().getLong(0)
       val (frontier, io) = DiskAnn.searchDistributed(s, root.toString,
@@ -1705,7 +1711,10 @@ object SimilarityQueries {
       require(io.vecRows <= NswSql.Nq.toLong * NswSql.Beam * NswSql.Hops
         * (NswSql.Deg + 1),
         s"distributed walk read ${io.vecRows} vectors — bound broken")
+      // the returned frontier is localCheckpoint'd per hop, so the result
+      // plan reads only source parquet — the index dir deletes at exit
       nswFoundRecall(emb, v, nswQueries(v), frontier)
+      } finally rmrf(root)
     },
 
     // The serving-FLEET disk walk (r8 verdict missing #4, HANDOFF's own
@@ -1739,7 +1748,7 @@ object SimilarityQueries {
         ScalableNswSql.Rounds, NswSql.Deg)
       val root = java.nio.file.Files
         .createTempDirectory("graft_diskfleet_").toFile
-      sys.addShutdownHook(rmrf(root))
+      try {
       DiskAnn.writeIndex(graph, emb, "vec_id", "embedding", root.toString)
       val entry = emb.agg(min("vec_id")).head().getLong(0)
       val edgeAcc = s.sparkContext.longAccumulator("fleet_edge_rows")
@@ -1750,7 +1759,9 @@ object SimilarityQueries {
       require(vecAcc.value <= NswSql.Nq.toLong * NswSql.Beam * NswSql.Hops
         * (NswSql.Deg + 1),
         s"fleet walk read ${vecAcc.value} vectors — neighborhood bound broken")
+      // frontier is checkpointed above — the index dir deletes at exit
       nswFoundRecall(emb, v, nswQueries(v), frontier)
+      } finally rmrf(root)
     },
 
     // Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
@@ -2384,16 +2395,14 @@ object SimilarityQueries {
         m = PqAnnSql.M, ksub = PqAnnSql.Ksub, iters = 1)
       val codes = Pq.encode(emb, "vec_id", "embedding", cb)
       // unique root per invocation (a fixed dataset-keyed path raced under
-      // concurrent runs — one overwrite against another's reload) with
-      // JVM-exit cleanup; the returned DataFrame reads the codes lazily,
-      // so cleanup must not happen at query-construction time
+      // concurrent runs — one overwrite against another's reload)
       def rmrf(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles.foreach(rmrf)
         f.delete(): Unit
       }
       val root = java.nio.file.Files
         .createTempDirectory("graft_pq_index_").toFile
-      sys.addShutdownHook(rmrf(root))
+      try {
       val dir = root.getAbsolutePath
       val cbRows = for {
         s0 <- 0 until cb.m; w <- 0 until cb.ksub
@@ -2450,6 +2459,10 @@ object SimilarityQueries {
             .as("recall_ok"),
           (col("bad") === 0).as("reload_eq"))
         .orderBy("query_id")
+        // Nq-row result whose plan reads $dir/codes — materialize so the
+        // index dir deletes at query exit (playbook #41)
+        .localCheckpoint()
+      } finally rmrf(root)
     },
 
     // FILTERED vector search — the production ANN query is almost never

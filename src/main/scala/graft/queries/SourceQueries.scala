@@ -543,7 +543,7 @@ object SourceQueries {
       }
       val root = java.nio.file.Files
         .createTempDirectory("graft_tfrec_stream_").toFile
-      sys.addShutdownHook(rmrf(root))
+      try {
       val (landing, out, ckpt) = (s"$root/landing", s"$root/out", s"$root/ckpt")
       def asExamples(df: org.apache.spark.sql.DataFrame) =
         df.select(col("doc_id").as("id"),
@@ -583,6 +583,11 @@ object SourceQueries {
         .crossJoin(broadcast(parity))
         .select(col("n_first"), col("redrain_noop"),
           col("n_incremental"), col("content_match"))
+        // 1-row result whose plan reads $root/out — materialize so the
+        // tmpdir deletes at query exit (playbook #41) instead of leaking a
+        // shutdown hook + orphaned dir per invocation
+        .localCheckpoint()
+      } finally rmrf(root)
     }
   )
 }
