@@ -536,6 +536,36 @@ object ScaleProbe {
           .groupBy().agg(count(lit(1)).as("n_repeats"),
             sum("len_tokens").as("tok_sum"))
       },
+      // ExactSubstr under BOILERPLATE SKEW — the census-cap stress the
+      // pairwise fixture above never exercises: every doc shares a
+      // corpus-wide 60-token banner (bucket size = n, far over cap at any
+      // multiplier — the census must DROP it in the map-side partial
+      // without ever forming pairs), a 32-doc license block (2× cap,
+      // dropped), and a 16-doc block exactly AT cap (kept: 120 pairs per
+      // group, each collapsing to ONE run-head extension — linear in n),
+      // plus the pair-unique run that produces baseline output. A
+      // formulation that paired before capping would go quadratic in the
+      // banner's sharers; this must stay census-bound (exponent ≈ 1).
+      "exact_substr_skew" -> { m =>
+        val n = m * 1000L
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+          transform(sequence(lit(0), lit(399)), t =>
+            when(t.between(0, 59), concat(lit("banner_"), t))
+              .when(t.between(100, 139),
+                concat(lit("lic"), (col("id") / 32).cast("long"),
+                  lit("_"), t))
+              .when(t.between(200, 239),
+                concat(lit("cap"), (col("id") / 16).cast("long"),
+                  lit("_"), t))
+              .when(t.between(300, 379),
+                concat(lit("r"), (col("id") / 2).cast("long"), lit("_"), t))
+              .otherwise(concat(lit("u"), col("id"), lit("_"), t)))
+            .as("toks"))
+        graft.operators.ExactSubstr.maximalRepeats(docs, col("doc_id"),
+            col("toks"), minLen = 8, cap = 16)
+          .groupBy().agg(count(lit(1)).as("n_repeats"),
+            sum("len_tokens").as("tok_sum"))
+      },
       // Quantile sketch (q400): bottom-k rank sample as a map-side-partial
       // aggregate — the exchange carries ≤ k pairs per group whatever the
       // input size, so the shape must track the hash-aggregate family

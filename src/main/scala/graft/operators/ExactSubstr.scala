@@ -198,6 +198,39 @@ object ExactSubstr {
       .distinct()
   }
 
+  /** SCRUB — the consumer that turns [[maximalRepeats]] into Lee et al.'s
+    * actual dedup transform: for every reported repeat the doc_a copy
+    * (lowest id) is kept and the doc_b span is CUT; overlapping spans
+    * union per token position. Returns (doc_id, toks, ktoks) — original
+    * and scrubbed token arrays for every document (untouched docs pass
+    * through with ktoks = toks).
+    *
+    * Shape: the repeat relation's doc_b spans collect to a per-doc cut
+    * list (repeats-per-doc sized — a statistic, not the corpus), ONE
+    * doc_id left join against the corpus, then the position filter runs
+    * row-locally as HOF expressions. No corpus explode, no range join.
+    */
+  def scrub(docs: DataFrame, key: Column, tokens: Column,
+            minLen: Int, cap: Int): DataFrame = {
+    val t = docs.select(key.as("doc_id"), tokens.as("toks"))
+    val cuts = maximalRepeats(docs, key, tokens, minLen, cap)
+      .select(col("doc_b").as("doc_id"),
+        struct(col("start_b").as("s"),
+          (col("start_b") + col("len_tokens")).as("e")).as("cut"))
+      .groupBy("doc_id").agg(collect_list("cut").as("cuts"))
+    val posToks = transform(col("toks"),
+      (tok, i) => struct((i + 1).cast("long").as("p"), tok.as("tok")))
+    val keptToks = transform(
+      filter(posToks, st => !exists(col("cuts"),
+        c => st.getField("p") >= c.getField("s")
+          && st.getField("p") < c.getField("e"))),
+      st => st.getField("tok"))
+    t.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        when(col("cuts").isNull, col("toks")).otherwise(keptToks)
+          .as("ktoks"))
+  }
+
   /** DuckDB CTE chain of [[crossMaximalRepeats]] over `documents` split by
     * `probePred` / `corpusPred` — ends at `xmr(probe_id, corpus_id,
     * start_p, start_c, len_tokens, fp)`.

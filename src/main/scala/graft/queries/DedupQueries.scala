@@ -847,6 +847,46 @@ object DedupQueries {
     // must agree between the two documents by construction — the planted-
     // repeat property spec (Round14Spec) proves the extension logic the
     // mirrored hash can't.
+    // ExactSubstr SCRUB — the consumer that makes q435 a usable transform
+    // (Lee et al.'s actual dedup output): every reported repeat keeps the
+    // doc_a copy (lowest id) and CUTS the doc_b span; overlapping span
+    // unions resolve per token, and the scrubbed documents re-emit as
+    // (token count before/after, content fingerprint of the scrubbed token
+    // stream). Engine shape: the repeat relation's doc_b spans collect to a
+    // per-doc cut list (repeats-per-doc sized, a statistic), ONE doc_id
+    // join against the corpus, then the position filter runs row-locally
+    // as HOF expressions — no corpus explode, no range join. The oracle
+    // rebuilds the kept token stream positionally and folds the same
+    // rolling hash.
+    QueryDef("q456_exact_substr_scrub",
+      s"""WITH ${graft.operators.ExactSubstr.maximalRepeatsSql(
+            "string_split(text, ' ')", minLen = 8, cap = 16)},
+         |spans AS (SELECT doc_b AS doc_id, start_b AS s,
+         |                 start_b + len_tokens AS e FROM mr),
+         |pos AS (SELECT t.doc_id, u.i AS p, t.toks[u.i] AS tok
+         |        FROM t, unnest(range(1, len(t.toks) + 1)) AS u(i)),
+         |kept AS (SELECT doc_id, p, tok FROM pos
+         |         WHERE NOT EXISTS (SELECT 1 FROM spans sp
+         |           WHERE sp.doc_id = pos.doc_id
+         |             AND pos.p >= sp.s AND pos.p < sp.e)),
+         |ka AS (SELECT doc_id, list(tok ORDER BY p) AS ktoks
+         |       FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_before,
+         |       CAST(coalesce(len(ka.ktoks), 0) AS BIGINT) AS n_after,
+         |       ${Hashes.tokenRollingHashSql(
+               "coalesce(ka.ktoks, CAST([] AS VARCHAR[]))")} AS fp
+         |FROM t LEFT JOIN ka USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.ExactSubstr.scrub(
+          Tables.documents(s, d), col("doc_id"),
+          split(col("text"), " ", -1), minLen = 8, cap = 16)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_before"),
+          size(col("ktoks")).cast("long").as("n_after"),
+          Hashes.tokenRollingHash(col("ktoks")).as("fp"))
+        .orderBy("doc_id")
+    },
+
     QueryDef("q435_exact_substr",
       s"""WITH ${graft.operators.ExactSubstr.maximalRepeatsSql(
             "string_split(text, ' ')", minLen = 8, cap = 16)}

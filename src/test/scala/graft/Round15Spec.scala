@@ -56,4 +56,35 @@ class Round15Spec extends AnyFunSuite {
         .orderBy("player").collect().map(_.getLong(2)).toSeq
     assert(strengths(log) == strengths(log.reverse))
   }
+
+  test("ExactSubstr scrub cuts the doc_b copy, keeps doc_a, unions overlaps") {
+    import spark.implicits._
+    import graft.operators.ExactSubstr
+    def toks(prefix: String, n: Int) = (0 until n).map(i => s"${prefix}_$i")
+    val run = toks("shared", 10)
+    val runB = toks("tail", 9)
+    // doc 0: the kept copy. doc 1: same run (cut). doc 2: two OVERLAPPING
+    // repeats vs docs 0/1 through a longer window — union per position.
+    // doc 3: untouched.
+    val docs = Seq(
+      (0L, toks("a", 5) ++ run ++ toks("a2", 5)),
+      (1L, toks("b", 3) ++ run ++ runB ++ toks("b2", 4)),
+      (2L, toks("c", 2) ++ runB ++ toks("c2", 6)),
+      (3L, toks("d", 12))
+    ).toDF("doc_id", "toks")
+    val out = ExactSubstr.scrub(docs, col("doc_id"), col("toks"),
+        minLen = 8, cap = 16)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList,
+        r.getSeq[String](2).toList))
+    // doc 0 is only ever doc_a — untouched
+    assert(out(0)._3 == out(0)._2)
+    // doc 1 is doc_b of (0,1) [10-run] and doc_a of (1,2) [9-run]:
+    // the shared 10-run cut, the tail run KEPT (doc 1 is the lower id)
+    assert(out(1)._3 == (toks("b", 3) ++ runB ++ toks("b2", 4)).toList)
+    // doc 2 is doc_b of (1,2): its 9-token tail run cut
+    assert(out(2)._3 == (toks("c", 2) ++ toks("c2", 6)).toList)
+    // doc 3 shares nothing — passes through
+    assert(out(3)._3 == out(3)._2)
+  }
 }
