@@ -292,15 +292,7 @@ object SimilarityQueries {
       val shortlist = Pq.adcTopK(codes, Pq.adcTables(s, queries, cb),
         k = PqAnnSql.Shortlist, excludeSelf = true)
       val reranked = Pq.rerank(shortlist, emb, "vec_id", "embedding", qdf, 10)
-      val exact = emb
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
-        .crossJoin(broadcast(qdf))
-        .where(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(Tensors.distSq(col("x"), col("qv")), 6).as("d2"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
-        .where(col("rank") <= 10)
+      val exact = exactDistTopK(emb, qdf, 10)
         .persist() // feeds both the d10 anchor and the recall join
       val d10 = exact.where(col("rank") === 10)
         .select(col("qid").as("query_id"), col("d2").as("exact_d10"))
@@ -348,15 +340,7 @@ object SimilarityQueries {
         probes, k = PqAnnSql.Shortlist, excludeSelf = true)
       val qdf = queries.toDF("qid", "qv")
       val reranked = Pq.rerank(shortlist, emb, "vec_id", "embedding", qdf, 10)
-      val exact = emb
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
-        .crossJoin(broadcast(qdf))
-        .where(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(Tensors.distSq(col("x"), col("qv")), 6).as("d2"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
-        .where(col("rank") <= 10)
+      val exact = exactDistTopK(emb, qdf, 10)
         .persist() // feeds both the d10 anchor and the recall join
       val d10 = exact.where(col("rank") === 10)
         .select(col("qid").as("query_id"), col("d2").as("exact_d10"))
@@ -978,28 +962,10 @@ object SimilarityQueries {
       val shortlist = Pq.adcTopK(codes, Pq.adcTables(s, queries, cb),
         k = PqRecallSql.Shortlist, excludeSelf = true)
       val reranked = Pq.rerank(shortlist, emb, "vec_id", "embedding", qdf, 10)
-        .select(col("query_id").as("iq"), col("neighbor_id").as("inb"))
-      val truth = emb
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
-        .crossJoin(broadcast(qdf))
-        .where(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(Tensors.distSq(col("x"), col("qv")), 6).as("d2"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
-        .where(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val truth = exactDistTopK(emb, qdf, 10)
         .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
-      val per = truth.join(reranked,
-          col("query_id") === col("iq") && col("neighbor_id") === col("inb"),
-          "left")
-        .groupBy("query_id").agg(count(col("inb")).as("hits"))
-      val th = per.agg(sum("hits").as("th"))
-      per.crossJoin(broadcast(th))
-        .select(col("query_id"), col("hits"),
-          expr("hits * 1000000 div 10").as("recall_ppm"),
-          expr(s"th * 1000000 div ${PqRecallSql.Nq * 10}")
-            .as("mean_recall_ppm"))
-        .orderBy("query_id")
+      recallPpm(truth, reranked, PqRecallSql.Nq, 10)
     },
 
     // IVF-PQ measured recall — q232's full-replay harness composed with the
@@ -1036,28 +1002,10 @@ object SimilarityQueries {
       val shortlist = Pq.ivfAdcTopK(codes, Pq.adcTables(s, queries, cb),
         probes, k = PqRecallSql.Shortlist, excludeSelf = true)
       val reranked = Pq.rerank(shortlist, emb, "vec_id", "embedding", qdf, 10)
-        .select(col("query_id").as("iq"), col("neighbor_id").as("inb"))
-      val truth = emb
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
-        .crossJoin(broadcast(qdf))
-        .where(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(Tensors.distSq(col("x"), col("qv")), 6).as("d2"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
-        .where(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val truth = exactDistTopK(emb, qdf, 10)
         .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
-      val per = truth.join(reranked,
-          col("query_id") === col("iq") && col("neighbor_id") === col("inb"),
-          "left")
-        .groupBy("query_id").agg(count(col("inb")).as("hits"))
-      val th = per.agg(sum("hits").as("th"))
-      per.crossJoin(broadcast(th))
-        .select(col("query_id"), col("hits"),
-          expr("hits * 1000000 div 10").as("recall_ppm"),
-          expr(s"th * 1000000 div ${PqRecallSql.Nq * 10}")
-            .as("mean_recall_ppm"))
-        .orderBy("query_id")
+      recallPpm(truth, reranked, PqRecallSql.Nq, 10)
     },
 
     // Graph-based ANN — the FOURTH index family on the measured harness
@@ -2148,20 +2096,11 @@ object SimilarityQueries {
         round(Tensors.dot(col("qe"), col("embedding"))
           / (col("qn") * col("nrm")), 6).as("cos"))
       .withColumn("rn", row_number().over(fw)).where(col("rn") <= 10)
-      .select(col("qid").as("iq"), col("vid").as("inb"))
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"))
     val truth = Similarity.bruteForceTopK(emb,
         emb.where(col("vec_id") < NswSql.Nq), 10)
       .select(col("query_id"), col("neighbor_id"))
-    val per = truth.join(found,
-        col("query_id") === col("iq") && col("neighbor_id") === col("inb"),
-        "left")
-      .groupBy("query_id").agg(count(col("inb")).as("hits"))
-    val th = per.agg(sum("hits").as("th"))
-    per.crossJoin(broadcast(th))
-      .select(col("query_id"), col("hits"),
-        expr("hits * 1000000 div 10").as("recall_ppm"),
-        expr(s"th * 1000000 div ${NswSql.Nq * 10}").as("mean_recall_ppm"))
-      .orderBy("query_id")
+    recallPpm(truth, found, NswSql.Nq, 10)
   }
 
   private def nswQueries(v: org.apache.spark.sql.DataFrame)
@@ -2169,6 +2108,48 @@ object SimilarityQueries {
     v.where(col("vec_id") < NswSql.Nq)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"))
+
+  /** Exact squared-distance top-k truth per query — the brute baseline the
+    * PQ/IVF-PQ recall family grades against (q125/q232/q240/q253 each
+    * re-derived this block before round 11). `qdf` = (qid, qv
+    * array<double>); returns (qid, vec_id, rank, d2), rank ≤ k by
+    * (rounded d2, id). Deliberately corpus × queries — the one exempt
+    * quadratic stage, query side broadcast.
+    */
+  private def exactDistTopK(emb: org.apache.spark.sql.DataFrame,
+                            qdf: org.apache.spark.sql.DataFrame,
+                            k: Int): org.apache.spark.sql.DataFrame = {
+    import graft.functions.Tensors
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+      .crossJoin(broadcast(qdf))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(Tensors.distSq(col("x"), col("qv")), 6).as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
+      .where(col("rank") <= k)
+  }
+
+  /** Per-query hit census + ppm summary — the recall@k surface every ANN
+    * grader emits: (query_id, hits, recall_ppm, mean_recall_ppm). `truth`
+    * and `found` both carry (query_id, neighbor_id).
+    */
+  private def recallPpm(truth: org.apache.spark.sql.DataFrame,
+                        found: org.apache.spark.sql.DataFrame,
+                        nq: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val f = found.select(col("query_id").as("iq"),
+      col("neighbor_id").as("inb"))
+    val per = truth.join(f,
+        col("query_id") === col("iq") && col("neighbor_id") === col("inb"),
+        "left")
+      .groupBy("query_id").agg(count(col("inb")).as("hits"))
+    val th = per.agg(sum("hits").as("th"))
+    per.crossJoin(broadcast(th))
+      .select(col("query_id"), col("hits"),
+        expr(s"hits * 1000000 div $k").as("recall_ppm"),
+        expr(s"th * 1000000 div ${nq * k}").as("mean_recall_ppm"))
+      .orderBy("query_id")
+  }
 
   /** q260/q266 shared single-layer harness: walk from the smallest-id
     * entry, Hops × Beam, then grade. `v` = (vec_id, embedding, nrm),
@@ -2436,15 +2417,7 @@ object SimilarityQueries {
           "full_outer")
         .where(col("query_id").isNull || col("q2").isNull)
         .agg(count(lit(1)).as("bad"))
-      val exact = emb
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
-        .crossJoin(broadcast(qdf))
-        .where(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(Tensors.distSq(col("x"), col("qv")), 6).as("d2"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))))
-        .where(col("rank") <= 10)
+      val exact = exactDistTopK(emb, qdf, 10)
         .persist() // anchor + recall join
       val d10 = exact.where(col("rank") === 10)
         .select(col("qid").as("query_id"), col("d2").as("exact_d10"))
@@ -3045,15 +3018,12 @@ object SimilarityQueries {
       val wh = Window.partitionBy("query_id").orderBy("ham", "nid")
       val hr = hb.withColumn("rk", row_number().over(wh))
         .where(col("rk") <= 10).select("query_id", "nid")
-      val cb = broadcast(q).join(v, col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("nid"),
-          round(Tensors.dot(col("qv"), col("embedding"))
-            / (col("qn") * col("nrm")), 6).as("cos"))
-      val wc = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("nid"))
-      val cr = cb.withColumn("rk", row_number().over(wc))
-        .where(col("rk") <= 10).select("query_id", "nid")
-      val crr = cr.select(col("query_id").as("cqid"), col("nid").as("cnid"))
+      // exact cosine truth from the shared brute harness (same rounded
+      // dot/(norms) arithmetic the oracle's cb/cr CTEs replay)
+      val crr = graft.operators.Similarity.bruteForceTopK(
+          Tables.embeddings(s, d),
+          Tables.embeddings(s, d).where(col("vec_id") < 5), 10)
+        .select(col("query_id").as("cqid"), col("neighbor_id").as("cnid"))
       hr.join(crr,
           col("query_id") === col("cqid") && col("nid") === col("cnid"),
           "left")
