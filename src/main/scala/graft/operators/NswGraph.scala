@@ -307,6 +307,60 @@ object NswGraph {
   val UpsertMaxRatioPct: Int = 25
   val RefreshEveryBatches: Int = 4
 
+  final case class MaintenancePolicy(upsertMaxRatioPct: Int,
+                                     refreshEveryBatches: Int,
+                                     decayPpmPerBatch: Long)
+
+  /** Re-price the maintenance constants from MEASURED decay/recovery
+    * relations — a deployment runs its own q298/q299-shaped harnesses on
+    * its own corpus and feeds the results here instead of trusting the
+    * fixture-priced defaults ([[UpsertMaxRatioPct]]/[[RefreshEveryBatches]]
+    * were derived from exactly this data at fixture scale).
+    *
+    * @param decay    (batch_pct: long, recall_ppm: long) — one row per
+    *                 chained unrefreshed upsert in the q298 harness:
+    *                 the batch's size as a percent of the pre-batch corpus
+    *                 and the mean recall@k measured after it. Ordered
+    *                 rows; the last is the most-decayed floor.
+    * @param recovery (recall_ppm: long) — 1 row, mean recall after ONE
+    *                 refresh pass on the most-decayed graph (q299).
+    * @param rebuildRecallPpm mean recall of a one-shot full rebuild at the
+    *                 final corpus size — the quality bar a refresh must
+    *                 clear for the measured batch size to be licensed.
+    *
+    * Derivation (the constants' actual pricing logic, now executable):
+    *   - the measured batch percent is LICENSED iff the single refresh
+    *     recovers PAST the rebuild bar (q299's 95.5 % vs the rebuild's
+    *     94.5 % is what licenses 25 % batches) — otherwise this throws
+    *     and the deployment must re-measure with smaller batches;
+    *   - upsertMaxRatioPct = that licensed batch percent;
+    *   - refreshEveryBatches = 100 / pct — refresh once the batches since
+    *     the last refresh could total one pre-epoch corpus ("upsert per
+    *     batch, one refresh per epoch");
+    *   - decayPpmPerBatch = endpoint slope of the measured chain, the
+    *     observability number the policy's health checks alarm on.
+    */
+  def fitPolicy(decay: DataFrame, recovery: DataFrame,
+                rebuildRecallPpm: Long): MaintenancePolicy = {
+    val d = decay.select(col("batch_pct").cast("long"),
+        col("recall_ppm").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(d.nonEmpty, "decay relation is empty — run the q298 harness")
+    val recovered = recovery.select(col("recall_ppm").cast("long"))
+      .head().getLong(0)
+    val pct = d.map(_._1).max
+    require(pct >= 1 && pct < 100,
+      s"measured batch percent $pct out of the upsert regime")
+    require(recovered >= rebuildRecallPpm,
+      s"refresh recovers to $recovered ppm, below the rebuild bar " +
+        s"$rebuildRecallPpm — a $pct% batch size is NOT licensed; " +
+        "re-measure with smaller batches")
+    val rate =
+      if (d.length < 2) 0L
+      else (d.head._2 - d.last._2) / (d.length - 1).toLong
+    MaintenancePolicy(pct.toInt, (100L / pct).toInt, rate)
+  }
+
   /** The policy decision for one arriving batch: `nCorpus` = indexed
     * vectors before this batch, `upsertsSinceRefresh` = consecutive plain
     * upserts since the last rebuild/refresh. Pure integer arithmetic so a

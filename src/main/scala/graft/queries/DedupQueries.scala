@@ -997,20 +997,7 @@ object DedupQueries {
     // defense. Corpus-side window buckets are capped; per probe doc the
     // output carries the hit census + the longest shared run, so the
     // admission decision is auditable, not just boolean.
-    QueryDef("q444_exact_substr_gate",
-      s"""WITH ${graft.operators.ExactSubstr.crossMaximalRepeatsSql(
-            "string_split(text, ' ')", probePred = "doc_id % 2 = 1",
-            corpusPred = "doc_id % 2 = 0", minLen = 8, cap = 16)},
-         |hits AS (SELECT probe_id,
-         |                CAST(count(*) AS BIGINT) AS n_hits,
-         |                CAST(max(len_tokens) AS BIGINT) AS max_len
-         |         FROM xmr GROUP BY probe_id)
-         |SELECT p.probe_id AS doc_id,
-         |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-         |       CAST(coalesce(h.max_len, 0) AS BIGINT) AS max_len,
-         |       h.n_hits IS NULL AS admitted
-         |FROM tp p LEFT JOIN hits h USING (probe_id)
-         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    QueryDef("q444_exact_substr_gate", SubstrGateSql.sql) { (s, d) =>
       val docs = Tables.documents(s, d)
       val toks = split(col("text"), " ", -1)
       val probe = docs.where(col("doc_id") % 2 === 1)
@@ -1026,8 +1013,101 @@ object DedupQueries {
           coalesce(col("max_len"), lit(0L)).as("max_len"),
           col("n_hits").isNull.as("admitted"))
         .orderBy("doc_id")
+    },
+
+    // STREAMING exact-substring ingest gate — q444's operator where the
+    // admission contract actually lives in production (a contamination
+    // gate is a stream job at the ingest door, like q442→q451): probe
+    // docs arrive as a file stream in two ordered waves, each micro-batch
+    // runs crossMaximalRepeats against the accumulated corpus store and
+    // appends its verdicts; the stream drains to a STOP after wave A and
+    // RESUMES the same checkpoint for wave B — the q412/q451 restart
+    // harness, here proving the file-source progress log (no re-gating of
+    // wave A, no loss) rather than operator state (the gate's only state
+    // IS the corpus relation; a production deployment would also append
+    // admitted probes to it between batches — the same one-directory
+    // append this harness does for landing). Oracle = q444's VERBATIM:
+    // streamed ≡ batch, row for row, by the shared hash.
+    QueryDef("q457_stream_substr_gate", SubstrGateSql.sql) { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sgate_q_").toFile
+      try {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"))
+          .persist() // the accumulated store side, probed by every batch
+        val probe = docs.where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"))
+        val mid = probe.agg(expr("(min(doc_id) + max(doc_id)) div 2"))
+          .head().getLong(0)
+        def drain(): Unit = {
+          val q = s.readStream
+            .schema(new StructType()
+              .add("doc_id", LongType).add("text", StringType))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/landing")
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              val xmr = graft.operators.ExactSubstr.crossMaximalRepeats(
+                batch, corpus, col("doc_id"), split(col("text"), " ", -1),
+                minLen = 8, cap = 16)
+              val hits = xmr.groupBy("probe_id")
+                .agg(count(lit(1)).as("n_hits"),
+                  max("len_tokens").as("max_len"))
+              batch.select(col("doc_id").as("probe_id"))
+                .join(hits, Seq("probe_id"), "left")
+                .select(col("probe_id").as("doc_id"),
+                  coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+                  coalesce(col("max_len"), lit(0L)).as("max_len"),
+                  col("n_hits").isNull.as("admitted"))
+                .write.mode("append").parquet(s"$root/out")
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        probe.where(col("doc_id") <= mid).coalesce(1)
+          .write.parquet(s"$root/landing")
+        drain()
+        probe.where(col("doc_id") > mid).coalesce(1)
+          .write.mode("append").parquet(s"$root/landing")
+        drain()
+        s.read.parquet(s"$root/out")
+          .select("doc_id", "n_hits", "max_len", "admitted")
+          .orderBy("doc_id")
+          // the result READS $root/out — materialize before the delete
+          .localCheckpoint()
+      } finally rmrf(root)
     }
   )
+}
+
+/** q444/q457 shared oracle: the cross-relation maximal-repeat chain over
+  * the odd/even document split, per-probe hit census, admit iff zero hits.
+  * The streamed twin must reproduce it row for row.
+  */
+private object SubstrGateSql {
+  val sql: String =
+    s"""WITH ${graft.operators.ExactSubstr.crossMaximalRepeatsSql(
+          "string_split(text, ' ')", probePred = "doc_id % 2 = 1",
+          corpusPred = "doc_id % 2 = 0", minLen = 8, cap = 16)},
+       |hits AS (SELECT probe_id,
+       |                CAST(count(*) AS BIGINT) AS n_hits,
+       |                CAST(max(len_tokens) AS BIGINT) AS max_len
+       |         FROM xmr GROUP BY probe_id)
+       |SELECT p.probe_id AS doc_id,
+       |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(coalesce(h.max_len, 0) AS BIGINT) AS max_len,
+       |       h.n_hits IS NULL AS admitted
+       |FROM tp p LEFT JOIN hits h USING (probe_id)
+       |ORDER BY doc_id""".stripMargin
 }
 
 /** Full LSH pipeline oracle: signatures → band keys → distinct candidate

@@ -57,6 +57,26 @@ class Round15Spec extends AnyFunSuite {
     assert(strengths(log) == strengths(log.reverse))
   }
 
+  test("fitPolicy re-derives the shipped constants from the q298/q299 fixtures") {
+    import spark.implicits._
+    import graft.operators.NswGraph
+    // the measured pricing data the shipped constants came from: 25%
+    // batches decaying 96.0% -> 91.0% over 8 unrefreshed upserts (q298,
+    // ~0.6 pt/batch), one refresh recovering to 95.5% (q299), past the
+    // one-shot rebuild's 94.5%
+    val decay = (1 to 8).map(k =>
+      (25L, 960000L - (k - 1) * (50000L / 7))).toDF("batch_pct", "recall_ppm")
+    val recovery = Seq(955000L).toDF("recall_ppm")
+    val p = NswGraph.fitPolicy(decay, recovery, rebuildRecallPpm = 945000L)
+    assert(p.upsertMaxRatioPct == NswGraph.UpsertMaxRatioPct)
+    assert(p.refreshEveryBatches == NswGraph.RefreshEveryBatches)
+    assert(p.decayPpmPerBatch > 5000L && p.decayPpmPerBatch < 8000L)
+    // an UNLICENSED batch size (refresh below the rebuild bar) must refuse
+    val e = intercept[IllegalArgumentException](
+      NswGraph.fitPolicy(decay, Seq(940000L).toDF("recall_ppm"), 945000L))
+    assert(e.getMessage.contains("NOT licensed"))
+  }
+
   test("ExactSubstr scrub cuts the doc_b copy, keeps doc_a, unions overlaps") {
     import spark.implicits._
     import graft.operators.ExactSubstr
