@@ -2352,8 +2352,77 @@ object CurationQueries {
           (col("true_n") * 1000000L + col("noise_e6")).as("released_e6"),
           abs(col("noise_e6")).as("abs_err_e6"))
         .orderBy("event_type")
+    },
+
+    // SEQUENCE PACKING — the step between a curated corpus and a training
+    // run: documents pack into fixed context windows (W = 100 tokens here)
+    // so the GPU never pads. Bin packing is inherently order-dependent, so
+    // the scalable posture is SHARDED next-fit-decreasing: docs hash into
+    // 8 shards, each shard packs independently with one O(1)-state
+    // sorted-group recurrence (the q442 machinery) over its docs in
+    // (len DESC, id) order — the decreasing order is what buys FFD-grade
+    // fill, the sharding is what buys parallelism (each worker packs its
+    // shard; cross-shard waste is ≤ one bin per shard). Docs longer than W
+    // truncate to W (the training reality). Output is the per-bin census
+    // with fill ppm; the oracle replays the recurrence as a per-shard
+    // recursive CTE.
+    QueryDef("q458_sequence_packing", {
+      val W = PackSql.W
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, least(len(string_split(text, ' ')), $W) AS ln,
+         |         doc_id % 8 AS shard
+         |  FROM documents),
+         |o AS (SELECT shard, doc_id, ln, row_number() OVER (
+         |        PARTITION BY shard ORDER BY ln DESC, doc_id) AS rn
+         |      FROM t),
+         |rec(shard, rn, bin, acc) AS (
+         |  SELECT shard, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |         CAST(0 AS BIGINT)
+         |  FROM (SELECT DISTINCT shard FROM o)
+         |  UNION ALL
+         |  SELECT o.shard, o.rn,
+         |         CASE WHEN r.acc + o.ln > $W THEN r.bin + 1 ELSE r.bin END,
+         |         CASE WHEN r.acc + o.ln > $W THEN o.ln
+         |              ELSE r.acc + o.ln END
+         |  FROM rec r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1),
+         |b AS (SELECT r.shard, r.bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(o.ln) AS BIGINT) AS tokens_used
+         |      FROM rec r JOIN o ON o.shard = r.shard AND o.rn = r.rn
+         |      WHERE r.rn >= 1 GROUP BY r.shard, r.bin)
+         |SELECT shard, bin, n_docs, tokens_used,
+         |       tokens_used * 1000000 // $W AS fill_ppm
+         |FROM b ORDER BY shard, bin""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val W = PackSql.W
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          least(size(split(col("text"), " ", -1)), lit(W)).cast("long")
+            .as("len"),
+          (col("doc_id") % 8).as("shard"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._3)
+        .flatMapSortedGroups(col("len").desc, col("doc_id")) { (shard, rows) =>
+          var bin = 0L
+          var acc = 0L
+          rows.map { case (_, len, _) =>
+            if (acc + len > W) { bin += 1; acc = len } else acc += len
+            (shard, bin, len)
+          }
+        }
+        .toDF("shard", "bin", "len")
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("len").as("tokens_used"))
+        .select(col("shard"), col("bin"), col("n_docs"), col("tokens_used"),
+          expr(s"tokens_used * 1000000 div $W").as("fill_ppm"))
+        .orderBy("shard", "bin")
     }
   )
+}
+
+/** q458 shared constant: the packing context window. */
+private object PackSql {
+  val W = 100
 }
 
 /** q292 oracle: the cross-relation MinHash gate chain (shingles →

@@ -3960,6 +3960,130 @@ object MlQueries {
         .orderBy("player")
     },
 
+    // Fleiss' κ — q452's Cohen κ generalized past two raters: the QA gate
+    // for a REAL annotation pool (m = 4 raters per document, binary
+    // accept/reject from the salted hash with a per-doc difficulty split,
+    // so agreement is neither perfect nor chance). Per-item agreement
+    // P_i = (Σ_j n_ij² − m)/(m(m−1)) needs only the per-item category sum
+    // (binary ⇒ Σ n_ij² = s² + (m−s)²) — ONE census aggregate over the
+    // corpus; chance agreement P_e = Σ_j p_j² from the same census's
+    // grand totals through decimal(38)/HUGEINT (the q413 pattern). All
+    // e6-integer; the degenerate P_e = 1 case pinned to κ = 0 on both
+    // engines (q452's guard).
+    QueryDef("q459_fleiss_kappa", {
+      val h = graft.functions.Hashes.mulHashSql("(doc_id * 4 + r.r)", 23)
+      s"""WITH l AS (
+         |  SELECT doc_id,
+         |         CASE WHEN ($h) % 100 < 20 + (doc_id % 2) * 60
+         |              THEN 1 ELSE 0 END AS cat
+         |  FROM documents, (SELECT unnest(range(0, 4)) AS r) r),
+         |per AS (SELECT doc_id, CAST(sum(cat) AS BIGINT) AS sc
+         |        FROM l GROUP BY doc_id),
+         |pi AS (SELECT doc_id, sc,
+         |              (sc * sc + (4 - sc) * (4 - sc) - 4) * 1000000 // 12
+         |                AS pi_e6
+         |       FROM per),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(pi_e6) AS BIGINT) AS spi,
+         |             CAST(sum(sc) AS BIGINT) AS t1
+         |      FROM pi),
+         |k AS (SELECT n, spi // n AS pbar_e6,
+         |             CAST((CAST(t1 AS HUGEINT) * t1
+         |                   + CAST(4 * n - t1 AS HUGEINT) * (4 * n - t1))
+         |                  * 1000000
+         |                  // (CAST(4 * n AS HUGEINT) * (4 * n))
+         |               AS BIGINT) AS pe_e6
+         |      FROM g)
+         |SELECT n AS n_items, pbar_e6, pe_e6,
+         |       CASE WHEN pe_e6 = 1000000 THEN CAST(0 AS BIGINT)
+         |            ELSE (pbar_e6 - pe_e6) * 1000000
+         |                 // (1000000 - pe_e6) END AS kappa_e6
+         |FROM k""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      val labels = Tables.documents(s, d)
+        .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("r"))
+        .select(col("doc_id"),
+          when(Hashes.mulHash(col("doc_id") * 4 + col("r"), 23) % 100
+            < lit(20) + (col("doc_id") % 2) * 60, 1L).otherwise(0L)
+            .as("cat"))
+      val per = labels.groupBy("doc_id").agg(sum("cat").as("sc"))
+        .select(col("sc"),
+          expr("(sc * sc + (4 - sc) * (4 - sc) - 4) * 1000000 div 12")
+            .as("pi_e6"))
+      per.agg(count(lit(1)).as("n"), sum("pi_e6").as("spi"),
+          sum("sc").as("t1"))
+        .select(col("n").as("n_items"),
+          expr("spi div n").as("pbar_e6"),
+          expr("cast((cast(t1 as decimal(38,0)) * t1" +
+            " + cast(4 * n - t1 as decimal(38,0)) * (4 * n - t1))" +
+            " * 1000000 div (cast(4 * n as decimal(38,0)) * (4 * n))" +
+            " as bigint)").as("pe_e6"))
+        .withColumn("kappa_e6", expr(
+          "CASE WHEN pe_e6 = 1000000 THEN 0L" +
+            " ELSE (pbar_e6 - pe_e6) * 1000000 div (1000000 - pe_e6) END"))
+    },
+
+    // Position-bias audit of pairwise preference data — before fitting
+    // q453/q455 rankings, an arena pipeline must check the presentation
+    // order isn't leaking into outcomes (humans measurably favor the
+    // first-shown response). Each match gets a presentation draw (which
+    // player was SHOWN first — the salted-hash bit); the audit censuses
+    // win rate by shown-position overall and per player (n/wins when
+    // shown first vs second, the per-player bias gap in ppm). On this
+    // synthetic log the outcome is position-independent BY CONSTRUCTION,
+    // so the measured gaps are pure sampling noise around zero — which is
+    // exactly what the audit should report on unbiased data; the census
+    // shapes (one pass, two aggregates) are the operator.
+    QueryDef("q460_position_bias", {
+      import graft.functions.Hashes
+      val logCte = MediaSql.EloSql.logCte
+      s"""WITH $logCte,
+         |p AS (SELECT m, pa, pb, awin,
+         |             (${Hashes.mulHashSql("m", 11)}) % 2 AS pa_first
+         |      FROM log),
+         |sides AS (
+         |  SELECT pa AS player, pa_first = 1 AS shown_first,
+         |         awin AS won FROM p
+         |  UNION ALL
+         |  SELECT pb, pa_first = 0, 1 - awin FROM p),
+         |per AS (SELECT player,
+         |          CAST(sum(CASE WHEN shown_first THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_first,
+         |          CAST(sum(CASE WHEN shown_first THEN won ELSE 0 END)
+         |            AS BIGINT) AS w_first,
+         |          CAST(sum(CASE WHEN shown_first THEN 0 ELSE 1 END)
+         |            AS BIGINT) AS n_second,
+         |          CAST(sum(CASE WHEN shown_first THEN 0 ELSE won END)
+         |            AS BIGINT) AS w_second
+         |        FROM sides GROUP BY player)
+         |SELECT player, n_first, w_first, n_second, w_second,
+         |       w_first * 1000000 // n_first
+         |         - w_second * 1000000 // n_second AS bias_ppm
+         |FROM per ORDER BY player""".stripMargin
+    }) { (s, _) =>
+      import graft.functions.Hashes
+      val p = arenaLog(s)
+        .withColumn("pa_first", Hashes.mulHash(col("m"), 11) % 2)
+      val sides = p.select(col("pa").as("player"),
+          (col("pa_first") === 1).as("shown_first"), col("awin").as("won"))
+        .unionByName(p.select(col("pb").as("player"),
+          (col("pa_first") === 0).as("shown_first"),
+          (lit(1L) - col("awin")).as("won")))
+      sides.groupBy("player")
+        .agg(sum(when(col("shown_first"), 1L).otherwise(0L)).as("n_first"),
+          sum(when(col("shown_first"), col("won")).otherwise(0L))
+            .as("w_first"),
+          sum(when(col("shown_first"), 0L).otherwise(1L)).as("n_second"),
+          sum(when(col("shown_first"), 0L).otherwise(col("won")))
+            .as("w_second"))
+        .select(col("player"), col("n_first"), col("w_first"),
+          col("n_second"), col("w_second"),
+          expr("w_first * 1000000 div n_first" +
+            " - w_second * 1000000 div n_second").as("bias_ppm"))
+        .orderBy("player")
+    },
+
     // ViT-style PATCHIFY — image → grid of 4×4 tiles → one relation row
     // per tile (the vision-transformer ingest shape; the first 1:N media
     // decoder, proving decodeFeatures' batch contract covers flatMap
