@@ -3136,8 +3136,134 @@ object SimilarityQueries {
           col("ty").cast("long").as("train_label"), col("shap_e9"),
           col("total_e9"))
         .orderBy("query_id", "value_rank")
+    },
+
+    // MMR DIVERSIFICATION (Carbonell & Goldstein, SIGIR 1998) — the
+    // re-ranker between ANN retrieval and a RAG context window: a raw
+    // top-k is often near-duplicates of one passage; MMR greedily picks
+    // argmax λ·rel(i) − (1−λ)·max_{j∈S} sim(i,j), trading relevance for
+    // coverage. λ = 0.7 over the exact top-20 shortlist, 10 picks. Shape:
+    // the shortlist is query-bounded (20 rows/query), its pairwise sim
+    // relation is 20·19 rows/query (candidate-sized, built ONCE,
+    // persisted), and each greedy round is a join + window argmax on that
+    // statistic — corpus touched only by the shortlist scan. Scores stay
+    // in e7 integers (7·rel_e6 − 3·max_sim_e6 — no division, so no
+    // truncation-semantics risk on negatives); ties to the lowest id;
+    // oracle unrolls all 10 rounds with the selected set carried as a
+    // growing CTE union.
+    QueryDef("q461_mmr_diversify", MmrSql.sql) { (s, d) =>
+      import graft.functions.Tensors
+      val emb = Tables.embeddings(s, d)
+      val short = Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id") < 5), 20)
+      val rel = short.select(col("query_id").as("qid"),
+          col("neighbor_id").as("cid"),
+          expr("cast(round(cos * 1000000, 0) as bigint)").as("rel_e6"))
+        .persist() // every greedy round scores against it
+      val v = emb.select(col("vec_id"), col("embedding"),
+        Tensors.norm(col("embedding")).as("nrm"))
+      val cv = rel.select("qid", "cid")
+        .join(v, col("cid") === col("vec_id"))
+        .select(col("qid"), col("cid"), col("embedding").as("ce"),
+          col("nrm").as("cn"))
+      val sims = cv.as("a").join(cv.as("b"),
+          col("a.qid") === col("b.qid") && col("a.cid") =!= col("b.cid"))
+        .select(col("a.qid").as("qid"), col("a.cid").as("i"),
+          col("b.cid").as("j"),
+          round(round(Tensors.dot(col("a.ce"), col("b.ce"))
+            / (col("a.cn") * col("b.cn")), 6) * 1000000, 0)
+            .cast("long").as("sim_e6"))
+        .persist() // 20·19 rows/query, reused by all 9 later rounds
+      val w1 = Window.partitionBy("qid")
+        .orderBy(col("rel_e6").desc, col("cid"))
+      var selected = rel.withColumn("rk", row_number().over(w1))
+        .where(col("rk") === 1)
+        .select(col("qid"), col("cid"), lit(1L).as("pick_idx"),
+          (col("rel_e6") * 7).as("mmr_e7"))
+        .localCheckpoint()
+      for (r <- 2 to 10) {
+        val ms = sims
+          .join(selected.select(col("qid"), col("cid").as("j")),
+            Seq("qid", "j"))
+          .groupBy(col("qid"), col("i").as("cid"))
+          .agg(max("sim_e6").as("ms"))
+        val cands = rel
+          .join(selected.select("qid", "cid"), Seq("qid", "cid"),
+            "left_anti")
+          .join(ms, Seq("qid", "cid"))
+          .select(col("qid"), col("cid"),
+            (col("rel_e6") * 7 - col("ms") * 3).as("mmr_e7"))
+        val wr = Window.partitionBy("qid")
+          .orderBy(col("mmr_e7").desc, col("cid"))
+        val pick = cands.withColumn("rk", row_number().over(wr))
+          .where(col("rk") === 1)
+          .select(col("qid"), col("cid"), lit(r.toLong).as("pick_idx"),
+            col("mmr_e7"))
+        // each round's plan must not nest the previous rounds'
+        selected = selected.unionByName(pick).localCheckpoint()
+      }
+      selected.select(col("qid").as("query_id"), col("pick_idx"),
+          col("cid").as("neighbor_id"), col("mmr_e7"))
+        .orderBy("query_id", "pick_idx")
     }
   )
+}
+
+/** q461 oracle: exact top-20 shortlist + candidate pairwise sims, then all
+  * 10 greedy MMR rounds unrolled — each round a max-sim join against the
+  * selected-so-far CTE, a window argmax with id ties, and a growing UNION.
+  * Identical e6/e7 integer arithmetic to the engine (no division anywhere).
+  */
+private[queries] object MmrSql {
+  import SimilarityQueries.{dotSql, normSql}
+
+  val sql: String = {
+    def pickCte(r: Int): String = {
+      val prev = s"sel${r - 1}"
+      s"""ms$r AS (SELECT s.qid, s.i AS cid, max(s.sim_e6) AS ms
+         |  FROM sims s JOIN $prev p ON p.qid = s.qid AND p.cid = s.j
+         |  GROUP BY s.qid, s.i),
+         |c$r AS (SELECT rel.qid, rel.cid,
+         |          rel.rel_e6 * 7 - m.ms * 3 AS mmr_e7
+         |  FROM rel JOIN ms$r m ON m.qid = rel.qid AND m.cid = rel.cid
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev p
+         |    WHERE p.qid = rel.qid AND p.cid = rel.cid)),
+         |p$r AS (SELECT qid, cid, CAST($r AS BIGINT) AS pick_idx, mmr_e7
+         |  FROM (SELECT c$r.*, row_number() OVER (PARTITION BY qid
+         |          ORDER BY mmr_e7 DESC, cid) AS rk FROM c$r) t
+         |  WHERE rk = 1),
+         |sel$r AS MATERIALIZED (SELECT qid, cid, pick_idx, mmr_e7 FROM $prev
+         |  UNION ALL SELECT qid, cid, pick_idx, mmr_e7 FROM p$r)"""
+    }
+    val rounds = (2 to 10).map(pickCte).mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM v
+       |  WHERE vec_id < 5),
+       |cb AS (SELECT qid, v.vec_id AS cid,
+       |         round(${dotSql("qv", "v.embedding")} / (qn * v.nrm), 6)
+       |           AS cos
+       |  FROM q JOIN v ON v.vec_id <> qid),
+       |rel AS MATERIALIZED (SELECT qid, cid,
+       |          CAST(round(cos * 1000000, 0) AS BIGINT) AS rel_e6
+       |  FROM (SELECT cb.*, row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, cid) AS rk FROM cb) t
+       |  WHERE rk <= 20),
+       |cv AS (SELECT r.qid, r.cid, v.embedding AS ce, v.nrm AS cn
+       |  FROM rel r JOIN v ON v.vec_id = r.cid),
+       |sims AS MATERIALIZED (SELECT a.qid, a.cid AS i, b.cid AS j,
+       |    CAST(round(round(${dotSql("a.ce", "b.ce")} / (a.cn * b.cn), 6)
+       |      * 1000000, 0) AS BIGINT) AS sim_e6
+       |  FROM cv a JOIN cv b ON a.qid = b.qid AND a.cid <> b.cid),
+       |sel1 AS MATERIALIZED (SELECT qid, cid, CAST(1 AS BIGINT) AS pick_idx,
+       |    rel_e6 * 7 AS mmr_e7
+       |  FROM (SELECT rel.*, row_number() OVER (PARTITION BY qid
+       |          ORDER BY rel_e6 DESC, cid) AS rk FROM rel) t
+       |  WHERE rk = 1),
+       |$rounds
+       |SELECT qid AS query_id, pick_idx, cid AS neighbor_id, mmr_e7
+       |FROM sel10 ORDER BY query_id, pick_idx""".stripMargin
+  }
 }
 
 /** Full-replay oracle for q232: every stage of the PQ pipeline as CTEs —
