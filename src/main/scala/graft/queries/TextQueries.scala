@@ -2346,6 +2346,42 @@ object TextQueries {
       an.crossJoin(ao)
         .select("n_tokens", "n_hashes_old", "collided_old",
           "n_hashes_new", "collided_new")
+    },
+
+    // Vocabulary RICHNESS estimation — how much vocabulary the corpus has
+    // NOT yet shown: Chao1's bias-corrected species-richness estimate
+    // (Chao 1984: V + f1(f1−1)/(2(f2+1)) from the singleton/doubleton
+    // counts — the f2=0-safe form) and Good–Turing's unseen probability
+    // mass p0 = f1/N. The go/no-go numbers before freezing a tokenizer
+    // vocab or pricing how much more crawl a domain needs — ALL integer
+    // arithmetic from ONE frequency-of-frequencies census (token census →
+    // count-of-counts → three scalars), the cheapest diagnostics in the
+    // engine.
+    QueryDef("q462_vocab_richness",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |ff AS (SELECT CAST(count(*) AS BIGINT) AS v,
+        |              CAST(sum(c) AS BIGINT) AS n,
+        |              CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |                AS BIGINT) AS f1,
+        |              CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+        |                AS BIGINT) AS f2
+        |       FROM tf)
+        |SELECT n AS n_tokens, v AS vocab_seen, f1, f2,
+        |       v + f1 * (f1 - 1) // (2 * (f2 + 1)) AS chao1_est,
+        |       f1 * 1000000 // n AS unseen_mass_ppm
+        |FROM ff""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ", -1)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("v"), sum("c").as("n"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+        .select(col("n").as("n_tokens"), col("v").as("vocab_seen"),
+          col("f1"), col("f2"),
+          expr("v + f1 * (f1 - 1) div (2 * (f2 + 1))").as("chao1_est"),
+          expr("f1 * 1000000 div n").as("unseen_mass_ppm"))
     }
   )
 }
