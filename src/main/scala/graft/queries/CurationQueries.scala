@@ -2416,13 +2416,111 @@ object CurationQueries {
         .select(col("shard"), col("bin"), col("n_docs"), col("tokens_used"),
           expr(s"tokens_used * 1000000 div $W").as("fill_ppm"))
         .orderBy("shard", "bin")
+    },
+
+    // STREAMING sequence packing — q458's recurrence run where packing
+    // lives in a continuous ingest pipeline: docs arrive in two ordered
+    // waves, each shard's (bin, acc) packing cursor is transformWithState
+    // ValueState, and the stream drains to a stop after wave A then
+    // resumes the SAME RocksDB checkpoint for wave B — a bin left half
+    // full at the restart must keep filling from the carried cursor.
+    // Unlike q458's next-fit-DECREASING the stream cannot sort by length
+    // (it can't see the future), so the streamed contract is next-fit in
+    // doc order, and the oracle replays exactly that recurrence; the full
+    // per-doc assignment trace is hash-checked, not just the bin census.
+    QueryDef("q463_stream_packing", PackSql.nfSql) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+      import org.apache.spark.sql.types.{LongType, StructType}
+      import graft.streaming.StatefulStreams
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_pack_q_").toFile
+      val W = PackSql.W
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          least(size(split(col("text"), " ", -1)), lit(W)).cast("long")
+            .as("len"),
+          (col("doc_id") % 8).as("shard"))
+        .persist() // wave split boundary + both landing writes
+      val mid = t.agg(expr("(min(doc_id) + max(doc_id)) div 2"))
+        .head().getLong(0)
+      val prev =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        StatefulStreams.RocksDbProvider)
+      try {
+        def drain(): Unit = {
+          val stream = s.readStream
+            .schema(new StructType().add("doc_id", LongType)
+              .add("len", LongType).add("shard", LongType))
+            .parquet(s"$root/landing")
+            .as[(Long, Long, Long)]
+            .groupByKey(_._3)
+            .transformWithState(new StatefulStreams.Packer(W.toLong),
+              TimeMode.None(), OutputMode.Append())
+          val q = stream.toDF("shard", "doc_id", "len", "bin")
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", s"$root/out")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        // ordered waves: all wave-A doc ids precede wave-B's, so each
+        // shard's cursor sees docs in id order across the restart
+        t.where(col("doc_id") <= mid).coalesce(1)
+          .write.parquet(s"$root/landing")
+        drain()
+        t.where(col("doc_id") > mid).coalesce(1)
+          .write.mode("append").parquet(s"$root/landing")
+        drain()
+        s.read.parquet(s"$root/out")
+          .select("shard", "doc_id", "len", "bin")
+          .orderBy("shard", "doc_id")
+          // the result READS $root/out — materialize before the delete
+          .localCheckpoint()
+      } finally {
+        prev match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        rmrf(root)
+      }
     }
   )
 }
 
-/** q458 shared constant: the packing context window. */
+/** q458/q463 shared constants and the q463 oracle: the packing context
+  * window and the next-fit-in-doc-order recursive CTE (q463's streamed
+  * contract — arrival order, not the batch NFD's length order).
+  */
 private object PackSql {
   val W = 100
+
+  val nfSql: String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, least(len(string_split(text, ' ')), $W) AS ln,
+       |         doc_id % 8 AS shard
+       |  FROM documents),
+       |o AS (SELECT shard, doc_id, ln, row_number() OVER (
+       |        PARTITION BY shard ORDER BY doc_id) AS rn FROM t),
+       |rec(shard, rn, doc_id, ln, bin, acc) AS (
+       |  SELECT shard, CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+       |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM (SELECT DISTINCT shard FROM t) sh
+       |  UNION ALL
+       |  SELECT o.shard, o.rn, o.doc_id, o.ln,
+       |         CASE WHEN r.acc + o.ln > $W THEN r.bin + 1 ELSE r.bin END,
+       |         CASE WHEN r.acc + o.ln > $W THEN o.ln ELSE r.acc + o.ln END
+       |  FROM rec r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1)
+       |SELECT shard, doc_id, CAST(ln AS BIGINT) AS len, bin
+       |FROM rec WHERE rn >= 1 ORDER BY shard, doc_id""".stripMargin
 }
 
 /** q292 oracle: the cross-relation MinHash gate chain (shingles →

@@ -193,6 +193,37 @@ object StatefulStreams {
     }
   }
 
+  /** Streaming sequence packer (q463, the streaming twin of q458's
+    * recurrence): per shard, NEXT-FIT into W-token context windows —
+    * state = the (current bin, tokens used) packing cursor, O(1) per
+    * shard. Unlike q458's batch next-fit-DECREASING the stream cannot
+    * sort by length (it can't see the future), so the streamed contract
+    * is next-fit in doc order under the ordered-wave harness; the oracle
+    * replays exactly that recurrence. Input (doc_id, len, shard), output
+    * (shard, doc_id, len, bin) — the full assignment trace.
+    */
+  class Packer(w: Long)
+      extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+    @transient private var st: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("cursor",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)](),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+                                 tv: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val sorted = rows.toArray.sortBy(_._1)
+      var (bin, acc) = if (st.exists()) st.get() else (0L, 0L)
+      val out = sorted.map { case (docId, len, _) =>
+        if (acc + len > w) { bin += 1; acc = len } else acc += len
+        (key, docId, len, bin)
+      }
+      st.update((bin, acc))
+      out.iterator
+    }
+  }
+
   /** State-TTL witness (q268): two per-key event counters that differ ONLY
     * in their TTLConfig — `ttl` expires after 1 ms of processing time,
     * `keep` never. Driven by the two-wave drain harness (one micro-batch
