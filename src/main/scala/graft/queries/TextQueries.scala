@@ -2382,6 +2382,104 @@ object TextQueries {
           col("f1"), col("f2"),
           expr("v + f1 * (f1 - 1) div (2 * (f2 + 1))").as("chao1_est"),
           expr("f1 * 1000000 div n").as("unseen_mass_ppm"))
+    },
+
+    // Distinct-n diversity (Li et al., NAACL 2016) — the generation-
+    // diversity metric a synthetic-data pipeline gates on (mode-collapsed
+    // generators repeat n-grams; distinct-1/2/3 = unique n-grams / total
+    // n-grams crashes when they do), censused per source. N-grams are
+    // counted by their rolling fold hash (DupSpans.shingleHashes — the
+    // near-dup machinery reused as a counting device): collisions mod
+    // 1e9+7 are negligible at this vocabulary and IDENTICAL on both
+    // engines, so the census is deterministic. One pass per n, each an
+    // explode + distinct-count — the cheapest diversity gate there is.
+    QueryDef("q464_distinct_ngrams", {
+      def side(n: Int): String =
+        s"""g$n AS (SELECT source, u AS h
+           |  FROM (SELECT source,
+           |          ${graft.operators.DupSpans.shingleHashesSql("toks", n)}
+           |            AS sh
+           |        FROM t) s$n, unnest(s$n.sh) AS g(u)),
+           |a$n AS (SELECT source, CAST(count(*) AS BIGINT) AS n$n,
+           |               CAST(count(DISTINCT h) AS BIGINT) AS d$n
+           |        FROM g$n GROUP BY source)""".stripMargin
+      s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |${side(1)},
+         |${side(2)},
+         |${side(3)}
+         |SELECT a1.source, n1, d1, d1 * 1000000 // n1 AS distinct1_ppm,
+         |       n2, d2, d2 * 1000000 // n2 AS distinct2_ppm,
+         |       n3, d3, d3 * 1000000 // n3 AS distinct3_ppm
+         |FROM a1 JOIN a2 ON a1.source = a2.source
+         |        JOIN a3 ON a1.source = a3.source
+         |ORDER BY a1.source""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.DupSpans
+      val t = Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ", -1).as("toks"))
+        .persist() // three n-gram passes
+      def agg(n: Int) = t
+        .select(col("source"),
+          explode(DupSpans.shingleHashes(col("toks"), n)).as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as(s"n$n"), countDistinct(col("h")).as(s"d$n"))
+      agg(1).join(agg(2), "source").join(agg(3), "source")
+        .select(col("source"),
+          col("n1"), col("d1"), expr("d1 * 1000000 div n1").as("distinct1_ppm"),
+          col("n2"), col("d2"), expr("d2 * 1000000 div n2").as("distinct2_ppm"),
+          col("n3"), col("d3"), expr("d3 * 1000000 div n3").as("distinct3_ppm"))
+        .orderBy("source")
+    },
+
+    // Zipf slope — the corpus-health fit: natural text has token
+    // rank-frequency ln(f) ≈ −s·ln(r) + c with s ≈ 1; a synthetic or
+    // template-heavy corpus bends away, and the SLOPE is the one-number
+    // alarm. OLS over the top-100 ranks: the census is corpus-sized (one
+    // exchange), the fit runs on a 100-row statistic (single-partition
+    // window is fine at any corpus size — rank axis, not data). The q327
+    // transcendental discipline: ln quantizes to e6 ONCE per point, the
+    // OLS moments run in decimal(38)/HUGEINT integers, slope lands as one
+    // integer division (both engines truncate toward zero).
+    QueryDef("q465_zipf_slope",
+      """WITH tf AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+        |            FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |                  FROM documents) GROUP BY token),
+        |top AS (SELECT c, row_number() OVER (ORDER BY c DESC, token)
+        |          AS rank
+        |        FROM tf ORDER BY c DESC, token LIMIT 100),
+        |pts AS (SELECT CAST(round(ln(rank) * 1000000, 0) AS BIGINT) AS x,
+        |               CAST(round(ln(c) * 1000000, 0) AS BIGINT) AS y
+        |        FROM top),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |             CAST(sum(x) AS HUGEINT) AS sx,
+        |             CAST(sum(y) AS HUGEINT) AS sy,
+        |             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |      FROM pts)
+        |SELECT CAST(n AS BIGINT) AS n_points,
+        |       CAST((n * sxy - sx * sy) * 1000000
+        |            // (n * sxx - sx * sx) AS BIGINT) AS slope_e6
+        |FROM m""".stripMargin) { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ", -1)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+      // top-100 rank axis: TakeOrdered + a 100-row single-partition window
+      val top = tf.orderBy(col("c").desc, col("token")).limit(100)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("token"))))
+      top
+        .select(expr("cast(round(ln(rank) * 1000000, 0) as bigint)").as("x"),
+          expr("cast(round(ln(c) * 1000000, 0) as bigint)").as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x").cast("decimal(38,0)") * col("y"))).as("sxy"),
+          sum((col("x").cast("decimal(38,0)") * col("x"))).as("sxx"))
+        .select(col("n").as("n_points"),
+          expr("cast((n * sxy - sx * sy) * 1000000" +
+            " div (n * sxx - sx * sx) as bigint)").as("slope_e6"))
     }
   )
 }
