@@ -566,6 +566,26 @@ object ScaleProbe {
           .groupBy().agg(count(lit(1)).as("n_repeats"),
             sum("len_tokens").as("tok_sum"))
       },
+      // Bradley–Terry MM fit (q455): the corpus-sized work is ONE census
+      // pass over the match log (win + unordered-pair aggregates); the
+      // pair census is bounded by players² = 4096 rows at ANY log size, so
+      // the 4 MM rounds cost O(1) in the corpus — the shape must track the
+      // hash-aggregate family, with rounds contributing a constant
+      "bt_fit" -> { m =>
+        import graft.functions.Hashes
+        import graft.operators.BradleyTerry
+        val n = m * 300000L
+        val players = 64
+        val matches = spark.range(n).select(
+            (Hashes.mulHash(col("id"), 3) % players).as("pa"),
+            Hashes.mulHash(col("id"), 5).as("h5"),
+            (Hashes.mulHash(col("id"), 7) % 2).as("awin"))
+          .select(col("pa"),
+            ((col("pa") + 1 + col("h5") % (players - 1)) % players).as("pb"),
+            col("awin"))
+        BradleyTerry.fit(spark, matches,
+          spark.range(players.toLong).toDF("player"), players, rounds = 4)
+      },
       // Quantile sketch (q400): bottom-k rank sample as a map-side-partial
       // aggregate — the exchange carries ≤ k pairs per group whatever the
       // input size, so the shape must track the hash-aggregate family

@@ -77,6 +77,40 @@ class Round15Spec extends AnyFunSuite {
     assert(e.getMessage.contains("NOT licensed"))
   }
 
+  test("q458 packing invariants: no bin over W, every doc packed once") {
+    val out = SparkEntry.queries("q458_sequence_packing")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("tokens_used") <= 100L),
+      "a bin exceeds the context window")
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 500L,
+      "doc count must equal the corpus")
+    assert(out.forall(r => r.getAs[Long]("fill_ppm") <= 1000000L))
+  }
+
+  test("q461 MMR invariants: 10 distinct picks per query, pick 1 = top rel") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("q461_mmr_diversify")(
+      spark, "/root/testdata/sf0.001").collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 5)
+    // the first pick is the pure-relevance argmax = the exact cosine top-1
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val top1 = graft.operators.Similarity
+      .bruteForceTopK(emb, emb.where(col("vec_id") < 5), 1)
+      .collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 10, s"query $q must have 10 picks")
+      val nbs = rows.map(_.getAs[Long]("neighbor_id"))
+      assert(nbs.distinct.length == 10, s"query $q picks must be distinct")
+      val first = rows.minBy(_.getAs[Long]("pick_idx"))
+      assert(first.getAs[Long]("neighbor_id") == top1(q),
+        s"query $q: pick 1 must be the exact top-1 by relevance")
+    }
+  }
+
   test("ExactSubstr scrub cuts the doc_b copy, keeps doc_a, unions overlaps") {
     import spark.implicits._
     import graft.operators.ExactSubstr
