@@ -3960,6 +3960,77 @@ object MlQueries {
         .orderBy("player")
     },
 
+    // Transitivity audit of the majority-win tournament — BEFORE fitting a
+    // scalar rating (q453 ELO / q455 Bradley–Terry) an arena pipeline
+    // should check the data is even scalar-rankable: majority edges per
+    // decided pair (ties skip), then the directed-3-cycle census (a beats
+    // b beats c beats a), each cycle counted once at its min-id vertex.
+    // Cycles/testable-triples is the intransitivity rate; a high rate
+    // means no single rating can honestly summarize the matchups. All
+    // census-sized after one pass over the log (pairs ≤ players²).
+    QueryDef("q466_win_transitivity", {
+      val logCte = MediaSql.EloSql.logCte
+      s"""WITH $logCte,
+         |pc AS (SELECT least(pa, pb) AS lo, greatest(pa, pb) AS hi,
+         |              CAST(sum(CASE WHEN (awin = 1) = (pa < pb)
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS wlo,
+         |              CAST(count(*) AS BIGINT) AS nm
+         |       FROM log GROUP BY 1, 2),
+         |e AS (SELECT CASE WHEN 2 * wlo > nm THEN lo ELSE hi END AS u,
+         |             CASE WHEN 2 * wlo > nm THEN hi ELSE lo END AS v
+         |      FROM pc WHERE 2 * wlo <> nm),
+         |p AS (SELECT lo, hi FROM pc WHERE 2 * wlo <> nm),
+         |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triples
+         |        FROM p ab JOIN p bc ON bc.lo = ab.hi
+         |             JOIN p ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+         |cyc AS (SELECT CAST(count(*) AS BIGINT) AS n_cycles
+         |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+         |             JOIN e e3 ON e3.u = e2.v AND e3.v = e1.u
+         |        WHERE e1.u < e2.u AND e1.u < e3.u),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_decided,
+         |               CAST(sum(CASE WHEN 2 * wlo = nm THEN 1 ELSE 0 END)
+         |                 AS BIGINT) AS n_tied
+         |        FROM pc)
+         |SELECT a.n_decided - a.n_tied AS n_edges, a.n_tied AS n_ties,
+         |       t.n_triples, c.n_cycles,
+         |       CASE WHEN t.n_triples = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE c.n_cycles * 1000000 // t.n_triples
+         |       END AS cycle_ppm
+         |FROM agg a CROSS JOIN tri t CROSS JOIN cyc c""".stripMargin
+    }) { (s, _) =>
+      val pc = arenaLog(s)
+        .groupBy(least(col("pa"), col("pb")).as("lo"),
+          greatest(col("pa"), col("pb")).as("hi"))
+        .agg(sum(when((col("awin") === 1) === (col("pa") < col("pb")), 1L)
+          .otherwise(0L)).as("wlo"), count(lit(1)).as("nm"))
+        .persist() // edges, undirected pairs, and the tie census
+      val e = pc.where(col("wlo") * 2 =!= col("nm"))
+        .select(when(col("wlo") * 2 > col("nm"), col("lo"))
+          .otherwise(col("hi")).as("u"),
+          when(col("wlo") * 2 > col("nm"), col("hi"))
+            .otherwise(col("lo")).as("v"))
+      val p = pc.where(col("wlo") * 2 =!= col("nm")).select("lo", "hi")
+      val tri = p.as("ab")
+        .join(p.as("bc"), col("bc.lo") === col("ab.hi"))
+        .join(p.as("ac"),
+          col("ac.lo") === col("ab.lo") && col("ac.hi") === col("bc.hi"))
+        .agg(count(lit(1)).as("n_triples"))
+      val cyc = e.as("e1")
+        .join(e.as("e2"), col("e2.u") === col("e1.v"))
+        .join(e.as("e3"),
+          col("e3.u") === col("e2.v") && col("e3.v") === col("e1.u"))
+        .where(col("e1.u") < col("e2.u") && col("e1.u") < col("e3.u"))
+        .agg(count(lit(1)).as("n_cycles"))
+      val agg = pc.agg(count(lit(1)).as("n_decided"),
+        sum(when(col("wlo") * 2 === col("nm"), 1L).otherwise(0L))
+          .as("n_tied"))
+      agg.crossJoin(broadcast(tri)).crossJoin(broadcast(cyc))
+        .select((col("n_decided") - col("n_tied")).as("n_edges"),
+          col("n_tied").as("n_ties"), col("n_triples"), col("n_cycles"),
+          expr("CASE WHEN n_triples = 0 THEN 0L" +
+            " ELSE n_cycles * 1000000 div n_triples END").as("cycle_ppm"))
+    },
+
     // Fleiss' κ — q452's Cohen κ generalized past two raters: the QA gate
     // for a REAL annotation pool (m = 4 raters per document, binary
     // accept/reject from the salted hash with a per-doc difficulty split,
