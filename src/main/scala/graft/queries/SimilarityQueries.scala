@@ -3205,6 +3205,113 @@ object SimilarityQueries {
       selected.select(col("qid").as("query_id"), col("pick_idx"),
           col("cid").as("neighbor_id"), col("mmr_e7"))
         .orderBy("query_id", "pick_idx")
+    },
+
+    // RAG GROUNDING census — the hallucination gate between retrieval and
+    // generation: what fraction of a claim document's trigrams is
+    // SUPPORTED (verbatim-present) in the union of its top-10 retrieved
+    // neighbors? Two retrieval arms graded side by side on the same
+    // support census: exact cosine top-10 over the embeddings and lexical
+    // top-10 by distinct-token overlap (q408's arm), both self-excluded
+    // so support must come from OTHER documents. On THIS fixture the
+    // embedding arm grounds at zero (the synthetic vectors are
+    // uncorrelated with the text — precisely the failure a grounding
+    // gate exists to catch) while the lexical arm grounds non-trivially;
+    // the contrast is the point. Support is trigram-hash set membership
+    // (DupSpans.shingleHashes as a counting device); shape: one trigram
+    // explode of the corpus (persisted, both sides), retrieved unions
+    // top-k-bounded per query, support = one (query, hash) equi-join —
+    // no text×text comparison anywhere.
+    QueryDef("q467_rag_grounding", {
+      s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM v
+         |  WHERE vec_id < 5),
+         |cb AS (SELECT qid, v.vec_id AS cid,
+         |         round(${dotSql("qv", "v.embedding")} / (qn * v.nrm), 6)
+         |           AS cos
+         |  FROM q JOIN v ON v.vec_id <> qid),
+         |vr AS (SELECT qid, cid
+         |  FROM (SELECT cb.*, row_number() OVER (PARTITION BY qid
+         |          ORDER BY cos DESC, cid) AS rk FROM cb) t
+         |  WHERE rk <= 10),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |      FROM documents),
+         |dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t),
+         |ov AS (SELECT a.doc_id AS qid, b.doc_id AS cid,
+         |              count(*) AS novl
+         |       FROM dt a JOIN dt b
+         |         ON b.tok = a.tok AND b.doc_id <> a.doc_id
+         |       WHERE a.doc_id < 5 GROUP BY 1, 2),
+         |lr AS (SELECT qid, cid
+         |  FROM (SELECT ov.*, row_number() OVER (PARTITION BY qid
+         |          ORDER BY novl DESC, cid) AS rk FROM ov) t
+         |  WHERE rk <= 10),
+         |tg AS (SELECT doc_id, unnest(list_distinct(
+         |         ${graft.operators.DupSpans.shingleHashesSql("toks", 3)}))
+         |         AS h
+         |       FROM t),
+         |ans AS (SELECT doc_id AS query_id, h FROM tg WHERE doc_id < 5),
+         |vret AS (SELECT DISTINCT vr.qid AS query_id, tg.h
+         |         FROM vr JOIN tg ON tg.doc_id = vr.cid),
+         |lret AS (SELECT DISTINCT lr.qid AS query_id, tg.h
+         |         FROM lr JOIN tg ON tg.doc_id = lr.cid)
+         |SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |       CAST(sum(CASE WHEN v.h IS NULL THEN 0 ELSE 1 END)
+         |         AS BIGINT) AS vec_supported,
+         |       CAST(sum(CASE WHEN v.h IS NULL THEN 0 ELSE 1 END)
+         |         * 1000000 // count(*) AS BIGINT) AS vec_ppm,
+         |       CAST(sum(CASE WHEN l.h IS NULL THEN 0 ELSE 1 END)
+         |         AS BIGINT) AS lex_supported,
+         |       CAST(sum(CASE WHEN l.h IS NULL THEN 0 ELSE 1 END)
+         |         * 1000000 // count(*) AS BIGINT) AS lex_ppm
+         |FROM ans a
+         |LEFT JOIN vret v ON v.query_id = a.query_id AND v.h = a.h
+         |LEFT JOIN lret l ON l.query_id = a.query_id AND l.h = a.h
+         |GROUP BY a.query_id ORDER BY a.query_id""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.{DupSpans, Similarity}
+      val emb = Tables.embeddings(s, d)
+      val vtop = Similarity.bruteForceTopK(emb,
+          emb.where(col("vec_id") < 5), 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+        .persist() // token-overlap arm + trigram relation
+      val dt = t.select(col("doc_id"),
+        explode(array_distinct(col("toks"))).as("tok"))
+      val wl = Window.partitionBy("query_id")
+        .orderBy(col("novl").desc, col("neighbor_id"))
+      val ltop = dt.where(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("tok"))
+        .join(dt.select(col("doc_id").as("neighbor_id"), col("tok")), "tok")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("novl"))
+        .withColumn("rk", row_number().over(wl)).where(col("rk") <= 10)
+        .select("query_id", "neighbor_id")
+      val tg = t.select(col("doc_id"), explode(array_distinct(
+          DupSpans.shingleHashes(col("toks"), 3))).as("h"))
+        .persist() // claim side + both retrieved sides
+      val ans = tg.where(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("h"))
+      def retUnion(top: org.apache.spark.sql.DataFrame, mark: String) = top
+        .join(tg.select(col("doc_id").as("neighbor_id"), col("h")),
+          "neighbor_id")
+        .select(col("query_id"), col("h")).distinct()
+        .withColumn(mark, lit(1L))
+      ans
+        .join(retUnion(vtop, "vm"), Seq("query_id", "h"), "left")
+        .join(retUnion(ltop, "lm"), Seq("query_id", "h"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          sum(coalesce(col("vm"), lit(0L))).as("vec_supported"),
+          sum(coalesce(col("lm"), lit(0L))).as("lex_supported"))
+        .select(col("query_id"), col("n_trigrams"),
+          col("vec_supported"),
+          expr("vec_supported * 1000000 div n_trigrams").as("vec_ppm"),
+          col("lex_supported"),
+          expr("lex_supported * 1000000 div n_trigrams").as("lex_ppm"))
+        .orderBy("query_id")
     }
   )
 }
