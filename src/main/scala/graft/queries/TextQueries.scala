@@ -2480,6 +2480,59 @@ object TextQueries {
         .select(col("n").as("n_points"),
           expr("cast((n * sxy - sx * sy) * 1000000" +
             " div (n * sxx - sx * sx) as bigint)").as("slope_e6"))
+    },
+
+    // Token-entropy quality bands — the Gopher-family repetition/noise
+    // gate q110's LM score doesn't cover: per-doc Shannon entropy of the
+    // token histogram, H = Σ (c/n)·ln(n/c), flags template/repetitive
+    // docs (low H — few effective tokens) and shredded/noise docs (high
+    // H — every token unique) in one census. The q327 transcendental
+    // discipline at e9: ln(n/c) quantizes ONCE per (doc, token type),
+    // the per-doc sum and the n-division are exact integers, and the
+    // per-source report (mean, band counts) is integer arithmetic on the
+    // per-doc values. Two hash aggregates over one token explode.
+    QueryDef("q468_token_entropy",
+      """WITH tf AS (SELECT source, doc_id, token,
+        |              CAST(count(*) AS BIGINT) AS c
+        |       FROM (SELECT source, doc_id,
+        |               unnest(string_split(text, ' ')) AS token
+        |             FROM documents)
+        |       GROUP BY source, doc_id, token),
+        |nd AS (SELECT source, doc_id, CAST(sum(c) AS BIGINT) AS n
+        |       FROM tf GROUP BY source, doc_id),
+        |pd AS (SELECT tf.source, tf.doc_id,
+        |              CAST(sum(tf.c * CAST(round(
+        |                ln(CAST(nd.n AS DOUBLE) / tf.c) * 1000000000, 0)
+        |                AS BIGINT)) AS BIGINT) // max(nd.n) AS h_e9
+        |       FROM tf JOIN nd ON nd.source = tf.source
+        |                      AND nd.doc_id = tf.doc_id
+        |       GROUP BY tf.source, tf.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(h_e9) // count(*) AS BIGINT) AS mean_h_e9,
+        |       CAST(sum(CASE WHEN h_e9 < 2000000000 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_low,
+        |       CAST(sum(CASE WHEN h_e9 > 3400000000 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_high
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), " ", -1)).as("token"))
+        .groupBy("source", "doc_id", "token").agg(count(lit(1)).as("c"))
+      val nd = tf.groupBy("source", "doc_id").agg(sum("c").as("n"))
+      val perDoc = tf.join(nd, Seq("source", "doc_id"))
+        .select(col("source"), col("doc_id"), col("n"),
+          (col("c") * expr("cast(round(ln(cast(n as double) / c)" +
+            " * 1000000000, 0) as bigint)")).as("term"))
+        .groupBy("source", "doc_id")
+        .agg(expr("sum(term) div max(n)").as("h_e9"))
+      perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(h_e9) div count(1)").as("mean_h_e9"),
+          sum(when(col("h_e9") < 2000000000L, 1L).otherwise(0L))
+            .as("n_low"),
+          sum(when(col("h_e9") > 3400000000L, 1L).otherwise(0L))
+            .as("n_high"))
+        .orderBy("source")
     }
   )
 }
