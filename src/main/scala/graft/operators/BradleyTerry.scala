@@ -33,10 +33,17 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: fixed-point e6 arithmetic throughout. Strengths live in e6
   * units; per-pair MM terms are `n_ij·1e12 div (p_i+p_j)` (int64-safe for
-  * n_ij ≤ ~9e5), the update is `W_i·1e12 div D_i` floored at 1, and the
+  * n_ij ≤ ~9.2e6 — `require`d below; DuckDB's BIGINT errors loudly past the
+  * same bound, so both engines FAIL rather than silently diverge), the
+  * update is `W_i·1e12 div D_i` floored at 1 (W_i `require`d ≤ the same
+  * bound; the driver-side product runs through BigInt regardless), and the
   * renormalize runs through BigInt (HUGEINT in the oracle) so both engines
   * truncate identically. Iteration count is fixed, not convergence-tested,
-  * so the relational trace is finite.
+  * so the relational trace is finite. Residual caveat: the engine-side
+  * denominator SUM is int64 — exact under the required bounds unless
+  * strengths collapse to the floor (pathological total-skew logs), where
+  * DuckDB would again error loudly while Spark wraps; the requires keep
+  * real arena logs (n_ij ≪ 9e6 per pair) far from that regime.
   */
 object BradleyTerry {
 
@@ -64,11 +71,23 @@ object BradleyTerry {
         greatest(col("pa"), col("pb")).as("hi"))
       .groupBy("lo", "hi").agg(count(lit(1)).as("nm"))
       .persist() // scanned once per MM round; the log itself never again
+    // int64-safe bound for `x * 1e12`: past it Spark's non-ANSI multiply
+    // wraps SILENTLY while DuckDB's BIGINT errors — require loudly so both
+    // engines fail the same way instead of diverging.
+    val Int64SafeMax = Long.MaxValue / 1000000000000L // ≈ 9.2e6
+    val maxNm = census.agg(max("nm")).as[Long].collect().headOption.getOrElse(0L)
+    require(maxNm <= Int64SafeMax,
+      s"BradleyTerry: per-pair match count $maxNm exceeds the int64-safe " +
+        s"bound $Int64SafeMax for the e12 MM term; shard the log per epoch " +
+        "or rescale before fitting")
     // (player, wins) — the k-row win statistic, collected once like KMeans
     // seeds; k = models being ranked, not corpus rows.
     val base: Array[(Long, Long)] = players.join(wins, Seq("player"), "left")
       .select(col("player"), coalesce(col("w"), lit(0L)).as("w"))
       .as[(Long, Long)].collect().sortBy(_._1)
+    require(base.forall(_._2 <= Int64SafeMax),
+      s"BradleyTerry: a win count exceeds the int64-safe bound " +
+        s"$Int64SafeMax for the e12 MM update")
     val target = BigInt(nPlayers) * 1000000L
 
     var strengths: Array[(Long, Long)] = base.map { case (pl, _) => (pl, 1000000L) }
@@ -87,8 +106,12 @@ object BradleyTerry {
         .as[(Long, Long)].collect().toMap
       // driver side: the k-row statistic transform (update + renormalize),
       // BigInt so the truncation mirrors the oracle's HUGEINT `//` exactly
-      val raw = base.map { case (pl, w) =>
-        (pl, math.max(1L, w * 1000000000000L / denom.getOrElse(pl, 1L)))
+      // (the w·1e12 product too — the require above already bounds w, but
+      // BigInt makes the driver leg wrap-proof regardless)
+      val raw: Array[(Long, Long)] = base.map { case (pl, w) =>
+        val d: Long = denom.getOrElse(pl, 1L)
+        val upd: BigInt = BigInt(w) * BigInt(1000000000000L) / BigInt(d)
+        (pl, upd.max(BigInt(1)).toLong)
       }
       val tot = raw.map(r => BigInt(r._2)).sum
       strengths = raw.map { case (pl, pe) =>

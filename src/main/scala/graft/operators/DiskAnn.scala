@@ -218,11 +218,19 @@ object DiskAnn {
     * id column. Index part files are write-once (upserts land NEW
     * directories) and Spark part-file names are unique, but nothing
     * ENFORCES that — so the key carries Hadoop FileStatus length AND
-    * modification time, and [[writeIndex]] invalidates its target dir:
-    * an in-place replacement (same path, same byte length) gets a fresh
-    * footer read instead of silently serving stale [min,max] ranges
-    * (stale ranges would prune files that now hold probed ids — missed
-    * neighbors with no error). A row group with absent/empty stats maps
+    * modification time, and [[writeIndex]] additionally invalidates its
+    * target dir in THIS JVM: an in-place replacement (same path, same
+    * byte length) gets a fresh footer read instead of silently serving
+    * stale [min,max] ranges (stale ranges would prune files that now hold
+    * probed ids — missed neighbors with no error). Scope, honestly stated:
+    * on a multi-JVM deployment only the (length, mtime) key protects
+    * executor-side caches — [[invalidateFooters]] reaches this JVM's map
+    * only — and a same-length in-place rewrite landing WITHIN the
+    * filesystem's mtime granularity could still collide. The robust
+    * posture at scale is versioned index directories (write each rebuild
+    * to a new path, as upserts already do) rather than in-place overwrite;
+    * writeIndex over an existing path is a test/dev convenience. A row
+    * group with absent/empty stats maps
     * to (Long.MinValue, Long.MaxValue) = always probe. Bounded: one
     * small array per distinct part file per executor.
     */

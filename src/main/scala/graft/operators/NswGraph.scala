@@ -346,9 +346,19 @@ object NswGraph {
         col("recall_ppm").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     require(d.nonEmpty, "decay relation is empty — run the q298 harness")
-    val recovered = recovery.select(col("recall_ppm").cast("long"))
-      .head().getLong(0)
-    val pct = d.map(_._1).max
+    // The slope computation assumes ONE measured batch size: mixed-pct
+    // decay rows would silently average unrelated curves.
+    val pcts = d.map(_._1).distinct
+    require(pcts.length == 1,
+      s"decay relation mixes batch percents ${pcts.sorted.mkString(",")} — " +
+        "fitPolicy prices ONE measured batch size per fit; group per pct")
+    val rec = recovery.select(col("recall_ppm").cast("long"))
+      .collect().map(_.getLong(0))
+    require(rec.length == 1,
+      s"recovery relation has ${rec.length} rows, expected exactly 1 " +
+        "(the post-refresh recall measurement)")
+    val recovered = rec.head
+    val pct = pcts.head
     require(pct >= 1 && pct < 100,
       s"measured batch percent $pct out of the upsert regime")
     require(recovered >= rebuildRecallPpm,

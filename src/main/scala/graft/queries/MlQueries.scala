@@ -12,6 +12,11 @@ import graft.operators.{BradleyTerry, KMeans, LinearSigmoidScorer, Multimodal, S
   */
 object MlQueries {
 
+  /** q455's oracle SQL, exposed for the materialization guard in
+    * Round16Spec (the round-11 CTE-inlining failure must stay fixed).
+    */
+  private[graft] def btOracleForTest: String = MediaSql.BtSql.sql
+
   val defs: Seq[QueryDef] = Seq(
 
     // SURVEY §2 rows 34,39 + §4 custom #1: single-pass per-dimension Welford
@@ -4129,8 +4134,10 @@ object MlQueries {
          |            AS BIGINT) AS w_second
          |        FROM sides GROUP BY player)
          |SELECT player, n_first, w_first, n_second, w_second,
-         |       w_first * 1000000 // n_first
-         |         - w_second * 1000000 // n_second AS bias_ppm
+         |       (CASE WHEN n_first = 0 THEN 0
+         |             ELSE w_first * 1000000 // n_first END)
+         |         - (CASE WHEN n_second = 0 THEN 0
+         |                 ELSE w_second * 1000000 // n_second END) AS bias_ppm
          |FROM per ORDER BY player""".stripMargin
     }) { (s, _) =>
       import graft.functions.Hashes
@@ -4150,8 +4157,12 @@ object MlQueries {
             .as("w_second"))
         .select(col("player"), col("n_first"), col("w_first"),
           col("n_second"), col("w_second"),
-          expr("w_first * 1000000 div n_first" +
-            " - w_second * 1000000 div n_second").as("bias_ppm"))
+          // Zero-guarded on BOTH engines: a player never shown first (or
+          // second) on a skewed log would NULL here but ERROR in DuckDB.
+          expr("(CASE WHEN n_first = 0 THEN 0L" +
+            " ELSE w_first * 1000000 div n_first END)" +
+            " - (CASE WHEN n_second = 0 THEN 0L" +
+            " ELSE w_second * 1000000 div n_second END)").as("bias_ppm"))
         .orderBy("player")
     },
 
@@ -4720,19 +4731,23 @@ private[queries] object MediaSql {
     val Rounds = 6
 
     val sql: String = {
+      // Every round CTE is multiply-referenced (p$prev twice by t$r, r$r
+      // twice by p$r); DuckDB INLINES such CTEs (playbook #43) and the
+      // 6-round chain expands ~4^6 — judge-measured 654 s vs 0.46 s with
+      // AS MATERIALIZED. Same rows either way; materialize everything.
       val rounds = (1 to Rounds).map { r =>
         val prev = s"p${r - 1}"
-        s"""t$r AS (SELECT unnest([c.lo, c.hi]) AS player,
+        s"""t$r AS MATERIALIZED (SELECT unnest([c.lo, c.hi]) AS player,
            |            c.nm * 1000000000000 // (plo.p_e6 + phi.p_e6) AS t_e6
            |     FROM c JOIN $prev plo ON c.lo = plo.player
            |            JOIN $prev phi ON c.hi = phi.player),
-           |d$r AS (SELECT player, CAST(sum(t_e6) AS BIGINT) AS d_e6
+           |d$r AS MATERIALIZED (SELECT player, CAST(sum(t_e6) AS BIGINT) AS d_e6
            |     FROM t$r GROUP BY player),
-           |r$r AS (SELECT b.player,
+           |r$r AS MATERIALIZED (SELECT b.player,
            |            greatest(1, b.w * 1000000000000
            |              // coalesce(d.d_e6, 1)) AS p_e6
            |     FROM base b LEFT JOIN d$r d ON b.player = d.player),
-           |p$r AS (SELECT player, CAST(CAST(p_e6 AS HUGEINT) * 8000000
+           |p$r AS MATERIALIZED (SELECT player, CAST(CAST(p_e6 AS HUGEINT) * 8000000
            |            // (SELECT sum(p_e6) FROM r$r) AS BIGINT) AS p_e6
            |     FROM r$r)"""
       }.mkString(",\n")
@@ -4740,11 +4755,11 @@ private[queries] object MediaSql {
          |wins AS (SELECT CASE WHEN awin = 1 THEN pa ELSE pb END AS player,
          |                count(*) AS w FROM log GROUP BY 1),
          |players AS (SELECT unnest(range(0, 8)) AS player),
-         |base AS (SELECT pl.player, CAST(coalesce(w.w, 0) AS BIGINT) AS w
+         |base AS MATERIALIZED (SELECT pl.player, CAST(coalesce(w.w, 0) AS BIGINT) AS w
          |         FROM players pl LEFT JOIN wins w ON pl.player = w.player),
-         |c AS (SELECT least(pa, pb) AS lo, greatest(pa, pb) AS hi,
+         |c AS MATERIALIZED (SELECT least(pa, pb) AS lo, greatest(pa, pb) AS hi,
          |             count(*) AS nm FROM log GROUP BY 1, 2),
-         |p0 AS (SELECT player, CAST(1000000 AS BIGINT) AS p_e6 FROM players),
+         |p0 AS MATERIALIZED (SELECT player, CAST(1000000 AS BIGINT) AS p_e6 FROM players),
          |$rounds
          |SELECT b.player, b.w AS wins, p.p_e6 AS strength_e6
          |FROM base b JOIN p$Rounds p ON b.player = p.player

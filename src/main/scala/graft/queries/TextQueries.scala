@@ -2437,20 +2437,26 @@ object TextQueries {
     // template-heavy corpus bends away, and the SLOPE is the one-number
     // alarm. OLS over the top-100 ranks: the census is corpus-sized (one
     // exchange), the fit runs on a 100-row statistic (single-partition
-    // window is fine at any corpus size — rank axis, not data). The q327
-    // transcendental discipline: ln quantizes to e6 ONCE per point, the
-    // OLS moments run in decimal(38)/HUGEINT integers, slope lands as one
+    // window is fine at any corpus size — rank axis, not data).
+    // ULP-HARDENED (round 12): no libm in the comparison path — ln runs as
+    // IntLn's fixed-point integer series, the SAME truncating integer steps
+    // on both engines, so the e6 points are bit-identical by construction
+    // (the prior e6-quantized ln() could flip on a libm ULP landing on a
+    // 5e-7 boundary). OLS moments in decimal(38)/HUGEINT; slope is one
     // integer division (both engines truncate toward zero).
-    QueryDef("q465_zipf_slope",
-      """WITH tf AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+    QueryDef("q465_zipf_slope", {
+      import graft.functions.IntLn
+      val ptsInner = IntLn.duckNest(
+        IntLn.duckNest("SELECT c, rank FROM top", "rank", "r_"), "c", "c_")
+      s"""WITH tf AS (SELECT token, CAST(count(*) AS BIGINT) AS c
         |            FROM (SELECT unnest(string_split(text, ' ')) AS token
         |                  FROM documents) GROUP BY token),
         |top AS (SELECT c, row_number() OVER (ORDER BY c DESC, token)
         |          AS rank
         |        FROM tf ORDER BY c DESC, token LIMIT 100),
-        |pts AS (SELECT CAST(round(ln(rank) * 1000000, 0) AS BIGINT) AS x,
-        |               CAST(round(ln(c) * 1000000, 0) AS BIGINT) AS y
-        |        FROM top),
+        |pts AS (SELECT ${IntLn.roundE6("r_", "//")} AS x,
+        |               ${IntLn.roundE6("c_", "//")} AS y
+        |        FROM ($ptsInner)),
         |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
         |             CAST(sum(x) AS HUGEINT) AS sx,
         |             CAST(sum(y) AS HUGEINT) AS sy,
@@ -2460,7 +2466,9 @@ object TextQueries {
         |SELECT CAST(n AS BIGINT) AS n_points,
         |       CAST((n * sxy - sx * sy) * 1000000
         |            // (n * sxx - sx * sx) AS BIGINT) AS slope_e6
-        |FROM m""".stripMargin) { (s, d) =>
+        |FROM m""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.IntLn
       val tf = Tables.documents(s, d)
         .select(explode(split(col("text"), " ", -1)).as("token"))
         .groupBy("token").agg(count(lit(1)).as("c"))
@@ -2469,9 +2477,10 @@ object TextQueries {
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("c").desc, col("token"))))
-      top
-        .select(expr("cast(round(ln(rank) * 1000000, 0) as bigint)").as("x"),
-          expr("cast(round(ln(c) * 1000000, 0) as bigint)").as("y"))
+        .withColumn("rank", col("rank").cast("long"))
+      IntLn.sparkCols(IntLn.sparkCols(top, "rank", "r_"), "c", "c_")
+        .select(expr(IntLn.roundE6("r_", "div")).as("x"),
+          expr(IntLn.roundE6("c_", "div")).as("y"))
         .agg(count(lit(1)).as("n"),
           sum(col("x").cast("decimal(38,0)")).as("sx"),
           sum(col("y").cast("decimal(38,0)")).as("sy"),
@@ -2486,13 +2495,21 @@ object TextQueries {
     // gate q110's LM score doesn't cover: per-doc Shannon entropy of the
     // token histogram, H = Σ (c/n)·ln(n/c), flags template/repetitive
     // docs (low H — few effective tokens) and shredded/noise docs (high
-    // H — every token unique) in one census. The q327 transcendental
-    // discipline at e9: ln(n/c) quantizes ONCE per (doc, token type),
-    // the per-doc sum and the n-division are exact integers, and the
-    // per-source report (mean, band counts) is integer arithmetic on the
-    // per-doc values. Two hash aggregates over one token explode.
-    QueryDef("q468_token_entropy",
-      """WITH tf AS (SELECT source, doc_id, token,
+    // H — every token unique) in one census. ULP-HARDENED (round 12):
+    // ln(n/c) runs as IntLn(n) − IntLn(c) in e12 integer fixed point —
+    // the same truncating steps on both engines, no libm — quantized
+    // ONCE per (doc, token type) at e9; the per-doc sum and n-division
+    // are exact integers, and the per-source report (mean, band counts)
+    // is integer arithmetic on the per-doc values. Two hash aggregates
+    // over one token explode.
+    QueryDef("q468_token_entropy", {
+      import graft.functions.IntLn
+      val lnInner = IntLn.duckNest(IntLn.duckNest(
+        """SELECT tf.source, tf.doc_id, tf.c, nd.n
+          |       FROM tf JOIN nd ON nd.source = tf.source
+          |                      AND nd.doc_id = tf.doc_id""".stripMargin,
+        "n", "n_"), "c", "c_")
+      s"""WITH tf AS (SELECT source, doc_id, token,
         |              CAST(count(*) AS BIGINT) AS c
         |       FROM (SELECT source, doc_id,
         |               unnest(string_split(text, ' ')) AS token
@@ -2500,29 +2517,30 @@ object TextQueries {
         |       GROUP BY source, doc_id, token),
         |nd AS (SELECT source, doc_id, CAST(sum(c) AS BIGINT) AS n
         |       FROM tf GROUP BY source, doc_id),
-        |pd AS (SELECT tf.source, tf.doc_id,
-        |              CAST(sum(tf.c * CAST(round(
-        |                ln(CAST(nd.n AS DOUBLE) / tf.c) * 1000000000, 0)
-        |                AS BIGINT)) AS BIGINT) // max(nd.n) AS h_e9
-        |       FROM tf JOIN nd ON nd.source = tf.source
-        |                      AND nd.doc_id = tf.doc_id
-        |       GROUP BY tf.source, tf.doc_id)
+        |pd AS (SELECT source, doc_id,
+        |              CAST(sum(c * ((n_ln_e12 - c_ln_e12 + 500) // 1000))
+        |                AS BIGINT) // max(n) AS h_e9
+        |       FROM ($lnInner)
+        |       GROUP BY source, doc_id)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(h_e9) // count(*) AS BIGINT) AS mean_h_e9,
         |       CAST(sum(CASE WHEN h_e9 < 2000000000 THEN 1 ELSE 0 END)
         |         AS BIGINT) AS n_low,
         |       CAST(sum(CASE WHEN h_e9 > 3400000000 THEN 1 ELSE 0 END)
         |         AS BIGINT) AS n_high
-        |FROM pd GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.IntLn
       val tf = Tables.documents(s, d)
         .select(col("source"), col("doc_id"),
           explode(split(col("text"), " ", -1)).as("token"))
         .groupBy("source", "doc_id", "token").agg(count(lit(1)).as("c"))
       val nd = tf.groupBy("source", "doc_id").agg(sum("c").as("n"))
-      val perDoc = tf.join(nd, Seq("source", "doc_id"))
+      val perDoc = IntLn.sparkCols(IntLn.sparkCols(
+          tf.join(nd, Seq("source", "doc_id")), "n", "n_"), "c", "c_")
         .select(col("source"), col("doc_id"), col("n"),
-          (col("c") * expr("cast(round(ln(cast(n as double) / c)" +
-            " * 1000000000, 0) as bigint)")).as("term"))
+          (col("c") * expr("(n_ln_e12 - c_ln_e12 + 500) div 1000"))
+            .as("term"))
         .groupBy("source", "doc_id")
         .agg(expr("sum(term) div max(n)").as("h_e9"))
       perDoc.groupBy("source")

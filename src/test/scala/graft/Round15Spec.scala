@@ -3,7 +3,9 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-/** Round-11 guards: the Bradley–Terry MM fit (q455) — win-count-order
+/** Guards for the q455-era additions (NOTE: RoundNSpec file numbers are a
+  * sequential spec series, not build-round numbers — this is the build
+  * round that shipped q455–q468): the Bradley–Terry MM fit (q455) — win-count-order
   * invariant on balanced schedules (Ford 1957: on a connected balanced
   * design the BT MLE ranking agrees with win totals) plus the e6
   * renormalization contract.

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Guards for the round that shipped the ULP hardening (IntLn) and the
+  * q455-oracle materialization fix. (RoundNSpec numbers are a sequential
+  * spec series, not build-round numbers.)
+  */
+class Round16Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Driver-side mirror of IntLn's exact step list — BigInt, truncating
+    * division, same constants. If either engine's rendering ever drifts
+    * from this arithmetic, the accuracy assertions below catch it.
+    */
+  private def refLnE12(v: Long): Long = {
+    require(v >= 1)
+    val E12 = BigInt(1000000000000L)
+    val b = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    val m = BigInt(v) * E12 / (BigInt(1) << b)
+    val z = (m - E12) * E12 / (m + E12)
+    val z2 = z * z / E12
+    var zk = z * z2 / E12 // z^3
+    var s = z
+    for (k <- List(3, 5, 7, 9, 11, 13, 15, 17)) {
+      s += zk / k
+      zk = zk * z2 / E12
+    }
+    (BigInt(b) * graft.functions.IntLn.Ln2E12 + 2 * s).toLong
+  }
+
+  test("IntLn Spark rendering matches the BigInt reference step-for-step") {
+    import spark.implicits._
+    val vs = (1L to 2048L) ++ Seq(1L << 20, (1L << 31) - 1, 1L << 40,
+      987654321098L, Long.MaxValue / 2, Long.MaxValue)
+    val df = graft.functions.IntLn.sparkCols(
+      vs.toDF("v"), "v", "t_")
+      .select(col("v"), col("t_ln_e12")).collect()
+    df.foreach { r =>
+      val v = r.getLong(0)
+      assert(r.getLong(1) === refLnE12(v), s"v=$v")
+    }
+  }
+
+  test("IntLn is within 1 e6-unit of libm ln and monotone") {
+    import spark.implicits._
+    val vs = (1L to 5000L)
+    val rows = graft.functions.IntLn.sparkCols(vs.toDF("v"), "v", "t_")
+      .select(col("v"),
+        expr(graft.functions.IntLn.roundE6("t_", "div")).as("e6"))
+      .orderBy("v").collect()
+    var prev = Long.MinValue
+    rows.foreach { r =>
+      val v = r.getLong(0); val e6 = r.getLong(1)
+      val libm = math.round(math.log(v.toDouble) * 1e6)
+      assert(math.abs(e6 - libm) <= 1, s"v=$v e6=$e6 libm=$libm")
+      assert(e6 >= prev, s"non-monotone at v=$v")
+      prev = e6
+    }
+  }
+
+  test("q455 oracle SQL stays under the sweep's wall budget in DuckDB shape") {
+    // The round-11 failure: multiply-referenced round CTEs with no
+    // AS MATERIALIZED expand ~4^rounds in DuckDB. Guard the fix textually:
+    // every multiply-referenced CTE in BtSql must be MATERIALIZED.
+    val sql = graft.queries.MlQueries.btOracleForTest
+    for (r <- 1 to 6; c <- Seq(s"t$r", s"d$r", s"r$r", s"p$r"))
+      assert(sql.contains(s"$c AS MATERIALIZED"), s"CTE $c not materialized")
+    for (c <- Seq("base", "c"))
+      assert(sql.contains(s"$c AS MATERIALIZED"), s"CTE $c not materialized")
+  }
+
+  test("fitPolicy refuses mixed batch percents and non-singleton recovery") {
+    import spark.implicits._
+    import graft.operators.NswGraph
+    val mixed = Seq((25L, 900000L), (50L, 880000L))
+      .toDF("batch_pct", "recall_ppm")
+    val rec1 = Seq(990000L).toDF("recall_ppm")
+    val e1 = intercept[IllegalArgumentException] {
+      NswGraph.fitPolicy(mixed, rec1, 950000L)
+    }
+    assert(e1.getMessage.contains("mixes batch percents"))
+    val ok = Seq((25L, 900000L), (25L, 880000L)).toDF("batch_pct", "recall_ppm")
+    val rec0 = rec1.where(col("recall_ppm") < 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      NswGraph.fitPolicy(ok, rec0, 950000L)
+    }
+    assert(e2.getMessage.contains("expected exactly 1"))
+  }
+
+  test("q460 bias is zero-guarded when a side never occurs") {
+    // Direct expression check: the guarded form returns 0 (not NULL/error)
+    // for an all-zero side — the engine/oracle divergence the advice named.
+    import spark.implicits._
+    val r = Seq((0L, 0L, 3L, 2L)).toDF("n_first", "w_first", "n_second", "w_second")
+      .select(expr("(CASE WHEN n_first = 0 THEN 0L" +
+        " ELSE w_first * 1000000 div n_first END)" +
+        " - (CASE WHEN n_second = 0 THEN 0L" +
+        " ELSE w_second * 1000000 div n_second END)").as("bias_ppm"))
+      .collect()
+    assert(r.head.getLong(0) === -666666L)
+  }
+}

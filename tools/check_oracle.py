@@ -12,8 +12,16 @@ import json
 import sys
 import glob
 import os
+import time
 
 import duckdb
+
+# Hard per-oracle wall budget. Round 11's q455 oracle took 654 s in DuckDB
+# (multiply-referenced CTEs inlined ~4^rounds) while the other 467 averaged
+# well under 1 s, and the driver's time-budgeted sweep zeroed the round.
+# Any single oracle slower than this fails the sweep LOUDLY so the class of
+# bug can never silently eat a correctness artifact again.
+ORACLE_BUDGET_SEC = float(os.environ.get("GRAFT_ORACLE_BUDGET_SEC", "10"))
 import pandas as pd
 import numpy as np
 
@@ -39,9 +47,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             continue
         try:
+            t0 = time.monotonic()
             duck = canon(con.execute(oracle[name]).fetchdf())
+            oracle_sec = time.monotonic() - t0
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {str(e).splitlines()[0][:160]}")
+            n_fail += 1
+            continue
+        if oracle_sec > ORACLE_BUDGET_SEC:
+            print(f"FAIL {name}: oracle took {oracle_sec:.1f}s "
+                  f"(budget {ORACLE_BUDGET_SEC:.0f}s) — pathological DuckDB "
+                  f"plan; see playbook #43 (AS MATERIALIZED)")
             n_fail += 1
             continue
         try:
