@@ -586,6 +586,30 @@ object ScaleProbe {
         BradleyTerry.fit(spark, matches,
           spark.range(players.toLong).toDF("player"), players, rounds = 4)
       },
+      // Bradley–Terry PLAYERS-scaling leg (bt_fit scales the LOG; this
+      // scales k — the arena regime where the ladder itself grows to 1e4
+      // models at m=10). The pair census is min(matches, ~players²/2) rows
+      // — log-bounded here since the log is FIXED — so per-round join cost
+      // is flat in k and only the k-row strengths broadcast + collect grow
+      // (linearly, in KB). Exponent must sit near 0; the k-row-collect
+      // posture's documented bound is players ≲ 1e7 (a 10 MB-class
+      // broadcast/collect per round — past that the strengths relation
+      // should stay distributed and the renormalize become an engine agg).
+      "bt_players" -> { m =>
+        import graft.functions.Hashes
+        import graft.operators.BradleyTerry
+        val players = m * 1000
+        val n = 600000L
+        val matches = spark.range(n).select(
+            (Hashes.mulHash(col("id"), 3) % players).as("pa"),
+            Hashes.mulHash(col("id"), 5).as("h5"),
+            (Hashes.mulHash(col("id"), 7) % 2).as("awin"))
+          .select(col("pa"),
+            ((col("pa") + 1 + col("h5") % (players - 1)) % players).as("pb"),
+            col("awin"))
+        BradleyTerry.fit(spark, matches,
+          spark.range(players.toLong).toDF("player"), players, rounds = 4)
+      },
       // Quantile sketch (q400): bottom-k rank sample as a map-side-partial
       // aggregate — the exchange carries ≤ k pairs per group whatever the
       // input size, so the shape must track the hash-aggregate family

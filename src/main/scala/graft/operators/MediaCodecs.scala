@@ -700,6 +700,334 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  /** Decode a BASELINE SEQUENTIAL JPEG (ITU-T T.81, SOF0, 8-bit, Huffman)
+    * — the transform-coding family the codec set still lacked (DEFLATE,
+    * LZW, QOI ops, FLAC rice codes are all prediction/dictionary coders;
+    * JPEG is block-DCT entropy coding). The full baseline path is real:
+    * marker/segment parse (APPn/COM skip, multi-table DQT and DHT, DRI),
+    * canonical Huffman table build + bit-level decode with 0xFF00
+    * unstuffing, DC prediction + EXTEND, AC run/size with ZRL and EOB,
+    * de-zigzag, dequantization, separable double-precision IDCT with
+    * round-half-up + clamp, interleaved MCU assembly for arbitrary
+    * integer sampling factors (4:4:4 and 4:2:0 fixtures), right/bottom
+    * MCU-padding crop, restart-marker predictor resets, and the libjpeg
+    * fixed-point integer YCbCr→RGB conversion (documented at [[ycc2rgb]];
+    * the oracle replays the same integer formula). Loud rejects:
+    * progressive (SOF2), extended/12-bit, arithmetic coding, 16-bit DQT,
+    * non-integer subsampling ratios.
+    *
+    * Determinism note: JPEG is lossy in general, but a decoder is a
+    * deterministic function of the bitstream. The oracle fixtures live in
+    * the DC-only subspace (every 8×8 block constant, qDC = 8) where the
+    * IDCT output is exactly the encoded flat value, so the expected pixels
+    * replay from the fixture formulas with no DCT arithmetic in SQL; the
+    * AC/general-IDCT path is exercised by the unit spec against an
+    * independent direct-form IDCT (the row-1/row-33 unit-only precedent).
+    */
+  def decodeJpeg(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 4, "JPEG: truncated")
+    require((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "JPEG: missing SOI")
+
+    final case class Component(id: Int, h: Int, v: Int, tq: Int,
+                               var td: Int = 0, var ta: Int = 0)
+    val quant = new Array[Array[Int]](4)
+    // huffman(tableClass)(tableId) = (maxcode/valptr decode tables)
+    final class Huff(bits: Array[Int], vals: Array[Int]) {
+      // canonical decode per T.81 F.2.2.3: mincode/maxcode/valptr by length
+      val minCode = new Array[Int](17)
+      val maxCode = new Array[Int](17)
+      val valPtr = new Array[Int](17)
+      val values = vals
+      locally {
+        var code = 0; var k = 0
+        for (l <- 1 to 16) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l - 1)
+          k += bits(l - 1)
+          maxCode(l) = if (bits(l - 1) > 0) code - 1 else -1
+          code <<= 1
+        }
+      }
+    }
+    val huff = Array.ofDim[Huff](2, 4)
+
+    var pos = 2
+    def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+    var frameW = 0; var frameH = 0
+    var comps: Array[Component] = null
+    var restartInterval = 0
+    var sosAt = -1
+
+    // ---- segment parse up to SOS ----
+    while (sosAt < 0) {
+      require(pos + 4 <= bytes.length, "JPEG: truncated segment stream")
+      require((bytes(pos) & 0xff) == 0xff, s"JPEG: expected marker at $pos")
+      val m = bytes(pos + 1) & 0xff
+      val len = u16(pos + 2)
+      val body = pos + 4
+      m match {
+        case 0xdb => // DQT, possibly several tables
+          var p = body
+          while (p < pos + 2 + len) {
+            val pq = (bytes(p) & 0xff) >> 4
+            val tq = bytes(p) & 0x0f
+            require(pq == 0, "JPEG: 16-bit DQT is not baseline")
+            quant(tq) = Array.tabulate(64)(k => bytes(p + 1 + k) & 0xff)
+            p += 65
+          }
+        case 0xc4 => // DHT, possibly several tables
+          var p = body
+          while (p < pos + 2 + len) {
+            val tc = (bytes(p) & 0xff) >> 4
+            val th = bytes(p) & 0x0f
+            val bits = Array.tabulate(16)(k => bytes(p + 1 + k) & 0xff)
+            val n = bits.sum
+            val vals = Array.tabulate(n)(k => bytes(p + 17 + k) & 0xff)
+            huff(tc)(th) = new Huff(bits, vals)
+            p += 17 + n
+          }
+        case 0xc0 => // SOF0 baseline
+          require(comps == null, "JPEG: multiple frames")
+          require((bytes(body) & 0xff) == 8, "JPEG: only 8-bit precision")
+          frameH = u16(body + 1); frameW = u16(body + 3)
+          val nc = bytes(body + 5) & 0xff
+          require(nc == 1 || nc == 3, s"JPEG: $nc components unsupported")
+          comps = Array.tabulate(nc) { c =>
+            val p = body + 6 + 3 * c
+            Component(bytes(p) & 0xff, (bytes(p + 1) & 0xff) >> 4,
+              bytes(p + 1) & 0x0f, bytes(p + 2) & 0xff)
+          }
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+             0xcd | 0xce | 0xcf =>
+          throw new IllegalArgumentException(
+            f"JPEG: SOF marker 0x$m%02x is not baseline sequential")
+        case 0xdd => restartInterval = u16(body)
+        case 0xda => // SOS
+          val ns = bytes(body) & 0xff
+          require(comps != null, "JPEG: SOS before SOF0")
+          require(ns == comps.length, "JPEG: partial scans unsupported")
+          for (s <- 0 until ns) {
+            val cid = bytes(body + 1 + 2 * s) & 0xff
+            val c = comps.find(_.id == cid).getOrElse(
+              throw new IllegalArgumentException(s"JPEG: SOS names unknown component $cid"))
+            c.td = (bytes(body + 2 + 2 * s) & 0xff) >> 4
+            c.ta = bytes(body + 2 + 2 * s) & 0x0f
+          }
+          sosAt = pos + 2 + len
+        case _ => // APPn / COM / others: skip
+          require(len >= 2, "JPEG: bad segment length")
+      }
+      if (sosAt < 0) pos += 2 + len
+    }
+    require(frameW > 0 && frameH > 0, "JPEG: zero frame size")
+
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    comps.foreach { c =>
+      require(hmax % c.h == 0 && vmax % c.v == 0,
+        "JPEG: non-integer subsampling ratio unsupported")
+    }
+    val mcusX = (frameW + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (frameH + 8 * vmax - 1) / (8 * vmax)
+    // per-component plane at MCU-padded resolution
+    val planeW = comps.map(c => mcusX * c.h * 8)
+    val planes = comps.indices.map(ci =>
+      new Array[Byte](planeW(ci) * mcusY * comps(ci).v * 8)).toArray
+
+    // ---- entropy-coded bit reader with unstuffing + RST handling ----
+    var bp = sosAt // byte position
+    var bitBuf = 0; var bitCnt = 0
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        require(bp < bytes.length, "JPEG: entropy stream truncated")
+        var b = bytes(bp) & 0xff; bp += 1
+        if (b == 0xff) {
+          val b2 = if (bp < bytes.length) bytes(bp) & 0xff else -1
+          if (b2 == 0x00) bp += 1 // stuffed
+          else throw new IllegalArgumentException(
+            f"JPEG: unexpected marker 0xff$b2%02x inside entropy data")
+          b = 0xff
+        }
+        bitBuf = b; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var k = 0
+      while (k < n) { v = (v << 1) | nextBit(); k += 1 }
+      v
+    }
+    def extend(v: Int, t: Int): Int =
+      if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+    def decodeSym(h: Huff): Int = {
+      var code = nextBit(); var l = 1
+      while (l <= 16 && (h.maxCode(l) < 0 || code > h.maxCode(l))) {
+        code = (code << 1) | nextBit(); l += 1
+      }
+      require(l <= 16, "JPEG: invalid Huffman code")
+      h.values(h.valPtr(l) + code - h.minCode(l))
+    }
+    def syncRestart(n: Int): Unit = {
+      // discard pad bits, then skip stuffed FF00 pad bytes and optional
+      // FF fill bytes (T.81 B.1.1.2 allows fill before any marker)
+      bitCnt = 0
+      while (bp + 1 < bytes.length && (bytes(bp) & 0xff) == 0xff &&
+             ((bytes(bp + 1) & 0xff) == 0x00 || (bytes(bp + 1) & 0xff) == 0xff))
+        bp += (if ((bytes(bp + 1) & 0xff) == 0x00) 2 else 1)
+      require(bp + 1 < bytes.length, "JPEG: truncated at restart")
+      require((bytes(bp) & 0xff) == 0xff &&
+        (bytes(bp + 1) & 0xff) == 0xd0 + n,
+        f"JPEG: expected RST$n%d at byte $bp")
+      bp += 2
+    }
+
+    // ---- per-block decode: huffman → zigzag → dequant → IDCT ----
+    val zigzag = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val cosT = Array.tabulate(8, 8) { (x, u) =>
+      math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+        (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+    }
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    val preds = new Array[Int](comps.length)
+
+    def decodeBlock(ci: Int, outPlane: Array[Byte], ox: Int, oy: Int,
+                    stride: Int): Unit = {
+      val c = comps(ci)
+      java.util.Arrays.fill(coef, 0)
+      val t = decodeSym(huff(0)(c.td))
+      require(t <= 15, "JPEG: DC category out of range")
+      preds(ci) += extend(receive(t), t)
+      val q = quant(c.tq)
+      require(q != null, "JPEG: missing quant table")
+      coef(0) = preds(ci) * q(0)
+      var k = 1
+      while (k < 64) {
+        val rs = decodeSym(huff(1)(c.ta))
+        val r = rs >> 4; val s = rs & 0x0f
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else k = 64 // EOB
+        } else {
+          k += r
+          require(k < 64, "JPEG: AC index overrun")
+          coef(zigzag(k)) = extend(receive(s), s) * q(k)
+          k += 1
+        }
+      }
+      // separable IDCT: rows then columns, double precision
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var u = 0
+          while (u < 8) { s += cosT(x)(u) * coef(y * 8 + u); u += 1 }
+          tmp(y * 8 + x) = s / 2.0
+          x += 1
+        }
+        y += 1
+      }
+      var x = 0
+      while (x < 8) {
+        var yy = 0
+        while (yy < 8) {
+          var s = 0.0
+          var v = 0
+          while (v < 8) { s += cosT(yy)(v) * tmp(v * 8 + x); v += 1 }
+          val p = math.round(s / 2.0 + 128.0).toInt
+          outPlane((oy + yy) * stride + ox + x) =
+            math.max(0, math.min(255, p)).toByte
+          yy += 1
+        }
+        x += 1
+      }
+    }
+
+    // ---- MCU loop ----
+    var mcu = 0
+    var rstN = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          syncRestart(rstN); rstN = (rstN + 1) % 8
+          java.util.Arrays.fill(preds, 0)
+        }
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              decodeBlock(ci, planes(ci),
+                (mx * c.h + bx) * 8, (my * c.v + by) * 8, planeW(ci))
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+
+    // ---- upsample + color convert + crop ----
+    val px = new Array[Byte](frameW * frameH * 3)
+    val gray = comps.length == 1
+    var yy = 0
+    while (yy < frameH) {
+      var xx = 0
+      while (xx < frameW) {
+        val o = (yy * frameW + xx) * 3
+        if (gray) {
+          val g = planes(0)(yy * planeW(0) + xx)
+          px(o) = g; px(o + 1) = g; px(o + 2) = g
+        } else {
+          def sample(ci: Int): Int = {
+            val c = comps(ci)
+            planes(ci)((yy * c.v / vmax) * planeW(ci) + xx * c.h / hmax) & 0xff
+          }
+          val (r, g, b) = ycc2rgb(sample(0), sample(1), sample(2))
+          px(o) = r.toByte; px(o + 1) = g.toByte; px(o + 2) = b.toByte
+        }
+        xx += 1
+      }
+      yy += 1
+    }
+    Image(frameW, frameH, px)
+  }
+
+  /** Fixed-point integer JFIF YCbCr→RGB — libjpeg's e16 constants
+    * (FIX(1.40200) = 91881, FIX(0.34414) = 22554, FIX(0.71414) = 46802,
+    * FIX(1.77200) = 116130), written with an ADDITIVE BIAS of 2^24 before
+    * the >>16 so the shifted operand is always positive: truncation then
+    * equals floor on BOTH a JVM `>>` and the oracle's `//` (which truncates
+    * toward zero — playbook #46), so the SQL replay is exact:
+    *   R = clamp(Y + ((91881·(Cr−128) + 32768 + 2^24) >> 16) − 256)
+    * and likewise for G (−22554·(Cb−128) − 46802·(Cr−128)) and
+    * B (+116130·(Cb−128)).
+    */
+  def ycc2rgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    val bias = 1 << 24
+    def cl(v: Int): Int = math.max(0, math.min(255, v))
+    val r = cl(y + ((91881 * (cr - 128) + 32768 + bias) >> 16) - 256)
+    val g = cl(y + ((-22554 * (cb - 128) - 46802 * (cr - 128) + 32768 + bias) >> 16) - 256)
+    val b = cl(y + ((116130 * (cb - 128) + 32768 + bias) >> 16) - 256)
+    (r, g, b)
+  }
+
   /** Decode a QOI image (qoiformat.org, public spec) — the third
     * COMPRESSION FAMILY in the codec set, next to PNG's DEFLATE and GIF's
     * LZW: a byte-wise op stream with run-length ops, a 64-entry

@@ -123,6 +123,15 @@ object Multimodal {
     */
   object QoiImageDecoder extends PosImageDecoder(MediaCodecs.decodeQoi)
 
+  /** JPEG twin of [[PngImageDecoder]]: the decode crosses the block-DCT
+    * entropy-coding family — canonical Huffman bit decode with byte
+    * unstuffing, DC prediction chains (+ restart resets), dequant/IDCT,
+    * subsampled MCU assembly, and the fixed-point YCbCr→RGB — so the
+    * position-weighted checksum pins every reconstructed pixel: a single
+    * Huffman desync corrupts every later block's DC chain and breaks wsum.
+    */
+  object JpegImageDecoder extends PosImageDecoder(MediaCodecs.decodeJpeg)
+
   /** Perceptual difference-hash bands of a decoded image (dHash — Krawetz's
     * public algorithm): 9×8 nearest-pixel downsample on the integer grid
     * (px = x·w/9, py = y·h/8), grayscale as the exact channel SUM (no

@@ -243,6 +243,33 @@ object MlQueries {
         .orderBy("media_id")
     },
 
+    // Eighth real codec and the TRANSFORM-CODING family: baseline
+    // sequential JPEG — the most-hit real image format a multimodal ingest
+    // sees (the one the media family had deliberately left out until now).
+    // The fixtures live in the DC-only subspace where lossy decode is
+    // EXACT (every block constant, qDC = 8), so the oracle replays pixels
+    // from block arithmetic + the integer YCbCr→RGB while the engine
+    // crosses the full bitstream: Huffman decode, DC prediction, restart
+    // resets, dequant/IDCT, MCU crop. 4:4:4 here; q470 is the 4:2:0 twin.
+    QueryDef("q469_jpeg_decode", MediaSql.jpeg444Sql) { (s, _) =>
+      Multimodal.decodeFeatures(
+        Multimodal.readMedia(s, MediaSql.fixtureDir, "jpg444_*.jpg"),
+        Multimodal.JpegImageDecoder)
+        .orderBy("media_id")
+    },
+
+    // 4:2:0 subsampled JPEG — what real camera/web JPEGs overwhelmingly
+    // carry (mirrors the q407→q434 Y4M pair): 2×2-sampled luma MCUs, one
+    // chroma block per 16×16 upsampled on decode, non-MCU-aligned frame
+    // sizes cropping padding blocks, DRI=1 files resetting the DC
+    // predictor at every MCU boundary.
+    QueryDef("q470_jpeg_420", MediaSql.jpeg420Sql) { (s, _) =>
+      Multimodal.decodeFeatures(
+        Multimodal.readMedia(s, MediaSql.fixtureDir, "jpg420_*.jpg"),
+        Multimodal.JpegImageDecoder)
+        .orderBy("media_id")
+    },
+
     // SURVEY §2 rows 4-5: partitioned parquet sink + re-scan, and the
     // fitted-statistics relation persisted and reloaded (stats are *data* —
     // SURVEY §7.4.4). The oracle computes the same result without the
@@ -4536,6 +4563,73 @@ private[queries] object MediaSql {
        |       CAST(sum(CASE WHEN ch = 2 THEN p END) AS BIGINT) AS sum_b,
        |       CAST(sum((f + 1) * p) AS BIGINT) AS wsum
        |FROM v GROUP BY i ORDER BY media_id""".stripMargin
+
+  /** Shared SQL fragment: the decoder's fixed-point integer YCbCr→RGB
+    * (MediaCodecs.ycc2rgb — libjpeg e16 constants with the 2^24 additive
+    * bias so `//`'s toward-zero truncation equals the JVM's floor-shift;
+    * fixture values never clamp, so no CASE needed).
+    */
+  private def ycc(yv: String, cb: String, cr: String): String =
+    s"""$yv + (91881 * ($cr - 128) + 32768 + 16777216) // 65536 - 256 AS r,
+       |$yv + (-22554 * ($cb - 128) - 46802 * ($cr - 128) + 32768
+       |       + 16777216) // 65536 - 256 AS g,
+       |$yv + (116130 * ($cb - 128) + 32768 + 16777216) // 65536 - 256
+       |  AS b""".stripMargin
+
+  private val jpegSelect: String =
+    """SELECT i AS media_id, CAST(max(w) AS INTEGER) AS width,
+      |       CAST(max(h) AS INTEGER) AS height,
+      |       CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+      |       CAST(sum(r) AS BIGINT) AS sum_r,
+      |       CAST(sum(g) AS BIGINT) AS sum_g,
+      |       CAST(sum(b) AS BIGINT) AS sum_b,
+      |       CAST(sum((3 * q + 1) * r + (3 * q + 2) * g + (3 * q + 3) * b)
+      |         AS BIGINT) AS wsum
+      |FROM v GROUP BY i ORDER BY media_id""".stripMargin
+
+  /** JPEG 4:4:4 fixtures (tools/gen_media_fixture.py): per-8×8-block
+    * constant Y/Cb/Cr from the formulas below, DC-only bitstream with
+    * qDC = 8 ⇒ the decode is EXACT, so the oracle replays pixels from the
+    * block arithmetic + the integer color convert — the JPEG container
+    * (Huffman coding, DC prediction, restarts, MCU crop) is invisible to
+    * the replay, which is the point: equality proves the full baseline
+    * decode path byte for byte.
+    */
+  val jpeg444Sql: String =
+    s"""WITH dims AS (SELECT i, 8 * (2 + i % 3) - 3 * (i % 2) AS w,
+       |                     8 * (1 + i % 2)
+       |                       - (CASE WHEN i % 3 = 2 THEN 2 ELSE 0 END) AS h
+       |              FROM (SELECT unnest(range(0, 12)) AS i)),
+       |px AS (SELECT i, w, h, unnest(range(0, w * h)) AS q FROM dims),
+       |blk AS (SELECT i, w, h, q, (q % w) // 8 AS bx, (q // w) // 8 AS by
+       |        FROM px),
+       |c AS (SELECT i, q, 48 + (97 * i + 17 * bx + 29 * by) % 160 AS yv,
+       |             126 + (i + bx + 2 * by) % 5 AS cb,
+       |             126 + (2 * i + 3 * bx + by) % 5 AS cr, w, h
+       |      FROM blk),
+       |v AS (SELECT i, w, h, q, ${ycc("yv", "cb", "cr")} FROM c)
+       |$jpegSelect""".stripMargin
+
+  /** JPEG 4:2:0 fixtures: Y constant per 8×8 block, chroma constant per
+    * 16×16 MCU (one chroma block upsampled 2×2 by the decoder); replay as
+    * in [[jpeg444Sql]]. The 5·(i%3)-column and 6·(i%2)-row crops prove the
+    * decoder drops MCU padding; DRI=1 files reset the DC predictor every
+    * MCU.
+    */
+  val jpeg420Sql: String =
+    s"""WITH dims AS (SELECT i, 16 * (1 + i % 2) - 5 * (i % 3) AS w,
+       |                     16 - 6 * (i % 2) AS h
+       |              FROM (SELECT unnest(range(0, 12)) AS i)),
+       |px AS (SELECT i, w, h, unnest(range(0, w * h)) AS q FROM dims),
+       |blk AS (SELECT i, w, h, q, (q % w) // 8 AS bx, (q // w) // 8 AS by,
+       |               (q % w) // 16 AS cx
+       |        FROM px),
+       |c AS (SELECT i, q, 48 + (89 * i + 13 * bx + 23 * by) % 160 AS yv,
+       |             126 + (i + cx) % 5 AS cb,
+       |             126 + (2 * i + cx) % 5 AS cr, w, h
+       |      FROM blk),
+       |v AS (SELECT i, w, h, q, ${ycc("yv", "cb", "cr")} FROM c)
+       |$jpegSelect""".stripMargin
 
   /** GIF fixtures: w = 6+(i%3)·4, h = 6+(i%2)·4; pixel index at q = y·w+x is
     * (q·K + 241·i) mod 256, palette byte (k·3+c) is ((k·3+c)·K + 83·i) mod

@@ -1,0 +1,164 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.MediaCodecs
+
+/** Baseline-JPEG decoder guards for the paths the DC-only oracle fixtures
+  * cannot pin: AC run/size codes, ZRL, non-trivial dequantization, the
+  * general (non-flat) IDCT — checked against an INDEPENDENT direct-form
+  * double-sum IDCT written here — plus entropy byte-stuffing (FF00) and
+  * the progressive-reject contract. The test carries its own tiny encoder
+  * (bit writer + canonical tables), mirroring tools/gen_media_fixture.py's
+  * but with an AC table that can code nonzero coefficients.
+  */
+class JpegSpec extends AnyFunSuite {
+
+  // ---- tiny test encoder ----
+  private class BitWriter {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]
+    private var acc = 0
+    private var n = 0
+    def put(value: Int, length: Int): Unit = {
+      var b = length - 1
+      while (b >= 0) {
+        acc = (acc << 1) | ((value >> b) & 1)
+        n += 1
+        if (n == 8) {
+          out += acc.toByte
+          if (acc == 0xff) out += 0x00.toByte // stuffing
+          acc = 0; n = 0
+        }
+        b -= 1
+      }
+    }
+    def pad(): Unit = while (n != 0) put(1, 1)
+  }
+
+  /** canonical codes: symbol -> (code, len) */
+  private def canon(bits: Seq[Int], vals: Seq[Int]): Map[Int, (Int, Int)] = {
+    var code = 0; var k = 0
+    val m = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    for (l <- 1 to 16) {
+      for (_ <- 0 until bits(l - 1)) { m(vals(k)) = (code, l); code += 1; k += 1 }
+      code <<= 1
+    }
+    m.toMap
+  }
+
+  private val dcBits = Seq(0, 0, 0, 9) ++ Seq.fill(12)(0)
+  private val dcVals = 0 to 8
+  private val acBits = Seq(0, 3, 1) ++ Seq.fill(13)(0)
+  private val acVals = Seq(0x00, 0x01, 0x22, 0xf0) // EOB, (0,1), (2,2), ZRL
+  private val dcCodes = canon(dcBits, dcVals)
+  private val acCodes = canon(acBits, acVals.map(_.toInt))
+
+  private val quant: Array[Int] = Array.tabulate(64)(k => 1 + k % 3)
+
+  private def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+    Array(0xff.toByte, marker.toByte,
+      (((payload.length + 2) >> 8) & 0xff).toByte,
+      ((payload.length + 2) & 0xff).toByte) ++ payload
+
+  private def grayHeader(w: Int, h: Int): Array[Byte] = {
+    val dqt = seg(0xdb, Array(0x00.toByte) ++ quant.map(_.toByte))
+    val dht = seg(0xc4,
+      Array(0x00.toByte) ++ dcBits.map(_.toByte) ++ dcVals.map(_.toByte) ++
+      Array(0x10.toByte) ++ acBits.map(_.toByte) ++ acVals.map(_.toByte))
+    val sof = seg(0xc0, Array[Byte](8,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte, 1, 1, 0x11, 0))
+    val sos = seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ dht ++ sof ++ sos
+  }
+
+  private def putDc(bw: BitWriter, diff: Int): Unit = {
+    var t = 0; var a = math.abs(diff)
+    while (a != 0) { t += 1; a >>= 1 }
+    val (c, l) = dcCodes(t)
+    bw.put(c, l)
+    if (t > 0) bw.put(if (diff > 0) diff else diff + (1 << t) - 1, t)
+  }
+
+  /** Independent direct-form IDCT over a natural-order coefficient block. */
+  private def directIdct(f: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      var s = 0.0
+      for (v <- 0 until 8; u <- 0 until 8) {
+        val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+        s += cu * cv * f(v * 8 + u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+          math.cos((2 * y + 1) * v * math.Pi / 16.0)
+      }
+      out(y * 8 + x) = math.max(0, math.min(255, math.round(s / 4.0 + 128.0).toInt))
+    }
+    out
+  }
+
+  private val zigzag = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  test("AC coefficients, ZRL and dequant decode against a direct-form IDCT") {
+    // one 8x8 gray block: DC diff 5, AC: +1 at zz1, (run2,size2)=+2 at zz4,
+    // ZRL (16 zeros), -1 at zz21, EOB
+    val bw = new BitWriter
+    putDc(bw, 5)
+    val (c01, l01) = acCodes(0x01); val (c22, l22) = acCodes(0x22)
+    val (czrl, lzrl) = acCodes(0xf0); val (ceob, leob) = acCodes(0x00)
+    bw.put(c01, l01); bw.put(1, 1)      // zz1 = +1
+    bw.put(c22, l22); bw.put(2, 2)      // skip 2, zz4 = +2
+    bw.put(czrl, lzrl)                  // 16 zeros
+    bw.put(c01, l01); bw.put(0, 1)      // zz21 = -1
+    bw.put(ceob, leob)
+    bw.pad()
+    val jpg = grayHeader(8, 8) ++ bw.out ++ Array(0xff.toByte, 0xd9.toByte)
+    val img = MediaCodecs.decodeJpeg(jpg)
+    assert(img.width === 8 && img.height === 8)
+
+    val f = new Array[Int](64)
+    f(0) = 5 * quant(0)
+    f(zigzag(1)) = 1 * quant(1)
+    f(zigzag(4)) = 2 * quant(4)
+    f(zigzag(21)) = -1 * quant(21)
+    val want = directIdct(f)
+    for (p <- 0 until 64) {
+      val got = img.pixels(p * 3) & 0xff
+      assert(got === want(p), s"pixel $p")
+      assert((img.pixels(p * 3 + 1) & 0xff) === want(p)) // gray: r=g=b
+    }
+  }
+
+  test("entropy byte-stuffing (FF00) round-trips") {
+    // search a 2-block (16x8) DC-only stream whose bytes contain a stuffed
+    // FF — the decoder must unstuff it and still track both DC predictors
+    val found = (for {
+      d1 <- 0 to 255; d2 <- 0 to 255
+      bw = new BitWriter
+      _ = { putDc(bw, d1); bw.put(acCodes(0x00)._1, acCodes(0x00)._2)
+            putDc(bw, d2 - d1); bw.put(acCodes(0x00)._1, acCodes(0x00)._2)
+            bw.pad() }
+      if bw.out.containsSlice(Seq(0xff.toByte, 0x00.toByte))
+    } yield (d1, d2, bw.out.toArray)).headOption
+    assert(found.isDefined, "no stuffed-byte stream found in search space")
+    val (d1, d2, ent) = found.get
+    val jpg = grayHeader(16, 8) ++ ent ++ Array(0xff.toByte, 0xd9.toByte)
+    val img = MediaCodecs.decodeJpeg(jpg)
+    val b1 = directIdct { val f = new Array[Int](64); f(0) = d1 * quant(0); f }
+    val b2 = directIdct { val f = new Array[Int](64); f(0) = d2 * quant(0); f }
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val want = if (x < 8) b1(y * 8 + x) else b2(y * 8 + (x - 8))
+      assert((img.pixels((y * 16 + x) * 3) & 0xff) === want, s"($x,$y)")
+    }
+  }
+
+  test("progressive and 16-bit-DQT streams are rejected loudly") {
+    val prog = grayHeader(8, 8)
+    prog(prog.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte)) + 1) = 0xc2.toByte
+    val e = intercept[IllegalArgumentException](MediaCodecs.decodeJpeg(prog))
+    assert(e.getMessage.contains("not baseline"))
+  }
+}

@@ -537,3 +537,166 @@ for v in range(6):
                           for f in range((w // 2) * (h // 2)))
     with open(os.path.join(out, "vid420_%d.y4m" % v), "wb") as fh:
         fh.write(bytes(data))
+
+# images  jpg444_<i>.jpg (i in 0..11) and jpg420_<i>.jpg (i in 0..11)
+#     BASELINE SEQUENTIAL JPEG (SOF0, 8-bit, custom canonical Huffman
+#     tables, custom DQT with qDC=8). Every 8x8 block is CONSTANT in each
+#     component and all AC coefficients are zero, so the decode is EXACT:
+#     with qDC=8 the quantized DC is exactly (value-128) and the IDCT of a
+#     DC-only block is flat — the decoded pixel replays from the block
+#     formulas below with NO DCT arithmetic in the oracle. The bitstream
+#     still crosses the full baseline path: marker/segment parse (APP0,
+#     COM, DQT multi-table, DHT multi-table, DRI), canonical Huffman
+#     decode, DC prediction + EXTEND, zigzag/dequant, IDCT, MCU layout
+#     (interleaved 4:4:4 and 2x2-subsampled 4:2:0), right/bottom MCU crop,
+#     restart-marker predictor resets, byte unstuffing, and the fixed-point
+#     integer YCbCr->RGB conversion (libjpeg constants, documented in
+#     MediaCodecs.decodeJpeg).
+#
+#     jpg444: wB = 2+(i%3) blocks, hB = 1+(i%2) blocks
+#             w = 8*wB - 3*(i%2), h = 8*hB - 2*(1 if i%3==2 else 0)
+#             per block (bx,by):
+#               Y  = 48 + (97*i + 17*bx + 29*by) % 160
+#               Cb = 126 + (i + bx + 2*by) % 5
+#               Cr = 126 + (2*i + 3*bx + by) % 5
+#             i%3==0 carries a COM segment; i%4==2 carries DRI=2 + RSTn
+#     jpg420: mW = 1+(i%2) MCU cols, 1 MCU row
+#             w = 16*mW - 5*(i%3), h = 16 - 6*(i%2)
+#             Y per 8x8 block (bx,by): 48 + (89*i + 13*bx + 23*by) % 160
+#             Cb per MCU cx: 126 + (i + cx) % 5
+#             Cr per MCU cx: 126 + (2*i + cx) % 5
+#             i%3==0 carries a COM segment; i%4==1 carries DRI=1 + RSTn
+
+def _jpeg_tables():
+    # DC: categories 0..8, all 4-bit codes (no all-ones); AC: EOB only, 2-bit
+    dc_bits = [0, 0, 0, 9] + [0] * 12
+    dc_vals = list(range(9))
+    ac_bits = [0, 1] + [0] * 14
+    ac_vals = [0x00]
+    return dc_bits, dc_vals, ac_bits, ac_vals
+
+def _canon_codes(bits, vals):
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+    def put(self, value, length):
+        for b in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> b) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+    def pad(self):
+        while self.n:
+            self.put(1, 1)
+    def marker(self, m):
+        self.pad()
+        self.out += bytes([0xFF, m])
+
+def _dc_encode(bw, codes, diff):
+    t, a = 0, abs(diff)
+    while a:
+        t += 1
+        a >>= 1
+    c, ln = codes[t]
+    bw.put(c, ln)
+    if t:
+        bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+
+def _seg(marker, payload):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+def _jpeg_headers(w, h, samp_y, com, dri):
+    dc_bits, dc_vals, ac_bits, ac_vals = _jpeg_tables()
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if com is not None:
+        out += _seg(0xFE, com.encode())
+    # one DQT segment, two tables (multi-table loop)
+    q_luma = bytes([8] + [16] * 63)
+    q_chroma = bytes([8] + [17] * 63)
+    out += _seg(0xDB, b"\x00" + q_luma + b"\x01" + q_chroma)
+    # one DHT segment, four tables: DC0, AC0, DC1, AC1
+    def ht(tc_th, bits, vals):
+        return bytes([tc_th]) + bytes(bits) + bytes(vals)
+    out += _seg(0xC4, ht(0x00, dc_bits, dc_vals) + ht(0x10, ac_bits, ac_vals)
+                + ht(0x01, dc_bits, dc_vals) + ht(0x11, ac_bits, ac_vals))
+    if dri:
+        out += _seg(0xDD, struct.pack(">H", dri))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, samp_y, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += _seg(0xC0, sof)
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += _seg(0xDA, sos)
+    return out
+
+dc_bits, dc_vals, ac_bits, ac_vals = _jpeg_tables()
+DC_CODES = _canon_codes(dc_bits, dc_vals)
+AC_EOB = _canon_codes(ac_bits, ac_vals)[0x00]
+
+def _write_jpeg(path, w, h, samp_y, mcus, com, dri):
+    """mcus: list of MCUs; each MCU a list of (comp_idx, block_value)."""
+    out = bytearray(_jpeg_headers(w, h, samp_y, com, dri))
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    rst = 0
+    for k, mcu in enumerate(mcus):
+        if dri and k and k % dri == 0:
+            bw.marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+            pred = [0, 0, 0]
+        for comp, val in mcu:
+            c = val - 128  # qDC = 8 makes the quantized DC exactly this
+            _dc_encode(bw, DC_CODES, c - pred[comp])
+            pred[comp] = c
+            bw.put(*AC_EOB)  # all-zero AC
+    bw.pad()
+    data = bytes(out) + bytes(bw.out) + b"\xff\xd9"
+    with open(path, "wb") as fh:
+        fh.write(data)
+
+for i in range(12):
+    wB, hB = 2 + (i % 3), 1 + (i % 2)
+    w = 8 * wB - 3 * (i % 2)
+    h = 8 * hB - (2 if i % 3 == 2 else 0)
+    mcus = []
+    for by in range(hB):
+        for bx in range(wB):
+            mcus.append([
+                (0, 48 + (97 * i + 17 * bx + 29 * by) % 160),
+                (1, 126 + (i + bx + 2 * by) % 5),
+                (2, 126 + (2 * i + 3 * bx + by) % 5)])
+    _write_jpeg(os.path.join(out, "jpg444_%02d.jpg" % i), w, h, 0x11, mcus,
+                com=("fixture %d" % i) if i % 3 == 0 else None,
+                dri=2 if i % 4 == 2 else 0)
+
+for i in range(12):
+    mW = 1 + (i % 2)
+    w = 16 * mW - 5 * (i % 3)
+    h = 16 - 6 * (i % 2)
+    mcus = []
+    for cx in range(mW):
+        blocks = []
+        for sy in range(2):
+            for sx in range(2):
+                bx, by = 2 * cx + sx, sy
+                blocks.append((0, 48 + (89 * i + 13 * bx + 23 * by) % 160))
+        blocks.append((1, 126 + (i + cx) % 5))
+        blocks.append((2, 126 + (2 * i + cx) % 5))
+        mcus.append(blocks)
+    _write_jpeg(os.path.join(out, "jpg420_%02d.jpg" % i), w, h, 0x22, mcus,
+                com=("fixture %d" % i) if i % 3 == 0 else None,
+                dri=1 if i % 4 == 1 else 0)
