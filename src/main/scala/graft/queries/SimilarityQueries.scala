@@ -3222,54 +3222,7 @@ object SimilarityQueries {
     // explode of the corpus (persisted, both sides), retrieved unions
     // top-k-bounded per query, support = one (query, hash) equi-join —
     // no text×text comparison anywhere.
-    QueryDef("q467_rag_grounding", {
-      s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
-         |  FROM embeddings),
-         |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM v
-         |  WHERE vec_id < 5),
-         |cb AS (SELECT qid, v.vec_id AS cid,
-         |         round(${dotSql("qv", "v.embedding")} / (qn * v.nrm), 6)
-         |           AS cos
-         |  FROM q JOIN v ON v.vec_id <> qid),
-         |vr AS (SELECT qid, cid
-         |  FROM (SELECT cb.*, row_number() OVER (PARTITION BY qid
-         |          ORDER BY cos DESC, cid) AS rk FROM cb) t
-         |  WHERE rk <= 10),
-         |t AS (SELECT doc_id, string_split(text, ' ') AS toks
-         |      FROM documents),
-         |dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t),
-         |ov AS (SELECT a.doc_id AS qid, b.doc_id AS cid,
-         |              count(*) AS novl
-         |       FROM dt a JOIN dt b
-         |         ON b.tok = a.tok AND b.doc_id <> a.doc_id
-         |       WHERE a.doc_id < 5 GROUP BY 1, 2),
-         |lr AS (SELECT qid, cid
-         |  FROM (SELECT ov.*, row_number() OVER (PARTITION BY qid
-         |          ORDER BY novl DESC, cid) AS rk FROM ov) t
-         |  WHERE rk <= 10),
-         |tg AS (SELECT doc_id, unnest(list_distinct(
-         |         ${graft.operators.DupSpans.shingleHashesSql("toks", 3)}))
-         |         AS h
-         |       FROM t),
-         |ans AS (SELECT doc_id AS query_id, h FROM tg WHERE doc_id < 5),
-         |vret AS (SELECT DISTINCT vr.qid AS query_id, tg.h
-         |         FROM vr JOIN tg ON tg.doc_id = vr.cid),
-         |lret AS (SELECT DISTINCT lr.qid AS query_id, tg.h
-         |         FROM lr JOIN tg ON tg.doc_id = lr.cid)
-         |SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_trigrams,
-         |       CAST(sum(CASE WHEN v.h IS NULL THEN 0 ELSE 1 END)
-         |         AS BIGINT) AS vec_supported,
-         |       CAST(sum(CASE WHEN v.h IS NULL THEN 0 ELSE 1 END)
-         |         * 1000000 // count(*) AS BIGINT) AS vec_ppm,
-         |       CAST(sum(CASE WHEN l.h IS NULL THEN 0 ELSE 1 END)
-         |         AS BIGINT) AS lex_supported,
-         |       CAST(sum(CASE WHEN l.h IS NULL THEN 0 ELSE 1 END)
-         |         * 1000000 // count(*) AS BIGINT) AS lex_ppm
-         |FROM ans a
-         |LEFT JOIN vret v ON v.query_id = a.query_id AND v.h = a.h
-         |LEFT JOIN lret l ON l.query_id = a.query_id AND l.h = a.h
-         |GROUP BY a.query_id ORDER BY a.query_id""".stripMargin
-    }) { (s, d) =>
+    QueryDef("q467_rag_grounding", RagGroundingSql.sql) { (s, d) =>
       import graft.operators.{DupSpans, Similarity}
       val emb = Tables.embeddings(s, d)
       val vtop = Similarity.bruteForceTopK(emb,
@@ -3292,26 +3245,94 @@ object SimilarityQueries {
       val tg = t.select(col("doc_id"), explode(array_distinct(
           DupSpans.shingleHashes(col("toks"), 3))).as("h"))
         .persist() // claim side + both retrieved sides
-      val ans = tg.where(col("doc_id") < 5)
-        .select(col("doc_id").as("query_id"), col("h"))
-      def retUnion(top: org.apache.spark.sql.DataFrame, mark: String) = top
-        .join(tg.select(col("doc_id").as("neighbor_id"), col("h")),
-          "neighbor_id")
-        .select(col("query_id"), col("h")).distinct()
-        .withColumn(mark, lit(1L))
-      ans
-        .join(retUnion(vtop, "vm"), Seq("query_id", "h"), "left")
-        .join(retUnion(ltop, "lm"), Seq("query_id", "h"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_trigrams"),
-          sum(coalesce(col("vm"), lit(0L))).as("vec_supported"),
-          sum(coalesce(col("lm"), lit(0L))).as("lex_supported"))
-        .select(col("query_id"), col("n_trigrams"),
-          col("vec_supported"),
-          expr("vec_supported * 1000000 div n_trigrams").as("vec_ppm"),
-          col("lex_supported"),
-          expr("lex_supported * 1000000 div n_trigrams").as("lex_ppm"))
+      RagGrounding.grade(tg.where(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("h")),
+          vtop, ltop, tg)
         .orderBy("query_id")
+    },
+
+    // STREAMING twin of q467 — the serving path: claims ARRIVE as a file
+    // stream (the generation-side queue) and each micro-batch grades its
+    // claims' grounding against the STATIC corpus statistics (trigram
+    // census, both retrieval arms computed per batch with identical
+    // definitions); verdicts append, the stream drains to a STOP after
+    // wave A and RESUMES the same checkpoint for wave B — the q412/q451/
+    // q457 restart harness proving file-source progress (no re-grading,
+    // no loss). Grounding is per-claim statistics against a static
+    // corpus, so streamed ≡ batch EXACTLY, row for row — oracle is
+    // q467's VERBATIM (shared RagGroundingSql), no weaker contract
+    // needed (unlike q463's order-sensitive packing, playbook #47).
+    QueryDef("q471_stream_grounding", RagGroundingSql.sql) { (s, d) =>
+      import graft.operators.{DupSpans, Similarity}
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{LongType, StructType}
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ground_q_").toFile
+      try {
+        val emb = Tables.embeddings(s, d)
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+          .persist() // static corpus: probed by every micro-batch
+        val dt = t.select(col("doc_id"),
+          explode(array_distinct(col("toks"))).as("tok")).persist()
+        val tg = t.select(col("doc_id"), explode(array_distinct(
+            DupSpans.shingleHashes(col("toks"), 3))).as("h"))
+          .persist()
+        def gradeBatch(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val ids = broadcast(batch.select(col("doc_id")))
+          val vtop = Similarity.bruteForceTopK(emb,
+              emb.join(ids.select(col("doc_id").as("vec_id")), "vec_id"), 10)
+            .select(col("query_id"), col("neighbor_id"))
+          val wl = Window.partitionBy("query_id")
+            .orderBy(col("novl").desc, col("neighbor_id"))
+          val ltop = dt
+            .join(ids.select(col("doc_id")), "doc_id")
+            .select(col("doc_id").as("query_id"), col("tok"))
+            .join(dt.select(col("doc_id").as("neighbor_id"), col("tok")),
+              "tok")
+            .where(col("query_id") =!= col("neighbor_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(count(lit(1)).as("novl"))
+            .withColumn("rk", row_number().over(wl)).where(col("rk") <= 10)
+            .select("query_id", "neighbor_id")
+          val ans = tg
+            .join(ids.select(col("doc_id")), "doc_id")
+            .select(col("doc_id").as("query_id"), col("h"))
+          RagGrounding.grade(ans, vtop, ltop, tg)
+        }
+        def drain(): Unit = {
+          val q = s.readStream
+            .schema(new StructType().add("doc_id", LongType))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/landing")
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              gradeBatch(batch)
+                .write.mode("append").parquet(s"$root/out")
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        val claims = t.where(col("doc_id") < 5).select("doc_id")
+        claims.where(col("doc_id") < 3).coalesce(1)
+          .write.parquet(s"$root/landing")
+        drain()
+        claims.where(col("doc_id") >= 3).coalesce(1)
+          .write.mode("append").parquet(s"$root/landing")
+        drain()
+        s.read.parquet(s"$root/out")
+          .select("query_id", "n_trigrams", "vec_supported", "vec_ppm",
+            "lex_supported", "lex_ppm")
+          .orderBy("query_id")
+          // the result READS $root/out — materialize before the delete
+          .localCheckpoint()
+      } finally rmrf(root)
     }
   )
 }
@@ -4376,4 +4397,94 @@ private[queries] object HerdingSql {
        |$steps
        |SELECT * FROM ($outs) z ORDER BY step""".stripMargin
   }
+}
+
+/** q467/q471 shared machinery. [[RagGrounding.grade]] is the census the
+  * batch gate and the streaming twin both run: claim trigrams LEFT-joined
+  * against each retrieval arm's top-k-bounded support set, counts + ppm per
+  * claim. [[RagGroundingSql.sql]] is the one oracle both queries verify
+  * against — streamed ≡ batch exactly, because grounding is per-claim
+  * statistics over a static corpus.
+  */
+private[queries] object RagGrounding {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  /** @param ans  (query_id, h) claim trigram hashes (distinct per claim)
+    * @param vtop (query_id, neighbor_id) vector-arm retrieved top-k
+    * @param ltop (query_id, neighbor_id) lexical-arm retrieved top-k
+    * @param tg   (doc_id, h) corpus trigram census (distinct per doc)
+    */
+  def grade(ans: DataFrame, vtop: DataFrame, ltop: DataFrame,
+            tg: DataFrame): DataFrame = {
+    def retUnion(top: DataFrame, mark: String) = top
+      .join(tg.select(col("doc_id").as("neighbor_id"), col("h")),
+        "neighbor_id")
+      .select(col("query_id"), col("h")).distinct()
+      .withColumn(mark, lit(1L))
+    ans
+      .join(retUnion(vtop, "vm"), Seq("query_id", "h"), "left")
+      .join(retUnion(ltop, "lm"), Seq("query_id", "h"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(coalesce(col("vm"), lit(0L))).as("vec_supported"),
+        sum(coalesce(col("lm"), lit(0L))).as("lex_supported"))
+      .select(col("query_id"), col("n_trigrams"),
+        col("vec_supported"),
+        expr("vec_supported * 1000000 div n_trigrams").as("vec_ppm"),
+        col("lex_supported"),
+        expr("lex_supported * 1000000 div n_trigrams").as("lex_ppm"))
+  }
+}
+
+private[queries] object RagGroundingSql {
+  import SimilarityQueries.{dotSql, normSql}
+
+  val sql: String =
+    s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM v
+       |  WHERE vec_id < 5),
+       |cb AS (SELECT qid, v.vec_id AS cid,
+       |         round(${dotSql("qv", "v.embedding")} / (qn * v.nrm), 6)
+       |           AS cos
+       |  FROM q JOIN v ON v.vec_id <> qid),
+       |vr AS (SELECT qid, cid
+       |  FROM (SELECT cb.*, row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, cid) AS rk FROM cb) t
+       |  WHERE rk <= 10),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |      FROM documents),
+       |dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t),
+       |ov AS (SELECT a.doc_id AS qid, b.doc_id AS cid,
+       |              count(*) AS novl
+       |       FROM dt a JOIN dt b
+       |         ON b.tok = a.tok AND b.doc_id <> a.doc_id
+       |       WHERE a.doc_id < 5 GROUP BY 1, 2),
+       |lr AS (SELECT qid, cid
+       |  FROM (SELECT ov.*, row_number() OVER (PARTITION BY qid
+       |          ORDER BY novl DESC, cid) AS rk FROM ov) t
+       |  WHERE rk <= 10),
+       |tg AS (SELECT doc_id, unnest(list_distinct(
+       |         ${graft.operators.DupSpans.shingleHashesSql("toks", 3)}))
+       |         AS h
+       |       FROM t),
+       |ans AS (SELECT doc_id AS query_id, h FROM tg WHERE doc_id < 5),
+       |vret AS (SELECT DISTINCT vr.qid AS query_id, tg.h
+       |         FROM vr JOIN tg ON tg.doc_id = vr.cid),
+       |lret AS (SELECT DISTINCT lr.qid AS query_id, tg.h
+       |         FROM lr JOIN tg ON tg.doc_id = lr.cid)
+       |SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |       CAST(sum(CASE WHEN v.h IS NULL THEN 0 ELSE 1 END)
+       |         AS BIGINT) AS vec_supported,
+       |       CAST(sum(CASE WHEN v.h IS NULL THEN 0 ELSE 1 END)
+       |         * 1000000 // count(*) AS BIGINT) AS vec_ppm,
+       |       CAST(sum(CASE WHEN l.h IS NULL THEN 0 ELSE 1 END)
+       |         AS BIGINT) AS lex_supported,
+       |       CAST(sum(CASE WHEN l.h IS NULL THEN 0 ELSE 1 END)
+       |         * 1000000 // count(*) AS BIGINT) AS lex_ppm
+       |FROM ans a
+       |LEFT JOIN vret v ON v.query_id = a.query_id AND v.h = a.h
+       |LEFT JOIN lret l ON l.query_id = a.query_id AND l.h = a.h
+       |GROUP BY a.query_id ORDER BY a.query_id""".stripMargin
 }
