@@ -3152,58 +3152,8 @@ object SimilarityQueries {
     // oracle unrolls all 10 rounds with the selected set carried as a
     // growing CTE union.
     QueryDef("q461_mmr_diversify", MmrSql.sql) { (s, d) =>
-      import graft.functions.Tensors
       val emb = Tables.embeddings(s, d)
-      val short = Similarity.bruteForceTopK(emb,
-        emb.where(col("vec_id") < 5), 20)
-      val rel = short.select(col("query_id").as("qid"),
-          col("neighbor_id").as("cid"),
-          expr("cast(round(cos * 1000000, 0) as bigint)").as("rel_e6"))
-        .persist() // every greedy round scores against it
-      val v = emb.select(col("vec_id"), col("embedding"),
-        Tensors.norm(col("embedding")).as("nrm"))
-      val cv = rel.select("qid", "cid")
-        .join(v, col("cid") === col("vec_id"))
-        .select(col("qid"), col("cid"), col("embedding").as("ce"),
-          col("nrm").as("cn"))
-      val sims = cv.as("a").join(cv.as("b"),
-          col("a.qid") === col("b.qid") && col("a.cid") =!= col("b.cid"))
-        .select(col("a.qid").as("qid"), col("a.cid").as("i"),
-          col("b.cid").as("j"),
-          round(round(Tensors.dot(col("a.ce"), col("b.ce"))
-            / (col("a.cn") * col("b.cn")), 6) * 1000000, 0)
-            .cast("long").as("sim_e6"))
-        .persist() // 20·19 rows/query, reused by all 9 later rounds
-      val w1 = Window.partitionBy("qid")
-        .orderBy(col("rel_e6").desc, col("cid"))
-      var selected = rel.withColumn("rk", row_number().over(w1))
-        .where(col("rk") === 1)
-        .select(col("qid"), col("cid"), lit(1L).as("pick_idx"),
-          (col("rel_e6") * 7).as("mmr_e7"))
-        .localCheckpoint()
-      for (r <- 2 to 10) {
-        val ms = sims
-          .join(selected.select(col("qid"), col("cid").as("j")),
-            Seq("qid", "j"))
-          .groupBy(col("qid"), col("i").as("cid"))
-          .agg(max("sim_e6").as("ms"))
-        val cands = rel
-          .join(selected.select("qid", "cid"), Seq("qid", "cid"),
-            "left_anti")
-          .join(ms, Seq("qid", "cid"))
-          .select(col("qid"), col("cid"),
-            (col("rel_e6") * 7 - col("ms") * 3).as("mmr_e7"))
-        val wr = Window.partitionBy("qid")
-          .orderBy(col("mmr_e7").desc, col("cid"))
-        val pick = cands.withColumn("rk", row_number().over(wr))
-          .where(col("rk") === 1)
-          .select(col("qid"), col("cid"), lit(r.toLong).as("pick_idx"),
-            col("mmr_e7"))
-        // each round's plan must not nest the previous rounds'
-        selected = selected.unionByName(pick).localCheckpoint()
-      }
-      selected.select(col("qid").as("query_id"), col("pick_idx"),
-          col("cid").as("neighbor_id"), col("mmr_e7"))
+      Mmr.diversify(emb, emb.where(col("vec_id") < 5))
         .orderBy("query_id", "pick_idx")
     },
 
@@ -3332,6 +3282,58 @@ object SimilarityQueries {
           .orderBy("query_id")
           // the result READS $root/out — materialize before the delete
           .localCheckpoint()
+      } finally rmrf(root)
+    },
+
+    // STREAMING twin of q461 — MMR diversification on the serving path:
+    // queries arrive as a file stream and each micro-batch runs the SAME
+    // 10-round greedy MMR (shared Mmr.diversify) for its queries against
+    // the static corpus; picks append, stop after wave A, resume the same
+    // checkpoint for wave B (the q471 harness). MMR is per-query greedy
+    // selection over a static corpus — no cross-query state — so
+    // streamed ≡ batch exactly and the oracle is q461's VERBATIM
+    // (shared MmrSql).
+    QueryDef("q472_stream_mmr", MmrSql.sql) { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{LongType, StructType}
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mmr_q_").toFile
+      try {
+        val emb = Tables.embeddings(s, d).persist() // static corpus side
+        def drain(): Unit = {
+          val q = s.readStream
+            .schema(new StructType().add("vec_id", LongType))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/landing")
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              Mmr.diversify(emb,
+                  emb.join(broadcast(batch.select("vec_id")), "vec_id"))
+                .write.mode("append").parquet(s"$root/out")
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        val queries = emb.where(col("vec_id") < 5).select("vec_id")
+        queries.where(col("vec_id") < 3).coalesce(1)
+          .write.parquet(s"$root/landing")
+        drain()
+        queries.where(col("vec_id") >= 3).coalesce(1)
+          .write.mode("append").parquet(s"$root/landing")
+        drain()
+        val res = s.read.parquet(s"$root/out")
+          .select("query_id", "pick_idx", "neighbor_id", "mmr_e7")
+          .orderBy("query_id", "pick_idx")
+          // the result READS $root/out — materialize before the delete
+          .localCheckpoint()
+        emb.unpersist()
+        res
       } finally rmrf(root)
     }
   )
@@ -4487,4 +4489,77 @@ private[queries] object RagGroundingSql {
        |LEFT JOIN vret v ON v.query_id = a.query_id AND v.h = a.h
        |LEFT JOIN lret l ON l.query_id = a.query_id AND l.h = a.h
        |GROUP BY a.query_id ORDER BY a.query_id""".stripMargin
+}
+
+/** q461/q472 shared MMR engine: exact top-20 shortlist per query, pairwise
+  * candidate sims built once, then 10 greedy Carbonell–Goldstein rounds
+  * (λ = 0.7 as 7·rel_e6 − 3·max_sim_e6 in e7 integers — no division), ties
+  * to the lowest id, localCheckpoint per round so each round's plan never
+  * nests the previous rounds' (playbook #44). Per-query greedy selection
+  * over a static corpus: batch gate and streaming twin share it verbatim.
+  */
+private[queries] object Mmr {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+  import graft.functions.Tensors
+  import graft.operators.Similarity
+
+  /** @param emb     corpus embeddings (vec_id, embedding)
+    * @param queries query rows out of `emb` (vec_id, embedding)
+    * @return (query_id, pick_idx 1..10, neighbor_id, mmr_e7)
+    */
+  def diversify(emb: DataFrame, queries: DataFrame): DataFrame = {
+    val short = Similarity.bruteForceTopK(emb, queries, 20)
+    val rel = short.select(col("query_id").as("qid"),
+        col("neighbor_id").as("cid"),
+        expr("cast(round(cos * 1000000, 0) as bigint)").as("rel_e6"))
+      .persist() // every greedy round scores against it
+    val v = emb.select(col("vec_id"), col("embedding"),
+      Tensors.norm(col("embedding")).as("nrm"))
+    val cv = rel.select("qid", "cid")
+      .join(v, col("cid") === col("vec_id"))
+      .select(col("qid"), col("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+    val sims = cv.as("a").join(cv.as("b"),
+        col("a.qid") === col("b.qid") && col("a.cid") =!= col("b.cid"))
+      .select(col("a.qid").as("qid"), col("a.cid").as("i"),
+        col("b.cid").as("j"),
+        round(round(Tensors.dot(col("a.ce"), col("b.ce"))
+          / (col("a.cn") * col("b.cn")), 6) * 1000000, 0)
+          .cast("long").as("sim_e6"))
+      .persist() // 20·19 rows/query, reused by all 9 later rounds
+    val w1 = Window.partitionBy("qid")
+      .orderBy(col("rel_e6").desc, col("cid"))
+    var selected = rel.withColumn("rk", row_number().over(w1))
+      .where(col("rk") === 1)
+      .select(col("qid"), col("cid"), lit(1L).as("pick_idx"),
+        (col("rel_e6") * 7).as("mmr_e7"))
+      .localCheckpoint()
+    for (r <- 2 to 10) {
+      val ms = sims
+        .join(selected.select(col("qid"), col("cid").as("j")),
+          Seq("qid", "j"))
+        .groupBy(col("qid"), col("i").as("cid"))
+        .agg(max("sim_e6").as("ms"))
+      val cands = rel
+        .join(selected.select("qid", "cid"), Seq("qid", "cid"),
+          "left_anti")
+        .join(ms, Seq("qid", "cid"))
+        .select(col("qid"), col("cid"),
+          (col("rel_e6") * 7 - col("ms") * 3).as("mmr_e7"))
+      val wr = Window.partitionBy("qid")
+        .orderBy(col("mmr_e7").desc, col("cid"))
+      val pick = cands.withColumn("rk", row_number().over(wr))
+        .where(col("rk") === 1)
+        .select(col("qid"), col("cid"), lit(r.toLong).as("pick_idx"),
+          col("mmr_e7"))
+      // each round's plan must not nest the previous rounds'
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    val out = selected.select(col("qid").as("query_id"), col("pick_idx"),
+      col("cid").as("neighbor_id"), col("mmr_e7"))
+    rel.unpersist(); sims.unpersist()
+    out
+  }
 }

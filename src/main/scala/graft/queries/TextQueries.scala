@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Hashes
@@ -2551,8 +2552,111 @@ object TextQueries {
           sum(when(col("h_e9") > 3400000000L, 1L).otherwise(0L))
             .as("n_high"))
         .orderBy("source")
+    },
+
+    // Heaps' law vocabulary-growth fit — the tokenizer-budget companion to
+    // q462's Chao1 and q465's Zipf: natural text grows vocabulary as
+    // V(n) ≈ K·n^β with β ≈ 0.4–0.6, and the measured exponent answers
+    // "how much new vocabulary will the next 10× of crawl bring" before
+    // the crawl is paid for. Eight log-spaced prefix checkpoints in doc
+    // order (n_k = max(1, N >> (8−k))), V_k = tokens whose FIRST global
+    // occurrence lands inside the prefix, OLS of ln V on ln n. Corpus
+    // work: one token pass for first-occurrence positions (hash agg) + a
+    // doc-count-sized offset cumsum; the fit runs on an 8-row statistic.
+    // ln is IntLn end to end — no libm in the comparison path (round 12).
+    QueryDef("q473_heaps_law", HeapsSql.sql) { (s, d) =>
+      TextQueries.heapsLaw(Tables.documents(s, d))
     }
   )
+
+  /** q473's computation over any (doc_id, text) relation — split out so
+    * Round16Spec can pin the β = 1 (all-unique) and β = 0 (single-token)
+    * invariants on synthetic corpora.
+    */
+  def heapsLaw(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.IntLn
+    val t = docs.select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+    val lens = t.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+    // doc-count-sized running offset: position of each doc's first token
+    // in the doc_id-ordered global token stream
+    val wOff = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = lens.select(col("doc_id"),
+      coalesce(sum("n").over(wOff), lit(0L)).as("off"))
+    val fo = t.join(offs, "doc_id")
+      .select(col("off"), posexplode(col("toks")).as(Seq("i", "tok")))
+      .groupBy("tok").agg(min(col("off") + col("i")).as("fp"))
+      .persist() // 8 checkpoint probes
+    val nt = lens.agg(sum("n")).head().getLong(0)
+    val vocab = fo.count()
+    val cps = (1 to 8).map(k => (k.toLong, math.max(1L, nt >> (8 - k))))
+    val cp = broadcast(fo.sparkSession.createDataFrame(cps).toDF("k", "nk"))
+    val vk = cp.join(fo, col("fp") < col("nk"))
+      .groupBy("k", "nk").agg(count(lit(1)).as("vk"))
+    val pts = IntLn.sparkCols(IntLn.sparkCols(vk, "nk", "n_"), "vk", "v_")
+      .select(expr(IntLn.roundE6("n_", "div")).as("x"),
+        expr(IntLn.roundE6("v_", "div")).as("y"))
+    pts
+      .agg(count(lit(1)).as("np"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x").cast("decimal(38,0)") * col("y"))).as("sxy"),
+        sum((col("x").cast("decimal(38,0)") * col("x"))).as("sxx"))
+      .select(col("np").as("n_points"),
+        // degenerate x spread (tiny corpus, repeated checkpoints) pins 0
+        // on BOTH engines instead of Spark-null vs DuckDB-error
+        expr("cast(CASE WHEN np * sxx - sx * sx = 0 THEN 0" +
+          " ELSE (np * sxy - sx * sy) * 1000000" +
+          " div (np * sxx - sx * sx) END as bigint)").as("beta_e6"),
+        lit(nt).as("n_tokens"), lit(vocab).as("vocab"))
+  }
+}
+
+/** q473 oracle: the same prefix-checkpoint construction — doc-length
+  * cumsum offsets, per-token min global position, V_k per log-spaced
+  * checkpoint, IntLn points, HUGEINT OLS moments, guarded slope.
+  */
+private[queries] object HeapsSql {
+  import graft.functions.IntLn
+
+  val sql: String = {
+    val ptsInner = IntLn.duckNest(IntLn.duckNest(
+      "SELECT k, nk, vk FROM vkt", "nk", "n_"), "vk", "v_")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM t),
+       |offs AS (SELECT doc_id,
+       |           CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |             AS BIGINT) AS off
+       |         FROM lens),
+       |fo AS (SELECT toks[i + 1] AS tok, min(o.off + i) AS fp
+       |       FROM t JOIN offs o USING (doc_id),
+       |            unnest(range(0, len(toks))) AS u(i)
+       |       GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM lens),
+       |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM fo),
+       |cp AS (SELECT k, greatest(1, nt // (1 << (8 - k))) AS nk
+       |       FROM tot, unnest(range(1, 9)) AS g(k)),
+       |vkt AS (SELECT cp.k, cp.nk, CAST(count(*) AS BIGINT) AS vk
+       |        FROM cp JOIN fo ON fo.fp < cp.nk GROUP BY 1, 2),
+       |pts AS (SELECT ${IntLn.roundE6("n_", "//")} AS x,
+       |               ${IntLn.roundE6("v_", "//")} AS y
+       |        FROM ($ptsInner)),
+       |m AS (SELECT CAST(count(*) AS HUGEINT) AS np,
+       |             CAST(sum(x) AS HUGEINT) AS sx,
+       |             CAST(sum(y) AS HUGEINT) AS sy,
+       |             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+       |             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+       |      FROM pts)
+       |SELECT CAST(np AS BIGINT) AS n_points,
+       |       CAST(CASE WHEN np * sxx - sx * sx = 0 THEN 0
+       |            ELSE (np * sxy - sx * sy) * 1000000
+       |                 // (np * sxx - sx * sx) END AS BIGINT) AS beta_e6,
+       |       (SELECT nt FROM tot) AS n_tokens,
+       |       (SELECT v FROM voc) AS vocab
+       |FROM m""".stripMargin
+  }
 }
 
 /** Oracle for q149: the relational K-scan formulation — corpus × patterns

@@ -89,6 +89,26 @@ class Round16Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("expected exactly 1"))
   }
 
+  test("Heaps' law fit pins beta = 1 on all-unique and beta = 0 on single-token corpora") {
+    import spark.implicits._
+    // 8 docs x 64 tokens, every token globally unique => V(n) = n at every
+    // checkpoint => the OLS slope is EXACTLY 1e6 (x_k = y_k pointwise)
+    val uniq = (0L until 8L).map { d =>
+      (d, (0 until 64).map(j => s"t${d}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val r1 = graft.queries.TextQueries.heapsLaw(uniq).collect().head
+    assert(r1.getAs[Long]("beta_e6") === 1000000L)
+    assert(r1.getAs[Long]("n_tokens") === 512L)
+    assert(r1.getAs[Long]("vocab") === 512L)
+    // one token repeated => V_k = 1 at every checkpoint => slope exactly 0
+    val mono = (0L until 8L).map { d =>
+      (d, Seq.fill(64)("a").mkString(" "))
+    }.toDF("doc_id", "text")
+    val r2 = graft.queries.TextQueries.heapsLaw(mono).collect().head
+    assert(r2.getAs[Long]("beta_e6") === 0L)
+    assert(r2.getAs[Long]("vocab") === 1L)
+  }
+
   test("q460 bias is zero-guarded when a side never occurs") {
     // Direct expression check: the guarded form returns 0 (not NULL/error)
     // for an all-zero side — the engine/oracle divergence the advice named.
