@@ -899,22 +899,27 @@ object MlQueries {
     // regularizer that pins the scale, keeps zero-win players off 0, and
     // guards every denominator. Top-20 by (rating DESC, supplier).
     QueryDef("q310_bradley_terry", {
+      // every round references $prev THREE times (ri/rj/prv) — DuckDB
+      // inlines multiply-referenced CTEs (playbook #43/#48), so the
+      // 3-round chain expands ~3^3 over the lineitem base: 12.2 s at
+      // sf0.01 against the sweep's 10 s per-oracle budget. MATERIALIZED
+      // pins each round to one evaluation; same rows.
       def round_(k: Int, prev: String) =
-        s"""c$k AS (
+        s"""c$k AS MATERIALIZED (
            |  SELECT p.i,
            |         sum(CAST(round(p.n / (ri.r + rj.r) * 1e12, 0) AS BIGINT))
            |           AS s
            |  FROM pairs p JOIN $prev ri ON ri.id = p.i
            |               JOIN $prev rj ON rj.id = p.j
            |  GROUP BY p.i),
-           |r$k AS (
+           |r$k AS MATERIALIZED (
            |  SELECT w.id,
            |         round((w.wins + 1) * 1e12 /
            |           (c$k.s + CAST(round(CAST(2 AS DOUBLE) / (prv.r + 1) * 1e12,
            |                               0) AS BIGINT)),
            |           9) AS r
            |  FROM w JOIN c$k ON c$k.i = w.id JOIN $prev prv ON prv.id = w.id)""".stripMargin
-      s"""WITH sup AS (
+      s"""WITH sup AS MATERIALIZED (
          |  SELECT l_orderkey AS k, l_suppkey AS s,
          |         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cents
          |  FROM lineitem GROUP BY l_orderkey, l_suppkey),
@@ -924,16 +929,16 @@ object MlQueries {
          |duel AS (
          |  SELECT a.k, a.s AS s1, a.cents AS c1, b.s AS s2, b.cents AS c2
          |  FROM rk a JOIN rk b ON a.k = b.k AND a.rn = 1 AND b.rn = 2),
-         |matches AS (
+         |matches AS MATERIALIZED (
          |  SELECT CASE WHEN c2 > c1 THEN s2 ELSE s1 END AS winner,
          |         CASE WHEN c2 > c1 THEN s1 ELSE s2 END AS loser
          |  FROM duel),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT i, j, CAST(count(*) AS BIGINT) AS n FROM (
          |    SELECT winner AS i, loser AS j FROM matches
          |    UNION ALL SELECT loser, winner FROM matches)
          |  GROUP BY i, j),
-         |w AS (
+         |w AS MATERIALIZED (
          |  SELECT p.id, coalesce(v.wins, 0) AS wins, p.games FROM
          |    (SELECT i AS id, sum(n) AS games FROM pairs GROUP BY i) p
          |    LEFT JOIN (SELECT winner AS id, CAST(count(*) AS BIGINT) AS wins

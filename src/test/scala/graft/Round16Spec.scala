@@ -69,6 +69,13 @@ class Round16Spec extends AnyFunSuite {
       assert(sql.contains(s"$c AS MATERIALIZED"), s"CTE $c not materialized")
     for (c <- Seq("base", "c"))
       assert(sql.contains(s"$c AS MATERIALIZED"), s"CTE $c not materialized")
+    // q310 carries the same disease in milder form (3 rounds × 3 refs —
+    // 12.2 s at sf0.01 before materialization, 0.47 s after)
+    val sql310 = SparkEntry.oracleSql("q310_bradley_terry")
+    for (r <- 1 to 3; c <- Seq(s"c$r", s"r$r"))
+      assert(sql310.contains(s"$c AS MATERIALIZED"), s"q310 CTE $c")
+    for (c <- Seq("sup", "matches", "pairs", "w"))
+      assert(sql310.contains(s"$c AS MATERIALIZED"), s"q310 CTE $c")
   }
 
   test("fitPolicy refuses mixed batch percents and non-singleton recovery") {
