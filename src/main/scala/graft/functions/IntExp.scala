@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.expr
+
+/** Fixed-point integer ELO expectation — the [[IntLn]] discipline applied
+  * to the arena family's one remaining libm surface (playbook #49):
+  *
+  *   e_e6 = round(1e6 / (1 + 10^(d/400))),  d = rating(b) − rating(a)
+  *
+  * computed with INTEGER arithmetic only: y = min(4000, |d|),
+  * x = y·ln10 // 400 (e12), split x = k·ln2 + r with r ∈ [0, ln2),
+  * exp(r) by a 17-term Taylor sum in e12 truncating fixed point,
+  * E = exp(r)·2^k, then the sign-split round
+  *   d ≥ 0: e = round(1e18 / (1e12 + E))
+  *   d < 0: e = round(1e6·E / (1e12 + E))       (1/(1+10^{−a}) = E/(1+E))
+  * with round(n/m) = (2n + m) // (2m) on positive integers. The y-clamp at
+  * 4000 is exact: e rounds to 0 / 1e6 for every |d| ≥ 2522 already.
+  *
+  * Three coordinated implementations, one step list:
+  * [[eloExpectE6]] (the JVM mirror the q453 fold calls — BigInt, truncating
+  * division), [[duckEloE]] (the nested-select rendering inside the
+  * recursive oracle CTE — HUGEINT), and [[sparkCols]] (decimal(38,0), used
+  * by the spec to pin mirror ≡ rendering). All divisions are positive, so
+  * BigInt `/`, DuckDB `//` and Spark `div` all truncate identically.
+  *
+  * Overflow audit (y ≤ 4000): x ≤ 2.31e13, k ≤ 33, per-term product
+  * ≤ 0.7e12·0.7e12 ≈ 5e23 (wide), E ≤ 2.7e12·2^33 ≈ 2.4e22,
+  * 2·1e6·E ≤ 4.8e28 — all inside HUGEINT/decimal(38,0); every division
+  * RESULT ≤ 1e18 fits BIGINT.
+  */
+object IntExp {
+
+  /** ln10 · 1e12, nearest. */
+  val Ln10E12 = 2302585092994L
+
+  private val E12 = "1000000000000"
+
+  /** The shared step list over an input column `d` (BIGINT). Rendered per
+    * engine via big-cast, shift, and integer-division spellings. The final
+    * step is named `e`.
+    */
+  private def steps(d: String, big: String => String, shl: String => String,
+                    idiv: String): Seq[(String, String)] = {
+    // t1 = r exactly (1e12·r // 1e12 // 1), so the chain starts from iex_r
+    val taylor = (2 to 17).map { n =>
+      val prev = if (n == 2) "iex_r" else s"iex_t${n - 1}"
+      s"iex_t$n" -> s"(${big(prev)} * iex_r $idiv $E12 $idiv $n)"
+    }
+    val sum = "1000000000000 + iex_r + " +
+      (2 to 17).map(n => s"iex_t$n").mkString(" + ")
+    Seq(
+      "iex_d" -> s"($d)",
+      "iex_y" -> "least(4000, abs(iex_d))",
+      s"iex_x" -> s"(iex_y * $Ln10E12 $idiv 400)",
+      "iex_k" -> s"(iex_x $idiv ${IntLn.Ln2E12})",
+      "iex_r" -> s"(iex_x - iex_k * ${IntLn.Ln2E12})") ++
+      taylor ++ Seq(
+      "iex_s" -> s"($sum)",
+      "iex_e2" -> s"(${big("iex_s")} * ${shl("iex_k")})",
+      "iex_den" -> s"(${big(E12)} + iex_e2)",
+      "e" -> (s"(CASE WHEN iex_d >= 0" +
+        s" THEN (2 * ${big("1000000000000000000")} + iex_den)" +
+        s" $idiv (2 * iex_den)" +
+        s" ELSE (2 * (1000000 * iex_e2) + iex_den)" +
+        s" $idiv (2 * iex_den) END)"))
+  }
+
+  /** DuckDB: wrap `inner` (a SELECT carrying every needed column) in nested
+    * SELECTs; the outermost adds BIGINT column `e` (helpers carry along —
+    * callers project explicitly above this).
+    */
+  def duckEloE(inner: String, d: String): String = {
+    val chain = steps(d,
+      big = x => s"CAST($x AS HUGEINT)",
+      shl = k => s"(CAST(1 AS BIGINT) << CAST(iex_k AS INTEGER))",
+      idiv = "//")
+    val nested = chain.dropRight(1).foldLeft(inner) {
+      case (acc, (name, e)) => s"SELECT *, $e AS $name FROM ($acc)"
+    }
+    val (_, eExpr) = chain.last
+    s"SELECT *, CAST($eExpr AS BIGINT) AS e FROM ($nested)"
+  }
+
+  /** Spark rendering of the same steps (spec use). */
+  def sparkCols(df: DataFrame, d: String): DataFrame =
+    steps(d,
+      big = x => s"cast($x as decimal(38,0))",
+      shl = _ => "cast(shiftleft(cast(1 as bigint), cast(iex_k as int)) as decimal(38,0))",
+      idiv = "div")
+      .foldLeft(df) { case (acc, (name, e)) =>
+        acc.withColumn(name, expr(if (name == "e") s"cast($e as bigint)" else e))
+      }
+
+  /** The JVM mirror — the exact same steps over BigInt; the q453 fold's
+    * per-match expectation. Bit-identical to the SQL renderings by shared
+    * construction (every division positive and truncating).
+    */
+  def eloExpectE6(d: Long): Long = {
+    val y = math.min(4000L, math.abs(d))
+    val x = y * Ln10E12 / 400
+    val k = (x / IntLn.Ln2E12).toInt
+    val r = x - k.toLong * IntLn.Ln2E12
+    val e12 = BigInt(1000000000000L)
+    var t = BigInt(r)
+    var s = e12 + t
+    var n = 2
+    while (n <= 17) {
+      t = t * r / e12 / n
+      s += t
+      n += 1
+    }
+    val bigE = s * (BigInt(1) << k)
+    val den = e12 + bigE
+    val e =
+      if (d >= 0) (2 * BigInt("1000000000000000000") + den) / (2 * den)
+      else (2 * (BigInt(1000000L) * bigE) + den) / (2 * den)
+    e.toLong
+  }
+}

@@ -3964,8 +3964,10 @@ object MlQueries {
         .flatMapSortedGroups(col("m")) { (_, rows) =>
           val r = Array.fill(8)(1000L)
           rows.map { case (m, pa, pb, awin) =>
-            val e = math.round(1000000.0 /
-              (1 + math.pow(10, (r(pb.toInt) - r(pa.toInt)) / 400.0)))
+            // IntExp's integer expectation — bit-identical to the oracle's
+            // rendered step chain (round 12; was libm pow)
+            val e = graft.functions.IntExp.eloExpectE6(
+              r(pb.toInt) - r(pa.toInt))
             val da =
               if (awin == 1L) (32L * (1000000L - e) + 500000L) / 1000000L
               else -((32L * e + 500000L) / 1000000L)
@@ -4790,6 +4792,14 @@ private[queries] object MediaSql {
         rCols.map(c => s"CAST(1000 AS BIGINT) AS $c").mkString(", ") +
         ", CAST(0 AS BIGINT) AS pa, CAST(0 AS BIGINT) AS pb" +
         ", CAST(0 AS BIGINT) AS awin, CAST(0 AS BIGINT) AS e"
+      // e comes from IntExp's integer step chain (round 12) — the same
+      // truncating arithmetic the engine fold's IntExp.eloExpectE6 runs,
+      // so no libm (pow) remains anywhere in the trace's comparison path
+      val inner = "SELECT l.m, l.pa, l.pb, l.awin, " +
+        rCols.map(c => s"rec.$c").mkString(", ") +
+        s", ${pick("rec", "l.pa")} AS rpa, ${pick("rec", "l.pb")} AS rpb" +
+        " FROM log l JOIN rec ON l.m = rec.m + 1"
+      val withE = graft.functions.IntExp.duckEloE(inner, "rpb - rpa")
       val step = "SELECT s.m, " +
         (0 until 8).map(i =>
           s"s.r$i + (CASE WHEN s.pa = $i THEN s.da" +
@@ -4801,12 +4811,7 @@ private[queries] object MediaSql {
         " CASE WHEN q.awin = 1" +
         " THEN -((32 * (1000000 - q.e) + 500000) // 1000000)" +
         " ELSE (32 * q.e + 500000) // 1000000 END AS db FROM (" +
-        "SELECT p.*, CAST(round(1000000 / (1 + pow(10," +
-        " (p.rpb - p.rpa) / 400.0)), 0) AS BIGINT) AS e FROM (" +
-        "SELECT l.m, l.pa, l.pb, l.awin, " +
-        rCols.map(c => s"rec.$c").mkString(", ") +
-        s", ${pick("rec", "l.pa")} AS rpa, ${pick("rec", "l.pb")} AS rpb" +
-        " FROM log l JOIN rec ON l.m = rec.m + 1) p) q) s"
+        withE + ") q) s"
       s"""WITH RECURSIVE $logCte,
          |rec(m, ${rCols.mkString(", ")}, pa, pb, awin, e) AS (
          |  $seed

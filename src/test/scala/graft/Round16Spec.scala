@@ -96,6 +96,30 @@ class Round16Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("expected exactly 1"))
   }
 
+  test("IntExp ELO expectation: JVM mirror == Spark rendering, near libm, monotone") {
+    import spark.implicits._
+    import graft.functions.IntExp
+    val ds = ((-5000L to 5000L by 7) ++ Seq(-5000L, -2522L, -1L, 0L, 1L,
+      399L, 400L, 2522L, 5000L)).distinct.sorted
+    // mirror == Spark-rendered step chain (the DuckDB rendering shares the
+    // step list; its equality is proven by q453's oracle gate)
+    val rendered = IntExp.sparkCols(ds.toDF("d"), "d")
+      .select(col("d"), col("e")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var prev = Long.MaxValue
+    ds.foreach { d =>
+      val e = IntExp.eloExpectE6(d)
+      assert(e === rendered(d), s"mirror != rendering at d=$d")
+      val libm = math.round(1000000.0 / (1 + math.pow(10, d / 400.0)))
+      assert(math.abs(e - libm) <= 1, s"d=$d e=$e libm=$libm")
+      assert(e <= prev, s"non-monotone at d=$d")
+      prev = e
+    }
+    assert(IntExp.eloExpectE6(0L) === 500000L)
+    assert(IntExp.eloExpectE6(-5000L) === 1000000L)
+    assert(IntExp.eloExpectE6(5000L) === 0L)
+  }
+
   test("Heaps' law fit pins beta = 1 on all-unique and beta = 0 on single-token corpora") {
     import spark.implicits._
     // 8 docs x 64 tokens, every token globally unique => V(n) = n at every
