@@ -434,6 +434,80 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // QUALITY-AWARE dedup survivor selection — q115 keeps each cluster's
+    // min-id doc (the arbitrary-but-deterministic policy every dedup demo
+    // ships); a production pipeline keeps the BEST doc: per near-dup
+    // cluster, argmax of an integer quality score (q33's stopword ratio in
+    // e6 — higher reads as more natural text), ties to min id. The report
+    // carries both policies side by side (`policy_differs`) so the gain of
+    // quality-aware selection is auditable per cluster. Shape: the q115
+    // cluster labels + one quality census + one window argmax — nothing
+    // beyond the exchanges q115 already pays.
+    QueryDef("q474_quality_survivors",
+      s"""WITH RECURSIVE ${LshPairsSql.cte},
+         |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |e AS (SELECT doc_a AS ea, doc_b AS eb FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(rv, rr) AS (
+         |  SELECT DISTINCT ea, ea FROM e
+         |  UNION
+         |  SELECT e.eb, reach.rr FROM e JOIN reach ON reach.rv = e.ea),
+         |comp AS (SELECT rv AS doc_id, min(rr) AS cluster FROM reach
+         |         GROUP BY rv),
+         |qs AS (SELECT doc_id,
+         |         len(list_filter(string_split(text, ' '),
+         |             x -> x IN ('the', 'a', 'of', 'and', 'to')))
+         |           * 1000000 // len(string_split(text, ' ')) AS q_e6
+         |       FROM documents),
+         |scored AS (SELECT COALESCE(c.cluster, d.doc_id) AS cluster,
+         |                  d.doc_id, qs.q_e6
+         |           FROM documents d
+         |           LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |           JOIN qs ON qs.doc_id = d.doc_id),
+         |r AS (SELECT cluster, doc_id, q_e6,
+         |        row_number() OVER (PARTITION BY cluster
+         |          ORDER BY q_e6 DESC, doc_id) AS rk,
+         |        CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+         |          AS n_docs,
+         |        min(doc_id) OVER (PARTITION BY cluster) AS minid_doc
+         |      FROM scored)
+         |SELECT cluster, n_docs, doc_id AS kept_doc,
+         |       CAST(q_e6 AS BIGINT) AS kept_q_e6, minid_doc,
+         |       doc_id <> minid_doc AS policy_differs
+         |FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin) { (s, d) =>
+      import graft.operators.Components
+      val docs = Tables.documents(s, d)
+      val pairs = MinHash.nearDuplicates(docs, col("doc_id"),
+          split(col("text"), " ", -1), 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val comp = Components.connectedComponents(pairs, "doc_a", "doc_b")
+      val toks = split(col("text"), " ", -1)
+      val qs = docs.select(col("doc_id"),
+          size(filter(toks, x => x.isin("the", "a", "of", "and", "to")))
+            .cast("long").as("hits"),
+          size(toks).cast("long").as("n"))
+        .select(col("doc_id"),
+          expr("hits * 1000000 div n").as("q_e6"))
+      val scored = docs.select(col("doc_id"))
+        .join(comp, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster"))
+        .join(qs, "doc_id")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("q_e6").desc, col("doc_id"))
+      val wc = Window.partitionBy("cluster")
+      scored
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_docs", count(lit(1)).over(wc))
+        .withColumn("minid_doc", min("doc_id").over(wc))
+        .where(col("rk") === 1)
+        .select(col("cluster"), col("n_docs"), col("doc_id").as("kept_doc"),
+          col("q_e6").as("kept_q_e6"), col("minid_doc"),
+          (col("doc_id") =!= col("minid_doc")).as("policy_differs"))
+        .orderBy("cluster")
+    },
+
     // q37 with the web-scale skew guard: band buckets holding more than
     // `cap` docs are dropped before the self-join (a boilerplate bucket of
     // B docs would otherwise put B²/2 candidate pairs on one reducer). The
