@@ -3753,46 +3753,46 @@ object AdvancedQueries {
     // rounds' ratings — the spec pins that ratings order consistently
     // with win rate at the top.
     QueryDef("q392_bradley_terry",
-      """WITH g AS (
+      """WITH g AS MATERIALIZED (
         |  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn,
         |         CASE WHEN l.l_discount >= 0.05 THEN 1 ELSE 0 END AS cw
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |  JOIN customer c ON o.o_custkey = c.c_custkey
         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |  WHERE c.c_nationkey <> s.s_nationkey),
-        |pc AS (SELECT least(cn, sn) AS i, greatest(cn, sn) AS j,
+        |pc AS MATERIALIZED (SELECT least(cn, sn) AS i, greatest(cn, sn) AS j,
         |         CAST(count(*) AS BIGINT) AS n,
         |         CAST(sum(CASE WHEN (cn < sn AND cw = 1)
         |                         OR (cn > sn AND cw = 0)
         |                  THEN 1 ELSE 0 END) AS BIGINT) AS wi
         |       FROM g GROUP BY 1, 2),
-        |e AS (SELECT i AS a, j AS b, n, wi AS w FROM pc
+        |e AS MATERIALIZED (SELECT i AS a, j AS b, n, wi AS w FROM pc
         |      UNION ALL SELECT j, i, n, n - wi FROM pc),
-        |wt AS (SELECT a, CAST(sum(w) AS BIGINT) AS wins,
+        |wt AS MATERIALIZED (SELECT a, CAST(sum(w) AS BIGINT) AS wins,
         |         CAST(sum(n) AS BIGINT) AS games
         |       FROM e GROUP BY a),
-        |r0 AS (SELECT a, CAST(1000000 AS BIGINT) AS r FROM wt),
-        |d1 AS (SELECT e.a,
+        |r0 AS MATERIALIZED (SELECT a, CAST(1000000 AS BIGINT) AS r FROM wt),
+        |d1 AS MATERIALIZED (SELECT e.a,
         |         CAST(sum(e.n * 1000000000000 // (ra.r + rb.r)) AS BIGINT)
         |           AS den
         |       FROM e JOIN r0 ra ON ra.a = e.a JOIN r0 rb ON rb.a = e.b
         |       GROUP BY e.a),
-        |u1 AS (SELECT wt.a, wt.wins * 1000000000000 // d1.den AS r
+        |u1 AS MATERIALIZED (SELECT wt.a, wt.wins * 1000000000000 // d1.den AS r
         |       FROM wt JOIN d1 ON d1.a = wt.a),
-        |s1 AS (SELECT CAST(sum(r) AS BIGINT) AS t,
+        |s1 AS MATERIALIZED (SELECT CAST(sum(r) AS BIGINT) AS t,
         |              CAST(count(*) AS BIGINT) AS k FROM u1),
-        |r1 AS (SELECT a, CAST(r * k * 1000000 // t AS BIGINT) AS r
+        |r1 AS MATERIALIZED (SELECT a, CAST(r * k * 1000000 // t AS BIGINT) AS r
         |       FROM u1, s1),
-        |d2 AS (SELECT e.a,
+        |d2 AS MATERIALIZED (SELECT e.a,
         |         CAST(sum(e.n * 1000000000000 // (ra.r + rb.r)) AS BIGINT)
         |           AS den
         |       FROM e JOIN r1 ra ON ra.a = e.a JOIN r1 rb ON rb.a = e.b
         |       GROUP BY e.a),
-        |u2 AS (SELECT wt.a, wt.wins * 1000000000000 // d2.den AS r
+        |u2 AS MATERIALIZED (SELECT wt.a, wt.wins * 1000000000000 // d2.den AS r
         |       FROM wt JOIN d2 ON d2.a = wt.a),
-        |s2 AS (SELECT CAST(sum(r) AS BIGINT) AS t,
+        |s2 AS MATERIALIZED (SELECT CAST(sum(r) AS BIGINT) AS t,
         |              CAST(count(*) AS BIGINT) AS k FROM u2),
-        |r2 AS (SELECT a, CAST(r * k * 1000000 // t AS BIGINT) AS r
+        |r2 AS MATERIALIZED (SELECT a, CAST(r * k * 1000000 // t AS BIGINT) AS r
         |       FROM u2, s2)
         |SELECT wt.a AS nation_id, wt.wins, wt.games,
         |       r1.r AS r1_e6, r2.r AS r2_e6
