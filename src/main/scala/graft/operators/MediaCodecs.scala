@@ -764,6 +764,9 @@ object MediaCodecs {
     while (sosAt < 0) {
       require(pos + 4 <= bytes.length, "JPEG: truncated segment stream")
       require((bytes(pos) & 0xff) == 0xff, s"JPEG: expected marker at $pos")
+      // T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+      while (pos + 4 <= bytes.length && (bytes(pos + 1) & 0xff) == 0xff)
+        pos += 1
       val m = bytes(pos + 1) & 0xff
       val len = u16(pos + 2)
       val body = pos + 4

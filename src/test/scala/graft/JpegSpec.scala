@@ -155,6 +155,22 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("0xFF fill bytes before header markers are skipped (T.81 B.1.1.2)") {
+    val bw = new BitWriter
+    putDc(bw, 42)
+    bw.put(acCodes(0x00)._1, acCodes(0x00)._2)
+    bw.pad()
+    val hdr = grayHeader(8, 8)
+    // inject two fill bytes before the SOF0 marker
+    val at = hdr.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    val filled = hdr.take(at) ++ Array(0xff.toByte, 0xff.toByte) ++ hdr.drop(at)
+    val jpg = filled ++ bw.out ++ Array(0xff.toByte, 0xd9.toByte)
+    val img = MediaCodecs.decodeJpeg(jpg)
+    val want = directIdct { val f = new Array[Int](64); f(0) = 42 * quant(0); f }
+    for (p <- 0 until 64)
+      assert((img.pixels(p * 3) & 0xff) === want(p))
+  }
+
   test("progressive and 16-bit-DQT streams are rejected loudly") {
     val prog = grayHeader(8, 8)
     prog(prog.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte)) + 1) = 0xc2.toByte
