@@ -36,12 +36,12 @@ object IntExp {
 
   private val E12 = "1000000000000"
 
-  /** The shared step list over an input column `d` (BIGINT). Rendered per
-    * engine via big-cast, shift, and integer-division spellings. The final
-    * step is named `e`.
+  /** The shared exp core over an `iex_x` column (e12, ≥ 0): split off the
+    * 2^k part, Taylor on the remainder, E = exp(x)·1e12 as `iex_e2`, and
+    * the rounding denominator `iex_den` = 1e12 + E.
     */
-  private def steps(d: String, big: String => String, shl: String => String,
-                    idiv: String): Seq[(String, String)] = {
+  private def core(big: String => String, shl: String => String,
+                   idiv: String): Seq[(String, String)] = {
     // t1 = r exactly (1e12·r // 1e12 // 1), so the chain starts from iex_r
     val taylor = (2 to 17).map { n =>
       val prev = if (n == 2) "iex_r" else s"iex_t${n - 1}"
@@ -50,21 +50,48 @@ object IntExp {
     val sum = "1000000000000 + iex_r + " +
       (2 to 17).map(n => s"iex_t$n").mkString(" + ")
     Seq(
-      "iex_d" -> s"($d)",
-      "iex_y" -> "least(4000, abs(iex_d))",
-      s"iex_x" -> s"(iex_y * $Ln10E12 $idiv 400)",
       "iex_k" -> s"(iex_x $idiv ${IntLn.Ln2E12})",
       "iex_r" -> s"(iex_x - iex_k * ${IntLn.Ln2E12})") ++
       taylor ++ Seq(
       "iex_s" -> s"($sum)",
       "iex_e2" -> s"(${big("iex_s")} * ${shl("iex_k")})",
-      "iex_den" -> s"(${big(E12)} + iex_e2)",
+      "iex_den" -> s"(${big(E12)} + iex_e2)")
+  }
+
+  /** ELO step list over an input column `d` (BIGINT rating diff); the
+    * final step is named `e`.
+    */
+  private def steps(d: String, big: String => String, shl: String => String,
+                    idiv: String): Seq[(String, String)] =
+    Seq(
+      "iex_d" -> s"($d)",
+      "iex_y" -> "least(4000, abs(iex_d))",
+      "iex_x" -> s"(iex_y * $Ln10E12 $idiv 400)") ++
+      core(big, shl, idiv) ++ Seq(
       "e" -> (s"(CASE WHEN iex_d >= 0" +
         s" THEN (2 * ${big("1000000000000000000")} + iex_den)" +
         s" $idiv (2 * iex_den)" +
         s" ELSE (2 * (1000000 * iex_e2) + iex_den)" +
         s" $idiv (2 * iex_den) END)"))
-  }
+
+  /** Sigmoid step list over an input column `z` (e12 natural-log units):
+    * p_e6 = round(1e6·σ(z)). y clamps at 16e12 — exact, since σ already
+    * rounds to 0 / 1e6 past |z| = 14.51. Sign branch is the ELO one
+    * flipped (σ(z) = 1 − elo-e of the same magnitude).
+    */
+  private def sigmoidSteps(z: String, big: String => String,
+                           shl: String => String,
+                           idiv: String): Seq[(String, String)] =
+    Seq(
+      "iex_d" -> s"($z)",
+      "iex_y" -> "least(16000000000000, abs(iex_d))",
+      "iex_x" -> "iex_y") ++
+      core(big, shl, idiv) ++ Seq(
+      "p_e6" -> (s"(CASE WHEN iex_d >= 0" +
+        s" THEN (2 * (1000000 * iex_e2) + iex_den)" +
+        s" $idiv (2 * iex_den)" +
+        s" ELSE (2 * ${big("1000000000000000000")} + iex_den)" +
+        s" $idiv (2 * iex_den) END)"))
 
   /** DuckDB: wrap `inner` (a SELECT carrying every needed column) in nested
     * SELECTs; the outermost adds BIGINT column `e` (helpers carry along —
@@ -91,6 +118,56 @@ object IntExp {
       .foldLeft(df) { case (acc, (name, e)) =>
         acc.withColumn(name, expr(if (name == "e") s"cast($e as bigint)" else e))
       }
+
+  /** DuckDB sigmoid: wrap `inner` (carrying an e12 column expression `z`)
+    * in nested SELECTs; the outermost adds BIGINT column `p_e6`.
+    */
+  def duckSigmoidE6(inner: String, z: String): String = {
+    val chain = sigmoidSteps(z,
+      big = x => s"CAST($x AS HUGEINT)",
+      shl = _ => s"(CAST(1 AS BIGINT) << CAST(iex_k AS INTEGER))",
+      idiv = "//")
+    val nested = chain.dropRight(1).foldLeft(inner) {
+      case (acc, (name, e)) => s"SELECT *, $e AS $name FROM ($acc)"
+    }
+    val (_, pExpr) = chain.last
+    s"SELECT *, CAST($pExpr AS BIGINT) AS p_e6 FROM ($nested)"
+  }
+
+  /** Spark sigmoid: add the step columns (final BIGINT `p_e6`) over an
+    * e12 input column expression `z`.
+    */
+  def sparkSigmoidCols(df: DataFrame, z: String): DataFrame =
+    sigmoidSteps(z,
+      big = x => s"cast($x as decimal(38,0))",
+      shl = _ => "cast(shiftleft(cast(1 as bigint), cast(iex_k as int)) as decimal(38,0))",
+      idiv = "div")
+      .foldLeft(df) { case (acc, (name, e)) =>
+        acc.withColumn(name,
+          expr(if (name == "p_e6") s"cast($e as bigint)" else e))
+      }
+
+  /** JVM sigmoid mirror — same steps over BigInt. */
+  def sigmoidE6(zE12: Long): Long = {
+    val y = math.min(16000000000000L, math.abs(zE12))
+    val k = (y / IntLn.Ln2E12).toInt
+    val r = y - k.toLong * IntLn.Ln2E12
+    val e12 = BigInt(1000000000000L)
+    var t = BigInt(r)
+    var s = e12 + t
+    var n = 2
+    while (n <= 17) {
+      t = t * r / e12 / n
+      s += t
+      n += 1
+    }
+    val bigE = s * (BigInt(1) << k)
+    val den = e12 + bigE
+    val p =
+      if (zE12 >= 0) (2 * (BigInt(1000000L) * bigE) + den) / (2 * den)
+      else (2 * BigInt("1000000000000000000") + den) / (2 * den)
+    p.toLong
+  }
 
   /** The JVM mirror — the exact same steps over BigInt; the q453 fold's
     * per-match expectation. Bit-identical to the SQL renderings by shared

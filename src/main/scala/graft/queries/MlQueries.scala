@@ -3772,17 +3772,19 @@ object MlQueries {
     // say (a 0.7 bucket should convert at 70 %): q20's sigmoid scores
     // over lineitem, label = returnflag R, 10 equal score bins; per bin
     // the mean claimed probability vs the realized rate, and ECE = the
-    // n-weighted mean |gap| as one constant column. The sigmoid is e6-
-    // quantized ONCE per row (the q327 transcendental discipline), so
-    // every downstream number is exact integer arithmetic. Scale: one
-    // scored projection + a ≤10-row census.
-    QueryDef("q445_reliability_diagram",
-      """WITH sc AS (
-        |  SELECT CAST(round(1 / (1 + exp(-(-2.0 + l_discount * 10 * 4.0
-        |           + l_quantity / 50.0 * 1.0))) * 1000000, 0) AS BIGINT)
-        |           AS p_e6,
-        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
-        |  FROM lineitem),
+    // n-weighted mean |gap| as one constant column. ULP-HARDENED
+    // (round 12, with q20): z quantized once to e12, sigmoid as IntExp's
+    // integer step chain — no libm in the comparison path; every
+    // downstream number is exact integer arithmetic. Scale: one scored
+    // projection + a ≤10-row census.
+    QueryDef("q445_reliability_diagram", {
+      val zSql = "CAST(round((-2.0 + l_discount * 10 * 4.0" +
+        " + l_quantity / 50.0 * 1.0) * 1000000000000) AS BIGINT)"
+      val scInner = graft.functions.IntExp.duckSigmoidE6(
+        s"""SELECT $zSql AS z,
+           |       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           |FROM lineitem""".stripMargin, "z")
+      s"""WITH sc AS (SELECT p_e6, y FROM ($scInner)),
         |b AS (SELECT p_e6 * 10 // 1000001 AS bin, p_e6, y FROM sc),
         |cen AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
         |               CAST(sum(p_e6) AS BIGINT) // count(*) AS mean_p_e6,
@@ -3794,12 +3796,14 @@ object MlQueries {
         |ece AS (SELECT CAST(sum(n * gap_e6) AS BIGINT)
         |          // CAST(sum(n) AS BIGINT) AS ece_e6 FROM g)
         |SELECT bin, n, mean_p_e6, rate_e6, gap_e6, ece.ece_e6
-        |FROM g CROSS JOIN ece ORDER BY bin""".stripMargin) { (s, d) =>
-      val sc = Tables.lineitem(s, d).select(
-        expr("cast(round(1 / (1 + exp(-(-2.0 + l_discount * 10 * 4.0" +
-          " + l_quantity / 50.0 * 1.0))) * 1000000, 0) as bigint)")
-          .as("p_e6"),
+        |FROM g CROSS JOIN ece ORDER BY bin""".stripMargin
+    }) { (s, d) =>
+      val base = Tables.lineitem(s, d).select(
+        round(expr("-2.0 + l_discount * 10 * 4.0 + l_quantity / 50.0 * 1.0")
+          * 1000000000000L, 0).cast("long").as("z"),
         when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      val sc = graft.functions.IntExp.sparkSigmoidCols(base, "z")
+        .select(col("p_e6"), col("y"))
       val g = sc.withColumn("bin", expr("p_e6 * 10 div 1000001"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n"),

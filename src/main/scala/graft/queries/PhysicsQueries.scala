@@ -63,15 +63,27 @@ object PhysicsQueries {
 
     // SURVEY §2 rows 28,45: logistic head as a pure expression —
     // sigmoid over a literal-folded linear score (train_classification.py:282).
-    QueryDef("q20_sigmoid_score",
-      """SELECT l_orderkey, l_linenumber,
-        |       round(1 / (1 + exp(-(-2.0 + l_discount * 10 * 4.0 + l_quantity / 50.0 * 1.0))), 6) AS p
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    // ULP-HARDENED (round 12): the linear score z is pure IEEE float
+    // arithmetic (bit-identical on both engines), quantized ONCE to e12,
+    // and the sigmoid runs as IntExp's integer step chain — no libm exp in
+    // the comparison path; p is the e6 grid value as a double.
+    QueryDef("q20_sigmoid_score", {
+      val zSql = "CAST(round((-2.0 + l_discount * 10 * 4.0" +
+        " + l_quantity / 50.0 * 1.0) * 1000000000000) AS BIGINT)"
+      val inner = graft.functions.IntExp.duckSigmoidE6(
+        s"SELECT l_orderkey, l_linenumber, $zSql AS z FROM lineitem", "z")
+      s"""SELECT l_orderkey, l_linenumber,
+         |       CAST(p_e6 AS DOUBLE) / 1000000 AS p
+         |FROM ($inner) ORDER BY l_orderkey, l_linenumber""".stripMargin
+    }) { (s, d) =>
       val z = Physics.linearScore(-2.0,
         Seq(col("l_discount") * 10 -> 4.0, col("l_quantity") / 50.0 -> 1.0))
-      Tables.lineitem(s, d)
+      val base = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(Physics.sigmoid(z), 6).as("p"))
+          round(z * 1000000000000L, 0).cast("long").as("z"))
+      graft.functions.IntExp.sparkSigmoidCols(base, "z")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("p_e6").cast("double") / 1000000).as("p"))
         .orderBy("l_orderkey", "l_linenumber")
     },
 

@@ -120,6 +120,28 @@ class Round16Spec extends AnyFunSuite {
     assert(IntExp.eloExpectE6(5000L) === 0L)
   }
 
+  test("IntExp sigmoid: mirror == Spark rendering, near libm, saturating, symmetric") {
+    import spark.implicits._
+    import graft.functions.IntExp
+    val zs = ((-20000000000000L to 20000000000000L by 371000000001L) ++
+      Seq(0L, 1L, -1L, 16000000000000L, -16000000000000L,
+        14510000000000L, 2500000000000L)).distinct.sorted
+    val rendered = IntExp.sparkSigmoidCols(zs.toDF("z"), "z")
+      .select(col("z"), col("p_e6")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    zs.foreach { z =>
+      val p = IntExp.sigmoidE6(z)
+      assert(p === rendered(z), s"mirror != rendering at z=$z")
+      val libm = math.round(1000000.0 / (1 + math.exp(-z / 1e12)))
+      assert(math.abs(p - libm) <= 1, s"z=$z p=$p libm=$libm")
+      // symmetry: sigma(z) + sigma(-z) = 1e6 on the shared |z| chain
+      assert(p + IntExp.sigmoidE6(-z) === 1000000L, s"asymmetric at z=$z")
+    }
+    assert(IntExp.sigmoidE6(0L) === 500000L)
+    assert(IntExp.sigmoidE6(20000000000000L) === 1000000L)
+    assert(IntExp.sigmoidE6(-20000000000000L) === 0L)
+  }
+
   test("Heaps' law fit pins beta = 1 on all-unique and beta = 0 on single-token corpora") {
     import spark.implicits._
     // 8 docs x 64 tokens, every token globally unique => V(n) = n at every
