@@ -147,6 +147,63 @@ object IntExp {
           expr(if (name == "p_e6") s"cast($e as bigint)" else e))
       }
 
+  /** Half-life decay step list over an input column `age` (non-negative
+    * integer time units) with half-life `hl` in the same units:
+    * w_e6 = round(1e6·2^(−age/hl)) = round(1e6·e^(−age·ln2/hl)). Fully
+    * integer end to end — the age is integral, so not even the z
+    * quantization of the sigmoid path is needed. x clamps at 16e12
+    * (exact: the weight already rounds to 0 past x = 14.51).
+    */
+  private def decaySteps(age: String, hl: Long, big: String => String,
+                         shl: String => String,
+                         idiv: String): Seq[(String, String)] =
+    Seq(
+      "iex_xw" -> s"(${big(s"($age)")} * ${IntLn.Ln2E12} $idiv $hl)",
+      "iex_x" -> ("(CASE WHEN iex_xw >= 16000000000000" +
+        " THEN 16000000000000 ELSE iex_xw END)")) ++
+      core(big, shl, idiv) ++ Seq(
+      "w_e6" -> (s"((2 * ${big("1000000000000000000")} + iex_e2)" +
+        s" $idiv (2 * iex_e2))"))
+
+  /** DuckDB decay rendering (outermost column: BIGINT `w_e6`). */
+  def duckDecayE6(inner: String, age: String, hl: Long): String = {
+    val chain = decaySteps(age, hl,
+      big = x => s"CAST($x AS HUGEINT)",
+      shl = _ => s"(CAST(1 AS BIGINT) << CAST(iex_k AS INTEGER))",
+      idiv = "//")
+    val nested = chain.dropRight(1).foldLeft(inner) {
+      case (acc, (name, e)) => s"SELECT *, $e AS $name FROM ($acc)"
+    }
+    s"SELECT *, CAST(${chain.last._2} AS BIGINT) AS w_e6 FROM ($nested)"
+  }
+
+  /** Spark decay rendering. */
+  def sparkDecayCols(df: DataFrame, age: String, hl: Long): DataFrame =
+    decaySteps(age, hl,
+      big = x => s"cast($x as decimal(38,0))",
+      shl = _ => "cast(shiftleft(cast(1 as bigint), cast(iex_k as int)) as decimal(38,0))",
+      idiv = "div")
+      .foldLeft(df) { case (acc, (name, e)) =>
+        acc.withColumn(name,
+          expr(if (name == "w_e6") s"cast($e as bigint)" else e))
+      }
+
+  /** JVM decay mirror. */
+  def decayE6(age: Long, hl: Long): Long = {
+    require(age >= 0 && hl > 0)
+    val xw = BigInt(age) * IntLn.Ln2E12 / hl
+    val x = if (xw >= 16000000000000L) 16000000000000L else xw.toLong
+    val k = (x / IntLn.Ln2E12).toInt
+    val r = x - k.toLong * IntLn.Ln2E12
+    val e12 = BigInt(1000000000000L)
+    var t = BigInt(r)
+    var s = e12 + t
+    var n = 2
+    while (n <= 17) { t = t * r / e12 / n; s += t; n += 1 }
+    val bigE = s * (BigInt(1) << k)
+    ((2 * BigInt("1000000000000000000") + bigE) / (2 * bigE)).toLong
+  }
+
   /** JVM sigmoid mirror — same steps over BigInt. */
   def sigmoidE6(zE12: Long): Long = {
     val y = math.min(16000000000000L, math.abs(zE12))

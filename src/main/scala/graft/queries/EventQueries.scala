@@ -4829,20 +4829,20 @@ object EventQueries {
     // outrank steady drip from last month): each event contributes
     // 2^(−age/half-life) with a 1-day half-life, anchored at the
     // corpus's own max timestamp (a 1-row census, so the query is
-    // replayable — wall clock never enters). Transcendental contract:
-    // the decay weight is ONE double chain per row — exp(−age_days·ln2)
-    // with ln 2 as a shared literal, e6-quantized BEFORE the sum — so
-    // the cross-row reduction is pure integer. Output carries both the
-    // raw and decayed rankings; their divergence is the recency signal.
-    // Scale: one max census + one groupBy — nothing new moves at 100 TB.
-    QueryDef("q388_decayed_counts",
-      """WITH mx AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS tmax
+    // replayable — wall clock never enters). ULP-HARDENED (round 12):
+    // the age is an integer µs difference, so the decay weight runs as
+    // IntExp's FULLY integer step chain — no float anywhere, no libm —
+    // e6-quantized before the sum; the cross-row reduction is pure
+    // integer. Output carries both the raw and decayed rankings; their
+    // divergence is the recency signal. Scale: one max census + one
+    // groupBy — nothing new moves at 100 TB.
+    QueryDef("q388_decayed_counts", {
+      val wInner = graft.functions.IntExp.duckDecayE6(
+        """SELECT event_type, tmax - epoch_us(ts) AS age_us
+          |FROM events, mx""".stripMargin, "age_us", 86400000000L)
+      s"""WITH mx AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS tmax
         |            FROM events),
-        |w AS (SELECT event_type,
-        |        CAST(round(exp(-(CAST(tmax - epoch_us(ts) AS DOUBLE)
-        |          / 86400000000.0) * 0.6931471805599453) * 1000000, 0)
-        |          AS BIGINT) AS w_e6
-        |      FROM events, mx),
+        |w AS (SELECT event_type, w_e6 FROM ($wInner)),
         |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_raw,
         |        CAST(sum(w_e6) AS BIGINT) AS decayed_e6
         |      FROM w GROUP BY event_type)
@@ -4852,17 +4852,17 @@ object EventQueries {
         |         AS BIGINT) AS rank_raw,
         |       CAST(row_number() OVER (ORDER BY decayed_e6 DESC, event_type)
         |         AS BIGINT) AS rank_decayed
-        |FROM g ORDER BY event_type""".stripMargin) { (s, d) =>
+        |FROM g ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val mx = Tables.events(s, d)
         .agg(max(expr("unix_micros(ts)")).as("tmax"))
-      val w = Tables.events(s, d).crossJoin(broadcast(mx))
+      val aged = Tables.events(s, d).crossJoin(broadcast(mx))
         .select(col("event_type"),
-          // IEEE-identical to the oracle's -(age/day)·ln2: negating the
-          // constant vs the operand is exact in floating point
-          round(exp((col("tmax") - expr("unix_micros(ts)")).cast("double")
-            / 86400000000.0 * -0.6931471805599453) * 1000000, 0)
-            .cast("long").as("w_e6"))
+          (col("tmax") - expr("unix_micros(ts)")).as("age_us"))
+      val w = graft.functions.IntExp
+        .sparkDecayCols(aged, "age_us", 86400000000L)
+        .select(col("event_type"), col("w_e6"))
       val g = w.groupBy("event_type")
         .agg(count(lit(1)).as("n_raw"), sum("w_e6").as("decayed_e6"))
       g.select(col("event_type"), col("n_raw"), col("decayed_e6"),

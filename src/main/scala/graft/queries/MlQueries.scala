@@ -17,6 +17,33 @@ object MlQueries {
     */
   private[graft] def btOracleForTest: String = MediaSql.BtSql.sql
 
+  /** The q217-family embedding logistic score, libm-free (round 12): the
+    * linear z is pure IEEE float arithmetic (bit-identical across
+    * engines), quantized ONCE at e12, and the sigmoid runs as IntExp's
+    * integer step chain. Shared by q217/q218/q250/q311/q340/q346.
+    */
+  private val EmbZSql: String =
+    "CAST(round((-0.2 + CAST(embedding[1] AS DOUBLE) * 1.5" +
+      " - CAST(embedding[2] AS DOUBLE) * 0.8" +
+      " + CAST(embedding[3] AS DOUBLE) * 0.5" +
+      " - CAST(embedding[4] AS DOUBLE) * 1.1) * 1000000000000) AS BIGINT)"
+
+  /** Oracle side: nested selects producing `extra` columns + `p_e6`. */
+  private def embSigSql(extra: String): String =
+    graft.functions.IntExp.duckSigmoidE6(
+      s"SELECT $extra, $EmbZSql AS z FROM embeddings", "z")
+
+  /** Engine side: the embeddings relation + `p_e6` (helper columns ride
+    * along; callers project).
+    */
+  private def embSigmoid(s: SparkSession, d: String): DataFrame = {
+    def e(i: Int) = element_at(col("embedding"), i).cast("double")
+    val z = lit(-0.2) + e(1) * 1.5 - e(2) * 0.8 + e(3) * 0.5 - e(4) * 1.1
+    graft.functions.IntExp.sparkSigmoidCols(
+      Tables.embeddings(s, d)
+        .withColumn("z", round(z * 1000000000000L, 0).cast("long")), "z")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // SURVEY §2 rows 34,39 + §4 custom #1: single-pass per-dimension Welford
@@ -568,30 +595,22 @@ object MlQueries {
     // to the 1e-6 grid BEFORE binning so bin edges are decided on identical
     // doubles; rates and mean scores are exact integer ppm / 1e-6 units.
     // One census aggregate — model evaluation at 100 TB costs one scan.
-    QueryDef("q217_calibration_bins",
-      """WITH s AS (
-        |  SELECT CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos,
-        |         round(1 / (1 + exp(-(-0.2
-        |           + CAST(embedding[1] AS DOUBLE) * 1.5
-        |           - CAST(embedding[2] AS DOUBLE) * 0.8
-        |           + CAST(embedding[3] AS DOUBLE) * 0.5
-        |           - CAST(embedding[4] AS DOUBLE) * 1.1))), 6) AS p
-        |  FROM embeddings),
-        |b AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, pos,
-        |             CAST(round(p * 1000000, 0) AS BIGINT) AS p_e6 FROM s)
+    QueryDef("q217_calibration_bins", {
+      val sc = embSigSql("CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos")
+      s"""WITH s AS (SELECT pos, p_e6 FROM ($sc)),
+        |b AS (SELECT least(p_e6 * 10 // 1000000, 9) AS bin, pos, p_e6
+        |      FROM s)
         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(pos) AS BIGINT) AS n_pos,
         |       CAST(sum(pos) * 1000000 // count(*) AS BIGINT) AS rate_ppm,
         |       CAST(sum(p_e6) // count(*) AS BIGINT) AS avg_score_e6
-        |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
-      def e(i: Int) = element_at(col("embedding"), i).cast("double")
-      val z = lit(-0.2) + e(1) * 1.5 - e(2) * 0.8 + e(3) * 0.5 - e(4) * 1.1
-      val p = round(lit(1) / (lit(1) + exp(-z)), 6)
-      Tables.embeddings(s, d)
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+    }) { (s, d) =>
+      embSigmoid(s, d)
         .select(when(col("label") % 2 === 0, 1L).otherwise(0L).as("pos"),
-          p.as("p"))
-        .select(least(floor(col("p") * 10), lit(9L)).cast("long").as("bin"),
-          col("pos"), round(col("p") * 1000000, 0).cast("long").as("p_e6"))
+          col("p_e6"))
+        .select(least(expr("p_e6 * 10 div 1000000"), lit(9L)).cast("long")
+          .as("bin"), col("pos"), col("p_e6"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
           expr("sum(pos) * 1000000 div count(*)").as("rate_ppm"),
@@ -609,16 +628,9 @@ object MlQueries {
     // discipline), after one map-side-combined score census; AUC lands as
     // integer ppm of 2·n_pos·n_neg. Model evaluation at 100 TB = one
     // census + a grid-bounded window.
-    QueryDef("q218_auc",
-      """WITH s AS (
-        |  SELECT CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos,
-        |         CAST(round(1 / (1 + exp(-(-0.2
-        |           + CAST(embedding[1] AS DOUBLE) * 1.5
-        |           - CAST(embedding[2] AS DOUBLE) * 0.8
-        |           + CAST(embedding[3] AS DOUBLE) * 0.5
-        |           - CAST(embedding[4] AS DOUBLE) * 1.1))) * 1000000, 0)
-        |           AS BIGINT) AS p_e6
-        |  FROM embeddings),
+    QueryDef("q218_auc", {
+      val sc = embSigSql("CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos")
+      s"""WITH s AS (SELECT pos, p_e6 FROM ($sc)),
         |c AS (SELECT p_e6, CAST(sum(pos) AS BIGINT) AS np_s,
         |             CAST(count(*) - sum(pos) AS BIGINT) AS nn_s
         |      FROM s GROUP BY p_e6),
@@ -633,13 +645,11 @@ object MlQueries {
         |      FROM w)
         |SELECT np AS n_pos, nn AS n_neg, u2,
         |       CAST(u2 * 1000000 // (2 * np * nn) AS BIGINT) AS auc_ppm
-        |FROM t""".stripMargin) { (s, d) =>
-      def e(i: Int) = element_at(col("embedding"), i).cast("double")
-      val z = lit(-0.2) + e(1) * 1.5 - e(2) * 0.8 + e(3) * 0.5 - e(4) * 1.1
-      val sRel = Tables.embeddings(s, d)
+        |FROM t""".stripMargin
+    }) { (s, d) =>
+      val sRel = embSigmoid(s, d)
         .select(when(col("label") % 2 === 0, 1L).otherwise(0L).as("pos"),
-          round((lit(1) / (lit(1) + exp(-z))) * 1000000, 0).cast("long")
-            .as("p_e6"))
+          col("p_e6"))
       val c = sRel.groupBy("p_e6")
         .agg(sum("pos").as("np_s"),
           (count(lit(1)) - sum("pos")).as("nn_s"))
@@ -724,17 +734,10 @@ object MlQueries {
     // q218's literal sigmoid and parity label, so the three eval query
     // families (AUC / calibration / lift) grade the SAME model. Exact
     // integer ppm throughout; the cumulative window runs over ten rows.
-    QueryDef("q250_decile_lift",
-      """WITH s AS (
-        |  SELECT vec_id,
-        |         CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos,
-        |         CAST(round(1 / (1 + exp(-(-0.2
-        |           + CAST(embedding[1] AS DOUBLE) * 1.5
-        |           - CAST(embedding[2] AS DOUBLE) * 0.8
-        |           + CAST(embedding[3] AS DOUBLE) * 0.5
-        |           - CAST(embedding[4] AS DOUBLE) * 1.1))) * 1000000, 0)
-        |           AS BIGINT) AS p_e6
-        |  FROM embeddings),
+    QueryDef("q250_decile_lift", {
+      val sc = embSigSql(
+        "vec_id, CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos")
+      s"""WITH s AS (SELECT vec_id, pos, p_e6 FROM ($sc)),
         |t AS (SELECT count(*) AS n, CAST(sum(pos) AS BIGINT) AS np FROM s),
         |r AS (SELECT pos,
         |        row_number() OVER (ORDER BY p_e6 DESC, vec_id) - 1 AS rk
@@ -751,16 +754,14 @@ object MlQueries {
         |       CAST(n_pos * 1000000 // n_rows AS BIGINT) AS pos_rate_ppm,
         |       CAST(cum_pos * t.n * 1000000 // (cum_n * t.np) AS BIGINT)
         |         AS cum_lift_ppm
-        |FROM c, t ORDER BY decile""".stripMargin) { (s, d) =>
+        |FROM c, t ORDER BY decile""".stripMargin
+    }) { (s, d) =>
       import graft.operators.GlobalRank
       import org.apache.spark.sql.expressions.Window
-      def e(i: Int) = element_at(col("embedding"), i).cast("double")
-      val z = lit(-0.2) + e(1) * 1.5 - e(2) * 0.8 + e(3) * 0.5 - e(4) * 1.1
-      val sRel = Tables.embeddings(s, d)
+      val sRel = embSigmoid(s, d)
         .select(col("vec_id"),
           when(col("label") % 2 === 0, 1L).otherwise(0L).as("pos"),
-          round((lit(1) / (lit(1) + exp(-z))) * 1000000, 0).cast("long")
-            .as("p_e6"))
+          col("p_e6"))
       val t = sRel.agg(count(lit(1)).as("n"), sum("pos").as("np"))
       val ranked = GlobalRank.zipWithRank(sRel,
         Seq(col("p_e6").desc, col("vec_id")), numPartitions = 8, idName = "rk")
@@ -1021,17 +1022,11 @@ object MlQueries {
     // without any mid-chain rounding; fitted values round to 1e-6 at the
     // END. Output is the per-bin calibration map; its monotonicity is
     // the isotonic guarantee.
-    QueryDef("q311_isotonic",
-      """WITH s AS (
-        |  SELECT CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos,
-        |         round(1 / (1 + exp(-(-0.2
-        |           + CAST(embedding[1] AS DOUBLE) * 1.5
-        |           - CAST(embedding[2] AS DOUBLE) * 0.8
-        |           + CAST(embedding[3] AS DOUBLE) * 0.5
-        |           - CAST(embedding[4] AS DOUBLE) * 1.1))), 6) AS p
-        |  FROM embeddings),
+    QueryDef("q311_isotonic", {
+      val scq = embSigSql("CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos")
+      s"""WITH s AS (SELECT pos, p_e6 FROM ($scq)),
         |census AS (
-        |  SELECT CAST(round(p * 100, 0) AS BIGINT) AS sc,
+        |  SELECT (p_e6 + 5000) // 10000 AS sc,
         |         CAST(count(*) AS BIGINT) AS n,
         |         CAST(sum(pos) AS BIGINT) AS sy
         |  FROM s GROUP BY 1),
@@ -1055,15 +1050,13 @@ object MlQueries {
         |       CAST(c.sy * 1000000 // c.n AS BIGINT) AS rate_ppm,
         |       CAST(round(f.f * 1000000, 0) AS BIGINT) AS fitted_e6
         |FROM census c JOIN fit f ON f.sc = c.sc
-        |ORDER BY c.sc""".stripMargin) { (s, d) =>
+        |ORDER BY c.sc""".stripMargin
+    }) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      def e(i: Int) = element_at(col("embedding"), i).cast("double")
-      val z = lit(-0.2) + e(1) * 1.5 - e(2) * 0.8 + e(3) * 0.5 - e(4) * 1.1
-      val p = round(lit(1) / (lit(1) + exp(-z)), 6)
-      val census = Tables.embeddings(s, d)
+      val census = embSigmoid(s, d)
         .select(when(col("label") % 2 === 0, 1L).otherwise(0L).as("pos"),
-          p.as("p"))
-        .groupBy(round(col("p") * 100, 0).cast("long").as("sc"))
+          col("p_e6"))
+        .groupBy(expr("(p_e6 + 5000) div 10000").as("sc"))
         .agg(count(lit(1)).as("n"), sum("pos").as("sy"))
         .persist() // grid sides + final join share the census
       val cw = Window.orderBy("sc")
@@ -1700,19 +1693,11 @@ object MlQueries {
     // window runs over the census partitioned by fold). The cross-fold
     // max−min spread rides on every row; all arithmetic is exact integer
     // ppm.
-    QueryDef("q340_cv_auc",
-      s"""WITH s AS (
-         |  SELECT vec_id,
-         |         (${graft.functions.Hashes.mulHashSql("vec_id", 37)}) % 5
-         |           AS fold,
-         |         CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos,
-         |         CAST(round(1 / (1 + exp(-(-0.2
-         |           + CAST(embedding[1] AS DOUBLE) * 1.5
-         |           - CAST(embedding[2] AS DOUBLE) * 0.8
-         |           + CAST(embedding[3] AS DOUBLE) * 0.5
-         |           - CAST(embedding[4] AS DOUBLE) * 1.1))) * 1000000, 0)
-         |           AS BIGINT) AS p_e6
-         |  FROM embeddings),
+    QueryDef("q340_cv_auc", {
+      val sc = embSigSql(
+        s"(${graft.functions.Hashes.mulHashSql("vec_id", 37)}) % 5 AS fold," +
+          " CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos")
+      s"""WITH s AS (SELECT fold, pos, p_e6 FROM ($sc)),
          |census AS (
          |  SELECT fold, p_e6, CAST(count(*) AS BIGINT) AS n,
          |         CAST(sum(pos) AS BIGINT) AS np
@@ -1736,16 +1721,14 @@ object MlQueries {
          |  FROM f)
          |SELECT a.fold, a.n_pos, a.n_neg, a.auc_ppm,
          |       (SELECT max(auc_ppm) - min(auc_ppm) FROM a) AS spread_ppm
-         |FROM a ORDER BY a.fold""".stripMargin) { (s, d) =>
+         |FROM a ORDER BY a.fold""".stripMargin
+    }) { (s, d) =>
       import graft.functions.Hashes
       import org.apache.spark.sql.expressions.Window
-      def e(i: Int) = element_at(col("embedding"), i).cast("double")
-      val z = lit(-0.2) + e(1) * 1.5 - e(2) * 0.8 + e(3) * 0.5 - e(4) * 1.1
-      val sRel = Tables.embeddings(s, d)
+      val sRel = embSigmoid(s, d)
         .select((Hashes.mulHash(col("vec_id"), 37) % 5).as("fold"),
           when(col("label") % 2 === 0, 1L).otherwise(0L).as("pos"),
-          round((lit(1) / (lit(1) + exp(-z))) * 1000000, 0).cast("long")
-            .as("p_e6"))
+          col("p_e6"))
       val census = sRel.groupBy("fold", "p_e6")
         .agg(count(lit(1)).as("n"), sum("pos").as("np"))
       val wPre = Window.partitionBy("fold").orderBy("p_e6")
@@ -1846,16 +1829,9 @@ object MlQueries {
     // every candidate simultaneously, and the argmax is a top-1 over the
     // census (ties → the LOWER threshold, stated identically). All counts
     // exact BIGINTs; J in integer ppm.
-    QueryDef("q346_youden_threshold",
-      """WITH s AS (
-        |  SELECT CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos,
-        |         CAST(round(1 / (1 + exp(-(-0.2
-        |           + CAST(embedding[1] AS DOUBLE) * 1.5
-        |           - CAST(embedding[2] AS DOUBLE) * 0.8
-        |           + CAST(embedding[3] AS DOUBLE) * 0.5
-        |           - CAST(embedding[4] AS DOUBLE) * 1.1))) * 1000000, 0)
-        |           AS BIGINT) AS p_e6
-        |  FROM embeddings),
+    QueryDef("q346_youden_threshold", {
+      val sc = embSigSql("CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos")
+      s"""WITH s AS (SELECT pos, p_e6 FROM ($sc)),
         |census AS (
         |  SELECT p_e6, CAST(count(*) AS BIGINT) AS n,
         |         CAST(sum(pos) AS BIGINT) AS np
@@ -1875,14 +1851,12 @@ object MlQueries {
         |         tp * 1000000 // tot.p - fp * 1000000 // tot.neg AS j_ppm
         |  FROM suf CROSS JOIN tot)
         |SELECT threshold_e6, tp, fp, fn, tn, j_ppm FROM j
-        |ORDER BY j_ppm DESC, threshold_e6 LIMIT 1""".stripMargin) { (s, d) =>
+        |ORDER BY j_ppm DESC, threshold_e6 LIMIT 1""".stripMargin
+    }) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      def e(i: Int) = element_at(col("embedding"), i).cast("double")
-      val z = lit(-0.2) + e(1) * 1.5 - e(2) * 0.8 + e(3) * 0.5 - e(4) * 1.1
-      val sRel = Tables.embeddings(s, d)
+      val sRel = embSigmoid(s, d)
         .select(when(col("label") % 2 === 0, 1L).otherwise(0L).as("pos"),
-          round((lit(1) / (lit(1) + exp(-z))) * 1000000, 0).cast("long")
-            .as("p_e6"))
+          col("p_e6"))
       val census = sRel.groupBy("p_e6")
         .agg(count(lit(1)).as("n"), sum("pos").as("np"))
         .persist() // totals + suffix pass

@@ -142,6 +142,27 @@ class Round16Spec extends AnyFunSuite {
     assert(IntExp.sigmoidE6(-20000000000000L) === 0L)
   }
 
+  test("IntExp decay: mirror == Spark rendering, near libm, halving per half-life") {
+    import spark.implicits._
+    import graft.functions.IntExp
+    val hl = 86400000000L
+    val ages = (0L to 30L * hl by 1234567891L) ++
+      Seq(0L, 1L, hl, 2 * hl, hl / 2, 100L * hl)
+    val rendered = IntExp.sparkDecayCols(ages.distinct.toDF("a"), "a", hl)
+      .select(col("a"), col("w_e6")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ages.distinct.foreach { a =>
+      val w = IntExp.decayE6(a, hl)
+      assert(w === rendered(a), s"mirror != rendering at age=$a")
+      val libm = math.round(1000000.0 * math.exp(-a.toDouble / hl * math.log(2.0)))
+      assert(math.abs(w - libm) <= 1, s"age=$a w=$w libm=$libm")
+    }
+    assert(IntExp.decayE6(0L, hl) === 1000000L)
+    assert(IntExp.decayE6(hl, hl) === 500000L)
+    assert(IntExp.decayE6(2 * hl, hl) === 250000L)
+    assert(IntExp.decayE6(100L * hl, hl) === 0L)
+  }
+
   test("Heaps' law fit pins beta = 1 on all-unique and beta = 0 on single-token corpora") {
     import spark.implicits._
     // 8 docs x 64 tokens, every token globally unique => V(n) = n at every
