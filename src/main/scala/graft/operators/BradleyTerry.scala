@@ -75,7 +75,11 @@ object BradleyTerry {
     // wraps SILENTLY while DuckDB's BIGINT errors — require loudly so both
     // engines fail the same way instead of diverging.
     val Int64SafeMax = Long.MaxValue / 1000000000000L // ≈ 9.2e6
-    val maxNm = census.agg(max("nm")).as[Long].collect().headOption.getOrElse(0L)
+    // coalesce: max over an EMPTY log is one NULL row, and decoding that as
+    // Long is an opaque crash — an empty log is a defined input (every
+    // never-matched player keeps strength 1e6), so bound-check 0 instead
+    val maxNm = census.agg(coalesce(max("nm"), lit(0L))).as[Long]
+      .collect().headOption.getOrElse(0L)
     require(maxNm <= Int64SafeMax,
       s"BradleyTerry: per-pair match count $maxNm exceeds the int64-safe " +
         s"bound $Int64SafeMax for the e12 MM term; shard the log per epoch " +

@@ -52,4 +52,55 @@ object GlobalRank {
     }
     spark.createDataFrame(indexed, schema)
   }
+
+  /** `ntile(n) OVER (ORDER BY order)` evaluated with the same two-stage
+    * zip — the scalable replacement for a partition-less NTILE window over
+    * a row-scale relation (e.g. per-user deciles: users grow with data).
+    *
+    * Exact SQL-standard NTILE semantics (what Spark's and DuckDB's `ntile`
+    * both implement): with N total rows, q = N/n and r = N%n, the first r
+    * buckets hold q+1 rows and the rest hold q — NOT the `(rank·n) div N`
+    * equal-width rule (q139's separately-stated contract), which assigns
+    * different buckets whenever N % n ≠ 0. The census pass already counts
+    * each partition, so N is free; each row's bucket is pure arithmetic on
+    * its global 0-based rank:
+    *   bucket(rn) = rn / (q+1)                 if rn <  (q+1)·r
+    *              = r + (rn − (q+1)·r) / q     otherwise        (then +1)
+    */
+  def zipWithNtile(df: DataFrame, order: Seq[Column], tiles: Int,
+                   numPartitions: Int, outName: String): DataFrame = {
+    require(tiles >= 1, s"ntile needs at least 1 bucket, got $tiles")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(numPartitions, order: _*)
+      .sortWithinPartitions(order: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val census = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rows = 0L
+      it.foreach(_ => rows += 1L)
+      Iterator((pid, rows))
+    }.collect().sortBy(_._1)
+    val nParts = sorted.rdd.getNumPartitions
+    val rowOff = new Array[Long](nParts)
+    census.foreach { case (pid, rows) =>
+      if (pid + 1 < nParts) rowOff(pid + 1) = rows
+    }
+    var i = 1
+    while (i < nParts) { rowOff(i) += rowOff(i - 1); i += 1 }
+    val total = census.map(_._2).sum
+    val q = if (total >= tiles) total / tiles else 0L
+    val r = if (total >= tiles) total % tiles else total
+    val schema = sorted.schema.add(outName, LongType, nullable = false)
+    val bOff = spark.sparkContext.broadcast(rowOff)
+    val out = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rn = bOff.value(pid) // 0-based global rank of the next row
+      it.map { row =>
+        val bucket =
+          if (rn < (q + 1L) * r) rn / (q + 1L)
+          else r + (rn - (q + 1L) * r) / q
+        rn += 1L
+        Row.fromSeq(row.toSeq :+ (bucket + 1L))
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
 }

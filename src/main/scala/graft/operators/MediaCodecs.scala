@@ -777,6 +777,9 @@ object MediaCodecs {
             val pq = (bytes(p) & 0xff) >> 4
             val tq = bytes(p) & 0x0f
             require(pq == 0, "JPEG: 16-bit DQT is not baseline")
+            // untrusted 4-bit id vs 4-slot table (T.81 B.2.4.1: Tq ≤ 3) —
+            // reject loudly instead of ArrayIndexOutOfBounds
+            require(tq <= 3, s"JPEG: DQT table id $tq out of range")
             quant(tq) = Array.tabulate(64)(k => bytes(p + 1 + k) & 0xff)
             p += 65
           }
@@ -785,6 +788,10 @@ object MediaCodecs {
           while (p < pos + 2 + len) {
             val tc = (bytes(p) & 0xff) >> 4
             val th = bytes(p) & 0x0f
+            // untrusted 4-bit class/id vs the 2×4 table grid (T.81 B.2.4.2:
+            // Tc ≤ 1, Th ≤ 3 for baseline) — reject loudly
+            require(tc <= 1, s"JPEG: DHT table class $tc out of range")
+            require(th <= 3, s"JPEG: DHT table id $th out of range")
             val bits = Array.tabulate(16)(k => bytes(p + 1 + k) & 0xff)
             val n = bits.sum
             val vals = Array.tabulate(n)(k => bytes(p + 17 + k) & 0xff)
@@ -817,6 +824,13 @@ object MediaCodecs {
               throw new IllegalArgumentException(s"JPEG: SOS names unknown component $cid"))
             c.td = (bytes(body + 2 + 2 * s) & 0xff) >> 4
             c.ta = bytes(body + 2 + 2 * s) & 0x0f
+            // a SOS naming an out-of-range or never-defined Huffman table
+            // must fail here with the codec contract's loud
+            // IllegalArgumentException, not reach decodeSym as null
+            require(c.td <= 3 && huff(0)(c.td) != null,
+              s"JPEG: SOS references undefined DC Huffman table ${c.td}")
+            require(c.ta <= 3 && huff(1)(c.ta) != null,
+              s"JPEG: SOS references undefined AC Huffman table ${c.ta}")
           }
           sosAt = pos + 2 + len
         case _ => // APPn / COM / others: skip
@@ -825,7 +839,21 @@ object MediaCodecs {
       if (sosAt < 0) pos += 2 + len
     }
     require(frameW > 0 && frameH > 0, "JPEG: zero frame size")
+    // untrusted u16 dims: 65535² · 3 overflows Int — bound the RGB buffer
+    // in Long BEFORE any Int arithmetic, mirroring decodeBmp/decodePng/
+    // decodeQoi's guard, so a crafted header fails with the codec
+    // contract's IllegalArgumentException instead of a negative-size
+    // allocation or a silent wrap
+    require(frameW.toLong * frameH * 3 <= Int.MaxValue,
+      s"JPEG: dimensions ${frameW}x$frameH overflow")
 
+    comps.foreach { c =>
+      // T.81 B.2.2: sampling factors 1–4, quant ids ≤ 3 — all untrusted
+      require(c.h >= 1 && c.h <= 4 && c.v >= 1 && c.v <= 4,
+        s"JPEG: sampling factors ${c.h}x${c.v} out of range")
+      require(c.tq <= 3 && quant(c.tq) != null,
+        s"JPEG: component references undefined quant table ${c.tq}")
+    }
     val hmax = comps.map(_.h).max
     val vmax = comps.map(_.v).max
     comps.foreach { c =>
@@ -834,8 +862,13 @@ object MediaCodecs {
     }
     val mcusX = (frameW + 8 * hmax - 1) / (8 * hmax)
     val mcusY = (frameH + 8 * vmax - 1) / (8 * vmax)
-    // per-component plane at MCU-padded resolution
+    // per-component plane at MCU-padded resolution, size bounded in Long
+    // (padding can exceed the frame-size bound above on its own)
     val planeW = comps.map(c => mcusX * c.h * 8)
+    comps.indices.foreach { ci =>
+      require(planeW(ci).toLong * mcusY * comps(ci).v * 8 <= Int.MaxValue,
+        s"JPEG: component $ci plane overflows at ${frameW}x$frameH")
+    }
     val planes = comps.indices.map(ci =>
       new Array[Byte](planeW(ci) * mcusY * comps(ci).v * 8)).toArray
 

@@ -131,7 +131,13 @@ object NativeAsof {
       require(lt == rt,
         s"asof key type mismatch at position $i: ${lt.catalogString} vs ${rt.catalogString}")
       // the key UNIVERSE — tiny by the symbol-key assumption; the global
-      // row_number window runs on those few rows only. Built ONCE PER SIDE
+      // row_number window runs on those few rows only. Scale adjudication
+      // (round 13): this partition-less window is BOUNDED BY THE BROADCAST
+      // CONTRACT two lines down — the dict is broadcast onto both sides, so
+      // any universe big enough for the single-task window to matter is big
+      // enough to fail the broadcast first (loudly, at the driver), never a
+      // silent funnel. Whitelisted as bounded in PlanSpec's
+      // partition-less-window sweep. Built ONCE PER SIDE
       // with a side-specific id name: an encoded key attribute must appear
       // in exactly one child of the custom join node, or the analyzer's
       // self-join deduplication cannot tell the two uses apart and the

@@ -2716,12 +2716,18 @@ object EventQueries {
         when(col("event_type") === "purchase", lit(sStep))
           .otherwise(lit(fStep)).as("step"),
         unix_micros(col("ts")).as("us"), col("event_id"))
-      val wOrd = Window.orderBy("us", "event_id")
-      val walk = t.select(
-        row_number().over(wOrd).cast("long").as("rn"),
-        sum("step").over(wOrd
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .as("llr"))
+      // The LLR walk is an associative prefix sum over the FULL event
+      // stream (row-scale), so it runs as the two-pass PrefixSum zip
+      // (range-partition → census → offset + local cumsum) instead of a
+      // partition-less window funneling every event through one task —
+      // the oracle keeps the plain `sum(step) OVER (ORDER BY us, event_id)`
+      // because the total order + integer addition make the strategies
+      // bit-identical (round-13 fix; asserted window-free in PlanSpec's
+      // partition-less-window sweep). rn rides the same census.
+      val walk = graft.operators.PrefixSum.cumsum(t,
+          Seq(col("us"), col("event_id")), "step",
+          inclusive = true, sumName = "llr", rnName = Some("rn"))
+        .select("rn", "llr")
       val firstx = walk
         .where(col("llr") >= bound || col("llr") <= -bound)
         .orderBy("rn").limit(1)

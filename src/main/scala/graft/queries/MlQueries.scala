@@ -1538,15 +1538,22 @@ object MlQueries {
     }) { (s, d) =>
       import graft.functions.Hashes
       import org.apache.spark.sql.expressions.Window
-      val u = Tables.events(s, d).groupBy("user_id")
-        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
-            .as("views"),
-          when(sum(when(col("event_type") === "purchase", 1L)
-            .otherwise(0L)) > 0, 1L).otherwise(0L).as("conv"))
+      // per-user deciles: users grow with the data (row-scale relation),
+      // so ntile(10) runs as GlobalRank's two-stage zip with exact NTILE
+      // bucket arithmetic — NOT a partition-less window. The oracle keeps
+      // the plain `ntile(10) OVER (ORDER BY views DESC, user_id)`: the
+      // order is total (user_id tie-break), so the bucket of every row is
+      // identical under both evaluation strategies (round-13 fix).
+      val u = graft.operators.GlobalRank.zipWithNtile(
+          Tables.events(s, d).groupBy("user_id")
+            .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+                .as("views"),
+              when(sum(when(col("event_type") === "purchase", 1L)
+                .otherwise(0L)) > 0, 1L).otherwise(0L).as("conv")),
+          Seq(col("views").desc, col("user_id")), tiles = 10,
+          numPartitions = 32, outName = "decile")
         .select((Hashes.mulHash(col("user_id"), 59) % 2).as("arm"),
-          col("conv"),
-          ntile(10).over(Window.orderBy(col("views").desc, col("user_id")))
-            .cast("long").as("decile"))
+          col("conv"), col("decile"))
       val cell = u.groupBy("decile").agg(
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
         sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c_t"),

@@ -3260,9 +3260,14 @@ object SimilarityQueries {
             .option("maxFilesPerTrigger", 1)
             .parquet(s"$root/landing")
             .writeStream
-            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            // batchId-keyed subdir with overwrite: a micro-batch the engine
+            // retries after a partial write REPLACES its own output instead
+            // of double-appending graded rows (batch ids are checkpoint-
+            // scoped, so they stay unique across the stop/resume waves);
+            // the final read discovers batch= partitions and drops the key
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
               gradeBatch(batch)
-                .write.mode("append").parquet(s"$root/out")
+                .write.mode("overwrite").parquet(s"$root/out/batch=$bid")
             }
             .option("checkpointLocation", s"$root/ckpt")
             .trigger(Trigger.AvailableNow())
@@ -3310,10 +3315,12 @@ object SimilarityQueries {
             .option("maxFilesPerTrigger", 1)
             .parquet(s"$root/landing")
             .writeStream
-            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            // batchId-keyed overwrite for retry idempotency — q471's sink
+            // discipline
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
               Mmr.diversify(emb,
                   emb.join(broadcast(batch.select("vec_id")), "vec_id"))
-                .write.mode("append").parquet(s"$root/out")
+                .write.mode("overwrite").parquet(s"$root/out/batch=$bid")
             }
             .option("checkpointLocation", s"$root/ckpt")
             .trigger(Trigger.AvailableNow())

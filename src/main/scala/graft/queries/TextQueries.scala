@@ -2578,11 +2578,16 @@ object TextQueries {
     val t = docs.select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
     val lens = t.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
     // doc-count-sized running offset: position of each doc's first token
-    // in the doc_id-ordered global token stream
-    val wOff = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = lens.select(col("doc_id"),
-      coalesce(sum("n").over(wOff), lit(0L)).as("off"))
+    // in the doc_id-ordered global token stream. The relation is row-scale
+    // (every doc contributes a row), so the exclusive cumsum runs as the
+    // two-pass PrefixSum zip, NOT a partition-less window — the oracle
+    // still states the plain `sum(n) OVER (ORDER BY doc_id ... 1 PRECEDING)`
+    // because integer addition over the total doc_id order makes the two
+    // evaluation strategies bit-identical (round-13 fix; the plan is
+    // asserted window-free in PlanSpec's partition-less-window sweep).
+    val offs = graft.operators.PrefixSum.cumsum(lens, Seq(col("doc_id")),
+        "n", inclusive = false, sumName = "off")
+      .select("doc_id", "off")
     val fo = t.join(offs, "doc_id")
       .select(col("off"), posexplode(col("toks")).as(Seq("i", "tok")))
       .groupBy("tok").agg(min(col("off") + col("i")).as("fp"))
