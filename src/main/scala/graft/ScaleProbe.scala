@@ -715,6 +715,28 @@ object ScaleProbe {
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       },
 
+      // q473 Heaps' law (the corpus-health family's probe leg): token
+      // explode → first-occurrence min-aggregate census + the TWO-PASS
+      // PrefixSum doc-offset cumsum (round 13's fix — the old partition-
+      // less window would park the whole doc relation on one task and
+      // show up here as a flat, serial floor). Docs are id-shifted AND
+      // token-salted per copy so the vocabulary grows with the corpus —
+      // the first-occurrence census does real work at every multiplier.
+      // Work is one token pass + a doc-count cumsum + 8 checkpoint
+      // probes of the persisted census: the exponent must track the
+      // hash-aggregate family (≈ linear), nothing above it
+      "heaps_law" -> { m =>
+        val docs = {
+          val base = Tables.documents(spark, sfDir)
+          (0 until m).map(k => base
+            .withColumn("doc_id", col("doc_id") + lit(k.toLong * 1_000_000L))
+            .withColumn("text",
+              regexp_replace(col("text"), "(\\S+)", "$1x" + k)))
+            .reduce(_ unionAll _)
+        }
+        graft.queries.TextQueries.heapsLaw(docs)
+      },
+
       // operators/NnMatch 1-D nearest-neighbor matching: one range-
       // partitioned sort + two running-edge windows — the probe confirms
       // the no-quadratic-join claim holds as n grows (n log n sort)

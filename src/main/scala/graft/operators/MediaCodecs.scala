@@ -700,21 +700,27 @@ object MediaCodecs {
     out.toByteArray
   }
 
-  /** Decode a BASELINE SEQUENTIAL JPEG (ITU-T T.81, SOF0, 8-bit, Huffman)
-    * — the transform-coding family the codec set still lacked (DEFLATE,
-    * LZW, QOI ops, FLAC rice codes are all prediction/dictionary coders;
-    * JPEG is block-DCT entropy coding). The full baseline path is real:
-    * marker/segment parse (APPn/COM skip, multi-table DQT and DHT, DRI),
-    * canonical Huffman table build + bit-level decode with 0xFF00
-    * unstuffing, DC prediction + EXTEND, AC run/size with ZRL and EOB,
-    * de-zigzag, dequantization, separable double-precision IDCT with
-    * round-half-up + clamp, interleaved MCU assembly for arbitrary
-    * integer sampling factors (4:4:4 and 4:2:0 fixtures), right/bottom
-    * MCU-padding crop, restart-marker predictor resets, and the libjpeg
-    * fixed-point integer YCbCr→RGB conversion (documented at [[ycc2rgb]];
-    * the oracle replays the same integer formula). Loud rejects:
-    * progressive (SOF2), extended/12-bit, arithmetic coding, 16-bit DQT,
-    * non-integer subsampling ratios.
+  /** Decode a BASELINE SEQUENTIAL (SOF0) or PROGRESSIVE-HUFFMAN (SOF2)
+    * JPEG (ITU-T T.81, 8-bit) — the transform-coding family the codec set
+    * still lacked (DEFLATE, LZW, QOI ops, FLAC rice codes are all
+    * prediction/dictionary coders; JPEG is block-DCT entropy coding). The
+    * full baseline path is real: marker/segment parse (APPn/COM skip,
+    * multi-table DQT and DHT, DRI), canonical Huffman table build +
+    * bit-level decode with 0xFF00 unstuffing, DC prediction + EXTEND, AC
+    * run/size with ZRL and EOB, de-zigzag, dequantization, separable
+    * double-precision IDCT with round-half-up + clamp, interleaved MCU
+    * assembly for arbitrary integer sampling factors (4:4:4 and 4:2:0
+    * fixtures), right/bottom MCU-padding crop, restart-marker predictor
+    * resets, and the libjpeg fixed-point integer YCbCr→RGB conversion
+    * (documented at [[ycc2rgb]]; the oracle replays the same integer
+    * formula). The progressive path (T.81 annex G, round 13) accumulates
+    * raw coefficients across scans — interleaved/non-interleaved DC first
+    * passes and raw-bit refinements, single-component AC band scans with
+    * EOBRUN, AC refinements with correction bits, inter-scan DHT/DQT/DRI
+    * redefinition — then dequantizes and runs the same IDCT once. Loud
+    * rejects: extended/12-bit, arithmetic coding, hierarchical/lossless
+    * SOFs, 16-bit DQT, non-integer subsampling ratios, malformed
+    * progressive scan headers.
     *
     * Determinism note: JPEG is lossy in general, but a decoder is a
     * deterministic function of the bitstream. The oracle fixtures live in
@@ -757,10 +763,89 @@ object MediaCodecs {
     def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
     var frameW = 0; var frameH = 0
     var comps: Array[Component] = null
+    var progressive = false
     var restartInterval = 0
     var sosAt = -1
+    // current scan parameters — re-set at every SOS (progressive streams
+    // carry one SOS per spectral-band/approximation pass)
+    var scanCis: Array[Int] = null
+    var scanSs = 0; var scanSe = 63; var scanAh = 0; var scanAl = 0
 
-    // ---- segment parse up to SOS ----
+    def parseDqt(body: Int, end: Int): Unit = {
+      var p = body
+      while (p < end) {
+        val pq = (bytes(p) & 0xff) >> 4
+        val tq = bytes(p) & 0x0f
+        require(pq == 0, "JPEG: 16-bit DQT is not baseline")
+        // untrusted 4-bit id vs 4-slot table (T.81 B.2.4.1: Tq ≤ 3) —
+        // reject loudly instead of ArrayIndexOutOfBounds
+        require(tq <= 3, s"JPEG: DQT table id $tq out of range")
+        quant(tq) = Array.tabulate(64)(k => bytes(p + 1 + k) & 0xff)
+        p += 65
+      }
+    }
+    def parseDht(body: Int, end: Int): Unit = {
+      var p = body
+      while (p < end) {
+        val tc = (bytes(p) & 0xff) >> 4
+        val th = bytes(p) & 0x0f
+        // untrusted 4-bit class/id vs the 2×4 table grid (T.81 B.2.4.2:
+        // Tc ≤ 1, Th ≤ 3) — reject loudly
+        require(tc <= 1, s"JPEG: DHT table class $tc out of range")
+        require(th <= 3, s"JPEG: DHT table id $th out of range")
+        val bits = Array.tabulate(16)(k => bytes(p + 1 + k) & 0xff)
+        val n = bits.sum
+        val vals = Array.tabulate(n)(k => bytes(p + 17 + k) & 0xff)
+        huff(tc)(th) = new Huff(bits, vals)
+        p += 17 + n
+      }
+    }
+    def parseSos(body: Int): Unit = {
+      val ns = bytes(body) & 0xff
+      require(comps != null, "JPEG: SOS before SOF")
+      require(if (progressive) ns >= 1 && ns <= comps.length
+              else ns == comps.length,
+        if (progressive) s"JPEG: bad scan component count $ns"
+        else "JPEG: partial scans unsupported")
+      scanCis = Array.tabulate(ns) { s =>
+        val cid = bytes(body + 1 + 2 * s) & 0xff
+        val ci = comps.indexWhere(_.id == cid)
+        require(ci >= 0, s"JPEG: SOS names unknown component $cid")
+        comps(ci).td = (bytes(body + 2 + 2 * s) & 0xff) >> 4
+        comps(ci).ta = bytes(body + 2 + 2 * s) & 0x0f
+        ci
+      }
+      scanSs = bytes(body + 1 + 2 * ns) & 0xff
+      scanSe = bytes(body + 2 + 2 * ns) & 0xff
+      val ahal = bytes(body + 3 + 2 * ns) & 0xff
+      scanAh = ahal >> 4; scanAl = ahal & 0x0f
+      if (progressive) {
+        // T.81 G.1: a scan is either DC-only (possibly interleaved) or an
+        // AC band; refinement must lower the point transform by exactly 1
+        require((scanSs == 0 && scanSe == 0) ||
+          (scanSs >= 1 && scanSs <= scanSe && scanSe <= 63),
+          s"JPEG: bad progressive spectral band $scanSs..$scanSe")
+        require(scanAl <= 13 && (scanAh == 0 || scanAh == scanAl + 1),
+          s"JPEG: bad successive approximation Ah=$scanAh Al=$scanAl")
+      } else require(scanSs == 0 && scanSe == 63 && scanAh == 0 && scanAl == 0,
+        "JPEG: baseline scan must cover the full band untransformed")
+      // a SOS naming an out-of-range or never-defined Huffman table must
+      // fail here with the codec contract's loud IllegalArgumentException,
+      // not reach decodeSym as null. A first DC pass Huffman-decodes with
+      // the DC table and AC scans with the AC table; a DC REFINEMENT scan
+      // reads raw bits and needs neither (T.81 G.1.2.1).
+      scanCis.foreach { ci =>
+        val c = comps(ci)
+        if (scanSs == 0 && scanAh == 0)
+          require(c.td <= 3 && huff(0)(c.td) != null,
+            s"JPEG: SOS references undefined DC Huffman table ${c.td}")
+        if (scanSe > 0)
+          require(c.ta <= 3 && huff(1)(c.ta) != null,
+            s"JPEG: SOS references undefined AC Huffman table ${c.ta}")
+      }
+    }
+
+    // ---- segment parse up to the FIRST SOS ----
     while (sosAt < 0) {
       require(pos + 4 <= bytes.length, "JPEG: truncated segment stream")
       require((bytes(pos) & 0xff) == 0xff, s"JPEG: expected marker at $pos")
@@ -771,35 +856,11 @@ object MediaCodecs {
       val len = u16(pos + 2)
       val body = pos + 4
       m match {
-        case 0xdb => // DQT, possibly several tables
-          var p = body
-          while (p < pos + 2 + len) {
-            val pq = (bytes(p) & 0xff) >> 4
-            val tq = bytes(p) & 0x0f
-            require(pq == 0, "JPEG: 16-bit DQT is not baseline")
-            // untrusted 4-bit id vs 4-slot table (T.81 B.2.4.1: Tq ≤ 3) —
-            // reject loudly instead of ArrayIndexOutOfBounds
-            require(tq <= 3, s"JPEG: DQT table id $tq out of range")
-            quant(tq) = Array.tabulate(64)(k => bytes(p + 1 + k) & 0xff)
-            p += 65
-          }
-        case 0xc4 => // DHT, possibly several tables
-          var p = body
-          while (p < pos + 2 + len) {
-            val tc = (bytes(p) & 0xff) >> 4
-            val th = bytes(p) & 0x0f
-            // untrusted 4-bit class/id vs the 2×4 table grid (T.81 B.2.4.2:
-            // Tc ≤ 1, Th ≤ 3 for baseline) — reject loudly
-            require(tc <= 1, s"JPEG: DHT table class $tc out of range")
-            require(th <= 3, s"JPEG: DHT table id $th out of range")
-            val bits = Array.tabulate(16)(k => bytes(p + 1 + k) & 0xff)
-            val n = bits.sum
-            val vals = Array.tabulate(n)(k => bytes(p + 17 + k) & 0xff)
-            huff(tc)(th) = new Huff(bits, vals)
-            p += 17 + n
-          }
-        case 0xc0 => // SOF0 baseline
+        case 0xdb => parseDqt(body, pos + 2 + len)
+        case 0xc4 => parseDht(body, pos + 2 + len)
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive-Huffman
           require(comps == null, "JPEG: multiple frames")
+          progressive = m == 0xc2
           require((bytes(body) & 0xff) == 8, "JPEG: only 8-bit precision")
           frameH = u16(body + 1); frameW = u16(body + 3)
           val nc = bytes(body + 5) & 0xff
@@ -809,30 +870,12 @@ object MediaCodecs {
             Component(bytes(p) & 0xff, (bytes(p + 1) & 0xff) >> 4,
               bytes(p + 1) & 0x0f, bytes(p + 2) & 0xff)
           }
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
              0xcd | 0xce | 0xcf =>
           throw new IllegalArgumentException(
-            f"JPEG: SOF marker 0x$m%02x is not baseline sequential")
+            f"JPEG: SOF marker 0x$m%02x is not baseline or progressive-Huffman")
         case 0xdd => restartInterval = u16(body)
-        case 0xda => // SOS
-          val ns = bytes(body) & 0xff
-          require(comps != null, "JPEG: SOS before SOF0")
-          require(ns == comps.length, "JPEG: partial scans unsupported")
-          for (s <- 0 until ns) {
-            val cid = bytes(body + 1 + 2 * s) & 0xff
-            val c = comps.find(_.id == cid).getOrElse(
-              throw new IllegalArgumentException(s"JPEG: SOS names unknown component $cid"))
-            c.td = (bytes(body + 2 + 2 * s) & 0xff) >> 4
-            c.ta = bytes(body + 2 + 2 * s) & 0x0f
-            // a SOS naming an out-of-range or never-defined Huffman table
-            // must fail here with the codec contract's loud
-            // IllegalArgumentException, not reach decodeSym as null
-            require(c.td <= 3 && huff(0)(c.td) != null,
-              s"JPEG: SOS references undefined DC Huffman table ${c.td}")
-            require(c.ta <= 3 && huff(1)(c.ta) != null,
-              s"JPEG: SOS references undefined AC Huffman table ${c.ta}")
-          }
-          sosAt = pos + 2 + len
+        case 0xda => parseSos(body); sosAt = pos + 2 + len
         case _ => // APPn / COM / others: skip
           require(len >= 2, "JPEG: bad segment length")
       }
@@ -934,6 +977,40 @@ object MediaCodecs {
     val tmp = new Array[Double](64)
     val preds = new Array[Int](comps.length)
 
+    /** Separable IDCT (rows then columns, double precision) of a
+      * DEQUANTIZED natural-order coefficient block into the plane —
+      * shared by the baseline fused path and the progressive final pass.
+      */
+    def idctTo(cf: Array[Int], outPlane: Array[Byte], ox: Int, oy: Int,
+               stride: Int): Unit = {
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var u = 0
+          while (u < 8) { s += cosT(x)(u) * cf(y * 8 + u); u += 1 }
+          tmp(y * 8 + x) = s / 2.0
+          x += 1
+        }
+        y += 1
+      }
+      var x = 0
+      while (x < 8) {
+        var yy = 0
+        while (yy < 8) {
+          var s = 0.0
+          var v = 0
+          while (v < 8) { s += cosT(yy)(v) * tmp(v * 8 + x); v += 1 }
+          val p = math.round(s / 2.0 + 128.0).toInt
+          outPlane((oy + yy) * stride + ox + x) =
+            math.max(0, math.min(255, p)).toByte
+          yy += 1
+        }
+        x += 1
+      }
+    }
+
     def decodeBlock(ci: Int, outPlane: Array[Byte], ox: Int, oy: Int,
                     stride: Int): Unit = {
       val c = comps(ci)
@@ -958,65 +1035,275 @@ object MediaCodecs {
           k += 1
         }
       }
-      // separable IDCT: rows then columns, double precision
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          var s = 0.0
-          var u = 0
-          while (u < 8) { s += cosT(x)(u) * coef(y * 8 + u); u += 1 }
-          tmp(y * 8 + x) = s / 2.0
-          x += 1
-        }
-        y += 1
-      }
-      var x = 0
-      while (x < 8) {
-        var yy = 0
-        while (yy < 8) {
-          var s = 0.0
-          var v = 0
-          while (v < 8) { s += cosT(yy)(v) * tmp(v * 8 + x); v += 1 }
-          val p = math.round(s / 2.0 + 128.0).toInt
-          outPlane((oy + yy) * stride + ox + x) =
-            math.max(0, math.min(255, p)).toByte
-          yy += 1
-        }
-        x += 1
-      }
+      idctTo(coef, outPlane, ox, oy, stride)
     }
 
-    // ---- MCU loop ----
-    var mcu = 0
-    var rstN = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          syncRestart(rstN); rstN = (rstN + 1) % 8
-          java.util.Arrays.fill(preds, 0)
+    if (!progressive) {
+      // ---- baseline: one interleaved MCU loop, fused decode+IDCT ----
+      var mcu = 0
+      var rstN = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            syncRestart(rstN); rstN = (rstN + 1) % 8
+            java.util.Arrays.fill(preds, 0)
+          }
+          var ci = 0
+          while (ci < comps.length) {
+            val c = comps(ci)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                decodeBlock(ci, planes(ci),
+                  (mx * c.h + bx) * 8, (my * c.v + by) * 8, planeW(ci))
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+          mx += 1
         }
-        var ci = 0
-        while (ci < comps.length) {
-          val c = comps(ci)
+        my += 1
+      }
+    } else {
+      // ---- progressive (SOF2): accumulate raw coefficients across scans,
+      // dequantize + IDCT once at the end (T.81 annex G) ----
+      // per-component block grid at MCU-padded size (interleaved DC scans
+      // encode the padding blocks; the plane-overflow guard above bounds
+      // the same element count)
+      val blocksW = comps.map(c => mcusX * c.h)
+      val blocksH = comps.map(c => mcusY * c.v)
+      val coefs = comps.indices.map(ci =>
+        new Array[Int](blocksW(ci) * blocksH(ci) * 64)).toArray
+      // NON-interleaved scan grid: the component's true block count
+      // ceil(ceil(dim·sampling/max)/8) — MCU padding blocks appear only in
+      // interleaved scans (T.81 A.2.3 vs G.1.1)
+      val compBW = comps.map(c => ((frameW * c.h + hmax - 1) / hmax + 7) / 8)
+      val compBH = comps.map(c => ((frameH * c.v + vmax - 1) / vmax + 7) / 8)
+      var eobrun = 0
+
+      /** After a scan's entropy data: discard pad bits and position on the
+        * next marker (skipping stuffed FF00 remnants and T.81 B.1.1.2 fill
+        * bytes); returns the marker byte with bp at its 0xFF.
+        */
+      def seekMarker(): Int = {
+        bitCnt = 0
+        while (bp + 1 < bytes.length &&
+               !((bytes(bp) & 0xff) == 0xff && (bytes(bp + 1) & 0xff) != 0x00))
+          bp += 1
+        while (bp + 2 < bytes.length && (bytes(bp + 1) & 0xff) == 0xff)
+          bp += 1
+        require(bp + 1 < bytes.length, "JPEG: truncated between scans")
+        bytes(bp + 1) & 0xff
+      }
+
+      def decodeScan(cis: Array[Int], ss: Int, se: Int, ah: Int,
+                     al: Int): Unit = {
+        bitCnt = 0
+        java.util.Arrays.fill(preds, 0)
+        eobrun = 0
+        var rstN = 0
+        var unit = 0 // MCUs (interleaved) or blocks (single-component)
+        def maybeRestart(): Unit =
+          if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+            syncRestart(rstN); rstN = (rstN + 1) % 8
+            java.util.Arrays.fill(preds, 0); eobrun = 0
+          }
+        if (ss == 0) {
+          // DC scan — first pass Huffman-decodes Al-shifted diffs, the
+          // refinement appends one raw bit per block at position Al
+          def dcBlock(ci: Int, bx: Int, by: Int): Unit = {
+            val off = (by * blocksW(ci) + bx) * 64
+            if (ah == 0) {
+              val t = decodeSym(huff(0)(comps(ci).td))
+              require(t <= 15, "JPEG: DC category out of range")
+              preds(ci) += extend(receive(t), t)
+              coefs(ci)(off) = preds(ci) << al
+            } else if (nextBit() == 1) coefs(ci)(off) |= 1 << al
+          }
+          if (cis.length > 1) { // interleaved: MCU order, padding included
+            var my = 0
+            while (my < mcusY) {
+              var mx = 0
+              while (mx < mcusX) {
+                maybeRestart()
+                cis.foreach { ci =>
+                  val c = comps(ci)
+                  var by = 0
+                  while (by < c.v) {
+                    var bx = 0
+                    while (bx < c.h) {
+                      dcBlock(ci, mx * c.h + bx, my * c.v + by); bx += 1
+                    }
+                    by += 1
+                  }
+                }
+                unit += 1; mx += 1
+              }
+              my += 1
+            }
+          } else {
+            val ci = cis(0)
+            var by = 0
+            while (by < compBH(ci)) {
+              var bx = 0
+              while (bx < compBW(ci)) {
+                maybeRestart(); dcBlock(ci, bx, by); unit += 1; bx += 1
+              }
+              by += 1
+            }
+          }
+        } else {
+          // AC band scan — always single-component (T.81 G.1.1)
+          require(cis.length == 1,
+            "JPEG: progressive AC scan must name exactly one component")
+          val ci = cis(0)
+          val acH = huff(1)(comps(ci).ta)
+          val co = coefs(ci)
+          // first AC pass: run/size with EOBRUN (EOBn covers this block and
+          // the next (1<<r)-1+ext blocks of the band)
+          def acFirst(off: Int): Unit = {
+            if (eobrun > 0) { eobrun -= 1; return }
+            var k = ss
+            var done = false
+            while (!done && k <= se) {
+              val rs = decodeSym(acH)
+              val r = rs >> 4; val sz = rs & 0x0f
+              if (sz == 0) {
+                if (r == 15) k += 16 // ZRL
+                else {
+                  eobrun = (1 << r) - 1 + (if (r > 0) receive(r) else 0)
+                  done = true
+                }
+              } else {
+                k += r
+                require(k <= se, "JPEG: AC index overrun")
+                co(off + zigzag(k)) = extend(receive(sz), sz) << al
+                k += 1
+              }
+            }
+          }
+          // AC refinement (T.81 G.1.2.3): every traversal of a coefficient
+          // that is already nonzero reads one correction bit; a new ±1<<Al
+          // lands after skipping r ZERO-history positions; EOBn here covers
+          // (1<<r)+ext blocks INCLUDING the current one, whose remaining
+          // nonzero coefficients still take correction bits
+          def acRefine(off: Int): Unit = {
+            val p1 = 1 << al; val m1 = -1 << al
+            var k = ss
+            def correct(z: Int): Unit =
+              if (nextBit() == 1 && (co(z) & p1) == 0)
+                co(z) += (if (co(z) >= 0) p1 else m1)
+            if (eobrun == 0) {
+              var brk = false
+              while (!brk && k <= se) {
+                val rs = decodeSym(acH)
+                var r = rs >> 4; val sz = rs & 0x0f
+                var newval = 0
+                if (sz == 0) {
+                  if (r < 15) {
+                    eobrun = (1 << r) + (if (r > 0) receive(r) else 0)
+                    brk = true
+                  } // r == 15: ZRL — skip 16 zero-history positions
+                } else {
+                  require(sz == 1, "JPEG: AC refinement size must be 1")
+                  newval = if (nextBit() == 1) p1 else m1
+                }
+                if (!brk) {
+                  var placed = false
+                  while (!placed && k <= se) {
+                    val z = off + zigzag(k)
+                    if (co(z) != 0) correct(z)
+                    else if (r == 0) {
+                      if (newval != 0) co(z) = newval
+                      placed = true
+                    } else r -= 1
+                    k += 1
+                  }
+                  require(placed || newval == 0,
+                    "JPEG: AC refinement overran the band")
+                }
+              }
+            }
+            if (eobrun > 0) {
+              while (k <= se) {
+                val z = off + zigzag(k)
+                if (co(z) != 0) correct(z)
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
           var by = 0
-          while (by < c.v) {
+          while (by < compBH(ci)) {
             var bx = 0
-            while (bx < c.h) {
-              decodeBlock(ci, planes(ci),
-                (mx * c.h + bx) * 8, (my * c.v + by) * 8, planeW(ci))
-              bx += 1
+            while (bx < compBW(ci)) {
+              maybeRestart()
+              val off = (by * blocksW(ci) + bx) * 64
+              if (ah == 0) acFirst(off) else acRefine(off)
+              unit += 1; bx += 1
             }
             by += 1
           }
-          ci += 1
         }
-        mcu += 1
-        mx += 1
       }
-      my += 1
+
+      // scan loop: the header parse above left bp = sosAt at the first
+      // scan's entropy data; between scans DHT/DQT/DRI may be redefined
+      decodeScan(scanCis, scanSs, scanSe, scanAh, scanAl)
+      var done = false
+      while (!done) {
+        val m2 = seekMarker()
+        if (m2 == 0xd9) done = true // EOI
+        else {
+          pos = bp
+          require(pos + 4 <= bytes.length, "JPEG: truncated segment stream")
+          val len2 = u16(pos + 2)
+          val body2 = pos + 4
+          m2 match {
+            case 0xc4 => parseDht(body2, pos + 2 + len2)
+            case 0xdb => parseDqt(body2, pos + 2 + len2)
+            case 0xdd => restartInterval = u16(body2)
+            case 0xc0 | 0xc2 =>
+              throw new IllegalArgumentException("JPEG: multiple frames")
+            case 0xda =>
+              parseSos(body2)
+            case _ => // APPn / COM: skip
+              require(len2 >= 2, "JPEG: bad segment length")
+          }
+          bp = pos + 2 + len2
+          if (m2 == 0xda) decodeScan(scanCis, scanSs, scanSe, scanAh, scanAl)
+        }
+      }
+
+      // final pass: dequantize (quant index k pairs with zigzag position k)
+      // and IDCT every REAL block — padding blocks may hold DC values from
+      // interleaved scans but never reach the output crop
+      val dq = new Array[Int](64)
+      comps.indices.foreach { ci =>
+        val q = quant(comps(ci).tq)
+        var by = 0
+        while (by < compBH(ci)) {
+          var bx = 0
+          while (bx < compBW(ci)) {
+            val off = (by * blocksW(ci) + bx) * 64
+            var k = 0
+            while (k < 64) {
+              val z = zigzag(k)
+              dq(z) = coefs(ci)(off + z) * q(k)
+              k += 1
+            }
+            idctTo(dq, planes(ci), bx * 8, by * 8, planeW(ci))
+            bx += 1
+          }
+          by += 1
+        }
+      }
     }
 
     // ---- upsample + color convert + crop ----

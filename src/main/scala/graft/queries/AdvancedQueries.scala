@@ -2482,11 +2482,12 @@ object AdvancedQueries {
       }
       val sup0 = support(e).localCheckpoint()
       // data-driven threshold: median of the initial support census
-      val thr = sup0
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("sup"), col("a"), col("b"))).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        .where(col("rn") === expr("(n + 3) div 4"))
+      // the quartile pick ranks the EDGE-scale support census — two-stage
+      // zip + driver count (round 13); rank target (n+3) div 4, 0-based
+      val nSup = sup0.count()
+      val thr = graft.operators.GlobalRank.zipWithRank(sup0,
+          Seq(col("sup"), col("a"), col("b")), 32, "rk")
+        .where(col("rk") === lit((nSup + 3L) / 4L - 1L))
         .head().getAs[Long]("sup") // 1-row census pick
       val census = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       var last: DataFrame = null
@@ -2502,7 +2503,9 @@ object AdvancedQueries {
       }
       import s.implicits._
       val cdf = census.toSeq.toDF("round", "n_edges")
-      val top = last
+      // only ranks 1..3 are ever joined — TakeOrdered bounds the slice
+      // before the 3-row window (round 13)
+      val top = last.orderBy(col("sup").desc, col("a"), col("b")).limit(3)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("sup").desc, col("a"), col("b"))).cast("long"))
       cdf.join(top, col("rk") === col("round"), "left")
@@ -3627,12 +3630,16 @@ object AdvancedQueries {
       val p = Tables.part(s, d).select(col("p_partkey"),
         round(col("p_retailprice") * 100, 0).cast("long").as("price_c"),
         col("p_size").cast("long").as("sz"))
+      // the prefix max runs over the PRICE CENSUS (one row per distinct
+      // cent value — value-domain bounded), not the row-scale parts
+      // relation (round 13, q304's shape): per-price max first, prefix max
+      // over the census, join back. RANGE −1 over duplicated rows ≡ ROWS
+      // −1 over the distinct census, so the result is identical.
+      val cen = p.groupBy("price_c").agg(max("sz").as("best_same"))
       val wr = Window.orderBy("price_c")
-        .rangeBetween(Window.unboundedPreceding, -1)
-      val wg = Window.partitionBy("price_c")
-      p.select(col("p_partkey"), col("price_c"), col("sz"),
-          max("sz").over(wr).as("best_cheaper"),
-          max("sz").over(wg).as("best_same"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val f = cen.withColumn("best_cheaper", max("best_same").over(wr))
+      p.join(f, "price_c")
         .where((col("best_cheaper").isNull
           || col("best_cheaper") < col("sz"))
           && col("sz") === col("best_same"))

@@ -4750,14 +4750,18 @@ object EventQueries {
         .persist() // horizon census + tercile windows + value total
       val horizon = u.agg(max("last_day")).head().getLong(0)
       val total = u.agg(sum("money")).head().getLong(0)
-      val sc = u.select(col("user_id"), col("freq"), col("money"),
-          (lit(horizon) - col("last_day")).as("recency"))
-        .withColumn("r_t", ntile(3).over(
-          Window.orderBy(col("recency"), col("user_id"))))
-        .withColumn("f_t", ntile(3).over(
-          Window.orderBy(col("freq").desc, col("user_id"))))
-        .withColumn("m_t", ntile(3).over(
-          Window.orderBy(col("money").desc, col("user_id"))))
+      // three user-scale terciles via the two-stage NTILE zip (round 13) —
+      // users grow with the data; the oracle keeps the plain ntile(3)
+      // windows (exact same buckets under each total order)
+      import graft.operators.GlobalRank
+      val base = u.select(col("user_id"), col("freq"), col("money"),
+        (lit(horizon) - col("last_day")).as("recency"))
+      val sc = GlobalRank.zipWithNtile(
+        GlobalRank.zipWithNtile(
+          GlobalRank.zipWithNtile(base,
+            Seq(col("recency"), col("user_id")), 3, 32, "r_t"),
+          Seq(col("freq").desc, col("user_id")), 3, 32, "f_t"),
+        Seq(col("money").desc, col("user_id")), 3, 32, "m_t")
       sc.groupBy(expr("CAST(r_t * 100 + f_t * 10 + m_t AS BIGINT)")
           .as("segment"))
         .agg(count(lit(1)).as("n_users"), sum("money").as("value_cents"))

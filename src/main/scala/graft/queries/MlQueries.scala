@@ -1387,9 +1387,11 @@ object MlQueries {
       val gs = Tables.orders(s, d).groupBy(col("o_custkey").as("g"))
         .agg(count(lit(1)).as("n"))
         .persist() // balanced deal + hash fold + total share it
-      val bal = gs.withColumn("fold",
-        ((row_number().over(Window.orderBy(col("n").desc, col("g"))) - 1) % 5)
-          .cast("long"))
+      // groups are customers — row-scale — so the balanced deal ranks via
+      // the two-stage zip (round 13); 0-based rank ≡ row_number − 1
+      val bal = graft.operators.GlobalRank.zipWithRank(gs,
+          Seq(col("n").desc, col("g")), 32, "rk")
+        .withColumn("fold", (col("rk") % 5).cast("long"))
       val hsh = gs.withColumn("fold", Hashes.mulHash(col("g"), 29) % 5)
       val tot = broadcast(gs.agg(sum("n").as("t")))
       val b = bal.groupBy("fold").agg(count(lit(1)).as("n_groups"),

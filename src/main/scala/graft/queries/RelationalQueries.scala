@@ -444,9 +444,14 @@ object RelationalQueries {
       val u = Tables.orders(s, d)
         .groupBy(col("o_custkey").as("c"))
         .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
-      val r = u.select(col("c"), col("cents"),
-          row_number().over(Window.orderBy("cents", "c")).as("rk"))
-        .persist() // totals + the cumulative scan
+      // customers are row-scale, so BOTH the rank and the Lorenz cumsum run
+      // as ONE two-pass PrefixSum zip (round 13) — the oracle keeps the
+      // plain row_number/sum windows: total order + associative integer
+      // sum make the strategies bit-identical
+      val r = graft.operators.PrefixSum.cumsum(u,
+          Seq(col("cents"), col("c")), "cents",
+          inclusive = true, sumName = "cum", rnName = Some("rk"))
+        .persist() // totals + the decile probe share it
       val t = r.agg(count(lit(1)).as("n"), sum("cents").as("tot"),
         sum(col("rk") * col("cents")).as("rs"))
       // the ×1e6 products exceed BIGINT at sf0.1 scale — widened to
@@ -454,10 +459,7 @@ object RelationalQueries {
       val gini = t.select(col("n"), col("tot"),
         expr("cast(cast(2 * rs - (n + 1) * tot as decimal(38,0)) * 1000000" +
           " div (n * tot) as bigint)").as("gini_ppm"))
-      val cumW = Window.orderBy("rk")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cumall = r.select(col("rk"), col("cents"))
-        .withColumn("cum", sum("cents").over(cumW))
+      val cumall = r.select(col("rk"), col("cum"))
       val bnd = s.range(1, 11).select(col("id").as("k"))
         .crossJoin(broadcast(t.select(col("n").as("tn"))))
         .select(col("k"), expr("(k * tn) div 10").as("brk"))

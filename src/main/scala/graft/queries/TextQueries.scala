@@ -949,13 +949,15 @@ object TextQueries {
         .agg(expr("sum(CAST(round(ln(c / (1.0 * n)) * 1000000, 0) AS LONG))" +
           " div count(*)").as("score"))
         .persist() // median + verdicts
-      import org.apache.spark.sql.expressions.Window
-      val mw = Window.orderBy("score", "doc_id")
-      val med = sc
-        .withColumn("rn", row_number().over(mw))
-        .withColumn("cnt", count(lit(1)).over(
-          Window.partitionBy(lit(1))))
-        .where(col("rn") === expr("(cnt + 1) div 2"))
+      // exact median of the borderline slice — borderline docs grow with
+      // the corpus, so the rank runs as the two-stage zip and the count
+      // comes from the census the zip already pays (round 13); the rank
+      // target (cnt+1) div 2 is the same 1-based median, stated 0-based
+      val nBl = sc.count()
+      val med = graft.operators.GlobalRank.zipWithRank(
+          sc.select("score", "doc_id"),
+          Seq(col("score"), col("doc_id")), 32, "rk")
+        .where(col("rk") === lit((nBl + 1L) / 2L - 1L))
         .select(col("score").as("m"))
       val verd = sc.crossJoin(broadcast(med))
         .groupBy(col("source").as("vsrc"))
@@ -1022,8 +1024,13 @@ object TextQueries {
       val sr = v.select(col("doc_id"), col("source"), col("n_chars"),
         row_number().over(sw).as("rk"),
         count(lit(1)).over(Window.partitionBy("source")).as("ns"))
-      val gr = v.select(col("n_chars").as("gv"),
-        row_number().over(Window.orderBy("n_chars", "doc_id")).as("grk"))
+      // global rank over the doc-scale relation via the two-stage zip
+      // (round 13 — the in-code scale note below is now enforced by
+      // PlanSpec's partition-less-window sweep)
+      val gr = graft.operators.GlobalRank.zipWithRank(
+          v.select(col("n_chars"), col("doc_id")),
+          Seq(col("n_chars"), col("doc_id")), 32, "grk0")
+        .select(col("n_chars").as("gv"), (col("grk0") + 1).as("grk"))
       val t = v.agg(count(lit(1)).as("ng"))
       sr.crossJoin(broadcast(t))
         .select(col("doc_id"), col("source"), col("n_chars"), col("rk"),
@@ -1648,9 +1655,13 @@ object TextQueries {
       val census = Tables.documents(s, d)
         .select(explode(split(col("text"), " ", -1)).as("token"))
         .groupBy("token").agg(count(lit(1)).as("freq"))
-      val ranked = census.withColumn("r",
-        row_number().over(Window.orderBy(col("freq").desc, col("token"))))
-      val pts = ranked.where(col("r") <= 1000)
+      // top-1000 rank axis: TakeOrdered bounds the slice BEFORE the window
+      // (q465's shape — the 1000-row single-partition window is then a
+      // bounded statistic, not a vocabulary-wide funnel)
+      val ranked = census.orderBy(col("freq").desc, col("token")).limit(1000)
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+      val pts = ranked
         .select(round(log(col("r").cast("double")) * 1000000, 0)
             .cast("long").as("x"),
           round(log(col("freq").cast("double")) * 1000000, 0)
@@ -1951,10 +1962,12 @@ object TextQueries {
         round(pow(col("c").cast("double"), lit(0.75)) * 1000, 0)
           .cast("long").as("wt"))
         .persist() // prefix census + total + target shares
-      val pre = w.select(col("token"), col("wt"),
-          coalesce(sum("wt").over(Window.orderBy("token")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-            .as("cum_lo"))
+      // the alias-table CDF is an exclusive prefix over the VOCABULARY
+      // census (10⁷–10⁸ types at web scale) — two-pass PrefixSum, not a
+      // partition-less window (round 13); oracle unchanged
+      val pre = graft.operators.PrefixSum.cumsum(w, Seq(col("token")),
+          "wt", inclusive = false, sumName = "cum_lo")
+        .select(col("token"), col("wt"), col("cum_lo"))
         .withColumn("k", lit(0L))
       val tot = broadcast(w.agg(sum("wt").as("t")))
       val pts = Tables.documents(s, d).select(col("doc_id"))
@@ -2092,9 +2105,13 @@ object TextQueries {
           round(log(p) * 1000000, 0).cast("long").as("lp_e6"))
         .groupBy("doc_id", "source")
         .agg(expr("sum(lp_e6) div count(1)").as("mean_e6"))
-      perdoc
-        .select(col("doc_id"), col("source"), col("mean_e6"),
-          ntile(5).over(Window.orderBy("mean_e6", "doc_id")).as("q"))
+      // doc-scale quintiles via the two-stage NTILE zip (round 13) — the
+      // oracle keeps the plain ntile(5) window: exact same buckets under
+      // the (mean_e6, doc_id) total order
+      graft.operators.GlobalRank.zipWithNtile(
+          perdoc.select(col("doc_id"), col("source"), col("mean_e6")),
+          Seq(col("mean_e6"), col("doc_id")), tiles = 5,
+          numPartitions = 32, outName = "q")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("q") === 1, 1L).otherwise(0L)).as("n_dropped"),

@@ -19,24 +19,108 @@ class PlanSpec extends AnyFunSuite {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
 
-  test("catalog sweep: no CartesianProductExec in ANY query's physical plan") {
-    // the catalog-wide guard behind every per-query broadcast hint: a 1-row
-    // crossJoin that loses its broadcast() (or an AQE-off run of an
-    // unhinted one) plans as CartesianProductExec and shuffles the corpus
-    // against itself. Constructing the DataFrame is enough — sparkPlan is
-    // the pre-AQE physical plan, no query executes for the check itself
-    // (queries whose CONSTRUCTION runs driver iteration still pay only
-    // their construction cost, same as Verify).
-    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, run) =>
+  /** One construction pass over the whole catalog, shared by the two
+    * catalog-wide plan guards below: per query, (CartesianProductExec
+    * present?, partition-less WindowExec nodes). sparkPlan is the pre-AQE
+    * physical plan — no query executes for the check itself (queries whose
+    * CONSTRUCTION runs driver iteration still pay only their construction
+    * cost, same as Verify).
+    */
+  private lazy val catalogSweep: Seq[(String, Boolean, Seq[String])] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, run) =>
       try {
         val p = run(spark, TestSpark.sfDir).queryExecution.sparkPlan
         val carts = p.collectWithSubqueries {
           case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
         }
-        if (carts.nonEmpty) Seq(name) else Seq.empty
+        val looseWindows = p.collectWithSubqueries {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty &&
+                // a partition-less WindowGroupLimit below the window trims
+                // every map task to the rank filter's k BEFORE the single
+                // window task — the funnel is k·P-bounded by construction
+                // (Spark's InferWindowGroupLimit on rank<=k filters)
+                !w.child.exists {
+                  case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+                    g.partitionSpec.isEmpty
+                  case _ => false
+                } =>
+            w.windowExpression.map(_.sql).mkString("; ").take(120)
+        }
+        (name, carts.nonEmpty, looseWindows)
       } finally spark.catalog.clearCache()
     }
+
+  test("catalog sweep: no CartesianProductExec in ANY query's physical plan") {
+    // the catalog-wide guard behind every per-query broadcast hint: a 1-row
+    // crossJoin that loses its broadcast() (or an AQE-off run of an
+    // unhinted one) plans as CartesianProductExec and shuffles the corpus
+    // against itself.
+    val bad = catalogSweep.collect { case (name, true, _) => name }
     assert(bad.isEmpty, s"cartesian product in plans of: ${bad.mkString(", ")}")
+  }
+
+  /** Every query whose physical plan may contain a partition-less WindowExec,
+    * with the reason the window's input is BOUNDED (k-sized statistics, never
+    * row-scale): bins, censuses, deciles, per-source/per-type grids, top-k'd
+    * shortlists. A window over a row-scale relation (docs, events, users,
+    * vocabulary — anything that grows with the data) is a single-task funnel
+    * at 100× and must use the two-pass GlobalRank/PrefixSum zip instead
+    * (q116/q473/q334/q333 are the precedents). Additions to this map require
+    * the same justification discipline: name the bounded statistic.
+    */
+  private val partitionlessWindowWhitelist: Map[String, String] = Map(
+    "q07_survival_curve" -> "histogram-bin census (window sees bins rows only)",
+    "q156_hybrid_retrieval" -> "fused union of two TakeOrdered top-20 shortlists (≤40 rows)",
+    "q192_ks_drift" -> "histogram-bin census",
+    "q199_quota_allocation" -> "per-source remainder census (sources are app-bounded)",
+    "q218_auc" -> "e6-quantized score census (≤1e6 distinct grid points)",
+    "q227_nprobe_sweep" -> "nprobe sweep grid (a handful of probe settings)",
+    "q239_bootstrap_ci" -> "bootstrap replicate census (B rows)",
+    "q245_time_travel" -> "fold-equality census (k fold rows)",
+    "q250_decile_lift" -> "decile census (10 rows)",
+    "q259_linkpred_auc" -> "e6-quantized score census",
+    "q261_rolling_corr" -> "day grid (time-bounded)",
+    "q287_lsh_planner" -> "LSH band/row plan grid",
+    "q289_string_asof" -> "asof dictionary: broadcast-bound key universe (NativeAsof.scala)",
+    "q304_skyline" -> "price-cent census (value-domain bounded)",
+    "q311_isotonic" -> "e6-quantized score census",
+    "q321_mann_whitney" -> "value-cent census (value-domain bounded)",
+    "q328_zipf_fit" -> "1000-row TakeOrdered rank axis (limit before the window)",
+    "q330_nn_matching" -> "P-row partition-boundary census (NnMatch.scala)",
+    "q333_uplift_qini" -> "decile census (10 rows)",
+    "q341_wasserstein" -> "histogram-bin census",
+    "q346_youden_threshold" -> "e6-quantized score census",
+    "q349_next_event_acc" -> "event-type census (app-bounded types)",
+    "q355_seq_patterns" -> "event-type pair/triple census (|types|^3-bounded)",
+    "q379_acf_pacf" -> "day grid (time-bounded)",
+    "q382_luby_mis" -> "round census (O(log n) rows)",
+    "q385_heaps_law" -> "checkpoint grid (fixed prefix checkpoints)",
+    "q388_decayed_counts" -> "event-type census (app-bounded types)",
+    "q390_skyline" -> "price-cent census (value-domain bounded)",
+    "q418_ips_offpolicy" -> "day grid + event-type census",
+    "q423_ktruss" -> "3-row TakeOrdered slice (limit before the window)",
+    "q424_kaplan_meier" -> "day-granular duration census (time-bounded)",
+    "q465_zipf_slope" -> "100-row TakeOrdered rank axis (limit before the window)")
+
+  test("catalog sweep: partition-less WindowExec only over declared bounded statistics") {
+    // the mechanical form of the scale audit that caught q473/q334: any
+    // WindowExec with an empty partitionSpec must be justified by name in
+    // the whitelist above, or CI fails — a future unpartitioned window over
+    // row-scale data can't land silently.
+    val flagged = catalogSweep.collect {
+      case (name, _, ws) if ws.nonEmpty => name -> ws
+    }.toMap
+    val unexplained = flagged.keySet -- partitionlessWindowWhitelist.keySet
+    assert(unexplained.isEmpty,
+      s"partition-less WindowExec without a bounded-input justification in: " +
+        unexplained.toSeq.sorted.map(n => s"$n [${flagged(n).mkString(" | ")}]")
+          .mkString("\n"))
+    // staleness guard: a whitelist entry whose query no longer plans a
+    // partition-less window is a stale justification — drop it
+    val stale = partitionlessWindowWhitelist.keySet -- flagged.keySet
+    assert(stale.isEmpty,
+      s"whitelist entries with no partition-less window anymore: ${stale.mkString(", ")}")
   }
 
   test("q01: filter and projection reach the parquet scan") {
@@ -146,6 +230,16 @@ class PlanSpec extends AnyFunSuite {
     val exIdx = p.indexOf("Exchange")
     assert(aggIdx >= 0 && exIdx >= 0, p)
     assert(p.contains("Window"), p)
+  }
+
+  test("q473/q334: row-scale prefix sums run as the two-pass zip — no Window at all") {
+    // the round-12 verdict's two weak plans: the Heaps'-law doc-offset
+    // cumsum and the SPRT log-likelihood walk both funneled a row-scale
+    // relation through one window task; both now run as PrefixSum's
+    // range-partition → census → offset+local-cumsum zip, so the plans
+    // must contain no Window node at all (the q116 pattern)
+    assert(!plan(q("q473_heaps_law")).contains("Window"), "q473")
+    assert(!plan(q("q334_sprt")).contains("Window"), "q334")
   }
 
   test("q116: no partition-less window anywhere — vocab ranks via GlobalRank") {
