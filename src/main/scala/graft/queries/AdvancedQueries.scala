@@ -776,9 +776,11 @@ object AdvancedQueries {
         when(col("num") >= 0, expr("num * 1000000 div den"))
           .otherwise(-expr("((-num) * 1000000 + den - 1) div den"))
           .as("q_e6"))
-      val w = Window.orderBy(col("size").desc, col("community"))
+      // top-10 communities via TakeOrdered — the community census is
+      // graph-scale, so no rank window at all (round 13); the total order
+      // makes the limit ≡ the oracle's rank<=10 filter
       parts.crossJoin(broadcast(q))
-        .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+        .orderBy(col("size").desc, col("community")).limit(10)
         .select("community", "size", "e_in", "d_sum", "q_e6")
         .orderBy(col("size").desc, col("community"))
     },
@@ -867,15 +869,21 @@ object AdvancedQueries {
       val h2 = normed(
         pairs.join(broadcast(a2), "s").groupBy("c").agg(sum("a").as("raw")),
         "c", 1000000L, "h")
-      val ta = a2.select(lit("auth").as("kind"), col("s").as("id"),
+      // TakeOrdered bounds each side to 15 rows BEFORE the rank window
+      // (round 13: the partitionBy("kind") literal constant-folds away,
+      // leaving a partition-less window over the node-scale score
+      // relations — limit-first makes it a 15-row statistic)
+      val ta = a2.orderBy(col("a").desc, col("s")).limit(15)
+        .select(lit("auth").as("kind"), col("s").as("id"),
           col("a").as("score"))
         .withColumn("rank", row_number().over(
-          Window.partitionBy("kind").orderBy(col("score").desc, col("id"))))
-      val th = h2.select(lit("hub").as("kind"), col("c").as("id"),
+          Window.orderBy(col("score").desc, col("id"))))
+      val th = h2.orderBy(col("h").desc, col("c")).limit(15)
+        .select(lit("hub").as("kind"), col("c").as("id"),
           col("h").as("score"))
         .withColumn("rank", row_number().over(
-          Window.partitionBy("kind").orderBy(col("score").desc, col("id"))))
-      ta.unionAll(th).where(col("rank") <= 15)
+          Window.orderBy(col("score").desc, col("id"))))
+      ta.unionAll(th)
         .select(col("kind"), col("rank").cast("long").as("rank"),
           col("id"), col("score"))
         .orderBy("kind", "rank")
@@ -2847,9 +2855,9 @@ object AdvancedQueries {
         when(col("num") >= 0, expr("num * 1000000 div den"))
           .otherwise(-expr("((-num) * 1000000 + den - 1) div den"))
           .as("q_e6"))
-      val wr = Window.orderBy(col("size").desc, col("community"))
+      // top-10 via TakeOrdered, no rank window (q270's round-13 shape)
       parts.crossJoin(broadcast(q)).crossJoin(broadcast(mvd))
-        .withColumn("rn", row_number().over(wr)).where(col("rn") <= 10)
+        .orderBy(col("size").desc, col("community")).limit(10)
         .select("community", "size", "e_in", "d_sum", "q_e6", "moved")
         .orderBy(col("size").desc, col("community"))
     },

@@ -443,69 +443,65 @@ object DedupQueries {
     // quality-aware selection is auditable per cluster. Shape: the q115
     // cluster labels + one quality census + one window argmax — nothing
     // beyond the exchanges q115 already pays.
-    QueryDef("q474_quality_survivors",
-      s"""WITH RECURSIVE ${LshPairsSql.cte},
-         |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
-         |e AS (SELECT doc_a AS ea, doc_b AS eb FROM p
-         |      UNION ALL SELECT doc_b, doc_a FROM p),
-         |reach(rv, rr) AS (
-         |  SELECT DISTINCT ea, ea FROM e
-         |  UNION
-         |  SELECT e.eb, reach.rr FROM e JOIN reach ON reach.rv = e.ea),
-         |comp AS (SELECT rv AS doc_id, min(rr) AS cluster FROM reach
-         |         GROUP BY rv),
-         |qs AS (SELECT doc_id,
-         |         len(list_filter(string_split(text, ' '),
-         |             x -> x IN ('the', 'a', 'of', 'and', 'to')))
-         |           * 1000000 // len(string_split(text, ' ')) AS q_e6
-         |       FROM documents),
-         |scored AS (SELECT COALESCE(c.cluster, d.doc_id) AS cluster,
-         |                  d.doc_id, qs.q_e6
-         |           FROM documents d
-         |           LEFT JOIN comp c ON c.doc_id = d.doc_id
-         |           JOIN qs ON qs.doc_id = d.doc_id),
-         |r AS (SELECT cluster, doc_id, q_e6,
-         |        row_number() OVER (PARTITION BY cluster
-         |          ORDER BY q_e6 DESC, doc_id) AS rk,
-         |        CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
-         |          AS n_docs,
-         |        min(doc_id) OVER (PARTITION BY cluster) AS minid_doc
-         |      FROM scored)
-         |SELECT cluster, n_docs, doc_id AS kept_doc,
-         |       CAST(q_e6 AS BIGINT) AS kept_q_e6, minid_doc,
-         |       doc_id <> minid_doc AS policy_differs
-         |FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin) { (s, d) =>
-      import graft.operators.Components
-      val docs = Tables.documents(s, d)
-      val pairs = MinHash.nearDuplicates(docs, col("doc_id"),
-          split(col("text"), " ", -1), 0.5)
-        .select(col("doc_a"), col("doc_b"))
-      val comp = Components.connectedComponents(pairs, "doc_a", "doc_b")
-      val toks = split(col("text"), " ", -1)
-      val qs = docs.select(col("doc_id"),
-          size(filter(toks, x => x.isin("the", "a", "of", "and", "to")))
-            .cast("long").as("hits"),
-          size(toks).cast("long").as("n"))
-        .select(col("doc_id"),
-          expr("hits * 1000000 div n").as("q_e6"))
-      val scored = docs.select(col("doc_id"))
-        .join(comp, col("doc_id") === col("id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("cluster"))
-        .join(qs, "doc_id")
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("cluster")
-        .orderBy(col("q_e6").desc, col("doc_id"))
-      val wc = Window.partitionBy("cluster")
-      scored
-        .withColumn("rk", row_number().over(w))
-        .withColumn("n_docs", count(lit(1)).over(wc))
-        .withColumn("minid_doc", min("doc_id").over(wc))
-        .where(col("rk") === 1)
-        .select(col("cluster"), col("n_docs"), col("doc_id").as("kept_doc"),
-          col("q_e6").as("kept_q_e6"), col("minid_doc"),
-          (col("doc_id") =!= col("minid_doc")).as("policy_differs"))
-        .orderBy("cluster")
+    QueryDef("q474_quality_survivors", QualitySurvivorsSql.sql) { (s, d) =>
+      qualitySurvivors(Tables.documents(s, d)).orderBy("cluster")
+    },
+
+    // STREAMING twin of q474 — survivor selection on the audit/serving
+    // path: cluster ids ARRIVE as a file stream (the downstream consumer
+    // asking "who survives in this cluster?") and each micro-batch emits
+    // the per-cluster verdict from the STATIC corpus's survivor statistic
+    // (clusters + quality argmax computed once, persisted — the q471/q472
+    // static-corpus posture); verdicts append to batchId-keyed dirs, the
+    // stream drains to a STOP after wave A (even clusters) and RESUMES the
+    // same checkpoint for wave B (odd clusters). Per-cluster statistics
+    // over a static corpus ⇒ streamed ≡ batch EXACTLY — the oracle is
+    // q474's VERBATIM (shared QualitySurvivorsSql), no weaker contract.
+    QueryDef("q476_stream_survivors", QualitySurvivorsSql.sql) { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{LongType, StructType}
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_surv_q_").toFile
+      try {
+        val surv = qualitySurvivors(Tables.documents(s, d))
+          .persist() // static corpus statistic: probed by every batch
+        surv.count(): Unit
+        def drain(): Unit = {
+          val q = s.readStream
+            .schema(new StructType().add("cluster", LongType))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/landing")
+            .writeStream
+            // batchId-keyed overwrite for retry idempotency — q471's sink
+            // discipline
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+              surv.join(broadcast(batch.select("cluster")), "cluster")
+                .write.mode("overwrite").parquet(s"$root/out/batch=$bid")
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        surv.select("cluster").where(col("cluster") % 2 === 0).coalesce(1)
+          .write.parquet(s"$root/landing")
+        drain()
+        surv.select("cluster").where(col("cluster") % 2 =!= 0).coalesce(1)
+          .write.mode("append").parquet(s"$root/landing")
+        drain()
+        val res = s.read.parquet(s"$root/out")
+          .select("cluster", "n_docs", "kept_doc", "kept_q_e6",
+            "minid_doc", "policy_differs")
+          .orderBy("cluster")
+          // the result READS $root/out — materialize before the delete
+          .localCheckpoint()
+        surv.unpersist()
+        res
+      } finally rmrf(root)
     },
 
     // q37 with the web-scale skew guard: band buckets holding more than
@@ -1161,6 +1157,84 @@ object DedupQueries {
       } finally rmrf(root)
     }
   )
+
+  /** q474's computation over any (doc_id, text) relation — one row per
+    * near-dup cluster with the quality-argmax survivor and the min-id
+    * policy alongside; split out so the streaming twin (q476) probes the
+    * SAME statistic its batch twin reports. Shape: q115's cluster labels
+    * + one quality census + one window argmax (partitioned by cluster —
+    * never a global window).
+    */
+  def qualitySurvivors(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Components
+    import org.apache.spark.sql.expressions.Window
+    val pairs = MinHash.nearDuplicates(docs, col("doc_id"),
+        split(col("text"), " ", -1), 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = Components.connectedComponents(pairs, "doc_a", "doc_b")
+    val tk = split(col("text"), " ", -1)
+    val qs = docs.select(col("doc_id"),
+        size(filter(tk, x => x.isin("the", "a", "of", "and", "to")))
+          .cast("long").as("hits"),
+        size(tk).cast("long").as("n"))
+      .select(col("doc_id"), expr("hits * 1000000 div n").as("q_e6"))
+    val scored = docs.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
+      .join(qs, "doc_id")
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("q_e6").desc, col("doc_id"))
+    val wc = Window.partitionBy("cluster")
+    scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(wc))
+      .withColumn("minid_doc", min("doc_id").over(wc))
+      .where(col("rk") === 1)
+      .select(col("cluster"), col("n_docs"), col("doc_id").as("kept_doc"),
+        col("q_e6").as("kept_q_e6"), col("minid_doc"),
+        (col("doc_id") =!= col("minid_doc")).as("policy_differs"))
+  }
+}
+
+/** q474/q476 oracle: q115's LSH + reachability clusters, the e6 stopword
+  * quality census, and the per-cluster quality argmax (min-id ties) with
+  * the min-id policy reported alongside — shared VERBATIM by the batch
+  * query and its streaming twin (per-cluster statistics over a static
+  * corpus make streamed ≡ batch exact).
+  */
+private object QualitySurvivorsSql {
+  val sql: String =
+    s"""WITH RECURSIVE ${LshPairsSql.cte},
+       |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+       |e AS (SELECT doc_a AS ea, doc_b AS eb FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(rv, rr) AS (
+       |  SELECT DISTINCT ea, ea FROM e
+       |  UNION
+       |  SELECT e.eb, reach.rr FROM e JOIN reach ON reach.rv = e.ea),
+       |comp AS (SELECT rv AS doc_id, min(rr) AS cluster FROM reach
+       |         GROUP BY rv),
+       |qs AS (SELECT doc_id,
+       |         len(list_filter(string_split(text, ' '),
+       |             x -> x IN ('the', 'a', 'of', 'and', 'to')))
+       |           * 1000000 // len(string_split(text, ' ')) AS q_e6
+       |       FROM documents),
+       |scored AS (SELECT COALESCE(c.cluster, d.doc_id) AS cluster,
+       |                  d.doc_id, qs.q_e6
+       |           FROM documents d
+       |           LEFT JOIN comp c ON c.doc_id = d.doc_id
+       |           JOIN qs ON qs.doc_id = d.doc_id),
+       |r AS (SELECT cluster, doc_id, q_e6,
+       |        row_number() OVER (PARTITION BY cluster
+       |          ORDER BY q_e6 DESC, doc_id) AS rk,
+       |        CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+       |          AS n_docs,
+       |        min(doc_id) OVER (PARTITION BY cluster) AS minid_doc
+       |      FROM scored)
+       |SELECT cluster, n_docs, doc_id AS kept_doc,
+       |       CAST(q_e6 AS BIGINT) AS kept_q_e6, minid_doc,
+       |       doc_id <> minid_doc AS policy_differs
+       |FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin
 }
 
 /** q444/q457 shared oracle: the cross-relation maximal-repeat chain over

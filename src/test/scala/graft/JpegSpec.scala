@@ -171,10 +171,126 @@ class JpegSpec extends AnyFunSuite {
       assert((img.pixels(p * 3) & 0xff) === want(p))
   }
 
-  test("progressive and 16-bit-DQT streams are rejected loudly") {
+  test("malformed progressive scan headers are rejected loudly") {
+    // flipping SOF0→SOF2 on a baseline stream leaves a full-band SOS
+    // (Ss=0, Se=63) — illegal in progressive (T.81 G.1: DC-only or an
+    // AC band), so the decoder must reject the SCAN header, not decode
     val prog = grayHeader(8, 8)
     prog(prog.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte)) + 1) = 0xc2.toByte
     val e = intercept[IllegalArgumentException](MediaCodecs.decodeJpeg(prog))
-    assert(e.getMessage.contains("not baseline"))
+    assert(e.getMessage.contains("spectral band"))
+  }
+
+  // ---- progressive (SOF2) encoder pieces for the multi-scan test ----
+  // AC table with the symbols the refinement scan needs: EOB0, (0,1),
+  // (1,1), (2,2), (10,1)
+  private val pAcBits = Seq(0, 1, 4) ++ Seq.fill(13)(0)
+  private val pAcVals = Seq(0x00, 0x01, 0x11, 0x22, 0xa1)
+  private val pAcCodes = canon(pAcBits, pAcVals)
+
+  private def progGrayHeader(w: Int, h: Int): Array[Byte] = {
+    val dqt = seg(0xdb, Array(0x00.toByte) ++ quant.map(_.toByte))
+    val dht = seg(0xc4,
+      Array(0x00.toByte) ++ dcBits.map(_.toByte) ++ dcVals.map(_.toByte) ++
+      Array(0x10.toByte) ++ pAcBits.map(_.toByte) ++ pAcVals.map(_.toByte))
+    val sof = seg(0xc2, Array[Byte](8,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte, 1, 1, 0x11, 0))
+    Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ dht ++ sof
+  }
+
+  private def sosGray(ss: Int, se: Int, ah: Int, al: Int): Array[Byte] =
+    seg(0xda, Array[Byte](1, 1, 0x00, ss.toByte, se.toByte,
+      ((ah << 4) | al).toByte))
+
+  test("progressive multi-scan reassembly with nonzero AC matches the direct-form IDCT") {
+    // two 8x8 blocks (16x8 gray), coefficients exercising every annex-G
+    // path: DC first pass at Al=1 + DC refinement bit; AC first pass at
+    // Al=1 (run/size with EOB per block); AC refinement placing NEW ±1
+    // coefficients (after 1 and after 10 zero-history skips) while
+    // emitting correction bits for the already-nonzero ones
+    //   block A: DC 5, zz1 = 3, zz4 = -4, zz13 = 1
+    //   block B: DC -6, zz2 = -1
+    val dcs = Seq(5, -6)
+    val bw = new BitWriter
+    // scan 1: DC first, Al=1 — arithmetic-shifted diffs
+    var pred = 0
+    dcs.foreach { c => putDc(bw, (c >> 1) - pred); pred = c >> 1 }
+    bw.pad()
+    val scan1 = sosGray(0, 0, 0, 1) ++ bw.out
+    // scan 2: AC first, Ss=1..63, Al=1 — v0 = orig/2 toward zero
+    val bw2 = new BitWriter
+    def put(sym: Int): Unit = { val (c, l) = pAcCodes(sym); bw2.put(c, l) }
+    put(0x01); bw2.put(1, 1)     // A zz1: v0 = 3/2 = 1
+    put(0x22); bw2.put(1, 2)     // A zz4: run 2, v0 = -4/2 = -2 → '01'
+    put(0x00)                    // A EOB (zz13's 1/2 = 0 stays hidden)
+    put(0x00)                    // B: all v0 = 0 → EOB
+    bw2.pad()
+    val scan2 = sosGray(1, 63, 0, 1) ++ bw2.out
+    // scan 3: DC refinement, Ah=1, Al=0 — one raw bit per block
+    val bw3 = new BitWriter
+    dcs.foreach(c => bw3.put(c & 1, 1))
+    bw3.pad()
+    val scan3 = sosGray(0, 0, 1, 0) ++ bw3.out
+    // scan 4: AC refinement, Ah=1, Al=0
+    val bw4 = new BitWriter
+    def put4(sym: Int): Unit = { val (c, l) = pAcCodes(sym); bw4.put(c, l) }
+    // block A: (10,1) — skip 10 zero-history (zz2,3 then zz5..12), new +1
+    // at zz13; sign bit, then correction bits for zz1 (3&1=1) and zz4
+    // (|−4|&1=0) traversed on the way; then EOB
+    put4(0xa1); bw4.put(1, 1); bw4.put(1, 1); bw4.put(0, 1); put4(0x00)
+    // block B: (1,1) — skip zz1, new −1 at zz2; then EOB
+    put4(0x11); bw4.put(0, 1); put4(0x00)
+    bw4.pad()
+    val scan4 = sosGray(1, 63, 1, 0) ++ bw4.out
+    val jpg = progGrayHeader(16, 8) ++ scan1 ++ scan2 ++ scan3 ++ scan4 ++
+      Array(0xff.toByte, 0xd9.toByte)
+    val img = MediaCodecs.decodeJpeg(jpg)
+    assert(img.width === 16 && img.height === 8)
+    val fA = new Array[Int](64)
+    fA(0) = 5 * quant(0)
+    fA(zigzag(1)) = 3 * quant(1)
+    fA(zigzag(4)) = -4 * quant(4)
+    fA(zigzag(13)) = 1 * quant(13)
+    val fB = new Array[Int](64)
+    fB(0) = -6 * quant(0)
+    fB(zigzag(2)) = -1 * quant(2)
+    val wantA = directIdct(fA)
+    val wantB = directIdct(fB)
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val want = if (x < 8) wantA(y * 8 + x) else wantB(y * 8 + (x - 8))
+      assert((img.pixels((y * 16 + x) * 3) & 0xff) === want, s"($x,$y)")
+    }
+  }
+
+  test("progressive scan order is free: DC refinement after the AC scans decodes identically") {
+    // same coefficients, scans reordered [DC1, AC1, ACr, DCr] — the
+    // coefficient buffer makes scan order irrelevant for the final IDCT
+    val dcs = Seq(5, -6)
+    val bw = new BitWriter
+    var pred = 0
+    dcs.foreach { c => putDc(bw, (c >> 1) - pred); pred = c >> 1 }
+    bw.pad()
+    val scan1 = sosGray(0, 0, 0, 1) ++ bw.out
+    val bw2 = new BitWriter
+    def put(sym: Int): Unit = { val (c, l) = pAcCodes(sym); bw2.put(c, l) }
+    put(0x01); bw2.put(1, 1); put(0x22); bw2.put(1, 2); put(0x00); put(0x00)
+    bw2.pad()
+    val scan2 = sosGray(1, 63, 0, 1) ++ bw2.out
+    val bw4 = new BitWriter
+    def put4(sym: Int): Unit = { val (c, l) = pAcCodes(sym); bw4.put(c, l) }
+    put4(0xa1); bw4.put(1, 1); bw4.put(1, 1); bw4.put(0, 1); put4(0x00)
+    put4(0x11); bw4.put(0, 1); put4(0x00)
+    bw4.pad()
+    val scan4 = sosGray(1, 63, 1, 0) ++ bw4.out
+    val bw3 = new BitWriter
+    dcs.foreach(c => bw3.put(c & 1, 1))
+    bw3.pad()
+    val scan3 = sosGray(0, 0, 1, 0) ++ bw3.out
+    val a = MediaCodecs.decodeJpeg(progGrayHeader(16, 8) ++ scan1 ++ scan2 ++
+      scan3 ++ scan4 ++ Array(0xff.toByte, 0xd9.toByte))
+    val b = MediaCodecs.decodeJpeg(progGrayHeader(16, 8) ++ scan1 ++ scan2 ++
+      scan4 ++ scan3 ++ Array(0xff.toByte, 0xd9.toByte))
+    assert(a.pixels.toSeq === b.pixels.toSeq)
   }
 }

@@ -76,6 +76,7 @@ class PlanSpec extends AnyFunSuite {
     "q199_quota_allocation" -> "per-source remainder census (sources are app-bounded)",
     "q218_auc" -> "e6-quantized score census (≤1e6 distinct grid points)",
     "q227_nprobe_sweep" -> "nprobe sweep grid (a handful of probe settings)",
+    "q230_hits" -> "two 15-row TakeOrdered slices (limit before the rank window)",
     "q239_bootstrap_ci" -> "bootstrap replicate census (B rows)",
     "q245_time_travel" -> "fold-equality census (k fold rows)",
     "q250_decile_lift" -> "decile census (10 rows)",

@@ -700,3 +700,147 @@ for i in range(12):
     _write_jpeg(os.path.join(out, "jpg420_%02d.jpg" % i), w, h, 0x22, mcus,
                 com=("fixture %d" % i) if i % 3 == 0 else None,
                 dri=1 if i % 4 == 1 else 0)
+
+# images  jpgprog_<i>.jpg (i in 0..9)
+#     PROGRESSIVE-HUFFMAN JPEG (SOF2, 8-bit, 4:4:4) in the SAME DC-only
+#     exact subspace as jpg444 (constant blocks, qDC=8), so the decoded
+#     pixels replay from the block formulas while the bitstream crosses
+#     the full T.81 annex-G machinery: an interleaved DC first scan at
+#     Al=1 (arithmetic-shifted diffs), a DC refinement scan (one raw bit
+#     per block at position 0), per-component AC band scans Ss=1..Se=63
+#     at Al=1 coded as pure EOBRUN (EOBn symbols with extension bits),
+#     and per-component AC refinement scans (Ah=1, Al=0 — EOBRUN again,
+#     zero correction bits since the band is empty). Scan ORDER varies
+#     (odd i refines DC before the AC scans), i%5==0 redefines the DHT
+#     between scans, i%3==0 carries a COM, and i%4==2 carries DRI=2 with
+#     RSTn resets in EVERY scan (EOB runs never straddle a restart).
+#
+#     wB = 2+(i%3) blocks, hB = 1+(i%2) blocks
+#     w = 8*wB - 3*(i%2), h = 8*hB - 2*(1 if i%3==2 else 0)
+#     per block (bx,by):
+#       Y  = 48 + (101*i + 19*bx + 31*by) % 160
+#       Cb = 126 + (3*i + bx + by) % 5
+#       Cr = 126 + (i + 2*bx + 3*by) % 5
+
+PROG_AC_BITS = [0, 0, 4] + [0] * 13
+PROG_AC_VALS = [0x00, 0x10, 0x20, 0x30]  # EOB runs of 1, 2-3, 4-7, 8-15
+PROG_AC = _canon_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+def _eob_encode(bw, n):
+    # EOBRUN covering n blocks: symbol r<<4, r = floor(log2 n), then r
+    # extension bits of n - 2^r
+    r = n.bit_length() - 1
+    c, ln = PROG_AC[r << 4]
+    bw.put(c, ln)
+    if r:
+        bw.put(n - (1 << r), r)
+
+def _sos(scomps, ss, se, ah, al):
+    b = bytes([len(scomps)])
+    for cid, td, ta in scomps:
+        b += bytes([cid, (td << 4) | ta])
+    b += bytes([ss, se, (ah << 4) | al])
+    return _seg(0xDA, b)
+
+def _prog_dht():
+    dc_bits, dc_vals, _, _ = _jpeg_tables()
+    def ht(tc_th, bits, vals):
+        return bytes([tc_th]) + bytes(bits) + bytes(vals)
+    return _seg(0xC4, ht(0x00, dc_bits, dc_vals) + ht(0x01, dc_bits, dc_vals)
+                + ht(0x10, PROG_AC_BITS, PROG_AC_VALS)
+                + ht(0x11, PROG_AC_BITS, PROG_AC_VALS))
+
+def _prog_headers(w, h, com, dri):
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if com is not None:
+        out += _seg(0xFE, com.encode())
+    q_luma = bytes([8] + [16] * 63)
+    q_chroma = bytes([8] + [17] * 63)
+    out += _seg(0xDB, b"\x00" + q_luma + b"\x01" + q_chroma)
+    out += _prog_dht()
+    if dri:
+        out += _seg(0xDD, struct.pack(">H", dri))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += _seg(0xC2, sof)
+    return bytes(out)
+
+def _scan_dc_first(dcs, al, dri):
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    rst = 0
+    for k, mcu in enumerate(dcs):
+        if dri and k and k % dri == 0:
+            bw.marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+            pred = [0, 0, 0]
+        for comp, c in enumerate(mcu):
+            v = c >> al  # arithmetic shift: T.81's DC point transform
+            _dc_encode(bw, DC_CODES, v - pred[comp])
+            pred[comp] = v
+    bw.pad()
+    return bytes(bw.out)
+
+def _scan_dc_refine(dcs, al, dri):
+    bw = _BitWriter()
+    rst = 0
+    for k, mcu in enumerate(dcs):
+        if dri and k and k % dri == 0:
+            bw.marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+        for comp, c in enumerate(mcu):
+            bw.put((c >> al) & 1, 1)
+    bw.pad()
+    return bytes(bw.out)
+
+def _scan_ac_zero(nblocks, dri):
+    # all-zero band: pure EOBRUN, broken at restart boundaries (the
+    # non-interleaved restart interval counts BLOCKS)
+    bw = _BitWriter()
+    rst = 0
+    done = 0
+    while done < nblocks:
+        if dri and done and done % dri == 0:
+            bw.marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+        run = min(dri, nblocks - done) if dri else nblocks
+        _eob_encode(bw, run)
+        done += run
+    bw.pad()
+    return bytes(bw.out)
+
+def _write_prog(path, w, h, blocks, com, dri, refine_dc_first, redef_dht):
+    dcs = [[yv - 128, cb - 128, cr - 128] for (yv, cb, cr) in blocks]
+    nb = len(blocks)
+    def sos_dc(ah, al):
+        return _sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, ah, al)
+    def sos_ac(cid, ah, al):
+        return _sos([(cid, 0, 0 if cid == 1 else 1)], 1, 63, ah, al)
+    dc1 = sos_dc(0, 1) + _scan_dc_first(dcs, 1, dri)
+    dcr = sos_dc(1, 0) + _scan_dc_refine(dcs, 0, dri)
+    ac1 = b"".join(sos_ac(cid, 0, 1) + _scan_ac_zero(nb, dri)
+                   for cid in (1, 2, 3))
+    acr = b"".join(sos_ac(cid, 1, 0) + _scan_ac_zero(nb, dri)
+                   for cid in (1, 2, 3))
+    mid = _prog_dht() if redef_dht else b""
+    body = (dc1 + dcr + mid + ac1 + acr) if refine_dc_first \
+        else (dc1 + ac1 + mid + dcr + acr)
+    with open(path, "wb") as fh:
+        fh.write(_prog_headers(w, h, com, dri) + body + b"\xff\xd9")
+
+for i in range(10):
+    wB, hB = 2 + (i % 3), 1 + (i % 2)
+    w = 8 * wB - 3 * (i % 2)
+    h = 8 * hB - (2 if i % 3 == 2 else 0)
+    blocks = []
+    for by in range(hB):
+        for bx in range(wB):
+            blocks.append((48 + (101 * i + 19 * bx + 31 * by) % 160,
+                           126 + (3 * i + bx + by) % 5,
+                           126 + (i + 2 * bx + 3 * by) % 5))
+    _write_prog(os.path.join(out, "jpgprog_%02d.jpg" % i), w, h, blocks,
+                com=("fixture %d" % i) if i % 3 == 0 else None,
+                dri=2 if i % 4 == 2 else 0,
+                refine_dc_first=(i % 2 == 1),
+                redef_dht=(i % 5 == 0))
