@@ -78,7 +78,7 @@ class PlanSpec extends AnyFunSuite {
     "q227_nprobe_sweep" -> "nprobe sweep grid (a handful of probe settings)",
     "q230_hits" -> "two 15-row TakeOrdered slices (limit before the rank window)",
     "q239_bootstrap_ci" -> "bootstrap replicate census (B rows)",
-    "q245_time_travel" -> "fold-equality census (k fold rows)",
+    "q245_time_travel" -> "4-row version census (fold-equality flag)",
     "q250_decile_lift" -> "decile census (10 rows)",
     "q259_linkpred_auc" -> "e6-quantized score census",
     "q261_rolling_corr" -> "day grid (time-bounded)",
