@@ -31,16 +31,18 @@ object MediaCodecs {
     * F<rate> [Ip] [A<aspect>] [C<space>] [X<ext>...]`, then frames, each a
     * `FRAME[ <params>]\n` line followed by the raw planes.
     *
-    * Colorspaces: C444 (full-resolution U/V planes) and the C420 family
-    * (C420, C420jpeg, C420mpeg2, C420paldv — 4:2:0, half-resolution chroma;
-    * the suffix only states chroma SITING, which never changes plane byte
-    * layout). 4:2:0 is what real-world interchange overwhelmingly carries,
-    * so subsampled frames are UPSAMPLED ON READ (2×2 nearest-neighbor
+    * Colorspaces: C444 (full-resolution U/V planes), the C420 family
+    * (C420, C420jpeg, C420mpeg2, C420paldv — 4:2:0, quarter-resolution
+    * chroma; the suffix only states chroma SITING, which never changes
+    * plane byte layout), and C422 (round 13 — 4:2:2, half-WIDTH chroma at
+    * full height: the broadcast/capture interchange variant). Subsampled
+    * frames are UPSAMPLED ON READ (2×2 or 2×1 nearest-neighbor
     * replication) into the same full-resolution Y ++ U ++ V layout —
     * downstream operators see one shape regardless of source subsampling.
     * C420 requires even W and H (each chroma sample covers a 2×2 block);
-    * odd dimensions and any other C tag (C422, mono, …) fail loudly rather
-    * than misparse payload bytes as frame headers.
+    * C422 requires even W only. Odd dimensions and any other C tag
+    * (C411, mono, …) fail loudly rather than misparse payload bytes as
+    * frame headers.
     */
   def decodeY4m(bytes: Array[Byte]): Video = {
     var pos = 0
@@ -67,21 +69,53 @@ object MediaCodecs {
     }
     require(w > 0 && h > 0, s"y4m: missing W/H in '$header'")
     val c420 = Set("C420", "C420jpeg", "C420mpeg2", "C420paldv")(cspace)
-    require(cspace == "C444" || c420,
+    val c422 = cspace == "C422"
+    require(cspace == "C444" || c420 || c422,
       s"y4m: unsupported colorspace $cspace")
     if (c420)
       require(w % 2 == 0 && h % 2 == 0,
         s"y4m: C420 requires even dimensions, got ${w}x$h")
+    if (c422)
+      require(w % 2 == 0, s"y4m: C422 requires even width, got ${w}x$h")
     val plane = w * h
-    val frameBytes = if (c420) plane + plane / 2 else 3 * plane
+    val frameBytes =
+      if (c420) plane + plane / 2
+      else if (c422) 2 * plane
+      else 3 * plane
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     while (pos < bytes.length) {
       val fl = readLine()
       require(fl == "FRAME" || fl.startsWith("FRAME "),
         s"y4m: expected FRAME, got '$fl'")
       require(pos + frameBytes <= bytes.length, "y4m: truncated frame")
-      if (!c420) {
+      if (!c420 && !c422) {
         frames += java.util.Arrays.copyOfRange(bytes, pos, pos + frameBytes)
+      } else if (c422) {
+        // upsample the two half-WIDTH chroma planes to full resolution:
+        // full(x, y) = sub(x/2, y) — each subsampled byte covers its 2×1
+        // pair, so downstream plane arithmetic is exactly 2× the
+        // subsampled sums (the q477 oracle states that factor explicitly)
+        val out = new Array[Byte](3 * plane)
+        System.arraycopy(bytes, pos, out, 0, plane)
+        val cw = w / 2
+        var p = 0
+        while (p < 2) {
+          val base = pos + plane + p * (plane / 2)
+          val obase = plane + p * plane
+          var y = 0
+          while (y < h) {
+            val srow = base + y * cw
+            val orow = obase + y * w
+            var x = 0
+            while (x < w) {
+              out(orow + x) = bytes(srow + x / 2)
+              x += 1
+            }
+            y += 1
+          }
+          p += 1
+        }
+        frames += out
       } else {
         // upsample the two quarter-size chroma planes to full resolution:
         // full(x, y) = sub(x/2, y/2) — each subsampled byte covers its 2×2

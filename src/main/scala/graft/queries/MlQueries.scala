@@ -270,6 +270,20 @@ object MlQueries {
         .orderBy("media_id")
     },
 
+    // 4:2:2 chroma subsampling (round 13 — the broadcast/capture
+    // interchange layout, closing the last loudly-rejected Y4M variant
+    // short of compressed bitstreams): half-WIDTH, full-height chroma
+    // planes upsampled 2×1 on read into the same full-res plane relation.
+    // The oracle's 2× chroma factor proves the upsample ran (q434's 4×
+    // discipline on a new axis); ODD frame heights prove the even-width-
+    // only dimension rule.
+    QueryDef("q477_y4m_422", MediaSql.y4m422Sql) { (s, _) =>
+      Multimodal.decodeFeatures(
+        Multimodal.readMedia(s, MediaSql.fixtureDir, "vid422_*.y4m"),
+        Multimodal.Y4mVideoDecoder)
+        .orderBy("media_id")
+    },
+
     // Eighth real codec and the TRANSFORM-CODING family: baseline
     // sequential JPEG — the most-hit real image format a multimodal ingest
     // sees (the one the media family had deliberately left out until now).
@@ -4520,6 +4534,45 @@ private[queries] object MediaSql {
        |ca AS (SELECT i,
        |              4 * sum(CASE WHEN p = 1 THEN val END) AS sum_u,
        |              4 * sum(CASE WHEN p = 2 THEN val END) AS sum_v
+       |       FROM cv GROUP BY i)
+       |SELECT ya.i AS media_id, CAST(w AS INTEGER) AS width,
+       |       CAST(h AS INTEGER) AS height, CAST(nf AS BIGINT) AS n_frames,
+       |       CAST(n_sampled AS BIGINT) AS n_sampled,
+       |       CAST(sum_y AS BIGINT) AS sum_y,
+       |       CAST(sum_u AS BIGINT) AS sum_u,
+       |       CAST(sum_v AS BIGINT) AS sum_v,
+       |       CAST(wsum AS BIGINT) AS wsum
+       |FROM ya JOIN ca ON ya.i = ca.i ORDER BY media_id""".stripMargin
+
+  /** q477: replay the C422 fixtures over the sampled frame grid. Y is the
+    * full-resolution formula; chroma is the SUBSAMPLED (half-width,
+    * full-height) formula times 2 — each half-width byte covers a 2×1 pair
+    * after the decoder's nearest-neighbor upsample, so the 2× factor is
+    * what proves the 4:2:2 upsample ran (q434's 4× discipline, new axis).
+    */
+  val y4m422Sql: String =
+    s"""WITH vids AS (
+       |  SELECT i, 8 + (i % 3) * 4 AS w, 5 + (i % 2) * 4 AS h,
+       |         4 + i % 4 AS nf
+       |  FROM (SELECT unnest(range(0, 6)) AS i)),
+       |st AS (SELECT i, w, h, nf, unnest(range(0, nf, 2)) AS t FROM vids),
+       |yv AS (SELECT i, w, h, nf, t,
+       |              (t * 131 + f * $K + 71 * i) % 256 AS val
+       |       FROM (SELECT i, w, h, nf, t, unnest(range(0, w * h)) AS f
+       |             FROM st)),
+       |ya AS (SELECT i, max(w) AS w, max(h) AS h, max(nf) AS nf,
+       |              count(DISTINCT t) AS n_sampled,
+       |              sum(val) AS sum_y, sum((t + 1) * val) AS wsum
+       |       FROM yv GROUP BY i),
+       |cv AS (SELECT i, t, p,
+       |              (t * 131 + p * 17 + f * $K + 71 * i) % 256 AS val
+       |       FROM (SELECT i, t, p,
+       |                    unnest(range(0, (w // 2) * h)) AS f
+       |             FROM (SELECT i, w, h, t, unnest(range(1, 3)) AS p
+       |                   FROM st))),
+       |ca AS (SELECT i,
+       |              2 * sum(CASE WHEN p = 1 THEN val END) AS sum_u,
+       |              2 * sum(CASE WHEN p = 2 THEN val END) AS sum_v
        |       FROM cv GROUP BY i)
        |SELECT ya.i AS media_id, CAST(w AS INTEGER) AS width,
        |       CAST(h AS INTEGER) AS height, CAST(nf AS BIGINT) AS n_frames,

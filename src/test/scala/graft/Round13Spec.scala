@@ -127,13 +127,31 @@ class Round13Spec extends AnyFunSuite {
       assert(ns == (nf + 1) / 2, s"stride-2 sampling: $ns of $nf")
       assert(r.getAs[Long]("sum_y") > 0 && r.getAs[Long]("wsum") > 0)
     }
-    // the decoder rejects colorspaces outside {C444, C420*} rather than
-    // misparsing payload bytes as frame headers (C420 support and its
-    // rejection cases are Round14Spec's surface)
+    // the decoder rejects colorspaces outside {C444, C420*, C422} rather
+    // than misparsing payload bytes as frame headers (C420 support is
+    // Round14Spec's surface; C422 landed in round 13 — q477)
     import graft.operators.MediaCodecs
-    val c422 = "YUV4MPEG2 W4 H2 F25:1 C422\nFRAME\n".getBytes("US-ASCII") ++
+    val c411 = "YUV4MPEG2 W4 H2 F25:1 C411\nFRAME\n".getBytes("US-ASCII") ++
       Array.fill[Byte](16)(0)
-    intercept[IllegalArgumentException](MediaCodecs.decodeY4m(c422))
+    intercept[IllegalArgumentException](MediaCodecs.decodeY4m(c411))
+    // C422 decodes now, but odd WIDTH still rejects (even-width-only rule)
+    val oddW = "YUV4MPEG2 W5 H2 F25:1 C422\nFRAME\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](20)(0)
+    intercept[IllegalArgumentException](MediaCodecs.decodeY4m(oddW))
+    // 2×1 upsample correctness on a handcrafted frame: W4 H2, Y = 0..7,
+    // U half-width rows (10,11 / 12,13), V (20,21 / 22,23) — each chroma
+    // byte must cover its horizontal pair at FULL height
+    val y = Array.tabulate[Byte](8)(_.toByte)
+    val u = Array[Byte](10, 11, 12, 13)
+    val v = Array[Byte](20, 21, 22, 23)
+    val f = MediaCodecs.decodeY4m(
+      "YUV4MPEG2 W4 H2 F25:1 C422\nFRAME\n".getBytes("US-ASCII") ++
+        y ++ u ++ v).frames(0)
+    assert(f.slice(0, 8).toSeq == y.toSeq)
+    assert(f.slice(8, 16).toSeq ==
+      Seq[Byte](10, 10, 11, 11, 12, 12, 13, 13))
+    assert(f.slice(16, 24).toSeq ==
+      Seq[Byte](20, 20, 21, 21, 22, 22, 23, 23))
   }
 
   test("q408 RRF fuses both modalities and ranks dual hits sensibly") {

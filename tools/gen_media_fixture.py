@@ -844,3 +844,36 @@ for i in range(10):
                 dri=2 if i % 4 == 2 else 0,
                 refine_dc_first=(i % 2 == 1),
                 redef_dht=(i % 5 == 0))
+
+# video  vid422_<v>.y4m  (v in 0..5)  YUV4MPEG2, C422 (4:2:2 subsampled
+#     chroma — half WIDTH, full height: the broadcast/capture interchange
+#     layout; the decoder upsamples 2x1 on read, so downstream chroma sums
+#     are exactly 2x the subsampled bytes)
+#     width  w(v) = 8 + (v % 3) * 4  (8, 12, 16 — all even)
+#     height h(v) = 5 + (v % 2) * 4  (5, 9 — ODD on purpose: C422 needs
+#                                     even width only)
+#     frames nf(v) = 4 + v % 4
+#     Y plane byte (flat f in [0, w*h)):        (t*131 + f*K + 71*v) % 256
+#     U/V plane byte (p in {1,2}, f in [0, (w/2)*h)):
+#         (t*131 + p*17 + f*K + 71*v) % 256
+#     odd v carries a FRAME-line param; v % 4 == 0 carries an X header param
+for v in range(6):
+    w = 8 + (v % 3) * 4
+    h = 5 + (v % 2) * 4
+    nf = 4 + v % 4
+    hdr = "YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C422" % (w, h)
+    if v % 4 == 0:
+        hdr += " Xfixture%d" % v
+    data = bytearray(hdr.encode() + b"\n")
+    for t in range(nf):
+        fl = "FRAME"
+        if v % 2 == 1:
+            fl += " Xt%d" % t
+        data += fl.encode() + b"\n"
+        data += bytes(((t * 131 + f * K + 71 * v) % 256)
+                      for f in range(w * h))
+        for p in (1, 2):
+            data += bytes(((t * 131 + p * 17 + f * K + 71 * v) % 256)
+                          for f in range((w // 2) * h))
+    with open(os.path.join(out, "vid422_%d.y4m" % v), "wb") as fh:
+        fh.write(bytes(data))
