@@ -263,6 +263,47 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive spectral-band split: coefficients land from separate band scans") {
+    // the libjpeg progression-script shape: the AC band split across TWO
+    // single-component scans (Ss=1..5 then Ss=6..63) with nonzero
+    // coefficients in BOTH bands — the second scan must start its run
+    // arithmetic at k=6, not k=1
+    //   block A: DC 5, zz1 = +1 (band 1), zz8 = -2 (band 2)
+    //   block B: DC -6, zz1 = -1 (band 1)
+    val bw = new BitWriter
+    var pred = 0
+    Seq(5, -6).foreach { c => putDc(bw, c - pred); pred = c }
+    bw.pad()
+    val dcScan = sosGray(0, 0, 0, 0) ++ bw.out
+    val bw1 = new BitWriter
+    def p1(sym: Int): Unit = { val (c, l) = pAcCodes(sym); bw1.put(c, l) }
+    p1(0x01); bw1.put(1, 1); p1(0x00) // A: zz1 = +1, EOB
+    p1(0x01); bw1.put(0, 1); p1(0x00) // B: zz1 = -1, EOB
+    bw1.pad()
+    val band1 = sosGray(1, 5, 0, 0) ++ bw1.out
+    val bw2 = new BitWriter
+    def p2(sym: Int): Unit = { val (c, l) = pAcCodes(sym); bw2.put(c, l) }
+    p2(0x22); bw2.put(1, 2); p2(0x00) // A: skip 2 from k=6, zz8 = -2, EOB
+    p2(0x00)                          // B: empty band
+    bw2.pad()
+    val band2 = sosGray(6, 63, 0, 0) ++ bw2.out
+    val img = MediaCodecs.decodeJpeg(progGrayHeader(16, 8) ++ dcScan ++
+      band1 ++ band2 ++ Array(0xff.toByte, 0xd9.toByte))
+    val fA = new Array[Int](64)
+    fA(0) = 5 * quant(0)
+    fA(zigzag(1)) = 1 * quant(1)
+    fA(zigzag(8)) = -2 * quant(8)
+    val fB = new Array[Int](64)
+    fB(0) = -6 * quant(0)
+    fB(zigzag(1)) = -1 * quant(1)
+    val wantA = directIdct(fA)
+    val wantB = directIdct(fB)
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val want = if (x < 8) wantA(y * 8 + x) else wantB(y * 8 + (x - 8))
+      assert((img.pixels((y * 16 + x) * 3) & 0xff) === want, s"($x,$y)")
+    }
+  }
+
   test("progressive scan order is free: DC refinement after the AC scans decodes identically") {
     // same coefficients, scans reordered [DC1, AC1, ACr, DCr] — the
     // coefficient buffer makes scan order irrelevant for the final IDCT

@@ -711,9 +711,11 @@ for i in range(12):
 #     at Al=1 coded as pure EOBRUN (EOBn symbols with extension bits),
 #     and per-component AC refinement scans (Ah=1, Al=0 — EOBRUN again,
 #     zero correction bits since the band is empty). Scan ORDER varies
-#     (odd i refines DC before the AC scans), i%5==0 redefines the DHT
-#     between scans, i%3==0 carries a COM, and i%4==2 carries DRI=2 with
-#     RSTn resets in EVERY scan (EOB runs never straddle a restart).
+#     (odd i refines DC before the AC scans), i%3==1 SPLITS the AC band
+#     into two scans per component (1..5 then 6..63 — the libjpeg-style
+#     progression-script shape), i%5==0 redefines the DHT between scans,
+#     i%3==0 carries a COM, and i%4==2 carries DRI=2 with RSTn resets in
+#     EVERY scan (EOB runs never straddle a restart).
 #
 #     wB = 2+(i%3) blocks, hB = 1+(i%2) blocks
 #     w = 8*wB - 3*(i%2), h = 8*hB - 2*(1 if i%3==2 else 0)
@@ -810,19 +812,24 @@ def _scan_ac_zero(nblocks, dri):
     bw.pad()
     return bytes(bw.out)
 
-def _write_prog(path, w, h, blocks, com, dri, refine_dc_first, redef_dht):
+def _write_prog(path, w, h, blocks, com, dri, refine_dc_first, redef_dht,
+                split_bands):
     dcs = [[yv - 128, cb - 128, cr - 128] for (yv, cb, cr) in blocks]
     nb = len(blocks)
     def sos_dc(ah, al):
         return _sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, ah, al)
-    def sos_ac(cid, ah, al):
-        return _sos([(cid, 0, 0 if cid == 1 else 1)], 1, 63, ah, al)
+    def sos_ac(cid, ss, se, ah, al):
+        return _sos([(cid, 0, 0 if cid == 1 else 1)], ss, se, ah, al)
+    # split_bands mirrors real encoders' progression scripts (libjpeg's
+    # default splits the AC band, e.g. 1..5 then 6..63): per component,
+    # one scan per band — the all-zero bands are still pure EOBRUN
+    bands = [(1, 5), (6, 63)] if split_bands else [(1, 63)]
     dc1 = sos_dc(0, 1) + _scan_dc_first(dcs, 1, dri)
     dcr = sos_dc(1, 0) + _scan_dc_refine(dcs, 0, dri)
-    ac1 = b"".join(sos_ac(cid, 0, 1) + _scan_ac_zero(nb, dri)
-                   for cid in (1, 2, 3))
-    acr = b"".join(sos_ac(cid, 1, 0) + _scan_ac_zero(nb, dri)
-                   for cid in (1, 2, 3))
+    ac1 = b"".join(sos_ac(cid, ss, se, 0, 1) + _scan_ac_zero(nb, dri)
+                   for cid in (1, 2, 3) for (ss, se) in bands)
+    acr = b"".join(sos_ac(cid, ss, se, 1, 0) + _scan_ac_zero(nb, dri)
+                   for cid in (1, 2, 3) for (ss, se) in bands)
     mid = _prog_dht() if redef_dht else b""
     body = (dc1 + dcr + mid + ac1 + acr) if refine_dc_first \
         else (dc1 + ac1 + mid + dcr + acr)
@@ -843,7 +850,8 @@ for i in range(10):
                 com=("fixture %d" % i) if i % 3 == 0 else None,
                 dri=2 if i % 4 == 2 else 0,
                 refine_dc_first=(i % 2 == 1),
-                redef_dht=(i % 5 == 0))
+                redef_dht=(i % 5 == 0),
+                split_bands=(i % 3 == 1))
 
 # video  vid422_<v>.y4m  (v in 0..5)  YUV4MPEG2, C422 (4:2:2 subsampled
 #     chroma — half WIDTH, full height: the broadcast/capture interchange
