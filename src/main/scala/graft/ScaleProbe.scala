@@ -715,6 +715,22 @@ object ScaleProbe {
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       },
 
+      // PrefixSum.cumsum over the raw lineitem stream — the round-13
+      // operator probed directly: range partition on a unique key, P-pair
+      // census, offset + local cumsum. The partition-less window it
+      // replaces parks EVERYTHING on one task (the q330 probe measured
+      // that class before NnMatch's rewrite); the two-pass zip must track
+      // the global-sort family (one range exchange + linear scans)
+      "prefix_sum" -> { m =>
+        val t = li(m).select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+          col("l_quantity").cast("long").as("v"))
+        graft.operators.PrefixSum.cumsum(t, Seq(col("k")), "v",
+            inclusive = true, sumName = "cum", rnName = Some("rn"))
+          .groupBy().agg(count(lit(1)).as("n"), max("cum").as("tot"),
+            max("rn").as("maxrn"))
+      },
+
       // q473 Heaps' law (the corpus-health family's probe leg): token
       // explode → first-occurrence min-aggregate census + the TWO-PASS
       // PrefixSum doc-offset cumsum (round 13's fix — the old partition-
@@ -773,7 +789,7 @@ object ScaleProbe {
     // the steepest 10× shapes get a 30× leg: confirms no super-linear break
     // past 10× — the 10→30 exponent is measured on the segment where fixed
     // job overhead has already amortized, so it is the honest asymptote
-    val deep = Set("shingle_join", "pq_adc", "triangle_wedge")
+    val deep = Set("shingle_join", "pq_adc", "triangle_wedge", "prefix_sum")
 
     // warm-up
     mat(li(1).select(col("l_orderkey")))

@@ -2583,6 +2583,193 @@ object TextQueries {
     // ln is IntLn end to end — no libm in the comparison path (round 12).
     QueryDef("q473_heaps_law", HeapsSql.sql) { (s, d) =>
       TextQueries.heapsLaw(Tables.documents(s, d))
+    },
+
+    // PII detection + redaction census (round 13) — the compliance gate a
+    // training pipeline runs before anything ships: per-document counts of
+    // emails, NANP-style phone numbers and IPv4 literals, and the length
+    // delta of the three-pass redaction (email → phone → ip, global
+    // replace in that stated order on BOTH engines). The regexes use ONLY
+    // the syntax subset where Java regex (Spark) and RE2 (DuckDB) agree —
+    // character classes (no shorthand escapes, `[.]` instead of `\.`),
+    // bounded quantifiers, no backrefs/lookaround — so extraction and
+    // replacement are bit-identical. The fixture corpus carries no real
+    // PII, so deterministic PII is INJECTED identically on both engines
+    // (doc_id % 3 ≠ 0 appends an email+phone tail, doc_id % 2 = 1 an IPv4
+    // tail) — every detector path runs against nonzero counts while
+    // doc_id % 6 = 0 docs pin the zero path. Scale: row-local regex work
+    // + one source-keyed aggregate; no joins, no windows.
+    QueryDef("q478_pii_scrub", {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+      val phone = "[+]1-555-[0-9]{1,4}"
+      val ip = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+      s"""WITH t2 AS (
+         |  SELECT source,
+         |         text ||
+         |         CASE WHEN doc_id % 3 <> 0
+         |              THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |                   '@example.com or +1-555-' ||
+         |                   CAST(doc_id % 10000 AS VARCHAR)
+         |              ELSE '' END ||
+         |         CASE WHEN doc_id % 2 = 1
+         |              THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+         |                   '.' || CAST(doc_id % 100 AS VARCHAR)
+         |              ELSE '' END AS txt
+         |  FROM documents),
+         |c AS (
+         |  SELECT source,
+         |         CAST(len(regexp_extract_all(txt, '$email')) AS BIGINT)
+         |           AS ne,
+         |         CAST(len(regexp_extract_all(txt, '$phone')) AS BIGINT)
+         |           AS np,
+         |         CAST(len(regexp_extract_all(txt, '$ip')) AS BIGINT) AS ni,
+         |         CAST(length(txt) AS BIGINT)
+         |           - CAST(length(regexp_replace(regexp_replace(
+         |               regexp_replace(txt, '$email', '<EMAIL>', 'g'),
+         |               '$phone', '<PHONE>', 'g'),
+         |               '$ip', '<IP>', 'g')) AS BIGINT) AS delta
+         |  FROM t2)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS docs_with_pii,
+         |       CAST(sum(ne) AS BIGINT) AS total_emails,
+         |       CAST(sum(np) AS BIGINT) AS total_phones,
+         |       CAST(sum(ni) AS BIGINT) AS total_ips,
+         |       CAST(sum(delta) AS BIGINT) AS red_len_delta
+         |FROM c GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+      val phone = "[+]1-555-[0-9]{1,4}"
+      val ip = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+      val t2 = Tables.documents(s, d).select(col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 3 =!= 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or +1-555-"),
+              (col("doc_id") % 10000).cast("string"))).otherwise(lit("")),
+          when(col("doc_id") % 2 === 1,
+            concat(lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+              lit("."), (col("doc_id") % 100).cast("string")))
+            .otherwise(lit(""))).as("txt"))
+      val c = t2.select(col("source"),
+        regexp_count(col("txt"), lit(email)).cast("long").as("ne"),
+        regexp_count(col("txt"), lit(phone)).cast("long").as("np"),
+        regexp_count(col("txt"), lit(ip)).cast("long").as("ni"),
+        (length(col("txt")) - length(regexp_replace(regexp_replace(
+          regexp_replace(col("txt"), email, "<EMAIL>"),
+          phone, "<PHONE>"), ip, "<IP>"))).cast("long").as("delta"))
+      c.groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ne") + col("np") + col("ni") > 0, 1L).otherwise(0L))
+            .as("docs_with_pii"),
+          sum("ne").as("total_emails"), sum("np").as("total_phones"),
+          sum("ni").as("total_ips"), sum("delta").as("red_len_delta"))
+        .orderBy("source")
+    },
+
+    // WordPiece-style greedy tokenizer ENCODE (round 13) — the
+    // tokenizer-SERVING path next to the BPE fit family: a deterministic
+    // vocabulary (every corpus character + the top-200
+    // occurrence-weighted substrings of length 2–4, ties by piece) is a
+    // k-row broadcast statistic, and each distinct word is segmented by
+    // longest-match-first greedy scan (the BERT tokenizer's rule; the
+    // character alphabet guarantees coverage, so no UNK path). Greedy
+    // longest-match ≡ "max matching piece length at each position", which
+    // is how the oracle states it: a precomputed (word, pos) → max-step
+    // table, then a recursive walk. Per-source report weights each word
+    // type by its occurrence count. Scale: word/substr censuses are hash
+    // aggregates; the vocab is k rows collected once; the encode is a
+    // row-local map over the word-type census (words ≪ tokens), never the
+    // token stream.
+    QueryDef("q479_wordpiece_encode",
+      """WITH RECURSIVE w0 AS MATERIALIZED (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE length(w) > 0 GROUP BY source, w),
+        |gw AS MATERIALIZED (
+        |  SELECT w, CAST(sum(cnt) AS BIGINT) AS c FROM w0 GROUP BY w),
+        |chars AS (SELECT DISTINCT substr(w, CAST(i AS INTEGER), 1) AS p
+        |          FROM gw, unnest(range(1, length(w) + 1)) AS u(i)),
+        |subs AS (SELECT substr(w, CAST(i AS INTEGER), CAST(L AS INTEGER))
+        |                  AS p,
+        |                CAST(sum(c) AS BIGINT) AS pc
+        |         FROM gw, unnest([2, 3, 4]) AS ls(L),
+        |              unnest(range(1, length(w) - L + 2)) AS u(i)
+        |         WHERE length(w) >= L
+        |         GROUP BY 1),
+        |top AS (SELECT p FROM subs ORDER BY pc DESC, p LIMIT 200),
+        |vocab AS MATERIALIZED (
+        |  SELECT p FROM chars UNION SELECT p FROM top),
+        |words AS MATERIALIZED (SELECT DISTINCT w FROM gw),
+        |steps AS MATERIALIZED (
+        |  SELECT wp.w, wp.pos, CAST(max(length(v.p)) AS BIGINT) AS step
+        |  FROM (SELECT w, CAST(pos AS BIGINT) AS pos
+        |        FROM words, unnest(range(0, length(w))) AS u(pos)) wp
+        |  JOIN vocab v
+        |    ON length(v.p) <= length(wp.w) - wp.pos
+        |   AND substr(wp.w, CAST(wp.pos + 1 AS INTEGER), length(v.p)) = v.p
+        |  GROUP BY 1, 2),
+        |rec(w, pos, np) AS (
+        |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM words
+        |  UNION ALL
+        |  SELECT r.w, r.pos + s.step, r.np + 1
+        |  FROM rec r JOIN steps s ON s.w = r.w AND s.pos = r.pos
+        |  WHERE r.pos < length(r.w)),
+        |fin AS (SELECT w, np FROM rec WHERE pos = length(w))
+        |SELECT w0.source, CAST(count(*) AS BIGINT) AS n_word_types,
+        |       CAST(sum(w0.cnt) AS BIGINT) AS n_tokens,
+        |       CAST(sum(f.np * w0.cnt) AS BIGINT) AS n_pieces,
+        |       CAST(sum(f.np * w0.cnt) * 1000000 // sum(w0.cnt) AS BIGINT)
+        |         AS pieces_per_token_e6,
+        |       CAST(max(f.np) AS BIGINT) AS max_pieces
+        |FROM w0 JOIN fin f ON f.w = w0.w
+        |GROUP BY w0.source ORDER BY w0.source""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val words = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+        .persist() // global census + the encode map share it
+      val gw = words.groupBy("w").agg(sum("cnt").as("c"))
+        .persist() // alphabet + substring census
+      val chars = gw
+        .select(explode(sequence(lit(1), length(col("w")))).as("i"), col("w"))
+        .select(expr("substring(w, i, 1)").as("p")).distinct()
+      val subs = gw
+        .select(col("w"), col("c"), explode(sequence(lit(2), lit(4))).as("L"))
+        .where(length(col("w")) >= col("L"))
+        .select(col("w"), col("c"), col("L"),
+          explode(sequence(lit(1), length(col("w")) - col("L") + 1)).as("i"))
+        .select(expr("substring(w, i, L)").as("p"), col("c"))
+        .groupBy("p").agg(sum("c").as("pc"))
+      val top = subs.orderBy(col("pc").desc, col("p")).limit(200).select("p")
+      // the fitted vocabulary IS a k-row statistic — collected once,
+      // broadcast to the row-local greedy scan (the KMeans/codebook posture)
+      val vocabSet = chars.unionByName(top).distinct()
+        .as[String].collect().toSet
+      val bc = s.sparkContext.broadcast(vocabSet)
+      val enc = words.select("source", "w", "cnt").as[(String, String, Long)]
+        .map { case (src, w, cnt) =>
+          var pos = 0
+          var np = 0L
+          while (pos < w.length) {
+            var l = math.min(4, w.length - pos)
+            while (l > 1 && !bc.value.contains(w.substring(pos, pos + l)))
+              l -= 1
+            // l == 1 always matches: the alphabet covers every corpus char
+            pos += l
+            np += 1
+          }
+          (src, cnt, np)
+        }.toDF("source", "cnt", "np")
+      enc.groupBy("source").agg(
+          count(lit(1)).as("n_word_types"),
+          sum("cnt").as("n_tokens"),
+          sum(col("np") * col("cnt")).as("n_pieces"),
+          expr("sum(np * cnt) * 1000000 div sum(cnt)")
+            .as("pieces_per_token_e6"),
+          max("np").as("max_pieces"))
+        .orderBy("source")
     }
   )
 
