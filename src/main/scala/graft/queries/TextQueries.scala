@@ -2770,6 +2770,89 @@ object TextQueries {
             .as("pieces_per_token_e6"),
           max("np").as("max_pieces"))
         .orderBy("source")
+    },
+
+    // Quota-exact mixture SAMPLER (round 13) — q199 computes the Hamilton
+    // quotas; this MATERIALIZES them: each source contributes exactly its
+    // quota of documents, chosen by salted-hash order with doc_id
+    // tie-break (deterministic, replayable, and stable under reruns — the
+    // split-stability discipline applied to mixture sampling). The rank is
+    // a PER-SOURCE window (partitioned — distributes at any scale; the
+    // quota bound trims each source to k rows). The report proves the
+    // contract: per source, selected == quota and the selected set is
+    // pinned by an order-free checksum.
+    QueryDef("q480_quota_sample", {
+      import graft.functions.Hashes
+      s"""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |           FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM s),
+         |b AS (SELECT source, n, (200 * n) // total AS base,
+         |             (200 * n) % total AS rem
+         |      FROM s, t),
+         |l AS (SELECT CAST(200 - sum(base) AS BIGINT) AS leftover FROM b),
+         |q AS (SELECT source, n,
+         |             base + CASE WHEN row_number()
+         |                 OVER (ORDER BY rem DESC, source) <= leftover
+         |               THEN 1 ELSE 0 END AS quota
+         |      FROM b, l),
+         |r AS (SELECT d.source, d.doc_id,
+         |             row_number() OVER (PARTITION BY d.source
+         |               ORDER BY ${Hashes.mulHashSql("d.doc_id", 77)},
+         |                        d.doc_id) AS rk
+         |      FROM documents d),
+         |sel AS (SELECT r.source, r.doc_id
+         |        FROM r JOIN q ON q.source = r.source
+         |        WHERE r.rk <= q.quota)
+         |SELECT q.source, q.n, CAST(q.quota AS BIGINT) AS quota,
+         |       CAST(count(sel.doc_id) AS BIGINT) AS n_selected,
+         |       CAST(count(sel.doc_id) AS BIGINT) = CAST(q.quota AS BIGINT)
+         |         AS quota_exact,
+         |       CAST(coalesce(sum(${Hashes.mulHashSql("sel.doc_id", 91)}),
+         |            0) AS BIGINT) AS sel_checksum
+         |FROM q LEFT JOIN sel ON sel.source = q.source
+         |GROUP BY q.source, q.n, q.quota ORDER BY q.source""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Hashes
+      import org.apache.spark.sql.expressions.Window
+      val src = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+      val tot = src.agg(sum("n").as("total"))
+      val b = src.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"),
+          expr("(200 * n) div total").as("base"),
+          expr("(200 * n) % total").as("rem"))
+      val lo = b.agg((lit(200L) - sum("base")).as("leftover"))
+      // the quota relation is a k-row source census — its remainder rank
+      // is the q199 window, bounded
+      val q = b.crossJoin(broadcast(lo))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+        .select(col("source"), col("n"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L)
+            .otherwise(0L)).as("quota"))
+      val w = Window.partitionBy("source")
+        .orderBy(Hashes.mulHash(col("doc_id"), 77), col("doc_id"))
+      // every quota ≤ the 200-doc global budget, so the LITERAL rank cap
+      // rk <= 200 is a no-op on the result but compiles to a map-side
+      // WindowGroupLimit — each task forwards ≤ 200 rows per source before
+      // the per-source sort, so a skewed giant source never funnels its
+      // full row set through one window task
+      val sel = Tables.documents(s, d).select(col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 200)
+        .join(broadcast(q), "source")
+        .where(col("rk") <= col("quota"))
+        .select(col("source"), col("doc_id"))
+      q.join(sel.groupBy(col("source").as("ssrc"))
+            .agg(count(lit(1)).as("n_selected"),
+              sum(Hashes.mulHash(col("doc_id"), 91)).as("sel_checksum")),
+          col("source") === col("ssrc"), "left")
+        .select(col("source"), col("n"), col("quota"),
+          coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+          (coalesce(col("n_selected"), lit(0L)) === col("quota"))
+            .as("quota_exact"),
+          coalesce(col("sel_checksum"), lit(0L)).as("sel_checksum"))
+        .orderBy("source")
     }
   )
 
