@@ -2846,67 +2846,76 @@ object EventQueries {
     // cohort, secondary sort by time, sequential only within a cohort.
     // Output per cohort: events, match count, replay reward and CTR, and
     // the per-arm pull census showing exploitation concentrating.
+    // Oracle note (round 13): the recurrence used to be a recursive CTE
+    // advancing one event per iteration — ~15k iterations each re-joining
+    // the 60k-row event census at sf0.01, which ran the oracle INTO the
+    // 10 s budget under load (the exact r11 failure class the budget
+    // exists to catch). It is now a list_reduce FOLD per cohort: one
+    // ordered list, one O(N) lambda pass, no per-step join — the same
+    // ε-greedy recurrence stated as the fold it is (the q95 list_prepend
+    // init trick supplies the zero state).
     QueryDef("q358_bandit_replay", {
-      val h = graft.functions.Hashes
-        .mulHashSql("rec.coh * 1000003 + r.rn", 501)
+      import graft.functions.Hashes
       def sc(a: Int) =
-        s"CASE WHEN rec.n$a = 0 THEN 1e18 " +
-          s"ELSE CAST(rec.s$a AS DOUBLE) / rec.n$a END"
+        s"CASE WHEN acc.n$a = 0 THEN 1e18 " +
+          s"ELSE CAST(acc.s$a AS DOUBLE) / acc.n$a END"
       val argmax =
-        s"""CASE WHEN sc0 >= sc1 AND sc0 >= sc2 AND sc0 >= sc3
-           |       AND sc0 >= sc4 THEN 0
-           |     WHEN sc1 >= sc2 AND sc1 >= sc3 AND sc1 >= sc4 THEN 1
-           |     WHEN sc2 >= sc3 AND sc2 >= sc4 THEN 2
-           |     WHEN sc3 >= sc4 THEN 3 ELSE 4 END""".stripMargin
-      def upd(a: Int) =
-        s"n$a + CASE WHEN ch = $a AND arm = $a THEN 1 ELSE 0 END,\n" +
-          s"  s$a + CASE WHEN ch = $a AND arm = $a THEN rew ELSE 0 END"
-      s"""WITH RECURSIVE r AS MATERIALIZED (
+        s"""CASE WHEN ${sc(0)} >= ${sc(1)} AND ${sc(0)} >= ${sc(2)}
+           |       AND ${sc(0)} >= ${sc(3)} AND ${sc(0)} >= ${sc(4)} THEN 0
+           |     WHEN ${sc(1)} >= ${sc(2)} AND ${sc(1)} >= ${sc(3)}
+           |       AND ${sc(1)} >= ${sc(4)} THEN 1
+           |     WHEN ${sc(2)} >= ${sc(3)} AND ${sc(2)} >= ${sc(4)} THEN 2
+           |     WHEN ${sc(3)} >= ${sc(4)} THEN 3 ELSE 4 END""".stripMargin
+      val ch = s"CASE WHEN x.rn % 7 = 0 THEN (${Hashes
+        .mulHashSql("acc.coh * 1000003 + x.rn", 501)}) % 5 ELSE $argmax END"
+      val packMatched = (0 to 4).map(a =>
+        s"n$a := acc.n$a + CASE WHEN x.arm = $a THEN 1 ELSE 0 END, " +
+          s"s$a := acc.s$a + CASE WHEN x.arm = $a THEN x.rew ELSE 0 END")
+        .mkString(",\n         |        ").stripMargin
+      val packSame = (0 to 4)
+        .map(a => s"n$a := acc.n$a, s$a := acc.s$a").mkString(", ")
+      val zeroState = (0 to 4)
+        .map(a => s"n$a := CAST(0 AS BIGINT), s$a := CAST(0 AS BIGINT)")
+        .mkString(", ")
+      s"""WITH r AS MATERIALIZED (
          |  SELECT user_id % 4 AS coh,
-         |    row_number() OVER (PARTITION BY user_id % 4
-         |      ORDER BY ts, event_id) AS rn,
-         |    CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
-         |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS arm,
-         |    CASE WHEN value >= 50 THEN 1 ELSE 0 END AS rew
+         |    CAST(row_number() OVER (PARTITION BY user_id % 4
+         |      ORDER BY ts, event_id) AS BIGINT) AS rn,
+         |    CAST(CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+         |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END
+         |      AS BIGINT) AS arm,
+         |    CAST(CASE WHEN value >= 50 THEN 1 ELSE 0 END AS BIGINT) AS rew
          |  FROM events),
-         |seed AS (SELECT DISTINCT coh FROM r),
-         |rec(coh, rn, n0, s0, n1, s1, n2, s2, n3, s3, n4, s4, matches,
-         |    rsum) AS (
-         |  SELECT coh, CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
-         |         0, 0
-         |  FROM seed
-         |  UNION ALL
-         |  SELECT coh, rn,
-         |    ${upd(0)},
-         |    ${upd(1)},
-         |    ${upd(2)},
-         |    ${upd(3)},
-         |    ${upd(4)},
-         |    matches + CASE WHEN ch = arm THEN 1 ELSE 0 END,
-         |    rsum + CASE WHEN ch = arm THEN rew ELSE 0 END
-         |  FROM (
-         |    SELECT m.*, CASE WHEN m.rn % 7 = 0 THEN m.hch
-         |                     ELSE $argmax END AS ch
-         |    FROM (
-         |      SELECT rec.coh, r.rn, r.arm, r.rew, rec.n0, rec.s0, rec.n1,
-         |             rec.s1, rec.n2, rec.s2, rec.n3, rec.s3, rec.matches,
-         |             rec.rsum, rec.n4, rec.s4,
-         |             (${h}) % 5 AS hch,
-         |             ${sc(0)} AS sc0, ${sc(1)} AS sc1, ${sc(2)} AS sc2,
-         |             ${sc(3)} AS sc3, ${sc(4)} AS sc4
-         |      FROM rec JOIN r ON r.coh = rec.coh AND r.rn = rec.rn + 1) m
-         |  ) t),
-         |fin AS (SELECT *, row_number() OVER (PARTITION BY coh
-         |          ORDER BY rn DESC) AS rr FROM rec)
-         |SELECT coh, CAST(rn AS BIGINT) AS n_events,
-         |       CAST(matches AS BIGINT) AS matches,
-         |       CAST(rsum AS BIGINT) AS rsum,
-         |       CAST(CASE WHEN matches > 0 THEN rsum * 1000000 // matches
+         |lst AS (
+         |  SELECT coh, list(struct_pack(coh := coh, rn := rn, arm := arm,
+         |           rew := rew, $zeroState,
+         |           matches := CAST(0 AS BIGINT),
+         |           rsum := CAST(0 AS BIGINT)) ORDER BY rn) AS evs
+         |  FROM r GROUP BY coh),
+         |folded AS (
+         |  SELECT coh, list_reduce(
+         |    list_prepend(struct_pack(coh := coh, rn := CAST(0 AS BIGINT),
+         |      arm := CAST(-1 AS BIGINT), rew := CAST(0 AS BIGINT),
+         |      $zeroState, matches := CAST(0 AS BIGINT),
+         |      rsum := CAST(0 AS BIGINT)), evs),
+         |    (acc, x) -> CASE WHEN ($ch) = x.arm THEN
+         |      struct_pack(coh := acc.coh, rn := x.rn, arm := x.arm,
+         |        rew := x.rew,
+         |        $packMatched,
+         |        matches := acc.matches + 1, rsum := acc.rsum + x.rew)
+         |    ELSE
+         |      struct_pack(coh := acc.coh, rn := x.rn, arm := x.arm,
+         |        rew := x.rew, $packSame,
+         |        matches := acc.matches, rsum := acc.rsum) END) AS st
+         |  FROM lst)
+         |SELECT coh, st.rn AS n_events, st.matches AS matches,
+         |       st.rsum AS rsum,
+         |       CAST(CASE WHEN st.matches > 0
+         |            THEN st.rsum * 1000000 // st.matches
          |            ELSE 0 END AS BIGINT) AS ctr_ppm,
-         |       CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
-         |       CAST(n2 AS BIGINT) AS n2, CAST(n3 AS BIGINT) AS n3,
-         |       CAST(n4 AS BIGINT) AS n4
-         |FROM fin WHERE rr = 1 ORDER BY coh""".stripMargin
+         |       st.n0 AS n0, st.n1 AS n1, st.n2 AS n2, st.n3 AS n3,
+         |       st.n4 AS n4
+         |FROM folded ORDER BY coh""".stripMargin
     }) { (s, d) =>
       import s.implicits._
       import graft.functions.Hashes
