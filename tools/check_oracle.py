@@ -40,6 +40,8 @@ def main(sf_dir: str, out_dir: str) -> int:
         oracle = json.load(f)
 
     n_pass = n_fail = 0
+    times = {}  # per-oracle wall — surfaced at the end so near-budget
+                # oracles are visible BEFORE they flake a gated run
     for name in sorted(oracle):
         spark_path = f"{out_dir}/{name}"
         if not os.path.isdir(spark_path):
@@ -50,6 +52,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             t0 = time.monotonic()
             duck = canon(con.execute(oracle[name]).fetchdf())
             oracle_sec = time.monotonic() - t0
+            times[name] = oracle_sec
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {str(e).splitlines()[0][:160]}")
             n_fail += 1
@@ -100,6 +103,12 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             print(f"PASS {name} ({len(duck)} rows)")
             n_pass += 1
+    if times:
+        slow = sorted(times.items(), key=lambda kv: -kv[1])[:5]
+        print("\nslowest oracles: " +
+              ", ".join(f"{n}={t:.2f}s" for n, t in slow) +
+              f" (budget {ORACLE_BUDGET_SEC:.0f}s; anything past half "
+              f"budget deserves the playbook #43/#55 treatment)")
     print(f"\n{n_pass} passed, {n_fail} failed, "
           f"{len(oracle)} oracles total")
     return 1 if n_fail else 0
