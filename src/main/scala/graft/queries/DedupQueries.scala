@@ -15,10 +15,15 @@ object DedupQueries {
 
   private val toks = "string_split(text, ' ')"
 
-  /** Shared oracle CTE prefix: tokens + shingle hashes per doc. */
+  /** Shared oracle CTE prefix: tokens + shingle hashes per doc. `s` is
+    * MATERIALIZED — several consumers reference it from two or more
+    * downstream CTEs (sig + ss), and DuckDB otherwise re-inlines the
+    * shingle-hash computation per reference (playbook #43).
+    */
   private val shingleCte =
     s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-       |s AS (SELECT doc_id, ${MinHash.shingleHashesSql("toks")} AS sh
+       |s AS MATERIALIZED (
+       |      SELECT doc_id, ${MinHash.shingleHashesSql("toks")} AS sh
        |      FROM t WHERE len(toks) >= 3)""".stripMargin
 
   /** Winnowing selection replayed relationally (window min + rightmost
@@ -342,11 +347,12 @@ object DedupQueries {
     // practitioner uses to size K.
     QueryDef("q263_minhash_calibration",
       s"""$shingleCte,
-         |sig AS (SELECT doc_id,
+         |sig AS MATERIALIZED (SELECT doc_id,
          |          ${(0 until MinHash.K).map(j =>
                 s"${MinHash.minhashSql("sh", j)} AS mh_$j").mkString(",\n          ")}
          |        FROM s),
-         |ss AS (SELECT doc_id, list_distinct(sh) AS sset FROM s),
+         |ss AS MATERIALIZED (
+         |      SELECT doc_id, list_distinct(sh) AS sset FROM s),
          |p AS (SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b,
          |        CAST(len(list_intersect(sa.sset, sb.sset)) * 1000000
          |             // len(list_distinct(list_concat(sa.sset, sb.sset)))
@@ -1278,15 +1284,23 @@ private object LshPairsSql {
     val mhCols = (0 until K).map(j => s"${MinHash.minhashSql("sh", j)} AS mh_$j")
     val bandSelects = (0 until Bands).map(b =>
       s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS bkey FROM sig")
+    // s / sig / bands / ss are each referenced 2–8× downstream (sig by
+    // every band select, bands by its self-join, ss by both sides of the
+    // verify join) — AS MATERIALIZED stops DuckDB re-inlining the minhash
+    // computation per reference (playbook #43; q198 measured 3.5 s → sub-
+    // second at sf0.01 from this alone)
     s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
-       |s AS (SELECT doc_id, ${MinHash.shingleHashesSql("toks")} AS sh
+       |s AS MATERIALIZED (
+       |      SELECT doc_id, ${MinHash.shingleHashesSql("toks")} AS sh
        |      FROM t WHERE len(toks) >= 3),
-       |sig AS (SELECT doc_id, ${mhCols.mkString(", ")} FROM s),
-       |bands AS (${bandSelects.mkString(" UNION ALL ")}),
+       |sig AS MATERIALIZED (
+       |      SELECT doc_id, ${mhCols.mkString(", ")} FROM s),
+       |bands AS MATERIALIZED (${bandSelects.mkString(" UNION ALL ")}),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b
        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |ss AS (SELECT doc_id, list_distinct(sh) AS sset FROM s),
+       |ss AS MATERIALIZED (
+       |      SELECT doc_id, list_distinct(sh) AS sset FROM s),
        |j AS (SELECT doc_a, doc_b,
        |             round(CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE)
        |               / len(list_distinct(list_concat(x.sset, y.sset))), 6) AS jaccard

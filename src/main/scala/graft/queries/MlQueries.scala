@@ -5323,7 +5323,7 @@ private[queries] object CartSql {
        |         CAST(sum(p) OVER (PARTITION BY fn) AS BIGINT) AS pp,
        |         max(fv) OVER (PARTITION BY fn) AS mx
        |  FROM ${p}cen),
-       |${p}best AS (
+       |${p}best AS MATERIALIZED (
        |  SELECT fn, fv FROM (
        |    SELECT fn, fv,
        |           (lp * lp + (lc - lp) * (lc - lp)) * 1000000 // lc
@@ -5340,7 +5340,7 @@ private[queries] object CartSql {
        |  ELSE $col.f_prio END""".stripMargin.replace("\n", " ")
 
   val sql: String =
-    s"""WITH o AS (
+    s"""WITH o AS MATERIALIZED (
        |  SELECT o_orderkey AS k,
        |         CAST(month(o_orderdate) AS BIGINT) AS f_month,
        |         CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS f_prio,
@@ -5354,9 +5354,9 @@ private[queries] object CartSql {
        |                 THEN 1 ELSE 0 END) % 2 AS label
        |  FROM orders),
        |${censusScore("o", "r_")},
-       |ol AS (SELECT o.* FROM o WHERE ${pick("r_", "o")}
+       |ol AS MATERIALIZED (SELECT o.* FROM o WHERE ${pick("r_", "o")}
        |         <= (SELECT fv FROM r_best)),
-       |orr AS (SELECT o.* FROM o WHERE ${pick("r_", "o")}
+       |orr AS MATERIALIZED (SELECT o.* FROM o WHERE ${pick("r_", "o")}
        |          > (SELECT fv FROM r_best)),
        |${censusScore("ol", "l_")},
        |${censusScore("orr", "x_")},
