@@ -30,26 +30,33 @@ import org.apache.spark.storage.StorageLevel
   * The sorted relation is persisted before zipping so the census job and
   * the emit job read the SAME range boundaries (range partitioning samples
   * its bounds; two independent recomputations could disagree). The cache is
-  * released by the runner's clearCache lifecycle like every other persisted
-  * intermediate.
+  * released eagerly once the first job materializing the zip RDD completes
+  * ([[ScaleZip.releaseAfterJobWith]]); the runner's clearCache lifecycle
+  * remains the backstop.
   */
 object GlobalRank {
 
   /** @param order total order (MUST end in a unique key — ties would make
     *              ranks partition-dependent)
-    * @param numPartitions range-partition fan-out; each task ranks ~N/P rows
+    * @param numPartitions range-partition fan-out; each task ranks ~N/P
+    *              rows. 0 (the default) derives it from the session's
+    *              shuffle fan-out / the input's partition count
+    *              ([[ScaleZip.fanout]]) — ranks are partition-count
+    *              independent either way
     * @param idName appended LongType column: 0-based dense global rank
     */
-  def zipWithRank(df: DataFrame, order: Seq[Column], numPartitions: Int,
+  def zipWithRank(df: DataFrame, order: Seq[Column], numPartitions: Int = 0,
                   idName: String): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(numPartitions, order: _*)
+    val sorted = df.repartitionByRange(ScaleZip.fanout(df, numPartitions),
+        order: _*)
       .sortWithinPartitions(order: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val schema = sorted.schema.add(idName, LongType, nullable = false)
     val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)
     }
+    ScaleZip.releaseAfterJobWith(sorted, indexed.id)
     spark.createDataFrame(indexed, schema)
   }
 
@@ -68,10 +75,11 @@ object GlobalRank {
     *              = r + (rn − (q+1)·r) / q     otherwise        (then +1)
     */
   def zipWithNtile(df: DataFrame, order: Seq[Column], tiles: Int,
-                   numPartitions: Int, outName: String): DataFrame = {
+                   numPartitions: Int = 0, outName: String): DataFrame = {
     require(tiles >= 1, s"ntile needs at least 1 bucket, got $tiles")
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(numPartitions, order: _*)
+    val sorted = df.repartitionByRange(ScaleZip.fanout(df, numPartitions),
+        order: _*)
       .sortWithinPartitions(order: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val census = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -101,6 +109,7 @@ object GlobalRank {
         Row.fromSeq(row.toSeq :+ (bucket + 1L))
       }
     }
+    ScaleZip.releaseAfterJobWith(sorted, out.id)
     spark.createDataFrame(out, schema)
   }
 }

@@ -1295,6 +1295,12 @@ object MediaCodecs {
         val m2 = seekMarker()
         if (m2 == 0xd9) done = true // EOI
         else {
+          // standalone markers carry NO length field — a RSTn/TEM between
+          // scans (outside entropy data, where syncRestart owns RSTn) is a
+          // malformed stream; parsing it as length-bearing would read a
+          // bogus u16 from the following bytes instead of rejecting loudly
+          require(!(m2 >= 0xd0 && m2 <= 0xd7) && m2 != 0x01,
+            "JPEG: standalone marker between scans")
           pos = bp
           require(pos + 4 <= bytes.length, "JPEG: truncated segment stream")
           val len2 = u16(pos + 2)

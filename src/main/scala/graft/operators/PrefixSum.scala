@@ -31,8 +31,9 @@ import org.apache.spark.storage.StorageLevel
   * The sorted relation is persisted before the census so the census job and
   * the emit job read the SAME range boundaries (range partitioning samples
   * its bounds; two independent recomputations could disagree). The cache is
-  * released by the runner's clearCache lifecycle like every other persisted
-  * intermediate.
+  * released eagerly once the first job materializing the emit RDD completes
+  * ([[ScaleZip.releaseAfterJobWith]]); the runner's clearCache lifecycle
+  * remains the backstop.
   */
 object PrefixSum {
 
@@ -50,59 +51,97 @@ object PrefixSum {
     * @param rnName    when Some, also append a 1-based LongType row number
     *                  over the same order (the `row_number()` twin rides
     *                  the census already paid for)
-    * @param numPartitions range-partition fan-out; each task sums ~N/P rows
+    * @param numPartitions range-partition fan-out; each task sums ~N/P
+    *                  rows. 0 (the default) derives it from the session's
+    *                  shuffle fan-out / the input's partition count
+    *                  ([[ScaleZip.fanout]]) — the result is
+    *                  partition-count independent either way
     */
   def cumsum(df: DataFrame, order: Seq[Column], valueCol: String,
              inclusive: Boolean, sumName: String,
              rnName: Option[String] = None,
-             numPartitions: Int = 32): DataFrame = {
+             numPartitions: Int = 0): DataFrame =
+    cumsumN(df, order, Seq(valueCol -> sumName), inclusive, rnName,
+      numPartitions)
+
+  /** [[cumsum]] for SEVERAL value columns over ONE total order in one
+    * shuffle + one census — the AUC/ROC shape (cumulative TP and FP walk
+    * the same score order) would otherwise pay the range partition twice.
+    *
+    * @param valueCols (value column → appended running-sum name) pairs;
+    *                  every value column must be non-null LongType
+    */
+  def cumsumN(df: DataFrame, order: Seq[Column],
+              valueCols: Seq[(String, String)], inclusive: Boolean,
+              rnName: Option[String] = None,
+              numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    require(df.schema(valueCol).dataType == LongType,
-      s"PrefixSum.cumsum needs a LongType value column; " +
-        s"$valueCol is ${df.schema(valueCol).dataType.catalogString}")
-    val sorted = df.repartitionByRange(numPartitions, order: _*)
+    require(valueCols.nonEmpty, "PrefixSum.cumsumN needs a value column")
+    valueCols.foreach { case (v, _) =>
+      require(df.schema(v).dataType == LongType,
+        s"PrefixSum needs LongType value columns; " +
+          s"$v is ${df.schema(v).dataType.catalogString}")
+    }
+    val k = valueCols.size
+    val sorted = df.repartitionByRange(ScaleZip.fanout(df, numPartitions),
+        order: _*)
       .sortWithinPartitions(order: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val vIdx = sorted.schema.fieldIndex(valueCol)
-    // census: P (rows, total) pairs to the driver — the only global state
+    val vIdx = valueCols.map { case (v, _) => sorted.schema.fieldIndex(v) }
+      .toArray
+    // census: P (rows, totals[k]) tuples to the driver — the only global
+    // state
     val census = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var rows = 0L
-      var tot = 0L
-      it.foreach { r => rows += 1L; tot += r.getLong(vIdx) }
+      val tot = new Array[Long](k)
+      it.foreach { r =>
+        rows += 1L
+        var j = 0
+        while (j < k) { tot(j) += r.getLong(vIdx(j)); j += 1 }
+      }
       Iterator((pid, rows, tot))
     }.collect().sortBy(_._1)
     val nParts = sorted.rdd.getNumPartitions
     val rowOff = new Array[Long](nParts)
-    val sumOff = new Array[Long](nParts)
+    val sumOff = Array.ofDim[Long](nParts, k)
     census.foreach { case (pid, rows, tot) =>
       if (pid + 1 < nParts) {
         rowOff(pid + 1) = rows
-        sumOff(pid + 1) = tot
+        Array.copy(tot, 0, sumOff(pid + 1), 0, k)
       }
     }
     var i = 1
     while (i < nParts) {
-      rowOff(i) += rowOff(i - 1); sumOff(i) += sumOff(i - 1); i += 1
+      rowOff(i) += rowOff(i - 1)
+      var j = 0
+      while (j < k) { sumOff(i)(j) += sumOff(i - 1)(j); j += 1 }
+      i += 1
     }
-    val schema0 = sorted.schema.add(sumName, LongType, nullable = false)
+    val schema0 = valueCols.foldLeft(sorted.schema) { case (sc, (_, n)) =>
+      sc.add(n, LongType, nullable = false)
+    }
     val schema = rnName.fold(schema0)(schema0.add(_, LongType, nullable = false))
     val bRow = spark.sparkContext.broadcast(rowOff)
     val bSum = spark.sparkContext.broadcast(sumOff)
     val withRn = rnName.isDefined
     val out = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var run = bSum.value(pid)
+      val run = bSum.value(pid).clone()
       var rn = bRow.value(pid)
       it.map { r =>
-        val v = r.getLong(vIdx)
         rn += 1L
-        val s = if (inclusive) run + v else run
-        val row =
-          if (withRn) Row.fromSeq(r.toSeq :+ s :+ rn)
-          else Row.fromSeq(r.toSeq :+ s)
-        run += v
-        row
+        val sums = new Array[Any](k)
+        var j = 0
+        while (j < k) {
+          val v = r.getLong(vIdx(j))
+          sums(j) = if (inclusive) run(j) + v else run(j)
+          run(j) += v
+          j += 1
+        }
+        if (withRn) Row.fromSeq(r.toSeq ++ sums :+ rn)
+        else Row.fromSeq(r.toSeq ++ sums)
       }
     }
+    ScaleZip.releaseAfterJobWith(sorted, out.id)
     spark.createDataFrame(out, schema)
   }
 }

@@ -1457,9 +1457,10 @@ object AdvancedQueries {
         .agg(count(col("w2")).as("score"))
       val c = cn.groupBy("score")
         .agg(sum("pos").as("np_s"), (count(lit(1)) - sum("pos")).as("nn_s"))
-      val w = Window.orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      c.withColumn("cum_nn", coalesce(sum("nn_s").over(w), lit(0L)))
+      // exclusive cumsum over the (unique) score grid — two-pass PrefixSum
+      // (round 14, the q218 migration); oracle keeps the plain window text
+      graft.operators.PrefixSum.cumsum(c, Seq(col("score")), "nn_s",
+          inclusive = false, sumName = "cum_nn")
         .agg(sum(col("np_s") * (lit(2) * col("cum_nn") + col("nn_s"))).as("u2"),
           sum("np_s").as("np"), sum("nn_s").as("nn"))
         .select(col("np").as("n_pos"), col("nn").as("n_neg"), col("u2"),
@@ -2494,7 +2495,7 @@ object AdvancedQueries {
       // zip + driver count (round 13); rank target (n+3) div 4, 0-based
       val nSup = sup0.count()
       val thr = graft.operators.GlobalRank.zipWithRank(sup0,
-          Seq(col("sup"), col("a"), col("b")), 32, "rk")
+          Seq(col("sup"), col("a"), col("b")), idName = "rk")
         .where(col("rk") === lit((nSup + 3L) / 4L - 1L))
         .head().getAs[Long]("sup") // 1-row census pick
       val census = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]

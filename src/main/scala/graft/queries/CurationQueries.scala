@@ -366,7 +366,7 @@ object CurationQueries {
         .persist()
       val vocab = graft.operators.GlobalRank.zipWithRank(
           tok.groupBy("token").agg(count(lit(1)).as("c")),
-          Seq(col("c").desc, col("token")), numPartitions = 8, idName = "id")
+          Seq(col("c").desc, col("token")), idName = "id")
         .select(col("token"), col("id"))
       tok.join(broadcast(vocab), "token")
         .groupBy("doc_id")
@@ -1315,7 +1315,7 @@ object CurationQueries {
       def rankSplit(df: org.apache.spark.sql.DataFrame) = {
         val ranked = GlobalRank.zipWithRank(
           df.select(col("doc_id"), Hashes.mulHash(col("doc_id"), 7).as("h")),
-          Seq(col("h"), col("doc_id")), 8, "r")
+          Seq(col("h"), col("doc_id")), idName = "r")
         ranked.crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
           .select(col("doc_id"),
             when(col("r") * 100 < col("n") * 64, "train")

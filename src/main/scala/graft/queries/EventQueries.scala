@@ -1169,7 +1169,7 @@ object EventQueries {
           expr("unix_micros(ts)").as("us"))
       val t = e.agg(count(lit(1)).as("n"))
       val sp = GlobalRank.zipWithRank(e,
-          Seq(col("us"), col("event_id")), numPartitions = 8, idName = "rk")
+          Seq(col("us"), col("event_id")), idName = "rk")
         .crossJoin(broadcast(t))
         .select(col("user_id"), col("event_type"),
           when(col("rk") < expr("(4 * n) div 5"), "train").otherwise("test")
@@ -4768,9 +4768,9 @@ object EventQueries {
       val sc = GlobalRank.zipWithNtile(
         GlobalRank.zipWithNtile(
           GlobalRank.zipWithNtile(base,
-            Seq(col("recency"), col("user_id")), 3, 32, "r_t"),
-          Seq(col("freq").desc, col("user_id")), 3, 32, "f_t"),
-        Seq(col("money").desc, col("user_id")), 3, 32, "m_t")
+            Seq(col("recency"), col("user_id")), 3, outName = "r_t"),
+          Seq(col("freq").desc, col("user_id")), 3, outName = "f_t"),
+        Seq(col("money").desc, col("user_id")), 3, outName = "m_t")
       sc.groupBy(expr("CAST(r_t * 100 + f_t * 10 + m_t AS BIGINT)")
           .as("segment"))
         .agg(count(lit(1)).as("n_users"), sum("money").as("value_cents"))

@@ -684,10 +684,12 @@ object MlQueries {
       val c = sRel.groupBy("p_e6")
         .agg(sum("pos").as("np_s"),
           (count(lit(1)) - sum("pos")).as("nn_s"))
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy("p_e6")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val t = c.withColumn("cum_nn", coalesce(sum("nn_s").over(w), lit(0L)))
+      // exclusive cumsum over the (unique) score grid — two-pass PrefixSum
+      // (round 14): bit-identical to the partition-less window, so the
+      // oracle keeps its plain `sum(..) OVER (ORDER BY p_e6)` text; the
+      // exclusive frame starts at 0, which replaces the coalesce
+      val t = graft.operators.PrefixSum.cumsum(c, Seq(col("p_e6")), "nn_s",
+          inclusive = false, sumName = "cum_nn")
         .agg(sum(col("np_s") * (lit(2) * col("cum_nn") + col("nn_s"))).as("u2"),
           sum("np_s").as("np"), sum("nn_s").as("nn"))
       t.select(col("np").as("n_pos"), col("nn").as("n_neg"), col("u2"),
@@ -795,7 +797,7 @@ object MlQueries {
           col("p_e6"))
       val t = sRel.agg(count(lit(1)).as("n"), sum("pos").as("np"))
       val ranked = GlobalRank.zipWithRank(sRel,
-        Seq(col("p_e6").desc, col("vec_id")), numPartitions = 8, idName = "rk")
+        Seq(col("p_e6").desc, col("vec_id")), idName = "rk")
       val g = ranked.crossJoin(broadcast(t))
         .groupBy(expr("(rk * 10) div n").as("decile"))
         .agg(count(lit(1)).as("n_rows"), sum("pos").as("n_pos"))
@@ -1090,10 +1092,12 @@ object MlQueries {
         .groupBy(expr("(p_e6 + 5000) div 10000").as("sc"))
         .agg(count(lit(1)).as("n"), sum("pos").as("sy"))
         .persist() // grid sides + final join share the census
-      val cw = Window.orderBy("sc")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val pre = census.select(col("sc"), col("n"), col("sy"),
-        sum("n").over(cw).as("cn"), sum("sy").over(cw).as("cy"))
+      // both cumulative walks (cn over n, cy over sy) ride ONE two-pass
+      // PrefixSum over the unique sc grid (round 14) — bit-identical to the
+      // partition-less windows, so the oracle keeps the plain window text
+      val pre = graft.operators.PrefixSum.cumsumN(census, Seq(col("sc")),
+          Seq("n" -> "cn", "sy" -> "cy"), inclusive = true)
+        .select(col("sc"), col("n"), col("sy"), col("cn"), col("cy"))
       val a = pre.select(col("sc").as("jsc"), (col("cy") - col("sy")).as("cyp"),
         (col("cn") - col("n")).as("cnp"))
       val b = pre.select(col("sc").as("ksc"), col("cy"), col("cn"))
@@ -1421,7 +1425,7 @@ object MlQueries {
       // groups are customers — row-scale — so the balanced deal ranks via
       // the two-stage zip (round 13); 0-based rank ≡ row_number − 1
       val bal = graft.operators.GlobalRank.zipWithRank(gs,
-          Seq(col("n").desc, col("g")), 32, "rk")
+          Seq(col("n").desc, col("g")), idName = "rk")
         .withColumn("fold", (col("rk") % 5).cast("long"))
       val hsh = gs.withColumn("fold", Hashes.mulHash(col("g"), 29) % 5)
       val tot = broadcast(gs.agg(sum("n").as("t")))
@@ -1584,7 +1588,7 @@ object MlQueries {
               when(sum(when(col("event_type") === "purchase", 1L)
                 .otherwise(0L)) > 0, 1L).otherwise(0L).as("conv")),
           Seq(col("views").desc, col("user_id")), tiles = 10,
-          numPartitions = 32, outName = "decile")
+          outName = "decile")
         .select((Hashes.mulHash(col("user_id"), 59) % 2).as("arm"),
           col("conv"), col("decile"))
       val cell = u.groupBy("decile").agg(
@@ -1893,7 +1897,6 @@ object MlQueries {
         |SELECT threshold_e6, tp, fp, fn, tn, j_ppm FROM j
         |ORDER BY j_ppm DESC, threshold_e6 LIMIT 1""".stripMargin
     }) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val sRel = embSigmoid(s, d)
         .select(when(col("label") % 2 === 0, 1L).otherwise(0L).as("pos"),
           col("p_e6"))
@@ -1902,11 +1905,14 @@ object MlQueries {
         .persist() // totals + suffix pass
       val tot = broadcast(census.agg(sum("np").as("p"),
         (sum("n") - sum("np")).as("neg")))
-      val w = Window.orderBy(col("p_e6").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      census.select(col("p_e6"),
-          sum("np").over(w).as("tp"), sum(col("n") - col("np")).over(w)
-            .as("fp"))
+      // both suffix walks (tp over np, fp over n−np) ride ONE two-pass
+      // PrefixSum down the DESC score order (round 14) — bit-identical to
+      // the partition-less windows; the oracle keeps the plain window text
+      graft.operators.PrefixSum.cumsumN(
+          census.withColumn("nn", col("n") - col("np")),
+          Seq(col("p_e6").desc), Seq("np" -> "tp", "nn" -> "fp"),
+          inclusive = true)
+        .select(col("p_e6"), col("tp"), col("fp"))
         .crossJoin(tot)
         .select(col("p_e6").as("threshold_e6"), col("tp"), col("fp"),
           (col("p") - col("tp")).as("fn"), (col("neg") - col("fp")).as("tn"),

@@ -357,8 +357,7 @@ object ScaleQueries {
       import graft.operators.GlobalRank
       val v = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
       val ranked = GlobalRank.zipWithRank(v,
-        Seq(col("o_totalprice"), col("o_orderkey")), numPartitions = 8,
-        idName = "rk")
+        Seq(col("o_totalprice"), col("o_orderkey")), idName = "rk")
       val n = ranked.agg(count(lit(1)).as("n"))
       ranked.crossJoin(broadcast(n))
         .select(expr("(rk * 10) div n").as("bucket"), col("o_totalprice").as("p"))
@@ -723,11 +722,10 @@ object ScaleQueries {
       val u = o.where(col("istrain").isin(0L, 1L))
       val nTrain = u.where(col("istrain") === 1L).agg(count(lit(1)).as("n_train"))
       val rAll = GlobalRank.zipWithRank(u,
-        Seq(col("c"), col("istrain").desc, col("uid")), numPartitions = 8,
-        idName = "r_all")
+        Seq(col("c"), col("istrain").desc, col("uid")), idName = "r_all")
       val test = rAll.where(col("istrain") === 0L)
       val rTest = GlobalRank.zipWithRank(test,
-        Seq(col("c"), col("uid")), numPartitions = 8, idName = "r_test")
+        Seq(col("c"), col("uid")), idName = "r_test")
       rTest.crossJoin(broadcast(nTrain))
         .select(col("k").as("o_orderkey"), col("c").as("cents"),
           expr("(r_all - r_test) * 1000000 div n_train").as("ecdf_ppm"))

@@ -956,7 +956,7 @@ object TextQueries {
       val nBl = sc.count()
       val med = graft.operators.GlobalRank.zipWithRank(
           sc.select("score", "doc_id"),
-          Seq(col("score"), col("doc_id")), 32, "rk")
+          Seq(col("score"), col("doc_id")), idName = "rk")
         .where(col("rk") === lit((nBl + 1L) / 2L - 1L))
         .select(col("score").as("m"))
       val verd = sc.crossJoin(broadcast(med))
@@ -1029,7 +1029,7 @@ object TextQueries {
       // PlanSpec's partition-less-window sweep)
       val gr = graft.operators.GlobalRank.zipWithRank(
           v.select(col("n_chars"), col("doc_id")),
-          Seq(col("n_chars"), col("doc_id")), 32, "grk0")
+          Seq(col("n_chars"), col("doc_id")), idName = "grk0")
         .select(col("n_chars").as("gv"), (col("grk0") + 1).as("grk"))
       val t = v.agg(count(lit(1)).as("ng"))
       sr.crossJoin(broadcast(t))
@@ -1152,11 +1152,11 @@ object TextQueries {
         .persist() // both rankings scan it
       val ra = GlobalRank.zipWithRank(t,
         Seq((col("doc_id") * lit(2654435761L)) % lit(1000000007L),
-          col("doc_id")), numPartitions = 8, idName = "rk")
+          col("doc_id")), idName = "rk")
         .select(lit("random").as("strategy"), expr("rk div 32").as("b"),
           col("nt"))
       val rb = GlobalRank.zipWithRank(t,
-        Seq(col("nt"), col("doc_id")), numPartitions = 8, idName = "rk")
+        Seq(col("nt"), col("doc_id")), idName = "rk")
         .select(lit("sorted").as("strategy"), expr("rk div 32").as("b"),
           col("nt"))
       ra.unionAll(rb)
@@ -2111,7 +2111,7 @@ object TextQueries {
       graft.operators.GlobalRank.zipWithNtile(
           perdoc.select(col("doc_id"), col("source"), col("mean_e6")),
           Seq(col("mean_e6"), col("doc_id")), tiles = 5,
-          numPartitions = 32, outName = "q")
+          outName = "q")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("q") === 1, 1L).otherwise(0L)).as("n_dropped"),
@@ -2750,13 +2750,22 @@ object TextQueries {
       val bc = s.sparkContext.broadcast(vocabSet)
       val enc = words.select("source", "w", "cnt").as[(String, String, Long)]
         .map { case (src, w, cnt) =>
-          var pos = 0
+          // walk by Unicode CODE POINTS, not UTF-16 code units: the
+          // vocabulary was built with Spark SQL substring/length and the
+          // oracle uses DuckDB substr/length — both codepoint-semantics —
+          // so a surrogate pair must count as ONE position here too
+          val cpLen = w.codePointCount(0, w.length)
+          var pos = 0 // code-point index
+          var cu = 0  // UTF-16 offset of pos
           var np = 0L
-          while (pos < w.length) {
-            var l = math.min(4, w.length - pos)
-            while (l > 1 && !bc.value.contains(w.substring(pos, pos + l)))
+          while (pos < cpLen) {
+            var l = math.min(4, cpLen - pos)
+            while (l > 1 &&
+                   !bc.value.contains(
+                     w.substring(cu, w.offsetByCodePoints(cu, l))))
               l -= 1
             // l == 1 always matches: the alphabet covers every corpus char
+            cu = w.offsetByCodePoints(cu, l)
             pos += l
             np += 1
           }

@@ -334,4 +334,20 @@ class JpegSpec extends AnyFunSuite {
       scan4 ++ scan3 ++ Array(0xff.toByte, 0xd9.toByte))
     assert(a.pixels.toSeq === b.pixels.toSeq)
   }
+
+  test("a standalone marker between scans is rejected, not parsed as length-bearing") {
+    // RST0/TEM outside entropy data carry NO length field; the segment
+    // dispatch would otherwise read a bogus u16 "length" from the bytes
+    // that follow and misparse the malformed stream instead of failing
+    // with the codec contract's loud reject (ADVICE r13)
+    val bw = new BitWriter
+    putDc(bw, 4)
+    bw.pad()
+    for (marker <- Seq(0xd0, 0xd7, 0x01)) {
+      val jpg = progGrayHeader(8, 8) ++ sosGray(0, 0, 0, 0) ++ bw.out ++
+        Array(0xff.toByte, marker.toByte) ++ Array(0xff.toByte, 0xd9.toByte)
+      val e = intercept[IllegalArgumentException](MediaCodecs.decodeJpeg(jpg))
+      assert(e.getMessage.contains("standalone marker"), s"marker=$marker")
+    }
+  }
 }

@@ -74,24 +74,20 @@ class PlanSpec extends AnyFunSuite {
     "q156_hybrid_retrieval" -> "fused union of two TakeOrdered top-20 shortlists (≤40 rows)",
     "q192_ks_drift" -> "histogram-bin census",
     "q199_quota_allocation" -> "per-source remainder census (sources are app-bounded)",
-    "q218_auc" -> "e6-quantized score census (≤1e6 distinct grid points)",
     "q227_nprobe_sweep" -> "nprobe sweep grid (a handful of probe settings)",
     "q230_hits" -> "two 15-row TakeOrdered slices (limit before the rank window)",
     "q239_bootstrap_ci" -> "bootstrap replicate census (B rows)",
     "q245_time_travel" -> "4-row version census (fold-equality flag)",
     "q250_decile_lift" -> "decile census (10 rows)",
-    "q259_linkpred_auc" -> "e6-quantized score census",
     "q261_rolling_corr" -> "day grid (time-bounded)",
     "q287_lsh_planner" -> "LSH band/row plan grid",
     "q289_string_asof" -> "asof dictionary: broadcast-bound key universe (NativeAsof.scala)",
     "q304_skyline" -> "price-cent census (value-domain bounded)",
-    "q311_isotonic" -> "e6-quantized score census",
     "q321_mann_whitney" -> "value-cent census (value-domain bounded)",
     "q328_zipf_fit" -> "1000-row TakeOrdered rank axis (limit before the window)",
     "q330_nn_matching" -> "P-row partition-boundary census (NnMatch.scala)",
     "q333_uplift_qini" -> "decile census (10 rows)",
     "q341_wasserstein" -> "histogram-bin census",
-    "q346_youden_threshold" -> "e6-quantized score census",
     "q349_next_event_acc" -> "event-type census (app-bounded types)",
     "q355_seq_patterns" -> "event-type pair/triple census (|types|^3-bounded)",
     "q379_acf_pacf" -> "day grid (time-bounded)",

@@ -77,4 +77,64 @@ class PrefixSumSpec extends AnyFunSuite {
       PrefixSum.cumsum(df, Seq(col("id")), "v", inclusive = true, "s"))
     assert(e.getMessage.contains("LongType"))
   }
+
+  test("cumsumN: k walks over one order ≡ k windows, ascending and descending") {
+    // the AUC/ROC shape (round 14): cumulative TP and FP ride one shuffle
+    for (inclusive <- Seq(true, false); desc <- Seq(false, true)) {
+      val df = data(300, seed = 99L).withColumn("u", (col("v") * 3 + 7))
+      val o = if (desc) col("x").desc else col("x")
+      val w0 = if (desc) Window.orderBy(col("x").desc, col("id"))
+               else Window.orderBy(col("x"), col("id"))
+      val w = if (inclusive)
+        w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else w0.rowsBetween(Window.unboundedPreceding, -1)
+      val expected = df.select(col("id"),
+          coalesce(sum("v").over(w), lit(0L)).as("cv"),
+          coalesce(sum("u").over(w), lit(0L)).as("cu"))
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val got = PrefixSum.cumsumN(df, Seq(o, col("id")),
+          Seq("v" -> "cv", "u" -> "cu"), inclusive = inclusive)
+        .select("id", "cv", "cu").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq === expected.toSeq, s"inclusive=$inclusive desc=$desc")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("the sorted intermediate is released once the emit job completes") {
+    // ADVICE r13: a nested zip chain must not hold every level's persisted
+    // intermediate until the runner's clearCache — each level frees as the
+    // downstream action sweeps through it (listener is async: spin briefly)
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = data(200, seed = 11L)
+    PrefixSum.cumsum(df, Seq(col("x"), col("id")), "v",
+      inclusive = true, sumName = "c").collect()
+    GlobalRank.zipWithRank(df, Seq(col("x"), col("id")), idName = "r")
+      .collect()
+    def leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val deadline = System.currentTimeMillis() + 10000
+    while (leftover.nonEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(leftover.isEmpty,
+      "sorted intermediates still persisted after their emit jobs")
+  }
+
+  test("default fan-out derives from the session, not a literal") {
+    // verdict r13 #2: a literal partition count bakes a cluster size into
+    // the plan; the default must track spark.sql.shuffle.partitions (or the
+    // input's own width when that is larger)
+    val df = data(50, seed = 5L)
+    val conf = spark.sessionState.conf.numShufflePartitions
+    val out = PrefixSum.cumsum(df, Seq(col("x"), col("id")), "v",
+      inclusive = true, sumName = "c")
+    assert(out.rdd.getNumPartitions ===
+      math.max(conf, df.rdd.getNumPartitions))
+    val ranked = GlobalRank.zipWithRank(df.repartition(2),
+      Seq(col("x"), col("id")), idName = "r")
+    assert(ranked.rdd.getNumPartitions ===
+      math.max(conf, df.repartition(2).rdd.getNumPartitions))
+    spark.catalog.clearCache()
+  }
 }

@@ -60,23 +60,8 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
-  test("q455 oracle SQL stays under the sweep's wall budget in DuckDB shape") {
-    // The round-11 failure: multiply-referenced round CTEs with no
-    // AS MATERIALIZED expand ~4^rounds in DuckDB. Guard the fix textually:
-    // every multiply-referenced CTE in BtSql must be MATERIALIZED.
-    val sql = graft.queries.MlQueries.btOracleForTest
-    for (r <- 1 to 6; c <- Seq(s"t$r", s"d$r", s"r$r", s"p$r"))
-      assert(sql.contains(s"$c AS MATERIALIZED"), s"CTE $c not materialized")
-    for (c <- Seq("base", "c"))
-      assert(sql.contains(s"$c AS MATERIALIZED"), s"CTE $c not materialized")
-    // q310 carries the same disease in milder form (3 rounds × 3 refs —
-    // 12.2 s at sf0.01 before materialization, 0.47 s after)
-    val sql310 = SparkEntry.oracleSql("q310_bradley_terry")
-    for (r <- 1 to 3; c <- Seq(s"c$r", s"r$r"))
-      assert(sql310.contains(s"$c AS MATERIALIZED"), s"q310 CTE $c")
-    for (c <- Seq("sup", "matches", "pairs", "w"))
-      assert(sql310.contains(s"$c AS MATERIALIZED"), s"q310 CTE $c")
-  }
+  // NOTE: the q455/q310 MATERIALIZED-oracle guards moved to
+  // OracleHealthSpec (round 14) — the consolidated oracle-health table.
 
   test("fitPolicy refuses mixed batch percents and non-singleton recovery") {
     import spark.implicits._
