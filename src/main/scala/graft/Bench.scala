@@ -118,6 +118,24 @@ object Bench {
         base0.filter(n => pats.split(",").exists(n.contains))
       case None => base0
     }
+    // Fixture STAGING is not a quantity under test (verdict r13 #3): q290
+    // reads its base NSW index from the tmpdir fixture, and a cold tmpdir
+    // would bill one full staging build to the first upsert rep. Ensure +
+    // materialize the fixture OUTSIDE the timed reps and report the cost as
+    // its own detail field, so the timed entry isolates read+upsert+walk.
+    val stageSecs: Map[String, Double] =
+      if (names.contains("q290_nsw_upsert")) {
+        val t0 = System.nanoTime()
+        val ok =
+          try { queries.SimilarityQueries.ensureNswBase(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] q290 staging failed: ${e.getMessage}")
+            false
+          }
+        clearCaches(spark)
+        if (ok) Map("q290_nsw_upsert" -> (System.nanoTime() - t0) / 1e9)
+        else Map.empty
+      } else Map.empty
     // min-of-3 in headline mode: single-JVM runs carry ±1s of GC/scheduler
     // noise — r3 showed ±30% swings on sub-second queries with UNCHANGED
     // code under min-of-2, so one more rep buys a stable min. Sweep mode
@@ -193,8 +211,10 @@ object Bench {
     val total = r3(all.collect { case (_, v, _, _) if v >= 0 => v }.sum)
     val metricLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}"""
+    val stageJson = stageSecs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val detailLine =
-      s"""{"detail":"bench","reps":$repJson,"shuffle_rw_rec":$shJson}"""
+      s"""{"detail":"bench","reps":$repJson,"shuffle_rw_rec":$shJson,"stage_sec":$stageJson}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"reps":$repJson,"shuffle_rw_rec":$shJson,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing so no shutdown log line can interleave with

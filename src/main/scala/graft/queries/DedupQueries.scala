@@ -108,13 +108,28 @@ object DedupQueries {
         .orderBy("bands")
     },
 
+    // The ground truth is an EXACT similarity join in the classic
+    // token-explode form: only pairs sharing ≥1 shingle are enumerated
+    // (J ≥ 0.5 needs shared shingles), and the intersection size is a
+    // group-count over the shared-shingle equi-join — never an all-pairs
+    // list_intersect (the n² form ran the oracle at 3.3 s; this is ~0.1 s
+    // with identical rows, and on the Spark side it is also the form that
+    // distributes). Over DISTINCT shingle sets, round(J, 6) ≥ 0.5 is
+    // exactly the integer test 3·|A∩B| ≥ |A|+|B| (|A∪B| = |A|+|B|−|A∩B|;
+    // the nearest rational below ½ at these set sizes is ½ − 1/(2u),
+    // far outside the round-6 window) — both engines state that test.
     QueryDef("q198_lsh_quality",
       s"""WITH ${LshPairsSql.cte},
-         |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM ss a JOIN ss b ON a.doc_id < b.doc_id
-         |          WHERE round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
-         |                / len(list_distinct(list_concat(a.sset, b.sset))), 6)
-         |                >= 0.5),
+         |tk AS (SELECT doc_id, unnest(sset) AS sh FROM ss),
+         |sz AS (SELECT doc_id, CAST(len(sset) AS BIGINT) AS n FROM ss),
+         |pi AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |              CAST(count(*) AS BIGINT) AS i
+         |       FROM tk x JOIN tk y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |       GROUP BY 1, 2),
+         |truth AS (SELECT pi.doc_a, pi.doc_b
+         |          FROM pi JOIN sz sa ON sa.doc_id = pi.doc_a
+         |                  JOIN sz sb ON sb.doc_id = pi.doc_b
+         |          WHERE 3 * pi.i >= sa.n + sb.n),
          |m AS (SELECT
          |        (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
          |        (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
@@ -131,12 +146,18 @@ object DedupQueries {
       val ss = docs.where(size(tokCol) >= 3)
         .select(col("doc_id"), array_distinct(MinHash.shingleHashes(tokCol))
           .as("sset"))
-      val truth = ss.as("a").join(broadcast(ss.as("b")),
-          col("a.doc_id") < col("b.doc_id"))
-        .where(round(size(array_intersect(col("a.sset"), col("b.sset")))
-          .cast("double")
-          / size(array_union(col("a.sset"), col("b.sset"))), 6) >= 0.5)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .persist() // sizes + the shingle explode share it
+      val sz = ss.select(col("doc_id"), size(col("sset")).cast("long").as("n"))
+      val tk = ss.select(col("doc_id"), explode(col("sset")).as("sh"))
+      val pi = tk.as("x").join(tk.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      val truth = pi
+        .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .where(lit(3L) * col("i") >= col("na") + col("nb"))
+        .select(col("doc_a"), col("doc_b"))
         .persist()
       val tp = truth.join(cand, Seq("doc_a", "doc_b"))
         .agg(count(lit(1)).as("tp"))

@@ -76,6 +76,17 @@ object SimilarityQueries {
     (s.read.parquet(s"$root/edges"), s.read.parquet(s"$root/sigs"))
   }
 
+  /** Stage q290's base-index fixture (if missing) and materialize both
+    * relations once — the bench calls this OUTSIDE its timed reps so a cold
+    * tmpdir's one-off staging build never bills a rep (verdict r13 #3).
+    */
+  private[graft] def ensureNswBase(s: org.apache.spark.sql.SparkSession,
+                                   d: String): Unit = {
+    val (g, sg) = nswBaseFixture(s, d)
+    g.count(): Unit
+    sg.count(): Unit
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact cosine top-5 neighbors for the first 20 vectors.

@@ -73,6 +73,18 @@ class OracleHealthSpec extends AnyFunSuite {
       "q358 reintroduced the per-event recursive CTE (10 s-budget class)")
   }
 
+  test("q198's ground truth stays the token-explode similarity join, not the n² list_intersect") {
+    // round 14: the all-pairs `ss a JOIN ss b` with per-pair list_intersect
+    // ran 3.3 s at sf0.01 (the worst surviving oracle; the next 10 s-budget
+    // candidate under load) — the explode/group-count form is ~0.1 s with
+    // identical rows
+    val sql = SparkEntry.oracleSql("q198_lsh_quality")
+    assert(sql.contains("3 * pi.i >= sa.n + sb.n"),
+      "q198 lost its integer-form intersection-count truth join")
+    assert(!sql.contains("JOIN ss b ON a.doc_id < b.doc_id"),
+      "q198 reintroduced the all-pairs ss self-join")
+  }
+
   test("streamed twins share their batch original's oracle VERBATIM") {
     // a drift would silently weaken the streamed == batch claim: the twins
     // are the SAME query evaluated through the streaming surface
