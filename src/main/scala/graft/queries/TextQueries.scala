@@ -2862,6 +2862,98 @@ object TextQueries {
             .as("quota_exact"),
           coalesce(col("sel_checksum"), lit(0L)).as("sel_checksum"))
         .orderBy("source")
+    },
+
+    // UTF-8 validity / mojibake-repair census (round 14) — the ingest gate
+    // every web-scale corpus runs before anything else: classify each
+    // document's encoding health (clean ASCII, clean multibyte, mojibake
+    // digraphs from a UTF-8-bytes-read-as-cp1252 round trip, U+FFFD
+    // replacement residue, stray C0 control bytes) and measure what a
+    // stated three-pass repair (mojibake digraph fold → strip U+FFFD →
+    // strip controls) would change. Regexes live in the Java-regex ∩ RE2
+    // syntax subset (q478's discipline: literal codepoints, \xNN ranges,
+    // alternation — no lookaround, no \p classes) so extraction, matching
+    // and replacement are bit-identical on both engines. The fixture
+    // corpus is pure ASCII (asserted by the zero path), so deterministic
+    // damage is INJECTED identically on both engines keyed on doc_id % 6:
+    // 1 → two classic mojibake digraphs ("Ã©", "â€™"), 2 → a replacement
+    // char, 3 → a BEL control byte, 4 → a VALID é (must be counted clean
+    // multibyte and survive repair untouched), 0/5 → untouched ASCII.
+    // Scale: row-local regex + ONE source-grouped aggregate — no joins, no
+    // windows; the repair never materializes, only its length delta does.
+    QueryDef("q481_utf8_census", {
+      val moji = "Ã[ -¿]|â€™"
+      val ctrl = "[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+      s"""WITH t2 AS (
+         |  SELECT source,
+         |         text ||
+         |         CASE doc_id % 6
+         |           WHEN 1 THEN ' cafÃ© costâ€™s'
+         |           WHEN 2 THEN ' bad�byte'
+         |           WHEN 3 THEN ' bellring'
+         |           WHEN 4 THEN ' café fine'
+         |           ELSE '' END AS txt
+         |  FROM documents),
+         |c AS (
+         |  SELECT source,
+         |         regexp_matches(txt, '[^\\x01-\\x7f]') AS nonascii,
+         |         regexp_matches(txt, '$moji') AS moji,
+         |         regexp_matches(txt, '�') AS repl,
+         |         regexp_matches(txt, '$ctrl') AS ctl,
+         |         CAST(length(txt) AS BIGINT)
+         |           - CAST(length(regexp_replace(regexp_replace(
+         |               regexp_replace(regexp_replace(
+         |                 txt, 'Ã©', 'é', 'g'),
+         |                 'â€™', '’', 'g'),
+         |               '�', '', 'g'), '$ctrl', '', 'g'))
+         |             AS BIGINT) AS delta
+         |  FROM t2)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN NOT nonascii AND NOT ctl
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS clean_ascii,
+         |       CAST(sum(CASE WHEN nonascii AND NOT moji AND NOT repl
+         |                      AND NOT ctl
+         |                     THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS clean_multibyte,
+         |       CAST(sum(CASE WHEN moji THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS docs_mojibake,
+         |       CAST(sum(CASE WHEN repl THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS docs_replacement,
+         |       CAST(sum(CASE WHEN ctl THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS docs_ctrl,
+         |       CAST(sum(delta) AS BIGINT) AS repair_len_delta
+         |FROM c GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      val moji = "Ã[ -¿]|â€™"
+      val ctrl = "[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+      val t2 = Tables.documents(s, d).select(col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 6 === 1,
+              lit(" cafÃ© costâ€™s"))
+            .when(col("doc_id") % 6 === 2, lit(" bad�byte"))
+            .when(col("doc_id") % 6 === 3, lit(" bellring"))
+            .when(col("doc_id") % 6 === 4, lit(" café fine"))
+            .otherwise(lit(""))).as("txt"))
+      val c = t2.select(col("source"),
+        col("txt").rlike("[^\\x01-\\x7f]").as("nonascii"),
+        col("txt").rlike(moji).as("moji"),
+        col("txt").rlike("�").as("repl"),
+        col("txt").rlike(ctrl).as("ctl"),
+        (length(col("txt")) - length(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(
+            col("txt"), "Ã©", "é"),
+            "â€™", "’"),
+          "�", ""), ctrl, ""))).cast("long").as("delta"))
+      c.groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("nonascii") && !col("ctl"), 1L).otherwise(0L))
+            .as("clean_ascii"),
+          sum(when(col("nonascii") && !col("moji") && !col("repl")
+              && !col("ctl"), 1L).otherwise(0L)).as("clean_multibyte"),
+          sum(when(col("moji"), 1L).otherwise(0L)).as("docs_mojibake"),
+          sum(when(col("repl"), 1L).otherwise(0L)).as("docs_replacement"),
+          sum(when(col("ctl"), 1L).otherwise(0L)).as("docs_ctrl"),
+          sum("delta").as("repair_len_delta"))
+        .orderBy("source")
     }
   )
 
