@@ -2954,6 +2954,153 @@ object TextQueries {
           sum(when(col("ctl"), 1L).otherwise(0L)).as("docs_ctrl"),
           sum("delta").as("repair_len_delta"))
         .orderBy("source")
+    },
+
+    // WordPiece CONTINUATION-PREFIX encode (round 14) — the `##` fidelity
+    // q479 approximates away: real WordPiece keeps TWO vocabularies, one
+    // for word-INITIAL pieces and one for continuation pieces (the ones
+    // spelled "##xx"; the prefix is notation — the tables here store the
+    // piece text, position decides which table applies). Fit: initial
+    // pieces = every word-initial character (coverage at pos 0) + the
+    // top-100 occurrence-weighted word-PREFIX substrings of length 2–4;
+    // continuation pieces = every interior character + the top-100
+    // interior substrings. Encode: greedy longest-match per position,
+    // choosing the table by pos == 0 — still ≡ "max matching piece per
+    // position", so the oracle keeps q479's (word, pos) → max-step table,
+    // just split by position class, and the same recursive walk. The
+    // report adds whole_word_ppm (token occurrences encoded as ONE
+    // initial piece — the metric a `##` vocabulary actually moves).
+    // Scale: q479's exactly — hash-aggregate censuses, two k-row broadcast
+    // vocabularies, row-local greedy over the word-TYPE census.
+    QueryDef("q482_wordpiece_cont",
+      """WITH RECURSIVE w0 AS MATERIALIZED (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE length(w) > 0 GROUP BY source, w),
+        |gw AS MATERIALIZED (
+        |  SELECT w, CAST(sum(cnt) AS BIGINT) AS c FROM w0 GROUP BY w),
+        |ichars AS (SELECT DISTINCT substr(w, 1, 1) AS p FROM gw),
+        |cchars AS (SELECT DISTINCT substr(w, CAST(i AS INTEGER), 1) AS p
+        |           FROM gw, unnest(range(2, length(w) + 1)) AS u(i)
+        |           WHERE length(w) >= 2),
+        |isubs AS (SELECT substr(w, 1, CAST(L AS INTEGER)) AS p,
+        |                 CAST(sum(c) AS BIGINT) AS pc
+        |          FROM gw, unnest([2, 3, 4]) AS ls(L)
+        |          WHERE length(w) >= L GROUP BY 1),
+        |itop AS (SELECT p FROM isubs ORDER BY pc DESC, p LIMIT 100),
+        |csubs AS (SELECT substr(w, CAST(i AS INTEGER), CAST(L AS INTEGER))
+        |                   AS p,
+        |                 CAST(sum(c) AS BIGINT) AS pc
+        |          FROM gw, unnest([2, 3, 4]) AS ls(L),
+        |               unnest(range(2, length(w) - L + 2)) AS u(i)
+        |          WHERE length(w) >= L + 1 GROUP BY 1),
+        |ctop AS (SELECT p FROM csubs ORDER BY pc DESC, p LIMIT 100),
+        |vini AS MATERIALIZED (
+        |  SELECT p FROM ichars UNION SELECT p FROM itop),
+        |vcon AS MATERIALIZED (
+        |  SELECT p FROM cchars UNION SELECT p FROM ctop),
+        |words AS MATERIALIZED (SELECT DISTINCT w FROM gw),
+        |wp AS MATERIALIZED (
+        |  SELECT w, CAST(pos AS BIGINT) AS pos
+        |  FROM words, unnest(range(0, length(w))) AS u(pos)),
+        |steps AS MATERIALIZED (
+        |  SELECT wp.w, wp.pos, CAST(max(length(v.p)) AS BIGINT) AS step
+        |  FROM wp JOIN vini v
+        |    ON wp.pos = 0 AND length(v.p) <= length(wp.w)
+        |   AND substr(wp.w, 1, length(v.p)) = v.p
+        |  GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT wp.w, wp.pos, CAST(max(length(v.p)) AS BIGINT) AS step
+        |  FROM wp JOIN vcon v
+        |    ON wp.pos > 0 AND length(v.p) <= length(wp.w) - wp.pos
+        |   AND substr(wp.w, CAST(wp.pos + 1 AS INTEGER), length(v.p)) = v.p
+        |  GROUP BY 1, 2),
+        |rec(w, pos, np) AS (
+        |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM words
+        |  UNION ALL
+        |  SELECT r.w, r.pos + s.step, r.np + 1
+        |  FROM rec r JOIN steps s ON s.w = r.w AND s.pos = r.pos
+        |  WHERE r.pos < length(r.w)),
+        |fin AS (SELECT w, np FROM rec WHERE pos = length(w))
+        |SELECT w0.source, CAST(count(*) AS BIGINT) AS n_word_types,
+        |       CAST(sum(w0.cnt) AS BIGINT) AS n_tokens,
+        |       CAST(sum(f.np * w0.cnt) AS BIGINT) AS n_pieces,
+        |       CAST(sum(f.np * w0.cnt) * 1000000 // sum(w0.cnt) AS BIGINT)
+        |         AS pieces_per_token_e6,
+        |       CAST(sum(CASE WHEN f.np = 1 THEN w0.cnt ELSE 0 END) * 1000000
+        |            // sum(w0.cnt) AS BIGINT) AS whole_word_ppm,
+        |       CAST(max(f.np) AS BIGINT) AS max_pieces
+        |FROM w0 JOIN fin f ON f.w = w0.w
+        |GROUP BY w0.source ORDER BY w0.source""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val words = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+        .persist() // global census + the encode map share it
+      val gw = words.groupBy("w").agg(sum("cnt").as("c"))
+        .persist() // both alphabets + both substring censuses
+      val initChars = gw.select(expr("substring(w, 1, 1)").as("p")).distinct()
+      val contChars = gw.where(length(col("w")) >= 2)
+        .select(col("w"), explode(sequence(lit(2), length(col("w")))).as("i"))
+        .select(expr("substring(w, i, 1)").as("p")).distinct()
+      val initTop = gw
+        .select(col("w"), col("c"), explode(sequence(lit(2), lit(4))).as("L"))
+        .where(length(col("w")) >= col("L"))
+        .select(expr("substring(w, 1, L)").as("p"), col("c"))
+        .groupBy("p").agg(sum("c").as("pc"))
+        .orderBy(col("pc").desc, col("p")).limit(100).select("p")
+      val contTop = gw
+        .select(col("w"), col("c"), explode(sequence(lit(2), lit(4))).as("L"))
+        .where(length(col("w")) >= col("L") + 1)
+        .select(col("w"), col("c"), col("L"),
+          explode(sequence(lit(2), length(col("w")) - col("L") + 1)).as("i"))
+        .select(expr("substring(w, i, L)").as("p"), col("c"))
+        .groupBy("p").agg(sum("c").as("pc"))
+        .orderBy(col("pc").desc, col("p")).limit(100).select("p")
+      // both fitted vocabularies are k-row statistics — collected once,
+      // broadcast to the row-local greedy scan (q479's posture, doubled)
+      val initSet = initChars.unionByName(initTop).distinct()
+        .as[String].collect().toSet
+      val contSet = contChars.unionByName(contTop).distinct()
+        .as[String].collect().toSet
+      val bi = s.sparkContext.broadcast(initSet)
+      val bk = s.sparkContext.broadcast(contSet)
+      val enc = words.select("source", "w", "cnt").as[(String, String, Long)]
+        .map { case (src, w, cnt) =>
+          // code-point walk (q479's round-14 discipline): both engines'
+          // vocabularies are codepoint substrings, so positions count
+          // code points, never UTF-16 units
+          val cpLen = w.codePointCount(0, w.length)
+          var pos = 0 // code-point index
+          var cu = 0  // UTF-16 offset of pos
+          var np = 0L
+          while (pos < cpLen) {
+            val vocab = if (pos == 0) bi.value else bk.value
+            var l = math.min(4, cpLen - pos)
+            while (l > 1 &&
+                   !vocab.contains(
+                     w.substring(cu, w.offsetByCodePoints(cu, l))))
+              l -= 1
+            // l == 1 always matches: the position-split alphabets cover
+            // every corpus character at their position class
+            cu = w.offsetByCodePoints(cu, l)
+            pos += l
+            np += 1
+          }
+          (src, cnt, np)
+        }.toDF("source", "cnt", "np")
+      enc.groupBy("source").agg(
+          count(lit(1)).as("n_word_types"),
+          sum("cnt").as("n_tokens"),
+          sum(col("np") * col("cnt")).as("n_pieces"),
+          expr("sum(np * cnt) * 1000000 div sum(cnt)")
+            .as("pieces_per_token_e6"),
+          expr("sum(CASE WHEN np = 1 THEN cnt ELSE 0 END) * 1000000" +
+            " div sum(cnt)").as("whole_word_ppm"),
+          max("np").as("max_pieces"))
+        .orderBy("source")
     }
   )
 
