@@ -2790,78 +2790,8 @@ object TextQueries {
     // quota bound trims each source to k rows). The report proves the
     // contract: per source, selected == quota and the selected set is
     // pinned by an order-free checksum.
-    QueryDef("q480_quota_sample", {
-      import graft.functions.Hashes
-      s"""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n
-         |           FROM documents GROUP BY source),
-         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM s),
-         |b AS (SELECT source, n, (200 * n) // total AS base,
-         |             (200 * n) % total AS rem
-         |      FROM s, t),
-         |l AS (SELECT CAST(200 - sum(base) AS BIGINT) AS leftover FROM b),
-         |q AS (SELECT source, n,
-         |             base + CASE WHEN row_number()
-         |                 OVER (ORDER BY rem DESC, source) <= leftover
-         |               THEN 1 ELSE 0 END AS quota
-         |      FROM b, l),
-         |r AS (SELECT d.source, d.doc_id,
-         |             row_number() OVER (PARTITION BY d.source
-         |               ORDER BY ${Hashes.mulHashSql("d.doc_id", 77)},
-         |                        d.doc_id) AS rk
-         |      FROM documents d),
-         |sel AS (SELECT r.source, r.doc_id
-         |        FROM r JOIN q ON q.source = r.source
-         |        WHERE r.rk <= q.quota)
-         |SELECT q.source, q.n, CAST(q.quota AS BIGINT) AS quota,
-         |       CAST(count(sel.doc_id) AS BIGINT) AS n_selected,
-         |       CAST(count(sel.doc_id) AS BIGINT) = CAST(q.quota AS BIGINT)
-         |         AS quota_exact,
-         |       CAST(coalesce(sum(${Hashes.mulHashSql("sel.doc_id", 91)}),
-         |            0) AS BIGINT) AS sel_checksum
-         |FROM q LEFT JOIN sel ON sel.source = q.source
-         |GROUP BY q.source, q.n, q.quota ORDER BY q.source""".stripMargin
-    }) { (s, d) =>
-      import graft.functions.Hashes
-      import org.apache.spark.sql.expressions.Window
-      val src = Tables.documents(s, d)
-        .groupBy("source").agg(count(lit(1)).as("n"))
-      val tot = src.agg(sum("n").as("total"))
-      val b = src.crossJoin(broadcast(tot))
-        .select(col("source"), col("n"),
-          expr("(200 * n) div total").as("base"),
-          expr("(200 * n) % total").as("rem"))
-      val lo = b.agg((lit(200L) - sum("base")).as("leftover"))
-      // the quota relation is a k-row source census — its remainder rank
-      // is the q199 window, bounded
-      val q = b.crossJoin(broadcast(lo))
-        .withColumn("rk",
-          row_number().over(Window.orderBy(col("rem").desc, col("source"))))
-        .select(col("source"), col("n"),
-          (col("base") + when(col("rk") <= col("leftover"), 1L)
-            .otherwise(0L)).as("quota"))
-      val w = Window.partitionBy("source")
-        .orderBy(Hashes.mulHash(col("doc_id"), 77), col("doc_id"))
-      // every quota ≤ the 200-doc global budget, so the LITERAL rank cap
-      // rk <= 200 is a no-op on the result but compiles to a map-side
-      // WindowGroupLimit — each task forwards ≤ 200 rows per source before
-      // the per-source sort, so a skewed giant source never funnels its
-      // full row set through one window task
-      val sel = Tables.documents(s, d).select(col("source"), col("doc_id"))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 200)
-        .join(broadcast(q), "source")
-        .where(col("rk") <= col("quota"))
-        .select(col("source"), col("doc_id"))
-      q.join(sel.groupBy(col("source").as("ssrc"))
-            .agg(count(lit(1)).as("n_selected"),
-              sum(Hashes.mulHash(col("doc_id"), 91)).as("sel_checksum")),
-          col("source") === col("ssrc"), "left")
-        .select(col("source"), col("n"), col("quota"),
-          coalesce(col("n_selected"), lit(0L)).as("n_selected"),
-          (coalesce(col("n_selected"), lit(0L)) === col("quota"))
-            .as("quota_exact"),
-          coalesce(col("sel_checksum"), lit(0L)).as("sel_checksum"))
-        .orderBy("source")
+    QueryDef("q480_quota_sample", QuotaSampleSql.sql) { (s, d) =>
+      quotaSampleReport(Tables.documents(s, d))
     },
 
     // UTF-8 validity / mojibake-repair census (round 14) — the ingest gate
@@ -3101,8 +3031,116 @@ object TextQueries {
             " div sum(cnt)").as("whole_word_ppm"),
           max("np").as("max_pieces"))
         .orderBy("source")
+    },
+
+    // STREAMING twin of q480 (round 14) — the mixture sampler on the
+    // serving path: source names ARRIVE as a file stream (a downstream
+    // consumer asking "what does the mixture take from this source?") and
+    // each micro-batch answers from the STATIC corpus's persisted sampler
+    // report (quotas + selections + checksums computed once — the
+    // q471/q472/q476 static-corpus posture). Verdicts append to
+    // batchId-keyed overwrite dirs (retry-idempotent sinks), the stream
+    // drains to a STOP after wave A (even-quota sources) and RESUMES the
+    // same checkpoint for wave B (odd-quota sources). Per-source rows over
+    // a static corpus => streamed == batch EXACTLY - the oracle is q480's
+    // VERBATIM (shared QuotaSampleSql), no weaker contract.
+    QueryDef("q483_stream_quota", QuotaSampleSql.sql) { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{StringType, StructType}
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_quota_q_").toFile
+      try {
+        val report = quotaSampleReport(Tables.documents(s, d))
+          .persist() // static corpus statistic: probed by every batch
+        report.count(): Unit
+        def drain(): Unit = {
+          val q = s.readStream
+            .schema(new StructType().add("source", StringType))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/landing")
+            .writeStream
+            // batchId-keyed overwrite for retry idempotency - q471's sink
+            // discipline
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+              report.join(broadcast(batch.select("source")), "source")
+                .write.mode("overwrite").parquet(s"$root/out/batch=$bid")
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        report.select("source").where(col("quota") % 2 === 0).coalesce(1)
+          .write.parquet(s"$root/landing")
+        drain()
+        report.select("source").where(col("quota") % 2 =!= 0).coalesce(1)
+          .write.mode("append").parquet(s"$root/landing")
+        drain()
+        val res = s.read.parquet(s"$root/out")
+          .select("source", "n", "quota", "n_selected", "quota_exact",
+            "sel_checksum")
+          .orderBy("source")
+          // the result READS $root/out - materialize before the delete
+          .localCheckpoint()
+        report.unpersist()
+        res
+      } finally rmrf(root)
     }
   )
+
+  /** q480's computation over any (doc_id, source) relation — split out so
+    * the streamed twin (q483) serves the SAME report from the SAME code;
+    * see the q480 QueryDef comment for the contract.
+    */
+  private[queries] def quotaSampleReport(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import graft.functions.Hashes
+      import org.apache.spark.sql.expressions.Window
+      val src = docs
+        .groupBy("source").agg(count(lit(1)).as("n"))
+      val tot = src.agg(sum("n").as("total"))
+      val b = src.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"),
+          expr("(200 * n) div total").as("base"),
+          expr("(200 * n) % total").as("rem"))
+      val lo = b.agg((lit(200L) - sum("base")).as("leftover"))
+      // the quota relation is a k-row source census — its remainder rank
+      // is the q199 window, bounded
+      val q = b.crossJoin(broadcast(lo))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+        .select(col("source"), col("n"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L)
+            .otherwise(0L)).as("quota"))
+      val w = Window.partitionBy("source")
+        .orderBy(Hashes.mulHash(col("doc_id"), 77), col("doc_id"))
+      // every quota ≤ the 200-doc global budget, so the LITERAL rank cap
+      // rk <= 200 is a no-op on the result but compiles to a map-side
+      // WindowGroupLimit — each task forwards ≤ 200 rows per source before
+      // the per-source sort, so a skewed giant source never funnels its
+      // full row set through one window task
+      val sel = docs.select(col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 200)
+        .join(broadcast(q), "source")
+        .where(col("rk") <= col("quota"))
+        .select(col("source"), col("doc_id"))
+      q.join(sel.groupBy(col("source").as("ssrc"))
+            .agg(count(lit(1)).as("n_selected"),
+              sum(Hashes.mulHash(col("doc_id"), 91)).as("sel_checksum")),
+          col("source") === col("ssrc"), "left")
+        .select(col("source"), col("n"), col("quota"),
+          coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+          (coalesce(col("n_selected"), lit(0L)) === col("quota"))
+            .as("quota_exact"),
+          coalesce(col("sel_checksum"), lit(0L)).as("sel_checksum"))
+        .orderBy("source")
+    
+  }
 
   /** q473's computation over any (doc_id, text) relation — split out so
     * Round16Spec can pin the β = 1 (all-unique) and β = 0 (single-token)
@@ -3156,6 +3194,42 @@ object TextQueries {
   * cumsum offsets, per-token min global position, V_k per log-spaced
   * checkpoint, IntLn points, HUGEINT OLS moments, guarded slope.
   */
+/** q480's oracle, shared VERBATIM with its streamed twin q483 (the
+  * q474/q476 one-text discipline).
+  */
+private[queries] object QuotaSampleSql {
+  import graft.functions.Hashes
+  val sql: String =
+    s"""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |           FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM s),
+         |b AS (SELECT source, n, (200 * n) // total AS base,
+         |             (200 * n) % total AS rem
+         |      FROM s, t),
+         |l AS (SELECT CAST(200 - sum(base) AS BIGINT) AS leftover FROM b),
+         |q AS (SELECT source, n,
+         |             base + CASE WHEN row_number()
+         |                 OVER (ORDER BY rem DESC, source) <= leftover
+         |               THEN 1 ELSE 0 END AS quota
+         |      FROM b, l),
+         |r AS (SELECT d.source, d.doc_id,
+         |             row_number() OVER (PARTITION BY d.source
+         |               ORDER BY ${Hashes.mulHashSql("d.doc_id", 77)},
+         |                        d.doc_id) AS rk
+         |      FROM documents d),
+         |sel AS (SELECT r.source, r.doc_id
+         |        FROM r JOIN q ON q.source = r.source
+         |        WHERE r.rk <= q.quota)
+         |SELECT q.source, q.n, CAST(q.quota AS BIGINT) AS quota,
+         |       CAST(count(sel.doc_id) AS BIGINT) AS n_selected,
+         |       CAST(count(sel.doc_id) AS BIGINT) = CAST(q.quota AS BIGINT)
+         |         AS quota_exact,
+         |       CAST(coalesce(sum(${Hashes.mulHashSql("sel.doc_id", 91)}),
+         |            0) AS BIGINT) AS sel_checksum
+         |FROM q LEFT JOIN sel ON sel.source = q.source
+         |GROUP BY q.source, q.n, q.quota ORDER BY q.source""".stripMargin
+}
+
 private[queries] object HeapsSql {
   import graft.functions.IntLn
 

@@ -91,5 +91,8 @@ class OracleHealthSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql("q474_quality_survivors") ==
       SparkEntry.oracleSql("q476_stream_survivors"),
       "q474/q476 oracles diverged — the twins must share one text")
+    assert(SparkEntry.oracleSql("q480_quota_sample") ==
+      SparkEntry.oracleSql("q483_stream_quota"),
+      "q480/q483 oracles diverged — the twins must share one text")
   }
 }
