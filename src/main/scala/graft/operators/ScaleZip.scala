@@ -28,6 +28,15 @@ import org.apache.spark.sql.DataFrame
   * recompute is bit-identical: the range bounds live in the captured plan's
   * shuffle dependency (sampled once), assignment and sort are deterministic
   * functions of the total order.
+  *
+  * Deliberate trade: when the zip OUTPUT itself feeds a range partitioner
+  * (a nested zip chain), the downstream exchange's bound-sampling pass is
+  * the first job over the emit RDD, so the release fires before the main
+  * shuffle re-reads it — that second read recomputes the emit from the
+  * parent exchange's still-present shuffle files (one extra in-partition
+  * sort; the map side is not redone, and determinism makes the recompute
+  * bit-identical). Holding k row-scale caches to the end of the query
+  * costs more at 100 TB than one re-sorted pass per nesting level.
   */
 private[operators] object ScaleZip {
 
