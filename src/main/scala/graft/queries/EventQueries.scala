@@ -5531,8 +5531,13 @@ private object AttributionSql {
   /** One masked fixed-point round over ALL mask rows; `mix` is the 1-based
     * masked index column (NULL = the unmasked base chain).
     */
+  // each step is MATERIALIZED: the its are single-referenced, so DuckDB
+  // would otherwise inline the whole chain into one Rounds-deep lambda
+  // tree — stepwise materialization (6-row intermediates) caps the
+  // planner/expression depth at one round (round-14; q281 read 8.2 s
+  // under sweep load, 82% of budget, with the inlined form)
   private def step(prev: String, cur: String): String =
-    s"""$cur AS (
+    s"""$cur AS MATERIALIZED (
        |  SELECT ch, mix, list_transform(range(1, len(m) + 1), i ->
        |    CASE WHEN mix IS NOT NULL AND i = mix THEN CAST(0 AS DOUBLE)
        |         ELSE round(${fold("j -> m[i][j] * a[j]", "range(1, len(m) + 1)")}
@@ -5546,7 +5551,7 @@ private object AttributionSql {
       s"""masks AS (SELECT CAST(NULL AS VARCHAR) AS ch, CAST(NULL AS BIGINT) AS mix
          |          UNION ALL
          |          SELECT st, ix + 1 FROM ty WHERE st <> 'START'),
-         |it_0 AS (
+         |it_0 AS MATERIALIZED (
          |  SELECT ch, mix,
          |         list_transform(range(0, len(m)), x -> CAST(0 AS DOUBLE)) AS a
          |  FROM masks, cm),

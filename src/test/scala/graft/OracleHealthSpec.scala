@@ -62,6 +62,16 @@ class OracleHealthSpec extends AnyFunSuite {
       assert(materialized(bt, c), s"BtSql CTE $c not materialized")
   }
 
+  test("q281's unrolled fixed-point chain keeps stepwise MATERIALIZED its") {
+    // round 14: the 16 single-referenced it_k CTEs would otherwise inline
+    // into one Rounds-deep lambda tree — q281 read 8.2 s (82% of budget)
+    // under sweep load with the inlined form, 6-row-per-step with
+    // materialization
+    val sql = SparkEntry.oracleSql("q281_markov_attribution")
+    for (k <- 0 to 16)
+      assert(materialized(sql, s"it_$k"), s"q281 it_$k not materialized")
+  }
+
   test("q358's replay oracle stays a list_reduce fold, not a per-event recursion") {
     // playbook #55: the recursive form re-joined the full event census per
     // iteration (~15k x 60k at sf0.01) and crossed the 10 s budget under
