@@ -731,6 +731,22 @@ object ScaleProbe {
             max("rn").as("maxrn"))
       },
 
+      // PrefixSum.cumsumN — the round-14 multi-walk variant (the ROC
+      // shape: k running sums over ONE order in one shuffle + census).
+      // Must track the prefix_sum leg exactly: the extra walks add one
+      // long per row of census state and k adds per row, never a second
+      // exchange
+      "prefix_sum_multi" -> { m =>
+        val t = li(m).select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+          col("l_quantity").cast("long").as("v"),
+          col("l_linenumber").cast("long").as("u"))
+        graft.operators.PrefixSum.cumsumN(t, Seq(col("k")),
+            Seq("v" -> "cv", "u" -> "cu"), inclusive = true)
+          .groupBy().agg(count(lit(1)).as("n"), max("cv").as("tv"),
+            max("cu").as("tu"))
+      },
+
       // q473 Heaps' law (the corpus-health family's probe leg): token
       // explode → first-occurrence min-aggregate census + the TWO-PASS
       // PrefixSum doc-offset cumsum (round 13's fix — the old partition-

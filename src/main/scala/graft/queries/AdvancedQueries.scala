@@ -2590,26 +2590,26 @@ object AdvancedQueries {
     // 6-hop horizon (stated by both engines; vertices beyond it don't
     // bound this estimate). Over q81's bipartite customer↔supplier graph.
     QueryDef("q337_diameter_sweep",
-      """WITH RECURSIVE pairs AS (
+      """WITH RECURSIVE pairs AS MATERIALIZED (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |e AS (SELECT c AS src, s + 1000000 AS dst FROM pairs
+        |e AS MATERIALIZED (SELECT c AS src, s + 1000000 AS dst FROM pairs
         |      UNION ALL SELECT s + 1000000, c FROM pairs),
-        |seed1 AS (SELECT min(src) AS id FROM e),
+        |seed1 AS MATERIALIZED (SELECT min(src) AS id FROM e),
         |b1(id, dist) AS (
         |  SELECT id, 0 FROM seed1
         |  UNION
         |  SELECT e.dst, b1.dist + 1
         |  FROM b1 JOIN e ON e.src = b1.id WHERE b1.dist < 6),
-        |d1 AS (SELECT id, CAST(min(dist) AS BIGINT) AS dist
+        |d1 AS MATERIALIZED (SELECT id, CAST(min(dist) AS BIGINT) AS dist
         |       FROM b1 GROUP BY id),
-        |far AS (SELECT id, dist FROM d1 ORDER BY dist DESC, id LIMIT 1),
+        |far AS MATERIALIZED (SELECT id, dist FROM d1 ORDER BY dist DESC, id LIMIT 1),
         |b2(id, dist) AS (
         |  SELECT id, 0 FROM far
         |  UNION
         |  SELECT e.dst, b2.dist + 1
         |  FROM b2 JOIN e ON e.src = b2.id WHERE b2.dist < 6),
-        |d2 AS (SELECT id, CAST(min(dist) AS BIGINT) AS dist
+        |d2 AS MATERIALIZED (SELECT id, CAST(min(dist) AS BIGINT) AS dist
         |       FROM b2 GROUP BY id)
         |SELECT (SELECT id FROM seed1) AS start_id,
         |       far.id AS far_id, far.dist AS ecc_sweep1,

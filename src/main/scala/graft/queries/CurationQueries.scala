@@ -2368,11 +2368,11 @@ object CurationQueries {
     // recursive CTE.
     QueryDef("q458_sequence_packing", {
       val W = PackSql.W
-      s"""WITH RECURSIVE t AS (
+      s"""WITH RECURSIVE t AS MATERIALIZED (
          |  SELECT doc_id, least(len(string_split(text, ' ')), $W) AS ln,
          |         doc_id % 8 AS shard
          |  FROM documents),
-         |o AS (SELECT shard, doc_id, ln, row_number() OVER (
+         |o AS MATERIALIZED (SELECT shard, doc_id, ln, row_number() OVER (
          |        PARTITION BY shard ORDER BY ln DESC, doc_id) AS rn
          |      FROM t),
          |rec(shard, rn, bin, acc) AS (
@@ -2385,7 +2385,7 @@ object CurationQueries {
          |         CASE WHEN r.acc + o.ln > $W THEN o.ln
          |              ELSE r.acc + o.ln END
          |  FROM rec r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1),
-         |b AS (SELECT r.shard, r.bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |b AS MATERIALIZED (SELECT r.shard, r.bin, CAST(count(*) AS BIGINT) AS n_docs,
          |             CAST(sum(o.ln) AS BIGINT) AS tokens_used
          |      FROM rec r JOIN o ON o.shard = r.shard AND o.rn = r.rn
          |      WHERE r.rn >= 1 GROUP BY r.shard, r.bin)
@@ -2504,11 +2504,11 @@ private object PackSql {
   val W = 100
 
   val nfSql: String =
-    s"""WITH RECURSIVE t AS (
+    s"""WITH RECURSIVE t AS MATERIALIZED (
        |  SELECT doc_id, least(len(string_split(text, ' ')), $W) AS ln,
        |         doc_id % 8 AS shard
        |  FROM documents),
-       |o AS (SELECT shard, doc_id, ln, row_number() OVER (
+       |o AS MATERIALIZED (SELECT shard, doc_id, ln, row_number() OVER (
        |        PARTITION BY shard ORDER BY doc_id) AS rn FROM t),
        |rec(shard, rn, doc_id, ln, bin, acc) AS (
        |  SELECT shard, CAST(0 AS BIGINT), CAST(-1 AS BIGINT),

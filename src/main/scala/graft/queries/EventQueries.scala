@@ -16,10 +16,10 @@ object EventQueries {
     * greedy TTL-throttle trace — streamed ≡ batch by the shared hash.
     */
   private val ttlThrottleSql: String =
-    """WITH RECURSIVE d AS (
+    """WITH RECURSIVE d AS MATERIALIZED (
       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
       |  FROM events WHERE user_id < 30 GROUP BY 1, 2),
-      |r AS (SELECT user_id, day,
+      |r AS MATERIALIZED (SELECT user_id, day,
       |             CAST(row_number() OVER (PARTITION BY user_id
       |               ORDER BY day) AS BIGINT) AS rn
       |      FROM d),
@@ -1388,12 +1388,12 @@ object EventQueries {
     // class where arrival order IS the semantics (contrast q236/q244,
     // whose commutative state tolerates any slicing).
     QueryDef("q256_stream_ewma",
-      """WITH RECURSIVE d AS (
+      """WITH RECURSIVE d AS MATERIALIZED (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
         |           AS BIGINT) AS y
         |  FROM events GROUP BY 1, 2),
-        |r AS (SELECT event_type, day, y,
+        |r AS MATERIALIZED (SELECT event_type, day, y,
         |        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
         |      FROM d),
         |rec(event_type, rn, day, y, s) AS (
@@ -1756,12 +1756,12 @@ object EventQueries {
     // series, sort bounded per key, state one long — the canonical shape
     // for gap-aware smoothing/state machines over 100 TB of event series.
     QueryDef("q233_ewma",
-      """WITH RECURSIVE d AS (
+      """WITH RECURSIVE d AS MATERIALIZED (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
         |           AS BIGINT) AS y
         |  FROM events GROUP BY 1, 2),
-        |r AS (SELECT event_type, day, y,
+        |r AS MATERIALIZED (SELECT event_type, day, y,
         |        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
         |      FROM d),
         |rec(event_type, rn, day, y, s) AS (
@@ -1813,12 +1813,12 @@ object EventQueries {
     // dashboard plots. Oracle: recursive CTE stepping the same recurrence
     // (the q233 precedent with two carried columns).
     QueryDef("q271_holt_trend",
-      """WITH RECURSIVE d AS (
+      """WITH RECURSIVE d AS MATERIALIZED (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
         |           AS BIGINT) AS y
         |  FROM events GROUP BY 1, 2),
-        |r AS (SELECT event_type, day, y,
+        |r AS MATERIALIZED (SELECT event_type, day, y,
         |        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
         |      FROM d),
         |rec(event_type, rn, day, y, l, b) AS (
@@ -1917,12 +1917,12 @@ object EventQueries {
     // the row index — calendar gaps don't skew the join), zero-valued
     // realizations are excluded from the denominator on both engines.
     QueryDef("q283_forecast_backtest",
-      """WITH RECURSIVE d AS (
+      """WITH RECURSIVE d AS MATERIALIZED (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
         |           AS BIGINT) AS y
         |  FROM events GROUP BY 1, 2),
-        |r AS (SELECT event_type, day, y,
+        |r AS MATERIALIZED (SELECT event_type, day, y,
         |        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
         |      FROM d),
         |rec(event_type, rn, day, y, l, b) AS (
@@ -1934,11 +1934,11 @@ object EventQueries {
         |         (((r.y + (rec.l + rec.b)) // 2 - rec.l) + rec.b) // 2
         |  FROM r JOIN rec ON r.event_type = rec.event_type
         |                 AND r.rn = rec.rn + 1),
-        |fin AS (SELECT event_type, rn, y, l, b,
+        |fin AS MATERIALIZED (SELECT event_type, rn, y, l, b,
         |          lead(y, 3) OVER (PARTITION BY event_type ORDER BY rn)
         |            AS ya
         |        FROM rec),
-        |ape AS (SELECT event_type,
+        |ape AS MATERIALIZED (SELECT event_type,
         |          abs((l + 3 * b) - ya) * 1000000 // ya AS model_ape,
         |          abs(y - ya) * 1000000 // ya AS naive_ape
         |        FROM fin WHERE ya IS NOT NULL AND ya > 0)
@@ -3791,18 +3791,18 @@ object EventQueries {
     // CTE. Emits the full per-day trace so the alarm PATH, not just the
     // verdict, is hash-checked.
     QueryDef("q410_page_cusum",
-      """WITH RECURSIVE d AS (
+      """WITH RECURSIVE d AS MATERIALIZED (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |         CAST(count(*) AS BIGINT) AS x
         |  FROM events GROUP BY 1, 2),
-        |r0 AS (SELECT event_type, day, x,
+        |r0 AS MATERIALIZED (SELECT event_type, day, x,
         |         CAST(row_number() OVER (PARTITION BY event_type
         |           ORDER BY day) AS BIGINT) AS rn
         |       FROM d),
-        |ref AS (SELECT event_type,
+        |ref AS MATERIALIZED (SELECT event_type,
         |          CAST(sum(x) AS BIGINT) // count(*) AS refx
         |        FROM r0 WHERE rn <= 15 GROUP BY event_type),
-        |r AS (SELECT r0.event_type, r0.rn, r0.day, r0.x,
+        |r AS MATERIALIZED (SELECT r0.event_type, r0.rn, r0.day, r0.x,
         |             CAST(ref.refx AS BIGINT) AS refx
         |      FROM r0 JOIN ref USING (event_type)),
         |rec(event_type, rn, day, x, refx, s) AS (
@@ -3856,18 +3856,18 @@ object EventQueries {
     // production posture for drift alarms: the alarm fires mid-stream,
     // not in a nightly batch.
     QueryDef("q412_stream_cusum",
-      """WITH RECURSIVE d AS (
+      """WITH RECURSIVE d AS MATERIALIZED (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |         CAST(count(*) AS BIGINT) AS x
         |  FROM events GROUP BY 1, 2),
-        |r0 AS (SELECT event_type, day, x,
+        |r0 AS MATERIALIZED (SELECT event_type, day, x,
         |         CAST(row_number() OVER (PARTITION BY event_type
         |           ORDER BY day) AS BIGINT) AS rn
         |       FROM d),
-        |ref AS (SELECT event_type,
+        |ref AS MATERIALIZED (SELECT event_type,
         |          CAST(sum(x) AS BIGINT) // count(*) AS refx
         |        FROM r0 WHERE rn <= 15 GROUP BY event_type),
-        |r AS (SELECT r0.event_type, r0.rn, r0.day, r0.x,
+        |r AS MATERIALIZED (SELECT r0.event_type, r0.rn, r0.day, r0.x,
         |             CAST(ref.refx AS BIGINT) AS refx
         |      FROM r0 JOIN ref USING (event_type)),
         |rec(event_type, rn, day, x, refx, s) AS (
@@ -3965,12 +3965,12 @@ object EventQueries {
     // by arithmetic both engines replay). Scale: the recurrence is the
     // q233 single-exchange shape; the eval join is rn = rn+1 within key.
     QueryDef("q415_forecast_backtest",
-      """WITH RECURSIVE d AS (
+      """WITH RECURSIVE d AS MATERIALIZED (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
         |           AS BIGINT) AS y
         |  FROM events GROUP BY 1, 2),
-        |r AS (SELECT event_type, day, y,
+        |r AS MATERIALIZED (SELECT event_type, day, y,
         |        CAST(row_number() OVER (PARTITION BY event_type
         |          ORDER BY day) AS BIGINT) AS rn
         |      FROM d),
@@ -3984,20 +3984,20 @@ object EventQueries {
         |         (((r.y + (rec.l + rec.b)) // 2 - rec.l) + rec.b) // 2
         |  FROM r JOIN rec ON r.event_type = rec.event_type
         |                 AND r.rn = rec.rn + 1),
-        |n AS (SELECT event_type, max(rn) AS nmax FROM r GROUP BY 1),
-        |pr AS (
+        |n AS MATERIALIZED (SELECT event_type, max(rn) AS nmax FROM r GROUP BY 1),
+        |pr AS MATERIALIZED (
         |  SELECT a.event_type, a.y, a.s, a.l, a.b, nx.y AS y_next
         |  FROM rec a
         |  JOIN rec nx ON nx.event_type = a.event_type
         |             AND nx.rn = a.rn + 1
         |  JOIN n ON n.event_type = a.event_type
         |  WHERE a.rn >= n.nmax - 10 AND a.rn < n.nmax),
-        |e AS (
+        |e AS MATERIALIZED (
         |  SELECT event_type, 'ewma' AS model, abs(s - y_next) AS err
         |  FROM pr
         |  UNION ALL SELECT event_type, 'holt', abs(l + b - y_next) FROM pr
         |  UNION ALL SELECT event_type, 'naive', abs(y - y_next) FROM pr),
-        |mae AS (SELECT event_type, model,
+        |mae AS MATERIALIZED (SELECT event_type, model,
         |               CAST(sum(err) AS BIGINT) // count(*) AS mae_cents,
         |               CAST(count(*) AS BIGINT) AS n_origins
         |        FROM e GROUP BY 1, 2)
@@ -4174,33 +4174,33 @@ object EventQueries {
       def nUpd(i: Int) = s"rec.n$i + CASE WHEN ($cExpr) = $i THEN 1 ELSE 0 END"
       def sUpd(i: Int) =
         s"rec.s$i + CASE WHEN ($cExpr) = $i THEN gw.r$i ELSE 0 END"
-      s"""WITH RECURSIVE d AS (
+      s"""WITH RECURSIVE d AS MATERIALIZED (
          |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
          |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
          |           AS BIGINT) AS r
          |  FROM events GROUP BY 1, 2),
-         |fd AS (SELECT day FROM d GROUP BY day HAVING count(*) = 5),
-         |arms AS (SELECT event_type,
+         |fd AS MATERIALIZED (SELECT day FROM d GROUP BY day HAVING count(*) = 5),
+         |arms AS MATERIALIZED (SELECT event_type,
          |                CAST(row_number() OVER (ORDER BY event_type)
          |                  AS BIGINT) AS arm
          |         FROM (SELECT DISTINCT event_type FROM d)),
-         |tg AS (SELECT day, CAST(row_number() OVER (ORDER BY day)
+         |tg AS MATERIALIZED (SELECT day, CAST(row_number() OVER (ORDER BY day)
          |         AS BIGINT) AS t FROM fd),
-         |grid AS (SELECT tg.t, tg.day, arms.arm, d.r
+         |grid AS MATERIALIZED (SELECT tg.t, tg.day, arms.arm, d.r
          |         FROM d JOIN tg USING (day) JOIN arms USING (event_type)
          |         WHERE tg.t <= 30),
-         |mx AS (SELECT CAST(max(r) AS BIGINT) AS rmax FROM grid),
-         |g AS (SELECT t, day, arm,
+         |mx AS MATERIALIZED (SELECT CAST(max(r) AS BIGINT) AS rmax FROM grid),
+         |g AS MATERIALIZED (SELECT t, day, arm,
          |             r * 1000000 // (SELECT rmax FROM mx) AS re6
          |      FROM grid),
-         |gw AS (SELECT t, max(day) AS day,
+         |gw AS MATERIALIZED (SELECT t, max(day) AS day,
          |              CAST(max(CASE WHEN arm = 1 THEN re6 END) AS BIGINT) AS r1,
          |              CAST(max(CASE WHEN arm = 2 THEN re6 END) AS BIGINT) AS r2,
          |              CAST(max(CASE WHEN arm = 3 THEN re6 END) AS BIGINT) AS r3,
          |              CAST(max(CASE WHEN arm = 4 THEN re6 END) AS BIGINT) AS r4,
          |              CAST(max(CASE WHEN arm = 5 THEN re6 END) AS BIGINT) AS r5
          |       FROM g GROUP BY t),
-         |best AS (SELECT arm AS barm FROM (
+         |best AS MATERIALIZED (SELECT arm AS barm FROM (
          |           SELECT arm, sum(re6) AS s FROM g GROUP BY arm
          |           ORDER BY s DESC, arm LIMIT 1)),
          |rec(t, chosen, n1, n2, n3, n4, n5, s1, s2, s3, s4, s5) AS (
@@ -4214,7 +4214,7 @@ object EventQueries {
          |         ${nUpd(1)}, ${nUpd(2)}, ${nUpd(3)}, ${nUpd(4)}, ${nUpd(5)},
          |         ${sUpd(1)}, ${sUpd(2)}, ${sUpd(3)}, ${sUpd(4)}, ${sUpd(5)}
          |  FROM rec JOIN gw ON gw.t = rec.t + 1),
-         |steps AS (
+         |steps AS MATERIALIZED (
          |  SELECT rec.t, gw.day, rec.chosen,
          |         CASE rec.chosen WHEN 1 THEN gw.r1 WHEN 2 THEN gw.r2
          |              WHEN 3 THEN gw.r3 WHEN 4 THEN gw.r4
@@ -4401,26 +4401,26 @@ object EventQueries {
     // recurrence as a recursive CTE). Scale: one user-day census + one
     // lag window; everything after is the duration census.
     QueryDef("q424_kaplan_meier",
-      """WITH RECURSIVE ud AS (
+      """WITH RECURSIVE ud AS MATERIALIZED (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
         |  FROM events),
-        |lg AS (SELECT user_id, day,
+        |lg AS MATERIALIZED (SELECT user_id, day,
         |              lag(day) OVER (PARTITION BY user_id ORDER BY day)
         |                AS pday
         |       FROM ud),
-        |u AS (SELECT user_id, min(day) AS d0, max(day) AS d1,
+        |u AS MATERIALIZED (SELECT user_id, min(day) AS d0, max(day) AS d1,
         |             min(CASE WHEN day - pday > 2 THEN pday END)
         |               AS gap_end
         |      FROM lg GROUP BY user_id),
-        |lt AS (SELECT user_id,
+        |lt AS MATERIALIZED (SELECT user_id,
         |              coalesce(gap_end, d1) - d0 AS dur,
         |              CASE WHEN gap_end IS NULL THEN 1 ELSE 0 END
         |                AS censored
         |       FROM u),
-        |cen AS (SELECT dur AS t, CAST(count(*) AS BIGINT) AS n_at,
+        |cen AS MATERIALIZED (SELECT dur AS t, CAST(count(*) AS BIGINT) AS n_at,
         |               CAST(sum(1 - censored) AS BIGINT) AS d
         |        FROM lt GROUP BY dur),
-        |grid AS (SELECT t, n_at, d,
+        |grid AS MATERIALIZED (SELECT t, n_at, d,
         |                CAST(row_number() OVER (ORDER BY t) AS BIGINT)
         |                  AS rn,
         |                CAST(sum(n_at) OVER (ORDER BY t DESC) AS BIGINT)
@@ -5015,16 +5015,16 @@ object EventQueries {
     // exactly what a forecast eval exists to surface. The spec replays
     // both recurrences independently instead of betting on a winner.
     QueryDef("q394_holt_winters",
-      """WITH RECURSIVE d0 AS (
+      """WITH RECURSIVE d0 AS MATERIALIZED (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
         |           AS BIGINT) AS y
         |  FROM events GROUP BY 1, 2),
-        |d AS (SELECT event_type, day, y,
+        |d AS MATERIALIZED (SELECT event_type, day, y,
         |        row_number() OVER (PARTITION BY event_type ORDER BY day)
         |          AS rn
         |      FROM d0),
-        |ini AS (
+        |ini AS MATERIALIZED (
         |  SELECT event_type,
         |    CAST(sum(y) // 7 AS BIGINT) AS l0,
         |    CAST(max(CASE WHEN rn = 1 THEN y END) AS BIGINT) AS y1,

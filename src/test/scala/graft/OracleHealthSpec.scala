@@ -72,6 +72,34 @@ class OracleHealthSpec extends AnyFunSuite {
       assert(materialized(sql, s"it_$k"), s"q281 it_$k not materialized")
   }
 
+  test("sequential-walk recursions keep their base CTEs MATERIALIZED") {
+    // round 14: a recursive member that joins an un-materialized CTE can
+    // re-evaluate that CTE's whole chain (down to the raw corpus scan)
+    // during the recursion — q415 measured 3.8 s → 0.2 s at sf0.01 from
+    // materializing its day census, with identical rows; the whole
+    // forecast/stream-replay family carried the same shape. Audit method:
+    // transform every RECURSIVE oracle's base CTEs to MATERIALIZED in a
+    // DuckDB A/B (identity + wall) — adopt where it wins. Graph-closure
+    // recursions (q61-family comp chains) measured no win and keep their
+    // plain text; the slowest-5 budget line remains the living detector.
+    val fixed = Seq(
+      "q233_ewma", "q256_stream_ewma", "q271_holt_trend",
+      "q283_forecast_backtest", "q337_diameter_sweep", "q394_holt_winters",
+      "q410_page_cusum", "q412_stream_cusum", "q415_forecast_backtest",
+      "q417_ucb1_replay", "q424_kaplan_meier", "q442_ttl_throttle",
+      "q451_stream_throttle", "q458_sequence_packing",
+      "q463_stream_packing")
+    val bare = "(?<![A-Za-z0-9_])([a-zA-Z_][a-zA-Z0-9_]*) AS \\(".r
+    for (q <- fixed) {
+      val sql = SparkEntry.oracleSql(q)
+      assert(sql.contains("RECURSIVE"), s"$q lost its recursion marker?")
+      val loose = bare.findAllMatchIn(sql).map(_.group(1)).toList
+      assert(loose.isEmpty,
+        s"$q has un-MATERIALIZED base CTEs in a recursive oracle: " +
+          loose.mkString(", "))
+    }
+  }
+
   test("q358's replay oracle stays a list_reduce fold, not a per-event recursion") {
     // playbook #55: the recursive form re-joined the full event census per
     // iteration (~15k x 60k at sf0.01) and crossed the 10 s budget under
