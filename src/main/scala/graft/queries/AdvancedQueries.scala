@@ -1032,7 +1032,7 @@ object AdvancedQueries {
         |   AND substr(a.pre, 1, 8) = substr(b.pre, 1, 8)
         |   AND a.rid < b.rid
         |  WHERE levenshtein(a.pre, b.pre) <= 5),
-        |e AS (SELECT ra AS ea, rb AS eb FROM cand
+        |e AS MATERIALIZED (SELECT ra AS ea, rb AS eb FROM cand
         |      UNION ALL SELECT rb, ra FROM cand),
         |reach(rv, rr) AS (
         |  SELECT DISTINCT ea, ea FROM e
@@ -1104,7 +1104,7 @@ object AdvancedQueries {
         |  FROM blocks a JOIN blocks b
         |    ON a.source = b.source AND a.bkey = b.bkey AND a.rid < b.rid
         |  WHERE levenshtein(a.pre, b.pre) <= 5),
-        |e AS (SELECT ra AS ea, rb AS eb FROM cand
+        |e AS MATERIALIZED (SELECT ra AS ea, rb AS eb FROM cand
         |      UNION ALL SELECT rb, ra FROM cand),
         |reach(rv, rr) AS (
         |  SELECT DISTINCT ea, ea FROM e
@@ -1188,7 +1188,7 @@ object AdvancedQueries {
          |  WHERE levenshtein(a.pre, b.pre) <= 5
          |     OR (substr(a.skel, 1, 8) = substr(b.skel, 1, 8)
          |         AND levenshtein(a.skel, b.skel) <= 2)),
-         |e AS (SELECT ra AS ea, rb AS eb FROM cand
+         |e AS MATERIALIZED (SELECT ra AS ea, rb AS eb FROM cand
          |      UNION ALL SELECT rb, ra FROM cand),
          |reach(rv, rr) AS (
          |  SELECT DISTINCT ea, ea FROM e
@@ -1484,7 +1484,7 @@ object AdvancedQueries {
          |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS dg
          |        FROM (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0)
          |        GROUP BY id),
-         |e AS (SELECT u AS ea, v AS eb FROM e0
+         |e AS MATERIALIZED (SELECT u AS ea, v AS eb FROM e0
          |      UNION ALL SELECT v, u FROM e0),
          |reach(rv, rr) AS (
          |  SELECT DISTINCT ea, ea FROM e
@@ -1536,9 +1536,9 @@ object AdvancedQueries {
       """WITH RECURSIVE pairs AS (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |e AS (SELECT c AS src, s + 1000000 AS dst FROM pairs
+        |e AS MATERIALIZED (SELECT c AS src, s + 1000000 AS dst FROM pairs
         |      UNION ALL SELECT s + 1000000, c FROM pairs),
-        |seed AS (SELECT min(src) AS id FROM e),
+        |seed AS MATERIALIZED (SELECT min(src) AS id FROM e),
         |bfs(id, dist) AS (
         |  SELECT id, 0 FROM seed
         |  UNION
@@ -1642,7 +1642,7 @@ object AdvancedQueries {
          |         CAST(count(*) AS BIGINT) AS n_pts
          |  FROM p GROUP BY 1),
          |dense AS (SELECT cid, n_pts FROM cells WHERE n_pts >= 4),
-         |e AS (
+         |e AS MATERIALIZED (
          |  SELECT a.cid AS ea, b.cid AS eb
          |  FROM dense a JOIN dense b
          |    ON abs(a.cid // 1000 - b.cid // 1000) <= 1
@@ -3059,7 +3059,7 @@ object AdvancedQueries {
          |  GROUP BY comp),
          |ch1 AS MATERIALIZED (
          |  SELECT DISTINCT me.u AS u, me.v AS v, me.d2 AS d2 FROM m1),
-         |ee1 AS (SELECT u AS ea, v AS eb FROM ch1
+         |ee1 AS MATERIALIZED (SELECT u AS ea, v AS eb FROM ch1
          |        UNION ALL SELECT v, u FROM ch1),
          |reach1(rv, rr) AS (
          |  SELECT DISTINCT ea, ea FROM ee1
@@ -3079,7 +3079,7 @@ object AdvancedQueries {
          |  GROUP BY comp),
          |ch2 AS MATERIALIZED (
          |  SELECT DISTINCT me.u AS u, me.v AS v, me.d2 AS d2 FROM m2),
-         |eall AS (SELECT u AS ea, v AS eb FROM ch1
+         |eall AS MATERIALIZED (SELECT u AS ea, v AS eb FROM ch1
          |  UNION ALL SELECT v, u FROM ch1
          |  UNION ALL SELECT u, v FROM ch2
          |  UNION ALL SELECT v, u FROM ch2),
@@ -4235,7 +4235,7 @@ private object CcDedup {
        |p AS (SELECT a.vec_id AS pa, b.vec_id AS pb
        |      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
        |      WHERE round($dot / (a.nrm * b.nrm), 6) >= 0.3),
-       |e AS (SELECT pa AS ea, pb AS eb FROM p
+       |e AS MATERIALIZED (SELECT pa AS ea, pb AS eb FROM p
        |      UNION ALL SELECT pb, pa FROM p),
        |reach(rv, rr) AS (
        |  SELECT DISTINCT ea, ea FROM e

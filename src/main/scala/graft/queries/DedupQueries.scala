@@ -186,7 +186,7 @@ object DedupQueries {
          |ex AS (SELECT doc_id,
          |              min(doc_id) OVER (PARTITION BY text) AS rep
          |       FROM documents),
-         |e AS (SELECT doc_a AS ea, doc_b AS eb FROM p
+         |e AS MATERIALIZED (SELECT doc_a AS ea, doc_b AS eb FROM p
          |      UNION ALL SELECT doc_b, doc_a FROM p
          |      UNION ALL SELECT doc_id, rep FROM ex WHERE rep <> doc_id
          |      UNION ALL SELECT rep, doc_id FROM ex WHERE rep <> doc_id),
@@ -437,7 +437,7 @@ object DedupQueries {
     QueryDef("q115_dedup_pipeline",
       s"""WITH RECURSIVE ${LshPairsSql.cte},
          |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
-         |e AS (SELECT doc_a AS ea, doc_b AS eb FROM p
+         |e AS MATERIALIZED (SELECT doc_a AS ea, doc_b AS eb FROM p
          |      UNION ALL SELECT doc_b, doc_a FROM p),
          |reach(rv, rr) AS (
          |  SELECT DISTINCT ea, ea FROM e
@@ -1233,7 +1233,7 @@ private object QualitySurvivorsSql {
   val sql: String =
     s"""WITH RECURSIVE ${LshPairsSql.cte},
        |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
-       |e AS (SELECT doc_a AS ea, doc_b AS eb FROM p
+       |e AS MATERIALIZED (SELECT doc_a AS ea, doc_b AS eb FROM p
        |      UNION ALL SELECT doc_b, doc_a FROM p),
        |reach(rv, rr) AS (
        |  SELECT DISTINCT ea, ea FROM e

@@ -2154,14 +2154,14 @@ object EventQueries {
     // recursive CTE. Output: every (series, day) with its statistic and
     // alarm flag — the pager stream for slow regressions.
     QueryDef("q282_cusum",
-      """WITH RECURSIVE d AS (
+      """WITH RECURSIVE d AS MATERIALIZED (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |         CAST(sum(CAST(round(greatest(value, 0) * 100, 0) AS BIGINT))
         |           AS BIGINT) AS y
         |  FROM events GROUP BY 1, 2),
-        |mu AS (SELECT event_type, CAST(sum(y) // count(*) AS BIGINT) AS mu
+        |mu AS MATERIALIZED (SELECT event_type, CAST(sum(y) // count(*) AS BIGINT) AS mu
         |       FROM d GROUP BY event_type),
-        |r AS (SELECT d.event_type, d.day, d.y, mu.mu,
+        |r AS MATERIALIZED (SELECT d.event_type, d.day, d.y, mu.mu,
         |        row_number() OVER (PARTITION BY d.event_type
         |          ORDER BY d.day) AS rn
         |      FROM d JOIN mu USING (event_type)),
@@ -2327,7 +2327,7 @@ object EventQueries {
         |           (SELECT CAST(count(*) AS BIGINT) FROM s
         |            WHERE s.dur >= ev.dur) AS n_risk
         |         FROM ev),
-        |r AS (SELECT dur, d, n_risk,
+        |r AS MATERIALIZED (SELECT dur, d, n_risk,
         |        row_number() OVER (ORDER BY dur) AS rn FROM risk),
         |km(rn, dur, d, n_risk, s_ppm) AS (
         |  SELECT rn, dur, d, n_risk,

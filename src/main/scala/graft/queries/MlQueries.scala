@@ -4851,7 +4851,7 @@ private[queries] object MediaSql {
       * column for column. NOT stripMargin'd — embedders strip at use.
       */
     val logCte: String =
-      s"""log AS (
+      s"""log AS MATERIALIZED (
          |  SELECT mm.m,
          |         (${Hashes.mulHashSql("mm.m", 3)}) % 8 AS pa,
          |         ((${Hashes.mulHashSql("mm.m", 3)}) % 8 + 1

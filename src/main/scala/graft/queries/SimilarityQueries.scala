@@ -2912,7 +2912,7 @@ object SimilarityQueries {
     // over a ≤10-row wave census (the scaler posture); the oracle is a
     // recursive CTE carrying (corpus, counter) state.
     QueryDef("q436_nsw_policy",
-      s"""WITH RECURSIVE sz AS (
+      s"""WITH RECURSIVE sz AS MATERIALIZED (
          |  SELECT CAST(vec_id % 10 AS BIGINT) AS w,
          |         CAST(count(*) AS BIGINT) AS n
          |  FROM embeddings GROUP BY 1),

@@ -1060,7 +1060,7 @@ object TextQueries {
     QueryDef("q273_viterbi_seg",
       """WITH RECURSIVE toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-        |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks
+        |wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks
         |       WHERE len(word) BETWEEN 4 AND 18 GROUP BY word),
         |pos AS (SELECT word, l, s FROM (SELECT word FROM wf) ww,
         |        (SELECT unnest(range(2, 5)) AS l) ls,

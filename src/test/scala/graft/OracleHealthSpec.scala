@@ -72,32 +72,52 @@ class OracleHealthSpec extends AnyFunSuite {
       assert(materialized(sql, s"it_$k"), s"q281 it_$k not materialized")
   }
 
-  test("sequential-walk recursions keep their base CTEs MATERIALIZED") {
+  test("every CTE a recursive member references is MATERIALIZED (catalog sweep)") {
     // round 14: a recursive member that joins an un-materialized CTE can
     // re-evaluate that CTE's whole chain (down to the raw corpus scan)
     // during the recursion — q415 measured 3.8 s → 0.2 s at sf0.01 from
-    // materializing its day census, with identical rows; the whole
-    // forecast/stream-replay family carried the same shape. Audit method:
-    // transform every RECURSIVE oracle's base CTEs to MATERIALIZED in a
-    // DuckDB A/B (identity + wall) — adopt where it wins. Graph-closure
-    // recursions (q61-family comp chains) measured no win and keep their
-    // plain text; the slowest-5 budget line remains the living detector.
-    val fixed = Seq(
-      "q233_ewma", "q256_stream_ewma", "q271_holt_trend",
-      "q283_forecast_backtest", "q337_diameter_sweep", "q394_holt_winters",
-      "q410_page_cusum", "q412_stream_cusum", "q415_forecast_backtest",
-      "q417_ucb1_replay", "q424_kaplan_meier", "q442_ttl_throttle",
-      "q451_stream_throttle", "q458_sequence_packing",
-      "q463_stream_packing")
-    val bare = "(?<![A-Za-z0-9_])([a-zA-Z_][a-zA-Z0-9_]*) AS \\(".r
-    for (q <- fixed) {
-      val sql = SparkEntry.oracleSql(q)
-      assert(sql.contains("RECURSIVE"), s"$q lost its recursion marker?")
-      val loose = bare.findAllMatchIn(sql).map(_.group(1)).toList
-      assert(loose.isEmpty,
-        s"$q has un-MATERIALIZED base CTEs in a recursive oracle: " +
-          loose.mkString(", "))
+    // materializing its day census, q282 1.16 → 0.15 s, with identical
+    // rows everywhere (every adoption A/B'd in DuckDB for identity +
+    // wall before landing). This sweep makes the class mechanical, like
+    // PlanSpec's partition-less-window audit: for EVERY oracle with a
+    // recursion, every base CTE the recursive member references must be
+    // AS MATERIALIZED. CTEs NOT referenced from inside the recursion
+    // (pre-recursion censuses, post-recursion reports) are free to stay
+    // plain — inlining there is the optimizer's call.
+    val defRe =
+      ("(?<![A-Za-z0-9_])([a-zA-Z_][a-zA-Z0-9_]*)\\s*(\\([^)]*\\))?\\s+AS\\s+" +
+        "(MATERIALIZED\\s+)?\\(").r
+    def body(sql: String, openAt: Int): String = {
+      var d = 0
+      var i = openAt
+      while (i < sql.length) {
+        sql.charAt(i) match {
+          case '(' => d += 1
+          case ')' => d -= 1; if (d == 0) return sql.substring(openAt + 1, i)
+          case _ =>
+        }
+        i += 1
+      }
+      sql.substring(openAt + 1)
     }
+    def refs(text: String, name: String): Boolean =
+      s"(?<![A-Za-z0-9_])${java.util.regex.Pattern.quote(name)}(?![A-Za-z0-9_])".r
+        .findFirstIn(text).isDefined
+    val offending = for {
+      (name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      if sql.contains("RECURSIVE")
+      defs = defRe.findAllMatchIn(sql)
+        .map(m => (m.group(1), m.group(2) != null, m.group(3) != null,
+          body(sql, m.end - 1))).toSeq
+      loose = defs.collect { case (n, false, false, _) => n }.toSet
+      (n, hasCols, _, b) <- defs
+      if hasCols || refs(b, n) // a recursive member (self-reference)
+      missing = defs.map(_._1).toSet.intersect(loose)
+        .filter(x => x != n && refs(b, x))
+      if missing.nonEmpty
+    } yield s"$name: recursive member $n references un-MATERIALIZED " +
+      s"CTE(s) ${missing.toSeq.sorted.mkString(", ")}"
+    assert(offending.isEmpty, offending.mkString("\n"))
   }
 
   test("q358's replay oracle stays a list_reduce fold, not a per-event recursion") {
