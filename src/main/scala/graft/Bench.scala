@@ -51,8 +51,12 @@ object Bench {
     * hygiene (no leaked blocks across queries) and timing honesty: a second
     * rep must not serve the first rep's persisted token relations.
     */
-  private def clearCaches(spark: SparkSession): Unit =
+  private def clearCaches(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
+    // zips built but never actioned leave pending release entries —
+    // sweep them with the caches (ScaleZip scaladoc)
+    graft.operators.ScaleZip.sweepPending(spark)
+  }
 
   /** Cumulative shuffle counters fed by a SparkListener; task-end events
     * arrive asynchronously, so snapshots poll until two consecutive reads
@@ -133,8 +137,12 @@ object Bench {
             false
           }
         clearCaches(spark)
+        // staging failure is an explicit -1 marker, not a silent absence:
+        // the timed reps would otherwise re-absorb the one-off staging
+        // build (or re-fail), exactly the misattribution this isolation
+        // exists to remove — the reps below skip a -1-staged query
         if (ok) Map("q290_nsw_upsert" -> (System.nanoTime() - t0) / 1e9)
-        else Map.empty
+        else Map("q290_nsw_upsert" -> -1.0)
       } else Map.empty
     // min-of-3 in headline mode: single-JVM runs carry ±1s of GC/scheduler
     // noise — r3 showed ±30% swings on sub-second queries with UNCHANGED
@@ -142,6 +150,11 @@ object Bench {
     // stays single-pass (diagnostics over 60+ queries).
     val reps = if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) 1 else 3
     val results = names.filter(qs.contains).map { name =>
+      if (stageSecs.get(name).contains(-1.0)) {
+        // fixture staging failed — a rep here would either re-fail or bill
+        // the staging build to itself; report the query as failed outright
+        (name, -1.0, Seq.fill(reps)(-1.0), (0L, 0L, 0L))
+      } else {
       val s0 = meter.snapshot()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -163,6 +176,7 @@ object Bench {
         math.max(0L, s1._2 - s0._2) / reps,
         math.max(0L, s1._3 - s0._3) / reps)
       (name, if (times.contains(-1.0)) -1.0 else times.min, times, sh)
+      }
     }
     // BENCH_ALL also times the DataPipelineDemo funnel stage by stage: the
     // curation chain (clean→quality→dedup→…→mixture) has pinned PLANS but

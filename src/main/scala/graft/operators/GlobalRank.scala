@@ -40,9 +40,8 @@ object GlobalRank {
     *              ranks partition-dependent)
     * @param numPartitions range-partition fan-out; each task ranks ~N/P
     *              rows. 0 (the default) derives it from the session's
-    *              shuffle fan-out / the input's partition count
-    *              ([[ScaleZip.fanout]]) — ranks are partition-count
-    *              independent either way
+    *              shuffle fan-out ([[ScaleZip.fanout]]) — ranks are
+    *              partition-count independent either way
     * @param idName appended LongType column: 0-based dense global rank
     */
   def zipWithRank(df: DataFrame, order: Seq[Column], numPartitions: Int = 0,

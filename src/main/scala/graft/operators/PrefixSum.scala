@@ -34,6 +34,15 @@ import org.apache.spark.storage.StorageLevel
   * released eagerly once the first job materializing the emit RDD completes
   * ([[ScaleZip.releaseAfterJobWith]]); the runner's clearCache lifecycle
   * remains the backstop.
+  *
+  * The unique-key precondition is sharper than "ranks would be arbitrary":
+  * after the eager release, a SECOND job over the emit RDD recomputes it,
+  * and that recompute is bit-identical ONLY because the total order pins
+  * every row's position. With tied orders, two jobs in the same query could
+  * see tie rows with swapped running sums/ranks — a failure mode the
+  * always-held cache used to mask. Every zip call site must end `order` in
+  * a unique key; there is no runtime guard (a duplicate-key check would
+  * cost a full extra aggregate per call).
   */
 object PrefixSum {
 
@@ -41,7 +50,9 @@ object PrefixSum {
     * number) over the total order `order`.
     *
     * @param order     total order (MUST end in a unique key — ties would
-    *                  make the running sum partition-dependent)
+    *                  make the running sum partition-dependent, and the
+    *                  post-release recompute bit-UNSTABLE: see the object
+    *                  scaladoc)
     * @param valueCol  non-null LongType column to sum
     * @param inclusive true → sum includes the current row
     *                  (`ROWS UNBOUNDED PRECEDING AND CURRENT ROW`);
@@ -53,8 +64,7 @@ object PrefixSum {
     *                  the census already paid for)
     * @param numPartitions range-partition fan-out; each task sums ~N/P
     *                  rows. 0 (the default) derives it from the session's
-    *                  shuffle fan-out / the input's partition count
-    *                  ([[ScaleZip.fanout]]) — the result is
+    *                  shuffle fan-out ([[ScaleZip.fanout]]) — the result is
     *                  partition-count independent either way
     */
   def cumsum(df: DataFrame, order: Seq[Column], valueCol: String,
@@ -139,6 +149,78 @@ object PrefixSum {
         }
         if (withRn) Row.fromSeq(r.toSeq ++ sums :+ rn)
         else Row.fromSeq(r.toSeq ++ sums)
+      }
+    }
+    ScaleZip.releaseAfterJobWith(sorted, out.id)
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Running MINIMUM/MAXIMUM of `valueCol` over the total order `order` —
+    * min/max are associative, so [[cumsum]]'s census shape carries over
+    * verbatim (per-partition extremum census → driver prefix → local walk)
+    * and the result is bit-identical to the partition-less
+    * `min/max(x) OVER (ORDER BY ...)` window for any partition count by the
+    * same total-order argument. The skyline/dominance family's shape: "the
+    * best value any STRICTLY earlier row achieves" is the exclusive prefix
+    * extremum.
+    *
+    * @param order     total order (MUST end in a unique key — see the
+    *                  object scaladoc)
+    * @param valueCol  non-null LongType column
+    * @param isMax     true → running max; false → running min
+    * @param inclusive true → `ROWS UNBOUNDED PRECEDING AND CURRENT ROW`;
+    *                  false → `... AND 1 PRECEDING` — NULL for the first
+    *                  row (the window's empty-frame semantics), so the
+    *                  appended column is nullable
+    */
+  def cumExtremum(df: DataFrame, order: Seq[Column], valueCol: String,
+                  isMax: Boolean, inclusive: Boolean, outName: String,
+                  numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    require(df.schema(valueCol).dataType == LongType,
+      s"PrefixSum needs LongType value columns; " +
+        s"$valueCol is ${df.schema(valueCol).dataType.catalogString}")
+    val sorted = df.repartitionByRange(ScaleZip.fanout(df, numPartitions),
+        order: _*)
+      .sortWithinPartitions(order: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    def comb(a: Long, b: Long): Long =
+      if (isMax) math.max(a, b) else math.min(a, b)
+    // census: P (rows, extremum) pairs — extremum meaningless when rows=0
+    val census = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rows = 0L
+      var ext = 0L
+      it.foreach { r =>
+        val v = r.getLong(vIdx)
+        ext = if (rows == 0L) v else comb(ext, v)
+        rows += 1L
+      }
+      Iterator((pid, rows, ext))
+    }.collect().sortBy(_._1)
+    val nParts = sorted.rdd.getNumPartitions
+    // prefix extremum over all partitions STRICTLY before pid (None = no
+    // preceding rows anywhere)
+    val extOff = new Array[Option[Long]](nParts)
+    var acc: Option[Long] = None
+    var i = 0
+    while (i < nParts) {
+      extOff(i) = acc
+      census.find(_._1 == i).foreach { case (_, rows, ext) =>
+        if (rows > 0L) acc = Some(acc.fold(ext)(comb(_, ext)))
+      }
+      i += 1
+    }
+    val schema = sorted.schema.add(outName, LongType, nullable = !inclusive)
+    val bExt = spark.sparkContext.broadcast(extOff)
+    val out = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run: Option[Long] = bExt.value(pid)
+      it.map { r =>
+        val v = r.getLong(vIdx)
+        val withV = Some(run.fold(v)(comb(_, v)))
+        val emit = if (inclusive) withV else run
+        run = withV
+        Row.fromSeq(r.toSeq :+ emit.orNull)
       }
     }
     ScaleZip.releaseAfterJobWith(sorted, out.id)

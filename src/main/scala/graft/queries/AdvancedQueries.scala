@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Tensors
-import graft.operators.{AsofJoin, Components, PageRank}
+import graft.operators.{AsofJoin, Components, PageRank, PrefixSum}
 
 /** Advanced relational + pipeline operators beyond the first coverage pass:
   * as-of join, rollup, exact percentiles, ranking-window family, range
@@ -1604,10 +1604,13 @@ object AdvancedQueries {
         round(col("p_retailprice") * 100, 0).cast("long").as("cents"),
         col("p_size").cast("long").as("size"))
       val census = p.groupBy("cents").agg(min("size").as("min_size_equal"))
-      val prefix = Window.orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val w = census.select(col("cents"), col("min_size_equal"),
-        min("min_size_equal").over(prefix).as("min_size_cheaper"))
+      // the prefix min runs over the price CENSUS through the two-pass zip
+      // (cents is the groupBy key, hence unique — a total order): even a
+      // value-domain-bounded census shouldn't funnel through one window
+      // task when the associative-extremum zip costs the same shuffle
+      val w = PrefixSum.cumExtremum(census, Seq(col("cents")),
+        "min_size_equal", isMax = false, inclusive = false,
+        outName = "min_size_cheaper")
       p.join(w, "cents")
         .where((col("min_size_cheaper").isNull
             || col("min_size_cheaper") > col("size"))
@@ -3635,19 +3638,18 @@ object AdvancedQueries {
         |WHERE (best_cheaper IS NULL OR best_cheaper < sz)
         |  AND sz = best_same
         |ORDER BY price_c, p_partkey""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val p = Tables.part(s, d).select(col("p_partkey"),
         round(col("p_retailprice") * 100, 0).cast("long").as("price_c"),
         col("p_size").cast("long").as("sz"))
       // the prefix max runs over the PRICE CENSUS (one row per distinct
-      // cent value — value-domain bounded), not the row-scale parts
-      // relation (round 13, q304's shape): per-price max first, prefix max
-      // over the census, join back. RANGE −1 over duplicated rows ≡ ROWS
-      // −1 over the distinct census, so the result is identical.
+      // cent value), not the row-scale parts relation (round 13, q304's
+      // shape): per-price max first, prefix max over the census via the
+      // two-pass extremum zip (price_c unique — a total order), join back.
+      // RANGE −1 over duplicated rows ≡ ROWS −1 over the distinct census,
+      // so the result is identical.
       val cen = p.groupBy("price_c").agg(max("sz").as("best_same"))
-      val wr = Window.orderBy("price_c")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val f = cen.withColumn("best_cheaper", max("best_same").over(wr))
+      val f = PrefixSum.cumExtremum(cen, Seq(col("price_c")), "best_same",
+        isMax = true, inclusive = false, outName = "best_cheaper")
       p.join(f, "price_c")
         .where((col("best_cheaper").isNull
           || col("best_cheaper") < col("sz"))

@@ -116,8 +116,19 @@ object DedupQueries {
     // with identical rows, and on the Spark side it is also the form that
     // distributes). Over DISTINCT shingle sets, round(J, 6) ≥ 0.5 is
     // exactly the integer test 3·|A∩B| ≥ |A|+|B| (|A∪B| = |A|+|B|−|A∩B|;
-    // the nearest rational below ½ at these set sizes is ½ − 1/(2u),
-    // far outside the round-6 window) — both engines state that test.
+    // the nearest rational below ½ is ½ − 1/(2u), outside the round-6
+    // window for every |A∪B| < 1e6 — OperatorSpec asserts the fixture's
+    // shingle sets stay far under that bound, so a larger fixture can't
+    // silently void the equivalence; both engines state the same test).
+    // SCALE CONTRACT for the truth join itself: a shingle shared by f
+    // docs produces f² equi-join rows, so a boilerplate-heavy corpus
+    // could make one hot shingle quadratic. Here the shingle space is
+    // 64-bit-hash sparse (max document frequency is asserted small in
+    // OperatorSpec), and this is an EVAL ground truth, not the production
+    // path — the production candidates (MinHash.candidates) are
+    // bucket-capped. A corpus with boilerplate shards would need a
+    // declared df-cap on truth-join shingles, stated identically in both
+    // engines like the LSH bucket caps.
     QueryDef("q198_lsh_quality",
       s"""WITH ${LshPairsSql.cte},
          |tk AS (SELECT doc_id, unnest(sset) AS sh FROM ss),

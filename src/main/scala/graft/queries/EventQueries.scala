@@ -2568,11 +2568,15 @@ object EventQueries {
           round(col("value") * 100, 0).cast("long").as("x"))
       val census = p.groupBy("x").agg(count(lit(1)).as("n"),
         sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"))
-      val wPrefix = Window.orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ranked = census.select(col("n"), col("na"),
-        (lit(2L) * coalesce(sum("n").over(wPrefix), lit(0L))
-          + col("n") + 1L).as("ar2"))
+      // the exclusive prefix sum over the value census runs through the
+      // two-pass zip (x is the groupBy key, hence unique — a total order);
+      // the zip's exclusive form emits 0 for the first row, exactly the
+      // oracle's coalesce(sum(...) OVER (... 1 PRECEDING), 0)
+      val ranked = graft.operators.PrefixSum
+        .cumsum(census, Seq(col("x")), "n", inclusive = false,
+          sumName = "cum_n")
+        .select(col("n"), col("na"),
+          (lit(2L) * col("cum_n") + col("n") + 1L).as("ar2"))
       val agg = ranked.agg(
         sum("na").as("n_a"),
         (sum("n") - sum("na")).as("n_b"),

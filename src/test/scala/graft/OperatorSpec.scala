@@ -105,6 +105,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(capped.subsetOf(full) && full.size == 16) // C(6,2) + 1
   }
 
+  test("q198 equivalence bounds hold at the fixture: shingle sets ≪ 1e6, no hot shingle") {
+    // the integer truth test 3·|A∩B| ≥ |A|+|B| equals round(J,6) ≥ 0.5 only
+    // while |A∪B| < 1e6 (below that the nearest rational under ½ is
+    // ½ − 1/(2u), outside the round-6 window) — and the truth join's f²
+    // fan-out on a shingle shared by f docs stays benign only while the
+    // 64-bit shingle space is sparse. Both bounds are asserted here against
+    // the ACTUAL fixture so regenerated testdata can't silently void the
+    // q198 contract (r14 ADVICE / r14 verdict #5).
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val toks = split(col("text"), " ", -1)
+    val ss = docs.where(size(toks) >= 3)
+      .select(array_distinct(MinHash.shingleHashes(toks)).as("sset"))
+    val maxSet = ss.agg(max(size(col("sset")))).head().getInt(0)
+    assert(maxSet.toLong * 2 < 1000000L,
+      s"largest shingle set $maxSet — |A∪B| can approach 1e6, the round-6 " +
+        "equivalence window no longer covers the integer truth test")
+    val maxDf = ss.select(explode(col("sset")).as("sh"))
+      .groupBy("sh").count().agg(max("count")).head().getLong(0)
+    assert(maxDf <= 64L,
+      s"hottest shingle shared by $maxDf docs — the truth join's f² " +
+        "fan-out needs a declared df-cap (stated in both engines) past this")
+  }
+
   test("semdedup: identical vectors collapse to the min id; orthogonal kept") {
     import graft.operators.SemDedup
     // vecs 1..3 identical (cos 1), vec 4 orthogonal (cos 0 < tau)

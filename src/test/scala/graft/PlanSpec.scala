@@ -82,8 +82,6 @@ class PlanSpec extends AnyFunSuite {
     "q261_rolling_corr" -> "day grid (time-bounded)",
     "q287_lsh_planner" -> "LSH band/row plan grid",
     "q289_string_asof" -> "asof dictionary: broadcast-bound key universe (NativeAsof.scala)",
-    "q304_skyline" -> "price-cent census (value-domain bounded)",
-    "q321_mann_whitney" -> "value-cent census (value-domain bounded)",
     "q328_zipf_fit" -> "1000-row TakeOrdered rank axis (limit before the window)",
     "q330_nn_matching" -> "P-row partition-boundary census (NnMatch.scala)",
     "q333_uplift_qini" -> "decile census (10 rows)",
@@ -94,7 +92,6 @@ class PlanSpec extends AnyFunSuite {
     "q382_luby_mis" -> "round census (O(log n) rows)",
     "q385_heaps_law" -> "checkpoint grid (fixed prefix checkpoints)",
     "q388_decayed_counts" -> "event-type census (app-bounded types)",
-    "q390_skyline" -> "price-cent census (value-domain bounded)",
     "q418_ips_offpolicy" -> "day grid + event-type census",
     "q423_ktruss" -> "3-row TakeOrdered slice (limit before the window)",
     "q424_kaplan_meier" -> "day-granular duration census (time-bounded)",
