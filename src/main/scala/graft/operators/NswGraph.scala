@@ -274,14 +274,36 @@ object NswGraph {
     val unchanged = baseGraph.join(aff, Seq("src"), "left_anti")
     // two local NN-descent rounds for the new nodes over the wide graph —
     // round 2 walks the edges round 1 discovered (the buildRefined round
-    // structure, restricted to the batch's neighborhoods)
-    var newWide = newScored
-    for (_ <- 1 to 2) {
-      val wide = unchanged
-        .unionByName(repruned.select("src", "dst"))
-        .unionByName(newWide.select("src", "dst"))
-        .localCheckpoint() // refine probes it four ways; plans must not nest
-      newWide = localRefine(wide, v, newIds, kInternal)
+    // structure, restricted to the batch's neighborhoods).
+    // Checkpoints are NEIGHBORHOOD-RESTRICTED (r14 verdict #2): the wide
+    // graph's only piece that CHANGES between rounds is newWide (batch ×
+    // kInternal rows), so the FIXED part (unchanged ∪ repruned — the
+    // corpus-scale bulk) checkpoints ONCE, round 1's delta checkpoints on
+    // its own (round 2 probes it four ways), and round 2's delta stays
+    // LAZY — its single consumer is the final prune, exactly the old
+    // structure's exposure (callers persist/checkpoint the returned
+    // graph). The old per-round full-union localCheckpoint re-materialized
+    // the corpus-scale bulk once per round. Probe-measured at the bench
+    // scale (warm reps, same box, minutes apart): this shape 8.2 s
+    // upsert+materialize vs 8.8 s for the old double full-checkpoint;
+    // checkpointing round 2's delta too costs 10.4 s (an extra
+    // materialization the final prune re-reads); leaving the fixed part
+    // entirely lazy is far worse (the four probes re-run the unchanged
+    // anti-join as real shuffles inside every round's job — +70 % wall,
+    // +0.7 M shuffle records); checkpointing `unchanged` alone instead of
+    // the union races repruned's first cache materialization across the
+    // four probes (refine round 3×). Cross-round plan nesting is still
+    // broken: the recursive dependency is newWide, and every newWide a
+    // LATER round probes is checkpointed. Checkpoint placement is an
+    // execution detail over deterministic stages: results bit-identical.
+    val fixedWide = unchanged
+      .unionByName(repruned.select("src", "dst"))
+      .localCheckpoint() // refine probes it four ways; plans must not nest
+    var newWide = newScored.localCheckpoint()
+    for (r <- 1 to 2) {
+      val wide = fixedWide.unionByName(newWide.select("src", "dst"))
+      val refined = localRefine(wide, v, newIds, kInternal)
+      newWide = if (r < 2) refined.localCheckpoint() else refined
     }
     def prune(sc: DataFrame): DataFrame = sc
       .withColumn("rn", row_number().over(w)).where(col("rn") <= deg)
