@@ -332,6 +332,94 @@ object ScaleQueries {
         .orderBy("version")
     },
 
+    // CDC upsert-log COMPACTION (round 15) — the maintenance job every
+    // log-structured table runs: the events fixture read as a CDC feed
+    // (key = user_id, version = event_id — the commit sequence number; CDC
+    // logs order by LSN, not event time — op = D for 'error' events, U
+    // otherwise), compacted to its live snapshot with the accounting a
+    // compaction job emits per key bucket: log rows, distinct keys,
+    // superseded versions squashed, live rows, tombstoned keys, live value
+    // cents. fold_eq_window is the q245 self-check: replaying the log as
+    // FOUR LSN-range batches through the iterative Upsert.apply chain
+    // (latestPerKey per batch — how an incremental compactor actually
+    // runs) must land on exactly the one-shot window compaction's totals;
+    // the oracle states TRUE, so a divergence between the two merge
+    // semantics is a hash mismatch. Scale: the snapshot window partitions
+    // by key (row-scale keys distribute); everything else is hash
+    // aggregates; each replay batch's anti-join broadcasts when the delta
+    // is small (the CDC norm — Upsert's scaladoc).
+    QueryDef("q487_log_compaction",
+      """WITH lg AS (
+        |  SELECT user_id AS k, event_id AS v, event_type AS st,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |live AS (
+        |  SELECT k, st, cents, op FROM (
+        |    SELECT lg.*, row_number() OVER (PARTITION BY k
+        |      ORDER BY v DESC, op DESC) AS rn FROM lg) t
+        |  WHERE rn = 1),
+        |rep AS (
+        |  SELECT k % 8 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_log,
+        |         CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+        |  FROM lg GROUP BY 1),
+        |lv AS (
+        |  SELECT k % 8 AS bucket,
+        |         CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_live,
+        |         CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_tombstoned,
+        |         CAST(sum(CASE WHEN op = 'U' THEN cents ELSE 0 END)
+        |              AS BIGINT) AS live_cents
+        |  FROM live GROUP BY 1)
+        |SELECT rep.bucket, rep.n_log, rep.n_keys,
+        |       rep.n_log - rep.n_keys AS n_squashed,
+        |       lv.n_live, lv.n_tombstoned, lv.live_cents,
+        |       TRUE AS fold_eq_window
+        |FROM rep JOIN lv USING (bucket) ORDER BY rep.bucket""".stripMargin) {
+      (s, d) =>
+      import graft.operators.Upsert
+      val lg = Tables.events(s, d).select(
+        col("user_id").as("k"), col("event_id").as("v"),
+        col("event_type").as("st"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"))
+        .persist() // the window compaction + the 4-batch replay share it
+      val live = Upsert.latestPerKey(lg, Seq("k"), "v")
+      val rep = lg.groupBy((col("k") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_log"), countDistinct("k").as("n_keys"))
+      val lv = live.groupBy((col("k") % 8).as("bucket"))
+        .agg(sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_live"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_tombstoned"),
+          sum(when(col("op") === "U", col("cents")).otherwise(0L))
+            .as("live_cents"))
+      // the replay: 4 LSN-range batches through the iterative merge chain
+      val mx = lg.agg(max("v").as("mv"))
+        .select((expr("mv div 4") + 1L).as("wd"))
+      val empty = lg.select("k", "st", "cents").where(lit(false))
+      val s4 = (0L to 3L).foldLeft(empty) { (acc, i) =>
+        val batch = lg.crossJoin(broadcast(mx))
+          .where(expr("v div wd") === i)
+          .select("k", "st", "cents", "op", "v")
+        Upsert(acc, Upsert.latestPerKey(batch, Seq("k"), "v").drop("v"),
+          Seq("k"))
+      }
+      val foldStats = s4.agg(count(lit(1)).as("fn"),
+        coalesce(sum("cents"), lit(0L)).as("fs"))
+      val winTot = live.where(col("op") === "U")
+        .agg(count(lit(1)).as("wn"),
+          coalesce(sum("cents"), lit(0L)).as("ws"))
+      rep.join(lv, "bucket")
+        .crossJoin(broadcast(foldStats)).crossJoin(broadcast(winTot))
+        .select(col("bucket"), col("n_log"), col("n_keys"),
+          (col("n_log") - col("n_keys")).as("n_squashed"),
+          col("n_live"), col("n_tombstoned"), col("live_cents"),
+          ((col("fn") === col("wn")) && (col("fs") === col("ws")))
+            .as("fold_eq_window"))
+        .orderBy("bucket")
+    },
+
     // Exact equi-depth (equal-frequency) histogram — q06/q90 bin by WIDTH;
     // this bins by RANK: bucket = (global_rank · k) div N over the total
     // order (value, unique key). The global rank comes from

@@ -3089,8 +3089,352 @@ object TextQueries {
         report.unpersist()
         res
       } finally rmrf(root)
+    },
+
+    // Tokenizer DECODE / round-trip fidelity census (round 15) — the
+    // serving-side check every tokenizer deployment runs before shipping a
+    // vocabulary: encode→decode must reproduce the original word, and the
+    // words that CAN'T round-trip (an out-of-alphabet character at some
+    // position class → the whole word is [UNK], the BERT rule) must be
+    // censused, because every one of them is silent data loss at training
+    // time. The vocabularies are q482's two-table WordPiece fit over the
+    // CLEAN corpus; the SERVE corpus injects deterministic OOV words
+    // identically on both engines (q481's injection discipline, keyed on
+    // doc_id % 7): 'qxj' ('x' is interior-class OOV — the fixture alphabet
+    // is a–y minus x/z), 'zkey' ('z' is initial-class OOV), and 'keysort'
+    // (a NEW word type whose characters are covered — must round-trip).
+    // The Spark side performs the REAL decode (pieces concatenate back;
+    // string-compared against the original); the oracle states the
+    // equivalent walk-completion form: greedy succeeds ⟺ the max-step walk
+    // reaches end-of-word, and for a greedy segmentation the concatenation
+    // of its pieces IS the word — so roundtrip_exact_ppm must equal the
+    // non-UNK occurrence share, and a decode bug on either side is a hash
+    // mismatch, not an invisible pass. Scale: q482's exactly — two
+    // hash-aggregate censuses, two k-row broadcast vocabularies, row-local
+    // encode+decode over the word-TYPE census, one aggregate.
+    QueryDef("q484_roundtrip_fidelity",
+      """WITH RECURSIVE gw AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY w),
+        |ichars AS (SELECT DISTINCT substr(w, 1, 1) AS p FROM gw),
+        |cchars AS (SELECT DISTINCT substr(w, CAST(i AS INTEGER), 1) AS p
+        |           FROM gw, unnest(range(2, length(w) + 1)) AS u(i)
+        |           WHERE length(w) >= 2),
+        |isubs AS (SELECT substr(w, 1, CAST(L AS INTEGER)) AS p,
+        |                 CAST(sum(c) AS BIGINT) AS pc
+        |          FROM gw, unnest([2, 3, 4]) AS ls(L)
+        |          WHERE length(w) >= L GROUP BY 1),
+        |itop AS (SELECT p FROM isubs ORDER BY pc DESC, p LIMIT 100),
+        |csubs AS (SELECT substr(w, CAST(i AS INTEGER), CAST(L AS INTEGER))
+        |                   AS p,
+        |                 CAST(sum(c) AS BIGINT) AS pc
+        |          FROM gw, unnest([2, 3, 4]) AS ls(L),
+        |               unnest(range(2, length(w) - L + 2)) AS u(i)
+        |          WHERE length(w) >= L + 1 GROUP BY 1),
+        |ctop AS (SELECT p FROM csubs ORDER BY pc DESC, p LIMIT 100),
+        |vini AS MATERIALIZED (
+        |  SELECT p FROM ichars UNION SELECT p FROM itop),
+        |vcon AS MATERIALIZED (
+        |  SELECT p FROM cchars UNION SELECT p FROM ctop),
+        |t2 AS (
+        |  SELECT source,
+        |         text ||
+        |         CASE WHEN doc_id % 7 = 0 THEN ' qxj' ELSE '' END ||
+        |         CASE WHEN doc_id % 7 = 3 THEN ' zkey' ELSE '' END ||
+        |         CASE WHEN doc_id % 7 = 5 THEN ' keysort' ELSE '' END AS txt
+        |  FROM documents),
+        |w1 AS MATERIALIZED (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT source, unnest(string_split(txt, ' ')) AS w FROM t2)
+        |  WHERE length(w) > 0 GROUP BY source, w),
+        |words AS MATERIALIZED (SELECT DISTINCT w FROM w1),
+        |wp AS MATERIALIZED (
+        |  SELECT w, CAST(pos AS BIGINT) AS pos
+        |  FROM words, unnest(range(0, length(w))) AS u(pos)),
+        |steps AS MATERIALIZED (
+        |  SELECT wp.w, wp.pos, CAST(max(length(v.p)) AS BIGINT) AS step
+        |  FROM wp JOIN vini v
+        |    ON wp.pos = 0 AND length(v.p) <= length(wp.w)
+        |   AND substr(wp.w, 1, length(v.p)) = v.p
+        |  GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT wp.w, wp.pos, CAST(max(length(v.p)) AS BIGINT) AS step
+        |  FROM wp JOIN vcon v
+        |    ON wp.pos > 0 AND length(v.p) <= length(wp.w) - wp.pos
+        |   AND substr(wp.w, CAST(wp.pos + 1 AS INTEGER), length(v.p)) = v.p
+        |  GROUP BY 1, 2),
+        |rec(w, pos, np) AS (
+        |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM words
+        |  UNION ALL
+        |  SELECT r.w, r.pos + s.step, r.np + 1
+        |  FROM rec r JOIN steps s ON s.w = r.w AND s.pos = r.pos
+        |  WHERE r.pos < length(r.w)),
+        |fin AS (SELECT w, np FROM rec WHERE pos = length(w))
+        |SELECT w1.source,
+        |       CAST(count(*) AS BIGINT) AS n_word_types,
+        |       CAST(sum(w1.cnt) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN f.np IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS unk_types,
+        |       CAST(sum(CASE WHEN f.np IS NULL THEN w1.cnt ELSE 0 END)
+        |            * 1000000 // sum(w1.cnt) AS BIGINT) AS unk_token_ppm,
+        |       CAST(sum(CASE WHEN f.np IS NULL THEN 0 ELSE w1.cnt END)
+        |            * 1000000 // sum(w1.cnt) AS BIGINT)
+        |         AS roundtrip_exact_ppm,
+        |       CAST(coalesce(sum(f.np * w1.cnt), 0) AS BIGINT) AS n_pieces,
+        |       CAST(coalesce(max(f.np), 0) AS BIGINT) AS max_pieces
+        |FROM w1 LEFT JOIN fin f ON f.w = w1.w
+        |GROUP BY w1.source ORDER BY w1.source""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      // fit: q482's two-vocabulary WordPiece fit over the CLEAN corpus
+      val gw = docs.select(explode(split(col("text"), " ", -1)).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .persist() // both alphabets + both substring censuses
+      val initChars = gw.select(expr("substring(w, 1, 1)").as("p")).distinct()
+      val contChars = gw.where(length(col("w")) >= 2)
+        .select(col("w"), explode(sequence(lit(2), length(col("w")))).as("i"))
+        .select(expr("substring(w, i, 1)").as("p")).distinct()
+      val initTop = gw
+        .select(col("w"), col("c"), explode(sequence(lit(2), lit(4))).as("L"))
+        .where(length(col("w")) >= col("L"))
+        .select(expr("substring(w, 1, L)").as("p"), col("c"))
+        .groupBy("p").agg(sum("c").as("pc"))
+        .orderBy(col("pc").desc, col("p")).limit(100).select("p")
+      val contTop = gw
+        .select(col("w"), col("c"), explode(sequence(lit(2), lit(4))).as("L"))
+        .where(length(col("w")) >= col("L") + 1)
+        .select(col("w"), col("c"), col("L"),
+          explode(sequence(lit(2), length(col("w")) - col("L") + 1)).as("i"))
+        .select(expr("substring(w, i, L)").as("p"), col("c"))
+        .groupBy("p").agg(sum("c").as("pc"))
+        .orderBy(col("pc").desc, col("p")).limit(100).select("p")
+      val initSet = initChars.unionByName(initTop).distinct()
+        .as[String].collect().toSet
+      val contSet = contChars.unionByName(contTop).distinct()
+        .as[String].collect().toSet
+      val bi = s.sparkContext.broadcast(initSet)
+      val bk = s.sparkContext.broadcast(contSet)
+      // serve corpus: deterministic OOV injection, identical on both
+      // engines (see the QueryDef comment for the three injected classes)
+      val t2 = docs.select(col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" qxj")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 3, lit(" zkey")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 5, lit(" keysort"))
+            .otherwise(lit(""))).as("txt"))
+      val w1 = t2
+        .select(col("source"), explode(split(col("txt"), " ", -1)).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+      val enc = w1.select("source", "w", "cnt").as[(String, String, Long)]
+        .map { case (src, w, cnt) =>
+          // encode + REAL decode: the greedy walks code points (q479's
+          // round-14 discipline); pieces append into a builder, and the
+          // round trip is an actual string comparison against the input —
+          // a word whose single character misses its position-class table
+          // is [UNK] wholesale (the BERT rule) and fails the round trip
+          val cpLen = w.codePointCount(0, w.length)
+          var pos = 0 // code-point index
+          var cu = 0  // UTF-16 offset of pos
+          var np = 0L
+          var unk = false
+          val sb = new java.lang.StringBuilder
+          while (pos < cpLen && !unk) {
+            val vocab = if (pos == 0) bi.value else bk.value
+            var l = math.min(4, cpLen - pos)
+            while (l > 1 &&
+                   !vocab.contains(
+                     w.substring(cu, w.offsetByCodePoints(cu, l))))
+              l -= 1
+            val piece = w.substring(cu, w.offsetByCodePoints(cu, l))
+            if (l == 1 && !vocab.contains(piece)) unk = true
+            else {
+              sb.append(piece)
+              cu = w.offsetByCodePoints(cu, l)
+              pos += l
+              np += 1
+            }
+          }
+          val decoded = if (unk) "[UNK]" else sb.toString
+          (src, cnt, if (unk) -1L else np,
+            if (decoded == w) cnt else 0L)
+        }.toDF("source", "cnt", "np", "okcnt")
+      enc.groupBy("source").agg(
+          count(lit(1)).as("n_word_types"),
+          sum("cnt").as("n_tokens"),
+          sum(when(col("np") < 0, 1L).otherwise(0L)).as("unk_types"),
+          expr("sum(CASE WHEN np < 0 THEN cnt ELSE 0 END) * 1000000" +
+            " div sum(cnt)").as("unk_token_ppm"),
+          expr("sum(okcnt) * 1000000 div sum(cnt)")
+            .as("roundtrip_exact_ppm"),
+          sum(when(col("np") >= 0, col("np") * col("cnt")).otherwise(0L))
+            .as("n_pieces"),
+          max(when(col("np") >= 0, col("np")).otherwise(0L))
+            .as("max_pieces"))
+        .orderBy("source")
+    },
+
+    // Corpus-growth grid (round 15) — the per-checkpoint curve q385 FITS:
+    // per doc-id checkpoint (q385's ≤~512-bucket max-census bucketing),
+    // docs, trigram tokens, newly-seen trigram types (first-occurrence
+    // census), and the cumulative token/vocabulary totals — the rows an
+    // ingest monitor plots and alarms on ("did vocabulary growth bend?").
+    // The trigram unit for q385's stated reason (the generator's word
+    // vocabulary saturates in the first documents; the trigram space keeps
+    // growing corpus-long). Scale: one explode + three hash aggregates;
+    // the only window runs over the BOUNDED checkpoint grid (PlanSpec
+    // whitelist, q385's justification), never per-document.
+    QueryDef("q485_vocab_growth", VocabGrowthSql.sql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg(max("doc_id").as("mid"))
+        .select(greatest(lit(1L), expr("(mid + 1) div 256")).as("wd"))
+      val dk = docs.crossJoin(broadcast(mx))
+        .groupBy(expr("doc_id div wd").as("ck"))
+        .agg(count(lit(1)).as("n_docs"))
+      val toks = trigramTokens(docs)
+        .persist() // checkpoint counts + first-occurrence census share it
+      val dt = toks.crossJoin(broadcast(mx))
+        .groupBy(expr("doc_id div wd").as("ck"))
+        .agg(count(lit(1)).as("nt"))
+      val nv = toks.groupBy("token").agg(min("doc_id").as("fd"))
+        .crossJoin(broadcast(mx))
+        .groupBy(expr("fd div wd").as("ck"))
+        .agg(count(lit(1)).as("nv"))
+      val w = Window.orderBy("ck")
+      dk.join(dt, Seq("ck"), "left").join(nv, Seq("ck"), "left")
+        .select(col("ck"), col("n_docs"),
+          coalesce(col("nv"), lit(0L)).as("new_types"),
+          sum(coalesce(col("nt"), lit(0L))).over(w).as("cum_tokens"),
+          sum(coalesce(col("nv"), lit(0L))).over(w).as("cum_types"))
+        .orderBy("ck")
+    },
+
+    // STREAMING twin of q485 (round 15) — corpus health computed
+    // INCREMENTALLY as documents arrive, the shape a live ingest monitor
+    // actually runs: the corpus streams in two doc-id-ordered waves (stop
+    // after wave A, resume the same checkpoint for wave B — the q476
+    // harness), and each micro-batch extends REAL cross-batch state
+    // instead of answering from a precomputed report: newly-seen trigram
+    // types are the batch's types anti-joined against the accumulated
+    // seen-state, cumulative totals carry over from the previously
+    // emitted grid rows, and both the grid rows and the seen-delta land
+    // in batchId-keyed overwrite dirs (a retried batch reads only
+    // batches < its own id and overwrites its own partitions —
+    // idempotent). The checkpoint width comes from the corpus's stated
+    // doc-id domain (the ingest manifest — q483's static-domain posture);
+    // waves split on a checkpoint boundary, so every checkpoint belongs
+    // to exactly one batch and streamed ≡ batch EXACTLY: the oracle is
+    // q485's VERBATIM (shared VocabGrowthSql, OracleHealthSpec-guarded).
+    QueryDef("q486_stream_vocab_growth", VocabGrowthSql.sql) { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vgrow_q_").toFile
+      try {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val mid = docs.agg(max("doc_id")).head().getLong(0)
+        val wd = math.max(1L, (mid + 1L) / 256L)
+        val ckSplit = (mid / wd + 1L) / 2L // wave boundary ON a ck boundary
+        def readPrior(dir: String, schema: StructType, bid: Long) = {
+          val f = new java.io.File(dir)
+          if (f.isDirectory && f.listFiles != null
+              && f.listFiles.exists(_.getName.startsWith("batch=")))
+            s.read.schema(schema.add("batch", LongType)).parquet(dir)
+              .where(col("batch") < bid)
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            schema.add("batch", LongType))
+        }
+        val gridSchema = new StructType()
+          .add("ck", LongType).add("n_docs", LongType)
+          .add("new_types", LongType).add("cum_tokens", LongType)
+          .add("cum_types", LongType)
+        val seenSchema = new StructType().add("token", StringType)
+        def drain(): Unit = {
+          val q = s.readStream
+            .schema(new StructType()
+              .add("doc_id", LongType).add("text", StringType))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/landing")
+            .writeStream
+            .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, bid: Long) =>
+              val batch = batch0.persist() // doc census + trigram explode
+              val toks = trigramTokens(batch)
+                .persist() // token count + first-occurrence share it
+              val dk = batch
+                .groupBy(expr(s"doc_id div ${wd}L").as("ck"))
+                .agg(count(lit(1)).as("n_docs"))
+              val dt = toks
+                .groupBy(expr(s"doc_id div ${wd}L").as("ck"))
+                .agg(count(lit(1)).as("nt"))
+              val seen = readPrior(s"$root/state", seenSchema, bid)
+                .select("token")
+              val ft = toks.groupBy("token").agg(min("doc_id").as("fd"))
+                .join(seen, Seq("token"), "left_anti")
+                .persist() // the nv census + the state delta share it
+              val nv = ft.groupBy(expr(s"fd div ${wd}L").as("ck"))
+                .agg(count(lit(1)).as("nv"))
+              val prior = readPrior(s"$root/out", gridSchema, bid)
+                .agg(coalesce(max("cum_tokens"), lit(0L)).as("pt"),
+                  coalesce(max("cum_types"), lit(0L)).as("pv"))
+              // batch-local cumsum over the batch's ≤bounded ck slice,
+              // offset by the carried-in totals
+              val w = Window.orderBy("ck")
+              dk.join(dt, Seq("ck"), "left").join(nv, Seq("ck"), "left")
+                .crossJoin(broadcast(prior))
+                .select(col("ck"), col("n_docs"),
+                  coalesce(col("nv"), lit(0L)).as("new_types"),
+                  (sum(coalesce(col("nt"), lit(0L))).over(w) + col("pt"))
+                    .as("cum_tokens"),
+                  (sum(coalesce(col("nv"), lit(0L))).over(w) + col("pv"))
+                    .as("cum_types"))
+                .write.mode("overwrite").parquet(s"$root/out/batch=$bid")
+              ft.select("token")
+                .write.mode("overwrite").parquet(s"$root/state/batch=$bid")
+              ft.unpersist()
+              toks.unpersist()
+              batch.unpersist(): Unit
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        docs.where(expr(s"doc_id div ${wd}L") < ckSplit).coalesce(1)
+          .write.parquet(s"$root/landing")
+        drain()
+        docs.where(expr(s"doc_id div ${wd}L") >= ckSplit).coalesce(1)
+          .write.mode("append").parquet(s"$root/landing")
+        drain()
+        val res = s.read.parquet(s"$root/out")
+          .select("ck", "n_docs", "new_types", "cum_tokens", "cum_types")
+          .orderBy("ck")
+          // the result READS $root/out — materialize before the delete
+          .localCheckpoint()
+        res
+      } finally rmrf(root)
     }
   )
+
+  /** q385's trigram unit over any (doc_id, text) relation — shared by the
+    * growth grid (q485) and its incremental streamed twin (q486) so both
+    * tokenize identically.
+    */
+  private def trigramTokens(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ", -1).as("l"))
+      .where(size(col("l")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, size(l) - 2)")).as("i"), col("l"))
+      .select(col("doc_id"),
+        expr("concat(element_at(l, i), ' ', element_at(l, i + 1)," +
+          " ' ', element_at(l, i + 2))").as("token"))
 
   /** q480's computation over any (doc_id, source) relation — split out so
     * the streamed twin (q483) serves the SAME report from the SAME code;
@@ -3197,6 +3541,47 @@ object TextQueries {
 /** q480's oracle, shared VERBATIM with its streamed twin q483 (the
   * q474/q476 one-text discipline).
   */
+/** Oracle for q485 AND its streamed twin q486 (shared VERBATIM — the
+  * q474≡q476 / q480≡q483 twin discipline, guarded in OracleHealthSpec):
+  * the per-checkpoint corpus-growth grid. Checkpointing and the trigram
+  * unit are q385's exactly (see its QueryDef comment); this query exposes
+  * the growth CURVE q385 fits — the per-checkpoint rows an ingest monitor
+  * actually plots and alarms on.
+  */
+private[queries] object VocabGrowthSql {
+  val sql: String =
+    """WITH mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mid
+      |            FROM documents),
+      |w AS (SELECT greatest(1, (mid + 1) // 256) AS wd FROM mx),
+      |dk AS (SELECT doc_id // (SELECT wd FROM w) AS ck,
+      |         CAST(count(*) AS BIGINT) AS n_docs
+      |       FROM documents GROUP BY 1),
+      |toks AS (
+      |  SELECT doc_id, g AS token FROM (
+      |    SELECT doc_id, string_split(text, ' ') AS l FROM documents) b,
+      |  LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) ii,
+      |  LATERAL (SELECT l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g)
+      |    gg
+      |  WHERE len(l) >= 3),
+      |dt AS (SELECT doc_id // (SELECT wd FROM w) AS ck,
+      |         CAST(count(*) AS BIGINT) AS nt
+      |       FROM toks GROUP BY 1),
+      |ft AS (SELECT token, CAST(min(doc_id) AS BIGINT) AS fd
+      |       FROM toks GROUP BY token),
+      |nv AS (SELECT fd // (SELECT wd FROM w) AS ck,
+      |         CAST(count(*) AS BIGINT) AS nv
+      |       FROM ft GROUP BY 1)
+      |SELECT dk.ck, dk.n_docs,
+      |       CAST(coalesce(nv.nv, 0) AS BIGINT) AS new_types,
+      |       CAST(sum(coalesce(dt.nt, 0)) OVER (ORDER BY dk.ck) AS BIGINT)
+      |         AS cum_tokens,
+      |       CAST(sum(coalesce(nv.nv, 0)) OVER (ORDER BY dk.ck) AS BIGINT)
+      |         AS cum_types
+      |FROM dk LEFT JOIN dt ON dt.ck = dk.ck
+      |LEFT JOIN nv ON nv.ck = dk.ck
+      |ORDER BY dk.ck""".stripMargin
+}
+
 private[queries] object QuotaSampleSql {
   import graft.functions.Hashes
   val sql: String =

@@ -152,5 +152,8 @@ class OracleHealthSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql("q480_quota_sample") ==
       SparkEntry.oracleSql("q483_stream_quota"),
       "q480/q483 oracles diverged — the twins must share one text")
+    assert(SparkEntry.oracleSql("q485_vocab_growth") ==
+      SparkEntry.oracleSql("q486_stream_vocab_growth"),
+      "q485/q486 oracles diverged — the twins must share one text")
   }
 }

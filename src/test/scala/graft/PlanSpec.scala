@@ -96,7 +96,8 @@ class PlanSpec extends AnyFunSuite {
     "q423_ktruss" -> "3-row TakeOrdered slice (limit before the window)",
     "q424_kaplan_meier" -> "day-granular duration census (time-bounded)",
     "q465_zipf_slope" -> "100-row TakeOrdered rank axis (limit before the window)",
-    "q480_quota_sample" -> "per-source remainder census (q199's shape; the doc-rank window is partitioned + budget-capped)")
+    "q480_quota_sample" -> "per-source remainder census (q199's shape; the doc-rank window is partitioned + budget-capped)",
+    "q485_vocab_growth" -> "checkpoint grid (max-census bounded, q385's bucketing)")
 
   test("catalog sweep: partition-less WindowExec only over declared bounded statistics") {
     // the mechanical form of the scale audit that caught q473/q334: any
