@@ -747,6 +747,22 @@ object ScaleProbe {
             max("cu").as("tu"))
       },
 
+      // PrefixSum.cumExtremum — the round-15 prefix-min/max zip (the
+      // skyline / running-extremum shape that retired the q304/q321/q390
+      // whitelist entries). Identical census machinery to prefix_sum
+      // (per-partition extremum census → driver prefix → local walk); the
+      // combine is comparisons instead of adds, so the exponent must
+      // track prefix_sum's leg exactly — any gap means the extremum walk
+      // grew a shuffle the sum walk doesn't have
+      "prefix_extremum" -> { m =>
+        val t = li(m).select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("v"))
+        graft.operators.PrefixSum.cumExtremum(t, Seq(col("k")), "v",
+            isMax = false, inclusive = false, outName = "best")
+          .groupBy().agg(count(lit(1)).as("n"), min("best").as("tot"))
+      },
+
       // q473 Heaps' law (the corpus-health family's probe leg): token
       // explode → first-occurrence min-aggregate census + the TWO-PASS
       // PrefixSum doc-offset cumsum (round 13's fix — the old partition-
