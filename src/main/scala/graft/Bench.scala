@@ -95,8 +95,52 @@ object Bench {
 
   private def r3(x: Double): Double = math.rint(x * 1000) / 1000
 
+  /** Host-contention probe (round 15): an all-core busy loop measured
+    * against /proc/stat's steal ticks plus the min-to-max spread of
+    * per-thread throughput. A shared box can read loadavg 0.1 from inside
+    * the guest while the hypervisor still de-schedules it under load
+    * (round 15 measured 12% steal + 28% spread at loadavg 0.11 —
+    * BASELINE.md §round-15), and min-of-3 strips transient spikes but not
+    * sustained steal — so the bench artifact itself must carry the host
+    * state its wall-clock numbers were taken under. (steal_pct,
+    * spread_pct); (-1, -1) where /proc/stat is unavailable. The probe runs
+    * BEFORE the timed reps and costs ~1.5 s, untimed.
+    */
+  private def hostProbe(): (Double, Double) = {
+    try {
+      def stealTicks(): Long = {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().next().split("\\s+").drop(1).map(_.toLong)
+          .lift(7).getOrElse(0L)
+        finally src.close()
+      }
+      val n = Runtime.getRuntime.availableProcessors()
+      val durNs = 1_500_000_000L
+      val iters = new Array[Long](n)
+      val s0 = stealTicks()
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { i =>
+        val t = new Thread(() => {
+          var x = 0L
+          while (System.nanoTime() - t0 < durNs) x += 1
+          iters(i) = x
+        })
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val dSteal = stealTicks() - s0
+      // USER_HZ is 100 on every mainstream Linux; a wrong constant skews
+      // the percentage, never the spread
+      val stealPct = 100.0 * dSteal / (elapsed * 100.0 * n)
+      val spreadPct = 100.0 * (iters.max - iters.min) / math.max(1L, iters.max)
+      (r3(stealPct), r3(spreadPct))
+    } catch { case _: Throwable => (-1.0, -1.0) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val hostState = hostProbe()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus.toInt, appName = "graft-bench")
     // ERROR, not WARN: WindowExec emits per-query WARN lines that interleave
@@ -227,8 +271,13 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}"""
     val stageJson = stageSecs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // host = (steal_pct, spread_pct) from the pre-rep busy-loop probe —
+    // the in-artifact form of tools/steal_probe.py, so a slow-looking
+    // BENCH_r{N}.json carries its own contention evidence
+    val hostJson =
+      s"""{"steal_pct":${hostState._1},"spread_pct":${hostState._2}}"""
     val detailLine =
-      s"""{"detail":"bench","reps":$repJson,"shuffle_rw_rec":$shJson,"stage_sec":$stageJson}"""
+      s"""{"detail":"bench","reps":$repJson,"shuffle_rw_rec":$shJson,"stage_sec":$stageJson,"host":$hostJson}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"reps":$repJson,"shuffle_rw_rec":$shJson,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing so no shutdown log line can interleave with

@@ -3327,6 +3327,14 @@ object TextQueries {
     // waves split on a checkpoint boundary, so every checkpoint belongs
     // to exactly one batch and streamed ≡ batch EXACTLY: the oracle is
     // q485's VERBATIM (shared VocabGrowthSql, OracleHealthSpec-guarded).
+    // SCALE CONTRACT for the state dir: each batch anti-joins against the
+    // full accumulated vocabulary — O(V) rows per batch, inherent to the
+    // check — but the DELTA-PER-BATCH layout means the file count grows
+    // with batch count; a long-lived deployment compacts state/batch=*
+    // periodically into a single snapshot keyed at the last compacted
+    // batch id (exactly q487's log-compaction shape applied to this
+    // state dir). Two waves here ⇒ compaction is a no-op, so the query
+    // states the contract instead of performing it.
     QueryDef("q486_stream_vocab_growth", VocabGrowthSql.sql) { (s, d) =>
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.spark.sql.types.{LongType, StringType, StructType}
