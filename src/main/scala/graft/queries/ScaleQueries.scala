@@ -420,6 +420,72 @@ object ScaleQueries {
         .orderBy("bucket")
     },
 
+    // Running-peak / maximum-drawdown census (round 15) — the canonical
+    // ROW-SCALE consumer of the prefix-EXTREMUM zip: the q304/q321/q390
+    // migrations all run cumExtremum over value-domain-bounded censuses,
+    // so this is the query that exercises it over a corpus-sized relation
+    // (the whole point of the operator — a partition-less MAX window here
+    // would park every ledger row on one task). The events fixture reads
+    // as a signed settlement ledger (purchase credits, error debits,
+    // exact cents) ordered by event_id; running balance is the prefix
+    // SUM, running peak is the prefix MAX **of the balance** — a NESTED
+    // zip (cumsum's output feeds cumExtremum's range partitioner, the
+    // documented ScaleZip release/recompute trade) — and drawdown =
+    // peak − balance is the peak-relative regression every risk/ops
+    // dashboard alarms on. Reported per bounded event-id bucket (floor
+    // width ⇒ ≤ ~511 rows, q485's grid posture): ledger rows, end-of-bucket balance
+    // and peak (max_by on the unique order — deterministic), max
+    // drawdown. Scale: two range-partition zips riding ONE total order +
+    // one hash aggregate; all arithmetic in BIGINT cents.
+    QueryDef("q488_running_drawdown",
+      """WITH led AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_type = 'purchase'
+        |              THEN CAST(round(value * 100, 0) AS BIGINT)
+        |              ELSE -CAST(round(value * 100, 0) AS BIGINT) END
+        |           AS cents
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |mx AS (SELECT CAST(greatest(1, (max(event_id) + 1) // 256)
+        |                   AS BIGINT) AS wd
+        |       FROM events),
+        |b AS (SELECT event_id, cents,
+        |             CAST(sum(cents) OVER (ORDER BY event_id) AS BIGINT)
+        |               AS balance
+        |      FROM led),
+        |p AS (SELECT event_id, balance,
+        |             CAST(max(balance) OVER (ORDER BY event_id) AS BIGINT)
+        |               AS peak
+        |      FROM b)
+        |SELECT CAST(p.event_id // mx.wd AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_led,
+        |       max_by(p.balance, p.event_id) AS end_balance,
+        |       max_by(p.peak, p.event_id) AS end_peak,
+        |       CAST(max(p.peak - p.balance) AS BIGINT) AS max_drawdown
+        |FROM p, mx
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.operators.PrefixSum
+      val ev = Tables.events(s, d)
+      val led = ev.where(col("event_type").isin("purchase", "error"))
+        .select(col("event_id"),
+          when(col("event_type") === "purchase",
+            round(col("value") * 100, 0).cast("long"))
+            .otherwise(-round(col("value") * 100, 0).cast("long"))
+            .as("cents"))
+      val bal = PrefixSum.cumsum(led, Seq(col("event_id")), "cents",
+        inclusive = true, sumName = "balance")
+      val peak = PrefixSum.cumExtremum(bal, Seq(col("event_id")), "balance",
+        isMax = true, inclusive = true, outName = "peak")
+      val wd = ev.agg(greatest(lit(1L),
+        expr("(max(event_id) + 1) div 256")).as("wd"))
+      peak.crossJoin(broadcast(wd))
+        .groupBy(expr("event_id div wd").as("bucket"))
+        .agg(count(lit(1)).as("n_led"),
+          expr("max_by(balance, event_id)").as("end_balance"),
+          expr("max_by(peak, event_id)").as("end_peak"),
+          max(col("peak") - col("balance")).as("max_drawdown"))
+        .orderBy("bucket")
+    },
+
     // Exact equi-depth (equal-frequency) histogram — q06/q90 bin by WIDTH;
     // this bins by RANK: bucket = (global_rank · k) div N over the total
     // order (value, unique key). The global rank comes from
