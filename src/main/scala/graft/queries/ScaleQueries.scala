@@ -437,32 +437,7 @@ object ScaleQueries {
     // and peak (max_by on the unique order — deterministic), max
     // drawdown. Scale: two range-partition zips riding ONE total order +
     // one hash aggregate; all arithmetic in BIGINT cents.
-    QueryDef("q488_running_drawdown",
-      """WITH led AS (
-        |  SELECT event_id,
-        |         CASE WHEN event_type = 'purchase'
-        |              THEN CAST(round(value * 100, 0) AS BIGINT)
-        |              ELSE -CAST(round(value * 100, 0) AS BIGINT) END
-        |           AS cents
-        |  FROM events WHERE event_type IN ('purchase', 'error')),
-        |mx AS (SELECT CAST(greatest(1, (max(event_id) + 1) // 256)
-        |                   AS BIGINT) AS wd
-        |       FROM events),
-        |b AS (SELECT event_id, cents,
-        |             CAST(sum(cents) OVER (ORDER BY event_id) AS BIGINT)
-        |               AS balance
-        |      FROM led),
-        |p AS (SELECT event_id, balance,
-        |             CAST(max(balance) OVER (ORDER BY event_id) AS BIGINT)
-        |               AS peak
-        |      FROM b)
-        |SELECT CAST(p.event_id // mx.wd AS BIGINT) AS bucket,
-        |       CAST(count(*) AS BIGINT) AS n_led,
-        |       max_by(p.balance, p.event_id) AS end_balance,
-        |       max_by(p.peak, p.event_id) AS end_peak,
-        |       CAST(max(p.peak - p.balance) AS BIGINT) AS max_drawdown
-        |FROM p, mx
-        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    QueryDef("q488_running_drawdown", DrawdownSql.sql) { (s, d) =>
       import graft.operators.PrefixSum
       val ev = Tables.events(s, d)
       val led = ev.where(col("event_type").isin("purchase", "error"))
@@ -484,6 +459,112 @@ object ScaleQueries {
           expr("max_by(peak, event_id)").as("end_peak"),
           max(col("peak") - col("balance")).as("max_drawdown"))
         .orderBy("bucket")
+    },
+
+    // STREAMING twin of q488 (round 15) — the drawdown monitor on the
+    // serving path, which is how a peak-relative regression metric is
+    // actually consumed (a live risk dashboard, not a nightly batch): the
+    // ledger STREAMS in two event-id-ordered waves (stop after wave A,
+    // resume the same checkpoint for wave B — the q476/q486 harness), and
+    // each micro-batch extends real cross-batch state: the carried
+    // end-of-history (balance, peak) scalars come from the previously
+    // emitted grid rows (max_by over bucket — 2 longs of state, the O(1)
+    // carry a running-sum/running-max decomposition admits because both
+    // combines are associative), the batch runs the SAME nested
+    // cumsum → cumExtremum zips as q488 offset by the carry, and grid
+    // rows land in batchId-keyed overwrite dirs (a retried batch reads
+    // only batches < its own id and overwrites its own partitions —
+    // idempotent). Wave boundaries on bucket boundaries ⇒ every bucket
+    // belongs to exactly one batch and streamed ≡ batch EXACTLY: the
+    // oracle is q488's VERBATIM (shared DrawdownSql,
+    // OracleHealthSpec-guarded).
+    QueryDef("q489_stream_drawdown", DrawdownSql.sql) { (s, d) =>
+      import graft.operators.PrefixSum
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{LongType, StructType}
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmrf)
+        f.delete(): Unit
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_dd_q_").toFile
+      try {
+        val ev = Tables.events(s, d)
+        // static domain (the ingest manifest — q483's posture): bucket
+        // width and the wave boundary come from the corpus's stated
+        // event-id domain, so waves split on a bucket boundary
+        val mid = ev.agg(max("event_id")).head().getLong(0)
+        val wd = math.max(1L, (mid + 1L) / 256L)
+        val bkSplit = (mid / wd + 1L) / 2L
+        val led = ev.where(col("event_type").isin("purchase", "error"))
+          .select(col("event_id"),
+            when(col("event_type") === "purchase",
+              round(col("value") * 100, 0).cast("long"))
+              .otherwise(-round(col("value") * 100, 0).cast("long"))
+              .as("cents"))
+        val gridSchema = new StructType()
+          .add("bucket", LongType).add("n_led", LongType)
+          .add("end_balance", LongType).add("end_peak", LongType)
+          .add("max_drawdown", LongType)
+        def drain(): Unit = {
+          val q = s.readStream
+            .schema(new StructType()
+              .add("event_id", LongType).add("cents", LongType))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/landing")
+            .writeStream
+            .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, bid: Long) =>
+              val f = new java.io.File(s"$root/out")
+              val prior =
+                if (f.isDirectory && f.listFiles != null
+                    && f.listFiles.exists(_.getName.startsWith("batch=")))
+                  s.read.schema(gridSchema.add("batch", LongType))
+                    .parquet(s"$root/out").where(col("batch") < bid)
+                else s.createDataFrame(
+                  s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  gridSchema.add("batch", LongType))
+              // 2 longs of carried state: end-of-history balance and peak
+              val carry = prior.agg(
+                coalesce(expr("max_by(end_balance, bucket)"), lit(0L))
+                  .as("pb"),
+                coalesce(expr("max_by(end_peak, bucket)"),
+                  lit(Long.MinValue)).as("pp"))
+              val bal = PrefixSum.cumsum(batch0, Seq(col("event_id")),
+                  "cents", inclusive = true, sumName = "lb")
+                .crossJoin(broadcast(carry))
+                .select(col("event_id"), col("pp"),
+                  (col("lb") + col("pb")).as("balance"))
+              val peak = PrefixSum.cumExtremum(bal, Seq(col("event_id")),
+                  "balance", isMax = true, inclusive = true,
+                  outName = "cmx")
+                .select(col("event_id"), col("balance"),
+                  greatest(col("cmx"), col("pp")).as("peak"))
+              peak.groupBy(expr(s"event_id div ${wd}L").as("bucket"))
+                .agg(count(lit(1)).as("n_led"),
+                  expr("max_by(balance, event_id)").as("end_balance"),
+                  expr("max_by(peak, event_id)").as("end_peak"),
+                  max(col("peak") - col("balance")).as("max_drawdown"))
+                .write.mode("overwrite").parquet(s"$root/out/batch=$bid")
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        led.where(expr(s"event_id div ${wd}L") < bkSplit).coalesce(1)
+          .write.parquet(s"$root/landing")
+        drain()
+        led.where(expr(s"event_id div ${wd}L") >= bkSplit).coalesce(1)
+          .write.mode("append").parquet(s"$root/landing")
+        drain()
+        val res = s.read.parquet(s"$root/out")
+          .select("bucket", "n_led", "end_balance", "end_peak",
+            "max_drawdown")
+          .orderBy("bucket")
+          // the result READS $root/out — materialize before the delete
+          .localCheckpoint()
+        res
+      } finally rmrf(root)
     },
 
     // Exact equi-depth (equal-frequency) histogram — q06/q90 bin by WIDTH;
@@ -1894,4 +1975,39 @@ object ScaleQueries {
             " * 1000000 div f2_exact").as("median_err_ppm"))
     }
   )
+}
+
+/** Oracle for q488 AND its streamed twin q489 (shared VERBATIM — the
+  * twins are the SAME query evaluated through the streaming surface;
+  * OracleHealthSpec asserts the identity). The two windows ride one
+  * total order (event_id is unique), so RANGE/ROWS framing coincide and
+  * every value is exact BIGINT cents.
+  */
+private[queries] object DrawdownSql {
+  val sql: String =
+    """WITH led AS (
+      |  SELECT event_id,
+      |         CASE WHEN event_type = 'purchase'
+      |              THEN CAST(round(value * 100, 0) AS BIGINT)
+      |              ELSE -CAST(round(value * 100, 0) AS BIGINT) END
+      |           AS cents
+      |  FROM events WHERE event_type IN ('purchase', 'error')),
+      |mx AS (SELECT CAST(greatest(1, (max(event_id) + 1) // 256)
+      |                   AS BIGINT) AS wd
+      |       FROM events),
+      |b AS (SELECT event_id, cents,
+      |             CAST(sum(cents) OVER (ORDER BY event_id) AS BIGINT)
+      |               AS balance
+      |      FROM led),
+      |p AS (SELECT event_id, balance,
+      |             CAST(max(balance) OVER (ORDER BY event_id) AS BIGINT)
+      |               AS peak
+      |      FROM b)
+      |SELECT CAST(p.event_id // mx.wd AS BIGINT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n_led,
+      |       max_by(p.balance, p.event_id) AS end_balance,
+      |       max_by(p.peak, p.event_id) AS end_peak,
+      |       CAST(max(p.peak - p.balance) AS BIGINT) AS max_drawdown
+      |FROM p, mx
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

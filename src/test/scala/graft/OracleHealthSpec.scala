@@ -155,5 +155,8 @@ class OracleHealthSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql("q485_vocab_growth") ==
       SparkEntry.oracleSql("q486_stream_vocab_growth"),
       "q485/q486 oracles diverged — the twins must share one text")
+    assert(SparkEntry.oracleSql("q488_running_drawdown") ==
+      SparkEntry.oracleSql("q489_stream_drawdown"),
+      "q488/q489 oracles diverged — the twins must share one text")
   }
 }
