@@ -173,6 +173,52 @@ class PrefixSumSpec extends AnyFunSuite {
     graft.operators.ScaleZip.sweepPending(spark)
   }
 
+  test("drawdown carry decomposition: waved cumsum→cumExtremum with a 2-long carry ≡ the whole-ledger walk, any split") {
+    // q489's exactness argument, pinned mechanically: balance is a prefix
+    // SUM and peak a prefix MAX of the balance, both associative, so a
+    // stream can carry exactly TWO LONGS between waves — the previous
+    // wave's end balance (offsets the next wave's local cumsum) and end
+    // peak (seeds the next wave's max; Long.MinValue when no history, so
+    // an all-negative prefix stays correct). For seeded signed ledgers and
+    // EVERY split class (empty first wave, empty second wave, interior
+    // cuts), the waved recomposition must equal the whole-ledger zips row
+    // for row.
+    for (n <- Seq(1, 7, 200); cut <- Seq(0, 1, n / 2, n)) {
+      val df = data(n, seed = 500L + n).select(col("id"), col("v"))
+      val ord = Seq(col("id"))
+      val whole = {
+        val b = PrefixSum.cumsum(df, ord, "v", inclusive = true,
+          sumName = "balance")
+        PrefixSum.cumExtremum(b, ord, "balance", isMax = true,
+            inclusive = true, outName = "peak")
+          .select("id", "balance", "peak")
+          .orderBy("id").collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+      val waved = {
+        var pb = 0L
+        var pp = Long.MinValue
+        Seq(df.where(col("id") < cut.toLong),
+            df.where(col("id") >= cut.toLong)).flatMap { wave =>
+          val b = PrefixSum.cumsum(wave, ord, "v", inclusive = true,
+              sumName = "lb")
+            .select(col("id"), (col("lb") + pb).as("balance"))
+          val rows = PrefixSum.cumExtremum(b, ord, "balance", isMax = true,
+              inclusive = true, outName = "cmx")
+            .select(col("id"), col("balance"),
+              greatest(col("cmx"), lit(pp)).as("peak"))
+            .orderBy("id").collect().map(r =>
+              (r.getLong(0), r.getLong(1), r.getLong(2)))
+          if (rows.nonEmpty) { pb = rows.last._2; pp = rows.last._3 }
+          rows
+        }
+      }
+      assert(waved === whole.toSeq, s"n=$n cut=$cut")
+      spark.catalog.clearCache()
+    }
+    graft.operators.ScaleZip.sweepPending(spark)
+  }
+
   test("release listener does not accrete: actioned zips drain, un-actioned zips sweep") {
     import graft.operators.ScaleZip
     // r14 verdict #3 / ADVICE: the one-shot-listener design leaked a
