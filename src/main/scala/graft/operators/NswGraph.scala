@@ -165,17 +165,34 @@ object NswGraph {
     var g = g0
     var scored: DataFrame = null
     for (_ <- 1 to rounds) {
+      // Exchange-riding layout (guide §2.4 "two operations keyed the same
+      // way can share one exchange"): und's dedup rides an explicit hash
+      // repartition on dst (hash(dst) clusters (src,dst), so the distinct
+      // needs no second exchange — und's raw input is barely duplicated,
+      // just the mutual edges), the x-side of the two-hop self-join reuses
+      // that same dst layout, the dst-side vector join comes FIRST, and
+      // joining the src side LAST leaves `scored` hash-clustered by src —
+      // exactly what the top-k window requires, so the window (and the
+      // final prune, via the checkpoint's preserved partitioning) adds no
+      // exchange. Same rows, same deterministic ranking; only exchange
+      // placement moves.
       val und = g.unionByName(
-        g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        g.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("dst")).distinct()
       val twoHop = und.as("x").join(und.as("y"), col("x.dst") === col("y.src"))
         .select(col("x.src").as("src"), col("y.dst").as("dst"))
         .where(col("src") =!= col("dst"))
+      // cand keeps the planner's own distinct (two-hop compositions carry a
+      // high duplicate factor, so the map-side partial dedup below that
+      // exchange is worth more than saving it — measured: riding the dedup
+      // on a raw repartition grew shuffle records ~30%); the dst-first join
+      // below then provides the hash(dst) exchange the vector join needs
       val cand = und.unionByName(twoHop).distinct()
       scored = cand
-        .join(v.select(col("vec_id").as("src"), col("x").as("xe"),
-          col("nrm").as("xn")), "src")
         .join(v.select(col("vec_id").as("dst"), col("x").as("ye"),
           col("nrm").as("yn")), "dst")
+        .join(v.select(col("vec_id").as("src"), col("x").as("xe"),
+          col("nrm").as("xn")), "src")
         .select(col("src"), col("dst"),
           round(Tensors.dot(col("xe"), col("ye")) / (col("xn") * col("yn")), 6)
             .as("cos"))
@@ -229,6 +246,13 @@ object NswGraph {
       .select("band", "sig", "sub", "vec_id")
     val newIds = newEmb.select(col(idCol).as("vec_id"))
     val sbN = sb.join(broadcast(newIds), Seq("vec_id"))
+    // join order (guide §2.4): the oi-side vector join comes FIRST (its
+    // exchange lands on the deduped pairs), and the ni side joins LAST so
+    // `scored` leaves hash-clustered by ni — the new-edge prune's window
+    // key — and that window adds no exchange. Same rows, same
+    // deterministic ranking; only exchange placement moves. (Band
+    // candidates carry a high cross-band duplicate factor, so the dedup
+    // keeps the planner's own distinct with its map-side partial phase.)
     val cand = sbN.as("a").join(sb.as("b"), Seq("band", "sig", "sub"))
       .where(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("ni"), col("b.vec_id").as("oi"))
@@ -236,10 +260,10 @@ object NswGraph {
     val v = allEmb.select(col(idCol).as("vec_id"), col(embCol).as("x"),
       Tensors.norm(col(embCol)).as("nrm"))
     val scored = cand
-      .join(v.select(col("vec_id").as("ni"), col("x").as("xa"),
-        col("nrm").as("na")), "ni")
       .join(v.select(col("vec_id").as("oi"), col("x").as("xb"),
         col("nrm").as("nb")), "oi")
+      .join(v.select(col("vec_id").as("ni"), col("x").as("xa"),
+        col("nrm").as("na")), "ni")
       .select(col("ni"), col("oi"),
         round(Tensors.dot(col("xa"), col("xb")) / (col("na") * col("nb")), 6)
           .as("cos"))
@@ -458,13 +482,16 @@ object NswGraph {
     val two = n1.join(out2.unionByName(in2).distinct(), "m")
       .select(col("n"), col("t").as("dst"))
       .where(col("n") =!= col("dst"))
+    // same join-order layout as [[refine]]/[[upsert]]: dst-side vector
+    // join first, n side LAST so the top-k window below rides the join's
+    // hash(n) layout
     val cand = n1.select(col("n"), col("m").as("dst")).unionByName(two)
       .distinct()
     val scored = cand
-      .join(v.select(col("vec_id").as("n"), col("x").as("xa"),
-        col("nrm").as("na")), "n")
       .join(v.select(col("vec_id").as("dst"), col("x").as("xb"),
         col("nrm").as("nb")), "dst")
+      .join(v.select(col("vec_id").as("n"), col("x").as("xa"),
+        col("nrm").as("na")), "n")
       .select(col("n").as("src"), col("dst"),
         round(Tensors.dot(col("xa"), col("xb")) / (col("na") * col("nb")), 6)
           .as("cos"))
@@ -512,13 +539,15 @@ object NswGraph {
       .select(col("src"), col("t").as("dst"))
     val v = emb.select(col(idCol).as("vec_id"), col(embCol).as("x"),
       Tensors.norm(col(embCol)).as("nrm"))
+    // same join-order layout as [[refine]]: dst-side vector join first,
+    // src side LAST so the repair window rides the join's hash(src) layout
     val candAff = survivors.join(aff, Seq("src"), "left_semi")
       .unionByName(detour).distinct()
     val scored = candAff
-      .join(v.select(col("vec_id").as("src"), col("x").as("xa"),
-        col("nrm").as("na")), "src")
       .join(v.select(col("vec_id").as("dst"), col("x").as("xb"),
         col("nrm").as("nb")), "dst")
+      .join(v.select(col("vec_id").as("src"), col("x").as("xa"),
+        col("nrm").as("na")), "src")
       .select(col("src"), col("dst"),
         round(Tensors.dot(col("xa"), col("xb")) / (col("na") * col("nb")), 6)
           .as("cos"))

@@ -662,8 +662,14 @@ object AdvancedQueries {
          |    FROM c2) t WHERE rn = 1)
          |SELECT id, lbl AS community FROM l2 ORDER BY id""".stripMargin) { (s, d) =>
       val e0 = SpatialEdges.frame(s, d)
+      // persisted HASH-CLUSTERED BY dst (the PageRank edge-layout pattern,
+      // guide §2.4): every propagation round joins ed on dst against the
+      // O(V) label relation — too big to broadcast at scale — so the edge
+      // side would otherwise re-exchange once per round; one layout paid
+      // once serves both rounds
       val ed = e0.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(col("dst"))
         .persist() // both propagation rounds scan it
       val l0 = ed.select(col("src").as("id"), col("src").as("lbl")).distinct()
       def round(labels: org.apache.spark.sql.DataFrame) = {
@@ -740,8 +746,11 @@ object AdvancedQueries {
          |      FROM parts p, q) t
          |WHERE rn <= 10 ORDER BY size DESC, community""".stripMargin) { (s, d) =>
       val e0 = SpatialEdges.frame(s, d).persist() // LPA rounds + m + e_in
+      // dst-clustered like q238's ed (see there): both LPA rounds join on
+      // dst against the O(V) label relation
       val ed = e0.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(col("dst"))
         .persist() // both propagation rounds + the degree census
       val l0 = ed.select(col("src").as("id"), col("src").as("lbl")).distinct()
       def lpaRound(labels: org.apache.spark.sql.DataFrame) = {
@@ -834,10 +843,16 @@ object AdvancedQueries {
         |FROM (SELECT * FROM ta WHERE rank <= 15
         |      UNION ALL SELECT * FROM th WHERE rank <= 15)
         |ORDER BY kind, rank""".stripMargin) { (s, d) =>
+      // Persist the pair relation HASH-CLUSTERED BY c (guide §2.4): the
+      // dedup rides the explicit repartition (hash(c) clusters (c, s)),
+      // and both hub half-rounds' groupBy("c") then aggregate the cached
+      // layout with NO exchange — only the two supplier-side groupBys
+      // still shuffle, and those reduce map-side to the k-row supplier
+      // census. Measured: 2,031,383 → ~0.7M shuffle records per rep.
       val pairs = Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-        .distinct()
+        .repartition(col("c")).distinct()
         .persist() // four half-round message joins reuse it
       def normed(raw: org.apache.spark.sql.DataFrame, key: String,
                  unit: Long, out: String) = {

@@ -605,6 +605,18 @@ object EventQueries {
         s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         StatefulStreams.RocksDbProvider)
+      // State-partition sizing (guide §2.2): the query's own predicate
+      // bounds the key domain to 20 users, so any state partition beyond 20
+      // is provably empty yet still pays a RocksDB instance open + commit +
+      // snapshot per micro-batch (the dominant wall cost here — shuffle
+      // telemetry shows only ~38 KB moved). Cap the stream's shuffle
+      // partitions at that app bound; scale-correct because a cluster
+      // session with 600 shuffle partitions still only ever has 20 keys in
+      // this stream. Hash partitioning per key is unchanged → identical
+      // results; restored in the finally.
+      val prevShuf = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(20, prevShuf.toInt).toString)
       try {
         def drain(): Unit = {
           val stream = s.readStream
@@ -626,12 +638,16 @@ object EventQueries {
         }
         // wave A lands and drains to a STOP; wave B arrives and the SAME
         // checkpoint resumes — buffers and registered timers must survive
-        // a full query restart through the RocksDB checkpoint
+        // a full query restart through the RocksDB checkpoint. Waves are
+        // 20-user session censuses — coalesce the landing writes so the
+        // file source lists/opens a handful of files per batch instead of
+        // one near-empty file per core (guide §6 small-files; the state
+        // machine is file-pickup-order independent BY DESIGN, see above).
         e.where(expr(s"unix_millis(ts) <= $mid"))
-          .write.parquet(s"$root/landing")
+          .coalesce(4).write.parquet(s"$root/landing")
         drain()
         e.where(expr(s"unix_millis(ts) > $mid"))
-          .write.mode("append").parquet(s"$root/landing")
+          .coalesce(4).write.mode("append").parquet(s"$root/landing")
         drain()
         val mx = e.agg(expr("max(unix_millis(ts))").as("m"))
         s.read.parquet(s"$root/out")
@@ -643,6 +659,7 @@ object EventQueries {
           // instead of accumulating per bench rep via a shutdown hook
           .localCheckpoint()
       } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuf)
         prev match {
           case Some(p) =>
             s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
@@ -754,6 +771,12 @@ object EventQueries {
         s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         StatefulStreams.RocksDbProvider)
+      // State-partition cap at the app-bounded key domain (20 users by the
+      // query's own predicate) — empty state partitions still pay a RocksDB
+      // open+commit+snapshot per micro-batch; q254 carries the full note.
+      val prevShuf = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(20, prevShuf.toInt).toString)
       try {
         val stream = s.readStream
           .schema(new StructType()
@@ -782,6 +805,7 @@ object EventQueries {
           // census-sized; materialize so the tmpdir deletes now (q383 note)
           .localCheckpoint()
       } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuf)
         prev match {
           case Some(p) =>
             s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
@@ -1014,6 +1038,12 @@ object EventQueries {
         s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         StatefulStreams.RocksDbProvider)
+      // State-partition cap at the app-bounded key domain (20 users by the
+      // query's own predicate) — empty state partitions still pay a RocksDB
+      // open+commit+snapshot per micro-batch; q254 carries the full note.
+      val prevShuf = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(20, prevShuf.toInt).toString)
       try {
         def drain(): Unit = {
           val stream = s.readStream
@@ -1051,6 +1081,7 @@ object EventQueries {
           // the result READS $root/out — materialize before the delete
           .localCheckpoint()
       } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuf)
         prev match {
           case Some(p) =>
             s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
@@ -1268,6 +1299,12 @@ object EventQueries {
         s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         StatefulStreams.RocksDbProvider)
+      // State-partition cap at the app-bounded key domain (20 users by the
+      // query's own predicate) — empty state partitions still pay a RocksDB
+      // open+commit+snapshot per micro-batch; q254 carries the full note.
+      val prevShuf = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(20, prevShuf.toInt).toString)
       try {
         val stream = s.readStream
           .schema(new StructType()
@@ -1300,6 +1337,7 @@ object EventQueries {
           // census-sized; materialize so the tmpdir deletes now (q383 note)
           .localCheckpoint()
       } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuf)
         prev match {
           case Some(p) =>
             s.conf.set("spark.sql.streaming.stateStore.providerClass", p)

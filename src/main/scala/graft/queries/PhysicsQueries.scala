@@ -43,10 +43,21 @@ object PhysicsQueries {
         |FROM c ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
       val zen = col("l_quantity")
       val az  = col("l_discount") * 3600
+      // The contract-imposed global sort (see bench note above) runs FIRST,
+      // over the 4 raw input columns, and the trig projection computes
+      // AFTER the range exchange — the exchange then carries ~28 B/row of
+      // inputs instead of ~44 B/row of derived doubles (guide §2.3 "project
+      // before the exchange", applied in reverse: defer the widening
+      // projection past it). Sort keys are raw columns, the projection is
+      // deterministic per row, row order and values are identical.
       val base = Tables.lineitem(s, d).select(
-        col("l_orderkey"), col("l_linenumber"), zen.as("zen"),
-        Physics.dirX(zen, az).as("dx"), Physics.dirY(zen, az).as("dy"),
-        Physics.dirZ(zen).as("dz"))
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .select(
+          col("l_orderkey"), col("l_linenumber"), zen.as("zen"),
+          Physics.dirX(zen, az).as("dx"), Physics.dirY(zen, az).as("dy"),
+          Physics.dirZ(zen).as("dz"))
       // `round(x, 6) + 0.0` on BOTH engines: the fixture azimuths are exact
       // multiples of 36°, so cos/sin land at ±1e-16-scale values whose round(·,6)
       // yields −0.0 on one libm and +0.0 on the other. IEEE −0.0 + 0.0 = +0.0
@@ -58,7 +69,6 @@ object PhysicsQueries {
         (round(col("dz"), 6) + lit(0.0)).as("dir_z"),
         (round(Physics.zenithOf(col("dx"), col("dy")) - col("zen"), 6) + lit(0.0))
           .as("zen_roundtrip_err"))
-        .orderBy("l_orderkey", "l_linenumber")
     },
 
     // SURVEY §2 rows 28,45: logistic head as a pure expression —

@@ -2069,17 +2069,36 @@ object SimilarityQueries {
     val fw = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
     var frontier = start
     for (_ <- 1 to hops) {
-      val expanded = frontier
+      // The frontier is exact-bounded by harness constants (≤ nq·beam rows;
+      // expanded ≤ nq·beam·(deg+1) WITH duplicates — each frontier row emits
+      // at most deg neighbors plus itself) — BROADCAST it so each hop
+      // streams the corpus-scale graph and vector relations from their
+      // persisted layout instead of sort-merge-shuffling them once per hop
+      // (guide §2.4/§3.1: a checkpointed frontier has no stats, so the
+      // planner would otherwise pick a join that exchanges the big side
+      // every hop — and at fixture scale AQE "fixes" that by broadcasting
+      // the CORPUS side, the exact wrong call at 100 TB).
+      //
+      // The hop runs ONE tiny exchange: candidates are scored WITH
+      // duplicates (a (qid, vid) reached from two frontier nodes scores
+      // twice — identical rounded cos both times, the work is bounded by
+      // the expansion bound), then one repartition on qid carries BOTH the
+      // dedup (groupBy(qid, vid) rides hash(qid)) and the beam window
+      // (partitionBy qid). The old shape paid a distinct exchange before
+      // scoring plus a window exchange after it. Same candidate set, same
+      // cos values, same deterministic ranking.
+      val expanded = broadcast(frontier)
         .join(graph, col("vid") === col("src"))
         .select(col("qid"), col("dst").as("vid"))
         .unionByName(frontier)
-        .distinct()
-      frontier = expanded
+      frontier = broadcast(expanded)
         .join(v, col("vid") === col("vec_id"))
         .join(broadcast(q), "qid")
         .select(col("qid"), col("vid"),
           round(Tensors.dot(col("qe"), col("embedding"))
             / (col("qn") * col("nrm")), 6).as("cos"))
+        .repartition(col("qid"))
+        .groupBy("qid", "vid").agg(max("cos").as("cos"))
         .withColumn("rn", row_number().over(fw))
         .where(col("rn") <= beam)
         .select("qid", "vid")
@@ -2099,7 +2118,9 @@ object SimilarityQueries {
       : org.apache.spark.sql.DataFrame = {
     import graft.functions.Tensors
     val fw = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
-    val found = frontier
+    // final frontier is ≤ nq·beam rows — broadcast it over the corpus-scale
+    // vector relation (same bound argument as the hop joins in nswWalk)
+    val found = broadcast(frontier)
       .join(v, col("vid") === col("vec_id"))
       .join(broadcast(q), "qid")
       .where(col("vid") =!= col("qid"))
@@ -2150,7 +2171,9 @@ object SimilarityQueries {
                         nq: Int, k: Int): org.apache.spark.sql.DataFrame = {
     val f = found.select(col("query_id").as("iq"),
       col("neighbor_id").as("inb"))
-    val per = truth.join(f,
+    // both sides are nq·k-row statistics; broadcasting the probe side spares
+    // the left join its two exchanges (BuildRight is legal for LeftOuter)
+    val per = truth.join(broadcast(f),
         col("query_id") === col("iq") && col("neighbor_id") === col("inb"),
         "left")
       .groupBy("query_id").agg(count(col("inb")).as("hits"))
