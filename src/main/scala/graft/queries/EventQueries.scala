@@ -4921,8 +4921,9 @@ object EventQueries {
       val aged = Tables.events(s, d).crossJoin(broadcast(mx))
         .select(col("event_type"),
           (col("tmax") - expr("unix_micros(ts)")).as("age_us"))
-      val w = graft.functions.IntExp
-        .sparkDecayCols(aged, "age_us", 86400000000L)
+      val w = aged
+        .withColumn("w_e6",
+          graft.functions.IntExp.decayE6Col(col("age_us"), 86400000000L))
         .select(col("event_type"), col("w_e6"))
       val g = w.groupBy("event_type")
         .agg(count(lit(1)).as("n_raw"), sum("w_e6").as("decayed_e6"))

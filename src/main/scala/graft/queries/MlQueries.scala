@@ -39,9 +39,9 @@ object MlQueries {
   private def embSigmoid(s: SparkSession, d: String): DataFrame = {
     def e(i: Int) = element_at(col("embedding"), i).cast("double")
     val z = lit(-0.2) + e(1) * 1.5 - e(2) * 0.8 + e(3) * 0.5 - e(4) * 1.1
-    graft.functions.IntExp.sparkSigmoidCols(
-      Tables.embeddings(s, d)
-        .withColumn("z", round(z * 1000000000000L, 0).cast("long")), "z")
+    Tables.embeddings(s, d)
+      .withColumn("z", round(z * 1000000000000L, 0).cast("long"))
+      .withColumn("p_e6", graft.functions.IntExp.sigmoidE6Col(col("z")))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -3822,7 +3822,8 @@ object MlQueries {
         round(expr("-2.0 + l_discount * 10 * 4.0 + l_quantity / 50.0 * 1.0")
           * 1000000000000L, 0).cast("long").as("z"),
         when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
-      val sc = graft.functions.IntExp.sparkSigmoidCols(base, "z")
+      val sc = base
+        .withColumn("p_e6", graft.functions.IntExp.sigmoidE6Col(col("z")))
         .select(col("p_e6"), col("y"))
       val g = sc.withColumn("bin", expr("p_e6 * 10 div 1000001"))
         .groupBy("bin")

@@ -91,7 +91,8 @@ object PhysicsQueries {
       val base = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(z * 1000000000000L, 0).cast("long").as("z"))
-      graft.functions.IntExp.sparkSigmoidCols(base, "z")
+      base
+        .withColumn("p_e6", graft.functions.IntExp.sigmoidE6Col(col("z")))
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("p_e6").cast("double") / 1000000).as("p"))
         .orderBy("l_orderkey", "l_linenumber")

@@ -105,6 +105,39 @@ class Round16Spec extends AnyFunSuite {
     assert(IntExp.eloExpectE6(5000L) === 0L)
   }
 
+  test("IntExp mirror-call columns (query fast path) == step-chain renderings") {
+    // r15 optimization: the query paths call the JVM mirrors through ONE
+    // codegen'd StaticInvoke per row instead of the 22-step column chain.
+    // Pin invoke ≡ chain over the same sweeps the chain tests use, so the
+    // three-way anchor (mirror / chain / HUGEINT-oracle) extends to four.
+    import spark.implicits._
+    import graft.functions.IntExp
+    val zs = ((-20000000000000L to 20000000000000L by 371000000001L) ++
+      Seq(0L, 1L, -1L, 16000000000000L, -16000000000000L)).distinct.sorted
+    val viaInvoke = zs.toDF("z")
+      .withColumn("p_e6", IntExp.sigmoidE6Col(col("z")))
+      .select(col("z"), col("p_e6")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaChain = IntExp.sparkSigmoidCols(zs.toDF("z"), "z")
+      .select(col("z"), col("p_e6")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    zs.foreach(z => assert(viaInvoke(z) === viaChain(z), s"sigmoid at z=$z"))
+    val hl = 86400000000L
+    val ages = ((0L to 30L * hl by 1234567891L) ++ Seq(0L, 1L, hl, 100L * hl))
+      .distinct.sorted
+    val dInvoke = ages.toDF("a")
+      .withColumn("w_e6", IntExp.decayE6Col(col("a"), hl))
+      .select(col("a"), col("w_e6")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ages.foreach(a => assert(dInvoke(a) === IntExp.decayE6(a, hl), s"decay at $a"))
+    val ds = ((-5000L to 5000L by 7) ++ Seq(0L, 1L, -1L)).distinct.sorted
+    val eInvoke = ds.toDF("d")
+      .withColumn("e", IntExp.eloExpectE6Col(col("d")))
+      .select(col("d"), col("e")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ds.foreach(dd => assert(eInvoke(dd) === IntExp.eloExpectE6(dd), s"elo at $dd"))
+  }
+
   test("IntExp sigmoid: mirror == Spark rendering, near libm, saturating, symmetric") {
     import spark.implicits._
     import graft.functions.IntExp
