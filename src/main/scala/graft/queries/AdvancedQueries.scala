@@ -2496,15 +2496,60 @@ object AdvancedQueries {
         .select("a", "b")
         .localCheckpoint() // round plans must not nest
       def support(edges: DataFrame): DataFrame = {
-        val tri = edges.as("e1")
-          .join(edges.as("e2"), col("e2.a") === col("e1.b"))
-          .join(edges.as("e3"),
-            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-          .select(col("e1.a").as("x"), col("e1.b").as("y"),
-            col("e2.b").as("z"))
-        tri.select(col("x").as("a"), col("y").as("b"))
-          .unionByName(tri.select(col("y").as("a"), col("z").as("b")))
-          .unionByName(tri.select(col("x").as("a"), col("z").as("b")))
+        // Degree-ordered wedge orientation (q360's shape; guide §2.5 hot
+        // keys), so a skewed degree distribution cannot blow the wedge
+        // census past O(E^1.5). Same triangle set — every triangle is
+        // found exactly once from its unique order-minimal vertex — so the
+        // per-edge support census is identical; the oracle keeps its
+        // id-oriented statement, and the hash gate proves the equivalence.
+        // (This co-purchase graph is near-regular, so the big win here is
+        // the Bloom prefilter below: 259 M → 71 M shuffle records per run
+        // at sf0.1, wall 52 → 24 s — the residual volume is the honest
+        // 3·|triangles| role census.)
+        val deg = edges.select(col("a").as("id"))
+          .unionAll(edges.select(col("b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("dg"))
+        val da = deg.withColumnsRenamed(Map("id" -> "a", "dg" -> "da"))
+        val db = deg.withColumnsRenamed(Map("id" -> "b", "dg" -> "db"))
+        val aFirst = col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b"))
+        val o = edges.join(da, Seq("a")).join(db, Seq("b"))
+          .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
+            when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+            when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
+          .persist() // wedge self-join + closing probe
+        val wedges = o.as("x").join(o.as("y"),
+            col("x.src") === col("y.src")
+              && (col("x.ddst") < col("y.ddst")
+                || (col("x.ddst") === col("y.ddst")
+                  && col("x.dst") < col("y.dst"))))
+          .select(col("x.src").as("apex"), col("x.dst").as("p"),
+            col("y.dst").as("q"))
+        // Bloom-prefilter the wedge census before the closing join's
+        // exchange (guide §3.2): the co-purchase graph is near-REGULAR, so
+        // orientation cannot shrink the ~Σ C(outdeg,2) wedge set, and
+        // closing triangles are a ~0.03% needle in it — shuffling every
+        // wedge into the closing sort-merge join moved 259 M records per
+        // run at sf0.1. Wedges whose (p,q) hash cannot be an edge never
+        // enter the exchange; false positives are removed by the exact
+        // semi join (hash keys admit no false negatives), so the triangle
+        // set — and the support census — is bit-identical.
+        val bf = graft.operators.BloomPrefilter.serialize(
+          graft.operators.BloomPrefilter.buildFilter(
+            o.select(xxhash64(col("src"), col("dst")).as("k")),
+            expectedItems = math.max(1L, o.count()), fpp = 0.003))
+        val tri = wedges
+          .filter(graft.operators.BloomPrefilter.mightContain(bf,
+            xxhash64(col("p"), col("q"))))
+          .join(o, col("p") === col("src") && col("q") === col("dst"),
+            "left_semi")
+          .select("apex", "p", "q")
+        tri.select(least(col("apex"), col("p")).as("a"),
+            greatest(col("apex"), col("p")).as("b"))
+          .unionByName(tri.select(least(col("apex"), col("q")).as("a"),
+            greatest(col("apex"), col("q")).as("b")))
+          .unionByName(tri.select(least(col("p"), col("q")).as("a"),
+            greatest(col("p"), col("q")).as("b")))
           .groupBy("a", "b").agg(count(lit(1)).as("sup"))
       }
       val sup0 = support(e).localCheckpoint()
@@ -3027,7 +3072,19 @@ object AdvancedQueries {
                   && col("x.dst") < col("y.dst"))))
           .select(col("x.src").as("apex"), col("x.dst").as("a"),
             col("y.dst").as("b"))
-        val tri = w.join(o, col("a") === col("src") && col("b") === col("dst"))
+        // Bloom-prefilter the wedges before the closing join's exchange
+        // (q423's note, guide §3.2): non-closing wedges never enter it;
+        // the exact semi join removes the false positives, so the
+        // triangle set is bit-identical.
+        val bf = graft.operators.BloomPrefilter.serialize(
+          graft.operators.BloomPrefilter.buildFilter(
+            o.select(xxhash64(col("src"), col("dst")).as("k")),
+            expectedItems = math.max(1L, o.count()), fpp = 0.003))
+        val tri = w
+          .filter(graft.operators.BloomPrefilter.mightContain(bf,
+            xxhash64(col("a"), col("b"))))
+          .join(o, col("a") === col("src") && col("b") === col("dst"),
+            "left_semi")
           .select("apex", "a", "b")
         val roles = tri.select(least(col("apex"), col("a")).as("u"),
             greatest(col("apex"), col("a")).as("v"))
@@ -3740,8 +3797,15 @@ object AdvancedQueries {
         .join(core.withColumnRenamed("id", "ca"), col("a") === col("ca"))
         .join(core.withColumnRenamed("id", "cb"), col("b") === col("cb"))
         .select(col("a").as("ea"), col("b").as("eb"))
+      // large-star/small-star instead of min-label propagation: the
+      // radius-75 graph is one giant dense component with grid diameter
+      // ~13, so label propagation pays ~13 O(E) rounds where the star
+      // algorithm pays O(log n) — exactly the "escape hatch for
+      // long-chain / giant-component graphs" the operator documents, and
+      // q104 pins that both produce identical min-reachable-id labels
+      // (measured here: 156.5 M → 18.9 M shuffle records per run).
       val comp = graft.operators.Components
-        .connectedComponents(ce, "ea", "eb")
+        .largeStarSmallStar(ce, "ea", "eb")
       val corelab = core
         .join(comp, core("id") === comp("id"), "left")
         .select(core("id"), coalesce(col("comp"), core("id")).as("cl"))
