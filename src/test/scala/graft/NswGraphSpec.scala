@@ -158,4 +158,44 @@ class NswGraphSpec extends AnyFunSuite {
     assert(g.exceptAll(g2).count() == 0)
     g.unpersist(): Unit
   }
+
+  test("r15 exchange-riding contract: a top-k window rides the last join's hash layout") {
+    // The refine/upsert/localRefine/remove scoring blocks join the
+    // window-key side LAST so the per-src top-k window needs no exchange
+    // of the scored relation (OPTIMIZATION_r15.md §2.2). Pin the planner
+    // behavior the layout relies on: with sort-merge joins dst-then-src,
+    // no ShuffleExchange sits between the Window and the src-side join.
+    val cand = spark.range(200)
+      .select((col("id") % 20).as("src"), (col("id") % 13).as("dst"))
+      .distinct()
+    val v = spark.range(20).select(col("id"), (col("id") * 2.0).as("x"))
+    val scored = cand
+      .join(v.select(col("id").as("dst"), col("x").as("xd")).hint("merge"),
+        "dst")
+      .join(v.select(col("id").as("src"), col("x").as("xs")).hint("merge"),
+        "src")
+      .select(col("src"), col("dst"), (col("xs") * col("xd")).as("cos"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val plan = scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2).queryExecution.sparkPlan
+    val win = plan.collectFirst {
+      case we: org.apache.spark.sql.execution.window.WindowExec => we
+    }
+    assert(win.isDefined, plan.toString)
+    // walk down from the window to the first join: only sorts/projects may
+    // sit between — an exchange there means the ride broke
+    var node: org.apache.spark.sql.execution.SparkPlan = win.get.child
+    var steps = 0
+    while (steps < 10 &&
+      !node.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]) {
+      assert(!node.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ShuffleExchangeExec],
+        s"window does not ride the join:\n$plan")
+      assert(node.children.size == 1, node.toString)
+      node = node.children.head
+      steps += 1
+    }
+    assert(node.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec], plan.toString)
+  }
 }
