@@ -283,19 +283,38 @@ object NswGraph {
         Seq("oi"), "left_anti")
       .select(col("oi").as("src"), col("ni").as("dst"), col("cos"))
     val aff = rev.select("src").distinct()
-    val oldScored = baseGraph.join(aff, Seq("src"), "left_semi")
-      .join(v.select(col("vec_id").as("src"), col("x").as("xa"),
-        col("nrm").as("na")), "src")
+    // Exchange-riding repair scoring (guide §2.4, the §2.2 layout): the
+    // old shape scored the affected base edges on their own (src-side
+    // vector join first, dst-side last) and UNIONED the already-scored
+    // reverse candidates in — and a union's output partitioning is
+    // unknown, so the per-src re-prune window re-exchanged the whole
+    // repair relation (corpus-scale in the affected neighborhoods).
+    // Instead union the bare PAIRS first and score once through the
+    // standard dst-then-src join order: the src-side vector join comes
+    // LAST, the window rides its hash(src) layout, and the union pays no
+    // exchange of its own. rev rows re-derive their cosine through the
+    // same joins — dotData's ascending-d fold is argument-symmetric
+    // (IEEE multiply commutes bit-exactly), so round(dot(x_oi, x_ni)
+    // / (n_oi · n_ni), 6) is bit-identical to the persisted scored value
+    // they previously carried through the union.
+    // aff is batch-bounded (affected srcs ⊆ the batch's candidate
+    // neighborhoods) — the same contract class as the newIds broadcasts
+    // above, so pin it: the corpus-scale baseGraph side reaches the union
+    // with no exchange at any scale.
+    val repairPairs = baseGraph.join(broadcast(aff), Seq("src"), "left_semi")
+      .unionByName(rev.select("src", "dst"))
+    val repruned = repairPairs
       .join(v.select(col("vec_id").as("dst"), col("x").as("xb"),
         col("nrm").as("nb")), "dst")
+      .join(v.select(col("vec_id").as("src"), col("x").as("xa"),
+        col("nrm").as("na")), "src")
       .select(col("src"), col("dst"),
         round(Tensors.dot(col("xa"), col("xb")) / (col("na") * col("nb")), 6)
           .as("cos"))
-    val repruned = oldScored.unionByName(rev)
       .withColumn("rn", row_number().over(w)).where(col("rn") <= kInternal)
       .select("src", "dst", "cos")
       .persist() // walked by refine AND pruned into the final graph
-    val unchanged = baseGraph.join(aff, Seq("src"), "left_anti")
+    val unchanged = baseGraph.join(broadcast(aff), Seq("src"), "left_anti")
     // two local NN-descent rounds for the new nodes over the wide graph —
     // round 2 walks the edges round 1 discovered (the buildRefined round
     // structure, restricted to the batch's neighborhoods).
@@ -540,8 +559,11 @@ object NswGraph {
     val v = emb.select(col(idCol).as("vec_id"), col(embCol).as("x"),
       Tensors.norm(col(embCol)).as("nrm"))
     // same join-order layout as [[refine]]: dst-side vector join first,
-    // src side LAST so the repair window rides the join's hash(src) layout
-    val candAff = survivors.join(aff, Seq("src"), "left_semi")
+    // src side LAST so the repair window rides the join's hash(src) layout.
+    // aff is deletion-bounded (nodes that lost an edge to a deleted
+    // neighbor) — the same contract class as the del broadcasts above, so
+    // pin it: survivors never re-exchanges for the semi/anti probes.
+    val candAff = survivors.join(broadcast(aff), Seq("src"), "left_semi")
       .unionByName(detour).distinct()
     val scored = candAff
       .join(v.select(col("vec_id").as("dst"), col("x").as("xb"),
@@ -555,7 +577,8 @@ object NswGraph {
     val repaired = scored
       .withColumn("rn", row_number().over(w)).where(col("rn") <= deg)
       .select("src", "dst")
-    survivors.join(aff, Seq("src"), "left_anti").unionByName(repaired)
+    survivors.join(broadcast(aff), Seq("src"), "left_anti")
+      .unionByName(repaired)
   }
 
   /** Vamana-style α-occlusion pruning (Subramanya et al., NeurIPS 2019 —

@@ -198,4 +198,46 @@ class NswGraphSpec extends AnyFunSuite {
     assert(node.isInstanceOf[
       org.apache.spark.sql.execution.joins.SortMergeJoinExec], plan.toString)
   }
+
+  test("r15 repair ride: a union-of-pairs below dst-then-src joins still rides") {
+    // upsert's repruned restructure: the repair PAIRS (affected base edges
+    // ∪ reverse candidates) union FIRST — below the scoring joins — and
+    // the per-src re-prune window rides the src-side join's hash layout.
+    // A union's own output partitioning is unknown, so the OLD shape
+    // (score each side, union, window) always re-exchanged; this pins that
+    // pushing the union below the joins restores the ride.
+    val pairsA = spark.range(120)
+      .select((col("id") % 12).as("src"), (col("id") % 7).as("dst"))
+      .distinct()
+    val pairsB = spark.range(60)
+      .select((col("id") % 9).as("src"), (col("id") % 11).as("dst"))
+      .distinct()
+    val v = spark.range(20).select(col("id"), (col("id") * 2.0).as("x"))
+    val scored = pairsA.unionByName(pairsB)
+      .join(v.select(col("id").as("dst"), col("x").as("xd")).hint("merge"),
+        "dst")
+      .join(v.select(col("id").as("src"), col("x").as("xs")).hint("merge"),
+        "src")
+      .select(col("src"), col("dst"), (col("xs") * col("xd")).as("cos"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val plan = scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2).queryExecution.sparkPlan
+    val win = plan.collectFirst {
+      case we: org.apache.spark.sql.execution.window.WindowExec => we
+    }
+    assert(win.isDefined, plan.toString)
+    var node: org.apache.spark.sql.execution.SparkPlan = win.get.child
+    var steps = 0
+    while (steps < 10 &&
+      !node.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]) {
+      assert(!node.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ShuffleExchangeExec],
+        s"window does not ride the join:\n$plan")
+      assert(node.children.size == 1, node.toString)
+      node = node.children.head
+      steps += 1
+    }
+    assert(node.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec], plan.toString)
+  }
 }
